@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Block A — relational core (SURVEY.md §2.A).
+  *
+  * The reference's `main.py` exercises key-merges, isin filters,
+  * concat, groupby-idxmax dedup and column arithmetic over
+  * pandas frames (reference main.py:96-122, 251); this block carries
+  * those capabilities (plus the aggregation/join/window machinery any
+  * engine needs) as declarative Spark plans Catalyst can optimize.
+  *
+  * Oracle-parity rules used throughout (SURVEY.md §4/§5):
+  *  - sums over double money columns go through exact DECIMAL casts
+  *    (order-independent => identical at any parallelism, and equal
+  *    to DuckDB's decimal sums), then cast back to double;
+  *  - averages are computed as exact-sum / count, never avg();
+  *  - timestamps are output as formatted date strings;
+  *  - every query ends in a deterministic orderBy.
+  */
+object Relational {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact decimal sum of a 2-dp money column, surfaced as double. */
+  private def dsum2(c: Column): Column = sum(dec2(c)).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_revenue_by_nation" -> q02,
+    "q03_broadcast_part_agg" -> q03,
+    "q04_topk_orders" -> q04,
+    "q05_window_rank" -> q05,
+    "q06_selective_filter" -> q06,
+    "q07_distinct_segments" -> q07,
+    "q08_semi_join" -> q08,
+    "q09_anti_join" -> q09,
+    "q10_rollup" -> q10,
+    "q11_merge_attrs" -> q11,
+    "q12_dedup_idxmax" -> q12
+  )
+
+  /** TPC-H Q1-style pricing summary: scan + filter + hash aggregate.
+    * The shipdate filter is pushed to the parquet scan; the aggregate
+    * is a two-phase (partial/final) hash agg — no extra shuffle
+    * beyond the one on (returnflag, linestatus).
+    */
+  def q01(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Revenue by nation: fact-fact join (lineitem ⋈ orders) shuffles on
+    * orderkey; customer and nation are dimension-sized and broadcast.
+    * At 100 TB the li⋈o join is the only large shuffle and co-locates
+    * on the natural key.
+    */
+  def q02(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Broadcast join with the part dimension + per-brand aggregate. */
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Deterministic top-k: global sort with a tie-break key + limit.
+    * At scale this is a TakeOrderedAndProject (no full sort). */
+  def q04(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Window rank: top-3 orders per customer by totalprice. */
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** Highly selective conjunctive filter -> single-row aggregate;
+    * all three predicates push to the parquet scan. */
+  def q06(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(
+        col("l_quantity") >= 5 && col("l_quantity") <= 15 &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Distinct values of a low-cardinality column. */
+  def q07(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment")).distinct()
+      .orderBy(col("c_mktsegment"))
+
+  /** Left-semi join (EXISTS): customers having a big order, counted by
+    * segment. Semi-join avoids materializing the orders payload. */
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 150000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no 300k+ order. */
+  def q09(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Rollup over (nation, segment) — subtotal rows surfaced with the
+    * 'ALL' sentinel so the oracle compare is null-free. */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(dsum2(col("c_acctbal")).as("sum_acctbal"), count(lit(1)).as("n_customers"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("sum_acctbal"), col("n_customers"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  /** The reference's make_gdf/init_geojson pattern (main.py:96-122):
+    * merge an attribute table onto an entity table by key, filter by a
+    * code list (isin), concat two frames. Nation plays the geometry
+    * frame, per-nation customer stats play the population CSV.
+    */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val attrs = c.groupBy(col("c_nationkey"))
+      .agg(dsum2(col("c_acctbal")).as("total_acctbal"), count(lit(1)).as("population"))
+    val merged = n
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(attrs, col("n_nationkey") === col("c_nationkey"), "left")
+      .select(col("n_nationkey"), col("n_name"), col("r_name"),
+        coalesce(col("total_acctbal"), lit(0.0)).as("total_acctbal"),
+        coalesce(col("population"), lit(0L)).as("population"))
+    val europe = merged.filter(col("r_name") === "EUROPE")
+    val asia = merged.filter(col("r_name") === "ASIA")
+    europe.unionAll(asia).orderBy(col("n_nationkey"))
+  }
+
+  /** groupby(key).idxmax(metric) dedup (reference main.py:251 keeps
+    * the max-area geometry per ISO code): one row per orderkey — the
+    * line with max extendedprice, ties broken by linenumber. A window
+    * row_number beats a self-join-on-max at scale (single shuffle).
+    */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+    li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '2001-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT c_custkey) AS n_customers,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q03_broadcast_part_agg" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q04_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q05_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+    "q06_selective_filter" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_quantity >= 5 AND l_quantity <= 15
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'""".stripMargin,
+    "q07_distinct_segments" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q08_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q09_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "q10_rollup" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(c_mktsegment, 'ALL') AS segment,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+        |  count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY nation, segment""".stripMargin,
+    "q11_merge_attrs" ->
+      """WITH attrs AS (
+        |  SELECT c_nationkey,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+        |    count(*) AS population
+        |  FROM customer GROUP BY c_nationkey),
+        |merged AS (
+        |  SELECT n_nationkey, n_name, r_name,
+        |    coalesce(total_acctbal, 0.0) AS total_acctbal,
+        |    coalesce(population, 0) AS population
+        |  FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  LEFT JOIN attrs ON n_nationkey = c_nationkey)
+        |SELECT * FROM (
+        |  SELECT * FROM merged WHERE r_name = 'EUROPE'
+        |  UNION ALL
+        |  SELECT * FROM merged WHERE r_name = 'ASIA')
+        |ORDER BY n_nationkey""".stripMargin,
+    "q12_dedup_idxmax" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn = 1
+        |ORDER BY l_orderkey""".stripMargin
+  )
+}

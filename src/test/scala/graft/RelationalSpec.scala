@@ -1,0 +1,52 @@
+package graft
+
+import graft.queries.Relational
+
+class RelationalSpec extends SparkSuite {
+
+  test("every relational query runs and returns rows at sf0.001") {
+    Relational.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q01 aggregates are internally consistent") {
+    val rows = Relational.q01(spark, sf).collect()
+    assert(rows.length === 6) // 3 returnflags x 2 linestatus
+    rows.foreach { r =>
+      val sumQty = r.getAs[Double]("sum_qty")
+      val avgQty = r.getAs[Double]("avg_qty")
+      val cnt = r.getAs[Long]("count_order")
+      assert(math.abs(sumQty / cnt - avgQty) < 1e-9)
+      assert(r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price"))
+    }
+  }
+
+  test("q04 top-k is sorted descending and deterministic") {
+    val prices = Relational.q04(spark, sf).collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.length === 10)
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("q05 ranks are within 1..3 and unique per customer") {
+    val rows = Relational.q05(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, rs) =>
+      val rnks = rs.map(_.getAs[Int]("rnk")).sorted
+      assert(rnks.forall(r => r >= 1 && r <= 3))
+      assert(rnks.distinct.length === rnks.length)
+    }
+  }
+
+  test("q12 keeps exactly one row per orderkey") {
+    val df = Relational.q12(spark, sf)
+    val n = df.count()
+    val distinctKeys = df.select("l_orderkey").distinct().count()
+    assert(n === distinctKeys)
+  }
+
+  test("oracle map covers every query") {
+    assert(Relational.queries.keySet === Relational.oracleSql.keySet)
+  }
+}
