@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+import graft.geom._
+
+/** Column-level geometry API over WKT-encoded geometry columns.
+  *
+  * Geometry decode/compute runs in Scala UDFs (the kernel is pure and
+  * allocation-light); all *numeric* cartogram math stays in native
+  * `functions._` expressions at the call sites so Catalyst keeps
+  * whole-stage codegen for the hot arithmetic, and only the geometry
+  * decode pays the UDF boundary. st_* names mirror the OGC/Sedona
+  * convention (public API surface familiarity), semantics mirror
+  * shapely (what the reference uses).
+  */
+object GeoFunctions extends Serializable {
+
+  private val areaU = udf((wkt: String) => Ops.area(Wkt.read(wkt)))
+  private val perimeterU = udf((wkt: String) => Ops.perimeter(Wkt.read(wkt)))
+  private val centroidXU = udf((wkt: String) => Ops.centroid(Wkt.read(wkt)).x)
+  private val centroidYU = udf((wkt: String) => Ops.centroid(Wkt.read(wkt)).y)
+  private val bboxU = udf((wkt: String) => {
+    val (a, b, c, d) = Ops.bbox(Wkt.read(wkt)); Array(a, b, c, d)
+  })
+  private val scaleU = udf((wkt: String, fx: Double, fy: Double, ox: Double, oy: Double) =>
+    Wkt.write(Ops.scale(Wkt.read(wkt), fx, fy, Pt(ox, oy))))
+  private val scaleAboutCentroidU = udf((wkt: String, f: Double) => {
+    val g = Wkt.read(wkt)
+    Wkt.write(Ops.scale(g, f, f, Ops.centroid(g)))
+  })
+  private val translateU = udf((wkt: String, dx: Double, dy: Double) =>
+    Wkt.write(Ops.translate(Wkt.read(wkt), dx, dy)))
+  private val bufferPointU = udf((x: Double, y: Double, r: Double, quadsegs: Int) =>
+    Wkt.write(Ops.bufferPoint(Pt(x, y), r, quadsegs)))
+  private val distanceU = udf((w1: String, w2: String) =>
+    Ops.distance(Wkt.read(w1), Wkt.read(w2)))
+  private val touchesU = udf((w1: String, w2: String) =>
+    Ops.touches(Wkt.read(w1), Wkt.read(w2)))
+  private val sharedBorderU = udf((w1: String, w2: String) =>
+    Ops.sharedBorderLength(Wkt.read(w1), Wkt.read(w2)))
+  private val geojsonToWktU = udf((gj: String) => Wkt.write(GeoJson.parseGeometry(gj)))
+
+  def st_area(wkt: Column): Column = areaU(wkt)
+  def st_perimeter(wkt: Column): Column = perimeterU(wkt)
+  def st_centroid_x(wkt: Column): Column = centroidXU(wkt)
+  def st_centroid_y(wkt: Column): Column = centroidYU(wkt)
+  /** array(minx, miny, maxx, maxy) */
+  def st_bbox(wkt: Column): Column = bboxU(wkt)
+  def st_scale(wkt: Column, fx: Column, fy: Column, ox: Column, oy: Column): Column =
+    scaleU(wkt, fx, fy, ox, oy)
+  def st_scale_about_centroid(wkt: Column, f: Column): Column = scaleAboutCentroidU(wkt, f)
+  def st_translate(wkt: Column, dx: Column, dy: Column): Column = translateU(wkt, dx, dy)
+  def st_buffer_point(x: Column, y: Column, r: Column, quadsegs: Column): Column =
+    bufferPointU(x, y, r, quadsegs)
+  def st_distance(w1: Column, w2: Column): Column = distanceU(w1, w2)
+  def st_touches(w1: Column, w2: Column): Column = touchesU(w1, w2)
+  def st_shared_border(w1: Column, w2: Column): Column = sharedBorderU(w1, w2)
+  def st_geojson_to_wkt(gj: Column): Column = geojsonToWktU(gj)
+
+  /** Register all functions for SQL use. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("st_area", areaU)
+    spark.udf.register("st_perimeter", perimeterU)
+    spark.udf.register("st_centroid_x", centroidXU)
+    spark.udf.register("st_centroid_y", centroidYU)
+    spark.udf.register("st_bbox", bboxU)
+    spark.udf.register("st_scale", scaleU)
+    spark.udf.register("st_scale_about_centroid", scaleAboutCentroidU)
+    spark.udf.register("st_translate", translateU)
+    spark.udf.register("st_buffer_point", bufferPointU)
+    spark.udf.register("st_distance", distanceU)
+    spark.udf.register("st_touches", touchesU)
+    spark.udf.register("st_shared_border", sharedBorderU)
+    spark.udf.register("st_geojson_to_wkt", geojsonToWktU)
+  }
+}

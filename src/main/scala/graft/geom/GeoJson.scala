@@ -1,0 +1,58 @@
+package graft.geom
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Minimal GeoJSON geometry/feature codec built on Jackson (already on
+  * the Spark classpath). Parses the subset the reference consumes
+  * (reference main.py:15 parse_geojson): FeatureCollection of
+  * Point / Polygon / MultiPolygon features with flat properties.
+  */
+object GeoJson {
+
+  private val mapper = new ObjectMapper()
+
+  def parseGeometry(json: String): Geom = geomOf(mapper.readTree(json))
+
+  def geomOf(node: JsonNode): Geom = {
+    val coords = node.get("coordinates")
+    node.get("type").asText() match {
+      case "Point" => GPoint(Pt(coords.get(0).asDouble(), coords.get(1).asDouble()))
+      case "Polygon" => GPolygon(polyOf(coords))
+      case "MultiPolygon" =>
+        GMultiPolygon(coords.elements().asScala.map(polyOf).toVector)
+      case other => sys.error(s"unsupported GeoJSON geometry: $other")
+    }
+  }
+
+  private def polyOf(rings: JsonNode): Poly = {
+    val rs = rings.elements().asScala.map { ring =>
+      Ring(ring.elements().asScala.map(pt =>
+        Pt(pt.get(0).asDouble(), pt.get(1).asDouble())).toVector)
+    }.toVector
+    Poly(rs.head, rs.tail)
+  }
+
+  /** One parsed feature: id (if any), flat string properties, geometry. */
+  final case class Feature(id: Option[String], properties: Map[String, String], geom: Geom)
+
+  def parseFeature(json: String): Feature = {
+    val node = mapper.readTree(json)
+    featureOf(node)
+  }
+
+  def featureOf(node: JsonNode): Feature = {
+    val id = Option(node.get("id")).map(_.asText())
+    val props = Option(node.get("properties")).map { p =>
+      p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+    Feature(id, props, geomOf(node.get("geometry")))
+  }
+
+  /** Parse a whole FeatureCollection (driver-side convenience; the
+    * distributed path is sources.GeoJsonSource). */
+  def parseCollection(json: String): Seq[Feature] = {
+    val node = mapper.readTree(json)
+    node.get("features").elements().asScala.map(featureOf).toSeq
+  }
+}

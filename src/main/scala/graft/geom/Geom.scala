@@ -1,0 +1,302 @@
+package graft.geom
+
+/** Minimal immutable planar geometry kernel (no external deps;
+  * the container is zero-egress, so no JTS/GEOS).
+  *
+  * Implements exactly the primitives the reference uses
+  * (reference pycart/cartogram.py + border_util.py): area, perimeter,
+  * centroid, bbox, affine scale/translate, distances, point buffer
+  * (circle), Queen-contiguity touch test and shared-boundary length.
+  *
+  * Everything is a pure function over immutable values so instances
+  * can be used inside Spark expressions/UDFs and serialized freely.
+  *
+  * Numeric discipline: accumulations run left-to-right in input order
+  * so results are reproducible bit-for-bit for a given vertex order
+  * (the oracle SQL replicates the same term order).
+  */
+final case class Pt(x: Double, y: Double) {
+  def dist(o: Pt): Double = {
+    val dx = o.x - x; val dy = o.y - y
+    math.sqrt(dx * dx + dy * dy) // NOT hypot: sqrt matches SQL engines bit-for-bit
+  }
+}
+
+/** A linear ring: closed (first point repeated as last). */
+final case class Ring(pts: IndexedSeq[Pt]) {
+  require(pts.length >= 4, s"ring needs >=4 points, got ${pts.length}")
+
+  /** Signed shoelace area (positive = CCW). */
+  def signedArea: Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < pts.length - 1) {
+      val a = pts(i); val b = pts(i + 1)
+      acc += a.x * b.y - b.x * a.y
+      i += 1
+    }
+    acc / 2.0
+  }
+
+  def perimeter: Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < pts.length - 1) { acc += pts(i).dist(pts(i + 1)); i += 1 }
+    acc
+  }
+
+  /** Shoelace centroid numerators (divide by 6*signedArea). */
+  def centroidNumerators: (Double, Double) = {
+    var cx = 0.0; var cy = 0.0
+    var i = 0
+    while (i < pts.length - 1) {
+      val a = pts(i); val b = pts(i + 1)
+      val cross = a.x * b.y - b.x * a.y
+      cx += (a.x + b.x) * cross
+      cy += (a.y + b.y) * cross
+      i += 1
+    }
+    (cx, cy)
+  }
+
+  def map(f: Pt => Pt): Ring = Ring(pts.map(f))
+  def segments: Iterator[(Pt, Pt)] =
+    (0 until pts.length - 1).iterator.map(i => (pts(i), pts(i + 1)))
+}
+
+final case class Poly(shell: Ring, holes: IndexedSeq[Ring] = Vector.empty) {
+  def rings: Iterator[Ring] = Iterator(shell) ++ holes.iterator
+  def map(f: Pt => Pt): Poly = Poly(shell.map(f), holes.map(_.map(f)))
+}
+
+sealed trait Geom {
+  def map(f: Pt => Pt): Geom
+}
+final case class GPoint(p: Pt) extends Geom {
+  def map(f: Pt => Pt): GPoint = GPoint(f(p))
+}
+final case class GPolygon(poly: Poly) extends Geom {
+  def map(f: Pt => Pt): GPolygon = GPolygon(poly.map(f))
+}
+final case class GMultiPolygon(polys: IndexedSeq[Poly]) extends Geom {
+  def map(f: Pt => Pt): GMultiPolygon = GMultiPolygon(polys.map(_.map(f)))
+}
+
+object Ops {
+
+  private def polysOf(g: Geom): IndexedSeq[Poly] = g match {
+    case GPoint(_)           => Vector.empty
+    case GPolygon(p)         => Vector(p)
+    case GMultiPolygon(ps)   => ps
+  }
+
+  /** Area: shell minus holes (absolute values, like shapely .area). */
+  def area(g: Geom): Double = g match {
+    case GPoint(_) => 0.0
+    case other =>
+      var acc = 0.0
+      polysOf(other).foreach { p =>
+        acc += math.abs(p.shell.signedArea)
+        p.holes.foreach(h => acc -= math.abs(h.signedArea))
+      }
+      acc
+  }
+
+  /** Perimeter = total boundary length (shapely .length). */
+  def perimeter(g: Geom): Double = g match {
+    case GPoint(_) => 0.0
+    case other =>
+      var acc = 0.0
+      polysOf(other).foreach(p => p.rings.foreach(acc += _.perimeter))
+      acc
+  }
+
+  /** Area-weighted centroid (shapely .centroid for polygons). */
+  def centroid(g: Geom): Pt = g match {
+    case GPoint(p) => p
+    case other =>
+      // Sum shoelace numerators over all rings using signed areas
+      // (holes carry opposite orientation => subtract naturally if
+      // encoded CW; we normalize by treating holes as negative).
+      var nx = 0.0; var ny = 0.0; var aTot = 0.0
+      polysOf(other).foreach { p =>
+        val sa = p.shell.signedArea
+        val sgnShell = if (sa >= 0) 1.0 else -1.0
+        val (cx, cy) = p.shell.centroidNumerators
+        nx += sgnShell * cx; ny += sgnShell * cy; aTot += math.abs(sa)
+        p.holes.foreach { h =>
+          val ha = h.signedArea
+          val sgn = if (ha >= 0) -1.0 else 1.0
+          val (hx, hy) = h.centroidNumerators
+          nx += sgn * hx; ny += sgn * hy; aTot -= math.abs(ha)
+        }
+      }
+      Pt(nx / (6.0 * aTot), ny / (6.0 * aTot))
+  }
+
+  /** (minx, miny, maxx, maxy) */
+  def bbox(g: Geom): (Double, Double, Double, Double) = {
+    var minx = Double.PositiveInfinity; var miny = Double.PositiveInfinity
+    var maxx = Double.NegativeInfinity; var maxy = Double.NegativeInfinity
+    def visit(p: Pt): Unit = {
+      if (p.x < minx) minx = p.x; if (p.x > maxx) maxx = p.x
+      if (p.y < miny) miny = p.y; if (p.y > maxy) maxy = p.y
+    }
+    g match {
+      case GPoint(p) => visit(p)
+      case other => polysOf(other).foreach(_.rings.foreach(_.pts.foreach(visit)))
+    }
+    (minx, miny, maxx, maxy)
+  }
+
+  /** Affine scale about an origin — shapely.affinity.scale semantics:
+    * x' = ox + (x - ox) * fx (reference cartogram.py:238). */
+  def scale(g: Geom, fx: Double, fy: Double, origin: Pt): Geom =
+    g.map(p => Pt(origin.x + (p.x - origin.x) * fx, origin.y + (p.y - origin.y) * fy))
+
+  /** shapely.affinity.translate (reference cartogram.py:400). */
+  def translate(g: Geom, dx: Double, dy: Double): Geom =
+    g.map(p => Pt(p.x + dx, p.y + dy))
+
+  /** Circle polygon approximating shapely Point.buffer: quadsegs
+    * segments per quarter circle, 4*q vertices, CCW from angle 0
+    * (reference cartogram.py:408 builds Dorling circles this way). */
+  def bufferPoint(c: Pt, r: Double, quadsegs: Int = 16): GPolygon = {
+    val n = 4 * quadsegs
+    val pts = (0 to n).map { i =>
+      val theta = 2.0 * math.Pi * i / n
+      Pt(c.x + r * math.cos(theta), c.y + r * math.sin(theta))
+    }
+    // close exactly on the first vertex
+    GPolygon(Poly(Ring(pts.init :+ pts.head.copy())))
+  }
+
+  // ---- distances ----
+
+  def pointSegDist(p: Pt, a: Pt, b: Pt): Double = {
+    val abx = b.x - a.x; val aby = b.y - a.y
+    val apx = p.x - a.x; val apy = p.y - a.y
+    val len2 = abx * abx + aby * aby
+    val t =
+      if (len2 == 0.0) 0.0
+      else math.max(0.0, math.min(1.0, (apx * abx + apy * aby) / len2))
+    val qx = a.x + t * abx; val qy = a.y + t * aby
+    val dx = p.x - qx; val dy = p.y - qy
+    math.sqrt(dx * dx + dy * dy)
+  }
+
+  private def segsIntersect(a: Pt, b: Pt, c: Pt, d: Pt): Boolean = {
+    def orient(p: Pt, q: Pt, r: Pt): Double =
+      (q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x)
+    def onSeg(p: Pt, q: Pt, r: Pt): Boolean =
+      math.min(p.x, r.x) <= q.x && q.x <= math.max(p.x, r.x) &&
+      math.min(p.y, r.y) <= q.y && q.y <= math.max(p.y, r.y)
+    val o1 = orient(a, b, c); val o2 = orient(a, b, d)
+    val o3 = orient(c, d, a); val o4 = orient(c, d, b)
+    if (((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+        ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))) true
+    else (o1 == 0 && onSeg(a, c, b)) || (o2 == 0 && onSeg(a, d, b)) ||
+         (o3 == 0 && onSeg(c, a, d)) || (o4 == 0 && onSeg(c, b, d))
+  }
+
+  private def segSegDist(a: Pt, b: Pt, c: Pt, d: Pt): Double =
+    if (segsIntersect(a, b, c, d)) 0.0
+    else math.min(
+      math.min(pointSegDist(a, c, d), pointSegDist(b, c, d)),
+      math.min(pointSegDist(c, a, b), pointSegDist(d, a, b)))
+
+  /** Point-in-polygon (ray cast), boundary counts as inside. */
+  def contains(poly: Poly, p: Pt): Boolean = {
+    def inRing(r: Ring): Boolean = {
+      var inside = false
+      r.segments.foreach { case (a, b) =>
+        if (pointSegDist(p, a, b) == 0.0) return true
+        val cond = (a.y > p.y) != (b.y > p.y)
+        if (cond) {
+          val xint = a.x + (p.y - a.y) * (b.x - a.x) / (b.y - a.y)
+          if (p.x < xint) inside = !inside
+        }
+      }
+      inside
+    }
+    if (!inRing(poly.shell)) false
+    else !poly.holes.exists(h => inRing(h) && {
+      // on a hole boundary still counts as inside the polygon
+      h.segments.forall { case (a, b) => pointSegDist(p, a, b) != 0.0 }
+    })
+  }
+
+  /** shapely-style distance: 0 when geometries intersect, else min
+    * distance between boundaries (reference uses distance between
+    * point geometries in Dorling and polygon distance implicitly). */
+  def distance(g1: Geom, g2: Geom): Double = (g1, g2) match {
+    case (GPoint(p), GPoint(q)) => p.dist(q)
+    case (GPoint(p), other)     => distPointPolys(p, polysOf(other))
+    case (other, GPoint(p))     => distPointPolys(p, polysOf(other))
+    case (a, b) =>
+      val pa = polysOf(a); val pb = polysOf(b)
+      // any containment => intersecting => 0
+      if (pa.exists(p1 => pb.exists(p2 =>
+            contains(p1, p2.shell.pts.head) || contains(p2, p1.shell.pts.head))))
+        return 0.0
+      var best = Double.PositiveInfinity
+      for (p1 <- pa; p2 <- pb; s1 <- p1.rings.flatMap(_.segments); s2 <- p2.rings.flatMap(_.segments)) {
+        val d = segSegDist(s1._1, s1._2, s2._1, s2._2)
+        if (d < best) best = d
+        if (best == 0.0) return 0.0
+      }
+      best
+  }
+
+  private def distPointPolys(p: Pt, polys: IndexedSeq[Poly]): Double = {
+    if (polys.exists(contains(_, p))) return 0.0
+    var best = Double.PositiveInfinity
+    polys.foreach(_.rings.foreach(_.segments.foreach { case (a, b) =>
+      val d = pointSegDist(p, a, b); if (d < best) best = d
+    }))
+    best
+  }
+
+  // ---- Queen contiguity (reference border_util.py:5) ----
+
+  /** True when boundaries share at least a point (edge OR vertex). */
+  def touches(g1: Geom, g2: Geom): Boolean = {
+    val pa = polysOf(g1); val pb = polysOf(g2)
+    pa.exists(p1 => pb.exists(p2 =>
+      p1.rings.flatMap(_.segments).exists { case (a, b) =>
+        p2.rings.flatMap(_.segments).exists { case (c, d) => segsIntersect(a, b, c, d) }
+      }))
+  }
+
+  /** Length of the shared (collinear, overlapping) boundary between
+    * two geometries — the Queen weight in the reference
+    * (border_util.py:44: intersection(...).length). Vertex-only
+    * contact contributes 0. */
+  def sharedBorderLength(g1: Geom, g2: Geom): Double = {
+    var acc = 0.0
+    for (p1 <- polysOf(g1); p2 <- polysOf(g2);
+         s1 <- p1.rings.flatMap(_.segments); s2 <- p2.rings.flatMap(_.segments)) {
+      acc += collinearOverlap(s1._1, s1._2, s2._1, s2._2)
+    }
+    acc
+  }
+
+  /** Overlap length of two collinear segments; 0 if not collinear. */
+  private def collinearOverlap(a: Pt, b: Pt, c: Pt, d: Pt): Double = {
+    val ux = b.x - a.x; val uy = b.y - a.y
+    val cross1 = ux * (c.y - a.y) - uy * (c.x - a.x)
+    val cross2 = ux * (d.y - a.y) - uy * (d.x - a.x)
+    val len = math.sqrt(ux * ux + uy * uy)
+    if (len == 0.0) return 0.0
+    // c and d must both lie on line(a,b) (exact comparison: inputs with
+    // exact coords give exact 0 cross products; tolerance for others)
+    val eps = 1e-12 * math.max(1.0, len)
+    if (math.abs(cross1) > eps || math.abs(cross2) > eps) return 0.0
+    // project onto the line, param t in units of len
+    def t(p: Pt): Double = ((p.x - a.x) * ux + (p.y - a.y) * uy) / len
+    val t1 = 0.0; val t2 = len
+    val s1 = math.min(t(c), t(d)); val s2 = math.max(t(c), t(d))
+    val lo = math.max(t1, s1); val hi = math.min(t2, s2)
+    if (hi > lo) hi - lo else 0.0
+  }
+}

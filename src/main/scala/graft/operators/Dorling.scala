@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.GeoFunctions._
+
+/** Dorling circle cartogram (reference pycart/cartogram.py:245).
+  *
+  * Radius model (cartogram.py:312-341): Queen-contiguity pairs give
+  *   k = sum(centroid distance over directed pairs)
+  *     / sum(sqrt(Vf/pi) + sqrt(Vn/pi) over directed pairs)
+  *   r_i = sqrt(V_i/pi) * k,  widest = max r_i.
+  *
+  * Force model per iteration (cartogram.py:352-402): every region
+  * looks at regions within `widest + r_focal`; overlapping circles
+  * repel (cartogram.py:35 `_repel`), non-overlapping ones attract,
+  * scaled by shared-border-length / focal-perimeter when the pair was
+  * originally contiguous (cartogram.py:80 `_attract`); the combined
+  * vector is damped by `friction` and blended by `ratio`.
+  *
+  * DELIBERATE DEVIATION: the reference applies updates region-by-region
+  * inside one iteration (Gauss-Seidel — inherently sequential, cannot
+  * scale past one core). This implementation computes all forces from
+  * the previous iteration's positions and applies them simultaneously
+  * (Jacobi). Same fixed points, order-independent, embarrassingly
+  * parallel; convergence is asserted in DorlingSpec rather than
+  * per-step equality with the reference.
+  *
+  * Scale design: the per-iteration neighbour search is a grid-binned
+  * self-join (cell = 2*widest, 3x3 probe), so each iteration is one
+  * shuffle of O(n) small rows — no O(n^2) pair matrix. Radii/borders
+  * are computed once up front. Deterministic decimal summation keeps
+  * k bit-identical at any parallelism. Lineage is cut per iteration
+  * with localCheckpoint (the standard Spark iterative-algorithm
+  * pattern, cf. GraphX Pregel).
+  */
+object Dorling {
+
+  /** Compute per-region radii + the scale coefficient k (exposed
+    * separately for q23's oracle check).
+    * @return (regions: id, value, x, y, perimeter, radius ; k)
+    */
+  def radii(df: DataFrame, idCol: String, valueCol: String, geomCol: String): (DataFrame, Double) = {
+    val regions = df.select(
+        col(idCol).as("id"), col(valueCol).cast("double").as("value"), col(geomCol).as("geom"))
+      .withColumn("x", st_centroid_x(col("geom")))
+      .withColumn("y", st_centroid_y(col("geom")))
+      .withColumn("perimeter", st_perimeter(col("geom")))
+
+    val borders = Borders.compute(df, idCol, geomCol)
+
+    val f = regions.select(col("id").as("focal_id"), col("x").as("fx"),
+      col("y").as("fy"), col("value").as("fv"))
+    val n = regions.select(col("id").as("neighbor_id"), col("x").as("nx"),
+      col("y").as("ny"), col("value").as("nv"))
+
+    // Exact decimal sums => order-independent, deterministic at any
+    // parallelism (SURVEY.md §4).
+    val dec = DecimalType(30, 10)
+    val Array(row) = borders.join(f, "focal_id").join(n, "neighbor_id")
+      .select(
+        sqrt((col("nx") - col("fx")) * (col("nx") - col("fx")) +
+             (col("ny") - col("fy")) * (col("ny") - col("fy"))).as("dist"),
+        (sqrt(col("fv") / math.Pi) + sqrt(col("nv") / math.Pi)).as("rsum"))
+      .agg(sum(col("dist").cast(dec)).cast("double").as("d"),
+           sum(col("rsum").cast(dec)).cast("double").as("r"))
+      .collect()
+    val k = row.getDouble(0) / row.getDouble(1)
+
+    (regions.withColumn("radius", sqrt(col("value") / math.Pi) * lit(k)).drop("geom"), k)
+  }
+
+  /** One Jacobi iteration of the force model over (id, value, x, y,
+    * perimeter, radius). Exposed for q24 and the spec. */
+  def step(pos: DataFrame, borders: DataFrame, widest: Double,
+           ratio: Double, friction: Double): DataFrame = {
+    val cs = math.max(2.0 * widest, 1e-12)
+
+    // focal side probes its 3x3 cell neighbourhood; neighbour side
+    // sits in its own cell => each (focal, nb) candidate appears once.
+    val probes = pos
+      .withColumn("dcell", explode(array((-1 to 1).flatMap(i => (-1 to 1).map(j =>
+        struct(lit(i.toLong).as("x"), lit(j.toLong).as("y")))): _*)))
+      .select(col("id").as("f_id"), col("x").as("fx"), col("y").as("fy"),
+        col("radius").as("f_radius"), col("perimeter").as("f_perimeter"),
+        struct((floor(col("x") / cs) + col("dcell.x")).as("x"),
+               (floor(col("y") / cs) + col("dcell.y")).as("y")).as("cell"))
+    val targets = pos.select(col("id").as("n_id"), col("x").as("nx"), col("y").as("ny"),
+      col("radius").as("n_radius"),
+      struct(floor(col("x") / cs).as("x"), floor(col("y") / cs).as("y")).as("cell"))
+
+    val cand = probes.join(targets, Seq("cell"))
+      .filter(col("f_id") =!= col("n_id"))
+      .withColumn("dist", sqrt((col("nx") - col("fx")) * (col("nx") - col("fx")) +
+                               (col("ny") - col("fy")) * (col("ny") - col("fy"))))
+      // reference cartogram.py:357: 0 < dist < widest + r_focal
+      .filter(col("dist") > 0 && col("dist") < lit(widest) + col("f_radius"))
+
+    val bw = borders.select(col("focal_id").as("f_id"), col("neighbor_id").as("n_id"),
+      col("weight"))
+
+    val contribs = cand.join(bw, Seq("f_id", "n_id"), "left")
+      .withColumn("overlap", col("n_radius") + col("f_radius") - col("dist"))
+      .withColumn("dx", col("nx") - col("fx"))
+      .withColumn("dy", col("ny") - col("fy"))
+      // _attract (cartogram.py:126): border pairs rescale overlap to
+      // |overlap| * weight / focal_perimeter; others keep raw overlap
+      .withColumn("a_overlap",
+        when(col("weight").isNotNull, abs(col("overlap")) * col("weight") / col("f_perimeter"))
+          .otherwise(col("overlap")))
+      .groupBy(col("f_id"))
+      .agg(
+        sum(when(col("overlap") > 0, -col("overlap") * col("dx") / col("dist")).otherwise(0.0)).as("xrepel"),
+        sum(when(col("overlap") > 0, -col("overlap") * col("dy") / col("dist")).otherwise(0.0)).as("yrepel"),
+        sum(when(col("overlap") <= 0, col("a_overlap") * col("dx") / col("dist")).otherwise(0.0)).as("xattract"),
+        sum(when(col("overlap") <= 0, col("a_overlap") * col("dy") / col("dist")).otherwise(0.0)).as("yattract"),
+        min(col("dist")).as("min_dist"))
+
+    val joined = pos.join(contribs, pos("id") === contribs("f_id"), "left")
+      .withColumn("xrepel", coalesce(col("xrepel"), lit(0.0)))
+      .withColumn("yrepel", coalesce(col("yrepel"), lit(0.0)))
+      .withColumn("xattract", coalesce(col("xattract"), lit(0.0)))
+      .withColumn("yattract", coalesce(col("yattract"), lit(0.0)))
+      // cartogram.py:364: closest = min(widest, nearest neighbour)
+      .withColumn("closest", least(lit(widest), coalesce(col("min_dist"), lit(widest))))
+
+    // cartogram.py:377-397 vector blend, verbatim formulas
+    val attractDist = sqrt(col("xattract") * col("xattract") + col("yattract") * col("yattract"))
+    val repelDist0 = sqrt(col("xrepel") * col("xrepel") + col("yrepel") * col("yrepel"))
+    val scaled = joined
+      .withColumn("attract_dist", attractDist)
+      .withColumn("repel_dist0", repelDist0)
+      .withColumn("xrepel_s", when(col("repel_dist0") > col("closest"),
+        col("closest") * col("xrepel") / (col("repel_dist0") + 1.0)).otherwise(col("xrepel")))
+      .withColumn("yrepel_s", when(col("repel_dist0") > col("closest"),
+        col("closest") * col("yrepel") / (col("repel_dist0") + 1.0)).otherwise(col("yrepel")))
+      .withColumn("repel_dist", least(col("repel_dist0"), col("closest")))
+      .withColumn("xattract_s", when(col("repel_dist") <= 0 && col("attract_dist") > col("closest"),
+        col("closest") * col("xattract") / (col("attract_dist") + 1.0)).otherwise(col("xattract")))
+      .withColumn("yattract_s", when(col("repel_dist") <= 0 && col("attract_dist") > col("closest"),
+        col("closest") * col("yattract") / (col("attract_dist") + 1.0)).otherwise(col("yattract")))
+      .withColumn("xtotal", when(col("repel_dist") > 0,
+          (lit(1.0) - ratio) * col("xrepel_s") +
+          lit(ratio) * (col("repel_dist") * col("xattract") / (col("attract_dist") + 1.0)))
+        .otherwise(col("xattract_s")))
+      .withColumn("ytotal", when(col("repel_dist") > 0,
+          (lit(1.0) - ratio) * col("yrepel_s") +
+          lit(ratio) * (col("repel_dist") * col("yattract") / (col("attract_dist") + 1.0)))
+        .otherwise(col("yattract_s")))
+
+    scaled.select(
+      pos("id"), col("value"), col("perimeter"), col("radius"),
+      (pos("x") + lit(friction) * col("xtotal")).as("x"),
+      (pos("y") + lit(friction) * col("ytotal")).as("y"))
+      .select("id", "value", "x", "y", "perimeter", "radius")
+  }
+
+  /** Full Dorling run.
+    * @param df (idCol, valueCol, geomCol WKT)
+    * @return id, value, radius, x, y, geometry (circle WKT)
+    */
+  def run(df: DataFrame, idCol: String, valueCol: String, geomCol: String,
+          iterations: Int = 100, ratio: Double = 0.4, friction: Double = 0.5,
+          quadsegs: Int = 16): DataFrame = {
+    val (regions0, _) = radii(df, idCol, valueCol, geomCol)
+    val borders = Borders.compute(df, idCol, geomCol)
+    val widest = regions0.agg(max(col("radius"))).collect()(0).getDouble(0)
+
+    var pos = regions0.select("id", "value", "x", "y", "perimeter", "radius")
+      .localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      pos = step(pos, borders, widest, ratio, friction).localCheckpoint()
+      i += 1
+    }
+    pos.withColumn("geometry",
+        st_buffer_point(col("x"), col("y"), col("radius"), lit(quadsegs)))
+      .select("id", "value", "radius", "x", "y", "geometry")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.geom.{GeoJson, Wkt}
+
+/** Distributed GeoJSON readers (reference main.py:15 parse_geojson +
+  * geopandas.GeoDataFrame.from_features).
+  *
+  * Two paths:
+  *  - `readFeatureCollection`: a classic single-document
+  *    FeatureCollection file. JSON documents aren't splittable, so each
+  *    FILE is one task (read wholetext, explode features) — fine for
+  *    the reference's use case (one country file), and many files
+  *    still parallelize per-file.
+  *  - `readFeatureLines`: newline-delimited GeoJSON (one Feature per
+  *    line) — the 100 TB path: line-splittable, so a single huge file
+  *    fans out across executors.
+  *
+  * Output schema either way: id (nullable), properties map, geometry
+  * (WKT) — properties stay a map because GeoJSON schemas are dynamic.
+  */
+/** Row shape for GeoJSON features (public + top-level so Spark's
+  * codegen'd serializers can reach the accessors). */
+case class FeatRow(id: String, properties: Map[String, String], geometry: String)
+
+object GeoJsonSource {
+
+  def readFeatureCollection(spark: SparkSession, path: String): DataFrame = {
+    val text = spark.read.option("wholetext", "true").text(path)
+    val enc = Encoders.product[FeatRow]
+    text.select(col("value")).as(Encoders.STRING)
+      .flatMap(doc => GeoJson.parseCollection(doc).map(f =>
+        FeatRow(f.id.orNull, f.properties, Wkt.write(f.geom))))(enc)
+      .toDF()
+  }
+
+  def readFeatureLines(spark: SparkSession, path: String): DataFrame = {
+    val enc = Encoders.product[FeatRow]
+    spark.read.text(path).select(col("value")).as(Encoders.STRING)
+      .filter(line => line.trim.nonEmpty && line.contains("\"Feature\""))
+      .map { line =>
+        val f = GeoJson.parseFeature(line.trim.stripSuffix(","))
+        FeatRow(f.id.orNull, f.properties, Wkt.write(f.geom))
+      }(enc)
+      .toDF()
+  }
+}
