@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GeoFunctions._
+import graft.operators.{Borders, Dorling, NonContiguous}
+
+/** Block B — geometry + cartogram queries (SURVEY.md §2.B).
+  *
+  * The driver's tables carry no geometry, so these queries build
+  * synthetic region polygons from the `nation` table: a 5x5 grid of
+  * axis-aligned squares with INTEGER coordinates (spacing 4). Integer
+  * coords make every kernel computation (shoelace area, centroid,
+  * perimeter, shared borders) EXACT in doubles, so the DuckDB oracle
+  * can state the same arithmetic in closed form and match
+  * bit-for-bit. Region "population" is the real per-nation customer
+  * count, so the data still flows from the driver's tables.
+  *
+  * The queries run the REAL kernel + operators (st_* UDFs,
+  * Borders/NonContiguous/Dorling) — the oracle only re-derives what
+  * the answers must be. Reference parity for irregular float
+  * geometry is covered by GeomSpec/CartogramSpec on the reference's
+  * own fixture.
+  */
+object Geo {
+
+  /** 5x5 grid squares from nation keys. side: 1+key%3 (varied, q20/21)
+    * or 4 (full tessellation — neighbors share edges, q22/23/24). */
+  private def squares(spark: SparkSession, dir: String, tessellate: Boolean): DataFrame = {
+    val n = Tables.nation(spark, dir)
+      .withColumn("gx", col("n_nationkey") % 5)
+      .withColumn("gy", floor(col("n_nationkey") / 5).cast("int"))
+      .withColumn("s", if (tessellate) lit(4) else lit(1) + col("n_nationkey") % 3)
+      .withColumn("x0", col("gx") * 4).withColumn("y0", col("gy") * 4)
+      .withColumn("x1", col("gx") * 4 + col("s")).withColumn("y1", col("gy") * 4 + col("s"))
+    n.withColumn("wkt", concat(
+        lit("POLYGON (("),
+        col("x0"), lit(" "), col("y0"), lit(", "),
+        col("x1"), lit(" "), col("y0"), lit(", "),
+        col("x1"), lit(" "), col("y1"), lit(", "),
+        col("x0"), lit(" "), col("y1"), lit(", "),
+        col("x0"), lit(" "), col("y0"), lit("))")))
+      .select(col("n_nationkey"), col("wkt"))
+  }
+
+  /** Squares + per-nation customer count as the cartogram value. */
+  private def valued(spark: SparkSession, dir: String, tessellate: Boolean): DataFrame = {
+    val cnt = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
+    squares(spark, dir, tessellate)
+      .join(cnt, col("n_nationkey") === col("c_nationkey"), "left")
+      .select(col("n_nationkey"), col("wkt"),
+        coalesce(col("cnt"), lit(1L)).as("value"))
+  }
+
+  /** SQL fragment mirroring `squares` for the oracle. */
+  private def sqlSquares(tessellate: Boolean): String = {
+    val side = if (tessellate) "4" else "1 + n_nationkey % 3"
+    s"""sq AS (
+       |  SELECT n_nationkey,
+       |    (n_nationkey % 5) * 4 AS x0,
+       |    CAST(floor(n_nationkey / 5) AS INT) * 4 AS y0,
+       |    ($side) AS s
+       |  FROM nation)""".stripMargin
+  }
+
+  private val sqlValued =
+    """vals AS (
+      |  SELECT sq.*, coalesce(cnt, 1) AS value FROM sq
+      |  LEFT JOIN (SELECT c_nationkey, count(*) AS cnt
+      |             FROM customer GROUP BY c_nationkey) c
+      |    ON sq.n_nationkey = c.c_nationkey)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_geo_measures" -> q20,
+    "q21_noncontiguous" -> q21,
+    "q22_borders_queen" -> q22,
+    "q23_dorling_radii" -> q23,
+    "q24_dorling_step" -> q24
+  )
+
+  /** Kernel measures (area/perimeter/centroid/bbox) over WKT. */
+  def q20(spark: SparkSession, dir: String): DataFrame =
+    squares(spark, dir, tessellate = false)
+      .select(
+        col("n_nationkey"),
+        st_area(col("wkt")).as("area"),
+        st_perimeter(col("wkt")).as("perimeter"),
+        st_centroid_x(col("wkt")).as("cx"),
+        st_centroid_y(col("wkt")).as("cy"),
+        st_bbox(col("wkt"))(2).as("maxx"))
+      .orderBy(col("n_nationkey"))
+
+  /** Full NonContiguous operator; output = scale + scaled bbox. */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val out = NonContiguous.run(valued(spark, dir, tessellate = false),
+      "n_nationkey", "value", "wkt")
+    out.select(
+        col("id").as("n_nationkey"), col("value"), col("scale"),
+        st_bbox(col("geometry"))(0).as("minx"),
+        st_bbox(col("geometry"))(1).as("miny"),
+        st_bbox(col("geometry"))(2).as("maxx"),
+        st_bbox(col("geometry"))(3).as("maxy"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Full distributed Queen-borders operator on the tessellation. */
+  def q22(spark: SparkSession, dir: String): DataFrame =
+    Borders.compute(squares(spark, dir, tessellate = true), "n_nationkey", "wkt")
+      .select(col("focal_id").cast("int").as("focal"),
+        col("neighbor_id").cast("int").as("neighbor"), col("weight"))
+      .orderBy(col("focal"), col("neighbor"))
+
+  /** Dorling radius model (k = D/R over Queen pairs). */
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    val (regions, _) = Dorling.radii(valued(spark, dir, tessellate = true),
+      "n_nationkey", "value", "wkt")
+    regions.select(col("id").cast("int").as("n_nationkey"), col("value"),
+        col("radius"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** One Jacobi step of the Dorling force model (rows-only check;
+    * exact per-step parity vs the reference's Gauss-Seidel loop is
+    * not defined — see Dorling scaladoc; DorlingSpec covers behavior). */
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    val df = valued(spark, dir, tessellate = true)
+    val (regions, _) = Dorling.radii(df, "n_nationkey", "value", "wkt")
+    val borders = Borders.compute(df, "n_nationkey", "wkt")
+    val widest = regions.agg(max(col("radius"))).collect()(0).getDouble(0)
+    Dorling.step(regions.select("id", "value", "x", "y", "perimeter", "radius"),
+        borders, widest, ratio = 0.4, friction = 0.5)
+      .select(col("id").cast("int").as("n_nationkey"), col("x"), col("y"), col("radius"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q20_geo_measures" ->
+      s"""WITH ${sqlSquares(tessellate = false)}
+         |SELECT n_nationkey,
+         |  CAST(s * s AS DOUBLE) AS area,
+         |  CAST(4 * s AS DOUBLE) AS perimeter,
+         |  x0 + s / 2.0 AS cx,
+         |  y0 + s / 2.0 AS cy,
+         |  CAST(x0 + s AS DOUBLE) AS maxx
+         |FROM sq
+         |ORDER BY n_nationkey""".stripMargin,
+    "q21_noncontiguous" ->
+      s"""WITH ${sqlSquares(tessellate = false)},
+         |$sqlValued,
+         |dens AS (
+         |  SELECT *, CAST(value AS DOUBLE) / CAST(s * s AS DOUBLE) AS density,
+         |    x0 + s / 2.0 AS cx, y0 + s / 2.0 AS cy
+         |  FROM vals),
+         |anch AS (SELECT max(density) AS anchor FROM dens)
+         |SELECT n_nationkey, CAST(value AS DOUBLE) AS value,
+         |  sqrt(density / anchor) * 1.0 AS scale,
+         |  cx + (x0 - cx) * (sqrt(density / anchor) * 1.0) AS minx,
+         |  cy + (y0 - cy) * (sqrt(density / anchor) * 1.0) AS miny,
+         |  cx + (x0 + s - cx) * (sqrt(density / anchor) * 1.0) AS maxx,
+         |  cy + (y0 + s - cy) * (sqrt(density / anchor) * 1.0) AS maxy
+         |FROM dens, anch
+         |ORDER BY n_nationkey""".stripMargin,
+    "q22_borders_queen" ->
+      s"""WITH ${sqlSquares(tessellate = true)}
+         |SELECT a.n_nationkey AS focal, b.n_nationkey AS neighbor,
+         |  CASE WHEN abs(a.x0 - b.x0) + abs(a.y0 - b.y0) = 4 THEN 4.0 ELSE 0.0 END AS weight
+         |FROM sq a JOIN sq b
+         |  ON a.n_nationkey <> b.n_nationkey
+         | AND abs(a.x0 - b.x0) <= 4 AND abs(a.y0 - b.y0) <= 4
+         |ORDER BY focal, neighbor""".stripMargin,
+    "q23_dorling_radii" ->
+      s"""WITH ${sqlSquares(tessellate = true)},
+         |$sqlValued,
+         |cent AS (
+         |  SELECT n_nationkey, CAST(value AS DOUBLE) AS value,
+         |    x0 + 2.0 AS cx, y0 + 2.0 AS cy, x0, y0
+         |  FROM vals),
+         |pairs AS (
+         |  SELECT a.value AS fv, b.value AS nv,
+         |    sqrt((b.cx - a.cx) * (b.cx - a.cx) + (b.cy - a.cy) * (b.cy - a.cy)) AS dist
+         |  FROM cent a JOIN cent b
+         |    ON a.n_nationkey <> b.n_nationkey
+         |   AND abs(a.x0 - b.x0) <= 4 AND abs(a.y0 - b.y0) <= 4),
+         |k AS (
+         |  SELECT CAST(sum(CAST(dist AS DECIMAL(30,10))) AS DOUBLE) /
+         |         CAST(sum(CAST(sqrt(fv / pi()) + sqrt(nv / pi()) AS DECIMAL(30,10))) AS DOUBLE) AS k
+         |  FROM pairs)
+         |SELECT n_nationkey, value, sqrt(value / pi()) * k AS radius
+         |FROM cent, k
+         |ORDER BY n_nationkey""".stripMargin
+  )
+}
