@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+
+/** Similarity search over embedding columns (SURVEY.md §2.D).
+  *
+  * Numeric discipline: dot products and norms are PER-ROW sequential
+  * left folds over the vector in element order — deterministic at any
+  * parallelism (nothing crosses rows), and bit-identical to the
+  * oracle's `list_reduce` left fold (SURVEY.md §4).
+  */
+object Similarity {
+
+  /** Sequential left-fold dot product of two float-array columns. */
+  def dotSeq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Sequential left-fold squared norm. */
+  def norm2Seq(a: Column): Column =
+    aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** cos(a,b) from precomputed squared norms. */
+  def cosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot / (sqrt(n2a) * sqrt(n2b))
+
+  /** Brute-force cosine top-k: every query row against the full
+    * corpus. The query side is expected to be small and is broadcast,
+    * so the corpus streams map-side — no shuffle of the corpus at any
+    * scale; only the per-query top-k heap aggregates.
+    * @param queries (qid, vec) ; @param corpus (cid, vec)
+    * @return qid, cid, rank (1..k), cos
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("qid"), col("vec").as("qvec"),
+      norm2Seq(col("vec")).as("qn2"))
+    val c = corpus.select(col("cid"), col("vec").as("cvec"),
+      norm2Seq(col("vec")).as("cn2"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(dotSeq(col("qvec"), col("cvec")), col("qn2"), col("cn2")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane p,
+    * dimension d: a +/-1 from xxhash64 — reproducible across runs and
+    * engines without RNG state. */
+  private def hyperplaneSign(p: Column, d: Column): Column =
+    when(xxhash64(p, d).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)
+
+  /** Random-hyperplane LSH bucket id for one hash table: `planes`
+    * sign bits packed into a long; `tableOffset` seeds distinct
+    * hyperplanes per table. P(bit agrees) = 1 - theta/pi. */
+  def lshBucket(vec: Column, planes: Int, tableOffset: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), p => {
+        val dot = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, d) => x.cast("double") * hyperplaneSign(tableOffset + p, d)),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** Multi-table ANN top-k: `tables` independent hyperplane tables of
+    * `planes` bits; candidates = bucket collisions in any table
+    * (queries additionally probe all 1-bit flips), exact cosine over
+    * the deduped candidate set.
+    *
+    * Recall/cost dial: collision prob per table at angle theta is
+    * p^b + b*p^(b-1)*(1-p) with p = 1 - theta/pi, overall
+    * 1-(1-...)^tables. Defaults (4 bits x 8 tables) target moderate-
+    * similarity corpora; tighten (more bits, fewer probes) when
+    * neighbours are closer. Scale shape: the join shuffles on
+    * (table, bucket) ids only — vectors never cross the wire except
+    * for surviving candidates.
+    * @return qid, cid, rank, cos — approximate (recall pinned in spec)
+    */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Int = 4, tables: Int = 8, multiprobe: Boolean = true): DataFrame = {
+    val tableIds = sequence(lit(0), lit(tables - 1))
+    val c = corpus.select(col("cid"), col("vec").as("cvec"),
+        norm2Seq(col("vec")).as("cn2"),
+        explode(transform(tableIds, t => struct(t.as("table"),
+          lshBucket(col("vec"), planes, t * planes).as("bucket")))).as("tb"))
+      .select(col("cid"), col("cvec"), col("cn2"), col("tb.table"), col("tb.bucket"))
+    val qProbes = queries.select(col("qid"), col("vec").as("qvec"),
+        norm2Seq(col("vec")).as("qn2"),
+        explode(transform(tableIds, t => struct(t.as("table"),
+          lshBucket(col("vec"), planes, t * planes).as("qb")))).as("tb"))
+      .select(col("qid"), col("qvec"), col("qn2"), col("tb.table"), col("tb.qb"))
+    val probes =
+      if (!multiprobe) qProbes.withColumn("bucket", col("qb"))
+      else qProbes.withColumn("bucket",
+        explode(concat(array(col("qb")),
+          transform(sequence(lit(0), lit(planes - 1)),
+            p => col("qb").bitwiseXOR(call_function("shiftleft", lit(1L), p))))))
+    val scored = probes.join(c, Seq("table", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qvec"), col("cvec"), col("qn2"), col("cn2"))
+      .distinct()
+      .withColumn("cos", cosine(dotSeq(col("qvec"), col("cvec")), col("qn2"), col("cn2")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within same-`blockCol`
+    * blocks (semantic blocking keeps the pair space linear-ish; the
+    * all-pairs fallback is q40's brute-force path).
+    * @param df (id, vec, block) ; @return i, j, cos >= threshold
+    */
+  def cosineNearDup(df: DataFrame, threshold: Double): DataFrame = {
+    val v = df.select(col("id"), col("vec"), col("block"),
+      norm2Seq(col("vec")).as("n2"))
+    val a = v.select(col("id").as("i"), col("vec").as("va"),
+      col("block"), col("n2").as("n2a"))
+    val b = v.select(col("id").as("j"), col("vec").as("vb"),
+      col("block"), col("n2").as("n2b"))
+    a.join(b, Seq("block"))
+      .filter(col("i") < col("j"))
+      .withColumn("cos", cosine(dotSeq(col("va"), col("vb")), col("n2a"), col("n2b")))
+      .filter(col("cos") >= threshold)
+      .select(col("block"), col("i"), col("j"), col("cos"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data pipelines
+  * (SURVEY.md §2.E). Everything is built from codegen'd native
+  * functions (regexp/array/higher-order) — no UDFs — and all ratios
+  * divide exact integers so results are engine-portable.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (non-empty). */
+  def wsTokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Lowercase alphabetic words. */
+  def alphaWords(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** BPE-ish token estimate: each alphabetic word contributes
+    * ceil(len/4) pieces, digits and other non-space symbols one each
+    * (a common fast proxy for LLM token budgeting). */
+  def tokenEstimate(text: Column): Column =
+    aggregate(
+      transform(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)),
+        t => when(t.rlike("^[A-Za-z]+$"), ceil(length(t).cast("double") / 4.0).cast("int"))
+          .otherwise(1)),
+      lit(0), (acc, x) => acc + x)
+
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+      "was", "for", "on", "with", "as", "at", "by", "from", "that", "this")
+
+  /** Count of tokens present in a stopword list. */
+  def stopwordCount(tokens: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens, t => array_contains(sw, t)))
+  }
+
+  /** Quality-score feature frame: deterministic ratios per doc.
+    * score = 0.4*stop + 0.3*(1-punct) + 0.3*short-doc penalty — a
+    * simple public-heuristic blend (C4/Gopher-style rules). */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+        col(idCol),
+        length(t).as("n_chars"),
+        size(wsTokens(t)).as("n_tokens"),
+        length(regexp_replace(t, "[^.,;:!?'\"()]", "")).as("n_punct"),
+        stopwordCount(wsTokens(lower(t)), StopwordsEn).as("n_stop"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / col("n_chars").cast("double"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("quality_score",
+        lit(0.4) * col("stop_ratio") +
+        lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+        lit(0.3) * when(col("n_tokens") >= 20, 1.0).otherwise(col("n_tokens").cast("double") / 20.0))
+  }
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic (public common-word lists). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"),
+    "en" -> Seq("the", "a", "and", "is", "of", "to", "in", "that", "with", "for"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "de", "que", "en", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "que", "dans", "avec", "pour"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "he", "wo", "ta", "men", "zhe"))
+
+  /** Language-ID scores: one count column per language (s_de, s_en,
+    * ...), prediction = argmax with alphabetical tie-break. */
+  def langIdFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    val withScores = LangProfiles.foldLeft(
+      df.select(col(idCol), col(textCol))) { case (acc, (lang, words)) =>
+        acc.withColumn(s"s_$lang", stopwordCount(toks, words))
+    }
+    // alphabetical CASE chain = smallest language name wins ties
+    val langs = LangProfiles.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (lang, els) =>
+      val others = langs.filterNot(_ == lang).map(l => col(s"s_$l"))
+      when(col(s"s_$lang") >= greatest(others: _*), lang).otherwise(els)
+    }
+    withScores.withColumn("pred_lang", pred)
+  }
+
+  /** Winnowing-style document fingerprint: lexicographic min of md5
+    * over all character n-grams — stable under content moves, cheap,
+    * portable (same hex in any engine). */
+  def fingerprint(text: Column, n: Int = 8): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => md5(text.substr(i, lit(n)))))
+}

@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Blocks C/D/E — LLM-pipeline operators over `documents` and
+  * `embeddings` (SURVEY.md §2.C-E): dedup (exact, MinHash-LSH,
+  * SimHash, n-gram), similarity search (brute-force + LSH ANN), text
+  * analysis (tokens, quality, lang-ID, fingerprints).
+  */
+object Pipeline {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> q30,
+    "q31_minhash_pairs" -> q31,
+    "q32_simhash" -> q32,
+    "q33_ngram_jaccard" -> q33,
+    "q34_embed_neardup" -> q34,
+    "q40_cosine_topk" -> q40,
+    "q41_ann_lsh" -> q41,
+    "q50_token_stats" -> q50,
+    "q51_quality_score" -> q51,
+    "q52_langid" -> q52,
+    "q53_fingerprint" -> q53
+  )
+
+  /** Exact dedup over a corpus with planted duplicates (the corpus
+    * unioned with an id-shifted copy of itself): 1 group of 2 per
+    * doc, keeper = original id. */
+  def q30(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val doubled = d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    Dedup.exact(doubled, "doc_id", "text")
+      .orderBy(col("text_hash"))
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-verified at Jaccard >= 0.95
+    * (word sets). Oracle is the brute-force all-pairs answer — the
+    * LSH miss probability at 0.95 with r=6,b=22 is ~2e-13. */
+  def q31(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDuplicates(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.95)
+      .orderBy(col("i"), col("j"))
+
+  /** SimHash near-dup pairs (hamming <= 8 over 64-bit signatures,
+    * pigeonhole-banded candidates). Signature internals are
+    * xxhash64-based => rows-only oracle; DedupSpec pins behavior. */
+  def q32(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDuplicates(Tables.documents(spark, dir), "doc_id", "text",
+        maxHamming = 8)
+      .orderBy(col("i"), col("j"))
+
+  /** Exact character-3-gram Jaccard pairs on the src0 slice. */
+  def q33(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(
+        Tables.documents(spark, dir).filter(col("source") === "src0"),
+        "doc_id", "text", n = 3, threshold = 0.6)
+      .orderBy(col("i"), col("j"))
+
+  /** Embedding-cosine near-dup pairs within label blocks. */
+  def q34(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDup(
+        Tables.embeddings(spark, dir).select(
+          col("vec_id").as("id"), col("embedding").as("vec"), col("label").as("block")),
+        threshold = 0.4)
+      .orderBy(col("i"), col("j"))
+
+  /** Brute-force cosine top-5 for the vec_id % 50 == 0 query set. */
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Hyperplane-LSH ANN top-5, same query set (approximate => rows-
+    * only oracle; SimilaritySpec measures recall vs q40). */
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.annTopK(
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Token statistics: chars, whitespace tokens, alpha words, BPE-ish
+    * token estimate, average word length. */
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        length(t).as("n_chars"),
+        size(TextAnalysis.wsTokens(t)).as("n_ws_tokens"),
+        size(TextAnalysis.alphaWords(t)).as("n_alpha_words"),
+        TextAnalysis.tokenEstimate(t).as("n_token_est"),
+        when(size(TextAnalysis.alphaWords(t)) === 0, 0.0)
+          .otherwise(length(regexp_replace(lower(t), "[^a-z]", "")).cast("double") /
+            size(TextAnalysis.alphaWords(t)).cast("double")).as("avg_word_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: stopword/punctuation/length heuristics. */
+  def q51(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("punct_ratio"), col("stop_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Stopword-profile language ID vs the labelled lang column. */
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    val feats = TextAnalysis.langIdFeatures(
+      Tables.documents(spark, dir), "doc_id", "text")
+    feats.join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("pred_lang"), col("lang"),
+        (col("pred_lang") === col("lang")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing-style min-hash fingerprint per document. */
+  def q53(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text"), 8).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val sqlWordSets =
+    """sets AS (
+      |  SELECT DISTINCT doc_id, w
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0),
+      |wc AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id)""".stripMargin
+
+  /** Sequential left-fold dot product — bit-identical to the engine's
+    * Similarity.dotSeq (DuckDB list_reduce folds left; the fold is
+    * per-row, so no cross-row order dependence exists). */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len($a)),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+       |    (acc, x) -> acc + x)""".stripMargin
+
+  private val sqlVecs =
+    s"""norms AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${sqlDot("embedding", "embedding")} AS n2
+       |  FROM embeddings)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT md5(text) AS text_hash, count(*) AS group_size,
+        |  min(doc_id) AS keeper
+        |FROM doubled GROUP BY md5(text)
+        |ORDER BY text_hash""".stripMargin,
+    "q31_minhash_pairs" ->
+      s"""WITH $sqlWordSets,
+         |inter AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+         |  FROM sets a JOIN sets b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT i, j,
+         |  CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) AS jacc
+         |FROM inter JOIN wc na ON i = na.doc_id JOIN wc nb ON j = nb.doc_id
+         |WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.95
+         |ORDER BY i, j""".stripMargin,
+    "q33_ngram_jaccard" ->
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+        |g AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+        |  FROM sub, unnest(generate_series(1, length(text) - 2)) AS t(i)),
+        |n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT i, j,
+        |  CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) AS jacc
+        |FROM inter JOIN n na ON i = na.doc_id JOIN n nb ON j = nb.doc_id
+        |WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.6
+        |ORDER BY i, j""".stripMargin,
+    "q34_embed_neardup" ->
+      s"""WITH $sqlVecs,
+         |scored AS (
+         |  SELECT a.label AS block, a.vec_id AS i, b.vec_id AS j,
+         |    ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+         |  FROM norms a JOIN norms b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT block, i, j, cos
+         |FROM scored
+         |WHERE cos >= 0.4
+         |ORDER BY i, j""".stripMargin,
+    "q40_cosine_topk" ->
+      s"""WITH $sqlVecs,
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${sqlDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         |  FROM norms q JOIN norms c
+         |    ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, cid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, rank, cos FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+    "q50_token_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha_words,
+        |  CAST(coalesce((
+        |    SELECT sum(CASE WHEN regexp_matches(t.tok, '^[A-Za-z]+$')
+        |      THEN CAST(ceil(length(t.tok) / 4.0) AS INT) ELSE 1 END)
+        |    FROM unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS t(tok)
+        |  ), 0) AS INT) AS n_token_est,
+        |  CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) /
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE) END AS avg_word_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q51_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens,
+        |    length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS n_punct,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['the','a','an','and','or','of','to','in','is','are',
+        |                          'was','for','on','with','as','at','by','from','that','this'], t)))
+        |      AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT *,
+        |    CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+        |    CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio
+        |  FROM f)
+        |SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio,
+        |  0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio) +
+        |  0.3 * (CASE WHEN n_tokens >= 20 THEN 1.0
+        |              ELSE CAST(n_tokens AS DOUBLE) / 20.0 END) AS quality_score
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
+    "q52_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','von'], t))) AS s_de,
+        |    len(list_filter(tk, t -> list_contains(['the','a','and','is','of','to','in','that','with','for'], t))) AS s_en,
+        |    len(list_filter(tk, t -> list_contains(['el','la','los','las','y','es','de','que','en','con'], t))) AS s_es,
+        |    len(list_filter(tk, t -> list_contains(['le','la','les','et','est','de','que','dans','avec','pour'], t))) AS s_fr,
+        |    len(list_filter(tk, t -> list_contains(['de','shi','le','zai','you','he','wo','ta','men','zhe'], t))) AS s_zh
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es >= greatest(s_de, s_en, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr >= greatest(s_de, s_en, s_es, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  lang,
+        |  (CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |        WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+        |        WHEN s_es >= greatest(s_de, s_en, s_fr, s_zh) THEN 'es'
+        |        WHEN s_fr >= greatest(s_de, s_en, s_es, s_zh) THEN 'fr'
+        |        ELSE 'zh' END) = lang AS correct
+        |FROM scores
+        |ORDER BY doc_id""".stripMargin,
+    "q53_fingerprint" ->
+      """SELECT doc_id,
+        |  (SELECT min(md5(substr(text, CAST(t.i AS INT), 8)))
+        |   FROM unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

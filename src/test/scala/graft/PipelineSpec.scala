@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf)
+  lazy val embs = Tables.embeddings(spark, sf)
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val d = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc"), (5L, "bbb"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(d, "doc_id", "text").collect()
+    assert(out.length === 3)
+    val byKeeper = out.map(r => r.getAs[Long]("keeper") -> r.getAs[Long]("group_size")).toMap
+    assert(byKeeper === Map(1L -> 2L, 2L -> 2L, 4L -> 1L))
+  }
+
+  test("minhash-LSH pairs equal brute-force jaccard pairs at 0.9") {
+    val lsh = Dedup.minhashDuplicates(docs, "doc_id", "text", threshold = 0.9)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // brute force on the same word sets
+    val ws = docs.select(col("doc_id"), Dedup.wordSet(col("text")).as("words"))
+      .as[(Long, Seq[String])].collect()
+    val brute = (for {
+      (i, wa) <- ws; (j, wb) <- ws if i < j
+      inter = wa.toSet.intersect(wb.toSet).size
+      jacc = inter.toDouble / (wa.size + wb.size - inter)
+      if jacc >= 0.9
+    } yield (i, j)).toSet
+    assert(lsh === brute)
+  }
+
+  test("simhash: near-identical word sets collide, hamming is symmetric-free") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (3L, "totally different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashDuplicates(d, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists { case (i, j, h) => i == 1 && j == 2 && h == 0 })
+    assert(!pairs.exists { case (i, j, _) => j == 3 || i == 3 })
+  }
+
+  test("ANN top-k recall vs brute force >= 0.6 and exact cosines") {
+    val q = embs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+    val c = embs.select(col("vec_id").as("cid"), col("embedding").as("vec"))
+    val exact = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(q, c, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall $recall too low")
+    // ANN scores are exact cosines: any (qid,cid) in both must agree
+    val exactScores = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    Similarity.annTopK(q, c, 5)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+      .foreach { case (a, b, s) =>
+        exactScores.get((a, b)).foreach(es => assert(es === s))
+      }
+  }
+
+  test("language profiles fire on real sentences") {
+    val d = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "el gato es de la casa y es que los perros"),
+      (3L, "der hund ist nicht mit der katze und das ist gut"),
+      (4L, "le chien est dans la maison et est avec les chats")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langIdFeatures(d, "doc_id", "text")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) === "en"); assert(out(2L) === "es")
+    assert(out(3L) === "de"); assert(out(4L) === "fr")
+  }
+
+  test("quality score is bounded and monotone in stopword ratio") {
+    val feats = TextAnalysis.qualityFeatures(docs, "doc_id", "text").collect()
+    feats.foreach { r =>
+      val s = r.getAs[Double]("quality_score")
+      assert(s >= 0.0 && s <= 1.0, s"score $s out of range")
+    }
+  }
+
+  test("fingerprint is deterministic and shift-invariant for contained grams") {
+    val d = Seq((1L, "abcdefghijklmnop"), (2L, "XXabcdefghijklmnop")).toDF("doc_id", "text")
+    val fps = d.select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 8).as("fp"))
+      .as[(Long, String)].collect().toMap
+    // doc2 contains every 8-gram of doc1 plus two more: its min can
+    // only be <= doc1's min
+    assert(fps(2L) <= fps(1L))
+  }
+}
