@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.operators.Multimodal
+import graft.streaming.EventStreams
+
+/** Blocks F/G — event analytics + multimodal binary columns
+  * (SURVEY.md §2.F-G). The tumbling agg is the same function the
+  * streaming path runs (graft.streaming.EventStreams).
+  */
+object Events {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_tumbling_agg" -> q60,
+    "q61_sessionize" -> q61,
+    "q62_user_funnel" -> q62,
+    "q70_binary_meta" -> q70
+  )
+
+  /** Tumbling 1-hour window aggregation (shared with streaming). */
+  def q60(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.tumblingAgg(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Gap-based sessionization (30-minute inactivity): windowed lag
+    * marks session starts, a running sum numbers sessions — one
+    * shuffle on user_id covers both window passes. */
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+      .withColumn("is_new", when(col("gap_us").isNull || col("gap_us") > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Ordered funnel: first view -> first later click -> first later
+    * purchase; per-stage user counts. Each stage is an aggregate then
+    * a user-key join — all three joins co-partition on user_id. */
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vts"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("vts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("cts"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("cts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pts"))
+    v.agg(count(lit(1)).as("n_view_users")).crossJoin(
+      c.agg(count(lit(1)).as("n_click_users"))).crossJoin(
+      p.agg(count(lit(1)).as("n_purchase_users")))
+  }
+
+  /** Multimodal plumbing: documents' text bytes stand in for media
+    * payloads; the batched partition-wise stub decoder emits metadata
+    * (SURVEY.md §2.G — decode is stubbed, plumbing is real). */
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
+    Multimodal.decodeBatch(payloads)
+      .select(col("id").as("doc_id"), col("n_bytes"), col("sha"),
+        col("width"), col("height"), col("format"))
+      .orderBy(col("doc_id"))
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q60_tumbling_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q61_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id,
+        |    CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS is_new,
+        |    ts, event_id
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m)
+        |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q62_user_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS vts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS cts FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS pts FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT count(*) FROM v) AS n_view_users,
+        |  (SELECT count(*) FROM c) AS n_click_users,
+        |  (SELECT count(*) FROM p) AS n_purchase_users""".stripMargin,
+    "q70_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  64 + (ascii(substr(text, 1, 1)) % 16) * 32 AS width,
+        |  64 + (ascii(substr(text, 2, 1)) % 16) * 32 AS height,
+        |  CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}
