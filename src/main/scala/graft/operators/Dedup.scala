@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graftext.ArrayOps
+
 /** Deduplication operators for large-scale text pipelines
   * (SURVEY.md §2.C). All paths are shuffle-bounded: no O(n^2) stage
   * ever materializes; candidate generation is hash-bucketed and only
@@ -23,12 +25,23 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keeper"))
 
-  /** MinHash signatures: sig[p] = min over words of xxhash64(word, p).
-    * numHashes longs per doc, map-side only. */
-  def minhashSignature(words: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      p => aggregate(words, lit(Long.MaxValue),
-        (acc, w) => least(acc, xxhash64(w, p))))
+  /** 64-bit base hashes of a word set (hash once; permutations and
+    * set intersections then work on longs, not strings). */
+  def wordHashes(words: Column): Column = transform(words, w => xxhash64(w))
+
+  /** MinHash signatures over pre-hashed words: permutation p rehashes
+    * the 8-byte word hash with xxhash64(h, p) — native, fixed-width,
+    * and wraparound-free (ANSI mode forbids overflowing multiply-add
+    * families). Structured as ONE fold over the words with an
+    * array-of-minima accumulator — expressions nested inside
+    * higher-order lambdas re-evaluate per iteration, so folding over
+    * permutations instead would re-hash every word numHashes times. */
+  def minhashSignature(hashes: Column, numHashes: Int): Column = {
+    val ps = sequence(lit(0), lit(numHashes - 1))
+    aggregate(hashes,
+      transform(ps, _ => lit(Long.MaxValue)),
+      (acc, h) => zip_with(acc, ps, (m, p) => least(m, xxhash64(h, p))))
+  }
 
   /** LSH candidate pairs from banded minhash signatures.
     *
@@ -42,56 +55,104 @@ object Dedup {
     * Scale shape: explode is x bands (fixed small factor), the
     * self-join shuffles on (band, bucket) — AQE splits hot buckets.
     */
-  def lshCandidates(df: DataFrame, idCol: String, words: Column,
+  def lshCandidates(df: DataFrame, idCol: String, hashes: Column,
                     rows: Int = 6, bands: Int = 22): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), minhashSignature(words, rows * bands).as("sig"))
+    val sig = df.select(col(idCol).as("id"), minhashSignature(hashes, rows * bands).as("sig"))
     val banded = sig.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bucket")))).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+    // Dedup the per-band emissions with ONE aggregate on a packed
+    // 64-bit pair key (ids are table keys << 2^31), requiring >= 2
+    // matching bands: at the operating threshold a true pair misses
+    // both gates with prob (1-p)^b + b*p*(1-p)^(b-1) ~ 1e-11, while
+    // weakly-similar pairs (the candidate bulk) often collide in just
+    // one band and are pruned before the exact-verify stage.
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"))
-      .distinct()
+      .select((col("a.id") * lit(1L << 31) + col("b.id")).as("pk"))
+      // repartition by pk first: most pks are singletons, so map-side
+      // partial aggregation gets no reduction and just spills — with
+      // the distribution pre-satisfied Catalyst plans one complete
+      // aggregate after a cheap 8-byte-row shuffle instead
+      .repartition(col("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("nb"))
+      .filter(col("nb") >= 2)
+      // unpack with bit ops — pk can exceed 2^53, double division
+      // would corrupt the ids
+      .select(shiftright(col("pk"), 31).as("i"),
+        col("pk").bitwiseAND(lit((1L << 31) - 1)).as("j"))
   }
 
-  /** Exact word-set Jaccard for given pairs (array intersect/union on
-    * the two docs' word arrays — per-row, no explosion).
-    * @param pairs (i, j) ; @param docs (id, words array)
+  /** Exact set Jaccard for given pairs over pre-hashed element arrays
+    * (long intersections are ~10x cheaper than string ones; a 64-bit
+    * collision would need ~2^32 distinct elements to matter).
+    * @param pairs (i, j) ; @param docs (id, h array<long>)
     * @return i, j, jacc
     */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    val a = docs.select(col("id").as("i"), col("words").as("wa"))
-    val b = docs.select(col("id").as("j"), col("words").as("wb"))
+    val a = docs.select(col("id").as("i"), array_sort(col("h")).as("ha"))
+    val b = docs.select(col("id").as("j"), array_sort(col("h")).as("hb"))
     pairs.join(a, "i").join(b, "j")
-      .withColumn("c", size(array_intersect(col("wa"), col("wb"))))
+      .withColumn("c", ArrayOps.sortedIntersectCount(col("ha"), col("hb")))
       .withColumn("jacc",
         col("c").cast("double") /
-          (size(col("wa")) + size(col("wb")) - col("c")).cast("double"))
+          (size(col("ha")) + size(col("hb")) - col("c")).cast("double"))
       .select(col("i"), col("j"), col("jacc"))
   }
 
   /** MinHash-LSH near-duplicate pairs, exact-verified at `threshold`.
     * Equals brute-force all-pairs Jaccard >= threshold (up to the
-    * ~1e-13 LSH miss probability) at shuffle-bounded cost. */
+    * ~1e-11 LSH miss probability) at shuffle-bounded cost.
+    *
+    * Documents with IDENTICAL word sets first collapse to one
+    * representative (their pairwise Jaccard is exactly 1.0 and their
+    * LSH behavior is identical, so the dup-class rides the banded join
+    * once); verified representative pairs then expand back to member
+    * pairs, and within-class pairs emit directly at jacc = 1.0. On
+    * near-dup-heavy corpora this cuts the quadratic bucket emissions
+    * by the square of the collapse factor.
+    */
   def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, rows: Int = 6, bands: Int = 22): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("words"))
-    val cands = lshCandidates(df.select(col(idCol), wordSet(col(textCol)).as("__words")),
-      idCol, col("__words"), rows, bands)
-    verifyJaccard(cands, docs).filter(col("jacc") >= threshold)
+    val docs = df
+      .select(col(idCol).as("id"), wordHashes(wordSet(col(textCol))).as("h"))
+    val groups = docs.groupBy(array_sort(col("h")).as("h"))
+      .agg(min(col("id")).as("rep"), collect_list(col("id")).as("members"))
+    val reps = groups.select(col("rep").as("id"), col("h"))
+
+    val cands = lshCandidates(reps, "id", col("h"), rows, bands)
+    val repPairs = verifyJaccard(cands, reps).filter(col("jacc") >= threshold)
+
+    val membersOf = groups.select(col("rep"), explode(col("members")).as("m"))
+    val cross = repPairs
+      .join(membersOf.select(col("rep").as("i"), col("m").as("mi")), "i")
+      .join(membersOf.select(col("rep").as("j"), col("m").as("mj")), "j")
+      .select(least(col("mi"), col("mj")).as("i"),
+        greatest(col("mi"), col("mj")).as("j"), col("jacc"))
+    val within = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("mi"), col("members"))
+      .select(col("mi"), explode(col("members")).as("mj"))
+      .filter(col("mi") < col("mj"))
+      .select(col("mi").as("i"), col("mj").as("j"), lit(1.0).as("jacc"))
+    cross.unionAll(within)
   }
 
   /** 64-bit SimHash over the word set: bit k is set when the sum of
-    * sign contributions (words whose xxhash64 has bit k) is positive. */
+    * sign contributions (words whose xxhash64 has bit k) is positive.
+    * One fold over the words with a 64-slot bit-sum accumulator: each
+    * word is string-hashed exactly once, then costs 64 shift+mask
+    * ops (same per-iteration re-evaluation trap as minhash). */
   def simhash(words: Column): Column = {
-    val bitSums = transform(sequence(lit(0), lit(63)), k =>
-      aggregate(words, lit(0),
-        (acc, w) => acc + when(call_function("shiftright", xxhash64(w), k).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    val ks = sequence(lit(0), lit(63))
+    val bitSums = aggregate(wordHashes(words),
+      transform(ks, _ => lit(0)),
+      (acc, h) => zip_with(acc, ks,
+        (s, k) => s + when(call_function("shiftright", h, k).bitwiseAND(1) === 1, 1).otherwise(-1)))
     aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)),
+      zip_with(bitSums, ks,
         (s, k) => when(s > 0, call_function("shiftleft", lit(1L), k)).otherwise(0L)),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
@@ -126,22 +187,20 @@ object Dedup {
       .select(col("i"), col("j"), col("hamming"))
   }
 
-  /** Exact character-n-gram Jaccard over all pairs of a (small,
-    * pre-filtered) doc set — the non-LSH baseline. Pairs come from a
-    * shingle-bucket join (docs sharing no shingle never pair). */
+  /** Exact character-n-gram Jaccard over ALL pairs of a (small,
+    * pre-filtered) doc slice — the exact baseline for bounded slices;
+    * unbounded corpora use the minhash/simhash paths. Grams are
+    * hashed to longs once per doc; the pair space is a broadcast
+    * cross join (the slice fits in memory by contract). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
       array_distinct(transform(sequence(lit(1), length(col(textCol)) - (n - 1)),
-        i => col(textCol).substr(i, lit(n)))).as("grams"))
-    val exploded = docs.select(col("id"), explode(col("grams")).as("g"))
-    val pairs = exploded.as("a").join(exploded.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
-    val a = docs.select(col("id").as("i"), col("grams").as("ga"))
-    val b = docs.select(col("id").as("j"), col("grams").as("gb"))
-    pairs.join(a, "i").join(b, "j")
-      .withColumn("c", size(array_intersect(col("ga"), col("gb"))))
+        i => xxhash64(col(textCol).substr(i, lit(n))))).as("grams"))
+    val a = docs.select(col("id").as("i"), array_sort(col("grams")).as("ga"))
+    val b = docs.select(col("id").as("j"), array_sort(col("grams")).as("gb"))
+    a.join(broadcast(b), col("i") < col("j"))
+      .withColumn("c", ArrayOps.sortedIntersectCount(col("ga"), col("gb")))
       .withColumn("jacc", col("c").cast("double") /
         (size(col("ga")) + size(col("gb")) - col("c")).cast("double"))
       .filter(col("jacc") >= threshold)

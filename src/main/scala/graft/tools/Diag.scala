@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Diagnostic: stage-by-stage cardinalities/timings for the dedup
+  * path. Run: sbt "runMain graft.tools.Diag /root/testdata/sf0.1" */
+object Diag {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[diag] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), Dedup.wordHashes(Dedup.wordSet(col("text"))).as("h"))
+    docs.cache()
+    println(s"[diag] docs: ${docs.count()}")
+    println(s"[diag] distinct word sets: " +
+      docs.select(array_sort(col("h"))).distinct().count())
+
+    val sigs = timed("signatures") {
+      val s = docs.select(col("id"), Dedup.minhashSignature(col("h"), 132).as("sig"))
+      s.cache(); s.count(); s
+    }
+    val sig2 = sigs
+    val banded = sig2.select(col("id"),
+        explode(transform(sequence(lit(0), lit(21)),
+          b => struct(b.as("band"),
+            xxhash64(b, slice(col("sig"), b * 6 + 1, lit(6))).as("bucket")))).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val joined = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select((col("a.id") * lit(1L << 31) + col("b.id")).as("pk"))
+    timed("join emit count")(println("[diag] rows: " + joined.count()))
+    timed("join + repartition")(println("[diag] rows: " + joined.repartition(col("pk")).count()))
+    timed("join + repartition + agg")(println("[diag] pairs: " +
+      joined.repartition(col("pk")).groupBy(col("pk")).agg(count(lit(1)).as("nb"))
+        .filter(col("nb") >= 2).count()))
+    val cands = timed("lshCandidates (real path)") {
+      val c = Dedup.lshCandidates(docs.select(col("id"), col("h")), "id", col("h"))
+      c.cache(); println(s"[diag] candidate pairs: ${c.count()}"); c
+    }
+    timed("verify") {
+      println(s"[diag] pairs >= 0.95: " +
+        Dedup.verifyJaccard(cands, docs).filter(col("jacc") >= 0.95).count())
+    }
+    spark.stop()
+  }
+}
