@@ -167,21 +167,41 @@ object Dedup {
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 8): DataFrame = {
     val nBlocks = maxHamming + 1
-    val width = 64 / nBlocks + (if (64 % nBlocks > 0) 1 else 0)
+    // Uneven block boundaries covering exactly bits [0, 64): block b is
+    // [b*64/n, (b+1)*64/n). A naive fixed width of ceil(64/n) would
+    // shift the last block by >= 64 — a mod-64 no-op in the JVM that
+    // silently aliases block 0 and voids the pigeonhole guarantee.
+    val blocks = (0 until nBlocks).map { b =>
+      val start = b * 64 / nBlocks
+      val width = (b + 1) * 64 / nBlocks - start
+      (b, start, width)
+    }
     val sigs = df.select(col(idCol).as("id"),
       simhash(wordSet(col(textCol))).as("sig"))
     val blocked = sigs.select(col("id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(nBlocks - 1)), b => struct(
-          b.as("block"),
-          call_function("shiftright", col("sig"), b * width)
-            .bitwiseAND(shiftleft(lit(1L), width) - 1).as("value")))).as("bv"))
+        explode(array(blocks.map { case (b, start, width) => struct(
+          lit(b).as("block"),
+          call_function("shiftright", col("sig"), lit(start))
+            .bitwiseAND(shiftleft(lit(1L), width) - 1).as("value"))
+        }: _*)).as("bv"))
       .select(col("id"), col("sig"), col("bv.block"), col("bv.value"))
+    // Both signatures ride the join output, so pair-dedup needs no
+    // distinct(): keep a row only when NO EARLIER block also matches.
+    // The check is an UNROLLED boolean chain (higher-order `exists`
+    // is interpreted per row — fatal on tens of millions of rows);
+    // each term is two shift+mask compares, fully codegen'd.
+    val anyEarlierMatches = blocks.init.map { case (b, start, width) =>
+      val mask = (1L << width) - 1
+      col("block") > b &&
+        (call_function("shiftright", col("si"), lit(start)).bitwiseAND(lit(mask)) ===
+         call_function("shiftright", col("sj"), lit(start)).bitwiseAND(lit(mask)))
+    }.reduce(_ || _)
     blocked.as("a").join(blocked.as("b"),
         col("a.block") === col("b.block") && col("a.value") === col("b.value") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
-        col("a.sig").as("si"), col("b.sig").as("sj"))
-      .distinct()
+        col("a.sig").as("si"), col("b.sig").as("sj"), col("a.block").as("block"))
+      .filter(!anyEarlierMatches)
       .withColumn("hamming", bit_count(col("si").bitwiseXOR(col("sj"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("i"), col("j"), col("hamming"))
