@@ -55,4 +55,28 @@ object GeoJson {
     val node = mapper.readTree(json)
     node.get("features").elements().asScala.map(featureOf).toSeq
   }
+
+  // ---- serialization (round-trip back out of the engine) ----
+
+  def geometryJson(g: Geom): String = g match {
+    case GPoint(p) => s"""{"type":"Point","coordinates":[${p.x},${p.y}]}"""
+    case GPolygon(poly) =>
+      s"""{"type":"Polygon","coordinates":${polyCoords(poly)}}"""
+    case GMultiPolygon(polys) =>
+      s"""{"type":"MultiPolygon","coordinates":${polys.map(polyCoords).mkString("[", ",", "]")}}"""
+  }
+
+  private def polyCoords(p: Poly): String =
+    (Iterator(p.shell) ++ p.holes.iterator)
+      .map(r => r.pts.map(pt => s"[${pt.x},${pt.y}]").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
+  /** One GeoJSON Feature line (newline-delimited output format). */
+  def featureJson(id: Option[String], properties: Map[String, String], g: Geom): String = {
+    val props = properties.toSeq.sortBy(_._1).map { case (k, v) =>
+      mapper.writeValueAsString(k) + ":" + mapper.writeValueAsString(v)
+    }.mkString("{", ",", "}")
+    val idPart = id.map(i => s""""id":${mapper.writeValueAsString(i)},""").getOrElse("")
+    s"""{"type":"Feature",$idPart"properties":$props,"geometry":${geometryJson(g)}}"""
+  }
 }

@@ -36,6 +36,16 @@ object GeoJsonSource {
       .toDF()
   }
 
+  /** Write (id, properties, geometry WKT) back out as newline-
+    * delimited GeoJSON features — the splittable round-trip format
+    * (each partition writes its own file; no driver collect). */
+  def writeFeatureLines(df: DataFrame, path: String): Unit = {
+    val line = udf((id: String, props: Map[String, String], wkt: String) =>
+      GeoJson.featureJson(Option(id), Option(props).getOrElse(Map.empty), Wkt.read(wkt)))
+    df.select(line(col("id"), col("properties"), col("geometry")).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
   def readFeatureLines(spark: SparkSession, path: String): DataFrame = {
     val enc = Encoders.product[FeatRow]
     spark.read.text(path).select(col("value")).as(Encoders.STRING)

@@ -3,8 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Borders, Dorling, NonContiguous}
-import graft.sources.GeoJsonSource
+import graft.Cartogram
+import graft.sources.{CsvAttrs, GeoJsonSource}
 
 /** End-to-end demo of the cartogram pipeline on the reference's test
   * fixture (the pycart quickstart, Spark-native):
@@ -22,31 +22,30 @@ object Demo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Load the reference fixture: 4 rectangles + populations
+    // The pycart user journey, Spark-native: GeoJSON + population CSV
+    // -> merged frame -> Cartogram facade
     // (reference data/Test/square_test.geojson + squares_pop.csv).
     val geo = GeoJsonSource.readFeatureCollection(
-      spark, "/root/reference/data/Test/square_test.geojson")
-    val pop = spark.read.option("header", "true")
-      .csv("/root/reference/data/Test/squares_pop.csv")
-      .select(col("name"), col("Population").cast("double").as("population"))
-
-    val squares = geo
+        spark, "/root/reference/data/Test/square_test.geojson")
       .select(col("properties")("name").as("name"), col("geometry"))
-      .join(pop, "name")
+    val pop = CsvAttrs.read(spark, "/root/reference/data/Test/squares_pop.csv")
+      .select(col("name"), CsvAttrs.cleanLong(col("Population")).as("population"))
+    val squares = CsvAttrs.mergeAttrs(geo, "name", pop, "name")
 
     println("=== input ===")
     squares.orderBy("name").show(truncate = false)
 
+    val cart = Cartogram(squares, valueField = "population", idField = "name")
+
     println("=== Queen borders (focal, neighbor, shared-border weight) ===")
-    Borders.compute(squares, "name", "geometry")
-      .orderBy("focal_id", "neighbor_id").show(20, truncate = false)
+    cart.borders().orderBy("focal_id", "neighbor_id").show(20, truncate = false)
 
     println("=== non-contiguous cartogram ===")
-    NonContiguous.run(squares, "name", "population", "geometry")
-      .select("id", "value", "scale").orderBy("id").show(truncate = false)
+    cart.nonContiguous().select("id", "value", "scale")
+      .orderBy("id").show(truncate = false)
 
     println("=== Dorling cartogram (20 iterations) ===")
-    Dorling.run(squares, "name", "population", "geometry", iterations = 20)
+    cart.dorling(iterations = 20)
       .select("id", "value", "radius", "x", "y").orderBy("id")
       .show(truncate = false)
 
