@@ -115,6 +115,56 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rank"), col("cos"))
   }
 
+  /** IVF-style ANN top-k: a deterministic pivot sample plays the role
+    * of k-means centroids (hash-selected corpus vectors — no training
+    * pass, reproducible); every corpus vector is assigned to its
+    * nearest pivot ("inverted list"), queries probe the `nprobe`
+    * nearest pivots and score only those lists exactly.
+    *
+    * Scale shape: pivots are a broadcast-sized sample; assignment is
+    * one map-side pass; the probe join shuffles on pivot id only. The
+    * recall/cost dial is (nlist, nprobe) — classic IVF semantics
+    * without a clustering dependency.
+    * @param queries (qid, vec) ; @param corpus (cid, vec)
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // deterministic pivot sample: the nlist smallest xxhash64(cid)
+    val pivots = corpus
+      .withColumn("hk", xxhash64(col("cid")))
+      .orderBy(col("hk")).limit(nlist)
+      .select(col("cid").as("pivot_id"), col("vec").as("pvec"),
+        norm2Seq(col("vec")).as("pn2"))
+
+    def nearestPivots(side: DataFrame, vecCol: String, n2Col: String, n: Int,
+                      outCol: String): DataFrame = {
+      val w = Window.partitionBy(col("__rid")).orderBy(col("pcos").desc, col("pivot_id"))
+      side.crossJoin(broadcast(pivots))
+        .withColumn("pcos", cosine(dotSeq(col(vecCol), col("pvec")), col(n2Col), col("pn2")))
+        .withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") <= n)
+        .withColumn(outCol, col("pivot_id"))
+        .drop("pvec", "pn2", "pcos", "__rank", "pivot_id")
+    }
+
+    val c = nearestPivots(
+      corpus.select(col("cid").as("__rid"), col("vec").as("cvec"),
+        norm2Seq(col("vec")).as("cn2")), "cvec", "cn2", 1, "list_id")
+      .select(col("__rid").as("cid"), col("cvec"), col("cn2"), col("list_id"))
+    val q = nearestPivots(
+      queries.select(col("qid").as("__rid"), col("vec").as("qvec"),
+        norm2Seq(col("vec")).as("qn2")), "qvec", "qn2", nprobe, "list_id")
+      .select(col("__rid").as("qid"), col("qvec"), col("qn2"), col("list_id"))
+
+    val scored = q.join(c, "list_id")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(dotSeq(col("qvec"), col("cvec")), col("qn2"), col("cn2")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within same-`blockCol`
     * blocks (semantic blocking keeps the pair space linear-ish; the
     * all-pairs fallback is q40's brute-force path).

@@ -21,6 +21,7 @@ object Pipeline {
     "q34_embed_neardup" -> q34,
     "q40_cosine_topk" -> q40,
     "q41_ann_lsh" -> q41,
+    "q42_ann_ivf" -> q42,
     "q50_token_stats" -> q50,
     "q51_quality_score" -> q51,
     "q52_langid" -> q52,
@@ -84,6 +85,18 @@ object Pipeline {
   def q41(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     Similarity.annTopK(
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** IVF-bucketed ANN top-5 (pivot lists, nprobe=4), same query set
+    * (approximate => rows-only oracle; PipelineSpec measures recall). */
+  def q42(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(
         e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),

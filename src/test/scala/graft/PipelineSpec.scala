@@ -66,6 +66,30 @@ class PipelineSpec extends SparkSuite {
       }
   }
 
+  test("IVF ANN recall vs brute force >= 0.5 with exact cosines") {
+    val q = embs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+    val c = embs.select(col("vec_id").as("cid"), col("embedding").as("vec"))
+    val exact = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, c, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("country code normalization (reference clean_country step)") {
+    val d = Seq("FRA", "gbr", " DEU ", "XXX", "USA").toDF("iso3")
+    val out = d.select(graft.sources.CountryCodes.alpha3To2(col("iso3"))).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(out.toSeq === Seq("FR", "GB", "DE", null, "US"))
+    // round trip
+    val back = Seq("FR", "GB").toDF("iso2")
+      .select(graft.sources.CountryCodes.alpha2To3Col(col("iso2"))).collect()
+      .map(_.getString(0))
+    assert(back.toSeq === Seq("FRA", "GBR"))
+  }
+
   test("language profiles fire on real sentences") {
     val d = Seq(
       (1L, "the cat is on the mat and it is happy"),
