@@ -35,21 +35,6 @@ object Diag {
       val s = docs.select(col("id"), Dedup.minhashSignature(col("h"), 132).as("sig"))
       s.cache(); s.count(); s
     }
-    val sig2 = sigs
-    val banded = sig2.select(col("id"),
-        explode(transform(sequence(lit(0), lit(21)),
-          b => struct(b.as("band"),
-            xxhash64(b, slice(col("sig"), b * 6 + 1, lit(6))).as("bucket")))).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val joined = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select((col("a.id") * lit(1L << 31) + col("b.id")).as("pk"))
-    timed("join emit count")(println("[diag] rows: " + joined.count()))
-    timed("join + repartition")(println("[diag] rows: " + joined.repartition(col("pk")).count()))
-    timed("join + repartition + agg")(println("[diag] pairs: " +
-      joined.repartition(col("pk")).groupBy(col("pk")).agg(count(lit(1)).as("nb"))
-        .filter(col("nb") >= 2).count()))
     val cands = timed("lshCandidates (real path)") {
       val c = Dedup.lshCandidates(docs.select(col("id"), col("h")), "id", col("h"))
       c.cache(); println(s"[diag] candidate pairs: ${c.count()}"); c

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Borders, Dorling}
+
+/** Cartogram operators at a few hundred regions (the driver fixtures
+  * have 4): a 20x20 full tessellation has a closed-form Queen
+  * adjacency structure, so border counts/weights verify exactly, and
+  * the Dorling loop must stay finite and converging. */
+class BordersScaleSpec extends SparkSuite {
+
+  val n = 20
+  lazy val grid = {
+    import spark.implicits._
+    (0 until n * n).map { k =>
+      val gx = k % n; val gy = k / n
+      val (x0, y0, x1, y1) = (gx * 4, gy * 4, gx * 4 + 4, gy * 4 + 4)
+      (k.toLong,
+        s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))",
+        1.0 + (k % 7))
+    }.toDF("id", "geometry", "value")
+  }
+
+  test("Queen borders on a 20x20 tessellation match the closed form") {
+    val b = Borders.compute(grid, "id", "geometry").collect()
+    // directed neighbor count: interior 8, edge 5, corner 3
+    val expected = 8 * (n - 2) * (n - 2) + 5 * 4 * (n - 2) + 3 * 4
+    assert(b.length === expected)
+    // edge-adjacent pairs weigh the full side (4.0), diagonal pairs 0
+    b.foreach { r =>
+      val i = r.getAs[Long]("focal_id"); val j = r.getAs[Long]("neighbor_id")
+      val (xi, yi) = (i % n, i / n); val (xj, yj) = (j % n, j / n)
+      val manhattan = math.abs(xi - xj) + math.abs(yi - yj)
+      val w = r.getAs[Double]("weight")
+      if (manhattan == 1) assert(w === 4.0, s"pair $i-$j") else assert(w === 0.0, s"pair $i-$j")
+    }
+  }
+
+  test("Dorling stays finite and reduces overlap on 400 regions") {
+    val t0 = System.nanoTime()
+    val out = Dorling.run(grid, "id", "value", "geometry", iterations = 10).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.length === n * n)
+    out.foreach { r =>
+      assert(!r.getAs[Double]("x").isNaN && !r.getAs[Double]("y").isNaN)
+      assert(r.getAs[Double]("radius") > 0)
+    }
+    info(f"10 Dorling iterations over ${n * n} regions: $secs%.1f s")
+    assert(secs < 120.0, s"Dorling too slow: $secs s")
+  }
+}
