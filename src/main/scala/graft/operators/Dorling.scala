@@ -165,7 +165,10 @@ object Dorling {
           iterations: Int = 100, ratio: Double = 0.4, friction: Double = 0.5,
           quadsegs: Int = 16): DataFrame = {
     val (regions0, _) = radii(df, idCol, valueCol, geomCol)
-    val borders = Borders.compute(df, idCol, geomCol)
+    // Materialize borders ONCE — its lineage holds the geometry
+    // spatial join, which would otherwise re-execute inside every
+    // iteration's step join.
+    val borders = Borders.compute(df, idCol, geomCol).localCheckpoint()
     val widest = regions0.agg(max(col("radius"))).collect()(0).getDouble(0)
 
     var pos = regions0.select("id", "value", "x", "y", "perimeter", "radius")
