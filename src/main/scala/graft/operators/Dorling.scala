@@ -157,6 +157,78 @@ object Dorling {
       .select("id", "value", "x", "y", "perimeter", "radius")
   }
 
+  /** Reference-exact sequential Dorling (Gauss-Seidel: each region
+    * moves immediately, later regions in the SAME iteration see the
+    * move — reference cartogram.py:352-402 verbatim, including the
+    * attract-overlap rescale quirk for border pairs). Driver-side on
+    * collected rows: the parity/debug path for small input, NOT the
+    * scale path (that's [[run]]).
+    * @return id, value, radius, x, y (final circle centers)
+    */
+  def runSequential(df: DataFrame, idCol: String, valueCol: String, geomCol: String,
+                    iterations: Int = 100, ratio: Double = 0.4,
+                    friction: Double = 0.5): Seq[(String, Double, Double, Double, Double)] = {
+    val (regionsDf, _) = radii(df, idCol, valueCol, geomCol)
+    val borders = Borders.compute(df, idCol, geomCol)
+      .collect().map(r => (r.get(0).toString, r.get(1).toString) -> r.getDouble(2)).toMap
+    val rows = regionsDf.orderBy(col("id")).collect()
+    val ids = rows.map(_.get(0).toString)
+    val value = rows.map(_.getAs[Double]("value"))
+    val per = rows.map(_.getAs[Double]("perimeter"))
+    val radius = rows.map(_.getAs[Double]("radius"))
+    val x = rows.map(_.getAs[Double]("x")).clone()
+    val y = rows.map(_.getAs[Double]("y")).clone()
+    val n = ids.length
+    val widest = radius.max
+
+    for (_ <- 0 until iterations; idx <- 0 until n) {
+      var xrepel = 0.0; var yrepel = 0.0; var xattract = 0.0; var yattract = 0.0
+      var closest = widest
+      // neighbours: 0 < dist < widest + r_focal (cartogram.py:357)
+      val nbs = (0 until n).filter { j =>
+        if (j == idx) false else {
+          val d = math.sqrt((x(j) - x(idx)) * (x(j) - x(idx)) + (y(j) - y(idx)) * (y(j) - y(idx)))
+          d > 0 && d < widest + radius(idx)
+        }
+      }
+      nbs.foreach { j =>
+        val dist = math.sqrt((x(j) - x(idx)) * (x(j) - x(idx)) + (y(j) - y(idx)) * (y(j) - y(idx)))
+        if (dist < closest) closest = dist
+        val overlap = radius(j) + radius(idx) - dist
+        val dx = x(j) - x(idx); val dy = y(j) - y(idx)
+        if (overlap > 0.0) {                       // _repel (cartogram.py:35)
+          xrepel -= overlap * dx / dist
+          yrepel -= overlap * dy / dist
+        } else {                                   // _attract (cartogram.py:80)
+          val ov = borders.get((ids(idx), ids(j)))
+            .map(w => math.abs(overlap) * w / per(idx)).getOrElse(overlap)
+          xattract += ov * dx / dist
+          yattract += ov * dy / dist
+        }
+      }
+      val attractDist = math.sqrt(xattract * xattract + yattract * yattract)
+      var repelDist = math.sqrt(xrepel * xrepel + yrepel * yrepel)
+      if (repelDist > closest) {                   // cartogram.py:381
+        xrepel = closest * xrepel / (repelDist + 1.0)
+        yrepel = closest * yrepel / (repelDist + 1.0)
+        repelDist = closest
+      }
+      val (xt, yt) =
+        if (repelDist > 0) (
+          (1.0 - ratio) * xrepel + ratio * (repelDist * xattract / (attractDist + 1.0)),
+          (1.0 - ratio) * yrepel + ratio * (repelDist * yattract / (attractDist + 1.0)))
+        else {
+          if (attractDist > closest) (
+            closest * xattract / (attractDist + 1.0),
+            closest * yattract / (attractDist + 1.0))
+          else (xattract, yattract)
+        }
+      x(idx) += friction * xt                      // cartogram.py:397-400
+      y(idx) += friction * yt
+    }
+    (0 until n).map(i => (ids(i), value(i), radius(i), x(i), y(i)))
+  }
+
   /** Full Dorling run.
     * @param df (idCol, valueCol, geomCol WKT)
     * @return id, value, radius, x, y, geometry (circle WKT)

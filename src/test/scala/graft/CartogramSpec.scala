@@ -92,6 +92,22 @@ class CartogramSpec extends SparkSuite {
     }
   }
 
+  test("sequential (reference-exact Gauss-Seidel) vs Jacobi: same radii, close positions") {
+    val seq = Dorling.runSequential(squares, "name", "population", "geometry",
+      iterations = 20)
+    val jac = Dorling.run(squares, "name", "population", "geometry", iterations = 20)
+      .collect().map(r => r.getAs[String]("id") ->
+        (r.getAs[Double]("radius"), r.getAs[Double]("x"), r.getAs[Double]("y"))).toMap
+    seq.foreach { case (id, _, radius, sx, sy) =>
+      val (jr, jx, jy) = jac(id)
+      assert(math.abs(radius - jr) < 1e-12, s"radius($id)")       // identical model
+      // Gauss-Seidel and Jacobi converge to nearby configurations;
+      // positions should agree to within a fraction of a radius
+      val d = math.sqrt((sx - jx) * (sx - jx) + (sy - jy) * (sy - jy))
+      assert(d < radius, s"position($id) diverged: $d vs radius $radius")
+    }
+  }
+
   test("Dorling run: circles separate overlapping regions and stay finite") {
     val out = Dorling.run(squares, "name", "population", "geometry",
       iterations = 20).collect()
