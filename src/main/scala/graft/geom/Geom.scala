@@ -26,13 +26,19 @@ final case class Pt(x: Double, y: Double) {
 final case class Ring(pts: IndexedSeq[Pt]) {
   require(pts.length >= 4, s"ring needs >=4 points, got ${pts.length}")
 
-  /** Signed shoelace area (positive = CCW). */
+  /** Signed shoelace area (positive = CCW), computed in a local frame
+    * anchored at the first vertex: for coordinates far from the origin
+    * the naive cross products cancel catastrophically; subtracting the
+    * anchor is exact for integer-valued coordinates (oracle parity)
+    * and keeps relative error tied to the ring's own extent. */
   def signedArea: Double = {
+    val ox = pts(0).x; val oy = pts(0).y
     var acc = 0.0
     var i = 0
     while (i < pts.length - 1) {
-      val a = pts(i); val b = pts(i + 1)
-      acc += a.x * b.y - b.x * a.y
+      val ax = pts(i).x - ox; val ay = pts(i).y - oy
+      val bx = pts(i + 1).x - ox; val by = pts(i + 1).y - oy
+      acc += ax * by - bx * ay
       i += 1
     }
     acc / 2.0
@@ -45,18 +51,24 @@ final case class Ring(pts: IndexedSeq[Pt]) {
     acc
   }
 
-  /** Shoelace centroid numerators (divide by 6*signedArea). */
-  def centroidNumerators: (Double, Double) = {
-    var cx = 0.0; var cy = 0.0
+  /** (centroid, signedArea) via local-frame shoelace (see signedArea
+    * for why the anchor subtraction matters numerically). */
+  def areaCentroid: (Pt, Double) = {
+    val ox = pts(0).x; val oy = pts(0).y
+    var cx = 0.0; var cy = 0.0; var acc = 0.0
     var i = 0
     while (i < pts.length - 1) {
-      val a = pts(i); val b = pts(i + 1)
-      val cross = a.x * b.y - b.x * a.y
-      cx += (a.x + b.x) * cross
-      cy += (a.y + b.y) * cross
+      val ax = pts(i).x - ox; val ay = pts(i).y - oy
+      val bx = pts(i + 1).x - ox; val by = pts(i + 1).y - oy
+      val cross = ax * by - bx * ay
+      acc += cross
+      cx += (ax + bx) * cross
+      cy += (ay + by) * cross
       i += 1
     }
-    (cx, cy)
+    val a = acc / 2.0
+    if (a == 0.0) (Pt(ox, oy), 0.0)
+    else (Pt(ox + cx / (6.0 * a), oy + cy / (6.0 * a)), a)
   }
 
   def map(f: Pt => Pt): Ring = Ring(pts.map(f))
@@ -111,27 +123,25 @@ object Ops {
       acc
   }
 
-  /** Area-weighted centroid (shapely .centroid for polygons). */
+  /** Area-weighted centroid (shapely .centroid for polygons):
+    * per-ring local-frame centroids combined by |area| weight, holes
+    * subtracting. */
   def centroid(g: Geom): Pt = g match {
     case GPoint(p) => p
+    case GPolygon(p) if p.holes.isEmpty => p.shell.areaCentroid._1
     case other =>
-      // Sum shoelace numerators over all rings using signed areas
-      // (holes carry opposite orientation => subtract naturally if
-      // encoded CW; we normalize by treating holes as negative).
-      var nx = 0.0; var ny = 0.0; var aTot = 0.0
+      var wx = 0.0; var wy = 0.0; var aTot = 0.0
       polysOf(other).foreach { p =>
-        val sa = p.shell.signedArea
-        val sgnShell = if (sa >= 0) 1.0 else -1.0
-        val (cx, cy) = p.shell.centroidNumerators
-        nx += sgnShell * cx; ny += sgnShell * cy; aTot += math.abs(sa)
+        val (c, sa) = p.shell.areaCentroid
+        val w = math.abs(sa)
+        wx += w * c.x; wy += w * c.y; aTot += w
         p.holes.foreach { h =>
-          val ha = h.signedArea
-          val sgn = if (ha >= 0) -1.0 else 1.0
-          val (hx, hy) = h.centroidNumerators
-          nx += sgn * hx; ny += sgn * hy; aTot -= math.abs(ha)
+          val (hc, ha) = h.areaCentroid
+          val hw = math.abs(ha)
+          wx -= hw * hc.x; wy -= hw * hc.y; aTot -= hw
         }
       }
-      Pt(nx / (6.0 * aTot), ny / (6.0 * aTot))
+      Pt(wx / aTot, wy / aTot)
   }
 
   /** (minx, miny, maxx, maxy) */
