@@ -18,6 +18,8 @@ object Events {
     "q60_tumbling_agg" -> q60,
     "q61_sessionize" -> q61,
     "q62_user_funnel" -> q62,
+    "q63_json_props" -> q63,
+    "q64_approx_stats" -> q64,
     "q70_binary_meta" -> q70
   )
 
@@ -58,6 +60,28 @@ object Events {
       c.agg(count(lit(1)).as("n_click_users"))).crossJoin(
       p.agg(count(lit(1)).as("n_purchase_users")))
   }
+
+  /** Semi-structured JSON column handling: extract typed fields from
+    * the props payload (schema-on-read, no UDF). */
+  def q63(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), count(col("k")).as("n_with_k"))
+      .orderBy(col("event_type"))
+
+  /** Sketch aggregates: HyperLogLog distinct counts + quantile sketch.
+    * Sketch internals are engine-specific => rows-only oracle;
+    * EventsSpec pins accuracy against exact values. */
+  def q64(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
 
   /** Multimodal plumbing: documents' text bytes stand in for media
     * payloads; the batched partition-wise stub decoder emits metadata
@@ -111,6 +135,15 @@ object Events {
         |  (SELECT count(*) FROM v) AS n_view_users,
         |  (SELECT count(*) FROM c) AS n_click_users,
         |  (SELECT count(*) FROM p) AS n_purchase_users""".stripMargin,
+    "q63_json_props" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q70_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
