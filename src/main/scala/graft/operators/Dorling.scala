@@ -112,10 +112,16 @@ object Dorling {
           .otherwise(col("overlap")))
       .groupBy(col("f_id"))
       .agg(
-        sum(when(col("overlap") > 0, -col("overlap") * col("dx") / col("dist")).otherwise(0.0)).as("xrepel"),
-        sum(when(col("overlap") > 0, -col("overlap") * col("dy") / col("dist")).otherwise(0.0)).as("yrepel"),
-        sum(when(col("overlap") <= 0, col("a_overlap") * col("dx") / col("dist")).otherwise(0.0)).as("xattract"),
-        sum(when(col("overlap") <= 0, col("a_overlap") * col("dy") / col("dist")).otherwise(0.0)).as("yattract"),
+        // exact decimal sums: per-focal force totals are identical at
+        // any parallelism (and SQL-oracle-checkable — q24)
+        sum(when(col("overlap") > 0, -col("overlap") * col("dx") / col("dist")).otherwise(0.0)
+          .cast(DecimalType(30, 12))).cast("double").as("xrepel"),
+        sum(when(col("overlap") > 0, -col("overlap") * col("dy") / col("dist")).otherwise(0.0)
+          .cast(DecimalType(30, 12))).cast("double").as("yrepel"),
+        sum(when(col("overlap") <= 0, col("a_overlap") * col("dx") / col("dist")).otherwise(0.0)
+          .cast(DecimalType(30, 12))).cast("double").as("xattract"),
+        sum(when(col("overlap") <= 0, col("a_overlap") * col("dy") / col("dist")).otherwise(0.0)
+          .cast(DecimalType(30, 12))).cast("double").as("yattract"),
         min(col("dist")).as("min_dist"))
 
     val joined = pos.join(contribs, pos("id") === contribs("f_id"), "left")

@@ -122,9 +122,11 @@ object Geo {
       .orderBy(col("n_nationkey"))
   }
 
-  /** One Jacobi step of the Dorling force model (rows-only check;
-    * exact per-step parity vs the reference's Gauss-Seidel loop is
-    * not defined — see Dorling scaladoc; DorlingSpec covers behavior). */
+  /** One Jacobi step of the Dorling force model, SQL-oracle-verified:
+    * the per-focal force sums are exact decimal aggregations (order-
+    * independent), so the oracle can restate the entire force model —
+    * candidate radius search, border-weighted attraction, repulsion
+    * caps, ratio/friction blend — in closed form over the grid. */
   def q24(spark: SparkSession, dir: String): DataFrame = {
     val df = valued(spark, dir, tessellate = true)
     val (regions, _) = Dorling.radii(df, "n_nationkey", "value", "wkt")
@@ -171,6 +173,92 @@ object Geo {
          |  ON a.n_nationkey <> b.n_nationkey
          | AND abs(a.x0 - b.x0) <= 4 AND abs(a.y0 - b.y0) <= 4
          |ORDER BY focal, neighbor""".stripMargin,
+    "q24_dorling_step" ->
+      s"""WITH ${sqlSquares(tessellate = true)},
+         |$sqlValued,
+         |cent AS (
+         |  SELECT n_nationkey, CAST(value AS DOUBLE) AS value,
+         |    x0 + 2.0 AS cx, y0 + 2.0 AS cy, x0, y0
+         |  FROM vals),
+         |bpairs AS (
+         |  SELECT a.n_nationkey AS f, b.n_nationkey AS n,
+         |    CASE WHEN abs(a.x0 - b.x0) + abs(a.y0 - b.y0) = 4 THEN 4.0 ELSE 0.0 END AS weight
+         |  FROM cent a JOIN cent b
+         |    ON a.n_nationkey <> b.n_nationkey
+         |   AND abs(a.x0 - b.x0) <= 4 AND abs(a.y0 - b.y0) <= 4),
+         |kpairs AS (
+         |  SELECT a.value AS fv, b.value AS nv,
+         |    sqrt((b.cx - a.cx) * (b.cx - a.cx) + (b.cy - a.cy) * (b.cy - a.cy)) AS dist
+         |  FROM cent a JOIN bpairs p ON a.n_nationkey = p.f
+         |  JOIN cent b ON b.n_nationkey = p.n),
+         |k AS (
+         |  SELECT CAST(sum(CAST(dist AS DECIMAL(30,10))) AS DOUBLE) /
+         |         CAST(sum(CAST(sqrt(fv / pi()) + sqrt(nv / pi()) AS DECIMAL(30,10))) AS DOUBLE) AS k
+         |  FROM kpairs),
+         |rad AS (
+         |  SELECT n_nationkey, value, cx, cy, x0, y0,
+         |    sqrt(value / pi()) * k AS radius
+         |  FROM cent, k),
+         |w AS (SELECT max(radius) AS widest FROM rad),
+         |cand AS (
+         |  SELECT f.n_nationkey AS f_id, n.n_nationkey AS n_id,
+         |    f.cx AS fx, f.cy AS fy, n.cx AS nx, n.cy AS ny,
+         |    f.radius AS f_radius, n.radius AS n_radius,
+         |    sqrt((n.cx - f.cx) * (n.cx - f.cx) + (n.cy - f.cy) * (n.cy - f.cy)) AS dist
+         |  FROM rad f CROSS JOIN w JOIN rad n
+         |    ON f.n_nationkey <> n.n_nationkey
+         |  WHERE sqrt((n.cx - f.cx) * (n.cx - f.cx) + (n.cy - f.cy) * (n.cy - f.cy)) > 0
+         |    AND sqrt((n.cx - f.cx) * (n.cx - f.cx) + (n.cy - f.cy) * (n.cy - f.cy)) < w.widest + f.radius),
+         |contrib AS (
+         |  SELECT c.*,
+         |    (c.n_radius + c.f_radius - c.dist) AS overlap,
+         |    (c.nx - c.fx) AS dx, (c.ny - c.fy) AS dy,
+         |    CASE WHEN p.weight IS NOT NULL
+         |      THEN abs(c.n_radius + c.f_radius - c.dist) * p.weight / CAST(16 AS DOUBLE)
+         |      ELSE (c.n_radius + c.f_radius - c.dist) END AS a_overlap
+         |  FROM cand c LEFT JOIN bpairs p ON c.f_id = p.f AND c.n_id = p.n),
+         |forces AS (
+         |  SELECT f_id,
+         |    CAST(sum(CAST(CASE WHEN overlap > 0 THEN -overlap * dx / dist ELSE 0.0 END AS DECIMAL(30,12))) AS DOUBLE) AS xrepel,
+         |    CAST(sum(CAST(CASE WHEN overlap > 0 THEN -overlap * dy / dist ELSE 0.0 END AS DECIMAL(30,12))) AS DOUBLE) AS yrepel,
+         |    CAST(sum(CAST(CASE WHEN overlap <= 0 THEN a_overlap * dx / dist ELSE 0.0 END AS DECIMAL(30,12))) AS DOUBLE) AS xattract,
+         |    CAST(sum(CAST(CASE WHEN overlap <= 0 THEN a_overlap * dy / dist ELSE 0.0 END AS DECIMAL(30,12))) AS DOUBLE) AS yattract,
+         |    min(dist) AS min_dist
+         |  FROM contrib GROUP BY f_id),
+         |joined AS (
+         |  SELECT r.n_nationkey, r.cx, r.cy, r.radius,
+         |    coalesce(f.xrepel, 0.0) AS xrepel, coalesce(f.yrepel, 0.0) AS yrepel,
+         |    coalesce(f.xattract, 0.0) AS xattract, coalesce(f.yattract, 0.0) AS yattract,
+         |    least(w.widest, coalesce(f.min_dist, w.widest)) AS closest
+         |  FROM rad r CROSS JOIN w LEFT JOIN forces f ON r.n_nationkey = f.f_id),
+         |blend AS (
+         |  SELECT *,
+         |    sqrt(xattract * xattract + yattract * yattract) AS attract_dist,
+         |    sqrt(xrepel * xrepel + yrepel * yrepel) AS repel_dist0
+         |  FROM joined),
+         |scaled AS (
+         |  SELECT *,
+         |    CASE WHEN repel_dist0 > closest THEN closest * xrepel / (repel_dist0 + 1.0) ELSE xrepel END AS xrepel_s,
+         |    CASE WHEN repel_dist0 > closest THEN closest * yrepel / (repel_dist0 + 1.0) ELSE yrepel END AS yrepel_s,
+         |    least(repel_dist0, closest) AS repel_dist
+         |  FROM blend),
+         |scaled2 AS (
+         |  SELECT *,
+         |    CASE WHEN repel_dist <= 0 AND attract_dist > closest THEN closest * xattract / (attract_dist + 1.0) ELSE xattract END AS xattract_s,
+         |    CASE WHEN repel_dist <= 0 AND attract_dist > closest THEN closest * yattract / (attract_dist + 1.0) ELSE yattract END AS yattract_s
+         |  FROM scaled),
+         |total AS (
+         |  SELECT *,
+         |    CASE WHEN repel_dist > 0
+         |      THEN (1.0 - 0.4) * xrepel_s + 0.4 * (repel_dist * xattract / (attract_dist + 1.0))
+         |      ELSE xattract_s END AS xtotal,
+         |    CASE WHEN repel_dist > 0
+         |      THEN (1.0 - 0.4) * yrepel_s + 0.4 * (repel_dist * yattract / (attract_dist + 1.0))
+         |      ELSE yattract_s END AS ytotal
+         |  FROM scaled2)
+         |SELECT n_nationkey, cx + 0.5 * xtotal AS x, cy + 0.5 * ytotal AS y, radius
+         |FROM total
+         |ORDER BY n_nationkey""".stripMargin,
     "q23_dorling_radii" ->
       s"""WITH ${sqlSquares(tessellate = true)},
          |$sqlValued,
