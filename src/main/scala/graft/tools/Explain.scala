@@ -16,22 +16,27 @@ object Explain {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE off: codegen markers and final plan shape are visible
+      // pre-execution only in the non-adaptive explain
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     names.foreach { name =>
       println(s"\n########## $name ##########")
-      val plan = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
+      val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+      val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
       println(plan)
+      // codegen markers (*(N)) only show in simple mode
+      val simple = qe.explainString(org.apache.spark.sql.execution.SimpleMode)
+      val codegenStages = "\\*\\((\\d+)\\)".r
+        .findAllMatchIn(simple).map(_.group(1).toInt).toSet.size
       def count(tag: String) = plan.split("\n").count(_.contains(tag))
       println(s"[audit] $name: PushedFilters-lines=${count("PushedFilters: [")}" +
         s" broadcasts=${count("BroadcastExchange")}" +
         s" exchanges=${count("Exchange")}" +
-        s" codegen-stages=${count("WholeStageCodegen")}")
+        s" codegen-stages=$codegenStages")
     }
     spark.stop()
   }

@@ -1,0 +1,28 @@
+package graft
+
+import graft.functions.GeoFunctions
+
+/** The SQL-registered surface of the geometry functions. */
+class GeoSqlSpec extends SparkSuite {
+
+  test("st_* functions are callable from SQL after register()") {
+    GeoFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  st_area('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS a,
+        |  st_perimeter('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS p,
+        |  st_centroid_x('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS cx,
+        |  st_distance('POINT (0 0)', 'POINT (3 4)') AS d,
+        |  st_touches('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))',
+        |             'POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))') AS t,
+        |  st_shared_border('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))',
+        |                   'POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))') AS sb
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Double]("a") === 16.0)
+    assert(row.getAs[Double]("p") === 16.0)
+    assert(row.getAs[Double]("cx") === 2.0)
+    assert(row.getAs[Double]("d") === 5.0)
+    assert(row.getAs[Boolean]("t"))
+    assert(row.getAs[Double]("sb") === 1.0)
+  }
+}
