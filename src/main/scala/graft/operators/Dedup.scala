@@ -207,6 +207,57 @@ object Dedup {
       .select(col("i"), col("j"), col("hamming"))
   }
 
+  /** Connected components over a similarity-pair edge list: iterative
+    * min-label propagation (each node adopts the smallest label in its
+    * neighborhood until fixpoint) — the standard Spark-native CC shape
+    * (cf. GraphX/connected-components literature: large-star/small-star
+    * converges in O(log n) rounds on real graphs; near-dup graphs are
+    * dense cliques, which converge in 1-2 rounds).
+    *
+    * @param pairs (i, j) undirected edges
+    * @return (id, component) — component = min id reachable
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i"), col("j"))
+      .unionAll(pairs.select(col("j").as("i"), col("i").as("j")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("i").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // each node's new label: min(own, min over neighbors' labels)
+      val nbMin = edges
+        .join(labels.withColumnRenamed("id", "j"), "j")
+        .groupBy(col("i").as("id")).agg(min(col("component")).as("nb_component"))
+      val updated = labels.join(nbMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nb_component"), col("component")))
+            .as("component"),
+          (col("nb_component") < col("component")).as("moved"))
+        .localCheckpoint()
+      changed = updated.filter(col("moved")).count()
+      labels = updated.select("id", "component").localCheckpoint()
+      it += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup dedup: MinHash-LSH pairs -> connected
+    * components -> keep the min-id representative per cluster.
+    * @return id, component, keep (true for the cluster representative;
+    *         singletons — docs with no near-dup — are all keepers)
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  threshold: Double): DataFrame = {
+    val pairs = minhashDuplicates(df, idCol, textCol, threshold)
+    val comps = connectedComponents(pairs.select(col("i"), col("j")))
+    df.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+      .withColumn("keep", col("id") === col("component"))
+  }
+
   /** Exact character-n-gram Jaccard over ALL pairs of a (small,
     * pre-filtered) doc slice — the exact baseline for bounded slices;
     * unbounded corpora use the minhash/simhash paths. Grams are

@@ -19,6 +19,7 @@ object Pipeline {
     "q32_simhash" -> q32,
     "q33_ngram_jaccard" -> q33,
     "q34_embed_neardup" -> q34,
+    "q35_dedup_clusters" -> q35,
     "q40_cosine_topk" -> q40,
     "q41_ann_lsh" -> q41,
     "q42_ann_ivf" -> q42,
@@ -68,6 +69,18 @@ object Pipeline {
           col("vec_id").as("id"), col("embedding").as("vec"), col("label").as("block")),
         threshold = 0.4)
       .orderBy(col("i"), col("j"))
+
+  /** Full dedup pipeline on a corpus with planted clones: LSH pairs ->
+    * connected components -> representative per cluster. At threshold
+    * 0.999 only identical word sets pair (max non-identical Jaccard on
+    * ~50-word sets is 50/51), so the oracle states the component as
+    * min(doc_id) over the word-set equivalence class. */
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val doubled = d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    Dedup.dedupCorpus(doubled, "doc_id", "text", threshold = 0.999)
+      .orderBy(col("id"))
+  }
 
   /** Brute-force cosine top-5 for the vec_id % 50 == 0 query set. */
   def q40(spark: SparkSession, dir: String): DataFrame = {
@@ -210,6 +223,20 @@ object Pipeline {
          |FROM scored
          |WHERE cos >= 0.4
          |ORDER BY i, j""".stripMargin,
+    "q35_dedup_clusters" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |keyed AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text, ' '), w -> length(w) > 0))), chr(9)) AS k
+        |  FROM doubled)
+        |SELECT doc_id AS id,
+        |  min(doc_id) OVER (PARTITION BY k) AS component,
+        |  doc_id = min(doc_id) OVER (PARTITION BY k) AS keep
+        |FROM keyed
+        |ORDER BY id""".stripMargin,
     "q40_cosine_topk" ->
       s"""WITH $sqlVecs,
          |scored AS (

@@ -66,6 +66,36 @@ class PipelineSpec extends SparkSuite {
       }
   }
 
+  test("connected components: known graph, cliques, singletons excluded") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("i", "j")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L)
+    assert(comps(10L) === 10L && comps(11L) === 10L)
+    assert(comps(20L) === 20L && comps(21L) === 20L && comps(22L) === 20L)
+    assert(!comps.contains(5L))
+  }
+
+  test("dedupCorpus on a doubled corpus keeps exactly the originals") {
+    val d = docs.select(col("doc_id"), col("text")).limit(50)
+    val doubled = d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val out = Dedup.dedupCorpus(doubled, "doc_id", "text", threshold = 0.999)
+      .as[(Long, Long, Boolean)].collect()
+    // every clone pair clusters with its original; the original (min
+    // id) is the keeper; pairs at jacc>=0.999 are exactly the clones
+    // unless two distinct docs share a word set
+    val keepers = out.filter(_._3).map(_._1).toSet
+    val originals = d.collect().map(_.getLong(0)).toSet
+    assert(keepers.subsetOf(originals))
+    // every doc is assigned a component and clones never keep
+    assert(out.length === 100)
+    out.filter(_._1 >= 1000000).foreach { case (id, comp, keep) =>
+      assert(!keep, s"clone $id kept")
+      assert(comp === id - 1000000 || comp < id)
+    }
+  }
+
   test("IVF ANN recall vs brute force >= 0.5 with exact cosines") {
     val q = embs.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("vec"))
