@@ -76,7 +76,9 @@ object Pipeline {
     * ~50-word sets is 50/51), so the oracle states the component as
     * min(doc_id) over the word-set equivalence class. */
   def q35(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val d = Tables.documents(spark, dir)
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+      .select(col("doc_id"), col("text"))
     val doubled = d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
     Dedup.dedupCorpus(doubled, "doc_id", "text", threshold = 0.999)
       .orderBy(col("id"))
@@ -226,7 +228,9 @@ object Pipeline {
     "q35_dedup_clusters" ->
       """WITH doubled AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
         |keyed AS (
         |  SELECT doc_id,
         |    array_to_string(list_sort(list_distinct(
