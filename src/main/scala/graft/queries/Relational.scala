@@ -41,7 +41,9 @@ object Relational {
     "q09_anti_join" -> q09,
     "q10_rollup" -> q10,
     "q11_merge_attrs" -> q11,
-    "q12_dedup_idxmax" -> q12
+    "q12_dedup_idxmax" -> q12,
+    "q13_supplier_parts" -> q13,
+    "q14_priority_tax" -> q14
   )
 
   /** TPC-H Q1-style pricing summary: scan + filter + hash aggregate.
@@ -213,6 +215,38 @@ object Relational {
       .orderBy(col("l_orderkey"))
   }
 
+  /** Supplier/part depth: li ⋈ supplier ⋈ nation ⋈ part, aggregated
+    * by nation x part type — covers the supplier dimension. */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val p = Tables.part(spark, dir).filter(col("p_size") <= 25)
+    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name"), col("p_type"))
+      .agg(dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("s_acctbal")).as("sum_supp_acctbal"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"), col("p_type"))
+  }
+
+  /** Order-priority x tax-bucket matrix over the join of orders and
+    * lineitem — covers o_orderpriority and l_tax. */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("tax_bucket",
+        when(col("l_tax") <= 0.02, "low")
+          .when(col("l_tax") <= 0.05, "mid").otherwise("high"))
+      .groupBy(col("o_orderpriority"), col("tax_bucket"))
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_tax"))).cast("double").as("tax_amount"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"), col("tax_bucket"))
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -312,6 +346,29 @@ object Relational {
         |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rn
         |  FROM lineitem) t
         |WHERE rn = 1
-        |ORDER BY l_orderkey""".stripMargin
+        |ORDER BY l_orderkey""".stripMargin,
+    "q13_supplier_parts" ->
+      """SELECT n_name, p_type,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_supp_acctbal,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 25
+        |GROUP BY n_name, p_type
+        |ORDER BY n_name, p_type""".stripMargin,
+    "q14_priority_tax" ->
+      """SELECT o_orderpriority,
+        |  CASE WHEN l_tax <= 0.02 THEN 'low'
+        |       WHEN l_tax <= 0.05 THEN 'mid' ELSE 'high' END AS tax_bucket,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax_amount,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority,
+        |  CASE WHEN l_tax <= 0.02 THEN 'low'
+        |       WHEN l_tax <= 0.05 THEN 'mid' ELSE 'high' END
+        |ORDER BY o_orderpriority, tax_bucket""".stripMargin
   )
 }
