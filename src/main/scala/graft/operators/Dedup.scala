@@ -46,11 +46,12 @@ object Dedup {
   /** LSH candidate pairs from banded minhash signatures.
     *
     * Signature splits into `bands` bands of `rows` hashes; docs
-    * sharing any band land in the same bucket. With rows=6, bands=22
-    * the miss probability at Jaccard 0.95 is (1 - 0.95^6)^22 ~ 2e-13 —
-    * the candidate set is effectively a superset of all pairs above
-    * the target threshold, so exact verification of candidates equals
-    * the brute-force answer without the O(n^2) scan.
+    * sharing >= 2 band buckets become candidates. With rows=6,
+    * bands=22 a Jaccard-0.95 pair misses with probability
+    * (1-p)^22 + 22p(1-p)^21 ~ 1e-11 (p = 0.95^6) — the candidate set
+    * is effectively a superset of all pairs above the target
+    * threshold, so exact verification of candidates equals the
+    * brute-force answer without the O(n^2) scan.
     *
     * Scale shape: explode is x bands (fixed small factor), the
     * self-join shuffles on (band, bucket) — AQE splits hot buckets.

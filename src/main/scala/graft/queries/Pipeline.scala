@@ -41,7 +41,8 @@ object Pipeline {
 
   /** MinHash-LSH near-dup pairs, exact-verified at Jaccard >= 0.95
     * (word sets). Oracle is the brute-force all-pairs answer — the
-    * LSH miss probability at 0.95 with r=6,b=22 is ~2e-13. */
+    * LSH miss probability at 0.95 (r=6, b=22, >=2-band gate) is
+    * ~1e-11. */
   def q31(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashDuplicates(Tables.documents(spark, dir), "doc_id", "text",
         threshold = 0.95)
