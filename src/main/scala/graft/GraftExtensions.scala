@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.GeoFunctions
+
+/** Spark session extension entry point: makes every graft SQL
+  * function (st_* geometry suite) available cluster-wide without any
+  * driver-side register() call:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * Registration goes through the injected-function hook, so the
+  * functions exist in every session derived from the extended
+  * builder — the deployment shape a shared 1000-executor cluster
+  * needs (no per-notebook setup).
+  *
+  * NOTE on architecture (SURVEY.md §3): the engine deliberately has no
+  * custom LogicalPlan/Strategy — every operator composes Catalyst
+  * built-ins plus two narrow extensions (these functions and the
+  * codegen'd SortedLongIntersectCount), which keeps the whole surface
+  * inside the optimizer's reach.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GeoFunctions.injectInto(ext)
+  }
+}

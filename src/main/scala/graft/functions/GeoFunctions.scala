@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.graftext.{ArrayOps, FunctionInjection, SortedLongIntersectCount}
 
 import graft.geom._
 
@@ -59,7 +60,25 @@ object GeoFunctions extends Serializable {
   def st_shared_border(w1: Column, w2: Column): Column = sharedBorderU(w1, w2)
   def st_geojson_to_wkt(gj: Column): Column = geojsonToWktU(gj)
 
-  /** Register all functions for SQL use. */
+  /** Inject every function into a SparkSessionExtensions hook —
+    * cluster-wide availability via spark.sql.extensions
+    * (see graft.GraftExtensions). */
+  def injectInto(ext: SparkSessionExtensions): Unit = {
+    all.foreach { case (name, u) => FunctionInjection.inject(ext, name, u) }
+    FunctionInjection.injectExpr(ext, "sorted_intersect_count",
+      exprs => SortedLongIntersectCount(exprs(0), exprs(1)))
+  }
+
+  private def all = Seq(
+    "st_area" -> areaU, "st_perimeter" -> perimeterU,
+    "st_centroid_x" -> centroidXU, "st_centroid_y" -> centroidYU,
+    "st_bbox" -> bboxU, "st_scale" -> scaleU,
+    "st_scale_about_centroid" -> scaleAboutCentroidU,
+    "st_translate" -> translateU, "st_buffer_point" -> bufferPointU,
+    "st_distance" -> distanceU, "st_touches" -> touchesU,
+    "st_shared_border" -> sharedBorderU, "st_geojson_to_wkt" -> geojsonToWktU)
+
+  /** Register all functions for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("st_area", areaU)
     spark.udf.register("st_perimeter", perimeterU)

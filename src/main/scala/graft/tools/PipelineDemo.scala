@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** End-to-end training-data pipeline demo over the documents +
+  * embeddings tables: near-dup dedup -> quality filter -> token
+  * budget -> language mix -> similarity search. Every stage is the
+  * production operator, chained the way a 100 TB curation job would.
+  *
+  * Run: sbt "runMain graft.tools.PipelineDemo [sfDir]"
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-pipeline-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.documents(spark, dir)
+    println(s"=== corpus: ${docs.count()} docs ===")
+
+    // 1. near-dup dedup (MinHash-LSH -> connected components)
+    val deduped = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.9)
+    val kept = deduped.filter(col("keep"))
+    println(s"=== dedup @0.9: keep ${kept.count()} of ${deduped.count()} " +
+      s"(${deduped.select(countDistinct(col("component"))).collect()(0).getLong(0)} clusters) ===")
+
+    // 2. quality filter on the kept set
+    val quality = TextAnalysis.qualityFeatures(
+        docs.join(kept.select(col("id").as("doc_id")), "doc_id"), "doc_id", "text")
+      .filter(col("quality_score") >= 0.5)
+    println(s"=== quality >= 0.5: ${quality.count()} docs ===")
+
+    // 3. token budget of the surviving corpus
+    val tokens = docs.join(quality.select("doc_id"), "doc_id")
+      .select(TextAnalysis.tokenEstimate(col("text")).as("t"))
+      .agg(sum(col("t"))).collect()(0).getLong(0)
+    println(s"=== estimated token budget: $tokens ===")
+
+    // 4. language mix
+    println("=== language mix (predicted) ===")
+    TextAnalysis.langIdFeatures(docs, "doc_id", "text")
+      .groupBy(col("pred_lang")).count().orderBy(col("pred_lang")).show()
+
+    // 5. similarity search over embeddings (ANN with exact rescoring)
+    val e = Tables.embeddings(spark, dir)
+    println("=== ANN top-3 for vec_id 0 (multi-table hyperplane LSH) ===")
+    Similarity.annTopK(
+        e.filter(col("vec_id") === 0).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")), k = 3)
+      .show()
+
+    spark.stop()
+  }
+}

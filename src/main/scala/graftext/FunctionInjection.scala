@@ -1,0 +1,33 @@
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.UserDefinedFunctionUtils
+import org.apache.spark.sql.expressions.{SparkUserDefinedFunction, UserDefinedFunction}
+
+/** Bridges UDF-backed Column functions into the
+  * SparkSessionExtensions function-injection hook (which wants
+  * `Seq[Expression] => Expression` builders). Lives in the sql
+  * package tree for ExpressionUtils access — same pattern as
+  * [[ArrayOps]].
+  */
+object FunctionInjection {
+
+  def inject(ext: SparkSessionExtensions, name: String,
+             udf: UserDefinedFunction): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(udf.getClass.getName, name),
+      (exprs: Seq[Expression]) => UserDefinedFunctionUtils.toScalaUDF(
+        udf.asInstanceOf[SparkUserDefinedFunction].withName(name), exprs)))
+
+  /** Inject a plain expression constructor (for native expressions
+    * like SortedLongIntersectCount). */
+  def injectExpr(ext: SparkSessionExtensions, name: String,
+                 builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName, name),
+      builder))
+}
