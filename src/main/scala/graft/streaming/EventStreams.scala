@@ -46,6 +46,16 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen within the watermark window. State holds only keys newer
+    * than the watermark — bounded on an unbounded stream (the
+    * streaming counterpart of Dedup.exact for at-least-once sources).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run the tumbling agg as a streaming query into a memory sink and
     * block until all available input is processed. Watermark bounds
     * state: late events beyond 2 hours are dropped at scale.

@@ -15,6 +15,28 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("streaming dedup drops replayed duplicates within the watermark") {
+    // replay the events file TWICE through one stream: every event is
+    // then an at-least-once duplicate; the deduped output must equal
+    // the distinct batch count
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dup").toString
+    val batch = Tables.events(spark, sf)
+    batch.write.mode("overwrite").parquet(tmp + "/a.parquet")
+    batch.write.mode("append").parquet(tmp + "/a.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(EventStreams.schema.fields.foldLeft(new org.apache.spark.sql.types.StructType())(
+        (st, f) => if (f.name == "ts") st.add("ts", org.apache.spark.sql.types.TimestampType)
+                   else st.add(f)))
+      .parquet(tmp + "/a.parquet")
+    val q = EventStreams.dedupStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream_spec").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_stream_spec").count()
+    assert(got === batch.count(), s"streamed dedup $got vs batch ${batch.count()}")
+  }
+
   test("decodeBatch emits deterministic stub metadata matching the decoder") {
     val payloads = Tables.documents(spark, sf)
       .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
