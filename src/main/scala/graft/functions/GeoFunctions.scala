@@ -69,6 +69,14 @@ object GeoFunctions extends Serializable {
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)))
   }
 
+  /** Late-bind every function into an existing session through the
+    * same builder lambdas the extension uses. */
+  def registerBuilders(spark: SparkSession): Unit = {
+    all.foreach { case (name, u) => FunctionInjection.registerInto(spark, name, u) }
+    FunctionInjection.registerExprInto(spark, "sorted_intersect_count",
+      exprs => SortedLongIntersectCount(exprs(0), exprs(1)))
+  }
+
   private def all = Seq(
     "st_area" -> areaU, "st_perimeter" -> perimeterU,
     "st_centroid_x" -> centroidXU, "st_centroid_y" -> centroidYU,

@@ -30,4 +30,24 @@ object FunctionInjection {
       FunctionIdentifier(name),
       new ExpressionInfo(classOf[SortedLongIntersectCount].getName, name),
       builder))
+
+  /** Register the same builder directly on an EXISTING session's
+    * function registry (extensions only apply to sessions created
+    * after the builder; this covers late binding and lets tests
+    * exercise the identical builder lambdas without spawning a second
+    * SparkContext). */
+  def registerInto(spark: org.apache.spark.sql.SparkSession, name: String,
+                   udf: UserDefinedFunction): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo(udf.getClass.getName, name),
+      (exprs: Seq[Expression]) => UserDefinedFunctionUtils.toScalaUDF(
+        udf.asInstanceOf[SparkUserDefinedFunction].withName(name), exprs))
+
+  def registerExprInto(spark: org.apache.spark.sql.SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName, name),
+      builder)
 }
