@@ -23,6 +23,10 @@ import graft.operators.{Borders, Dorling, NonContiguous}
 case class Cartogram(gdf: DataFrame, valueField: String, idField: String,
                      geometryField: String = "geometry") {
 
+  for (f <- Seq(valueField, idField, geometryField))
+    require(gdf.columns.contains(f),
+      s"Cartogram: column '$f' not found; frame has [${gdf.columns.mkString(", ")}]")
+
   /** Non-contiguous cartogram (reference cartogram.py:172).
     * @return id, value, scale, geometry (scaled WKT) */
   def nonContiguous(sizeValue: Double = 1.0): DataFrame =
