@@ -120,8 +120,12 @@ object Dedup {
                         threshold: Double, rows: Int = 6, bands: Int = 22): DataFrame = {
     val docs = df
       .select(col(idCol).as("id"), wordHashes(wordSet(col(textCol))).as("h"))
+    // materialized once: groups feeds three downstream subplans (reps
+    // for banding+verify, members twice for expansion) — recomputing
+    // the word hashing per use costs more than the checkpoint
     val groups = docs.groupBy(array_sort(col("h")).as("h"))
       .agg(min(col("id")).as("rep"), collect_list(col("id")).as("members"))
+      .localCheckpoint()
     val reps = groups.select(col("rep").as("id"), col("h"))
 
     val cands = lshCandidates(reps, "id", col("h"), rows, bands)

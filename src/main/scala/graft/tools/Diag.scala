@@ -35,13 +35,22 @@ object Diag {
       val s = docs.select(col("id"), Dedup.minhashSignature(col("h"), 132).as("sig"))
       s.cache(); s.count(); s
     }
-    val cands = timed("lshCandidates (real path)") {
-      val c = Dedup.lshCandidates(docs.select(col("id"), col("h")), "id", col("h"))
+    // the real q31 path first collapses identical word sets to reps
+    val groups = docs.groupBy(array_sort(col("h")).as("h"))
+      .agg(min(col("id")).as("rep"))
+    val reps = groups.select(col("rep").as("id"), col("h")).cache()
+    println(s"[diag] reps after collapse: ${reps.count()}")
+    val cands = timed("lshCandidates (reps)") {
+      val c = Dedup.lshCandidates(reps, "id", col("h"))
       c.cache(); println(s"[diag] candidate pairs: ${c.count()}"); c
     }
     timed("verify") {
-      println(s"[diag] pairs >= 0.95: " +
-        Dedup.verifyJaccard(cands, docs).filter(col("jacc") >= 0.95).count())
+      println(s"[diag] rep pairs >= 0.95: " +
+        Dedup.verifyJaccard(cands, reps).filter(col("jacc") >= 0.95).count())
+    }
+    timed("q31 end-to-end (minhashDuplicates)") {
+      println(s"[diag] total pairs: " + Dedup.minhashDuplicates(
+        Tables.documents(spark, dir), "doc_id", "text", 0.95).count())
     }
     spark.stop()
   }
