@@ -42,6 +42,8 @@ object GeoFunctions extends Serializable {
   private val sharedBorderU = udf((w1: String, w2: String) =>
     Ops.sharedBorderLength(Wkt.read(w1), Wkt.read(w2)))
   private val geojsonToWktU = udf((gj: String) => Wkt.write(GeoJson.parseGeometry(gj)))
+  private val convexIntersectionAreaU = udf((w1: String, w2: String) =>
+    Ops.convexIntersectionArea(Wkt.read(w1), Wkt.read(w2)))
 
   def st_area(wkt: Column): Column = areaU(wkt)
   def st_perimeter(wkt: Column): Column = perimeterU(wkt)
@@ -59,6 +61,9 @@ object GeoFunctions extends Serializable {
   def st_touches(w1: Column, w2: Column): Column = touchesU(w1, w2)
   def st_shared_border(w1: Column, w2: Column): Column = sharedBorderU(w1, w2)
   def st_geojson_to_wkt(gj: Column): Column = geojsonToWktU(gj)
+  /** area(g1 ∩ g2) with convex g2 parts (Sutherland-Hodgman). */
+  def st_convex_intersection_area(w1: Column, w2: Column): Column =
+    convexIntersectionAreaU(w1, w2)
 
   /** Inject every function into a SparkSessionExtensions hook —
     * cluster-wide availability via spark.sql.extensions
@@ -84,7 +89,8 @@ object GeoFunctions extends Serializable {
     "st_scale_about_centroid" -> scaleAboutCentroidU,
     "st_translate" -> translateU, "st_buffer_point" -> bufferPointU,
     "st_distance" -> distanceU, "st_touches" -> touchesU,
-    "st_shared_border" -> sharedBorderU, "st_geojson_to_wkt" -> geojsonToWktU)
+    "st_shared_border" -> sharedBorderU, "st_geojson_to_wkt" -> geojsonToWktU,
+    "st_convex_intersection_area" -> convexIntersectionAreaU)
 
   /** Register all functions for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -101,5 +107,6 @@ object GeoFunctions extends Serializable {
     spark.udf.register("st_touches", touchesU)
     spark.udf.register("st_shared_border", sharedBorderU)
     spark.udf.register("st_geojson_to_wkt", geojsonToWktU)
+    spark.udf.register("st_convex_intersection_area", convexIntersectionAreaU)
   }
 }

@@ -291,6 +291,62 @@ object Ops {
     acc
   }
 
+  /** Sutherland-Hodgman clip of a polygon against a CONVEX clip
+    * polygon; returns the clipped ring's vertices (possibly empty).
+    * Standard algorithm: successively clip against each edge of the
+    * convex window, keeping inside vertices and edge intersections. */
+  def convexClip(subject: Ring, clip: Ring): IndexedSeq[Pt] = {
+    // ensure CCW clip orientation so "inside" = left of each edge
+    val clipPts =
+      if (clip.signedArea >= 0) clip.pts else clip.pts.reverse
+    var out: IndexedSeq[Pt] = subject.pts.dropRight(1)
+    var e = 0
+    while (e < clipPts.length - 1 && out.nonEmpty) {
+      val a = clipPts(e); val b = clipPts(e + 1)
+      def inside(p: Pt): Boolean =
+        (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) >= 0
+      def intersect(p: Pt, q: Pt): Pt = {
+        // line(a,b) x segment(p,q)
+        val a1 = b.y - a.y; val b1 = a.x - b.x
+        val c1 = a1 * a.x + b1 * a.y
+        val a2 = q.y - p.y; val b2 = p.x - q.x
+        val c2 = a2 * p.x + b2 * p.y
+        val det = a1 * b2 - a2 * b1
+        Pt((b2 * c1 - b1 * c2) / det, (a1 * c2 - a2 * c1) / det)
+      }
+      val in = out
+      val next = Vector.newBuilder[Pt]
+      var i = 0
+      while (i < in.length) {
+        val cur = in(i); val prev = in((i + in.length - 1) % in.length)
+        (inside(prev), inside(cur)) match {
+          case (true, true)   => next += cur
+          case (true, false)  => next += intersect(prev, cur)
+          case (false, true)  => next += intersect(prev, cur); next += cur
+          case (false, false) =>
+        }
+        i += 1
+      }
+      out = next.result()
+      e += 1
+    }
+    out
+  }
+
+  /** Area of `g1 ∩ g2` where g2's parts are CONVEX (clip windows);
+    * subject parts may be any simple polygons. Holes unsupported
+    * (the reference surface never needs them — this extends the
+    * kernel toward area-weighted spatial joins, SURVEY §8.4). */
+  def convexIntersectionArea(g1: Geom, g2: Geom): Double = {
+    var acc = 0.0
+    for (p1 <- polysOf(g1); p2 <- polysOf(g2)) {
+      val clipped = convexClip(p1.shell, p2.shell)
+      if (clipped.length >= 3)
+        acc += math.abs(Ring(clipped :+ clipped.head).signedArea)
+    }
+    acc
+  }
+
   /** Overlap length of two collinear segments; 0 if not collinear. */
   private def collinearOverlap(a: Pt, b: Pt, c: Pt, d: Pt): Double = {
     val ux = b.x - a.x; val uy = b.y - a.y
