@@ -45,6 +45,16 @@ def main(sf_dir, out_dir):
             exp = con.sql(oracles[name])
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        # The driver's compare stringifies via pandas, where HUGEINT
+        # (DuckDB's sum-of-integers type) becomes float64 ("5.0" vs
+        # Spark's "5") — a hash mismatch invisible to fetchall(). Flag
+        # any oracle column type that doesn't survive the pandas trip.
+        bad = [(c, str(t)) for c, t in zip(exp.columns, exp.types)
+               if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT")]
+        if bad:
+            print(f"FAIL {name}: oracle emits pandas-unsafe types {bad}; "
+                  f"CAST to BIGINT/DOUBLE in the oracle SQL")
+            n_fail += 1; continue
         exp_cols = sorted(exp.columns)
         if exp_cols != got_cols:
             print(f"FAIL {name}: columns differ\n  spark: {got_cols}\n  duck:  {exp_cols}")

@@ -73,18 +73,18 @@ object Dedup {
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select((col("a.id") * lit(1L << 31) + col("b.id")).as("pk"))
+      // pair key is a struct, not a packed long: packing assumes
+      // non-negative ids < 2^31, and this is a public API — a larger
+      // or negative id would overflow (ANSI throw / corrupted pairs)
+      .select(struct(col("a.id").as("i"), col("b.id").as("j")).as("pk"))
       // repartition by pk first: most pks are singletons, so map-side
       // partial aggregation gets no reduction and just spills — with
       // the distribution pre-satisfied Catalyst plans one complete
-      // aggregate after a cheap 8-byte-row shuffle instead
+      // aggregate after a cheap 16-byte-row shuffle instead
       .repartition(col("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("nb"))
       .filter(col("nb") >= 2)
-      // unpack with bit ops — pk can exceed 2^53, double division
-      // would corrupt the ids
-      .select(shiftright(col("pk"), 31).as("i"),
-        col("pk").bitwiseAND(lit((1L << 31) - 1)).as("j"))
+      .select(col("pk.i").as("i"), col("pk.j").as("j"))
   }
 
   /** Exact set Jaccard for given pairs over pre-hashed element arrays
@@ -120,10 +120,16 @@ object Dedup {
                         threshold: Double, rows: Int = 6, bands: Int = 22): DataFrame = {
     val docs = df
       .select(col(idCol).as("id"), wordHashes(wordSet(col(textCol))).as("h"))
+    // Empty word sets (whitespace-only docs) are excluded from dup
+    // semantics by convention: their pairwise Jaccard is 0/0 —
+    // undefined — and the brute-force oracle's 0-element sets never
+    // join, so emitting jacc=1.0 for them would diverge. They fall
+    // through dedupCorpus as singletons.
+    //
     // materialized once: groups feeds three downstream subplans (reps
     // for banding+verify, members twice for expansion) — recomputing
     // the word hashing per use costs more than the checkpoint
-    val groups = docs.groupBy(array_sort(col("h")).as("h"))
+    val groups = docs.filter(size(col("h")) > 0).groupBy(array_sort(col("h")).as("h"))
       .agg(min(col("id")).as("rep"), collect_list(col("id")).as("members"))
       .localCheckpoint()
     val reps = groups.select(col("rep").as("id"), col("h"))
@@ -270,9 +276,19 @@ object Dedup {
     * cross join (the slice fits in memory by contract). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
+    // Guard short texts: sequence(1, stop) DESCENDS when stop < 1
+    // (sequence(1,-1) = [1,0,-1]), which would fabricate grams at
+    // position 0/negative instead of the empty set the oracle's
+    // generate_series produces. A doc shorter than n chars has NO
+    // n-grams, and gram-less docs are excluded entirely — their 0/0
+    // Jaccard is undefined (NaN compares TRUE under Spark's >=).
     val docs = df.select(col(idCol).as("id"),
-      array_distinct(transform(sequence(lit(1), length(col(textCol)) - (n - 1)),
+      array_distinct(transform(
+        when(length(col(textCol)) >= n,
+          sequence(lit(1), length(col(textCol)) - (n - 1)))
+          .otherwise(array().cast("array<int>")),
         i => xxhash64(col(textCol).substr(i, lit(n))))).as("grams"))
+      .filter(size(col("grams")) > 0)
     val a = docs.select(col("id").as("i"), array_sort(col("grams")).as("ga"))
     val b = docs.select(col("id").as("j"), array_sort(col("grams")).as("gb"))
     a.join(broadcast(b), col("i") < col("j"))

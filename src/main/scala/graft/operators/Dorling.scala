@@ -40,16 +40,21 @@ object Dorling {
 
   /** Compute per-region radii + the scale coefficient k (exposed
     * separately for q23's oracle check).
+    * @param precomputedBorders Borders.compute output to reuse; when
+    *        absent it is computed here. Callers that also need the
+    *        borders (run/runSequential) pass it in so the spatial
+    *        self-join — the most expensive stage — runs exactly once.
     * @return (regions: id, value, x, y, perimeter, radius ; k)
     */
-  def radii(df: DataFrame, idCol: String, valueCol: String, geomCol: String): (DataFrame, Double) = {
+  def radii(df: DataFrame, idCol: String, valueCol: String, geomCol: String,
+            precomputedBorders: Option[DataFrame] = None): (DataFrame, Double) = {
     val regions = df.select(
         col(idCol).as("id"), col(valueCol).cast("double").as("value"), col(geomCol).as("geom"))
       .withColumn("x", st_centroid_x(col("geom")))
       .withColumn("y", st_centroid_y(col("geom")))
       .withColumn("perimeter", st_perimeter(col("geom")))
 
-    val borders = Borders.compute(df, idCol, geomCol)
+    val borders = precomputedBorders.getOrElse(Borders.compute(df, idCol, geomCol))
 
     val f = regions.select(col("id").as("focal_id"), col("x").as("fx"),
       col("y").as("fy"), col("value").as("fv"))
@@ -174,8 +179,9 @@ object Dorling {
   def runSequential(df: DataFrame, idCol: String, valueCol: String, geomCol: String,
                     iterations: Int = 100, ratio: Double = 0.4,
                     friction: Double = 0.5): Seq[(String, Double, Double, Double, Double)] = {
-    val (regionsDf, _) = radii(df, idCol, valueCol, geomCol)
-    val borders = Borders.compute(df, idCol, geomCol)
+    val bordersDf = Borders.compute(df, idCol, geomCol).localCheckpoint()
+    val (regionsDf, _) = radii(df, idCol, valueCol, geomCol, Some(bordersDf))
+    val borders = bordersDf
       .collect().map(r => (r.get(0).toString, r.get(1).toString) -> r.getDouble(2)).toMap
     val rows = regionsDf.orderBy(col("id")).collect()
     val ids = rows.map(_.get(0).toString)
@@ -242,11 +248,11 @@ object Dorling {
   def run(df: DataFrame, idCol: String, valueCol: String, geomCol: String,
           iterations: Int = 100, ratio: Double = 0.4, friction: Double = 0.5,
           quadsegs: Int = 16): DataFrame = {
-    val (regions0, _) = radii(df, idCol, valueCol, geomCol)
     // Materialize borders ONCE — its lineage holds the geometry
-    // spatial join, which would otherwise re-execute inside every
-    // iteration's step join.
+    // spatial join, which would otherwise re-execute both inside
+    // radii's k-aggregate and inside every iteration's step join.
     val borders = Borders.compute(df, idCol, geomCol).localCheckpoint()
+    val (regions0, _) = radii(df, idCol, valueCol, geomCol, Some(borders))
     val widest = regions0.agg(max(col("radius"))).collect()(0).getDouble(0)
 
     // One checkpoint per iteration: a step embeds joins+aggregations,

@@ -118,7 +118,7 @@ object Events {
         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM m)
-        |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM s GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
     "q62_user_funnel" ->
@@ -137,7 +137,7 @@ object Events {
         |  (SELECT count(*) FROM p) AS n_purchase_users""".stripMargin,
     "q63_json_props" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
@@ -148,9 +148,10 @@ object Events {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  sha256(text) AS sha,
-        |  64 + (ascii(substr(text, 1, 1)) % 16) * 32 AS width,
-        |  64 + (ascii(substr(text, 2, 1)) % 16) * 32 AS height,
-        |  CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |  64 + (CAST(coalesce(nullif('0x' || substr(hex(encode(text)), 1, 2), '0x'), '0') AS INT) % 16) * 32 AS width,
+        |  64 + (CAST(coalesce(nullif('0x' || substr(hex(encode(text)), 3, 2), '0x'), '0') AS INT) % 16) * 32 AS height,
+        |  CASE WHEN CAST(coalesce(nullif('0x' || substr(hex(encode(text)), 1, 2), '0x'), '0') AS INT) % 2 = 0
+        |    THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents
         |ORDER BY doc_id""".stripMargin
   )
