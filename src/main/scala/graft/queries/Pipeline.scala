@@ -20,6 +20,7 @@ object Pipeline {
     "q33_ngram_jaccard" -> q33,
     "q34_embed_neardup" -> q34,
     "q35_dedup_clusters" -> q35,
+    "q36_prefix_jaccard" -> q36,
     "q40_cosine_topk" -> q40,
     "q41_ann_lsh" -> q41,
     "q42_ann_ivf" -> q42,
@@ -84,6 +85,15 @@ object Pipeline {
     Dedup.dedupCorpus(doubled, "doc_id", "text", threshold = 0.999)
       .orderBy(col("id"))
   }
+
+  /** Exact prefix-filtered Jaccard join at 0.95 (AllPairs/PPJoin
+    * family): the deterministic high-threshold alternative to q31's
+    * MinHash-LSH — same brute-force oracle, zero miss probability.
+    * See Dedup.prefixJaccardDuplicates for when to prefer which. */
+  def q36(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardDuplicates(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.95)
+      .orderBy(col("i"), col("j"))
 
   /** Brute-force cosine top-5 for the vec_id % 50 == 0 query set. */
   def q40(spark: SparkSession, dir: String): DataFrame = {
@@ -166,6 +176,20 @@ object Pipeline {
       |  WHERE length(w) > 0),
       |wc AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id)""".stripMargin
 
+  /** Brute-force all-pairs word-set Jaccard >= 0.95 — the shared
+    * oracle for q31 (MinHash-LSH) and q36 (prefix-filter join). */
+  private val sqlBruteForcePairs95 =
+    s"""WITH $sqlWordSets,
+       |inter AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |  FROM sets a JOIN sets b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT i, j,
+       |  CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) AS jacc
+       |FROM inter JOIN wc na ON i = na.doc_id JOIN wc nb ON j = nb.doc_id
+       |WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.95
+       |ORDER BY i, j""".stripMargin
+
   /** Sequential left-fold dot product — bit-identical to the engine's
     * Similarity.dotSeq (DuckDB list_reduce folds left; the fold is
     * per-row, so no cross-row order dependence exists). */
@@ -189,17 +213,10 @@ object Pipeline {
         |  min(doc_id) AS keeper
         |FROM doubled GROUP BY md5(text)
         |ORDER BY text_hash""".stripMargin,
-    "q31_minhash_pairs" ->
-      s"""WITH $sqlWordSets,
-         |inter AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-         |  FROM sets a JOIN sets b ON a.w = b.w AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT i, j,
-         |  CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) AS jacc
-         |FROM inter JOIN wc na ON i = na.doc_id JOIN wc nb ON j = nb.doc_id
-         |WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.95
-         |ORDER BY i, j""".stripMargin,
+    "q31_minhash_pairs" -> sqlBruteForcePairs95,
+    // q36 computes the SAME answer as q31 by a different exact
+    // algorithm (prefix filtering); one brute-force oracle serves both
+    "q36_prefix_jaccard" -> sqlBruteForcePairs95,
     "q33_ngram_jaccard" ->
       """WITH sub AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
         |g AS (

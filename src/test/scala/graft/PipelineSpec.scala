@@ -18,6 +18,37 @@ class PipelineSpec extends SparkSuite {
     assert(byKeeper === Map(1L -> 2L, 2L -> 2L, 4L -> 1L))
   }
 
+  test("prefix-filter pairs equal brute-force jaccard pairs at 0.9 and 0.95") {
+    for (t <- Seq(0.9, 0.95)) {
+      val pre = Dedup.prefixJaccardDuplicates(docs, "doc_id", "text", threshold = t)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      val ws = docs.select(col("doc_id"), Dedup.wordSet(col("text")).as("words"))
+        .as[(Long, Seq[String])].collect()
+      val brute = (for {
+        (i, wa) <- ws; (j, wb) <- ws if i < j
+        inter = wa.toSet.intersect(wb.toSet).size
+        jacc = inter.toDouble / (wa.size + wb.size - inter)
+        if jacc >= t
+      } yield (i, j)).toSet
+      assert(pre === brute, s"threshold $t")
+    }
+  }
+
+  test("prefix-filter and minhash handle empty and single-word docs alike") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta epsilon"),
+      (3L, "   "), (4L, ""), (5L, "zeta"), (6L, "zeta"), (7L, "alpha")
+    ).toDF("doc_id", "text")
+    for (f <- Seq(
+        Dedup.prefixJaccardDuplicates(d, "doc_id", "text", 0.75),
+        Dedup.minhashDuplicates(d, "doc_id", "text", 0.75))) {
+      val got = f.select("i", "j").as[(Long, Long)].collect().toSet
+      // (1,2): jacc 4/5 = 0.8; (5,6): identical single-word sets.
+      // Whitespace-only/empty docs (3,4) must pair with NOTHING.
+      assert(got === Set((1L, 2L), (5L, 6L)))
+    }
+  }
+
   test("minhash-LSH pairs equal brute-force jaccard pairs at 0.9") {
     val lsh = Dedup.minhashDuplicates(docs, "doc_id", "text", threshold = 0.9)
       .select("i", "j").as[(Long, Long)].collect().toSet
