@@ -50,7 +50,8 @@ def main(sf_dir, out_dir):
         # Spark's "5") — a hash mismatch invisible to fetchall(). Flag
         # any oracle column type that doesn't survive the pandas trip.
         bad = [(c, str(t)) for c, t in zip(exp.columns, exp.types)
-               if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT")]
+               if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT")
+               or str(t).startswith("DECIMAL")]
         if bad:
             print(f"FAIL {name}: oracle emits pandas-unsafe types {bad}; "
                   f"CAST to BIGINT/DOUBLE in the oracle SQL")

@@ -168,7 +168,7 @@ object Geo {
     "q22_borders_queen" ->
       s"""WITH ${sqlSquares(tessellate = true)}
          |SELECT a.n_nationkey AS focal, b.n_nationkey AS neighbor,
-         |  CASE WHEN abs(a.x0 - b.x0) + abs(a.y0 - b.y0) = 4 THEN 4.0 ELSE 0.0 END AS weight
+         |  CAST(CASE WHEN abs(a.x0 - b.x0) + abs(a.y0 - b.y0) = 4 THEN 4.0 ELSE 0.0 END AS DOUBLE) AS weight
          |FROM sq a JOIN sq b
          |  ON a.n_nationkey <> b.n_nationkey
          | AND abs(a.x0 - b.x0) <= 4 AND abs(a.y0 - b.y0) <= 4
