@@ -242,12 +242,21 @@ object Dorling {
   }
 
   /** Full Dorling run.
+    *
+    * Region tables are broadcast-scale by nature (a cartogram has
+    * thousands of regions, not billions), so when the region count is
+    * at most `smallN` the Jacobi loop runs driver-side over collected
+    * arrays — identical force model, deterministic (sorted-id)
+    * summation — instead of paying ~`iterations` Spark job launches.
+    * Larger inputs (or smallN = 0) take the distributed per-iteration
+    * step path; both paths share radii/borders and the step math.
+    *
     * @param df (idCol, valueCol, geomCol WKT)
     * @return id, value, radius, x, y, geometry (circle WKT)
     */
   def run(df: DataFrame, idCol: String, valueCol: String, geomCol: String,
           iterations: Int = 100, ratio: Double = 0.4, friction: Double = 0.5,
-          quadsegs: Int = 16): DataFrame = {
+          quadsegs: Int = 16, smallN: Int = 10000): DataFrame = {
     // Materialize borders ONCE — its lineage holds the geometry
     // spatial join, which would otherwise re-execute both inside
     // radii's k-aggregate and inside every iteration's step join.
@@ -255,18 +264,96 @@ object Dorling {
     val (regions0, _) = radii(df, idCol, valueCol, geomCol, Some(borders))
     val widest = regions0.agg(max(col("radius"))).collect()(0).getDouble(0)
 
-    // One checkpoint per iteration: a step embeds joins+aggregations,
-    // so chaining steps compounds shuffles into one oversized plan
-    // (measured 3x slower at cadence 4) — materialize each round.
     var pos = regions0.select("id", "value", "x", "y", "perimeter", "radius")
       .localCheckpoint()
-    var i = 0
-    while (i < iterations) {
-      pos = step(pos, borders, widest, ratio, friction).localCheckpoint()
-      i += 1
+    val n = pos.count()
+    if (n <= smallN && iterations > 0) {
+      pos = jacobiLocal(pos, borders, widest, iterations, ratio, friction)
+    } else {
+      // One checkpoint per iteration: a step embeds joins+aggregations,
+      // so chaining steps compounds shuffles into one oversized plan
+      // (measured 3x slower at cadence 4) — materialize each round.
+      var i = 0
+      while (i < iterations) {
+        pos = step(pos, borders, widest, ratio, friction).localCheckpoint()
+        i += 1
+      }
     }
     pos.withColumn("geometry",
         st_buffer_point(col("x"), col("y"), col("radius"), lit(quadsegs)))
       .select("id", "value", "radius", "x", "y", "geometry")
+  }
+
+  /** Driver-side Jacobi iterations over collected positions: the same
+    * force model as [[step]] (forces from the previous iteration's
+    * snapshot, applied simultaneously), summed in sorted-id order so
+    * results are deterministic. The distributed step uses decimal
+    * sums for bit-exact oracle checks; this path is plain doubles —
+    * positions agree to floating-point accumulation order (spec
+    * bounds the difference). */
+  private def jacobiLocal(pos: DataFrame, bordersDf: DataFrame, widest: Double,
+                          iterations: Int, ratio: Double, friction: Double): DataFrame = {
+    val spark = pos.sparkSession
+    val borders = bordersDf.collect()
+      .map(r => (r.get(0).toString, r.get(1).toString) -> r.getDouble(2)).toMap
+    val rows = pos.collect().sortBy(_.get(0).toString)
+    val ids = rows.map(_.get(0))
+    val idStr = ids.map(_.toString)
+    val value = rows.map(_.getAs[Double]("value"))
+    val per = rows.map(_.getAs[Double]("perimeter"))
+    val radius = rows.map(_.getAs[Double]("radius"))
+    var x = rows.map(_.getAs[Double]("x"))
+    var y = rows.map(_.getAs[Double]("y"))
+    val n = ids.length
+
+    for (_ <- 0 until iterations) {
+      val nx = new Array[Double](n)
+      val ny = new Array[Double](n)
+      for (idx <- 0 until n) {
+        var xrepel = 0.0; var yrepel = 0.0; var xattract = 0.0; var yattract = 0.0
+        var closest = widest
+        for (j <- 0 until n if j != idx) {
+          val dist = math.sqrt((x(j) - x(idx)) * (x(j) - x(idx)) +
+                               (y(j) - y(idx)) * (y(j) - y(idx)))
+          if (dist > 0 && dist < widest + radius(idx)) {
+            if (dist < closest) closest = dist
+            val overlap = radius(j) + radius(idx) - dist
+            val dx = x(j) - x(idx); val dy = y(j) - y(idx)
+            if (overlap > 0.0) {
+              xrepel -= overlap * dx / dist
+              yrepel -= overlap * dy / dist
+            } else {
+              val ov = borders.get((idStr(idx), idStr(j)))
+                .map(w => math.abs(overlap) * w / per(idx)).getOrElse(overlap)
+              xattract += ov * dx / dist
+              yattract += ov * dy / dist
+            }
+          }
+        }
+        val attractDist = math.sqrt(xattract * xattract + yattract * yattract)
+        var repelDist = math.sqrt(xrepel * xrepel + yrepel * yrepel)
+        if (repelDist > closest) {
+          xrepel = closest * xrepel / (repelDist + 1.0)
+          yrepel = closest * yrepel / (repelDist + 1.0)
+          repelDist = closest
+        }
+        val (xt, yt) =
+          if (repelDist > 0) (
+            (1.0 - ratio) * xrepel + ratio * (repelDist * xattract / (attractDist + 1.0)),
+            (1.0 - ratio) * yrepel + ratio * (repelDist * yattract / (attractDist + 1.0)))
+          else if (attractDist > closest) (
+            closest * xattract / (attractDist + 1.0),
+            closest * yattract / (attractDist + 1.0))
+          else (xattract, yattract)
+        nx(idx) = x(idx) + friction * xt
+        ny(idx) = y(idx) + friction * yt
+      }
+      x = nx; y = ny
+    }
+    val out = (0 until n).map { i =>
+      org.apache.spark.sql.Row(ids(i), value(i), x(i), y(i), per(i), radius(i))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1), pos.schema)
   }
 }

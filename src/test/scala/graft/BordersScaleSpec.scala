@@ -36,9 +36,25 @@ class BordersScaleSpec extends SparkSuite {
     }
   }
 
+  test("driver-side Jacobi fast path matches the distributed step on 400 regions") {
+    val fast = Dorling.run(grid, "id", "value", "geometry", iterations = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("x"), r.getAs[Double]("y"))).toMap
+    val dist = Dorling.run(grid, "id", "value", "geometry", iterations = 3, smallN = 0)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("x"), r.getAs[Double]("y"))).toMap
+    assert(fast.keySet === dist.keySet)
+    // same Jacobi model; only double-vs-decimal summation differs
+    fast.foreach { case (id, (fx, fy)) =>
+      val (dx, dy) = dist(id)
+      assert(math.abs(fx - dx) < 1e-6 && math.abs(fy - dy) < 1e-6, s"region $id")
+    }
+  }
+
   test("Dorling stays finite and reduces overlap on 400 regions") {
     val t0 = System.nanoTime()
-    val out = Dorling.run(grid, "id", "value", "geometry", iterations = 10).collect()
+    val out = Dorling.run(grid, "id", "value", "geometry", iterations = 10, smallN = 0)
+      .collect()
     val secs = (System.nanoTime() - t0) / 1e9
     assert(out.length === n * n)
     out.foreach { r =>
