@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.udf
-import org.apache.spark.sql.graftext.{ArrayOps, FunctionInjection, SortedLongIntersectCount}
+import org.apache.spark.sql.graftext.{ArrayOps, FunctionInjection, SortedLongIntersectCount, VecDotSeq}
 
 import graft.geom._
 
@@ -72,6 +72,8 @@ object GeoFunctions extends Serializable {
     all.foreach { case (name, u) => FunctionInjection.inject(ext, name, u) }
     FunctionInjection.injectExpr(ext, "sorted_intersect_count",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)))
+    FunctionInjection.injectExpr(ext, "vec_dot",
+      exprs => VecDotSeq(exprs(0), exprs(1)))
   }
 
   /** Late-bind every function into an existing session through the
@@ -80,6 +82,8 @@ object GeoFunctions extends Serializable {
     all.foreach { case (name, u) => FunctionInjection.registerInto(spark, name, u) }
     FunctionInjection.registerExprInto(spark, "sorted_intersect_count",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)))
+    FunctionInjection.registerExprInto(spark, "vec_dot",
+      exprs => VecDotSeq(exprs(0), exprs(1)))
   }
 
   private def all = Seq(

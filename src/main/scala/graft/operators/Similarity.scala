@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftext.ArrayOps
 
 
 /** Similarity search over embedding columns (SURVEY.md §2.D).
@@ -14,17 +15,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential left-fold dot product of two float-array columns. */
-  def dotSeq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential left-fold dot product of two float-array columns —
+    * the codegen'd VecDotSeq expression (bit-identical fold to the
+    * interpreted `aggregate(zip_with(...))` chain it replaced). */
+  def dotSeq(a: Column, b: Column): Column = ArrayOps.vecDot(a, b)
 
-  /** Sequential left-fold squared norm. */
-  def norm2Seq(a: Column): Column =
-    aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential left-fold squared norm (same fold order). */
+  def norm2Seq(a: Column): Column = ArrayOps.vecDot(a, a)
 
   /** cos(a,b) from precomputed squared norms. */
   def cosine(dot: Column, n2a: Column, n2b: Column): Column =
@@ -87,27 +84,29 @@ object Similarity {
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               planes: Int = 4, tables: Int = 8, multiprobe: Boolean = true): DataFrame = {
-    val tableIds = sequence(lit(0), lit(tables - 1))
-    val c = corpus.select(col("cid"), col("vec").as("cvec"),
-        norm2Seq(col("vec")).as("cn2"),
-        explode(transform(tableIds, t => struct(t.as("table"),
-          lshBucket(col("vec"), planes, t * planes).as("bucket")))).as("tb"))
-      .select(col("cid"), col("cvec"), col("cn2"), col("tb.table"), col("tb.bucket"))
-    val qProbes = queries.select(col("qid"), col("vec").as("qvec"),
-        norm2Seq(col("vec")).as("qn2"),
-        explode(transform(tableIds, t => struct(t.as("table"),
-          lshBucket(col("vec"), planes, t * planes).as("qb")))).as("tb"))
-      .select(col("qid"), col("qvec"), col("qn2"), col("tb.table"), col("tb.qb"))
+    // all table buckets in one codegen'd pass over each vector
+    // (VecHyperplaneBuckets — same signs/folds as lshBucket)
+    val c = corpus.select(col("cid"),
+        posexplode(ArrayOps.hyperplaneBuckets(col("vec"), planes, tables))
+          .as(Seq("table", "bucket")))
+    val qProbes = queries.select(col("qid"),
+        posexplode(ArrayOps.hyperplaneBuckets(col("vec"), planes, tables))
+          .as(Seq("table", "qb")))
     val probes =
       if (!multiprobe) qProbes.withColumn("bucket", col("qb"))
       else qProbes.withColumn("bucket",
         explode(concat(array(col("qb")),
           transform(sequence(lit(0), lit(planes - 1)),
             p => col("qb").bitwiseXOR(call_function("shiftleft", lit(1L), p))))))
-    val scored = probes.join(c, Seq("table", "bucket"))
+    // candidate ids dedup first — vectors never ride the bucket join
+    // or the distinct shuffle; they join back only for survivors
+    val candIds = probes.join(c, Seq("table", "bucket"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), col("qvec"), col("cvec"), col("qn2"), col("cn2"))
+      .select(col("qid"), col("cid"))
       .distinct()
+    val q = queries.select(col("qid"), col("vec").as("qvec"), norm2Seq(col("vec")).as("qn2"))
+    val cv = corpus.select(col("cid"), col("vec").as("cvec"), norm2Seq(col("vec")).as("cn2"))
+    val scored = candIds.join(cv, "cid").join(broadcast(q), "qid")
       .withColumn("cos", cosine(dotSeq(col("qvec"), col("cvec")), col("qn2"), col("cn2")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))

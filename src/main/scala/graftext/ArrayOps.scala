@@ -1,11 +1,11 @@
 package org.apache.spark.sql.graftext
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, TypeCollection}
 
 /** Intersection size of two SORTED long arrays via a zero-allocation
   * two-pointer merge, with full whole-stage-codegen support.
@@ -63,9 +63,209 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sequential left-fold dot product of two float/double array columns
+  * with full whole-stage-codegen support.
+  *
+  * Why a custom Catalyst Expression: the equivalent
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` chain is evaluated
+  * INTERPRETED per row (higher-order functions don't codegen), and on
+  * brute-force/ANN scoring stages the per-candidate lambda overhead
+  * dominates. This loop performs the IDENTICAL IEEE operation
+  * sequence — widen each element to double, multiply, left-fold add
+  * from 0.0 — so results are bit-identical to the HOF chain and to
+  * the DuckDB oracle's `list_reduce` left fold (SURVEY.md §4).
+  *
+  * Contract: element types float or double (independently per side),
+  * no null elements (embedding columns), result over the shorter
+  * length if dims differ.
+  */
+case class VecDotSeq(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val af = elemType(left) == FloatType
+    val bf = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      def get(arr: String, idx: String, e: Expression): String =
+        if (elemType(e) == FloatType) s"(double) $arr.getFloat($idx)"
+        else s"$arr.getDouble($idx)"
+      s"""
+         |double $acc = 0.0;
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${get(a, i, left)} * ${get(b, i, right)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotSeq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** All random-hyperplane LSH bucket ids for a vector in ONE pass —
+  * `tables` buckets of `planes` sign bits each, as array<long>.
+  *
+  * Semantically identical to mapping `Similarity.lshBucket` over the
+  * table ids: the sign for (plane p of table t, dimension d) is bit 0
+  * of xxhash64(t*planes + p, d) (seed 42, int inputs — exactly
+  * Spark's XxHash64 chain), the plane dot is the sequential left fold
+  * over dimensions, and bit p of bucket t is set when that dot is
+  * positive.
+  *
+  * Why a custom Expression: the HOF formulation nests three
+  * higher-order lambdas (tables -> planes -> dimensions), all
+  * interpreted, with the inner index `sequence` re-materialized per
+  * plane — measured 3.15 s for 2000x128-dim vectors. Here the
+  * +/-1 sign matrix is row-constant, so it is hoisted and built once
+  * per partition, and each vector is read once while all
+  * tables*planes dots accumulate simultaneously.
+  */
+case class VecHyperplaneBuckets(child: Expression, planes: Int, tables: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(planes >= 1 && planes <= 63, "planes must fit a long's bits")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // row-constant +/-1 matrix [tables*planes][dim], grown on demand
+  @transient private var signs: Array[Array[Double]] = _
+
+  private def signsFor(dim: Int): Array[Array[Double]] = {
+    if (signs == null || signs(0).length < dim) {
+      signs = Array.tabulate(tables * planes) { tp =>
+        Array.tabulate(dim) { d =>
+          val h = XXH64.hashInt(d, XXH64.hashInt(tp, 42L))
+          if ((h & 1L) == 1L) 1.0 else -1.0
+        }
+      }
+    }
+    signs
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val s = signsFor(n)
+    val out = new Array[Long](tables)
+    val accs = new Array[Double](tables * planes)
+    var d = 0
+    while (d < n) {
+      val x = if (isFloat) a.getFloat(d).toDouble else a.getDouble(d)
+      var tp = 0
+      while (tp < tables * planes) {
+        accs(tp) += x * s(tp)(d)
+        tp += 1
+      }
+      d += 1
+    }
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        if (accs(t * planes + p) > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    val signsVar = ctx.addMutableState("double[][]", "hpSigns")
+    val tp = tables * planes
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val d = ctx.freshName("d")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x")
+      val accs = ctx.freshName("accs"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val p = ctx.freshName("p")
+      val bucket = ctx.freshName("bucket")
+      val getElem = if (isFloat) s"(double) $a.getFloat($d)" else s"$a.getDouble($d)"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($signsVar == null || $signsVar[0].length < $n) {
+         |  $signsVar = new double[$tp][$n];
+         |  for (int $i = 0; $i < $tp; $i++) {
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $signsVar[$i][$d] =
+         |        (($xxh.hashInt($d, $xxh.hashInt($i, 42L)) & 1L) == 1L) ? 1.0 : -1.0;
+         |    }
+         |  }
+         |}
+         |final double[] $accs = new double[$tp];
+         |for (int $d = 0; $d < $n; $d++) {
+         |  final double $x = $getElem;
+         |  for (int $i = 0; $i < $tp; $i++) {
+         |    $accs[$i] += $x * $signsVar[$i][$d];
+         |  }
+         |}
+         |final long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    if ($accs[$t * $planes + $p] > 0) $bucket |= (1L << $p);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecHyperplaneBuckets =
+    copy(child = newChild)
+}
+
 object ArrayOps {
   /** Column API: intersection count of two sorted array<long> columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedLongIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API: all hyperplane-LSH bucket ids for a vector column,
+    * one long per table. */
+  def hyperplaneBuckets(vec: Column, planes: Int, tables: Int): Column =
+    ExpressionUtils.column(VecHyperplaneBuckets(
+      ExpressionUtils.expression(vec), planes, tables))
+
+  /** Column API: sequential left-fold dot product of two vector
+    * columns (array<float|double>); `vecDot(a, a)` is the squared
+    * norm with the same fold order. */
+  def vecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecDotSeq(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

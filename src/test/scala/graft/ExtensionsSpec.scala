@@ -14,9 +14,49 @@ class ExtensionsSpec extends SparkSuite {
     GeoFunctions.registerBuilders(spark)
     val row = spark.sql(
       """SELECT st_area('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS a,
-        |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS c
+        |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS c,
+        |  vec_dot(array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)),
+        |          array(CAST(4.0 AS FLOAT), CAST(0.25 AS FLOAT))) AS d
         |""".stripMargin).collect()(0)
     assert(row.getAs[Double]("a") === 4.0)
     assert(row.getAs[Int]("c") === 2)
+    assert(row.getAs[Double]("d") === 1.5 * 4.0 + -2.0 * 0.25)
+  }
+
+  test("VecHyperplaneBuckets equals the HOF lshBucket per table on real embeddings") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftext.ArrayOps
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf).limit(300)
+    val planes = 4; val tables = 8
+    val rows = e.select(
+        ArrayOps.hyperplaneBuckets(col("embedding"), planes, tables).as("fused"),
+        array((0 until tables).map(t =>
+          Similarity.lshBucket(col("embedding"), planes, lit(t * planes))): _*).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("VecDotSeq is bit-identical to the interpreted HOF left fold on real embeddings") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftext.ArrayOps
+    val e = Tables.embeddings(spark, sf).limit(200)
+    val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val rows = e.crossJoin(e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        .limit(50))
+      .select(
+        ArrayOps.vecDot(col("embedding"), col("cvec")).as("fast"),
+        hof(col("embedding"), col("cvec")).as("slow"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // exact: same IEEE op sequence, not a tolerance comparison
+      assert(java.lang.Double.compare(r.getAs[Double]("fast"), r.getAs[Double]("slow")) == 0)
+    }
   }
 }
