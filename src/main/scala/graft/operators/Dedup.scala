@@ -33,16 +33,11 @@ object Dedup {
   /** MinHash signatures over pre-hashed words: permutation p rehashes
     * the 8-byte word hash with xxhash64(h, p) — native, fixed-width,
     * and wraparound-free (ANSI mode forbids overflowing multiply-add
-    * families). Structured as ONE fold over the words with an
-    * array-of-minima accumulator — expressions nested inside
-    * higher-order lambdas re-evaluate per iteration, so folding over
-    * permutations instead would re-hash every word numHashes times. */
-  def minhashSignature(hashes: Column, numHashes: Int): Column = {
-    val ps = sequence(lit(0), lit(numHashes - 1))
-    aggregate(hashes,
-      transform(ps, _ => lit(Long.MaxValue)),
-      (acc, h) => zip_with(acc, ps, (m, p) => least(m, xxhash64(h, p))))
-  }
+    * families). Computed by the codegen'd VecMinhashSig expression
+    * (one pass over the words, no per-word array allocation); a spec
+    * pins equality with the single-fold HOF formulation it replaced. */
+  def minhashSignature(hashes: Column, numHashes: Int): Column =
+    ArrayOps.minhashSig(hashes, numHashes)
 
   /** LSH candidate pairs from banded minhash signatures.
     *
@@ -222,20 +217,10 @@ object Dedup {
 
   /** 64-bit SimHash over the word set: bit k is set when the sum of
     * sign contributions (words whose xxhash64 has bit k) is positive.
-    * One fold over the words with a 64-slot bit-sum accumulator: each
-    * word is string-hashed exactly once, then costs 64 shift+mask
-    * ops (same per-iteration re-evaluation trap as minhash). */
-  def simhash(words: Column): Column = {
-    val ks = sequence(lit(0), lit(63))
-    val bitSums = aggregate(wordHashes(words),
-      transform(ks, _ => lit(0)),
-      (acc, h) => zip_with(acc, ks,
-        (s, k) => s + when(call_function("shiftright", h, k).bitwiseAND(1) === 1, 1).otherwise(-1)))
-    aggregate(
-      zip_with(bitSums, ks,
-        (s, k) => when(s > 0, call_function("shiftleft", lit(1L), k)).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * Each word is string-hashed exactly once, then the codegen'd
+    * VecSimhash expression folds the 64 bit-sums in one pass; a spec
+    * pins equality with the HOF formulation it replaced. */
+  def simhash(words: Column): Column = ArrayOps.simhash(wordHashes(words))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     *

@@ -250,11 +250,141 @@ case class VecHyperplaneBuckets(child: Expression, planes: Int, tables: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature of a pre-hashed word set in ONE codegen'd pass:
+  * slot p of the result is min over words w of xxhash64(w, p) —
+  * exactly the HOF fold it replaces (XXH64.hashLong(w, 42) chained
+  * with XXH64.hashInt(p, ·), Spark's XxHash64 semantics for a
+  * (long, int) call). Empty input yields Long.MaxValue slots, like
+  * the fold's initial accumulator.
+  *
+  * Why a custom Expression: the single-fold HOF formulation is
+  * interpreted and allocates a numHashes-wide array per WORD
+  * (zip_with), the dominant cost of signature computation.
+  */
+case class VecMinhashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = XXH64.hashLong(a.getLong(i), 42L)
+      var p = 0
+      while (p < numHashes) {
+        val h = XXH64.hashInt(p, base)
+        if (h < out(p)) out(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val p = ctx.freshName("p"); val base = ctx.freshName("base")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $out = new long[$numHashes];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $base = $xxh.hashLong($a.getLong($i), 42L);
+         |  for (int $p = 0; $p < $numHashes; $p++) {
+         |    final long $h = $xxh.hashInt($p, $base);
+         |    if ($h < $out[$p]) $out[$p] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecMinhashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a pre-hashed word set in ONE codegen'd pass:
+  * bit k of the result is set when the count of words with bit k set
+  * exceeds the count without — identical to the HOF bit-sum fold it
+  * replaces (each word contributes +1/-1 per bit; ties (sum 0, incl.
+  * the empty set) leave the bit clear).
+  */
+case class VecSimhash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = a.getLong(i)
+      var k = 0
+      while (k < 64) {
+        sums(k) += (if (((h >>> k) & 1L) == 1L) 1 else -1)
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (sums(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val k = ctx.freshName("k"); val h = ctx.freshName("h")
+      val sums = ctx.freshName("sums"); val sig = ctx.freshName("sig")
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $sums = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $a.getLong($i);
+         |  for (int $k = 0; $k < 64; $k++) {
+         |    $sums[$k] += ((($h >>> $k) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $k = 0; $k < 64; $k++) {
+         |  if ($sums[$k] > 0) $sig |= (1L << $k);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecSimhash =
+    copy(child = newChild)
+}
+
 object ArrayOps {
   /** Column API: intersection count of two sorted array<long> columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedLongIntersectCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API: minhash signature (array<long> of length numHashes)
+    * of a pre-hashed word-set column. */
+  def minhashSig(hashes: Column, numHashes: Int): Column =
+    ExpressionUtils.column(VecMinhashSig(ExpressionUtils.expression(hashes), numHashes))
+
+  /** Column API: 64-bit simhash of a pre-hashed word-set column. */
+  def simhash(hashes: Column): Column =
+    ExpressionUtils.column(VecSimhash(ExpressionUtils.expression(hashes)))
 
   /** Column API: all hyperplane-LSH bucket ids for a vector column,
     * one long per table. */

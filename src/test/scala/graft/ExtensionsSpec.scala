@@ -40,6 +40,37 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("VecMinhashSig and VecSimhash equal their HOF formulations on real documents") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val numHashes = 24
+    val d = Tables.documents(spark, sf).limit(300)
+      .select(Dedup.wordHashes(Dedup.wordSet(col("text"))).as("h"))
+    val ps = sequence(lit(0), lit(numHashes - 1))
+    val hofMinhash = aggregate(col("h"),
+      transform(ps, _ => lit(Long.MaxValue)),
+      (acc, h) => zip_with(acc, ps, (m, p) => least(m, xxhash64(h, p))))
+    val ks = sequence(lit(0), lit(63))
+    val bitSums = aggregate(col("h"),
+      transform(ks, _ => lit(0)),
+      (acc, h) => zip_with(acc, ks,
+        (s, k) => s + when(call_function("shiftright", h, k).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    val hofSimhash = aggregate(
+      zip_with(bitSums, ks,
+        (s, k) => when(s > 0, call_function("shiftleft", lit(1L), k)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val rows = d.select(
+        Dedup.minhashSignature(col("h"), numHashes).as("fusedM"), hofMinhash.as("hofM"),
+        org.apache.spark.sql.graftext.ArrayOps.simhash(col("h")).as("fusedS"),
+        hofSimhash.as("hofS"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+  }
+
   test("VecDotSeq is bit-identical to the interpreted HOF left fold on real embeddings") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftext.ArrayOps
