@@ -329,6 +329,50 @@ object Dedup {
       .withColumn("keep", col("id") === col("component"))
   }
 
+  /** Ordered word sequence (split on spaces, empties dropped) — gram
+    * building needs order, unlike [[wordSet]]. */
+  private def wordSeq(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+
+  /** Distinct hashed word n-grams of a document, empty for docs
+    * shorter than n words (the when-guard matters: sequence(1, stop)
+    * DESCENDS for stop < 1 and would fabricate grams). Gram identity
+    * is the space-joined word window — injective, since words
+    * contain no spaces. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = wordSeq(text)
+    array_distinct(transform(
+      when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
+        .otherwise(array().cast("array<int>")),
+      i => xxhash64(concat_ws(" ", slice(ws, i, lit(n))))))
+  }
+
+  /** Benchmark decontamination — the standard LLM-pipeline step:
+    * find corpus documents sharing any word n-gram with a benchmark
+    * (evaluation) set, so they can be dropped before training.
+    *
+    * @return doc_id, n_bench_docs (distinct benchmark docs sharing a
+    *         gram), n_shared_grams (distinct grams shared with ANY
+    *         benchmark doc) — only contaminated docs appear.
+    *
+    * Scale shape: both sides shingle map-side into fixed-width hashed
+    * grams; the join shuffles (gram, id) rows on the gram hash — and
+    * benchmark sets are eval-sized, so Catalyst broadcasts that side
+    * and the corpus never shuffles at all. No O(n^2); contamination
+    * cost is corpus-linear.
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val cg = corpus.select(col(idCol).as("doc_id"),
+      explode(wordNgrams(col(textCol), n)).as("g"))
+    val bg = bench.select(col(idCol).as("bench_id"),
+      explode(wordNgrams(col(textCol), n)).as("g"))
+    cg.join(bg, "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+        countDistinct(col("g")).as("n_shared_grams"))
+  }
+
   /** Exact character-n-gram Jaccard over ALL pairs of a (small,
     * pre-filtered) doc slice — the exact baseline for bounded slices;
     * unbounded corpora use the minhash/simhash paths. Grams are

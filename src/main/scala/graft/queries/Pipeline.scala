@@ -21,6 +21,7 @@ object Pipeline {
     "q34_embed_neardup" -> q34,
     "q35_dedup_clusters" -> q35,
     "q36_prefix_jaccard" -> q36,
+    "q37_decontaminate" -> q37,
     "q40_cosine_topk" -> q40,
     "q41_ann_lsh" -> q41,
     "q42_ann_ivf" -> q42,
@@ -96,6 +97,19 @@ object Pipeline {
     Dedup.prefixJaccardDuplicates(Tables.documents(spark, dir), "doc_id", "text",
         threshold = 0.95)
       .orderBy(col("i"), col("j"))
+
+  /** Benchmark decontamination: corpus docs (doc_id % 10 != 0)
+    * sharing any word 8-gram with the held-out benchmark slice
+    * (doc_id % 10 == 0) — the drop-before-training contamination
+    * check of LLM data pipelines. */
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Dedup.contamination(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
 
   /** Brute-force cosine top-5 for the vec_id % 50 == 0 query set. */
   def q40(spark: SparkSession, dir: String): DataFrame = {
@@ -219,6 +233,22 @@ object Pipeline {
     // q36 computes the SAME answer as q31 by a different exact
     // algorithm (prefix filtering); one brute-force oracle serves both
     "q36_prefix_jaccard" -> sqlBruteForcePairs95,
+    "q37_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_slice(ws, i, i + 7) AS gram
+        |  FROM toks, unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS t(i)),
+        |a AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 <> 0),
+        |b AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 = 0)
+        |SELECT a.doc_id,
+        |  count(DISTINCT b.doc_id) AS n_bench_docs,
+        |  count(DISTINCT a.gram) AS n_shared_grams
+        |FROM a JOIN b ON a.gram = b.gram
+        |GROUP BY a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     "q33_ngram_jaccard" ->
       """WITH sub AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
         |g AS (

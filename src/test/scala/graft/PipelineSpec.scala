@@ -49,6 +49,25 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("contamination flags exactly the docs sharing a word n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),   // shares the 8-gram window
+      (2L, "completely unrelated text about something else entirely here now"),
+      (3L, "a quick brown fox jumps over the lazy cat today"),     // every 8-window differs -> clean
+      (4L, "short doc"),                                           // < n words
+      (5L, "")                                                     // empty
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "prefix words the quick brown fox jumps over the lazy dog suffix")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, bench, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1: windows of 8 within "the quick brown fox jumps over the lazy dog today";
+    // bench contains "the quick brown fox jumps over the lazy" and
+    // "quick brown fox jumps over the lazy dog" -> 2 shared grams, 1 bench doc
+    assert(got === Set((1L, 1L, 2L)))
+  }
+
   test("minhash-LSH pairs equal brute-force jaccard pairs at 0.9") {
     val lsh = Dedup.minhashDuplicates(docs, "doc_id", "text", threshold = 0.9)
       .select("i", "j").as[(Long, Long)].collect().toSet
