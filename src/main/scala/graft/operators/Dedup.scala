@@ -168,6 +168,53 @@ object Dedup {
       .distinct()
   }
 
+  /** Bipartite (cross-corpus) exact Jaccard join at a high
+    * threshold: all pairs (i from `left`, j from `right`) with
+    * word-set Jaccard >= threshold — "dedup the new crawl against
+    * the existing corpus". Same prefix-filter theorem as
+    * [[prefixJaccardDuplicates]] under ONE global token order
+    * computed over the union of both sides (any fixed total order is
+    * correct; union rarest-first keeps prefixes selective on both).
+    *
+    * Scale shape: one union-wide frequency aggregate (checkpointed —
+    * it feeds both sides' prefix rankings), per-side prefix windows,
+    * a tok-keyed candidate join of short prefix rows, exact verify
+    * on survivors. Empty word sets are excluded (0/0 undefined), as
+    * in the self-join path.
+    */
+  def prefixJaccardJoin(left: DataFrame, right: DataFrame,
+                        idCol: String, textCol: String, threshold: Double): DataFrame = {
+    def docsOf(df: DataFrame) = df
+      .select(col(idCol).as("id"), wordHashes(wordSet(col(textCol))).as("h"))
+      .filter(size(col("h")) > 0)
+    val dl = docsOf(left)
+    val dr = docsOf(right)
+    def toksOf(d: DataFrame) =
+      d.select(col("id"), size(col("h")).as("n"), explode(col("h")).as("tok"))
+    val toksL = toksOf(dl)
+    val toksR = toksOf(dr)
+    val freq = toksL.unionAll(toksR).groupBy("tok").agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    def prefixOf(toks: DataFrame) = toks.join(freq, "tok")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("f"), col("tok"))))
+      .filter(col("rnk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("id"), col("n"), col("tok"))
+    val cand = prefixOf(toksL).as("a").join(prefixOf(toksR).as("b"),
+        col("a.tok") === col("b.tok") &&
+        least(col("a.n"), col("b.n")) >= lit(threshold) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+    val a = dl.select(col("id").as("i"), array_sort(col("h")).as("ha"))
+    val b = dr.select(col("id").as("j"), array_sort(col("h")).as("hb"))
+    cand.join(a, "i").join(b, "j")
+      .withColumn("c", ArrayOps.sortedIntersectCount(col("ha"), col("hb")))
+      .withColumn("jacc",
+        col("c").cast("double") /
+          (size(col("ha")) + size(col("hb")) - col("c")).cast("double"))
+      .select(col("i"), col("j"), col("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
   /** Shared near-dup shell: collapse identical word sets to one
     * representative, generate candidate rep pairs with `candidates`,
     * exact-verify at `threshold`, then expand back to member pairs

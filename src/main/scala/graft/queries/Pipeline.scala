@@ -22,6 +22,7 @@ object Pipeline {
     "q35_dedup_clusters" -> q35,
     "q36_prefix_jaccard" -> q36,
     "q37_decontaminate" -> q37,
+    "q38_cross_dedup" -> q38,
     "q40_cosine_topk" -> q40,
     "q41_ann_lsh" -> q41,
     "q42_ann_ivf" -> q42,
@@ -109,6 +110,18 @@ object Pipeline {
         d.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", n = 8)
       .orderBy(col("doc_id"))
+  }
+
+  /** Cross-corpus dedup: near-dup pairs at 0.95 between the even-id
+    * slice ("existing corpus") and the odd-id slice ("new crawl") via
+    * the bipartite prefix join. */
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Dedup.prefixJaccardJoin(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", threshold = 0.95)
+      .orderBy(col("i"), col("j"))
   }
 
   /** Brute-force cosine top-5 for the vec_id % 50 == 0 query set. */
@@ -233,6 +246,18 @@ object Pipeline {
     // q36 computes the SAME answer as q31 by a different exact
     // algorithm (prefix filtering); one brute-force oracle serves both
     "q36_prefix_jaccard" -> sqlBruteForcePairs95,
+    "q38_cross_dedup" ->
+      s"""WITH $sqlWordSets,
+         |inter AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+         |  FROM sets a JOIN sets b ON a.w = b.w
+         |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT i, j,
+         |  CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) AS jacc
+         |FROM inter JOIN wc na ON i = na.doc_id JOIN wc nb ON j = nb.doc_id
+         |WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.95
+         |ORDER BY i, j""".stripMargin,
     "q37_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,

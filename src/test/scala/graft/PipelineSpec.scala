@@ -49,6 +49,23 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("bipartite prefix join equals brute-force cross-corpus jaccard pairs") {
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val got = Dedup.prefixJaccardJoin(even, odd, "doc_id", "text", threshold = 0.9)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val ws = docs.select(col("doc_id"), Dedup.wordSet(col("text")).as("words"))
+      .as[(Long, Seq[String])].collect()
+    val brute = (for {
+      (i, wa) <- ws if i % 2 == 0
+      (j, wb) <- ws if j % 2 == 1
+      inter = wa.toSet.intersect(wb.toSet).size
+      uni = wa.size + wb.size - inter
+      if uni > 0 && inter.toDouble / uni >= 0.9
+    } yield (i, j)).toSet
+    assert(got === brute)
+  }
+
   test("contamination flags exactly the docs sharing a word n-gram with the benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),   // shares the 8-gram window
