@@ -18,6 +18,22 @@ object TextAnalysis {
   def alphaWords(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
 
+  /** Corpus vocabulary: top-k tokens by document frequency — the
+    * tokenizer-training (BPE prep) scan of LLM data pipelines.
+    * @return token, doc_freq (docs containing it), term_freq (total
+    *         occurrences), deterministically ordered by
+    *         (doc_freq desc, term_freq desc, token).
+    *
+    * Scale shape: one explode + one token-keyed aggregate (map-side
+    * partial counts collapse the per-doc repeats), then a global
+    * top-k — no per-doc state, corpus-linear. */
+  def vocabTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(wsTokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("id")).as("doc_freq"), count(lit(1)).as("term_freq"))
+      .orderBy(col("doc_freq").desc, col("term_freq").desc, col("token"))
+      .limit(k)
+
   /** BPE-ish token estimate: each alphabetic word contributes
     * ceil(len/4) pieces, digits and other non-space symbols one each
     * (a common fast proxy for LLM token budgeting). */

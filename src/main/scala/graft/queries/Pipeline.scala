@@ -29,7 +29,8 @@ object Pipeline {
     "q50_token_stats" -> q50,
     "q51_quality_score" -> q51,
     "q52_langid" -> q52,
-    "q53_fingerprint" -> q53
+    "q53_fingerprint" -> q53,
+    "q54_vocab_topk" -> q54
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -197,6 +198,11 @@ object Pipeline {
     Tables.documents(spark, dir).select(
         col("doc_id"), TextAnalysis.fingerprint(col("text"), 8).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** Corpus vocabulary: top-100 tokens by document frequency (the
+    * tokenizer-training prep scan). */
+  def q54(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabTopK(Tables.documents(spark, dir), "doc_id", "text", k = 100)
 
   private val sqlWordSets =
     """sets AS (
@@ -398,6 +404,18 @@ object Pipeline {
         |  (SELECT min(md5(substr(text, CAST(t.i AS INT), 8)))
         |   FROM unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)) AS fingerprint
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q54_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.w AS token
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        |  WHERE length(t.w) > 0)
+        |SELECT token,
+        |  count(DISTINCT doc_id) AS doc_freq,
+        |  count(*) AS term_freq
+        |FROM toks
+        |GROUP BY token
+        |ORDER BY doc_freq DESC, term_freq DESC, token
+        |LIMIT 100""".stripMargin
   )
 }
