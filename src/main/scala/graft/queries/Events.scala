@@ -20,7 +20,8 @@ object Events {
     "q62_user_funnel" -> q62,
     "q63_json_props" -> q63,
     "q64_approx_stats" -> q64,
-    "q70_binary_meta" -> q70
+    "q70_binary_meta" -> q70,
+    "q71_media_pipeline" -> q71
   )
 
   /** Tumbling 1-hour window aggregation (shared with streaming). */
@@ -95,6 +96,22 @@ object Events {
       .orderBy(col("doc_id"))
   }
 
+  /** Media pipeline over binary payloads: frame-sample (stride 2,
+    * 64-byte frames) + stub-resize to 64x64 — per-doc frame counts
+    * and sizes, all byte-arithmetic the oracle can restate. */
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
+    val frames = Multimodal.frameSampleBatch(payloads, stride = 2, frameBytes = 64)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
+    val resized = Multimodal.resizeBatch(payloads, w = 64, h = 64)
+      .select(col("id"), length(col("payload")).cast("int").as("resized_len"))
+    payloads.select(col("id"), length(col("payload")).cast("int").as("n_bytes"))
+      .join(frames, "id").join(resized, "id")
+      .select(col("id").as("doc_id"), col("n_bytes"), col("n_frames"), col("resized_len"))
+      .orderBy(col("doc_id"))
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q60_tumbling_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -144,6 +161,17 @@ object Events {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q71_media_pipeline" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS nb,
+        |    greatest((octet_length(encode(text)) + 63) // 64, 1) AS nf
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(nb AS INT) AS n_bytes,
+        |  CAST((nf + 1) // 2 AS BIGINT) AS n_frames,
+        |  CAST(16 AS INT) AS resized_len
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
     "q70_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

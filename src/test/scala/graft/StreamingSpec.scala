@@ -37,6 +37,41 @@ class StreamingSpec extends SparkSuite {
     assert(got === batch.count(), s"streamed dedup $got vs batch ${batch.count()}")
   }
 
+  test("frameSampleBatch/resizeBatch/featureBatch: shapes, edges, and ANN composition") {
+    import spark.implicits._
+    val payloads = Seq(
+      (1L, Array.tabulate(200)(_.toByte)),  // 200 bytes -> 4 frames of 64
+      (2L, Array[Byte]()),                  // empty -> 1 empty frame
+      (3L, Array.tabulate(64)(i => (i * 3).toByte))
+    ).toDF("id", "payload")
+    val frames = Multimodal.frameSampleBatch(payloads, stride = 2, frameBytes = 64).collect()
+    val byDoc = frames.groupBy(_.getAs[Long]("id"))
+    // doc1: frames 0 and 2 (stride 2 of 4); doc2: single empty frame; doc3: frame 0
+    assert(byDoc(1L).map(_.getAs[Int]("frame_idx")).sorted.toSeq === Seq(0, 2))
+    assert(byDoc(1L).find(_.getAs[Int]("frame_idx") == 2).get
+      .getAs[Array[Byte]]("frame").length === 64)
+    assert(byDoc(2L).map(_.getAs[Array[Byte]]("frame").length).toSeq === Seq(0))
+    assert(byDoc(3L).map(_.getAs[Int]("frame_idx")).toSeq === Seq(0))
+
+    val resized = Multimodal.resizeBatch(payloads, w = 64, h = 64).collect()
+    resized.foreach { r =>
+      assert(r.getAs[Int]("width") === 64)
+      assert(r.getAs[Array[Byte]]("payload").length === 64 * 64 / 256)
+    }
+
+    // features are embedding-shaped and compose with Similarity ANN
+    val feats = Multimodal.featureBatch(payloads.filter(col("id") =!= 2), dim = 8)
+    val topk = graft.operators.Similarity.bruteForceTopK(
+      feats.select(col("id").as("qid"), col("features").as("vec")),
+      feats.select(col("id").as("cid"), col("features").as("vec")), k = 1)
+      .collect()
+    assert(topk.length === 2) // each of the 2 docs finds the other
+    feats.collect().foreach { r =>
+      val f = r.getSeq[Float](r.fieldIndex("features"))
+      assert(f.length === 8 && f.forall(v => v >= 0.0f && v <= 1.0f))
+    }
+  }
+
   test("decodeBatch emits deterministic stub metadata matching the decoder") {
     val payloads = Tables.documents(spark, sf)
       .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
