@@ -18,6 +18,24 @@ object TextAnalysis {
   def alphaWords(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
 
+  /** Within-document repetition score — the C4/Gopher-style quality
+    * filter: the fraction of a doc's word n-gram windows that are
+    * repeats of an earlier window (templated/boilerplate text scores
+    * high). Map-side only; no shuffle at any scale.
+    * @return id, n_grams (total windows), n_distinct, rep_frac
+    *         (1 - distinct/total; 0.0 for docs shorter than n words)
+    */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val total = greatest(size(wsTokens(col(textCol))) - (n - 1), lit(0))
+    val distinct = size(Dedup.wordNgrams(col(textCol), n))
+    df.select(col(idCol).as("id"),
+      total.cast("long").as("n_grams"),
+      distinct.cast("long").as("n_distinct"),
+      when(total > 0,
+          lit(1.0) - distinct.cast("double") / total.cast("double"))
+        .otherwise(lit(0.0)).as("rep_frac"))
+  }
+
   /** Corpus vocabulary: top-k tokens by document frequency — the
     * tokenizer-training (BPE prep) scan of LLM data pipelines.
     * @return token, doc_freq (docs containing it), term_freq (total

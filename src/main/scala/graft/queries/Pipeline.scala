@@ -30,7 +30,8 @@ object Pipeline {
     "q51_quality_score" -> q51,
     "q52_langid" -> q52,
     "q53_fingerprint" -> q53,
-    "q54_vocab_topk" -> q54
+    "q54_vocab_topk" -> q54,
+    "q55_repetition" -> q55
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -203,6 +204,13 @@ object Pipeline {
     * tokenizer-training prep scan). */
   def q54(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabTopK(Tables.documents(spark, dir), "doc_id", "text", k = 100)
+
+  /** Within-doc repetition: repeated word-8-gram fraction (the
+    * C4/Gopher boilerplate filter). */
+  def q55(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionScore(Tables.documents(spark, dir), "doc_id", "text", n = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
 
   private val sqlWordSets =
     """sets AS (
@@ -405,6 +413,25 @@ object Pipeline {
         |   FROM unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)) AS fingerprint
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q55_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_slice(ws, i, i + 7) AS gram
+        |  FROM toks, unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS t(i)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
+        |  FROM g GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+        |  CASE WHEN coalesce(a.n_grams, 0) > 0
+        |    THEN 1.0 - CAST(a.n_distinct AS DOUBLE) / CAST(a.n_grams AS DOUBLE)
+        |    ELSE 0.0 END AS rep_frac
+        |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q54_vocab_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, t.w AS token

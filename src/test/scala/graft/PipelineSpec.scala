@@ -66,6 +66,23 @@ class PipelineSpec extends SparkSuite {
     assert(got === brute)
   }
 
+  test("repetitionScore measures repeated n-gram windows; short docs score 0") {
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      (1L, "a b c d a b c d a b c d"),  // 12 words, period 4: 5 windows, 4 distinct
+      (2L, "one two three four five six seven eight nine"), // 2 windows, both unique
+      (3L, "too short"),                 // < 8 words
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionScore(d, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got(1L) === ((5L, 4L, 1.0 - 4.0 / 5.0)))
+    assert(got(2L) === ((2L, 2L, 0.0)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+    assert(got(4L) === ((0L, 0L, 0.0)))
+  }
+
   test("contamination flags exactly the docs sharing a word n-gram with the benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),   // shares the 8-gram window
