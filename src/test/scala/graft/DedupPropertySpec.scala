@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Property-based checks for the EXACT dedup operators over seeded
+  * random corpora designed to stress the prefix-filter theorem:
+  * tiny vocabularies (forced token collisions), skewed doc lengths
+  * (size-filter boundaries), duplicates and near-duplicates
+  * (identical-set collapse), whitespace-only and sub-n docs (empty
+  * gram sets). Hand-rolled generator: deterministic under seed, no
+  * extra deps. The probabilistic miners (minhash, simhash) are
+  * covered by their own parity specs — these paths claim EXACTNESS,
+  * so they are held to brute force on every generated corpus.
+  */
+class DedupPropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(4242)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa", "lam", "mu")
+
+  private def randDoc(): String = rng.nextInt(20) match {
+    case 0 => ""                                  // empty
+    case 1 => "   "                               // whitespace-only
+    case 2 => vocab(rng.nextInt(vocab.size))      // single word
+    case _ =>
+      val len = 1 + rng.nextInt(18)
+      Vector.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+  }
+
+  private def corpus(n: Int): Seq[(Long, String)] = {
+    val base = (0 until n).map(i => (i.toLong, randDoc()))
+    // plant exact duplicates and one-word mutations of earlier docs
+    val dups = (0 until n / 4).map { i =>
+      val (src, text) = base(rng.nextInt(n))
+      val mutated =
+        if (rng.nextBoolean() || text.trim.isEmpty) text
+        else {
+          val ws = text.split(" ").toVector
+          ws.updated(rng.nextInt(ws.size), vocab(rng.nextInt(vocab.size))).mkString(" ")
+        }
+      ((n + i).toLong, if (rng.nextBoolean()) text else mutated)
+    }
+    base ++ dups
+  }
+
+  private def bruteSets(docs: Seq[(Long, String)]): Map[Long, Set[String]] =
+    docs.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSet }.toMap
+
+  private def brutePairs(sets: Map[Long, Set[String]], t: Double,
+                         bipartiteSplit: Option[Long => Boolean]): Set[(Long, Long)] = {
+    val ids = sets.keys.toSeq.sorted
+    (for {
+      i <- ids; j <- ids
+      if (bipartiteSplit match {
+        case None => i < j
+        case Some(f) => f(i) && !f(j)
+      })
+      a = sets(i); b = sets(j)
+      inter = a.intersect(b).size
+      uni = a.size + b.size - inter
+      if uni > 0 && inter.toDouble / uni >= t
+    } yield (i, j)).toSet
+  }
+
+  test("prefixJaccardDuplicates == brute force over random corpora and thresholds") {
+    for (round <- 0 until 4) {
+      val docs = corpus(40 + round * 10)
+      val t = Seq(0.5, 0.7, 0.9, 0.999)(round)
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.prefixJaccardDuplicates(df, "doc_id", "text", t)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      val want = brutePairs(bruteSets(docs), t, None)
+      assert(got === want, s"round $round threshold $t")
+    }
+  }
+
+  test("prefixJaccardJoin == brute force cross pairs over random corpora") {
+    for (round <- 0 until 3) {
+      val docs = corpus(40)
+      val t = Seq(0.6, 0.8, 0.95)(round)
+      val df = docs.toDF("doc_id", "text")
+      val even = df.filter(col("doc_id") % 2 === 0)
+      val odd = df.filter(col("doc_id") % 2 === 1)
+      val got = Dedup.prefixJaccardJoin(even, odd, "doc_id", "text", t)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      val want = brutePairs(bruteSets(docs), t, Some(_ % 2 == 0))
+      assert(got === want, s"round $round threshold $t")
+    }
+  }
+
+  test("contamination == brute-force shared-n-gram accounting over random corpora") {
+    for (n <- Seq(2, 3)) {
+      val docs = corpus(50)
+      val df = docs.toDF("doc_id", "text")
+      val corpusSide = df.filter(col("doc_id") % 3 =!= 0)
+      val benchSide = df.filter(col("doc_id") % 3 === 0)
+      val got = Dedup.contamination(corpusSide, benchSide, "doc_id", "text", n)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      def gramsOf(t: String): Set[Seq[String]] = {
+        val ws = t.split(" ").filter(_.nonEmpty).toSeq
+        (0 to ws.length - n).map(i => ws.slice(i, i + n)).toSet
+      }
+      val bench = docs.filter(_._1 % 3 == 0).map { case (id, t) => id -> gramsOf(t) }
+      val want = docs.filter(_._1 % 3 != 0).flatMap { case (id, t) =>
+        val g = gramsOf(t)
+        val hitDocs = bench.count { case (_, bg) => g.intersect(bg).nonEmpty }
+        val hitGrams = g.count(gr => bench.exists(_._2.contains(gr)))
+        if (hitDocs > 0) Some(id -> ((hitDocs.toLong, hitGrams.toLong))) else None
+      }.toMap
+      assert(got === want, s"n=$n")
+    }
+  }
+}
