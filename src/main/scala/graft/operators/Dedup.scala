@@ -152,20 +152,47 @@ object Dedup {
     * id); the candidate join shuffles only the short (tok, id, n)
     * prefix rows on tok — no signatures, no O(n^2), and the frequency
     * table is joined (not broadcast), so a 100 TB vocabulary works.
+    *
+    * CORPUS-SHAPE CAVEAT: prefix filtering relies on frequency SKEW —
+    * rare tokens must exist for prefixes to discriminate. On a corpus
+    * whose token frequencies are near-uniform (measured: 100k docs x
+    * 120 words over a uniform 5k vocabulary), every prefix bucket
+    * holds ~df*L/n docs and candidates explode quadratically while
+    * minhash's random band buckets stay small. Use
+    * [[prefixCandidateEstimate]] (as [[dedupCorpus]] does) to predict
+    * the volume for a few cents of compute before committing.
     */
-  def prefixJaccardCandidates(docs: DataFrame, threshold: Double): DataFrame = {
-    val toks = docs.select(col("id"), size(col("h")).as("n"), explode(col("h")).as("tok"))
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
-    val prefix = toks.join(freq, "tok")
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("f"), col("tok"))))
-      .filter(col("rnk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("id"), col("n"), col("tok"))
-    prefix.as("a").join(prefix.as("b"),
+  def prefixJaccardCandidates(docs: DataFrame, threshold: Double): DataFrame =
+    prefixRows(docs, threshold).as("a").join(prefixRows(docs, threshold).as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
         least(col("a.n"), col("b.n")) >= lit(threshold) * greatest(col("a.n"), col("b.n")))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
+
+  /** The (id, n, tok) prefix rows of the AllPairs join: each doc's
+    * n - ceil(t*n) + 1 rarest tokens under the corpus-wide
+    * (frequency, token) order. */
+  private def prefixRows(docs: DataFrame, threshold: Double): DataFrame = {
+    val toks = docs.select(col("id"), size(col("h")).as("n"), explode(col("h")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+    toks.join(freq, "tok")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("f"), col("tok"))))
+      .filter(col("rnk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("id"), col("n"), col("tok"))
+  }
+
+  /** Upper bound on the prefix join's candidate-pair volume:
+    * sum over tokens of C(bucket, 2) where bucket = docs carrying the
+    * token in their prefix. One cheap aggregate over the prefix rows
+    * — the cost-based dispatch signal for choosing prefix vs LSH
+    * (frequency-skewed corpora score low, uniform ones explode). */
+  def prefixCandidateEstimate(docs: DataFrame, threshold: Double): Double = {
+    val Array(row) = prefixRows(docs, threshold)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1) / 2).cast("double").as("est"))
+      .collect()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 
   /** Bipartite (cross-corpus) exact Jaccard join at a high
@@ -357,17 +384,39 @@ object Dedup {
 
   /** End-to-end near-dup dedup: near-dup pairs -> connected
     * components -> keep the min-id representative per cluster.
-    * Pair mining is cost-dispatched on the threshold: high thresholds
-    * use the exact prefix-filter join (short rare-token prefixes, no
-    * signatures, no miss probability), moderate ones MinHash-LSH
-    * (prefixes would grow to most of each doc).
+    *
+    * Pair mining is COST-dispatched: at high thresholds the exact
+    * prefix-filter join is usually far cheaper (short rare-token
+    * prefixes, no signatures, no miss probability) — but only when
+    * token frequencies are skewed enough for prefixes to
+    * discriminate. A cheap candidate-volume estimate (one aggregate
+    * over the prefix rows) guards the choice: corpora with
+    * near-uniform frequencies, where prefix buckets explode
+    * quadratically, fall back to MinHash-LSH whose random band
+    * buckets are insensitive to frequency shape.
     * @return id, component, keep (true for the cluster representative;
     *         singletons — docs with no near-dup — are all keepers)
     */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double): DataFrame = {
+    val usePrefix = threshold >= 0.9 && {
+      val docs = df.select(col(idCol).as("id"), wordHashes(wordSet(col(textCol))).as("h"))
+        .filter(size(col("h")) > 0)
+      val n = docs.count()
+      // The estimate pays a frequency aggregate + prefix window, so
+      // it only runs where a blowup is possible; small corpora go
+      // straight to the prefix path (their candidate space is bounded
+      // anyway, and measured prefix wins at up to ~2.7k est/doc).
+      // For large corpora the budget is calibrated from 100k-doc
+      // measurements (tools/ScaleStress): ~40 est/doc runs in
+      // seconds, ~550 est/doc already degenerates past LSH (the
+      // estimate undercounts the verify/distinct shuffle freight that
+      // grows with doc length), and the near-uniform-frequency shape
+      // measures ~5k est/doc.
+      n <= 20000 || prefixCandidateEstimate(docs, threshold) <= 200.0 * n
+    }
     val pairs =
-      if (threshold >= 0.9) prefixJaccardDuplicates(df, idCol, textCol, threshold)
+      if (usePrefix) prefixJaccardDuplicates(df, idCol, textCol, threshold)
       else minhashDuplicates(df, idCol, textCol, threshold)
     val comps = connectedComponents(pairs.select(col("i"), col("j")))
     df.select(col(idCol).as("id"))

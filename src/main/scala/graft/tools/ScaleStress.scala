@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Scale-stress harness: synthetic corpora ~20x the sf0.1 bench
+  * corpus (default 100k docs), generated distributed (seeded per
+  * doc, deterministic) into /tmp parquet, timing the dedup/text
+  * operators end-to-end.
+  *
+  * Two corpus shapes, because the prefix join's cost depends on
+  * token-frequency SKEW, not just size:
+  *  - zipf: 5k-word Zipfian vocabulary (realistic text) — rare
+  *    tokens exist, prefix buckets stay small;
+  *  - uniform: 5k-word uniform vocabulary (adversarial) — prefixes
+  *    cannot discriminate and the candidate estimate explodes, so
+  *    dedupCorpus's cost-based dispatch must pick MinHash-LSH.
+  *
+  * Run: sbt "runMain graft.tools.ScaleStress [nDocs]"
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(100000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val nTemplates = math.max(1, nDocs / 20)
+    val docLen = 120
+    // Realistic text has a long Zipf tail — the vocabulary must be
+    // large relative to total token draws (nDocs*docLen) or no
+    // genuinely rare tokens exist (a 5k vocab over 12M draws puts
+    // even rank 5000 in ~260 docs, which starves prefix filtering
+    // the way the uniform shape does). 200k ranks over 12M draws
+    // leaves ranks beyond ~50k near-hapax.
+    val zipfVocab = 200000
+    val uniformVocab = 5000
+    // Zipf inverse-CDF table (rank r w.p. ~ 1/r)
+    val zipfCum: Array[Double] = {
+      val w = Array.tabulate(zipfVocab)(r => 1.0 / (r + 1))
+      val total = w.sum
+      w.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    }
+    def gen(shape: String): DataFrame = {
+      val out = s"/tmp/graft_scale_${shape}_$nDocs.parquet"
+      val zc = zipfCum
+      spark.range(0, nDocs, 1, 32)
+        .mapPartitions { it =>
+          def draw(rng: scala.util.Random): String =
+            if (shape == "uniform") s"w${rng.nextInt(uniformVocab)}"
+            else {
+              val i = java.util.Arrays.binarySearch(zc, rng.nextDouble())
+              s"w${if (i >= 0) i else -i - 1}"
+            }
+          it.map { id =>
+            val tplRng = new scala.util.Random((id % nTemplates).toInt)
+            val words = Array.fill(docLen)(draw(tplRng))
+            val docRng = new scala.util.Random(id)
+            (0 until docRng.nextInt(9)).foreach { _ =>
+              words(docRng.nextInt(docLen)) = draw(docRng)
+            }
+            (id, words.mkString(" "))
+          }
+        }.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }
+    def timed(label: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $label: $r in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    val zipf = gen("zipf")
+    println(s"[stress] zipf corpus: ${zipf.count()} docs, $nTemplates clusters")
+    def hashed(d: DataFrame) = d
+      .select(col("doc_id").as("id"), Dedup.wordHashes(Dedup.wordSet(col("text"))).as("h"))
+      .filter(size(col("h")) > 0)
+    timed("zipf prefix candidate estimate")(
+      Dedup.prefixCandidateEstimate(hashed(zipf), 0.95).toLong)
+    timed("zipf exact dedup")(Dedup.exact(zipf, "doc_id", "text").count())
+    timed("zipf prefix jaccard pairs t=0.95")(
+      Dedup.prefixJaccardDuplicates(zipf, "doc_id", "text", 0.95).count())
+    timed("zipf minhash-LSH pairs t=0.95")(
+      Dedup.minhashDuplicates(zipf, "doc_id", "text", 0.95).count())
+    timed("zipf simhash pairs ham<=8")(
+      Dedup.simhashDuplicates(zipf, "doc_id", "text", 8).count())
+    // bench slice modulus must be COPRIME with the template modulus
+    // (nDocs/20) or a benchmark doc's cluster-mates all land in the
+    // benchmark too and contamination trivially finds nothing
+    timed("zipf contamination n=8 (~1% bench)")(
+      Dedup.contamination(zipf.filter(col("doc_id") % 97 =!= 0),
+        zipf.filter(col("doc_id") % 97 === 0), "doc_id", "text", 8).count())
+    timed("zipf vocab top-100")(
+      TextAnalysis.vocabTopK(zipf, "doc_id", "text", 100).count())
+    timed("zipf repetition score")(
+      TextAnalysis.repetitionScore(zipf, "doc_id", "text", 8).count())
+    timed("zipf dedupCorpus end-to-end t=0.95")(
+      Dedup.dedupCorpus(zipf, "doc_id", "text", 0.95).count())
+
+    val uni = gen("uniform")
+    println(s"[stress] uniform corpus: ${uni.count()} docs")
+    timed("uniform prefix candidate estimate (expect huge)")(
+      Dedup.prefixCandidateEstimate(hashed(uni), 0.95).toLong)
+    timed("uniform minhash-LSH pairs t=0.95 (what the dispatch picks)")(
+      Dedup.minhashDuplicates(uni, "doc_id", "text", 0.95).count())
+    spark.stop()
+  }
+}
