@@ -250,13 +250,18 @@ object Dorling {
     * summation — instead of paying ~`iterations` Spark job launches.
     * Larger inputs (or smallN = 0) take the distributed per-iteration
     * step path; both paths share radii/borders and the step math.
+    * The default crossover is measured: the driver loop is O(n^2) per
+    * iteration and at 10k regions (tools/ScaleStress) it already
+    * loses to the grid-binned distributed step (10.7 s vs 7.9 s for
+    * 3 iterations); at hundreds of regions it wins by the full
+    * per-iteration job-launch cost.
     *
     * @param df (idCol, valueCol, geomCol WKT)
     * @return id, value, radius, x, y, geometry (circle WKT)
     */
   def run(df: DataFrame, idCol: String, valueCol: String, geomCol: String,
           iterations: Int = 100, ratio: Double = 0.4, friction: Double = 0.5,
-          quadsegs: Int = 16, smallN: Int = 10000): DataFrame = {
+          quadsegs: Int = 16, smallN: Int = 2000): DataFrame = {
     // Materialize borders ONCE — its lineage holds the geometry
     // spatial join, which would otherwise re-execute both inside
     // radii's k-aggregate and inside every iteration's step join.

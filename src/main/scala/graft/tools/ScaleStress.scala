@@ -18,11 +18,13 @@ import graft.operators.{Dedup, TextAnalysis}
   *    cannot discriminate and the candidate estimate explodes, so
   *    dedupCorpus's cost-based dispatch must pick MinHash-LSH.
   *
-  * Run: sbt "runMain graft.tools.ScaleStress [nDocs]"
+  * Run: sbt "runMain graft.tools.ScaleStress [nDocs] [sections]"
+  * sections: comma-list of docs,geo,vec (default all)
   */
 object ScaleStress {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(100000)
+    val sections = args.drop(1).headOption.getOrElse("docs,geo,vec").split(",").toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -77,6 +79,7 @@ object ScaleStress {
       println(f"[stress] $label: $r in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
+    if (sections("docs")) {
     val zipf = gen("zipf")
     println(s"[stress] zipf corpus: ${zipf.count()} docs, $nTemplates clusters")
     def hashed(d: DataFrame) = d
@@ -110,6 +113,53 @@ object ScaleStress {
       Dedup.prefixCandidateEstimate(hashed(uni), 0.95).toLong)
     timed("uniform minhash-LSH pairs t=0.95 (what the dispatch picks)")(
       Dedup.minhashDuplicates(uni, "doc_id", "text", 0.95).count())
+    }
+
+    if (sections("geo")) {
+    // --- geometry core at 25x the q2x region count: 100x100 grid ---
+    val gn = 100
+    val grid = spark.range(0, gn.toLong * gn, 1, 32)
+      .selectExpr("id",
+        s"concat('POLYGON ((', (id % $gn) * 4, ' ', (id div $gn) * 4, ', ', " +
+        s"(id % $gn) * 4 + 4, ' ', (id div $gn) * 4, ', ', " +
+        s"(id % $gn) * 4 + 4, ' ', (id div $gn) * 4 + 4, ', ', " +
+        s"(id % $gn) * 4, ' ', (id div $gn) * 4 + 4, ', ', " +
+        s"(id % $gn) * 4, ' ', (id div $gn) * 4, '))') AS geometry",
+        "1.0 + CAST(id % 7 AS DOUBLE) AS value")
+      .localCheckpoint()
+    println(s"[stress] grid: ${grid.count()} regions")
+    timed("borders queen 10k regions")(
+      graft.operators.Borders.compute(grid, "id", "geometry").count())
+    timed("non-contiguous 10k regions")(
+      graft.operators.NonContiguous.run(grid, "id", "value", "geometry").count())
+    timed("dorling 3 iters DISTRIBUTED 10k regions")(
+      graft.operators.Dorling.run(grid, "id", "value", "geometry",
+        iterations = 3, smallN = 0).count())
+    timed("dorling 3 iters driver-side 10k regions")(
+      graft.operators.Dorling.run(grid, "id", "value", "geometry",
+        iterations = 3).count())
+    }
+
+    if (sections("vec")) {
+    // --- embeddings at 25x the bench vector count: 50k x 64-dim ---
+    val vecs = spark.range(0, 50000, 1, 32)
+      .mapPartitions { it =>
+        it.map { id =>
+          val rng = new scala.util.Random(id)
+          (id, Array.fill(64)(rng.nextFloat() * 2 - 1))
+        }
+      }.toDF("vid", "vec").localCheckpoint()
+    println(s"[stress] vectors: ${vecs.count()} x 64-dim")
+    val q = vecs.filter(col("vid") % 100 === 0)
+      .select(col("vid").as("qid"), col("vec"))
+    val c = vecs.select(col("vid").as("cid"), col("vec"))
+    timed("brute-force cosine top-10, 500 queries x 50k corpus")(
+      graft.operators.Similarity.bruteForceTopK(q, c, 10).count())
+    timed("ann-LSH top-10, 500 queries x 50k corpus")(
+      graft.operators.Similarity.annTopK(q, c, 10).count())
+    timed("ann-IVF top-10, 500 queries x 50k corpus")(
+      graft.operators.Similarity.ivfTopK(q, c, 10, nlist = 64, nprobe = 8).count())
+    }
     spark.stop()
   }
 }
