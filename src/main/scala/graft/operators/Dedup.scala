@@ -188,9 +188,14 @@ object Dedup {
     * — the cost-based dispatch signal for choosing prefix vs LSH
     * (frequency-skewed corpora score low, uniform ones explode). */
   def prefixCandidateEstimate(docs: DataFrame, threshold: Double): Double = {
+    // c casts to double BEFORE the multiply: under ANSI mode a long
+    // c*(c-1) throws past ~3e9 docs per bucket — exactly the
+    // degenerate-skew case this estimate exists to detect; in double
+    // it degrades gracefully instead of failing.
     val Array(row) = prefixRows(docs, threshold)
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * (col("c") - 1) / 2).cast("double").as("est"))
+      .agg(sum(col("c").cast("double") * (col("c") - 1).cast("double") / 2)
+        .cast("double").as("est"))
       .collect()
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
@@ -301,10 +306,25 @@ object Dedup {
     * Pigeonhole banding: split 64 bits into maxHamming+1 blocks — any
     * pair within the budget must agree exactly on at least one block,
     * so candidates come from equi-joins on block values (shuffle on
-    * (block, value)), then exact popcount verification. No O(n^2).
+    * (block, value)), then exact popcount verification. No O(n^2)
+    * across the corpus — but block values are only ~7 bits wide, so a
+    * LOW-ENTROPY corpus concentrates docs on a few hot values and the
+    * join degenerates quadratic WITHIN those buckets.
+    *
+    * Hot-bucket second-level split: buckets holding more than
+    * `hotBudget` docs re-apply the pigeonhole on the OTHER 57 bits —
+    * split into maxHamming+1 sub-ranges, any within-budget pair that
+    * agrees on the hot block also has <= maxHamming diffs outside it
+    * and therefore agrees on a whole sub-range, so the hot bucket's
+    * join adds the sub-range value to its key. Emission volume drops
+    * from C(c, 2) to ~(m+1)/2^subwidth of that (c = bucket size); the
+    * guarantee is preserved exactly, and each pair still surfaces
+    * exactly once (earliest agreeing block, then earliest agreeing
+    * sub-range). Bucket sizes are one tiny aggregate (the value space
+    * is <= (m+1)*256), broadcast to split hot from cold.
     */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 8): DataFrame = {
+                        maxHamming: Int = 8, hotBudget: Int = 512): DataFrame = {
     val nBlocks = maxHamming + 1
     // Uneven block boundaries covering exactly bits [0, 64): block b is
     // [b*64/n, (b+1)*64/n). A naive fixed width of ceil(64/n) would
@@ -315,6 +335,17 @@ object Dedup {
       val width = (b + 1) * 64 / nBlocks - start
       (b, start, width)
     }
+    // Sub-range masks for hot block b: the 64-width(b) bits OUTSIDE
+    // block b, chunked into nBlocks groups (masks, not compacted
+    // values — equality on sig&mask is equality on the group's bits).
+    val subMasks: IndexedSeq[IndexedSeq[Long]] = blocks.map { case (_, start, width) =>
+      val others = (0 until 64).filterNot(k => k >= start && k < start + width)
+      (0 until nBlocks).map { s =>
+        val lo = s * others.length / nBlocks
+        val hi = (s + 1) * others.length / nBlocks
+        others.slice(lo, hi).foldLeft(0L)((m, k) => m | (1L << k))
+      }
+    }
     val sigs = df.select(col(idCol).as("id"),
       simhash(wordSet(col(textCol))).as("sig"))
     val blocked = sigs.select(col("id"), col("sig"),
@@ -324,39 +355,87 @@ object Dedup {
             .bitwiseAND(shiftleft(lit(1L), width) - 1).as("value"))
         }: _*)).as("bv"))
       .select(col("id"), col("sig"), col("bv.block"), col("bv.value"))
+      .localCheckpoint() // feeds the size aggregate + both join sides
+
+    val hotSet = blocked.groupBy(col("block"), col("value"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > hotBudget)
+      .select(col("block"), col("value"))
+    val cold = blocked.join(broadcast(hotSet), Seq("block", "value"), "left_anti")
+    val hot = blocked.join(broadcast(hotSet), Seq("block", "value"), "left_semi")
+
     // Both signatures ride the join output, so pair-dedup needs no
     // distinct(): keep a row only when NO EARLIER block also matches.
     // The check is an UNROLLED boolean chain (higher-order `exists`
     // is interpreted per row — fatal on tens of millions of rows);
     // each term is two shift+mask compares, fully codegen'd.
-    val anyEarlierMatches = blocks.init.map { case (b, start, width) =>
+    val anyEarlierBlockMatches = blocks.init.map { case (b, start, width) =>
       val mask = (1L << width) - 1
       col("block") > b &&
         (call_function("shiftright", col("si"), lit(start)).bitwiseAND(lit(mask)) ===
          call_function("shiftright", col("sj"), lit(start)).bitwiseAND(lit(mask)))
     }.reduce(_ || _)
-    blocked.as("a").join(blocked.as("b"),
+
+    val coldRaw = cold.as("a").join(cold.as("b"),
         col("a.block") === col("b.block") && col("a.value") === col("b.value") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         col("a.sig").as("si"), col("b.sig").as("sj"), col("a.block").as("block"))
-      .filter(!anyEarlierMatches)
+      .filter(!anyEarlierBlockMatches)
+      .select(col("i"), col("j"), col("si"), col("sj"))
+
+    // Hot side: add (sub, sig & subMask(block, sub)) to the join key.
+    // The sub-value column dispatches on the row's block via a
+    // coalesce-of-whens (block is one of nBlocks literals).
+    def subVal(s: Int): Column = col("sig").bitwiseAND(coalesce(
+      blocks.map { case (b, _, _) => when(col("block") === b, lit(subMasks(b)(s))) }: _*))
+    val sub = hot.select(col("id"), col("sig"), col("block"), col("value"),
+        explode(array((0 until nBlocks).map(s =>
+          struct(lit(s).as("sub"), subVal(s).as("subval"))): _*)).as("sv"))
+      .select(col("id"), col("sig"), col("block"), col("value"),
+        col("sv.sub"), col("sv.subval"))
+    // within the hot bucket, keep only the EARLIEST agreeing sub-range
+    val anyEarlierSubMatches = blocks.map { case (b, _, _) =>
+      col("block") === b && (1 until nBlocks).map { s =>
+        col("sub") === s && (0 until s).map { sp =>
+          col("si").bitwiseAND(lit(subMasks(b)(sp))) ===
+            col("sj").bitwiseAND(lit(subMasks(b)(sp)))
+        }.reduce(_ || _)
+      }.reduce(_ || _)
+    }.reduce(_ || _)
+    val hotRaw = sub.as("a").join(sub.as("b"),
+        col("a.block") === col("b.block") && col("a.value") === col("b.value") &&
+        col("a.sub") === col("b.sub") && col("a.subval") === col("b.subval") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.sig").as("si"), col("b.sig").as("sj"),
+        col("a.block").as("block"), col("a.sub").as("sub"))
+      .filter(!anyEarlierBlockMatches && !anyEarlierSubMatches)
+      .select(col("i"), col("j"), col("si"), col("sj"))
+
+    coldRaw.unionAll(hotRaw)
       .withColumn("hamming", bit_count(col("si").bitwiseXOR(col("sj"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("i"), col("j"), col("hamming"))
   }
 
-  /** Connected components over a similarity-pair edge list: iterative
-    * min-label propagation (each node adopts the smallest label in its
-    * neighborhood until fixpoint) — the standard Spark-native CC shape
-    * (cf. GraphX/connected-components literature: large-star/small-star
-    * converges in O(log n) rounds on real graphs; near-dup graphs are
-    * dense cliques, which converge in 1-2 rounds).
+  /** Connected components over a similarity-pair edge list:
+    * min-label propagation with POINTER DOUBLING — each round first
+    * takes the min label over the neighborhood, then replaces every
+    * label by its label's label (path halving), so label information
+    * travels ~2^round hops after `round` rounds instead of one hop
+    * per round. A near-dup CHAIN of diameter d (templated corpora
+    * produce these: A~B~C~... each within threshold of the next)
+    * converges in O(log d) rounds; cliques converge in 1-2.
+    *
+    * Terminates at the exact fixpoint (no-change round) and THROWS if
+    * the round cap is hit — silently returning unconverged labels
+    * would mis-cluster without any signal. The default cap of 50
+    * doubling rounds covers any graph that fits in storage.
     *
     * @param pairs (i, j) undirected edges
     * @return (id, component) — component = min id reachable
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("i"), col("j"))
       .unionAll(pairs.select(col("j").as("i"), col("i").as("j")))
       .distinct().localCheckpoint()
@@ -365,20 +444,35 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      // each node's new label: min(own, min over neighbors' labels)
+      // pass 1 — propagate: min(own, min over neighbors' labels)
       val nbMin = edges
         .join(labels.withColumnRenamed("id", "j"), "j")
         .groupBy(col("i").as("id")).agg(min(col("component")).as("nb_component"))
-      val updated = labels.join(nbMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nb_component"), col("component")))
-            .as("component"),
-          (col("nb_component") < col("component")).as("moved"))
-        .localCheckpoint()
-      changed = updated.filter(col("moved")).count()
-      labels = updated.select("id", "component").localCheckpoint()
+      // checkpointFlat per round (NOT bare localCheckpoint): inherited
+      // stats estimates would compound geometrically across rounds and
+      // stall the planner (see PlanUtil.checkpointFlat).
+      val prop = graft.PlanUtil.checkpointFlat(
+        labels.join(nbMin, Seq("id"), "left")
+          .select(col("id"), col("component").as("old"),
+            least(col("component"), coalesce(col("nb_component"), col("component")))
+              .as("component")))
+      // pass 2 — pointer-jump: component <- label(component). Labels
+      // are node ids and label(x) <= x, so the jump only decreases;
+      // this squares the distance already-propagated labels cover.
+      val jumped = graft.PlanUtil.checkpointFlat(
+        prop.join(
+            prop.select(col("id").as("component"), col("component").as("grand")),
+            Seq("component"), "left")
+          .select(col("id"), col("old"),
+            coalesce(col("grand"), col("component")).as("component")))
+      changed = jumped.filter(col("component") =!= col("old")).count()
+      labels = jumped.select("id", "component")
       it += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter doubling rounds " +
+          "(graph diameter beyond ~2^maxIter) — raise maxIter")
     labels
   }
 

@@ -256,6 +256,16 @@ object Dorling {
     * 3 iterations); at hundreds of regions it wins by the full
     * per-iteration job-launch cost.
     *
+    * POSITION STABILITY ACROSS PATHS: the driver loop sums forces in
+    * double, the distributed step in exact decimal — identical force
+    * model, different accumulation order, so positions drift by
+    * floating-point rounding that compounds per iteration (measured:
+    * < 1e-6 at 3 iterations, < 1e-5 at 30 on a 400-region grid,
+    * pinned by BordersScaleSpec). Treat run() positions as stable to
+    * ~1e-4 at the default 100 iterations and do NOT hash them across
+    * a smallN dispatch change; the driver-gated queries (q23/q24) call
+    * radii/step directly and are unaffected by the dispatch.
+    *
     * @param df (idCol, valueCol, geomCol WKT)
     * @return id, value, radius, x, y, geometry (circle WKT)
     */
@@ -278,9 +288,12 @@ object Dorling {
       // One checkpoint per iteration: a step embeds joins+aggregations,
       // so chaining steps compounds shuffles into one oversized plan
       // (measured 3x slower at cadence 4) — materialize each round.
+      // checkpointFlat, not bare localCheckpoint: inherited stats
+      // estimates compound geometrically across iterations and stall
+      // the planner past ~20 rounds (see PlanUtil.checkpointFlat).
       var i = 0
       while (i < iterations) {
-        pos = step(pos, borders, widest, ratio, friction).localCheckpoint()
+        pos = graft.PlanUtil.checkpointFlat(step(pos, borders, widest, ratio, friction))
         i += 1
       }
     }

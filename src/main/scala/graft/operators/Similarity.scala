@@ -49,10 +49,21 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for plane p,
-    * dimension d: a +/-1 from xxhash64 — reproducible across runs and
-    * engines without RNG state. */
-  private def hyperplaneSign(p: Column, d: Column): Column =
-    when(xxhash64(p, d).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)
+    * dimension d: a +/-1 from a PORTABLE two-round multiplicative
+    * mixer (Knuth constant, xor-fold, LCG round) over k = p*4096+d+1.
+    * Chosen over xxhash64 deliberately: every operation is plain
+    * 64-bit integer arithmetic with no overflow below k < 2^31, so an
+    * independent engine (the DuckDB oracle, a Python check) can
+    * reproduce the exact sign matrix — which makes the ANN queries
+    * fully hash-checkable instead of rows-only. Dimension cap 4096
+    * keeps (p, d) keys collision-free. */
+  private[graft] def hyperplaneSign(p: Column, d: Column): Column = {
+    val k = p.cast("long") * lit(4096L) + d.cast("long") + lit(1L)
+    val h1 = (k * lit(2654435761L)) % lit(4294967296L)
+    val m = h1.bitwiseXOR(shiftright(h1, 15)).bitwiseAND(lit(2147483647L))
+    val h2 = (m * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    when(h2 >= lit(1073741824L), 1.0).otherwise(-1.0)
+  }
 
   /** Random-hyperplane LSH bucket id for one hash table: `planes`
     * sign bits packed into a long; `tableOffset` seeds distinct
@@ -128,10 +139,15 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // deterministic pivot sample: the nlist smallest xxhash64(cid)
+    // Deterministic pivot sample: the nlist smallest under a portable
+    // multiplicative hash of cid (cid ties broken by cid) — same
+    // engine-independence rationale as hyperplaneSign: the oracle can
+    // pick the identical pivots, so IVF output is hash-checkable.
+    // The % 1000000007 pre-fold keeps the product overflow-free for
+    // any non-negative 64-bit cid under ANSI mode.
     val pivots = corpus
-      .withColumn("hk", xxhash64(col("cid")))
-      .orderBy(col("hk")).limit(nlist)
+      .withColumn("hk", ((col("cid") % lit(1000000007L)) * lit(2654435761L)) % lit(4294967296L))
+      .orderBy(col("hk"), col("cid")).limit(nlist)
       .select(col("cid").as("pivot_id"), col("vec").as("pvec"),
         norm2Seq(col("vec")).as("pn2"))
 

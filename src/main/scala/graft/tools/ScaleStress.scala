@@ -135,9 +135,12 @@ object ScaleStress {
     timed("dorling 3 iters DISTRIBUTED 10k regions")(
       graft.operators.Dorling.run(grid, "id", "value", "geometry",
         iterations = 3, smallN = 0).count())
+    // smallN past the region count forces the driver-side Jacobi loop
+    // (the default dispatch would send 10k regions down the
+    // distributed path and re-measure the line above)
     timed("dorling 3 iters driver-side 10k regions")(
       graft.operators.Dorling.run(grid, "id", "value", "geometry",
-        iterations = 3).count())
+        iterations = 3, smallN = Int.MaxValue).count())
     }
 
     if (sections("vec")) {

@@ -76,8 +76,13 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
   * the DuckDB oracle's `list_reduce` left fold (SURVEY.md §4).
   *
   * Contract: element types float or double (independently per side),
-  * no null elements (embedding columns), result over the shorter
-  * length if dims differ.
+  * result over the shorter length if dims differ. A NULL ELEMENT in
+  * either array makes the result null — matching the HOF chain's null
+  * propagation — and the per-element null check is only compiled in
+  * when the input schema says elements can be null (containsNull), so
+  * schemas that forbid nulls keep the branch-free loop. This matters
+  * because the expression is also registered as the public SQL
+  * function `vec_dot`, where arbitrary user arrays arrive.
   */
 case class VecDotSeq(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -90,15 +95,23 @@ case class VecDotSeq(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  private def elemsNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean = super.nullable || elemsNullable
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     val af = elemType(left) == FloatType
     val bf = elemType(right) == FloatType
+    val checkNull = elemsNullable
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNull && (a.isNullAt(i) || b.isNullAt(i))) return null
       val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -114,13 +127,18 @@ case class VecDotSeq(left: Expression, right: Expression)
       def get(arr: String, idx: String, e: Expression): String =
         if (elemType(e) == FloatType) s"(double) $arr.getFloat($idx)"
         else s"$arr.getDouble($idx)"
+      val nullCheck =
+        if (elemsNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
          |double $acc = 0.0;
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += ${get(a, i, left)} * ${get(b, i, right)};
          |}
-         |${ev.value} = $acc;
+         |if (!${ev.isNull}) ${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -133,11 +151,14 @@ case class VecDotSeq(left: Expression, right: Expression)
   * `tables` buckets of `planes` sign bits each, as array<long>.
   *
   * Semantically identical to mapping `Similarity.lshBucket` over the
-  * table ids: the sign for (plane p of table t, dimension d) is bit 0
-  * of xxhash64(t*planes + p, d) (seed 42, int inputs — exactly
-  * Spark's XxHash64 chain), the plane dot is the sequential left fold
-  * over dimensions, and bit p of bucket t is set when that dot is
-  * positive.
+  * table ids: the sign for (plane p of table t, dimension d) comes
+  * from the PORTABLE two-round multiplicative mixer over
+  * k = (t*planes + p)*4096 + d + 1 (see Similarity.hyperplaneSign —
+  * plain 64-bit integer arithmetic an independent engine can
+  * replicate, which is what makes the ANN queries hash-checkable
+  * against the DuckDB oracle), the plane dot is the sequential left
+  * fold over dimensions, and bit p of bucket t is set when that dot
+  * is positive.
   *
   * Why a custom Expression: the HOF formulation nests three
   * higher-order lambdas (tables -> planes -> dimensions), all
@@ -166,8 +187,11 @@ case class VecHyperplaneBuckets(child: Expression, planes: Int, tables: Int)
     if (signs == null || signs(0).length < dim) {
       signs = Array.tabulate(tables * planes) { tp =>
         Array.tabulate(dim) { d =>
-          val h = XXH64.hashInt(d, XXH64.hashInt(tp, 42L))
-          if ((h & 1L) == 1L) 1.0 else -1.0
+          val k = tp.toLong * 4096L + d + 1L
+          val h1 = (k * 2654435761L) % 4294967296L
+          val m = (h1 ^ (h1 >>> 15)) & 2147483647L
+          val h2 = (m * 1103515245L + 12345L) % 2147483648L
+          if (h2 >= 1073741824L) 1.0 else -1.0
         }
       }
     }
@@ -205,7 +229,6 @@ case class VecHyperplaneBuckets(child: Expression, planes: Int, tables: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
     val signsVar = ctx.addMutableState("double[][]", "hpSigns")
     val tp = tables * planes
     nullSafeCodeGen(ctx, ev, a => {
@@ -214,6 +237,8 @@ case class VecHyperplaneBuckets(child: Expression, planes: Int, tables: Int)
       val accs = ctx.freshName("accs"); val out = ctx.freshName("out")
       val t = ctx.freshName("t"); val p = ctx.freshName("p")
       val bucket = ctx.freshName("bucket")
+      val k = ctx.freshName("k"); val h1 = ctx.freshName("h1")
+      val m = ctx.freshName("m"); val h2 = ctx.freshName("h2")
       val getElem = if (isFloat) s"(double) $a.getFloat($d)" else s"$a.getDouble($d)"
       s"""
          |final int $n = $a.numElements();
@@ -221,8 +246,11 @@ case class VecHyperplaneBuckets(child: Expression, planes: Int, tables: Int)
          |  $signsVar = new double[$tp][$n];
          |  for (int $i = 0; $i < $tp; $i++) {
          |    for (int $d = 0; $d < $n; $d++) {
-         |      $signsVar[$i][$d] =
-         |        (($xxh.hashInt($d, $xxh.hashInt($i, 42L)) & 1L) == 1L) ? 1.0 : -1.0;
+         |      final long $k = ((long) $i) * 4096L + $d + 1L;
+         |      final long $h1 = ($k * 2654435761L) % 4294967296L;
+         |      final long $m = ($h1 ^ ($h1 >>> 15)) & 2147483647L;
+         |      final long $h2 = ($m * 1103515245L + 12345L) % 2147483648L;
+         |      $signsVar[$i][$d] = ($h2 >= 1073741824L) ? 1.0 : -1.0;
          |    }
          |  }
          |}

@@ -51,6 +51,25 @@ class BordersScaleSpec extends SparkSuite {
     }
   }
 
+  test("Jacobi path drift compounds bounded over 30 iterations") {
+    // The per-iteration rounding drift between the two paths compounds;
+    // this pins the documented envelope (Dorling.run scaladoc: ~1e-5 at
+    // 30 iterations, extrapolating to ~1e-4 at the default 100).
+    val fast = Dorling.run(grid, "id", "value", "geometry", iterations = 30)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("x"), r.getAs[Double]("y"))).toMap
+    val dist = Dorling.run(grid, "id", "value", "geometry", iterations = 30, smallN = 0)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("x"), r.getAs[Double]("y"))).toMap
+    var maxDrift = 0.0
+    fast.foreach { case (id, (fx, fy)) =>
+      val (dx, dy) = dist(id)
+      maxDrift = math.max(maxDrift, math.max(math.abs(fx - dx), math.abs(fy - dy)))
+    }
+    info(f"max positional drift after 30 iterations: $maxDrift%.2e")
+    assert(maxDrift < 1e-5, s"drift $maxDrift exceeds documented envelope")
+  }
+
   test("Dorling stays finite and reduces overlap on 400 regions") {
     val t0 = System.nanoTime()
     val out = Dorling.run(grid, "id", "value", "geometry", iterations = 10, smallN = 0)

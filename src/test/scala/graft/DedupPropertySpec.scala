@@ -113,4 +113,70 @@ class DedupPropertySpec extends SparkSuite {
       assert(got === want, s"n=$n")
     }
   }
+
+  test("simhash pairs == brute-force hamming pairs, exactly once, hot split on/off") {
+    for (round <- 1 to 2) {
+      val docs = corpus(80)
+      val df = docs.toDF("doc_id", "text")
+      // brute force: the engine's signature column, then all-pairs popcount
+      val sigs = df.select(col("doc_id"),
+          Dedup.simhash(Dedup.wordSet(col("text"))).as("sig"))
+        .as[(Long, Long)].collect()
+      val want = (for {
+        (i, si) <- sigs; (j, sj) <- sigs if i < j
+        if java.lang.Long.bitCount(si ^ sj) <= 8
+      } yield (i, j)).toSet
+      // default budget: every bucket cold at this corpus size
+      val cold = Dedup.simhashDuplicates(df, "doc_id", "text", maxHamming = 8)
+        .select("i", "j").as[(Long, Long)].collect()
+      assert(cold.length === cold.toSet.size, s"round $round: duplicate cold emissions")
+      assert(cold.toSet === want, s"round $round cold")
+      // budget 2 forces (nearly) every bucket through the second-level
+      // split — same pairs, still exactly once
+      val hot = Dedup.simhashDuplicates(df, "doc_id", "text", maxHamming = 8, hotBudget = 2)
+        .select("i", "j").as[(Long, Long)].collect()
+      assert(hot.length === hot.toSet.size, s"round $round: duplicate hot emissions")
+      assert(hot.toSet === want, s"round $round hot")
+    }
+  }
+
+  test("connected components converge on a path graph of diameter >> 20") {
+    // A 300-node chain: one-hop-per-round propagation would need 300
+    // rounds; pointer doubling must finish well inside the default cap
+    // AND label every node with the chain minimum.
+    val edges = (0L until 299L).map(k => (k, k + 1)).toDF("i", "j")
+    val comps = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(comps.length === 300)
+    assert(comps.forall(_._2 === 0L), s"unconverged labels: ${comps.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("connected components throw (not silently mislabel) when capped") {
+    val edges = (0L until 99L).map(k => (k, k + 1)).toDF("i", "j")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, maxIter = 2).collect()
+    }
+  }
+
+  test("connected components on random graphs == brute-force union-find") {
+    for (round <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(40)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponents(edges.toDF("i", "j"))
+        .as[(Long, Long)].collect().toMap
+      // brute-force union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val ra = find(a.toInt); val rb = find(b.toInt)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+      touched.foreach { id =>
+        // component = min node id in the brute-force component
+        val comp = (0 until n).filter(x => find(x) == find(id.toInt)).min.toLong
+        assert(got(id) === comp, s"round $round node $id")
+      }
+    }
+  }
 }

@@ -23,6 +23,20 @@ class ExtensionsSpec extends SparkSuite {
     assert(row.getAs[Double]("d") === 1.5 * 4.0 + -2.0 * 0.25)
   }
 
+  test("vec_dot propagates a null element to a null result (SQL surface)") {
+    GeoFunctions.registerBuilders(spark)
+    // arbitrary user arrays reach the SQL function; a null element must
+    // yield null (the HOF chain's behavior), not a garbage/0 read
+    val rows = spark.sql(
+      """SELECT vec_dot(array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+        |               array(CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE))) AS bad,
+        |  vec_dot(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+        |          array(CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE))) AS good
+        |""".stripMargin).collect()(0)
+    assert(rows.isNullAt(0), "null element must null the dot product")
+    assert(rows.getAs[Double]("good") === 8.0)
+  }
+
   test("VecHyperplaneBuckets equals the HOF lshBucket per table on real embeddings") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftext.ArrayOps
