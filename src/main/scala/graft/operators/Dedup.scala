@@ -323,22 +323,24 @@ object Dedup {
     * sub-range). Bucket sizes are one tiny aggregate (the value space
     * is <= (m+1)*256), broadcast to split hot from cold.
     */
-  def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 8, hotBudget: Int = 512): DataFrame = {
-    val nBlocks = maxHamming + 1
-    // Uneven block boundaries covering exactly bits [0, 64): block b is
-    // [b*64/n, (b+1)*64/n). A naive fixed width of ceil(64/n) would
-    // shift the last block by >= 64 — a mod-64 no-op in the JVM that
-    // silently aliases block 0 and voids the pigeonhole guarantee.
-    val blocks = (0 until nBlocks).map { b =>
+  /** Uneven pigeonhole block boundaries covering exactly bits
+    * [0, 64): block b is [b*64/n, (b+1)*64/n). A naive fixed width of
+    * ceil(64/n) would shift the last block by >= 64 — a mod-64 no-op
+    * in the JVM that silently aliases block 0 and voids the
+    * pigeonhole guarantee. @return (block, startBit, width) */
+  private def simhashBlocks(nBlocks: Int): IndexedSeq[(Int, Int, Int)] =
+    (0 until nBlocks).map { b =>
       val start = b * 64 / nBlocks
       val width = (b + 1) * 64 / nBlocks - start
       (b, start, width)
     }
-    // Sub-range masks for hot block b: the 64-width(b) bits OUTSIDE
-    // block b, chunked into nBlocks groups (masks, not compacted
-    // values — equality on sig&mask is equality on the group's bits).
-    val subMasks: IndexedSeq[IndexedSeq[Long]] = blocks.map { case (_, start, width) =>
+
+  /** Sub-range masks for hot block b: the 64-width(b) bits OUTSIDE
+    * block b, chunked into nBlocks groups (masks, not compacted
+    * values — equality on sig&mask is equality on the group's bits). */
+  private def simhashSubMasks(blocks: IndexedSeq[(Int, Int, Int)]): IndexedSeq[IndexedSeq[Long]] = {
+    val nBlocks = blocks.length
+    blocks.map { case (_, start, width) =>
       val others = (0 until 64).filterNot(k => k >= start && k < start + width)
       (0 until nBlocks).map { s =>
         val lo = s * others.length / nBlocks
@@ -346,20 +348,53 @@ object Dedup {
         others.slice(lo, hi).foldLeft(0L)((m, k) => m | (1L << k))
       }
     }
+  }
+
+  /** (id, sig, block, value) rows — one per doc per pigeonhole block,
+    * checkpointed (feeds the size aggregate + both join sides). */
+  private def simhashBlockedFrame(df: DataFrame, idCol: String, textCol: String,
+                                  blocks: IndexedSeq[(Int, Int, Int)]): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
       simhash(wordSet(col(textCol))).as("sig"))
-    val blocked = sigs.select(col("id"), col("sig"),
+    sigs.select(col("id"), col("sig"),
         explode(array(blocks.map { case (b, start, width) => struct(
           lit(b).as("block"),
           call_function("shiftright", col("sig"), lit(start))
             .bitwiseAND(shiftleft(lit(1L), width) - 1).as("value"))
         }: _*)).as("bv"))
       .select(col("id"), col("sig"), col("bv.block"), col("bv.value"))
-      .localCheckpoint() // feeds the size aggregate + both join sides
+      .localCheckpoint()
+  }
 
-    val hotSet = blocked.groupBy(col("block"), col("value"))
+  /** Hot rows expanded by second-level sub-range: adds (sub, subval =
+    * sig & subMask(block, sub)) — the sub-value column dispatches on
+    * the row's block via a coalesce-of-whens. */
+  private def simhashSubFrame(hot: DataFrame, blocks: IndexedSeq[(Int, Int, Int)],
+                              subMasks: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
+    val nBlocks = blocks.length
+    def subVal(s: Int): Column = col("sig").bitwiseAND(coalesce(
+      blocks.map { case (b, _, _) => when(col("block") === b, lit(subMasks(b)(s))) }: _*))
+    hot.select(col("id"), col("sig"), col("block"), col("value"),
+        explode(array((0 until nBlocks).map(s =>
+          struct(lit(s).as("sub"), subVal(s).as("subval"))): _*)).as("sv"))
+      .select(col("id"), col("sig"), col("block"), col("value"),
+        col("sv.sub"), col("sv.subval"))
+  }
+
+  /** The (block, value) bucket keys holding more than hotBudget docs
+    * (tiny: the value space is <= nBlocks * 256). */
+  private def simhashHotSet(blocked: DataFrame, hotBudget: Int): DataFrame =
+    blocked.groupBy(col("block"), col("value"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") > hotBudget)
       .select(col("block"), col("value"))
+
+  def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 8, hotBudget: Int = 512): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val blocks = simhashBlocks(nBlocks)
+    val subMasks = simhashSubMasks(blocks)
+    val blocked = simhashBlockedFrame(df, idCol, textCol, blocks)
+    val hotSet = simhashHotSet(blocked, hotBudget)
     val cold = blocked.join(broadcast(hotSet), Seq("block", "value"), "left_anti")
     val hot = blocked.join(broadcast(hotSet), Seq("block", "value"), "left_semi")
 
@@ -384,15 +419,7 @@ object Dedup {
       .select(col("i"), col("j"), col("si"), col("sj"))
 
     // Hot side: add (sub, sig & subMask(block, sub)) to the join key.
-    // The sub-value column dispatches on the row's block via a
-    // coalesce-of-whens (block is one of nBlocks literals).
-    def subVal(s: Int): Column = col("sig").bitwiseAND(coalesce(
-      blocks.map { case (b, _, _) => when(col("block") === b, lit(subMasks(b)(s))) }: _*))
-    val sub = hot.select(col("id"), col("sig"), col("block"), col("value"),
-        explode(array((0 until nBlocks).map(s =>
-          struct(lit(s).as("sub"), subVal(s).as("subval"))): _*)).as("sv"))
-      .select(col("id"), col("sig"), col("block"), col("value"),
-        col("sv.sub"), col("sv.subval"))
+    val sub = simhashSubFrame(hot, blocks, subMasks)
     // within the hot bucket, keep only the EARLIEST agreeing sub-range
     val anyEarlierSubMatches = blocks.map { case (b, _, _) =>
       col("block") === b && (1 until nBlocks).map { s =>
@@ -416,6 +443,33 @@ object Dedup {
       .withColumn("hamming", bit_count(col("si").bitwiseXOR(col("sj"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("i"), col("j"), col("hamming"))
+  }
+
+  /** Diagnostic for [[simhashDuplicates]]: the raw candidate-pair
+    * volume its joins emit at a given hot budget — Σ C(c, 2) over
+    * cold (block, value) buckets plus Σ C(c, 2) over hot sub-buckets.
+    * Computed from the bucket-size aggregates alone (no join runs),
+    * so the cost-vs-budget curve of the second-level split can be
+    * measured cheaply at any corpus size (tools/ScaleStress). */
+  def simhashEmissionCount(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 8, hotBudget: Int = 512): Long = {
+    val blocks = simhashBlocks(maxHamming + 1)
+    val blocked = simhashBlockedFrame(df, idCol, textCol, blocks)
+    val hotSet = simhashHotSet(blocked, hotBudget)
+    def pairSum(grouped: DataFrame): Long = {
+      val Array(row) = grouped
+        .agg(sum(col("c").cast("double") * (col("c") - 1).cast("double") / 2)
+          .cast("long").as("p")).collect()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    val cold = pairSum(blocked.join(broadcast(hotSet), Seq("block", "value"), "left_anti")
+      .groupBy(col("block"), col("value")).agg(count(lit(1)).as("c")))
+    val hot = pairSum(
+      simhashSubFrame(blocked.join(broadcast(hotSet), Seq("block", "value"), "left_semi"),
+          blocks, simhashSubMasks(blocks))
+        .groupBy(col("block"), col("value"), col("sub"), col("subval"))
+        .agg(count(lit(1)).as("c")))
+    cold + hot
   }
 
   /** Connected components over a similarity-pair edge list:

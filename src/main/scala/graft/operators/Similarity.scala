@@ -181,21 +181,68 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs within same-`blockCol`
-    * blocks (semantic blocking keeps the pair space linear-ish; the
-    * all-pairs fallback is q40's brute-force path).
-    * @param df (id, vec, block) ; @return i, j, cos >= threshold
+    * blocks, with a SIZE-DISPATCHED pair space: blocks up to
+    * `blockBudget` rows take the exact all-pairs block join (the pair
+    * space is bounded by budget² per block), while larger blocks —
+    * where all-pairs degenerates to O(block²) on a single key, the
+    * scale-killer on skewed label distributions — switch to
+    * hyperplane-LSH bucketing WITHIN the block: candidates share a
+    * (table, bucket) collision in any of `tables` tables, then exact
+    * cosine verification. Mirrors dedupCorpus's cost dispatch.
+    *
+    * The LSH path's miss probability at similarity cos>=t is
+    * (1 - p^planes)^tables with p = 1 - acos(t)/pi; the defaults
+    * (10 planes x 30 tables) give ~8e-4 at t=0.9 while random pairs
+    * (p~0.5) collide anywhere with prob ~3% — a ~30x candidate
+    * reduction. Both paths are deterministic (portable sign matrix),
+    * so even the LSH path is reproducible by an independent engine.
+    *
+    * @param df (id, vec, block) ; @return block, i, j, cos >= threshold
     */
-  def cosineNearDup(df: DataFrame, threshold: Double): DataFrame = {
+  def cosineNearDup(df: DataFrame, threshold: Double, blockBudget: Long = 100000,
+                    planes: Int = 10, tables: Int = 30): DataFrame = {
     val v = df.select(col("id"), col("vec"), col("block"),
       norm2Seq(col("vec")).as("n2"))
-    val a = v.select(col("id").as("i"), col("vec").as("va"),
-      col("block"), col("n2").as("n2a"))
-    val b = v.select(col("id").as("j"), col("vec").as("vb"),
-      col("block"), col("n2").as("n2b"))
-    a.join(b, Seq("block"))
-      .filter(col("i") < col("j"))
-      .withColumn("cos", cosine(dotSeq(col("va"), col("vb")), col("n2a"), col("n2b")))
-      .filter(col("cos") >= threshold)
-      .select(col("block"), col("i"), col("j"), col("cos"))
+    // hot blocks: one tiny aggregate (<= n/budget entries), broadcast
+    val hotSet = v.groupBy(col("block")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > blockBudget).select(col("block"))
+    val cold = v.join(broadcast(hotSet), Seq("block"), "left_anti")
+    val hot = v.join(broadcast(hotSet), Seq("block"), "left_semi")
+
+    val coldPairs = {
+      val a = cold.select(col("id").as("i"), col("vec").as("va"),
+        col("block"), col("n2").as("n2a"))
+      val b = cold.select(col("id").as("j"), col("vec").as("vb"),
+        col("block"), col("n2").as("n2b"))
+      a.join(b, Seq("block"))
+        .filter(col("i") < col("j"))
+        .withColumn("cos", cosine(dotSeq(col("va"), col("vb")), col("n2a"), col("n2b")))
+        .filter(col("cos") >= threshold)
+        .select(col("block"), col("i"), col("j"), col("cos"))
+    }
+
+    val hotPairs = {
+      // bucket ids only ride the collision join; vectors join back
+      // for surviving candidate pairs (same plan shape as annTopK)
+      val bk = hot.select(col("id"), col("block"),
+        posexplode(ArrayOps.hyperplaneBuckets(col("vec"), planes, tables))
+          .as(Seq("table", "bucket")))
+      val candIds = bk.select(col("block"), col("table"), col("bucket"), col("id").as("i"))
+        .join(bk.select(col("block"), col("table"), col("bucket"), col("id").as("j")),
+          Seq("block", "table", "bucket"))
+        .filter(col("i") < col("j"))
+        .select(col("block"), col("i"), col("j"))
+        .distinct()
+      val a = hot.select(col("id").as("i"), col("block"),
+        col("vec").as("va"), col("n2").as("n2a"))
+      val b = hot.select(col("id").as("j"), col("block"),
+        col("vec").as("vb"), col("n2").as("n2b"))
+      candIds.join(a, Seq("block", "i")).join(b, Seq("block", "j"))
+        .withColumn("cos", cosine(dotSeq(col("va"), col("vb")), col("n2a"), col("n2b")))
+        .filter(col("cos") >= threshold)
+        .select(col("block"), col("i"), col("j"), col("cos"))
+    }
+
+    coldPairs.unionAll(hotPairs)
   }
 }

@@ -26,6 +26,7 @@ object Pipeline {
     "q40_cosine_topk" -> q40,
     "q41_ann_lsh" -> q41,
     "q42_ann_ivf" -> q42,
+    "q43_neardup_lsh" -> q43,
     "q50_token_stats" -> q50,
     "q51_quality_score" -> q51,
     "q52_langid" -> q52,
@@ -70,12 +71,26 @@ object Pipeline {
         "doc_id", "text", n = 3, threshold = 0.6)
       .orderBy(col("i"), col("j"))
 
-  /** Embedding-cosine near-dup pairs within label blocks. */
+  /** Embedding-cosine near-dup pairs within label blocks (all blocks
+    * under budget here => the exact all-pairs path; q43 exercises the
+    * LSH path the dispatch takes on oversized blocks). */
   def q34(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDup(
         Tables.embeddings(spark, dir).select(
           col("vec_id").as("id"), col("embedding").as("vec"), col("label").as("block")),
         threshold = 0.4)
+      .orderBy(col("i"), col("j"))
+
+  /** The same near-dup semantics FORCED down the hot-block LSH path
+    * (blockBudget = 0): candidates are within-block hyperplane-bucket
+    * collisions, exact-verified. The sign matrix is the portable
+    * mixer, so the oracle replicates bucket assignment bit-for-bit —
+    * a fully hash-checked approximate operator. */
+  def q43(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDup(
+        Tables.embeddings(spark, dir).select(
+          col("vec_id").as("id"), col("embedding").as("vec"), col("label").as("block")),
+        threshold = 0.3, blockBudget = 0, planes = 6, tables = 20)
       .orderBy(col("i"), col("j"))
 
   /** Full dedup pipeline on a corpus with planted clones: LSH pairs ->
@@ -247,6 +262,33 @@ object Pipeline {
        |    ${sqlDot("embedding", "embedding")} AS n2
        |  FROM embeddings)""".stripMargin
 
+  /** CTEs reproducing the engine's hyperplane machinery exactly
+    * (Similarity.hyperplaneSign / graftext.VecHyperplaneBuckets):
+    * sign(tp, dim i 1-based) = high bit of a two-round multiplicative
+    * mixer over k = tp*4096 + i — plain 64-bit integer arithmetic, so
+    * DuckDB computes the identical sign matrix; per-(vec, tp) plane
+    * dots are the same left fold as the engine's accumulation, and
+    * bucket t packs the plane sign bits. */
+  private def sqlBuckets(planes: Int, tables: Int): String =
+    s"""plane_signs AS (
+       |  SELECT tp,
+       |    list_transform(
+       |      list_transform(generate_series(1, 64),
+       |        i -> ((tp * 4096 + i) * 2654435761) % 4294967296),
+       |      h1 -> CASE WHEN ((xor(h1, h1 >> 15) & 2147483647) * 1103515245 + 12345)
+       |                      % 2147483648 >= 1073741824
+       |            THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM (SELECT unnest(generate_series(0, ${planes * tables - 1})) AS tp)),
+       |plane_dots AS (
+       |  SELECT e.vec_id, e.label, p.tp // $planes AS tbl, p.tp % $planes AS plane,
+       |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * p.s[i]), (acc, x) -> acc + x) AS dot
+       |  FROM embeddings e CROSS JOIN plane_signs p),
+       |buckets AS (
+       |  SELECT vec_id, label, tbl,
+       |    CAST(sum(CASE WHEN dot > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM plane_dots GROUP BY vec_id, label, tbl)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """WITH doubled AS (
@@ -330,6 +372,91 @@ object Pipeline {
         |  doc_id = min(doc_id) OVER (PARTITION BY k) AS keep
         |FROM keyed
         |ORDER BY id""".stripMargin,
+    // q41: the FULL hyperplane-LSH ANN pipeline restated in SQL —
+    // bucket collisions (query side multiprobes all 1-bit flips),
+    // candidate dedup, exact cosine, top-5. Bit-for-bit because the
+    // sign matrix is the portable mixer (see sqlBuckets).
+    "q41_ann_lsh" ->
+      s"""WITH ${sqlBuckets(planes = 4, tables = 8)},
+         |$sqlVecs,
+         |qprobes AS (
+         |  SELECT vec_id AS qid, tbl, bucket FROM buckets WHERE vec_id % 50 = 0
+         |  UNION ALL
+         |  SELECT b.vec_id, b.tbl, xor(b.bucket, 1 << t.p)
+         |  FROM buckets b, unnest(generate_series(0, 3)) AS t(p)
+         |  WHERE b.vec_id % 50 = 0),
+         |cand AS (
+         |  SELECT DISTINCT q.qid, c.vec_id AS cid
+         |  FROM qprobes q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.qid <> c.vec_id),
+         |scored AS (
+         |  SELECT cand.qid, cand.cid,
+         |    ${sqlDot("nq.embedding", "nc.embedding")} / (sqrt(nq.n2) * sqrt(nc.n2)) AS cos
+         |  FROM cand JOIN norms nq ON nq.vec_id = cand.qid
+         |            JOIN norms nc ON nc.vec_id = cand.cid),
+         |ranked AS (
+         |  SELECT qid, cid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, rank, cos FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+    // q42: the IVF pipeline restated in SQL — same pivot hash, same
+    // nearest-pivot assignment (ties by pivot_id), nprobe=4 lists,
+    // exact cosine over probed lists, top-5.
+    "q42_ann_ivf" ->
+      s"""WITH $sqlVecs,
+         |pivots AS (
+         |  SELECT vec_id AS pivot_id, embedding AS pvec, n2 AS pn2
+         |  FROM norms
+         |  ORDER BY ((vec_id % 1000000007) * 2654435761) % 4294967296, vec_id
+         |  LIMIT 16),
+         |cassign AS (
+         |  SELECT vec_id AS cid, embedding AS cvec, n2 AS cn2, pivot_id AS list_id
+         |  FROM (
+         |    SELECT n.vec_id, n.embedding, n.n2, p.pivot_id,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        ${sqlDot("n.embedding", "p.pvec")} / (sqrt(n.n2) * sqrt(p.pn2)) DESC,
+         |        p.pivot_id) AS rnk
+         |    FROM norms n CROSS JOIN pivots p)
+         |  WHERE rnk = 1),
+         |qassign AS (
+         |  SELECT vec_id AS qid, embedding AS qvec, n2 AS qn2, pivot_id AS list_id
+         |  FROM (
+         |    SELECT n.vec_id, n.embedding, n.n2, p.pivot_id,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        ${sqlDot("n.embedding", "p.pvec")} / (sqrt(n.n2) * sqrt(p.pn2)) DESC,
+         |        p.pivot_id) AS rnk
+         |    FROM norms n CROSS JOIN pivots p
+         |    WHERE n.vec_id % 50 = 0)
+         |  WHERE rnk <= 4),
+         |scored AS (
+         |  SELECT q.qid, c.cid,
+         |    ${sqlDot("q.qvec", "c.cvec")} / (sqrt(q.qn2) * sqrt(c.cn2)) AS cos
+         |  FROM qassign q JOIN cassign c ON q.list_id = c.list_id
+         |  WHERE q.qid <> c.cid),
+         |ranked AS (
+         |  SELECT qid, cid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, rank, cos FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+    // q43: within-block LSH near-dup — candidates share any
+    // (table, bucket) inside their label block, exact-verified.
+    "q43_neardup_lsh" ->
+      s"""WITH ${sqlBuckets(planes = 6, tables = 20)},
+         |$sqlVecs,
+         |cand AS (
+         |  SELECT DISTINCT a.label AS block, a.vec_id AS i, b.vec_id AS j
+         |  FROM buckets a JOIN buckets b
+         |    ON a.label = b.label AND a.tbl = b.tbl AND a.bucket = b.bucket
+         |   AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT cand.block, cand.i, cand.j,
+         |    ${sqlDot("na.embedding", "nb.embedding")} / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+         |  FROM cand JOIN norms na ON na.vec_id = cand.i
+         |            JOIN norms nb ON nb.vec_id = cand.j)
+         |SELECT block, i, j, cos FROM pairs WHERE cos >= 0.3
+         |ORDER BY i, j""".stripMargin,
     "q40_cosine_topk" ->
       s"""WITH $sqlVecs,
          |scored AS (

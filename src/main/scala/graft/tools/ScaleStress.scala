@@ -113,6 +113,35 @@ object ScaleStress {
       Dedup.prefixCandidateEstimate(hashed(uni), 0.95).toLong)
     timed("uniform minhash-LSH pairs t=0.95 (what the dispatch picks)")(
       Dedup.minhashDuplicates(uni, "doc_id", "text", 0.95).count())
+
+    // Low-entropy corpus for the simhash hot-bucket split: templated
+    // docs over a tiny vocabulary concentrate 7-bit block values on a
+    // few hot buckets, the shape where the first-level join is
+    // quadratic. Measure raw emissions with the split off vs on, and
+    // the end-to-end effect.
+    val zc2 = zipfCum
+    val lowEnt = spark.range(0, nDocs, 1, 32)
+      .mapPartitions { it =>
+        it.map { id =>
+          val tplRng = new scala.util.Random((id % 50).toInt)
+          val words = Array.fill(docLen) {
+            val i = java.util.Arrays.binarySearch(zc2, tplRng.nextDouble())
+            s"w${if (i >= 0) i else -i - 1}"
+          }
+          val docRng = new scala.util.Random(id)
+          (0 until 2 + docRng.nextInt(5)).foreach { _ =>
+            words(docRng.nextInt(docLen)) = s"w${docRng.nextInt(200)}"
+          }
+          (id, words.mkString(" "))
+        }
+      }.toDF("doc_id", "text").localCheckpoint()
+    println(s"[stress] low-entropy corpus: ${lowEnt.count()} docs, 50 templates")
+    timed("simhash emissions, split OFF (hotBudget=MaxValue)")(
+      Dedup.simhashEmissionCount(lowEnt, "doc_id", "text", 8, Int.MaxValue))
+    timed("simhash emissions, split ON (hotBudget=512)")(
+      Dedup.simhashEmissionCount(lowEnt, "doc_id", "text", 8, 512))
+    timed("simhash pairs low-entropy, split ON")(
+      Dedup.simhashDuplicates(lowEnt, "doc_id", "text", 8).count())
     }
 
     if (sections("geo")) {
@@ -162,6 +191,34 @@ object ScaleStress {
       graft.operators.Similarity.annTopK(q, c, 10).count())
     timed("ann-IVF top-10, 500 queries x 50k corpus")(
       graft.operators.Similarity.ivfTopK(q, c, 10, nlist = 64, nprobe = 8).count())
+
+    // --- embedding near-dup under block skew: one label holds 50% ---
+    // of 100k vectors (the all-pairs-within-block scale-killer). The
+    // dispatched operator must land within ~2x of the balanced shape.
+    val nv = 100000
+    def blocked(skewed: Boolean) = spark.range(0, nv, 1, 32)
+      .mapPartitions { it =>
+        it.map { id =>
+          val rng = new scala.util.Random(id)
+          val block =
+            if (skewed) { if (id % 2 == 0) 0L else 1L + rng.nextInt(99) }
+            else id % 100
+          // near-parallel vectors inside a cluster => real near-dups
+          val base = new scala.util.Random(block)
+          val v = Array.fill(64)(base.nextFloat() * 2 - 1)
+          (0 until 6).foreach(_ => v(rng.nextInt(64)) += rng.nextFloat() * 0.2f)
+          (id, v, block)
+        }
+      }.toDF("id", "vec", "block").localCheckpoint()
+    val balanced = blocked(skewed = false)
+    val skewed = blocked(skewed = true)
+    println(s"[stress] near-dup vectors: ${balanced.count()} balanced / ${skewed.count()} skewed (50% hot)")
+    timed("cosineNearDup balanced 100 blocks x 1k (all-pairs path)")(
+      graft.operators.Similarity.cosineNearDup(balanced, 0.9).count())
+    timed("cosineNearDup skewed DISPATCHED (hot block -> LSH)")(
+      graft.operators.Similarity.cosineNearDup(skewed, 0.9, blockBudget = 10000).count())
+    timed("cosineNearDup skewed FORCED all-pairs (the scale-killer)")(
+      graft.operators.Similarity.cosineNearDup(skewed, 0.9, blockBudget = Long.MaxValue).count())
     }
     spark.stop()
   }

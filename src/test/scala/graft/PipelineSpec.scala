@@ -180,6 +180,27 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("cosineNearDup LSH path: subset of exact pairs, same cosines, recall bound") {
+    val v = embs.select(col("vec_id").as("id"), col("embedding").as("vec"),
+      col("label").as("block"))
+    val exact = Similarity.cosineNearDup(v, threshold = 0.3)
+      .select("i", "j", "cos").as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    val lsh = Similarity.cosineNearDup(v, threshold = 0.3, blockBudget = 0,
+        planes = 6, tables = 20)
+      .select("i", "j", "cos").as[(Long, Long, Double)].collect()
+    // every LSH pair is a true pair with the identical exact cosine
+    lsh.foreach { case (i, j, c) =>
+      assert(exact.contains((i, j)), s"LSH emitted non-pair ($i,$j)")
+      assert(exact((i, j)) === c, s"cosine mismatch for ($i,$j)")
+    }
+    // and the bucketed candidate generation keeps useful recall
+    if (exact.nonEmpty) {
+      val recall = lsh.length.toDouble / exact.size
+      assert(recall >= 0.4, s"LSH near-dup recall $recall too low")
+    }
+  }
+
   test("IVF ANN recall vs brute force >= 0.5 with exact cosines") {
     val q = embs.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("vec"))
