@@ -20,6 +20,7 @@ object Events {
     "q62_user_funnel" -> q62,
     "q63_json_props" -> q63,
     "q64_approx_stats" -> q64,
+    "q64x_sketch_bounds" -> q64x,
     "q70_binary_meta" -> q70,
     "q71_media_pipeline" -> q71
   )
@@ -83,6 +84,31 @@ object Events {
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median_value"),
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
+
+  /** The hash-checkable half of q64: exact n_events / n_users ride
+    * the same aggregate, and the sketch outputs are turned into
+    * BOUNDS-CHECK booleans the oracle states as TRUE — the driver
+    * gate then verifies the sketches' error envelope (HLL distinct
+    * within 5% of exact; approx median's exact rank within
+    * [0.45, 0.55]) instead of skipping the query entirely. */
+  def q64x(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val agg = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"),
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      percentile_approx(col("value"), lit(0.5), lit(1000)).as("amed"))
+    val medRank = e.join(agg.select(col("event_type"), col("amed")), "event_type")
+      .groupBy(col("event_type"))
+      .agg((sum(when(col("value") <= col("amed"), 1).otherwise(0)).cast("double") /
+        count(lit(1)).cast("double")).as("med_frac"))
+    agg.join(medRank, "event_type")
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        (abs(col("approx_users") - col("n_users")).cast("double") /
+          col("n_users").cast("double") <= 0.05).as("ndv_ok"),
+        (col("med_frac") >= 0.45 && col("med_frac") <= 0.55).as("med_ok"))
+      .orderBy(col("event_type"))
+  }
 
   /** Multimodal plumbing: documents' text bytes stand in for media
     * payloads; the batched partition-wise stub decoder emits metadata
@@ -158,6 +184,15 @@ object Events {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q64x_sketch_bounds" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  TRUE AS ndv_ok,
+        |  TRUE AS med_ok
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

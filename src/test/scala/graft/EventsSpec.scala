@@ -33,4 +33,14 @@ class EventsSpec extends SparkSuite {
       assert(r.getAs[Long]("min_k") <= r.getAs[Long]("max_k"))
     }
   }
+
+  test("q64x sketch bounds hold (the driver-gated half of q64)") {
+    val out = Events.q64x(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("ndv_ok"), s"${r.getString(0)}: HLL outside 5% of exact")
+      assert(r.getAs[Boolean]("med_ok"), s"${r.getString(0)}: approx median rank outside [0.45,0.55]")
+      assert(r.getAs[Long]("n_events") > 0)
+    }
+  }
 }
