@@ -36,6 +36,39 @@ class BordersScaleSpec extends SparkSuite {
     }
   }
 
+  test("Queen borders stay exact and bounded with a 100x-extent outlier polygon") {
+    import spark.implicits._
+    // the 20x20 unit-ish tessellation (extent 4) plus one strip 100x
+    // the median extent sitting directly on the grid's top edge: the
+    // old max-extent grid would inflate EVERY cell to 400 and collapse
+    // the whole input into a handful of buckets; the leveled grid must
+    // keep the tessellation's fine cells and still find the strip's
+    // adjacencies exactly once.
+    val top = 4 * n
+    val big = Seq(((n * n).toLong,
+      s"POLYGON ((0 $top, 400 $top, 400 ${top + 400}, 0 ${top + 400}, 0 $top))",
+      1.0)).toDF("id", "geometry", "value")
+    val t0 = System.nanoTime()
+    val b = Borders.compute(grid.unionAll(big), "id", "geometry").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // grid-internal adjacency unchanged
+    val gridPairs = b.filter(r => r.getAs[Long]("focal_id") < n * n &&
+      r.getAs[Long]("neighbor_id") < n * n)
+    val expected = 8 * (n - 2) * (n - 2) + 5 * 4 * (n - 2) + 3 * 4
+    assert(gridPairs.length === expected)
+    // the strip touches exactly the n top-row cells, sharing their
+    // full 4.0 top edges (x in [0, 4n] ⊂ [0, 400])
+    val bigPairs = b.filter(_.getAs[Long]("focal_id") === n.toLong * n)
+    assert(bigPairs.length === n, s"strip adjacencies: ${bigPairs.length}")
+    bigPairs.foreach { r =>
+      val nb = r.getAs[Long]("neighbor_id")
+      assert(nb >= (n - 1).toLong * n && nb < n.toLong * n, s"non-top-row neighbor $nb")
+      assert(r.getAs[Double]("weight") === 4.0)
+    }
+    info(f"outlier borders in $secs%.1f s")
+    assert(secs < 60.0, s"outlier grid too slow: $secs s — candidate blow-up?")
+  }
+
   test("driver-side Jacobi fast path matches the distributed step on 400 regions") {
     val fast = Dorling.run(grid, "id", "value", "geometry", iterations = 3)
       .collect().map(r => r.getAs[Long]("id") ->
