@@ -27,10 +27,17 @@ case class Cartogram(gdf: DataFrame, valueField: String, idField: String,
     require(gdf.columns.contains(f),
       s"Cartogram: column '$f' not found; frame has [${gdf.columns.mkString(", ")}]")
 
+  /** The input's CRS tag re-attached to an output geometry column —
+    * geopandas preserves crs through its ops (main.py:140 set_crs);
+    * operators rebuild geometry columns, so the tag is re-applied. */
+  private def keepCrs(out: DataFrame): DataFrame =
+    graft.sources.GeoCrs.of(gdf, geometryField)
+      .fold(out)(c => graft.sources.GeoCrs.tag(out, c))
+
   /** Non-contiguous cartogram (reference cartogram.py:172).
     * @return id, value, scale, geometry (scaled WKT) */
   def nonContiguous(sizeValue: Double = 1.0): DataFrame =
-    NonContiguous.run(gdf, idField, valueField, geometryField, sizeValue)
+    keepCrs(NonContiguous.run(gdf, idField, valueField, geometryField, sizeValue))
 
   /** Dorling circle cartogram (reference cartogram.py:245; Jacobi
     * iteration — see [[graft.operators.Dorling]] for the deviation).
@@ -38,9 +45,9 @@ case class Cartogram(gdf: DataFrame, valueField: String, idField: String,
     * @return id, value, radius, x, y, geometry (circle WKT) */
   def dorling(iterations: Int = 100, ratio: Double = 0.4,
               friction: Double = 0.5, stop: Option[Int] = None): DataFrame =
-    Dorling.run(gdf, idField, valueField, geometryField,
+    keepCrs(Dorling.run(gdf, idField, valueField, geometryField,
       iterations = stop.map(math.min(_, iterations)).getOrElse(iterations),
-      ratio = ratio, friction = friction)
+      ratio = ratio, friction = friction))
 
   /** Queen-contiguity borders (reference border_util.py:5).
     * @return focal_id, neighbor_id, weight (shared boundary length) */

@@ -56,6 +56,18 @@ object GeoJson {
     node.get("features").elements().asScala.map(featureOf).toSeq
   }
 
+  /** The collection-level CRS name, when the document carries the
+    * legacy GeoJSON `crs` member (RFC 7946 dropped it, but real-world
+    * files — and the reference's EPSG:27700 workflow, main.py:140 —
+    * still use named CRS tags). */
+  def collectionCrs(json: String): Option[String] = {
+    val node = mapper.readTree(json)
+    Option(node.get("crs"))
+      .flatMap(c => Option(c.get("properties")))
+      .flatMap(p => Option(p.get("name")))
+      .map(_.asText())
+  }
+
   // ---- serialization (round-trip back out of the engine) ----
 
   def geometryJson(g: Geom): String = g match {

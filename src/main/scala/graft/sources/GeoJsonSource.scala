@@ -30,30 +30,57 @@ object GeoJsonSource {
   def readFeatureCollection(spark: SparkSession, path: String): DataFrame = {
     val text = spark.read.option("wholetext", "true").text(path)
     val enc = Encoders.product[FeatRow]
-    text.select(col("value")).as(Encoders.STRING)
+    val df = text.select(col("value")).as(Encoders.STRING)
       .flatMap(doc => GeoJson.parseCollection(doc).map(f =>
         FeatRow(f.id.orNull, f.properties, Wkt.write(f.geom))))(enc)
       .toDF()
+    // legacy collection-level crs member -> column metadata tag
+    val crs = text.select(col("value")).as(Encoders.STRING)
+      .flatMap(doc => GeoJson.collectionCrs(doc).toSeq)(Encoders.STRING)
+      .take(1).headOption
+    crs.fold(df)(c => GeoCrs.tag(df, c))
   }
+
+  /** The non-Feature metadata line carrying the CRS tag through the
+    * newline-delimited format (which has no document envelope). */
+  private def crsLine(crs: String): String =
+    s"""{"type":"graft:CrsTag","crs":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(crs)}}"""
 
   /** Write (id, properties, geometry WKT) back out as newline-
     * delimited GeoJSON features — the splittable round-trip format
-    * (each partition writes its own file; no driver collect). */
+    * (each partition writes its own file; no driver collect). A CRS
+    * tag on the geometry column (GeoCrs) is carried as one extra
+    * metadata line the reader recognizes. */
   def writeFeatureLines(df: DataFrame, path: String): Unit = {
     val line = udf((id: String, props: Map[String, String], wkt: String) =>
       GeoJson.featureJson(Option(id), Option(props).getOrElse(Map.empty), Wkt.read(wkt)))
-    df.select(line(col("id"), col("properties"), col("geometry")).as("value"))
-      .write.mode("overwrite").text(path)
+    val lines = df.select(line(col("id"), col("properties"), col("geometry")).as("value"))
+    val out = GeoCrs.of(df) match {
+      case Some(c) =>
+        import df.sparkSession.implicits._
+        lines.unionAll(Seq(crsLine(c)).toDF("value"))
+      case None => lines
+    }
+    out.write.mode("overwrite").text(path)
   }
 
   def readFeatureLines(spark: SparkSession, path: String): DataFrame = {
     val enc = Encoders.product[FeatRow]
-    spark.read.text(path).select(col("value")).as(Encoders.STRING)
+    val text = spark.read.text(path)
+    val df = text.select(col("value")).as(Encoders.STRING)
       .filter(line => line.trim.nonEmpty && line.contains("\"Feature\""))
       .map { line =>
         val f = GeoJson.parseFeature(line.trim.stripSuffix(","))
         FeatRow(f.id.orNull, f.properties, Wkt.write(f.geom))
       }(enc)
       .toDF()
+    val crs = text.filter(col("value").contains("graft:CrsTag"))
+      .select(col("value")).as(Encoders.STRING)
+      .take(1).headOption
+      .flatMap { line =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+        Option(node.get("crs")).map(_.asText())
+      }
+    crs.fold(df)(c => GeoCrs.tag(df, c))
   }
 }

@@ -65,4 +65,31 @@ class FacadeSpec extends SparkSuite {
     back.select(col("properties")("name"), col("geometry")).collect()
       .foreach(r => assert(r.getString(1) === orig(r.getString(0))))
   }
+
+  test("CRS tag round-trips through the facade and the GeoJSON sink (main.py:140)") {
+    import graft.sources.GeoCrs
+    // tag survives write -> read of the line format
+    val tagged = GeoCrs.tag(
+      gdf.select(col("id"), map(lit("name"), col("name")).as("properties"), col("geometry")),
+      "EPSG:27700")
+    assert(GeoCrs.of(tagged) === Some("EPSG:27700"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crs").toString + "/out"
+    GeoJsonSource.writeFeatureLines(tagged, tmp)
+    val back = GeoJsonSource.readFeatureLines(spark, tmp)
+    assert(GeoCrs.of(back) === Some("EPSG:27700"))
+    assert(back.count() === 4) // the metadata line is not a feature
+    // untagged frames stay untagged
+    val plain = GeoJsonSource.readFeatureLines(spark, {
+      val t2 = java.nio.file.Files.createTempDirectory("graft_crs2").toString + "/out"
+      GeoJsonSource.writeFeatureLines(
+        gdf.select(col("id"), map(lit("name"), col("name")).as("properties"),
+          col("geometry")), t2)
+      t2
+    })
+    assert(GeoCrs.of(plain) === None)
+    // the Cartogram facade re-attaches the input tag to its outputs
+    val cart = Cartogram(GeoCrs.tag(gdf, "EPSG:27700"), "population", "name")
+    assert(GeoCrs.of(cart.nonContiguous()) === Some("EPSG:27700"))
+    assert(GeoCrs.of(cart.dorling(iterations = 1)) === Some("EPSG:27700"))
+  }
 }
