@@ -44,6 +44,8 @@ object GeoFunctions extends Serializable {
   private val geojsonToWktU = udf((gj: String) => Wkt.write(GeoJson.parseGeometry(gj)))
   private val convexIntersectionAreaU = udf((w1: String, w2: String) =>
     Ops.convexIntersectionArea(Wkt.read(w1), Wkt.read(w2)))
+  private val intersectionAreaU = udf((w1: String, w2: String) =>
+    Ops.intersectionArea(Wkt.read(w1), Wkt.read(w2)))
 
   def st_area(wkt: Column): Column = areaU(wkt)
   def st_perimeter(wkt: Column): Column = perimeterU(wkt)
@@ -64,6 +66,11 @@ object GeoFunctions extends Serializable {
   /** area(g1 ∩ g2) with convex g2 parts (Sutherland-Hodgman). */
   def st_convex_intersection_area(w1: Column, w2: Column): Column =
     convexIntersectionAreaU(w1, w2)
+  /** area(g1 ∩ g2) for ARBITRARY polygons — concave shapes, holes,
+    * multipolygons (Green's-theorem boundary clipping; shapely
+    * general-booleans parity for area queries). */
+  def st_intersection_area(w1: Column, w2: Column): Column =
+    intersectionAreaU(w1, w2)
 
   /** Inject every function into a SparkSessionExtensions hook —
     * cluster-wide availability via spark.sql.extensions
@@ -94,7 +101,8 @@ object GeoFunctions extends Serializable {
     "st_translate" -> translateU, "st_buffer_point" -> bufferPointU,
     "st_distance" -> distanceU, "st_touches" -> touchesU,
     "st_shared_border" -> sharedBorderU, "st_geojson_to_wkt" -> geojsonToWktU,
-    "st_convex_intersection_area" -> convexIntersectionAreaU)
+    "st_convex_intersection_area" -> convexIntersectionAreaU,
+    "st_intersection_area" -> intersectionAreaU)
 
   /** Register all functions for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {

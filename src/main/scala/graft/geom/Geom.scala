@@ -347,6 +347,150 @@ object Ops {
     acc
   }
 
+  // ---- general polygon intersection area (concave x concave) ----
+  //
+  // Green's-theorem boundary clipping: the boundary of A ∩ B consists
+  // of the pieces of ∂A inside B and the pieces of ∂B inside A, so
+  // area(A ∩ B) = Σ greenTerm over those pieces traversed CCW
+  // (greenTerm(u,v) = (u.x·v.y − v.x·u.y)/2, the shoelace line
+  // integral). Each polygon edge is cut at every crossing with the
+  // other boundary; each sub-piece contributes with weight 1 when its
+  // midpoint is strictly inside, 0 outside, and 1/2 ON the other
+  // boundary — shared collinear runs are then counted exactly once
+  // when interiors agree (½ + ½) and cancel when the polygons only
+  // touch along a line (½ − ½). Unlike a Greiner–Hormann trace there
+  // is no linked structure to corrupt on degenerate inputs, multiple
+  // intersection components fall out automatically, and concavity is
+  // free. O(|A|·|B|) per ring pair with a bbox early-out — geometry
+  // kernel scale (thousands of vertices), run data-local inside Spark
+  // rows. Closes the kernel's gap vs shapely's general boolean ops
+  // (reference border_util.py:48 family computes intersections of
+  // arbitrary geometries; the convex clipper below only handles
+  // convex clip windows).
+
+  private val locEps = 1e-9
+
+  /** -1 outside, 0 on the boundary (within eps), +1 strictly inside. */
+  private def locateInRing(p: Pt, r: Ring, eps: Double): Int = {
+    var inside = false
+    var i = 0
+    val pts = r.pts
+    while (i < pts.length - 1) {
+      val a = pts(i); val b = pts(i + 1)
+      if (pointSegDist(p, a, b) <= eps) return 0
+      if ((a.y > p.y) != (b.y > p.y)) {
+        val xint = a.x + (p.y - a.y) * (b.x - a.x) / (b.y - a.y)
+        if (p.x < xint) inside = !inside
+      }
+      i += 1
+    }
+    if (inside) 1 else -1
+  }
+
+  /** Cut parameters t in (0,1) where segment (p,q) meets ring r:
+    * proper crossings at their intersection parameter, collinear
+    * overlaps at both overlap endpoints (entry/exit of the shared
+    * run). Approximate cuts are fine — pieces are classified by
+    * midpoint afterwards. */
+  private def cutParams(p: Pt, q: Pt, r: Ring, eps: Double): Array[Double] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ux = q.x - p.x; val uy = q.y - p.y
+    r.segments.foreach { case (c, d) =>
+      val vx = d.x - c.x; val vy = d.y - c.y
+      val denom = ux * vy - uy * vx
+      val wx = c.x - p.x; val wy = c.y - p.y
+      if (math.abs(denom) > eps) {
+        val t = (wx * vy - wy * vx) / denom
+        val u = (wx * uy - wy * ux) / denom
+        if (t > 0 && t < 1 && u >= -eps && u <= 1 + eps) out += t
+      } else if (math.abs(wx * uy - wy * ux) <= eps * math.max(1.0, math.sqrt(ux * ux + uy * uy))) {
+        // collinear: cut at the projections of c and d
+        val len2 = ux * ux + uy * uy
+        if (len2 > 0) {
+          val tc = (wx * ux + wy * uy) / len2
+          val td = ((d.x - p.x) * ux + (d.y - p.y) * uy) / len2
+          for (t <- Seq(tc, td)) if (t > 0 && t < 1) out += t
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** area(a ∩ b) for two simple rings (any winding; normalized CCW). */
+  private def ringIntersectionArea(a: Ring, b: Ring, eps: Double): Double = {
+    val (aminx, aminy, amaxx, amaxy) = ringBbox(a)
+    val (bminx, bminy, bmaxx, bmaxy) = ringBbox(b)
+    if (aminx > bmaxx || bminx > amaxx || aminy > bmaxy || bminy > amaxy) return 0.0
+    val ac = if (a.signedArea >= 0) a else Ring(a.pts.reverse)
+    val bc = if (b.signedArea >= 0) b else Ring(b.pts.reverse)
+    def greenTerm(u: Pt, v: Pt): Double = (u.x * v.y - v.x * u.y) / 2.0
+    def boundaryContribution(src: Ring, other: Ring): Double = {
+      var acc = 0.0
+      src.segments.foreach { case (p, q) =>
+        val cuts = (Array(0.0, 1.0) ++ cutParams(p, q, other, eps)).sorted
+        var i = 0
+        while (i < cuts.length - 1) {
+          val t0 = cuts(i); val t1 = cuts(i + 1)
+          if (t1 - t0 > eps) {
+            val tm = (t0 + t1) / 2
+            val m = Pt(p.x + tm * (q.x - p.x), p.y + tm * (q.y - p.y))
+            val w = locateInRing(m, other, eps) match {
+              case 1  => 1.0
+              case 0  => 0.5
+              case _  => 0.0
+            }
+            if (w > 0) {
+              val u = Pt(p.x + t0 * (q.x - p.x), p.y + t0 * (q.y - p.y))
+              val v = Pt(p.x + t1 * (q.x - p.x), p.y + t1 * (q.y - p.y))
+              acc += w * greenTerm(u, v)
+            }
+          }
+          i += 1
+        }
+      }
+      acc
+    }
+    val area = boundaryContribution(ac, bc) + boundaryContribution(bc, ac)
+    math.max(area, 0.0)
+  }
+
+  private def ringBbox(r: Ring): (Double, Double, Double, Double) = {
+    var minx = Double.PositiveInfinity; var miny = Double.PositiveInfinity
+    var maxx = Double.NegativeInfinity; var maxy = Double.NegativeInfinity
+    r.pts.foreach { p =>
+      if (p.x < minx) minx = p.x; if (p.x > maxx) maxx = p.x
+      if (p.y < miny) miny = p.y; if (p.y > maxy) maxy = p.y
+    }
+    (minx, miny, maxx, maxy)
+  }
+
+  /** area(g1 ∩ g2) for ARBITRARY simple polygons/multipolygons —
+    * concave shapes, holes, multiple intersection components all
+    * supported. Holes enter by inclusion–exclusion over signed ring
+    * pairs: with 1_A = 1_shell − Σ 1_hole (holes nested, disjoint),
+    * area(A∩B) = Σ sign_a·sign_b·area(ring_a ∩ ring_b). The epsilon
+    * (scaled to the inputs' extent) only affects classification of
+    * exactly-on-boundary pieces; generic-position inputs are exact up
+    * to float rounding. */
+  def intersectionArea(g1: Geom, g2: Geom): Double = {
+    def ringsSigned(g: Geom): IndexedSeq[(Ring, Double)] =
+      polysOf(g).flatMap(p =>
+        (p.shell, 1.0) +: p.holes.map(h => (h, -1.0)))
+    val rs1 = ringsSigned(g1)
+    val rs2 = ringsSigned(g2)
+    if (rs1.isEmpty || rs2.isEmpty) return 0.0
+    val extent = {
+      val (ax0, ay0, ax1, ay1) = bbox(g1)
+      val (bx0, by0, bx1, by1) = bbox(g2)
+      math.max(1.0, math.max(math.max(ax1 - ax0, ay1 - ay0), math.max(bx1 - bx0, by1 - by0)))
+    }
+    val eps = locEps * extent
+    var acc = 0.0
+    for ((ra, sa) <- rs1; (rb, sb) <- rs2)
+      acc += sa * sb * ringIntersectionArea(ra, rb, eps)
+    math.max(acc, 0.0)
+  }
+
   /** Overlap length of two collinear segments; 0 if not collinear. */
   private def collinearOverlap(a: Pt, b: Pt, c: Pt, d: Pt): Double = {
     val ux = b.x - a.x; val uy = b.y - a.y

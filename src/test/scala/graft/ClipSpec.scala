@@ -46,4 +46,81 @@ class ClipSpec extends AnyFunSuite {
       rect(0, 0, 1, 1).poly, rect(2, 0, 3, 1).poly))
     assert(math.abs(Ops.convexIntersectionArea(mp, rect(0, 0, 4, 4)) - 2.0) < 1e-12)
   }
+
+  // ---- general (concave x concave) intersection area ----
+
+  /** L-shape: the 3x3 square minus its top-right 2x2 corner, area 5. */
+  def ell(ox: Double, oy: Double): GPolygon = GPolygon(Poly(Ring(Vector(
+    Pt(ox, oy), Pt(ox + 3, oy), Pt(ox + 3, oy + 1), Pt(ox + 1, oy + 1),
+    Pt(ox + 1, oy + 3), Pt(ox, oy + 3), Pt(ox, oy)))))
+
+  test("concave x convex matches the convex clipper") {
+    for (w <- Seq(rect(0, 0, 3, 1), rect(0, 0, 1, 3), rect(0, 0, 4, 4), rect(2, 2, 5, 5))) {
+      val viaConvex = Ops.convexIntersectionArea(ell(0, 0), w)
+      val viaGeneral = Ops.intersectionArea(ell(0, 0), w)
+      assert(math.abs(viaConvex - viaGeneral) < 1e-9, s"window $w")
+      // and symmetric
+      assert(math.abs(Ops.intersectionArea(w, ell(0, 0)) - viaGeneral) < 1e-9)
+    }
+  }
+
+  test("concave x concave: two interlocking L-shapes, hand-computed") {
+    // ell(0,0) covers [0,3]x[0,1] ∪ [0,1]x[1,3].
+    // Rotated-L: the 3x3 square minus its bottom-left 2x2 corner,
+    // covers [0,3]x[2,3] ∪ [2,3]x[0,2] — area 5.
+    val rl = GPolygon(Poly(Ring(Vector(
+      Pt(2, 0), Pt(3, 0), Pt(3, 3), Pt(0, 3), Pt(0, 2), Pt(2, 2), Pt(2, 0)))))
+    assert(math.abs(Ops.area(rl) - 5.0) < 1e-12)
+    // overlap: [2,3]x[0,1] (ell's bottom arm x rl's right arm) = 1
+    //        ∪ [0,1]x[2,3] (ell's left arm x rl's top arm)      = 1
+    // -> TWO disjoint components, total 2
+    assert(math.abs(Ops.intersectionArea(ell(0, 0), rl) - 2.0) < 1e-9)
+    assert(math.abs(Ops.intersectionArea(rl, ell(0, 0)) - 2.0) < 1e-9)
+  }
+
+  test("concave intersection: identical, contained, disjoint, touching") {
+    val L = ell(0, 0)
+    assert(math.abs(Ops.intersectionArea(L, L) - 5.0) < 1e-9)            // identical
+    assert(math.abs(Ops.intersectionArea(L, rect(0, 0, 9, 9)) - 5.0) < 1e-9) // contained
+    assert(math.abs(Ops.intersectionArea(L, ell(10, 10))) < 1e-9)        // disjoint
+    // edge contact only (shares the segment x=3, y in [0,1]): area 0
+    assert(math.abs(Ops.intersectionArea(L, rect(3, 0, 5, 1))) < 1e-9)
+    // vertex contact only: area 0
+    assert(math.abs(Ops.intersectionArea(L, rect(3, 1, 5, 3))) < 1e-9)
+  }
+
+  test("holes subtract by inclusion-exclusion") {
+    // 4x4 square with a centered 2x2 hole (donut, area 12)
+    val donut = GPolygon(Poly(
+      Ring(Vector(Pt(0, 0), Pt(4, 0), Pt(4, 4), Pt(0, 4), Pt(0, 0))),
+      Vector(Ring(Vector(Pt(1, 1), Pt(3, 1), Pt(3, 3), Pt(1, 3), Pt(1, 1))))))
+    // window covering the left half [0,2]x[0,4]: donut part there is
+    // 2*4 minus the hole's left half 1*2 = 6
+    assert(math.abs(Ops.intersectionArea(donut, rect(0, 0, 2, 4)) - 6.0) < 1e-9)
+    // window strictly inside the hole: 0
+    assert(math.abs(Ops.intersectionArea(donut, rect(1.25, 1.25, 2.75, 2.75))) < 1e-9)
+    // donut x donut = donut area
+    assert(math.abs(Ops.intersectionArea(donut, donut) - 12.0) < 1e-9)
+  }
+
+  test("U-shape x bar: three components") {
+    // U: [0,5]x[0,1] base with arms [0,1]x[1,4] and [4,5]x[1,4]
+    val u = GPolygon(Poly(Ring(Vector(
+      Pt(0, 0), Pt(5, 0), Pt(5, 4), Pt(4, 4), Pt(4, 1),
+      Pt(1, 1), Pt(1, 4), Pt(0, 4), Pt(0, 0)))))
+    assert(math.abs(Ops.area(u) - 11.0) < 1e-12)
+    // horizontal bar crossing both arms at height [2,3]: overlap =
+    // two 1x1 arm pieces
+    assert(math.abs(Ops.intersectionArea(u, rect(-1, 2, 6, 3)) - 2.0) < 1e-9)
+    // C-shape (U rotated) interlocked with U: hand-check via symmetry
+    val bar = rect(0, 2, 5, 3)
+    assert(math.abs(Ops.intersectionArea(u, bar) - 2.0) < 1e-9)
+  }
+
+  test("multipolygon x multipolygon accumulates over part pairs") {
+    val mpa = GMultiPolygon(Vector(rect(0, 0, 2, 2).poly, rect(4, 0, 6, 2).poly))
+    val mpb = GMultiPolygon(Vector(rect(1, 1, 5, 3).poly))
+    // overlaps: [1,2]x[1,2] = 1 and [4,5]x[1,2] = 1
+    assert(math.abs(Ops.intersectionArea(mpa, mpb) - 2.0) < 1e-9)
+  }
 }
