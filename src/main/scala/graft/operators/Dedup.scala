@@ -350,12 +350,11 @@ object Dedup {
     }
   }
 
-  /** (id, sig, block, value) rows — one per doc per pigeonhole block,
-    * checkpointed (feeds the size aggregate + both join sides). */
-  private def simhashBlockedFrame(df: DataFrame, idCol: String, textCol: String,
+  /** (id, sig, block, value) rows — one per (id, sig) input row per
+    * pigeonhole block, checkpointed (feeds the size aggregate + both
+    * join sides). */
+  private def simhashBlockedFrame(sigs: DataFrame,
                                   blocks: IndexedSeq[(Int, Int, Int)]): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      simhash(wordSet(col(textCol))).as("sig"))
     sigs.select(col("id"), col("sig"),
         explode(array(blocks.map { case (b, start, width) => struct(
           lit(b).as("block"),
@@ -381,20 +380,67 @@ object Dedup {
         col("sv.sub"), col("sv.subval"))
   }
 
-  /** The (block, value) bucket keys holding more than hotBudget docs
-    * (tiny: the value space is <= nBlocks * 256). */
-  private def simhashHotSet(blocked: DataFrame, hotBudget: Int): DataFrame =
-    blocked.groupBy(col("block"), col("value"))
-      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > hotBudget)
+  /** The (block, value) buckets where the second-level split actually
+    * WINS: size above hotBudget AND the exact sub-bucket histogram
+    * says the split's raw join volume (Σ C(c_sub, 2) over all
+    * nBlocks sub-levels) beats the plain bucket join's C(c, 2).
+    * The comparison matters because hot buckets arise two ways with
+    * opposite answers: saturation of the ~7-bit value space by
+    * DISSIMILAR signatures (sub-ranges discriminate → split wins big)
+    * vs genuinely near-identical signatures (template corpora: docs
+    * agree on most sub-ranges too, so the nBlocks-fold row
+    * replication only multiplies cost → plain join wins). Both
+    * histograms are bounded-size aggregates (value space <=
+    * nBlocks * 256 buckets; sub histogram only over candidate-hot
+    * rows), so the dispatch costs two cheap jobs, mirroring
+    * dedupCorpus's prefixCandidateEstimate. */
+  private def simhashHotSet(blocked: DataFrame, hotBudget: Int,
+                            blocks: IndexedSeq[(Int, Int, Int)],
+                            subMasks: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
+    val counts = blocked.groupBy(col("block"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val candHot = counts.filter(col("cnt") > hotBudget)
+    def c2(c: Column): Column = c.cast("double") * (c - 1).cast("double") / 2
+    val splitCost = simhashSubFrame(
+        blocked.join(broadcast(candHot.select(col("block"), col("value"))),
+          Seq("block", "value"), "left_semi"), blocks, subMasks)
+      .groupBy(col("block"), col("value"), col("sub"), col("subval"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("block"), col("value"))
+      .agg(sum(c2(col("c"))).as("split_cost"))
+    candHot.join(splitCost, Seq("block", "value"))
+      .filter(col("split_cost") < c2(col("cnt")))
       .select(col("block"), col("value"))
+  }
+
+  /** (groups, reps): docs collapsed by IDENTICAL 64-bit signature.
+    * On near-dup-heavy corpora (templated text, planted clones) large
+    * doc classes share one exact signature — the very thing that
+    * makes pigeonhole buckets hot — and a class rides the block join
+    * once through its min-id representative. Mirrors the word-set
+    * collapse in [[duplicatesViaCollapse]]; measured on a 100k-doc
+    * 50-template corpus this cuts raw join emissions by ~5 orders of
+    * magnitude where the second-level split alone made things WORSE
+    * (identical-signature docs agree on every sub-range too, so the
+    * split's row replication just multiplied). Caveat shared with the
+    * minhash path: emitting all pairs of a c-member class is C(c,2)
+    * OUTPUT — inherent to pair semantics, not to the join shape. */
+  private def simhashGroups(df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val groups = df.select(col(idCol).as("id"), simhash(wordSet(col(textCol))).as("sig"))
+      .groupBy(col("sig"))
+      .agg(min(col("id")).as("rep"), collect_list(col("id")).as("members"))
+      .localCheckpoint()
+    (groups, groups.select(col("rep").as("id"), col("sig")))
+  }
 
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 8, hotBudget: Int = 512): DataFrame = {
     val nBlocks = maxHamming + 1
     val blocks = simhashBlocks(nBlocks)
     val subMasks = simhashSubMasks(blocks)
-    val blocked = simhashBlockedFrame(df, idCol, textCol, blocks)
-    val hotSet = simhashHotSet(blocked, hotBudget)
+    val (groups, reps) = simhashGroups(df, idCol, textCol)
+    val blocked = simhashBlockedFrame(reps, blocks)
+    val hotSet = simhashHotSet(blocked, hotBudget, blocks, subMasks)
     val cold = blocked.join(broadcast(hotSet), Seq("block", "value"), "left_anti")
     val hot = blocked.join(broadcast(hotSet), Seq("block", "value"), "left_semi")
 
@@ -419,43 +465,64 @@ object Dedup {
       .select(col("i"), col("j"), col("si"), col("sj"))
 
     // Hot side: add (sub, sig & subMask(block, sub)) to the join key.
+    // Pair-dedup differs from the cold side: a pair can surface from
+    // up to nBlocks sub-levels of its (earliest agreeing) hot bucket,
+    // and an unrolled earliest-agreeing-SUB filter would need
+    // nBlocks^2*(nBlocks-1)/2 ~ 300 mask-compare terms — measured to
+    // knock the join stage out of whole-stage codegen (method-size
+    // limit) and run 18x slower interpreted. Instead: the cheap
+    // 8-term earliest-BLOCK filter first (after it a pair survives in
+    // exactly one (block, value) bucket), then one distinct() over
+    // the few surviving rows removes the sub-level duplicates.
     val sub = simhashSubFrame(hot, blocks, subMasks)
-    // within the hot bucket, keep only the EARLIEST agreeing sub-range
-    val anyEarlierSubMatches = blocks.map { case (b, _, _) =>
-      col("block") === b && (1 until nBlocks).map { s =>
-        col("sub") === s && (0 until s).map { sp =>
-          col("si").bitwiseAND(lit(subMasks(b)(sp))) ===
-            col("sj").bitwiseAND(lit(subMasks(b)(sp)))
-        }.reduce(_ || _)
-      }.reduce(_ || _)
-    }.reduce(_ || _)
     val hotRaw = sub.as("a").join(sub.as("b"),
         col("a.block") === col("b.block") && col("a.value") === col("b.value") &&
         col("a.sub") === col("b.sub") && col("a.subval") === col("b.subval") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         col("a.sig").as("si"), col("b.sig").as("sj"),
-        col("a.block").as("block"), col("a.sub").as("sub"))
-      .filter(!anyEarlierBlockMatches && !anyEarlierSubMatches)
+        col("a.block").as("block"))
+      .filter(!anyEarlierBlockMatches)
       .select(col("i"), col("j"), col("si"), col("sj"))
+      .distinct()
 
-    coldRaw.unionAll(hotRaw)
+    val repPairs = coldRaw.unionAll(hotRaw)
       .withColumn("hamming", bit_count(col("si").bitwiseXOR(col("sj"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("i"), col("j"), col("hamming"))
+
+    // expand representative pairs back to member pairs (hamming is a
+    // pure function of the two signatures, so class-mates inherit it),
+    // and emit within-class pairs directly at hamming 0
+    val membersOf = groups.select(col("rep"), explode(col("members")).as("m"))
+    val cross = repPairs
+      .join(membersOf.select(col("rep").as("i"), col("m").as("mi")), "i")
+      .join(membersOf.select(col("rep").as("j"), col("m").as("mj")), "j")
+      .select(least(col("mi"), col("mj")).as("i"),
+        greatest(col("mi"), col("mj")).as("j"), col("hamming"))
+    val within = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("mi"), col("members"))
+      .select(col("mi"), explode(col("members")).as("mj"))
+      .filter(col("mi") < col("mj"))
+      .select(col("mi").as("i"), col("mj").as("j"), lit(0).as("hamming"))
+    cross.unionAll(within)
   }
 
   /** Diagnostic for [[simhashDuplicates]]: the raw candidate-pair
     * volume its joins emit at a given hot budget — Σ C(c, 2) over
-    * cold (block, value) buckets plus Σ C(c, 2) over hot sub-buckets.
-    * Computed from the bucket-size aggregates alone (no join runs),
-    * so the cost-vs-budget curve of the second-level split can be
-    * measured cheaply at any corpus size (tools/ScaleStress). */
+    * cold (block, value) buckets plus Σ C(c, 2) over hot sub-buckets,
+    * computed over the identical-signature-collapsed representatives
+    * exactly as the operator joins them. Bucket-size aggregates only
+    * (no join runs), so the cost-vs-budget curve of the second-level
+    * split can be measured cheaply at any corpus size
+    * (tools/ScaleStress). */
   def simhashEmissionCount(df: DataFrame, idCol: String, textCol: String,
                            maxHamming: Int = 8, hotBudget: Int = 512): Long = {
     val blocks = simhashBlocks(maxHamming + 1)
-    val blocked = simhashBlockedFrame(df, idCol, textCol, blocks)
-    val hotSet = simhashHotSet(blocked, hotBudget)
+    val subMasks = simhashSubMasks(blocks)
+    val (_, reps) = simhashGroups(df, idCol, textCol)
+    val blocked = simhashBlockedFrame(reps, blocks)
+    val hotSet = simhashHotSet(blocked, hotBudget, blocks, subMasks)
     def pairSum(grouped: DataFrame): Long = {
       val Array(row) = grouped
         .agg(sum(col("c").cast("double") * (col("c") - 1).cast("double") / 2)

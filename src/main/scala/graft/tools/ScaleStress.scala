@@ -136,12 +136,33 @@ object ScaleStress {
         }
       }.toDF("doc_id", "text").localCheckpoint()
     println(s"[stress] low-entropy corpus: ${lowEnt.count()} docs, 50 templates")
-    timed("simhash emissions, split OFF (hotBudget=MaxValue)")(
+    timed("simhash emissions low-entropy, split OFF (budget=MaxValue)")(
       Dedup.simhashEmissionCount(lowEnt, "doc_id", "text", 8, Int.MaxValue))
-    timed("simhash emissions, split ON (hotBudget=512)")(
+    timed("simhash emissions low-entropy, per-bucket dispatch (budget=512)")(
       Dedup.simhashEmissionCount(lowEnt, "doc_id", "text", 8, 512))
-    timed("simhash pairs low-entropy, split ON")(
+    timed("simhash pairs low-entropy (dispatched)")(
       Dedup.simhashDuplicates(lowEnt, "doc_id", "text", 8).count())
+    // diverse-signature hot buckets: the shape where the split WINS —
+    // value-space saturation, not similarity (1M random-ish sigs would
+    // saturate 7-bit blocks; emulate with tiny-vocab uniform docs
+    // whose sigs are spread but blocks collide)
+    timed("simhash emissions uniform, split OFF (budget=MaxValue)")(
+      Dedup.simhashEmissionCount(uni, "doc_id", "text", 8, Int.MaxValue))
+    timed("simhash emissions uniform, per-bucket dispatch (budget=512)")(
+      Dedup.simhashEmissionCount(uni, "doc_id", "text", 8, 512))
+    }
+
+    if (sections("simhash")) {
+    val zipf = gen("zipf")
+    println(s"[stress] zipf corpus: ${zipf.count()} docs")
+    timed("zipf simhash emissions budget=MaxValue")(
+      Dedup.simhashEmissionCount(zipf, "doc_id", "text", 8, Int.MaxValue))
+    timed("zipf simhash emissions budget=512")(
+      Dedup.simhashEmissionCount(zipf, "doc_id", "text", 8, 512))
+    timed("zipf simhash pairs budget=MaxValue (collapse only)")(
+      Dedup.simhashDuplicates(zipf, "doc_id", "text", 8, Int.MaxValue).count())
+    timed("zipf simhash pairs budget=512 (dispatched)")(
+      Dedup.simhashDuplicates(zipf, "doc_id", "text", 8).count())
     }
 
     if (sections("geo")) {
