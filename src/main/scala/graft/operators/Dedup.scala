@@ -301,78 +301,68 @@ object Dedup {
     * pins equality with the HOF formulation it replaced. */
   def simhash(words: Column): Column = ArrayOps.simhash(wordHashes(words))
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
-    *
-    * Pigeonhole banding: split 64 bits into maxHamming+1 blocks — any
-    * pair within the budget must agree exactly on at least one block,
-    * so candidates come from equi-joins on block values (shuffle on
-    * (block, value)), then exact popcount verification. No O(n^2)
-    * across the corpus — but block values are only ~7 bits wide, so a
-    * LOW-ENTROPY corpus concentrates docs on a few hot values and the
-    * join degenerates quadratic WITHIN those buckets.
-    *
-    * Hot-bucket second-level split: buckets holding more than
-    * `hotBudget` docs re-apply the pigeonhole on the OTHER 57 bits —
-    * split into maxHamming+1 sub-ranges, any within-budget pair that
-    * agrees on the hot block also has <= maxHamming diffs outside it
-    * and therefore agrees on a whole sub-range, so the hot bucket's
-    * join adds the sub-range value to its key. Emission volume drops
-    * from C(c, 2) to ~(m+1)/2^subwidth of that (c = bucket size); the
-    * guarantee is preserved exactly, and each pair still surfaces
-    * exactly once (earliest agreeing block, then earliest agreeing
-    * sub-range). Bucket sizes are one tiny aggregate (the value space
-    * is <= (m+1)*256), broadcast to split hot from cold.
-    */
-  /** Uneven pigeonhole block boundaries covering exactly bits
-    * [0, 64): block b is [b*64/n, (b+1)*64/n). A naive fixed width of
-    * ceil(64/n) would shift the last block by >= 64 — a mod-64 no-op
-    * in the JVM that silently aliases block 0 and voids the
-    * pigeonhole guarantee. @return (block, startBit, width) */
-  private def simhashBlocks(nBlocks: Int): IndexedSeq[(Int, Int, Int)] =
-    (0 until nBlocks).map { b =>
-      val start = b * 64 / nBlocks
-      val width = (b + 1) * 64 / nBlocks - start
-      (b, start, width)
-    }
+  /** Per-word bit masks for a set of global bit positions over an
+    * nWords x 64-bit signature. Mask-based block values (sig[w] & m)
+    * replace shift/width arithmetic: equality on the masked words IS
+    * equality on the block's bits, and the same representation serves
+    * any signature width. */
+  private def masksOf(bits: Seq[Int], nWords: Int): IndexedSeq[Long] = {
+    val m = Array.fill(nWords)(0L)
+    bits.foreach(k => m(k / 64) |= (1L << (k % 64)))
+    m.toIndexedSeq
+  }
 
-  /** Sub-range masks for hot block b: the 64-width(b) bits OUTSIDE
-    * block b, chunked into nBlocks groups (masks, not compacted
-    * values — equality on sig&mask is equality on the group's bits). */
-  private def simhashSubMasks(blocks: IndexedSeq[(Int, Int, Int)]): IndexedSeq[IndexedSeq[Long]] = {
-    val nBlocks = blocks.length
-    blocks.map { case (_, start, width) =>
-      val others = (0 until 64).filterNot(k => k >= start && k < start + width)
+  /** Uneven pigeonhole block masks covering exactly bits
+    * [0, 64*nWords): block b holds [b*W/n, (b+1)*W/n). */
+  private def simhashBlockMasks(nBlocks: Int, nWords: Int): IndexedSeq[IndexedSeq[Long]] = {
+    val w = 64 * nWords
+    (0 until nBlocks).map(b => masksOf(b * w / nBlocks until (b + 1) * w / nBlocks, nWords))
+  }
+
+  /** Sub-range masks for hot block b: the bits OUTSIDE block b,
+    * chunked into nBlocks groups. */
+  private def simhashSubMasks(nBlocks: Int, nWords: Int): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+    val w = 64 * nWords
+    (0 until nBlocks).map { b =>
+      val range = b * w / nBlocks until (b + 1) * w / nBlocks
+      val others = (0 until w).filterNot(range.contains)
       (0 until nBlocks).map { s =>
-        val lo = s * others.length / nBlocks
-        val hi = (s + 1) * others.length / nBlocks
-        others.slice(lo, hi).foldLeft(0L)((m, k) => m | (1L << k))
+        masksOf(others.slice(s * others.length / nBlocks,
+          (s + 1) * others.length / nBlocks), nWords)
       }
     }
   }
 
-  /** (id, sig, block, value) rows — one per (id, sig) input row per
-    * pigeonhole block, checkpointed (feeds the size aggregate + both
-    * join sides). */
+  /** struct(sig[0] & m(0), ..., sig[n-1] & m(n-1)) — the join-key
+    * value of a masked signature. */
+  private def maskedVal(sig: Column, mask: IndexedSeq[Long]): Column =
+    struct(mask.indices.map(w => sig(w).bitwiseAND(lit(mask(w))).as(s"m$w")): _*)
+
+  /** (id, sig array<long>, block, value struct) rows — one per input
+    * row per pigeonhole block, checkpointed (feeds the size aggregate
+    * + both join sides). */
   private def simhashBlockedFrame(sigs: DataFrame,
-                                  blocks: IndexedSeq[(Int, Int, Int)]): DataFrame = {
+                                  blockMasks: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
     sigs.select(col("id"), col("sig"),
-        explode(array(blocks.map { case (b, start, width) => struct(
-          lit(b).as("block"),
-          call_function("shiftright", col("sig"), lit(start))
-            .bitwiseAND(shiftleft(lit(1L), width) - 1).as("value"))
+        explode(array(blockMasks.indices.map { b => struct(
+          lit(b).as("block"), maskedVal(col("sig"), blockMasks(b)).as("value"))
         }: _*)).as("bv"))
       .select(col("id"), col("sig"), col("bv.block"), col("bv.value"))
       .localCheckpoint()
   }
 
   /** Hot rows expanded by second-level sub-range: adds (sub, subval =
-    * sig & subMask(block, sub)) — the sub-value column dispatches on
-    * the row's block via a coalesce-of-whens. */
-  private def simhashSubFrame(hot: DataFrame, blocks: IndexedSeq[(Int, Int, Int)],
-                              subMasks: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
-    val nBlocks = blocks.length
-    def subVal(s: Int): Column = col("sig").bitwiseAND(coalesce(
-      blocks.map { case (b, _, _) => when(col("block") === b, lit(subMasks(b)(s))) }: _*))
+    * masked sig under subMask(block, sub)) — each word's mask
+    * dispatches on the row's block via a coalesce-of-whens. */
+  private def simhashSubFrame(hot: DataFrame,
+                              subMasks: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame = {
+    val nBlocks = subMasks.length
+    val nWords = subMasks.head.head.length
+    def subVal(s: Int): Column = struct((0 until nWords).map { w =>
+      col("sig")(w).bitwiseAND(coalesce(subMasks.indices.map { b =>
+        when(col("block") === b, lit(subMasks(b)(s)(w)))
+      }: _*)).as(s"m$w")
+    }: _*)
     hot.select(col("id"), col("sig"), col("block"), col("value"),
         explode(array((0 until nBlocks).map(s =>
           struct(lit(s).as("sub"), subVal(s).as("subval"))): _*)).as("sv"))
@@ -395,15 +385,14 @@ object Dedup {
     * rows), so the dispatch costs two cheap jobs, mirroring
     * dedupCorpus's prefixCandidateEstimate. */
   private def simhashHotSet(blocked: DataFrame, hotBudget: Int,
-                            blocks: IndexedSeq[(Int, Int, Int)],
-                            subMasks: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
+                            subMasks: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame = {
     val counts = blocked.groupBy(col("block"), col("value"))
       .agg(count(lit(1)).as("cnt"))
     val candHot = counts.filter(col("cnt") > hotBudget)
     def c2(c: Column): Column = c.cast("double") * (c - 1).cast("double") / 2
     val splitCost = simhashSubFrame(
         blocked.join(broadcast(candHot.select(col("block"), col("value"))),
-          Seq("block", "value"), "left_semi"), blocks, subMasks)
+          Seq("block", "value"), "left_semi"), subMasks)
       .groupBy(col("block"), col("value"), col("sub"), col("subval"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("block"), col("value"))
@@ -413,7 +402,7 @@ object Dedup {
       .select(col("block"), col("value"))
   }
 
-  /** (groups, reps): docs collapsed by IDENTICAL 64-bit signature.
+  /** (groups, reps): docs collapsed by IDENTICAL signature.
     * On near-dup-heavy corpora (templated text, planted clones) large
     * doc classes share one exact signature — the very thing that
     * makes pigeonhole buckets hot — and a class rides the block join
@@ -425,22 +414,56 @@ object Dedup {
     * split's row replication just multiplied). Caveat shared with the
     * minhash path: emitting all pairs of a c-member class is C(c,2)
     * OUTPUT — inherent to pair semantics, not to the join shape. */
-  private def simhashGroups(df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
-    val groups = df.select(col(idCol).as("id"), simhash(wordSet(col(textCol))).as("sig"))
+  private def simhashGroups(df: DataFrame, idCol: String, textCol: String,
+                            nWords: Int): (DataFrame, DataFrame) = {
+    val groups = df.select(col(idCol).as("id"),
+        ArrayOps.simhashWide(wordHashes(wordSet(col(textCol))), nWords).as("sig"))
       .groupBy(col("sig"))
       .agg(min(col("id")).as("rep"), collect_list(col("id")).as("members"))
       .localCheckpoint()
     (groups, groups.select(col("rep").as("id"), col("sig")))
   }
 
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    *
+    * Pigeonhole banding: split the signature bits into maxHamming+1
+    * blocks — any pair within the budget must agree exactly on at
+    * least one block, so candidates come from equi-joins on masked
+    * block values (shuffle on (block, value)), then exact popcount
+    * verification. No O(n^2) across the corpus. Two defenses against
+    * quadratic hot buckets, each engaged only where measurement says
+    * it wins: identical-signature classes collapse to one
+    * representative before banding (template corpora), and buckets
+    * above `hotBudget` re-apply the pigeonhole on the bits OUTSIDE
+    * the block (second-level split — any within-budget pair agreeing
+    * on the hot block has <= maxHamming diffs outside it and so
+    * agrees on a whole sub-range) when the exact sub-bucket histogram
+    * shows the split's join volume beats C(c, 2). Each pair surfaces
+    * exactly once (earliest agreeing block; sub-level duplicates die
+    * in one distinct over survivors). */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 8, hotBudget: Int = 512): DataFrame = {
+                        maxHamming: Int = 8, hotBudget: Int = 512): DataFrame =
+    simhashWideDuplicates(df, idCol, textCol, nWords = 1, maxHamming, hotBudget)
+
+  /** 128-bit variant: signature WIDTH is the simhash scale lever —
+    * blocks are ~14 bits instead of ~7, so the value space grows by
+    * 2^7 per block and bucket saturation (the quadratic hot-bucket
+    * regime, measured at ~100k docs for 64-bit signatures) is pushed
+    * out by orders of magnitude; template-mates also disagree on the
+    * wider blocks more often, shrinking genuinely-hot buckets. Same
+    * pigeonhole guarantee at the same maxHamming. */
+  def simhash128Duplicates(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 8, hotBudget: Int = 512): DataFrame =
+    simhashWideDuplicates(df, idCol, textCol, nWords = 2, maxHamming, hotBudget)
+
+  def simhashWideDuplicates(df: DataFrame, idCol: String, textCol: String,
+                            nWords: Int, maxHamming: Int, hotBudget: Int): DataFrame = {
     val nBlocks = maxHamming + 1
-    val blocks = simhashBlocks(nBlocks)
-    val subMasks = simhashSubMasks(blocks)
-    val (groups, reps) = simhashGroups(df, idCol, textCol)
-    val blocked = simhashBlockedFrame(reps, blocks)
-    val hotSet = simhashHotSet(blocked, hotBudget, blocks, subMasks)
+    val blockMasks = simhashBlockMasks(nBlocks, nWords)
+    val subMasks = simhashSubMasks(nBlocks, nWords)
+    val (groups, reps) = simhashGroups(df, idCol, textCol, nWords)
+    val blocked = simhashBlockedFrame(reps, blockMasks)
+    val hotSet = simhashHotSet(blocked, hotBudget, subMasks)
     val cold = blocked.join(broadcast(hotSet), Seq("block", "value"), "left_anti")
     val hot = blocked.join(broadcast(hotSet), Seq("block", "value"), "left_semi")
 
@@ -448,12 +471,13 @@ object Dedup {
     // distinct(): keep a row only when NO EARLIER block also matches.
     // The check is an UNROLLED boolean chain (higher-order `exists`
     // is interpreted per row — fatal on tens of millions of rows);
-    // each term is two shift+mask compares, fully codegen'd.
-    val anyEarlierBlockMatches = blocks.init.map { case (b, start, width) =>
-      val mask = (1L << width) - 1
-      col("block") > b &&
-        (call_function("shiftright", col("si"), lit(start)).bitwiseAND(lit(mask)) ===
-         call_function("shiftright", col("sj"), lit(start)).bitwiseAND(lit(mask)))
+    // each term is nWords mask-compares, fully codegen'd (~16 terms —
+    // small enough to stay under the codegen method-size limit).
+    val anyEarlierBlockMatches = blockMasks.indices.init.map { b =>
+      col("block") > b && (0 until nWords).map { w =>
+        col("si")(w).bitwiseAND(lit(blockMasks(b)(w))) ===
+          col("sj")(w).bitwiseAND(lit(blockMasks(b)(w)))
+      }.reduce(_ && _)
     }.reduce(_ || _)
 
     val coldRaw = cold.as("a").join(cold.as("b"),
@@ -474,7 +498,7 @@ object Dedup {
     // 8-term earliest-BLOCK filter first (after it a pair survives in
     // exactly one (block, value) bucket), then one distinct() over
     // the few surviving rows removes the sub-level duplicates.
-    val sub = simhashSubFrame(hot, blocks, subMasks)
+    val sub = simhashSubFrame(hot, subMasks)
     val hotRaw = sub.as("a").join(sub.as("b"),
         col("a.block") === col("b.block") && col("a.value") === col("b.value") &&
         col("a.sub") === col("b.sub") && col("a.subval") === col("b.subval") &&
@@ -486,8 +510,11 @@ object Dedup {
       .select(col("i"), col("j"), col("si"), col("sj"))
       .distinct()
 
+    val hammingCol = (0 until nWords)
+      .map(w => bit_count(col("si")(w).bitwiseXOR(col("sj")(w))))
+      .reduce(_ + _)
     val repPairs = coldRaw.unionAll(hotRaw)
-      .withColumn("hamming", bit_count(col("si").bitwiseXOR(col("sj"))))
+      .withColumn("hamming", hammingCol)
       .filter(col("hamming") <= maxHamming)
       .select(col("i"), col("j"), col("hamming"))
 
@@ -517,12 +544,14 @@ object Dedup {
     * split can be measured cheaply at any corpus size
     * (tools/ScaleStress). */
   def simhashEmissionCount(df: DataFrame, idCol: String, textCol: String,
-                           maxHamming: Int = 8, hotBudget: Int = 512): Long = {
-    val blocks = simhashBlocks(maxHamming + 1)
-    val subMasks = simhashSubMasks(blocks)
-    val (_, reps) = simhashGroups(df, idCol, textCol)
-    val blocked = simhashBlockedFrame(reps, blocks)
-    val hotSet = simhashHotSet(blocked, hotBudget, blocks, subMasks)
+                           maxHamming: Int = 8, hotBudget: Int = 512,
+                           nWords: Int = 1): Long = {
+    val nBlocks = maxHamming + 1
+    val blockMasks = simhashBlockMasks(nBlocks, nWords)
+    val subMasks = simhashSubMasks(nBlocks, nWords)
+    val (_, reps) = simhashGroups(df, idCol, textCol, nWords)
+    val blocked = simhashBlockedFrame(reps, blockMasks)
+    val hotSet = simhashHotSet(blocked, hotBudget, subMasks)
     def pairSum(grouped: DataFrame): Long = {
       val Array(row) = grouped
         .agg(sum(col("c").cast("double") * (col("c") - 1).cast("double") / 2)
@@ -533,7 +562,7 @@ object Dedup {
       .groupBy(col("block"), col("value")).agg(count(lit(1)).as("c")))
     val hot = pairSum(
       simhashSubFrame(blocked.join(broadcast(hotSet), Seq("block", "value"), "left_semi"),
-          blocks, simhashSubMasks(blocks))
+          subMasks)
         .groupBy(col("block"), col("value"), col("sub"), col("subval"))
         .agg(count(lit(1)).as("c")))
     cold + hot

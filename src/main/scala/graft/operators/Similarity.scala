@@ -221,21 +221,31 @@ object Similarity {
         .select(col("block"), col("i"), col("j"), col("cos"))
     }
 
+    // The hot machinery only materializes when a hot block exists
+    // (one tiny aggregate to check) — the common small-block case
+    // pays nothing beyond the size aggregate.
+    if (hotSet.isEmpty) return coldPairs
+
     val hotPairs = {
+      // checkpoint the hot side once: it feeds the bucket frame and
+      // both verify sides, and the bucket frame self-joins — without
+      // the cut each consumer recomputes the buckets/norms lineage
+      val hotCp = hot.localCheckpoint()
       // bucket ids only ride the collision join; vectors join back
       // for surviving candidate pairs (same plan shape as annTopK)
-      val bk = hot.select(col("id"), col("block"),
-        posexplode(ArrayOps.hyperplaneBuckets(col("vec"), planes, tables))
-          .as(Seq("table", "bucket")))
+      val bk = hotCp.select(col("id"), col("block"),
+          posexplode(ArrayOps.hyperplaneBuckets(col("vec"), planes, tables))
+            .as(Seq("table", "bucket")))
+        .localCheckpoint()
       val candIds = bk.select(col("block"), col("table"), col("bucket"), col("id").as("i"))
         .join(bk.select(col("block"), col("table"), col("bucket"), col("id").as("j")),
           Seq("block", "table", "bucket"))
         .filter(col("i") < col("j"))
         .select(col("block"), col("i"), col("j"))
         .distinct()
-      val a = hot.select(col("id").as("i"), col("block"),
+      val a = hotCp.select(col("id").as("i"), col("block"),
         col("vec").as("va"), col("n2").as("n2a"))
-      val b = hot.select(col("id").as("j"), col("block"),
+      val b = hotCp.select(col("id").as("j"), col("block"),
         col("vec").as("vb"), col("n2").as("n2b"))
       candIds.join(a, Seq("block", "i")).join(b, Seq("block", "j"))
         .withColumn("cos", cosine(dotSeq(col("va"), col("vb")), col("n2a"), col("n2b")))

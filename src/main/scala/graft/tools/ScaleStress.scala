@@ -216,18 +216,30 @@ object ScaleStress {
     // --- embedding near-dup under block skew: one label holds 50% ---
     // of 100k vectors (the all-pairs-within-block scale-killer). The
     // dispatched operator must land within ~2x of the balanced shape.
+    // 2000 clusters of 50 near-parallel vectors; the SAME clusters in
+    // both shapes (so true near-dup pairs are identical), only the
+    // block assignment differs: balanced spreads clusters over 100
+    // equal blocks, skewed packs half of them into ONE 50k-vector
+    // block (a coarse label holding many unrelated clusters — the
+    // all-pairs scale-killer: 1.25e9 candidate dots for the same
+    // ~2.4M true pairs).
+    // 256-dim here (not 64): realistic embedding widths are what make
+    // the all-pairs path expensive — the codegen'd dot kernel grinds
+    // 1.25e9 64-dim dots in ~12 s, so the dispatch's value shows at
+    // production dims.
     val nv = 100000
+    val ndim = 256
     def blocked(skewed: Boolean) = spark.range(0, nv, 1, 32)
       .mapPartitions { it =>
         it.map { id =>
-          val rng = new scala.util.Random(id)
+          val cluster = (id % 2000).toInt
           val block =
-            if (skewed) { if (id % 2 == 0) 0L else 1L + rng.nextInt(99) }
-            else id % 100
-          // near-parallel vectors inside a cluster => real near-dups
-          val base = new scala.util.Random(block)
-          val v = Array.fill(64)(base.nextFloat() * 2 - 1)
-          (0 until 6).foreach(_ => v(rng.nextInt(64)) += rng.nextFloat() * 0.2f)
+            if (skewed) { if (cluster < 1000) 0L else (cluster % 99 + 1).toLong }
+            else (cluster % 100).toLong
+          val base = new scala.util.Random(cluster)
+          val v = Array.fill(ndim)(base.nextFloat() * 2 - 1)
+          val rng = new scala.util.Random(id)
+          (0 until 24).foreach(_ => v(rng.nextInt(ndim)) += rng.nextFloat() * 0.2f)
           (id, v, block)
         }
       }.toDF("id", "vec", "block").localCheckpoint()

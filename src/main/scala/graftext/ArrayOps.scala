@@ -399,6 +399,94 @@ case class VecSimhash(child: Expression) extends UnaryExpression with ExpectsInp
     copy(child = newChild)
 }
 
+/** Wide SimHash: `words` x 64 bits of signature in ONE codegen'd
+  * pass. Word 0 votes with the raw 64-bit element hash (bit-equal to
+  * [[VecSimhash]]); word w > 0 votes with XXH64.hashLong(h, 42 + w) —
+  * independent bit planes from the same element hashes. Signature
+  * WIDTH is the simhash scale lever: pigeonhole blocks over 64*words
+  * bits are ~(64*words)/(maxHamming+1) bits wide, so the block-value
+  * space grows exponentially with width and bucket saturation (the
+  * quadratic hot-bucket regime) is pushed out by 2^64 per extra word.
+  */
+case class VecSimhashWide(child: Expression, words: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(words >= 1 && words <= 8, "1..8 signature words supported")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val sums = new Array[Int](64 * words)
+    var i = 0
+    while (i < n) {
+      val h0 = a.getLong(i)
+      var w = 0
+      while (w < words) {
+        val h = if (w == 0) h0 else XXH64.hashLong(h0, 42L + w)
+        var k = 0
+        while (k < 64) {
+          sums(w * 64 + k) += (if (((h >>> k) & 1L) == 1L) 1 else -1)
+          k += 1
+        }
+        w += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](words)
+    var w = 0
+    while (w < words) {
+      var sig = 0L
+      var k = 0
+      while (k < 64) {
+        if (sums(w * 64 + k) > 0) sig |= (1L << k)
+        k += 1
+      }
+      out(w) = sig
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val w = ctx.freshName("w"); val k = ctx.freshName("k")
+      val h0 = ctx.freshName("h0"); val h = ctx.freshName("h")
+      val sums = ctx.freshName("sums"); val out = ctx.freshName("out")
+      val sig = ctx.freshName("sig")
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $sums = new int[${64 * words}];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h0 = $a.getLong($i);
+         |  for (int $w = 0; $w < $words; $w++) {
+         |    final long $h = ($w == 0) ? $h0 : $xxh.hashLong($h0, 42L + $w);
+         |    for (int $k = 0; $k < 64; $k++) {
+         |      $sums[$w * 64 + $k] += ((($h >>> $k) & 1L) == 1L) ? 1 : -1;
+         |    }
+         |  }
+         |}
+         |final long[] $out = new long[$words];
+         |for (int $w = 0; $w < $words; $w++) {
+         |  long $sig = 0L;
+         |  for (int $k = 0; $k < 64; $k++) {
+         |    if ($sums[$w * 64 + $k] > 0) $sig |= (1L << $k);
+         |  }
+         |  $out[$w] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecSimhashWide =
+    copy(child = newChild)
+}
+
 object ArrayOps {
   /** Column API: intersection count of two sorted array<long> columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
@@ -413,6 +501,11 @@ object ArrayOps {
   /** Column API: 64-bit simhash of a pre-hashed word-set column. */
   def simhash(hashes: Column): Column =
     ExpressionUtils.column(VecSimhash(ExpressionUtils.expression(hashes)))
+
+  /** Column API: words x 64-bit simhash signature (array<long>);
+    * word 0 is bit-equal to [[simhash]]. */
+  def simhashWide(hashes: Column, words: Int): Column =
+    ExpressionUtils.column(VecSimhashWide(ExpressionUtils.expression(hashes), words))
 
   /** Column API: all hyperplane-LSH bucket ids for a vector column,
     * one long per table. */

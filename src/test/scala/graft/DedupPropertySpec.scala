@@ -140,6 +140,32 @@ class DedupPropertySpec extends SparkSuite {
     }
   }
 
+  test("simhash128 pairs == brute-force 128-bit hamming pairs; word 0 == 64-bit simhash") {
+    for (round <- 1 to 2) {
+      val docs = corpus(80)
+      val df = docs.toDF("doc_id", "text")
+      val wide = df.select(col("doc_id"),
+          org.apache.spark.sql.graftext.ArrayOps.simhashWide(
+            Dedup.wordHashes(Dedup.wordSet(col("text"))), 2).as("sig"),
+          Dedup.simhash(Dedup.wordSet(col("text"))).as("sig64"))
+        .as[(Long, Seq[Long], Long)].collect()
+      // word 0 of the wide signature is bit-equal to the 64-bit simhash
+      wide.foreach { case (id, s, s64) => assert(s.head === s64, s"doc $id") }
+      val want = (for {
+        (i, si, _) <- wide; (j, sj, _) <- wide if i < j
+        h = java.lang.Long.bitCount(si(0) ^ sj(0)) + java.lang.Long.bitCount(si(1) ^ sj(1))
+        if h <= 8
+      } yield (i, j)).toSet
+      for (budget <- Seq(512, 2)) {
+        val got = Dedup.simhash128Duplicates(df, "doc_id", "text", maxHamming = 8,
+            hotBudget = budget)
+          .select("i", "j").as[(Long, Long)].collect()
+        assert(got.length === got.toSet.size, s"round $round budget $budget: duplicates")
+        assert(got.toSet === want, s"round $round budget $budget")
+      }
+    }
+  }
+
   test("connected components converge on a path graph of diameter >> 20") {
     // A 300-node chain: one-hop-per-round propagation would need 300
     // rounds; pointer doubling must finish well inside the default cap
