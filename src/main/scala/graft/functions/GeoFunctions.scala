@@ -46,6 +46,8 @@ object GeoFunctions extends Serializable {
     Ops.convexIntersectionArea(Wkt.read(w1), Wkt.read(w2)))
   private val intersectionAreaU = udf((w1: String, w2: String) =>
     Ops.intersectionArea(Wkt.read(w1), Wkt.read(w2)))
+  private val intersectionU = udf((w1: String, w2: String) =>
+    Wkt.write(Ops.intersection(Wkt.read(w1), Wkt.read(w2))))
 
   def st_area(wkt: Column): Column = areaU(wkt)
   def st_perimeter(wkt: Column): Column = perimeterU(wkt)
@@ -71,6 +73,11 @@ object GeoFunctions extends Serializable {
     * general-booleans parity for area queries). */
   def st_intersection_area(w1: Column, w2: Column): Column =
     intersectionAreaU(w1, w2)
+  /** g1 ∩ g2 as WKT (polygonal result; MULTIPOLYGON EMPTY when the
+    * intersection carries no area — shapely `intersection` parity
+    * for the polygon-output case). */
+  def st_intersection(w1: Column, w2: Column): Column =
+    intersectionU(w1, w2)
 
   /** Inject every function into a SparkSessionExtensions hook —
     * cluster-wide availability via spark.sql.extensions
@@ -102,7 +109,8 @@ object GeoFunctions extends Serializable {
     "st_distance" -> distanceU, "st_touches" -> touchesU,
     "st_shared_border" -> sharedBorderU, "st_geojson_to_wkt" -> geojsonToWktU,
     "st_convex_intersection_area" -> convexIntersectionAreaU,
-    "st_intersection_area" -> intersectionAreaU)
+    "st_intersection_area" -> intersectionAreaU,
+    "st_intersection" -> intersectionU)
 
   /** Register all functions for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {

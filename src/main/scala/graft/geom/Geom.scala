@@ -399,7 +399,15 @@ object Ops {
       val vx = d.x - c.x; val vy = d.y - c.y
       val denom = ux * vy - uy * vx
       val wx = c.x - p.x; val wy = c.y - p.y
-      if (math.abs(denom) > eps) {
+      // Parallel test on the DIMENSIONLESS sine of the angle:
+      // |denom| = |u||v||sin|, so comparing against eps (a length)
+      // would misread genuine crossings of short segments in
+      // large-extent polygons as parallel (units length^2 vs
+      // length). A sloppy near-parallel cut is harmless — t lands
+      // outside (0,1) or just splits a piece finer, and midpoints
+      // reclassify — but a MISSED cut mis-weights a whole piece.
+      if (math.abs(denom) >
+          locEps * math.sqrt(ux * ux + uy * uy) * math.sqrt(vx * vx + vy * vy)) {
         val t = (wx * vy - wy * vx) / denom
         val u = (wx * uy - wy * ux) / denom
         if (t > 0 && t < 1 && u >= -eps && u <= 1 + eps) out += t
@@ -489,6 +497,178 @@ object Ops {
     for ((ra, sa) <- rs1; (rb, sb) <- rs2)
       acc += sa * sb * ringIntersectionArea(ra, rb, eps)
     math.max(acc, 0.0)
+  }
+
+  /** g1 ∩ g2 as a GEOMETRY (shapely `intersection` parity for
+    * area-bearing results — reference border_util.py:48 family).
+    *
+    * Same Green's-theorem piece machinery as [[intersectionArea]],
+    * but instead of summing shoelace terms the kept pieces are
+    * STITCHED into rings. Orientation does the bookkeeping: with
+    * shells CCW and holes CW, every boundary piece of either input
+    * carries its polygon's interior on its LEFT, so every kept piece
+    * (midpoint inside the other polygon, or on its boundary with the
+    * two interiors on the same side) has the INTERSECTION's interior
+    * on its left; following end-to-start chains therefore walks each
+    * boundary component of A ∩ B exactly once. CCW output rings are
+    * shells, CW rings holes (assigned to the smallest containing
+    * shell). Shared collinear runs surface as one same-direction
+    * piece from each input — one copy is kept; pure line contact
+    * (interiors on opposite sides) surfaces as two opposite-direction
+    * copies — both dropped, so degenerate contact yields no ring.
+    * Zero-area results return MULTIPOLYGON EMPTY (this is the
+    * POLYGONAL intersection; line/point contact is covered by
+    * [[touches]]/[[sharedBorderLength]]).
+    *
+    * At a transversal boundary crossing exactly one kept piece leaves
+    * the junction (the crossing flips inside/outside for the other
+    * input's continuation), so stitching is deterministic; at
+    * degenerate multi-touch vertices the sharpest-left-turn rule
+    * keeps each CCW face tight. O(|A|·|B|) like the area path —
+    * geometry-kernel scale, run data-local inside Spark rows. */
+  def intersection(g1: Geom, g2: Geom): Geom = {
+    val ps1 = polysOf(g1)
+    val ps2 = polysOf(g2)
+    if (ps1.isEmpty || ps2.isEmpty) return GMultiPolygon(Vector.empty)
+    val extent = {
+      val (ax0, ay0, ax1, ay1) = bbox(g1)
+      val (bx0, by0, bx1, by1) = bbox(g2)
+      math.max(1.0, math.max(math.max(ax1 - ax0, ay1 - ay0), math.max(bx1 - bx0, by1 - by0)))
+    }
+    val eps = locEps * extent
+
+    // interior-on-the-left orientation: shells CCW, holes CW
+    def oriented(ps: IndexedSeq[Poly]): IndexedSeq[Ring] = ps.flatMap { p =>
+      val s = if (p.shell.signedArea >= 0) p.shell else Ring(p.shell.pts.reverse)
+      val hs = p.holes.map(h => if (h.signedArea <= 0) h else Ring(h.pts.reverse))
+      s +: hs
+    }
+    // -1 outside / 0 on boundary / +1 strictly inside a poly SET
+    def locate(ps: IndexedSeq[Poly], p: Pt): Int = {
+      var best = -1
+      ps.foreach { poly =>
+        locateInRing(p, poly.shell, eps) match {
+          case 0 => return 0
+          case 1 =>
+            var inHole = false
+            poly.holes.foreach { h =>
+              locateInRing(p, h, eps) match {
+                case 0 => return 0
+                case 1 => inHole = true
+                case _ =>
+              }
+            }
+            if (!inHole) best = 1
+          case _ =>
+        }
+      }
+      best
+    }
+
+    final case class Piece(u: Pt, v: Pt, fromA: Boolean, onBoundary: Boolean)
+    def piecesOf(srcRings: IndexedSeq[Ring], otherRings: IndexedSeq[Ring],
+                 otherPolys: IndexedSeq[Poly], fromA: Boolean): Vector[Piece] = {
+      val out = Vector.newBuilder[Piece]
+      srcRings.foreach { ring =>
+        ring.segments.foreach { case (p, q) =>
+          val cuts = (Array(0.0, 1.0) ++
+            otherRings.flatMap(r => cutParams(p, q, r, eps))).sorted
+          var i = 0
+          while (i < cuts.length - 1) {
+            val t0 = cuts(i); val t1 = cuts(i + 1)
+            if (t1 - t0 > eps) {
+              val m = Pt(p.x + (t0 + t1) / 2 * (q.x - p.x),
+                p.y + (t0 + t1) / 2 * (q.y - p.y))
+              val loc = locate(otherPolys, m)
+              if (loc >= 0)
+                out += Piece(Pt(p.x + t0 * (q.x - p.x), p.y + t0 * (q.y - p.y)),
+                  Pt(p.x + t1 * (q.x - p.x), p.y + t1 * (q.y - p.y)),
+                  fromA, loc == 0)
+            }
+            i += 1
+          }
+        }
+      }
+      out.result()
+    }
+    val oa = oriented(ps1)
+    val ob = oriented(ps2)
+    val rawA = piecesOf(oa, ob, ps2, fromA = true)
+    val rawB = piecesOf(ob, oa, ps1, fromA = false)
+
+    // endpoint quantization for keying (eps-scale grid)
+    val q = eps * 4
+    def key(p: Pt): (Long, Long) = (math.round(p.x / q), math.round(p.y / q))
+
+    // shared-run resolution (the ring-stitch form of the area path's
+    // half weights): same-direction A/B copies -> keep one; opposite
+    // directions (line contact, no interior) -> drop both
+    val (bd, interior) = (rawA ++ rawB).partition(_.onBoundary)
+    val kept = Vector.newBuilder[Piece]
+    kept ++= interior
+    bd.groupBy(pc => Set(key(pc.u), key(pc.v))).foreach { case (_, grp) =>
+      if (grp.size == 1) kept += grp.head
+      else {
+        val a = grp.filter(_.fromA)
+        val b = grp.filterNot(_.fromA)
+        if (a.nonEmpty && b.nonEmpty) {
+          if (key(a.head.u) == key(b.head.u)) kept += a.head // same direction
+        } else grp.headOption.foreach(kept += _) // duplicates from one side
+      }
+    }
+
+    // stitch directed pieces into closed rings
+    val pieces = kept.result().filter(pc => key(pc.u) != key(pc.v)).toArray
+    val byStart = pieces.indices.groupBy(i => key(pieces(i).u))
+    val used = new Array[Boolean](pieces.length)
+    def turnAngle(dIn: Pt, pc: Piece): Double = {
+      val dx = pc.v.x - pc.u.x; val dy = pc.v.y - pc.u.y
+      math.atan2(dIn.x * dy - dIn.y * dx, dIn.x * dx + dIn.y * dy)
+    }
+    val rings = Vector.newBuilder[Ring]
+    pieces.indices.foreach { start =>
+      if (!used(start)) {
+        val chain = scala.collection.mutable.ArrayBuffer(start)
+        used(start) = true
+        val startKey = key(pieces(start).u)
+        var cur = start
+        var closed = key(pieces(cur).v) == startKey
+        var dead = false
+        while (!closed && !dead) {
+          val cands = byStart.getOrElse(key(pieces(cur).v), Nil).filterNot(used)
+          if (cands.isEmpty) dead = true
+          else {
+            val dIn = Pt(pieces(cur).v.x - pieces(cur).u.x,
+              pieces(cur).v.y - pieces(cur).u.y)
+            val next = cands.maxBy(i => turnAngle(dIn, pieces(i))) // sharpest left
+            used(next) = true
+            chain += next
+            cur = next
+            closed = key(pieces(cur).v) == startKey
+          }
+        }
+        if (closed && chain.length >= 3) {
+          val pts = chain.map(i => pieces(i).u).toVector :+ pieces(chain.head).u
+          val r = Ring(pts)
+          if (math.abs(r.signedArea) > eps * extent) rings += r
+        }
+      }
+    }
+
+    // CCW rings are shells, CW rings holes of the smallest containing shell
+    val (shells, holes) = rings.result().partition(_.signedArea > 0)
+    val polys = shells.sortBy(s => math.abs(s.signedArea)).map(s => (s,
+      scala.collection.mutable.ArrayBuffer.empty[Ring]))
+    holes.foreach { h =>
+      val (c, _) = h.areaCentroid
+      polys.find { case (s, _) => locateInRing(c, s, eps) > 0 }
+        .foreach { case (_, hs) => hs += h }
+    }
+    val out = polys.map { case (s, hs) => Poly(s, hs.toVector) }
+    out.length match {
+      case 1 => GPolygon(out.head)
+      case _ => GMultiPolygon(out.toVector)
+    }
   }
 
   /** Overlap length of two collinear segments; 0 if not collinear. */

@@ -12,6 +12,7 @@ object Wkt {
   def write(g: Geom): String = g match {
     case GPoint(p) => s"POINT (${num(p.x)} ${num(p.y)})"
     case GPolygon(poly) => s"POLYGON ${polyBody(poly)}"
+    case GMultiPolygon(polys) if polys.isEmpty => "MULTIPOLYGON EMPTY"
     case GMultiPolygon(polys) =>
       polys.map(polyBody).mkString("MULTIPOLYGON (", ", ", ")")
   }
@@ -28,7 +29,9 @@ object Wkt {
   def read(s: String): Geom = {
     val t = s.trim
     val upper = t.toUpperCase
-    if (upper.startsWith("POINT")) {
+    if (upper.startsWith("MULTIPOLYGON") && upper.endsWith("EMPTY")) {
+      GMultiPolygon(Vector.empty)
+    } else if (upper.startsWith("POINT")) {
       val nums = parseNums(t.substring(t.indexOf('(')))
       GPoint(Pt(nums(0), nums(1)))
     } else if (upper.startsWith("MULTIPOLYGON")) {

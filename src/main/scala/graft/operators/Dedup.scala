@@ -301,6 +301,21 @@ object Dedup {
     * pins equality with the HOF formulation it replaced. */
   def simhash(words: Column): Column = ArrayOps.simhash(wordHashes(words))
 
+  /** PORTABLE per-word vote hash for signature plane `seg`: fold 15
+    * hex chars of md5 into a 60-bit long — conv(substring(md5(w),
+    * 1, 15), 16, 10). Every step (md5 of UTF-8 bytes, hex substring,
+    * base-16 fold) exists verbatim in DuckDB/Python, so an
+    * independent engine reproduces the signatures bit-for-bit and a
+    * simhash query becomes fully hash-checkable instead of rows-only
+    * — the same portability trick as Similarity.hyperplaneSign.
+    * Plane seg > 0 re-digests md5(w || ":seg") for independent bits.
+    * Top 4 bits of each plane always vote -1 (60 < 64) — identically
+    * in both engines; xxhash64 stays the performance default. */
+  private def portableWordHash(w: Column, seg: Int): Column = {
+    val digest = if (seg == 0) md5(w) else md5(concat(w, lit(s":$seg")))
+    conv(substring(digest, 1, 15), 16, 10).cast("long")
+  }
+
   /** Per-word bit masks for a set of global bit positions over an
     * nWords x 64-bit signature. Mask-based block values (sig[w] & m)
     * replace shift/width arithmetic: equality on the masked words IS
@@ -415,9 +430,17 @@ object Dedup {
     * minhash path: emitting all pairs of a c-member class is C(c,2)
     * OUTPUT — inherent to pair semantics, not to the join shape. */
   private def simhashGroups(df: DataFrame, idCol: String, textCol: String,
-                            nWords: Int): (DataFrame, DataFrame) = {
-    val groups = df.select(col(idCol).as("id"),
-        ArrayOps.simhashWide(wordHashes(wordSet(col(textCol))), nWords).as("sig"))
+                            nWords: Int, portableHash: Boolean): (DataFrame, DataFrame) = {
+    val ws = wordSet(col(textCol))
+    // portable planes compose the codegen'd 64-bit VecSimhash over
+    // per-plane md5-fold hashes (word 0 of the xxhash64 path is the
+    // same composition with a different word hash)
+    val sigCol =
+      if (!portableHash) ArrayOps.simhashWide(wordHashes(ws), nWords)
+      else array((0 until nWords).map { seg =>
+        ArrayOps.simhash(transform(ws, w => portableWordHash(w, seg)))
+      }: _*)
+    val groups = df.select(col(idCol).as("id"), sigCol.as("sig"))
       .groupBy(col("sig"))
       .agg(min(col("id")).as("rep"), collect_list(col("id")).as("members"))
       .localCheckpoint()
@@ -442,8 +465,10 @@ object Dedup {
     * exactly once (earliest agreeing block; sub-level duplicates die
     * in one distinct over survivors). */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 8, hotBudget: Int = 512): DataFrame =
-    simhashWideDuplicates(df, idCol, textCol, nWords = 1, maxHamming, hotBudget)
+                        maxHamming: Int = 8, hotBudget: Int = 512,
+                        portableHash: Boolean = false): DataFrame =
+    simhashWideDuplicates(df, idCol, textCol, nWords = 1, maxHamming, hotBudget,
+      portableHash)
 
   /** 128-bit variant: signature WIDTH is the simhash scale lever —
     * blocks are ~14 bits instead of ~7, so the value space grows by
@@ -453,15 +478,22 @@ object Dedup {
     * wider blocks more often, shrinking genuinely-hot buckets. Same
     * pigeonhole guarantee at the same maxHamming. */
   def simhash128Duplicates(df: DataFrame, idCol: String, textCol: String,
-                           maxHamming: Int = 8, hotBudget: Int = 512): DataFrame =
-    simhashWideDuplicates(df, idCol, textCol, nWords = 2, maxHamming, hotBudget)
+                           maxHamming: Int = 8, hotBudget: Int = 512,
+                           portableHash: Boolean = false): DataFrame =
+    simhashWideDuplicates(df, idCol, textCol, nWords = 2, maxHamming, hotBudget,
+      portableHash)
 
   def simhashWideDuplicates(df: DataFrame, idCol: String, textCol: String,
-                            nWords: Int, maxHamming: Int, hotBudget: Int): DataFrame = {
+                            nWords: Int, maxHamming: Int, hotBudget: Int,
+                            portableHash: Boolean = false): DataFrame = {
+    // fail at the API boundary, not deep in mask construction
+    // (nWords <= 0 would hit subMasks.head.head on empty structures)
+    // or at execution time (the expression rejects nWords > 8)
+    require(nWords >= 1 && nWords <= 8, s"nWords must be in [1, 8], got $nWords")
     val nBlocks = maxHamming + 1
     val blockMasks = simhashBlockMasks(nBlocks, nWords)
     val subMasks = simhashSubMasks(nBlocks, nWords)
-    val (groups, reps) = simhashGroups(df, idCol, textCol, nWords)
+    val (groups, reps) = simhashGroups(df, idCol, textCol, nWords, portableHash)
     val blocked = simhashBlockedFrame(reps, blockMasks)
     val hotSet = simhashHotSet(blocked, hotBudget, subMasks)
     val cold = blocked.join(broadcast(hotSet), Seq("block", "value"), "left_anti")
@@ -546,10 +578,11 @@ object Dedup {
   def simhashEmissionCount(df: DataFrame, idCol: String, textCol: String,
                            maxHamming: Int = 8, hotBudget: Int = 512,
                            nWords: Int = 1): Long = {
+    require(nWords >= 1 && nWords <= 8, s"nWords must be in [1, 8], got $nWords")
     val nBlocks = maxHamming + 1
     val blockMasks = simhashBlockMasks(nBlocks, nWords)
     val subMasks = simhashSubMasks(nBlocks, nWords)
-    val (_, reps) = simhashGroups(df, idCol, textCol, nWords)
+    val (_, reps) = simhashGroups(df, idCol, textCol, nWords, portableHash = false)
     val blocked = simhashBlockedFrame(reps, blockMasks)
     val hotSet = simhashHotSet(blocked, hotBudget, subMasks)
     def pairSum(grouped: DataFrame): Long = {
@@ -713,33 +746,75 @@ object Dedup {
         countDistinct(col("g")).as("n_shared_grams"))
   }
 
-  /** Exact character-n-gram Jaccard over ALL pairs of a (small,
-    * pre-filtered) doc slice — the exact baseline for bounded slices;
-    * unbounded corpora use the minhash/simhash paths. Grams are
-    * hashed to longs once per doc; the pair space is a broadcast
-    * cross join (the slice fits in memory by contract). */
+  /** Distinct hashed character n-grams of a text column.
+    *
+    * Guard short texts: sequence(1, stop) DESCENDS when stop < 1
+    * (sequence(1,-1) = [1,0,-1]), which would fabricate grams at
+    * position 0/negative instead of the empty set an oracle's
+    * generate_series produces. A doc shorter than n chars has NO
+    * n-grams. */
+  def charGramHashes(text: Column, n: Int): Column =
+    array_distinct(transform(
+      when(length(text) >= n, sequence(lit(1), length(text) - (n - 1)))
+        .otherwise(array().cast("array<int>")),
+      i => xxhash64(text.substr(i, lit(n)))))
+
+  /** Exact character-n-gram Jaccard pairs at `threshold`.
+    *
+    * Set semantics over hashed grams make this the same problem as
+    * word-set Jaccard, so the AllPairs/PPJoin prefix-filter machinery
+    * ([[prefixJaccardCandidates]] / [[verifyJaccard]]) applies
+    * unchanged — candidates are pairs sharing a rarest-first prefix
+    * gram, shuffle-bounded, no O(n^2) stage. Slices small enough to
+    * broadcast (`<= bruteForceMaxDocs` rows after gram filtering)
+    * take an all-pairs broadcast join instead: for a few hundred docs
+    * the pair space is tiny and the prefix path's ~5 jobs of fixed
+    * overhead (frequency aggregate, rank window, candidate join)
+    * dominate. Both paths compute the identical answer; the one-row
+    * count that picks between them is the explicit guard keeping the
+    * quadratic path off unbounded inputs.
+    *
+    * Threshold note: prefix lengths grow as ~(1-t)·|grams|, so the
+    * filter is sharpest at high t. At moderate t on frequency-skewed
+    * gram distributions it still discriminates; see the corpus-shape
+    * caveat on [[prefixJaccardCandidates]].
+    *
+    * GRAM-SPACE caveat (the n-gram version of that corpus-shape
+    * caveat): small n means a CLOSED gram space — 26^3 ~ 17.6k values
+    * at n=3 — so past ~10^4..10^5 docs every gram lands in a
+    * corpus-proportional fraction of documents, no rare grams exist,
+    * and candidate volume (for any set-similarity algorithm — and
+    * typically the true pair output itself) grows ~quadratically.
+    * That is a property of the SEMANTICS, not the plan: use n >= 5
+    * (open space, rare grams at any corpus size — measured linear in
+    * tools/ScaleStress) or a bounded slice for smaller n;
+    * [[prefixCandidateEstimate]] over [[charGramHashes]] predicts the
+    * volume for a few cents of compute before committing.
+    *
+    * Gram-less docs are excluded entirely — their 0/0 Jaccard is
+    * undefined (NaN compares TRUE under Spark's >=). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
-    // Guard short texts: sequence(1, stop) DESCENDS when stop < 1
-    // (sequence(1,-1) = [1,0,-1]), which would fabricate grams at
-    // position 0/negative instead of the empty set the oracle's
-    // generate_series produces. A doc shorter than n chars has NO
-    // n-grams, and gram-less docs are excluded entirely — their 0/0
-    // Jaccard is undefined (NaN compares TRUE under Spark's >=).
-    val docs = df.select(col(idCol).as("id"),
-      array_distinct(transform(
-        when(length(col(textCol)) >= n,
-          sequence(lit(1), length(col(textCol)) - (n - 1)))
-          .otherwise(array().cast("array<int>")),
-        i => xxhash64(col(textCol).substr(i, lit(n))))).as("grams"))
-      .filter(size(col("grams")) > 0)
-    val a = docs.select(col("id").as("i"), array_sort(col("grams")).as("ga"))
-    val b = docs.select(col("id").as("j"), array_sort(col("grams")).as("gb"))
-    a.join(broadcast(b), col("i") < col("j"))
-      .withColumn("c", ArrayOps.sortedIntersectCount(col("ga"), col("gb")))
-      .withColumn("jacc", col("c").cast("double") /
-        (size(col("ga")) + size(col("gb")) - col("c")).cast("double"))
-      .filter(col("jacc") >= threshold)
+                   n: Int, threshold: Double,
+                   bruteForceMaxDocs: Long = 2000L): DataFrame = {
+    // materialized once: feeds the dispatch count plus 2 (brute) or
+    // ~5 (prefix rows x2, verify x2) downstream subplans — recomputing
+    // the gram hashing per use costs more than the checkpoint
+    val docs = df.select(col(idCol).as("id"), charGramHashes(col(textCol), n).as("h"))
+      .filter(size(col("h")) > 0)
+      .localCheckpoint()
+    val pairs =
+      if (docs.count() <= bruteForceMaxDocs) {
+        val a = docs.select(col("id").as("i"), array_sort(col("h")).as("ha"))
+        val b = docs.select(col("id").as("j"), array_sort(col("h")).as("hb"))
+        a.join(broadcast(b), col("i") < col("j"))
+          .withColumn("c", ArrayOps.sortedIntersectCount(col("ha"), col("hb")))
+          .withColumn("jacc", col("c").cast("double") /
+            (size(col("ha")) + size(col("hb")) - col("c")).cast("double"))
+          .select(col("i"), col("j"), col("jacc"))
+      } else {
+        verifyJaccard(prefixJaccardCandidates(docs, threshold), docs)
+      }
+    pairs.filter(col("jacc") >= threshold)
       .select(col("i"), col("j"), col("jacc"))
   }
 }

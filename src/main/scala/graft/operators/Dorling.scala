@@ -261,8 +261,11 @@ object Dorling {
     * model, different accumulation order, so positions drift by
     * floating-point rounding that compounds per iteration (measured:
     * < 1e-6 at 3 iterations, < 1e-5 at 30 on a 400-region grid,
-    * pinned by BordersScaleSpec). Treat run() positions as stable to
-    * ~1e-4 at the default 100 iterations and do NOT hash them across
+    * pinned by BordersScaleSpec; heavy-overlap shapes drift faster —
+    * ~1% of a radius at 100 iterations on a 4-region all-colliding
+    * fixture, pinned radius-relative by CartogramSpec). Treat run()
+    * positions as stable to a small fraction of a radius at the
+    * default 100 iterations and do NOT hash them across
     * a smallN dispatch change; the driver-gated queries (q23/q24) call
     * radii/step directly and are unaffected by the dispatch.
     *

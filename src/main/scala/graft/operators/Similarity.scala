@@ -191,21 +191,38 @@ object Similarity {
     * cosine verification. Mirrors dedupCorpus's cost dispatch.
     *
     * The LSH path's miss probability at similarity cos>=t is
-    * (1 - p^planes)^tables with p = 1 - acos(t)/pi; the defaults
-    * (10 planes x 30 tables) give ~8e-4 at t=0.9 while random pairs
-    * (p~0.5) collide anywhere with prob ~3% — a ~30x candidate
-    * reduction. Both paths are deterministic (portable sign matrix),
-    * so even the LSH path is reproducible by an independent engine.
+    * (1 - p^planes)^tables with p = 1 - acos(t)/pi; at 10 planes x
+    * 30 tables that is ~8e-4 at t=0.9 while random pairs (p~0.5)
+    * collide anywhere with prob ~3% — a ~30x candidate reduction.
+    * Both paths are deterministic (portable sign matrix), so even the
+    * LSH path is reproducible by an independent engine.
+    *
+    * `planes = 0` (the default) AUTO-SCALES the bit width to
+    * max(10, ceil(log2(maxHotBlock))) from the same size aggregate
+    * the dispatch already runs: bucket occupancy is c/2^planes, so a
+    * fixed width re-enters the quadratic in-bucket regime once a
+    * single block reaches ~2^planes rows (~10M at 2x for width 10) —
+    * scaling planes with log2(c) pins occupancy ~constant at any
+    * block size. `tables` then rescales (capped at 20x the passed
+    * value) to hold the 10x30 design point's miss probability at the
+    * given threshold — wider buckets alone would trade the quadratic
+    * regime for recall loss. Passing planes > 0 pins the sign matrix
+    * and table count instead (the oracle-facing q43 restates the
+    * 6-plane matrix in SQL).
     *
     * @param df (id, vec, block) ; @return block, i, j, cos >= threshold
     */
   def cosineNearDup(df: DataFrame, threshold: Double, blockBudget: Long = 100000,
-                    planes: Int = 10, tables: Int = 30): DataFrame = {
+                    planes: Int = 0, tables: Int = 30): DataFrame = {
     val v = df.select(col("id"), col("vec"), col("block"),
       norm2Seq(col("vec")).as("n2"))
-    // hot blocks: one tiny aggregate (<= n/budget entries), broadcast
-    val hotSet = v.groupBy(col("block")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > blockBudget).select(col("block"))
+    // hot blocks: one tiny aggregate (<= n/budget entries),
+    // checkpointed — it feeds the max-size scalar plus both
+    // dispatch joins, and it is broadcast-sized by construction
+    val hotCounts = v.groupBy(col("block")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > blockBudget)
+      .localCheckpoint()
+    val hotSet = hotCounts.select(col("block"))
     val cold = v.join(broadcast(hotSet), Seq("block"), "left_anti")
     val hot = v.join(broadcast(hotSet), Seq("block"), "left_semi")
 
@@ -222,9 +239,30 @@ object Similarity {
     }
 
     // The hot machinery only materializes when a hot block exists
-    // (one tiny aggregate to check) — the common small-block case
-    // pays nothing beyond the size aggregate.
-    if (hotSet.isEmpty) return coldPairs
+    // (one scalar over the checkpointed counts) — the common
+    // small-block case pays nothing beyond the size aggregate.
+    val Array(maxHotRow) = hotCounts.agg(max(col("cnt"))).collect()
+    if (maxHotRow.isNullAt(0)) return coldPairs
+
+    val (hotPlanes, hotTables) =
+      if (planes > 0) (planes, tables)
+      else {
+        val c = maxHotRow.getLong(0)
+        val p = math.max(10, 64 - java.lang.Long.numberOfLeadingZeros(c - 1))
+        // Wider buckets agree on fewer pairs per table, so holding
+        // the miss rate needs more tables — rescale to the 10-plane
+        // design point's miss probability at THIS threshold:
+        // miss = (1 - q^planes)^tables, q = 1 - acos(t)/pi. The
+        // capped growth is still a huge net win: per-bucket join
+        // volume scales by tables/2^planes, so e.g. (16, 76) costs
+        // ~4% of (10, 30) on a width-10-saturating block.
+        val q = 1.0 - math.acos(math.min(math.max(threshold, -1.0), 1.0)) / math.Pi
+        val missTarget = math.pow(1.0 - math.pow(q, 10), tables.toDouble)
+        val rescaled =
+          if (p == 10) tables
+          else math.ceil(math.log(missTarget) / math.log(1.0 - math.pow(q, p))).toInt
+        (p, math.min(math.max(rescaled, tables), tables * 20))
+      }
 
     val hotPairs = {
       // checkpoint the hot side once: it feeds the bucket frame and
@@ -234,7 +272,7 @@ object Similarity {
       // bucket ids only ride the collision join; vectors join back
       // for surviving candidate pairs (same plan shape as annTopK)
       val bk = hotCp.select(col("id"), col("block"),
-          posexplode(ArrayOps.hyperplaneBuckets(col("vec"), planes, tables))
+          posexplode(ArrayOps.hyperplaneBuckets(col("vec"), hotPlanes, hotTables))
             .as(Seq("table", "bucket")))
         .localCheckpoint()
       val candIds = bk.select(col("block"), col("table"), col("bucket"), col("id").as("i"))

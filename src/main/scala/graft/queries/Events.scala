@@ -88,9 +88,14 @@ object Events {
   /** The hash-checkable half of q64: exact n_events / n_users ride
     * the same aggregate, and the sketch outputs are turned into
     * BOUNDS-CHECK booleans the oracle states as TRUE — the driver
-    * gate then verifies the sketches' error envelope (HLL distinct
-    * within 5% of exact; approx median's exact rank within
-    * [0.45, 0.55]) instead of skipping the query entirely. */
+    * gate then verifies the sketches' error envelope instead of
+    * skipping the query entirely. The bounds are sized so TRUE is
+    * ROBUST on fresh data, not just on this dataset: HLL's default
+    * rsd is ~5% (1 sigma — exceeded ~32% of the time per group), so
+    * ndv_ok allows 15% (~3 sigma); med_ok is tie-aware — under heavy
+    * value ties the <=-rank of the true median legitimately exceeds
+    * 0.55, so the check brackets the median's rank interval instead
+    * (strictly-below fraction <= 0.55 AND at-or-below >= 0.45). */
   def q64x(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val agg = e.groupBy(col("event_type")).agg(
@@ -100,13 +105,16 @@ object Events {
       percentile_approx(col("value"), lit(0.5), lit(1000)).as("amed"))
     val medRank = e.join(agg.select(col("event_type"), col("amed")), "event_type")
       .groupBy(col("event_type"))
-      .agg((sum(when(col("value") <= col("amed"), 1).otherwise(0)).cast("double") /
-        count(lit(1)).cast("double")).as("med_frac"))
+      .agg(
+        (sum(when(col("value") < col("amed"), 1).otherwise(0)).cast("double") /
+          count(lit(1)).cast("double")).as("frac_lt"),
+        (sum(when(col("value") <= col("amed"), 1).otherwise(0)).cast("double") /
+          count(lit(1)).cast("double")).as("frac_le"))
     agg.join(medRank, "event_type")
       .select(col("event_type"), col("n_events"), col("n_users"),
         (abs(col("approx_users") - col("n_users")).cast("double") /
-          col("n_users").cast("double") <= 0.05).as("ndv_ok"),
-        (col("med_frac") >= 0.45 && col("med_frac") <= 0.55).as("med_ok"))
+          col("n_users").cast("double") <= 0.15).as("ndv_ok"),
+        (col("frac_lt") <= 0.55 && col("frac_le") >= 0.45).as("med_ok"))
       .orderBy(col("event_type"))
   }
 

@@ -23,6 +23,7 @@ object Pipeline {
     "q36_prefix_jaccard" -> q36,
     "q37_decontaminate" -> q37,
     "q38_cross_dedup" -> q38,
+    "q39_simhash128" -> q39,
     "q40_cosine_topk" -> q40,
     "q41_ann_lsh" -> q41,
     "q42_ann_ivf" -> q42,
@@ -55,20 +56,35 @@ object Pipeline {
       .orderBy(col("i"), col("j"))
 
   /** SimHash near-dup pairs (hamming <= 8 over 64-bit signatures,
-    * pigeonhole-banded candidates). Signature internals are
-    * xxhash64-based => rows-only oracle; DedupSpec pins behavior. */
+    * pigeonhole-banded candidates), with the PORTABLE md5-fold word
+    * hash: the oracle reproduces the signature plane bit-for-bit and
+    * brute-forces the hamming pairs, so the approximate-looking
+    * operator is fully hash-checked (the q41/q42 trick). The
+    * xxhash64 performance default stays spec-covered
+    * (DedupPropertySpec). */
   def q32(spark: SparkSession, dir: String): DataFrame =
-    // no orderBy: the output is rows-only checked (engine-specific
-    // hashes), and a total sort of the ~1.5M-pair result at sf0.1
-    // would be pure overhead; the spec compares as sets
     Dedup.simhashDuplicates(Tables.documents(spark, dir), "doc_id", "text",
-        maxHamming = 8)
+        maxHamming = 8, portableHash = true)
+      .orderBy(col("i"), col("j"))
 
-  /** Exact character-3-gram Jaccard pairs on the src0 slice. */
+  /** 128-bit SimHash near-dup pairs (nWords = 2 — the signature-
+    * width scale lever, driver-gated end-to-end), portable hash on
+    * both planes. */
+  def q39(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash128Duplicates(Tables.documents(spark, dir), "doc_id", "text",
+        maxHamming = 8, portableHash = true)
+      .orderBy(col("i"), col("j"))
+
+  /** Exact character-3-gram Jaccard pairs on the src0 slice, FORCED
+    * down the prefix-filter path (bruteForceMaxDocs = 0) so the
+    * corpus-scale plan — not the bounded-slice broadcast shortcut —
+    * is what the oracle hash-checks (mirrors q43's blockBudget = 0).
+    * The slice is a fixed 1/5 FRACTION of the corpus, so it grows
+    * with sf and the all-pairs plan would grow quadratically. */
   def q33(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(
         Tables.documents(spark, dir).filter(col("source") === "src0"),
-        "doc_id", "text", n = 3, threshold = 0.6)
+        "doc_id", "text", n = 3, threshold = 0.6, bruteForceMaxDocs = 0)
       .orderBy(col("i"), col("j"))
 
   /** Embedding-cosine near-dup pairs within label blocks (all blocks
@@ -248,6 +264,60 @@ object Pipeline {
        |WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.95
        |ORDER BY i, j""".stripMargin
 
+  /** The engine's portable per-word simhash vote hash restated in
+    * DuckDB: fold 15 hex chars of md5 into a 60-bit integer —
+    * digit-by-digit base-16 left fold == Spark's
+    * conv(substring(md5(w), 1, 15), 16, 10) (Dedup.portableWordHash). */
+  private def sqlMd5Fold(expr: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 15),
+       |      i -> CAST(strpos('0123456789abcdef', substr(md5($expr), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+       |      (a, x) -> a * 16 + x)""".stripMargin
+
+  /** Brute-force simhash near-dup pairs over portable-hash
+    * signatures: per plane p, bit k of the signature is set when the
+    * +/-1 vote sum over the doc's distinct words is positive (votes
+    * from bit k of the plane's md5-fold hash — bits 60..63 are
+    * structurally 0 in both engines, so only k 0..59 is computed);
+    * wordless docs get all-zero signatures (the engine folds an
+    * empty array). Pairs = all i < j with summed plane hamming <=
+    * maxHamming — the ALGORITHM (pigeonhole banding, collapse, hot
+    * splits) is the engine's business; the oracle states the answer. */
+  private def sqlSimhashPairs(planeExprs: Seq[String], maxHamming: Int): String = {
+    val whCols = planeExprs.zipWithIndex
+      .map { case (e, i) => s"${sqlMd5Fold(e)} AS h$i" }.mkString(",\n    ")
+    val planeCase = planeExprs.indices.map(i => s"WHEN pp.p = $i THEN h$i").mkString(" ")
+    val sigCols = planeExprs.indices.map(i =>
+      s"coalesce(max(CASE WHEN ps.p = $i THEN ps.sig END), 0) AS s$i").mkString(",\n    ")
+    val ham = planeExprs.indices.map(i => s"bit_count(xor(a.s$i, b.s$i))").mkString(" + ")
+    s"""WITH sets AS (
+       |  SELECT DISTINCT doc_id, w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0),
+       |wh AS (SELECT doc_id,
+       |    $whCols
+       |  FROM sets),
+       |bits AS (
+       |  SELECT doc_id, pp.p, kk.k,
+       |    sum(CASE WHEN ((CASE $planeCase END) >> kk.k) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM wh
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS k) kk
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${planeExprs.size - 1})) AS p) pp
+       |  GROUP BY doc_id, pp.p, kk.k),
+       |plane_sigs AS (
+       |  SELECT doc_id, p,
+       |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM bits GROUP BY doc_id, p),
+       |sigs AS (
+       |  SELECT d.doc_id,
+       |    $sigCols
+       |  FROM documents d LEFT JOIN plane_sigs ps ON d.doc_id = ps.doc_id
+       |  GROUP BY d.doc_id)
+       |SELECT a.doc_id AS i, b.doc_id AS j, CAST($ham AS INT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE $ham <= $maxHamming
+       |ORDER BY i, j""".stripMargin
+  }
+
   /** Sequential left-fold dot product — bit-identical to the engine's
     * Similarity.dotSeq (DuckDB list_reduce folds left; the fold is
     * per-row, so no cross-row order dependence exists). */
@@ -268,12 +338,15 @@ object Pipeline {
     * mixer over k = tp*4096 + i — plain 64-bit integer arithmetic, so
     * DuckDB computes the identical sign matrix; per-(vec, tp) plane
     * dots are the same left fold as the engine's accumulation, and
-    * bucket t packs the plane sign bits. */
+    * bucket t packs the plane sign bits. The sign series length is
+    * derived from the data (max embedding length), matching the
+    * engine's per-row dimension — and the engine enforces the mixer
+    * key's 4096-dim cap (VecHyperplaneBuckets throws above it). */
   private def sqlBuckets(planes: Int, tables: Int): String =
     s"""plane_signs AS (
        |  SELECT tp,
        |    list_transform(
-       |      list_transform(generate_series(1, 64),
+       |      list_transform(generate_series(1, (SELECT max(len(embedding)) FROM embeddings)),
        |        i -> ((tp * 4096 + i) * 2654435761) % 4294967296),
        |      h1 -> CASE WHEN ((xor(h1, h1 >> 15) & 2147483647) * 1103515245 + 12345)
        |                      % 2147483648 >= 1073741824
@@ -299,6 +372,8 @@ object Pipeline {
         |FROM doubled GROUP BY md5(text)
         |ORDER BY text_hash""".stripMargin,
     "q31_minhash_pairs" -> sqlBruteForcePairs95,
+    "q32_simhash" -> sqlSimhashPairs(Seq("w"), 8),
+    "q39_simhash128" -> sqlSimhashPairs(Seq("w", "w || ':1'"), 8),
     // q36 computes the SAME answer as q31 by a different exact
     // algorithm (prefix filtering); one brute-force oracle serves both
     "q36_prefix_jaccard" -> sqlBruteForcePairs95,

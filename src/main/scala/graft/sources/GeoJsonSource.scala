@@ -74,13 +74,25 @@ object GeoJsonSource {
         FeatRow(f.id.orNull, f.properties, Wkt.write(f.geom))
       }(enc)
       .toDF()
+    // The substring scan is only a cheap prefilter: a Feature whose
+    // property VALUE contains "graft:CrsTag" also matches, and taking
+    // the first raw match would parse that feature (no crs member)
+    // and silently drop the genuine tag. Parse every candidate (tag
+    // lines are written once per dataset, so candidates are a
+    // handful) and keep the first whose parsed type IS the tag.
     val crs = text.filter(col("value").contains("graft:CrsTag"))
       .select(col("value")).as(Encoders.STRING)
-      .take(1).headOption
+      .take(100)
+      .iterator
       .flatMap { line =>
-        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
-        Option(node.get("crs")).map(_.asText())
+        scala.util.Try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+          if (node.hasNonNull("type") && node.get("type").asText() == "graft:CrsTag")
+            Option(node.get("crs")).map(_.asText())
+          else None
+        }.toOption.flatten
       }
+      .nextOption()
     crs.fold(df)(c => GeoCrs.tag(df, c))
   }
 }

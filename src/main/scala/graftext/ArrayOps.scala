@@ -201,6 +201,11 @@ case class VecHyperplaneBuckets(child: Expression, planes: Int, tables: Int)
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
+    // the mixer key is (table*planes + p) * 4096 + d: dims above 4096
+    // would alias into the next plane's key space (silent bucket
+    // corruption), so the documented cap is enforced, not assumed
+    if (n > 4096) throw new IllegalArgumentException(
+      s"hyperplane buckets support vectors of at most 4096 dims, got $n")
     val s = signsFor(n)
     val out = new Array[Long](tables)
     val accs = new Array[Double](tables * planes)
@@ -242,6 +247,8 @@ case class VecHyperplaneBuckets(child: Expression, planes: Int, tables: Int)
       val getElem = if (isFloat) s"(double) $a.getFloat($d)" else s"$a.getDouble($d)"
       s"""
          |final int $n = $a.numElements();
+         |if ($n > 4096) throw new IllegalArgumentException(
+         |  "hyperplane buckets support vectors of at most 4096 dims, got " + $n);
          |if ($signsVar == null || $signsVar[0].length < $n) {
          |  $signsVar = new double[$tp][$n];
          |  for (int $i = 0; $i < $tp; $i++) {

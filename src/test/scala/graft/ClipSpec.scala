@@ -123,4 +123,103 @@ class ClipSpec extends AnyFunSuite {
     // overlaps: [1,2]x[1,2] = 1 and [4,5]x[1,2] = 1
     assert(math.abs(Ops.intersectionArea(mpa, mpb) - 2.0) < 1e-9)
   }
+
+  // ---- intersection GEOMETRY output ----
+
+  /** All distinct vertices of a geometry, rounded for comparison. */
+  private def vtx(g: Geom): Set[(Double, Double)] = {
+    def rnd(d: Double) = math.rint(d * 1e9) / 1e9
+    g match {
+      case GPolygon(p) => p.rings.flatMap(_.pts.dropRight(1)).map(p => (rnd(p.x), rnd(p.y))).toSet
+      case GMultiPolygon(ps) =>
+        ps.flatMap(_.rings.flatMap(_.pts.dropRight(1))).map(p => (rnd(p.x), rnd(p.y))).toSet
+      case GPoint(p) => Set((rnd(p.x), rnd(p.y)))
+    }
+  }
+
+  test("intersection geometry: rectangle overlap is the overlap box") {
+    val got = Ops.intersection(rect(0, 0, 4, 4), rect(2, 1, 6, 3))
+    assert(math.abs(Ops.area(got) - 4.0) < 1e-9)
+    assert(vtx(got) === Set((2.0, 1.0), (4.0, 1.0), (4.0, 3.0), (2.0, 3.0)))
+    assert(got.isInstanceOf[GPolygon])
+    // round-trips through WKT
+    assert(vtx(Wkt.read(Wkt.write(got))) === vtx(got))
+  }
+
+  test("intersection geometry: interlocking Ls give two unit squares") {
+    val rl = GPolygon(Poly(Ring(Vector(
+      Pt(2, 0), Pt(3, 0), Pt(3, 3), Pt(0, 3), Pt(0, 2), Pt(2, 2), Pt(2, 0)))))
+    val got = Ops.intersection(ell(0, 0), rl)
+    val parts = got match { case GMultiPolygon(ps) => ps; case GPolygon(p) => Vector(p); case _ => Vector() }
+    assert(parts.length === 2, s"expected 2 components, got ${Wkt.write(got)}")
+    assert(parts.forall(p => math.abs(math.abs(p.shell.signedArea) - 1.0) < 1e-9))
+    assert(vtx(got) === Set(
+      (2.0, 0.0), (3.0, 0.0), (3.0, 1.0), (2.0, 1.0),   // [2,3]x[0,1]
+      (0.0, 2.0), (1.0, 2.0), (1.0, 3.0), (0.0, 3.0)))  // [0,1]x[2,3]
+  }
+
+  test("intersection geometry: disjoint / edge / vertex contact are EMPTY") {
+    assert(Wkt.write(Ops.intersection(ell(0, 0), ell(10, 10))) === "MULTIPOLYGON EMPTY")
+    assert(Wkt.write(Ops.intersection(ell(0, 0), rect(3, 0, 5, 1))) === "MULTIPOLYGON EMPTY")
+    assert(Wkt.write(Ops.intersection(ell(0, 0), rect(3, 1, 5, 3))) === "MULTIPOLYGON EMPTY")
+  }
+
+  test("intersection geometry: identical and contained shapes return the shape") {
+    val L = ell(0, 0)
+    for (got <- Seq(Ops.intersection(L, L), Ops.intersection(L, rect(0, 0, 9, 9)),
+                    Ops.intersection(rect(0, 0, 9, 9), L))) {
+      assert(math.abs(Ops.area(got) - 5.0) < 1e-9, Wkt.write(got))
+      assert(vtx(got) === vtx(L), Wkt.write(got))
+    }
+  }
+
+  test("intersection geometry: window cutting through a hole yields a simple notch") {
+    val donut = GPolygon(Poly(
+      Ring(Vector(Pt(0, 0), Pt(4, 0), Pt(4, 4), Pt(0, 4), Pt(0, 0))),
+      Vector(Ring(Vector(Pt(1, 1), Pt(3, 1), Pt(3, 3), Pt(1, 3), Pt(1, 1))))))
+    val got = Ops.intersection(donut, rect(0, 0, 2, 4))
+    assert(math.abs(Ops.area(got) - 6.0) < 1e-9, Wkt.write(got))
+    // the hole is CUT OPEN by the window edge -> one simple C-shaped
+    // polygon, no interior ring
+    got match {
+      case GPolygon(p) => assert(p.holes.isEmpty, Wkt.write(got))
+      case other => fail(s"expected one polygon: ${Wkt.write(other)}")
+    }
+    assert(vtx(got) === Set(
+      (0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0),
+      (1.0, 3.0), (2.0, 3.0), (2.0, 4.0), (0.0, 4.0)))
+  }
+
+  test("intersection geometry: donut x donut preserves the hole") {
+    val donut = GPolygon(Poly(
+      Ring(Vector(Pt(0, 0), Pt(4, 0), Pt(4, 4), Pt(0, 4), Pt(0, 0))),
+      Vector(Ring(Vector(Pt(1, 1), Pt(3, 1), Pt(3, 3), Pt(1, 3), Pt(1, 1))))))
+    val got = Ops.intersection(donut, donut)
+    assert(math.abs(Ops.area(got) - 12.0) < 1e-9, Wkt.write(got))
+    got match {
+      case GPolygon(p) => assert(p.holes.length === 1, Wkt.write(got))
+      case other => fail(s"expected one holed polygon: ${Wkt.write(other)}")
+    }
+    assert(vtx(got) === vtx(donut))
+  }
+
+  test("intersection geometry: area always matches intersectionArea") {
+    val donut = GPolygon(Poly(
+      Ring(Vector(Pt(0, 0), Pt(4, 0), Pt(4, 4), Pt(0, 4), Pt(0, 0))),
+      Vector(Ring(Vector(Pt(1, 1), Pt(3, 1), Pt(3, 3), Pt(1, 3), Pt(1, 1))))))
+    val u = GPolygon(Poly(Ring(Vector(
+      Pt(0, 0), Pt(5, 0), Pt(5, 4), Pt(4, 4), Pt(4, 1),
+      Pt(1, 1), Pt(1, 4), Pt(0, 4), Pt(0, 0)))))
+    val rl = GPolygon(Poly(Ring(Vector(
+      Pt(2, 0), Pt(3, 0), Pt(3, 3), Pt(0, 3), Pt(0, 2), Pt(2, 2), Pt(2, 0)))))
+    val shapes: Seq[Geom] = Seq(ell(0, 0), rl, donut, u,
+      rect(0, 0, 4, 4), rect(2, 1, 6, 3), rect(-1, 2, 6, 3),
+      GMultiPolygon(Vector(rect(0, 0, 2, 2).poly, rect(4, 0, 6, 2).poly)))
+    for (a <- shapes; b <- shapes) {
+      val viaGeom = Ops.area(Ops.intersection(a, b))
+      val viaArea = Ops.intersectionArea(a, b)
+      assert(math.abs(viaGeom - viaArea) < 1e-9,
+        s"area mismatch: $viaGeom vs $viaArea for ${Wkt.write(a)} x ${Wkt.write(b)}")
+    }
+  }
 }

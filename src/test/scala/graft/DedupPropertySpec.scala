@@ -114,6 +114,31 @@ class DedupPropertySpec extends SparkSuite {
     }
   }
 
+  test("ngramJaccard: broadcast and prefix paths both == brute force") {
+    for ((n, t) <- Seq((3, 0.5), (2, 0.7), (4, 0.3))) {
+      val docs = corpus(50)
+      val df = docs.toDF("doc_id", "text")
+      def gramSet(s: String): Set[String] =
+        if (s.length < n) Set.empty
+        else (0 to s.length - n).map(i => s.substring(i, i + n)).toSet
+      val want = (for {
+        (i, ti) <- docs; (j, tj) <- docs if i < j
+        a = gramSet(ti); b = gramSet(tj)
+        inter = a.intersect(b).size
+        uni = a.size + b.size - inter
+        if uni > 0 && inter.toDouble / uni >= t
+      } yield (i, j)).toSet
+      // dispatch guard above the corpus size -> broadcast all-pairs path
+      val brute = Dedup.ngramJaccard(df, "doc_id", "text", n, t)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      // guard at 0 -> prefix-filter path (q33's corpus-scale plan)
+      val prefix = Dedup.ngramJaccard(df, "doc_id", "text", n, t, bruteForceMaxDocs = 0)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(brute === want, s"broadcast path n=$n t=$t")
+      assert(prefix === want, s"prefix path n=$n t=$t")
+    }
+  }
+
   test("simhash pairs == brute-force hamming pairs, exactly once, hot split on/off") {
     for (round <- 1 to 2) {
       val docs = corpus(80)

@@ -199,6 +199,16 @@ class PipelineSpec extends SparkSuite {
       val recall = lsh.length.toDouble / exact.size
       assert(recall >= 0.4, s"LSH near-dup recall $recall too low")
     }
+    // auto-scaled width (planes = 0 default, blocks all hot): same
+    // subset-of-exact-pairs / identical-cosine contract; recall is
+    // config-dependent at this low threshold so only the correctness
+    // contract is asserted here
+    val auto = Similarity.cosineNearDup(v, threshold = 0.3, blockBudget = 0)
+      .select("i", "j", "cos").as[(Long, Long, Double)].collect()
+    auto.foreach { case (i, j, c) =>
+      assert(exact.contains((i, j)), s"auto-width emitted non-pair ($i,$j)")
+      assert(exact((i, j)) === c, s"cosine mismatch for ($i,$j)")
+    }
   }
 
   test("IVF ANN recall vs brute force >= 0.5 with exact cosines") {
