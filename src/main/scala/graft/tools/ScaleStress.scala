@@ -325,6 +325,48 @@ object ScaleStress {
     timed("cosineNearDup skewed FORCED all-pairs (the scale-killer)")(
       graft.operators.Similarity.cosineNearDup(skewed, 0.9, blockBudget = Long.MaxValue).count())
     }
+
+    if (sections("vec10x") || sections("vec10xfixed")) {
+    // Hot block at 10x the vec-section shape (500k rows in ONE
+    // block): the regime where FIXED 10-bit hyperplanes re-enter
+    // quadratic in-bucket growth (occupancy c/2^10 ~ 500). The
+    // auto-width dispatch must widen to ~19 planes (occupancy ~1,
+    // tables rescaled to hold the miss rate) and stay within ~2x of
+    // the balanced all-pairs shape. 64-dim (not 256) keeps the
+    // balanced reference — 100 blocks x C(10k,2) exact dots —
+    // tractable; the dispatch's relative behavior is dim-independent.
+    val nv = 1000000
+    val ndim = 64
+    def blocked10(skewed: Boolean) = spark.range(0, nv, 1, 32)
+      .mapPartitions { it =>
+        it.map { id =>
+          val cluster = (id % 20000).toInt
+          val block =
+            if (skewed) { if (cluster < 10000) 0L else (cluster % 99 + 1).toLong }
+            else (cluster % 100).toLong
+          val base = new scala.util.Random(cluster)
+          val v = Array.fill(ndim)(base.nextFloat() * 2 - 1)
+          val rng = new scala.util.Random(id)
+          (0 until 8).foreach(_ => v(rng.nextInt(ndim)) += rng.nextFloat() * 0.2f)
+          (id, v, block)
+        }
+      }.toDF("id", "vec", "block").localCheckpoint()
+    val balanced10 = blocked10(skewed = false)
+    val skewed10 = blocked10(skewed = true)
+    println(s"[stress] near-dup vectors 10x: ${balanced10.count()} balanced / ${skewed10.count()} skewed (50% in one block)")
+    if (sections("vec10x")) {
+    timed("cosineNearDup balanced 100 blocks x 10k (all-pairs path)")(
+      graft.operators.Similarity.cosineNearDup(balanced10, 0.9).count())
+    timed("cosineNearDup skewed 500k hot block (auto planes ~19)")(
+      graft.operators.Similarity.cosineNearDup(skewed10, 0.9, blockBudget = 10000).count())
+    }
+    // what the r3 FIXED width would cost here: occupancy 500k/2^10
+    // ~ 488/bucket -> ~3.7e9 raw random in-bucket candidates
+    if (sections("vec10xfixed"))
+    timed("cosineNearDup skewed 500k hot block (FIXED planes=10 x 30)")(
+      graft.operators.Similarity.cosineNearDup(skewed10, 0.9, blockBudget = 10000,
+        planes = 10, tables = 30).count())
+    }
     spark.stop()
   }
 }
