@@ -48,6 +48,8 @@ object GeoFunctions extends Serializable {
     Ops.intersectionArea(Wkt.read(w1), Wkt.read(w2)))
   private val intersectionU = udf((w1: String, w2: String) =>
     Wkt.write(Ops.intersection(Wkt.read(w1), Wkt.read(w2))))
+  private val transformU = udf((wkt: String, from: String, to: String) =>
+    Wkt.write(Proj.transform(Wkt.read(wkt), from, to)))
 
   def st_area(wkt: Column): Column = areaU(wkt)
   def st_perimeter(wkt: Column): Column = perimeterU(wkt)
@@ -78,6 +80,10 @@ object GeoFunctions extends Serializable {
     * for the polygon-output case). */
   def st_intersection(w1: Column, w2: Column): Column =
     intersectionU(w1, w2)
+  /** Reproject WKT between CRSs (EPSG:4326 <-> EPSG:3857; see
+    * geom.Proj — unknown pairs fail loudly). */
+  def st_transform(wkt: Column, from: Column, to: Column): Column =
+    transformU(wkt, from, to)
 
   /** Inject every function into a SparkSessionExtensions hook —
     * cluster-wide availability via spark.sql.extensions
@@ -110,7 +116,8 @@ object GeoFunctions extends Serializable {
     "st_shared_border" -> sharedBorderU, "st_geojson_to_wkt" -> geojsonToWktU,
     "st_convex_intersection_area" -> convexIntersectionAreaU,
     "st_intersection_area" -> intersectionAreaU,
-    "st_intersection" -> intersectionU)
+    "st_intersection" -> intersectionU,
+    "st_transform" -> transformU)
 
   /** Register all functions for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {
