@@ -37,6 +37,39 @@ class StreamingSpec extends SparkSuite {
     assert(got === batch.count(), s"streamed dedup $got vs batch ${batch.count()}")
   }
 
+  test("streaming near-dup dedup keeps exactly one doc per simhash signature") {
+    // documents + id-shifted clones (identical text -> identical
+    // signature) replayed through one stream; survivors must be one
+    // per DISTINCT signature, matching the batch signature-distinct
+    // count — the identical-signature-class filter of crawl ingest
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    val base = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .withColumn("ts", timestamp_micros(lit(1600000000000000L) + col("doc_id") * 1000000L))
+    base.write.mode("overwrite").parquet(tmp + "/a.parquet")
+    base.withColumn("doc_id", col("doc_id") + 1000000)
+      .write.mode("append").parquet(tmp + "/a.parquet")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+    val stream = spark.readStream.schema(schema).parquet(tmp + "/a.parquet")
+    val q = graft.streaming.DedupStream
+      .nearDedupStream(stream, "doc_id", "text", "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_stream_spec").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("neardup_stream_spec")
+    val gotSigs = got
+      .select(graft.operators.Dedup.simhash(graft.operators.Dedup.wordSet(col("text"))))
+      .collect().map(_.getLong(0))
+    val wantSigs = base
+      .select(graft.operators.Dedup.simhash(graft.operators.Dedup.wordSet(col("text"))))
+      .distinct().collect().map(_.getLong(0))
+    // one survivor per distinct signature, no signature lost
+    assert(gotSigs.length === gotSigs.distinct.length, "a signature survived twice")
+    assert(gotSigs.toSet === wantSigs.toSet)
+  }
+
   test("frameSampleBatch/resizeBatch/featureBatch: shapes, edges, and ANN composition") {
     import spark.implicits._
     val payloads = Seq(
