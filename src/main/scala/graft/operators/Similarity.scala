@@ -137,19 +137,25 @@ object Similarity {
     * without a clustering dependency.
     * @param queries (qid, vec) ; @param corpus (cid, vec)
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // Deterministic pivot sample: the nlist smallest under a portable
-    // multiplicative hash of cid (cid ties broken by cid) — same
-    // engine-independence rationale as hyperplaneSign: the oracle can
-    // pick the identical pivots, so IVF output is hash-checkable.
-    // The % 1000000007 pre-fold keeps the product overflow-free for
-    // any non-negative 64-bit cid under ANSI mode.
-    val pivots = corpus
+  /** Deterministic pivot sample for the IVF family: the nlist
+    * smallest corpus rows under a portable multiplicative hash of the
+    * id (ties broken by id) — same engine-independence rationale as
+    * hyperplaneSign: the oracle can pick the identical pivots, so IVF
+    * output is hash-checkable. The % 1000000007 pre-fold keeps the
+    * product overflow-free for any non-negative 64-bit id under ANSI
+    * mode. Broadcast-sized by construction (nlist rows).
+    * @param corpus (cid, vec) ; @return (pivot_id, pvec, pn2)
+    */
+  private def pivotsOf(corpus: DataFrame, nlist: Int): DataFrame =
+    corpus
       .withColumn("hk", ((col("cid") % lit(1000000007L)) * lit(2654435761L)) % lit(4294967296L))
       .orderBy(col("hk"), col("cid")).limit(nlist)
       .select(col("cid").as("pivot_id"), col("vec").as("pvec"),
         norm2Seq(col("vec")).as("pn2"))
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val pivots = pivotsOf(corpus, nlist)
 
     def nearestPivots(side: DataFrame, vecCol: String, n2Col: String, n: Int,
                       outCol: String): DataFrame = {
@@ -179,6 +185,59 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("rank"), col("cos"))
   }
+
+  /** Nearest-pivot cluster assignment — the "coarse quantizer" half
+    * of IVF as a standalone operator: every corpus vector labeled with
+    * its nearest of [[pivotsOf]]'s nlist deterministic pivots (cosine;
+    * ties by pivot_id). One broadcast + one map-side pass — the
+    * corpus never shuffles.
+    * @param corpus (id, vec) ; @return (id, vec, block = pivot id)
+    */
+  def ivfAssign(corpus: DataFrame, nlist: Int = 16): DataFrame = {
+    // The pivot table is bounded at nlist rows (a TakeOrdered over the
+    // hash keys) and IVF centroids are by definition driver-resident —
+    // collecting them turns assignment into a PURE MAP-SIDE argmax
+    // expression over literal vectors: zero shuffle of the corpus, no
+    // nlist-fold replication riding a window (the join formulation
+    // would shuffle every vector nlist times).
+    val pivots = pivotsOf(corpus.select(col("id").as("cid"), col("vec")), nlist)
+      .collect()
+    if (pivots.isEmpty)
+      return corpus.select(col("id"), col("vec"), lit(null).cast("long").as("block")).limit(0)
+    // pivots SORTED BY ID, cosines as one flat array: the first
+    // position holding the max is then exactly the (cos desc,
+    // pivot_id asc) winner the oracle's row_number restates. A
+    // running-max fold of nested when(...).otherwise(acc) would copy
+    // the accumulated subtree 3x per pivot — exponential expression
+    // size (measured: a 26 MiB task binary at nlist = 8).
+    val sorted = pivots.toSeq.map { r =>
+      (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))
+    }.sortBy(_._1)
+    val cosArr = array(sorted.map { case (_, pvec, pn2) =>
+      cosine(dotSeq(col("vec"), typedlit(pvec)), col("__n2"), lit(pn2))
+    }: _*)
+    val block = element_at(typedlit(sorted.map(_._1)),
+      array_position(cosArr, array_max(cosArr)).cast("int"))
+    corpus.select(col("id"), col("vec"), norm2Seq(col("vec")).as("__n2"))
+      .withColumn("block", block)
+      .select(col("id"), col("vec"), col("block"))
+  }
+
+  /** SemDeDup-style semantic near-dup pairs: cluster the corpus by
+    * nearest deterministic pivot ([[ivfAssign]] — the IVF coarse
+    * quantizer standing in for k-means, no training pass), then mine
+    * cosine >= threshold pairs WITHIN clusters via [[cosineNearDup]]
+    * (which size-dispatches oversized clusters to in-block LSH). The
+    * pair space shrinks from O(n²) to Σ cluster², and near-identical
+    * embeddings land in the same cluster except at pivot-boundary
+    * ties — the standard semantic-dedup recall trade. Feed the pairs
+    * to Dedup.connectedComponents for cluster representatives.
+    * @param corpus (id, vec) ; @return block, i, j, cos >= threshold
+    */
+  def semanticNearDup(corpus: DataFrame, threshold: Double, nlist: Int = 16,
+                      blockBudget: Long = 100000, planes: Int = 0,
+                      tables: Int = 30): DataFrame =
+    cosineNearDup(ivfAssign(corpus, nlist), threshold, blockBudget, planes, tables)
 
   /** Embedding-cosine near-duplicate pairs within same-`blockCol`
     * blocks, with a SIZE-DISPATCHED pair space: blocks up to

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-keyed joins Spark lacks as built-ins (SURVEY.md §2.F):
+  * as-of (most recent match at or before each left timestamp) and
+  * point-in-interval range joins. Both are declared against the
+  * DataFrame API so Catalyst keeps pushdown/pruning freedom, and both
+  * are single-shuffle plans — the naive formulations (a per-row
+  * subquery, or an unbounded theta-join) degenerate to O(n*m) per key
+  * and are exactly what these operators exist to avoid at 100 TB.
+  */
+object TemporalJoin {
+
+  /** As-of join: for every left row, the single most recent right row
+    * with `right.tsCol <= left.tsCol` (or the earliest `>=` when
+    * `forward = true`) on the same `key`, within `tolerance` time
+    * units when given.
+    *
+    * Plan shape — the distributed merge-as-of: both sides union into
+    * one stream tagged by side, ONE shuffle on `key`, one in-partition
+    * sort on (ts, side), and a running `last(..., ignoreNulls)` window
+    * carries the latest right payload forward onto each left row. No
+    * join node at all, so there is no per-key quadratic pair space —
+    * cost is sort-merge-shaped at any key skew (a key's cost is its
+    * row count, not left(key) x right(key)).
+    *
+    * Right rows are first collapsed to ONE row per (key, ts) — the
+    * lexicographically greatest payload struct wins — because "the
+    * most recent right row" is otherwise undefined when several right
+    * rows share a timestamp, and an engine-dependent tie pick would
+    * make results irreproducible (the DuckDB oracle collapses ties
+    * the same way).
+    *
+    * @param left  any columns; must contain `key` and numeric `ltsCol`
+    * @param right must contain `key` and numeric `rtsCol`; every other
+    *              column is payload and appears (nullable) on the
+    *              output. Payload names must not collide with left's.
+    * @param tolerance max |left ts - matched ts| in ts units; matches
+    *                  further away yield nulls (the left row is kept —
+    *                  as-of is a LEFT join)
+    * @return left.* ++ payload.* ++ matched_ts, one row per left row
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               ltsCol: String, rtsCol: String,
+               forward: Boolean = false,
+               tolerance: Option[Long] = None): DataFrame = {
+    val payload = right.columns.filterNot(c => c == key || c == rtsCol).toSeq
+    require(payload.nonEmpty, "right side needs at least one payload column")
+    val collide = payload.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty, s"payload columns collide with left: $collide")
+
+    // one row per (key, ts): greatest payload struct (deterministic)
+    val rOne = right.groupBy(col(key), col(rtsCol).cast("long").as("__ts"))
+      .agg(max(struct(payload.map(col): _*)).as("__p"))
+      .select(col(key), col("__ts"), struct(col("__ts").as("__mts"), col("__p")).as("__m"))
+    val lSide = left.withColumn("__ts", col(ltsCol).cast("long"))
+    val uni = lSide.unionByName(rOne, allowMissingColumns = true)
+
+    // right rows (side 0) sort BEFORE left rows at an equal timestamp
+    // in scan direction, so the match is inclusive on both directions
+    val ord =
+      if (forward) Seq(col("__ts").desc, col("__m").isNull.cast("int"))
+      else Seq(col("__ts").asc, col("__m").isNull.cast("int"))
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = uni.withColumn("__last", last(col("__m"), ignoreNulls = true).over(w))
+      .filter(col("__m").isNull) // keep left rows only
+    val dist =
+      if (forward) col("__last.__mts") - col("__ts") else col("__ts") - col("__last.__mts")
+    val inTol = tolerance.map(t => dist <= t).getOrElse(lit(true))
+    val ok = col("__last").isNotNull && inTol
+    matched.select(
+      left.columns.map(col) ++
+        payload.map(p => when(ok, col(s"__last.__p.$p")).as(p)) :+
+        when(ok, col("__last.__mts")).as("matched_ts"): _*)
+  }
+
+  /** Point-in-interval range join: every (point, interval) pair on
+    * the same `key` with `startCol <= point ts <= endCol`.
+    *
+    * Plan shape — bucketized equi-join: time is cut into
+    * `bucketWidth`-sized buckets; a point lands in exactly one bucket
+    * (so no post-join distinct is needed) while an interval explodes
+    * to the few buckets it overlaps; the join is then a plain
+    * shuffle on (key, bucket) with the exact containment predicate as
+    * a cheap post-filter. An unbucketized `ts BETWEEN start AND end`
+    * join has no equi-key beyond `key` and degenerates to per-key
+    * all-pairs; here the pair space is bounded by genuine temporal
+    * locality. Pick `bucketWidth` ~ the typical interval length:
+    * explode factor stays O(1) and each bucket holds only
+    * temporally-close rows.
+    *
+    * @param points    must contain `key` and numeric `ptsCol`
+    * @param intervals must contain `key`, numeric `startCol`/`endCol`
+    *                  (inclusive; rows with end < start drop out).
+    *                  Non-key column names must not collide with
+    *                  points'.
+    * @return intervals.* ++ points.* (minus the duplicate key)
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+                ptsCol: String, startCol: String, endCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val collide = intervals.columns.filterNot(_ == key).toSet
+      .intersect(points.columns.filterNot(_ == key).toSet)
+    require(collide.isEmpty, s"interval columns collide with points: $collide")
+    // floor-division bucket ids (long division truncates toward zero —
+    // wrong for negative timestamps, so use floor on doubles' cousin:
+    // shift into the positive range via floordiv expression)
+    def bucketOf(c: Column): Column = floor(c.cast("double") / bucketWidth).cast("long")
+    val p = points.withColumn("__b", bucketOf(col(ptsCol)))
+    val iv = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("__b",
+        explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    iv.join(p, Seq(key, "__b"))
+      .filter(col(ptsCol) >= col(startCol) && col(ptsCol) <= col(endCol))
+      .drop("__b")
+  }
+}

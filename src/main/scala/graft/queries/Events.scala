@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, TemporalJoin}
 import graft.streaming.EventStreams
 
 /** Blocks F/G — event analytics + multimodal binary columns
@@ -21,6 +21,8 @@ object Events {
     "q63_json_props" -> q63,
     "q64_approx_stats" -> q64,
     "q64x_sketch_bounds" -> q64x,
+    "q65_asof_join" -> q65,
+    "q66_range_join" -> q66,
     "q70_binary_meta" -> q70,
     "q71_media_pipeline" -> q71
   )
@@ -118,6 +120,61 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** As-of join: every click annotated with the most recent view at
+    * or before it by the same user, within a 2-hour tolerance —
+    * "which impression drove this interaction", the classic
+    * event-attribution as-of. Single-shuffle merge-as-of (no join
+    * node; see TemporalJoin.asOfJoin); views sharing a (user, ts) are
+    * collapsed to the max value deterministically, and a latest-view
+    * older than the tolerance nulls out (as-of is a LEFT join). */
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("cts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("vts"),
+        col("value").as("view_value"))
+    TemporalJoin.asOfJoin(clicks, views, "user_id", "cts", "vts",
+        tolerance = Some(2L * 3600 * 1000000))
+      // unmatched-left sentinels instead of nulls so the driver's
+      // hash compare is engine-agnostic (the operator itself keeps
+      // real nulls; both engine and oracle coalesce identically here)
+      .select(col("user_id"), col("click_id"), col("cts"),
+        coalesce(col("view_value"), lit(-1.0)).as("view_value"),
+        coalesce(col("matched_ts"), lit(-1L)).as("matched_ts"))
+      .orderBy(col("click_id"))
+  }
+
+  /** Range join: per purchase, the count and (order-independent
+    * decimal) sum of view values in the preceding hour by the same
+    * user — bucketized interval join (1-hour buckets), so the pair
+    * space is bounded by temporal locality instead of per-user
+    * all-pairs. Purchases with no preceding view keep a 0 count and
+    * null sum. */
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val hourUs = 3600L * 1000000
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("pts"))
+      .withColumn("w_start", col("pts") - hourUs)
+      .withColumn("w_end", col("pts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("vts"),
+        col("value").as("view_value"))
+    val perPurchase = TemporalJoin.rangeJoin(views, purchases, "user_id",
+        "vts", "w_start", "w_end", bucketWidth = hourUs)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("view_value").cast("decimal(18,6)")).cast("double").as("s"))
+    purchases.join(perPurchase, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("n"), lit(0L)).as("n_views_1h"),
+        coalesce(col("s"), lit(-1.0)).as("sum_view_value"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Multimodal plumbing: documents' text bytes stand in for media
     * payloads; the batched partition-wise stub decoder emits metadata
     * (SURVEY.md §2.G — decode is stubbed, plumbing is real). */
@@ -204,6 +261,46 @@ object Events {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // q65: the as-of semantics stated declaratively — newest view at
+    // or before each click (ties pre-collapsed to max value), nulled
+    // past the 2h tolerance. The newest view overall IS the newest
+    // within tolerance whenever one exists, so the tolerance can live
+    // in the join predicate here while the engine applies it post-match.
+    "q65_asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id, epoch_us(ts) AS vts, max(value) AS view_value
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY user_id, epoch_us(ts)),
+        |m AS (
+        |  SELECT c.click_id, c.user_id, c.cts, max(v.vts) AS matched_ts
+        |  FROM c LEFT JOIN v
+        |    ON c.user_id = v.user_id AND v.vts <= c.cts
+        |   AND c.cts - v.vts <= 7200000000
+        |  GROUP BY c.click_id, c.user_id, c.cts)
+        |SELECT m.user_id, m.click_id, m.cts,
+        |  coalesce(v2.view_value, -1.0) AS view_value,
+        |  coalesce(m.matched_ts, -1) AS matched_ts
+        |FROM m LEFT JOIN v v2
+        |  ON m.user_id = v2.user_id AND m.matched_ts = v2.vts
+        |ORDER BY click_id""".stripMargin,
+    "q66_range_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, epoch_us(ts) AS vts, value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.purchase_id, p.user_id,
+        |  count(v.vts) AS n_views_1h,
+        |  coalesce(CAST(sum(CAST(v.value AS DECIMAL(18,6))) AS DOUBLE), -1.0) AS sum_view_value
+        |FROM p LEFT JOIN v
+        |  ON p.user_id = v.user_id
+        | AND v.vts >= p.pts - 3600000000 AND v.vts <= p.pts
+        |GROUP BY p.purchase_id, p.user_id
+        |ORDER BY purchase_id""".stripMargin,
     "q71_media_pipeline" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS nb,

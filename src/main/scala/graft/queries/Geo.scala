@@ -78,7 +78,8 @@ object Geo {
     "q21_noncontiguous" -> q21,
     "q22_borders_queen" -> q22,
     "q23_dorling_radii" -> q23,
-    "q24_dorling_step" -> q24
+    "q24_dorling_step" -> q24,
+    "q25_intersection" -> q25
   )
 
   /** Kernel measures (area/perimeter/centroid/bbox) over WKT. */
@@ -138,7 +139,55 @@ object Geo {
       .orderBy(col("n_nationkey"))
   }
 
+  /** General polygon intersection driver-gated end-to-end: a second
+    * square per nation (x offset key%2, y offset 1, side 2) overlaps
+    * the q20 square by a closed-form axis-aligned rectangle, so BOTH
+    * clipper paths — the scalar st_intersection_area and the GEOMETRY
+    * output st_area(st_intersection(...)) (ring stitching) — must
+    * equal exact integer arithmetic. Side-1 keys have zero overlap
+    * height and exercise the MULTIPOLYGON EMPTY result. Concave and
+    * hole-carrying intersections stay spec-covered (ClipSpec). */
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    def rectWkt(x0: Column, y0: Column, x1: Column, y1: Column): Column = concat(
+      lit("POLYGON (("),
+      x0, lit(" "), y0, lit(", "), x1, lit(" "), y0, lit(", "),
+      x1, lit(" "), y1, lit(", "), x0, lit(" "), y1, lit(", "),
+      x0, lit(" "), y0, lit("))"))
+    val n = Tables.nation(spark, dir)
+      .withColumn("gx", col("n_nationkey") % 5)
+      .withColumn("gy", floor(col("n_nationkey") / 5).cast("int"))
+      .withColumn("s", lit(1) + col("n_nationkey") % 3)
+      .withColumn("x0", col("gx") * 4).withColumn("y0", col("gy") * 4)
+      .withColumn("xb", col("gx") * 4 + col("n_nationkey") % 2)
+      .withColumn("yb", col("gy") * 4 + 1)
+      .withColumn("wkta",
+        rectWkt(col("x0"), col("y0"), col("x0") + col("s"), col("y0") + col("s")))
+      .withColumn("wktb",
+        rectWkt(col("xb"), col("yb"), col("xb") + lit(2), col("yb") + lit(2)))
+    n.select(col("n_nationkey"),
+        st_intersection_area(col("wkta"), col("wktb")).as("inter_area"),
+        st_area(st_intersection(col("wkta"), col("wktb"))).as("inter_area_geom"))
+      .orderBy(col("n_nationkey"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q25_intersection" ->
+      """WITH sq AS (
+        |  SELECT n_nationkey,
+        |    (n_nationkey % 5) * 4 AS x0,
+        |    CAST(floor(n_nationkey / 5) AS INT) * 4 AS y0,
+        |    (1 + n_nationkey % 3) AS s,
+        |    (n_nationkey % 5) * 4 + n_nationkey % 2 AS xb,
+        |    CAST(floor(n_nationkey / 5) AS INT) * 4 + 1 AS yb
+        |  FROM nation),
+        |o AS (
+        |  SELECT n_nationkey,
+        |    greatest(0, least(x0 + s, xb + 2) - greatest(x0, xb)) *
+        |    greatest(0, least(y0 + s, yb + 2) - greatest(y0, yb)) AS a
+        |  FROM sq)
+        |SELECT n_nationkey, CAST(a AS DOUBLE) AS inter_area,
+        |  CAST(a AS DOUBLE) AS inter_area_geom
+        |FROM o ORDER BY n_nationkey""".stripMargin,
     "q20_geo_measures" ->
       s"""WITH ${sqlSquares(tessellate = false)}
          |SELECT n_nationkey,

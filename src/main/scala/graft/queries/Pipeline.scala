@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Blocks C/D/E — LLM-pipeline operators over `documents` and
   * `embeddings` (SURVEY.md §2.C-E): dedup (exact, MinHash-LSH,
@@ -24,6 +24,9 @@ object Pipeline {
     "q37_decontaminate" -> q37,
     "q38_cross_dedup" -> q38,
     "q39_simhash128" -> q39,
+    "q44_semantic_dedup" -> q44,
+    "q45_stratified_sample" -> q45,
+    "q46_pack_chunks" -> q46,
     "q40_cosine_topk" -> q40,
     "q41_ann_lsh" -> q41,
     "q42_ann_ivf" -> q42,
@@ -190,6 +193,41 @@ object Pipeline {
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
         k = 5)
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** SemDeDup-style semantic dedup pairs: IVF coarse-quantize into 8
+    * deterministic-pivot clusters (pure map-side argmax over literal
+    * pivot vectors), then exact cosine >= 0.4 pairs within clusters.
+    * The portable pivot hash makes cluster assignment — and therefore
+    * the whole approximate-looking pipeline — bit-reproducible in the
+    * oracle. */
+  def q44(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticNearDup(
+        Tables.embeddings(spark, dir).select(
+          col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.4, nlist = 8)
+      .orderBy(col("i"), col("j"))
+
+  /** Deterministic stratified mixture sample — the training-mix
+    * weighting step: keep 50% of src0, 25% of src1, 10% of everything
+    * else, gated by a portable md5-fold hash of (source, doc_id) so
+    * the sampled set is identical on any engine, cluster size or
+    * rerun (no RNG). Map-side only. */
+  def q45(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(spark, dir), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.25), defaultFraction = 0.1)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Concat-and-chunk sequence packing into 2048-token bins, one
+    * stream per source: each doc's token offset and spanned bin range
+    * (GPT-style packing — docs straddle boundaries, nothing padded or
+    * dropped). One window per stream. */
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      size(TextAnalysis.wsTokens(col("text"))).as("n_tok"))
+    Sampling.packChunks(d, "doc_id", "n_tok", "source", budget = 2048)
+      .orderBy(col("source"), col("doc_id"))
   }
 
   /** Token statistics: chars, whitespace tokens, alpha words, BPE-ish
@@ -532,6 +570,53 @@ object Pipeline {
          |            JOIN norms nb ON nb.vec_id = cand.j)
          |SELECT block, i, j, cos FROM pairs WHERE cos >= 0.3
          |ORDER BY i, j""".stripMargin,
+    // q44: the full semantic-dedup pipeline restated — same portable
+    // pivot hash as q42, nearest-pivot assignment (ties by pivot_id,
+    // the engine's fold rule), exact cosine pairs within clusters.
+    "q44_semantic_dedup" ->
+      s"""WITH $sqlVecs,
+         |pivots AS (
+         |  SELECT vec_id AS pivot_id, embedding AS pvec, n2 AS pn2
+         |  FROM norms
+         |  ORDER BY ((vec_id % 1000000007) * 2654435761) % 4294967296, vec_id
+         |  LIMIT 8),
+         |assign AS (
+         |  SELECT vec_id, embedding, n2, pivot_id AS block
+         |  FROM (
+         |    SELECT n.vec_id, n.embedding, n.n2, p.pivot_id,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        ${sqlDot("n.embedding", "p.pvec")} / (sqrt(n.n2) * sqrt(p.pn2)) DESC,
+         |        p.pivot_id) AS rnk
+         |    FROM norms n CROSS JOIN pivots p)
+         |  WHERE rnk = 1),
+         |pairs AS (
+         |  SELECT a.block, a.vec_id AS i, b.vec_id AS j,
+         |    ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+         |  FROM assign a JOIN assign b ON a.block = b.block AND a.vec_id < b.vec_id)
+         |SELECT block, i, j, cos FROM pairs WHERE cos >= 0.4
+         |ORDER BY i, j""".stripMargin,
+    "q45_stratified_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${sqlMd5Fold("source || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 <
+         |  CASE WHEN source = 'src0' THEN 500000
+         |       WHEN source = 'src1' THEN 250000
+         |       ELSE 100000 END
+         |ORDER BY doc_id""".stripMargin,
+    "q46_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_tok
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT source, doc_id, n_tokens, start_tok,
+        |  start_tok // 2048 AS bin_first,
+        |  (start_tok + n_tokens - 1) // 2048 AS bin_last,
+        |  (start_tok + n_tokens - 1) // 2048 - start_tok // 2048 + 1 AS n_bins
+        |FROM p ORDER BY source, doc_id""".stripMargin,
     "q40_cosine_topk" ->
       s"""WITH $sqlVecs,
          |scored AS (

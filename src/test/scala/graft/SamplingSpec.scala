@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sampling, Similarity}
+
+/** Sampling (hash-gated + stratified), packing, and semantic dedup. */
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hashSample is deterministic, fraction-accurate and monotone in fraction") {
+    val df = spark.range(0, 20000).toDF("id")
+    val n20 = Sampling.hashSample(df, "id", 0.2).count()
+    // md5 gates are uniform: binomial 3-sigma on 20k at 0.2 is ~±170
+    assert(math.abs(n20 - 4000L) < 300, s"got $n20 of expected ~4000")
+    // rerun identical (no RNG)
+    assert(Sampling.hashSample(df, "id", 0.2).count() == n20)
+    // a row kept at 0.2 is kept at any larger fraction (gate is a
+    // fixed per-row number compared to a growing threshold)
+    val s20 = Sampling.hashSample(df, "id", 0.2)
+    val s50 = Sampling.hashSample(df, "id", 0.5)
+    assert(s20.except(s50).isEmpty)
+    assert(Sampling.hashSample(df, "id", 0.0).count() == 0)
+    assert(Sampling.hashSample(df, "id", 1.0).count() == 20000)
+  }
+
+  test("stratifiedSample applies per-stratum fractions") {
+    val df = spark.range(0, 30000)
+      .select($"id", concat(lit("s"), ($"id" % 3).cast("string")).as("st"))
+    val out = Sampling.stratifiedSample(df, "id", "st",
+        Map("s0" -> 0.5, "s1" -> 0.1), defaultFraction = 0.9)
+      .groupBy($"st").count().as[(String, Long)].collect().toMap
+    assert(math.abs(out("s0") - 5000L) < 400, s"s0: ${out("s0")}")
+    assert(math.abs(out("s1") - 1000L) < 300, s"s1: ${out("s1")}")
+    assert(math.abs(out("s2") - 9000L) < 400, s"s2: ${out("s2")}")
+  }
+
+  test("packChunks: offsets are gapless per stream and bins respect the budget") {
+    val df = Seq(
+      ("a", 1L, 1000L), ("a", 2L, 1000L), ("a", 3L, 100L), ("a", 4L, 5000L),
+      ("b", 1L, 10L), ("b", 2L, 0L), ("b", 3L, 20L)
+    ).toDF("src", "id", "toks")
+    val out = Sampling.packChunks(df, "id", "toks", "src", budget = 2048)
+      .orderBy($"src", $"id")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // stream a: offsets 0, 1000, 2000, 2100
+    assert(out.filter(_._1 == "a").map(_._4).toSeq == Seq(0L, 1000L, 2000L, 2100L))
+    // doc (a,1): [0, 999] -> bin 0 only
+    assert(out.find(r => r._1 == "a" && r._2 == 1L).get._5 == 0L)
+    assert(out.find(r => r._1 == "a" && r._2 == 1L).get._6 == 0L)
+    // doc (a,2): [1000, 1999] -> bin 0 only; (a,3): [2000, 2099]
+    // straddles the 2048 boundary -> bins 0..1
+    assert(out.find(r => r._1 == "a" && r._2 == 2L).get._6 == 0L)
+    val a3 = out.find(r => r._1 == "a" && r._2 == 3L).get
+    assert(a3._5 == 0L && a3._6 == 1L && a3._7 == 2L)
+    // doc (a,4): [2100, 7099] spans bins 1..3 (straddles two boundaries)
+    val a4 = out.find(r => r._1 == "a" && r._2 == 4L).get
+    assert(a4._5 == 1L && a4._6 == 3L && a4._7 == 3L)
+    // zero-token doc dropped; stream b offsets 0, 10
+    assert(out.filter(_._1 == "b").map(_._2).toSeq == Seq(1L, 3L))
+    assert(out.filter(_._1 == "b").map(_._4).toSeq == Seq(0L, 10L))
+    // per-stream token conservation: last offset + last tokens = total
+    val aTotal = out.filter(_._1 == "a").map(_._3).sum
+    assert(out.filter(_._1 == "a").last._4 + out.filter(_._1 == "a").last._3 == aTotal)
+  }
+
+  test("ivfAssign matches the brute-force nearest pivot and semanticNearDup " +
+       "finds within-cluster pairs exactly") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val nlist = 8
+    val assigned = Similarity.ivfAssign(e, nlist)
+    assert(assigned.count() == e.count())
+    // brute-force check via the join formulation (same tie rule)
+    val pivots = e
+      .withColumn("hk", (($"id" % 1000000007L) * 2654435761L) % 4294967296L)
+      .orderBy($"hk", $"id").limit(nlist)
+      .select($"id".as("pivot_id"), $"vec".as("pvec"))
+    val brute = e.crossJoin(broadcast(pivots))
+      .withColumn("cos",
+        Similarity.dotSeq($"vec", $"pvec") /
+          (sqrt(Similarity.norm2Seq($"vec")) * sqrt(Similarity.norm2Seq($"pvec"))))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"id")
+          .orderBy($"cos".desc, $"pivot_id")))
+      .filter($"rnk" === 1)
+      .select($"id", $"pivot_id".as("block"))
+    val mismatch = assigned.select($"id", $"block").except(brute).count()
+    assert(mismatch == 0, s"$mismatch assignment mismatches vs brute force")
+
+    // semanticNearDup == all-pairs cosine within the assigned blocks
+    val pairs = Similarity.semanticNearDup(e, threshold = 0.4, nlist = nlist)
+    val bruteP = assigned.as("a").join(assigned.as("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .withColumn("cos",
+        Similarity.dotSeq(col("a.vec"), col("b.vec")) /
+          (sqrt(Similarity.norm2Seq(col("a.vec"))) * sqrt(Similarity.norm2Seq(col("b.vec")))))
+      .filter($"cos" >= 0.4)
+      .select(col("a.block"), col("a.id").as("i"), col("b.id").as("j"))
+    assert(pairs.select($"block", $"i", $"j").except(bruteP).isEmpty)
+    assert(bruteP.except(pairs.select($"block", $"i", $"j")).isEmpty)
+    assert(pairs.count() > 0)
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalJoin
+
+/** TemporalJoin (as-of + bucketized range join) against hand-computed
+  * fixtures and a brute-force formulation on real event data. */
+class TemporalJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def leftDf: DataFrame = Seq(
+    // (key, lts, tag)
+    (1L, 100L, "a"), (1L, 200L, "b"), (1L, 50L, "c"),
+    (2L, 100L, "d"), (3L, 100L, "e")
+  ).toDF("k", "lts", "tag")
+
+  private def rightDf: DataFrame = Seq(
+    // (key, rts, v)
+    (1L, 90L, 9.0), (1L, 100L, 10.0), (1L, 150L, 15.0),
+    (2L, 300L, 30.0)
+  ).toDF("k", "rts", "v")
+
+  test("asOfJoin backward: most recent right at or before each left ts") {
+    val out = TemporalJoin.asOfJoin(leftDf, rightDf, "k", "lts", "rts")
+      .select($"tag", $"v", $"matched_ts").collect()
+      .map(r => (r.getString(0), (Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out("a") == ((Some(10.0), Some(100L))))  // ts=100 matches inclusively
+    assert(out("b") == ((Some(15.0), Some(150L))))  // newest of 90/100/150
+    assert(out("c") == ((None, None)))              // nothing at or before 50
+    assert(out("d") == ((None, None)))              // right is later (300 > 100)
+    assert(out("e") == ((None, None)))              // key 3 absent from right
+  }
+
+  test("asOfJoin forward: earliest right at or after each left ts") {
+    val out = TemporalJoin.asOfJoin(leftDf, rightDf, "k", "lts", "rts",
+        forward = true)
+      .select($"tag", $"v", $"matched_ts").collect()
+      .map(r => (r.getString(0), (Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out("a") == ((Some(10.0), Some(100L))))  // inclusive at 100
+    assert(out("b") == ((None, None)))              // nothing at or after 200
+    assert(out("c") == ((Some(9.0), Some(90L))))    // earliest of 90/100/150
+    assert(out("d") == ((Some(30.0), Some(300L))))
+  }
+
+  test("asOfJoin tolerance nulls distant matches but keeps the left row") {
+    val out = TemporalJoin.asOfJoin(leftDf, rightDf, "k", "lts", "rts",
+        tolerance = Some(30L))
+      .select($"tag", $"v", $"matched_ts").collect()
+      .map(r => (r.getString(0), (Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out.size == 5)                           // as-of is a LEFT join
+    assert(out("a") == ((Some(10.0), Some(100L))))  // distance 0 <= 30
+    assert(out("b") == ((None, None)))              // 200 - 150 = 50 > 30
+  }
+
+  test("asOfJoin collapses right timestamp ties deterministically (max payload)") {
+    val l = Seq((1L, 10L)).toDF("k", "lts")
+    val r = Seq((1L, 5L, 1.0), (1L, 5L, 7.0), (1L, 5L, 3.0)).toDF("k", "rts", "v")
+    val out = TemporalJoin.asOfJoin(l, r, "k", "lts", "rts").collect()
+    assert(out.length == 1 && out(0).getAs[Double]("v") == 7.0)
+  }
+
+  test("asOfJoin equals the brute-force per-row maximum on real events") {
+    val e = Tables.events(spark, sf)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), unix_micros($"ts").as("cts"))
+    val views = e.filter($"event_type" === "view")
+      .select($"user_id", unix_micros($"ts").as("vts"), $"value".as("vv"))
+    val got = TemporalJoin.asOfJoin(clicks, views, "user_id", "cts", "vts")
+      .select($"click_id", $"matched_ts")
+    // brute force: max view ts <= click ts per click; clicks with no
+    // qualifying view (including users with only LATER views) keep a
+    // null — the left-join shape of as-of
+    val brute = clicks.join(
+        clicks.join(views, Seq("user_id"))
+          .filter($"vts" <= $"cts")
+          .groupBy($"click_id").agg(max($"vts").as("mt")),
+        Seq("click_id"), "left")
+      .select($"click_id", $"mt".as("matched_ts"))
+    assert(got.count() == clicks.count())
+    assert(got.except(brute).isEmpty && brute.except(got).isEmpty)
+  }
+
+  test("rangeJoin matches the unbucketized theta join on real events") {
+    val e = Tables.events(spark, sf)
+    val hourUs = 3600L * 1000000
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("pid"), $"user_id", unix_micros($"ts").as("pts"))
+      .withColumn("w_start", $"pts" - hourUs).withColumn("w_end", $"pts")
+    val views = e.filter($"event_type" === "view")
+      .select($"user_id", unix_micros($"ts").as("vts"))
+    val got = TemporalJoin.rangeJoin(views, purchases, "user_id",
+        "vts", "w_start", "w_end", bucketWidth = hourUs)
+      .select($"pid", $"vts")
+    val brute = purchases.join(views, Seq("user_id"))
+      .filter($"vts" >= $"w_start" && $"vts" <= $"w_end")
+      .select($"pid", $"vts")
+    assert(got.count() == brute.count()) // exactly-once: no dedup hides doubles
+    assert(got.except(brute).isEmpty && brute.except(got).isEmpty)
+    assert(got.count() > 0) // fixture actually exercises the join
+  }
+
+  test("rangeJoin covers intervals wider than one bucket and drops inverted ones") {
+    val pts = Seq((1L, 5L, "p5"), (1L, 25L, "p25"), (1L, 95L, "p95"))
+      .toDF("k", "ts", "ptag")
+    val ivs = Seq((1L, 0L, 100L, "wide"), (1L, 24L, 26L, "narrow"),
+        (1L, 50L, 40L, "inverted"))
+      .toDF("k", "s", "e", "itag")
+    val out = TemporalJoin.rangeJoin(pts, ivs, "k", "ts", "s", "e", bucketWidth = 10L)
+      .select($"itag", $"ptag").as[(String, String)].collect().toSet
+    assert(out == Set(("wide", "p5"), ("wide", "p25"), ("wide", "p95"),
+      ("narrow", "p25")))
+  }
+}
