@@ -367,6 +367,46 @@ object ScaleStress {
       graft.operators.Similarity.cosineNearDup(skewed10, 0.9, blockBudget = 10000,
         planes = 10, tables = 30).count())
     }
+
+    if (sections("temporal")) {
+    // Temporal joins + packing at 1x and 10x: both must grow
+    // ~linearly. The as-of is sort-merge-shaped (one shuffle + sort,
+    // output = left row count exactly); the range join's pair space
+    // is bounded by temporal density — users scale with n, so
+    // per-user event density (and thus matches per interval) is
+    // constant across the two sizes.
+    val dayUs = 86400L * 1000000
+    val hourUs = 3600L * 1000000
+    def evSide(n: Long, seed: Int, tsCol: String) =
+      spark.range(0, n, 1, 32).select(
+        (col("id") % lit(math.max(1L, n / 100))).as("u"),
+        pmod(xxhash64(col("id") + seed), lit(dayUs)).as(tsCol),
+        col("id").cast("double").as(s"pay$seed"))
+    def asofRun(n: Long): Long =
+      graft.operators.TemporalJoin.asOfJoin(
+        evSide(n, 1, "lts").withColumnRenamed("pay1", "lpay"),
+        evSide(n, 2, "rts"), "u", "lts", "rts").count()
+    def rangeRun(n: Long): Long = {
+      val iv = spark.range(0, n / 10, 1, 32).select(
+          (col("id") % lit(math.max(1L, n / 100))).as("u"),
+          pmod(xxhash64(col("id") + 3), lit(dayUs)).as("pts"),
+          col("id").as("pid"))
+        .withColumn("ws", col("pts") - hourUs).withColumn("we", col("pts"))
+      graft.operators.TemporalJoin.rangeJoin(
+        evSide(n, 4, "ts"), iv, "u", "ts", "ws", "we", hourUs).count()
+    }
+    def packRun(n: Long): Long = {
+      val d = spark.range(0, n, 1, 32).select(
+        col("id"), (col("id") % 32).as("stream"),
+        (pmod(xxhash64(col("id")), lit(400L)) + 1).as("toks"))
+      graft.operators.Sampling.packChunks(d, "id", "toks", "stream", 2048).count()
+    }
+    Seq(1000000L, 10000000L).foreach { n =>
+      timed(s"asOfJoin $n x $n")(asofRun(n))
+      timed(s"rangeJoin $n points x ${n / 10} intervals")(rangeRun(n))
+      timed(s"packChunks $n docs / 32 streams")(packRun(n))
+    }
+    }
     spark.stop()
   }
 }
