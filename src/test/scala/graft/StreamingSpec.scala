@@ -70,6 +70,34 @@ class StreamingSpec extends SparkSuite {
     assert(gotSigs.toSet === wantSigs.toSet)
   }
 
+  test("streaming attribution interval join reconciles with the batch range join") {
+    def side() = EventStreams.readEventStream(spark, sf)
+    val pairs = graft.streaming.AttributionStream.attributedPairs(
+      side().filter(col("event_type") === "view"),
+      side().filter(col("event_type") === "purchase"))
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("attrib_spec").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attrib_spec")
+      .select(col("purchase_id"), unix_micros(col("vts")).as("vts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val e = Tables.events(spark, sf)
+    val hourUs = 3600L * 1000000
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("pts"))
+      .withColumn("w_start", col("pts") - hourUs).withColumn("w_end", col("pts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("vts"))
+    val want = graft.operators.TemporalJoin.rangeJoin(views, purchases, "user_id",
+        "vts", "w_start", "w_end", hourUs)
+      .select(col("purchase_id"), col("vts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("frameSampleBatch/resizeBatch/featureBatch: shapes, edges, and ANN composition") {
     import spark.implicits._
     val payloads = Seq(
