@@ -4,12 +4,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** End-to-end training-data pipeline demo over the documents +
-  * embeddings tables: near-dup dedup -> quality filter -> token
-  * budget -> language mix -> similarity search. Every stage is the
-  * production operator, chained the way a 100 TB curation job would.
+  * embeddings tables: near-dup dedup -> quality filter -> semantic
+  * dedup -> mixture sampling -> token budget + sequence packing ->
+  * language mix -> similarity search. Every stage is the production
+  * operator, chained the way a 100 TB curation job would.
   *
   * Run: sbt "runMain graft.tools.PipelineDemo [sfDir]"
   */
@@ -39,18 +40,37 @@ object PipelineDemo {
       .filter(col("quality_score") >= 0.5)
     println(s"=== quality >= 0.5: ${quality.count()} docs ===")
 
-    // 3. token budget of the surviving corpus
-    val tokens = docs.join(quality.select("doc_id"), "doc_id")
-      .select(TextAnalysis.tokenEstimate(col("text")).as("t"))
-      .agg(sum(col("t"))).collect()(0).getLong(0)
-    println(s"=== estimated token budget: $tokens ===")
+    // 3. semantic dedup over embeddings (IVF clusters -> cosine pairs
+    //    -> connected components -> per-cluster representative)
+    val e0 = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val semPairs = Similarity.semanticNearDup(e0, threshold = 0.5, nlist = 16)
+    val semComps = Dedup.connectedComponents(semPairs.select(col("i"), col("j")))
+    println(s"=== semantic dedup @0.5: ${semPairs.count()} near-dup pairs, " +
+      s"${semComps.count()} vectors in dup groups ===")
 
-    // 4. language mix
+    // 4. deterministic mixture sampling of the survivors (upsample
+    //    src0, downsample the rest — same sample on any rerun)
+    val sampled = Sampling.stratifiedSample(
+      docs.join(quality.select("doc_id"), "doc_id"), "doc_id", "source",
+      Map("src0" -> 1.0), defaultFraction = 0.5)
+    println(s"=== mixture sample: ${sampled.count()} docs ===")
+
+    // 5. token budget + sequence packing of the final corpus
+    val withToks = sampled.select(col("doc_id"), col("source"),
+      TextAnalysis.tokenEstimate(col("text")).as("t"))
+    val tokens = withToks.agg(sum(col("t"))).collect()(0).getLong(0)
+    val bins = Sampling.packChunks(withToks, "doc_id", "t", "source", budget = 2048)
+      .groupBy(col("source")).agg((max(col("bin_last")) + 1).as("nb"))
+      .agg(sum(col("nb"))).collect()(0).getLong(0)
+    println(s"=== token budget: $tokens tokens -> $bins bins of 2048 ===")
+
+    // 6. language mix
     println("=== language mix (predicted) ===")
     TextAnalysis.langIdFeatures(docs, "doc_id", "text")
       .groupBy(col("pred_lang")).count().orderBy(col("pred_lang")).show()
 
-    // 5. similarity search over embeddings (ANN with exact rescoring)
+    // 7. similarity search over embeddings (ANN with exact rescoring)
     val e = Tables.embeddings(spark, dir)
     println("=== ANN top-3 for vec_id 0 (multi-table hyperplane LSH) ===")
     Similarity.annTopK(
