@@ -204,6 +204,19 @@ object Similarity {
       .collect()
     if (pivots.isEmpty)
       return corpus.select(col("id"), col("vec"), lit(null).cast("long").as("block")).limit(0)
+    // vec_dot accepts array<float> AND array<double> — mirror that
+    // here (a float-only getSeq would crash the double case every
+    // sibling operator supports)
+    val isFloat = corpus.schema(corpus.schema.fieldIndex("vec")).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => false
+      case t => throw new IllegalArgumentException(
+        s"vec must be array<float> or array<double>, got $t")
+    }
+    def pvecLit(r: org.apache.spark.sql.Row): Column =
+      if (isFloat) typedlit(r.getSeq[Float](1)) else typedlit(r.getSeq[Double](1))
     // pivots SORTED BY ID, cosines as one flat array: the first
     // position holding the max is then exactly the (cos desc,
     // pivot_id asc) winner the oracle's row_number restates. A
@@ -211,10 +224,10 @@ object Similarity {
     // the accumulated subtree 3x per pivot — exponential expression
     // size (measured: a 26 MiB task binary at nlist = 8).
     val sorted = pivots.toSeq.map { r =>
-      (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))
+      (r.getLong(0), pvecLit(r), r.getDouble(2))
     }.sortBy(_._1)
     val cosArr = array(sorted.map { case (_, pvec, pn2) =>
-      cosine(dotSeq(col("vec"), typedlit(pvec)), col("__n2"), lit(pn2))
+      cosine(dotSeq(col("vec"), pvec), col("__n2"), lit(pn2))
     }: _*)
     val block = element_at(typedlit(sorted.map(_._1)),
       array_position(cosArr, array_max(cosArr)).cast("int"))
@@ -237,7 +250,11 @@ object Similarity {
   def semanticNearDup(corpus: DataFrame, threshold: Double, nlist: Int = 16,
                       blockBudget: Long = 100000, planes: Int = 0,
                       tables: Int = 30): DataFrame =
-    cosineNearDup(ivfAssign(corpus, nlist), threshold, blockBudget, planes, tables)
+    // checkpoint the assignment: cosineNearDup reads its input 3+
+    // times (size aggregate + both join sides) and the per-row
+    // nlist-cosine argmax is worth computing once, not per consumer
+    cosineNearDup(ivfAssign(corpus, nlist).localCheckpoint(), threshold,
+      blockBudget, planes, tables)
 
   /** Embedding-cosine near-duplicate pairs within same-`blockCol`
     * blocks, with a SIZE-DISPATCHED pair space: blocks up to

@@ -49,11 +49,18 @@ object TemporalJoin {
                tolerance: Option[Long] = None): DataFrame = {
     val payload = right.columns.filterNot(c => c == key || c == rtsCol).toSeq
     require(payload.nonEmpty, "right side needs at least one payload column")
-    val collide = payload.toSet.intersect(left.columns.toSet)
-    require(collide.isEmpty, s"payload columns collide with left: $collide")
+    val collide = (payload.toSet + "matched_ts").intersect(left.columns.toSet)
+    require(collide.isEmpty, s"payload/output columns collide with left: $collide")
+    val internal = Seq("__ts", "__m", "__last").filter(left.columns.contains)
+    require(internal.isEmpty, s"left may not use reserved working names: $internal")
 
-    // one row per (key, ts): greatest payload struct (deterministic)
-    val rOne = right.groupBy(col(key), col(rtsCol).cast("long").as("__ts"))
+    // one row per (key, ts): greatest payload struct (deterministic).
+    // Null-ts right rows are dropped — "at or before null" is
+    // undefined, and under ASC NULLS FIRST their non-null __m struct
+    // would otherwise sort ahead of the whole partition and phantom-
+    // match every early left row.
+    val rOne = right.filter(col(rtsCol).isNotNull)
+      .groupBy(col(key), col(rtsCol).cast("long").as("__ts"))
       .agg(max(struct(payload.map(col): _*)).as("__p"))
       .select(col(key), col("__ts"), struct(col("__ts").as("__mts"), col("__p")).as("__m"))
     val lSide = left.withColumn("__ts", col(ltsCol).cast("long"))
@@ -71,7 +78,9 @@ object TemporalJoin {
     val dist =
       if (forward) col("__last.__mts") - col("__ts") else col("__ts") - col("__last.__mts")
     val inTol = tolerance.map(t => dist <= t).getOrElse(lit(true))
-    val ok = col("__last").isNotNull && inTol
+    // null left ts matches nothing (in forward mode DESC NULLS LAST
+    // would otherwise hand it the globally-last right payload)
+    val ok = col("__last").isNotNull && col("__ts").isNotNull && inTol
     matched.select(
       left.columns.map(col) ++
         payload.map(p => when(ok, col(s"__last.__p.$p")).as(p)) :+
@@ -102,7 +111,8 @@ object TemporalJoin {
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
                 ptsCol: String, startCol: String, endCol: String,
-                bucketWidth: Long): DataFrame = {
+                bucketWidth: Long,
+                maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val collide = intervals.columns.filterNot(_ == key).toSet
       .intersect(points.columns.filterNot(_ == key).toSet)
@@ -112,10 +122,23 @@ object TemporalJoin {
     // shift into the positive range via floordiv expression)
     def bucketOf(c: Column): Column = floor(c.cast("double") / bucketWidth).cast("long")
     val p = points.withColumn("__b", bucketOf(col(ptsCol)))
+    // Fail LOUDLY on an interval exploding past the budget (a sentinel
+    // end like Long.MaxValue, or start/end in the wrong unit): one such
+    // row would otherwise build a billions-element sequence and kill
+    // the job with an obscure sequence-length error or an executor OOM.
+    val nb = bucketOf(col(endCol)) - bucketOf(col(startCol)) + 1
     val iv = intervals
       .filter(col(endCol) >= col(startCol))
+      .withColumn("__nb",
+        when(nb > maxBucketsPerInterval,
+          raise_error(concat(lit(s"rangeJoin: interval spans more than " +
+            s"$maxBucketsPerInterval buckets of $bucketWidth (start="),
+            col(startCol), lit(", end="), col(endCol),
+            lit(") — wrong unit or sentinel value?")))).otherwise(nb))
       .withColumn("__b",
-        explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+        explode(sequence(bucketOf(col(startCol)),
+          bucketOf(col(startCol)) + col("__nb") - 1)))
+      .drop("__nb")
     iv.join(p, Seq(key, "__b"))
       .filter(col(ptsCol) >= col(startCol) && col(ptsCol) <= col(endCol))
       .drop("__b")

@@ -595,9 +595,12 @@ object Pipeline {
          |  FROM assign a JOIN assign b ON a.block = b.block AND a.vec_id < b.vec_id)
          |SELECT block, i, j, cos FROM pairs WHERE cos >= 0.4
          |ORDER BY i, j""".stripMargin,
+    // key is length-prefixed exactly as the engine builds it
+    // (Sampling.stratifiedSample): len(stratum) ":" stratum ":" id
     "q45_stratified_sample" ->
       s"""SELECT doc_id, source FROM documents
-         |WHERE ${sqlMd5Fold("source || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 <
+         |WHERE ${sqlMd5Fold(
+               "CAST(length(source) AS VARCHAR) || ':' || source || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 <
          |  CASE WHEN source = 'src0' THEN 500000
          |       WHEN source = 'src1' THEN 250000
          |       ELSE 100000 END

@@ -31,6 +31,8 @@ object AttributionStream {
   def attributedPairs(views: DataFrame, purchases: DataFrame,
                       windowMinutes: Int = 60,
                       watermark: String = "2 hours"): DataFrame = {
+    // an inverted BETWEEN range would run forever emitting nothing
+    require(windowMinutes > 0, s"windowMinutes must be positive, got $windowMinutes")
     val v = views
       .select(col("user_id").as("v_user"), col("ts").as("vts"),
         col("value").as("view_value"))

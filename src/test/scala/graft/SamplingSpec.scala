@@ -24,6 +24,15 @@ class SamplingSpec extends SparkSuite {
     assert(Sampling.hashSample(df, "id", 1.0).count() == 20000)
   }
 
+  test("null ids and strata are sampled, not silently dropped") {
+    val df = Seq(Some(1L), Some(2L), None, Some(4L)).toDF("id")
+    assert(Sampling.hashSample(df, "id", 1.0).count() == 4)
+    val st = Seq((1L, Some("a")), (2L, None: Option[String]), (3L, Some("b")))
+      .toDF("id", "stratum")
+    assert(Sampling.stratifiedSample(st, "id", "stratum",
+      Map("a" -> 1.0), defaultFraction = 1.0).count() == 3)
+  }
+
   test("stratifiedSample applies per-stratum fractions") {
     val df = spark.range(0, 30000)
       .select($"id", concat(lit("s"), ($"id" % 3).cast("string")).as("st"))

@@ -61,6 +61,34 @@ class TemporalJoinSpec extends SparkSuite {
     assert(out.length == 1 && out(0).getAs[Double]("v") == 7.0)
   }
 
+  test("asOfJoin ignores null timestamps on either side (no phantom matches)") {
+    val l = Seq((1L, Some(50L), "early"), (1L, Some(200L), "late"),
+        (1L, None: Option[Long], "nullts"))
+      .toDF("k", "lts", "tag")
+    val r = Seq((1L, None: Option[Long], 99.0), (1L, Some(100L), 10.0))
+      .toDF("k", "rts", "v")
+    val back = TemporalJoin.asOfJoin(l, r, "k", "lts", "rts")
+      .collect().map(x => (x.getString(2), Option(x.get(3)))).toMap
+    // the null-ts right row must NOT phantom-match the early left row
+    assert(back("early") == None && back("late") == Some(10.0) && back("nullts") == None)
+    val fwd = TemporalJoin.asOfJoin(l, r, "k", "lts", "rts", forward = true)
+      .collect().map(x => (x.getString(2), Option(x.get(3)))).toMap
+    // a null-ts LEFT row must not pick up the last right payload
+    assert(fwd("early") == Some(10.0) && fwd("late") == None && fwd("nullts") == None)
+  }
+
+  test("rangeJoin throws loudly on an interval exploding past the bucket budget") {
+    val pts = Seq((1L, 5L)).toDF("k", "ts")
+    val ivs = Seq((1L, 0L, Long.MaxValue / 2, "sentinel")).toDF("k", "s", "e", "itag")
+    val ex = intercept[Exception] {
+      TemporalJoin.rangeJoin(pts, ivs, "k", "ts", "s", "e", bucketWidth = 10L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("rangeJoin")),
+      s"expected the rangeJoin budget error, got: ${ex.getMessage}")
+  }
+
   test("asOfJoin equals the brute-force per-row maximum on real events") {
     val e = Tables.events(spark, sf)
     val clicks = e.filter($"event_type" === "click")
