@@ -27,6 +27,7 @@ object Pipeline {
     "q44_semantic_dedup" -> q44,
     "q45_stratified_sample" -> q45,
     "q46_pack_chunks" -> q46,
+    "q47_quality_topk" -> q47,
     "q40_cosine_topk" -> q40,
     "q41_ann_lsh" -> q41,
     "q42_ann_ivf" -> q42,
@@ -228,6 +229,18 @@ object Pipeline {
       size(TextAnalysis.wsTokens(col("text"))).as("n_tok"))
     Sampling.packChunks(d, "doc_id", "n_tok", "source", budget = 2048)
       .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Group-wise quality top-k: the 10 highest-quality docs per
+    * source (score ties break by doc_id) — the keep-the-best curation
+    * step; rank-filter windows get a map-side WindowGroupLimit. */
+  def q47(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val scored = d.select(col("doc_id"), col("source"))
+      .join(TextAnalysis.qualityFeatures(d, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score")), "doc_id")
+    Sampling.topKPerStratum(scored, "source", "quality_score", "doc_id", k = 10)
+      .orderBy(col("source"), col("rank"))
   }
 
   /** Token statistics: chars, whitespace tokens, alpha words, BPE-ish
@@ -605,6 +618,33 @@ object Pipeline {
          |       WHEN source = 'src1' THEN 250000
          |       ELSE 100000 END
          |ORDER BY doc_id""".stripMargin,
+    // q47: the q51 quality formula + per-source rank window
+    "q47_quality_topk" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens,
+        |    length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS n_punct,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['the','a','an','and','or','of','to','in','is','are',
+        |                          'was','for','on','with','as','at','by','from','that','this'], t)))
+        |      AS n_stop
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    0.4 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+        |    0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) +
+        |    0.3 * (CASE WHEN n_tokens >= 20 THEN 1.0
+        |                ELSE CAST(n_tokens AS DOUBLE) / 20.0 END) AS quality_score
+        |  FROM f),
+        |r AS (
+        |  SELECT doc_id, source, quality_score,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY quality_score DESC, doc_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT doc_id, source, quality_score, rank
+        |FROM r WHERE rank <= 10
+        |ORDER BY source, rank""".stripMargin,
     "q46_pack_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, source,

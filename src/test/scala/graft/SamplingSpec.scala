@@ -44,6 +44,21 @@ class SamplingSpec extends SparkSuite {
     assert(math.abs(out("s2") - 9000L) < 400, s"s2: ${out("s2")}")
   }
 
+  test("topKPerStratum keeps exactly k per stratum via a map-side group limit") {
+    val df = spark.range(0, 1000).select(($"id" % 7).as("st"),
+      ($"id" * 37 % 101).cast("double").as("score"), $"id")
+    val top = Sampling.topKPerStratum(df, "st", "score", "id", 5)
+    assert(top.groupBy($"st").count().collect().forall(_.getLong(1) == 5L))
+    // ranks are 1..5 and the tie rule (score desc, id asc) is stable
+    assert(top.collect().map(_.getAs[Int]("rank")).forall(r => r >= 1 && r <= 5))
+    assert(top.collect().toSet ==
+      Sampling.topKPerStratum(df, "st", "score", "id", 5).collect().toSet)
+    // the rank-filter window must carry the map-side WindowGroupLimit
+    // (each task forwards only its local top-k into the shuffle)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("packChunks: offsets are gapless per stream and bins respect the budget") {
     val df = Seq(
       ("a", 1L, 1000L), ("a", 2L, 1000L), ("a", 3L, 100L), ("a", 4L, 5000L),
