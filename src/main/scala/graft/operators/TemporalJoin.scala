@@ -47,25 +47,7 @@ object TemporalJoin {
                ltsCol: String, rtsCol: String,
                forward: Boolean = false,
                tolerance: Option[Long] = None): DataFrame = {
-    val payload = right.columns.filterNot(c => c == key || c == rtsCol).toSeq
-    require(payload.nonEmpty, "right side needs at least one payload column")
-    val collide = (payload.toSet + "matched_ts").intersect(left.columns.toSet)
-    require(collide.isEmpty, s"payload/output columns collide with left: $collide")
-    val internal = Seq("__ts", "__m", "__last").filter(left.columns.contains)
-    require(internal.isEmpty, s"left may not use reserved working names: $internal")
-
-    // one row per (key, ts): greatest payload struct (deterministic).
-    // Null-ts right rows are dropped — "at or before null" is
-    // undefined, and under ASC NULLS FIRST their non-null __m struct
-    // would otherwise sort ahead of the whole partition and phantom-
-    // match every early left row.
-    val rOne = right.filter(col(rtsCol).isNotNull)
-      .groupBy(col(key), col(rtsCol).cast("long").as("__ts"))
-      .agg(max(struct(payload.map(col): _*)).as("__p"))
-      .select(col(key), col("__ts"), struct(col("__ts").as("__mts"), col("__p")).as("__m"))
-    val lSide = left.withColumn("__ts", col(ltsCol).cast("long"))
-    val uni = lSide.unionByName(rOne, allowMissingColumns = true)
-
+    val (uni, payload) = asOfPrep(left, right, key, ltsCol, rtsCol)
     // right rows (side 0) sort BEFORE left rows at an equal timestamp
     // in scan direction, so the match is inclusive on both directions
     val ord =
@@ -81,11 +63,73 @@ object TemporalJoin {
     // null left ts matches nothing (in forward mode DESC NULLS LAST
     // would otherwise hand it the globally-last right payload)
     val ok = col("__last").isNotNull && col("__ts").isNotNull && inTol
+    asOfOut(matched, left, payload, ok, col("__last"))
+  }
+
+  /** Nearest-in-time as-of: the closest right row on EITHER side of
+    * each left timestamp (distance ties prefer the earlier/backward
+    * match). Same single shuffle as [[asOfJoin]] — the previous match
+    * is a running `last` and the next match a reverse-frame `first`
+    * over ONE ascending sort; no second shuffle, no join node. */
+  def asOfJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      ltsCol: String, rtsCol: String,
+                      tolerance: Option[Long] = None): DataFrame = {
+    val (uni, payload) = asOfPrep(left, right, key, ltsCol, rtsCol)
+    val base = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__m").isNull.cast("int"))
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // an equal-ts right row sorts before the left row, so it lands in
+    // the PREV frame with distance 0 — which always wins (or ties to
+    // backward), keeping equal-ts matches inclusive
+    val matched = uni
+      .withColumn("__prev", last(col("__m"), ignoreNulls = true).over(wPrev))
+      .withColumn("__next", first(col("__m"), ignoreNulls = true).over(wNext))
+      .filter(col("__m").isNull)
+    val dPrev = col("__ts") - col("__prev.__mts")
+    val dNext = col("__next.__mts") - col("__ts")
+    val pickPrev = col("__prev").isNotNull &&
+      (col("__next").isNull || dPrev <= dNext)
+    val best = when(pickPrev, col("__prev")).otherwise(col("__next"))
+    val dist = when(pickPrev, dPrev).otherwise(dNext)
+    val inTol = tolerance.map(t => dist <= t).getOrElse(lit(true))
+    val ok = best.isNotNull && col("__ts").isNotNull && inTol
+    asOfOut(matched.withColumn("__best", best), left, payload, ok, col("__best"))
+  }
+
+  /** Shared as-of setup: validation, right-side (key, ts) tie
+    * collapse, and the tagged union (left rows carry __m = null). */
+  private def asOfPrep(left: DataFrame, right: DataFrame, key: String,
+                       ltsCol: String, rtsCol: String): (DataFrame, Seq[String]) = {
+    val payload = right.columns.filterNot(c => c == key || c == rtsCol).toSeq
+    require(payload.nonEmpty, "right side needs at least one payload column")
+    val collide = (payload.toSet + "matched_ts").intersect(left.columns.toSet)
+    require(collide.isEmpty, s"payload/output columns collide with left: $collide")
+    val internal = Seq("__ts", "__m", "__last", "__prev", "__next", "__best")
+      .filter(left.columns.contains)
+    require(internal.isEmpty, s"left may not use reserved working names: $internal")
+
+    // one row per (key, ts): greatest payload struct (deterministic).
+    // Null-ts right rows are dropped — "at or before null" is
+    // undefined, and under ASC NULLS FIRST their non-null __m struct
+    // would otherwise sort ahead of the whole partition and phantom-
+    // match every early left row.
+    val rOne = right.filter(col(rtsCol).isNotNull)
+      .groupBy(col(key), col(rtsCol).cast("long").as("__ts"))
+      .agg(max(struct(payload.map(col): _*)).as("__p"))
+      .select(col(key), col("__ts"), struct(col("__ts").as("__mts"), col("__p")).as("__m"))
+    val lSide = left.withColumn("__ts", col(ltsCol).cast("long"))
+    (lSide.unionByName(rOne, allowMissingColumns = true), payload)
+  }
+
+  /** Shared as-of projection: left.* ++ payload (nulled unless ok) ++
+    * matched_ts. */
+  private def asOfOut(matched: DataFrame, left: DataFrame, payload: Seq[String],
+                      ok: Column, m: Column): DataFrame =
     matched.select(
       left.columns.map(col) ++
-        payload.map(p => when(ok, col(s"__last.__p.$p")).as(p)) :+
-        when(ok, col("__last.__mts")).as("matched_ts"): _*)
-  }
+        payload.map(p => when(ok, m.getField("__p").getField(p)).as(p)) :+
+        when(ok, m.getField("__mts")).as("matched_ts"): _*)
 
   /** Point-in-interval range join: every (point, interval) pair on
     * the same `key` with `startCol <= point ts <= endCol`.

@@ -61,6 +61,26 @@ class TemporalJoinSpec extends SparkSuite {
     assert(out.length == 1 && out(0).getAs[Double]("v") == 7.0)
   }
 
+  test("asOfJoinNearest picks the closer side, ties backward, tolerance nulls") {
+    val l = Seq((1L, 100L, "mid"), (1L, 200L, "far"), (2L, 100L, "tie"),
+        (3L, 150L, "exact"))
+      .toDF("k", "lts", "tag")
+    val r = Seq((1L, 90L, 9.0), (1L, 105L, 10.5),
+        (2L, 95L, 9.5), (2L, 105L, 10.5),
+        (3L, 150L, 15.0))
+      .toDF("k", "rts", "v")
+    val out = TemporalJoin.asOfJoinNearest(l, r, "k", "lts", "rts")
+      .collect().map(x => (x.getString(2), (Option(x.get(3)), Option(x.get(4))))).toMap
+    assert(out("mid") == ((Some(10.5), Some(105L))))   // 5 ahead beats 10 behind
+    assert(out("far") == ((Some(10.5), Some(105L))))   // only side available
+    assert(out("tie") == ((Some(9.5), Some(95L))))     // equal distance -> backward
+    assert(out("exact") == ((Some(15.0), Some(150L)))) // distance 0
+    val tol = TemporalJoin.asOfJoinNearest(l, r, "k", "lts", "rts",
+        tolerance = Some(20L))
+      .collect().map(x => (x.getString(2), Option(x.get(3)))).toMap
+    assert(tol("far") == None && tol("mid") == Some(10.5)) // 95 > 20 nulls out
+  }
+
   test("asOfJoin ignores null timestamps on either side (no phantom matches)") {
     val l = Seq((1L, Some(50L), "early"), (1L, Some(200L), "late"),
         (1L, None: Option[Long], "nullts"))
