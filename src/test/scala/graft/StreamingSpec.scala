@@ -70,6 +70,19 @@ class StreamingSpec extends SparkSuite {
     assert(gotSigs.toSet === wantSigs.toSet)
   }
 
+  test("hash-gated sampling is stateless and streaming-safe: stream == batch sample") {
+    val q = graft.operators.Sampling
+      .hashSample(EventStreams.readEventStream(spark, sf), "event_id", 0.3)
+      .select("event_id").writeStream.outputMode("append").format("memory")
+      .queryName("sample_stream_spec").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sample_stream_spec").collect().map(_.getLong(0)).toSet
+    val want = graft.operators.Sampling
+      .hashSample(Tables.events(spark, sf), "event_id", 0.3)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming attribution interval join reconciles with the batch range join") {
     def side() = EventStreams.readEventStream(spark, sf)
     val pairs = graft.streaming.AttributionStream.attributedPairs(

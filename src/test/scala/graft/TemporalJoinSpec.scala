@@ -149,6 +149,54 @@ class TemporalJoinSpec extends SparkSuite {
     assert(got.count() > 0) // fixture actually exercises the join
   }
 
+  test("asOfJoin (all directions) equals brute force on seeded random data") {
+    val rng = new scala.util.Random(42)
+    // dense key space + small ts range forces heavy ties and
+    // same-ts left/right collisions — the edge cases that matter
+    val lRows = Seq.fill(300)((rng.nextInt(8).toLong, rng.nextInt(50).toLong, rng.nextInt()))
+      .zipWithIndex.map { case ((k, ts, x), i) => (k, ts, i.toLong) }
+    val rRows = Seq.fill(300)((rng.nextInt(8).toLong, rng.nextInt(50).toLong,
+      rng.nextInt(1000).toDouble))
+    val l = lRows.toDF("k", "lts", "lid")
+    val r = rRows.toDF("k", "rts", "v")
+    // reference model: per (key, ts) the max payload; then scan
+    val byKey = rRows.groupBy(_._1).map { case (k, rows) =>
+      k -> rows.groupBy(_._2).map { case (ts, g) => ts -> g.map(_._3).max }.toMap
+    }
+    def expected(k: Long, ts: Long, dir: String, tol: Option[Long]): Option[(Long, Double)] = {
+      val cands = byKey.getOrElse(k, Map.empty)
+      val pick = dir match {
+        case "backward" => cands.keys.filter(_ <= ts).minByOption(t => ts - t)
+        case "forward"  => cands.keys.filter(_ >= ts).minByOption(t => t - ts)
+        case "nearest"  =>
+          cands.keys.minByOption(t => (math.abs(t - ts), t)) match {
+            case None => None
+            case Some(_) =>
+              val best = cands.keys.map(t => (math.abs(t - ts), t)).min
+              // tie at equal distance -> the earlier (backward) match
+              Some(cands.keys.filter(t => math.abs(t - ts) == best._1).min)
+          }
+      }
+      pick.filter(t => tol.forall(math.abs(t - ts) <= _)).map(t => (t, cands(t)))
+    }
+    for (dir <- Seq("backward", "forward", "nearest"); tol <- Seq(None, Some(7L))) {
+      val got = (dir match {
+        case "backward" => TemporalJoin.asOfJoin(l, r, "k", "lts", "rts", tolerance = tol)
+        case "forward"  => TemporalJoin.asOfJoin(l, r, "k", "lts", "rts",
+          forward = true, tolerance = tol)
+        case "nearest"  => TemporalJoin.asOfJoinNearest(l, r, "k", "lts", "rts", tol)
+      }).collect().map(x => x.getAs[Long]("lid") ->
+        (Option(x.get(x.fieldIndex("matched_ts"))), Option(x.get(x.fieldIndex("v"))))).toMap
+      assert(got.size == lRows.size, s"$dir/$tol row count")
+      lRows.foreach { case (k, ts, lid) =>
+        val want = expected(k, ts, dir, tol)
+        val g = got(lid)
+        assert(g._1 == want.map(_._1) && g._2 == want.map(_._2),
+          s"$dir/$tol mismatch at k=$k ts=$ts: got $g want $want")
+      }
+    }
+  }
+
   test("rangeJoin covers intervals wider than one bucket and drops inverted ones") {
     val pts = Seq((1L, 5L, "p5"), (1L, 25L, "p25"), (1L, 95L, "p95"))
       .toDF("k", "ts", "ptag")
