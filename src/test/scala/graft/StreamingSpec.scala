@@ -70,6 +70,49 @@ class StreamingSpec extends SparkSuite {
     assert(gotSigs.toSet === wantSigs.toSet)
   }
 
+  test("streaming as-of finalizes matches identical to the batch asOfJoin") {
+    val lookbackMs = 2L * 3600 * 1000
+    val stream = EventStreams.readEventStream(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts"),
+        (col("event_type") === "click").as("left"),
+        when(col("event_type") === "click", col("event_id")).otherwise(0L).as("lid"),
+        when(col("event_type") === "view", col("value")).otherwise(0.0).as("v"))
+    val q = graft.streaming.AsOfStream.matches(stream, lookbackMs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_stream_spec").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("asof_stream_spec").collect()
+      .map(r => r.getAs[Long]("lid") ->
+        ((Option(r.get(r.fieldIndex("matched_ms"))),
+          Option(r.get(r.fieldIndex("view_value")))))).toMap
+
+    val e = Tables.events(spark, sf)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_millis(col("ts")).as("cts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_millis(col("ts")).as("vts"),
+        col("value").as("view_value"))
+    val want = graft.operators.TemporalJoin
+      .asOfJoin(clicks, views, "user_id", "cts", "vts",
+        tolerance = Some(lookbackMs))
+      .collect()
+      .map(r => r.getAs[Long]("click_id") ->
+        ((Option(r.get(r.fieldIndex("matched_ts"))),
+          Option(r.get(r.fieldIndex("view_value")))))).toMap
+
+    // the stream can only finalize lefts the final watermark passed —
+    // every emitted match must equal the batch answer, and the
+    // watermark must have finalized a meaningful share
+    assert(got.nonEmpty && got.size >= want.size / 2,
+      s"only ${got.size} of ${want.size} clicks finalized")
+    got.foreach { case (lid, g) =>
+      assert(g == want(lid), s"click $lid: stream $g vs batch ${want(lid)}")
+    }
+  }
+
   test("hash-gated sampling is stateless and streaming-safe: stream == batch sample") {
     val q = graft.operators.Sampling
       .hashSample(EventStreams.readEventStream(spark, sf), "event_id", 0.3)
