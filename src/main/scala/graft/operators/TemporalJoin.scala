@@ -46,14 +46,22 @@ object TemporalJoin {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                ltsCol: String, rtsCol: String,
                forward: Boolean = false,
-               tolerance: Option[Long] = None): DataFrame = {
-    val (uni, payload) = asOfPrep(left, right, key, ltsCol, rtsCol)
+               tolerance: Option[Long] = None): DataFrame =
+    asOfJoinBy(left, right, Seq(key), ltsCol, rtsCol, forward, tolerance)
+
+  /** Multi-key as-of (merge_asof's by = [k1, k2, ...]): identical
+    * semantics and plan shape, partitioned on the composite key. */
+  def asOfJoinBy(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 ltsCol: String, rtsCol: String,
+                 forward: Boolean = false,
+                 tolerance: Option[Long] = None): DataFrame = {
+    val (uni, payload) = asOfPrep(left, right, keys, ltsCol, rtsCol)
     // right rows (side 0) sort BEFORE left rows at an equal timestamp
     // in scan direction, so the match is inclusive on both directions
     val ord =
       if (forward) Seq(col("__ts").desc, col("__m").isNull.cast("int"))
       else Seq(col("__ts").asc, col("__m").isNull.cast("int"))
-    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = uni.withColumn("__last", last(col("__m"), ignoreNulls = true).over(w))
       .filter(col("__m").isNull) // keep left rows only
@@ -73,9 +81,15 @@ object TemporalJoin {
     * over ONE ascending sort; no second shuffle, no join node. */
   def asOfJoinNearest(left: DataFrame, right: DataFrame, key: String,
                       ltsCol: String, rtsCol: String,
-                      tolerance: Option[Long] = None): DataFrame = {
-    val (uni, payload) = asOfPrep(left, right, key, ltsCol, rtsCol)
-    val base = Window.partitionBy(col(key))
+                      tolerance: Option[Long] = None): DataFrame =
+    asOfJoinNearestBy(left, right, Seq(key), ltsCol, rtsCol, tolerance)
+
+  /** Multi-key nearest as-of. */
+  def asOfJoinNearestBy(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        ltsCol: String, rtsCol: String,
+                        tolerance: Option[Long] = None): DataFrame = {
+    val (uni, payload) = asOfPrep(left, right, keys, ltsCol, rtsCol)
+    val base = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__m").isNull.cast("int"))
     val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -99,9 +113,10 @@ object TemporalJoin {
 
   /** Shared as-of setup: validation, right-side (key, ts) tie
     * collapse, and the tagged union (left rows carry __m = null). */
-  private def asOfPrep(left: DataFrame, right: DataFrame, key: String,
+  private def asOfPrep(left: DataFrame, right: DataFrame, keys: Seq[String],
                        ltsCol: String, rtsCol: String): (DataFrame, Seq[String]) = {
-    val payload = right.columns.filterNot(c => c == key || c == rtsCol).toSeq
+    require(keys.nonEmpty, "at least one key column is required")
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == rtsCol).toSeq
     require(payload.nonEmpty, "right side needs at least one payload column")
     val collide = (payload.toSet + "matched_ts").intersect(left.columns.toSet)
     require(collide.isEmpty, s"payload/output columns collide with left: $collide")
@@ -115,9 +130,10 @@ object TemporalJoin {
     // would otherwise sort ahead of the whole partition and phantom-
     // match every early left row.
     val rOne = right.filter(col(rtsCol).isNotNull)
-      .groupBy(col(key), col(rtsCol).cast("long").as("__ts"))
+      .groupBy(keys.map(col) :+ col(rtsCol).cast("long").as("__ts"): _*)
       .agg(max(struct(payload.map(col): _*)).as("__p"))
-      .select(col(key), col("__ts"), struct(col("__ts").as("__mts"), col("__p")).as("__m"))
+      .select(keys.map(col) ++ Seq(col("__ts"),
+        struct(col("__ts").as("__mts"), col("__p")).as("__m")): _*)
     val lSide = left.withColumn("__ts", col(ltsCol).cast("long"))
     (lSide.unionByName(rOne, allowMissingColumns = true), payload)
   }

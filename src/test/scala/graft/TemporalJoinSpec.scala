@@ -149,6 +149,18 @@ class TemporalJoinSpec extends SparkSuite {
     assert(got.count() > 0) // fixture actually exercises the join
   }
 
+  test("asOfJoinBy partitions on the composite key") {
+    val l = Seq((1L, "A", 100L, "a"), (1L, "B", 100L, "b"), (2L, "A", 100L, "c"))
+      .toDF("k1", "k2", "lts", "tag")
+    val r = Seq((1L, "A", 90L, 9.0), (1L, "B", 95L, 9.5), (2L, "B", 80L, 8.0))
+      .toDF("k1", "k2", "rts", "v")
+    val out = TemporalJoin.asOfJoinBy(l, r, Seq("k1", "k2"), "lts", "rts")
+      .collect().map(x => (x.getString(3), Option(x.get(4)))).toMap
+    assert(out("a") == Some(9.0))
+    assert(out("b") == Some(9.5))
+    assert(out("c") == None) // (2, A) must not see (2, B)'s rows
+  }
+
   test("asOfJoin (all directions) equals brute force on seeded random data") {
     val rng = new scala.util.Random(42)
     // dense key space + small ts range forces heavy ties and
