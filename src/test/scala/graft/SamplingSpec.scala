@@ -24,6 +24,26 @@ class SamplingSpec extends SparkSuite {
     assert(Sampling.hashSample(df, "id", 1.0).count() == 20000)
   }
 
+  test("weightedSample keeps rows in proportion to their weight, monotonically") {
+    val df = spark.range(0, 30000)
+      .select($"id", (($"id" % 3).cast("double") / 2.0).as("w")) // 0, 0.5, 1.0
+    val out = Sampling.weightedSample(df, "id", "w")
+    val byW = out.groupBy($"w").count().as[(Double, Long)].collect().toMap
+    assert(!byW.contains(0.0))                      // weight 0 never kept
+    assert(byW(1.0) == 10000L)                      // weight 1 always kept
+    assert(math.abs(byW(0.5) - 5000L) < 400, s"w=0.5: ${byW(0.5)}")
+    // raising weights only ADDS rows (same gate, higher threshold)
+    val half = Sampling.weightedSample(
+      df.withColumn("w", $"w" * 0.5), "id", "w").select("id")
+    assert(half.except(out.select("id")).isEmpty)
+    // clamping: out-of-range weights behave as 0/1, nulls drop
+    val dirty = Seq((1L, Some(2.0)), (2L, Some(-1.0)), (3L, None: Option[Double]))
+      .toDF("id", "w")
+    val kept = Sampling.weightedSample(dirty, "id", "w")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("null ids and strata are sampled, not silently dropped") {
     val df = Seq(Some(1L), Some(2L), None, Some(4L)).toDF("id")
     assert(Sampling.hashSample(df, "id", 1.0).count() == 4)
