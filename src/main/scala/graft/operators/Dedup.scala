@@ -53,7 +53,7 @@ object Dedup {
     * self-join shuffles on (band, bucket) — AQE splits hot buckets.
     */
   def lshCandidates(df: DataFrame, idCol: String, hashes: Column,
-                    rows: Int = 6, bands: Int = 22): DataFrame = {
+                    rows: Int = 6, bands: Int = 22, minBands: Int = 2): DataFrame = {
     val sig = df.select(col(idCol).as("id"), minhashSignature(hashes, rows * bands).as("sig"))
     val banded = sig.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -84,8 +84,26 @@ object Dedup {
       // aggregate after a cheap 16-byte-row shuffle instead
       .repartition(col("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("nb"))
-      .filter(col("nb") >= 2)
+      // minBands = 1 disables the weak-pair prune — required when
+      // (rows, bands) are tuned for MODERATE thresholds, where even
+      // true pairs collide in few bands (see minhashParamsFor)
+      .filter(col("nb") >= minBands)
       .select(col("pk.i").as("i"), col("pk.j").as("j"))
+  }
+
+  /** (rows, bands) for a single-band-gate LSH whose candidate miss
+    * probability at Jaccard = `threshold` is below `targetMiss`:
+    * miss = (1 - t^r)^b. Fewer rows per band keep per-band collision
+    * probability workable at moderate thresholds (t^6 at t = 0.6 is
+    * 0.047 — the 0.95-tuned default shape would need ~300 bands);
+    * more rows sharpen bands at high thresholds. */
+  def minhashParamsFor(threshold: Double, targetMiss: Double = 1e-6): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
+    require(targetMiss > 0 && targetMiss < 1, s"targetMiss must be in (0,1), got $targetMiss")
+    val r = if (threshold >= 0.8) 6 else if (threshold >= 0.5) 4 else 3
+    val p = math.pow(threshold, r)
+    val b = math.ceil(math.log(targetMiss) / math.log1p(-p)).toInt
+    (r, math.max(b, 2))
   }
 
   /** Exact set Jaccard for given pairs over pre-hashed element arrays
@@ -786,13 +804,64 @@ object Dedup {
     * and candidate volume (for any set-similarity algorithm — and
     * typically the true pair output itself) grows ~quadratically.
     * That is a property of the SEMANTICS, not the plan: use n >= 5
-    * (open space, rare grams at any corpus size — measured linear in
-    * tools/ScaleStress) or a bounded slice for smaller n;
-    * [[prefixCandidateEstimate]] over [[charGramHashes]] predicts the
-    * volume for a few cents of compute before committing.
+    * (open space, rare grams at any corpus size) or a bounded slice
+    * for smaller n; [[prefixCandidateEstimate]] over
+    * [[charGramHashes]] predicts the volume for a few cents of
+    * compute before committing. Even on open spaces, LONG docs
+    * (hundreds of grams) make the prefix verify stage carry heavy
+    * array freight when candidates number in the tens of millions
+    * (measured spill-regime superlinearity at 100k x 600-gram docs —
+    * BENCH.md r4 correction); [[ngramJaccardAuto]] dispatches to
+    * [[ngramJaccardLSH]] on the same estimate probe for exactly that
+    * shape.
     *
     * Gram-less docs are excluded entirely — their 0/0 Jaccard is
     * undefined (NaN compares TRUE under Spark's >=). */
+  /** Char-n-gram Jaccard pairs via threshold-tuned MinHash-LSH over
+    * the hashed gram arrays — the scale route for gram distributions
+    * where prefix filtering cannot discriminate (near-uniform gram
+    * frequencies at moderate thresholds; see the corpus-shape caveat
+    * on [[ngramJaccard]]). APPROXIMATE: a true pair at exactly the
+    * threshold is missed with probability <= targetMiss (default
+    * 1e-6; band collisions get no weak-pair prune at these
+    * parameters); every found pair is exact-verified, so there are no
+    * false positives. Band buckets are random in gram space, so
+    * candidate volume tracks true similarity structure, not gram
+    * frequency shape — the property the prefix path lacks. */
+  def ngramJaccardLSH(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, threshold: Double,
+                      targetMiss: Double = 1e-6): DataFrame = {
+    val (rows, bands) = minhashParamsFor(threshold, targetMiss)
+    val docs = df.select(col(idCol).as("id"), charGramHashes(col(textCol), n).as("h"))
+      .filter(size(col("h")) > 0)
+      .localCheckpoint() // feeds candidate gen + both verify sides
+    verifyJaccard(lshCandidates(docs, "id", col("h"), rows, bands, minBands = 1), docs)
+      .filter(col("jacc") >= threshold)
+      .select(col("i"), col("j"), col("jacc"))
+  }
+
+  /** Cost-dispatched n-gram Jaccard: brute-force on bounded slices,
+    * the EXACT prefix path where the candidate estimate says gram
+    * frequencies discriminate, and the [[ngramJaccardLSH]] route
+    * (~1e-6 miss) where they don't — the n-gram analogue of
+    * [[dedupCorpus]]'s dispatch. `estBudgetPerDoc` mirrors its
+    * calibration (~200 candidates/doc; the near-uniform shapes that
+    * defeat prefixes measure thousands). */
+  def ngramJaccardAuto(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       bruteForceMaxDocs: Long = 2000L,
+                       estBudgetPerDoc: Double = 200.0): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), charGramHashes(col(textCol), n).as("h"))
+      .filter(size(col("h")) > 0)
+      .localCheckpoint()
+    val cnt = docs.count()
+    if (cnt <= bruteForceMaxDocs ||
+        prefixCandidateEstimate(docs, threshold) <= estBudgetPerDoc * cnt)
+      ngramJaccard(df, idCol, textCol, n, threshold, bruteForceMaxDocs)
+    else
+      ngramJaccardLSH(df, idCol, textCol, n, threshold)
+  }
+
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
                    bruteForceMaxDocs: Long = 2000L): DataFrame = {

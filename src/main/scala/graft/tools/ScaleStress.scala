@@ -221,6 +221,12 @@ object ScaleStress {
         Dedup.prefixCandidateEstimate(gramDocs(5), 0.9).toLong)
       timed(s"ngramJaccard prefix path n=5 t=0.9, $n docs")(
         Dedup.ngramJaccard(c, "doc_id", "text", 5, 0.9, bruteForceMaxDocs = 0).count())
+      // the moderate-t scale route: band buckets are random in gram
+      // space, so candidates track similarity structure (clusters),
+      // not gram frequency — ~linear where the prefix estimate above
+      // grows superlinearly. Cost is the 4x~100-hash signatures.
+      timed(s"ngramJaccardLSH n=5 t=0.6, $n docs (threshold-tuned bands)")(
+        Dedup.ngramJaccardLSH(c, "doc_id", "text", 5, 0.6).count())
     }
     }
 

@@ -139,6 +139,33 @@ class DedupPropertySpec extends SparkSuite {
     }
   }
 
+  test("ngramJaccardLSH and the auto dispatch == brute force at tuned miss 1e-6") {
+    for ((n, t) <- Seq((3, 0.5), (2, 0.7), (4, 0.6))) {
+      val docs = corpus(60)
+      val df = docs.toDF("doc_id", "text")
+      def gramSet(s: String): Set[String] =
+        if (s.length < n) Set.empty
+        else (0 to s.length - n).map(i => s.substring(i, i + n)).toSet
+      val want = (for {
+        (i, ti) <- docs; (j, tj) <- docs if i < j
+        a = gramSet(ti); b = gramSet(tj)
+        inter = a.intersect(b).size
+        uni = a.size + b.size - inter
+        if uni > 0 && inter.toDouble / uni >= t
+      } yield (i, j)).toSet
+      // at targetMiss 1e-6 over a few hundred true pairs, a miss is a
+      // ~1e-4 event: equality asserted outright (a flake would signal
+      // a band-tuning bug long before a probability-theory one)
+      val lsh = Dedup.ngramJaccardLSH(df, "doc_id", "text", n, t)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(lsh === want, s"LSH path n=$n t=$t")
+      val auto = Dedup.ngramJaccardAuto(df, "doc_id", "text", n, t,
+          bruteForceMaxDocs = 0, estBudgetPerDoc = 0.0)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(auto === want, s"auto path (forced LSH) n=$n t=$t")
+    }
+  }
+
   test("simhash pairs == brute-force hamming pairs, exactly once, hot split on/off") {
     for (round <- 1 to 2) {
       val docs = corpus(80)
