@@ -227,6 +227,11 @@ object ScaleStress {
       // grows superlinearly. Cost is the 4x~100-hash signatures.
       timed(s"ngramJaccardLSH n=5 t=0.6, $n docs (threshold-tuned bands)")(
         Dedup.ngramJaccardLSH(c, "doc_id", "text", 5, 0.6).count())
+      // high-t LSH (6 rows x ~18 bands — cheaper signatures than the
+      // 0.6 tuning): the comparison point against the prefix run
+      // above, which pays the 59M-candidate verify freight here
+      timed(s"ngramJaccardLSH n=5 t=0.9, $n docs")(
+        Dedup.ngramJaccardLSH(c, "doc_id", "text", 5, 0.9).count())
     }
     }
 

@@ -163,6 +163,15 @@ class DedupPropertySpec extends SparkSuite {
           bruteForceMaxDocs = 0, estBudgetPerDoc = 0.0)
         .select("i", "j").as[(Long, Long)].collect().toSet
       assert(auto === want, s"auto path (forced LSH) n=$n t=$t")
+      // the other two dispatch branches: default guard -> brute;
+      // zero guard + huge budget -> prefix. Both exact.
+      val autoBrute = Dedup.ngramJaccardAuto(df, "doc_id", "text", n, t)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(autoBrute === want, s"auto path (brute) n=$n t=$t")
+      val autoPrefix = Dedup.ngramJaccardAuto(df, "doc_id", "text", n, t,
+          bruteForceMaxDocs = 0, estBudgetPerDoc = 1e12)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(autoPrefix === want, s"auto path (prefix) n=$n t=$t")
     }
   }
 
