@@ -817,6 +817,19 @@ object Dedup {
     *
     * Gram-less docs are excluded entirely — their 0/0 Jaccard is
     * undefined (NaN compares TRUE under Spark's >=). */
+  /** The (id, gram-hash array) frame every n-gram Jaccard route works
+    * over, materialized ONCE: it feeds the dispatch count/estimate
+    * plus 2 (brute) or ~5 (prefix rows x2, verify x2) downstream
+    * subplans — recomputing the gram hashing per use costs more than
+    * the checkpoint, and the dispatch wrappers thread this single
+    * frame into whichever route they pick so the most expensive
+    * intermediate is never built twice. */
+  private def gramDocs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    df.select(col(idCol).as("id"), charGramHashes(col(textCol), n).as("h"))
+      .filter(size(col("h")) > 0)
+      .localCheckpoint()
+
   /** Char-n-gram Jaccard pairs via threshold-tuned MinHash-LSH over
     * the hashed gram arrays — the scale route for gram distributions
     * where prefix filtering cannot discriminate (near-uniform gram
@@ -830,11 +843,12 @@ object Dedup {
     * frequency shape — the property the prefix path lacks. */
   def ngramJaccardLSH(df: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
-                      targetMiss: Double = 1e-6): DataFrame = {
+                      targetMiss: Double = 1e-6): DataFrame =
+    ngramJaccardLSHPrepared(gramDocs(df, idCol, textCol, n), threshold, targetMiss)
+
+  private def ngramJaccardLSHPrepared(docs: DataFrame, threshold: Double,
+                                      targetMiss: Double): DataFrame = {
     val (rows, bands) = minhashParamsFor(threshold, targetMiss)
-    val docs = df.select(col(idCol).as("id"), charGramHashes(col(textCol), n).as("h"))
-      .filter(size(col("h")) > 0)
-      .localCheckpoint() // feeds candidate gen + both verify sides
     verifyJaccard(lshCandidates(docs, "id", col("h"), rows, bands, minBands = 1), docs)
       .filter(col("jacc") >= threshold)
       .select(col("i"), col("j"), col("jacc"))
@@ -851,28 +865,27 @@ object Dedup {
                        n: Int, threshold: Double,
                        bruteForceMaxDocs: Long = 2000L,
                        estBudgetPerDoc: Double = 200.0): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), charGramHashes(col(textCol), n).as("h"))
-      .filter(size(col("h")) > 0)
-      .localCheckpoint()
+    val docs = gramDocs(df, idCol, textCol, n)
     val cnt = docs.count()
     if (cnt <= bruteForceMaxDocs ||
         prefixCandidateEstimate(docs, threshold) <= estBudgetPerDoc * cnt)
-      ngramJaccard(df, idCol, textCol, n, threshold, bruteForceMaxDocs)
+      ngramJaccardPrepared(docs, cnt, threshold, bruteForceMaxDocs)
     else
-      ngramJaccardLSH(df, idCol, textCol, n, threshold)
+      ngramJaccardLSHPrepared(docs, threshold, targetMiss = 1e-6)
   }
 
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
                    bruteForceMaxDocs: Long = 2000L): DataFrame = {
-    // materialized once: feeds the dispatch count plus 2 (brute) or
-    // ~5 (prefix rows x2, verify x2) downstream subplans — recomputing
-    // the gram hashing per use costs more than the checkpoint
-    val docs = df.select(col(idCol).as("id"), charGramHashes(col(textCol), n).as("h"))
-      .filter(size(col("h")) > 0)
-      .localCheckpoint()
+    val docs = gramDocs(df, idCol, textCol, n)
+    ngramJaccardPrepared(docs, docs.count(), threshold, bruteForceMaxDocs)
+  }
+
+  private def ngramJaccardPrepared(docs: DataFrame, cnt: Long,
+                                   threshold: Double,
+                                   bruteForceMaxDocs: Long): DataFrame = {
     val pairs =
-      if (docs.count() <= bruteForceMaxDocs) {
+      if (cnt <= bruteForceMaxDocs) {
         val a = docs.select(col("id").as("i"), array_sort(col("h")).as("ha"))
         val b = docs.select(col("id").as("j"), array_sort(col("h")).as("hb"))
         a.join(broadcast(b), col("i") < col("j"))

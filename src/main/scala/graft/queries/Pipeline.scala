@@ -609,11 +609,14 @@ object Pipeline {
          |SELECT block, i, j, cos FROM pairs WHERE cos >= 0.4
          |ORDER BY i, j""".stripMargin,
     // key is length-prefixed exactly as the engine builds it
-    // (Sampling.stratifiedSample): len(stratum) ":" stratum ":" id
+    // (Sampling.stratifiedSample): len(stratum) ":" stratum ":" id,
+    // with a null stratum coalesced to '' (same as the engine) so a
+    // null source samples at the default fraction instead of being
+    // dropped by NULL propagation through md5.
     "q45_stratified_sample" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE ${sqlMd5Fold(
-               "CAST(length(source) AS VARCHAR) || ':' || source || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 <
+               "CAST(length(coalesce(source, '')) AS VARCHAR) || ':' || coalesce(source, '') || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 <
          |  CASE WHEN source = 'src0' THEN 500000
          |       WHEN source = 'src1' THEN 250000
          |       ELSE 100000 END

@@ -47,7 +47,11 @@ object AsOfStream {
       arr.filterNot(_.left).map(r => (r.ts.getTime, r.v))).sortBy(_._1)
     val lefts = prev.lefts ++ arr.filter(_.left).map(r => (r.ts.getTime, r.lid))
 
-    val (fin, pend) = lefts.partition(_._1 <= wm)
+    // STRICTLY below the watermark: Spark admits late rows with event
+    // time exactly equal to the watermark, so a right at rts == lts ==
+    // wm could still arrive — a left at the boundary stays pending one
+    // more trigger.
+    val (fin, pend) = lefts.partition(_._1 < wm)
     val out = fin.sortBy(l => (l._1, l._2)).map { case (lts, lid) =>
       val cands = rights.filter(r => r._1 <= lts && lts - r._1 <= lookbackMs)
       if (cands.isEmpty) Out(lid, userId, lts, None, None)
@@ -60,9 +64,10 @@ object AsOfStream {
       }
     }
 
-    // rights older than (watermark - lookback) cannot match any
-    // pending or future left (their ts > wm) — evict
-    val keepRights = rights.filter(_._1 > wm - lookbackMs)
+    // rights strictly older than (watermark - lookback) cannot match
+    // any pending or future left (pending lefts have lts >= wm, so the
+    // earliest right they can use is wm - lookback) — evict
+    val keepRights = rights.filter(_._1 >= wm - lookbackMs)
     if (pend.isEmpty && keepRights.isEmpty) {
       if (state.exists) state.remove()
     } else {
