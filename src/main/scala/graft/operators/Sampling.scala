@@ -96,12 +96,30 @@ object Sampling {
     * range it spans; a doc with more tokens than `budget` spans
     * several bins.
     *
-    * Plan shape: one window (shuffle on stream, in-partition sort on
-    * order) — the running token offset is the whole computation.
-    * Packing is inherently sequential PER STREAM, so parallelism =
-    * number of streams: shard upstream (e.g. stream = (source, id
-    * band)) to scale out; offsets within a stream are exact
-    * regardless of sharding of OTHER streams.
+    * Plan shape — TWO-PHASE DISTRIBUTED PREFIX SUM. The naive
+    * formulation (one unbounded running-sum window per stream) sorts
+    * each stream on a SINGLE reducer, so a lone logical corpus stream
+    * caps parallelism at 1 regardless of cluster size. Instead each
+    * stream is sharded into `bands` id-ranges by a MONOTONE band
+    * function (band boundaries never interleave ids, so concatenation
+    * order is untouched):
+    *   1. per-(stream, band) token sums — a parallel partial
+    *      aggregate, the stage that touches every row;
+    *   2. a cumulative offset over the tiny (streams x bands) band
+    *      table — the only sequential step, O(streams x bands) rows;
+    *   3. offsets join back (broadcast) and an in-band running-sum
+    *      window partitioned on (stream, band) finishes the offsets —
+    *      parallelism = streams x bands, not streams.
+    * Long addition is associative, so `start_tok` is bit-identical to
+    * the single-window formulation at any `bands`. Band widths follow
+    * the id RANGE (width = ceil(span / bands)), so shard balance
+    * tracks id density — uniform for the dense synthetic/monotonic
+    * ids typical of corpus manifests.
+    *
+    * Non-integral `idCol` types (e.g. string ids) have no cheap
+    * monotone band function and fall back to the per-stream window —
+    * correct, but parallelism = streams; map such ids to a dense
+    * integer first to scale a single stream.
     *
     * Zero-token docs are excluded (they occupy no token interval, so
     * bin membership is undefined for them). (`streamCol`, `idCol`)
@@ -109,17 +127,60 @@ object Sampling {
     * offset's tie order (and therefore bin assignment) partition-
     * dependent, breaking the determinism this module guarantees.
     *
+    * @param bands id-range shards per stream (>= 2); the per-stream
+    *              parallelism of the token-sum stage
     * @return streamCol, idCol, n_tokens, start_tok (0-based offset),
     *         bin_first, bin_last (inclusive), n_bins
     */
   def packChunks(df: DataFrame, idCol: String, tokenCol: String,
-                 streamCol: String, budget: Long): DataFrame = {
+                 streamCol: String, budget: Long,
+                 bands: Int = 64): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.filter(col(tokenCol) > 0)
-      .withColumn("n_tokens", col(tokenCol).cast("long"))
-      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    require(bands >= 2, s"bands must be >= 2, got $bands")
+    val base = df.filter(col(tokenCol) > 0)
+      .select(col(streamCol), col(idCol), col(tokenCol).cast("long").as("n_tokens"))
+    val integralId = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val withStart =
+      if (!integralId) {
+        val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base.withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      } else {
+        // id span per stream -> band width; all span arithmetic in
+        // decimal(38,0) so a (min, max) straddling the long range
+        // cannot overflow. width = floor(span / bands) + 1 >= 1 keeps
+        // the band index in [0, bands].
+        val dec = (c: Column) => c.cast("decimal(38,0)")
+        val spans = base.groupBy(col(streamCol))
+          .agg(min(col(idCol)).as("_id_min"), max(col(idCol)).as("_id_max"))
+          .withColumn("_width",
+            (floor((dec(col("_id_max")) - dec(col("_id_min"))) / bands) + 1).cast("long"))
+          .select(col(streamCol), col("_id_min"), col("_width"))
+        val banded = base.join(broadcast(spans), Seq(streamCol))
+          .withColumn("_band",
+            floor((dec(col(idCol)) - dec(col("_id_min"))) / dec(col("_width"))).cast("long"))
+          .drop("_id_min", "_width")
+        // phase 1: parallel per-shard sums
+        val bandSums = banded.groupBy(col(streamCol), col("_band"))
+          .agg(sum(col("n_tokens")).as("_band_sum"))
+        // phase 2: sequential cumulation of the TINY shard table only
+        val wBands = Window.partitionBy(col(streamCol)).orderBy(col("_band"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bandOffs = bandSums
+          .withColumn("_band_off", coalesce(sum(col("_band_sum")).over(wBands), lit(0L)))
+          .select(col(streamCol), col("_band"), col("_band_off"))
+        // phase 3: in-band running sum, sharded on (stream, band)
+        val wIn = Window.partitionBy(col(streamCol), col("_band")).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        banded.join(broadcast(bandOffs), Seq(streamCol, "_band"))
+          .withColumn("start_tok",
+            col("_band_off") + sum(col("n_tokens")).over(wIn) - col("n_tokens"))
+      }
+    withStart
       .withColumn("bin_first", floor(col("start_tok") / budget))
       .withColumn("bin_last", floor((col("start_tok") + col("n_tokens") - 1) / budget))
       .withColumn("n_bins", col("bin_last") - col("bin_first") + 1)

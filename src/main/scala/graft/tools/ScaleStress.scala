@@ -406,16 +406,21 @@ object ScaleStress {
       graft.operators.TemporalJoin.rangeJoin(
         evSide(n, 4, "ts"), iv, "u", "ts", "ws", "we", hourUs).count()
     }
-    def packRun(n: Long): Long = {
+    def packRun(n: Long, streams: Long): Long = {
       val d = spark.range(0, n, 1, 32).select(
-        col("id"), (col("id") % 32).as("stream"),
+        col("id"), (col("id") % streams).as("stream"),
         (pmod(xxhash64(col("id")), lit(400L)) + 1).as("toks"))
       graft.operators.Sampling.packChunks(d, "id", "toks", "stream", 2048).count()
     }
     Seq(1000000L, 10000000L).foreach { n =>
       timed(s"asOfJoin $n x $n")(asofRun(n))
       timed(s"rangeJoin $n points x ${n / 10} intervals")(rangeRun(n))
-      timed(s"packChunks $n docs / 32 streams")(packRun(n))
+      timed(s"packChunks $n docs / 32 streams")(packRun(n, 32))
+      // the r4 scale-killer shape: ONE logical stream. The two-phase
+      // prefix sum keeps the row-touching stages sharded (64 bands),
+      // so this must stay ~linear in n instead of serializing 100% of
+      // rows through a single reducer's sort.
+      timed(s"packChunks $n docs / 1 stream")(packRun(n, 1))
     }
     }
     spark.stop()

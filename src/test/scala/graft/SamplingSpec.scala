@@ -108,6 +108,45 @@ class SamplingSpec extends SparkSuite {
     assert(out.filter(_._1 == "a").last._4 + out.filter(_._1 == "a").last._3 == aTotal)
   }
 
+  test("packChunks: two-phase prefix sum is bit-identical to the single-window " +
+       "reference and shards a single stream across bands") {
+    // one lone stream + one multi-stream mix, gappy non-dense ids
+    val df = spark.range(0, 4000)
+      .select(($"id" % 2).cast("string").as("src"),
+        ($"id" * 37 + ($"id" % 5)).as("id"),
+        (pmod(xxhash64($"id"), lit(400L)) + 1).as("toks"))
+    val banded = Sampling.packChunks(df, "id", "toks", "src", budget = 2048, bands = 7)
+    // reference: the naive unbounded per-stream window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src").orderBy($"id")
+      .rowsBetween(Long.MinValue, 0)
+    val ref = df.filter($"toks" > 0)
+      .withColumn("n_tokens", $"toks".cast("long"))
+      .withColumn("start_tok", sum($"n_tokens").over(w) - $"n_tokens")
+      .withColumn("bin_first", floor($"start_tok" / 2048))
+      .withColumn("bin_last", floor(($"start_tok" + $"n_tokens" - 1) / 2048))
+      .withColumn("n_bins", $"bin_last" - $"bin_first" + 1)
+      .select($"src", $"id", $"n_tokens", $"start_tok",
+        $"bin_first", $"bin_last", $"n_bins")
+    assert(banded.except(ref).isEmpty && ref.except(banded).isEmpty,
+      "banded prefix-sum output diverges from the single-window reference")
+
+    // a SINGLE stream must still use >1 shard: the row-touching
+    // running-sum window partitions on (stream, band), and the rows
+    // of one stream actually land in several bands
+    val one = spark.range(0, 5000)
+      .select(lit("only").as("src"), $"id", lit(3L).as("toks"))
+    val packed = Sampling.packChunks(one, "id", "toks", "src", budget = 1000, bands = 8)
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.contains("_band"), s"no band sharding in plan:\n$plan")
+    // recompute the band function the operator uses: width = 5000/8+1
+    val nBands = one.select(floor($"id" / lit(5000 / 8 + 1))).distinct().count()
+    assert(nBands > 1, "single stream collapsed to one band")
+    // and the packed output is still the exact concat order
+    val rows = packed.orderBy($"id").select($"start_tok").as[Long].collect()
+    assert(rows.zipWithIndex.forall { case (s, i) => s == 3L * i })
+  }
+
   test("ivfAssign matches the brute-force nearest pivot and semanticNearDup " +
        "finds within-cluster pairs exactly") {
     val e = Tables.embeddings(spark, sf)
