@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Blocks C/D/E — LLM-pipeline operators over `documents` and
   * `embeddings` (SURVEY.md §2.C-E): dedup (exact, MinHash-LSH,
@@ -28,6 +28,7 @@ object Pipeline {
     "q45_stratified_sample" -> q45,
     "q46_pack_chunks" -> q46,
     "q47_quality_topk" -> q47,
+    "q48_bpe_train" -> q48,
     "q40_cosine_topk" -> q40,
     "q41_ann_lsh" -> q41,
     "q42_ann_ivf" -> q42,
@@ -231,6 +232,17 @@ object Pipeline {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Distributed BPE tokenizer training: the first 12 learned merges
+    * over the corpus vocabulary (pair counts weighted by word-type
+    * frequency, argmax tie-broken by (count desc, a, b)). The oracle
+    * replays the identical merge loop in DuckDB — 12 chained CTE
+    * rounds of count/argmax/greedy-merge — so the learned vocabulary
+    * is hash-checked end-to-end, not spot-checked. */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    val merges = Bpe.train(Tables.documents(spark, dir), "text", numMerges = 12)
+    Bpe.mergesDF(spark, merges).orderBy(col("rank"))
+  }
+
   /** Group-wise quality top-k: the 10 highest-quality docs per
     * source (score ties break by doc_id) — the keep-the-best curation
     * step; rank-filter windows get a map-side WindowGroupLimit. */
@@ -293,6 +305,36 @@ object Pipeline {
     TextAnalysis.repetitionScore(Tables.documents(spark, dir), "doc_id", "text", n = 8)
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
+
+  /** DuckDB replay of [[graft.operators.Bpe.train]]: `k` chained CTE
+    * rounds, each counting adjacent pairs over the word-type table,
+    * taking the (count desc, a, b) argmax, and applying the merge by
+    * the SAME greedy left-to-right fold the engine uses (list_reduce
+    * over a chr(31)-joined accumulator — symbols never contain the
+    * separator in this corpus). */
+  private def sqlBpeTrain(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS cnt
+         |  FROM w${i - 1}, unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT a AS ma, b AS mb FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT string_split(list_reduce(syms, (acc, x) -> CASE
+         |    WHEN x = mb AND string_split(acc, chr(31))[-1] = ma
+         |    THEN substr(acc, 1, length(acc) - length(ma)) || ma || mb
+         |    ELSE acc || chr(31) || x END), chr(31)) AS syms, freq
+         |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to k)
+      .map(i => s"SELECT $i AS rank, ma AS a, mb AS b, ma || mb AS merged FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH wt AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS w
+       |    FROM documents) GROUP BY w),
+       |w0 AS MATERIALIZED (SELECT list_transform(range(1, length(w) + 1), i -> w[i]) AS syms, freq FROM wt),
+       |$rounds
+       |$sel
+       |ORDER BY rank""".stripMargin
+  }
 
   private val sqlWordSets =
     """sets AS (
@@ -423,6 +465,7 @@ object Pipeline {
         |FROM doubled GROUP BY md5(text)
         |ORDER BY text_hash""".stripMargin,
     "q31_minhash_pairs" -> sqlBruteForcePairs95,
+    "q48_bpe_train" -> sqlBpeTrain(12),
     "q32_simhash" -> sqlSimhashPairs(Seq("w"), 8),
     "q39_simhash128" -> sqlSimhashPairs(Seq("w", "w || ':1'"), 8),
     // q36 computes the SAME answer as q31 by a different exact

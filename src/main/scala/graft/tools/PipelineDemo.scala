@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** End-to-end training-data pipeline demo over the documents +
   * embeddings tables: near-dup dedup -> quality filter -> semantic
@@ -64,6 +64,17 @@ object PipelineDemo {
       .groupBy(col("source")).agg((max(col("bin_last")) + 1).as("nb"))
       .agg(sum(col("nb"))).collect()(0).getLong(0)
     println(s"=== token budget: $tokens tokens -> $bins bins of 2048 ===")
+
+    // 5b. same packing under a TRAINED tokenizer: BPE merges learned
+    //     on the corpus, true token counts replacing the estimate
+    val merges = Bpe.train(docs, "text", numMerges = 16)
+    val bpeToks = sampled.select(col("doc_id"), col("source"),
+      Bpe.tokenCountUdf(merges)(col("text")).as("t"))
+    val bpeTotal = bpeToks.agg(sum(col("t"))).collect()(0).getLong(0)
+    println(s"=== BPE(16 merges) vocabulary: " +
+      merges.take(6).map(_.merged).mkString(" ") + " ... ===")
+    println(s"=== BPE token budget: $bpeTotal tokens " +
+      s"(estimate said $tokens) ===")
 
     // 6. language mix
     println("=== language mix (predicted) ===")
