@@ -154,8 +154,26 @@ object Similarity {
         norm2Seq(col("vec")).as("pn2"))
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val pivots = pivotsOf(corpus, nlist)
+              nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKOver(queries, corpus, k, pivotsOf(corpus, nlist), nprobe)
+
+  /** [[ivfTopK]] with TRAINED centroids (see [[trainKmeans]]) in
+    * place of the hash-pivot sample — identical probe mechanics, but
+    * list boundaries now follow the learned cluster structure, which
+    * is what recall at a fixed nprobe tracks. The gated q42 path
+    * stays on the pinned hash pivots; this is the quality upgrade a
+    * real deployment trains once and reuses. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+                  centroids: Seq[(Long, Seq[Double])], nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pivots = centroids.map { case (id, v) => (id, v, v.map(x => x * x).sum) }
+      .toDF("pivot_id", "pvec", "pn2")
+    ivfTopKOver(queries, corpus, k, pivots, nprobe)
+  }
+
+  private def ivfTopKOver(queries: DataFrame, corpus: DataFrame, k: Int,
+                          pivots: DataFrame, nprobe: Int): DataFrame = {
 
     def nearestPivots(side: DataFrame, vecCol: String, n2Col: String, n: Int,
                       outCol: String): DataFrame = {
@@ -235,6 +253,123 @@ object Similarity {
       .withColumn("block", block)
       .select(col("id"), col("vec"), col("block"))
   }
+
+  /** Cosine argmax array over literal centroid vectors — expects the
+    * caller's frame to carry `vec` and `__n2`. Flat array +
+    * array_max/array_position (NOT a when-fold running max — that
+    * copies the accumulated subtree 3x per centroid, exponential
+    * expression size). */
+  private def centroidCosArr(sorted: Seq[(Long, Seq[Double])]): Column =
+    array(sorted.map { case (_, cv) =>
+      cosine(dotSeq(col("vec"), typedlit(cv)), col("__n2"), lit(cv.map(x => x * x).sum))
+    }: _*)
+
+  /** [[ivfAssign]] with TRAINED centroids: the same zero-shuffle
+    * map-side argmax, over learned cluster centers instead of the
+    * hash-pivot sample. Ties break toward the lowest centroid id. */
+  def ivfAssignWith(corpus: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val sorted = centroids.sortBy(_._1)
+    val cosArr = centroidCosArr(sorted)
+    val block = element_at(typedlit(sorted.map(_._1)),
+      array_position(cosArr, array_max(cosArr)).cast("int"))
+    corpus.select(col("id"), col("vec"), norm2Seq(col("vec")).as("__n2"))
+      .withColumn("block", block)
+      .select(col("id"), col("vec"), col("block"))
+  }
+
+  /** Spherical k-means (Lloyd) training for the IVF family's coarse
+    * quantizer, seeded by [[pivotsOf]]'s deterministic hash pivots —
+    * reproducible on any cluster size with zero RNG plumbing, and
+    * strictly an upgrade path: the gated q42/q44 queries stay pinned
+    * to the untrained pivots.
+    *
+    * Per iteration (classic distributed Lloyd):
+    *  - ASSIGN is map-side: the nlist centroids ride the plan as
+    *    literals (driver-resident by definition) and every vector
+    *    takes a codegen'd cosine argmax — the corpus never shuffles;
+    *  - UPDATE is ONE partial aggregate: per-(cluster, dim) sums of
+    *    the unit vectors x/|x|. The spherical update — the mean
+    *    DIRECTION maximizes the summed cosine for a fixed assignment
+    *    (Cauchy-Schwarz), which is what makes the objective monotone;
+    *    a raw mean of unnormalized vectors would not be. Map-side
+    *    combine bounds the shuffle at nlist x dim x partitions rows
+    *    regardless of corpus size, and the driver collects exactly
+    *    the nlist x dim centroid table each round.
+    *  - Empty clusters keep their previous centroid; a zero summed
+    *    direction does too (both deterministic).
+    *
+    * Zero-norm vectors are excluded from training (their cosine is
+    * undefined). The returned objective history J_t = sum over rows
+    * of (1 - cos(x, nearest centroid)) under iteration t's centroids
+    * is non-increasing: neither reassignment nor the spherical
+    * update can raise it.
+    *
+    * @param corpus (id, vec)
+    * @return (centroids sorted by seed pivot id: (id, direction),
+    *         objective history, one entry per iteration)
+    */
+  def trainKmeans(corpus: DataFrame, nlist: Int = 16, iters: Int = 10)
+      : (Seq[(Long, Seq[Double])], Seq[Double]) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val pivotFrame = pivotsOf(corpus.select(col("id").as("cid"), col("vec")), nlist)
+    val seedFloat = pivotFrame.schema("pvec").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val seedRows = pivotFrame.collect()
+    require(seedRows.nonEmpty, "corpus is empty")
+    var cents: Seq[(Long, Seq[Double])] = seedRows.toSeq.map { r =>
+      val v: Seq[Double] =
+        if (seedFloat) r.getSeq[Float](1).map(_.toDouble) else r.getSeq[Double](1)
+      (r.getLong(0), v)
+    }.sortBy(_._1)
+    val base = corpus.select(col("id"), col("vec"), norm2Seq(col("vec")).as("__n2"))
+      .filter(col("__n2") > 0)
+    val history = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var it = 0
+    while (it < iters) {
+      val cosArr = centroidCosArr(cents)
+      val assigned = base
+        .withColumn("__cos", array_max(cosArr))
+        .withColumn("__blk", element_at(typedlit(cents.map(_._1)),
+          array_position(cosArr, array_max(cosArr)).cast("int")))
+      val stats = assigned
+        .select(col("__blk"), col("__cos"), col("__n2"), posexplode(col("vec")))
+        .groupBy(col("__blk"), col("pos"))
+        .agg(sum(col("col").cast("double") / sqrt(col("__n2"))).as("s"),
+          count(lit(1)).as("n"),
+          sum(lit(1.0) - col("__cos")).as("obj"))
+        .collect()
+      // every pos-group of a cluster sums the same rows' (1 - cos):
+      // read the objective off the pos = 0 groups
+      history += stats.filter(_.getAs[Int]("pos") == 0)
+        .map(_.getAs[Double]("obj")).sum
+      val byBlk = stats.groupBy(_.getAs[Long]("__blk"))
+      cents = cents.map { case (cid, old) =>
+        byBlk.get(cid) match {
+          case None => (cid, old)
+          case Some(rows) =>
+            val n = rows.head.getAs[Long]("n").toDouble
+            val dir = rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("s") / n).toSeq
+            if (dir.map(x => x * x).sum <= 0) (cid, old) else (cid, dir)
+        }
+      }
+      it += 1
+    }
+    (cents, history.toSeq)
+  }
+
+  /** [[semanticNearDup]] with TRAINED centroids — SemDeDup over the
+    * learned cluster structure; recall of within-cluster mining rises
+    * with centroid quality while the mechanics stay identical. */
+  def semanticNearDupWith(corpus: DataFrame, threshold: Double,
+                          centroids: Seq[(Long, Seq[Double])],
+                          blockBudget: Long = 100000, planes: Int = 0,
+                          tables: Int = 30): DataFrame =
+    cosineNearDup(ivfAssignWith(corpus, centroids).localCheckpoint(), threshold,
+      blockBudget, planes, tables)
 
   /** SemDeDup-style semantic near-dup pairs: cluster the corpus by
     * nearest deterministic pivot ([[ivfAssign]] — the IVF coarse

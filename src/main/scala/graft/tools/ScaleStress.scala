@@ -379,6 +379,51 @@ object ScaleStress {
         planes = 10, tables = 30).count())
     }
 
+    if (sections("kmeans")) {
+    // IVF recall: trained spherical k-means centroids vs the
+    // deterministic hash pivots at EQUAL (nlist, nprobe), on a corpus
+    // with genuine cluster structure (the vec-section generator
+    // shape). Hash pivots are corpus points, so several land in one
+    // cluster while other clusters go unrepresented; training moves
+    // them onto the true centers, which is what recall buys.
+    val nv = 100000
+    val ndim = 64
+    val nc = 200
+    val corpus = spark.range(0, nv, 1, 32).mapPartitions { it =>
+      it.map { id =>
+        val cluster = (id % nc).toInt
+        val base = new scala.util.Random(cluster)
+        val v = Array.fill(ndim)(base.nextFloat() * 2 - 1)
+        val rng = new scala.util.Random(id)
+        (0 until 8).foreach(_ => v(rng.nextInt(ndim)) += rng.nextFloat() * 0.2f)
+        (id, v)
+      }
+    }.toDF("id", "vec").localCheckpoint()
+    val queries = corpus.filter(col("id") % 1000 === 0)
+      .select(col("id").as("qid"), col("vec"))
+    val cands = corpus.select(col("id").as("cid"), col("vec"))
+    val truth = graft.operators.Similarity.bruteForceTopK(queries, cands, 10)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): String = {
+      val got = df.select(col("qid"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      f"recall@10 = ${got.intersect(truth).size.toDouble / truth.size}%.3f"
+    }
+    val nlist = 64
+    val nprobe = 1
+    timed(s"ivfTopK hash pivots (nlist=$nlist nprobe=$nprobe)")(
+      recall(graft.operators.Similarity.ivfTopK(queries, cands, 10, nlist, nprobe)))
+    var trained: Seq[(Long, Seq[Double])] = Seq.empty
+    timed(s"trainKmeans nlist=$nlist x 10 iters") {
+      val (c, hist) = graft.operators.Similarity.trainKmeans(corpus, nlist, 10)
+      trained = c
+      "J: " + hist.map(x => f"$x%.1f").mkString(" -> ")
+    }
+    timed("ivfTopK trained centroids (same nprobe)")(
+      recall(graft.operators.Similarity.ivfTopKWith(queries, cands, 10, trained, nprobe)))
+    }
+
     if (sections("temporal")) {
     // Temporal joins + packing at 1x and 10x: both must grow
     // ~linearly. The as-of is sort-merge-shaped (one shuffle + sort,
