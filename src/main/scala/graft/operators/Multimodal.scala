@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal (binary) column plumbing (SURVEY.md §2.G).
   *
   * Media payloads ride as opaque `binary` columns with typed metadata
-  * alongside. The real decode libraries (image/audio codecs) are NOT
-  * in this container, so `StubDecoder.decode` derives deterministic
-  * fake metadata from the bytes — but the Spark-side plumbing is
-  * real and is the part that matters at 100 TB: binary columns stay
-  * columnar in parquet, the decoder runs partition-wise in batches
-  * (the shape a vectorized/native decoder needs), and nothing ever
-  * collects to the driver.
+  * alongside. Header-level decode ([[HeaderDecoder]]) is REAL —
+  * JPEG SOF / PNG IHDR / GIF screen-descriptor parsing in pure JVM
+  * code; full pixel decode (DCT/inflate) and the resize/feature
+  * kernels remain clearly-marked deterministic stubs a deployment
+  * swaps for native codecs. The Spark-side plumbing is the part that
+  * matters at 100 TB: binary columns stay columnar in parquet, the
+  * decoder runs partition-wise in batches (the shape a
+  * vectorized/native decoder needs), and nothing ever collects to
+  * the driver.
   */
 object Multimodal {
 
@@ -20,20 +22,118 @@ object Multimodal {
   case class MediaMeta(id: Long, n_bytes: Int, sha: String,
                        width: Int, height: Int, format: String)
 
-  /** STUB: stands in for a real image decoder. Deterministic pure
-    * function of the bytes so tests/oracles can pin it. A real
-    * deployment swaps only this function body for e.g. a JNI codec. */
-  object StubDecoder {
+  /** REAL header-level image decode — pure JVM, zero dependencies,
+    * zero egress. Reads width/height/format out of the actual byte
+    * layout of the three classic container formats:
+    *  - PNG: 8-byte signature, then the mandatory first IHDR chunk —
+    *    big-endian u32 width at offset 16, height at 20;
+    *  - GIF: "GIF87a"/"GIF89a", little-endian u16 logical-screen
+    *    width at offset 6, height at 8;
+    *  - JPEG: FF D8 SOI, then a marker scan — segments skipped by
+    *    their declared big-endian length (fill FFs and standalone
+    *    RST/TEM markers handled) until the first SOFn frame header
+    *    (C0..CF minus the non-frame C4/C8/CC), whose payload carries
+    *    big-endian u16 height at +5 and width at +7; the scan stops
+    *    at SOS (DA) since entropy-coded data follows.
+    * Anything else decodes honestly as ("unknown", 0 x 0) — no
+    * fabricated metadata. Full pixel decode (DCT/inflate) is the
+    * part a real deployment supplies via a native codec; header
+    * metadata is what corpus curation filters on, and it is real
+    * here. */
+  object HeaderDecoder {
+    private def u16be(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def u16le(b: Array[Byte], i: Int): Int =
+      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+    private def u32be(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+    private val pngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** (width, height) of the first JPEG SOF segment, if any. */
+    private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 2
+      var out: Option[(Int, Int)] = None
+      var more = true
+      while (more && i + 1 < b.length) {
+        if ((b(i) & 0xff) != 0xff) more = false // corrupt stream
+        else {
+          val m = b(i + 1) & 0xff
+          if (m == 0xff) i += 1 // fill byte
+          else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+          else if (i + 3 >= b.length) more = false
+          else {
+            val segLen = u16be(b, i + 2)
+            val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+            if (isSof) {
+              if (i + 8 < b.length) out = Some((u16be(b, i + 7), u16be(b, i + 5)))
+              more = false
+            } else if (m == 0xda) more = false // SOS: entropy data follows
+            else i += 2 + segLen
+          }
+        }
+      }
+      out
+    }
+
     def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
       val sha = java.security.MessageDigest.getInstance("SHA-256")
         .digest(bytes).map("%02x".format(_)).mkString
-      val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-      val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
-      MediaMeta(id, bytes.length, sha,
-        width = 64 + (b0 % 16) * 32, height = 64 + (b1 % 16) * 32,
-        format = if (b0 % 2 == 0) "png" else "jpeg")
+      def meta(w: Int, h: Int, fmt: String) =
+        MediaMeta(id, bytes.length, sha, w, h, fmt)
+      if (bytes.length >= 24 && bytes.startsWith(pngSig) &&
+          bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')
+        meta(u32be(bytes, 16).toInt, u32be(bytes, 20).toInt, "png")
+      else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == '8' &&
+          (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+        meta(u16le(bytes, 6), u16le(bytes, 8), "gif")
+      else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+        jpegDims(bytes) match {
+          case Some((w, h)) => meta(w, h, "jpeg")
+          case None => meta(0, 0, "unknown")
+        }
+      else meta(0, 0, "unknown")
     }
   }
+
+  /** Deterministic minimal-but-REAL media payload for a given id —
+    * the driver-verifiable test vector for [[HeaderDecoder]]: dims
+    * are closed-form in the id, and the bytes carry them in each
+    * format's genuine header encoding (PNG big-endian IHDR, GIF
+    * little-endian screen descriptor, JPEG SOF0 behind an APP0
+    * segment the marker scan must skip). CRC/pixel data are absent
+    * or zeroed — header parsing does not consume them. */
+  def syntheticMedia(id: Long): Array[Byte] = {
+    val w = 16 + (id % 1000).toInt
+    val h = 16 + ((id * 7) % 1000).toInt
+    (id % 3) match {
+      case 0 =>
+        val b = java.nio.ByteBuffer.allocate(33) // 8 sig + 25 IHDR chunk
+        b.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+        b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+        b.putInt(w).putInt(h)
+        b.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        b.putInt(0) // crc, unchecked by header parse
+        b.array()
+      case 1 =>
+        Array[Int](0xff, 0xd8, // SOI
+          0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46, // APP0 (len 4) to skip
+          0xff, 0xc0, 0x00, 0x11, 0x08, // SOF0, len 17, precision 8
+          h >> 8, h & 0xff, w >> 8, w & 0xff,
+          0x03, 0x01, 0x11, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00
+        ).map(_.toByte)
+      case _ =>
+        Array[Int]('G', 'I', 'F', '8', '9', 'a',
+          w & 0xff, w >> 8, h & 0xff, h >> 8).map(_.toByte)
+    }
+  }
+
+  /** [[syntheticMedia]] as a column function (test/demo payloads). */
+  def syntheticMediaUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((id: Long) => syntheticMedia(id))
 
   /** A sampled frame: stub "video" framing over the payload bytes. */
   case class MediaFrame(id: Long, frame_idx: Int, frame: Array[Byte])
@@ -143,8 +243,9 @@ object Multimodal {
         Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // a real decoder would process `batch` as one native call
-          batch.iterator.map { case (id, bytes) => StubDecoder.decode(id, bytes) }
+          // a full pixel decoder would process `batch` as one native
+          // call; the header decode is real (see HeaderDecoder)
+          batch.iterator.map { case (id, bytes) => HeaderDecoder.decode(id, bytes) }
         }
       }(enc)
       .toDF()

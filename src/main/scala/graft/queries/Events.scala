@@ -175,14 +175,18 @@ object Events {
       .orderBy(col("purchase_id"))
   }
 
-  /** Multimodal plumbing: documents' text bytes stand in for media
-    * payloads; the batched partition-wise stub decoder emits metadata
-    * (SURVEY.md §2.G — decode is stubbed, plumbing is real). */
+  /** Multimodal header decode (SURVEY.md §2.G): per-doc synthetic
+    * payloads carrying REAL PNG/JPEG/GIF headers (dims closed-form in
+    * doc_id, encoded in each format's genuine byte layout), decoded
+    * by the batched partition-wise header parser. The oracle restates
+    * the closed forms, so the parser's endian/marker-scan logic is
+    * what the hash check actually exercises. */
   def q70(spark: SparkSession, dir: String): DataFrame = {
     val payloads = Tables.documents(spark, dir)
-      .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id").as("id"),
+        Multimodal.syntheticMediaUdf(col("doc_id")).as("payload"))
     Multimodal.decodeBatch(payloads)
-      .select(col("id").as("doc_id"), col("n_bytes"), col("sha"),
+      .select(col("id").as("doc_id"), col("n_bytes"),
         col("width"), col("height"), col("format"))
       .orderBy(col("doc_id"))
   }
@@ -312,14 +316,16 @@ object Events {
         |  CAST(16 AS INT) AS resized_len
         |FROM m
         |ORDER BY doc_id""".stripMargin,
+    // closed forms of Multimodal.syntheticMedia: payload lengths are
+    // fixed per format (PNG 33 = sig + IHDR chunk, JPEG 27 = SOI +
+    // APP0 + SOF0, GIF 10 = header + screen descriptor); dims are
+    // the id arithmetic the headers encode
     "q70_binary_meta" ->
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  sha256(text) AS sha,
-        |  64 + (CAST(coalesce(nullif('0x' || substr(hex(encode(text)), 1, 2), '0x'), '0') AS INT) % 16) * 32 AS width,
-        |  64 + (CAST(coalesce(nullif('0x' || substr(hex(encode(text)), 3, 2), '0x'), '0') AS INT) % 16) * 32 AS height,
-        |  CASE WHEN CAST(coalesce(nullif('0x' || substr(hex(encode(text)), 1, 2), '0x'), '0') AS INT) % 2 = 0
-        |    THEN 'png' ELSE 'jpeg' END AS format
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 27 ELSE 10 END AS INT) AS n_bytes,
+        |  CAST(16 + doc_id % 1000 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 1000 AS INT) AS height,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format
         |FROM documents
         |ORDER BY doc_id""".stripMargin
   )

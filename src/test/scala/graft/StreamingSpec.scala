@@ -189,27 +189,48 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
-  test("decodeBatch emits deterministic stub metadata matching the decoder") {
+  test("decodeBatch parses real PNG/JPEG/GIF headers and rejects junk honestly") {
     val payloads = Tables.documents(spark, sf)
-      .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id").as("id"),
+        Multimodal.syntheticMediaUdf(col("doc_id")).as("payload"))
     val out = Multimodal.decodeBatch(payloads, batchSize = 16).collect()
     assert(out.length === payloads.count())
-    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
-    // cross-check a few rows against a local decode of the same bytes
-    Tables.documents(spark, sf).select("doc_id", "text").limit(5).collect()
-      .foreach { r =>
-        val expect = Multimodal.StubDecoder.decode(
-          r.getLong(0), r.getString(1).getBytes("UTF-8"))
-        val got = byId(r.getLong(0))
-        assert(got.getAs[Int]("width") === expect.width)
-        assert(got.getAs[Int]("height") === expect.height)
-        assert(got.getAs[String]("sha") === expect.sha)
-        assert(got.getAs[String]("format") === expect.format)
-      }
-    // metadata ranges from the stub's contract
+    // every decoded row matches the closed forms the synthesizer
+    // encoded into the genuine header byte layouts
     out.foreach { r =>
-      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") <= 544)
-      assert(Set("png", "jpeg").contains(r.getAs[String]("format")))
+      val id = r.getAs[Long]("id")
+      assert(r.getAs[Int]("width") === 16 + (id % 1000).toInt)
+      assert(r.getAs[Int]("height") === 16 + ((id * 7) % 1000).toInt)
+      assert(r.getAs[String]("format") ===
+        Seq("png", "jpeg", "gif")((id % 3).toInt))
+      assert(r.getAs[Int]("n_bytes") === Seq(33, 27, 10)((id % 3).toInt))
     }
+  }
+
+  test("HeaderDecoder handles fill bytes, big dims, and corrupt streams") {
+    import Multimodal.HeaderDecoder.decode
+    // JPEG with fill FFs before SOF2 (progressive) and a skipped
+    // comment segment; dims above 255 exercise both u16 bytes
+    val jpeg = (Array(0xff, 0xd8) ++
+      Array(0xff, 0xfe, 0x00, 0x04, 0x41, 0x42) ++ // COM, len 4
+      Array(0xff, 0xff) ++                         // fill byte
+      Array(0xff, 0xc2, 0x00, 0x0b, 0x08, 0x04, 0x00, 0x03, 0x20, 0x01, 0x22, 0x00, 0x00))
+      .map(_.toByte)
+    val m = decode(7L, jpeg)
+    assert(m.format == "jpeg" && m.width == 0x320 && m.height == 0x400)
+    // truncated JPEG (SOI only), wrong PNG signature, empty payload
+    assert(decode(1L, Array(0xff, 0xd8).map(_.toByte)).format == "unknown")
+    assert(decode(2L, "not an image".getBytes).format == "unknown")
+    assert(decode(3L, Array.empty[Byte]).format == "unknown")
+    val meta0 = decode(4L, Array.empty[Byte])
+    assert(meta0.width == 0 && meta0.height == 0 && meta0.n_bytes == 0)
+    // a JPEG whose scan hits SOS before any SOF reports unknown
+    val sosFirst = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)
+    assert(decode(5L, sosFirst).format == "unknown")
+    // GIF87a variant parses too
+    val gif87 = (Array[Int]('G', 'I', 'F', '8', '7', 'a', 0x34, 0x12, 0x78, 0x56))
+      .map(_.toByte)
+    val g = decode(6L, gif87)
+    assert(g.format == "gif" && g.width == 0x1234 && g.height == 0x5678)
   }
 }
