@@ -6,6 +6,11 @@ import org.apache.spark.sql.graftext.{ArrayOps, FunctionInjection, SortedLongInt
 
 import graft.geom._
 
+/** Every scalar measure of one geometry, from ONE WKT parse — the
+  * struct [[GeoFunctions.st_measures]] emits. */
+case class GeoMeasures(area: Double, perimeter: Double, cx: Double, cy: Double,
+                       minx: Double, miny: Double, maxx: Double, maxy: Double)
+
 /** Column-level geometry API over WKT-encoded geometry columns.
   *
   * Geometry decode/compute runs in Scala UDFs (the kernel is pure and
@@ -24,6 +29,12 @@ object GeoFunctions extends Serializable {
   private val centroidYU = udf((wkt: String) => Ops.centroid(Wkt.read(wkt)).y)
   private val bboxU = udf((wkt: String) => {
     val (a, b, c, d) = Ops.bbox(Wkt.read(wkt)); Array(a, b, c, d)
+  })
+  private val measuresU = udf((wkt: String) => {
+    val g = Wkt.read(wkt)
+    val c = Ops.centroid(g)
+    val (minx, miny, maxx, maxy) = Ops.bbox(g)
+    GeoMeasures(Ops.area(g), Ops.perimeter(g), c.x, c.y, minx, miny, maxx, maxy)
   })
   private val scaleU = udf((wkt: String, fx: Double, fy: Double, ox: Double, oy: Double) =>
     Wkt.write(Ops.scale(Wkt.read(wkt), fx, fy, Pt(ox, oy))))
@@ -57,6 +68,15 @@ object GeoFunctions extends Serializable {
   def st_centroid_y(wkt: Column): Column = centroidYU(wkt)
   /** array(minx, miny, maxx, maxy) */
   def st_bbox(wkt: Column): Column = bboxU(wkt)
+  /** struct(area, perimeter, cx, cy, minx, miny, maxx, maxy) from a
+    * SINGLE parse of the WKT — the decode-once path for
+    * multi-measure projections (q20's shape), where per-measure UDFs
+    * would re-parse the geometry once per output column. Keep the
+    * struct in its own projection (select the struct, then extract
+    * fields in a second select): Catalyst declines to collapse
+    * projects when that would duplicate a non-cheap expression, so
+    * the plan keeps exactly one UDF invocation per row. */
+  def st_measures(wkt: Column): Column = measuresU(wkt)
   def st_scale(wkt: Column, fx: Column, fy: Column, ox: Column, oy: Column): Column =
     scaleU(wkt, fx, fy, ox, oy)
   def st_scale_about_centroid(wkt: Column, f: Column): Column = scaleAboutCentroidU(wkt, f)
@@ -109,7 +129,7 @@ object GeoFunctions extends Serializable {
   private def all = Seq(
     "st_area" -> areaU, "st_perimeter" -> perimeterU,
     "st_centroid_x" -> centroidXU, "st_centroid_y" -> centroidYU,
-    "st_bbox" -> bboxU, "st_scale" -> scaleU,
+    "st_bbox" -> bboxU, "st_measures" -> measuresU, "st_scale" -> scaleU,
     "st_scale_about_centroid" -> scaleAboutCentroidU,
     "st_translate" -> translateU, "st_buffer_point" -> bufferPointU,
     "st_distance" -> distanceU, "st_touches" -> touchesU,
@@ -126,6 +146,7 @@ object GeoFunctions extends Serializable {
     spark.udf.register("st_centroid_x", centroidXU)
     spark.udf.register("st_centroid_y", centroidYU)
     spark.udf.register("st_bbox", bboxU)
+    spark.udf.register("st_measures", measuresU)
     spark.udf.register("st_scale", scaleU)
     spark.udf.register("st_scale_about_centroid", scaleAboutCentroidU)
     spark.udf.register("st_translate", translateU)

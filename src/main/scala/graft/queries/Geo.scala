@@ -82,16 +82,21 @@ object Geo {
     "q25_intersection" -> q25
   )
 
-  /** Kernel measures (area/perimeter/centroid/bbox) over WKT. */
+  /** Kernel measures (area/perimeter/centroid/bbox) over WKT, via
+    * the decode-once struct: one st_measures parse per row feeds all
+    * five output columns (the per-measure UDFs would re-parse the
+    * WKT once per column; GeoSqlSpec plan-asserts the single
+    * invocation). */
   def q20(spark: SparkSession, dir: String): DataFrame =
     squares(spark, dir, tessellate = false)
+      .select(col("n_nationkey"), st_measures(col("wkt")).as("m"))
       .select(
         col("n_nationkey"),
-        st_area(col("wkt")).as("area"),
-        st_perimeter(col("wkt")).as("perimeter"),
-        st_centroid_x(col("wkt")).as("cx"),
-        st_centroid_y(col("wkt")).as("cy"),
-        st_bbox(col("wkt"))(2).as("maxx"))
+        col("m.area").as("area"),
+        col("m.perimeter").as("perimeter"),
+        col("m.cx").as("cx"),
+        col("m.cy").as("cy"),
+        col("m.maxx").as("maxx"))
       .orderBy(col("n_nationkey"))
 
   /** Full NonContiguous operator; output = scale + scaled bbox. */
