@@ -256,18 +256,16 @@ object Dorling {
     * 3 iterations); at hundreds of regions it wins by the full
     * per-iteration job-launch cost.
     *
-    * POSITION STABILITY ACROSS PATHS: the driver loop sums forces in
-    * double, the distributed step in exact decimal — identical force
-    * model, different accumulation order, so positions drift by
-    * floating-point rounding that compounds per iteration (measured:
-    * < 1e-6 at 3 iterations, < 1e-5 at 30 on a 400-region grid,
-    * pinned by BordersScaleSpec; heavy-overlap shapes drift faster —
-    * ~1% of a radius at 100 iterations on a 4-region all-colliding
-    * fixture, pinned radius-relative by CartogramSpec). Treat run()
-    * positions as stable to a small fraction of a radius at the
-    * default 100 iterations and do NOT hash them across
-    * a smallN dispatch change; the driver-gated queries (q23/q24) call
-    * radii/step directly and are unaffected by the dispatch.
+    * POSITION PARITY ACROSS PATHS: both paths accumulate per-focal
+    * force sums in scale-12 decimal (the distributed step via its
+    * decimal aggregate, the driver loop by rounding each double
+    * contribution to the same scale and adding exactly), and every
+    * other operation is the identical per-row IEEE expression — so
+    * run() positions are BIT-EQUAL across the smallN dispatch at any
+    * iteration count, in settling and chaotic regimes alike
+    * (CartogramSpec asserts exact equality at the 100-iteration
+    * default; the never-settling all-contact fixture is the case
+    * where any accumulation-order difference would compound).
     *
     * @param df (idCol, valueCol, geomCol WKT)
     * @return id, value, radius, x, y, geometry (circle WKT)
@@ -307,11 +305,17 @@ object Dorling {
 
   /** Driver-side Jacobi iterations over collected positions: the same
     * force model as [[step]] (forces from the previous iteration's
-    * snapshot, applied simultaneously), summed in sorted-id order so
-    * results are deterministic. The distributed step uses decimal
-    * sums for bit-exact oracle checks; this path is plain doubles —
-    * positions agree to floating-point accumulation order (spec
-    * bounds the difference). */
+    * snapshot, applied simultaneously), with per-focal force sums
+    * accumulated EXACTLY like the distributed step's decimal
+    * aggregate: each double contribution rounds to scale-12 decimal
+    * (HALF_UP — the same semantics as Spark's cast to
+    * DecimalType(30, 12)), the decimals add exactly (order cannot
+    * matter), and the total converts back to double. Every remaining
+    * operation is the identical per-row IEEE expression, so the two
+    * paths are BIT-EQUAL at any iteration count — including chaotic
+    * all-contact regimes where any accumulation-order difference
+    * would compound (CartogramSpec asserts exact equality at the
+    * 100-iteration default in both regimes). */
   private def jacobiLocal(pos: DataFrame, bordersDf: DataFrame, widest: Double,
                           iterations: Int, ratio: Double, friction: Double): DataFrame = {
     val spark = pos.sparkSession
@@ -326,12 +330,19 @@ object Dorling {
     var x = rows.map(_.getAs[Double]("x"))
     var y = rows.map(_.getAs[Double]("y"))
     val n = ids.length
+    // Double -> scale-12 decimal exactly as Catalyst's cast does it:
+    // shortest-string BigDecimal (valueOf), then HALF_UP to 12 places
+    def dec12(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d).setScale(12, java.math.RoundingMode.HALF_UP)
 
     for (_ <- 0 until iterations) {
       val nx = new Array[Double](n)
       val ny = new Array[Double](n)
       for (idx <- 0 until n) {
-        var xrepel = 0.0; var yrepel = 0.0; var xattract = 0.0; var yattract = 0.0
+        var xrepelD = java.math.BigDecimal.ZERO
+        var yrepelD = java.math.BigDecimal.ZERO
+        var xattractD = java.math.BigDecimal.ZERO
+        var yattractD = java.math.BigDecimal.ZERO
         var closest = widest
         for (j <- 0 until n if j != idx) {
           val dist = math.sqrt((x(j) - x(idx)) * (x(j) - x(idx)) +
@@ -341,16 +352,20 @@ object Dorling {
             val overlap = radius(j) + radius(idx) - dist
             val dx = x(j) - x(idx); val dy = y(j) - y(idx)
             if (overlap > 0.0) {
-              xrepel -= overlap * dx / dist
-              yrepel -= overlap * dy / dist
+              xrepelD = xrepelD.add(dec12(-overlap * dx / dist))
+              yrepelD = yrepelD.add(dec12(-overlap * dy / dist))
             } else {
               val ov = borders.get((idStr(idx), idStr(j)))
                 .map(w => math.abs(overlap) * w / per(idx)).getOrElse(overlap)
-              xattract += ov * dx / dist
-              yattract += ov * dy / dist
+              xattractD = xattractD.add(dec12(ov * dx / dist))
+              yattractD = yattractD.add(dec12(ov * dy / dist))
             }
           }
         }
+        var xrepel = xrepelD.doubleValue
+        var yrepel = yrepelD.doubleValue
+        val xattract = xattractD.doubleValue
+        val yattract = yattractD.doubleValue
         val attractDist = math.sqrt(xattract * xattract + yattract * yattract)
         var repelDist = math.sqrt(xrepel * xrepel + yrepel * yrepel)
         if (repelDist > closest) {

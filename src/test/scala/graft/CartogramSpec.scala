@@ -108,12 +108,12 @@ class CartogramSpec extends SparkSuite {
     }
   }
 
-  test("driver vs distributed Jacobi at the 100-iteration default: bounded drift") {
-    // Same force model, different accumulation (double vs decimal
-    // sums) — this makes the documented position-stability claim
-    // enforceable at the 100-iteration default, in both dynamical
-    // regimes. smallN past the region count forces the driver loop,
-    // smallN = 0 the distributed per-iteration step.
+  test("driver vs distributed Jacobi at the 100-iteration default: bit-equal") {
+    // Both paths accumulate per-focal forces in scale-12 decimal
+    // (order-independent exact addition) and share every per-row IEEE
+    // expression, so positions must be IDENTICAL — not merely close —
+    // at any iteration count. smallN past the region count forces the
+    // driver loop, smallN = 0 the distributed per-iteration step.
     def runPath(df: org.apache.spark.sql.DataFrame, smallN: Int): Map[String, (Double, Double, Double)] =
       Dorling.run(df, "name", "population", "geometry",
           iterations = 100, smallN = smallN)
@@ -129,10 +129,7 @@ class CartogramSpec extends SparkSuite {
       }
     }
     // SETTLING configuration (the practical regime — 100 iterations
-    // exist to converge): a 3x3 grid whose circles separate and stop;
-    // drift stays at accumulation-rounding scale (measured 7.5e-5;
-    // bound 1e-3 gives 10x headroom while staying 3 orders below a
-    // radius).
+    // exist to converge): a 3x3 grid whose circles separate and stop.
     import spark.implicits._
     val grid3 = (for (r <- 0 until 3; c <- 0 until 3) yield {
       val x0 = c * 4.0; val y0 = r * 4.0
@@ -141,15 +138,16 @@ class CartogramSpec extends SparkSuite {
         50.0 + 10.0 * (r * 3 + c))
     }).toDF("name", "geometry", "population")
     drifts(grid3).foreach { case (id, (d, _)) =>
-      assert(d < 1e-3, s"settling position($id) drift $d exceeds 1e-3")
+      assert(d == 0.0, s"settling position($id) drifted $d; paths must be bit-equal")
     }
     // NEVER-SETTLING configuration (4 squares, radii >> spacing,
     // every pair in contact every iteration): contact discontinuities
-    // amplify rounding differences chaotically, so the honest bound
-    // is geometric — both paths stay within half a circle radius
-    // (measured 0.27 r) even after 100 all-contact iterations.
+    // would amplify ANY accumulation difference chaotically (the
+    // pre-parity double-sum driver loop measured 0.27 r here) — the
+    // decimal accumulation makes even this regime exactly equal.
     drifts(squares).foreach { case (id, (d, rr)) =>
-      assert(d < 0.5 * rr, s"chaotic position($id) drift $d exceeds r/2 = ${0.5 * rr}")
+      assert(d == 0.0,
+        s"chaotic position($id) drifted $d (radius $rr); paths must be bit-equal")
     }
   }
 
