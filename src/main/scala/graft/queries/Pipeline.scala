@@ -29,6 +29,7 @@ object Pipeline {
     "q46_pack_chunks" -> q46,
     "q47_quality_topk" -> q47,
     "q48_bpe_train" -> q48,
+    "q49_bpe_tokenize" -> q49,
     "q40_cosine_topk" -> q40,
     "q41_ann_lsh" -> q41,
     "q42_ann_ivf" -> q42,
@@ -243,6 +244,21 @@ object Pipeline {
     Bpe.mergesDF(spark, merges).orderBy(col("rank"))
   }
 
+  /** BPE tokenization under the q48-trained vocabulary: per-doc TRUE
+    * token counts from the imperative encoder (min-rank merge loop).
+    * The oracle replays training to its final word segmentation and
+    * joins the per-word-type symbol counts back onto each document —
+    * so the gate checks that ENCODING a word reproduces exactly the
+    * segmentation TRAINING evolved for it (the rank-order equivalence
+    * encodeWord relies on), end-to-end over the whole corpus. */
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = Bpe.train(docs, "text", numMerges = 12)
+    docs.select(col("doc_id"),
+        Bpe.tokenCountUdf(merges)(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Group-wise quality top-k: the 10 highest-quality docs per
     * source (score ties break by doc_id) — the keep-the-best curation
     * step; rank-filter windows get a map-side WindowGroupLimit. */
@@ -312,7 +328,7 @@ object Pipeline {
     * the SAME greedy left-to-right fold the engine uses (list_reduce
     * over a chr(31)-joined accumulator — symbols never contain the
     * separator in this corpus). */
-  private def sqlBpeTrain(k: Int): String = {
+  private def sqlBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS cnt
          |  FROM w${i - 1}, unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
@@ -323,18 +339,40 @@ object Pipeline {
          |    ELSE acc || chr(31) || x END), chr(31)) AS syms, freq
          |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to k)
-      .map(i => s"SELECT $i AS rank, ma AS a, mb AS b, ma || mb AS merged FROM b$i")
-      .mkString("\nUNION ALL ")
     s"""WITH wt AS MATERIALIZED (
        |  SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS w
        |    FROM documents) GROUP BY w),
        |w0 AS MATERIALIZED (SELECT list_transform(range(1, length(w) + 1), i -> w[i]) AS syms, freq FROM wt),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def sqlBpeTrain(k: Int): String = {
+    val sel = (1 to k)
+      .map(i => s"SELECT $i AS rank, ma AS a, mb AS b, ma || mb AS merged FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""${sqlBpeCtes(k)}
        |$sel
        |ORDER BY rank""".stripMargin
   }
+
+  /** q49 oracle: the trained corpus's FINAL word segmentation (w`k`)
+    * keyed back to the word string (merges only concatenate, so
+    * joining the symbols reconstitutes the word), then per-doc token
+    * counts by joining each document's words to their symbol count. */
+  private def sqlBpeTokenize(k: Int): String =
+    s"""${sqlBpeCtes(k)},
+       |wcount AS MATERIALIZED (
+       |  SELECT array_to_string(syms, '') AS w, len(syms) AS ntok FROM w$k),
+       |dw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS w
+       |  FROM documents)
+       |SELECT d.doc_id, CAST(coalesce(sum(wc.ntok), 0) AS BIGINT) AS n_tokens
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN dw ON d.doc_id = dw.doc_id
+       |LEFT JOIN wcount wc ON dw.w = wc.w
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   private val sqlWordSets =
     """sets AS (
@@ -466,6 +504,7 @@ object Pipeline {
         |ORDER BY text_hash""".stripMargin,
     "q31_minhash_pairs" -> sqlBruteForcePairs95,
     "q48_bpe_train" -> sqlBpeTrain(12),
+    "q49_bpe_tokenize" -> sqlBpeTokenize(12),
     "q32_simhash" -> sqlSimhashPairs(Seq("w"), 8),
     "q39_simhash128" -> sqlSimhashPairs(Seq("w", "w || ':1'"), 8),
     // q36 computes the SAME answer as q31 by a different exact
