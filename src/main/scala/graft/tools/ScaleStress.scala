@@ -379,6 +379,25 @@ object ScaleStress {
         planes = 10, tables = 30).count())
     }
 
+    if (sections("bpe")) {
+    // BPE training cost at corpus scale: the wordcount shuffle runs
+    // once, then every merge round works the word-TYPE table (~200k
+    // rows here regardless of corpus size — the vocabulary bound
+    // that makes 100 TB training feasible). Tokenization is the
+    // map-side encoder over the full corpus.
+    val zipfB = gen("zipf")
+    println(s"[stress] bpe corpus: ${zipfB.count()} docs")
+    var merges: Seq[graft.operators.Bpe.Merge] = Seq.empty
+    timed("bpe train 16 merges (zipf, 200k word types)") {
+      merges = graft.operators.Bpe.train(zipfB, "text", numMerges = 16)
+      merges.take(8).map(_.merged).mkString(" ")
+    }
+    timed("bpe tokenize corpus (map-side encode)") {
+      zipfB.select(graft.operators.Bpe.tokenCountUdf(merges)(col("text")).as("t"))
+        .agg(sum(col("t"))).collect()(0).getLong(0)
+    }
+    }
+
     if (sections("kmeans")) {
     // IVF recall: trained spherical k-means centroids vs the
     // deterministic hash pivots at EQUAL (nlist, nprobe), on a corpus
