@@ -145,6 +145,23 @@ class SamplingSpec extends SparkSuite {
     // and the packed output is still the exact concat order
     val rows = packed.orderBy($"id").select($"start_tok").as[Long].collect()
     assert(rows.zipWithIndex.forall { case (s, i) => s == 3L * i })
+
+    // NEGATIVE ids: banding is decimal-safe and stays id-monotone
+    val neg = spark.range(0, 1000)
+      .select(lit("n").as("src"), ($"id" - 500).as("id"), lit(7L).as("toks"))
+    val packedNeg = Sampling.packChunks(neg, "id", "toks", "src", budget = 100)
+      .orderBy($"id").select($"start_tok").as[Long].collect()
+    assert(packedNeg.zipWithIndex.forall { case (s, i) => s == 7L * i },
+      "negative-id stream must still pack in ascending id order")
+
+    // NON-INTEGRAL id (string): falls back to the single-window path,
+    // same semantics under the string sort order
+    val str = Seq(("s", "a", 5L), ("s", "b", 6L), ("s", "c", 7L))
+      .toDF("src", "id", "toks")
+    val packedStr = Sampling.packChunks(str, "id", "toks", "src", budget = 10)
+      .orderBy($"id")
+      .select($"id", $"start_tok", $"bin_first").as[(String, Long, Long)].collect()
+    assert(packedStr.toSeq == Seq(("a", 0L, 0L), ("b", 5L, 0L), ("c", 11L, 1L)))
   }
 
   test("ivfAssign matches the brute-force nearest pivot and semanticNearDup " +

@@ -189,6 +189,39 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("as-of finality is strict: a left at exactly the watermark waits for " +
+       "an equal-timestamp right") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import graft.streaming.AsOfStream
+    def mkState(st: Option[AsOfStream.St], wm: Long): TestGroupState[AsOfStream.St] =
+      TestGroupState.create[AsOfStream.St](
+        st.map(Optional.of[AsOfStream.St]).getOrElse(Optional.empty[AsOfStream.St]()),
+        GroupStateTimeout.EventTimeTimeout, 0L,
+        Optional.of(wm), hasTimedOut = false)
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // trigger 1: a left lands exactly AT the watermark — Spark still
+    // admits rows with event time == watermark, so an equal-timestamp
+    // right may yet arrive; the left must stay pending (the pre-fix
+    // partition on <= wm emitted it unmatched here)
+    val s1 = mkState(None, 5000L)
+    val out1 = AsOfStream.updateUser(1000L)(1L,
+      Iterator(AsOfStream.Row(1L, ts(5000), left = true, lid = 10L, v = 0.0)), s1).toSeq
+    assert(out1.isEmpty, "left at lts == watermark must not finalize yet")
+    assert(s1.exists && s1.get.lefts == List((5000L, 10L)))
+    // trigger 2: the rts == lts == wm right arrives; left still pending
+    val s2 = mkState(Some(s1.get), 5000L)
+    val out2 = AsOfStream.updateUser(1000L)(1L,
+      Iterator(AsOfStream.Row(1L, ts(5000), left = false, lid = 0L, v = 42.0)), s2).toSeq
+    assert(out2.isEmpty && s2.exists)
+    // trigger 3: watermark passes; the left finalizes WITH the match —
+    // and the boundary right at (wm - lookback) survives eviction
+    val s3 = mkState(Some(s2.get), 6000L)
+    val out3 = AsOfStream.updateUser(1000L)(1L, Iterator.empty, s3).toSeq
+    assert(out3 == Seq(AsOfStream.Out(10L, 1L, 5000L, Some(5000L), Some(42.0))))
+    assert(s3.exists && s3.get.rights == List((5000L, 42.0)))
+  }
+
   test("decodeBatch parses real PNG/JPEG/GIF headers and rejects junk honestly") {
     val payloads = Tables.documents(spark, sf)
       .select(col("doc_id").as("id"),
