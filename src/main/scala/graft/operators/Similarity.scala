@@ -312,21 +312,27 @@ object Similarity {
   def trainKmeans(corpus: DataFrame, nlist: Int = 16, iters: Int = 10)
       : (Seq[(Long, Seq[Double])], Seq[Double]) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val pivotFrame = pivotsOf(corpus.select(col("id").as("cid"), col("vec")), nlist)
+    // materialize ONCE: every Lloyd round re-reads (vec, n2); without
+    // this the source scan + norm recompute runs `iters` times (the
+    // standard cache-the-input k-means discipline). Zero-norm rows
+    // are excluded BEFORE seeding too — cosine to a zero vector is
+    // undefined, so one must never become a centroid.
+    val base = corpus.select(col("id"), col("vec"), norm2Seq(col("vec")).as("__n2"))
+      .filter(col("__n2") > 0)
+      .localCheckpoint()
+    val pivotFrame = pivotsOf(base.select(col("id").as("cid"), col("vec")), nlist)
     val seedFloat = pivotFrame.schema("pvec").dataType match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType, _) => true
       case _ => false
     }
     val seedRows = pivotFrame.collect()
-    require(seedRows.nonEmpty, "corpus is empty")
+    require(seedRows.nonEmpty, "corpus has no nonzero vectors")
     var cents: Seq[(Long, Seq[Double])] = seedRows.toSeq.map { r =>
       val v: Seq[Double] =
         if (seedFloat) r.getSeq[Float](1).map(_.toDouble) else r.getSeq[Double](1)
       (r.getLong(0), v)
     }.sortBy(_._1)
-    val base = corpus.select(col("id"), col("vec"), norm2Seq(col("vec")).as("__n2"))
-      .filter(col("__n2") > 0)
     val history = scala.collection.mutable.ArrayBuffer.empty[Double]
     var it = 0
     while (it < iters) {
