@@ -101,6 +101,80 @@ object Bpe {
     out.toSeq
   }
 
+  /** Greedy left-to-right application of SEVERAL symbol-disjoint
+    * merges in one fold pass. Disjointness (no symbol appears in two
+    * rules) means at most one rule can match at any position, so the
+    * simultaneous application is order-independent and equal to
+    * applying the rules sequentially in any order. */
+  private def applyMerges(syms: Column, ms: Seq[Merge]): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => {
+        val appended = concat(acc, array(s))
+        ms.foldLeft(appended) { (els, m) =>
+          when(size(acc) > 0 && element_at(acc, -1) === lit(m.a) && s === lit(m.b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m.merged))))
+            .otherwise(els)
+        }
+      })
+
+  /** Batched BPE training — the 32k-vocabulary scale path. [[train]]
+    * is exact but pays one Spark round PER merge (a real vocabulary
+    * needs tens of thousands); here each round counts pairs once,
+    * selects up to `batch` pairs greedily in (count desc, a, b)
+    * order SKIPPING any pair that shares a symbol with an
+    * already-selected one, and applies the whole batch in a single
+    * map-side fold — rounds = numMerges/batch, not numMerges.
+    *
+    * Semantics note (standard scalable-BPE trade): merges 2..batch
+    * of a round are chosen from the ROUND-START counts instead of
+    * recounting after each merge, so the learned vocabulary can
+    * differ from the sequential reference's (batch = 1 reproduces
+    * [[train]] exactly — spec-pinned). The symbol-disjointness
+    * constraint is what keeps the batch well-defined: simultaneous
+    * application equals sequential application in any order, so
+    * rank-order encoding ([[encodeWord]]) still reproduces the
+    * trained segmentation exactly, batched or not. */
+  def trainBatched(df: DataFrame, textCol: String, numMerges: Int,
+                   batch: Int = 64): Seq[Merge] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    var words = PlanUtil.checkpointFlat(wordTypes(df, textCol))
+    val out = ArrayBuffer.empty[Merge]
+    var exhausted = false
+    while (out.size < numMerges && !exhausted) {
+      val want = math.min(batch, numMerges - out.size)
+      // over-fetch so disjointness filtering still fills the batch
+      // in frequency-skewed rounds; a short round just recounts
+      val top = words
+        .select(explode(adjacentPairs(col("syms"))).as("p"), col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(want * 8).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        // a pair joins the batch only if its INPUT symbols and its
+        // OUTPUT symbol are all unseen in this batch — inputs for
+        // match-disjointness, the output so no batch rule can consume
+        // (or recreate) another's product, which is what makes
+        // simultaneous application equal to sequential in any order
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = ArrayBuffer.empty[Merge]
+        top.iterator.takeWhile(_ => picked.size < want).foreach { r =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          if (!used(a) && !used(b) && !used(a + b)) {
+            used += a; used += b; used += (a + b)
+            picked += Merge(out.size + picked.size + 1, a, b)
+          }
+        }
+        out ++= picked
+        words = PlanUtil.checkpointFlat(
+          words.withColumn("syms", applyMerges(col("syms"), picked.toSeq)))
+      }
+    }
+    out.toSeq
+  }
+
   /** The learned vocabulary as a frame: (rank, a, b, merged). */
   def mergesDF(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
     import spark.implicits._

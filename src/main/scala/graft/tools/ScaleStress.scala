@@ -396,6 +396,11 @@ object ScaleStress {
       zipfB.select(graft.operators.Bpe.tokenCountUdf(merges)(col("text")).as("t"))
         .agg(sum(col("t"))).collect()(0).getLong(0)
     }
+    // the vocabulary-scale path: rounds = merges/batch, so 256
+    // merges cost ~4 counting rounds instead of 256
+    timed("bpe trainBatched 256 merges (batch=64)") {
+      graft.operators.Bpe.trainBatched(zipfB, "text", numMerges = 256, batch = 64).size
+    }
     }
 
     if (sections("kmeans")) {

@@ -77,6 +77,33 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("trainBatched with batch=1 reproduces the sequential trainer exactly") {
+    val docs = Tables.documents(spark, sf).limit(120)
+    val seq8 = Bpe.train(docs, "text", numMerges = 8)
+    val bat1 = Bpe.trainBatched(docs, "text", numMerges = 8, batch = 1)
+    assert(bat1 == seq8)
+  }
+
+  test("trainBatched batches are symbol-disjoint, deterministic, and encodable") {
+    val docs = Tables.documents(spark, sf).limit(120)
+    val merges = Bpe.trainBatched(docs, "text", numMerges = 12, batch = 4)
+    assert(merges.size == 12 && merges.map(_.rank) == (1 to 12))
+    // within every batch-of-4 window the inputs AND outputs are
+    // disjoint (the invariant that makes simultaneous application
+    // order-independent)
+    merges.grouped(4).foreach { g =>
+      val syms = g.flatMap(m => Seq(m.a, m.b, m.merged))
+      assert(syms.distinct.size == syms.size, s"colliding batch: $g")
+    }
+    assert(Bpe.trainBatched(docs, "text", numMerges = 12, batch = 4) == merges)
+    // encoding under batched merges reconstitutes every word exactly
+    val ranks = merges.map(m => ((m.a, m.b), m.rank)).toMap
+    docs.select(col("text")).collect().flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+      .take(200).foreach { w =>
+        assert(Bpe.encodeWord(w, ranks).mkString == w, s"lossy encode of '$w'")
+      }
+  }
+
   test("tokenizeUdf and tokenCountUdf agree and plug into packing budgets") {
     val docs = Tables.documents(spark, sf).limit(50)
     val merges = Bpe.train(docs, "text", numMerges = 8)
