@@ -132,6 +132,30 @@ object Sampling {
     * @return streamCol, idCol, n_tokens, start_tok (0-based offset),
     *         bin_first, bin_last (inclusive), n_bins
     */
+  /** Explode [[packChunks]] output into per-(bin, doc) token slices —
+    * the manifest a training data-loader consumes: for every bin a
+    * doc touches, the doc-relative token range [tok_from, tok_to)
+    * that falls inside it. Pure map-side projection (sequence +
+    * clamp arithmetic over the already-computed offsets): no
+    * shuffle, composes at any scale. Invariants (spec-pinned): per
+    * doc the slices partition [0, n_tokens); per bin the slice
+    * lengths sum to `budget` (except each stream's last bin).
+    * @param packed output of [[packChunks]] (same budget!)
+    * @return streamCol, bin, idCol, tok_from, tok_to (doc-relative,
+    *         end-exclusive)
+    */
+  def binSlices(packed: DataFrame, idCol: String, streamCol: String,
+                budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    packed
+      .withColumn("bin", explode(sequence(col("bin_first"), col("bin_last"))))
+      .withColumn("tok_from",
+        greatest(col("bin") * budget - col("start_tok"), lit(0L)))
+      .withColumn("tok_to",
+        least((col("bin") + 1) * budget - col("start_tok"), col("n_tokens")))
+      .select(col(streamCol), col("bin"), col(idCol), col("tok_from"), col("tok_to"))
+  }
+
   def packChunks(df: DataFrame, idCol: String, tokenCol: String,
                  streamCol: String, budget: Long,
                  bands: Int = 64): DataFrame = {

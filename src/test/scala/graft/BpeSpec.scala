@@ -27,6 +27,15 @@ class BpeSpec extends SparkSuite {
     assert(Bpe.train(df, "text", numMerges = 4) == merges)
   }
 
+  test("null and empty texts are ignored by training and encode to zero tokens") {
+    val df = Seq(Some("xy xy"), None, Some(""), Some("   ")).toDF("text")
+    val m = Bpe.train(df, "text", numMerges = 1)
+    assert(m.map(x => (x.a, x.b)) == Seq(("x", "y")))
+    val out = df.select(Bpe.tokenCountUdf(m)(col("text")).as("n"))
+      .as[Long].collect().sorted
+    assert(out.toSeq == Seq(0L, 0L, 0L, 2L))
+  }
+
   test("train stops early when no pairs remain") {
     // single-char words only: zero adjacent pairs from the start
     val df = Seq("a b c a b").toDF("text")

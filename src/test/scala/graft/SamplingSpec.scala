@@ -164,6 +164,37 @@ class SamplingSpec extends SparkSuite {
     assert(packedStr.toSeq == Seq(("a", 0L, 0L), ("b", 5L, 0L), ("c", 11L, 1L)))
   }
 
+  test("binSlices partitions every doc and fills every non-final bin exactly") {
+    val df = spark.range(0, 500)
+      .select(($"id" % 3).cast("string").as("src"), $"id",
+        (pmod(xxhash64($"id"), lit(400L)) + 1).as("toks"))
+    val budget = 256L
+    val packed = Sampling.packChunks(df, "id", "toks", "src", budget)
+    val slices = Sampling.binSlices(packed, "id", "src", budget)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // per doc: slices cover [0, n_tokens) contiguously
+    val nTok = packed.select($"src", $"id", $"n_tokens")
+      .as[(String, Long, Long)].collect().map { case (s, i, n) => (s, i) -> n }.toMap
+    slices.groupBy(s => (s._1, s._3)).foreach { case (key, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.head._4 == 0L, s"doc $key first slice must start at 0")
+      assert(sorted.last._5 == nTok(key), s"doc $key last slice must end at n_tokens")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 == b._4 && b._2 == a._2 + 1,
+          s"doc $key slices not contiguous")
+        case _ =>
+      }
+      assert(ss.forall(s => s._5 > s._4), s"doc $key has an empty slice")
+    }
+    // per bin: slice lengths sum to budget, except each stream's last
+    val lastBin = slices.groupBy(_._1).map { case (src, ss) => src -> ss.map(_._2).max }
+    slices.groupBy(s => (s._1, s._2)).foreach { case ((src, bin), ss) =>
+      val filled = ss.map(s => s._5 - s._4).sum
+      if (bin < lastBin(src)) assert(filled == budget, s"bin ($src,$bin) holds $filled")
+      else assert(filled <= budget)
+    }
+  }
+
   test("ivfAssign matches the brute-force nearest pivot and semanticNearDup " +
        "finds within-cluster pairs exactly") {
     val e = Tables.embeddings(spark, sf)
