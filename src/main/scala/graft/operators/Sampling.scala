@@ -132,6 +132,24 @@ object Sampling {
     * @return streamCol, idCol, n_tokens, start_tok (0-based offset),
     *         bin_first, bin_last (inclusive), n_bins
     */
+  /** Deterministic training-order key: the portable 60-bit md5 fold
+    * of "epoch:id". Sorting by (epoch_key, id) is a reproducible
+    * pseudorandom permutation of the corpus — the shuffle-per-epoch
+    * step of a training pipeline, identical on any engine, cluster
+    * size or rerun (no RNG, no seed plumbing); different epochs give
+    * independent orders. A global sort on the key is Spark's range
+    * partition + per-partition sort — no single-reducer stage at any
+    * scale. Null ids all share one key; tie-break on the id column
+    * keeps even that case deterministic. */
+  def epochKey(idCol: Column, epoch: Long): Column =
+    conv(substring(md5(concat_ws(":", lit(epoch.toString), idCol.cast("string"))),
+      1, 15), 16, 10).cast("long")
+
+  /** Attach [[epochKey]] as `epoch_key` (callers sort by
+    * (epoch_key, id) for the epoch's traversal order). */
+  def epochOrder(df: DataFrame, idCol: String, epoch: Long): DataFrame =
+    df.withColumn("epoch_key", epochKey(col(idCol), epoch))
+
   /** Explode [[packChunks]] output into per-(bin, doc) token slices —
     * the manifest a training data-loader consumes: for every bin a
     * doc touches, the doc-relative token range [tok_from, tok_to)

@@ -39,7 +39,8 @@ object Pipeline {
     "q52_langid" -> q52,
     "q53_fingerprint" -> q53,
     "q54_vocab_topk" -> q54,
-    "q55_repetition" -> q55
+    "q55_repetition" -> q55,
+    "q56_epoch_order" -> q56
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -328,6 +329,15 @@ object Pipeline {
     * the SAME greedy left-to-right fold the engine uses (list_reduce
     * over a chr(31)-joined accumulator — symbols never contain the
     * separator in this corpus). */
+  /** Deterministic per-epoch corpus shuffle: the portable md5-fold
+    * key makes the training traversal order identical on any engine
+    * or rerun — which is exactly what the oracle hash-checks (the
+    * whole permutation, order included). */
+  def q56(spark: SparkSession, dir: String): DataFrame =
+    Sampling.epochOrder(
+        Tables.documents(spark, dir).select(col("doc_id")), "doc_id", epoch = 1)
+      .orderBy(col("epoch_key"), col("doc_id"))
+
   private def sqlBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS cnt
@@ -505,6 +515,11 @@ object Pipeline {
     "q31_minhash_pairs" -> sqlBruteForcePairs95,
     "q48_bpe_train" -> sqlBpeTrain(12),
     "q49_bpe_tokenize" -> sqlBpeTokenize(12),
+    "q56_epoch_order" ->
+      s"""SELECT doc_id,
+         |  ${sqlMd5Fold("'1:' || CAST(doc_id AS VARCHAR)")} AS epoch_key
+         |FROM documents
+         |ORDER BY epoch_key, doc_id""".stripMargin,
     "q32_simhash" -> sqlSimhashPairs(Seq("w"), 8),
     "q39_simhash128" -> sqlSimhashPairs(Seq("w", "w || ':1'"), 8),
     // q36 computes the SAME answer as q31 by a different exact

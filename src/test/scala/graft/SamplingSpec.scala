@@ -164,6 +164,23 @@ class SamplingSpec extends SparkSuite {
     assert(packedStr.toSeq == Seq(("a", 0L, 0L), ("b", 5L, 0L), ("c", 11L, 1L)))
   }
 
+  test("epochOrder is a stable permutation and epochs are independent") {
+    val df = spark.range(0, 5000).toDF("id")
+    val e1 = Sampling.epochOrder(df, "id", epoch = 1)
+      .orderBy($"epoch_key", $"id").select($"id").as[Long].collect()
+    // a permutation of the corpus, identical on rerun
+    assert(e1.sorted.toSeq == (0L until 5000L))
+    assert(Sampling.epochOrder(df, "id", epoch = 1)
+      .orderBy($"epoch_key", $"id").select($"id").as[Long].collect().toSeq == e1.toSeq)
+    // a different epoch is a genuinely different order (and not the
+    // identity): compare prefix agreement
+    val e2 = Sampling.epochOrder(df, "id", epoch = 2)
+      .orderBy($"epoch_key", $"id").select($"id").as[Long].collect()
+    val agree = e1.zip(e2).count { case (a, b) => a == b }
+    assert(agree < 50, s"epochs 1 and 2 agree on $agree of 5000 positions")
+    assert(e1.zipWithIndex.count { case (v, i) => v == i } < 50, "epoch 1 is ~identity")
+  }
+
   test("binSlices partitions every doc and fills every non-final bin exactly") {
     val df = spark.range(0, 500)
       .select(($"id" % 3).cast("string").as("src"), $"id",
