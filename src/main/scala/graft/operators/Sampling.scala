@@ -202,7 +202,13 @@ object Sampling {
           .withColumn("_width",
             (floor((dec(col("_id_max")) - dec(col("_id_min"))) / bands) + 1).cast("long"))
           .select(col(streamCol), col("_id_min"), col("_width"))
-        val banded = base.join(broadcast(spans), Seq(streamCol))
+        // NO forced broadcast on the side tables: at normal stream
+        // cardinality they are KBs and Catalyst auto-broadcasts; at
+        // pathological cardinality (millions of streams) a forced
+        // broadcast of streams x bands rows would be the driver
+        // hazard, while the fallback shuffle join already lands on
+        // the (stream, band) partitioning the window needs anyway.
+        val banded = base.join(spans, Seq(streamCol))
           .withColumn("_band",
             floor((dec(col(idCol)) - dec(col("_id_min"))) / dec(col("_width"))).cast("long"))
           .drop("_id_min", "_width")
@@ -218,7 +224,7 @@ object Sampling {
         // phase 3: in-band running sum, sharded on (stream, band)
         val wIn = Window.partitionBy(col(streamCol), col("_band")).orderBy(col(idCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        banded.join(broadcast(bandOffs), Seq(streamCol, "_band"))
+        banded.join(bandOffs, Seq(streamCol, "_band"))
           .withColumn("start_tok",
             col("_band_off") + sum(col("n_tokens")).over(wIn) - col("n_tokens"))
       }
