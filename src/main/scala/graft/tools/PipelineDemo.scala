@@ -76,6 +76,17 @@ object PipelineDemo {
     println(s"=== BPE token budget: $bpeTotal tokens " +
       s"(estimate said $tokens) ===")
 
+    // 5c. loader manifest + reproducible epoch order: per-bin token
+    //     slices (what a data-loader reads) and the deterministic
+    //     per-epoch corpus shuffle
+    val packedB = Sampling.packChunks(bpeToks, "doc_id", "t", "source", budget = 2048)
+    val manifest = Sampling.binSlices(packedB, "doc_id", "source", budget = 2048)
+    println(s"=== loader manifest: ${manifest.count()} (bin, doc) slices ===")
+    val order = Sampling.epochOrder(sampled.select(col("doc_id")), "doc_id", epoch = 1)
+      .orderBy(col("epoch_key"), col("doc_id")).limit(5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).mkString(", ")
+    println(s"=== epoch 1 starts with docs: $order ===")
+
     // 6. language mix
     println("=== language mix (predicted) ===")
     TextAnalysis.langIdFeatures(docs, "doc_id", "text")
