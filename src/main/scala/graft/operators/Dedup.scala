@@ -764,6 +764,43 @@ object Dedup {
         countDistinct(col("g")).as("n_shared_grams"))
   }
 
+  /** Distinct RAW word n-gram shingles (space-joined windows) — the
+    * un-hashed sibling of [[wordNgrams]] for operators that must
+    * surface the offending text (boilerplate reports), with the same
+    * short-doc guard. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = wordSeq(text)
+    array_distinct(transform(
+      when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", slice(ws, i, lit(n)))))
+  }
+
+  /** Cross-document boilerplate accounting — the C4/RefinedWeb
+    * repeated-content signal at CORPUS granularity: a unit (line,
+    * paragraph, shingle) is boilerplate when it occurs in more than
+    * `maxDocs` distinct documents. Returns every (doc, unit) with
+    * its corpus doc-frequency and the keep verdict; callers drop
+    * units (line-level dedup) or docs with high boilerplate
+    * fractions (doc-level filter).
+    *
+    * Scale shape: distinct (id, unit) pairs → one partial-agg
+    * frequency shuffle → a JOIN back on the unit (the frequency
+    * table is content-cardinality-sized, so it is joined, never
+    * broadcast). No all-pairs stage at any corpus size.
+    * @param units exploded (idCol, unitCol) rows
+    * @return id, unit, n_docs, keep (n_docs <= maxDocs)
+    */
+  def boilerplate(units: DataFrame, idCol: String, unitCol: String,
+                  maxDocs: Long): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val u = units.select(col(idCol).as("id"), col(unitCol).as("unit")).distinct()
+    val freq = u.groupBy(col("unit")).agg(count(lit(1)).as("n_docs"))
+    u.join(freq, "unit")
+      .select(col("id"), col("unit"), col("n_docs"),
+        (col("n_docs") <= maxDocs).as("keep"))
+  }
+
   /** Distinct hashed character n-grams of a text column.
     *
     * Guard short texts: sequence(1, stop) DESCENDS when stop < 1

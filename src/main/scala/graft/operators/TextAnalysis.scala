@@ -18,6 +18,35 @@ object TextAnalysis {
   def alphaWords(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
 
+  /** Email-address pattern for PII scrubbing — the conservative
+    * local@domain.tld shape; identical leftmost-greedy semantics in
+    * Java regex and RE2, which is what lets the DuckDB oracle
+    * replicate redaction byte-for-byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs (7+): phone/account/id-number shapes. */
+  val LongDigitsRe = "[0-9]{7,}"
+
+  /** PII-scrubbed text: emails first, then long digit runs, each
+    * replaced by `token`. Order matters and is part of the contract
+    * (an email's digits must not be half-redacted first). Map-side
+    * codegen'd regexp — no shuffle at any scale. */
+  def redact(text: Column, token: String = "<PII>"): Column =
+    regexp_replace(regexp_replace(text, EmailRe, token), LongDigitsRe, token)
+
+  /** Per-doc PII accounting: match counts per category plus the
+    * redacted length — the audit artifact a curation run keeps.
+    * Digit runs are counted on the EMAIL-REDACTED text so an
+    * address's embedded digits aren't double-counted (mirrors the
+    * category each character actually redacts under).
+    * @return id, n_emails, n_digit_runs, red_len */
+  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(regexp_replace(col(textCol), EmailRe, "<PII>"),
+        lit(LongDigitsRe), lit(0))).as("n_digit_runs"),
+      length(redact(col(textCol))).as("red_len"))
+
   /** Within-document repetition score — the C4/Gopher-style quality
     * filter: the fraction of a doc's word n-gram windows that are
     * repeats of an earlier window (templated/boilerplate text scores

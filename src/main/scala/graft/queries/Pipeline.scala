@@ -40,7 +40,9 @@ object Pipeline {
     "q53_fingerprint" -> q53,
     "q54_vocab_topk" -> q54,
     "q55_repetition" -> q55,
-    "q56_epoch_order" -> q56
+    "q56_epoch_order" -> q56,
+    "q57_pii_redact" -> q57,
+    "q58_boilerplate" -> q58
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -338,6 +340,40 @@ object Pipeline {
         Tables.documents(spark, dir).select(col("doc_id")), "doc_id", epoch = 1)
       .orderBy(col("epoch_key"), col("doc_id"))
 
+  /** PII redaction audit: deterministic emails/digit-runs are
+    * spliced into each doc (closed-form in doc_id, so the oracle
+    * rebuilds the same text), then the map-side scrubber counts and
+    * redacts them — Java-regex and RE2 agree on these leftmost-greedy
+    * patterns, which is what makes redaction byte-comparable. */
+  def q57(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val pii = d.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact"), col("doc_id").cast("string"),
+        lit("@ex"), pmod(col("doc_id"), lit(10)).cast("string"),
+        lit(".org ref "), (col("doc_id") * 1234567 + 10000000).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(" second.user@mail.example.com"))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.piiStats(pii, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-document boilerplate accounting over raw word-8-gram
+    * shingles: per doc, total distinct shingles and how many occur
+    * in MORE than one document (the C4/RefinedWeb repeated-content
+    * removal signal, corpus granularity). */
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir).select(col("doc_id"),
+      explode(Dedup.wordShingles(col("text"), 8)).as("unit"))
+    Dedup.boilerplate(sh, "doc_id", "unit", maxDocs = 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_boiler"))
+      .orderBy(col("doc_id"))
+  }
+
   private def sqlBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS cnt
@@ -520,6 +556,39 @@ object Pipeline {
          |  ${sqlMd5Fold("'1:' || CAST(doc_id AS VARCHAR)")} AS epoch_key
          |FROM documents
          |ORDER BY epoch_key, doc_id""".stripMargin,
+    "q57_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact' || CAST(doc_id AS VARCHAR) || '@ex' ||
+        |    CAST(doc_id % 10 AS VARCHAR) || '.org ref ' ||
+        |    CAST(doc_id * 1234567 + 10000000 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' second.user@mail.example.com' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+        |    '[0-9]{7,}')) AS INT) AS n_digit_runs,
+        |  CAST(length(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+        |    '[0-9]{7,}', '<PII>', 'g')) AS INT) AS red_len
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
+    "q58_boilerplate" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, CASE WHEN len(ws) >= 8 THEN len(ws) - 6 ELSE 1 END),
+        |      i -> array_to_string(ws[i:i+7], ' '))) AS unit
+        |  FROM w),
+        |f AS (SELECT unit, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY unit)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        |FROM sh JOIN f USING (unit)
+        |GROUP BY sh.doc_id
+        |ORDER BY sh.doc_id""".stripMargin,
     "q32_simhash" -> sqlSimhashPairs(Seq("w"), 8),
     "q39_simhash128" -> sqlSimhashPairs(Seq("w", "w || ':1'"), 8),
     // q36 computes the SAME answer as q31 by a different exact

@@ -9,6 +9,44 @@ class PipelineSpec extends SparkSuite {
   lazy val docs = Tables.documents(spark, sf)
   lazy val embs = Tables.embeddings(spark, sf)
 
+  test("redact scrubs emails before digit runs and counts both") {
+    val df = Seq(
+      ("call 12345678 or mail bob12345678@corp.example.org now", 1L),
+      ("clean text, short 123 stays", 2L),
+      ("two mails: a@b.io c.d+e@f-g.co and 99999999999", 3L)
+    ).toDF("text", "id")
+    val out = TextAnalysis.piiStats(df, "id", "text")
+      .orderBy($"id").as[(Long, Int, Int, Int)].collect()
+    // email FIRST: the address's embedded digits must not be
+    // half-redacted into a broken local part
+    val red = df.orderBy($"id")
+      .select(TextAnalysis.redact($"text")).as[String].collect()
+    assert(red(0) == "call <PII> or mail <PII> now")
+    assert(red(1) == "clean text, short 123 stays")
+    assert(red(2) == "two mails: <PII> <PII> and <PII>")
+    assert(out(0) == ((1L, 1, 1, 28)) && out(1)._2 == 0 && out(1)._3 == 0)
+    assert(out(2)._2 == 2 && out(2)._3 == 1)
+  }
+
+  test("boilerplate flags units shared across docs, keeps unique ones") {
+    val units = Seq(
+      (1L, "the same header"), (2L, "the same header"), (3L, "the same header"),
+      (1L, "unique to one"), (2L, "pair line"), (3L, "pair line"),
+      (1L, "the same header") // duplicate pair collapses before counting
+    ).toDF("doc", "line")
+    val out = Dedup.boilerplate(units, "doc", "line", maxDocs = 1)
+      .as[(Long, String, Long, Boolean)].collect()
+    val byUnit = out.map(r => r._2 -> (r._3, r._4)).toMap
+    assert(byUnit("the same header") == ((3L, false)))
+    assert(byUnit("pair line") == ((2L, false)))
+    assert(byUnit("unique to one") == ((1L, true)))
+    assert(out.length == 6) // distinct (doc, unit) pairs
+    // threshold is inclusive: maxDocs = 2 keeps the pair line
+    val relaxed = Dedup.boilerplate(units, "doc", "line", maxDocs = 2)
+      .filter($"unit" === "pair line").select($"keep").as[Boolean].collect()
+    assert(relaxed.forall(identity))
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     val d = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc"), (5L, "bbb"))
       .toDF("doc_id", "text")
