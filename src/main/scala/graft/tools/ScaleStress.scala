@@ -401,6 +401,14 @@ object ScaleStress {
     timed("bpe trainBatched 256 merges (batch=64)") {
       graft.operators.Bpe.trainBatched(zipfB, "text", numMerges = 256, batch = 64).size
     }
+    // boilerplate accounting at corpus scale: distinct pairs ->
+    // frequency shuffle -> join back (no all-pairs stage)
+    timed("boilerplate 8-gram shingles (shared > 1 doc)") {
+      graft.operators.Dedup.boilerplate(
+        zipfB.select(col("doc_id"),
+          explode(graft.operators.Dedup.wordShingles(col("text"), 8)).as("unit")),
+        "doc_id", "unit", maxDocs = 1).filter(!col("keep")).count()
+    }
     }
 
     if (sections("kmeans")) {
