@@ -111,10 +111,12 @@ object Sampling {
     *      window partitioned on (stream, band) finishes the offsets —
     *      parallelism = streams x bands, not streams.
     * Long addition is associative, so `start_tok` is bit-identical to
-    * the single-window formulation at any `bands`. Band widths follow
-    * the id RANGE (width = ceil(span / bands)), so shard balance
-    * tracks id density — uniform for the dense synthetic/monotonic
-    * ids typical of corpus manifests.
+    * the single-window formulation at any `bands`. Band boundaries
+    * are approximate per-stream id percentiles, so shard balance
+    * holds under arbitrary id distributions (outliers, gaps,
+    * clustering) — and since any monotone banding yields the same
+    * output, the percentile sketch's approximation never touches
+    * correctness, only balance.
     *
     * Non-integral `idCol` types (e.g. string ids) have no cheap
     * monotone band function and fall back to the per-stream window —
@@ -192,26 +194,37 @@ object Sampling {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         base.withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
       } else {
-        // id span per stream -> band width; all span arithmetic in
-        // decimal(38,0) so a (min, max) straddling the long range
-        // cannot overflow. width = floor(span / bands) + 1 >= 1 keeps
-        // the band index in [0, bands].
-        val dec = (c: Column) => c.cast("decimal(38,0)")
-        val spans = base.groupBy(col(streamCol))
-          .agg(min(col(idCol)).as("_id_min"), max(col(idCol)).as("_id_max"))
-          .withColumn("_width",
-            (floor((dec(col("_id_max")) - dec(col("_id_min"))) / bands) + 1).cast("long"))
-          .select(col(streamCol), col("_id_min"), col("_width"))
+        // band boundaries = approximate per-stream id PERCENTILES of
+        // a deterministic ~1% id-hash sample, so shard balance holds
+        // under ANY id distribution (a min/max-range band would
+        // collapse to one shard the moment a single outlier id
+        // stretches the range), and the sketch only ever sees the
+        // sample (a full-data sketch measured ~9 us/row — 20x the
+        // whole operator). The band index — count of boundaries
+        // strictly below the id — is monotone in id whatever the
+        // boundaries are, and the two-phase sum is bit-identical
+        // under every monotone banding, so neither the sampling nor
+        // the sketch's approximation can touch output, only balance.
+        // Streams too small to hit the sample get null boundaries ->
+        // one band, which is exactly when sharding is irrelevant.
+        val fractions = (1 until bands).map(_.toDouble / bands)
+        val spans = base
+          .filter(pmod(xxhash64(col(idCol).cast("long")), lit(100)) === 0)
+          .groupBy(col(streamCol))
+          .agg(percentile_approx(col(idCol).cast("long"),
+            typedlit(fractions), lit(1000)).as("_bounds"))
         // NO forced broadcast on the side tables: at normal stream
         // cardinality they are KBs and Catalyst auto-broadcasts; at
         // pathological cardinality (millions of streams) a forced
         // broadcast of streams x bands rows would be the driver
         // hazard, while the fallback shuffle join already lands on
         // the (stream, band) partitioning the window needs anyway.
-        val banded = base.join(spans, Seq(streamCol))
+        val banded = base.join(spans, Seq(streamCol), "left")
           .withColumn("_band",
-            floor((dec(col(idCol)) - dec(col("_id_min"))) / dec(col("_width"))).cast("long"))
-          .drop("_id_min", "_width")
+            coalesce(aggregate(col("_bounds"), lit(0L),
+              (acc, b) => acc + when(col(idCol).cast("long") > b, 1L).otherwise(0L)),
+              lit(0L)))
+          .drop("_bounds")
         // phase 1: parallel per-shard sums
         val bandSums = banded.groupBy(col(streamCol), col("_band"))
           .agg(sum(col("n_tokens")).as("_band_sum"))

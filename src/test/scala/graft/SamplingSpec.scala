@@ -139,12 +139,31 @@ class SamplingSpec extends SparkSuite {
     val packed = Sampling.packChunks(one, "id", "toks", "src", budget = 1000, bands = 8)
     val plan = packed.queryExecution.executedPlan.toString
     assert(plan.contains("_band"), s"no band sharding in plan:\n$plan")
-    // recompute the band function the operator uses: width = 5000/8+1
-    val nBands = one.select(floor($"id" / lit(5000 / 8 + 1))).distinct().count()
+    // recompute the sampled percentile band boundaries the operator
+    // uses: uniform ids must land in several bands
+    val bounds = one.filter(pmod(xxhash64($"id"), lit(100)) === 0)
+      .select(percentile_approx($"id",
+        typedlit((1 until 8).map(_ / 8.0)), lit(1000))).as[Seq[Long]].head()
+    val nBands = one.select(
+      aggregate(typedlit(bounds), lit(0L),
+        (acc, b) => acc + when($"id" > b, 1L).otherwise(0L)).as("b"))
+      .distinct().count()
     assert(nBands > 1, "single stream collapsed to one band")
     // and the packed output is still the exact concat order
     val rows = packed.orderBy($"id").select($"start_tok").as[Long].collect()
     assert(rows.zipWithIndex.forall { case (s, i) => s == 3L * i })
+
+    // SKEWED id range: one outlier id stretches min/max by 10^9 —
+    // range-banding would collapse every other row into band 0;
+    // percentile banding must stay balanced AND bit-correct
+    val skew = spark.range(0, 2000)
+      .select(lit("k").as("src"),
+        when($"id" === 1999, lit(2000000000000L)).otherwise($"id").as("id"),
+        lit(5L).as("toks"))
+    val packedSkew = Sampling.packChunks(skew, "id", "toks", "src", budget = 1000, bands = 8)
+      .orderBy($"id").select($"start_tok").as[Long].collect()
+    assert(packedSkew.zipWithIndex.forall { case (s, i) => s == 5L * i },
+      "skewed-id stream must still pack exactly")
 
     // NEGATIVE ids: banding is decimal-safe and stays id-monotone
     val neg = spark.range(0, 1000)
