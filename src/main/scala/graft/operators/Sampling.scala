@@ -88,6 +88,30 @@ object Sampling {
     df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-group document cap: keep at most `cap` rows per `groupCol`
+    * (the CommonCrawl-style per-domain cap that stops one host from
+    * dominating the corpus). Which rows survive is a deterministic
+    * UNIFORM draw, not a head-of-table artifact: rows rank by the
+    * md5 hex of (group:id) — engine-portable, so the kept set is
+    * reproducible on any engine/cluster/rerun, and independent of
+    * input order. Ranking by the hex STRING (not a fold) keeps the
+    * oracle a one-line `md5(...)` comparison.
+    *
+    * Plan shape: identical to [[topKPerStratum]] — a rank-filter
+    * window that Catalyst plans with a map-side WindowGroupLimit, so
+    * the shuffle carries O(partitions * cap) rows per group, never
+    * the group. Skew-safe at any group cardinality.
+    * @return df.* ++ cap_rank (1..cap, in hash order)
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val key = md5(concat_ws(":",
+      coalesce(col(groupCol).cast("string"), lit("\u0000graft-null")),
+      col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(key, col(idCol))
+    df.withColumn("cap_rank", row_number().over(w)).filter(col("cap_rank") <= cap)
+  }
+
   /** Concat-and-chunk sequence packing: documents of one `streamCol`
     * stream are laid end-to-end in ascending `idCol` order and the
     * token axis is cut into `budget`-sized bins — the GPT-style packing

@@ -42,7 +42,9 @@ object Pipeline {
     "q55_repetition" -> q55,
     "q56_epoch_order" -> q56,
     "q57_pii_redact" -> q57,
-    "q58_boilerplate" -> q58
+    "q58_boilerplate" -> q58,
+    "q59_lm_score" -> q59,
+    "q67_domain_cap" -> q67
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -374,6 +376,31 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus bigram-LM scoring (the CCNet-style perplexity quality
+    * filter): an add-1 smoothed bigram LM trained on the corpus
+    * itself, scored per doc. libm `ln` bitpatterns differ across
+    * engines (measured 3/14400 between JVM Math.log and DuckDB ln),
+    * so the double `nll` is a lib/spec concern; what the gate pins
+    * is the exact count surface the score is a function of — every
+    * (bigram, c2, c1) triple via the portable md5-fold signature
+    * sum, plus the hapax count and vocabulary size. */
+  def q59(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("n_hapax"),
+        col("v"), col("sig"))
+      .orderBy(col("doc_id"))
+
+  /** Per-domain cap (the CommonCrawl-style "no host dominates"
+    * curation rule): at most 12 docs survive per source, chosen by
+    * the deterministic portable md5 draw — the gate checks the whole
+    * kept set AND each row's draw rank. `source` is non-null in the
+    * fixture; the lib handles null groups via the hash sentinel. */
+  def q67(spark: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        "source", "doc_id", cap = 12)
+      .orderBy(col("doc_id"))
+
   private def sqlBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS cnt
@@ -589,6 +616,52 @@ object Pipeline {
         |FROM sh JOIN f USING (unit)
         |GROUP BY sh.doc_id
         |ORDER BY sh.doc_id""".stripMargin,
+    // q59: the bigram-LM count surface. The md5-fold is sqlMd5Fold
+    // over (bigram, c2, c1) joined with ':' — chr(1) is the
+    // engine's in-bigram separator — summed mod 1e12 per doc so the
+    // signature stays int64-exact through every compare layer.
+    "q59_lm_score" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk
+         |  FROM documents),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, i, tk[CAST(i AS INT)] AS w
+         |  FROM toks, unnest(generate_series(1, len(tk))) AS t(i)),
+         |bg AS MATERIALIZED (
+         |  SELECT a.doc_id, a.w AS w1, a.w || chr(1) || b.w AS bgk
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         |uni AS MATERIALIZED (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+         |vt AS (SELECT count(*) AS v FROM uni),
+         |bgc AS MATERIALIZED (SELECT bgk, count(*) AS c2 FROM bg GROUP BY bgk),
+         |scored AS (
+         |  SELECT bg.doc_id, bgc.c2,
+         |    ${sqlMd5Fold("bg.bgk || ':' || CAST(bgc.c2 AS VARCHAR) || ':' || CAST(uni.c1 AS VARCHAR)")}
+         |      % 1000000000000 AS h
+         |  FROM bg JOIN bgc USING (bgk) JOIN uni ON bg.w1 = uni.w),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS n_hapax,
+         |    sum(h) AS sig
+         |  FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id,
+         |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(a.n_hapax, 0) AS BIGINT) AS n_hapax,
+         |  CAST(vt.v AS BIGINT) AS v,
+         |  CAST(coalesce(a.sig, 0) AS BIGINT) AS sig
+         |FROM documents d CROSS JOIN vt LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // q67: the engine ranks by md5(concat_ws(":", source, doc_id)) —
+    // source is non-null in the fixture so the null sentinel never
+    // fires and the oracle key is a plain '||' concat. row_number is
+    // BIGINT in DuckDB, INT in Spark: cast.
+    "q67_domain_cap" ->
+      """SELECT doc_id, source, CAST(rk AS INT) AS cap_rank FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 12
+        |ORDER BY doc_id""".stripMargin,
     "q32_simhash" -> sqlSimhashPairs(Seq("w"), 8),
     "q39_simhash128" -> sqlSimhashPairs(Seq("w", "w || ':1'"), 8),
     // q36 computes the SAME answer as q31 by a different exact

@@ -302,4 +302,34 @@ class PipelineSpec extends SparkSuite {
     // only be <= doc1's min
     assert(fps(2L) <= fps(1L))
   }
+
+  test("lmScore: add-1 bigram LM counts, portable signature, hand-computed nll") {
+    // tokens: d1 [a,b,a], d2 [a,b,c], d3 [x], d4 [] ->
+    // unigrams a:3 b:2 c:1 x:1 (V=4); bigrams a.b:2 b.a:1 b.c:1
+    val d = Seq((1L, "A b a"), (2L, "a b c"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(d, "doc_id", "text").orderBy($"id").collect()
+    def md5mod(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000000000L
+    }
+    val sig1 = md5mod("a\u0001b:2:3") + md5mod("b\u0001a:1:2")
+    val sig2 = md5mod("a\u0001b:2:3") + md5mod("b\u0001c:1:2")
+    // p(b|a) = (2+1)/(3+4), p(a|b) = p(c|b) = (1+1)/(2+4)
+    val nll = -(math.log(3.0 / 7.0) + math.log(2.0 / 6.0)) / 2
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 1 && out(0).getLong(3) == 4)
+    assert(out(1).getLong(1) == 2 && out(1).getLong(2) == 1)
+    assert(out(0).getLong(4) == sig1 && out(1).getLong(4) == sig2)
+    assert(math.abs(out(0).getDouble(5) - nll) < 1e-12)
+    assert(math.abs(out(1).getDouble(5) - nll) < 1e-12)
+    // short/empty docs: zero bigrams, zero signature, 0.0 nll, V kept
+    assert(out(2).getLong(1) == 0 && out(2).getLong(4) == 0L &&
+      out(2).getDouble(5) == 0.0 && out(2).getLong(3) == 4)
+    assert(out(3).getLong(1) == 0)
+    // the gated surface is exact integers: partitioning-invariant
+    val re = TextAnalysis.lmScore(d.repartition(7), "doc_id", "text")
+      .orderBy($"id").drop("nll").collect()
+    assert(re.map(_.toSeq).toSeq == out.map(_.toSeq.dropRight(1)).toSeq)
+  }
 }

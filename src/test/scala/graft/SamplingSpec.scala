@@ -79,6 +79,25 @@ class SamplingSpec extends SparkSuite {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("capPerGroup keeps at most cap rows per group via a uniform " +
+    "order-independent draw") {
+    val df = spark.range(0, 1000).select(($"id" % 5).cast("string").as("g"), $"id")
+    val kept = Sampling.capPerGroup(df, "g", "id", 12)
+    assert(kept.groupBy($"g").count().collect().forall(_.getLong(1) == 12L))
+    assert(kept.collect().map(_.getAs[Int]("cap_rank")).forall(r => r >= 1 && r <= 12))
+    // the draw is a function of (group, id) only: input order/partitioning
+    // can't change the kept set
+    assert(kept.select($"g", $"id").collect().toSet ==
+      Sampling.capPerGroup(df.orderBy($"id".desc).repartition(13), "g", "id", 12)
+        .select($"g", $"id").collect().toSet)
+    // small groups survive whole; null groups rank under the sentinel key
+    val small = Seq(("x", 1L), ("x", 2L), (null, 3L), (null, 4L)).toDF("g", "id")
+    assert(Sampling.capPerGroup(small, "g", "id", 12).count() == 4L)
+    // map-side WindowGroupLimit: the shuffle carries O(tasks*cap), not groups
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("packChunks: offsets are gapless per stream and bins respect the budget") {
     val df = Seq(
       ("a", 1L, 1000L), ("a", 2L, 1000L), ("a", 3L, 100L), ("a", 4L, 5000L),
