@@ -112,6 +112,50 @@ object Sampling {
     df.withColumn("cap_rank", row_number().over(w)).filter(col("cap_rank") <= cap)
   }
 
+  /** Temperature-based domain resampling — the multilingual /
+    * data-mixing rule (mBERT, XLM-R, LLaMA-style mixes): group g with
+    * corpus share p_g is kept at rate ∝ p_g^(alpha-1), normalized so
+    * the rarest group keeps everything. alpha=1 reproduces the raw
+    * mix; alpha→0 flattens toward uniform. Rows are then kept by the
+    * same deterministic portable gate as [[stratifiedSample]] (and
+    * with the SAME length-prefixed key, so a temperature mix and an
+    * explicit-fraction mix of equal rates keep identical rows).
+    *
+    * Scale shape: one count aggregate at group cardinality, two
+    * 1-row aggregates (total, max-rate) that Catalyst broadcasts,
+    * and a broadcast join of the tiny rate table back onto the
+    * corpus — the corpus itself never shuffles; the gate is
+    * map-side.
+    *
+    * Engine-portability: at the default alpha=0.5 the rate is
+    * computed as 1/sqrt(p) — division and sqrt are exactly rounded
+    * under IEEE 754 in every engine, so rates (and therefore the
+    * kept SET) are bit-reproducible and the q69 gate can state them.
+    * Other alphas go through pow, which carries no such guarantee
+    * (last-ulp platform variation) — fine for production, not for a
+    * bit-exact oracle.
+    *
+    * @return df.* ++ n_docs (group count), rate (keep fraction)
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+                     alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val g = coalesce(col(groupCol).cast("string"), lit("\u0000graft-null"))
+    val counts = df.groupBy(g.as("__grp")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("__n_total"))
+    val p = col("n_docs").cast("double") / col("__n_total").cast("double")
+    val boost = if (alpha == 0.5) lit(1.0) / sqrt(p) else pow(p, alpha - 1)
+    val rTbl = counts.crossJoin(tot).withColumn("__r", boost)
+    val rMax = rTbl.agg(max(col("__r")).as("__r_max"))
+    val rates = rTbl.crossJoin(rMax)
+      .select(col("__grp"), col("n_docs"), (col("__r") / col("__r_max")).as("rate"))
+    val st = coalesce(col(groupCol).cast("string"), lit(""))
+    df.join(broadcast(rates), g === col("__grp"))
+      .filter(hashGate(concat(length(st), lit(":"), st, lit(":"),
+        col(idCol).cast("string"))) < col("rate") * Mod)
+      .drop("__grp")
+  }
+
   /** Concat-and-chunk sequence packing: documents of one `streamCol`
     * stream are laid end-to-end in ascending `idCol` order and the
     * token axis is cut into `budget`-sized bins — the GPT-style packing

@@ -44,7 +44,9 @@ object Pipeline {
     "q57_pii_redact" -> q57,
     "q58_boilerplate" -> q58,
     "q59_lm_score" -> q59,
-    "q67_domain_cap" -> q67
+    "q67_domain_cap" -> q67,
+    "q68_dup_spans" -> q68,
+    "q69_temp_mix" -> q69
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -401,6 +403,28 @@ object Pipeline {
         "source", "doc_id", cap = 12)
       .orderBy(col("doc_id"))
 
+  /** Exact-substring duplicate spans (Lee et al. 2021 ExactSubstr at
+    * word granularity, k=8): the maximal token ranges each document
+    * shares verbatim with the corpus — the ranges a span-level dedup
+    * pass would cut. Pure integer/string surface, fully stated by
+    * the oracle. */
+  def q68(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(Tables.documents(spark, dir), "doc_id", "text", k = 8)
+      .select(col("id").as("doc_id"), col("span_id"), col("start_tok"),
+        col("end_tok"), col("n_windows"))
+      .orderBy(col("doc_id"), col("span_id"))
+
+  /** Temperature-resampled language mix (alpha=0.5): the rarest lang
+    * keeps everything, dominant langs sample down by sqrt share
+    * ratio. Rates are IEEE-exact (division + sqrt only), so the gate
+    * checks the kept SET and the rate values bit-for-bit. */
+  def q69(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(
+        Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", alpha = 0.5)
+      .select(col("doc_id"), col("lang"), col("n_docs"), col("rate"))
+      .orderBy(col("doc_id"))
+
   private def sqlBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS cnt
@@ -649,6 +673,49 @@ object Pipeline {
          |  CAST(vt.v AS BIGINT) AS v,
          |  CAST(coalesce(a.sig, 0) AS BIGINT) AS sig
          |FROM documents d CROSS JOIN vt LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // q68: the ExactSubstr covered ranges are restated wholesale —
+    // window explode, frequency count, interval merge (running-max
+    // window + gap-flag prefix sum) all have exact SQL counterparts.
+    "q68_dup_spans" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |win AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(tk[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, len(tk) - 7)) AS t(i)),
+        |freq AS MATERIALIZED (SELECT g, count(*) AS cnt FROM win GROUP BY g),
+        |dup AS (SELECT w.doc_id, w.pos FROM win w JOIN freq USING (g) WHERE cnt >= 2),
+        |m AS (SELECT doc_id, pos,
+        |    max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM dup),
+        |s AS (SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM m)
+        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+        |  CAST(min(pos) AS INT) AS start_tok,
+        |  CAST(max(pos) + 7 AS INT) AS end_tok, count(*) AS n_windows
+        |FROM s GROUP BY doc_id, span_id ORDER BY doc_id, span_id""".stripMargin,
+    // q69: rates are division+sqrt only — IEEE-exact in any engine —
+    // so the oracle recomputes them and the double compare against
+    // the md5-fold gate lands bit-identically. Key shape mirrors
+    // q45's (length-prefixed stratum:id).
+    "q69_temp_mix" ->
+      s"""WITH cnt AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM cnt),
+         |r AS (SELECT lang, n_docs,
+         |    1.0 / sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) AS r
+         |  FROM cnt CROSS JOIN tot),
+         |rt AS (SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+         |    r / (SELECT max(r) FROM r) AS rate FROM r)
+         |SELECT d.doc_id, d.lang, rt.n_docs, rt.rate
+         |FROM documents d JOIN rt USING (lang)
+         |WHERE ${sqlMd5Fold(
+               "CAST(length(d.lang) AS VARCHAR) || ':' || d.lang || ':' || CAST(d.doc_id AS VARCHAR)")}
+         |  % 1000000 < rate * 1000000
          |ORDER BY d.doc_id""".stripMargin,
     // q67: the engine ranks by md5(concat_ws(":", source, doc_id)) —
     // source is non-null in the fixture so the null sentinel never

@@ -303,6 +303,35 @@ class PipelineSpec extends SparkSuite {
     assert(fps(2L) <= fps(1L))
   }
 
+  test("dupSpans: corpus-duplicated k-windows merge into maximal covered ranges") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // shares [a b c],[b c d] w/ doc 2 AND [d e f] w/ docs 5,6
+      (2L, "x a b c d y"),
+      (3L, "a b c a b c a b c"),    // within-doc repetition: one full-cover span
+      (4L, "q r s t u v"),          // unique: no spans
+      (5L, "a b c z1 z2 z3 z4 d e f"), // two separated shared regions
+      (6L, "a b c y1 y2 y3 y4 d e f")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", "text", k = 3)
+      .orderBy($"id", $"span_id")
+      .select($"id", $"span_id", $"start_tok", $"end_tok", $"n_windows")
+      .as[(Long, Long, Int, Int, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 1, 6, 3L),  // windows at pos 1,2,4 chain (4 <= prev_end+1) into 1..6
+      (2L, 1L, 2, 5, 2L),
+      (3L, 1L, 1, 9, 7L),  // every window duplicated -> whole doc
+      (5L, 1L, 1, 3, 1L), (5L, 2L, 8, 10, 1L),
+      (6L, 1L, 1, 3, 1L), (6L, 2L, 8, 10, 1L)))
+    // partitioning-invariant (shuffle-heavy plan, exact integer output)
+    assert(Dedup.dupSpans(docs.repartition(5), "doc_id", "text", k = 3)
+      .orderBy($"id", $"span_id")
+      .select($"id", $"span_id", $"start_tok", $"end_tok", $"n_windows")
+      .as[(Long, Long, Int, Int, Long)].collect().toSeq == out)
+    // docs shorter than k words contribute no windows and no spans
+    assert(Dedup.dupSpans(Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3).count() == 0L)
+  }
+
   test("lmScore: add-1 bigram LM counts, portable signature, hand-computed nll") {
     // tokens: d1 [a,b,a], d2 [a,b,c], d3 [x], d4 [] ->
     // unigrams a:3 b:2 c:1 x:1 (V=4); bigrams a.b:2 b.a:1 b.c:1

@@ -98,6 +98,30 @@ class SamplingSpec extends SparkSuite {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("temperatureMix: rarest group keeps all, dominant groups flatten, " +
+    "and kept sets nest as alpha rises") {
+    val df = spark.range(0, 1000)
+      .select(when($"id" < 640, "big").when($"id" < 920, "mid").otherwise("rare").as("g"), $"id")
+    val out = Sampling.temperatureMix(df, "g", "id", alpha = 0.5)
+    val rates = out.select($"g", $"rate").distinct().as[(String, Double)].collect().toMap
+    // rate_g = sqrt(p_rare / p_g): exact closed forms
+    assert(rates("rare") == 1.0)
+    assert(math.abs(rates("big") - math.sqrt(80.0 / 640.0)) < 1e-15)
+    assert(math.abs(rates("mid") - math.sqrt(80.0 / 280.0)) < 1e-15)
+    val kept = out.groupBy($"g").count().as[(String, Long)].collect().toMap
+    assert(kept("rare") == 80L) // rate 1.0 keeps everything
+    assert(math.abs(kept("big") - 640 * rates("big")) < 40)
+    // gate is fixed per (group, id); only the threshold moves with alpha,
+    // so the alpha=0.5 corpus nests inside the alpha=0.9 corpus (pow path)
+    val k05 = out.select($"id").as[Long].collect().toSet
+    val k09 = Sampling.temperatureMix(df, "g", "id", alpha = 0.9)
+      .select($"id").as[Long].collect().toSet
+    assert(k05.subsetOf(k09))
+    // deterministic under reordering/repartitioning
+    assert(Sampling.temperatureMix(df.orderBy($"id".desc).repartition(11), "g", "id", 0.5)
+      .select($"id").as[Long].collect().toSet == k05)
+  }
+
   test("packChunks: offsets are gapless per stream and bins respect the budget") {
     val df = Seq(
       ("a", 1L, 1000L), ("a", 2L, 1000L), ("a", 3L, 100L), ("a", 4L, 5000L),
