@@ -156,6 +156,79 @@ object TextAnalysis {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => md5(text.substr(i, lit(n)))))
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus
+    * doc by how much more likely its hashed n-gram features are under
+    * a TARGET distribution (e.g. curated/high-quality text) than
+    * under the raw corpus — then resample by weight (compose with
+    * Sampling.weightedSample for the selection step).
+    *
+    * Features are unigrams + bigrams of the lowercased text, hashed
+    * into `buckets` buckets by the portable md5 fold (so an
+    * independent engine reproduces bucket ids bit-for-bit); both
+    * bag-of-buckets models are add-1 smoothed:
+    * p(b) = (c(b) + 1) / (total + buckets), and
+    * logw_d = sum over d's feature occurrences of ln pt(b) - ln pr(b).
+    *
+    * Scale shape: feature explode is map-side; ONE (id, bucket)
+    * partial-agg shuffle for per-doc counts; the two bucket tables
+    * aggregate to `buckets` rows and BROADCAST back (the target side
+    * never joins row-by-row — only its B-sized histogram travels);
+    * one per-doc aggregate. Corpus-linear, no pair space, skew-free
+    * (bucket cardinality is fixed).
+    *
+    * Engine-portability: same split as [[lmScore]] — libm `ln`
+    * bitpatterns differ across engines, so `logw` is spec territory;
+    * the q72 gate pins `sig`, the md5-fold signature of every
+    * (bucket, n_db, ct, cr) count quadruple the weight is a function
+    * of.
+    *
+    * @param target the target-distribution sample (same schema cols)
+    * @return id, n_feats (feature occurrences), sig (portable
+    *         signature), logw (0.0 for featureless docs)
+    */
+  def importanceWeights(corpus: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String,
+                        buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val sep = "\u0001" // never inside a whitespace token
+    def feats(df: DataFrame): DataFrame = {
+      val tk = wsTokens(lower(col(textCol)))
+      val nBg = greatest(size(col("tk")) - 1, lit(0))
+      df.select(col(idCol).as("id"), tk.as("tk"))
+        .select(col("id"), explode(concat(col("tk"),
+          zip_with(slice(col("tk"), lit(1), nBg), slice(col("tk"), lit(2), nBg),
+            (a, b) => concat(a, lit(sep), b)))).as("g"))
+        .select(col("id"),
+          pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
+            lit(buckets.toLong)).as("b"))
+    }
+    val docB = feats(corpus).groupBy(col("id"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val rawB = docB.groupBy(col("b")).agg(sum(col("n")).as("cr"))
+    val tgtB = feats(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val tots = rawB.agg(sum(col("cr")).as("tr"))
+      .crossJoin(tgtB.agg(sum(col("ct")).as("tt")))
+    val h = conv(substring(md5(concat_ws(":",
+      col("b"), col("n"), coalesce(col("ct"), lit(0L)), col("cr"))), 1, 15), 16, 10)
+      .cast("long")
+    val scored = docB.join(broadcast(rawB), "b")
+      .join(broadcast(tgtB), Seq("b"), "left").crossJoin(broadcast(tots))
+    val perDoc = scored.groupBy(col("id")).agg(
+      sum(col("n")).as("n_feats"),
+      sum(pmod(h, lit(1000000000000L))).as("sig"),
+      sum(col("n").cast("double") *
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+          (col("tt") + buckets).cast("double")) -
+         log((col("cr") + 1).cast("double") /
+           (col("tr") + buckets).cast("double")))).as("logw"))
+    corpus.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("sig"), lit(0L)).as("sig"),
+        coalesce(col("logw"), lit(0.0)).as("logw"))
+  }
+
   /** CCNet-style corpus language-model scoring: train an add-1
     * smoothed bigram LM on the corpus itself, then score every doc's
     * average negative log-likelihood under it — the classic

@@ -46,7 +46,8 @@ object Pipeline {
     "q59_lm_score" -> q59,
     "q67_domain_cap" -> q67,
     "q68_dup_spans" -> q68,
-    "q69_temp_mix" -> q69
+    "q69_temp_mix" -> q69,
+    "q72_dsir_weights" -> q72
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -425,6 +426,19 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("n_docs"), col("rate"))
       .orderBy(col("doc_id"))
 
+  /** DSIR importance weighting against the English slice as target
+    * distribution (hashed unigram+bigram buckets, B=256). Like q59,
+    * the float logw is spec territory (libm ln); the gate pins the
+    * exact (bucket, n, ct, cr) count surface the weight is a
+    * function of. */
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextAnalysis.importanceWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 256)
+      .select(col("id").as("doc_id"), col("n_feats"), col("sig"))
+      .orderBy(col("doc_id"))
+  }
+
   private def sqlBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS cnt
@@ -716,6 +730,44 @@ object Pipeline {
          |WHERE ${sqlMd5Fold(
                "CAST(length(d.lang) AS VARCHAR) || ':' || d.lang || ':' || CAST(d.doc_id AS VARCHAR)")}
          |  % 1000000 < rate * 1000000
+         |ORDER BY d.doc_id""".stripMargin,
+    // q72: the DSIR count surface. Features are unigrams + chr(1)-
+    // joined bigrams of the lowercased text, bucketed by md5-fold
+    // % 256; sig folds every (bucket, n_db, ct, cr) quadruple.
+    "q72_dsir_weights" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk
+         |  FROM documents),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, i, tk[CAST(i AS INT)] AS w
+         |  FROM toks, unnest(generate_series(1, len(tk))) AS t(i)),
+         |feat AS MATERIALIZED (
+         |  SELECT doc_id, w AS g FROM tok
+         |  UNION ALL
+         |  SELECT a.doc_id, a.w || chr(1) || b.w
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         |fb AS MATERIALIZED (
+         |  SELECT doc_id, ${sqlMd5Fold("g")} % 256 AS b FROM feat),
+         |docb AS MATERIALIZED (
+         |  SELECT doc_id, b, count(*) AS n FROM fb GROUP BY doc_id, b),
+         |rawb AS (SELECT b, CAST(sum(n) AS BIGINT) AS cr FROM docb GROUP BY b),
+         |tgtb AS (
+         |  SELECT b, count(*) AS ct FROM fb
+         |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+         |  GROUP BY b),
+         |scored AS (
+         |  SELECT docb.doc_id, docb.n,
+         |    ${sqlMd5Fold("CAST(docb.b AS VARCHAR) || ':' || CAST(docb.n AS VARCHAR) || ':' || " +
+               "CAST(coalesce(tgtb.ct, 0) AS VARCHAR) || ':' || CAST(rawb.cr AS VARCHAR)")}
+         |      % 1000000000000 AS h
+         |  FROM docb JOIN rawb USING (b) LEFT JOIN tgtb USING (b)),
+         |agg AS (
+         |  SELECT doc_id, sum(n) AS n_feats, sum(h) AS sig
+         |  FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,
+         |  CAST(coalesce(a.sig, 0) AS BIGINT) AS sig
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     // q67: the engine ranks by md5(concat_ws(":", source, doc_id)) —
     // source is non-null in the fixture so the null sentinel never

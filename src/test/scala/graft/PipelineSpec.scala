@@ -332,6 +332,42 @@ class PipelineSpec extends SparkSuite {
       "doc_id", "text", k = 3).count() == 0L)
   }
 
+  test("importanceWeights: hand-computed DSIR log-ratios, portable signature, " +
+    "featureless docs zero") {
+    // corpus: d1 "x x" (features x:2, x.x:1), d2 "y" (y:1), d3 "" (none);
+    // target = d1. Buckets 3/159/96 for x/x.x/y — distinct (precomputed).
+    // Tr=4, Tt=3, B=256:
+    //   logw(d1) = 2*[ln(3/259)-ln(3/260)] + [ln(2/259)-ln(2/260)] = 3 ln(260/259)
+    //   logw(d2) = ln(1/259) - ln(2/260) = ln(260/518)
+    val corpus = Seq((1L, "x x"), (2L, "y"), (3L, "")).toDF("doc_id", "text")
+    val target = Seq((1L, "x x")).toDF("doc_id", "text")
+    val out = TextAnalysis.importanceWeights(corpus, target, "doc_id", "text")
+      .orderBy($"id").collect()
+    assert(out(0).getLong(1) == 3L && out(1).getLong(1) == 1L && out(2).getLong(1) == 0L)
+    assert(math.abs(out(0).getDouble(3) - 3 * math.log(260.0 / 259.0)) < 1e-12)
+    assert(math.abs(out(1).getDouble(3) - math.log(260.0 / 518.0)) < 1e-12)
+    assert(out(2).getLong(2) == 0L && out(2).getDouble(3) == 0.0)
+    // signature folds each (bucket, n, ct, cr) quadruple
+    def md5mod(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000000000L
+    }
+    def bucket(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 256L
+    }
+    val bx = bucket("x"); val bxx = bucket("x\u0001x"); val by = bucket("y")
+    assert(out(0).getLong(2) == md5mod(s"$bx:2:2:2") + md5mod(s"$bxx:1:1:1"))
+    assert(out(1).getLong(2) == md5mod(s"$by:1:0:1"))
+    // the gated surface is partitioning-invariant
+    val re = TextAnalysis.importanceWeights(
+      corpus.repartition(7), target.repartition(3), "doc_id", "text")
+      .orderBy($"id").drop("logw").collect()
+    assert(re.map(_.toSeq).toSeq == out.map(_.toSeq.dropRight(1)).toSeq)
+  }
+
   test("lmScore: add-1 bigram LM counts, portable signature, hand-computed nll") {
     // tokens: d1 [a,b,a], d2 [a,b,c], d3 [x], d4 [] ->
     // unigrams a:3 b:2 c:1 x:1 (V=4); bigrams a.b:2 b.a:1 b.c:1
