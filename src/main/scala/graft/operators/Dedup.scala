@@ -861,6 +861,54 @@ object Dedup {
         count(lit(1)).as("n_windows"))
   }
 
+  /** Span EXCISION — the apply step over [[dupSpans]] (RefinedWeb's
+    * exact-substring policy: duplicated spans are REMOVED from the
+    * text, docs survive with their unique remainder). Every
+    * occurrence is cut: occurrence-level "keep one copy" requires
+    * electing a canonical owner per duplicate class — a different,
+    * heavier shuffle — and cutting all copies is the published
+    * RefinedWeb choice; the keep-one policy at doc granularity is
+    * [[exact]]/[[dedupCorpus]]'s business.
+    *
+    * Scale shape on top of dupSpans' (already corpus-linear) plan:
+    * spans explode to covered (id, pos) rows — output-bounded, at
+    * most the corpus token count — then one EQUI anti-join against
+    * the token stream (no range predicate reaches the join), and one
+    * per-doc sorted-array rebuild (collect_list into array_sort is
+    * doc-length-bounded, same bound as the dupSpans window).
+    *
+    * @return id, clean_text (kept tokens joined by ' '), n_tokens
+    *         (original), n_removed (tokens cut)
+    */
+  def exciseDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    val covered = dupSpans(df, idCol, textCol, k)
+      .select(col("id"), explode(sequence(col("start_tok"), col("end_tok"))).as("pos"))
+    val toks = df
+      .select(col(idCol).as("id"), wordSeq(col(textCol)).as("tk"))
+      .select(col("id"), size(col("tk")).as("n_tokens"), explode_outer(
+        when(size(col("tk")) > 0,
+          transform(sequence(lit(1), size(col("tk"))),
+            i => struct(i.as("pos"), element_at(col("tk"), i).as("w"))))
+          .otherwise(array().cast("array<struct<pos:int,w:string>>"))).as("t"))
+      .select(col("id"), col("n_tokens"), col("t.pos").as("pos"), col("t.w").as("w"))
+    // LEFT join + marker (not an anti-join): a fully-covered doc must
+    // still emit a row with empty clean_text, and the explode_outer
+    // null row keeps token-less docs present too.
+    val kept = when(col("cut").isNull && col("pos").isNotNull,
+      struct(col("pos"), col("w")))
+    toks.join(covered.withColumn("cut", lit(1)), Seq("id", "pos"), "left")
+      .groupBy(col("id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        array_join(transform(array_sort(collect_list(kept)),
+          s => s.getField("w")), " ").as("clean_text"),
+        sum(when(col("cut").isNull && col("pos").isNotNull, 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(col("id"), col("clean_text"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens").cast("long") - col("n_kept")).as("n_removed"))
+  }
+
   /** Distinct hashed character n-grams of a text column.
     *
     * Guard short texts: sequence(1, stop) DESCENDS when stop < 1

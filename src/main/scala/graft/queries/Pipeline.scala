@@ -47,7 +47,8 @@ object Pipeline {
     "q67_domain_cap" -> q67,
     "q68_dup_spans" -> q68,
     "q69_temp_mix" -> q69,
-    "q72_dsir_weights" -> q72
+    "q72_dsir_weights" -> q72,
+    "q73_excise_spans" -> q73
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -439,6 +440,15 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Span excision applied (RefinedWeb exact-substring removal,
+    * k=8): the cleaned corpus itself — every doc with its duplicated
+    * ranges cut, byte-comparable text in, byte-comparable text out. */
+  def q73(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exciseDupSpans(Tables.documents(spark, dir), "doc_id", "text", k = 8)
+      .select(col("id").as("doc_id"), col("clean_text"), col("n_tokens"),
+        col("n_removed"))
+      .orderBy(col("doc_id"))
+
   private def sqlBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS cnt
@@ -769,6 +779,35 @@ object Pipeline {
          |  CAST(coalesce(a.sig, 0) AS BIGINT) AS sig
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // q73: q68's dup positions expand to covered token positions
+    // (union of [pos, pos+7] — equivalent to the engine's span
+    // merge), anti-joined against the token stream; the cleaned
+    // text is restated byte-for-byte.
+    "q73_excise_spans" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |win AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(tk[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, len(tk) - 7)) AS t(i)),
+        |freq AS MATERIALIZED (SELECT g, count(*) AS cnt FROM win GROUP BY g),
+        |dup AS (SELECT w.doc_id, w.pos FROM win w JOIN freq USING (g) WHERE cnt >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + CAST(o AS INT) AS p
+        |  FROM dup, unnest(generate_series(0, 7)) AS gg(o)),
+        |tok AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, tk[CAST(i AS INT)] AS w
+        |  FROM toks, unnest(generate_series(1, len(tk))) AS t(i)),
+        |kept AS (SELECT t.doc_id, t.pos, t.w FROM tok t
+        |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.p
+        |  WHERE c.p IS NULL),
+        |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS ct,
+        |  count(*) AS nk FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.ct, '') AS clean_text,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(tk) - coalesce(a.nk, 0) AS BIGINT) AS n_removed
+        |FROM documents d JOIN toks USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // q67: the engine ranks by md5(concat_ws(":", source, doc_id)) —
     // source is non-null in the fixture so the null sentinel never
     // fires and the oracle key is a plain '||' concat. row_number is

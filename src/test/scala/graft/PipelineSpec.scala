@@ -332,6 +332,30 @@ class PipelineSpec extends SparkSuite {
       "doc_id", "text", k = 3).count() == 0L)
   }
 
+  test("exciseDupSpans cuts covered ranges, keeps unique remainders and " +
+    "empty/fully-covered docs") {
+    val docs = Seq(
+      (1L, "a b c d e f"),             // fully covered (span 1..6) -> ""
+      (2L, "x a b c d y"),             // span 2..5 -> "x y"
+      (3L, "a b c a b c a b c"),       // fully covered
+      (4L, "q r s t u v"),             // untouched
+      (5L, "a b c z1 z2 z3 z4 d e f"), // spans 1..3, 8..10 -> middle survives
+      (6L, "a b c y1 y2 y3 y4 d e f"),
+      (7L, "")                         // token-less doc stays present
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseDupSpans(docs, "doc_id", "text", k = 3)
+      .orderBy($"id").select($"id", $"clean_text", $"n_tokens", $"n_removed")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "", 6L, 6L),
+      (2L, "x y", 6L, 4L),
+      (3L, "", 9L, 9L),
+      (4L, "q r s t u v", 6L, 0L),
+      (5L, "z1 z2 z3 z4", 10L, 6L),
+      (6L, "y1 y2 y3 y4", 10L, 6L),
+      (7L, "", 0L, 0L)))
+  }
+
   test("importanceWeights: hand-computed DSIR log-ratios, portable signature, " +
     "featureless docs zero") {
     // corpus: d1 "x x" (features x:2, x.x:1), d2 "y" (y:1), d3 "" (none);
