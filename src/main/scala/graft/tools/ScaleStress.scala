@@ -152,6 +152,37 @@ object ScaleStress {
       Dedup.simhashEmissionCount(uni, "doc_id", "text", 8, 512))
     }
 
+    if (sections("textops")) {
+    // r5 text/curation additions at corpus scale, on the clustered
+    // zipf shape (template clusters plant genuine cross-doc
+    // duplicated 8-windows for the span ops). All of these claim
+    // corpus-linear plans — run at N and 10N to hold them to it.
+    val zipf = gen("zipf")
+    println(s"[stress] zipf corpus: ${zipf.count()} docs, $nTemplates clusters")
+    // .count() would LIE for the three left-join-shaped outputs
+    // below: a left join preserves the left id set, so Catalyst
+    // prunes the whole expensive subtree out of a count-of-groups.
+    // Aggregate over the computed payload columns instead.
+    timed("dupSpans k=8 (ExactSubstr ranges)")(
+      Dedup.dupSpans(zipf, "doc_id", "text", 8).count())
+    timed("exciseDupSpans k=8 (cleaned corpus)")(
+      Dedup.exciseDupSpans(zipf, "doc_id", "text", 8)
+        .agg(sum(col("n_removed")), sum(length(col("clean_text")))).collect()(0).toSeq)
+    timed("lmScore (corpus bigram LM)")(
+      TextAnalysis.lmScore(zipf, "doc_id", "text")
+        .agg(sum(pmod(col("sig"), lit(1000003L))), sum(col("nll"))).collect()(0).toSeq)
+    timed("importanceWeights vs ~1% target slice")(
+      TextAnalysis.importanceWeights(zipf,
+        zipf.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+        .agg(sum(pmod(col("sig"), lit(1000003L))), sum(col("logw"))).collect()(0).toSeq)
+    val grouped = zipf.withColumn("src",
+      concat(lit("s"), pmod(pmod(col("doc_id"), lit(97)), lit(20)).cast("string")))
+    timed("temperatureMix alpha=0.5 over 20 groups")(
+      graft.operators.Sampling.temperatureMix(grouped, "src", "doc_id").count())
+    timed("capPerGroup cap=1000 over 20 groups")(
+      graft.operators.Sampling.capPerGroup(grouped, "src", "doc_id", 1000).count())
+    }
+
     if (sections("ngram")) {
     // q33's shape at scale: char-n-gram Jaccard via the prefix path,
     // at N and 10N docs — the check is that runtime grows ~linearly
