@@ -835,15 +835,31 @@ object Dedup {
     *         end_tok (1-based inclusive token indices), n_windows
     *         (duplicated windows merged into the span)
     */
-  def dupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def dupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    dupSpans(df, idCol, textCol, k, hashGrams = false)
+
+  /** `hashGrams = true` is the 100 TB freight lever: the frequency
+    * shuffle and join key become xxhash64 of the gram (8 bytes)
+    * instead of the ~k-word string — identical spans unless two
+    * DISTINCT grams collide at 2^-64 per pair, which at 10^12
+    * windows is a ~0.03 expected extra duplicated position corpus-
+    * wide (it can only ADD a false duplicated window, never lose
+    * one). The gated q68 pins the exact-string path; the stress
+    * harness measures both. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
+               hashGrams: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val tk = wordSeq(col(textCol))
+    val gramExpr = { (i: Column) =>
+      val s = concat_ws(" ", slice(col("tk"), i, lit(k)))
+      if (hashGrams) xxhash64(s) else s
+    }
     val wins = df
       .select(col(idCol).as("id"), tk.as("tk"))
       .filter(size(col("tk")) >= k)
       .select(col("id"), explode(transform(
         sequence(lit(1), size(col("tk")) - (k - 1)),
-        i => struct(i.as("pos"), concat_ws(" ", slice(col("tk"), i, lit(k))).as("g"))))
+        i => struct(i.as("pos"), gramExpr(i).as("g"))))
         .as("w"))
       .select(col("id"), col("w.pos").as("pos"), col("w.g").as("g"))
     val freq = wins.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
@@ -881,8 +897,13 @@ object Dedup {
     *         (original), n_removed (tokens cut)
     */
   def exciseDupSpans(df: DataFrame, idCol: String, textCol: String,
-                     k: Int): DataFrame = {
-    val covered = dupSpans(df, idCol, textCol, k)
+                     k: Int): DataFrame =
+    exciseDupSpans(df, idCol, textCol, k, hashGrams = false)
+
+  /** See [[dupSpans]]'s `hashGrams` — same lever, same caveat. */
+  def exciseDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, hashGrams: Boolean): DataFrame = {
+    val covered = dupSpans(df, idCol, textCol, k, hashGrams)
       .select(col("id"), explode(sequence(col("start_tok"), col("end_tok"))).as("pos"))
     val toks = df
       .select(col(idCol).as("id"), wordSeq(col(textCol)).as("tk"))

@@ -165,8 +165,13 @@ object ScaleStress {
     // Aggregate over the computed payload columns instead.
     timed("dupSpans k=8 (ExactSubstr ranges)")(
       Dedup.dupSpans(zipf, "doc_id", "text", 8).count())
+    timed("dupSpans k=8 HASHED grams (the freight lever)")(
+      Dedup.dupSpans(zipf, "doc_id", "text", 8, hashGrams = true).count())
     timed("exciseDupSpans k=8 (cleaned corpus)")(
       Dedup.exciseDupSpans(zipf, "doc_id", "text", 8)
+        .agg(sum(col("n_removed")), sum(length(col("clean_text")))).collect()(0).toSeq)
+    timed("exciseDupSpans k=8 HASHED grams")(
+      Dedup.exciseDupSpans(zipf, "doc_id", "text", 8, hashGrams = true)
         .agg(sum(col("n_removed")), sum(length(col("clean_text")))).collect()(0).toSeq)
     timed("lmScore (corpus bigram LM)")(
       TextAnalysis.lmScore(zipf, "doc_id", "text")

@@ -330,6 +330,12 @@ class PipelineSpec extends SparkSuite {
     // docs shorter than k words contribute no windows and no spans
     assert(Dedup.dupSpans(Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text"),
       "doc_id", "text", k = 3).count() == 0L)
+    // the hashed-gram freight lever computes identical spans (no
+    // 64-bit collision at this scale, by overwhelming odds)
+    assert(Dedup.dupSpans(docs, "doc_id", "text", k = 3, hashGrams = true)
+      .orderBy($"id", $"span_id")
+      .select($"id", $"span_id", $"start_tok", $"end_tok", $"n_windows")
+      .as[(Long, Long, Int, Int, Long)].collect().toSeq == out)
   }
 
   test("exciseDupSpans cuts covered ranges, keeps unique remainders and " +
