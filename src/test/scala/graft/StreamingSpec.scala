@@ -240,6 +240,42 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("CapStream admits at most cap docs per group across micro-batches, " +
+    "state carrying over") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long)]
+    val q = graft.streaming.CapStream
+      .admitted(ms.toDF.toDF("source", "doc_id"), "source", "doc_id", cap = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cap_stream_spec").start()
+    try {
+      // batch 1: group a saturates (5 arrivals, lowest 3 ids admitted
+      // within the batch), group b admits 2 of 2
+      ms.addData(Seq(("a", 15L), ("a", 11L), ("a", 13L), ("a", 12L), ("a", 14L),
+        ("b", 1L), ("b", 2L)))
+      q.processAllAvailable()
+      // batch 2: a is full -> 0 admitted; b has 1 slot left
+      ms.addData(Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cap_stream_spec")
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == Set(
+      ("a", 11L, 1), ("a", 12L, 2), ("a", 13L, 3),
+      ("b", 1L, 1), ("b", 2L, 2), ("b", 3L, 3)))
+    // pure-function check: a saturated group admits nothing more
+    val st = org.apache.spark.sql.streaming.TestGroupState.create[
+      graft.streaming.CapStream.CapState](
+      org.apache.spark.api.java.Optional.of(graft.streaming.CapStream.CapState(3)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      0L, org.apache.spark.api.java.Optional.empty(), false)
+    val out = graft.streaming.CapStream.updateGroup(3)("a",
+      Iterator(graft.streaming.CapStream.Doc("a", 99L)), st)
+    assert(out.isEmpty)
+  }
+
   test("HeaderDecoder handles fill bytes, big dims, and corrupt streams") {
     import Multimodal.HeaderDecoder.decode
     // JPEG with fill FFs before SOF2 (progressive) and a skipped
