@@ -34,11 +34,38 @@ object PipelineDemo {
     println(s"=== dedup @0.9: keep ${kept.count()} of ${deduped.count()} " +
       s"(${deduped.select(countDistinct(col("component"))).collect()(0).getLong(0)} clusters) ===")
 
+    // 1b. exact-substring span excision — the SPAN-level alternative
+    //     to doc-level dedup (RefinedWeb policy: cut corpus-duplicated
+    //     ranges, keep unique remainders; hashed grams are the 100 TB
+    //     freight default). Shown on the raw corpus: it removes the
+    //     same planted duplication as step 1 while preserving every
+    //     doc's unique text instead of dropping whole docs.
+    val excised = Dedup.exciseDupSpans(docs, "doc_id", "text",
+      k = 8, hashGrams = true)
+    val cut = excised.agg(sum(col("n_removed")), sum(col("n_tokens"))).collect()(0)
+    println(s"=== exact-substring excision (raw corpus): cut ${cut.getLong(0)} " +
+      s"of ${cut.getLong(1)} tokens, all ${excised.count()} docs kept ===")
+
     // 2. quality filter on the kept set
     val quality = TextAnalysis.qualityFeatures(
         docs.join(kept.select(col("id").as("doc_id")), "doc_id"), "doc_id", "text")
       .filter(col("quality_score") >= 0.5)
     println(s"=== quality >= 0.5: ${quality.count()} docs ===")
+
+    // 2b. corpus-LM perplexity scoring + DSIR importance resampling
+    //     toward the English slice — the two model-based quality
+    //     levers, both deterministic
+    val lmAvg = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .agg(avg(col("nll"))).collect()(0).getDouble(0)
+    val dsir = TextAnalysis.importanceWeights(docs,
+      docs.filter(col("lang") === "en"), "doc_id", "text")
+    val bnd = dsir.agg(min(col("logw")), max(col("logw"))).collect()(0)
+    val dsirKept = Sampling.weightedSample(
+      dsir.withColumn("w",
+        (col("logw") - bnd.getDouble(0)) / (bnd.getDouble(1) - bnd.getDouble(0))),
+      "id", "w")
+    println(f"=== corpus-LM avg nll $lmAvg%.3f; DSIR resample toward en: " +
+      s"${dsirKept.count()} of ${dsir.count()} docs ===")
 
     // 3. semantic dedup over embeddings (IVF clusters -> cosine pairs
     //    -> connected components -> per-cluster representative)
@@ -55,6 +82,18 @@ object PipelineDemo {
       docs.join(quality.select("doc_id"), "doc_id"), "doc_id", "source",
       Map("src0" -> 1.0), defaultFraction = 0.5)
     println(s"=== mixture sample: ${sampled.count()} docs ===")
+
+    // 4b. temperature-flattened language mix + per-domain cap (the
+    //     "no host dominates" rule) on the same survivors
+    val mixed = Sampling.temperatureMix(
+      docs.join(quality.select("doc_id"), "doc_id").select(col("doc_id"), col("lang")),
+      "lang", "doc_id", alpha = 0.5)
+    val mixCounts = mixed.groupBy(col("lang")).count().orderBy(col("lang"))
+      .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(" ")
+    val capped = Sampling.capPerGroup(
+      docs.select(col("doc_id"), col("source")), "source", "doc_id", cap = 12)
+    println(s"=== temperature mix a=0.5: $mixCounts; " +
+      s"domain cap 12: ${capped.count()} docs ===")
 
     // 5. token budget + sequence packing of the final corpus
     val withToks = sampled.select(col("doc_id"), col("source"),
