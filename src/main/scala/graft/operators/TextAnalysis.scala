@@ -156,6 +156,59 @@ object TextAnalysis {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => md5(text.substr(i, lit(n)))))
 
+  /** The Gopher rules' 8-stopword set (Rae et al. 2021, app. A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality rules (Rae et al. 2021, MassiveWeb
+    * filtering, Appendix A1.1) — the published threshold bundle most
+    * LLM curation stacks start from. Per doc: word count in
+    * [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    * ('#' or '...') < 0.1, >80% of words contain an alphabetic
+    * character, and >= 2 distinct stopwords from the 8-word list
+    * (the "real prose" test). Line-shape rules (bullet/ellipsis
+    * line fractions) apply to multi-line documents and are the
+    * caller's business at line granularity.
+    *
+    * Entirely map-side (no shuffle at any corpus size); every ratio
+    * divides exact integers, so the doubles are IEEE-exact and
+    * engine-portable.
+    *
+    * @return id, n_words, mean_wlen, symbol_ratio, alpha_frac,
+    *         n_stopwords (distinct hits), passes
+    */
+  def gopherFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = wsTokens(col(textCol))
+    val sw = array(GopherStopwords.map(lit): _*)
+    df.select(col(idCol).as("id"), tk.as("tk"),
+        size(regexp_extract_all(col(textCol), lit("#|\\.\\.\\."), lit(0)))
+          .as("n_sym"))
+      .select(col("id"),
+        size(col("tk")).cast("long").as("n_words"),
+        aggregate(col("tk"), lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+        size(filter(col("tk"), w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+        size(array_intersect(transform(col("tk"), w => lower(w)), sw))
+          .cast("long").as("n_stopwords"),
+        col("n_sym").cast("long").as("n_sym"))
+      .select(col("id"), col("n_words"),
+        when(col("n_words") > 0,
+          col("sum_len").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)).as("mean_wlen"),
+        when(col("n_words") > 0,
+          col("n_sym").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)).as("symbol_ratio"),
+        when(col("n_words") > 0,
+          col("n_alpha").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)).as("alpha_frac"),
+        col("n_stopwords"))
+      .withColumn("passes",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
+        col("symbol_ratio") < 0.1 &&
+        col("alpha_frac") > 0.8 &&
+        col("n_stopwords") >= 2)
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every corpus
     * doc by how much more likely its hashed n-gram features are under

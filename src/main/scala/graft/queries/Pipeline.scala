@@ -48,7 +48,8 @@ object Pipeline {
     "q68_dup_spans" -> q68,
     "q69_temp_mix" -> q69,
     "q72_dsir_weights" -> q72,
-    "q73_excise_spans" -> q73
+    "q73_excise_spans" -> q73,
+    "q74_gopher_rules" -> q74
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -449,6 +450,17 @@ object Pipeline {
         col("n_removed"))
       .orderBy(col("doc_id"))
 
+  /** The Gopher rule bundle (published thresholds verbatim): on this
+    * fixture no doc passes (short docs, one stopword) — the verdict
+    * column is honest, and the numeric surface (word counts, mean
+    * lengths, ratios from exact integer division) varies and is
+    * fully stated by the oracle. */
+  def q74(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFlags(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_words"), col("mean_wlen"),
+        col("symbol_ratio"), col("alpha_frac"), col("n_stopwords"), col("passes"))
+      .orderBy(col("doc_id"))
+
   private def sqlBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS cnt
@@ -808,6 +820,34 @@ object Pipeline {
         |  CAST(len(tk) - coalesce(a.nk, 0) AS BIGINT) AS n_removed
         |FROM documents d JOIN toks USING (doc_id) LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // q74: the Gopher thresholds restated; every ratio divides exact
+    // integers so the doubles compare bit-for-bit. The stopword
+    // count filters the STOPWORD list by containment (= distinct
+    // stopwords present, Spark's array_intersect semantics).
+    "q74_gopher_rules" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(list_transform(tk, t -> lower(t)), s))) AS BIGINT) AS n_stopwords,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym
+        |  FROM toks),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_wlen,
+        |    CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
+        |    CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha_frac,
+        |    n_stopwords
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_wlen, symbol_ratio, alpha_frac, n_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000 AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+        |   AND symbol_ratio < 0.1 AND alpha_frac > 0.8 AND n_stopwords >= 2) AS passes
+        |FROM r ORDER BY doc_id""".stripMargin,
     // q67: the engine ranks by md5(concat_ws(":", source, doc_id)) —
     // source is non-null in the fixture so the null sentinel never
     // fires and the oracle key is a plain '||' concat. row_number is

@@ -338,6 +338,31 @@ class PipelineSpec extends SparkSuite {
       .as[(Long, Long, Int, Int, Long)].collect().toSeq == out)
   }
 
+  test("gopherFlags: published thresholds, one rule failing at a time") {
+    // 60 words, mean length in range, 2 stopwords, alphabetic -> passes
+    val good = (Seq.fill(29)("alpha beta") ++ Seq("the with")).mkString(" ")
+    val d = Seq(
+      (1L, good),
+      (2L, good.replace("the with", "gamma delta")),         // 1 stopword short
+      (3L, "the with alpha beta"),                           // < 50 words
+      (4L, (Seq.fill(29)("alpha ###########") :+ "the with").mkString(" ")), // symbols+nonalpha
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFlags(d, "doc_id", "text")
+      .orderBy($"id")
+      .select($"id", $"n_words", $"mean_wlen", $"symbol_ratio", $"alpha_frac",
+        $"n_stopwords", $"passes")
+      .as[(Long, Long, Double, Double, Double, Long, Boolean)].collect()
+    assert(out(0) == ((1L, 60L, (29 * 9 + 7).toDouble / 60, 0.0, 1.0, 2L, true)))
+    assert(!out(1)._7 && out(1)._6 == 0)
+    assert(!out(2)._7 && out(2)._2 == 4)
+    // doc 4: 29 '#'-runs of 11 = 29 windows... symbol matches: each
+    // "###########" word contributes 11 '#' matches; ratio 319/60 > 0.1;
+    // alpha_frac 31/60 < 0.8 -> fails on both
+    assert(!out(3)._7 && out(3)._3 > 0.1 && out(3)._5 < 0.8)
+    assert(out(4) == ((5L, 0L, 0.0, 0.0, 0.0, 0L, false)))
+  }
+
   test("exciseDupSpans cuts covered ranges, keeps unique remainders and " +
     "empty/fully-covered docs") {
     val docs = Seq(
