@@ -49,7 +49,8 @@ object Pipeline {
     "q69_temp_mix" -> q69,
     "q72_dsir_weights" -> q72,
     "q73_excise_spans" -> q73,
-    "q74_gopher_rules" -> q74
+    "q74_gopher_rules" -> q74,
+    "q75_normalize" -> q75
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -461,6 +462,25 @@ object Pipeline {
         col("symbol_ratio"), col("alpha_frac"), col("n_stopwords"), col("passes"))
       .orderBy(col("doc_id"))
 
+  /** Unicode NFC normalization (the canonical ingest-time cleanup)
+    * via the codegen'd UnicodeNormalize expression. The fixture is
+    * ASCII, so `norm_text` gates the identity fast path; the PROBE
+    * columns append a combining acute (U+0301) to every doc before
+    * normalizing, so each row also gates a real composition ('e' +
+    * U+0301 → 'é') byte-for-byte against DuckDB's utf8proc — both
+    * engines implement UAX #15. */
+  def q75(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftext.TextNorm
+    val probe = TextNorm.normalize(concat(col("text"), lit("e\u0301")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextNorm.normalize(col("text")).as("norm_text"),
+        (TextNorm.normalize(col("text")) =!= col("text")).as("changed"),
+        substring(probe, -1, 1).as("probe_tail"),
+        length(probe).as("probe_len"))
+      .orderBy(col("doc_id"))
+  }
+
   private def sqlBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS cnt
@@ -820,6 +840,15 @@ object Pipeline {
         |  CAST(len(tk) - coalesce(a.nk, 0) AS BIGINT) AS n_removed
         |FROM documents d JOIN toks USING (doc_id) LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // q75: DuckDB's utf8proc nfc_normalize vs the JVM Normalizer —
+    // both UAX #15; norm_text gates the ASCII identity path, the
+    // probe gates a real composition (e + U+0301 -> U+00E9) per row.
+    "q75_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) AS norm_text,
+        |  (nfc_normalize(text) != text) AS changed,
+        |  right(nfc_normalize(text || 'e' || chr(769)), 1) AS probe_tail,
+        |  CAST(length(nfc_normalize(text || 'e' || chr(769))) AS INT) AS probe_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q74: the Gopher thresholds restated; every ratio divides exact
     // integers so the doubles compare bit-for-bit. The stopword
     // count filters the STOPWORD list by containment (= distinct

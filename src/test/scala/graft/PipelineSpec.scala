@@ -338,6 +338,38 @@ class PipelineSpec extends SparkSuite {
       .as[(Long, Long, Int, Int, Long)].collect().toSeq == out)
   }
 
+  test("UnicodeNormalize composes, decomposes, handles compatibility forms " +
+    "and survives codegen") {
+    import org.apache.spark.sql.graftext.TextNorm
+    val d = Seq(
+      (1L, "plain ascii"),
+      (2L, "e\u0301clair"),          // decomposed -> NFC composes to é
+      (3L, "\u00e9clair"),           // precomposed: NFC identity
+      (4L, "\ufb01le"),              // fi ligature: NFKC folds, NFC keeps
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val out = d.select($"id", TextNorm.normalize($"t").as("nfc"),
+        TextNorm.normalize($"t", "NFKC").as("nfkc"),
+        TextNorm.normalize($"t", "NFD").as("nfd"))
+      .orderBy($"id").collect()
+    assert(out(0).getString(1) == "plain ascii")
+    assert(out(1).getString(1) == "\u00e9clair" && out(1).getString(1).length == 6)
+    assert(out(2).getString(1) == "\u00e9clair")
+    assert(out(2).getString(3) == "e\u0301clair") // NFD decomposes back
+    assert(out(3).getString(1) == "\ufb01le" && out(3).getString(2) == "file")
+    assert(out(4).isNullAt(1)) // null in, null out
+    // interpreted == codegen (eval path exercised via a filter that
+    // blocks codegen-only execution is overkill: compare both modes)
+    val expr = org.apache.spark.sql.graftext.UnicodeNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString("e\u0301x"),
+        org.apache.spark.sql.types.StringType), "NFC")
+    assert(expr.eval(null).toString == "\u00e9x")
+    intercept[IllegalArgumentException] {
+      TextNorm.normalize($"t", "NOPE"); d.select(TextNorm.normalize($"t", "NOPE")).collect()
+    }
+  }
+
   test("gopherFlags: published thresholds, one rule failing at a time") {
     // 60 words, mean length in range, 2 stopwords, alphabetic -> passes
     val good = (Seq.fill(29)("alpha beta") ++ Seq("the with")).mkString(" ")
