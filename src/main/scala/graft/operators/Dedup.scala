@@ -849,23 +849,36 @@ object Dedup {
   def dupSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
                hashGrams: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val wins = windowGrams(df, idCol, textCol, k, hashGrams)
+    val freq = wins.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val dup = wins.join(freq, "g").filter(col("cnt") >= 2).select(col("id"), col("pos"))
+    mergeWindowSpans(dup, k)
+  }
+
+  /** (id, pos, g) rows: every word-`k`-gram window of every doc. */
+  private def windowGrams(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, hashGrams: Boolean): DataFrame = {
     val tk = wordSeq(col(textCol))
     val gramExpr = { (i: Column) =>
       val s = concat_ws(" ", slice(col("tk"), i, lit(k)))
       if (hashGrams) xxhash64(s) else s
     }
-    val wins = df
-      .select(col(idCol).as("id"), tk.as("tk"))
+    df.select(col(idCol).as("id"), tk.as("tk"))
       .filter(size(col("tk")) >= k)
       .select(col("id"), explode(transform(
         sequence(lit(1), size(col("tk")) - (k - 1)),
         i => struct(i.as("pos"), gramExpr(i).as("g"))))
         .as("w"))
       .select(col("id"), col("w.pos").as("pos"), col("w.g").as("g"))
-    val freq = wins.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-    val dup = wins.join(freq, "g").filter(col("cnt") >= 2).select(col("id"), col("pos"))
+  }
+
+  /** Merge flagged window start positions (id, pos) into maximal
+    * covered token ranges — per-DOC interval merge: groups are
+    * doc-length-bounded, so the window never serializes more than
+    * one document onto a reducer. */
+  private def mergeWindowSpans(flagged: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    dup
+    flagged
       .withColumn("prev_end",
         max(col("pos") + (k - 1)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("span_id",
@@ -876,6 +889,39 @@ object Dedup {
         (max(col("pos")) + (k - 1)).as("end_tok"),
         count(lit(1)).as("n_windows"))
   }
+
+  /** Benchmark-contamination SPANS (the GPT-3 decontamination policy
+    * at span granularity): for every corpus doc, the maximal token
+    * ranges covered by word-`k`-gram windows that appear ANYWHERE in
+    * the benchmark set — the ranges to excise so evaluation text
+    * never reaches training, without dropping the surrounding
+    * document the way the doc-level [[contamination]] filter does.
+    *
+    * Scale shape: corpus windows map-side; the bench side collapses
+    * to DISTINCT grams (eval-set-sized, so Catalyst broadcasts it —
+    * the corpus never shuffles for the probe), then the same per-doc
+    * interval merge as [[dupSpans]].
+    * @return id, span_id, start_tok, end_tok, n_windows */
+  def contaminationSpans(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, k: Int,
+                         hashGrams: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cw = windowGrams(corpus, idCol, textCol, k, hashGrams)
+    val bg = windowGrams(bench, idCol, textCol, k, hashGrams)
+      .select(col("g")).distinct()
+    mergeWindowSpans(cw.join(bg, "g").select(col("id"), col("pos")), k)
+  }
+
+  /** Apply step over [[contaminationSpans]]: the corpus with every
+    * benchmark-overlapping range cut (same rebuild as
+    * [[exciseDupSpans]] — fully-covered and token-less docs survive
+    * with empty text).
+    * @return id, clean_text, n_tokens, n_removed */
+  def exciseContamination(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String, k: Int,
+                          hashGrams: Boolean = false): DataFrame =
+    exciseCovered(corpus, idCol, textCol,
+      contaminationSpans(corpus, bench, idCol, textCol, k, hashGrams))
 
   /** Span EXCISION — the apply step over [[dupSpans]] (RefinedWeb's
     * exact-substring policy: duplicated spans are REMOVED from the
@@ -902,8 +948,15 @@ object Dedup {
 
   /** See [[dupSpans]]'s `hashGrams` — same lever, same caveat. */
   def exciseDupSpans(df: DataFrame, idCol: String, textCol: String,
-                     k: Int, hashGrams: Boolean): DataFrame = {
-    val covered = dupSpans(df, idCol, textCol, k, hashGrams)
+                     k: Int, hashGrams: Boolean): DataFrame =
+    exciseCovered(df, idCol, textCol, dupSpans(df, idCol, textCol, k, hashGrams))
+
+  /** Rebuild each doc of `df` with the token ranges of `spans`
+    * (id, start_tok, end_tok rows) cut — shared apply step of
+    * [[exciseDupSpans]] and [[exciseContamination]]. */
+  private def exciseCovered(df: DataFrame, idCol: String, textCol: String,
+                            spans: DataFrame): DataFrame = {
+    val covered = spans
       .select(col("id"), explode(sequence(col("start_tok"), col("end_tok"))).as("pos"))
     val toks = df
       .select(col(idCol).as("id"), wordSeq(col(textCol)).as("tk"))

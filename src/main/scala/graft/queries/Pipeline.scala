@@ -50,7 +50,9 @@ object Pipeline {
     "q72_dsir_weights" -> q72,
     "q73_excise_spans" -> q73,
     "q74_gopher_rules" -> q74,
-    "q75_normalize" -> q75
+    "q75_normalize" -> q75,
+    "q76_contam_spans" -> q76,
+    "q77_decontam_apply" -> q77
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -481,6 +483,32 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Span-level benchmark contamination (q37's split, span output):
+    * the exact ranges of training docs that overlap the eval slice
+    * by an 8-gram window. */
+  def q76(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Dedup.contaminationSpans(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 8)
+      .select(col("id").as("doc_id"), col("span_id"), col("start_tok"),
+        col("end_tok"), col("n_windows"))
+      .orderBy(col("doc_id"), col("span_id"))
+  }
+
+  /** Decontamination APPLIED (GPT-3 policy at span granularity): the
+    * training slice with every eval-overlapping range cut, text
+    * restated byte-for-byte. */
+  def q77(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Dedup.exciseContamination(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 8)
+      .select(col("id").as("doc_id"), col("clean_text"), col("n_tokens"),
+        col("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   private def sqlBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS cnt
@@ -839,6 +867,60 @@ object Pipeline {
         |  CAST(len(tk) AS BIGINT) AS n_tokens,
         |  CAST(len(tk) - coalesce(a.nk, 0) AS BIGINT) AS n_removed
         |FROM documents d JOIN toks USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // q76/q77: corpus windows probe the DISTINCT bench gram set
+    // (train = doc_id % 10 != 0, bench = the rest); the same interval
+    // merge / covered-cut as q68/q73.
+    "q76_contam_spans" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |win AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(tk[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, len(tk) - 7)) AS t(i)),
+        |bg AS MATERIALIZED (SELECT DISTINCT g FROM win WHERE doc_id % 10 = 0),
+        |hit AS (SELECT w.doc_id, w.pos FROM win w JOIN bg USING (g)
+        |  WHERE w.doc_id % 10 != 0),
+        |m AS (SELECT doc_id, pos,
+        |    max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM hit),
+        |s AS (SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM m)
+        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+        |  CAST(min(pos) AS INT) AS start_tok,
+        |  CAST(max(pos) + 7 AS INT) AS end_tok, count(*) AS n_windows
+        |FROM s GROUP BY doc_id, span_id ORDER BY doc_id, span_id""".stripMargin,
+    "q77_decontam_apply" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |win AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(tk[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, len(tk) - 7)) AS t(i)),
+        |bg AS MATERIALIZED (SELECT DISTINCT g FROM win WHERE doc_id % 10 = 0),
+        |hit AS (SELECT w.doc_id, w.pos FROM win w JOIN bg USING (g)
+        |  WHERE w.doc_id % 10 != 0),
+        |cov AS (SELECT DISTINCT doc_id, pos + CAST(o AS INT) AS p
+        |  FROM hit, unnest(generate_series(0, 7)) AS gg(o)),
+        |tok AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, tk[CAST(i AS INT)] AS w
+        |  FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+        |  WHERE doc_id % 10 != 0),
+        |kept AS (SELECT t.doc_id, t.pos, t.w FROM tok t
+        |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.p
+        |  WHERE c.p IS NULL),
+        |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS ct,
+        |  count(*) AS nk FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.ct, '') AS clean_text,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(tk) - coalesce(a.nk, 0) AS BIGINT) AS n_removed
+        |FROM documents d JOIN toks USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |WHERE d.doc_id % 10 != 0
         |ORDER BY d.doc_id""".stripMargin,
     // q75: DuckDB's utf8proc nfc_normalize vs the JVM Normalizer —
     // both UAX #15; norm_text gates the ASCII identity path, the

@@ -370,6 +370,35 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("contaminationSpans + exciseContamination cut exactly the " +
+    "bench-overlapping ranges") {
+    val corpus = Seq(
+      (1L, "p q the quick brown fox r s"), // bench 3-grams overlap mid-doc
+      (2L, "no overlap here at all"),
+      (3L, "the quick brown")              // fully covered
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "x the quick brown fox y")).toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(corpus, bench, "doc_id", "text", k = 3)
+      .select($"id", $"span_id", $"start_tok", $"end_tok", $"n_windows")
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    // doc1: bench 3-windows {x the quick, the quick brown, quick brown fox,
+    // brown fox y}; doc1 windows at pos 3 ("the quick brown") and 4
+    // ("quick brown fox") hit -> covered tokens 3..6
+    assert(spans == Set((1L, 1L, 3, 6, 2L), (3L, 1L, 1, 3, 1L)))
+    val cleaned = Dedup.exciseContamination(corpus, bench, "doc_id", "text", k = 3)
+      .orderBy($"id").select($"id", $"clean_text", $"n_tokens", $"n_removed")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(cleaned == Seq(
+      (1L, "p q r s", 8L, 4L),
+      (2L, "no overlap here at all", 5L, 0L),
+      (3L, "", 3L, 3L)))
+    // hashed grams: identical result
+    assert(Dedup.contaminationSpans(corpus, bench, "doc_id", "text", k = 3,
+      hashGrams = true)
+      .select($"id", $"span_id", $"start_tok", $"end_tok", $"n_windows")
+      .as[(Long, Long, Int, Int, Long)].collect().toSet == spans)
+  }
+
   test("gopherFlags: published thresholds, one rule failing at a time") {
     // 60 words, mean length in range, 2 stopwords, alphabetic -> passes
     val good = (Seq.fill(29)("alpha beta") ++ Seq("the with")).mkString(" ")
