@@ -180,6 +180,11 @@ object ScaleStress {
       TextAnalysis.importanceWeights(zipf,
         zipf.filter(col("doc_id") % 97 === 0), "doc_id", "text")
         .agg(sum(pmod(col("sig"), lit(1000003L))), sum(col("logw"))).collect()(0).toSeq)
+    timed("exciseContamination vs ~1% bench slice (hashed grams)")(
+      Dedup.exciseContamination(zipf.filter(col("doc_id") % 97 =!= 0),
+        zipf.filter(col("doc_id") % 97 === 0), "doc_id", "text", 8,
+        hashGrams = true)
+        .agg(sum(col("n_removed")), sum(length(col("clean_text")))).collect()(0).toSeq)
     val grouped = zipf.withColumn("src",
       concat(lit("s"), pmod(pmod(col("doc_id"), lit(97)), lit(20)).cast("string")))
     timed("temperatureMix alpha=0.5 over 20 groups")(
