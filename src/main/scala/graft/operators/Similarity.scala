@@ -48,6 +48,56 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rank"), col("cos"))
   }
 
+  /** Matryoshka-style ADAPTIVE retrieval (the truncation property of
+    * MRL-trained embeddings, Kusupati et al. 2022): stage 1 ranks by
+    * cosine over only the FIRST `dims` dimensions — at 100 TB that is
+    * the lever: the full-corpus scan touches dims/D of the vector
+    * bytes (a 16-of-768 prefix reads ~2% of the data; with columnar
+    * prefix storage the rest is never fetched) — then stage 2 exactly
+    * rescores only the per-query `shortlist` survivors at full
+    * dimensionality and re-ranks the final k.
+    *
+    * Stage 1 carries IDS only through the rank window; full vectors
+    * re-join for the shortlist alone (the same survivors-only payload
+    * discipline as the dedup verify stages). Recall is exactly 1 when
+    * every true top-k member lands in the truncated shortlist —
+    * guaranteed at shortlist = corpus size. The truncation contract
+    * is MRL's: information front-loaded in the prefix dims. On such
+    * corpora the spec measures recall >= 0.9 at 16-of-64 dims; on
+    * ISOTROPIC random vectors it collapses (measured 0.22 on the
+    * test fixture) — truncation is not a free lunch on unstructured
+    * embeddings, and the spec pins both regimes honestly.
+    *
+    * @param queries (qid, vec) — small, broadcast; @param corpus (cid, vec)
+    * @return qid, cid, rank (1..k), cos (full-dimension cosine)
+    */
+  def adaptiveTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                   dims: Int, shortlist: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val qt = queries.select(col("qid"), slice(col("vec"), 1, dims).as("tv"))
+      .withColumn("tn2", norm2Seq(col("tv")))
+    val ct = corpus.select(col("cid"), slice(col("vec"), 1, dims).as("tv"))
+      .withColumn("cn2", norm2Seq(col("tv")))
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("tcos").desc, col("cid"))
+    val short = ct.crossJoin(broadcast(qt.select(col("qid"), col("tv").as("qtv"), col("tn2"))))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("tcos", cosine(dotSeq(col("qtv"), col("tv")), col("tn2"), col("cn2")))
+      .withColumn("srank", row_number().over(w1))
+      .filter(col("srank") <= shortlist)
+      .select(col("qid"), col("cid"))
+    val qv = queries.select(col("qid"), col("vec").as("qvec"),
+      norm2Seq(col("vec")).as("qn2"))
+    val cv = corpus.select(col("cid"), col("vec").as("cvec"),
+      norm2Seq(col("vec")).as("cn2f"))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    short.join(broadcast(qv), "qid").join(cv, "cid")
+      .withColumn("cos", cosine(dotSeq(col("qvec"), col("cvec")), col("qn2"), col("cn2f")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane p,
     * dimension d: a +/-1 from a PORTABLE two-round multiplicative
     * mixer (Knuth constant, xor-fold, LCG round) over k = p*4096+d+1.

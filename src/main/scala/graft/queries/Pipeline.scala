@@ -52,7 +52,8 @@ object Pipeline {
     "q74_gopher_rules" -> q74,
     "q75_normalize" -> q75,
     "q76_contam_spans" -> q76,
-    "q77_decontam_apply" -> q77
+    "q77_decontam_apply" -> q77,
+    "q78_matryoshka" -> q78
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -507,6 +508,20 @@ object Pipeline {
       .select(col("id").as("doc_id"), col("clean_text"), col("n_tokens"),
         col("n_removed"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Matryoshka adaptive retrieval: 16-dim truncated shortlist of 20
+    * per query, exact full-dimension rescoring to top-5 — both stages
+    * deterministic (left-fold dots, ties by id), so the gate states
+    * the final ranking bit-for-bit. */
+  def q78(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.adaptiveTopK(
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5, dims = 16, shortlist = 20)
+      .orderBy(col("qid"), col("rank"))
   }
 
   private def sqlBpeCtes(k: Int): String = {
@@ -1211,6 +1226,27 @@ object Pipeline {
         |  (start_tok + n_tokens - 1) // 2048 AS bin_last,
         |  (start_tok + n_tokens - 1) // 2048 - start_tok // 2048 + 1 AS n_bins
         |FROM p ORDER BY source, doc_id""".stripMargin,
+    // q78: both stages restated — truncated (first-16-dim) cosine
+    // shortlist of 20, then exact full-dim rescoring to top-5; the
+    // same left-fold dot as every other vector oracle.
+    "q78_matryoshka" ->
+      s"""WITH tq AS (SELECT vec_id, embedding[1:16] AS tv FROM embeddings WHERE vec_id % 50 = 0),
+         |tc AS (SELECT vec_id, embedding[1:16] AS tv FROM embeddings),
+         |s1 AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${sqlDot("q.tv", "c.tv")} / (sqrt(${sqlDot("q.tv", "q.tv")}) * sqrt(${sqlDot("c.tv", "c.tv")})) AS tcos
+         |  FROM tq q JOIN tc c ON q.vec_id <> c.vec_id),
+         |short AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY tcos DESC, cid) AS srank
+         |    FROM s1) WHERE srank <= 20),
+         |s2 AS (SELECT s.qid, s.cid,
+         |    ${sqlDot("eq.embedding", "ec.embedding")} / (sqrt(${sqlDot("eq.embedding", "eq.embedding")}) * sqrt(${sqlDot("ec.embedding", "ec.embedding")})) AS cos
+         |  FROM short s JOIN embeddings eq ON s.qid = eq.vec_id
+         |  JOIN embeddings ec ON s.cid = ec.vec_id)
+         |SELECT qid, cid, CAST(rank AS INT) AS rank, cos FROM (
+         |  SELECT qid, cid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |  FROM s2)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q40_cosine_topk" ->
       s"""WITH $sqlVecs,
          |scored AS (

@@ -370,6 +370,48 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("adaptiveTopK: full-corpus shortlist reproduces brute force exactly; " +
+    "truncated shortlist keeps exact scores and high recall") {
+    val q = embs.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = embs.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val n = c.count().toInt
+    val exact = Similarity.bruteForceTopK(q, c, 5).collect().map(_.toSeq).toSet
+    // shortlist = corpus: stage 2 sees every candidate -> identical
+    // ranking AND identical full-dim cosines
+    assert(Similarity.adaptiveTopK(q, c, 5, dims = 16, shortlist = n)
+      .collect().map(_.toSeq).toSet == exact)
+    // 16-of-64-dim shortlist of 20 on the random fixture: scores of
+    // agreeing pairs are the EXACT full-dim cosines (rescoring stage)
+    val adaptive = Similarity.adaptiveTopK(q, c, 5, dims = 16, shortlist = 20)
+      .collect().map(_.toSeq).toSet
+    val exactCos = exact.map(r => (r(0), r(1)) -> r(3)).toMap
+    assert(adaptive.filter(r => exactCos.contains((r(0), r(1))))
+      .forall(r => r(3) == exactCos((r(0), r(1)))),
+      "rescored cosines must equal full-dim exact cosines")
+    // The recall PROPERTY needs matryoshka-structured vectors (info
+    // front-loaded in the prefix dims) — on the fixture's isotropic
+    // random embeddings truncation recall collapses (~0.22, honest:
+    // random vectors have no low-dim structure). Structured corpus:
+    // first 16 dims carry the cluster id, the rest is noise.
+    val rng = new scala.util.Random(7)
+    val structured = (0 until 200).map { i =>
+      val cluster = i % 10
+      val head = Array.tabulate(16)(d =>
+        (if (d == cluster) 1.0f else 0.0f) + rng.nextFloat() * 0.1f)
+      val tail = Array.fill(48)(rng.nextFloat() * 0.3f)
+      (i.toLong, head ++ tail)
+    }.toDF("id", "vec")
+    val sq = structured.filter($"id" < 10).select($"id".as("qid"), $"vec")
+    val sc = structured.select($"id".as("cid"), $"vec")
+    val sExact = Similarity.bruteForceTopK(sq, sc, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val sAd = Similarity.adaptiveTopK(sq, sc, 5, dims = 16, shortlist = 20)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = sExact.intersect(sAd).size.toDouble / sExact.size
+    assert(recall >= 0.9, s"structured-corpus adaptive recall $recall too low")
+  }
+
   test("contaminationSpans + exciseContamination cut exactly the " +
     "bench-overlapping ranges") {
     val corpus = Seq(
