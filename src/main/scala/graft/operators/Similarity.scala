@@ -98,6 +98,45 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rank"), col("cos"))
   }
 
+  /** Scalar 8-bit quantization retrieval (the SQ8 of FAISS/pgvector —
+    * the STORAGE lever at 100 TB: a 768-dim float corpus is 3 KB/vec;
+    * SQ8 is 768 B plus a 2-float-per-dim codebook, a 4× scan-
+    * bandwidth cut with near-lossless recall on normalized
+    * embeddings). Per-DIMENSION corpus min/max form the codebook
+    * (one 2-value-per-dim aggregate, broadcast back);
+    * code = floor((x-lo)/(hi-lo)·255) — floor, not round, because
+    * IEEE specifies floor exactly while round ties differ across
+    * engines, so the codes (and the gate) are bit-portable.
+    * Search is ASYMMETRIC (full-precision query against dequantized
+    * codes), the standard SQ trade.
+    *
+    * Scale note: this formulation materializes the dequantized
+    * corpus through an explode + regroup so the oracle can restate
+    * it; a production scan would decode inline per block. The
+    * codebook aggregate and broadcast are the plan's only shuffle
+    * beyond the top-k window.
+    *
+    * @return qid, cid, rank (1..k), cos (query vs dequantized corpus)
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val dims = corpus.select(col("cid"), posexplode(col("vec")))
+      .select(col("cid"), (col("pos") + 1).as("d"), col("col").cast("double").as("x"))
+    val stats = dims.groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val dq = dims.join(broadcast(stats), "d")
+      .withColumn("v",
+        when(col("hi") === col("lo"), col("lo"))
+          .otherwise(col("lo") +
+            floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 255.0) / 255.0 *
+              (col("hi") - col("lo"))))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("v")))),
+        s => s.getField("v")).as("vec"))
+    bruteForceTopK(
+      queries.select(col("qid"),
+        transform(col("vec"), x => x.cast("double")).as("vec")),
+      dq.select(col("cid"), col("vec")), k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane p,
     * dimension d: a +/-1 from a PORTABLE two-round multiplicative
     * mixer (Knuth constant, xor-fold, LCG round) over k = p*4096+d+1.

@@ -53,7 +53,8 @@ object Pipeline {
     "q75_normalize" -> q75,
     "q76_contam_spans" -> q76,
     "q77_decontam_apply" -> q77,
-    "q78_matryoshka" -> q78
+    "q78_matryoshka" -> q78,
+    "q79_sq8_topk" -> q79
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -524,6 +525,19 @@ object Pipeline {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** SQ8 scalar-quantized retrieval: per-dim min/max codebook, floor
+    * codes (bit-portable — round ties differ across engines, floor
+    * does not), asymmetric full-query-vs-dequantized search. */
+  def q79(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.sq8TopK(
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   private def sqlBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS cnt
@@ -651,6 +665,14 @@ object Pipeline {
   private def sqlDot(a: String, b: String): String =
     s"""list_reduce(list_transform(generate_series(1, len($a)),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+       |    (acc, x) -> acc + x)""".stripMargin
+
+  /** [[sqlDot]] for lists that are ALREADY double — the CAST in
+    * sqlDot is a no-op on doubles, but keeping a separate name makes
+    * the oracle's type story explicit. */
+  private def sqlDotD(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len($a)),
+       |    i -> $a[i] * $b[i]),
        |    (acc, x) -> acc + x)""".stripMargin
 
   private val sqlVecs =
@@ -1246,6 +1268,28 @@ object Pipeline {
          |  SELECT qid, cid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
          |  FROM s2)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // q79: quantize -> dequantize -> rank, all restated. The
+    // codebook is per-dim min/max over exactly-converted doubles;
+    // codes floor (not round) so both engines agree bit-for-bit.
+    "q79_sq8_topk" ->
+      s"""WITH dims AS MATERIALIZED (
+         |  SELECT vec_id, CAST(i AS INT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+         |stats AS (SELECT d, min(x) AS lo, max(x) AS hi FROM dims GROUP BY d),
+         |dq AS (SELECT vec_id, d,
+         |    CASE WHEN hi = lo THEN lo
+         |      ELSE lo + floor((x - lo) / (hi - lo) * 255.0) / 255.0 * (hi - lo) END AS v
+         |  FROM dims JOIN stats USING (d)),
+         |cvec AS (SELECT vec_id, list(v ORDER BY d) AS vec FROM dq GROUP BY vec_id),
+         |qvec AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${sqlDotD("q.vec", "c.vec")} / (sqrt(${sqlDotD("q.vec", "q.vec")}) * sqrt(${sqlDotD("c.vec", "c.vec")})) AS cos
+         |  FROM qvec q JOIN cvec c ON q.vec_id <> c.vec_id)
+         |SELECT qid, cid, CAST(rank AS INT) AS rank, cos FROM (
+         |  SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |  FROM scored)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q40_cosine_topk" ->
       s"""WITH $sqlVecs,

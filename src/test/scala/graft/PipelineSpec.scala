@@ -412,6 +412,38 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.9, s"structured-corpus adaptive recall $recall too low")
   }
 
+  test("sq8TopK: quantization error bounded by one code step, high overlap " +
+    "with exact retrieval, constant dims exact") {
+    val q = embs.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = embs.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val exact = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val sq = Similarity.sq8TopK(q, c, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val overlap = exact.intersect(sq).size.toDouble / exact.size
+    assert(overlap >= 0.5, s"sq8 overlap $overlap vs exact too low")
+    // per-dim reconstruction error < (hi-lo)/255 by construction:
+    // check the worst dim explicitly
+    import org.apache.spark.sql.functions.{posexplode, max => smax, min => smin, abs => sabs}
+    val dims = c.select($"cid", posexplode($"vec"))
+      .select($"pos".as("d"), $"col".cast("double").as("x"))
+    val stats = dims.groupBy($"d").agg(smin($"x").as("lo"), smax($"x").as("hi"))
+    val step = stats.select(smax(($"hi" - $"lo") / 255.0)).as[Double].collect()(0)
+    val maxErr = dims.join(broadcast(stats), "d")
+      .filter($"hi" =!= $"lo")
+      .select(sabs($"x" - ($"lo" +
+        floor(($"x" - $"lo") / ($"hi" - $"lo") * 255.0) / 255.0 * ($"hi" - $"lo")))
+        .as("err"))
+      .agg(smax($"err")).as[Double].collect()(0)
+    assert(maxErr <= step + 1e-12, s"reconstruction error $maxErr > step $step")
+    // a constant dimension (hi == lo) dequantizes exactly
+    val const = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 3.0f)),
+      (3L, Array(1.0f, 2.5f))).toDF("cid", "vec")
+    val cq = Seq((10L, Array(1.0f, 2.0f))).toDF("qid", "vec")
+    assert(Similarity.sq8TopK(cq, const, 1).select($"cid").as[Long].collect()(0) == 1L)
+  }
+
   test("contaminationSpans + exciseContamination cut exactly the " +
     "bench-overlapping ranges") {
     val corpus = Seq(
