@@ -156,6 +156,64 @@ object TextAnalysis {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => md5(text.substr(i, lit(n)))))
 
+  /** BM25 retrieval scoring (Robertson-Walker Okapi, the classic
+    * k1/b formulation) of every corpus doc against a bag-of-terms
+    * query — full-text retrieval over the corpus at rest (dataset
+    * search, curation-time "find docs about X"), complementing the
+    * embedding-side ANN operators.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln((N−df+0.5)/(df+0.5) + 1) — the Lucene-style
+    * always-positive variant.
+    *
+    * Scale shape: ONE (doc, term) aggregate over the corpus filtered
+    * to the query terms map-side (the term list is a literal array —
+    * the corpus explodes only matching tokens), a df aggregate at
+    * query-term cardinality broadcast back, and a per-doc sum. The
+    * corpus shuffles (doc, term) rows for matching terms only.
+    *
+    * Engine-portability: same split as [[lmScore]] — `ln` is libm
+    * territory, so `score` is spec-checked against closed forms and
+    * the q80 gate pins the exact integer surface (tf, df, dl) plus
+    * N/avgdl via the portable signature.
+    *
+    * @return id, n_terms (matched query terms), sig (md5-fold of
+    *         every (term, tf, df) triple + dl), dl (doc length),
+    *         score (0.0 for docs matching no term)
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = array(queryTerms.distinct.map(lit): _*)
+    val toks = df.select(col(idCol).as("id"), wsTokens(lower(col(textCol))).as("tk"))
+      .select(col("id"), size(col("tk")).as("dl"), col("tk"))
+    val nd = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    val tf = toks
+      .select(col("id"), col("dl"),
+        explode(filter(col("tk"), t => array_contains(terms, t))).as("t"))
+      .groupBy(col("id"), col("dl"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val h = conv(substring(md5(concat_ws(":", col("t"), col("tf"), col("df"))), 1, 15), 16, 10)
+      .cast("long")
+    val scored = tf.join(broadcast(dfreq), "t").crossJoin(broadcast(nd))
+      .withColumn("idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n").cast("double"))
+      .withColumn("s", col("idf") * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    val perDoc = scored.groupBy(col("id")).agg(
+      count(lit(1)).as("n_terms"),
+      sum(pmod(h, lit(1000000000000L))).as("sig"),
+      sum(col("s")).as("score"))
+    toks.select(col("id"), col("dl").cast("long").as("dl"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("sig"), lit(0L)).as("sig"),
+        col("dl"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
   /** The Gopher rules' 8-stopword set (Rae et al. 2021, app. A1.1). */
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")

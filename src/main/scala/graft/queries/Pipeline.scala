@@ -54,7 +54,8 @@ object Pipeline {
     "q76_contam_spans" -> q76,
     "q77_decontam_apply" -> q77,
     "q78_matryoshka" -> q78,
-    "q79_sq8_topk" -> q79
+    "q79_sq8_topk" -> q79,
+    "q80_bm25" -> q80
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -537,6 +538,16 @@ object Pipeline {
         k = 5)
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** BM25 retrieval of the corpus against a 3-term query. Like q59/
+    * q72, the float score is spec territory (libm ln); the gate pins
+    * the exact (term, tf, df) surface plus doc length via the
+    * portable signature. */
+  def q80(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(Tables.documents(spark, dir), "doc_id", "text",
+        Seq("spark", "query", "window"))
+      .select(col("id").as("doc_id"), col("n_terms"), col("sig"), col("dl"))
+      .orderBy(col("doc_id"))
 
   private def sqlBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
@@ -1269,6 +1280,27 @@ object Pipeline {
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
          |  FROM s2)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // q80: the BM25 count surface — (term, tf, df) folds + doc
+    // length; the ln-bearing score is spec-gated.
+    "q80_bm25" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+         |tf AS MATERIALIZED (
+         |  SELECT doc_id, t, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(tk) AS t FROM toks)
+         |  WHERE t IN ('spark', 'query', 'window') GROUP BY doc_id, t),
+         |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         |scored AS (SELECT tf.doc_id,
+         |    ${sqlMd5Fold("tf.t || ':' || CAST(tf.tf AS VARCHAR) || ':' || CAST(dfreq.df AS VARCHAR)")}
+         |      % 1000000000000 AS h
+         |  FROM tf JOIN dfreq USING (t)),
+         |agg AS (SELECT doc_id, count(*) AS n_terms, sum(h) AS sig FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(a.n_terms, 0) AS BIGINT) AS n_terms,
+         |  CAST(coalesce(a.sig, 0) AS BIGINT) AS sig, dl.dl
+         |FROM documents d JOIN dl USING (doc_id) LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // q79: quantize -> dequantize -> rank, all restated. The
     // codebook is per-dim min/max over exactly-converted doubles;
     // codes floor (not round) so both engines agree bit-for-bit.

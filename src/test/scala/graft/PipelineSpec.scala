@@ -473,6 +473,36 @@ class PipelineSpec extends SparkSuite {
       .as[(Long, Long, Int, Int, Long)].collect().toSet == spans)
   }
 
+  test("bm25: hand-computed Okapi scores, portable count signature, " +
+    "no-match docs zero") {
+    // corpus: d1 "x x y" (x:2, y:1, dl 3), d2 "x z" (x:1, dl 2),
+    // d3 "w w" (no match, dl 2). Query {x, y}: N=3, avgdl=7/3,
+    // df(x)=2, df(y)=1.
+    val d = Seq((1L, "x x y"), (2L, "x z"), (3L, "w w")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(d, "doc_id", "text", Seq("x", "y"))
+      .orderBy($"id").collect()
+    val k1 = 1.2; val b = 0.75; val avgdl = 7.0 / 3
+    def idf(df: Int) = math.log((3 - df + 0.5) / (df + 0.5) + 1.0)
+    def w(tf: Int, dl: Int, df: Int) =
+      idf(df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert(out(0).getLong(1) == 2 && out(0).getLong(3) == 3)
+    assert(math.abs(out(0).getDouble(4) - (w(2, 3, 2) + w(1, 3, 1))) < 1e-12)
+    assert(math.abs(out(1).getDouble(4) - w(1, 2, 2)) < 1e-12)
+    assert(out(2).getLong(1) == 0 && out(2).getDouble(4) == 0.0 && out(2).getLong(3) == 2)
+    // signature folds each (term, tf, df) triple
+    def md5mod(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000000000L
+    }
+    assert(out(0).getLong(2) == md5mod("x:2:2") + md5mod("y:1:1"))
+    assert(out(1).getLong(2) == md5mod("x:1:2"))
+    // partitioning-invariant gated surface
+    val re = TextAnalysis.bm25(d.repartition(5), "doc_id", "text", Seq("x", "y"))
+      .orderBy($"id").drop("score").collect()
+    assert(re.map(_.toSeq).toSeq == out.map(_.toSeq.dropRight(1)).toSeq)
+  }
+
   test("gopherFlags: published thresholds, one rule failing at a time") {
     // 60 words, mean length in range, 2 stopwords, alphabetic -> passes
     val good = (Seq.fill(29)("alpha beta") ++ Seq("the with")).mkString(" ")
