@@ -137,6 +137,104 @@ object Similarity {
       dq.select(col("cid"), col("vec")), k)
   }
 
+  /** Deterministic PQ codebook: split the D dims into `m` subspaces
+    * of D/m; codeword j of every subspace is the j-th hash-picked
+    * corpus row's subvector (the same portable mixer and (hk, cid)
+    * order as [[pivotsOf]], so an independent engine picks the
+    * identical rows). ks rows — driver-resident by definition, like
+    * IVF centroids. Floats convert to double exactly before any
+    * arithmetic.
+    * @return cw(s)(j) = codeword j of subspace s (ds doubles)
+    */
+  private[graft] def pqCodebook(corpus: DataFrame, m: Int, ks: Int): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && ks >= 1, s"pq: m=$m ks=$ks must be >= 1")
+    val rows = corpus
+      .withColumn("hk", ((col("cid") % lit(1000000007L)) * lit(2654435761L)) % lit(4294967296L))
+      .orderBy(col("hk"), col("cid")).limit(ks)
+      .select(col("vec")).collect()
+    require(rows.nonEmpty, "pq: empty corpus")
+    val vecs: Seq[Seq[Double]] = rows.toSeq.map(_.getSeq[Any](0).map {
+      case f: Float  => f.toDouble
+      case d: Double => d
+      case x => throw new IllegalArgumentException(
+        s"pq: vec must be array<float|double>, got element $x")
+    })
+    val dims = vecs.head.length
+    require(vecs.forall(_.length == dims), "pq: ragged vector lengths in codebook rows")
+    require(dims % m == 0, s"pq: dims $dims not divisible by m=$m")
+    val ds = dims / m
+    (0 until m).map(s => vecs.map(_.slice(s * ds, s * ds + ds)))
+  }
+
+  /** PQ encoding: each corpus vector becomes `m` small codes — code s
+    * is the argmin-L2 codeword of subspace s (ties by codeword index,
+    * first occurrence). ONE map-side pass over literal codewords (the
+    * ivfAssign discipline: the corpus never shuffles, no ks-fold row
+    * replication); per-subspace distances are sequential left folds
+    * in dim order, so the codes are bit-portable. The codes column IS
+    * the stored corpus of a PQ deployment: m bytes/vector at ks<=256
+    * vs 4·D for raw floats — 32× at D=64, m=8.
+    * @param corpus (cid, vec) ; @return (cid, codes: array<int>, 0-based)
+    */
+  def pqEncode(corpus: DataFrame, cw: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = cw.length; val ks = cw.head.length; val ds = cw.head.head.length
+    val cwLit = typedlit(cw)
+    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+      val sub = slice(col("__vd"), s * lit(ds) + lit(1), lit(ds))
+      val dists = transform(sequence(lit(0), lit(ks - 1)), j =>
+        aggregate(
+          zip_with(sub, element_at(element_at(cwLit, s + lit(1)), j + lit(1)),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+    corpus.select(col("cid"), transform(col("vec"), x => x.cast("double")).as("__vd"))
+      .select(col("cid"), codes.as("codes"))
+  }
+
+  /** Product-quantization retrieval (Jégou et al. 2011 — the OTHER
+    * FAISS storage lever beside SQ8): corpus encoded by [[pqEncode]]
+    * under a [[pqCodebook]], queries score each item ASYMMETRICALLY
+    * (full-precision query vs the code reconstruction). Ranking
+    * metric is squared L2 to the reconstruction, ascending, ties by
+    * cid — mathematically the classic per-subspace ADC lookup-table
+    * sum, but computed as ONE full-vector left fold so the oracle
+    * restates the exact bits (a per-subspace LUT sum groups the
+    * additions differently; IEEE addition is not associative — a
+    * production scan would use the LUT and keep the tiny last-bit
+    * divergence).
+    *
+    * Codewords are hash-picked corpus rows (the q42 pivot trick:
+    * deterministic, zero training passes, oracle-replayable);
+    * [[trainKmeans]] per subspace is the quality upgrade a deployment
+    * would run once — the gated path stays pinned.
+    *
+    * Scale shape: codebook broadcast as literals; encode is map-side;
+    * the rank stage is the standard broadcast-query top-k window over
+    * the corpus. Nothing shuffles except the final O(queries·k) rows.
+    * @return qid, cid, rank (1..k), adist (squared L2 to reconstruction)
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, ks: Int = 16): DataFrame = {
+    val cw = pqCodebook(corpus, m, ks)
+    val cwLit = typedlit(cw)
+    val recon = flatten(transform(sequence(lit(0), lit(m - 1)), s =>
+      element_at(element_at(cwLit, s + lit(1)),
+        element_at(col("codes"), s + lit(1)) + lit(1))))
+    val c = pqEncode(corpus, cw).select(col("cid"), recon.as("rvec"))
+    val q = queries.select(col("qid"),
+      transform(col("vec"), x => x.cast("double")).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("adist", aggregate(
+        zip_with(col("qvec"), col("rvec"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("adist"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane p,
     * dimension d: a +/-1 from a PORTABLE two-round multiplicative
     * mixer (Knuth constant, xor-fold, LCG round) over k = p*4096+d+1.

@@ -55,7 +55,8 @@ object Pipeline {
     "q77_decontam_apply" -> q77,
     "q78_matryoshka" -> q78,
     "q79_sq8_topk" -> q79,
-    "q80_bm25" -> q80
+    "q80_bm25" -> q80,
+    "q81_pq_topk" -> q81
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -548,6 +549,20 @@ object Pipeline {
         Seq("spark", "query", "window"))
       .select(col("id").as("doc_id"), col("n_terms"), col("sig"), col("dl"))
       .orderBy(col("doc_id"))
+
+  /** PQ retrieval: 8 subspaces x 8 dims, 16 hash-picked codewords,
+    * asymmetric ADC ranking by squared L2 to the reconstruction —
+    * codes, reconstruction and fold order all deterministic, so the
+    * gate restates ranks AND distances bit-for-bit. */
+  def q81(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.pqTopK(
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5, m = 8, ks = 16)
+      .orderBy(col("qid"), col("rank"))
+  }
 
   private def sqlBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
@@ -1301,6 +1316,50 @@ object Pipeline {
          |  CAST(coalesce(a.sig, 0) AS BIGINT) AS sig, dl.dl
          |FROM documents d JOIN dl USING (doc_id) LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // q81: the full PQ pipeline restated — hash-pick the 16 codebook
+    // rows (same mixer as the IVF pivots), slice into 8 subspaces,
+    // argmin-encode every vector (ties by codeword index), rebuild
+    // the reconstruction, rank by the same left-fold squared L2.
+    "q81_pq_topk" ->
+      s"""WITH cb AS MATERIALIZED (
+         |  SELECT j, vec FROM (
+         |    SELECT row_number() OVER (
+         |        ORDER BY ((vec_id % 1000000007) * 2654435761) % 4294967296, vec_id) AS j,
+         |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |    FROM embeddings) WHERE j <= 16),
+         |cw AS MATERIALIZED (
+         |  SELECT CAST(s AS INT) AS s, CAST(j AS INT) AS j,
+         |    vec[CAST(s*8+1 AS INT) : CAST(s*8+8 AS INT)] AS cwv
+         |  FROM cb, unnest(generate_series(0, 7)) AS t(s)),
+         |cvec AS MATERIALIZED (
+         |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings),
+         |code AS MATERIALIZED (
+         |  SELECT cid, s, j FROM (
+         |    SELECT cid, s, j, row_number() OVER (PARTITION BY cid, s ORDER BY d2, j) AS rn
+         |    FROM (
+         |      SELECT cid, s, j,
+         |        list_reduce(list_transform(generate_series(1, 8),
+         |          i -> (vec[CAST(s*8+i AS INT)] - cwv[CAST(i AS INT)])
+         |             * (vec[CAST(s*8+i AS INT)] - cwv[CAST(i AS INT)])),
+         |          (acc, x) -> acc + x) AS d2
+         |      FROM cvec, cw)) WHERE rn = 1),
+         |recon AS MATERIALIZED (
+         |  SELECT code.cid, flatten(list(cw.cwv ORDER BY code.s)) AS rvec
+         |  FROM code JOIN cw ON code.s = cw.s AND code.j = cw.j
+         |  GROUP BY code.cid),
+         |q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (SELECT qid, cid,
+         |    list_reduce(list_transform(generate_series(1, len(qvec)),
+         |      i -> (qvec[i] - rvec[i]) * (qvec[i] - rvec[i])),
+         |      (acc, x) -> acc + x) AS adist
+         |  FROM q JOIN recon ON qid <> cid)
+         |SELECT qid, cid, CAST(rank AS INT) AS rank, adist FROM (
+         |  SELECT qid, cid, adist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // q79: quantize -> dequantize -> rank, all restated. The
     // codebook is per-dim min/max over exactly-converted doubles;
     // codes floor (not round) so both engines agree bit-for-bit.

@@ -444,6 +444,60 @@ class PipelineSpec extends SparkSuite {
     assert(Similarity.sq8TopK(cq, const, 1).select($"cid").as[Long].collect()(0) == 1L)
   }
 
+  test("pqTopK: bit-exact parity with an independent PQ model; codes in " +
+    "range; corpus == codebook reconstructs exactly") {
+    val q = embs.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = embs.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val out = Similarity.pqTopK(q, c, 5, m = 8, ks = 16)
+      .orderBy($"qid", $"rank")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    // independent plain-Scala PQ model: same hash pick, same argmin
+    // tie rule, same left folds
+    val rows = embs.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val picked = rows.sortBy { case (id, _) =>
+      (((id % 1000000007L) * 2654435761L) % 4294967296L, id) }.take(16)
+    val cw = Array.tabulate(8)(s => picked.map(_._2.slice(s * 8, s * 8 + 8).map(_.toDouble)))
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.foldLeft(0.0)(_ + _)
+    def encode(v: Array[Float]): Array[Int] = Array.tabulate(8) { s =>
+      val d = cw(s).map(l2(v.slice(s * 8, s * 8 + 8).map(_.toDouble), _))
+      d.indexOf(d.min)
+    }
+    val reconOf = rows.map { case (id, v) =>
+      id -> encode(v).zipWithIndex.flatMap { case (code, s) => cw(s)(code) } }.toMap
+    val expected = rows.filter(_._1 % 50 == 0).toSeq.sortBy(_._1).flatMap {
+      case (qid, qv) =>
+        val qd = qv.map(_.toDouble)
+        rows.filter(_._1 != qid)
+          .map { case (cid, _) => (cid, l2(qd, reconOf(cid))) }
+          .sortBy { case (cid, d) => (d, cid) }.take(5).zipWithIndex
+          .map { case ((cid, d), i) => (qid, cid, i + 1, d) }
+    }
+    assert(out == expected) // ranks AND double bits
+    // the stored representation: m codes in [0, ks)
+    val codes = Similarity.pqEncode(c, Similarity.pqCodebook(c, 8, 16))
+      .as[(Long, Array[Int])].collect()
+    assert(codes.length == rows.length &&
+      codes.forall(_._2.length == 8) &&
+      codes.forall(_._2.forall(x => x >= 0 && x < 16)))
+    // corpus of exactly ks rows: every row is a codeword, so each
+    // vector encodes to a zero-distance codeword and reconstructs
+    // exactly -> adist == exact squared L2
+    val c16ids = rows.sortBy(_._1).take(16)
+    val c16 = c16ids.toSeq.toDF("cid", "vec")
+    val q1 = Seq((c16ids.head._1, c16ids.head._2)).toDF("qid", "vec")
+    val got = Similarity.pqTopK(q1, c16, 3, m = 8, ks = 16)
+      .orderBy($"rank").as[(Long, Long, Int, Double)].collect().toSeq
+    val qd = c16ids.head._2.map(_.toDouble)
+    val exp16 = c16ids.tail
+      .map { case (cid, v) => (cid, l2(qd, v.map(_.toDouble))) }.toSeq
+      .sortBy { case (cid, d) => (d, cid) }.take(3).zipWithIndex
+      .map { case ((cid, d), i) => (c16ids.head._1, cid, i + 1, d) }
+    assert(got == exp16)
+  }
+
   test("contaminationSpans + exciseContamination cut exactly the " +
     "bench-overlapping ranges") {
     val corpus = Seq(
