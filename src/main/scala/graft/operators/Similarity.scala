@@ -235,6 +235,36 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rank"), col("adist"))
   }
 
+  /** Semantic benchmark-contamination screen: every corpus doc's
+    * NEAREST benchmark item by embedding cosine, plus the >= tau
+    * verdict — the embedding-side counterpart of the n-gram
+    * decontamination family (q37/q76: shared shingles; here: shared
+    * meaning, which survives paraphrase). A screening REPORT rather
+    * than a pair miner: one row per corpus doc, so an honest all-clear
+    * corpus still exercises the whole plan (the q74 discipline).
+    *
+    * Scale shape: the bench side is eval-sized — it BROADCASTS; the
+    * corpus scores map-side, and the per-doc argmax collapses in the
+    * partial aggregate (min of a (-cos, bid) struct, so ties break
+    * toward the smallest bid deterministically) — the shuffle carries
+    * ONE struct per corpus doc, never the bench fan-out. A bench too
+    * big to broadcast is the cross-corpus LSH regime (cosineNearDup
+    * machinery), not this operator.
+    *
+    * @param corpus (cid, vec) ; @param bench (bid, vec) — small, broadcast
+    * @return cid, bid (nearest bench item), cos, contaminated
+    */
+  def semanticScreen(corpus: DataFrame, bench: DataFrame, threshold: Double): DataFrame = {
+    val b = bench.select(col("bid"), col("vec").as("bvec"), norm2Seq(col("vec")).as("bn2"))
+    val c = corpus.select(col("cid"), col("vec").as("cvec"), norm2Seq(col("vec")).as("cn2"))
+    c.crossJoin(broadcast(b))
+      .withColumn("cos", cosine(dotSeq(col("cvec"), col("bvec")), col("cn2"), col("bn2")))
+      .groupBy(col("cid"))
+      .agg(min(struct((-col("cos")).as("nc"), col("bid").as("b"))).as("m"))
+      .select(col("cid"), col("m.b").as("bid"), (-col("m.nc")).as("cos"),
+        ((-col("m.nc")) >= threshold).as("contaminated"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane p,
     * dimension d: a +/-1 from a PORTABLE two-round multiplicative
     * mixer (Knuth constant, xor-fold, LCG round) over k = p*4096+d+1.

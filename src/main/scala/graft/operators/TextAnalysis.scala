@@ -214,6 +214,98 @@ object TextAnalysis {
         coalesce(col("score"), lit(0.0)).as("score"))
   }
 
+  /** Approximate heavy hitters with a VERIFIED error envelope: the
+    * top-k corpus tokens by exact occurrence count, each annotated
+    * with whether a count-min sketch's estimate respects the CMS
+    * guarantees (estimate >= true count always; estimate <= true +
+    * eps·N with the configured confidence). The q64x discipline
+    * applied to the third classic sketch: counts themselves are exact
+    * and hash-checked, the sketch's envelope becomes booleans the
+    * oracle states TRUE.
+    *
+    * Scale shape: the CMS is MERGEABLE — partial sketches build
+    * map-side and add counterwise (commutative, so parallelism
+    * doesn't change the result for a fixed seed), constant bytes per
+    * partition regardless of corpus size. At 100 TB a deployment
+    * keeps the sketch plus per-partition candidate heaps instead of
+    * the exact token groupBy — which here rides along as the
+    * verification surface. The top-k table is driver-resident by
+    * construction (k rows).
+    */
+  def heavyHitters(df: DataFrame, idCol: String, textCol: String, k: Int = 20,
+                   eps: Double = 0.001, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).as("id"),
+      explode(wsTokens(lower(col(textCol)))).as("t"))
+    val exact = toks.groupBy(col("t").as("token"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("id")).as("ndocs"))
+    val total = toks.count()
+    val sketch = toks.stat.countMinSketch("t", eps, confidence, seed)
+    val margin = math.ceil(eps * total).toLong
+    val top = exact.orderBy(col("cnt").desc, col("token")).limit(k).collect()
+    top.toSeq.map { r =>
+      val token = r.getString(0); val cnt = r.getLong(1); val ndocs = r.getLong(2)
+      val est = sketch.estimateCount(token)
+      (token, cnt, ndocs, est >= cnt, est <= cnt + margin)
+    }.toDF("token", "cnt", "ndocs", "lower_ok", "upper_ok")
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** Skip-gram co-occurrence statistics (the GloVe/word2vec/PPMI
+    * preprocessing pass): symmetric-window (token, context) counts
+    * over the corpus, joined with unigram counts — the integer
+    * surface from which PMI/PPMI and co-occurrence matrices derive.
+    * PMI itself (ln(n_wc·N / (n_w·n_c))) is libm territory, so the
+    * q59/q72 split applies: counts are the gated surface, the float
+    * lives in spec-land via [[pmiOf]].
+    *
+    * Scale shape: pair generation is PURE MAP-SIDE (per-row nested
+    * transform over the token array — no self-join, no shuffle of
+    * positions); the corpus shuffles once keyed by (w, c) for the
+    * pair aggregate and once by token for unigrams, both with
+    * map-side partial combine. The unigram table joins (never
+    * broadcast — vocabulary scales with the corpus). Common-token
+    * blowup is bounded by the window: exactly
+    * min(2·window, len-1) contexts per position, corpus-linear.
+    *
+    * @return w, c, n_wc, n_w, n_c, n (total pair count) for pairs
+    *         with n_wc >= minCount, ordered (n_wc desc, w, c), top
+    *         `k` rows
+    */
+  def cooccur(df: DataFrame, idCol: String, textCol: String,
+              window: Int = 2, minCount: Long = 2, k: Int = 100): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val tk = wsTokens(lower(col(textCol)))
+    val prs = df.select(col(idCol).as("id"), tk.as("tk"))
+      .select(explode(flatten(transform(sequence(lit(1), size(col("tk"))), i =>
+        transform(
+          filter(sequence(greatest(i - window, lit(1)),
+            least(i + window, size(col("tk")))), j => j =!= i),
+          j => struct(element_at(col("tk"), i).as("w"),
+            element_at(col("tk"), j).as("c")))))).as("p"))
+      .select(col("p.w").as("w"), col("p.c").as("c"))
+    val pairCnt = prs.groupBy(col("w"), col("c")).agg(count(lit(1)).as("n_wc"))
+    val uni = prs.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val total = pairCnt.agg(sum(col("n_wc")).as("n"))
+    pairCnt
+      .join(uni, Seq("w"))
+      .join(uni.select(col("w").as("c"), col("n_w").as("n_c")), Seq("c"))
+      .crossJoin(total)
+      .filter(col("n_wc") >= minCount)
+      .orderBy(col("n_wc").desc, col("w"), col("c")).limit(k)
+      .select(col("w"), col("c"), col("n_wc"), col("n_w"), col("n_c"), col("n"))
+  }
+
+  /** The PMI of a [[cooccur]] row — the float the gate deliberately
+    * leaves to spec-land. Unigram normalization follows the PPMI
+    * convention of counting each token's appearances AS A CENTER
+    * (n_w over pair emissions / n), so probabilities sum to 1. */
+  def pmiOf(nWc: Column, nW: Column, nC: Column, n: Column): Column =
+    log((nWc.cast("double") * n.cast("double")) /
+      (nW.cast("double") * nC.cast("double")))
+
   /** The Gopher rules' 8-stopword set (Rae et al. 2021, app. A1.1). */
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")

@@ -56,7 +56,10 @@ object Pipeline {
     "q78_matryoshka" -> q78,
     "q79_sq8_topk" -> q79,
     "q80_bm25" -> q80,
-    "q81_pq_topk" -> q81
+    "q81_pq_topk" -> q81,
+    "q82_semantic_screen" -> q82,
+    "q83_heavy_hitters" -> q83,
+    "q84_cooccur" -> q84
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -563,6 +566,35 @@ object Pipeline {
         k = 5, m = 8, ks = 16)
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Semantic contamination screen of the corpus slice against the
+    * bench slice (vec_id % 10 == 0): per corpus doc, nearest bench
+    * item + cosine + the >= 0.8 verdict. Honest all-clear on this
+    * fixture (isotropic embeddings top out near cos 0.5); the spec
+    * plants a paraphrase-grade duplicate to exercise the flag. */
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.semanticScreen(
+        e.filter(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("bid"), col("embedding").as("vec")),
+        threshold = 0.8)
+      .orderBy(col("cid"))
+  }
+
+  /** Count-min-sketch heavy hitters: exact top-20 token counts
+    * (hash-checked) + the CMS error-envelope booleans the oracle
+    * states TRUE — the q64x discipline for frequency sketches. */
+  def q83(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHitters(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Skip-gram co-occurrence counts (symmetric window 2, min pair
+    * count 2, top 100 by (n_wc desc, w, c)) — the GloVe/PPMI
+    * preprocessing surface. The gate pins the integer counts; the
+    * PMI float is spec territory (libm ln), per the q59/q72 split. */
+  def q84(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cooccur(Tables.documents(spark, dir), "doc_id", "text")
 
   private def sqlBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
@@ -1360,6 +1392,55 @@ object Pipeline {
          |    row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // q82: per-corpus-doc nearest bench item — same cosine fold as
+    // q40; argmax restated as a (cos desc, bid) row_number.
+    "q82_semantic_screen" ->
+      s"""WITH $sqlVecs,
+         |s AS (SELECT c.vec_id AS cid, b.vec_id AS bid,
+         |    ${sqlDot("c.embedding", "b.embedding")} / (sqrt(c.n2) * sqrt(b.n2)) AS cos
+         |  FROM norms c JOIN norms b
+         |    ON c.vec_id % 10 <> 0 AND b.vec_id % 10 = 0),
+         |r AS (SELECT cid, bid, cos,
+         |    row_number() OVER (PARTITION BY cid ORDER BY cos DESC, bid) AS rn
+         |  FROM s)
+         |SELECT cid, bid, cos, cos >= 0.8 AS contaminated
+         |FROM r WHERE rn = 1 ORDER BY cid""".stripMargin,
+    // q83: exact heavy-hitter counts restated; the sketch envelope
+    // booleans are stated TRUE (the CMS lower bound holds always,
+    // the upper with margin eps*N at confidence 0.99 under a pinned
+    // seed — the q64x pattern).
+    "q83_heavy_hitters" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |    t -> length(t) > 0)) AS t
+        |  FROM documents),
+        |agg AS (SELECT t AS token, count(*) AS cnt, count(DISTINCT doc_id) AS ndocs
+        |  FROM toks GROUP BY t)
+        |SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(ndocs AS BIGINT) AS ndocs,
+        |  TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM agg ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    // q84: the co-occurrence integer surface restated with pure list
+    // ops (no lateral unnest): per-position context windows, pair +
+    // center-unigram aggregates, total pair mass.
+    "q84_cooccur" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |prs AS MATERIALIZED (
+        |  SELECT p[1] AS w, p[2] AS c FROM (
+        |    SELECT unnest(flatten(list_transform(generate_series(1, len(tk)), i ->
+        |      list_transform(list_filter(generate_series(greatest(i-2, 1), least(i+2, len(tk))),
+        |          j -> j <> i),
+        |        j -> [tk[CAST(i AS INT)], tk[CAST(j AS INT)]])))) AS p
+        |    FROM toks)),
+        |pc AS MATERIALIZED (SELECT w, c, count(*) AS n_wc FROM prs GROUP BY w, c),
+        |uni AS MATERIALIZED (SELECT w, count(*) AS n_w FROM prs GROUP BY w),
+        |tot AS (SELECT sum(n_wc) AS n FROM pc)
+        |SELECT pc.w, pc.c, CAST(n_wc AS BIGINT) AS n_wc, CAST(u1.n_w AS BIGINT) AS n_w,
+        |  CAST(u2.n_w AS BIGINT) AS n_c, CAST(n AS BIGINT) AS n
+        |FROM pc JOIN uni u1 ON pc.w = u1.w JOIN uni u2 ON pc.c = u2.w, tot
+        |WHERE n_wc >= 2
+        |ORDER BY n_wc DESC, pc.w, pc.c LIMIT 100""".stripMargin,
     // q79: quantize -> dequantize -> rank, all restated. The
     // codebook is per-dim min/max over exactly-converted doubles;
     // codes floor (not round) so both engines agree bit-for-bit.

@@ -498,6 +498,83 @@ class PipelineSpec extends SparkSuite {
     assert(got == exp16)
   }
 
+  test("semanticScreen: bit-exact nearest-bench report, deterministic " +
+    "ties, planted duplicate flags") {
+    val corpus = embs.filter($"vec_id" % 10 =!= 0)
+      .select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val bench = embs.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("bid"), $"embedding".as("vec"))
+    val out = Similarity.semanticScreen(corpus, bench, 0.8)
+      .orderBy($"cid").as[(Long, Long, Double, Boolean)].collect().toSeq
+    // brute model with the same fold order
+    val rows = embs.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.foldLeft(0.0)(_ + _)
+    val bm = rows.filter(_._1 % 10 == 0)
+    val expected = rows.filter(_._1 % 10 != 0).toSeq.sortBy(_._1).map { case (cid, cv) =>
+      val (bid, cos) = bm
+        .map { case (bid, bv) => (bid, dot(cv, bv) / (math.sqrt(dot(cv, cv)) * math.sqrt(dot(bv, bv)))) }
+        .minBy { case (bid, cos) => (-cos, bid) }
+      (cid, bid, cos, cos >= 0.8)
+    }
+    assert(out == expected)
+    assert(out.forall(!_._4), "isotropic fixture must screen all-clear")
+    // planted near-identical doc -> flagged; identical bench twins ->
+    // smallest bid wins
+    val v = rows.head._2
+    val c2 = Seq((1000L, v), (1001L, rows(1)._2)).toDF("cid", "vec")
+    val b2 = Seq((7L, v), (3L, v)).toDF("bid", "vec")
+    val got = Similarity.semanticScreen(c2, b2, 0.8)
+      .orderBy($"cid").as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got.head._2 == 3L && got.head._4, s"planted dup must flag with min bid: $got")
+    assert(got(1)._2 == 3L, "tie on equal vectors resolves to smallest bid")
+  }
+
+  test("heavyHitters: exact counts with deterministic order, CMS envelope " +
+    "holds, partition-invariant") {
+    // lower() folds b/B: a=4 over 3 docs, c=4 over 2, b=3 over 2
+    val d = Seq((1L, "a a b c"), (2L, "a b B"), (3L, "c c c a")).toDF("doc_id", "text")
+    val out = TextAnalysis.heavyHitters(d, "doc_id", "text", k = 3)
+      .as[(String, Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(out == Seq(("a", 4L, 3L, true, true), ("c", 4L, 2L, true, true),
+      ("b", 3L, 2L, true, true)))
+    // sketch merge is counterwise addition: parallelism-invariant
+    assert(TextAnalysis.heavyHitters(d.repartition(7), "doc_id", "text", k = 3)
+      .as[(String, Long, Long, Boolean, Boolean)].collect().toSeq == out)
+    // corpus fixture: full k, every envelope check green
+    val full = TextAnalysis.heavyHitters(docs, "doc_id", "text")
+      .as[(String, Long, Long, Boolean, Boolean)].collect()
+    assert(full.length == 20 && full.forall(r => r._4 && r._5))
+  }
+
+  test("cooccur: hand-computed skip-gram counts, symmetric pair table, " +
+    "PMI closed form, partition-invariant") {
+    // "a b c a", window 2: centers emit (a,b)x2 (a,c)x2 (b,a)x2
+    // (b,c)x1 (c,a)x2 (c,b)x1; unigram mass a=4 b=3 c=3; n=10
+    val d = Seq((1L, "a b C a")).toDF("doc_id", "text")
+    val out = TextAnalysis.cooccur(d, "doc_id", "text", window = 2, minCount = 1)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", "b", 2L, 4L, 3L, 10L), ("a", "c", 2L, 4L, 3L, 10L),
+      ("b", "a", 2L, 3L, 4L, 10L), ("c", "a", 2L, 3L, 4L, 10L),
+      ("b", "c", 1L, 3L, 3L, 10L), ("c", "b", 1L, 3L, 3L, 10L)))
+    // PMI closed form on the first row: ln(2*10 / (4*3))
+    val pmi = TextAnalysis.cooccur(d, "doc_id", "text", window = 2, minCount = 1)
+      .select(TextAnalysis.pmiOf($"n_wc", $"n_w", $"n_c", $"n").as("pmi"))
+      .as[Double].collect()
+    assert(math.abs(pmi(0) - math.log(20.0 / 12.0)) < 1e-12)
+    // the symmetric window makes the pair table symmetric: on the
+    // corpus fixture every (w,c) count equals its (c,w) mirror
+    val full = TextAnalysis.cooccur(docs, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(full.nonEmpty && full.forall { case ((w, c), n) =>
+      !full.contains((c, w)) || full((c, w)) == n })
+    // map-side pair generation: parallelism-invariant
+    assert(TextAnalysis.cooccur(docs.repartition(13), "doc_id", "text")
+      .collect().map(_.toSeq).toSeq ==
+      TextAnalysis.cooccur(docs, "doc_id", "text").collect().map(_.toSeq).toSeq)
+  }
+
   test("contaminationSpans + exciseContamination cut exactly the " +
     "bench-overlapping ranges") {
     val corpus = Seq(
