@@ -178,31 +178,35 @@ object Similarity {
     */
   def pqEncode(corpus: DataFrame, cw: Seq[Seq[Seq[Double]]]): DataFrame = {
     val m = cw.length; val ks = cw.head.length; val ds = cw.head.head.length
-    val cwLit = typedlit(cw)
-    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
-      val sub = slice(col("__vd"), s * lit(ds) + lit(1), lit(ds))
+    // m is a static Int, so the subspace loop unrolls into plain
+    // column expressions and each per-codeword fold is the codegen'd
+    // VecL2SqSeq reading the subvector AT ITS OFFSET — zero slice
+    // copies, no per-element lambda interpretation, float widening
+    // inside the fold (the identical IEEE sequence the HOF chain
+    // produced; stress-measured 76.7 s → see BENCH.md for the after).
+    val codes = array((0 until m).map { s =>
+      val cwS = typedlit(cw(s))
       val dists = transform(sequence(lit(0), lit(ks - 1)), j =>
-        aggregate(
-          zip_with(sub, element_at(element_at(cwLit, s + lit(1)), j + lit(1)),
-            (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
+        ArrayOps.vecL2Sq(col("vec"), element_at(cwS, j + lit(1)), s * ds))
       (array_position(dists, array_min(dists)) - 1).cast("int")
-    })
-    corpus.select(col("cid"), transform(col("vec"), x => x.cast("double")).as("__vd"))
-      .select(col("cid"), codes.as("codes"))
+    }: _*)
+    corpus.select(col("cid"), codes.as("codes"))
   }
 
   /** Product-quantization retrieval (Jégou et al. 2011 — the OTHER
     * FAISS storage lever beside SQ8): corpus encoded by [[pqEncode]]
     * under a [[pqCodebook]], queries score each item ASYMMETRICALLY
-    * (full-precision query vs the code reconstruction). Ranking
-    * metric is squared L2 to the reconstruction, ascending, ties by
-    * cid — mathematically the classic per-subspace ADC lookup-table
-    * sum, but computed as ONE full-vector left fold so the oracle
-    * restates the exact bits (a per-subspace LUT sum groups the
-    * additions differently; IEEE addition is not associative — a
-    * production scan would use the LUT and keep the tiny last-bit
-    * divergence).
+    * (full-precision query vs the code reconstruction) via the
+    * classic ADC lookup table. Each query precomputes a flat m·ks
+    * table — lut[s·ks + j] = ||q_sub(s) − cw(s)(j)||², a sequential
+    * left fold in dim order — and the per-pair distance is then m
+    * `element_at` lookups summed left-to-right: plain codegen'd
+    * array indexing, no per-pair lambda over D dims. (The r5 stress
+    * run measured the naive full-vector fold at 595 s for 500×50k;
+    * the LUT scan is the shape a FAISS IndexPQ search actually runs.)
+    * Ranking is adist ascending, ties by cid; the oracle restates the
+    * same grouping — per-subspace folds, then a left fold over s — so
+    * the gate stays bit-for-bit.
     *
     * Codewords are hash-picked corpus rows (the q42 pivot trick:
     * deterministic, zero training passes, oracle-replayable);
@@ -210,25 +214,27 @@ object Similarity {
     * would run once — the gated path stays pinned.
     *
     * Scale shape: codebook broadcast as literals; encode is map-side;
-    * the rank stage is the standard broadcast-query top-k window over
-    * the corpus. Nothing shuffles except the final O(queries·k) rows.
+    * LUTs are built once per query row (m·ks·(D/m) work on the tiny
+    * broadcast side) and the rank stage is the standard
+    * broadcast-query top-k window over the corpus (WindowGroupLimit
+    * keeps the shuffle at O(partitions·queries·k)). Nothing shuffles
+    * except the final O(queries·k) rows.
     * @return qid, cid, rank (1..k), adist (squared L2 to reconstruction)
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 8, ks: Int = 16): DataFrame = {
     val cw = pqCodebook(corpus, m, ks)
-    val cwLit = typedlit(cw)
-    val recon = flatten(transform(sequence(lit(0), lit(m - 1)), s =>
-      element_at(element_at(cwLit, s + lit(1)),
-        element_at(col("codes"), s + lit(1)) + lit(1))))
-    val c = pqEncode(corpus, cw).select(col("cid"), recon.as("rvec"))
-    val q = queries.select(col("qid"),
-      transform(col("vec"), x => x.cast("double")).as("qvec"))
-    val scored = c.crossJoin(broadcast(q))
+    val ds = cw.head.head.length
+    val lut = flatten(array((0 until m).map { s =>
+      transform(typedlit(cw(s)), cwv => ArrayOps.vecL2Sq(col("vec"), cwv, s * ds))
+    }: _*))
+    val q = queries.select(col("qid"), lut.as("lut"))
+    val adist = (0 until m).map(s =>
+      element_at(col("lut"), element_at(col("codes"), s + 1) + lit(s * ks + 1)))
+      .reduce(_ + _)
+    val scored = pqEncode(corpus, cw).crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("adist", aggregate(
-        zip_with(col("qvec"), col("rvec"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adist", adist)
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -1350,8 +1350,9 @@ object Pipeline {
          |ORDER BY d.doc_id""".stripMargin,
     // q81: the full PQ pipeline restated — hash-pick the 16 codebook
     // rows (same mixer as the IVF pivots), slice into 8 subspaces,
-    // argmin-encode every vector (ties by codeword index), rebuild
-    // the reconstruction, rank by the same left-fold squared L2.
+    // argmin-encode every vector (ties by codeword index), then the
+    // ADC grouping: per-(query, subspace, codeword) LUT entries via
+    // the same left fold, summed over s in order.
     "q81_pq_topk" ->
       s"""WITH cb AS MATERIALIZED (
          |  SELECT j, vec FROM (
@@ -1376,17 +1377,21 @@ object Pipeline {
          |             * (vec[CAST(s*8+i AS INT)] - cwv[CAST(i AS INT)])),
          |          (acc, x) -> acc + x) AS d2
          |      FROM cvec, cw)) WHERE rn = 1),
-         |recon AS MATERIALIZED (
-         |  SELECT code.cid, flatten(list(cw.cwv ORDER BY code.s)) AS rvec
-         |  FROM code JOIN cw ON code.s = cw.s AND code.j = cw.j
-         |  GROUP BY code.cid),
-         |q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
          |  FROM embeddings WHERE vec_id % 50 = 0),
+         |lut AS MATERIALIZED (
+         |  SELECT qid, s, j,
+         |    list_reduce(list_transform(generate_series(1, 8),
+         |      i -> (qvec[CAST(s*8+i AS INT)] - cwv[CAST(i AS INT)])
+         |         * (qvec[CAST(s*8+i AS INT)] - cwv[CAST(i AS INT)])),
+         |      (acc, x) -> acc + x) AS d2
+         |  FROM q, cw),
          |scored AS (SELECT qid, cid,
-         |    list_reduce(list_transform(generate_series(1, len(qvec)),
-         |      i -> (qvec[i] - rvec[i]) * (qvec[i] - rvec[i])),
-         |      (acc, x) -> acc + x) AS adist
-         |  FROM q JOIN recon ON qid <> cid)
+         |    list_reduce(list(d2 ORDER BY s), (acc, x) -> acc + x) AS adist
+         |  FROM code JOIN lut USING (s, j)
+         |  WHERE qid <> cid
+         |  GROUP BY qid, cid)
          |SELECT qid, cid, CAST(rank AS INT) AS rank, adist FROM (
          |  SELECT qid, cid, adist,
          |    row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank

@@ -193,6 +193,47 @@ object ScaleStress {
       graft.operators.Sampling.capPerGroup(grouped, "src", "doc_id", 1000).count())
     }
 
+    if (sections("retrieval")) {
+    // r5 retrieval additions at corpus scale: every plan here claims
+    // corpus-linearity with the query/bench/codebook side broadcast
+    // (and FIXED-SIZE as the corpus grows) — run at N and 10N to
+    // hold them to it.
+    val zipf = gen("zipf")
+    println(s"[stress] zipf corpus: ${zipf.count()} docs")
+    // bm25 output is left-join-shaped: aggregate payload, never count
+    timed("bm25 3-term query over corpus")(
+      TextAnalysis.bm25(zipf, "doc_id", "text", Seq("w0", "w1", "w2"))
+        .agg(sum(pmod(col("sig"), lit(1000003L))), sum(col("score")))
+        .collect()(0).toSeq)
+    timed("heavyHitters k=20 (exact + CMS envelope)")(
+      TextAnalysis.heavyHitters(zipf, "doc_id", "text").count())
+    timed("cooccur window=2 top-100")(
+      TextAnalysis.cooccur(zipf, "doc_id", "text").count())
+    val nv = math.max(nDocs / 2, 1000)
+    val vecs = spark.range(0, nv, 1, 32)
+      .mapPartitions { it =>
+        it.map { id =>
+          val rng = new scala.util.Random(id)
+          (id, Array.fill(64)(rng.nextFloat() * 2 - 1))
+        }
+      }.toDF("vid", "vec").localCheckpoint()
+    println(s"[stress] vectors: ${vecs.count()} x 64-dim")
+    val c = vecs.select(col("vid").as("cid"), col("vec"))
+    // query/bench sides FIXED at 500 rows so a 10x corpus means 10x
+    // work, not 100x
+    val q = vecs.filter(col("vid") < 500)
+      .select(col("vid").as("qid"), col("vec"))
+    val bench = vecs.filter(col("vid") >= 500 && col("vid") < 1000)
+      .select(col("vid").as("bid"), col("vec"))
+    timed(s"pqTopK m=8 ks=256 top-10, 500 queries x $nv corpus")(
+      graft.operators.Similarity.pqTopK(q, c, 10, m = 8, ks = 256)
+        .agg(sum(col("adist"))).collect()(0).toSeq)
+    timed(s"semanticScreen $nv corpus vs 500-item bench")(
+      graft.operators.Similarity.semanticScreen(c, bench, 0.9)
+        .agg(sum(col("cos")),
+          sum(when(col("contaminated"), 1).otherwise(0))).collect()(0).toSeq)
+    }
+
     if (sections("ngram")) {
     // q33's shape at scale: char-n-gram Jaccard via the prefix path,
     // at N and 10N docs — the check is that runtime grows ~linearly

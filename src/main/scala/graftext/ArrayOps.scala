@@ -147,6 +147,99 @@ case class VecDotSeq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sequential left-fold SQUARED L2 DISTANCE between a window of `left`
+  * starting at element `aStart` (0-based) and the whole of `right`:
+  * fold over i of (left[aStart+i] − right[i])², acc from 0.0, i in
+  * element order.
+  *
+  * Why a custom Catalyst Expression: product-quantization encode runs
+  * this fold corpus-rows × m subspaces × ks codewords times — as the
+  * interpreted `aggregate(zip_with(slice(...), cw, ...))` chain it
+  * dominated the PQ stress section (the slice also copies the
+  * subvector per codeword; here the offset read makes it zero-copy).
+  * The loop performs the IDENTICAL IEEE operation sequence — widen to
+  * double, subtract, square, left-fold add from 0.0 — so distances
+  * (and therefore argmin codes under the (d2, j) tie rule) are
+  * bit-identical to the HOF chain and the DuckDB oracle's
+  * `list_reduce` fold.
+  *
+  * Contract: element types float or double (independently per side);
+  * folds while both aStart+i and i are in bounds, so a window running
+  * past `left`'s end folds the overlap only — deliberately BETTER
+  * DEFINED than the HOF chain it replaces (`zip_with` pads the
+  * shorter side with nulls, which nulls the whole fold); PQ corpora
+  * are uniform-dim by [[graft.operators.Similarity.pqCodebook]]'s
+  * contract, so the paths agree everywhere they both produce a
+  * number. NULL elements null the result, checked only when the
+  * schema allows element nulls — the VecDotSeq discipline.
+  */
+case class VecL2SqSeq(left: Expression, right: Expression, aStart: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(aStart >= 0, s"vec_l2sq: aStart $aStart must be >= 0")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def elemsNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean = super.nullable || elemsNullable
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements() - aStart, b.numElements())
+    val af = elemType(left) == FloatType
+    val bf = elemType(right) == FloatType
+    val checkNull = elemsNullable
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (checkNull && (a.isNullAt(aStart + i) || b.isNullAt(i))) return null
+      val x = if (af) a.getFloat(aStart + i).toDouble else a.getDouble(aStart + i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      def get(arr: String, idx: String, e: Expression): String =
+        if (elemType(e) == FloatType) s"(double) $arr.getFloat($idx)"
+        else s"$arr.getDouble($idx)"
+      val nullCheck =
+        if (elemsNullable)
+          s"""if ($a.isNullAt($aStart + $i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
+      s"""
+         |double $acc = 0.0;
+         |final int $n = java.lang.Math.min($a.numElements() - $aStart, $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  final double $d = ${get(a, s"$aStart + $i", left)} - ${get(b, i, right)};
+         |  $acc += $d * $d;
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2SqSeq =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All random-hyperplane LSH bucket ids for a vector in ONE pass —
   * `tables` buckets of `planes` sign bits each, as array<long>.
   *
@@ -526,4 +619,11 @@ object ArrayOps {
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(VecDotSeq(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API: squared L2 distance between a's window starting at
+    * element `aStart` (0-based) and all of b — same fold order as the
+    * slice + zip_with + aggregate chain it replaces. */
+  def vecL2Sq(a: Column, b: Column, aStart: Int = 0): Column =
+    ExpressionUtils.column(VecL2SqSeq(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), aStart))
 }

@@ -104,4 +104,47 @@ class ExtensionsSpec extends SparkSuite {
       assert(java.lang.Double.compare(r.getAs[Double]("fast"), r.getAs[Double]("slow")) == 0)
     }
   }
+
+  test("VecL2SqSeq at every subspace offset is bit-identical to the " +
+    "slice + zip_with + aggregate chain on real embeddings") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftext.ArrayOps
+    val e = Tables.embeddings(spark, sf).limit(100)
+    val pairs = e.crossJoin(
+      e.select(col("vec_id").as("cid"), col("embedding").as("cvec")).limit(20))
+    val ds = 8
+    val checks = (0 until 8).flatMap { s =>
+      val sub = slice(transform(col("cvec"), x => x.cast("double")),
+        s * ds + 1, ds)
+      val hof = aggregate(
+        zip_with(slice(transform(col("embedding"), x => x.cast("double")),
+          s * ds + 1, ds), sub, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      Seq(ArrayOps.vecL2Sq(col("embedding"), sub, s * ds).as(s"fast$s"),
+        hof.as(s"slow$s"))
+    }
+    val rows = pairs.select(checks: _*).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (0 until 8).foreach { s =>
+        assert(java.lang.Double.compare(
+          r.getAs[Double](s"fast$s"), r.getAs[Double](s"slow$s")) == 0,
+          s"subspace $s differs")
+      }
+    }
+    // a window past the array end folds the OVERLAP only (the HOF
+    // chain null-pads via zip_with and nulls the whole fold — the
+    // expression is deliberately better defined there): fold vs a
+    // codeword of zeros at offset 60 on a 64-dim vector == squared
+    // norm of the last 4 elements
+    val tail = e.select(
+      ArrayOps.vecL2Sq(col("embedding"), typedlit(Seq.fill(ds)(0.0)), 60).as("fast"),
+      aggregate(zip_with(
+        slice(transform(col("embedding"), x => x.cast("double")), 61, 4),
+        typedlit(Seq.fill(4)(0.0)), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x).as("slow")).collect()
+    tail.foreach { r =>
+      assert(java.lang.Double.compare(r.getAs[Double]("fast"), r.getAs[Double]("slow")) == 0)
+    }
+  }
 }

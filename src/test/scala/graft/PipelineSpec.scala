@@ -465,13 +465,16 @@ class PipelineSpec extends SparkSuite {
       val d = cw(s).map(l2(v.slice(s * 8, s * 8 + 8).map(_.toDouble), _))
       d.indexOf(d.min)
     }
-    val reconOf = rows.map { case (id, v) =>
-      id -> encode(v).zipWithIndex.flatMap { case (code, s) => cw(s)(code) } }.toMap
+    val codesOf = rows.map { case (id, v) => id -> encode(v) }.toMap
+    // ADC grouping: per-subspace left folds, then a left fold over s
+    def adc(qd: Array[Double], codes: Array[Int]): Double =
+      codes.zipWithIndex.map { case (code, s) =>
+        l2(qd.slice(s * 8, s * 8 + 8), cw(s)(code)) }.reduce(_ + _)
     val expected = rows.filter(_._1 % 50 == 0).toSeq.sortBy(_._1).flatMap {
       case (qid, qv) =>
         val qd = qv.map(_.toDouble)
         rows.filter(_._1 != qid)
-          .map { case (cid, _) => (cid, l2(qd, reconOf(cid))) }
+          .map { case (cid, _) => (cid, adc(qd, codesOf(cid))) }
           .sortBy { case (cid, d) => (d, cid) }.take(5).zipWithIndex
           .map { case ((cid, d), i) => (qid, cid, i + 1, d) }
     }
@@ -484,7 +487,7 @@ class PipelineSpec extends SparkSuite {
       codes.forall(_._2.forall(x => x >= 0 && x < 16)))
     // corpus of exactly ks rows: every row is a codeword, so each
     // vector encodes to a zero-distance codeword and reconstructs
-    // exactly -> adist == exact squared L2
+    // exactly -> adist == exact squared L2 (in the ADC grouping)
     val c16ids = rows.sortBy(_._1).take(16)
     val c16 = c16ids.toSeq.toDF("cid", "vec")
     val q1 = Seq((c16ids.head._1, c16ids.head._2)).toDF("qid", "vec")
@@ -492,7 +495,10 @@ class PipelineSpec extends SparkSuite {
       .orderBy($"rank").as[(Long, Long, Int, Double)].collect().toSeq
     val qd = c16ids.head._2.map(_.toDouble)
     val exp16 = c16ids.tail
-      .map { case (cid, v) => (cid, l2(qd, v.map(_.toDouble))) }.toSeq
+      .map { case (cid, v) =>
+        (cid, Array.tabulate(8)(s =>
+          l2(qd.slice(s * 8, s * 8 + 8),
+            v.map(_.toDouble).slice(s * 8, s * 8 + 8))).reduce(_ + _)) }.toSeq
       .sortBy { case (cid, d) => (d, cid) }.take(3).zipWithIndex
       .map { case ((cid, d), i) => (c16ids.head._1, cid, i + 1, d) }
     assert(got == exp16)
