@@ -720,6 +720,52 @@ object Dedup {
       .withColumn("keep", col("id") === col("component"))
   }
 
+  /** Canonical-document selection: per cluster, keep the row with the
+    * HIGHEST score, ties by smallest id — the retention policy behind
+    * "keep the longest/highest-quality copy" dedup (RefinedWeb keeps
+    * the longest document of each duplicate class; [[dedupCorpus]]'s
+    * min-id keep is the degenerate score≡const case).
+    *
+    * Scale shape: the winner is a per-component argmax collapsed IN
+    * THE PARTIAL AGGREGATE (min of a (-score, id) struct — the
+    * semanticScreen discipline), so a pathological cluster holding
+    * half the corpus still contributes one struct per map task to the
+    * shuffle, never a single-reducer window sort. The winner table
+    * (one row per component) joins back on the component key.
+    *
+    * Numeric note: a Double score of NaN sorts after every real
+    * number in Spark's ordering, so NaN-scored rows only win a
+    * cluster whose scores are all NaN.
+    *
+    * @param labeled (idCol, compCol, scoreCol, ...) — e.g.
+    *                [[dedupCorpus]] output joined with a score
+    * @return labeled's columns + keep (true for the cluster winner)
+    */
+  def keepBest(labeled: DataFrame, idCol: String, compCol: String,
+               scoreCol: String): DataFrame = {
+    val winners = labeled.groupBy(col(compCol))
+      .agg(min(struct((-col(scoreCol)).as("ns"), col(idCol).as("wid"))).as("w"))
+      .select(col(compCol), col("w.wid").as("__winner"))
+    labeled.join(winners, Seq(compCol))
+      .withColumn("keep", col(idCol) === col("__winner"))
+      .drop("__winner")
+  }
+
+  /** [[dedupCorpus]] composed with [[keepBest]]: near-dup clusters
+    * with a quality-aware canonical pick instead of min-id.
+    * @param score evaluated against df's columns (e.g. a token count
+    *              or q51-style quality blend)
+    * @return id, component, score, keep
+    */
+  def dedupCorpusKeepBest(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, score: Column): DataFrame = {
+    val comps = dedupCorpus(df, idCol, textCol, threshold)
+      .select(col("id"), col("component"))
+    val scored = df.select(col(idCol).as("id"), score.as("score"))
+    keepBest(comps.join(scored, Seq("id")), "id", "component", "score")
+      .select(col("id"), col("component"), col("score"), col("keep"))
+  }
+
   /** Ordered word sequence (split on spaces, empties dropped) — gram
     * building needs order, unlike [[wordSet]]. */
   private def wordSeq(text: Column): Column =

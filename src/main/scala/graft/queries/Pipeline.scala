@@ -59,7 +59,8 @@ object Pipeline {
     "q81_pq_topk" -> q81,
     "q82_semantic_screen" -> q82,
     "q83_heavy_hitters" -> q83,
-    "q84_cooccur" -> q84
+    "q84_cooccur" -> q84,
+    "q85_dedup_keep_best" -> q85
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -595,6 +596,27 @@ object Pipeline {
     * PMI float is spec territory (libm ln), per the q59/q72 split. */
   def q84(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.cooccur(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Dedup with a quality-aware canonical pick (RefinedWeb keeps the
+    * LONGEST copy of each duplicate class, not the min-id one): q35's
+    * cluster corpus, but each planted clone is the doc self-concatenated
+    * — same word SET (so the 0.999 threshold still clusters it with the
+    * original) at twice the token count — and the keeper is the
+    * per-cluster (token count, min id) argmax via [[Dedup.keepBest]],
+    * which collapses in the partial aggregate rather than a
+    * single-reducer window. The oracle restates the word-set
+    * equivalence class and the same argmax. */
+  def q85(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+      .select(col("doc_id"), col("text"))
+    val doubled = d.unionAll(d.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" "), col("text")).as("text")))
+    Dedup.dedupCorpusKeepBest(doubled, "doc_id", "text", threshold = 0.999,
+        size(filter(split(col("text"), " "), w => length(w) > lit(0))).cast("long"))
+      .orderBy(col("id"))
+  }
 
   private def sqlBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
@@ -1446,6 +1468,29 @@ object Pipeline {
         |FROM pc JOIN uni u1 ON pc.w = u1.w JOIN uni u2 ON pc.c = u2.w, tot
         |WHERE n_wc >= 2
         |ORDER BY n_wc DESC, pc.w, pc.c LIMIT 100""".stripMargin,
+    // q85: q35's word-set equivalence class (the clone's self-concat
+    // leaves the SET unchanged), score = token count, keeper = the
+    // per-class (score desc, id) argmax.
+    "q85_dedup_keep_best" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+        |  UNION ALL SELECT doc_id + 1000000, text || ' ' || text FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |keyed AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text, ' '), w -> length(w) > 0))), chr(9)) AS k,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS score
+        |  FROM doubled)
+        |SELECT doc_id AS id,
+        |  min(doc_id) OVER (PARTITION BY k) AS component,
+        |  score,
+        |  doc_id = first_value(doc_id) OVER (PARTITION BY k
+        |    ORDER BY score DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keep
+        |FROM keyed
+        |ORDER BY id""".stripMargin,
     // q79: quantize -> dequantize -> rank, all restated. The
     // codebook is per-dim min/max over exactly-converted doubles;
     // codes floor (not round) so both engines agree bit-for-bit.

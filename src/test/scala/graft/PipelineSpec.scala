@@ -218,6 +218,43 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("keepBest: per-cluster score argmax, ties by min id, NaN loses to any real") {
+    val labeled = Seq(
+      (1L, 1L, 5.0), (2L, 1L, 9.0), (3L, 1L, 9.0), // tie at 9.0 -> min id 2
+      (10L, 10L, Double.NaN),                       // singleton, NaN still keeps
+      (20L, 20L, Double.NaN), (21L, 20L, 1.0),      // NaN loses to the real score
+      (30L, 30L, Double.NaN), (31L, 30L, Double.NaN) // all-NaN -> min id
+    ).toDF("id", "component", "score")
+    // the join puts the cluster key first — select back to input order
+    val keep = Dedup.keepBest(labeled, "id", "component", "score")
+      .select("id", "component", "score", "keep")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .filter(_._4).map(_._1).toSet
+    assert(keep === Set(2L, 10L, 21L, 30L))
+  }
+
+  test("dedupCorpusKeepBest: self-concat clones win their cluster by token count") {
+    val d = docs.select(col("doc_id"), col("text")).limit(50)
+    val doubled = d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" "), col("text")).as("text")))
+    val out = Dedup.dedupCorpusKeepBest(doubled, "doc_id", "text", threshold = 0.999,
+        size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.length === 100)
+    // identical word set -> same cluster; the doubled clone has 2x the
+    // tokens, so every keeper is a clone and every original is dropped
+    val keepers = out.filter(_._4).map(_._1)
+    assert(keepers.forall(_ >= 1000000L), s"original kept: ${keepers.mkString(",")}")
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.count(_._4) === 1, "exactly one keeper per cluster")
+    }
+    // clone score is exactly double its original's (plus the joiner space)
+    val score = out.map(r => r._1 -> r._3).toMap
+    score.keys.filter(_ < 1000000L).foreach { id =>
+      assert(score(id + 1000000L) === 2 * score(id))
+    }
+  }
+
   test("cosineNearDup LSH path: subset of exact pairs, same cosines, recall bound") {
     val v = embs.select(col("vec_id").as("id"), col("embedding").as("vec"),
       col("label").as("block"))
