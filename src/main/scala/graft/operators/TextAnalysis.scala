@@ -359,6 +359,35 @@ object TextAnalysis {
         col("n_stopwords") >= 2)
   }
 
+  /** C4-style blocklist filter (Raffel et al. 2020, §2.2: drop any
+    * page containing a word from a blocklist — C4 also drops docs
+    * containing "lorem ipsum" or a curly brace). Token-exact matching
+    * on the lowercased whitespace tokens; phrase and substring rules
+    * are a caller-side `rlike` away and deliberately not conflated
+    * with the token gate here.
+    *
+    * Entirely map-side (no shuffle at any corpus size). Membership
+    * compiles to Catalyst's `InSet` hash lookup once the list passes
+    * the optimizer's In→InSet threshold, so a realistic few-hundred
+    *-term list costs O(1) per token, not a linear scan.
+    *
+    * @return id, n_blocked (total blocklisted-token occurrences),
+    *         n_terms_hit (distinct list terms present), keep
+    *         (n_blocked == 0 — C4 drops on ANY hit)
+    */
+  def blocklist(df: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklist: empty term list")
+    val t = terms.map(_.toLowerCase).distinct
+    val toks = wsTokens(lower(col(textCol)))
+    val blocked = size(filter(toks, w => w.isInCollection(t)))
+    df.select(col(idCol).as("id"),
+      blocked.as("n_blocked"),
+      size(array_intersect(array_distinct(toks),
+        array(t.map(lit): _*))).as("n_terms_hit"),
+      (blocked === 0).as("keep"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every corpus
     * doc by how much more likely its hashed n-gram features are under

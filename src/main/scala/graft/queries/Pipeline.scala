@@ -60,7 +60,8 @@ object Pipeline {
     "q82_semantic_screen" -> q82,
     "q83_heavy_hitters" -> q83,
     "q84_cooccur" -> q84,
-    "q85_dedup_keep_best" -> q85
+    "q85_dedup_keep_best" -> q85,
+    "q86_blocklist" -> q86
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -596,6 +597,15 @@ object Pipeline {
     * PMI float is spec territory (libm ln), per the q59/q72 split. */
   def q84(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.cooccur(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** C4 blocklist gate over the corpus: token-exact hits against
+    * ("dup", "lorem", "{") — "dup" is the corpus's rare planted
+    * token, the other two are C4's own lorem-ipsum/brace rules and
+    * never occur, exercising the zero-hit path. Map-side. */
+  def q86(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.blocklist(Tables.documents(spark, dir), "doc_id", "text",
+        Seq("dup", "lorem", "{"))
+      .orderBy(col("id"))
 
   /** Dedup with a quality-aware canonical pick (RefinedWeb keeps the
     * LONGEST copy of each duplicate class, not the min-id one): q35's
@@ -1490,6 +1500,17 @@ object Pipeline {
         |    ORDER BY score DESC, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keep
         |FROM keyed
+        |ORDER BY id""".stripMargin,
+    "q86_blocklist" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), w -> length(w) > 0) AS tk
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  CAST(len(list_filter(tk, w -> w IN ('dup', 'lorem', '{'))) AS INT) AS n_blocked,
+        |  CAST(len(list_intersect(list_distinct(tk), ['dup', 'lorem', '{'])) AS INT) AS n_terms_hit,
+        |  len(list_filter(tk, w -> w IN ('dup', 'lorem', '{'))) = 0 AS keep
+        |FROM toks
         |ORDER BY id""".stripMargin,
     // q79: quantize -> dequantize -> rank, all restated. The
     // codebook is per-dim min/max over exactly-converted doubles;

@@ -218,6 +218,24 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("blocklist: token-exact hits, case-folded, occurrences vs distinct terms") {
+    val df = Seq(
+      (1L, "clean text with no listed words"),
+      (2L, "has BAD twice bad and also evil here"),
+      (3L, "evil alone"),
+      (4L, ""),
+      (5L, "badly evildoer substrings do not count")
+    ).toDF("id", "text")
+    val out = TextAnalysis.blocklist(df, "id", "text", Seq("bad", "EVIL"))
+      .orderBy($"id").as[(Long, Int, Int, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0, 0, true),
+      (2L, 3, 2, false),  // BAD + bad + evil; two distinct terms
+      (3L, 1, 1, false),
+      (4L, 0, 0, true),   // empty doc: no tokens, keeps
+      (5L, 0, 0, true)))  // substring containment is NOT a hit
+  }
+
   test("keepBest: per-cluster score argmax, ties by min id, NaN loses to any real") {
     val labeled = Seq(
       (1L, 1L, 5.0), (2L, 1L, 9.0), (3L, 1L, 9.0), // tie at 9.0 -> min id 2
