@@ -461,6 +461,82 @@ object TextAnalysis {
         coalesce(col("logw"), lit(0.0)).as("logw"))
   }
 
+  /** Trained quality classifier — the CCNet/GPT-3-pipeline component
+    * (score every doc with a model TRAINED on a curated-vs-raw
+    * label) as a BATCH PERCEPTRON over hashed unigram+bigram count
+    * features. Perceptron rather than logistic regression,
+    * deliberately: every margin, update and weight is an exact
+    * integer (no sigmoid/exp), so training is order-independent,
+    * partition-invariant and bit-replayable by a SQL oracle — the
+    * q48 BPE discipline applied to model training. A float GD loop
+    * would compound libm differences round over round and could
+    * gate nothing.
+    *
+    * Features: the q72/DSIR featurization — lowercased whitespace
+    * unigrams + chr(1)-joined bigrams, portable md5-fold into
+    * `buckets` buckets — materialized as a per-doc dense count
+    * histogram plus a constant bias slot. Rounds: w starts at zero;
+    * each round flags docs with y·margin <= 0 and adds
+    * sum over flagged docs of y·x to w (the classic batch update,
+    * margin-0 docs count as misclassified so round 1 updates on
+    * everything).
+    *
+    * Scale shape: the histogram is built map-side and checkpointed
+    * ONCE (no round re-reads text); each round is one aggregate of
+    * buckets+1 integer sums whose map-side partials bound the
+    * shuffle at (buckets+1)·partitions longs, plus a driver-side
+    * weight update — the k-means loop shape. The corpus never
+    * shuffles. Overflow headroom: |w| grows per round by at most the
+    * flagged docs' total feature count, so margins stay far inside
+    * int64 for any plausible (buckets, iters, corpus) — a 10^12-
+    * feature corpus at 5 rounds peaks near 10^13·max_count « 2^63.
+    *
+    * @param label boolean column over df's columns — the curated
+    *              (positive) class, e.g. lang === "en"
+    * @return id, y (+1/-1), margin (integer dot under the final
+    *         weights), pred (margin > 0)
+    */
+  def qualityPerceptron(df: DataFrame, idCol: String, textCol: String,
+                        label: Column, buckets: Int = 64,
+                        iters: Int = 5): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sep = "\u0001" // never inside a whitespace token
+    val nBg = greatest(size(col("tk")) - 1, lit(0))
+    val grams = concat(col("tk"),
+      zip_with(slice(col("tk"), lit(1), nBg), slice(col("tk"), lit(2), nBg),
+        (a, b) => concat(a, lit(sep), b)))
+    val bs = transform(grams, g =>
+      pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+    val hist = concat(
+      transform(sequence(lit(0L), lit(buckets.toLong - 1)), i =>
+        size(filter(col("bs"), b => b === i)).cast("long")),
+      array(lit(1L))) // bias slot
+    val fx = df.select(col(idCol).as("id"),
+        when(label, 1L).otherwise(-1L).as("y"),
+        wsTokens(lower(col(textCol))).as("tk"))
+      .select(col("id"), col("y"), bs.as("bs"))
+      .select(col("id"), col("y"), hist.as("x"))
+      .localCheckpoint()
+    def marginOf(w: Array[Long]): Column =
+      aggregate(zip_with(col("x"), typedlit(w.toSeq), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+    var w = Array.fill(buckets + 1)(0L)
+    for (_ <- 1 to iters) {
+      val upd = fx.withColumn("m", marginOf(w))
+        .filter(col("y") * col("m") <= 0)
+        .agg(sum(col("y") * element_at(col("x"), 1)).as("u0"),
+          (1 to buckets).map(i =>
+            sum(col("y") * element_at(col("x"), i + 1)).as(s"u$i")): _*)
+        .collect()(0)
+      w = Array.tabulate(buckets + 1)(i =>
+        w(i) + (if (upd.isNullAt(i)) 0L else upd.getLong(i)))
+    }
+    fx.select(col("id"), col("y"), marginOf(w).as("margin"))
+      .withColumn("pred", col("margin") > 0)
+  }
+
   /** CCNet-style corpus language-model scoring: train an add-1
     * smoothed bigram LM on the corpus itself, then score every doc's
     * average negative log-likelihood under it — the classic

@@ -61,7 +61,8 @@ object Pipeline {
     "q83_heavy_hitters" -> q83,
     "q84_cooccur" -> q84,
     "q85_dedup_keep_best" -> q85,
-    "q86_blocklist" -> q86
+    "q86_blocklist" -> q86,
+    "q87_quality_classifier" -> q87
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -607,6 +608,19 @@ object Pipeline {
         Seq("dup", "lorem", "{"))
       .orderBy(col("id"))
 
+  /** Trained quality classifier: 5 batch-perceptron rounds over
+    * 64-bucket hashed n-gram features, label = lang=='en' (the CCNet
+    * curated-slice proxy). Every margin/update/weight is an exact
+    * integer, so the full training trajectory — not just the final
+    * scores — is pinned by the oracle's chained-CTE replay. Honesty
+    * note: this fixture's text is language-independent, so accuracy
+    * is near chance here; separation is spec territory
+    * (PipelineSpec's separable fixture). */
+  def q87(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityPerceptron(Tables.documents(spark, dir), "doc_id", "text",
+        col("lang") === "en", buckets = 64, iters = 5)
+      .orderBy(col("id"))
+
   /** Dedup with a quality-aware canonical pick (RefinedWeb keeps the
     * LONGEST copy of each duplicate class, not the min-id one): q35's
     * cluster corpus, but each planted clone is the doc self-concatenated
@@ -627,6 +641,26 @@ object Pipeline {
         size(filter(split(col("text"), " "), w => length(w) > lit(0))).cast("long"))
       .orderBy(col("id"))
   }
+
+  /** q87's training replay: `iters` batch-perceptron rounds as
+    * chained MATERIALIZED CTEs (the q48 discipline — DuckDB inlines
+    * multiply-referenced CTEs otherwise). Expects CTEs `lab (id, y)`,
+    * `fx (id, b, n)` and `w0 (b, w)` upstream; leaves `w<iters>`. */
+  private def sqlPerceptronCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""m$i AS MATERIALIZED (
+         |  SELECT lab.id, lab.y, sum(fx.n * w${i - 1}.w) AS m
+         |  FROM lab JOIN fx USING (id) JOIN w${i - 1} ON fx.b = w${i - 1}.b
+         |  GROUP BY lab.id, lab.y),
+         |u$i AS MATERIALIZED (
+         |  SELECT fx.b, sum(m$i.y * fx.n) AS u
+         |  FROM m$i JOIN fx ON m$i.id = fx.id
+         |  WHERE m$i.y * m$i.m <= 0
+         |  GROUP BY fx.b),
+         |w$i AS MATERIALIZED (
+         |  SELECT w${i - 1}.b, w${i - 1}.w + coalesce(u$i.u, 0) AS w
+         |  FROM w${i - 1} LEFT JOIN u$i ON w${i - 1}.b = u$i.b)""".stripMargin
+    }.mkString(",\n")
 
   private def sqlBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
@@ -1512,6 +1546,39 @@ object Pipeline {
         |  len(list_filter(tk, w -> w IN ('dup', 'lorem', '{'))) = 0 AS keep
         |FROM toks
         |ORDER BY id""".stripMargin,
+    // q87: the full perceptron training trajectory restated — q72's
+    // featurization (md5-fold buckets + a bias slot), then 5 rounds
+    // of margin/flag/update in chained materialized CTEs, then the
+    // final margins. Integer-only, so the replay is bit-exact.
+    "q87_quality_classifier" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |    list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk
+         |  FROM documents),
+         |lab AS MATERIALIZED (SELECT id, CAST(y AS BIGINT) AS y FROM toks),
+         |tok AS MATERIALIZED (
+         |  SELECT id, i, tk[CAST(i AS INT)] AS w
+         |  FROM toks, unnest(generate_series(1, len(tk))) AS t(i)),
+         |feat AS MATERIALIZED (
+         |  SELECT id, w AS g FROM tok
+         |  UNION ALL
+         |  SELECT a.id, a.w || chr(1) || b.w
+         |  FROM tok a JOIN tok b ON a.id = b.id AND b.i = a.i + 1),
+         |fx AS MATERIALIZED (
+         |  SELECT id, b, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT id, ${sqlMd5Fold("g")} % 64 AS b FROM feat)
+         |  GROUP BY id, b
+         |  UNION ALL
+         |  SELECT id, CAST(64 AS BIGINT) AS b, CAST(1 AS BIGINT) AS n FROM toks),
+         |w0 AS MATERIALIZED (
+         |  SELECT CAST(t.b AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+         |  FROM unnest(generate_series(0, 64)) AS t(b)),
+         |${sqlPerceptronCtes(5)}
+         |SELECT lab.id, lab.y, CAST(sum(fx.n * w5.w) AS BIGINT) AS margin,
+         |  sum(fx.n * w5.w) > 0 AS pred
+         |FROM lab JOIN fx USING (id) JOIN w5 ON fx.b = w5.b
+         |GROUP BY lab.id, lab.y
+         |ORDER BY lab.id""".stripMargin,
     // q79: quantize -> dequantize -> rank, all restated. The
     // codebook is per-dim min/max over exactly-converted doubles;
     // codes floor (not round) so both engines agree bit-for-bit.

@@ -236,6 +236,36 @@ class PipelineSpec extends SparkSuite {
       (5L, 0, 0, true)))  // substring containment is NOT a hit
   }
 
+  test("qualityPerceptron: separates a separable corpus, partition-invariant") {
+    // disjoint vocabularies: linearly separable, so training accuracy
+    // must reach 1.0 within the 5 batch rounds
+    val pos = (0 until 20).map(i => (i.toLong, "good fine nice good fine", true))
+    val neg = (20 until 40).map(i => (i.toLong, "bad awful poor bad awful", false))
+    val df = (pos ++ neg).toDF("id", "text", "lab")
+    val out = TextAnalysis.qualityPerceptron(df, "id", "text", col("lab"),
+        buckets = 32, iters = 5)
+      .orderBy($"id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.length === 40)
+    out.foreach { case (id, y, _, pred) =>
+      assert(pred === (y == 1L), s"doc $id misclassified")
+    }
+    // margins are exact integer dots: batch updates are
+    // order-independent, so repartitioning changes nothing
+    val out7 = TextAnalysis.qualityPerceptron(df.repartition(7), "id", "text",
+        col("lab"), buckets = 32, iters = 5)
+      .orderBy($"id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === out7)
+    // empty docs carry only the bias feature and still score
+    val e = TextAnalysis.qualityPerceptron(
+        Seq((1L, "", true), (2L, "", true), (3L, "good", false)).toDF("id", "text", "lab"),
+        "id", "text", col("lab"), buckets = 4, iters = 1)
+      .orderBy($"id").as[(Long, Long, Long, Boolean)].collect()
+    assert(e.length === 3)
+    // round 1 flags everything at w=0; bias update = +1+1-1 = +1, so
+    // the empty docs' final margin is exactly the bias weight
+    assert(e(0)._3 === 1L && e(1)._3 === 1L)
+  }
+
   test("keepBest: per-cluster score argmax, ties by min id, NaN loses to any real") {
     val labeled = Seq(
       (1L, 1L, 5.0), (2L, 1L, 9.0), (3L, 1L, 9.0), // tie at 9.0 -> min id 2
