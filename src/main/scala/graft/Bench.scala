@@ -60,7 +60,9 @@ object Bench {
       val tot = if (r.values.exists(_ < 0)) -1.0 else r.values.sum
       s"""{"total":$tot,"queries":${qJson(r)}}"""
     }.mkString("[", ",", "]")
-    val total = minPer.values.sum
+    // a failed query must invalidate the headline, not silently
+    // shrink it by its -1.0 sentinel (the per-round total convention)
+    val total = if (minPer.values.exists(_ < 0)) -1.0 else minPer.values.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(minPer)},""" +
         s""""runs":$runsJson,"n_runs":$nRuns,"load_avg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""

@@ -21,14 +21,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects; read nanos as long and truncate to
-    * microsecond timestamps (exactly what DuckDB does reading the
-    * same file, so oracle comparisons line up). */
+  /** events.parquet has stored ts as TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read nanos as long, truncate to
+    * microseconds) in some generator versions and as plain
+    * microsecond TIMESTAMP in others; handle both by schema, and
+    * normalize to a session-zone (UTC) timestamp either way —
+    * exactly what DuckDB sees reading the same file, so oracle
+    * comparisons line up. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // us-precision NTZ: same instants as the nanos path
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -735,7 +735,11 @@ object Dedup {
     *
     * Numeric note: a Double score of NaN sorts after every real
     * number in Spark's ordering, so NaN-scored rows only win a
-    * cluster whose scores are all NaN.
+    * cluster whose scores are all NaN. A NULL score LOSES to every
+    * scored row (the leading is-null struct field sorts scored rows
+    * first under min — without it a null negated score would sort
+    * FIRST and a null-scored row would steal its cluster); a cluster
+    * whose scores are all null falls back to min-id.
     *
     * @param labeled (idCol, compCol, scoreCol, ...) — e.g.
     *                [[dedupCorpus]] output joined with a score
@@ -744,7 +748,8 @@ object Dedup {
   def keepBest(labeled: DataFrame, idCol: String, compCol: String,
                scoreCol: String): DataFrame = {
     val winners = labeled.groupBy(col(compCol))
-      .agg(min(struct((-col(scoreCol)).as("ns"), col(idCol).as("wid"))).as("w"))
+      .agg(min(struct(col(scoreCol).isNull.as("nu"),
+        (-col(scoreCol)).as("ns"), col(idCol).as("wid"))).as("w"))
       .select(col(compCol), col("w.wid").as("__winner"))
     labeled.join(winners, Seq(compCol))
       .withColumn("keep", col(idCol) === col("__winner"))

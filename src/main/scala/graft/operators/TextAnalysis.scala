@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.ArrayOps
 
 /** Text analysis operators for training-data pipelines
   * (SURVEY.md §2.E). Everything is built from codegen'd native
@@ -167,8 +168,9 @@ object TextAnalysis {
     * always-positive variant.
     *
     * Scale shape: ONE (doc, term) aggregate over the corpus filtered
-    * to the query terms map-side (the term list is a literal array —
-    * the corpus explodes only matching tokens), a df aggregate at
+    * to the query terms map-side (membership compiles to InSet's O(1)
+    * hash probe — the corpus explodes only matching tokens), a df
+    * aggregate at
     * query-term cardinality broadcast back, and a per-doc sum. The
     * corpus shuffles (doc, term) rows for matching terms only.
     *
@@ -184,13 +186,16 @@ object TextAnalysis {
   def bm25(df: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val terms = array(queryTerms.distinct.map(lit): _*)
+    val terms = queryTerms.distinct
     val toks = df.select(col(idCol).as("id"), wsTokens(lower(col(textCol))).as("tk"))
       .select(col("id"), size(col("tk")).as("dl"), col("tk"))
     val nd = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
     val tf = toks
       .select(col("id"), col("dl"),
-        explode(filter(col("tk"), t => array_contains(terms, t))).as("t"))
+        // isInCollection compiles to InSet's O(1) hash probe past the
+        // optimizer threshold (the blocklist shape) — a long query
+        // costs O(1) per token, not a linear array_contains scan
+        explode(filter(col("tk"), t => t.isInCollection(terms))).as("t"))
       .groupBy(col("id"), col("dl"), col("t")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val h = conv(substring(md5(concat_ws(":", col("t"), col("tf"), col("df"))), 1, 15), 16, 10)
@@ -237,8 +242,12 @@ object TextAnalysis {
                    seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // three consumers (total count, CMS build, exact groupBy) read the
+    // exploded tokens — materialize once rather than re-tokenizing the
+    // corpus three times (the gramDocs/trainKmeans discipline)
     val toks = df.select(col(idCol).as("id"),
-      explode(wsTokens(lower(col(textCol)))).as("t"))
+        explode(wsTokens(lower(col(textCol)))).as("t"))
+      .localCheckpoint()
     val exact = toks.groupBy(col("t").as("token"))
       .agg(count(lit(1)).as("cnt"), countDistinct(col("id")).as("ndocs"))
     val total = toks.count()
@@ -481,11 +490,19 @@ object TextAnalysis {
     * margin-0 docs count as misclassified so round 1 updates on
     * everything).
     *
-    * Scale shape: the histogram is built map-side and checkpointed
-    * ONCE (no round re-reads text); each round is one aggregate of
-    * buckets+1 integer sums whose map-side partials bound the
-    * shuffle at (buckets+1)·partitions longs, plus a driver-side
-    * weight update — the k-means loop shape. The corpus never
+    * Scale shape: tokens hash straight to bucket ids in one fused
+    * kernel (VecGramBuckets — the md5 fold runs over token bytes, no
+    * gram strings materialize) and the histogram is one codegen'd
+    * bincount pass (VecBincount — O(grams), not O(buckets·grams));
+    * the feature frame is checkpointed ONCE (no round re-reads
+    * text); each round is
+    * one aggregate of buckets+1 integer sums whose map-side partials
+    * bound the shuffle at (buckets+1)·partitions longs, plus a
+    * driver-side weight update — the k-means loop shape. The margin
+    * is a codegen'd integer dot (VecDotLongConst) whose weight vector
+    * rides in the codegen references table, so the generated source
+    * is identical across rounds and whole-stage codegen COMPILES
+    * ONCE for the whole training loop. The corpus never
     * shuffles. Overflow headroom: |w| grows per round by at most the
     * flagged docs' total feature count, so margins stay far inside
     * int64 for any plausible (buckets, iters, corpus) — a 10^12-
@@ -501,27 +518,16 @@ object TextAnalysis {
                         iters: Int = 5): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val sep = "\u0001" // never inside a whitespace token
-    val nBg = greatest(size(col("tk")) - 1, lit(0))
-    val grams = concat(col("tk"),
-      zip_with(slice(col("tk"), lit(1), nBg), slice(col("tk"), lit(2), nBg),
-        (a, b) => concat(a, lit(sep), b)))
-    val bs = transform(grams, g =>
-      pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
-        lit(buckets.toLong)))
-    val hist = concat(
-      transform(sequence(lit(0L), lit(buckets.toLong - 1)), i =>
-        size(filter(col("bs"), b => b === i)).cast("long")),
-      array(lit(1L))) // bias slot
     val fx = df.select(col(idCol).as("id"),
         when(label, 1L).otherwise(-1L).as("y"),
         wsTokens(lower(col(textCol))).as("tk"))
-      .select(col("id"), col("y"), bs.as("bs"))
-      .select(col("id"), col("y"), hist.as("x"))
+      .select(col("id"), col("y"),
+        ArrayOps.bincount(
+          ArrayOps.gramBuckets(col("tk"), buckets.toLong),
+          buckets, bias = true).as("x"))
       .localCheckpoint()
     def marginOf(w: Array[Long]): Column =
-      aggregate(zip_with(col("x"), typedlit(w.toSeq), (a, b) => a * b),
-        lit(0L), (acc, v) => acc + v)
+      ArrayOps.vecDotLong(col("x"), w)
     var w = Array.fill(buckets + 1)(0L)
     for (_ <- 1 to iters) {
       val upd = fx.withColumn("m", marginOf(w))
@@ -565,8 +571,11 @@ object TextAnalysis {
     *
     * @return id, n_bigrams, n_hapax (bigrams unique in the corpus),
     *         v (vocabulary size), sig (portable signature: sum of
-    *         60-bit md5 folds mod 1e12 — int64-safe on any engine
-    *         at any doc length), nll (0.0 for docs with < 2 tokens)
+    *         60-bit md5 folds mod 1e12 — each term < 1e12, so the
+    *         per-doc sum stays inside int64 on any engine for docs up
+    *         to ~9.2M bigrams (~18M whitespace tokens); longer single
+    *         documents would need a second mod on the sum),
+    *         nll (0.0 for docs with < 2 tokens)
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sep = "\u0001" // never inside a whitespace token

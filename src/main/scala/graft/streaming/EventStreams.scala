@@ -13,8 +13,10 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** On-disk schema: ts is TIMESTAMP(NANOS), surfaced as long nanos
-    * (see Tables.events) and converted to a microsecond timestamp. */
+  /** Historical on-disk schema: ts as TIMESTAMP(NANOS) surfaced as
+    * long nanos (see Tables.events). Newer generator versions write
+    * plain microsecond timestamps — [[readEventStream]] derives the
+    * actual schema from the file instead of assuming this one. */
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -39,11 +41,19 @@ object EventStreams {
     * a directory, so glob-filter inside the sf dir). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(schema)
+    // the stream source needs an explicit schema; take the REAL one
+    // from the file so both generator schemas (long nanos vs
+    // microsecond timestamp) replay with identical instants
+    val onDisk = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(dir).schema
+    val raw = spark.readStream.schema(onDisk)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    onDisk("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Streaming exact dedup: drop events whose `event_id` was already

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, TypeCollection}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, TypeCollection}
 
 /** Intersection size of two SORTED long arrays via a zero-allocation
   * two-pointer merge, with full whole-stage-codegen support.
@@ -439,6 +439,239 @@ case class VecMinhashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** The portable md5-fold gram hash as a static kernel (shared by the
+  * interpreted and codegen paths of [[VecGramBuckets]]): bucket id of
+  * a gram g is `conv(substring(md5(g), 1, 15), 16, 10) % m` — the
+  * first 60 bits of the MD5 of g's UTF-8 bytes, mod m — exactly the
+  * SQL chain the DSIR/perceptron featurizations use, so a DuckDB
+  * oracle replays bucket ids bit-for-bit.
+  */
+object GramHash {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex chars of the digest as a non-negative long:
+    * bytes 0..6 fully plus the high nibble of byte 7. */
+  private def fold60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xF0L) >>> 4)
+  }
+
+  private def bucketOf(bytes: Array[Byte], m: Long): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    fold60(md.digest(bytes)) % m
+  }
+
+  /** Bucket ids of a token array's unigrams followed by its
+    * -joined adjacent bigrams (the DSIR featurization), one
+    * O(tokens) pass. A null token contributes no gram — the same
+    * histogram the md5-HOF chain produced (null grams hash to null
+    * and are dropped downstream). */
+  def gramBuckets(arr: ArrayData, m: Long): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](if (n == 0) 0 else 2 * n - 1)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        out(k) = bucketOf(arr.getUTF8String(i).getBytes, m)
+        k += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      if (!arr.isNullAt(i) && !arr.isNullAt(i + 1)) {
+        val a = arr.getUTF8String(i).getBytes
+        val b = arr.getUTF8String(i + 1).getBytes
+        val g = new Array[Byte](a.length + 1 + b.length)
+        System.arraycopy(a, 0, g, 0, a.length)
+        g(a.length) = 0x01
+        System.arraycopy(b, 0, g, a.length + 1, b.length)
+        out(k) = bucketOf(g, m)
+        k += 1
+      }
+      i += 1
+    }
+    if (k == out.length) new GenericArrayData(out)
+    else new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+}
+
+/** Unigram + adjacent-bigram bucket ids of a token array in ONE pass —
+  * the hashed featurization of the DSIR/quality-classifier operators:
+  * for each token g (and each -joined adjacent pair), the
+  * portable md5 fold `conv(substring(md5(g), 1, 15), 16, 10) % m`.
+  *
+  * Why a custom Catalyst Expression: the HOF formulation
+  * (`transform(concat(tk, zip_with(slice, slice, concat)), md5-fold)`)
+  * evaluates interpreted, allocating gram STRINGS just to hash them —
+  * the dominant cost of the classifier featurization. Here the digest
+  * runs straight over token bytes. Bucket ids are bit-identical to
+  * the SQL chain (and therefore to the DuckDB oracle's replay).
+  */
+case class VecGramBuckets(child: Expression, buckets: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(buckets >= 2, s"gram buckets: need >= 2, got $buckets")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    GramHash.gramBuckets(v.asInstanceOf[ArrayData], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.graftext.GramHash.gramBuckets($a, ${buckets}L);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecGramBuckets =
+    copy(child = newChild)
+}
+
+/** One-pass bincount of an array<long> of bucket ids: slot i of the
+  * result counts the elements equal to i, for i in [0, buckets);
+  * values outside the range and NULL elements count nowhere (exactly
+  * the rows `filter(bs, b === i)` would drop). With `bias` set, one
+  * extra trailing slot holds the constant 1 — the bias feature of a
+  * hashed-feature model, materialized here so the histogram needs no
+  * downstream concat.
+  *
+  * Why a custom Catalyst Expression: the HOF formulation
+  * `transform(sequence(0, buckets-1), i => size(filter(bs, b === i)))`
+  * is O(buckets · grams) INTERPRETED passes per row — on the
+  * quality-classifier featurization it rescanned each doc's gram
+  * array 64 times. This is the single O(grams) pass with the
+  * identical result.
+  */
+case class VecBincount(child: Expression, buckets: Int, bias: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(buckets >= 1, s"bincount: buckets must be >= 1, got $buckets")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def outLen: Int = buckets + (if (bias) 1 else 0)
+
+  private def elemsNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Long](outLen)
+    val checkNull = elemsNullable
+    var i = 0
+    while (i < n) {
+      if (!(checkNull && a.isNullAt(i))) {
+        val b = a.getLong(i)
+        if (b >= 0L && b < buckets) out(b.toInt) += 1L
+      }
+      i += 1
+    }
+    if (bias) out(buckets) = 1L
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val out = ctx.freshName("out")
+      val nullGuard = if (elemsNullable) s"if ($a.isNullAt($i)) continue;" else ""
+      val biasSet = if (bias) s"$out[$buckets] = 1L;" else ""
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $out = new long[$outLen];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
+         |  final long $b = $a.getLong($i);
+         |  if ($b >= 0L && $b < ${buckets}L) $out[(int) $b]++;
+         |}
+         |$biasSet
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecBincount =
+    copy(child = newChild)
+}
+
+/** Integer dot product of an array<long> column with a DRIVER-RESIDENT
+  * long weight vector: Σ x[i]·w[i] over min(len(x), len(w)), plain
+  * 64-bit wraparound arithmetic — identical to the
+  * `aggregate(zip_with(x, typedlit(w), _*_), 0L, _+_)` chain it
+  * replaces, including null-element propagation (a null element nulls
+  * the result; checked only when the schema allows element nulls).
+  *
+  * Why a custom Catalyst Expression, and why the weights are a
+  * CONSTRUCTOR PARAM instead of a literal-array child: (1) the HOF
+  * chain evaluates interpreted per row; (2) a literal array embeds the
+  * weight VALUES in the plan, so an iterative trainer (one new weight
+  * vector per round) generates a fresh codegen source per round and
+  * Janino recompiles the whole stage every iteration. Here the array
+  * rides in the codegen references table (`addReferenceObj`), so the
+  * generated source is IDENTICAL across rounds and the whole-stage
+  * compile cache hits — training rounds 2..n pay zero compilation.
+  */
+case class VecDotLongConst(child: Expression, weights: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+
+  private def elemsNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean = super.nullable || elemsNullable
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), weights.length)
+    val checkNull = elemsNullable
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (checkNull && a.isNullAt(i)) return null
+      acc += a.getLong(i) * weights(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("dotWeights", weights, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elemsNullable)
+          s"""if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
+      s"""
+         |long $acc = 0L;
+         |final int $n = java.lang.Math.min($a.numElements(), $wRef.length);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  $acc += $a.getLong($i) * $wRef[$i];
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecDotLongConst =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a pre-hashed word set in ONE codegen'd pass:
   * bit k of the result is set when the count of words with bit k set
   * exceeds the count without — identical to the HOF bit-sum fold it
@@ -626,4 +859,24 @@ object ArrayOps {
   def vecL2Sq(a: Column, b: Column, aStart: Int = 0): Column =
     ExpressionUtils.column(VecL2SqSeq(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b), aStart))
+
+  /** Column API: portable md5-fold bucket ids of a token array's
+    * unigrams + chr(1)-joined adjacent bigrams (one fused pass). */
+  def gramBuckets(tokens: Column, buckets: Long): Column =
+    ExpressionUtils.column(VecGramBuckets(
+      ExpressionUtils.expression(tokens), buckets))
+
+  /** Column API: one-pass histogram of an array<long> of bucket ids
+    * (counts of value i in slot i, i < buckets), plus a trailing
+    * constant-1 bias slot when requested. */
+  def bincount(bucketIds: Column, buckets: Int, bias: Boolean = false): Column =
+    ExpressionUtils.column(VecBincount(
+      ExpressionUtils.expression(bucketIds), buckets, bias))
+
+  /** Column API: exact integer dot of an array<long> column with a
+    * driver-resident weight vector (codegen source is weight-value
+    * independent, so iterative trainers compile once). */
+  def vecDotLong(x: Column, weights: Array[Long]): Column =
+    ExpressionUtils.column(VecDotLongConst(
+      ExpressionUtils.expression(x), weights))
 }
