@@ -166,6 +166,111 @@ object Similarity {
     (0 until m).map(s => vecs.map(_.slice(s * ds, s * ds + ds)))
   }
 
+  /** TRAINED PQ codebook: per-subspace L2 k-means (classic Lloyd, the
+    * FAISS IndexPQ training shape) seeded by [[pqCodebook]]'s
+    * hash-picked rows — strictly the quality upgrade path: the gated
+    * q81 stays pinned to the untrained codebook, and a deployment
+    * runs this once to cut quantization distortion on real embedding
+    * distributions.
+    *
+    * ALL m subspaces train simultaneously — per iteration:
+    *  - ASSIGN is map-side: codewords ride the plan as literals and
+    *    each row takes m codegen'd VecL2SqSeq argmins at its subspace
+    *    offsets (the [[pqEncode]] expressions) — the corpus never
+    *    shuffles;
+    *  - UPDATE is ONE partial aggregate: posexplode(vec) keyed by
+    *    (subspace, assigned code, dim-in-subspace) sums — map-side
+    *    combine bounds the shuffle at dims·ks·partitions rows
+    *    regardless of corpus size, and the driver collects exactly
+    *    the dims·ks mean table each round (the [[trainKmeans]] loop
+    *    shape).
+    *  - Empty cells keep their previous codeword (deterministic).
+    *
+    * The returned history is the summed reconstruction error
+    * Σ_rows Σ_s min_j ||row_sub(s) − cw(s)(j)||² under each
+    * iteration's INCOMING codebook — non-increasing by the usual
+    * Lloyd argument (each half-step can only lower it).
+    *
+    * @param corpus (cid, vec) — uniform dims, divisible by m
+    * @return (cw(s)(j) like [[pqCodebook]], objective history)
+    */
+  def trainPqCodebook(corpus: DataFrame, m: Int, ks: Int, iters: Int = 5)
+      : (Seq[Seq[Seq[Double]]], Seq[Double]) = {
+    require(iters >= 1, s"pq train: iters must be >= 1, got $iters")
+    var cw = pqCodebook(corpus, m, ks)
+    val ds = cw.head.head.length
+    // every Lloyd round re-reads the vectors: materialize once
+    val base = corpus.select(col("cid"), col("vec")).localCheckpoint()
+    val history = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var it = 0
+    while (it < iters) {
+      val perSub = (0 until m).map { s =>
+        val cwS = typedlit(cw(s))
+        val dists = transform(sequence(lit(0), lit(ks - 1)), j =>
+          ArrayOps.vecL2Sq(col("vec"), element_at(cwS, j + lit(1)), s * ds))
+        struct((array_position(dists, array_min(dists)) - 1).cast("int").as("c"),
+          array_min(dists).as("d"))
+      }
+      // two selects so the argmin structs evaluate ONCE (Catalyst
+      // declines to collapse projects that duplicate non-cheap
+      // expressions — the q20 st_measures discipline)
+      val assigned = base.select(col("vec"), array(perSub: _*).as("sd"))
+        .select(col("vec"),
+          transform(col("sd"), x => x.getField("c")).as("codes"),
+          aggregate(transform(col("sd"), x => x.getField("d")),
+            lit(0.0), (a, b) => a + b).as("__err"))
+      val stats = assigned
+        .select(col("codes"), col("__err"), posexplode(col("vec")))
+        .withColumn("s", (col("pos") / ds).cast("int"))
+        .groupBy(col("s"), element_at(col("codes"), col("s") + 1).as("c"),
+          col("pos"))
+        .agg(sum(col("col").cast("double")).as("sum"), count(lit(1)).as("n"),
+          sum(col("__err")).as("obj"))
+        .collect()
+      // each (s=0, c, pos=0..ds-1) group of one cell sums the same
+      // rows' __err; read the objective off the pos % ds == 0 groups
+      // of subspace 0 (every row appears in exactly one s=0 cell)
+      history += stats.filter(r => r.getAs[Int]("s") == 0 && r.getAs[Int]("pos") == 0)
+        .map(_.getAs[Double]("obj")).sum
+      val byCell = stats.groupBy(r => (r.getAs[Int]("s"), r.getAs[Int]("c")))
+      cw = (0 until m).map { s =>
+        (0 until ks).map { j =>
+          byCell.get((s, j)) match {
+            case None => cw(s)(j)
+            case Some(rows) =>
+              val n = rows.head.getAs[Long]("n").toDouble
+              rows.sortBy(_.getAs[Int]("pos"))
+                .map(_.getAs[Double]("sum") / n).toSeq
+          }
+        }
+      }
+      it += 1
+    }
+    (cw, history.toSeq)
+  }
+
+  /** [[pqTopK]] under an EXPLICIT codebook (e.g. a
+    * [[trainPqCodebook]] result) — encode + ADC scan identical to the
+    * gated path, only the codewords differ. */
+  def pqTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+                 cw: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = cw.length; val ks = cw.head.length; val ds = cw.head.head.length
+    val lut = flatten(array((0 until m).map { s =>
+      transform(typedlit(cw(s)), cwv => ArrayOps.vecL2Sq(col("vec"), cwv, s * ds))
+    }: _*))
+    val q = queries.select(col("qid"), lut.as("lut"))
+    val adist = (0 until m).map(s =>
+      element_at(col("lut"), element_at(col("codes"), s + 1) + lit(s * ks + 1)))
+      .reduce(_ + _)
+    val scored = pqEncode(corpus, cw).crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("adist", adist)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("adist"))
+  }
+
   /** PQ encoding: each corpus vector becomes `m` small codes — code s
     * is the argmin-L2 codeword of subspace s (ties by codeword index,
     * first occurrence). ONE map-side pass over literal codewords (the
@@ -222,24 +327,8 @@ object Similarity {
     * @return qid, cid, rank (1..k), adist (squared L2 to reconstruction)
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-             m: Int = 8, ks: Int = 16): DataFrame = {
-    val cw = pqCodebook(corpus, m, ks)
-    val ds = cw.head.head.length
-    val lut = flatten(array((0 until m).map { s =>
-      transform(typedlit(cw(s)), cwv => ArrayOps.vecL2Sq(col("vec"), cwv, s * ds))
-    }: _*))
-    val q = queries.select(col("qid"), lut.as("lut"))
-    val adist = (0 until m).map(s =>
-      element_at(col("lut"), element_at(col("codes"), s + 1) + lit(s * ks + 1)))
-      .reduce(_ + _)
-    val scored = pqEncode(corpus, cw).crossJoin(broadcast(q))
-      .filter(col("qid") =!= col("cid"))
-      .withColumn("adist", adist)
-    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("rank"), col("adist"))
-  }
+             m: Int = 8, ks: Int = 16): DataFrame =
+    pqTopKWith(queries, corpus, k, pqCodebook(corpus, m, ks))
 
   /** Semantic benchmark-contamination screen: every corpus doc's
     * NEAREST benchmark item by embedding cosine, plus the >= tau

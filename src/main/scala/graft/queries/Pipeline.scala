@@ -62,7 +62,8 @@ object Pipeline {
     "q84_cooccur" -> q84,
     "q85_dedup_keep_best" -> q85,
     "q86_blocklist" -> q86,
-    "q87_quality_classifier" -> q87
+    "q87_quality_classifier" -> q87,
+    "q88_bpe_pack" -> q88
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -280,6 +281,25 @@ object Pipeline {
     docs.select(col("doc_id"),
         Bpe.tokenCountUdf(merges)(col("text")).as("n_tokens"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Sequence packing on TRAINED-tokenizer budgets — the loop a real
+    * pretraining pipeline runs (count under the learned vocabulary →
+    * pack → read slices): q46's banded two-phase prefix-sum packing,
+    * but the per-doc budget is the TRUE BPE token count under the
+    * q48-trained 12-merge vocabulary (Bpe.tokenCountUdf) instead of
+    * the whitespace estimate. The oracle composes the q48 training
+    * replay's final word segmentation (per-word-type symbol counts
+    * joined onto each doc's words) with q46's running-sum packing —
+    * gating tokenizer and packer TOGETHER end-to-end. q46 and q48
+    * stay pinned unchanged. */
+  def q88(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = Bpe.train(docs, "text", numMerges = 12)
+    val d = docs.select(col("doc_id"), col("source"),
+      Bpe.tokenCountUdf(merges)(col("text")).as("n_tok"))
+    Sampling.packChunks(d, "doc_id", "n_tok", "source", budget = 2048)
+      .orderBy(col("source"), col("doc_id"))
   }
 
   /** Group-wise quality top-k: the 10 highest-quality docs per
@@ -1579,6 +1599,31 @@ object Pipeline {
          |FROM lab JOIN fx USING (id) JOIN w5 ON fx.b = w5.b
          |GROUP BY lab.id, lab.y
          |ORDER BY lab.id""".stripMargin,
+    // q88: the q48 training replay's final segmentation (w12) keyed
+    // back to word types, per-doc TRUE token counts, then q46's
+    // running-sum packing over those counts — tokenizer and packer
+    // gated together.
+    "q88_bpe_pack" ->
+      s"""${sqlBpeCtes(12)},
+         |wcount AS MATERIALIZED (
+         |  SELECT array_to_string(syms, '') AS w, len(syms) AS ntok FROM w12),
+         |dw AS (
+         |  SELECT doc_id, source, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS w
+         |  FROM documents),
+         |t AS (
+         |  SELECT dw.doc_id, dw.source, CAST(sum(wc.ntok) AS BIGINT) AS n_tokens
+         |  FROM dw JOIN wcount wc ON dw.w = wc.w
+         |  GROUP BY dw.doc_id, dw.source),
+         |p AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_tok
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT source, doc_id, n_tokens, start_tok,
+         |  start_tok // 2048 AS bin_first,
+         |  (start_tok + n_tokens - 1) // 2048 AS bin_last,
+         |  (start_tok + n_tokens - 1) // 2048 - start_tok // 2048 + 1 AS n_bins
+         |FROM p ORDER BY source, doc_id""".stripMargin,
     // q79: quantize -> dequantize -> rank, all restated. The
     // codebook is per-dim min/max over exactly-converted doubles;
     // codes floor (not round) so both engines agree bit-for-bit.

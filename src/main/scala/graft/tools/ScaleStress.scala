@@ -191,6 +191,14 @@ object ScaleStress {
       graft.operators.Sampling.temperatureMix(grouped, "src", "doc_id").count())
     timed("capPerGroup cap=1000 over 20 groups")(
       graft.operators.Sampling.capPerGroup(grouped, "src", "doc_id", 1000).count())
+    // the trained classifier: one checkpointed featurization pass +
+    // 5 rounds of a (buckets+1)-sum aggregate — claims corpus-linear
+    // (aggregate over margins so the final scoring pass really runs)
+    timed("qualityPerceptron 64 buckets x 5 rounds")(
+      TextAnalysis.qualityPerceptron(zipf, "doc_id", "text",
+        pmod(col("doc_id"), lit(2)) === 0, buckets = 64, iters = 5)
+        .agg(sum(col("margin")),
+          sum(when(col("pred"), 1L).otherwise(0L))).collect()(0).toSeq)
     }
 
     if (sections("retrieval")) {
@@ -536,6 +544,23 @@ object ScaleStress {
     }
     timed("ivfTopK trained centroids (same nprobe)")(
       recall(graft.operators.Similarity.ivfTopKWith(queries, cands, 10, trained, nprobe)))
+
+    // PQ: the same trained-vs-hash discipline at equal (m, ks). The
+    // hash codebook is ks corpus rows; per-subspace Lloyd moves the
+    // codewords onto the cluster projections — the history's first
+    // entry IS the hash codebook's reconstruction error, so the
+    // improvement factor is read straight off the J trace.
+    val pqm = 8; val pqks = 256
+    timed(s"pqTopK hash codebook (m=$pqm ks=$pqks)")(
+      recall(graft.operators.Similarity.pqTopK(queries, cands, 10, pqm, pqks)))
+    var cwT: Seq[Seq[Seq[Double]]] = Seq.empty
+    timed(s"trainPqCodebook m=$pqm ks=$pqks x 5 iters") {
+      val (c, hist) = graft.operators.Similarity.trainPqCodebook(cands, pqm, pqks, 5)
+      cwT = c
+      "J: " + hist.map(x => f"$x%.1f").mkString(" -> ")
+    }
+    timed("pqTopK trained codebook (same m, ks)")(
+      recall(graft.operators.Similarity.pqTopKWith(queries, cands, 10, cwT)))
     }
 
     if (sections("temporal")) {

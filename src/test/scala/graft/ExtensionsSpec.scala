@@ -105,6 +105,63 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("VecGramBuckets equals the md5-HOF gram chain on real documents") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftext.ArrayOps
+    import graft.operators.TextAnalysis
+    val buckets = 64L
+    val d = Tables.documents(spark, sf).limit(300)
+      .select(TextAnalysis.wsTokens(lower(col("text"))).as("tk"))
+    val nBg = greatest(size(col("tk")) - 1, lit(0))
+    val grams = concat(col("tk"),
+      zip_with(slice(col("tk"), lit(1), nBg), slice(col("tk"), lit(2), nBg),
+        (a, b) => concat(a, lit("\u0001"), b)))
+    val hof = transform(grams, g =>
+      pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(buckets)))
+    val rows = d.select(
+        ArrayOps.gramBuckets(col("tk"), buckets).as("fused"),
+        hof.as("slow"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("VecBincount equals the 64-pass filter histogram, and " +
+    "VecDotLongConst equals the interpreted long fold") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftext.ArrayOps
+    import graft.operators.TextAnalysis
+    val buckets = 64
+    val w = Array.tabulate(buckets + 1)(i => (i * 2654435761L) % 1000L - 500L)
+    val d = Tables.documents(spark, sf).limit(300)
+      .select(ArrayOps.gramBuckets(
+        TextAnalysis.wsTokens(lower(col("text"))), buckets.toLong).as("bs"))
+    val hofHist = concat(
+      transform(sequence(lit(0L), lit(buckets.toLong - 1)), i =>
+        size(filter(col("bs"), b => b === i)).cast("long")),
+      array(lit(1L)))
+    val rows = d.select(
+        ArrayOps.bincount(col("bs"), buckets, bias = true).as("fast"),
+        hofHist.as("slow"))
+      .select(col("fast"), col("slow"),
+        ArrayOps.vecDotLong(col("fast"), w).as("dotFast"),
+        aggregate(zip_with(col("fast"), typedlit(w.toSeq), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).as("dotSlow"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+    // out-of-range and null bucket ids count nowhere; bias slot is 1
+    val edge = spark.sql(
+      s"""SELECT array(0L, 1L, 1L, CAST(NULL AS BIGINT), 99L, -3L) AS bs""")
+    val e = edge.select(ArrayOps.bincount(col("bs"), 4, bias = true)).collect()(0)
+    assert(e.getSeq[Long](0) === Seq(1L, 2L, 0L, 0L, 1L))
+  }
+
   test("VecL2SqSeq at every subspace offset is bit-identical to the " +
     "slice + zip_with + aggregate chain on real embeddings") {
     import org.apache.spark.sql.functions._

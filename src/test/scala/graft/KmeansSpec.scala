@@ -58,6 +58,53 @@ class KmeansSpec extends SparkSuite {
     assert(trained > 0.5, s"trained recall $trained unexpectedly low")
   }
 
+  test("trainPqCodebook: monotone reconstruction error, deterministic, " +
+    "trained recall >= hash-picked recall at equal (m, ks)") {
+    // PQ resolves neighbor structure at the CLUSTER scale (same-code
+    // rows reconstruct identically), so the recall regime is many
+    // small clusters with codeword capacity ~ cluster count — not the
+    // IVF fixture's few fat clusters, whose within-cluster neighbor
+    // ranking sits below any codebook's resolution
+    val nv = 2000
+    val corpus = clustered(nv, 16, 250)
+      .select($"id".as("cid"), $"vec").localCheckpoint()
+    val (cw, hist) = Similarity.trainPqCodebook(corpus, m = 4, ks = 32, iters = 6)
+    assert(cw.length == 4 && cw.forall(_.length == 32) &&
+      cw.forall(_.forall(_.length == 4)))
+    hist.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"reconstruction error rose: $a -> $b in $hist")
+    }
+    // hist.head IS the hash-picked codebook's reconstruction error
+    // (the incoming seed); training must improve it materially
+    assert(hist.last < hist.head, s"training never improved: $hist")
+    val (cw2, hist2) = Similarity.trainPqCodebook(corpus, m = 4, ks = 32, iters = 6)
+    assert(cw2 == cw && hist2 == hist)
+
+    // recall@k against the exact full-dim L2 ranking (what ADC
+    // approximates), trained vs the hash-picked seed codebook
+    val queries = corpus.filter($"cid" % 50 === 0)
+      .select($"cid".as("qid"), $"vec")
+    val exact = queries.crossJoin(
+        corpus.select($"cid", $"vec".as("cvec")))
+      .filter($"qid" =!= $"cid")
+      .withColumn("d2", org.apache.spark.sql.graftext.ArrayOps.vecL2Sq(
+        $"vec", $"cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"d2", $"cid")
+    val truth = exact.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"qid", $"cid").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val hash = recallOf(Similarity.pqTopK(queries, corpus, 3, m = 4, ks = 32))
+    val trained = recallOf(Similarity.pqTopKWith(queries, corpus, 3, cw))
+    assert(trained >= hash,
+      s"trained PQ recall $trained < hash-codebook recall $hash")
+    assert(trained > 0.3, s"trained PQ recall $trained unexpectedly low")
+  }
+
   test("ivfAssignWith matches the driver-side argmax and feeds semantic dedup") {
     val corpus = clustered(500, 8, 5)
     val (cents, _) = Similarity.trainKmeans(corpus, nlist = 5, iters = 4)

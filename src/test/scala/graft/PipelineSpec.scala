@@ -281,6 +281,18 @@ class PipelineSpec extends SparkSuite {
     assert(keep === Set(2L, 10L, 21L, 30L))
   }
 
+  test("keepBest: a NULL score loses to any scored row; all-null clusters fall back to min id") {
+    val labeled = Seq(
+      (1L, 1L, Some(0.5)), (2L, 1L, None),   // null must NOT steal the cluster
+      (10L, 10L, None), (11L, 10L, None),    // all-null -> min id 10
+      (20L, 20L, None)                       // null singleton still keeps
+    ).toDF("id", "component", "score")
+    val keep = Dedup.keepBest(labeled, "id", "component", "score")
+      .select("id", "keep").as[(Long, Boolean)].collect()
+      .filter(_._2).map(_._1).toSet
+    assert(keep === Set(1L, 10L, 20L))
+  }
+
   test("dedupCorpusKeepBest: self-concat clones win their cluster by token count") {
     val d = docs.select(col("doc_id"), col("text")).limit(50)
     val doubled = d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"),

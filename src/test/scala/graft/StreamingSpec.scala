@@ -276,6 +276,71 @@ class StreamingSpec extends SparkSuite {
     assert(out.isEmpty)
   }
 
+  test("Png codec: encode/decode round-trips every filter type and color " +
+    "type; rejects the unsupported subset honestly") {
+    import Multimodal.{Png, Raster}
+    // heights >= 6 so the y % 5 filter cycle covers all five types;
+    // widths include 1 (no left neighbor anywhere) and odd sizes
+    for (ch <- Seq(1, 3, 4); (w, h) <- Seq((1, 6), (3, 7), (8, 6), (5, 11))) {
+      val px = Array.tabulate(w * h * ch)(i => ((i * 37 + 11) % 256).toByte)
+      val r = Raster(w, h, ch, px)
+      val back = Png.decode(Png.encode(r))
+      assert(back.isDefined, s"round trip failed at $w x $h x $ch")
+      assert(back.get.width == w && back.get.height == h && back.get.channels == ch)
+      assert(java.util.Arrays.equals(back.get.pixels, px),
+        s"pixels differ at $w x $h x $ch")
+    }
+    // resize: nearest-neighbor floor mapping, checked by hand
+    val src = Raster(4, 2, 1, Array.tabulate(8)(_.toByte))
+    val up = Png.resizeNearest(src, 8, 2)
+    assert(up.pixels.toSeq == Seq[Byte](0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7))
+    val down = Png.resizeNearest(src, 2, 1)
+    assert(down.pixels.toSeq == Seq[Byte](0, 2))
+    // honest None on: junk, the header-only synthetic PNG (no
+    // IDAT/IEND), a corrupted CRC, and a truncated IDAT stream
+    assert(Png.decode("not a png".getBytes).isEmpty)
+    assert(Png.decode(Multimodal.syntheticMedia(0L)).isEmpty)
+    val good = Png.encode(Raster(3, 3, 1, new Array[Byte](9)))
+    val badCrc = good.clone(); badCrc(badCrc.length - 1) = (badCrc.last ^ 1).toByte
+    assert(Png.decode(badCrc).isEmpty)
+    val truncated = java.util.Arrays.copyOf(good, good.length - 13) // drop IEND + a byte
+    assert(Png.decode(truncated).isEmpty)
+    // a 16-bit-depth PNG is outside the subset: flip the depth byte
+    // (and fix the IHDR CRC) -> None, never garbage pixels
+    val deep = good.clone()
+    deep(24) = 16.toByte // IHDR bit-depth field
+    val crc = new java.util.zip.CRC32()
+    crc.update(deep, 12, 4 + 13)
+    val cv = crc.getValue.toInt
+    deep(29) = (cv >>> 24).toByte; deep(30) = (cv >>> 16).toByte
+    deep(31) = (cv >>> 8).toByte; deep(32) = cv.toByte
+    assert(Png.decode(deep).isEmpty)
+  }
+
+  test("resizeBatch takes the real pixel path for decodable PNGs and the " +
+    "stub for everything else") {
+    import spark.implicits._
+    import Multimodal.{Png, Raster}
+    val ids = spark.range(0, 30).select(col("id"))
+    val payloads = ids.select(col("id"),
+      Multimodal.syntheticPngUdf(col("id")).as("payload"))
+    val out = Multimodal.resizeBatch(payloads, w = 8, h = 8).collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val dec = Png.decode(r.getAs[Array[Byte]]("payload"))
+      assert(dec.isDefined, s"resized payload of $id is not a valid PNG")
+      val expect = Png.resizeNearest(Multimodal.syntheticRaster(id), 8, 8)
+      assert(dec.get.channels == expect.channels)
+      assert(java.util.Arrays.equals(dec.get.pixels, expect.pixels),
+        s"resized pixels differ for id $id")
+    }
+    // non-PNG payloads (q71's text bytes) still take the stub path
+    val stub = Multimodal.resizeBatch(
+      Seq((1L, "just text".getBytes)).toDF("id", "payload"), w = 64, h = 64).collect()
+    assert(stub.head.getAs[Array[Byte]]("payload").length == 64 * 64 / 256)
+  }
+
   test("HeaderDecoder handles fill bytes, big dims, and corrupt streams") {
     import Multimodal.HeaderDecoder.decode
     // JPEG with fill FFs before SOF2 (progressive) and a skipped
