@@ -432,18 +432,14 @@ object TextAnalysis {
                         idCol: String, textCol: String,
                         buckets: Int = 256): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val sep = "\u0001" // never inside a whitespace token
-    def feats(df: DataFrame): DataFrame = {
-      val tk = wsTokens(lower(col(textCol)))
-      val nBg = greatest(size(col("tk")) - 1, lit(0))
-      df.select(col(idCol).as("id"), tk.as("tk"))
-        .select(col("id"), explode(concat(col("tk"),
-          zip_with(slice(col("tk"), lit(1), nBg), slice(col("tk"), lit(2), nBg),
-            (a, b) => concat(a, lit(sep), b)))).as("g"))
-        .select(col("id"),
-          pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
-            lit(buckets.toLong)).as("b"))
-    }
+    // the fused VecGramBuckets kernel hashes unigram+bigram features
+    // straight from token bytes (bit-identical bucket ids to the
+    // md5-HOF chain, spec-pinned) -- the explode carries longs, never
+    // gram strings
+    def feats(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"),
+          ArrayOps.gramBuckets(wsTokens(lower(col(textCol))), buckets.toLong).as("bs"))
+        .select(col("id"), explode(col("bs")).as("b"))
     val docB = feats(corpus).groupBy(col("id"), col("b"))
       .agg(count(lit(1)).as("n"))
     val rawB = docB.groupBy(col("b")).agg(sum(col("n")).as("cr"))
