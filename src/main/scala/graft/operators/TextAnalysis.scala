@@ -397,6 +397,76 @@ object TextAnalysis {
       (blocked === 0).as("keep"))
   }
 
+  /** C4 LINE-level cleaning (Raffel et al. 2020, §2.2 — the rules the
+    * doc-level q74/q86 gates don't cover): a line is RETAINED iff it
+    *  - ends in a terminal punctuation mark (period, exclamation
+    *    mark, question mark, or end quotation mark),
+    *  - has at least `minWords` whitespace words, and
+    *  - does not contain the word "javascript" (case-insensitive) —
+    * and the PAGE is kept only if at least 3 lines survive (C4's
+    * "fewer than 3 sentences" drop, applied at retained-line
+    * granularity). The curly-brace / lorem-ipsum / blocklist page
+    * rules are [[blocklist]]'s job and deliberately not duplicated.
+    *
+    * Entirely map-side (split + filter + joins of the retained lines
+    * — no shuffle at any corpus size); the cleaned text is
+    * byte-exact, so the gate restates it verbatim.
+    *
+    * @return id, n_lines, n_kept, keep (n_kept >= 3), clean_text
+    *         (retained lines joined by newline; empty when none)
+    */
+  def c4LineClean(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 5): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => length(l) > 0)
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+      size(filter(split(l, " "), w => length(w) > 0)) >= minWords &&
+      !lower(l).contains("javascript"))
+    df.select(col(idCol).as("id"), lines.as("ls"), kept.as("ks"))
+      .select(col("id"),
+        size(col("ls")).as("n_lines"),
+        size(col("ks")).as("n_kept"),
+        (size(col("ks")) >= 3).as("keep"),
+        concat_ws("\n", col("ks")).as("clean_text"))
+  }
+
+  /** Gopher WITHIN-DOC duplicate-line statistics (Rae et al. 2021,
+    * App. A1.1's repetition rules at line granularity — the
+    * counterpart of [[repetitionScore]]'s n-gram windows): the
+    * fraction of a doc's lines that are repeats of an earlier line,
+    * by line count and by character mass. Gopher drops docs with
+    * duplicate-line fraction > 0.30 or duplicate-line character
+    * fraction > 0.20; thresholds are the caller's `when` — this is
+    * the exact integer surface.
+    *
+    * Entirely map-side; every ratio divides exact integers.
+    *
+    * @return id, n_lines, n_dup_lines (occurrences beyond each
+    *         line's first), dup_line_frac, n_chars (total line
+    *         chars), n_dup_chars (chars of those repeat occurrences),
+    *         dup_char_frac (0.0 for line-less docs)
+    */
+  def lineRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => length(l) > 0)
+    val sumLen = (xs: Column) =>
+      aggregate(xs, lit(0L), (acc, l) => acc + length(l))
+    df.select(col(idCol).as("id"), lines.as("ls"),
+        array_distinct(lines).as("ds"))
+      .select(col("id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        (size(col("ls")) - size(col("ds"))).cast("long").as("n_dup_lines"),
+        when(size(col("ls")) > 0,
+            (size(col("ls")) - size(col("ds"))).cast("double") /
+              size(col("ls")).cast("double"))
+          .otherwise(lit(0.0)).as("dup_line_frac"),
+        sumLen(col("ls")).as("n_chars"),
+        (sumLen(col("ls")) - sumLen(col("ds"))).as("n_dup_chars"),
+        when(sumLen(col("ls")) > 0,
+            (sumLen(col("ls")) - sumLen(col("ds"))).cast("double") /
+              sumLen(col("ls")).cast("double"))
+          .otherwise(lit(0.0)).as("dup_char_frac"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every corpus
     * doc by how much more likely its hashed n-gram features are under

@@ -63,7 +63,9 @@ object Pipeline {
     "q85_dedup_keep_best" -> q85,
     "q86_blocklist" -> q86,
     "q87_quality_classifier" -> q87,
-    "q88_bpe_pack" -> q88
+    "q88_bpe_pack" -> q88,
+    "q90_c4_lines" -> q90,
+    "q91_line_repetition" -> q91
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -640,6 +642,50 @@ object Pipeline {
     TextAnalysis.qualityPerceptron(Tables.documents(spark, dir), "doc_id", "text",
         col("lang") === "en", buckets = 64, iters = 5)
       .orderBy(col("id"))
+
+  /** C4 line-level cleaning over multi-line pages: the corpus has no
+    * newlines, so pages are built deterministically — 10 docs per
+    * page (doc_id div 10), one line per doc, ordered by doc_id, with
+    * a suffix by doc_id % 4 that exercises every rule branch:
+    * 0 → text + "." (retained), 1 → bare text (no terminal
+    * punctuation), 2 → text + " but Javascript required." (terminal
+    * punct AND enough words, but the javascript rule drops it),
+    * 3 → first two words + "!" (terminal punct but under 5 words).
+    * The cleaned page text is gated byte-for-byte. */
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val line = when(pmod(col("doc_id"), lit(4)) === 0, concat(col("text"), lit(".")))
+      .when(pmod(col("doc_id"), lit(4)) === 1, col("text"))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(col("text"), lit(" but Javascript required.")))
+      .otherwise(concat(regexp_extract(col("text"), "^(\\S+ \\S+)", 1), lit("!")))
+    val pages = d.select(expr("doc_id div 10").as("page_id"),
+        struct(col("doc_id"), line.as("line")).as("s"))
+      .groupBy(col("page_id"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(col("s"))), x => x.getField("line"))).as("t"))
+    TextAnalysis.c4LineClean(pages, "page_id", "t")
+      .orderBy(col("id"))
+  }
+
+  /** Gopher duplicate-line statistics over pages with PLANTED line
+    * repeats: docs with doc_id % 3 == 0 are cloned (id + 1e6 — and
+    * 1e6 % 50 == 0, so each clone lands in its original's page),
+    * pages are 50 id-residue groups with lines ordered by doc_id.
+    * Per page: duplicate-line and duplicate-character fractions —
+    * exact integer surfaces, IEEE-exact divisions. */
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val all = d.unionAll(d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val pages = all.select(pmod(col("doc_id"), lit(50)).as("page_id"),
+        struct(col("doc_id"), col("text").as("line")).as("s"))
+      .groupBy(col("page_id"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(col("s"))), x => x.getField("line"))).as("t"))
+    TextAnalysis.lineRepetition(pages, "page_id", "t")
+      .orderBy(col("id"))
+  }
 
   /** Dedup with a quality-aware canonical pick (RefinedWeb keeps the
     * LONGEST copy of each duplicate class, not the min-id one): q35's
@@ -1624,6 +1670,63 @@ object Pipeline {
          |  (start_tok + n_tokens - 1) // 2048 AS bin_last,
          |  (start_tok + n_tokens - 1) // 2048 - start_tok // 2048 + 1 AS n_bins
          |FROM p ORDER BY source, doc_id""".stripMargin,
+    // q90/q91: the page construction (grouping, line order, rule
+    // suffixes / planted clones) restated, then the line rules /
+    // duplicate accounting over the identical pages.
+    "q90_c4_lines" ->
+      """WITH l AS (
+        |  SELECT doc_id, doc_id // 10 AS page_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN text || '.'
+        |      WHEN 1 THEN text
+        |      WHEN 2 THEN text || ' but Javascript required.'
+        |      ELSE regexp_extract(text, '^(\S+ \S+)', 1) || '!'
+        |    END AS line
+        |  FROM documents),
+        |pg AS (
+        |  SELECT page_id, string_agg(line, chr(10) ORDER BY doc_id) AS t
+        |  FROM l GROUP BY page_id),
+        |x AS (
+        |  SELECT page_id,
+        |    list_filter(string_split(t, chr(10)), s -> length(s) > 0) AS ls
+        |  FROM pg),
+        |k AS (
+        |  SELECT page_id, ls,
+        |    list_filter(ls, s ->
+        |      regexp_matches(s, '[.!?"]$')
+        |      AND len(list_filter(string_split(s, ' '), w -> length(w) > 0)) >= 5
+        |      AND NOT contains(lower(s), 'javascript')) AS ks
+        |  FROM x)
+        |SELECT page_id AS id, CAST(len(ls) AS INT) AS n_lines,
+        |  CAST(len(ks) AS INT) AS n_kept,
+        |  len(ks) >= 3 AS keep,
+        |  array_to_string(ks, chr(10)) AS clean_text
+        |FROM k ORDER BY id""".stripMargin,
+    "q91_line_repetition" ->
+      """WITH a AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0),
+        |pg AS (
+        |  SELECT doc_id % 50 AS id, string_agg(text, chr(10) ORDER BY doc_id) AS t
+        |  FROM a GROUP BY doc_id % 50),
+        |x AS (
+        |  SELECT id,
+        |    list_filter(string_split(t, chr(10)), s -> length(s) > 0) AS ls
+        |  FROM pg),
+        |y AS (SELECT id, ls, list_distinct(ls) AS ds,
+        |    CAST(coalesce(list_sum(list_transform(ls, s -> length(s))), 0) AS BIGINT) AS lc,
+        |    CAST(coalesce(list_sum(list_transform(list_distinct(ls), s -> length(s))), 0) AS BIGINT) AS dc
+        |  FROM x)
+        |SELECT id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(ls) - len(ds) AS BIGINT) AS n_dup_lines,
+        |  CASE WHEN len(ls) > 0
+        |    THEN (len(ls) - len(ds)) / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+        |  lc AS n_chars,
+        |  lc - dc AS n_dup_chars,
+        |  CASE WHEN lc > 0 THEN (lc - dc) / CAST(lc AS DOUBLE) ELSE 0.0 END AS dup_char_frac
+        |FROM y ORDER BY id""".stripMargin,
     // q79: quantize -> dequantize -> rank, all restated. The
     // codebook is per-dim min/max over exactly-converted doubles;
     // codes floor (not round) so both engines agree bit-for-bit.

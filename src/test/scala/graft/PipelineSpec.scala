@@ -266,6 +266,43 @@ class PipelineSpec extends SparkSuite {
     assert(e(0)._3 === 1L && e(1)._3 === 1L)
   }
 
+  test("c4LineClean: rule branches, empty lines, and the 3-line page drop " +
+    "on hand-built pages") {
+    val df = Seq(
+      (1L, "one two three four five.\nshort one.\nno terminal punct here at all\n" +
+        "uses JavaScript so it dies despite six words.\nGood line with enough words!\n" +
+        "Quoted line of five words\"\nAnother fine retained line here?"),
+      (2L, "only one good line in this page."),
+      (3L, ""),
+      (4L, "a.\n\n\nb.")
+    ).toDF("id", "text")
+    val out = TextAnalysis.c4LineClean(df, "id", "text")
+      .orderBy($"id").as[(Long, Int, Int, Boolean, String)].collect().toSeq
+    // page 1: 7 lines; retained = line 1 (5 words + '.'), 'Good line...' (5 words + '!'),
+    // 'Quoted...' (5 words + '"'), 'Another...' (5 words + '?') — 'short one.' (2 words),
+    // the punctless line, and the javascript line all drop
+    assert(out(0) === (1L, 7, 4, true,
+      "one two three four five.\nGood line with enough words!\n" +
+      "Quoted line of five words\"\nAnother fine retained line here?"))
+    assert(out(1) === (2L, 1, 1, false, "only one good line in this page."))
+    assert(out(2) === (3L, 0, 0, false, ""))   // empty text: zero lines
+    assert(out(3) === (4L, 2, 0, false, ""))   // blank lines dropped before counting
+  }
+
+  test("lineRepetition: duplicate-line and duplicate-char fractions by hand") {
+    val df = Seq(
+      (1L, "aaa\nbb\naaa\nbb\naaa"), // 5 lines, 2 distinct: 3 dup; chars 13, distinct 5
+      (2L, "x\ny\nz"),               // no repeats
+      (3L, "")                       // no lines
+    ).toDF("id", "text")
+    val out = TextAnalysis.lineRepetition(df, "id", "text")
+      .orderBy($"id")
+      .as[(Long, Long, Long, Double, Long, Long, Double)].collect().toSeq
+    assert(out(0) === (1L, 5L, 3L, 3.0 / 5.0, 13L, 8L, 8.0 / 13.0))
+    assert(out(1) === (2L, 3L, 0L, 0.0, 3L, 0L, 0.0))
+    assert(out(2) === (3L, 0L, 0L, 0.0, 0L, 0L, 0.0))
+  }
+
   test("keepBest: per-cluster score argmax, ties by min id, NaN loses to any real") {
     val labeled = Seq(
       (1L, 1L, 5.0), (2L, 1L, 9.0), (3L, 1L, 9.0), // tie at 9.0 -> min id 2

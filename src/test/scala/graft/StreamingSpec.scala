@@ -276,6 +276,42 @@ class StreamingSpec extends SparkSuite {
     assert(out.isEmpty)
   }
 
+  test("map-side curation gates are stream-safe: gopher rules, blocklist, " +
+    "PII redaction and C4 line cleaning produce identical rows on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      (1L, "the data have to be with that and more words here ok."),
+      (2L, "dup dup dup"),
+      (3L, "mail me at a.b@example.com or call 12345678\nshort.\n" +
+        "a full line with five words."),
+      (4L, ""))
+    def gates(df: org.apache.spark.sql.DataFrame) = {
+      val g = TextAnalysis.gopherFlags(df, "doc_id", "text")
+        .select($"id", $"n_words", $"n_stopwords", $"passes")
+      val b = TextAnalysis.blocklist(df, "doc_id", "text", Seq("dup"))
+        .select($"id", $"n_blocked", $"keep".as("bl_keep"))
+      val p = TextAnalysis.piiStats(df, "doc_id", "text")
+      val c = TextAnalysis.c4LineClean(df, "doc_id", "text")
+        .select($"id", $"n_kept", $"clean_text")
+      g.join(b, "id").join(p, "id").join(c, "id")
+    }
+    val batch = gates(rows.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+    val ms = MemoryStream[(Long, String)]
+    val q = gates(ms.toDF.toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curation_gates_stream").start()
+    try {
+      ms.addData(rows.take(2)); q.processAllAvailable()
+      ms.addData(rows.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("curation_gates_stream").collect().map(_.toSeq).toSet
+    assert(streamed === batch, "stream and batch gate results differ")
+    assert(batch.size == rows.size)
+  }
+
   test("Png codec: encode/decode round-trips every filter type and color " +
     "type; rejects the unsupported subset honestly") {
     import Multimodal.{Png, Raster}
