@@ -467,6 +467,48 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("dup_char_frac"))
   }
 
+  /** Cross-document frequent-line EXCISION (the RefinedWeb/CCNet
+    * line-dedup pass: a line appearing in `minDocs`+ distinct
+    * documents is boilerplate — nav bars, cookie banners, license
+    * headers — and is cut from every document containing it). The
+    * line-granularity APPLY step beside [[c4LineClean]]'s per-line
+    * rules and q58's shingle accounting.
+    *
+    * Scale shape: lines explode with their position (map-side), ONE
+    * line-keyed count aggregate (map-side partials collapse repeats),
+    * the frequency table JOINS back on the line key (never broadcast
+    * — line vocabulary scales with the corpus), and the rebuild is
+    * one id-keyed aggregate whose groups are doc-length-bounded.
+    * Corpus-linear, no pair space — the q58/q68 discipline.
+    *
+    * @return id, n_lines, n_cut (lines removed), clean_text
+    *         (surviving lines in original order, byte-exact)
+    */
+  def exciseCommonLines(df: DataFrame, idCol: String, textCol: String,
+                        minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+    val pos = base.select(col("id"),
+      posexplode(filter(split(col("__t"), "\n"), l => length(l) > 0)))
+      .select(col("id"), col("pos"), col("col").as("line"))
+    val freq = pos.groupBy(col("line"))
+      .agg(countDistinct(col("id")).as("__nd"))
+    val rebuilt = pos.join(freq, Seq("line"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__nd") >= minDocs, 1L).otherwise(0L)).as("n_cut"),
+        concat_ws("\n", transform(
+          filter(array_sort(collect_list(struct(col("pos"),
+            (col("__nd") < minDocs).as("keep"), col("line")))),
+            s => s.getField("keep")),
+          s => s.getField("line"))).as("clean_text"))
+    base.select(col("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every corpus
     * doc by how much more likely its hashed n-gram features are under

@@ -65,7 +65,8 @@ object Pipeline {
     "q87_quality_classifier" -> q87,
     "q88_bpe_pack" -> q88,
     "q90_c4_lines" -> q90,
-    "q91_line_repetition" -> q91
+    "q91_line_repetition" -> q91,
+    "q92_line_excise" -> q92
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -684,6 +685,26 @@ object Pipeline {
       .agg(concat_ws("\n",
         transform(array_sort(collect_list(col("s"))), x => x.getField("line"))).as("t"))
     TextAnalysis.lineRepetition(pages, "page_id", "t")
+      .orderBy(col("id"))
+  }
+
+  /** Cross-page frequent-line excision: clones of doc_id % 3 == 0
+    * docs land in the NEIGHBORING page (id + 1000001, and
+    * 1000001 % 50 == 1), planting identical lines across two
+    * distinct pages — exactly the boilerplate shape the frequency
+    * pass must cut from BOTH, while every unrepeated line survives
+    * byte-for-byte. Natural exact-duplicate texts in the corpus get
+    * cut too (both sides compute the same frequency table). */
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val all = d.unionAll(d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select((col("doc_id") + 1000001).as("doc_id"), col("text")))
+    val pages = all.select(pmod(col("doc_id"), lit(50)).as("page_id"),
+        struct(col("doc_id"), col("text").as("line")).as("s"))
+      .groupBy(col("page_id"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(col("s"))), x => x.getField("line"))).as("t"))
+    TextAnalysis.exciseCommonLines(pages, "page_id", "t", minDocs = 2)
       .orderBy(col("id"))
   }
 
@@ -1727,6 +1748,32 @@ object Pipeline {
         |  lc - dc AS n_dup_chars,
         |  CASE WHEN lc > 0 THEN (lc - dc) / CAST(lc AS DOUBLE) ELSE 0.0 END AS dup_char_frac
         |FROM y ORDER BY id""".stripMargin,
+    // q92: the shifted-clone page construction, then line frequency
+    // across pages and the ordered rebuild of surviving lines.
+    "q92_line_excise" ->
+      """WITH a AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000001, text FROM documents WHERE doc_id % 3 = 0),
+        |pg AS (
+        |  SELECT doc_id % 50 AS id, string_agg(text, chr(10) ORDER BY doc_id) AS t
+        |  FROM a GROUP BY doc_id % 50),
+        |x AS (
+        |  SELECT id, list_filter(string_split(t, chr(10)), s -> length(s) > 0) AS ls
+        |  FROM pg),
+        |ln AS (
+        |  SELECT id, i, ls[CAST(i AS INT)] AS line
+        |  FROM x, unnest(generate_series(1, len(ls))) AS t(i)),
+        |fq AS (
+        |  SELECT line, count(DISTINCT id) AS nd FROM ln GROUP BY line)
+        |SELECT ln.id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN fq.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+        |  coalesce(string_agg(CASE WHEN fq.nd < 2 THEN ln.line END, chr(10)
+        |    ORDER BY ln.i), '') AS clean_text
+        |FROM ln JOIN fq USING (line)
+        |GROUP BY ln.id
+        |ORDER BY ln.id""".stripMargin,
     // q79: quantize -> dequantize -> rank, all restated. The
     // codebook is per-dim min/max over exactly-converted doubles;
     // codes floor (not round) so both engines agree bit-for-bit.

@@ -289,6 +289,28 @@ class PipelineSpec extends SparkSuite {
     assert(out(3) === (4L, 2, 0, false, ""))   // blank lines dropped before counting
   }
 
+  test("exciseCommonLines: cross-doc frequent lines cut everywhere; " +
+    "within-doc repeats and unique lines survive; empty docs survive") {
+    val df = Seq(
+      (1L, "cookie banner\nreal content one\ncookie banner"),
+      (2L, "cookie banner\nreal content two"),
+      (3L, "echo\necho\nonly here"), // repeats within ONE doc: not boilerplate
+      (4L, "")
+    ).toDF("id", "text")
+    val out = TextAnalysis.exciseCommonLines(df, "id", "text", minDocs = 2)
+      .orderBy($"id").as[(Long, Long, Long, String)].collect().toSeq
+    // 'cookie banner' is in docs 1 and 2 -> cut from both (both
+    // occurrences in doc 1); 'echo' repeats only inside doc 3 -> kept
+    assert(out(0) === (1L, 3L, 2L, "real content one"))
+    assert(out(1) === (2L, 2L, 1L, "real content two"))
+    assert(out(2) === (3L, 3L, 0L, "echo\necho\nonly here"))
+    assert(out(3) === (4L, 0L, 0L, ""))
+    // raising minDocs past the frequency keeps everything
+    val loose = TextAnalysis.exciseCommonLines(df, "id", "text", minDocs = 3)
+      .orderBy($"id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(loose(0)._4 === "cookie banner\nreal content one\ncookie banner")
+  }
+
   test("lineRepetition: duplicate-line and duplicate-char fractions by hand") {
     val df = Seq(
       (1L, "aaa\nbb\naaa\nbb\naaa"), // 5 lines, 2 distinct: 3 dup; chars 13, distinct 5
