@@ -201,6 +201,44 @@ object ScaleStress {
           sum(when(col("pred"), 1L).otherwise(0L))).collect()(0).toSeq)
     }
 
+    if (sections("lineops")) {
+    // r6 line-granularity curation ops at N and 10N multi-line docs:
+    // all three claim corpus-linear plans (q90/q91 map-side, q92 one
+    // line-keyed shuffle). ~10 lines/doc from the zipf vocabulary;
+    // every third doc carries a shared boilerplate line (the shape
+    // exciseCommonLines must cut), and every fifth doc repeats its
+    // own first line (lineRepetition's signal, NOT boilerplate).
+    val zc3 = zipfCum
+    val lined = spark.range(0, nDocs, 1, 32)
+      .mapPartitions { it =>
+        it.map { id =>
+          val rng = new scala.util.Random(id)
+          def word(): String = {
+            val i = java.util.Arrays.binarySearch(zc3, rng.nextDouble())
+            s"w${if (i >= 0) i else -i - 1}"
+          }
+          val lines = Array.tabulate(10) { k =>
+            val ws = Array.fill(6 + rng.nextInt(6))(word()).mkString(" ")
+            if (k == 9 && id % 3 == 0) "cookie banner boilerplate row."
+            else if (k == 8 && id % 5 == 0) null // replaced below
+            else ws + (if (k % 2 == 0) "." else "")
+          }
+          if (id % 5 == 0) lines(8) = lines(0)
+          (id, lines.mkString("\n"))
+        }
+      }.toDF("doc_id", "text").localCheckpoint()
+    println(s"[stress] lined corpus: ${lined.count()} docs x ~10 lines")
+    timed("c4LineClean (map-side rules)")(
+      TextAnalysis.c4LineClean(lined, "doc_id", "text")
+        .agg(sum(col("n_kept")), sum(length(col("clean_text")))).collect()(0).toSeq)
+    timed("lineRepetition (map-side dup fractions)")(
+      TextAnalysis.lineRepetition(lined, "doc_id", "text")
+        .agg(sum(col("n_dup_lines")), sum(col("n_dup_chars"))).collect()(0).toSeq)
+    timed("exciseCommonLines minDocs=2 (line-keyed shuffle)")(
+      TextAnalysis.exciseCommonLines(lined, "doc_id", "text")
+        .agg(sum(col("n_cut")), sum(length(col("clean_text")))).collect()(0).toSeq)
+    }
+
     if (sections("retrieval")) {
     // r5 retrieval additions at corpus scale: every plan here claims
     // corpus-linearity with the query/bench/codebook side broadcast
