@@ -59,6 +59,41 @@ object Sampling {
       col(idCol).cast("string"))) < thresh)
   }
 
+  /** Deterministic DISJOINT-AND-TOTAL split assignment — the
+    * train/val/test carve every training run needs: one portable md5
+    * draw per id (prefixed "split:" so it is independent of
+    * [[hashSample]]'s draw on the same id) lands in the first split
+    * whose cumulative weight threshold exceeds it. Every row gets
+    * exactly one split (the last threshold is pinned to the gate
+    * modulus, so floating-point rounding can never leave a row
+    * unassigned), reruns assign identically on any engine/cluster,
+    * and the FIRST split grows monotonically: raising its weight
+    * only ADDS ids (existing members never leave — the threshold
+    * only moves up), and a trailing split depends only on the sum of
+    * the weights before it, so test stays fixed while train/val
+    * trade mass. Middle splits are windows and shift with their
+    * lower boundary — order the splits so the ones that must stay
+    * stable sit first or last. Map-side only.
+    * @param splits (name, weight) in priority order; weights sum to 1
+    * @return df's columns + split */
+  def splitAssign(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "splitAssign: no splits")
+    splits.foreach { case (n, w) =>
+      require(w >= 0 && w <= 1, s"splitAssign: weight $w of '$n' outside [0,1]") }
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"splitAssign: weights must sum to 1, got ${splits.map(_._2).sum}")
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * Mod))
+    val th = cums.init :+ Mod // total by construction
+    val g = hashGate(concat(lit("split:"), col(idCol).cast("string")))
+    val assign = splits.map(_._1).zip(th).init
+      .foldRight(lit(splits.last._1): Column) {
+        case ((name, t), els) => when(g < t, name).otherwise(els)
+      }
+    df.withColumn("split", assign)
+  }
+
   /** Per-row weighted sample: keep each row with probability
     * `weightCol` (clamped to [0, 1]) — quality-proportional corpus
     * downsampling, with the same deterministic portable gate as

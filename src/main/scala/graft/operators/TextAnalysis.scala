@@ -467,6 +467,29 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("dup_char_frac"))
   }
 
+  /** Per-doc out-of-vocabulary statistics under a FIXED vocabulary
+    * (the tokenizer-coverage metric: how much of each document a
+    * truncated vocabulary — e.g. [[vocabTopK]]'s head, or a trained
+    * tokenizer's word list — fails to cover). Token-exact whitespace
+    * matching; membership compiles to InSet's O(1) probe, entirely
+    * map-side (the vocabulary is driver-resident by construction —
+    * top-k output or a shipped tokenizer list).
+    * @return id, n_tokens, n_oov (occurrences outside vocab),
+    *         oov_rate (0.0 for empty docs) */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+               vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "oovStats: empty vocabulary")
+    val v = vocab.distinct
+    df.select(col(idCol).as("id"), wsTokens(col(textCol)).as("tk"))
+      .select(col("id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(filter(col("tk"), t => !t.isInCollection(v))).cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+            col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Cross-document frequent-line EXCISION (the RefinedWeb/CCNet
     * line-dedup pass: a line appearing in `minDocs`+ distinct
     * documents is boilerplate — nav bars, cookie banners, license

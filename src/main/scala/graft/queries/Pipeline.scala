@@ -66,7 +66,9 @@ object Pipeline {
     "q88_bpe_pack" -> q88,
     "q90_c4_lines" -> q90,
     "q91_line_repetition" -> q91,
-    "q92_line_excise" -> q92
+    "q92_line_excise" -> q92,
+    "q93_oov_rate" -> q93,
+    "q94_split_assign" -> q94
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -707,6 +709,29 @@ object Pipeline {
     TextAnalysis.exciseCommonLines(pages, "page_id", "t", minDocs = 2)
       .orderBy(col("id"))
   }
+
+  /** OOV rate under the top-20 corpus vocabulary (the corpus has 31
+    * distinct tokens, so the truncation leaves genuine OOV mass in
+    * every doc): vocabTopK's deterministic (doc_freq desc, term_freq
+    * desc, token) head becomes the driver-resident vocabulary, then a
+    * map-side InSet probe counts uncovered occurrences per doc. */
+  def q93(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val vocab = TextAnalysis.vocabTopK(d, "doc_id", "text", 20)
+      .select(col("token")).collect().map(_.getString(0)).toSeq
+    TextAnalysis.oovStats(d, "doc_id", "text", vocab)
+      .orderBy(col("id"))
+  }
+
+  /** Deterministic train/val/test assignment (90/5/5): one portable
+    * md5 draw per doc (key "split:id"), thresholds at 900000/950000
+    * of the 1e6 gate modulus — disjoint, total, rerun-identical; the
+    * oracle replays the fold and the CASE chain verbatim. */
+  def q94(spark: SparkSession, dir: String): DataFrame =
+    Sampling.splitAssign(Tables.documents(spark, dir), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
 
   /** Dedup with a quality-aware canonical pick (RefinedWeb keeps the
     * LONGEST copy of each duplicate class, not the min-id one): q35's
@@ -1774,6 +1799,40 @@ object Pipeline {
         |FROM ln JOIN fq USING (line)
         |GROUP BY ln.id
         |ORDER BY ln.id""".stripMargin,
+    // q93: the top-20 vocabulary by the same deterministic order,
+    // then per-doc uncovered-occurrence counts.
+    "q93_oov_rate" ->
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS token
+        |  FROM documents),
+        |v AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(DISTINCT doc_id) AS df_, count(*) AS tf_
+        |    FROM tf GROUP BY token)
+        |  ORDER BY df_ DESC, tf_ DESC, token LIMIT 20),
+        |vl AS (SELECT list(token) AS vs FROM v),
+        |d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS tk
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(tk, t -> NOT list_contains(vl.vs, t))) AS BIGINT) AS n_oov,
+        |  CASE WHEN len(tk) > 0
+        |    THEN len(list_filter(tk, t -> NOT list_contains(vl.vs, t))) / CAST(len(tk) AS DOUBLE)
+        |    ELSE 0.0 END AS oov_rate
+        |FROM d, vl
+        |ORDER BY id""".stripMargin,
+    // q94: the split gate replayed — md5 fold of 'split:id', CASE on
+    // the cumulative thresholds.
+    "q94_split_assign" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN h < 900000 THEN 'train'
+         |       WHEN h < 950000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |    ${sqlMd5Fold("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     // q79: quantize -> dequantize -> rank, all restated. The
     // codebook is per-dim min/max over exactly-converted doubles;
     // codes floor (not round) so both engines agree bit-for-bit.

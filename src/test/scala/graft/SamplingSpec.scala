@@ -64,6 +64,53 @@ class SamplingSpec extends SparkSuite {
     assert(math.abs(out("s2") - 9000L) < 400, s"s2: ${out("s2")}")
   }
 
+  test("splitAssign: disjoint and total, deterministic, first split grows " +
+    "monotonically, trailing split pinned by the preceding weight sum") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 5000).toDF("id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val a = Sampling.splitAssign(df, "id", splits)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(a.size == 5000, "every id assigned exactly once")
+    val counts = a.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    // 60-bit md5 draws: fractions land near the weights
+    assert(math.abs(counts("train") - 4500) < 150, s"train ${counts("train")}")
+    assert(math.abs(counts("val") - 250) < 80, s"val ${counts("val")}")
+    assert(math.abs(counts("test") - 250) < 80, s"test ${counts("test")}")
+    // deterministic rerun
+    val b = Sampling.splitAssign(df.repartition(7), "id", splits)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(b == a)
+    // growing train (val shrinks, test untouched): train never loses
+    // an id, test identical — the boundary-chain property
+    val g = Sampling.splitAssign(df, "id",
+        Seq("train" -> 0.92, "val" -> 0.03, "test" -> 0.05))
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    val trainA = a.filter(_._2 == "train").keySet
+    val trainG = g.filter(_._2 == "train").keySet
+    assert(trainA.subsetOf(trainG), "growing train must keep its members")
+    assert(a.filter(_._2 == "test") == g.filter(_._2 == "test"),
+      "trailing split must not move when earlier splits trade mass")
+    // invalid weights fail loudly
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(df, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("oovStats: hand-computed coverage under a fixed vocabulary") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "a b a c"),   // vocab {a,b}: 1 OOV of 4
+      (2L, "x y z"),     // all OOV
+      (3L, "a a"),       // fully covered
+      (4L, "")           // empty
+    ).toDF("id", "text")
+    val out = TextAnalysis.oovStats(df, "id", "text", Seq("a", "b"))
+      .orderBy($"id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 4L, 1L, 0.25), (2L, 3L, 3L, 1.0), (3L, 2L, 0L, 0.0), (4L, 0L, 0L, 0.0)))
+  }
+
   test("topKPerStratum keeps exactly k per stratum via a map-side group limit") {
     val df = spark.range(0, 1000).select(($"id" % 7).as("st"),
       ($"id" * 37 % 101).cast("double").as("score"), $"id")
