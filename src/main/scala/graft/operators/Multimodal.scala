@@ -195,6 +195,119 @@ object Multimodal {
       .toDF()
   }
 
+  /** Decoded audio metadata: PCM parameters + exact frame count —
+    * all integers, so every derived quantity (duration = n_frames /
+    * sample_rate) is closed-form checkable. */
+  case class WavMeta(id: Long, sample_rate: Int, channels: Int,
+                     bits: Int, data_bytes: Long, n_frames: Long)
+
+  /** REAL WAV (RIFF) header decode — the audio counterpart of the
+    * image [[HeaderDecoder]], pure JVM: verifies the RIFF/WAVE
+    * container, walks chunks by their declared little-endian sizes
+    * (odd-sized chunks pad to even per the RIFF spec), reads the PCM
+    * "fmt " parameters and the "data" chunk size, and derives the
+    * exact frame count. Anything outside plain PCM (compressed
+    * formats, missing/truncated chunks, byte-rate/block-align
+    * inconsistent with the stated parameters) decodes honestly as
+    * None — no fabricated metadata. Sample decode itself is trivial
+    * for PCM but deliberately out of scope here: metadata is what
+    * corpus curation filters on.
+    */
+  object WavDecoder {
+    private def u16le(b: Array[Byte], i: Int): Int =
+      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+    private def u32le(b: Array[Byte], i: Int): Long =
+      ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+        ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, "US-ASCII")
+
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (bytes.length < 12 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+        return None
+      var off = 12
+      var rate = 0; var ch = 0; var bits = 0; var blockAlign = 0; var byteRate = 0L
+      var sawFmt = false
+      var dataBytes = -1L
+      while (off + 8 <= bytes.length && (dataBytes < 0 || !sawFmt)) {
+        val id = tag(bytes, off)
+        val len = u32le(bytes, off + 4)
+        if (len < 0 || off + 8L + len > bytes.length) return None
+        id match {
+          case "fmt " =>
+            if (len < 16) return None
+            val fmt = u16le(bytes, off + 8)
+            if (fmt != 1) return None // PCM only; honest None otherwise
+            ch = u16le(bytes, off + 10)
+            rate = u32le(bytes, off + 12).toInt
+            byteRate = u32le(bytes, off + 16)
+            blockAlign = u16le(bytes, off + 20)
+            bits = u16le(bytes, off + 22)
+            sawFmt = true
+          case "data" => dataBytes = len
+          case _ => () // ancillary chunks (LIST, fact, ...) skipped
+        }
+        off += 8 + len.toInt + (len.toInt & 1) // RIFF pads odd chunks
+      }
+      if (!sawFmt || dataBytes < 0 || rate <= 0 || ch <= 0 || bits <= 0) return None
+      // internal consistency: the stated rates must follow from the
+      // PCM parameters, else the header is corrupt
+      if (blockAlign != ch * bits / 8 || byteRate != rate.toLong * blockAlign)
+        return None
+      Some((rate, ch, bits, dataBytes))
+    }
+  }
+
+  /** Closed-form synthetic WAV payload: real RIFF/WAVE byte layout
+    * (fmt + a zeroed data chunk) whose PCM parameters and data size
+    * are arithmetic in the id — the oracle restates them, so the
+    * little-endian chunk walk is what the gate checks. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val rate = 8000 + (id % 5).toInt * 4000
+    val ch = 1 + (id % 2).toInt
+    val bits = if (id % 3 == 0) 8 else 16
+    val nFrames = 100 + (id % 400).toInt
+    val blockAlign = ch * bits / 8
+    val dataLen = nFrames * blockAlign
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1.toShort).putShort(ch.toShort).putInt(rate)
+    b.putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(bits.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    b.array()
+  }
+
+  /** [[syntheticWav]] as a column function. */
+  def syntheticWavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((id: Long) => syntheticWav(id))
+
+  /** Batched partition-wise WAV metadata decode ([[decodeBatch]]'s
+    * shape for the audio column). Undecodable payloads surface as
+    * sample_rate 0 — honest, never fabricated.
+    * @param df (id: long, payload: binary) */
+  def decodeWavBatch(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = Encoders.product[WavMeta]
+    df.select(col("id"), col("payload"))
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            WavDecoder.decode(bytes) match {
+              case Some((rate, ch, bits, dataBytes)) =>
+                WavMeta(id, rate, ch, bits, dataBytes,
+                  dataBytes / (ch * bits / 8))
+              case None => WavMeta(id, 0, 0, 0, 0L, 0L)
+            }
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Decoded raster: tightly packed row-major samples, `channels`
     * bytes per pixel (8-bit depth). */
   case class Raster(width: Int, height: Int, channels: Int, pixels: Array[Byte])

@@ -25,7 +25,8 @@ object Events {
     "q66_range_join" -> q66,
     "q70_binary_meta" -> q70,
     "q71_media_pipeline" -> q71,
-    "q89_png_pixels" -> q89
+    "q89_png_pixels" -> q89,
+    "q95_wav_meta" -> q95
   )
 
   /** Tumbling 1-hour window aggregation (shared with streaming). */
@@ -240,7 +241,35 @@ object Events {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL WAV (RIFF) header decode — the audio leg of block G: per-doc
+    * payloads carry closed-form PCM parameters in the genuine
+    * little-endian RIFF byte layout (fmt + zeroed data chunk); the
+    * oracle restates the closed forms, so the chunk walk, endian
+    * reads and the byte-rate/block-align consistency checks are what
+    * the hash gate exercises. */
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        Multimodal.syntheticWavUdf(col("doc_id")).as("payload"))
+    Multimodal.decodeWavBatch(payloads)
+      .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+        col("bits"), col("data_bytes"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q95: the synthetic PCM parameters restated in closed form.
+    "q95_wav_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 5) * 4000 AS INT) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits,
+        |    CAST(100 + doc_id % 400 AS BIGINT) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, sample_rate, channels, bits,
+        |  n_frames * channels * bits // 8 AS data_bytes, n_frames
+        |FROM d ORDER BY doc_id""".stripMargin,
     // q89: both rasters restated in closed form — the decode side as
     // the generator formula, the resize side through the
     // nearest-neighbor floor source mapping.

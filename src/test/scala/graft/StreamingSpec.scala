@@ -377,6 +377,44 @@ class StreamingSpec extends SparkSuite {
     assert(stub.head.getAs[Array[Byte]]("payload").length == 64 * 64 / 256)
   }
 
+  test("WavDecoder: chunk walk with odd-size padding and ancillary chunks; " +
+    "honest None on non-PCM, truncation, and inconsistent headers") {
+    import Multimodal.WavDecoder.decode
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]) =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def fmt(rate: Int, ch: Int, bits: Int, audioFmt: Int = 1,
+            byteRateOverride: Int = -1) = {
+      val ba = ch * bits / 8
+      val br = if (byteRateOverride >= 0) byteRateOverride else rate * ba
+      chunk("fmt ", le16(audioFmt) ++ le16(ch) ++ le32(rate) ++ le32(br) ++
+        le16(ba) ++ le16(bits))
+    }
+    def wav(chunks: Array[Byte]*) = {
+      val body = "WAVE".getBytes("US-ASCII") ++ chunks.flatten
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    // an odd-sized LIST chunk before fmt exercises RIFF's even padding
+    val good = wav(chunk("LIST", Array.fill(7)(0x41.toByte)),
+      fmt(16000, 2, 16), chunk("data", new Array[Byte](64)))
+    assert(decode(good) === Some((16000, 2, 16, 64L)))
+    // the driver-gated synthetic payloads decode to their closed forms
+    assert(decode(Multimodal.syntheticWav(7L)) ===
+      Some((8000 + (7 % 5) * 4000, 1 + (7 % 2).toInt, 16, ((100 + 7) * 2 * 2).toLong)))
+    // honest None: not RIFF, compressed format, truncated data chunk,
+    // byte rate inconsistent with the PCM parameters
+    assert(decode("not audio at all".getBytes).isEmpty)
+    assert(decode(wav(fmt(8000, 1, 16, audioFmt = 2),
+      chunk("data", new Array[Byte](8)))).isEmpty)
+    val truncated = good.dropRight(10)
+    assert(decode(truncated).isEmpty)
+    assert(decode(wav(fmt(8000, 1, 16, byteRateOverride = 999),
+      chunk("data", new Array[Byte](8)))).isEmpty)
+  }
+
   test("HeaderDecoder handles fill bytes, big dims, and corrupt streams") {
     import Multimodal.HeaderDecoder.decode
     // JPEG with fill FFs before SOF2 (progressive) and a skipped
