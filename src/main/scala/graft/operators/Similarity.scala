@@ -98,6 +98,59 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rank"), col("cos"))
   }
 
+  /** Random-projection retrieval (Johnson–Lindenstrauss sketch with
+    * Achlioptas-style ±1 hashed signs — [[adaptiveTopK]]'s sibling
+    * for embeddings with NO matryoshka prefix structure): stage 1
+    * ranks by squared L2 distance between `projDims`-dim sign
+    * projections (VecProjectSigns — one fused pass, signs from the
+    * portable integer recurrence, no stored matrix, no RNG), stage 2
+    * exactly rescores the per-query `shortlist` survivors at full
+    * dimensionality by cosine.
+    *
+    * Scale shape: identical to adaptiveTopK — the projected corpus
+    * scan reads projDims/D of the vector bandwidth (16-of-768 ≈ 2%),
+    * the shortlist window carries IDS only, full vectors re-join for
+    * survivors alone. Unlike truncation, JL's distance guarantee is
+    * DISTRIBUTION-FREE: ‖Px−Py‖² concentrates around (k/d)‖x−y‖²
+    * for any fixed vectors, so the spec pins recall on the isotropic
+    * corpus where truncation collapses (measured: 0.22 truncated vs
+    * ~0.9 projected at the same 16-of-64 sketch width).
+    *
+    * Determinism: projections are sequential d-order folds of exact
+    * ±1 signs, the shortlist orders by (projected d², cid), and the
+    * final ranking is the exact cosine — every stage restatable
+    * bit-for-bit by the SQL oracle.
+    *
+    * @param queries (qid, vec) — small, broadcast; @param corpus (cid, vec)
+    * @return qid, cid, rank (1..k), cos (full-dimension cosine)
+    */
+  def rpTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             projDims: Int, shortlist: Int): DataFrame = {
+    require(projDims >= 1, s"projDims must be >= 1, got $projDims")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val qp = queries.select(col("qid"),
+      ArrayOps.projectSigns(col("vec"), projDims).as("qp"))
+    val cp = corpus.select(col("cid"),
+      ArrayOps.projectSigns(col("vec"), projDims).as("cp"))
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("pd2"), col("cid"))
+    val short = cp.crossJoin(broadcast(qp))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("pd2", ArrayOps.vecL2Sq(col("qp"), col("cp")))
+      .withColumn("srank", row_number().over(w1))
+      .filter(col("srank") <= shortlist)
+      .select(col("qid"), col("cid"))
+    val qv = queries.select(col("qid"), col("vec").as("qvec"),
+      norm2Seq(col("vec")).as("qn2"))
+    val cv = corpus.select(col("cid"), col("vec").as("cvec"),
+      norm2Seq(col("vec")).as("cn2f"))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    short.join(broadcast(qv), "qid").join(cv, "cid")
+      .withColumn("cos", cosine(dotSeq(col("qvec"), col("cvec")), col("qn2"), col("cn2f")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("cos"))
+  }
+
   /** Scalar 8-bit quantization retrieval (the SQ8 of FAISS/pgvector —
     * the STORAGE lever at 100 TB: a 768-dim float corpus is 3 KB/vec;
     * SQ8 is 768 B plus a 2-float-per-dim codebook, a 4× scan-

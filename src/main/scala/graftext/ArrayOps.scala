@@ -127,10 +127,20 @@ case class VecDotSeq(left: Expression, right: Expression)
       def get(arr: String, idx: String, e: Expression): String =
         if (elemType(e) == FloatType) s"(double) $arr.getFloat($idx)"
         else s"$arr.getDouble($idx)"
+      // ev.isNull may only be REFERENCED when the expression is
+      // nullable: nullSafeCodeGen's non-nullable branch swaps
+      // ev.isNull to the `false` literal AFTER this string is built,
+      // leaving the original variable name undeclared in the
+      // generated source (Janino: "isNull_N is not an rvalue").
+      // elemsNullable forces nullable=true, so the guard is safe
+      // exactly when it is needed.
       val nullCheck =
         if (elemsNullable)
           s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
         else ""
+      val assign =
+        if (elemsNullable) s"if (!${ev.isNull}) ${ev.value} = $acc;"
+        else s"${ev.value} = $acc;"
       s"""
          |double $acc = 0.0;
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
@@ -138,7 +148,7 @@ case class VecDotSeq(left: Expression, right: Expression)
          |  $nullCheck
          |  $acc += ${get(a, i, left)} * ${get(b, i, right)};
          |}
-         |if (!${ev.isNull}) ${ev.value} = $acc;
+         |$assign
        """.stripMargin
     })
 
@@ -219,10 +229,14 @@ case class VecL2SqSeq(left: Expression, right: Expression, aStart: Int)
       def get(arr: String, idx: String, e: Expression): String =
         if (elemType(e) == FloatType) s"(double) $arr.getFloat($idx)"
         else s"$arr.getDouble($idx)"
+      // ev.isNull referenced only when nullable (see VecDotSeq note)
       val nullCheck =
         if (elemsNullable)
           s"""if ($a.isNullAt($aStart + $i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
         else ""
+      val assign =
+        if (elemsNullable) s"if (!${ev.isNull}) ${ev.value} = $acc;"
+        else s"${ev.value} = $acc;"
       s"""
          |double $acc = 0.0;
          |final int $n = java.lang.Math.min($a.numElements() - $aStart, $b.numElements());
@@ -231,7 +245,7 @@ case class VecL2SqSeq(left: Expression, right: Expression, aStart: Int)
          |  final double $d = ${get(a, s"$aStart + $i", left)} - ${get(b, i, right)};
          |  $acc += $d * $d;
          |}
-         |if (!${ev.isNull}) ${ev.value} = $acc;
+         |$assign
        """.stripMargin
     })
 
@@ -375,6 +389,117 @@ case class VecHyperplaneBuckets(child: Expression, planes: Int, tables: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): VecHyperplaneBuckets =
+    copy(child = newChild)
+}
+
+/** Johnson–Lindenstrauss random projection with HASHED ±1 signs
+  * (the database-friendly Achlioptas 2003 family: entries ±1, no
+  * stored matrix, no RNG state): output dim j is the sequential
+  * d-order fold Σ_d x_d · sign(j, d), where sign is
+  * [[VecHyperplaneBuckets]]'s exact two-round multiplicative mixer
+  * over key j·4096 + d + 1 — the same portable integer recurrence an
+  * independent SQL engine restates bit-for-bit, and the same 4096-dim
+  * cap for the same key-aliasing reason.
+  *
+  * This is the hyperplane-LSH sign matrix WITHOUT the thresholding:
+  * LSH keeps only the sign bit per plane (a locality HASH), the
+  * projection keeps the real-valued dot (a DISTANCE-preserving
+  * sketch, ‖Py−Px‖ ≈ √(k/d)·‖y−x‖ w.h.p.), which is what a
+  * shortlist-then-rescore retrieval wants.
+  *
+  * Why a custom Expression: one pass over the input accumulates all
+  * `outDims` folds (the transform(sequence(...)) HOF chain is
+  * interpreted and re-reads the vector per output dim); the sign
+  * matrix is computed once per task and rides in mutable state, so
+  * per-row work is exactly outDims·d fused multiply-adds.
+  */
+case class VecProjectSigns(child: Expression, outDims: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(outDims >= 1, s"outDims must be >= 1, got $outDims")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private var signs: Array[Array[Double]] = _
+
+  private def signsFor(dim: Int): Array[Array[Double]] = {
+    if (signs == null || signs(0).length < dim) {
+      signs = Array.tabulate(outDims) { j =>
+        Array.tabulate(dim) { d =>
+          val k = j.toLong * 4096L + d + 1L
+          val h1 = (k * 2654435761L) % 4294967296L
+          val m = (h1 ^ (h1 >>> 15)) & 2147483647L
+          val h2 = (m * 1103515245L + 12345L) % 2147483648L
+          if (h2 >= 1073741824L) 1.0 else -1.0
+        }
+      }
+    }
+    signs
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n > 4096) throw new IllegalArgumentException(
+      s"sign projection supports vectors of at most 4096 dims, got $n")
+    val s = signsFor(n)
+    val out = new Array[Double](outDims)
+    var d = 0
+    while (d < n) {
+      val x = if (isFloat) a.getFloat(d).toDouble else a.getDouble(d)
+      var j = 0
+      while (j < outDims) {
+        out(j) += x * s(j)(d)
+        j += 1
+      }
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsVar = ctx.addMutableState("double[][]", "rpSigns")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val d = ctx.freshName("d")
+      val j = ctx.freshName("j"); val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      val k = ctx.freshName("k"); val h1 = ctx.freshName("h1")
+      val m = ctx.freshName("m"); val h2 = ctx.freshName("h2")
+      val getElem = if (isFloat) s"(double) $a.getFloat($d)" else s"$a.getDouble($d)"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n > 4096) throw new IllegalArgumentException(
+         |  "sign projection supports vectors of at most 4096 dims, got " + $n);
+         |if ($signsVar == null || $signsVar[0].length < $n) {
+         |  $signsVar = new double[$outDims][$n];
+         |  for (int $j = 0; $j < $outDims; $j++) {
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      final long $k = ((long) $j) * 4096L + $d + 1L;
+         |      final long $h1 = ($k * 2654435761L) % 4294967296L;
+         |      final long $m = ($h1 ^ ($h1 >>> 15)) & 2147483647L;
+         |      final long $h2 = ($m * 1103515245L + 12345L) % 2147483648L;
+         |      $signsVar[$j][$d] = ($h2 >= 1073741824L) ? 1.0 : -1.0;
+         |    }
+         |  }
+         |}
+         |final double[] $out = new double[$outDims];
+         |for (int $d = 0; $d < $n; $d++) {
+         |  final double $x = $getElem;
+         |  for (int $j = 0; $j < $outDims; $j++) {
+         |    $out[$j] += $x * $signsVar[$j][$d];
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecProjectSigns =
     copy(child = newChild)
 }
 
@@ -652,10 +777,14 @@ case class VecDotLongConst(child: Expression, weights: Array[Long])
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // ev.isNull referenced only when nullable (see VecDotSeq note)
       val nullCheck =
         if (elemsNullable)
           s"""if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"""
         else ""
+      val assign =
+        if (elemsNullable) s"if (!${ev.isNull}) ${ev.value} = $acc;"
+        else s"${ev.value} = $acc;"
       s"""
          |long $acc = 0L;
          |final int $n = java.lang.Math.min($a.numElements(), $wRef.length);
@@ -663,7 +792,7 @@ case class VecDotLongConst(child: Expression, weights: Array[Long])
          |  $nullCheck
          |  $acc += $a.getLong($i) * $wRef[$i];
          |}
-         |if (!${ev.isNull}) ${ev.value} = $acc;
+         |$assign
        """.stripMargin
     })
   }
@@ -859,6 +988,12 @@ object ArrayOps {
   def vecL2Sq(a: Column, b: Column, aStart: Int = 0): Column =
     ExpressionUtils.column(VecL2SqSeq(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b), aStart))
+
+  /** Column API: JL ±1-sign random projection of a vector column to
+    * `outDims` dims (portable hashed signs, one fused pass). */
+  def projectSigns(vec: Column, outDims: Int): Column =
+    ExpressionUtils.column(VecProjectSigns(
+      ExpressionUtils.expression(vec), outDims))
 
   /** Column API: portable md5-fold bucket ids of a token array's
     * unigrams + chr(1)-joined adjacent bigrams (one fused pass). */
