@@ -112,9 +112,15 @@ object Similarity {
     * the shortlist window carries IDS only, full vectors re-join for
     * survivors alone. Unlike truncation, JL's distance guarantee is
     * DISTRIBUTION-FREE: ‖Px−Py‖² concentrates around (k/d)‖x−y‖²
-    * for any fixed vectors, so the spec pins recall on the isotropic
-    * corpus where truncation collapses (measured: 0.22 truncated vs
-    * ~0.9 projected at the same 16-of-64 sketch width).
+    * for any fixed vectors — the sketch sees structure WHEREVER it
+    * sits, where truncation only sees the prefix dims. The spec pins
+    * this on a tail-signal corpus (clusters living in dims 16..63):
+    * truncation recall collapses to ~chance, projection stays ≥0.7.
+    * (Neither sketch resolves a corpus with NO distance structure —
+    * isotropic random cosines bunch within the JL distortion bound;
+    * measured ~0.2 recall for both at 16-of-64. JL's edge is
+    * indifference to where structure lives, not sub-distortion
+    * resolution.)
     *
     * Determinism: projections are sequential d-order folds of exact
     * ±1 signs, the shortlist orders by (projected d², cid), and the

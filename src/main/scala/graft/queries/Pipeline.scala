@@ -68,7 +68,8 @@ object Pipeline {
     "q91_line_repetition" -> q91,
     "q92_line_excise" -> q92,
     "q93_oov_rate" -> q93,
-    "q94_split_assign" -> q94
+    "q94_split_assign" -> q94,
+    "q96_rp_topk" -> q96
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -555,6 +556,23 @@ object Pipeline {
           .select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
         k = 5, dims = 16, shortlist = 20)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Random-projection retrieval (Johnson–Lindenstrauss ±1-sign
+    * sketch, the distribution-free sibling of q78's truncation):
+    * 16-dim projected-L2 shortlist of 20, exact full-dimension
+    * cosine rescoring to top-5. Signs come from the portable
+    * integer mixer (the q41 hyperplane recurrence), projections and
+    * distances are sequential left folds — the oracle restates the
+    * whole two-stage ranking bit-for-bit. */
+  def q96(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.rpTopK(
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5, projDims = 16, shortlist = 20)
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -1495,6 +1513,44 @@ object Pipeline {
          |  FROM tq q JOIN tc c ON q.vec_id <> c.vec_id),
          |short AS (SELECT qid, cid FROM (
          |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY tcos DESC, cid) AS srank
+         |    FROM s1) WHERE srank <= 20),
+         |s2 AS (SELECT s.qid, s.cid,
+         |    ${sqlDot("eq.embedding", "ec.embedding")} / (sqrt(${sqlDot("eq.embedding", "eq.embedding")}) * sqrt(${sqlDot("ec.embedding", "ec.embedding")})) AS cos
+         |  FROM short s JOIN embeddings eq ON s.qid = eq.vec_id
+         |  JOIN embeddings ec ON s.cid = ec.vec_id)
+         |SELECT qid, cid, CAST(rank AS INT) AS rank, cos FROM (
+         |  SELECT qid, cid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |  FROM s2)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // q96: the JL sign projection restated — the q41 integer mixer
+    // generates the ±1 sign rows, projections and the shortlist's
+    // squared-L2 are the same sequential left folds as the engine's
+    // kernels (VecProjectSigns / VecL2SqSeq d-order accumulation),
+    // then the exact full-dim rescore of q78's s2.
+    "q96_rp_topk" ->
+      s"""WITH signs AS MATERIALIZED (
+         |  SELECT j, list_transform(
+         |      list_transform(generate_series(1, (SELECT max(len(embedding)) FROM embeddings)),
+         |        i -> ((j * 4096 + i) * 2654435761) % 4294967296),
+         |      h1 -> CASE WHEN ((xor(h1, h1 >> 15) & 2147483647) * 1103515245 + 12345)
+         |                      % 2147483648 >= 1073741824
+         |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS sg
+         |  FROM (SELECT unnest(generate_series(0, 15)) AS j)),
+         |proj AS MATERIALIZED (
+         |  SELECT vec_id, list(p ORDER BY j) AS pv FROM (
+         |    SELECT e.vec_id, s.j,
+         |      list_reduce(list_transform(generate_series(1, len(e.embedding)),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * s.sg[i]), (acc, x) -> acc + x) AS p
+         |    FROM embeddings e CROSS JOIN signs s)
+         |  GROUP BY vec_id),
+         |s1 AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    list_reduce(list_transform(generate_series(1, 16),
+         |      j -> (q.pv[j] - c.pv[j]) * (q.pv[j] - c.pv[j])), (acc, x) -> acc + x) AS pd2
+         |  FROM proj q JOIN proj c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 50 = 0),
+         |short AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY pd2, cid) AS srank
          |    FROM s1) WHERE srank <= 20),
          |s2 AS (SELECT s.qid, s.cid,
          |    ${sqlDot("eq.embedding", "ec.embedding")} / (sqrt(${sqlDot("eq.embedding", "eq.embedding")}) * sqrt(${sqlDot("ec.embedding", "ec.embedding")})) AS cos

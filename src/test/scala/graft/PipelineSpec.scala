@@ -568,6 +568,57 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.9, s"structured-corpus adaptive recall $recall too low")
   }
 
+  test("rpTopK: full-corpus shortlist reproduces brute force exactly; " +
+    "JL projection beats truncation on the tail-signal corpus") {
+    val q = embs.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = embs.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val n = c.count().toInt
+    val exact = Similarity.bruteForceTopK(q, c, 5).collect().map(_.toSeq).toSet
+    // shortlist = corpus: stage 2 rescoring sees every candidate ->
+    // identical ranking and identical exact cosines
+    assert(Similarity.rpTopK(q, c, 5, projDims = 16, shortlist = n)
+      .collect().map(_.toSeq).toSet == exact)
+    // JL sees signal WHEREVER it lives: cluster signal in the TAIL
+    // dims (16..63), pure noise in the head — truncation to the
+    // first 16 dims sketches only noise (recall ~= chance), while
+    // the sign projection mixes every dim and keeps the cluster
+    // geometry. (On a corpus with NO distance structure at all —
+    // isotropic random, cosines all ~0.75 — a 16-dim sketch of
+    // either kind cannot resolve the tiny margins; measured ~0.2
+    // both. JL's edge is indifference to WHERE structure sits, not
+    // resolution beyond the JL distortion bound.)
+    val rng = new scala.util.Random(11)
+    val tailStructured = (0 until 200).map { i =>
+      val cluster = i % 10
+      val head = Array.fill(16)(rng.nextFloat() * 0.3f)
+      val tail = Array.tabulate(48)(d =>
+        (if (d % 10 == cluster) 1.0f else 0.0f) + rng.nextFloat() * 0.1f)
+      (i.toLong, head ++ tail)
+    }.toDF("id", "vec")
+    val sq = tailStructured.filter($"id" < 10).select($"id".as("qid"), $"vec")
+    val sc = tailStructured.select($"id".as("cid"), $"vec")
+    val sExact = Similarity.bruteForceTopK(sq, sc, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val rp = Similarity.rpTopK(sq, sc, 5, projDims = 16, shortlist = 20)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val rpRecall = sExact.intersect(rp).size.toDouble / sExact.size
+    val tr = Similarity.adaptiveTopK(sq, sc, 5, dims = 16, shortlist = 20)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val trRecall = sExact.intersect(tr).size.toDouble / sExact.size
+    assert(rpRecall >= 0.7, s"projected recall $rpRecall too low")
+    assert(rpRecall > trRecall + 0.2,
+      s"JL projection ($rpRecall) must clearly beat truncation ($trRecall) " +
+        "on the tail-signal corpus")
+    // rescored cosines of agreeing pairs are the exact full-dim values
+    val exactCos = exact.map(r => (r.head, r(1)) -> r(3)).toMap
+    val rpFull = Similarity.rpTopK(q, c, 5, projDims = 16, shortlist = 20)
+      .collect().map(_.toSeq)
+    assert(rpFull.filter(r => exactCos.contains((r.head, r(1))))
+      .forall(r => r(3) == exactCos((r.head, r(1)))),
+      "rescored cosines must equal full-dim exact cosines")
+  }
+
   test("sq8TopK: quantization error bounded by one code step, high overlap " +
     "with exact retrieval, constant dims exact") {
     val q = embs.filter($"vec_id" % 50 === 0)
