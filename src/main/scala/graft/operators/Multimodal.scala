@@ -222,12 +222,15 @@ object Multimodal {
     private def tag(b: Array[Byte], i: Int): String =
       new String(b, i, 4, "US-ASCII")
 
-    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    /** Full chunk walk: PCM parameters plus the data chunk's BYTE
+      * OFFSET (what the sample decoder needs on top of [[decode]]). */
+    def decodeWithOffset(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
       if (bytes.length < 12 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
         return None
       var off = 12
       var rate = 0; var ch = 0; var bits = 0; var blockAlign = 0; var byteRate = 0L
       var sawFmt = false
+      var dataOff = -1
       var dataBytes = -1L
       while (off + 8 <= bytes.length && (dataBytes < 0 || !sawFmt)) {
         val id = tag(bytes, off)
@@ -244,7 +247,7 @@ object Multimodal {
             blockAlign = u16le(bytes, off + 20)
             bits = u16le(bytes, off + 22)
             sawFmt = true
-          case "data" => dataBytes = len
+          case "data" => dataOff = off + 8; dataBytes = len
           case _ => () // ancillary chunks (LIST, fact, ...) skipped
         }
         off += 8 + len.toInt + (len.toInt & 1) // RIFF pads odd chunks
@@ -254,8 +257,45 @@ object Multimodal {
       // PCM parameters, else the header is corrupt
       if (blockAlign != ch * bits / 8 || byteRate != rate.toLong * blockAlign)
         return None
-      Some((rate, ch, bits, dataBytes))
+      Some((rate, ch, bits, dataOff, dataBytes))
     }
+
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      decodeWithOffset(bytes).map { case (r, c, b, _, d) => (r, c, b, d) }
+
+    /** One-pass PCM16 sample statistics straight off the data chunk
+      * bytes — REAL little-endian int16 decode, constant memory per
+      * file (no sample array materializes; the per-partition state is
+      * six longs, so the operator is safe on hour-long recordings).
+      * Zero-crossing rule: consecutive samples on opposite sides of
+      * zero under `s < 0` (sign of exactly-zero is non-negative).
+      * PCM16 only — other depths/fmts decode honestly as None; an odd
+      * data length contradicts 16-bit frames and also rejects.
+      * @return (n_samples, sum, sum of squares, min, max, crossings) */
+    def pcm16Stats(bytes: Array[Byte]): Option[(Long, Long, Long, Int, Int, Long)] =
+      decodeWithOffset(bytes).flatMap { case (_, _, bits, dataOff, dataBytes) =>
+        if (bits != 16 || dataBytes % 2 != 0) None
+        else {
+          val n = (dataBytes / 2).toInt
+          var i = 0
+          var sum = 0L; var sumSq = 0L; var zc = 0L
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          var prevNeg = false
+          while (i < n) {
+            val s = (((bytes(dataOff + 2 * i + 1) & 0xff) << 8) |
+              (bytes(dataOff + 2 * i) & 0xff)).toShort.toInt
+            sum += s; sumSq += s.toLong * s
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            i += 1
+          }
+          if (n == 0) Some((0L, 0L, 0L, 0, 0, 0L))
+          else Some((n.toLong, sum, sumSq, mn, mx, zc))
+        }
+      }
   }
 
   /** Closed-form synthetic WAV payload: real RIFF/WAVE byte layout
@@ -283,6 +323,64 @@ object Multimodal {
   /** [[syntheticWav]] as a column function. */
   def syntheticWavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((id: Long) => syntheticWav(id))
+
+  /** Closed-form synthetic PCM16 MONO WAV with real sample content:
+    * s(i) = ((id·31 + i·7919) mod 65536) − 32768 — a full-range
+    * sawtooth (step 7919 wraps every ~8 samples, so sign crossings
+    * are dense) the oracle restates sample-by-sample, making the
+    * little-endian int16 decode itself what the gate checks. */
+  def syntheticWavPcm16(id: Long): Array[Byte] = {
+    val rate = 8000 + (id % 5).toInt * 4000
+    val nFrames = 200 + (id % 300).toInt
+    val dataLen = nFrames * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1.toShort).putShort(1.toShort).putInt(rate)
+    b.putInt(rate * 2).putShort(2.toShort).putShort(16.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      b.putShort((((id * 31 + i.toLong * 7919) % 65536) - 32768).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** [[syntheticWavPcm16]] as a column function. */
+  def syntheticWavPcm16Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((id: Long) => syntheticWavPcm16(id))
+
+  /** Per-file PCM16 sample statistics: exact integer surfaces (sum,
+    * energy, extrema, zero crossings) a quality/silence filter runs —
+    * every value closed-form checkable on the synthetic corpus.
+    * Undecodable or non-PCM16 payloads surface as n_samples 0. */
+  case class WavPcmStats(id: Long, n_samples: Long, sum_s: Long,
+                         sum_sq: Long, min_s: Int, max_s: Int, n_zc: Long)
+
+  /** Batched partition-wise PCM16 sample-stat decode ([[decodeWavBatch]]'s
+    * shape, one pass over the data chunk, six longs of state per file).
+    * @param df (id: long, payload: binary) */
+  def decodePcm16Batch(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = Encoders.product[WavPcmStats]
+    df.select(col("id"), col("payload"))
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            WavDecoder.pcm16Stats(bytes) match {
+              case Some((n, sum, sumSq, mn, mx, zc)) =>
+                WavPcmStats(id, n, sum, sumSq, mn, mx, zc)
+              case None => WavPcmStats(id, 0L, 0L, 0L, 0, 0, 0L)
+            }
+          }
+        }
+      }(enc)
+      .toDF()
+  }
 
   /** Batched partition-wise WAV metadata decode ([[decodeBatch]]'s
     * shape for the audio column). Undecodable payloads surface as

@@ -490,6 +490,55 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** N-gram NOVELTY of a candidate slice against a base corpus — the
+    * dataset-iteration metric (how much genuinely new text does an
+    * incoming crawl/source add?) that drives keep/drop decisions
+    * before paying dedup+training cost on redundant data.
+    *
+    * Per candidate doc: total gram windows, distinct grams, distinct
+    * grams unseen ANYWHERE in the base corpus, and the novel/distinct
+    * rate. Gram identity is the hashed space-joined word window
+    * ([[graft.operators.Dedup.wordNgrams]] — collision odds 2^-64,
+    * the q33/q37 freight discipline: the join carries longs, never
+    * gram strings).
+    *
+    * Scale shape: both sides shingle map-side; the base reduces to
+    * ONE distinct-gram-key table (map-side partial distinct), which
+    * JOINS back on the hashed key — never broadcast, the base gram
+    * vocabulary scales with the corpus; one id-keyed aggregate.
+    * Corpus-linear, no pair space — the q37 decontamination shape
+    * with the verdict inverted (novelty, not overlap).
+    *
+    * @return id, n_windows, n_distinct, n_novel, novelty_rate
+    *         (0.0 for gram-less docs; every doc in `candidate` kept)
+    */
+  def ngramNovelty(base: DataFrame, candidate: DataFrame,
+                   idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"ngramNovelty: n must be >= 1, got $n")
+    import graft.operators.Dedup.wordNgrams
+    val candDocs = candidate.select(col(idCol).as("id"),
+      wordNgrams(col(textCol), n).as("gs"),
+      greatest(size(filter(split(col(textCol), " "), w => length(w) > 0))
+        - (n - 1), lit(0)).cast("long").as("n_windows"))
+    val candG = candDocs.select(col("id"), explode(col("gs")).as("g"))
+    val baseG = base.select(explode(wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+      .withColumn("seen", lit(1))
+    val counts = candG.join(baseG, Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    candDocs.select(col("id"), col("n_windows"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_rate",
+        when(col("n_distinct") > 0,
+            col("n_novel").cast("double") / col("n_distinct").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Cross-document frequent-line EXCISION (the RefinedWeb/CCNet
     * line-dedup pass: a line appearing in `minDocs`+ distinct
     * documents is boilerplate — nav bars, cookie banners, license

@@ -26,7 +26,8 @@ object Events {
     "q70_binary_meta" -> q70,
     "q71_media_pipeline" -> q71,
     "q89_png_pixels" -> q89,
-    "q95_wav_meta" -> q95
+    "q95_wav_meta" -> q95,
+    "q97_wav_samples" -> q97
   )
 
   /** Tumbling 1-hour window aggregation (shared with streaming). */
@@ -257,7 +258,44 @@ object Events {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL PCM16 sample decode + the integer DSP surfaces a
+    * silence/quality filter runs (sum, energy, extrema, zero
+    * crossings): synthetic mono WAVs carry a closed-form full-range
+    * sawtooth in genuine little-endian int16 bytes, so the byte-level
+    * sample decode is what the hash check exercises. */
+  def q97(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        Multimodal.syntheticWavPcm16Udf(col("doc_id")).as("payload"))
+    Multimodal.decodePcm16Batch(payloads)
+      .select(col("id").as("doc_id"), col("n_samples"), col("sum_s"),
+        col("sum_sq"), col("min_s"), col("max_s"), col("n_zc"))
+      .orderBy(col("doc_id"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q97: every sample restated by the generator formula; the lag
+    // window reproduces the decoder's consecutive-sign crossing rule
+    // (sign of zero is non-negative; the i=0 lag NULL contributes 0).
+    "q97_wav_samples" ->
+      """WITH d AS (
+        |  SELECT doc_id, 200 + doc_id % 300 AS n FROM documents),
+        |s AS (
+        |  SELECT d.doc_id, i.g AS i,
+        |    CAST((d.doc_id * 31 + i.g * 7919) % 65536 - 32768 AS BIGINT) AS s
+        |  FROM d, unnest(generate_series(0, d.n - 1)) AS i(g)),
+        |lagged AS (
+        |  SELECT doc_id, i, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(s) AS BIGINT) AS sum_s,
+        |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        |  CAST(min(s) AS INT) AS min_s,
+        |  CAST(max(s) AS INT) AS max_s,
+        |  CAST(sum(CASE WHEN (s < 0) <> (prev < 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_zc
+        |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q95: the synthetic PCM parameters restated in closed form.
     "q95_wav_meta" ->
       """WITH d AS (

@@ -69,7 +69,8 @@ object Pipeline {
     "q92_line_excise" -> q92,
     "q93_oov_rate" -> q93,
     "q94_split_assign" -> q94,
-    "q96_rp_topk" -> q96
+    "q96_rp_topk" -> q96,
+    "q98_ngram_novelty" -> q98
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -741,6 +742,21 @@ object Pipeline {
       .orderBy(col("id"))
   }
 
+  /** N-gram novelty of the held-out tenth (the "incoming source"
+    * slice) against the rest of the corpus: trigram windows, hashed
+    * gram keys engine-side, content-identity in the oracle — the
+    * keep/drop signal a dataset-iteration loop computes before paying
+    * dedup+training cost on redundant data. */
+  def q98(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    TextAnalysis.ngramNovelty(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3)
+      .select(col("id").as("doc_id"), col("n_windows"), col("n_distinct"),
+        col("n_novel"), col("novelty_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic train/val/test assignment (90/5/5): one portable
     * md5 draw per doc (key "split:id"), thresholds at 900000/950000
     * of the 1e6 gate modulus — disjoint, total, rerun-identical; the
@@ -1295,6 +1311,30 @@ object Pipeline {
         |FROM a JOIN b ON a.gram = b.gram
         |GROUP BY a.doc_id
         |ORDER BY a.doc_id""".stripMargin,
+    // q98: gram identity by CONTENT (the engine joins hashed keys —
+    // collision odds 2^-64, the q33/q37 acceptance); windows, distinct
+    // and novel counts are exact integers, the rate one IEEE division.
+    "q98_ngram_novelty" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, list_slice(ws, i, i + 2) AS gram
+        |  FROM toks, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)),
+        |cand AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 = 0),
+        |base AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 <> 0),
+        |cnt AS (SELECT c.doc_id, count(*) AS n_distinct,
+        |    sum(CASE WHEN b.gram IS NULL THEN 1 ELSE 0 END) AS n_novel
+        |  FROM cand c LEFT JOIN base b ON c.gram = b.gram GROUP BY c.doc_id),
+        |win AS (SELECT doc_id, CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_windows
+        |  FROM toks WHERE doc_id % 10 = 0)
+        |SELECT w.doc_id, w.n_windows,
+        |  CAST(coalesce(c.n_distinct, 0) AS BIGINT) AS n_distinct,
+        |  CAST(coalesce(c.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CASE WHEN coalesce(c.n_distinct, 0) > 0
+        |    THEN CAST(c.n_novel AS DOUBLE) / CAST(c.n_distinct AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS novelty_rate
+        |FROM win w LEFT JOIN cnt c USING (doc_id) ORDER BY w.doc_id""".stripMargin,
     "q33_ngram_jaccard" ->
       """WITH sub AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
         |g AS (

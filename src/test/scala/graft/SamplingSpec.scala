@@ -111,6 +111,27 @@ class SamplingSpec extends SparkSuite {
       (1L, 4L, 1L, 0.25), (2L, 3L, 3L, 1.0), (3L, 2L, 0L, 0.0), (4L, 0L, 0L, 0.0)))
   }
 
+  test("ngramNovelty: hand-computed trigram novelty vs a base corpus") {
+    import graft.operators.TextAnalysis
+    val base = Seq(
+      (100L, "a b c d"),   // grams: "a b c", "b c d"
+      (101L, "x y z w")    // grams: "x y z", "y z w"
+    ).toDF("id", "text")
+    val cand = Seq(
+      (1L, "a b c x"),       // distinct {a b c, b c x}: 1 novel
+      (2L, "q r"),           // too short: 0 windows
+      (3L, "x y z w"),       // both grams seen: 0 novel
+      (4L, "a b c a b c a")  // 5 windows, distinct {a b c, b c a, c a b}: 2 novel
+    ).toDF("id", "text")
+    val out = TextAnalysis.ngramNovelty(base, cand, "id", "text", n = 3)
+      .orderBy($"id").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 2L, 1L, 0.5),
+      (2L, 0L, 0L, 0L, 0.0),
+      (3L, 2L, 2L, 0L, 0.0),
+      (4L, 5L, 3L, 2L, 2.0 / 3.0)))
+  }
+
   test("topKPerStratum keeps exactly k per stratum via a map-side group limit") {
     val df = spark.range(0, 1000).select(($"id" % 7).as("st"),
       ($"id" * 37 % 101).cast("double").as("score"), $"id")

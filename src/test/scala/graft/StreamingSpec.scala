@@ -415,6 +415,44 @@ class StreamingSpec extends SparkSuite {
       chunk("data", new Array[Byte](8)))).isEmpty)
   }
 
+  test("WavDecoder.pcm16Stats: exact sample statistics off real int16 bytes; " +
+    "rejects non-16-bit and odd data lengths") {
+    import Multimodal.WavDecoder.pcm16Stats
+    // hand-built mono PCM16 with known samples: 3, -2, 0, -1, 5
+    // sum 5, sumSq 9+4+0+1+25=39, min -2, max 5,
+    // crossings (3,-2) (−2,0) (0,−1) (−1,5) = 4 (zero counts non-negative)
+    val samples = Array[Short](3, -2, 0, -1, 5)
+    val b = java.nio.ByteBuffer.allocate(44 + 10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 10)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(10)
+    samples.foreach(b.putShort)
+    assert(pcm16Stats(b.array()) === Some((5L, 5L, 39L, -2, 5, 4L)))
+    // the driver-gated synthetic payloads: stats match the generator
+    // formula computed independently
+    val id = 13L
+    val n = 200 + (id % 300).toInt
+    val gen = Array.tabulate(n)(i => (((id * 31 + i.toLong * 7919) % 65536) - 32768).toInt)
+    val Some((gn, gSum, gSq, gMn, gMx, gZc)) =
+      pcm16Stats(Multimodal.syntheticWavPcm16(id))
+    assert(gn == n.toLong && gSum == gen.map(_.toLong).sum &&
+      gSq == gen.map(s => s.toLong * s).sum &&
+      gMn == gen.min && gMx == gen.max)
+    val expZc = gen.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+    assert(gZc == expZc.toLong && gZc > 10L,
+      s"sawtooth must cross densely, got $gZc")
+    // PCM8 payloads (q95's id%3==0 class) reject: not 16-bit
+    assert(pcm16Stats(Multimodal.syntheticWav(9L)).isEmpty)
+    // odd data length contradicts int16 frames
+    val odd = b.array().clone()
+    // patch the data chunk length to 9 (offset 40, little-endian)
+    odd(40) = 9.toByte
+    assert(pcm16Stats(odd.dropRight(1)).isEmpty)
+  }
+
   test("HeaderDecoder handles fill bytes, big dims, and corrupt streams") {
     import Multimodal.HeaderDecoder.decode
     // JPEG with fill FFs before SOF2 (progressive) and a skipped
