@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftext.ArrayOps
 
@@ -721,6 +722,55 @@ object TextAnalysis {
     }
     fx.select(col("id"), col("y"), marginOf(w).as("margin"))
       .withColumn("pred", col("margin") > 0)
+  }
+
+  /** AUC of an integer classifier score via the Mann–Whitney rank
+    * statistic — the evaluation step that closes the train→score→
+    * evaluate loop ([[qualityPerceptron]]'s integer margins make it
+    * EXACT: tied scores get average ranks, which live on the 1/2
+    * grid, so `r2_pos` = twice the positive rank sum is an exact
+    * int64 and AUC = (r2_pos − n_pos(n_pos+1)) / (2·n_pos·n_neg) is
+    * one IEEE division — bit-portable, no approximation anywhere).
+    *
+    * Scale shape: ONE (score → n_pos, n_neg) histogram aggregate
+    * (map-side partials collapse the corpus; the shuffle carries
+    * distinct scores only), then the rank prefix runs over the
+    * HISTOGRAM — cardinality = distinct integer margins, orders of
+    * magnitude below the corpus (bounded by the reachable weight·
+    * feature dot products, in practice thousands). A corpus whose
+    * margin cardinality itself outgrew one reducer would reuse the
+    * q46 banded two-phase prefix over margin bands; at that point
+    * the histogram rows, not the docs, are the data. Final reduce
+    * is a 1-row aggregate.
+    *
+    * @param yCol ±1 label column; @param scoreCol integer score
+    * @return one row: n_pos, n_neg, r2_pos (2× positive rank sum),
+    *         auc (0.5 when either class is empty — the convention
+    *         that an undefined ranking carries no signal)
+    */
+  def marginAuc(df: DataFrame, yCol: String, scoreCol: String): DataFrame = {
+    val h = df.groupBy(col(scoreCol).cast("long").as("m"))
+      .agg(sum(when(col(yCol) === 1, 1L).otherwise(0L)).as("np"),
+        sum(when(col(yCol) === -1, 1L).otherwise(0L)).as("nn"))
+    val w = Window.orderBy(col("m")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = h.withColumn("cum_below",
+      coalesce(sum(col("np") + col("nn")).over(w), lit(0L)))
+    // ties at score m occupy ranks cum_below+1 .. cum_below+np+nn;
+    // average rank = cum_below + (np+nn+1)/2, so each positive
+    // contributes 2·cum_below + np + nn + 1 to r2_pos — integer.
+    ranked.agg(
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cum_below") + col("np") + col("nn") + 1))
+          .as("r2_pos"))
+      .select(
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+        coalesce(col("r2_pos"), lit(0L)).as("r2_pos"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+            (col("r2_pos") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+              (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .otherwise(lit(0.5)))
   }
 
   /** CCNet-style corpus language-model scoring: train an add-1

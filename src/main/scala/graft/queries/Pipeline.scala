@@ -70,7 +70,8 @@ object Pipeline {
     "q93_oov_rate" -> q93,
     "q94_split_assign" -> q94,
     "q96_rp_topk" -> q96,
-    "q98_ngram_novelty" -> q98
+    "q98_ngram_novelty" -> q98,
+    "q99_margin_auc" -> q99
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -665,6 +666,19 @@ object Pipeline {
         col("lang") === "en", buckets = 64, iters = 5)
       .orderBy(col("id"))
 
+  /** AUC of the trained quality classifier — the evaluation leg that
+    * closes q87's train→score loop: exact Mann–Whitney over the
+    * integer margins (average ranks for ties stay on the 1/2 grid,
+    * so twice the positive rank sum is an exact int64 and the AUC is
+    * one IEEE division — the oracle replays training AND the rank
+    * statistic bit-for-bit). */
+  def q99(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityPerceptron(
+      Tables.documents(spark, dir), "doc_id", "text",
+      col("lang") === "en", buckets = 64, iters = 5)
+    TextAnalysis.marginAuc(scored, "y", "margin")
+  }
+
   /** C4 line-level cleaning over multi-line pages: the corpus has no
     * newlines, so pages are built deterministically — 10 docs per
     * page (doc_id div 10), one line per doc, ordered by doc_id, with
@@ -787,6 +801,34 @@ object Pipeline {
         size(filter(split(col("text"), " "), w => length(w) > lit(0))).cast("long"))
       .orderBy(col("id"))
   }
+
+  /** The full q87 perceptron replay preamble (featurization + 5
+    * training rounds) — shared by the q87 and q99 oracles: leaves
+    * `lab (id, y)`, `fx (id, b, n)` and the trained `w5 (b, w)`. */
+  private def sqlPerceptronPreamble: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk
+       |  FROM documents),
+       |lab AS MATERIALIZED (SELECT id, CAST(y AS BIGINT) AS y FROM toks),
+       |tok AS MATERIALIZED (
+       |  SELECT id, i, tk[CAST(i AS INT)] AS w
+       |  FROM toks, unnest(generate_series(1, len(tk))) AS t(i)),
+       |feat AS MATERIALIZED (
+       |  SELECT id, w AS g FROM tok
+       |  UNION ALL
+       |  SELECT a.id, a.w || chr(1) || b.w
+       |  FROM tok a JOIN tok b ON a.id = b.id AND b.i = a.i + 1),
+       |fx AS MATERIALIZED (
+       |  SELECT id, b, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT id, ${sqlMd5Fold("g")} % 64 AS b FROM feat)
+       |  GROUP BY id, b
+       |  UNION ALL
+       |  SELECT id, CAST(64 AS BIGINT) AS b, CAST(1 AS BIGINT) AS n FROM toks),
+       |w0 AS MATERIALIZED (
+       |  SELECT CAST(t.b AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+       |  FROM unnest(generate_series(0, 64)) AS t(b)),
+       |${sqlPerceptronCtes(5)}""".stripMargin
 
   /** q87's training replay: `iters` batch-perceptron rounds as
     * chained MATERIALIZED CTEs (the q48 discipline — DuckDB inlines
@@ -1759,34 +1801,41 @@ object Pipeline {
     // of margin/flag/update in chained materialized CTEs, then the
     // final margins. Integer-only, so the replay is bit-exact.
     "q87_quality_classifier" ->
-      s"""WITH toks AS MATERIALIZED (
-         |  SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-         |    list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk
-         |  FROM documents),
-         |lab AS MATERIALIZED (SELECT id, CAST(y AS BIGINT) AS y FROM toks),
-         |tok AS MATERIALIZED (
-         |  SELECT id, i, tk[CAST(i AS INT)] AS w
-         |  FROM toks, unnest(generate_series(1, len(tk))) AS t(i)),
-         |feat AS MATERIALIZED (
-         |  SELECT id, w AS g FROM tok
-         |  UNION ALL
-         |  SELECT a.id, a.w || chr(1) || b.w
-         |  FROM tok a JOIN tok b ON a.id = b.id AND b.i = a.i + 1),
-         |fx AS MATERIALIZED (
-         |  SELECT id, b, CAST(count(*) AS BIGINT) AS n FROM (
-         |    SELECT id, ${sqlMd5Fold("g")} % 64 AS b FROM feat)
-         |  GROUP BY id, b
-         |  UNION ALL
-         |  SELECT id, CAST(64 AS BIGINT) AS b, CAST(1 AS BIGINT) AS n FROM toks),
-         |w0 AS MATERIALIZED (
-         |  SELECT CAST(t.b AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
-         |  FROM unnest(generate_series(0, 64)) AS t(b)),
-         |${sqlPerceptronCtes(5)}
+      s"""$sqlPerceptronPreamble
          |SELECT lab.id, lab.y, CAST(sum(fx.n * w5.w) AS BIGINT) AS margin,
          |  sum(fx.n * w5.w) > 0 AS pred
          |FROM lab JOIN fx USING (id) JOIN w5 ON fx.b = w5.b
          |GROUP BY lab.id, lab.y
          |ORDER BY lab.id""".stripMargin,
+    // q99: q87's training replay, then the exact Mann–Whitney rank
+    // statistic over the margin histogram — average ranks for ties
+    // via 2·cum_below + np + nn + 1 per positive (the 1/2-grid trick
+    // that keeps r2_pos integer).
+    "q99_margin_auc" ->
+      s"""$sqlPerceptronPreamble,
+         |marg AS MATERIALIZED (
+         |  SELECT lab.id, lab.y, CAST(sum(fx.n * w5.w) AS BIGINT) AS m
+         |  FROM lab JOIN fx USING (id) JOIN w5 ON fx.b = w5.b
+         |  GROUP BY lab.id, lab.y),
+         |h AS (SELECT m,
+         |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+         |    sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS nn
+         |  FROM marg GROUP BY m),
+         |r AS (SELECT m, np, nn,
+         |    coalesce(sum(np + nn) OVER (ORDER BY m
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_below
+         |  FROM h),
+         |agg AS (SELECT
+         |    CAST(sum(np) AS BIGINT) AS n_pos,
+         |    CAST(sum(nn) AS BIGINT) AS n_neg,
+         |    CAST(sum(np * (2 * cum_below + np + nn + 1)) AS BIGINT) AS r2_pos
+         |  FROM r)
+         |SELECT n_pos, n_neg, r2_pos,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |    THEN CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+         |       / CAST(2 * n_pos * n_neg AS DOUBLE)
+         |    ELSE CAST(0.5 AS DOUBLE) END AS auc
+         |FROM agg""".stripMargin,
     // q88: the q48 training replay's final segmentation (w12) keyed
     // back to word types, per-doc TRUE token counts, then q46's
     // running-sum packing over those counts — tokenizer and packer

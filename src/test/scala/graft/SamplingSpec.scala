@@ -111,6 +111,26 @@ class SamplingSpec extends SparkSuite {
       (1L, 4L, 1L, 0.25), (2L, 3L, 3L, 1.0), (3L, 2L, 0L, 0.0), (4L, 0L, 0L, 0.0)))
   }
 
+  test("marginAuc: exact Mann-Whitney with tie handling, degenerate classes") {
+    import graft.operators.TextAnalysis
+    def auc(rows: Seq[(Long, Long)]): (Long, Long, Long, Double) =
+      TextAnalysis.marginAuc(rows.toDF("y", "margin"), "y", "margin")
+        .as[(Long, Long, Long, Double)].collect().head
+    // pos {3,1}, neg {2,0}: ranks 1..4, R_pos = 2+4 = 6 -> AUC 0.75
+    assert(auc(Seq((1L, 3L), (1L, 1L), (-1L, 2L), (-1L, 0L))) ==
+      (2L, 2L, 12L, 0.75))
+    // all scores tied: AUC exactly 0.5 (average ranks)
+    assert(auc(Seq((1L, 7L), (1L, 7L), (-1L, 7L)))._4 == 0.5)
+    // perfect separation -> 1.0; inverted -> 0.0
+    assert(auc(Seq((1L, 10L), (1L, 9L), (-1L, 1L)))._4 == 1.0)
+    assert(auc(Seq((1L, 0L), (-1L, 5L)))._4 == 0.0)
+    // single-class input: 0.5 convention, counts still reported
+    assert(auc(Seq((1L, 4L), (1L, 2L))) == (2L, 0L, 6L, 0.5))
+    // half-rank ties land exactly on the 1/2 grid: pos {1}, neg {1, 0}
+    // ranks: 0 -> 1, ties at 1 -> avg 2.5; AUC = (5 - 2) / (2*1*2) = 0.75
+    assert(auc(Seq((1L, 1L), (-1L, 1L), (-1L, 0L))) == (1L, 2L, 5L, 0.75))
+  }
+
   test("ngramNovelty: hand-computed trigram novelty vs a base corpus") {
     import graft.operators.TextAnalysis
     val base = Seq(
