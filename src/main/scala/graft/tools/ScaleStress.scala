@@ -199,6 +199,54 @@ object ScaleStress {
         pmod(col("doc_id"), lit(2)) === 0, buckets = 64, iters = 5)
         .agg(sum(col("margin")),
           sum(when(col("pred"), 1L).otherwise(0L))).collect()(0).toSeq)
+    // train + the exact Mann-Whitney evaluation on top: the AUC adds
+    // one histogram aggregate + a histogram-sized prefix to the
+    // perceptron cost — the delta vs the row above is the claim
+    timed("qualityPerceptron + marginAuc")(
+      TextAnalysis.marginAuc(
+        TextAnalysis.qualityPerceptron(zipf, "doc_id", "text",
+          pmod(col("doc_id"), lit(2)) === 0, buckets = 64, iters = 5),
+        "y", "margin").collect()(0).toSeq)
+    // novelty of a ~10% candidate slice vs the rest: the base's
+    // distinct-gram table scales with the corpus and must JOIN
+    timed("ngramNovelty n=3, ~10% candidate slice")(
+      TextAnalysis.ngramNovelty(zipf.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        zipf.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text", 3)
+        .agg(sum(col("n_novel")), sum(col("n_distinct"))).collect()(0).toSeq)
+    }
+
+    if (sections("media")) {
+    // PCM16 sample decode throughput: nDocs synthetic WAVs, ~16k
+    // samples each (raise the closed-form frame count well past the
+    // gate fixture so the BYTE LOOP, not per-file overhead, is what
+    // the clock sees). Constant state per file — the claim is
+    // samples/s, linear in total bytes.
+    val nFrames = 16384
+    val wavs = spark.range(0, nDocs, 1, 32)
+      .mapPartitions { it =>
+        it.map { id =>
+          val rate = 8000
+          val dataLen = nFrames * 2
+          val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          b.put("WAVE".getBytes("US-ASCII"))
+          b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          b.putShort(1.toShort).putShort(1.toShort).putInt(rate)
+          b.putInt(rate * 2).putShort(2.toShort).putShort(16.toShort)
+          b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+          var i = 0
+          while (i < nFrames) {
+            b.putShort((((id * 31 + i.toLong * 7919) % 65536) - 32768).toShort)
+            i += 1
+          }
+          (id, b.array())
+        }
+      }.toDF("id", "payload").localCheckpoint()
+    println(s"[stress] wavs: ${wavs.count()} x $nFrames samples")
+    timed(s"decodePcm16Batch ($nDocs files x $nFrames samples)")(
+      graft.operators.Multimodal.decodePcm16Batch(wavs)
+        .agg(sum(col("sum_sq")), sum(col("n_zc"))).collect()(0).toSeq)
     }
 
     if (sections("lineops")) {
@@ -278,6 +326,9 @@ object ScaleStress {
       graft.operators.Similarity.semanticScreen(c, bench, 0.9)
         .agg(sum(col("cos")),
           sum(when(col("contaminated"), 1).otherwise(0))).collect()(0).toSeq)
+    timed(s"rpTopK projDims=16 shortlist=20 top-5, 500 queries x $nv corpus")(
+      graft.operators.Similarity.rpTopK(q, c, 5, projDims = 16, shortlist = 20)
+        .agg(sum(col("cos"))).collect()(0).toSeq)
     }
 
     if (sections("ngram")) {
