@@ -28,4 +28,42 @@ class FormatsSpec extends SparkSuite {
       .filter(col("c_mktsegment") === "BUILDING").count()
     assert(one.count() === expected)
   }
+
+  test("JsonlSource: documents round-trip; corrupt lines are counted " +
+    "and quarantined, never dropped silently") {
+    import graft.sources.JsonlSource
+    val src = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    JsonlSource.write(src, dir)
+    val back = JsonlSource.read(spark, dir, org.apache.spark.sql.types.StructType(
+      src.schema.fields.map(_.copy(nullable = true))))
+    val (good, bad) = JsonlSource.stats(back)
+    assert(good === src.count() && bad === 0L)
+    assert(JsonlSource.docs(back).orderBy("doc_id")
+      .collect().toSeq.map(_.toSeq) ===
+      src.orderBy("doc_id").collect().toSeq.map(_.toSeq))
+    // plant corrupt lines among the good ones
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_jsonl2").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir2, "part-0.json"),
+      java.util.Arrays.asList(
+        """{"doc_id": 1, "text": "ok", "lang": "en"}""",
+        """{"doc_id": 2, "text": "truncated""",
+        """not json at all""",
+        """{"doc_id": 3, "text": "fine", "lang": "de"}"""))
+    val mixed = JsonlSource.read(spark, dir2, org.apache.spark.sql.types.StructType(
+      src.schema.fields.map(_.copy(nullable = true))))
+    val (g2, b2) = JsonlSource.stats(mixed)
+    assert(g2 === 2L && b2 === 2L)
+    assert(JsonlSource.docs(mixed).orderBy("doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // the corrupt lines come back VERBATIM for quarantine
+    val q = JsonlSource.corrupt(mixed).collect().map(_.getString(0)).toSet
+    assert(q === Set("""{"doc_id": 2, "text": "truncated""", "not json at all"))
+    // the reader refuses a schema that collides with its own column
+    intercept[IllegalArgumentException] {
+      JsonlSource.read(spark, dir2, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType, true))))
+    }
+  }
 }
