@@ -491,6 +491,30 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Character-diversity quality surface — the ln-free form of the
+    * char-entropy gibberish filter: one codegen'd pass per doc
+    * (graftext.CharHistStats) yields code-point count, distinct code
+    * points and Σc² over per-code-point counts; `simpson` = Σ(c/n)²
+    * (Herfindahl concentration — keyboard mash and repeated-symbol
+    * spam spike it, normal prose sits low). Exact int64 surfaces +
+    * one IEEE division, so the whole row hash-gates; zero shuffle
+    * beyond the caller's ordering (the histogram never leaves the
+    * row — the q50 map-side discipline).
+    * @return id, n_chars, n_distinct, sum_sq, simpson (0.0 empty) */
+  def charDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftext.TextNorm
+    df.select(col(idCol).as("id"), TextNorm.charStats(col(textCol)).as("st"))
+      .select(col("id"),
+        coalesce(col("st.n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("st.n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("st.sum_sq"), lit(0L)).as("sum_sq"))
+      .withColumn("simpson",
+        when(col("n_chars") > 0,
+            col("sum_sq").cast("double") /
+              (col("n_chars").cast("double") * col("n_chars").cast("double")))
+          .otherwise(lit(0.0)))
+  }
+
   /** N-gram NOVELTY of a candidate slice against a base corpus — the
     * dataset-iteration metric (how much genuinely new text does an
     * incoming crawl/source add?) that drives keep/drop decisions

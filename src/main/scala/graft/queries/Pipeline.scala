@@ -71,7 +71,8 @@ object Pipeline {
     "q94_split_assign" -> q94,
     "q96_rp_topk" -> q96,
     "q98_ngram_novelty" -> q98,
-    "q99_margin_auc" -> q99
+    "q99_margin_auc" -> q99,
+    "q100_char_diversity" -> q100
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -771,6 +772,16 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-diversity surface (the ln-free gibberish filter):
+    * one codegen'd histogram pass per doc, exact integer surfaces +
+    * the Simpson concentration index as one IEEE division — the
+    * whole row hash-gates. */
+  def q100(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charDiversity(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_chars"), col("n_distinct"),
+        col("sum_sq"), col("simpson"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic train/val/test assignment (90/5/5): one portable
     * md5 draw per doc (key "split:id"), thresholds at 900000/950000
     * of the 1e6 gate modulus — disjoint, total, rerun-identical; the
@@ -1353,6 +1364,29 @@ object Pipeline {
         |FROM a JOIN b ON a.gram = b.gram
         |GROUP BY a.doc_id
         |ORDER BY a.doc_id""".stripMargin,
+    // q100: the per-char histogram restated by character indexing
+    // (code-point semantics agree across engines on this corpus);
+    // integers exact, simpson one IEEE division of doubles.
+    "q100_char_diversity" ->
+      """WITH chars AS (
+        |  SELECT doc_id, text[i] AS c
+        |  FROM documents, unnest(generate_series(1, length(text))) AS t(i)),
+        |h AS (SELECT doc_id, c, count(*) AS cnt FROM chars GROUP BY doc_id, c),
+        |agg AS (SELECT doc_id,
+        |    CAST(sum(cnt) AS BIGINT) AS n_chars,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+        |  FROM h GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_chars, 0) AS n_chars,
+        |  coalesce(a.n_distinct, 0) AS n_distinct,
+        |  coalesce(a.sum_sq, 0) AS sum_sq,
+        |  CASE WHEN coalesce(a.n_chars, 0) > 0
+        |    THEN CAST(a.sum_sq AS DOUBLE)
+        |       / (CAST(a.n_chars AS DOUBLE) * CAST(a.n_chars AS DOUBLE))
+        |    ELSE CAST(0.0 AS DOUBLE) END AS simpson
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // q98: gram identity by CONTENT (the engine joins hashed keys —
     // collision odds 2^-64, the q33/q37 acceptance); windows, distinct
     // and novel counts are exact integers, the rate one IEEE division.

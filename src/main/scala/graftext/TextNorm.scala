@@ -63,8 +63,79 @@ case class UnicodeNormalize(child: Expression, form: String)
     copy(child = newChild)
 }
 
+/** One-pass code-point histogram surface (static helper so the
+  * interpreted and codegen paths of [[CharHistStats]] share one
+  * implementation — scalac emits a static forwarder the generated
+  * Java calls directly). */
+object CharHist {
+  def compute(u: UTF8String): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val s = u.toString
+    val m = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      val c = m.get(cp)
+      if (c == null) m.put(cp, Array(1L)) else c(0) += 1
+    }
+    var sumSq = 0L
+    val it = m.values().iterator()
+    while (it.hasNext) { val c = it.next()(0); sumSq += c * c }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, m.size.toLong, sumSq))
+  }
+}
+
+/** Per-document character-diversity surface in ONE pass: code-point
+  * count, distinct code points, and Σc² over the per-code-point
+  * counts — the integer core of the Simpson/Herfindahl concentration
+  * index (Σ(c/n)², the gibberish/low-entropy filter that needs no
+  * logarithm: a keyboard-mash doc concentrates mass on few symbols
+  * and its index spikes, exactly what a char-entropy rule detects,
+  * but every surface here is an exact int64 an independent engine
+  * restates bit-for-bit — the q59 ln-free gating discipline applied
+  * at character granularity).
+  *
+  * Counts are CODE POINTS (surrogate pairs count once), matching
+  * engines whose length() is code-point-based. Σc² ≤ n², inside
+  * int64 for any document under ~3×10⁹ chars — beyond every
+  * realistic page; a media-transcript outlier that long belongs in
+  * binary pipelines anyway.
+  */
+case class CharHistStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum_sq",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def nullSafeEval(s: Any): Any =
+    CharHist.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = org.apache.spark.sql.graftext.CharHist.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharHistStats =
+    copy(child = newChild)
+}
+
 object TextNorm {
   /** Column API: Unicode-normalize a string column (default NFC). */
   def normalize(text: Column, form: String = "NFC"): Column =
     ExpressionUtils.column(UnicodeNormalize(ExpressionUtils.expression(text), form))
+
+  /** Column API: struct(n_chars, n_distinct, sum_sq) — the one-pass
+    * char-diversity surface (select the struct in its own projection,
+    * then extract fields — the st_measures decode-once shape). */
+  def charStats(text: Column): Column =
+    ExpressionUtils.column(CharHistStats(ExpressionUtils.expression(text)))
 }

@@ -111,6 +111,24 @@ class SamplingSpec extends SparkSuite {
       (1L, 4L, 1L, 0.25), (2L, 3L, 3L, 1.0), (3L, 2L, 0L, 0.0), (4L, 0L, 0L, 0.0)))
   }
 
+  test("charDiversity: hand-computed Simpson surfaces, code-point semantics") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "aab"),          // {a:2, b:1}: n=3, distinct 2, sumSq 5
+      (2L, "aaaa"),         // pure concentration: simpson 1.0
+      (3L, ""),             // empty: all zeros
+      (4L, "ab😀" // surrogate-pair emoji counts ONCE
+        + "😀")   // {a:1, b:1, emoji:2}: n=4, distinct 3, sumSq 6
+    ).toDF("id", "text")
+    val out = TextAnalysis.charDiversity(df, "id", "text")
+      .orderBy($"id").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 2L, 5L, 5.0 / 9.0),
+      (2L, 4L, 1L, 16L, 1.0),
+      (3L, 0L, 0L, 0L, 0.0),
+      (4L, 4L, 3L, 6L, 6.0 / 16.0)))
+  }
+
   test("marginAuc: exact Mann-Whitney with tie handling, degenerate classes") {
     import graft.operators.TextAnalysis
     def auc(rows: Seq[(Long, Long)]): (Long, Long, Long, Double) =
