@@ -43,7 +43,8 @@ object Relational {
     "q11_merge_attrs" -> q11,
     "q12_dedup_idxmax" -> q12,
     "q13_supplier_parts" -> q13,
-    "q14_priority_tax" -> q14
+    "q14_priority_tax" -> q14,
+    "q15_pivot_segments" -> q15
   )
 
   /** TPC-H Q1-style pricing summary: scan + filter + hash aggregate.
@@ -247,7 +248,37 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("tax_bucket"))
   }
 
+  /** Pivot (long→wide reshaping): order counts by priority ACROSS
+    * market segments. The values list is EXPLICIT — without it Spark
+    * runs a whole extra distinct job just to learn the column set,
+    * and the output schema becomes data-dependent (both wrong at
+    * 100 TB); with it the pivot is one two-phase hash aggregate.
+    * Absent combinations are 0, not null (coalesce — the contract a
+    * report consumer wants). */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val wide = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("c_mktsegment", segs)
+      .agg(count(lit(1)))
+    wide.select(col("o_orderpriority") +:
+        segs.map(s => coalesce(col(s), lit(0L)).as(s.toLowerCase)): _*)
+      .orderBy(col("o_orderpriority"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q15_pivot_segments" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS automobile,
+        |  CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS building,
+        |  CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS furniture,
+        |  CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS household,
+        |  CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS machinery
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -49,4 +49,12 @@ class RelationalSpec extends SparkSuite {
   test("oracle map covers every query") {
     assert(Relational.queries.keySet === Relational.oracleSql.keySet)
   }
+
+  test("q15 pivot cells partition the joined order count; absent cells are 0") {
+    val total = graft.Tables.orders(spark, sf).count()
+    val out = Relational.q15(spark, sf).collect()
+    val cellSum = out.map(r => (1 to 5).map(r.getLong(_)).sum).sum
+    assert(cellSum === total, "pivot cells must partition the orders")
+    assert(out.forall(r => (1 to 5).forall(!r.isNullAt(_))), "cells never null")
+  }
 }

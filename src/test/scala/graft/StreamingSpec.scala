@@ -296,7 +296,9 @@ class StreamingSpec extends SparkSuite {
       val p = TextAnalysis.piiStats(df, "doc_id", "text")
       val c = TextAnalysis.c4LineClean(df, "doc_id", "text")
         .select($"id", $"n_kept", $"clean_text")
-      g.join(b, "id").join(p, "id").join(c, "id")
+      val d = TextAnalysis.charDiversity(df, "doc_id", "text")
+        .select($"id", $"sum_sq", $"simpson")
+      g.join(b, "id").join(p, "id").join(c, "id").join(d, "id")
     }
     val batch = gates(rows.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
     val ms = MemoryStream[(Long, String)]
