@@ -195,6 +195,70 @@ object Multimodal {
       .toDF()
   }
 
+  /** Closed-form synthetic grayscale JPEG: every 8×8 block is FLAT
+    * (value = closed form of block coords + id) and the encoder runs
+    * at quality 1.0 (all-ones quantization), so each block carries a
+    * DC-only spectrum that round-trips BIT-EXACTLY — the one corner
+    * of the lossy format where an independent oracle can restate the
+    * decoded pixels in closed form. The encoder is the JDK's ImageIO
+    * (an independent implementation); the gate therefore exercises
+    * this library's real Huffman stream decode, cross-block DC
+    * prediction, dequantization and IDCT against bytes it did not
+    * produce. Full blocks only (partial-edge padding is
+    * encoder-defined and would break closed-form exactness). */
+  def syntheticJpegGray(id: Long): Array[Byte] = {
+    val bw = 1 + (id % 3).toInt
+    val bh = 1 + ((id / 3) % 3).toInt
+    val w = 8 * bw
+    val h = 8 * bh
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.getRaster.setSample(x, y, 0,
+          (((x / 8) * 31 + (y / 8) * 17 + id) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(1.0f)
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(out))
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose()
+    out.toByteArray
+  }
+
+  /** [[syntheticJpegGray]] as a column function. */
+  def syntheticJpegGrayUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((id: Long) => syntheticJpegGray(id))
+
+  /** [[decodePixelsBatch]] for the baseline grayscale JPEG envelope
+    * ([[Jpeg]]): same mapPartitions shape, honest zero-raster rows
+    * outside it. */
+  def decodeJpegPixelsBatch(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = Encoders.product[MediaPixels]
+    df.select(col("id"), col("payload"))
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            Jpeg.decode(bytes) match {
+              case Some(r) => MediaPixels(id, r.width, r.height, r.channels, r.pixels)
+              case None    => MediaPixels(id, 0, 0, 0, Array.emptyByteArray)
+            }
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Decoded audio metadata: PCM parameters + exact frame count —
     * all integers, so every derived quantity (duration = n_frames /
     * sample_rate) is closed-form checkable. */

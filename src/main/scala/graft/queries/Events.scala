@@ -27,7 +27,8 @@ object Events {
     "q71_media_pipeline" -> q71,
     "q89_png_pixels" -> q89,
     "q95_wav_meta" -> q95,
-    "q97_wav_samples" -> q97
+    "q97_wav_samples" -> q97,
+    "q101_jpeg_pixels" -> q101
   )
 
   /** Tumbling 1-hour window aggregation (shared with streaming). */
@@ -273,7 +274,63 @@ object Events {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL baseline-JPEG pixel decode, driver-gated: ImageIO (an
+    * independent encoder) writes flat-block quality-1.0 grayscale
+    * JPEGs whose DC-only spectra round-trip bit-exactly, so the
+    * oracle restates the decoded pixels in closed form — the Huffman
+    * stream, cross-block DC prediction, dequantization and IDCT are
+    * what the hash check exercises (lossy-general parity vs ImageIO
+    * is spec territory: ±1 gray level). */
+  def q101(spark: SparkSession, dir: String): DataFrame = {
+    val pixSum = udf((b: Array[Byte]) => {
+      var s = 0L; var i = 0
+      while (i < b.length) { s += (b(i) & 0xff); i += 1 }
+      s
+    })
+    val pixMinMax = udf((b: Array[Byte]) => {
+      var mn = 255; var mx = 0; var i = 0
+      while (i < b.length) {
+        val v = b(i) & 0xff
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      if (b.length == 0) (0, 0) else (mn, mx)
+    })
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        Multimodal.syntheticJpegGrayUdf(col("doc_id")).as("payload"))
+    Multimodal.decodeJpegPixelsBatch(payloads)
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        pixSum(col("pixels")).as("pix_sum"),
+        pixMinMax(col("pixels")).getField("_1").as("px_min"),
+        pixMinMax(col("pixels")).getField("_2").as("px_max"))
+      .orderBy(col("doc_id"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q101: the flat-block pattern restated cell by cell — each 8x8
+    // block contributes 64x its closed-form value exactly (DC-only
+    // spectrum under the all-ones quantizer).
+    "q101_jpeg_pixels" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    1 + doc_id % 3 AS bw,
+        |    1 + (doc_id // 3) % 3 AS bh
+        |  FROM documents),
+        |cells AS (
+        |  SELECT d.doc_id, d.bw, d.bh,
+        |    (bx.g * 31 + by.g * 17 + d.doc_id) % 256 AS g
+        |  FROM d,
+        |    unnest(generate_series(0, d.bw - 1)) AS bx(g),
+        |    unnest(generate_series(0, d.bh - 1)) AS by(g))
+        |SELECT doc_id,
+        |  CAST(min(bw) * 8 AS INT) AS width,
+        |  CAST(min(bh) * 8 AS INT) AS height,
+        |  CAST(sum(g * 64) AS BIGINT) AS pix_sum,
+        |  CAST(min(g) AS INT) AS px_min,
+        |  CAST(max(g) AS INT) AS px_max
+        |FROM cells GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q97: every sample restated by the generator formula; the lag
     // window reproduces the decoder's consecutive-sign crossing rule
     // (sign of zero is non-negative; the i=0 lag NULL contributes 0).

@@ -314,6 +314,62 @@ class StreamingSpec extends SparkSuite {
     assert(batch.size == rows.size)
   }
 
+  test("Jpeg decoder: within +/-1 gray level of the JDK's independent " +
+    "ImageIO decode; rejects color/progressive/corrupt honestly") {
+    import graft.operators.Jpeg
+    def grayImage(w: Int, h: Int, f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, f(x, y) & 0xff)
+      img
+    }
+    def jpegBytes(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(out))
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      writer.dispose()
+      out.toByteArray
+    }
+    // smooth gradient, checkerboard, and a noisy pattern, at sizes
+    // that exercise partial edge blocks; two quality levels
+    val fixtures = Seq(
+      (16, 16, (x: Int, y: Int) => x * 8 + y * 8),
+      (17, 9, (x: Int, y: Int) => if ((x / 4 + y / 4) % 2 == 0) 40 else 215),
+      (24, 13, (x: Int, y: Int) => (x * 37 + y * 101 + x * y * 7) % 256))
+    for ((w, h, f) <- fixtures; quality <- Seq(0.95f, 0.6f)) {
+      val bytes = jpegBytes(grayImage(w, h, f), quality)
+      val mine = Jpeg.decode(bytes)
+      assert(mine.isDefined, s"decode failed at ${w}x$h q$quality")
+      val r = mine.get
+      assert(r.width == w && r.height == h && r.channels == 1)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs((r.pixels(y * w + x) & 0xff) - ref.getRaster.getSample(x, y, 0))
+        if (d > maxDiff) maxDiff = d
+      }
+      assert(maxDiff <= 1,
+        s"IDCT deviation $maxDiff > 1 vs ImageIO at ${w}x$h q$quality")
+    }
+    // honest None: color JPEG (3-component), junk, truncated scan
+    val colorImg = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val colorBytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(colorImg, "jpg", out)
+      out.toByteArray
+    }
+    assert(Jpeg.decode(colorBytes).isEmpty, "color must reject (envelope)")
+    assert(Jpeg.decode("not a jpeg".getBytes).isEmpty)
+    val good = jpegBytes(grayImage(16, 16, (x, y) => x + y), 0.9f)
+    assert(Jpeg.decode(good.dropRight(good.length / 3)).isEmpty, "truncated scan")
+  }
+
   test("Png codec: encode/decode round-trips every filter type and color " +
     "type; rejects the unsupported subset honestly") {
     import Multimodal.{Png, Raster}
