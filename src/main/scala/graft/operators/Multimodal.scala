@@ -785,6 +785,93 @@ object Multimodal {
       .toDF()
   }
 
+  /** Decode ANY supported pixel format by magic-byte sniff: PNG
+    * (lossless subset — [[Png]]) or baseline grayscale JPEG
+    * ([[Jpeg]]). None outside both envelopes. */
+  def decodeAnyRaster(bytes: Array[Byte]): Option[Raster] =
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
+      Png.decode(bytes)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      Jpeg.decode(bytes)
+    else None
+
+  /** REAL pixel features from a decoded raster — the hand-crafted
+    * pre-embedding a curation pipeline computes before any learned
+    * encoder: per-sample totals, horizontal/vertical gradient
+    * energies (the blur/flat-image detector), and a 16-bin intensity
+    * histogram. Every surface is an exact integer over the decoded
+    * samples, so the whole row gates against a closed-form oracle on
+    * synthetic rasters; [[RasterFeatures.feat]] additionally packs
+    * the normalized float vector that composes with the ANN
+    * operators (Similarity.*TopK).
+    * Gradients are per-channel plane differences (|p(x+1,y,c) −
+    * p(x,y,c)| and |p(x,y+1,c) − p(x,y,c)|), never across the
+    * channel interleave. */
+  def rasterFeatures(r: Raster): (Long, Long, Long, Long, Array[Long], Array[Float]) = {
+    val w = r.width; val h = r.height; val ch = r.channels
+    val n = w.toLong * h * ch
+    var sum = 0L; var sq = 0L; var gx = 0L; var gy = 0L
+    val bins = new Array[Long](16)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          val v = r.pixels((y * w + x) * ch + c) & 0xff
+          sum += v; sq += v.toLong * v; bins(v >> 4) += 1
+          if (x + 1 < w) gx += math.abs((r.pixels((y * w + x + 1) * ch + c) & 0xff) - v)
+          if (y + 1 < h) gy += math.abs((r.pixels(((y + 1) * w + x) * ch + c) & 0xff) - v)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val feat = new Array[Float](20)
+    if (n > 0) {
+      val mean = sum.toDouble / n
+      feat(0) = mean.toFloat
+      feat(1) = math.sqrt(math.max(0.0, sq.toDouble / n - mean * mean)).toFloat
+      feat(2) = (gx.toDouble / math.max(1L, (w - 1).toLong * h * ch)).toFloat
+      feat(3) = (gy.toDouble / math.max(1L, w.toLong * (h - 1) * ch)).toFloat
+      var b = 0
+      while (b < 16) { feat(4 + b) = (bins(b).toDouble / n).toFloat; b += 1 }
+    }
+    (sum, sq, gx, gy, bins, feat)
+  }
+
+  /** Feature-surface row: exact integer surfaces + the float vector. */
+  case class RasterFeatRow(id: Long, n_px: Long, px_sum: Long, px_sq: Long,
+                           grad_x: Long, grad_y: Long, bins: Array[Long],
+                           feat: Array[Float])
+
+  /** Batched partition-wise REAL feature extraction over any
+    * supported pixel payload (PNG / baseline-gray JPEG by sniff);
+    * undecodable payloads surface as n_px 0. */
+  def rasterFeatureBatch(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = Encoders.product[RasterFeatRow]
+    df.select(col("id"), col("payload"))
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            decodeAnyRaster(bytes) match {
+              case Some(r) =>
+                val (sum, sq, gx, gy, bins, feat) = rasterFeatures(r)
+                RasterFeatRow(id, r.width.toLong * r.height * r.channels,
+                  sum, sq, gx, gy, bins, feat)
+              case None =>
+                RasterFeatRow(id, 0L, 0L, 0L, 0L, 0L, new Array[Long](16),
+                  new Array[Float](20))
+            }
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Batched partition-wise decode: groups each partition's rows into
     * `batchSize` chunks before invoking the decoder — the access
     * pattern a vectorized native decoder wants (amortized codec init,

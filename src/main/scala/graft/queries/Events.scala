@@ -28,7 +28,8 @@ object Events {
     "q89_png_pixels" -> q89,
     "q95_wav_meta" -> q95,
     "q97_wav_samples" -> q97,
-    "q101_jpeg_pixels" -> q101
+    "q101_jpeg_pixels" -> q101,
+    "q102_image_features" -> q102
   )
 
   /** Tumbling 1-hour window aggregation (shared with streaming). */
@@ -308,7 +309,58 @@ object Events {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL feature extraction on REAL decoded pixels: gradient
+    * energies (blur/flat detector) and the 16-bin intensity histogram
+    * over the PNG rasters — every surface an exact integer the
+    * oracle restates from the generator formula; the normalized
+    * float vector rides in spec territory (it composes with the ANN
+    * operators). */
+  def q102(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        Multimodal.syntheticPngUdf(col("doc_id")).as("payload"))
+    val feats = Multimodal.rasterFeatureBatch(payloads)
+    feats.select(
+      (Seq(col("id").as("doc_id"), col("n_px"), col("px_sum"), col("px_sq"),
+        col("grad_x"), col("grad_y")) ++
+        (0 until 16).map(b => element_at(col("bins"), b + 1).as(s"b$b"))): _*)
+      .orderBy(col("doc_id"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q102: every surface restated from the raster generator — the
+    // gradient terms re-derive neighbor values from the formula
+    // itself (no self-join), the histogram bins by v // 16.
+    "q102_image_features" -> {
+      val binCols = (0 until 16).map(b =>
+        s"  CAST(sum(CASE WHEN v // 16 = $b THEN 1 ELSE 0 END) AS BIGINT) AS b$b")
+        .mkString(",\n")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(4 + doc_id % 5 AS BIGINT) AS w,
+         |    CAST(4 + (doc_id * 3) % 5 AS BIGINT) AS h,
+         |    CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS BIGINT) AS ch
+         |  FROM documents),
+         |px AS MATERIALIZED (
+         |  SELECT d.doc_id, d.w, d.h, x.g AS x, y.g AS y, c.g AS c,
+         |    (x.g * 3 + y.g * 7 + c.g * 11 + d.doc_id) % 256 AS v
+         |  FROM d,
+         |    unnest(generate_series(0, d.w - 1)) AS x(g),
+         |    unnest(generate_series(0, d.h - 1)) AS y(g),
+         |    unnest(generate_series(0, d.ch - 1)) AS c(g))
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_px,
+         |  CAST(sum(v) AS BIGINT) AS px_sum,
+         |  CAST(sum(v * v) AS BIGINT) AS px_sq,
+         |  CAST(sum(CASE WHEN x < w - 1 THEN
+         |    abs(((x + 1) * 3 + y * 7 + c * 11 + doc_id) % 256 - v)
+         |    ELSE 0 END) AS BIGINT) AS grad_x,
+         |  CAST(sum(CASE WHEN y < h - 1 THEN
+         |    abs((x * 3 + (y + 1) * 7 + c * 11 + doc_id) % 256 - v)
+         |    ELSE 0 END) AS BIGINT) AS grad_y,
+         |$binCols
+         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // q101: the flat-block pattern restated cell by cell — each 8x8
     // block contributes 64x its closed-form value exactly (DC-only
     // spectrum under the all-ones quantizer).

@@ -370,6 +370,26 @@ class StreamingSpec extends SparkSuite {
     assert(Jpeg.decode(good.dropRight(good.length / 3)).isEmpty, "truncated scan")
   }
 
+  test("rasterFeatures: hand-computed surfaces; decodeAnyRaster sniffs " +
+    "PNG and JPEG payloads") {
+    import graft.operators.{Jpeg, Multimodal}
+    val r = Multimodal.Raster(2, 2, 1, Array[Byte](10, 20, 30, 40))
+    val (sum, sq, gx, gy, bins, feat) = Multimodal.rasterFeatures(r)
+    assert(sum == 100L && sq == 3000L && gx == 20L && gy == 40L)
+    assert(bins.toSeq == Seq(1L, 2L, 1L) ++ Seq.fill(13)(0L))
+    assert(feat(0) == 25.0f)
+    assert(feat(4) == 0.25f && feat(5) == 0.5f && feat(6) == 0.25f)
+    // sniff: the PNG synthetic payload and a JPEG byte stream both
+    // decode through the same entry point
+    val png = Multimodal.Png.encode(Multimodal.syntheticRaster(3L))
+    assert(Multimodal.decodeAnyRaster(png).isDefined)
+    val jpg = Multimodal.syntheticJpegGray(5L)
+    val viaAny = Multimodal.decodeAnyRaster(jpg)
+    assert(viaAny.isDefined && viaAny.get.pixels.toSeq ==
+      Jpeg.decode(jpg).get.pixels.toSeq)
+    assert(Multimodal.decodeAnyRaster("neither".getBytes).isEmpty)
+  }
+
   test("Png codec: encode/decode round-trips every filter type and color " +
     "type; rejects the unsupported subset honestly") {
     import Multimodal.{Png, Raster}
