@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bpe, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bloom, Bpe, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Blocks C/D/E — LLM-pipeline operators over `documents` and
   * `embeddings` (SURVEY.md §2.C-E): dedup (exact, MinHash-LSH,
@@ -72,7 +72,8 @@ object Pipeline {
     "q96_rp_topk" -> q96,
     "q98_ngram_novelty" -> q98,
     "q99_margin_auc" -> q99,
-    "q100_char_diversity" -> q100
+    "q100_char_diversity" -> q100,
+    "q103_bloom_decontam" -> q103
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -782,6 +783,37 @@ object Pipeline {
         col("sum_sq"), col("simpson"))
       .orderBy(col("doc_id"))
 
+  /** Bloom-filter decontamination (the broadcast-bitset probe that
+    * replaces the join when only the fingerprint of the reference
+    * set fits in memory): bench = the %10 slice (the q37
+    * convention), corpus = the rest plus PLANTED contaminated copies
+    * of every bench doc (ids +2000000), bloom over the full text
+    * with k=3 and m = 8 × bench count — DELIBERATELY tight (~0.31
+    * fill) so the gate exercises BOTH branches at every scale
+    * factor: every planted copy flags (zero false negatives,
+    * structural), and a ~3% deterministic false-positive band flags
+    * too — the oracle replays the salted md5 position draws and
+    * reproduces each false positive bit-for-bit. The exact-join
+    * columns are gate EVIDENCE (they price the fp rate); production
+    * decontamination runs the probe alone: one corpus scan, zero
+    * shuffle, m/64 longs broadcast (and sizes m for the fp rate it
+    * wants, not for gate theatrics). */
+  def q103(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") % 10 === 0)
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      .unionAll(bench.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val flagged = Bloom.decontaminate(corpus, bench, "text",
+      m = (bench.count() * 8).toInt, k = 3)
+    val exact = corpus.join(bench.select(col("text")).distinct().withColumn("__hit", lit(true)),
+        Seq("text"), "left")
+    flagged.join(exact.select(col("doc_id"), coalesce(col("__hit"), lit(false)).as("true_hit")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("flagged"), col("true_hit"),
+        (col("flagged") && !col("true_hit")).as("false_positive"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic train/val/test assignment (90/5/5): one portable
     * md5 draw per doc (key "split:id"), thresholds at 900000/950000
     * of the 1e6 gate modulus — disjoint, total, rerun-identical; the
@@ -1387,6 +1419,36 @@ object Pipeline {
         |    ELSE CAST(0.0 AS DOUBLE) END AS simpson
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // q103: the bloom bitmap replayed as the SET of inserted
+    // positions ("bit p set" == "p drawn by some bench key") — the
+    // salted md5 folds restate Bloom.bitPositions digit-for-digit,
+    // so membership, every planted true hit AND every deterministic
+    // false positive reproduce exactly. The unnest var is `s`, NOT
+    // `i` — sqlMd5Fold's lambda binds `i` and would shadow it.
+    "q103_bloom_decontam" ->
+      s"""WITH bench AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text FROM bench),
+    |m AS (SELECT 8 * count(*) AS m FROM bench),
+         |bp AS (
+         |  SELECT DISTINCT ${sqlMd5Fold("'bloom:' || s || ':' || text")} % (SELECT m FROM m) AS p
+         |  FROM bench, unnest([0, 1, 2]) AS t(s)),
+         |cp AS (
+         |  SELECT doc_id, ${sqlMd5Fold("'bloom:' || s || ':' || text")} % (SELECT m FROM m) AS p
+         |  FROM corpus, unnest([0, 1, 2]) AS t(s)),
+         |flg AS (
+         |  SELECT cp.doc_id,
+         |    (sum(CASE WHEN bp.p IS NULL THEN 1 ELSE 0 END) = 0) AS flagged
+         |  FROM cp LEFT JOIN bp USING (p) GROUP BY cp.doc_id),
+         |ex AS (SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b ON c.text = b.text)
+         |SELECT f.doc_id, f.flagged AS flagged,
+         |  (e.doc_id IS NOT NULL) AS true_hit,
+         |  (f.flagged AND e.doc_id IS NULL) AS false_positive
+         |FROM flg f LEFT JOIN ex e ON f.doc_id = e.doc_id
+         |ORDER BY f.doc_id""".stripMargin,
     // q98: gram identity by CONTENT (the engine joins hashed keys —
     // collision odds 2^-64, the q33/q37 acceptance); windows, distinct
     // and novel counts are exact integers, the rate one IEEE division.
