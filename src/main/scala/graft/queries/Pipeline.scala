@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bloom, Bpe, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bloom, Bpe, Dedup, LinkGraph, Sampling, Similarity, TextAnalysis}
 
 /** Blocks C/D/E — LLM-pipeline operators over `documents` and
   * `embeddings` (SURVEY.md §2.C-E): dedup (exact, MinHash-LSH,
@@ -73,7 +73,8 @@ object Pipeline {
     "q98_ngram_novelty" -> q98,
     "q99_margin_auc" -> q99,
     "q100_char_diversity" -> q100,
-    "q103_bloom_decontam" -> q103
+    "q103_bloom_decontam" -> q103,
+    "q104_pagerank" -> q104
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -814,6 +815,21 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Web-graph PageRank as a corpus-quality prior — 5 power
+    * iterations of FIXED-POINT integer PageRank (d = 17/20, scale
+    * 1e9) over the deterministic hashed link graph (outdeg 1 + v%3,
+    * targets from portable md5 draws). Integer division end-to-end
+    * makes every iteration bit-replayable: the oracle chains 5
+    * materialized CTEs (the q48 discipline), so an ITERATIVE graph
+    * algorithm is hash-gated, not rows-only. */
+  def q104(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+    LinkGraph.pageRankFixedPoint(
+        LinkGraph.hashedFixtureEdges(spark, d, "doc_id"), d,
+        "src", "dst", "doc_id", iters = 5)
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic train/val/test assignment (90/5/5): one portable
     * md5 draw per doc (key "split:id"), thresholds at 900000/950000
     * of the 1e6 gate modulus — disjoint, total, rerun-identical; the
@@ -1449,6 +1465,30 @@ object Pipeline {
          |  (f.flagged AND e.doc_id IS NULL) AS false_positive
          |FROM flg f LEFT JOIN ex e ON f.doc_id = e.doc_id
          |ORDER BY f.doc_id""".stripMargin,
+    // q104: every power iteration replayed as a chained MATERIALIZED
+    // CTE — fixed-point integer arithmetic (// on non-negative
+    // BIGINTs == Spark's div) makes the 5-step trajectory, not just
+    // the final ordering, bit-identical across engines.
+    "q104_pagerank" -> {
+      val steps = (1 to 5).map { k =>
+        s"""r$k AS MATERIALIZED (
+           |  SELECT d.doc_id AS id,
+           |    CAST(150000000 + (17 * coalesce(sum(r.rank // e.deg), 0)) // 20 AS BIGINT) AS rank
+           |  FROM documents d
+           |  LEFT JOIN e ON e.dst = d.doc_id
+           |  LEFT JOIN r${k - 1} r ON e.src = r.id
+           |  GROUP BY d.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT d.doc_id AS src,
+         |    ${sqlMd5Fold("'link:' || CAST(d.doc_id AS VARCHAR) || ':' || s")} % (SELECT count(*) FROM documents) AS dst,
+         |    CAST(1 + d.doc_id % 3 AS BIGINT) AS deg
+         |  FROM documents d, unnest([0, 1, 2]) AS t(s)
+         |  WHERE s <= d.doc_id % 3),
+         |r0 AS (SELECT doc_id AS id, CAST(1000000000 AS BIGINT) AS rank FROM documents),
+         |$steps
+         |SELECT id AS doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
+    },
     // q98: gram identity by CONTENT (the engine joins hashed keys —
     // collision odds 2^-64, the q33/q37 acceptance); windows, distinct
     // and novel counts are exact integers, the rate one IEEE division.
