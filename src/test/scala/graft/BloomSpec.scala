@@ -13,15 +13,11 @@ class BloomSpec extends SparkSuite {
   private val M = 2048
   private val K = 3
 
-  /** Driver reference of Bloom.bitPositions: the same salted md5
-    * fold, computed with java.security — independent of Spark. */
+  /** Bloom.positionsJvm is the driver reference — java.security md5,
+    * independent of Spark's expression engine; the first test pins
+    * the Column fold against it bit-for-bit. */
   private def refPositions(key: String, m: Int, k: Int): Seq[Long] =
-    (0 until k).map { i =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"bloom:$i:$key".getBytes("UTF-8"))
-      val hex = md.map(b => f"$b%02x").mkString.take(15)
-      java.lang.Long.parseLong(hex, 16) % m
-    }
+    Bloom.positionsJvm(key, m, k).toSeq
 
   test("build produces exactly the reference bit set, zero false negatives") {
     val keys = (0 until 400).map(i => s"doc-$i")

@@ -557,4 +557,57 @@ class StreamingSpec extends SparkSuite {
     val g = decode(6L, gif87)
     assert(g.format == "gif" && g.width == 0x1234 && g.height == 0x5678)
   }
+
+  test("BloomStream admits first sight exactly once across micro-batches " +
+    "in constant state, reconciling with a driver bloom replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Bloom
+    val buckets = 8; val m = 1 << 12; val k = 3
+    // 300 distinct keys, each arriving twice (id and id+1000), split
+    // so the repeat of an early key lands in a LATER batch
+    val b1 = (0 until 200).map(i => (i.toLong, s"key-$i"))
+    val b2 = (0 until 200).map(i => (i + 1000L, s"key-$i")) ++
+      (200 until 300).map(i => (i.toLong, s"key-$i"))
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.BloomStream
+      .admitted(ms.toDF.toDF("doc_id", "key"), "doc_id", "key",
+        buckets = buckets, mBitsPerBucket = m, k = k)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bloom_stream_spec").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bloom_stream_spec")
+      .as[(Long, Int)].collect().map(_._1).toSet
+    // driver replay: same buckets, same bitmaps, same batch/id order
+    val bucketOf = (key: String) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bloombucket:$key".getBytes("UTF-8"))
+      (java.lang.Long.parseLong(md.map(b => f"$b%02x").mkString.take(15), 16)
+        % buckets).toInt
+    }
+    val words = Array.fill(buckets)(new Array[Long](m / 64))
+    val expect = Set.newBuilder[Long]
+    Seq(b1, b2).foreach(batch =>
+      batch.groupBy { case (_, key) => bucketOf(key) }.toSeq
+        .foreach { case (b, rows) =>
+          rows.sortBy(_._1).foreach { case (id, key) =>
+            val ps = Bloom.positionsJvm(key, m, k)
+            val seen = ps.forall(p => ((words(b)((p / 64).toInt) >>> (p % 64).toInt) & 1L) == 1L)
+            if (!seen) {
+              ps.foreach(p => words(b)((p / 64).toInt) |= 1L << (p % 64).toInt)
+              expect += id
+            }
+          }
+        })
+    assert(got == expect.result())
+    // no key admitted twice: the 200 batch-2 repeats all dropped
+    assert(!got.exists(id => id >= 1000L))
+    // false drops bounded: ≥ 280 of the 300 distinct keys admitted
+    // (fill here is ~1.5%, so expected false drops ≈ 0)
+    assert(got.size >= 280, s"only ${got.size} admitted")
+  }
 }
