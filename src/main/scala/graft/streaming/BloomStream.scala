@@ -73,7 +73,7 @@ object BloomStream {
     implicit val docEnc = Encoders.product[Doc]
     implicit val stateEnc = Encoders.product[BloomState]
     implicit val outEnc = Encoders.product[Admitted]
-    val key = coalesce(col(keyCol).cast("string"), lit(" graft-null"))
+    val key = coalesce(col(keyCol).cast("string"), lit("\u0000graft-null"))
     docs
       .select(
         (conv(substring(md5(concat(lit("bloombucket:"), key)), 1, 15), 16, 10)
