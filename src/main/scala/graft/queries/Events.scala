@@ -29,7 +29,8 @@ object Events {
     "q95_wav_meta" -> q95,
     "q97_wav_samples" -> q97,
     "q101_jpeg_pixels" -> q101,
-    "q102_image_features" -> q102
+    "q102_image_features" -> q102,
+    "q105_gif_pixels" -> q105
   )
 
   /** Tumbling 1-hour window aggregation (shared with streaming). */
@@ -327,7 +328,59 @@ object Events {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL GIF pixel decode — the LZW leg completing the pixel trio
+    * (q89 PNG inflate, q101 JPEG Huffman+IDCT): payloads are genuine
+    * GIFs written by the JDK's independent ImageIO encoder from
+    * closed-form INDEXED content, decoded by this library's
+    * variable-code-width LZW + palette mapping; per-channel sums and
+    * extrema gate every RGB sample against the generator formulas
+    * (palette layout free to differ — RGB content cannot). */
+  def q105(spark: SparkSession, dir: String): DataFrame = {
+    val chSum = udf((b: Array[Byte], c: Int) => {
+      var s = 0L; var i = c
+      while (i < b.length) { s += (b(i) & 0xff); i += 3 }
+      s
+    })
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        Multimodal.syntheticGifUdf(col("doc_id")).as("payload"))
+    Multimodal.decodeGifPixelsBatch(payloads)
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("channels"),
+        chSum(col("pixels"), lit(0)).as("r_sum"),
+        chSum(col("pixels"), lit(1)).as("g_sum"),
+        chSum(col("pixels"), lit(2)).as("b_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q105: RGB sums restated from idx(x,y) = (x·3+y·7+id) % 256
+    // through the closed-form palette — decode, LZW and palette
+    // mapping all inside the hash check.
+    "q105_gif_pixels" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(6 + doc_id % 7 AS BIGINT) AS w,
+        |    CAST(6 + (doc_id * 3) % 7 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    (x.g * 3 + y.g * 7 + d.doc_id) % 256 AS idx
+        |  FROM d,
+        |    unnest(generate_series(0, d.w - 1)) AS x(g),
+        |    unnest(generate_series(0, d.h - 1)) AS y(g)),
+        |s AS (
+        |  SELECT doc_id,
+        |    sum((idx * 5 + 1) % 256) AS r_sum,
+        |    sum((idx * 7 + 2) % 256) AS g_sum,
+        |    sum((idx * 11 + 3) % 256) AS b_sum
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  3 AS channels,
+        |  CAST(s.r_sum AS BIGINT) AS r_sum, CAST(s.g_sum AS BIGINT) AS g_sum,
+        |  CAST(s.b_sum AS BIGINT) AS b_sum
+        |FROM d JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // q102: every surface restated from the raster generator — the
     // gradient terms re-derive neighbor values from the formula
     // itself (no self-join), the histogram bins by v // 16.

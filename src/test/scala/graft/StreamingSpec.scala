@@ -558,6 +558,60 @@ class StreamingSpec extends SparkSuite {
     assert(g.format == "gif" && g.width == 0x1234 && g.height == 0x5678)
   }
 
+  test("Gif codec: ImageIO round-trip restores the closed-form RGB content; " +
+    "hand-packed non-interlaced stream decodes; rejection cases honest") {
+    import graft.operators.Multimodal
+    import Multimodal.Gif
+    // the q105 path: independent encoder (interlaced by default),
+    // full RGB equality — stronger than the gate's channel sums
+    for (id <- Seq(0L, 3L, 7L, 12L, 48L)) {
+      val want = Multimodal.syntheticGifRaster(id)
+      val got = Gif.decode(Multimodal.syntheticGif(id))
+      assert(got.isDefined, s"decode failed for id=$id")
+      assert(got.get.width == want.width && got.get.height == want.height
+        && got.get.channels == 3)
+      assert(java.util.Arrays.equals(got.get.pixels, want.pixels),
+        s"pixels differ for id=$id")
+    }
+    // hand-built NON-interlaced GIF87a: 2x2, 4-color palette, LZW
+    // minCode=2 (clear=4, eoi=5) — literals 0,1,2,3; the dictionary
+    // reaches 8 entries after the third literal, so the last codes
+    // widen to 4 bits mid-stream (the growth rule under test)
+    def pack(codes: Seq[(Int, Int)]): Array[Byte] = {
+      var acc = 0L; var nbits = 0
+      val out = Seq.newBuilder[Byte]
+      codes.foreach { case (c, width) =>
+        acc |= c.toLong << nbits; nbits += width
+        while (nbits >= 8) { out += (acc & 0xff).toByte; acc >>>= 8; nbits -= 8 }
+      }
+      if (nbits > 0) out += (acc & 0xff).toByte
+      out.result().toArray
+    }
+    val lzwBody = pack(Seq((4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)))
+    val palette = Array[Byte](10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42)
+    val tiny = Array.concat(
+      "GIF87a".getBytes("US-ASCII"),
+      Array[Byte](2, 0, 2, 0, (0x80 | 0x01).toByte, 0, 0), // screen: GCT, 4 colors
+      palette,
+      Array[Byte](0x2c, 0, 0, 0, 0, 2, 0, 2, 0, 0, // descriptor, no interlace
+        2, lzwBody.length.toByte), lzwBody, Array[Byte](0, 0x3b))
+    val t = Gif.decode(tiny)
+    assert(t.isDefined && t.get.width == 2 && t.get.height == 2)
+    assert(t.get.pixels.toSeq == palette.toSeq)
+    // rejections: junk, truncated entropy stream, index past palette
+    assert(Gif.decode("not a gif at all".getBytes).isEmpty)
+    val full = Multimodal.syntheticGif(9L)
+    assert(Gif.decode(java.util.Arrays.copyOf(full, full.length / 2)).isEmpty)
+    val overrun = tiny.clone()
+    // shrink the GCT claim to 2 colors: index 2/3 now overrun -> None
+    overrun(10) = 0x80.toByte
+    val shrunk = Array.concat(overrun.take(13), palette.take(6),
+      overrun.drop(13 + palette.length))
+    assert(Gif.decode(shrunk).isEmpty)
+    // sniff via the shared entry point
+    assert(Multimodal.decodeAnyRaster(full).isDefined)
+  }
+
   test("BloomStream admits first sight exactly once across micro-batches " +
     "in constant state, reconciling with a driver bloom replay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
