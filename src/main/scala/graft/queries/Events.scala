@@ -30,7 +30,10 @@ object Events {
     "q97_wav_samples" -> q97,
     "q101_jpeg_pixels" -> q101,
     "q102_image_features" -> q102,
-    "q105_gif_pixels" -> q105
+    "q105_gif_pixels" -> q105,
+    "q107_trailing_stats" -> q107,
+    "q108_transitions" -> q108,
+    "q109_sliding_agg" -> q109
   )
 
   /** Tumbling 1-hour window aggregation (shared with streaming). */
@@ -353,6 +356,56 @@ object Events {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-event trailing-hour user velocity features: for EVERY event,
+    * the count and (order-independent decimal) sum of the same user's
+    * events in [ts - 1h, ts] — a RANGE frame over a micros order key,
+    * one shuffle on user_id, no join. Complements q66: the window
+    * frame wins when the output is one row per INPUT row (dense
+    * feature materialization, frame state slides in O(1) per row);
+    * q66's bucketized range join wins when the probe side is sparse
+    * (few purchases against many views — the frame would pay for
+    * rows nobody asked about). Peers at an equal timestamp are all
+    * inside each other's frame (RANGE semantics), so ties need no
+    * ordering beyond the key. */
+  def q107(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-hourUs, 0)
+    Tables.events(spark, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("n_trail_1h", count(lit(1)).over(w))
+      .withColumn("sum_trail_1h",
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("n_trail_1h"), col("sum_trail_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Event-type transition counts (the behavior Markov chain): each
+    * user's events in (ts, event_id) order — a total order, event_id
+    * is unique — paired with their successor via lead(), then one
+    * global aggregate over the 5x5 type-pair space. Map-side partial
+    * aggregation collapses the shuffle to at most |types|^2 rows per
+    * partition regardless of corpus size. */
+  def q108(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Sliding 1-hour/15-minute window counts per event type — the
+    * batch leg of [[EventStreams.slidingAgg]] (the streaming spec
+    * reconciles stream == batch on the same function). Each event
+    * lands in exactly width/slide = 4 windows; Spark expands windows
+    * BEFORE the aggregate, so the shuffle carries (4 x events) rows
+    * collapsed by map-side partials to at most windows x types. */
+  def q109(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.slidingAgg(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
   def oracleSql: Map[String, String] = Map(
     // q105: RGB sums restated from idx(x,y) = (x·3+y·7+id) % 256
     // through the closed-form palette — decode, LZW and palette
@@ -619,6 +672,40 @@ object Events {
         |  CAST(16 + (doc_id * 7) % 1000 AS INT) AS height,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // q107: RANGE frames are inclusive of the boundary and of peers
+    // in BOTH engines (standard SQL); the decimal window sum is exact
+    // so accumulation order cannot leak into the hash
+    "q107_trailing_stats" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_trail_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_trail_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q108_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT event_type AS from_type, to_type, count(*) AS n_transitions
+        |FROM s WHERE to_type IS NOT NULL
+        |GROUP BY event_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
+    // q109: the 4 sliding windows containing instant t have starts
+    // floor(t/15min)*15min - k*15min, k = 0..3 — replayed with an
+    // unnest over k; window_start formatting matches q60's discipline
+    "q109_sliding_agg" ->
+      """WITH x AS (
+        |  SELECT event_type, value,
+        |    make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000) AS ws
+        |  FROM events, unnest([0, 1, 2, 3]) AS t(k))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM x
+        |GROUP BY ws, event_type
+        |ORDER BY window_start, event_type""".stripMargin
   )
 }

@@ -74,7 +74,8 @@ object Pipeline {
     "q99_margin_auc" -> q99,
     "q100_char_diversity" -> q100,
     "q103_bloom_decontam" -> q103,
-    "q104_pagerank" -> q104
+    "q104_pagerank" -> q104,
+    "q106_fuzzy_names" -> q106
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -830,6 +831,18 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Fuzzy entity matching: every pair of distinct customer names at
+    * edit distance 1 (the one-typo/one-digit record-linkage signal),
+    * via [[Dedup.fuzzyPairs1]]'s symmetric-delete blocking — the
+    * candidate join is an equi-join on delete-1 variant keys, never
+    * the all-pairs product the oracle's naive length-banded cross
+    * join runs. EXACT: blocking is structurally complete at k=1 and
+    * every candidate is levenshtein-verified. */
+  def q106(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyPairs1(Tables.customer(spark, dir), "c_name")
+      .select(col("a").as("name_a"), col("b").as("name_b"), col("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+
   /** Deterministic train/val/test assignment (90/5/5): one portable
     * md5 draw per doc (key "split:id"), thresholds at 900000/950000
     * of the 1e6 gate modulus — disjoint, total, rerun-identical; the
@@ -1489,6 +1502,17 @@ object Pipeline {
          |$steps
          |SELECT id AS doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
     },
+    // q106: the oracle is the NAIVE shape on purpose — a distinct
+    // length-banded cross join with levenshtein, independent of the
+    // engine's symmetric-delete blocking; identical output proves the
+    // blocking loses no pair.
+    "q106_fuzzy_names" ->
+      """WITH d AS (SELECT DISTINCT c_name AS s FROM customer WHERE c_name IS NOT NULL)
+        |SELECT a.s AS name_a, b.s AS name_b, levenshtein(a.s, b.s) AS dist
+        |FROM d a JOIN d b
+        |  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
     // q98: gram identity by CONTENT (the engine joins hashed keys —
     // collision odds 2^-64, the q33/q37 acceptance); windows, distinct
     // and novel counts are exact integers, the rate one IEEE division.

@@ -36,6 +36,19 @@ object EventStreams {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 15 minutes per event type — each
+    * event belongs to exactly width/slide = 4 windows; works on batch
+    * AND streaming frames (queries.Events.q109 gates the batch leg,
+    * the streaming spec reconciles stream == batch). On a stream a
+    * watermark bounds state to open windows only. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Read the events parquet as a stream (file source replays the
     * existing files — the standard local smoke path; the source needs
     * a directory, so glob-filter inside the sf dir). */

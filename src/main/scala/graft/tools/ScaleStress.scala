@@ -696,6 +696,58 @@ object ScaleStress {
       timed(s"packChunks $n docs / 1 stream")(packRun(n, 1))
     }
     }
+
+    if (sections("fuzzy")) {
+    // Symmetric-delete fuzzy matching on the entity-id shape
+    // (zero-padded numeric tails, the q106 workload): variants/value
+    // = len+1 and distance-1 neighbors per value ~ 9·digits, so BOTH
+    // candidate volume and output grow linearly in n — 10x input must
+    // cost ~10x, never the quadratic the naive oracle shape pays.
+    def fuzzyRun(n: Long): Long = {
+      val names = spark.range(0, n, 1, 32)
+        .select(concat(lit("ID"), lpad(col("id").cast("string"), 9, "0")).as("s"))
+      graft.operators.Dedup.fuzzyPairs1(names, "s").count()
+    }
+    Seq(100000L, 1000000L).foreach { n =>
+      timed(s"fuzzyPairs1 $n entity ids")(fuzzyRun(n))
+    }
+    }
+
+    if (sections("window")) {
+    // Frame/window analytics at 1M and 10M events: all three are
+    // single-shuffle shapes (user-key window or map-side-collapsed
+    // aggregate), so 10x events must cost ~10x.
+    val dayUs2 = 86400L * 1000000
+    def evts(n: Long) = spark.range(0, n, 1, 32).select(
+      col("id").as("event_id"),
+      (col("id") % lit(math.max(1L, n / 1000))).as("user_id"),
+      pmod(xxhash64(col("id")), lit(30 * dayUs2)).as("tus"),
+      (pmod(xxhash64(col("id") + 7), lit(10000L)).cast("double") / 100.0).as("value"),
+      concat(lit("t"), pmod(xxhash64(col("id") + 9), lit(5L))).as("event_type"))
+    def trailRun(n: Long): Long = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-3600L * 1000000, 0)
+      evts(n).withColumn("c", count(lit(1)).over(w))
+        .withColumn("s", sum(col("value").cast("decimal(18,6)")).over(w))
+        .count()
+    }
+    def transRun(n: Long): Long = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      evts(n).withColumn("nx", lead(col("event_type"), 1).over(w))
+        .filter(col("nx").isNotNull)
+        .groupBy(col("event_type"), col("nx")).count().count()
+    }
+    def slideRun(n: Long): Long =
+      graft.streaming.EventStreams.slidingAgg(
+        evts(n).withColumn("ts", timestamp_micros(col("tus")))).count()
+    Seq(1000000L, 10000000L).foreach { n =>
+      timed(s"trailing RANGE frame $n events")(trailRun(n))
+      timed(s"transition counts $n events")(transRun(n))
+      timed(s"sliding 1h/15min agg $n events")(slideRun(n))
+    }
+    }
     spark.stop()
   }
 }

@@ -15,6 +15,20 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("streaming sliding agg equals the batch q109 result") {
+    val stream = EventStreams.readEventStream(spark, sf)
+      .withWatermark("ts", "2 hours")
+    val q = EventStreams.slidingAgg(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sliding_stream_spec").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sliding_stream_spec")
+      .collect().map(_.toSeq).toSet
+    val batch = Events.q109(spark, sf).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming dedup drops replayed duplicates within the watermark") {
     // replay the events file TWICE through one stream: every event is
     // then an at-least-once duplicate; the deduped output must equal
