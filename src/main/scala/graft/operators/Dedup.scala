@@ -1201,17 +1201,26 @@ object Dedup {
     val vals = df.select(col(strCol).as("s")).filter(col("s").isNotNull).distinct()
     // delete-one variants plus the string itself; array_distinct
     // collapses repeated variants from equal adjacent characters
+    // materialized once (the gramDocs discipline): both sides of the
+    // self-join read the checkpointed variants instead of re-running
+    // the distinct + explode lineage twice
     val variants = vals.select(col("s"), explode(array_distinct(concat(
       array(col("s")),
       transform(sequence(lit(1), length(col("s"))),
         i => concat(col("s").substr(lit(1), i - 1),
           col("s").substr(i + 1, length(col("s")))))))).as("v"))
+      .localCheckpoint()
     val left = variants.select(col("s").as("a"), col("v"))
     val right = variants.select(col("s").as("b"), col("v"))
+    // verify BEFORE the pair-distinct: the threshold form of
+    // levenshtein early-exits past distance 1, and true pairs have
+    // candidate multiplicity ~1 while false candidates (distance-2
+    // shapes meeting at a shared variant) dominate the raw join
+    // output — filtering first measured ~3x on the 100k entity-id
+    // stress (the distinct shuffles 2.25M rows instead of 10.4M)
     left.join(right, Seq("v"))
-      .filter(col("a") < col("b"))
+      .filter(col("a") < col("b") && levenshtein(col("a"), col("b"), 1) >= 0)
       .select(col("a"), col("b")).distinct()
       .withColumn("dist", levenshtein(col("a"), col("b")))
-      .filter(col("dist") <= 1)
   }
 }

@@ -515,6 +515,49 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Sharded inverted-index construction — the retrieval-index BUILD
+    * step [[bm25]] scores against but never materializes. Per
+    * (token, doc-shard): shard-local document frequency, term
+    * frequency, and the doc-sorted posting list serialized
+    * "docId:tf,...". Sharding postings by doc-id residue is the
+    * 100 TB design: a hot token's list splits across `shards`
+    * bounded rows (global merge = concatenation in shard-then-doc
+    * order; global df/tf = sums over shards), so no single reducer
+    * ever materializes a corpus-wide posting list. Two shuffles,
+    * both bounded by distinct (doc, token): the per-doc tf
+    * aggregate, then the shard roll-up whose map-side partials
+    * collapse per (token, shard). */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    shards: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(wsTokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("id")).agg(count(lit(1)).as("tf"))
+      .withColumn("shard", pmod(col("id"), lit(shards.toLong)))
+      .groupBy(col("token"), col("shard"))
+      .agg(count(lit(1)).as("doc_freq"),
+        sum(col("tf")).as("term_freq"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("id"), col("tf")))),
+            s => concat(s.getField("id").cast("string"), lit(":"),
+              s.getField("tf").cast("string"))), ",").as("postings"))
+
+  /** zlib compression-ratio quality signal (the Gopher/RefinedWeb
+    * family's compressibility filter): per doc, UTF-8 byte count,
+    * DEFLATE-compressed byte count (codegen'd [[org.apache.spark.sql.graftext.DeflateSize]],
+    * thread-local Deflater — one map-side pass, zero shuffle), and
+    * their ratio. LOW ratio flags templated/repetitive boilerplate,
+    * ratio near/above 1 flags high-entropy noise (random strings,
+    * encoded binaries); both tails are drop candidates. Spec-bound,
+    * not oracle-gated — DEFLATE output length is
+    * implementation-defined (see DeflateSize). */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        org.apache.spark.sql.graftext.TextNorm.deflateLen(col(textCol)).as("deflate_bytes"))
+      .withColumn("ratio",
+        when(col("n_bytes") > 0,
+            col("deflate_bytes").cast("double") / col("n_bytes").cast("double"))
+          .otherwise(lit(0.0)))
+
   /** N-gram NOVELTY of a candidate slice against a base corpus — the
     * dataset-iteration metric (how much genuinely new text does an
     * incoming crawl/source add?) that drives keep/drop decisions

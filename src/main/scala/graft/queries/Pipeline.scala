@@ -75,7 +75,8 @@ object Pipeline {
     "q100_char_diversity" -> q100,
     "q103_bloom_decontam" -> q103,
     "q104_pagerank" -> q104,
-    "q106_fuzzy_names" -> q106
+    "q106_fuzzy_names" -> q106,
+    "q110_inverted_index" -> q110
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -843,6 +844,16 @@ object Pipeline {
       .select(col("a").as("name_a"), col("b").as("name_b"), col("dist"))
       .orderBy(col("name_a"), col("name_b"))
 
+  /** Sharded inverted-index build over the corpus (8 doc-shards):
+    * posting lists gated as serialized "docId:tf" runs, so the
+    * oracle's ordered string_agg must agree with the engine's
+    * sorted-struct transform byte-for-byte — order, tf counts and
+    * shard split all inside the hash check. */
+  def q110(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(Tables.documents(spark, dir), "doc_id", "text",
+        shards = 8)
+      .orderBy(col("token"), col("shard"))
+
   /** Deterministic train/val/test assignment (90/5/5): one portable
     * md5 draw per doc (key "split:id"), thresholds at 900000/950000
     * of the 1e6 gate modulus — disjoint, total, rerun-identical; the
@@ -1513,6 +1524,20 @@ object Pipeline {
         |  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
         |WHERE levenshtein(a.s, b.s) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
+    "q110_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.w AS token
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        |  WHERE length(t.w) > 0),
+        |tf AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY token, doc_id)
+        |SELECT token, doc_id % 8 AS shard,
+        |  count(*) AS doc_freq,
+        |  CAST(sum(tf) AS BIGINT) AS term_freq,
+        |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        |FROM tf
+        |GROUP BY token, doc_id % 8
+        |ORDER BY token, shard""".stripMargin,
     // q98: gram identity by CONTENT (the engine joins hashed keys —
     // collision odds 2^-64, the q33/q37 acceptance); windows, distinct
     // and novel counts are exact integers, the rate one IEEE division.

@@ -128,6 +128,59 @@ case class CharHistStats(child: Expression)
     copy(child = newChild)
 }
 
+/** DEFLATE-compressed length of the UTF-8 bytes (raw stream, level 6,
+  * no zlib/gzip header so the surface is pure entropy coding). The
+  * Deflater is thread-local and reset per row — allocating one per
+  * row would dominate the scan; per-thread reuse is the standard
+  * java.util.zip discipline for columnar loops. */
+object DeflateLen {
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+  def compute(u: UTF8String): Long = {
+    val d = local.get()
+    d.reset()
+    d.setInput(u.getBytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+}
+
+/** Compressed size of a string's UTF-8 bytes — the zlib
+  * compression-ratio quality signal (low ratio = repetitive/
+  * templated/boilerplate text, near-1 ratio = high-entropy noise;
+  * both tails are drop candidates in published curation pipelines).
+  *
+  * Deliberately NOT SQL-oracle-gated: the byte length of a DEFLATE
+  * stream is implementation-defined (zlib version, strategy), so no
+  * independent engine can restate it bit-for-bit. It is spec-bound
+  * instead (monotone envelope: repeated text compresses far below
+  * high-entropy text; determinism within this JVM), and downstream
+  * thresholds must be calibrated per deployment, as with any
+  * compressor-dependent signal.
+  */
+case class DeflateSize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(s: Any): Any =
+    DeflateLen.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = org.apache.spark.sql.graftext.DeflateLen.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateSize =
+    copy(child = newChild)
+}
+
 object TextNorm {
   /** Column API: Unicode-normalize a string column (default NFC). */
   def normalize(text: Column, form: String = "NFC"): Column =
@@ -138,4 +191,9 @@ object TextNorm {
     * then extract fields — the st_measures decode-once shape). */
   def charStats(text: Column): Column =
     ExpressionUtils.column(CharHistStats(ExpressionUtils.expression(text)))
+
+  /** Column API: DEFLATE-compressed byte length (see [[DeflateSize]]
+    * for why this is spec-bound rather than oracle-gated). */
+  def deflateLen(text: Column): Column =
+    ExpressionUtils.column(DeflateSize(ExpressionUtils.expression(text)))
 }

@@ -961,4 +961,43 @@ class PipelineSpec extends SparkSuite {
       .orderBy($"id").drop("nll").collect()
     assert(re.map(_.toSeq).toSeq == out.map(_.toSeq.dropRight(1)).toSeq)
   }
+
+  test("invertedIndex: hand-built postings, shard split, tf counts") {
+    val d = Seq((0L, "a b a"), (1L, "b c"), (2L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(d, "doc_id", "text", shards = 2)
+      .orderBy($"token", $"shard").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq === Seq(
+      ("a", 0L, 2L, 3L, "0:2,2:1"), // docs 0 and 2 share shard 0; doc order inside
+      ("b", 0L, 1L, 1L, "0:1"),
+      ("b", 1L, 1L, 1L, "1:1"),
+      ("c", 1L, 1L, 1L, "1:1")))
+    // partitioning-invariant (the gate hashes the serialized lists)
+    val re = TextAnalysis.invertedIndex(d.repartition(7), "doc_id", "text", 2)
+      .orderBy($"token", $"shard").collect().map(_.toSeq)
+    assert(re.toSeq === out.map(t => Seq(t._1, t._2, t._3, t._4, t._5)).toSeq)
+  }
+
+  test("compressionRatio: repetitive text compresses far below high-entropy text") {
+    val rep = "spam " * 400                       // 2000 bytes of period-5 repetition
+    val rng = new scala.util.Random(7)
+    val noise = Array.fill(2000)((33 + rng.nextInt(94)).toChar).mkString
+    val d = Seq((1L, rep), (2L, noise), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(d, "doc_id", "text")
+      .orderBy($"id").collect()
+    val repRatio = out(0).getDouble(3)
+    val noiseRatio = out(1).getDouble(3)
+    assert(out(0).getLong(1) === 2000L && out(1).getLong(1) === 2000L)
+    assert(repRatio < 0.05, s"repetition should collapse, got $repRatio")
+    assert(noiseRatio > 0.7, s"printable noise barely compresses, got $noiseRatio")
+    // empty: zero bytes, zero ratio by convention; null text stays null
+    assert(out(2).getLong(1) === 0L && out(2).getDouble(3) === 0.0)
+    assert(out(3).isNullAt(2))
+    // deterministic within this JVM (thread-local deflater, reset per row)
+    val re = TextAnalysis.compressionRatio(d.repartition(5), "doc_id", "text")
+      .orderBy($"id").collect()
+    assert(re.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
 }

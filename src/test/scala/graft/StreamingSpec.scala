@@ -29,6 +29,74 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("streaming transitions match the batch successor pairs (finalized subset)") {
+    val stream = EventStreams.readEventStream(spark, sf)
+      .withWatermark("ts", "2 hours")
+    val q = graft.streaming.TransitionStream.transitions(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trans_stream_spec").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("trans_stream_spec").collect()
+      .map(r => r.getAs[Long]("from_id") ->
+        ((r.getAs[Long]("to_id"), r.getAs[String]("from_type"),
+          r.getAs[String]("to_type")))).toMap
+    assert(got.size === got.keySet.size, "a from-event emitted twice")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val want = Tables.events(spark, sf)
+      .withColumn("to_id", lead(col("event_id"), 1).over(w))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_id").isNotNull)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("to_id"), r.getAs[String]("event_type"),
+          r.getAs[String]("to_type")))).toMap
+    // every emitted pair must equal the batch successor, and the
+    // final watermark must have finalized a meaningful share
+    assert(got.nonEmpty && got.size >= want.size / 2,
+      s"only ${got.size} of ${want.size} transitions finalized")
+    got.foreach { case (fid, g) =>
+      assert(g == want(fid), s"from $fid: stream $g vs batch ${want(fid)}")
+    }
+  }
+
+  test("transition updateUser: boundary finality and tail-event seeding") {
+    import graft.streaming.TransitionStream
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def mkState(st: Option[TransitionStream.St], wm: Long): TestGroupState[TransitionStream.St] =
+      TestGroupState.create[TransitionStream.St](
+        st.map(Optional.of[TransitionStream.St]).getOrElse(Optional.empty[TransitionStream.St]()),
+        GroupStateTimeout.EventTimeTimeout, 0L,
+        Optional.of(wm), hasTimedOut = false)
+    def ev(ms: Long, id: Long, t: String) =
+      TransitionStream.Ev(1L, new java.sql.Timestamp(ms), id, t)
+    // trigger 1: two events, watermark passed only the first — the
+    // pair must NOT emit yet (the successor at ts == wm could still
+    // be preceded by a late arrival at the same instant)
+    val s1 = mkState(None, 2000L)
+    val out1 = TransitionStream.updateUser(1L,
+      Iterator(ev(1000, 10, "view"), ev(2000, 11, "click")), s1).toSeq
+    assert(out1.isEmpty, "successor at ts == wm must not finalize")
+    assert(s1.get.last == Some((1000L, 10L, "view")) &&
+      s1.get.pend == List((2000L, 11L, "click")))
+    // trigger 2: watermark passes the successor; the pair emits and
+    // the successor becomes the new tail
+    val s2 = mkState(Some(s1.get), 2001L)
+    val out2 = TransitionStream.updateUser(1L, Iterator.empty, s2).toSeq
+    assert(out2 == Seq(TransitionStream.Out(1L, 10L, 11L, "view", "click")))
+    assert(s2.get.last == Some((2000L, 11L, "click")) && s2.get.pend.isEmpty)
+    // trigger 3: a much later event chains off the kept tail; equal-ts
+    // pending events order by event_id
+    val s3 = mkState(Some(s2.get), 9000L)
+    val out3 = TransitionStream.updateUser(1L,
+      Iterator(ev(5000, 13, "purchase"), ev(5000, 12, "error")), s3).toSeq
+    assert(out3 == Seq(
+      TransitionStream.Out(1L, 11L, 12L, "click", "error"),
+      TransitionStream.Out(1L, 12L, 13L, "error", "purchase")))
+  }
+
   test("streaming dedup drops replayed duplicates within the watermark") {
     // replay the events file TWICE through one stream: every event is
     // then an at-least-once duplicate; the deduped output must equal
