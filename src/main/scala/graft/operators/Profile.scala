@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Generic column profiler — the data-quality pass a pipeline runs
+  * before trusting a new source: per column, null count, EXACT
+  * distinct count, and min/max (numeric columns on a double surface,
+  * string-ish columns on the binary-collation string surface;
+  * timestamps profile as epoch micros, exact in double to ~285 years
+  * of microseconds).
+  *
+  * Shape: ONE aggregate over the table. Multiple exact
+  * count-distincts compile to Catalyst's Expand — each row is
+  * replicated once per profiled column before the shuffle, the
+  * standard cost of exact multi-column NDV. That prices a 100 TB
+  * profile at (columns × scan) shuffle freight: fine for the
+  * handful-of-columns tables it is meant for; for very wide tables
+  * profile column batches separately, or accept the sketch and swap
+  * `countDistinct` for `approx_count_distinct` (no SQL oracle can
+  * then gate the result — the same envelope discipline as q64).
+  */
+object Profile {
+
+  def profile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields
+    def surfaces(f: StructField): (Column, Column) = f.dataType match {
+      case _: NumericType =>
+        (col(f.name).cast("double"), lit(null).cast("string"))
+      case _: TimestampType | _: TimestampNTZType =>
+        // NTZ micros == what epoch_us reads off the same parquet
+        (unix_micros(col(f.name).cast("timestamp")).cast("double"),
+          lit(null).cast("string"))
+      case _: StringType =>
+        (lit(null).cast("double"), col(f.name))
+      case _ =>
+        (lit(null).cast("double"), col(f.name).cast("string"))
+    }
+    val aggExprs = fields.flatMap { f =>
+      val c = col(f.name)
+      val (num, str) = surfaces(f)
+      Seq(
+        count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
+        countDistinct(c).as(s"${f.name}__ndv"),
+        min(num).as(s"${f.name}__minn"),
+        max(num).as(s"${f.name}__maxn"),
+        min(str).as(s"${f.name}__mins"),
+        max(str).as(s"${f.name}__maxs"))
+    }
+    val wide = df.agg(aggExprs.head, aggExprs.tail: _*)
+    wide.select(explode(array(fields.map { f =>
+        struct(
+          lit(f.name).as("column_name"),
+          col(s"${f.name}__nulls").as("null_count"),
+          col(s"${f.name}__ndv").as("n_distinct"),
+          col(s"${f.name}__minn").as("min_num"),
+          col(s"${f.name}__maxn").as("max_num"),
+          col(s"${f.name}__mins").as("min_str"),
+          col(s"${f.name}__maxs").as("max_str"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+  }
+}

@@ -44,7 +44,8 @@ object Relational {
     "q12_dedup_idxmax" -> q12,
     "q13_supplier_parts" -> q13,
     "q14_priority_tax" -> q14,
-    "q15_pivot_segments" -> q15
+    "q15_pivot_segments" -> q15,
+    "q111_profile" -> q111
   )
 
   /** TPC-H Q1-style pricing summary: scan + filter + hash aggregate.
@@ -268,7 +269,47 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Generic column profiler over orders (bigint + varchar + double +
+    * timestamp columns in one fixture): null count, EXACT distinct
+    * count, and min/max on the type-stable surface per column —
+    * numerics/timestamps on double (timestamps as epoch micros),
+    * strings on binary collation. See [[graft.operators.Profile]]
+    * for the Expand-shape cost note. */
+  def q111(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(Tables.orders(spark, dir))
+      .orderBy(col("column_name"))
+
   def oracleSql: Map[String, String] = Map(
+    // q111: one SELECT per column, the min/max surface picked by type
+    // exactly as the engine does (numerics/timestamps -> double,
+    // strings -> binary-collation varchar)
+    "q111_profile" -> {
+      def rowFor(c: String, minMaxNum: Option[String]): String = {
+        val (mn, mx, ms, xs) = minMaxNum match {
+          case Some(e) =>
+            (s"CAST(${e.replace("_X_", s"min($c)")} AS DOUBLE)",
+             s"CAST(${e.replace("_X_", s"max($c)")} AS DOUBLE)",
+             "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          case None =>
+            ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+             s"min($c)", s"max($c)")
+        }
+        s"""SELECT '$c' AS column_name,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  $mn AS min_num, $mx AS max_num,
+           |  $ms AS min_str, $xs AS max_str
+           |FROM orders""".stripMargin
+      }
+      Seq(
+        rowFor("o_orderkey", Some("_X_")),
+        rowFor("o_custkey", Some("_X_")),
+        rowFor("o_orderstatus", None),
+        rowFor("o_totalprice", Some("_X_")),
+        rowFor("o_orderdate", Some("epoch_us(_X_)")),
+        rowFor("o_orderpriority", None)
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     "q15_pivot_segments" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS automobile,

@@ -57,4 +57,27 @@ class RelationalSpec extends SparkSuite {
     assert(cellSum === total, "pivot cells must partition the orders")
     assert(out.forall(r => (1 to 5).forall(!r.isNullAt(_))), "cells never null")
   }
+
+  test("Profile: hand-checked nulls, exact NDV, typed min/max surfaces") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val df = Seq(
+      (Some(3L), Some("b"), Some(1.5), Some(2000000L)),
+      (None, Some("a"), Some(-0.5), None),
+      (Some(3L), None, None, Some(1000000L)))
+      .toDF("k", "s", "v", "tus")
+      .withColumn("ts", timestamp_micros(col("tus"))).drop("tus")
+    val p = graft.operators.Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("k").getLong(1) === 1L && p("k").getLong(2) === 1L)
+    assert(p("k").getDouble(3) === 3.0 && p("k").getDouble(4) === 3.0)
+    assert(p("k").isNullAt(5) && p("k").isNullAt(6))
+    assert(p("s").getLong(1) === 1L && p("s").getLong(2) === 2L)
+    assert(p("s").getString(5) === "a" && p("s").getString(6) === "b")
+    assert(p("s").isNullAt(3) && p("s").isNullAt(4))
+    assert(p("v").getLong(1) === 1L && p("v").getLong(2) === 2L)
+    assert(p("v").getDouble(3) === -0.5 && p("v").getDouble(4) === 1.5)
+    assert(p("ts").getLong(1) === 1L && p("ts").getLong(2) === 2L)
+    assert(p("ts").getDouble(3) === 1000000.0 && p("ts").getDouble(4) === 2000000.0)
+  }
 }
