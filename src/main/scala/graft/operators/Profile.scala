@@ -61,4 +61,35 @@ object Profile {
       }: _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** Exact q-quantile cut points of an integer-valued column — the
+    * scale-correct alternative to a global ntile() (which serializes
+    * EVERY row through one reducer's sort): ONE value-histogram
+    * aggregate (shuffle carries distinct values, never rows) plus a
+    * histogram-sized prefix window — the q99 rank discipline; the
+    * q46 banded prefix is the documented escalation if value
+    * cardinality ever outgrows a reducer. Cut d (1..q-1) is the
+    * smallest value whose cumulative count cum satisfies
+    * cum·q ≥ d·N — pure integer arithmetic, so any engine lands on
+    * the same row with no interpolation-rule ambiguity.
+    *
+    * @return (bucket, cut_value, n_le, n_total) for d = 1..q-1
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, q: Int): DataFrame = {
+    val hist = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+    val ds = df.sparkSession.range(1, q).select(col("id").as("bucket"))
+    cum.join(broadcast(ds), col("cum") * q >= col("bucket") * col("n"))
+      .groupBy(col("bucket"))
+      .agg(min(struct(col("v"), col("cum"), col("n"))).as("m"))
+      .select(col("bucket"),
+        col("m.v").as("cut_value"), col("m.cum").as("n_le"),
+        col("m.n").as("n_total"))
+      .orderBy(col("bucket"))
+  }
 }

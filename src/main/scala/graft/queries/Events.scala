@@ -33,7 +33,8 @@ object Events {
     "q105_gif_pixels" -> q105,
     "q107_trailing_stats" -> q107,
     "q108_transitions" -> q108,
-    "q109_sliding_agg" -> q109
+    "q109_sliding_agg" -> q109,
+    "q112_zorder" -> q112
   )
 
   /** Tumbling 1-hour window aggregation (shared with streaming). */
@@ -396,6 +397,24 @@ object Events {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Z-order layout keys (the lakehouse data-clustering primitive):
+    * Morton-interleave the user dimension with the hour-index
+    * dimension, so writing ORDER BY zkey co-locates rows close in
+    * BOTH dimensions into the same files/row groups and min/max
+    * pruning skips on either predicate. The key is the codegen'd
+    * graftext.ZOrderKey (two branchless mask cascades per row); the
+    * oracle replays the interleave bit-by-bit with an unnest over
+    * the 16 bit positions. Gate includes the zkey ORDERING — the
+    * layout itself — not just the key values. */
+  def q112(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("x", pmod(col("user_id"), lit(65536L)))
+      .withColumn("y", pmod(expr("unix_micros(ts) div 3600000000"), lit(65536L)))
+    e.select(col("event_id"), col("x"), col("y"),
+        org.apache.spark.sql.graftext.Bits.zorder(col("x"), col("y")).as("zkey"))
+      .orderBy(col("zkey"), col("event_id"))
+  }
+
   /** Sliding 1-hour/15-minute window counts per event type — the
     * batch leg of [[EventStreams.slidingAgg]] (the streaming spec
     * reconciles stream == batch on the same function). Each event
@@ -693,6 +712,22 @@ object Events {
         |FROM s WHERE to_type IS NOT NULL
         |GROUP BY event_type, to_type
         |ORDER BY from_type, to_type""".stripMargin,
+    // q112: the Morton interleave replayed bit-by-bit — an unnest
+    // over the 16 bit positions, each contributing x's bit at 2i and
+    // y's bit at 2i+1; the ORDER BY zkey is the layout under test
+    "q112_zorder" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id % 65536 AS x,
+        |    (epoch_us(ts) // 3600000000) % 65536 AS y
+        |  FROM events),
+        |b AS (
+        |  SELECT event_id, x, y,
+        |    sum((((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))) AS zkey
+        |  FROM e, unnest(generate_series(0, 15)) AS t(i)
+        |  GROUP BY event_id, x, y)
+        |SELECT event_id, x, y, CAST(zkey AS BIGINT) AS zkey
+        |FROM b
+        |ORDER BY zkey, event_id""".stripMargin,
     // q109: the 4 sliding windows containing instant t have starts
     // floor(t/15min)*15min - k*15min, k = 0..3 — replayed with an
     // unnest over k; window_start formatting matches q60's discipline

@@ -76,7 +76,8 @@ object Pipeline {
     "q103_bloom_decontam" -> q103,
     "q104_pagerank" -> q104,
     "q106_fuzzy_names" -> q106,
-    "q110_inverted_index" -> q110
+    "q110_inverted_index" -> q110,
+    "q113_token_deciles" -> q113
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -854,6 +855,18 @@ object Pipeline {
         shards = 8)
       .orderBy(col("token"), col("shard"))
 
+  /** Exact decile cut points of per-doc token counts — the corpus
+    * calibration table a curation pass thresholds against (keep the
+    * top-k deciles, mix by length band): [[graft.operators.Profile.exactQuantiles]]'s
+    * histogram + histogram-prefix shape, never a global row sort;
+    * cuts stated in pure integer arithmetic (cum·10 ≥ d·N) so the
+    * oracle lands on identical rows. */
+  def q113(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.exactQuantiles(
+      Tables.documents(spark, dir)
+        .select(size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens")),
+      "n_tokens", q = 10)
+
   /** Deterministic train/val/test assignment (90/5/5): one portable
     * md5 draw per doc (key "split:id"), thresholds at 900000/950000
     * of the 1e6 gate modulus — disjoint, total, rerun-identical; the
@@ -1524,6 +1537,24 @@ object Pipeline {
         |  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
         |WHERE levenshtein(a.s, b.s) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
+    // q113: cut d = smallest token count whose cumulative doc count
+    // reaches d·N/10, stated as cum*10 >= d*N — integer comparison,
+    // no quantile-interpolation rule to disagree on
+    "q113_token_deciles" ->
+      """WITH s AS (
+        |  SELECT CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS v
+        |  FROM documents),
+        |h AS (SELECT v, count(*) AS c FROM s GROUP BY v),
+        |cum AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM h),
+        |n AS (SELECT count(*) AS n FROM s),
+        |cuts AS (
+        |  SELECT d.d AS bucket, min(cum.v) AS cut_value
+        |  FROM cum, n, unnest(generate_series(1, 9)) AS d(d)
+        |  WHERE cum.cum * 10 >= d.d * n.n
+        |  GROUP BY d.d)
+        |SELECT c.bucket, c.cut_value, cum.cum AS n_le, n.n AS n_total
+        |FROM cuts c JOIN cum ON cum.v = c.cut_value, n
+        |ORDER BY c.bucket""".stripMargin,
     "q110_inverted_index" ->
       """WITH toks AS (
         |  SELECT doc_id, t.w AS token

@@ -713,6 +713,22 @@ object ScaleStress {
     }
     }
 
+    if (sections("index")) {
+    // Inverted-index + exact-quantile + profiler shapes at nDocs
+    // (run the tool at N and 10N to hold them to corpus-linear):
+    // all three are bounded by distinct (doc, token) / distinct
+    // values / columns-x-rows — never a global row sort.
+    val zipf = gen("zipf")
+    println(s"[stress] zipf corpus: ${zipf.count()} docs")
+    timed(s"invertedIndex $nDocs docs / 8 shards")(
+      graft.operators.TextAnalysis.invertedIndex(zipf, "doc_id", "text", 8).count())
+    timed(s"exactQuantiles(10) over $nDocs token counts")(
+      graft.operators.Profile.exactQuantiles(
+        zipf.select(size(split(col("text"), " ")).cast("long").as("v")), "v", 10).count())
+    timed(s"profile $nDocs docs x 2 cols")(
+      graft.operators.Profile.profile(zipf).count())
+    }
+
     if (sections("window")) {
     // Frame/window analytics at 1M and 10M events: all three are
     // single-shuffle shapes (user-key window or map-side-collapsed

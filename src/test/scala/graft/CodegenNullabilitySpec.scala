@@ -82,4 +82,23 @@ class CodegenNullabilitySpec extends SparkSuite {
       assert(got(0) == null && got(1) == 14.0)
     }
   }
+
+  test("scalar kernels (ZOrderKey, DeflateSize) compile on non-nullable inputs") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("x", LongType, nullable = false),
+      StructField("y", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(3L, 1L, "abcabcabc"))
+    val df = spark.createDataFrame(rows, schema).localCheckpoint()
+    withCodegenOnly {
+      val r = df.select(
+        org.apache.spark.sql.graftext.Bits.zorder(col("x"), col("y")).as("z"),
+        org.apache.spark.sql.graftext.TextNorm.deflateLen(col("s")).as("d"))
+        .collect()(0)
+      assert(r.getLong(0) === 7L)
+      assert(r.getLong(1) > 0L && r.getLong(1) <= 11L) // 9 repetitive bytes deflate small
+    }
+  }
 }

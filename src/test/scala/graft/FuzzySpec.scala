@@ -61,6 +61,18 @@ class FuzzySpec extends SparkSuite {
     assert(run(vals) === naive(vals))
   }
 
+  test("BMP unicode strings match brute force (char-based substr + levenshtein)") {
+    // multi-byte UTF-8 but single-UTF-16-unit chars, so the JVM
+    // brute force and the engine agree on character semantics;
+    // surrogate-pair astral chars are deliberately out of the
+    // fixture (code-unit vs code-point counting differs there)
+    val vals = Seq("café", "cafe", "cafés", "caf", "naïve", "naive",
+      "crème", "creme", "crêpe", "crépe", "日本語", "日本誤", "日本")
+    assert(run(vals) === naive(vals))
+    assert(naive(vals).contains(("cafe", "café")))
+    assert(naive(vals).contains(("日本語", "日本誤")))
+  }
+
   test("duplicate input values collapse to the distinct space, nulls drop") {
     val df = Seq(Some("abc"), Some("abc"), Some("abd"), None).toDF("s")
     val got = Dedup.fuzzyPairs1(df, "s").collect()

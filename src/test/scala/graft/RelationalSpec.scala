@@ -80,4 +80,33 @@ class RelationalSpec extends SparkSuite {
     assert(p("ts").getLong(1) === 1L && p("ts").getLong(2) === 2L)
     assert(p("ts").getDouble(3) === 1000000.0 && p("ts").getDouble(4) === 2000000.0)
   }
+
+  test("exactQuantiles: cut rule on hand fixtures, heavy ties, null drop") {
+    import spark.implicits._
+    // 1..10 once each: decile d cuts exactly at value d
+    val u = (1L to 10L).toDF("v")
+    val q1 = graft.operators.Profile.exactQuantiles(u, "v", 10).collect()
+    assert(q1.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      (1L to 9L).map(d => (d, d)))
+    assert(q1.forall(r => r.getLong(3) === 10L))
+    // heavy ties: 90 zeros + 10 ones -> cuts 1..9 all at 0
+    val t = (Seq.fill(90)(0L) ++ Seq.fill(10)(1L)).toDF("v")
+    val q2 = graft.operators.Profile.exactQuantiles(t, "v", 10).collect()
+    assert(q2.map(_.getLong(1)).forall(_ === 0L))
+    assert(q2.head.getLong(2) === 90L) // n_le at the cut value
+    // quartiles of 1..8 with a null: null drops, N = 8
+    val n = (Seq[Option[Long]](Some(1L), Some(2L), Some(3L), Some(4L),
+      Some(5L), Some(6L), Some(7L), Some(8L), None)).toDF("v")
+    val q3 = graft.operators.Profile.exactQuantiles(n, "v", 4).collect()
+    assert(q3.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (2L, 4L), (3L, 6L)))
+    assert(q3.forall(r => r.getLong(3) === 8L))
+    // the defining inequality holds tightly: cum(cut)*q >= d*N and
+    // the previous value (cum - count(cut)) misses it
+    q3.foreach { r =>
+      val (d, cut, nle, tot) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nle * 4 >= d * tot)
+      assert((nle - 1) * 4 < d * tot, s"cut $cut not minimal for d=$d")
+    }
+  }
 }
