@@ -77,7 +77,8 @@ object Pipeline {
     "q104_pagerank" -> q104,
     "q106_fuzzy_names" -> q106,
     "q110_inverted_index" -> q110,
-    "q113_token_deciles" -> q113
+    "q113_token_deciles" -> q113,
+    "q114_triangles" -> q114
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -825,6 +826,18 @@ object Pipeline {
     * makes every iteration bit-replayable: the oracle chains 5
     * materialized CTEs (the q48 discipline), so an ITERATIVE graph
     * algorithm is hash-gated, not rows-only. */
+  /** Per-node triangle counts over a denser hashed fixture graph
+    * (outdeg 1 + v % 6, prefix "tri:") — the degree-ordered exact
+    * enumeration of [[LinkGraph.triangleCounts]], gated against a
+    * brute three-way-join oracle that replays the same edge draws. */
+  def q114(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+    LinkGraph.triangleCounts(
+        LinkGraph.hashedFixtureEdges(spark, d, "doc_id", "tri:", 6), d,
+        "src", "dst", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   def q104(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"))
     LinkGraph.pageRankFixedPoint(
@@ -1526,6 +1539,32 @@ object Pipeline {
          |$steps
          |SELECT id AS doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
     },
+    // q114: brute three-way join over the replayed edge table — the
+    // oracle's id-ordered enumeration and the engine's degree-ordered
+    // orientation list the same triangle set; per-node counts are
+    // orientation-independent.
+    "q114_triangles" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT d.doc_id AS src,
+         |    ${sqlMd5Fold("'tri:' || CAST(d.doc_id AS VARCHAR) || ':' || s")} % (SELECT count(*) FROM documents) AS dst
+         |  FROM documents d, unnest([0, 1, 2, 3, 4, 5]) AS t(s)
+         |  WHERE s <= d.doc_id % 6),
+         |u AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e WHERE src <> dst),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM u e1 JOIN u e2 ON e2.a = e1.b
+         |  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pn AS (
+         |  SELECT v AS doc_id, count(*) AS c FROM (
+         |    SELECT x AS v FROM tri
+         |    UNION ALL SELECT y AS v FROM tri
+         |    UNION ALL SELECT z AS v FROM tri)
+         |  GROUP BY v)
+         |SELECT d.doc_id, CAST(coalesce(pn.c, 0) AS BIGINT) AS n_tri
+         |FROM documents d LEFT JOIN pn ON pn.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // q106: the oracle is the NAIVE shape on purpose — a distinct
     // length-banded cross join with levenshtein, independent of the
     // engine's symmetric-delete blocking; identical output proves the

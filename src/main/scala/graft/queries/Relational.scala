@@ -45,6 +45,8 @@ object Relational {
     "q13_supplier_parts" -> q13,
     "q14_priority_tax" -> q14,
     "q15_pivot_segments" -> q15,
+    "q16_cube" -> q16,
+    "q17_salted_join" -> q17,
     "q111_profile" -> q111
   )
 
@@ -269,6 +271,52 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** CUBE aggregation (all 2^k grouping combinations): the full OLAP
+    * sibling of q10's rollup. `grouping()` flags disambiguate a
+    * subtotal row from a genuine NULL group value — gated as exact
+    * int columns so the oracle can't conflate the two. Scale shape:
+    * cube is ONE Expand (4 rows per input here) feeding one
+    * two-phase hash agg — partials collapse map-side, the shuffle
+    * carries only (status, priority, gid) groups, never raw rows. */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_priority"),
+        dsum2(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_status").cast("int").as("g_status"),
+        col("g_priority").cast("int").as("g_priority"),
+        col("sum_price"), col("n_orders"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  /** Skew-salted join gated against the PLAIN join oracle: lineitem
+    * (big, skewed side salted on a deterministic per-row hash) joins
+    * orders (small side exploded x16 salts), revenue aggregated per
+    * priority. Identical output proves salting neither drops nor
+    * duplicates rows — the guarantee that lets [[graft.operators.Scale.saltedJoin]]
+    * replace a hot-key sort-merge join at 100 TB, where one hub key
+    * would otherwise pin a single reducer. The aggregate's decimal
+    * sums are order-independent, so the salt-scrambled row order
+    * can't show through. */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    graft.operators.Scale.saltedJoin(li, o, "o_orderkey", 16)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Generic column profiler over orders (bigint + varchar + double +
     * timestamp columns in one fixture): null count, EXACT distinct
     * count, and min/max on the type-stable surface per column —
@@ -310,6 +358,26 @@ object Relational {
         rowFor("o_orderpriority", None)
       ).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+    "q16_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    // q17: the oracle is the UNSALTED join on purpose — identical
+    // output proves the salt explode/probe loses and duplicates
+    // nothing.
+    "q17_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q15_pivot_segments" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS automobile,

@@ -62,6 +62,48 @@ class LinkGraphSpec extends SparkSuite {
     assert(drift < 1e-7, s"drift $drift")
   }
 
+  /** Driver reference triangle counts: brute O(n³) over the adjacency
+    * set — independent of orientation and join machinery. */
+  private def refTriangles(edges: Seq[(Long, Long)],
+                           nodes: Seq[Long]): Map[Long, Long] = {
+    val adj = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .filter { case (u, v) => u != v }.toSet
+    val cnt = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val ns = nodes.sorted
+    for {
+      i <- ns; j <- ns if j > i && adj((i, j))
+      k <- ns if k > j && adj((j, k)) && adj((i, k))
+    } { cnt(i) += 1; cnt(j) += 1; cnt(k) += 1 }
+    nodes.map(v => v -> cnt(v)).toMap
+  }
+
+  test("triangleCounts equals brute force on seeded random multigraphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 30
+      val nodes = (0L until n.toLong).toSeq
+      // dense enough for triangles; parallel edges + self-loops
+      // included on purpose — the operator must canonicalize them
+      val edges = Seq.fill(n * 4)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val got = LinkGraph.triangleCounts(edges.toDF("src", "dst"),
+          nodes.toDF("id"), "src", "dst", "id")
+        .as[(Long, Long)].collect().toMap
+      val want = refTriangles(edges, nodes)
+      assert(got == want, s"trial $trial")
+      assert(want.values.sum > 0, s"trial $trial fixture has no triangles")
+    }
+  }
+
+  test("triangleCounts: complete graph K5 has C(3,5)=10 triangles, 6 per node") {
+    val nodes = (0L until 5L).toSeq
+    val edges = for (i <- nodes; j <- nodes if i < j) yield (i, j)
+    val got = LinkGraph.triangleCounts(edges.toDF("src", "dst"),
+        nodes.toDF("id"), "src", "dst", "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == nodes.map(_ -> 6L).toMap)
+  }
+
   test("hashed fixture: outdeg 1 + v%3, targets in [0, n), deterministic") {
     val d = spark.range(0, 300).toDF("doc_id")
     val e = LinkGraph.hashedFixtureEdges(spark, d, "doc_id")
