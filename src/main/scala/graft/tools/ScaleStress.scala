@@ -652,6 +652,75 @@ object ScaleStress {
       recall(graft.operators.Similarity.pqTopKWith(queries, cands, 10, cwT)))
     }
 
+    if (sections("opq")) {
+    // OPQ rotation vs plain trained PQ at production width (the
+    // OpqSpec fixture at 25x vectors, 4x dims): latent clusters with
+    // a decaying spectrum, mixed by 45-degree Givens pairs (i, i+32)
+    // so every correlated pair straddles a contiguous-subspace
+    // boundary — the distortion OPQ exists to remove. Truth is the
+    // exact full-dim L2 top-10 (what ADC approximates).
+    val nv = 50000; val ndim = 64; val nc = 500
+    val pqm = 8; val pqks = 16
+    val corpus = spark.range(0, nv, 1, 32).mapPartitions { it =>
+      val half = ndim / 2
+      val c = math.sqrt(0.5)
+      it.map { id =>
+        val cr = new scala.util.Random((id % nc) * 1664525L + 1013904223L)
+        val zc = Array.tabulate(ndim)(i => cr.nextGaussian() * math.pow(2.0, -i / 32.0))
+        val nr = new scala.util.Random(id * 2654435761L)
+        val z = Array.tabulate(ndim)(i =>
+          zc(i) + nr.nextGaussian() * 0.1 * math.pow(2.0, -i / 32.0))
+        val x = Array.tabulate(ndim) { r =>
+          val p = if (r < half) z(r) - z(r + half) else z(r - half) + z(r)
+          (p * c).toFloat
+        }
+        (id, x)
+      }
+    }.toDF("cid", "vec").localCheckpoint()
+    println(s"[stress] opq corpus: ${corpus.count()} x $ndim-dim, $nc latent clusters")
+    val queries = corpus.filter(col("cid") % 500 === 0)
+      .select(col("cid").as("qid"), col("vec"))
+    val exact = queries.crossJoin(corpus.select(col("cid"), col("vec").as("cvec")))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("d2", org.apache.spark.sql.graftext.ArrayOps.vecL2Sq(col("vec"), col("cvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
+    val truth = exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallL2(df: org.apache.spark.sql.DataFrame): String = {
+      val got = df.select(col("qid"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      f"recall@10 = ${got.intersect(truth).size.toDouble / truth.size}%.3f"
+    }
+    var cwP: Seq[Seq[Seq[Double]]] = Seq.empty
+    timed(s"plain trainPqCodebook m=$pqm ks=$pqks x 5 iters") {
+      val (c, hist) = graft.operators.Similarity.trainPqCodebook(corpus, pqm, pqks, 5)
+      cwP = c
+      "J: " + hist.map(x => f"$x%.1f").mkString(" -> ")
+    }
+    timed("plain trained pqTopK")(
+      recallL2(graft.operators.Similarity.pqTopKWith(queries, corpus, 10, cwP)))
+    var rot: Array[Double] = null
+    timed(s"trainRotation (moments + Jacobi + allocation), D=$ndim") {
+      rot = graft.operators.Opq.trainRotation(corpus, pqm)
+      s"rotation ${ndim}x$ndim trained"
+    }
+    val rc = corpus.select(col("cid"),
+      graft.operators.Opq.rotated(col("vec"), rot, ndim).as("vec")).localCheckpoint()
+    val rq = queries.select(col("qid"),
+      graft.operators.Opq.rotated(col("vec"), rot, ndim).as("vec"))
+    var cwR: Seq[Seq[Seq[Double]]] = Seq.empty
+    timed(s"rotated trainPqCodebook m=$pqm ks=$pqks x 5 iters") {
+      val (c, hist) = graft.operators.Similarity.trainPqCodebook(rc, pqm, pqks, 5)
+      cwR = c
+      "J: " + hist.map(x => f"$x%.1f").mkString(" -> ")
+    }
+    timed("rotated trained pqTopK (OPQ)")(
+      recallL2(graft.operators.Similarity.pqTopKWith(rq, rc, 10, cwR)))
+    }
+
     if (sections("temporal")) {
     // Temporal joins + packing at 1x and 10x: both must grow
     // ~linearly. The as-of is sort-merge-shaped (one shuffle + sort,

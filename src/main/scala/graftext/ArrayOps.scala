@@ -949,6 +949,111 @@ case class VecSimhashWide(child: Expression, words: Int)
     copy(child = newChild)
 }
 
+/** Dense matrix-vector product of a vector column with a
+  * DRIVER-RESIDENT row-major matrix: out[r] = left-fold over c of
+  * M[r·inDims + c] · x[c], each row's fold from 0.0 in input-dim
+  * order — the deterministic sequence a spec can reproduce exactly.
+  *
+  * Why a custom Catalyst Expression: this is the map-side rotation
+  * step of OPQ-style quantization (rotate, then product-quantize) —
+  * outDims interpreted `aggregate(zip_with(...))` folds per row is
+  * the exact shape q87's margin rewrite measured and killed. And why
+  * the matrix is a CONSTRUCTOR PARAM riding `addReferenceObj`
+  * rather than a literal-array child: the generated source is
+  * matrix-value independent, so alternating-optimization loops that
+  * refine the rotation recompile nothing (the VecDotLongConst
+  * lesson).
+  *
+  * Contract: element types float or double; folds while both c <
+  * inDims and c < x.length (short inputs fold the overlap). NULL
+  * elements null the result, checked only when the schema allows
+  * element nulls — the VecDotSeq discipline. Output is
+  * array<double> with non-null elements.
+  */
+case class VecMatMulConst(child: Expression, matrix: Array[Double],
+                          inDims: Int, outDims: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(inDims >= 1 && outDims >= 1 && matrix.length == inDims * outDims,
+    s"matmul: matrix length ${matrix.length} != $outDims x $inDims")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def elemsNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean = super.nullable || elemsNullable
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), inDims)
+    val checkNull = elemsNullable
+    val x = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      if (checkNull && a.isNullAt(c)) return null
+      x(c) = if (isFloat) a.getFloat(c).toDouble else a.getDouble(c)
+      c += 1
+    }
+    val out = new Array[Double](outDims)
+    var r = 0
+    while (r < outDims) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += matrix(r * inDims + i) * x(i); i += 1 }
+      out(r) = acc
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("matmulM", matrix, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      val r = ctx.freshName("r"); val i = ctx.freshName("i")
+      val x = ctx.freshName("x"); val out = ctx.freshName("out")
+      val acc = ctx.freshName("acc")
+      val get = if (isFloat) s"(double) $a.getFloat($c)" else s"$a.getDouble($c)"
+      // ev.isNull only referenced when nullable (VecDotSeq note)
+      val nullCheck =
+        if (elemsNullable)
+          s"""if ($a.isNullAt($c)) { ${ev.isNull} = true; break; }"""
+        else ""
+      val body =
+        s"""
+           |final int $n = java.lang.Math.min($a.numElements(), $inDims);
+           |final double[] $x = new double[$n];
+           |for (int $c = 0; $c < $n; $c++) {
+           |  $nullCheck
+           |  $x[$c] = $get;
+           |}
+         """.stripMargin
+      val compute =
+        s"""
+           |final double[] $out = new double[$outDims];
+           |for (int $r = 0; $r < $outDims; $r++) {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $acc += $mRef[$r * $inDims + $i] * $x[$i];
+           |  }
+           |  $out[$r] = $acc;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      if (elemsNullable) s"$body\nif (!${ev.isNull}) {\n$compute\n}"
+      else s"$body\n$compute"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecMatMulConst =
+    copy(child = newChild)
+}
+
 object ArrayOps {
   /** Column API: intersection count of two sorted array<long> columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
@@ -1014,4 +1119,12 @@ object ArrayOps {
   def vecDotLong(x: Column, weights: Array[Long]): Column =
     ExpressionUtils.column(VecDotLongConst(
       ExpressionUtils.expression(x), weights))
+
+  /** Column API: row-major matrix x vector product (array<double>
+    * out), matrix driver-resident so iterative refiners compile the
+    * stage once. */
+  def vecMatMul(x: Column, matrix: Array[Double], inDims: Int,
+                outDims: Int): Column =
+    ExpressionUtils.column(VecMatMulConst(
+      ExpressionUtils.expression(x), matrix, inDims, outDims))
 }
