@@ -34,7 +34,10 @@ object Events {
     "q107_trailing_stats" -> q107,
     "q108_transitions" -> q108,
     "q109_sliding_agg" -> q109,
-    "q112_zorder" -> q112
+    "q112_zorder" -> q112,
+    "q115_interval_union" -> q115,
+    "q116_scd2" -> q116,
+    "q117_retention" -> q117
   )
 
   /** Tumbling 1-hour window aggregation (shared with streaming). */
@@ -425,7 +428,143 @@ object Events {
     EventStreams.slidingAgg(Tables.events(spark, dir))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Interval-union coverage per user (the islands-and-gaps
+    * aggregate): each event spans [ts, ts + (1 + k%30) minutes) with
+    * k from the JSON props — deterministic integer micros, so the
+    * covered time is exact. A row starts a new island when it begins
+    * AFTER the running max end of every earlier interval; islands
+    * collapse in one per-user aggregate. The self-join-free sibling
+    * of q66's range join: coverage needs NO pair space at all — one
+    * shuffle on user_id, two window passes, per-user sequential
+    * work bounded by that user's event count. */
+  def q115(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("eus", col("tus") + (lit(1L) + pmod(col("k"), lit(30L))) * 60000000L)
+    e.withColumn("prev_max_end",
+        max(col("eus")).over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_max_end").isNull || col("tus") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("tus")).as("s"), max(col("eus")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** SCD2-style validity intervals: consecutive runs of the same
+    * event_type per user collapse into [valid_from, valid_to) rows,
+    * valid_to = the NEXT run's start (null while current) — the
+    * change-data-capture snapshot build every warehouse dimension
+    * load runs. lag() marks run starts, a running sum numbers runs,
+    * one groupBy collapses them, lead() closes the intervals — all
+    * on the single user_id shuffle. */
+  def q116(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("valid_from_us"))
+    Tables.events(spark, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("is_change",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("is_change")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run"), col("event_type"))
+      .agg(min(col("tus")).as("valid_from_us"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byRun))
+      .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+
+  /** Cohort retention matrix: users cohorted by FIRST-ACTIVE epoch
+    * day, then distinct-user counts per (cohort_day, day_offset) —
+    * the day-N retention table every growth dashboard runs. Day
+    * arithmetic stays on integer epoch days (unix_micros div
+    * 86400e6): no calendar/timezone rule can diverge between
+    * engines. Shape: one per-user min aggregate, one user-key join
+    * back (co-partitioned), one count-distinct aggregate. */
+  def q117(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q115/q116: the same window recurrences stated in SQL — the
+    // (ts, event_id) tie order is total, so the island/run numbering
+    // is engine-independent.
+    "q115_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    epoch_us(ts) + (1 + (CAST(json_extract_string(props, '$.k') AS BIGINT) % 30)) * 60000000 AS eus
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, tus, eus,
+        |    CASE WHEN max(eus) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |           OR tus > max(eus) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS is_new,
+        |    event_id
+        |  FROM iv),
+        |numbered AS (
+        |  SELECT user_id, tus, eus,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM marked),
+        |islands AS (
+        |  SELECT user_id, island, min(tus) AS s, max(eus) AS e
+        |  FROM numbered GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(e - s) AS BIGINT) AS covered_us
+        |FROM islands GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q116_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, event_type, tus,
+        |    CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS is_change
+        |  FROM e),
+        |runs AS (
+        |  SELECT user_id, event_type, tus,
+        |    sum(is_change) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM marked),
+        |collapsed AS (
+        |  SELECT user_id, run, event_type,
+        |    min(tus) AS valid_from_us, count(*) AS n_events
+        |  FROM runs GROUP BY user_id, run, event_type)
+        |SELECT user_id, event_type, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+        |  n_events
+        |FROM collapsed
+        |ORDER BY user_id, valid_from_us""".stripMargin,
+    "q117_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM e JOIN cohort c USING (user_id)
+        |GROUP BY c.cohort_day, day_offset
+        |ORDER BY c.cohort_day, day_offset""".stripMargin,
     // q105: RGB sums restated from idx(x,y) = (x·3+y·7+id) % 256
     // through the closed-form palette — decode, LZW and palette
     // mapping all inside the hash check.

@@ -47,7 +47,8 @@ object Relational {
     "q15_pivot_segments" -> q15,
     "q16_cube" -> q16,
     "q17_salted_join" -> q17,
-    "q111_profile" -> q111
+    "q111_profile" -> q111,
+    "q118_table_checksum" -> q118
   )
 
   /** TPC-H Q1-style pricing summary: scan + filter + hash aggregate.
@@ -317,6 +318,35 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Portable per-group table fingerprint (the cross-engine data
+    * integrity check a migration or replication pipeline runs before
+    * trusting a copy — the same discipline this repo's own driver
+    * gate uses, packaged as an operator): each lineitem row folds to
+    * a 60-bit md5 hash of its canonical integer surface (keys,
+    * linenumber, epoch-us shipdate, money scaled to exact cents —
+    * no float formatting anywhere), then per returnflag group three
+    * order-independent digests ride ONE aggregate: row count, XOR of
+    * the folds (overflow-free at any scale), and the sum of folds
+    * mod 1e12 (int64-exact to ~9.2M rows per group; past that a
+    * second mod, the q59 bound). A dropped, duplicated, or altered
+    * row flips at least the xor or the sum with probability
+    * 1 − 2^−60. Map-side partials collapse — the shuffle carries
+    * 3 numbers per (group, partition). */
+  def q118(spark: SparkSession, dir: String): DataFrame = {
+    val canon = concat_ws("|",
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+      unix_micros(col("l_shipdate").cast("timestamp")), // NTZ → session-UTC instant, == DuckDB epoch_us
+      (dec2(col("l_quantity")) * 100).cast("long"),
+      (dec2(col("l_extendedprice")) * 100).cast("long"))
+    Tables.lineitem(spark, dir)
+      .withColumn("h", conv(substring(md5(canon), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_sig"),
+        sum(col("h") % 1000000000000L).as("sum_sig"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Generic column profiler over orders (bigint + varchar + double +
     * timestamp columns in one fixture): null count, EXACT distinct
     * count, and min/max on the type-stable surface per column —
@@ -357,6 +387,28 @@ object Relational {
         rowFor("o_orderdate", Some("epoch_us(_X_)")),
         rowFor("o_orderpriority", None)
       ).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+    // q118: the canonical surface is integers only (cents via exact
+    // decimal scaling, epoch-us dates), so no float-formatting rule
+    // exists to diverge; the fold is the engine's portable 60-bit
+    // md5 fold restated as a DuckDB list_reduce.
+    "q118_table_checksum" -> {
+      val canon = "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' || " +
+        "CAST(l_suppkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || " +
+        "CAST(epoch_us(l_shipdate) AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      s"""WITH h AS (
+         |  SELECT l_returnflag,
+         |    list_reduce(list_transform(generate_series(1, 15),
+         |      i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+         |      (a, x) -> a * 16 + x) AS h
+         |  FROM lineitem)
+         |SELECT l_returnflag, count(*) AS n_rows,
+         |  CAST(bit_xor(h) AS BIGINT) AS xor_sig,
+         |  CAST(sum(h % 1000000000000) AS BIGINT) AS sum_sig
+         |FROM h GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin
     },
     "q16_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
