@@ -20,6 +20,37 @@ object TextAnalysis {
   def alphaWords(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
 
+  /** HTML tag pattern: the regex-extraction contract every
+    * crawl-to-text pipeline starts from — matches `<...>` runs with
+    * no '>' inside, which covers well-formed markup; a literal '>'
+    * inside a quoted attribute truncates that tag's match (the
+    * documented regex-extractor limitation, same in trafilatura-lite
+    * passes; a full HTML5 tokenizer is the upgrade path). Identical
+    * leftmost semantics in Java regex and RE2. */
+  val TagRe = "<[^>]*>"
+
+  /** Tag-stripped text: every tag match removed (no replacement —
+    * markup-adjacent text concatenates, which the q119 fixture gates
+    * byte-exactly). Map-side codegen'd regexp, no shuffle. */
+  def stripTags(html: Column): Column =
+    regexp_replace(html, TagRe, "")
+
+  /** The five core character entities + nbsp decoded, `&amp;` LAST
+    * (the standard order — decoding it first would re-decode
+    * `&amp;lt;` into a phantom `<`). */
+  def decodeEntities(text: Column): Column = {
+    val pairs = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    pairs.foldLeft(text) { case (c, (e, v)) => regexp_replace(c, lit(e), lit(v)) }
+  }
+
+  /** HTML → text extraction report: tag count + the cleaned
+    * (tag-stripped, entity-decoded) text per row. */
+  def htmlToText(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol),
+      size(regexp_extract_all(col(htmlCol), lit(TagRe), lit(0))).cast("long").as("n_tags"),
+      decodeEntities(stripTags(col(htmlCol))).as("clean_text"))
+
   /** Email-address pattern for PII scrubbing — the conservative
     * local@domain.tld shape; identical leftmost-greedy semantics in
     * Java regex and RE2, which is what lets the DuckDB oracle

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -78,7 +78,8 @@ object Pipeline {
     "q106_fuzzy_names" -> q106,
     "q110_inverted_index" -> q110,
     "q113_token_deciles" -> q113,
-    "q114_triangles" -> q114
+    "q114_triangles" -> q114,
+    "q119_html_extract" -> q119
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -826,6 +827,28 @@ object Pipeline {
     * makes every iteration bit-replayable: the oracle chains 5
     * materialized CTEs (the q48 discipline), so an ITERATIVE graph
     * algorithm is hash-gated, not rows-only. */
+  /** HTML → text extraction (the crawl-to-corpus front door every
+    * training pipeline runs before any other curation op): each doc
+    * is wrapped in deterministic markup (tags, attributes, escaped
+    * entities) IN the query, then [[TextAnalysis.htmlToText]] strips
+    * tags and decodes entities — the gate hash-checks the cleaned
+    * BYTES, so the cross-engine contract under test is regex
+    * semantics parity (leftmost match, global replace), exactly the
+    * thing that silently diverges between extraction stacks. Pure
+    * map-side; no shuffle beyond the gate's orderBy. */
+  def q119(spark: SparkSession, dir: String): DataFrame = {
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val html = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(lit("<html><head><title>doc "), col("doc_id"),
+        lit("</title></head><body><p class=\"main\">"), esc(col("text")),
+        lit("</p><hr/><div id=\"f\">footer &amp; legal &#39;v1&#39;</div></body></html>"))
+        .as("html"))
+    TextAnalysis.htmlToText(html, "doc_id", "html")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-node triangle counts over a denser hashed fixture graph
     * (outdeg 1 + v % 6, prefix "tri:") — the degree-ordered exact
     * enumeration of [[LinkGraph.triangleCounts]], gated against a
@@ -1539,6 +1562,26 @@ object Pipeline {
          |$steps
          |SELECT id AS doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
     },
+    // q119: the SAME wrap-strip-decode pipeline in DuckDB functions —
+    // the hash gate on the cleaned bytes is a cross-engine regex
+    // semantics check ('g' flag: DuckDB replaces first match only by
+    // default, Spark replaces all — the classic extraction-stack
+    // divergence this gate exists to catch).
+    "q119_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title></head><body><p class="main">' ||
+        |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+        |    '</p><hr/><div id="f">footer &amp; legal &#39;v1&#39;</div></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(html, '<[^>]*>', '', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS clean_text
+        |FROM h
+        |ORDER BY doc_id""".stripMargin,
     // q114: brute three-way join over the replayed edge table — the
     // oracle's id-ordered enumeration and the engine's degree-ordered
     // orientation list the same triangle set; per-node counts are

@@ -798,6 +798,50 @@ object ScaleStress {
       graft.operators.Profile.profile(zipf).count())
     }
 
+    if (sections("graph")) {
+    // Link-graph ops at nDocs nodes / ~3.5x edges, WITH a celebrity
+    // hub (node 0, min(n/10, 40k) distinct neighbors): the shape where q114's
+    // (degree, id) orientation earns its keep. An id-ordered
+    // orientation hands the hub (lowest id!) its whole neighborhood
+    // as out-edges -> C(hubDeg, 2) wedges from ONE node on one
+    // reducer; degree-ordering directs every hub edge INTO the hub
+    // (its degree is maximal), so the hub emits zero wedges and the
+    // wedge space stays O(m^1.5)-bounded. Both variants must agree
+    // on the global triangle count.
+    val n = nDocs.toLong
+    val hubDeg = math.min(n / 10, 40000L)
+    val rnd = spark.range(0, 3 * n, 1, 32)
+      .select((pmod(conv(substring(md5(concat(lit("ga:"), col("id"))), 1, 15), 16, 10).cast("long"), lit(n))).as("src"),
+        (pmod(conv(substring(md5(concat(lit("gb:"), col("id"))), 1, 15), 16, 10).cast("long"), lit(n))).as("dst"))
+    val hub = spark.range(0, hubDeg, 1, 8)
+      .select(lit(0L).as("src"), (col("id") * 7 % (n - 1) + 1).as("dst"))
+    val edges = rnd.unionAll(hub).localCheckpoint()
+    val nodes = spark.range(0, n).toDF("id")
+    println(s"[stress] graph: $n nodes, ${edges.count()} directed edge draws (hub deg $hubDeg)")
+    var degTotal = 0L
+    timed("triangleCounts DEGREE-ordered (the q114 operator)") {
+      val per = graft.operators.LinkGraph.triangleCounts(edges, nodes, "src", "dst", "id")
+      degTotal = per.agg(sum(col("n_tri"))).head().getLong(0)
+      s"sum(n_tri) = $degTotal (${degTotal / 3} triangles)"
+    }
+    timed("triangle count ID-ordered (the naive orientation, hub = worst case)") {
+      val u = edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val w1 = u.select(col("a").as("x"), col("b").as("y"))
+      val w2 = u.select(col("a").as("x"), col("b").as("z"))
+      val tri = w1.join(w2, Seq("x")).filter(col("y") < col("z"))
+        .join(u.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"), "left_semi")
+        .count()
+      assert(tri * 3 == degTotal, s"orientation mismatch: $tri*3 != $degTotal")
+      s"$tri triangles (agrees)"
+    }
+    timed("pageRankFixedPoint 5 iters") {
+      graft.operators.LinkGraph.pageRankFixedPoint(edges, nodes,
+        "src", "dst", "id", iters = 5).agg(sum(col("rank"))).head().getLong(0)
+    }
+    }
+
     if (sections("window")) {
     // Frame/window analytics at 1M and 10M events: all three are
     // single-shuffle shapes (user-key window or map-side-collapsed

@@ -266,6 +266,23 @@ class PipelineSpec extends SparkSuite {
     assert(e(0)._3 === 1L && e(1)._3 === 1L)
   }
 
+  test("htmlToText: tags with attributes, entity order, the quoted-'>' limitation") {
+    val df = Seq(
+      (1L, "<html><body><p class=\"x\">a &amp; b</p><br/>c</body></html>"),
+      // &amp;lt; must decode to the literal text "&lt;", NOT "<"
+      (2L, "x &amp;lt; y &lt; z &#39;q&#39; &nbsp;end"),
+      // documented regex limitation: '>' inside a quoted attribute
+      // truncates the tag match, leaving the attribute tail as text
+      (3L, "<a title=\"a>b\">link</a>"),
+      (4L, "no markup at all")).toDF("id", "html")
+    val got = TextAnalysis.htmlToText(df, "id", "html")
+      .orderBy($"id").as[(Long, Long, String)].collect()
+    assert(got(0) === ((1L, 7L, "a & b" + "c")))
+    assert(got(1) === ((2L, 0L, "x &lt; y < z 'q'  end")))
+    assert(got(2) === ((3L, 2L, "b\">link")))
+    assert(got(3) === ((4L, 0L, "no markup at all")))
+  }
+
   test("c4LineClean: rule branches, empty lines, and the 3-line page drop " +
     "on hand-built pages") {
     val df = Seq(

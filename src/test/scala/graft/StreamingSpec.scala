@@ -746,4 +746,66 @@ class StreamingSpec extends SparkSuite {
     // (fill here is ~1.5%, so expected false drops ≈ 0)
     assert(got.size >= 280, s"only ${got.size} admitted")
   }
+
+  test("TopKStream reconciles with batch counts across micro-batches " +
+    "when shard capacity suffices (exact mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val b1 = Seq("a", "b", "a", "c", "d", "a", "b").zipWithIndex
+      .map { case (t, i) => (t, i.toLong) }
+    val b2 = Seq("c", "c", "a", "e", "b", "a").zipWithIndex
+      .map { case (t, i) => (t, 100L + i) }
+    val ms = MemoryStream[(String, Long)]
+    val q = graft.streaming.TopKStream
+      .summaries(ms.toDF.toDF("token", "eid"), "token", "eid", nShards = 4, k = 8)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("topk_stream_spec").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("topk_stream_spec")
+      .as[(Int, String, Long, Long)].collect()
+    // counts only grow in exact mode: the max per token is the final
+    // summary value, and it must equal the batch count; err stays 0
+    assert(rows.forall(_._4 == 0L), "err nonzero despite free capacity")
+    val finalCount = rows.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val want = (b1 ++ b2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(finalCount == want, s"$finalCount != $want")
+    // a token lives in exactly one shard
+    assert(rows.groupBy(_._2).forall(_._2.map(_._1).distinct.size == 1))
+  }
+
+  test("TopKStream: SpaceSaving invariants under eviction (k=3, single shard)") {
+    import graft.streaming.TopKStream
+    // skewed substream: one heavy token + a churn of singletons that
+    // force evictions
+    val toks = (Seq.fill(20)("hot") ++ (0 until 15).map(i => s"rare-$i") ++
+      Seq.fill(6)("warm")).zipWithIndex.map { case (t, i) => TopKStream.Tok(0, t, i.toLong) }
+    val st = org.apache.spark.sql.streaming.TestGroupState.create[TopKStream.ShardState](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      0L, org.apache.spark.api.java.Optional.empty(), false)
+    val out = TopKStream.updateShard(3)(0, toks.iterator, st).toSeq
+    val trueCount = toks.groupBy(_.token).view.mapValues(_.size.toLong).toMap
+    val n = toks.size.toLong
+    assert(out.size <= 3)
+    out.foreach { s =>
+      // overestimate bounded by err; count - err is a LOWER bound
+      assert(s.count >= trueCount.getOrElse(s.token, 0L), s"$s undercounts")
+      assert(s.count - s.err <= trueCount.getOrElse(s.token, 0L), s"$s err bound")
+    }
+    // the SpaceSaving guarantee: every token with true count > N/k
+    // is tracked (N/k = 41/3 ≈ 13.7 -> "hot" at 20 must survive)
+    trueCount.filter(_._2 > n / 3).keys.foreach { t =>
+      assert(out.exists(_.token == t), s"heavy token $t evicted")
+    }
+    // determinism: identical input replays to the identical summary
+    val st2 = org.apache.spark.sql.streaming.TestGroupState.create[TopKStream.ShardState](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      0L, org.apache.spark.api.java.Optional.empty(), false)
+    assert(TopKStream.updateShard(3)(0, toks.iterator, st2).toSeq == out)
+  }
 }
