@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bloom, Bpe, Dedup, LinkGraph, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bloom, Bpe, Dedup, LinkGraph, Sampling, Similarity, Snapshot, TextAnalysis}
 
 /** Blocks C/D/E — LLM-pipeline operators over `documents` and
   * `embeddings` (SURVEY.md §2.C-E): dedup (exact, MinHash-LSH,
@@ -79,7 +79,8 @@ object Pipeline {
     "q110_inverted_index" -> q110,
     "q113_token_deciles" -> q113,
     "q114_triangles" -> q114,
-    "q119_html_extract" -> q119
+    "q119_html_extract" -> q119,
+    "q120_snapshot_diff" -> q120
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -827,6 +828,26 @@ object Pipeline {
     * makes every iteration bit-replayable: the oracle chains 5
     * materialized CTEs (the q48 discipline), so an ITERATIVE graph
     * algorithm is hash-gated, not rows-only. */
+  /** Corpus snapshot diff ([[Snapshot.diff]]): v2 is a deterministic
+    * in-query mutation of the documents table (every 97th doc
+    * removed, every 31st surviving doc revised, a new doc minted per
+    * 53rd id), and the diff must classify every id exactly — the
+    * dataset-versioning audit beside q118's checksum. Both sides
+    * reduce to (id, hash) map-side before the full-outer join. */
+  def q120(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val v2 = d.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 31 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(d.filter(col("doc_id") % 53 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id")).as("text")))
+    Snapshot.diff(d, v2, "doc_id", Seq("text"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** HTML → text extraction (the crawl-to-corpus front door every
     * training pipeline runs before any other curation op): each doc
     * is wrapped in deterministic markup (tags, attributes, escaped
@@ -1562,6 +1583,26 @@ object Pipeline {
          |$steps
          |SELECT id AS doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
     },
+    // q120: the oracle replays the mutation and compares TEXT
+    // directly — deliberately STRONGER than the engine's 60-bit hash
+    // verdicts (a collision would fail the gate; none exists on this
+    // data, and the 2^-60/doc odds are the documented trade).
+    "q120_snapshot_diff" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 31 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM d WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM d WHERE doc_id % 53 = 0)
+        |SELECT coalesce(d.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN d.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN d.text = v2.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM d FULL OUTER JOIN v2 ON d.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // q119: the SAME wrap-strip-decode pipeline in DuckDB functions —
     // the hash gate on the cleaned bytes is a cross-engine regex
     // semantics check ('g' flag: DuckDB replaces first match only by

@@ -798,6 +798,47 @@ object ScaleStress {
       graft.operators.Profile.profile(zipf).count())
     }
 
+    if (sections("skew")) {
+    // Hot-key join at 30x nDocs fact rows, ONE key holding 90%: the
+    // q17 correctness gate's PERFORMANCE claim, measured. Broadcast
+    // is taken off the table (threshold -1) because salting's regime
+    // is precisely "dim too big to broadcast"; the three variants
+    // must agree on the verification sum. AQE's skew split handles
+    // this shape when it can (sort-merge only); Scale.saltedJoin is
+    // the explicit lever for when it can't.
+    val nFact = 30L * nDocs
+    val nKeys = math.max(1000L, nDocs / 10L)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fact = spark.range(0, nFact, 1, 32).select(
+      when(pmod(col("id"), lit(10L)) =!= 0, 0L)
+        .otherwise(pmod(conv(substring(md5(concat(lit("sk:"), col("id"))), 1, 15), 16, 10)
+          .cast("long"), lit(nKeys))).as("key"),
+      (col("id") % 1000L).as("v")).localCheckpoint()
+    val dim = spark.range(0, nKeys)
+      .select(col("id").as("key"), (col("id") * 7 % 100).as("grp")).localCheckpoint()
+    println(s"[stress] skew: ${fact.count()} fact rows over $nKeys keys, key 0 holds 90%")
+    def check(df: DataFrame): Long =
+      df.agg(sum(col("v") * col("grp"))).head().getLong(0)
+    var want = 0L
+    timed("hot-key join, AQE skew split ON") {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      want = check(fact.join(dim, "key")); want
+    }
+    timed("hot-key join, AQE OFF (one reducer owns the hot key)") {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val got = check(fact.join(dim, "key"))
+      assert(got == want, s"$got != $want"); got
+    }
+    timed("Scale.saltedJoin x32, AQE OFF") {
+      val got = check(graft.operators.Scale.saltedJoin(fact, dim, "key", 32))
+      assert(got == want, s"$got != $want"); got
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+
     if (sections("graph")) {
     // Link-graph ops at nDocs nodes / ~3.5x edges, WITH a celebrity
     // hub (node 0, min(n/10, 40k) distinct neighbors): the shape where q114's
