@@ -126,6 +126,54 @@ object LinkGraph {
       .select(col(idCol), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Fixed-round k-core peeling — the third web-graph curation
+    * signal beside PageRank and triangle closure (a page outside the
+    * 2-core hangs off the graph by a thread; link farms often form
+    * dense cores with no external support, spam-detectable by
+    * coreness vs PageRank mismatch).
+    *
+    * Each round drops every surviving node whose degree among
+    * SURVIVORS is < k (the classic peel; the k-core is the unique
+    * fixed point). Rounds are FIXED at `rounds` rather than
+    * data-dependent, for the q104 reason: a bounded loop is
+    * bit-replayable as chained oracle CTEs, and the spec pins that
+    * the fixture reaches the fixed point well inside the budget (a
+    * production run sizes `rounds` to its graph's peel depth or
+    * loops to convergence — peel depth is O(log n) on power-law
+    * graphs, public result).
+    *
+    * Plan per round: ONE degree aggregate over surviving canonical
+    * edges + two semi-joins restricting the edge set;
+    * checkpointFlat keeps lineage O(1) in rounds (the Dorling
+    * lesson).
+    *
+    * @return (idCol, in_core: survived all rounds, core_deg: final
+    *         degree among survivors, 0 outside) */
+  def kcore(edges: DataFrame, nodes: DataFrame, srcCol: String,
+            dstCol: String, idCol: String, k: Int,
+            rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"bad params: k=$k rounds=$rounds")
+    var e = PlanUtil.checkpointFlat(
+      edges.select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    for (_ <- 0 until rounds) {
+      val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("v"))
+      e = PlanUtil.checkpointFlat(
+        e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi"))
+    }
+    val finalDeg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+    nodes.select(col(idCol))
+      .join(finalDeg, col(idCol) === col("v"), "left")
+      .select(col(idCol),
+        (col("core_deg").isNotNull && col("core_deg") >= k).as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+  }
+
   /** The q104 fixture graph over a contiguous-id corpus: node v has
     * outdeg 1 + v % 3, edge t targeting the portable md5 draw
     * fold60("link:v:t") mod n — deterministic, engine-replayable,

@@ -92,4 +92,33 @@ object Profile {
         col("m.n").as("n_total"))
       .orderBy(col("bucket"))
   }
+
+  /** [[exactQuantiles]] PER GROUP — the calibration table sliced by
+    * language/source/split, which is how curation thresholds are
+    * actually applied (a global cut over mixed languages is wrong for
+    * every language). Same integer cut rule (cum·q ≥ bucket·n per
+    * group); the window is now PARTITIONED by the group key, so
+    * unlike the global variant there is no single-partition window
+    * at any scale — per-group histogram sizes bound the sequential
+    * work. Null keys and null values drop. */
+  def exactQuantilesBy(df: DataFrame, keyCol: String, valueCol: String,
+                       q: Int): DataFrame = {
+    require(q >= 2, s"q must be >= 2, got $q")
+    val hist = df.select(col(keyCol).as("k"), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull && col("k").isNotNull)
+      .groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = hist.groupBy(col("k")).agg(sum(col("c")).as("n"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(w)).join(tot, "k")
+    val ds = df.sparkSession.range(1, q).select(col("id").as("bucket"))
+    cum.join(broadcast(ds), col("cum") * q >= col("bucket") * col("n"))
+      .groupBy(col("k"), col("bucket"))
+      .agg(min(struct(col("v"), col("cum"), col("n"))).as("m"))
+      .select(col("k").as(keyCol), col("bucket"),
+        col("m.v").as("cut_value"), col("m.cum").as("n_le"),
+        col("m.n").as("n_total"))
+      .orderBy(col(keyCol), col("bucket"))
+  }
 }

@@ -80,7 +80,9 @@ object Pipeline {
     "q113_token_deciles" -> q113,
     "q114_triangles" -> q114,
     "q119_html_extract" -> q119,
-    "q120_snapshot_diff" -> q120
+    "q120_snapshot_diff" -> q120,
+    "q121_kcore" -> q121,
+    "q122_lang_quartiles" -> q122
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -828,6 +830,31 @@ object Pipeline {
     * makes every iteration bit-replayable: the oracle chains 5
     * materialized CTEs (the q48 discipline), so an ITERATIVE graph
     * algorithm is hash-gated, not rows-only. */
+  /** Fixed-round 3-core peeling over the q114 fixture graph
+    * ([[LinkGraph.kcore]]): 8 peel rounds, each replayed by the
+    * oracle as chained MATERIALIZED CTEs (the q104 discipline for
+    * iterative graph algorithms) — KcoreSpec pins that the fixture
+    * reaches the fixed point well inside the round budget. */
+  def q121(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+    LinkGraph.kcore(
+        LinkGraph.hashedFixtureEdges(spark, d, "doc_id", "tri:", 6), d,
+        "src", "dst", "doc_id", k = 3, rounds = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language token-count quartiles ([[Profile.exactQuantilesBy]])
+    * — the calibration table curation thresholds are actually applied
+    * from (a global cut over mixed languages is wrong for every
+    * language); q113's integer cut rule, window now PARTITIONED by
+    * lang so no single-partition window exists at any scale. */
+  def q122(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("lang"),
+      size(filter(split(col("text"), " "), w => length(w) > 0))
+        .cast("long").as("n_tokens"))
+    graft.operators.Profile.exactQuantilesBy(d, "lang", "n_tokens", 4)
+  }
+
   /** Corpus snapshot diff ([[Snapshot.diff]]): v2 is a deterministic
     * in-query mutation of the documents table (every 97th doc
     * removed, every 31st surviving doc revised, a new doc minted per
@@ -1583,6 +1610,60 @@ object Pipeline {
          |$steps
          |SELECT id AS doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
     },
+    // q121: every peel round replayed as a chained MATERIALIZED CTE
+    // pair (keep_r = nodes with >= k surviving degree, u_r = edges
+    // with both ends kept) — the q104/q48 replay discipline.
+    "q121_kcore" -> {
+      val rounds = (1 to 8).map { r =>
+        s"""k$r AS MATERIALIZED (
+           |  SELECT v FROM (
+           |    SELECT a AS v FROM u${r - 1} UNION ALL SELECT b AS v FROM u${r - 1})
+           |  GROUP BY v HAVING count(*) >= 3),
+           |u$r AS MATERIALIZED (
+           |  SELECT u.a, u.b FROM u${r - 1} u
+           |  JOIN k$r x ON u.a = x.v JOIN k$r y ON u.b = y.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT d.doc_id AS src,
+         |    ${sqlMd5Fold("'tri:' || CAST(d.doc_id AS VARCHAR) || ':' || s")} % (SELECT count(*) FROM documents) AS dst
+         |  FROM documents d, unnest([0, 1, 2, 3, 4, 5]) AS t(s)
+         |  WHERE s <= d.doc_id % 6),
+         |u0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e WHERE src <> dst),
+         |$rounds,
+         |fd AS (
+         |  SELECT v AS doc_id, count(*) AS core_deg FROM (
+         |    SELECT a AS v FROM u8 UNION ALL SELECT b AS v FROM u8)
+         |  GROUP BY v)
+         |SELECT d.doc_id,
+         |  coalesce(fd.core_deg, 0) >= 3 AS in_core,
+         |  CAST(coalesce(fd.core_deg, 0) AS BIGINT) AS core_deg
+         |FROM documents d LEFT JOIN fd ON fd.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    // q122: q113's integer cut rule partitioned by lang
+    "q122_lang_quartiles" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS v
+        |  FROM documents WHERE lang IS NOT NULL),
+        |h AS (SELECT lang, v, count(*) AS c FROM s GROUP BY lang, v),
+        |cum AS (
+        |  SELECT lang, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum
+        |  FROM h),
+        |n AS (SELECT lang, count(*) AS n FROM s GROUP BY lang),
+        |cuts AS (
+        |  SELECT cum.lang, d.d AS bucket, min(cum.v) AS cut_value
+        |  FROM cum JOIN n USING (lang), unnest(generate_series(1, 3)) AS d(d)
+        |  WHERE cum.cum * 4 >= d.d * n.n
+        |  GROUP BY cum.lang, d.d)
+        |SELECT c.lang, c.bucket, c.cut_value, cum.cum AS n_le, n.n AS n_total
+        |FROM cuts c
+        |JOIN cum ON cum.lang = c.lang AND cum.v = c.cut_value
+        |JOIN n ON n.lang = c.lang
+        |ORDER BY c.lang, c.bucket""".stripMargin,
     // q120: the oracle replays the mutation and compares TEXT
     // directly — deliberately STRONGER than the engine's 60-bit hash
     // verdicts (a collision would fail the gate; none exists on this

@@ -66,4 +66,42 @@ class FormatsSpec extends SparkSuite {
           org.apache.spark.sql.types.StringType, true))))
     }
   }
+
+  test("CsvSource: tabular round-trip; malformed rows counted and kept, " +
+    "never dropped silently") {
+    import graft.sources.CsvSource
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    CsvSource.write(src, dir)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType, true),
+      StructField("c_name", StringType, true),
+      StructField("c_mktsegment", StringType, true)))
+    val back = CsvSource.read(spark, dir, schema)
+    val (good, bad) = CsvSource.stats(back)
+    assert(good === src.count() && bad === 0L)
+    assert(CsvSource.docs(back).orderBy("c_custkey")
+      .collect().toSeq.map(_.toSeq) ===
+      src.orderBy("c_custkey").collect().toSeq.map(_.toSeq))
+    // plant malformed rows: a non-numeric key among good lines
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_csv2").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir2, "part-0.csv"),
+      java.util.Arrays.asList(
+        "c_custkey,c_name,c_mktsegment",
+        "1,alice,BUILDING",
+        "not-a-number,bob,MACHINERY",
+        "3,carol,AUTOMOBILE"))
+    val mixed = CsvSource.read(spark, dir2, schema)
+    val (g2, b2) = CsvSource.stats(mixed)
+    assert(g2 === 2L && b2 === 1L)
+    assert(CsvSource.docs(mixed).orderBy("c_custkey")
+      .select("c_custkey").collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // the reader refuses a schema that collides with its own column
+    intercept[IllegalArgumentException] {
+      CsvSource.read(spark, dir2, StructType(Seq(
+        StructField("_corrupt_record", StringType, true))))
+    }
+  }
 }

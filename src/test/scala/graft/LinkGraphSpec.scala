@@ -104,6 +104,41 @@ class LinkGraphSpec extends SparkSuite {
     assert(got == nodes.map(_ -> 6L).toMap)
   }
 
+  test("kcore: hand graph peels to the unique core; fixture reaches " +
+    "the fixed point inside the round budget") {
+    // triangle 0-1-2 each also linked to tail node 3; 3-4 pendant:
+    // 2-core = the triangle + 3? deg(3)=4 (0,1,2,4): after round 1,
+    // 4 drops (deg 1); 3 keeps deg 3; core = {0,1,2,3}: 3's degree
+    // to survivors is 3 >= 2 -> stays. Pendant 4 is out.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (0L, 3L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val nodes = (0L to 4L).toSeq
+    val got = LinkGraph.kcore(edges.toDF("src", "dst"), nodes.toDF("id"),
+        "src", "dst", "id", k = 2, rounds = 4)
+      .as[(Long, Boolean, Long)].collect()
+      .map { case (id, c, dg) => id -> ((c, dg)) }.toMap
+    assert(got(0L) == ((true, 3L)) && got(1L) == ((true, 3L)) &&
+      got(2L) == ((true, 3L)) && got(3L) == ((true, 3L)))
+    assert(got(4L) == ((false, 0L)))
+    // chain 10-11-12-13: every node peels at k=2 (ends first, then
+    // inward) — needs MULTIPLE rounds, proving rounds compose
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L))
+    val cn = Seq(10L, 11L, 12L, 13L)
+    val g2 = LinkGraph.kcore(chain.toDF("src", "dst"), cn.toDF("id"),
+        "src", "dst", "id", k = 2, rounds = 4)
+      .as[(Long, Boolean, Long)].collect()
+    assert(g2.forall(r => !r._2 && r._3 == 0L))
+    // q121's fixture reaches the FIXED POINT within its 8-round
+    // budget: rounds=8 equals rounds=9 exactly
+    val d = spark.range(0, 300).toDF("doc_id")
+    val e = LinkGraph.hashedFixtureEdges(spark, d, "doc_id", "tri:", 6)
+    val r8 = LinkGraph.kcore(e, d, "src", "dst", "doc_id", 3, 8)
+      .orderBy("doc_id").collect().toSeq
+    val r9 = LinkGraph.kcore(e, d, "src", "dst", "doc_id", 3, 9)
+      .orderBy("doc_id").collect().toSeq
+    assert(r8 === r9, "fixture not converged within 8 rounds")
+  }
+
   test("hashed fixture: outdeg 1 + v%3, targets in [0, n), deterministic") {
     val d = spark.range(0, 300).toDF("doc_id")
     val e = LinkGraph.hashedFixtureEdges(spark, d, "doc_id")

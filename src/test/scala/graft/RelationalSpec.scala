@@ -109,4 +109,22 @@ class RelationalSpec extends SparkSuite {
       assert((nle - 1) * 4 < d * tot, s"cut $cut not minimal for d=$d")
     }
   }
+
+  test("exactQuantilesBy: each group's cuts equal the global operator " +
+    "run on that group alone; null keys drop") {
+    import spark.implicits._
+    val df = ((1L to 10L).map(("a", _)) ++
+      (Seq.fill(90)(0L) ++ Seq.fill(10)(1L)).map(("b", _)) ++
+      Seq[(String, Long)](null.asInstanceOf[String] -> 99L)).toDF("k", "v")
+    val by = graft.operators.Profile.exactQuantilesBy(df, "k", "v", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(by.forall(_._1 != null), "null key leaked")
+    Seq("a", "b").foreach { g =>
+      val alone = graft.operators.Profile
+        .exactQuantiles(df.filter($"k" === g).select($"v"), "v", 10)
+        .collect().map(r => (g, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(by.filter(_._1 == g).toSeq === alone.toSeq, s"group $g diverges")
+    }
+  }
 }
