@@ -51,6 +51,46 @@ object TextAnalysis {
       size(regexp_extract_all(col(htmlCol), lit(TagRe), lit(0))).cast("long").as("n_tags"),
       decodeEntities(stripTags(col(htmlCol))).as("clean_text"))
 
+  /** URL canonicalization — the key-normalization step before
+    * URL-level dedup and domain accounting (the same page arrives
+    * from a crawl as `HTTP://Host:80/p?utm_source=x&id=1#frag` and
+    * `http://host/p?id=1`; curation must see ONE key). Rules, each
+    * deliberately restatable in portable SQL so the whole chain is
+    * hash-gateable:
+    *  - scheme and host lowercase; default ports stripped
+    *    (http:80, https:443);
+    *  - fragment dropped (never sent to the server);
+    *  - tracking params dropped (utm_*, fbclid, gclid — the public
+    *    Analytics/Facebook/Google click ids);
+    *  - remaining query params SORTED (param order is
+    *    transport-insignificant), empty query dropped;
+    *  - empty path becomes "/".
+    * Non-URL strings (no scheme match) pass through unchanged —
+    * report, don't destroy. Pure map-side. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, UrlRe, 1))
+    val host0 = lower(regexp_extract(url, UrlRe, 2))
+    val hostStripped =
+      when(scheme === "http", regexp_replace(host0, lit(":80$"), lit("")))
+        .when(scheme === "https", regexp_replace(host0, lit(":443$"), lit("")))
+        .otherwise(host0)
+    val path0 = regexp_extract(url, UrlRe, 3)
+    val path = when(length(path0) === 0, lit("/")).otherwise(path0)
+    val query = regexp_extract(url, UrlRe, 4)
+    val kept = array_sort(filter(split(query, "&"), p =>
+      length(p) > 0 && !p.startsWith("utm_") &&
+        !p.startsWith("fbclid=") && !p.startsWith("gclid=")))
+    val q = when(size(kept) > 0, concat(lit("?"), concat_ws("&", kept)))
+      .otherwise(lit(""))
+    when(length(scheme) > 0,
+      concat(scheme, lit("://"), hostStripped, path, q)).otherwise(url)
+  }
+
+  /** scheme://host[:port]path[?query][#fragment] — RFC 3986's
+    * first-match-wins split, leftmost-greedy identical in Java regex
+    * and RE2. */
+  val UrlRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)\\??([^#]*)#?.*$"
+
   /** Email-address pattern for PII scrubbing — the conservative
     * local@domain.tld shape; identical leftmost-greedy semantics in
     * Java regex and RE2, which is what lets the DuckDB oracle

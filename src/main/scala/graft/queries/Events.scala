@@ -37,7 +37,8 @@ object Events {
     "q112_zorder" -> q112,
     "q115_interval_union" -> q115,
     "q116_scd2" -> q116,
-    "q117_retention" -> q117
+    "q117_retention" -> q117,
+    "q124_user_growth" -> q124
   )
 
   /** Tumbling 1-hour window aggregation (shared with streaming). */
@@ -501,7 +502,43 @@ object Events {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Daily growth curve: active users, NEW users (first-ever-seen
+    * that day), and the running cumulative distinct-user count —
+    * computed as the prefix sum of new-user counts, which turns
+    * "cumulative COUNT(DISTINCT)" (quadratic re-scan as a windowed
+    * distinct) into one per-user min + a DAY-histogram-sized prefix
+    * window (the q113 discipline: the global window orders days, not
+    * rows). Integer epoch days, q117's calendar-free arithmetic. */
+  def q124(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+    val newPerDay = e.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+      .groupBy(col("fday").as("day")).agg(count(lit(1)).as("n_new"))
+    val activePerDay = e.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    activePerDay.join(newPerDay, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .orderBy(col("day"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q124_user_growth" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |np AS (
+        |  SELECT fday AS day, count(*) AS n_new FROM (
+        |    SELECT user_id, min(day) AS fday FROM e GROUP BY user_id)
+        |  GROUP BY fday),
+        |ap AS (SELECT day, count(DISTINCT user_id) AS n_active FROM e GROUP BY day)
+        |SELECT ap.day, ap.n_active,
+        |  coalesce(np.n_new, 0) AS n_new,
+        |  CAST(sum(coalesce(np.n_new, 0)) OVER (ORDER BY ap.day) AS BIGINT) AS cum_users
+        |FROM ap LEFT JOIN np ON np.day = ap.day
+        |ORDER BY ap.day""".stripMargin,
     // q115/q116: the same window recurrences stated in SQL — the
     // (ts, event_id) tie order is total, so the island/run numbering
     // is engine-independent.

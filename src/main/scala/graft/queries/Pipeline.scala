@@ -82,7 +82,8 @@ object Pipeline {
     "q119_html_extract" -> q119,
     "q120_snapshot_diff" -> q120,
     "q121_kcore" -> q121,
-    "q122_lang_quartiles" -> q122
+    "q122_lang_quartiles" -> q122,
+    "q123_url_canon" -> q123
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -830,6 +831,27 @@ object Pipeline {
     * makes every iteration bit-replayable: the oracle chains 5
     * materialized CTEs (the q48 discipline), so an ITERATIVE graph
     * algorithm is hash-gated, not rows-only. */
+  /** URL canonicalization ([[TextAnalysis.canonicalizeUrl]]) over a
+    * deterministic fixture of crawl-shaped URLs (mixed-case hosts,
+    * default ports, tracking params, unsorted queries, fragments,
+    * plus a non-URL passthrough arm): the key-normalization step
+    * before URL-level dedup — every rule byte-gated. Map-side. */
+  def q123(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("HTTP://Example"), col("doc_id") % 5,
+          lit(".COM:80/Path/"), col("doc_id"),
+          lit("?utm_source=feed&id="), col("doc_id") % 7, lit("&b=2#sec")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://cdn.example.org:443/a/"), col("doc_id")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://Example.org/a?z=1&a=2&gclid=XYZ"), col("doc_id")))
+      .otherwise(concat(lit("not a url "), col("doc_id")))
+    d.select(col("doc_id"), url.as("url"))
+      .withColumn("canon_url", TextAnalysis.canonicalizeUrl(col("url")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fixed-round 3-core peeling over the q114 fixture graph
     * ([[LinkGraph.kcore]]): 8 peel rounds, each replayed by the
     * oracle as chained MATERIALIZED CTEs (the q104 discipline for
@@ -1609,6 +1631,45 @@ object Pipeline {
          |r0 AS (SELECT doc_id AS id, CAST(1000000000 AS BIGINT) AS rank FROM documents),
          |$steps
          |SELECT id AS doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
+    },
+    // q123: the same RFC-3986 split + rule chain in DuckDB string
+    // functions; list_sort == Spark array_sort on ASCII params
+    // (binary collation both sides).
+    "q123_url_canon" -> {
+      val re = "'^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)\\??([^#]*)#?.*$'"
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CASE
+         |      WHEN doc_id % 4 = 0 THEN 'HTTP://Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM:80/Path/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR) || '&b=2#sec'
+         |      WHEN doc_id % 4 = 1 THEN 'https://cdn.example.org:443/a/' || CAST(doc_id AS VARCHAR)
+         |      WHEN doc_id % 4 = 2 THEN 'https://Example.org/a?z=1&a=2&gclid=XYZ' || CAST(doc_id AS VARCHAR)
+         |      ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+         |    END AS url
+         |  FROM documents),
+         |parts AS (
+         |  SELECT doc_id, url,
+         |    lower(regexp_extract(url, $re, 1)) AS scheme,
+         |    lower(regexp_extract(url, $re, 2)) AS host0,
+         |    regexp_extract(url, $re, 3) AS path0,
+         |    regexp_extract(url, $re, 4) AS query
+         |  FROM f),
+         |built AS (
+         |  SELECT doc_id, url, scheme,
+         |    CASE scheme WHEN 'http' THEN regexp_replace(host0, ':80$$', '')
+         |                WHEN 'https' THEN regexp_replace(host0, ':443$$', '')
+         |                ELSE host0 END AS host,
+         |    CASE WHEN length(path0) = 0 THEN '/' ELSE path0 END AS path,
+         |    list_sort(list_filter(string_split(query, '&'),
+         |      p -> length(p) > 0 AND NOT starts_with(p, 'utm_')
+         |        AND NOT starts_with(p, 'fbclid=') AND NOT starts_with(p, 'gclid='))) AS kept
+         |  FROM parts)
+         |SELECT doc_id, url,
+         |  CASE WHEN length(scheme) > 0 THEN
+         |    scheme || '://' || host || path ||
+         |    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
+         |  ELSE url END AS canon_url
+         |FROM built
+         |ORDER BY doc_id""".stripMargin
     },
     // q121: every peel round replayed as a chained MATERIALIZED CTE
     // pair (keep_r = nodes with >= k surviving degree, u_r = edges

@@ -283,6 +283,25 @@ class PipelineSpec extends SparkSuite {
     assert(got(3) === ((4L, 0L, "no markup at all")))
   }
 
+  test("canonicalizeUrl: rule branches on hand URLs") {
+    val cases = Seq(
+      // default port + case + tracking + fragment + sort
+      "HTTP://A.Com:80/P?utm_source=x&b=1&a=2#f" -> "http://a.com/P?a=2&b=1",
+      // https 443 stripped; http 443 NOT stripped (non-default)
+      "https://h:443/x" -> "https://h/x",
+      "http://h:443/x" -> "http://h:443/x",
+      // empty path -> "/"; all-tracking query drops entirely
+      "https://h?utm_campaign=c&gclid=1&fbclid=2" -> "https://h/",
+      // non-URL passthrough, including scheme-less host
+      "example.com/path" -> "example.com/path",
+      "plain text" -> "plain text",
+      // query with empty params ("a=1&&b=2") drops the empties
+      "http://h/p?b=2&&a=1" -> "http://h/p?a=1&b=2")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.canonicalizeUrl($"url")).as[String].collect().toSeq
+    assert(got === cases.map(_._2), s"got $got")
+  }
+
   test("c4LineClean: rule branches, empty lines, and the 3-line page drop " +
     "on hand-built pages") {
     val df = Seq(
