@@ -249,6 +249,214 @@ object Opq {
   def rotated(vec: Column, rotation: Array[Double], d: Int): Column =
     ArrayOps.vecMatMul(vec, rotation, d, d)
 
+  /** One pass of encode-and-accumulate for the iterative OPQ loop:
+    * per row, rotate (y = R·x), PQ-encode y under `cw` (argmin-L2
+    * per subspace, the pqEncode tie rule), and accumulate the
+    * Procrustes cross matrix M = Σ c·xᵀ (c = the code's
+    * reconstruction) plus the distortion Σ‖y − c‖². One map-side
+    * pass, ≤ #partitions (n, M, obj) rows to the driver — the
+    * moments() shape with the encoder inlined.
+    * @return (n, M row-major D×D, distortion) */
+  private def encodeAccumulate(corpus: DataFrame, vecCol: String,
+                               rot: Array[Double],
+                               cw: Seq[Seq[Seq[Double]]]): (Long, Array[Double], Double) = {
+    val m = cw.length; val ks = cw.head.length; val ds = cw.head.head.length
+    val d = m * ds
+    require(rot.length == d * d, s"opq: rotation ${rot.length} != $d x $d")
+    val cwArr: Array[Array[Array[Double]]] =
+      cw.map(_.map(_.toArray).toArray).toArray
+    val parts = corpus.select(col(vecCol)).rdd.mapPartitions { it =>
+      var n = 0L
+      val mm = new Array[Double](d * d)
+      var obj = 0.0
+      val x = new Array[Double](d)
+      val y = new Array[Double](d)
+      val c = new Array[Double](d)
+      it.foreach { row =>
+        val a = row.getSeq[Any](0)
+        require(a.length == d, s"opq: vec length ${a.length} != $d")
+        var i = 0
+        while (i < d) {
+          x(i) = a(i) match {
+            case f: Float  => f.toDouble
+            case v: Double => v
+            case e => throw new IllegalArgumentException(s"opq: bad element $e")
+          }
+          i += 1
+        }
+        var r = 0
+        while (r < d) {
+          var acc = 0.0
+          var j = 0
+          while (j < d) { acc += rot(r * d + j) * x(j); j += 1 }
+          y(r) = acc
+          r += 1
+        }
+        var s = 0
+        while (s < m) {
+          var bestJ = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < ks) {
+            var dd = 0.0
+            var t = 0
+            while (t < ds) {
+              val diff = y(s * ds + t) - cwArr(s)(j)(t); dd += diff * diff; t += 1
+            }
+            if (dd < bestD) { bestD = dd; bestJ = j }
+            j += 1
+          }
+          var t = 0
+          while (t < ds) { c(s * ds + t) = cwArr(s)(bestJ)(t); t += 1 }
+          obj += bestD
+          s += 1
+        }
+        r = 0
+        while (r < d) {
+          val cr = c(r)
+          var j = 0
+          val base = r * d
+          while (j < d) { mm(base + j) += cr * x(j); j += 1 }
+          r += 1
+        }
+        n += 1
+      }
+      if (n == 0L) Iterator.empty else Iterator.single((n, mm, obj))
+    }.collect()
+    require(parts.nonEmpty, "opq: empty corpus")
+    val mm = new Array[Double](d * d)
+    var n = 0L; var obj = 0.0
+    parts.foreach { case (pn, pm, po) =>
+      n += pn; obj += po
+      var i = 0
+      while (i < d * d) { mm(i) += pm(i); i += 1 }
+    }
+    (n, mm, obj)
+  }
+
+  /** Orthogonal Procrustes solve: the orthonormal R minimizing
+    * Σ‖R·xᵢ − cᵢ‖² given M = Σ cᵢ·xᵢᵀ is R = U·Vᵀ from M's SVD
+    * (public result, Schönemann 1966). SVD via the symmetric
+    * eigensolver already here: MᵀM = V·Σ²·Vᵀ (Jacobi), uᵢ = M·vᵢ/σᵢ,
+    * rank-deficient columns completed by Gram-Schmidt against the
+    * standard basis (deterministic). */
+  def procrustes(mmat: Array[Double], d: Int): Array[Double] = {
+    require(mmat.length == d * d, s"procrustes: ${mmat.length} != $d x $d")
+    val mtm = new Array[Double](d * d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        var acc = 0.0
+        var r = 0
+        while (r < d) { acc += mmat(r * d + i) * mmat(r * d + j); r += 1 }
+        mtm(i * d + j) = acc
+        j += 1
+      }
+      i += 1
+    }
+    val (evals, vrows) = eigenJacobi(mtm, d)
+    val u = Array.ofDim[Double](d, d) // u(i) = left singular column i
+    val have = new Array[Boolean](d)
+    i = 0
+    while (i < d) {
+      val sigma = math.sqrt(math.max(evals(i), 0.0))
+      if (sigma > 1e-9) {
+        val col = new Array[Double](d)
+        var r = 0
+        while (r < d) {
+          var acc = 0.0
+          var cIdx = 0
+          while (cIdx < d) { acc += mmat(r * d + cIdx) * vrows(i * d + cIdx); cIdx += 1 }
+          col(r) = acc / sigma
+          r += 1
+        }
+        u(i) = col; have(i) = true
+      }
+      i += 1
+    }
+    // complete the deficient columns deterministically
+    i = 0
+    while (i < d) {
+      if (!have(i)) {
+        var e = 0
+        var done = false
+        while (e < d && !done) {
+          val cand = new Array[Double](d)
+          cand(e) = 1.0
+          var k = 0
+          while (k < d) {
+            if (have(k)) {
+              var dot = 0.0
+              var r = 0
+              while (r < d) { dot += cand(r) * u(k)(r); r += 1 }
+              r = 0
+              while (r < d) { cand(r) -= dot * u(k)(r); r += 1 }
+            }
+            k += 1
+          }
+          val nrm = math.sqrt(cand.map(x => x * x).sum)
+          if (nrm > 1e-6) {
+            var r = 0
+            while (r < d) { cand(r) /= nrm; r += 1 }
+            u(i) = cand; have(i) = true; done = true
+          }
+          e += 1
+        }
+        require(have(i), "procrustes: basis completion failed")
+      }
+      i += 1
+    }
+    // R = U·Vᵀ : R(r)(c) = Σ_i u_i(r)·v_i(c)
+    val out = new Array[Double](d * d)
+    var r = 0
+    while (r < d) {
+      var cIdx = 0
+      while (cIdx < d) {
+        var acc = 0.0
+        var k = 0
+        while (k < d) { acc += u(k)(r) * vrows(k * d + cIdx); k += 1 }
+        out(r * d + cIdx) = acc
+        cIdx += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** ITERATIVE OPQ (the full Ge et al. 2013 alternating optimization;
+    * FAISS OPQMatrix's training loop): parametric init, then per
+    * round (a) encode under the current rotation+codebook while
+    * accumulating the Procrustes cross matrix — one map-side pass,
+    * (b) driver-side Procrustes solve for the new rotation,
+    * (c) warm-restarted Lloyd refresh of the codebook in the newly
+    * rotated space. Every step minimizes the SAME distortion
+    * Σ‖Rx − q(Rx)‖² with the others fixed, so the recorded history
+    * (measured at each round's start) is non-increasing — the spec's
+    * pin. Deterministic throughout.
+    * @return (rotation, codebook, distortion history) */
+  def trainRotationIterative(corpus: DataFrame, m: Int, ks: Int,
+                             opqIters: Int = 4, lloydIters: Int = 2,
+                             vecCol: String = "vec")
+      : (Array[Double], Seq[Seq[Seq[Double]]], Seq[Double]) = {
+    require(opqIters >= 1 && lloydIters >= 1,
+      s"bad params: opqIters=$opqIters lloydIters=$lloydIters")
+    var rot = trainRotation(corpus, m, vecCol)
+    val d = math.sqrt(rot.length.toDouble).round.toInt
+    val base = corpus.select(col("cid"), col(vecCol).as("vec")).localCheckpoint()
+    def rotatedCorpus(r: Array[Double]) =
+      base.select(col("cid"), rotated(col("vec"), r, d).as("vec"))
+    var cw = Similarity.trainPqCodebook(rotatedCorpus(rot), m, ks, lloydIters)._1
+    val history = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 0 until opqIters) {
+      val (_, mm, obj) = encodeAccumulate(base, "vec", rot, cw)
+      history += obj
+      rot = procrustes(mm, d)
+      cw = Similarity.trainPqCodebookFrom(rotatedCorpus(rot), cw, lloydIters)._1
+    }
+    history += encodeAccumulate(base, "vec", rot, cw)._3
+    (rot, cw, history.toSeq)
+  }
+
   /** PQ retrieval under a rotation: rotate corpus + queries map-side,
     * train codewords in the rotated space ([[Similarity.trainPqCodebook]]),
     * then run the identical encode + ADC scan. Orthonormality makes

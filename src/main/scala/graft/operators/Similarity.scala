@@ -254,9 +254,20 @@ object Similarity {
     * @return (cw(s)(j) like [[pqCodebook]], objective history)
     */
   def trainPqCodebook(corpus: DataFrame, m: Int, ks: Int, iters: Int = 5)
+      : (Seq[Seq[Seq[Double]]], Seq[Double]) =
+    trainPqCodebookFrom(corpus, pqCodebook(corpus, m, ks), iters)
+
+  /** [[trainPqCodebook]] from an EXPLICIT seed codebook — the warm
+    * restart an alternating optimizer (OPQ's rotate ↔ re-train loop)
+    * needs so each round continues from the previous codebook
+    * instead of re-seeding from hash-picked rows. */
+  def trainPqCodebookFrom(corpus: DataFrame, cw0: Seq[Seq[Seq[Double]]],
+                          iters: Int)
       : (Seq[Seq[Seq[Double]]], Seq[Double]) = {
     require(iters >= 1, s"pq train: iters must be >= 1, got $iters")
-    var cw = pqCodebook(corpus, m, ks)
+    var cw = cw0
+    val m = cw.length
+    val ks = cw.head.length
     val ds = cw.head.head.length
     // every Lloyd round re-reads the vectors: materialize once
     val base = corpus.select(col("cid"), col("vec")).localCheckpoint()

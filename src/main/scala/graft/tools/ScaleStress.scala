@@ -717,8 +717,23 @@ object ScaleStress {
       cwR = c
       "J: " + hist.map(x => f"$x%.1f").mkString(" -> ")
     }
-    timed("rotated trained pqTopK (OPQ)")(
+    timed("rotated trained pqTopK (OPQ parametric)")(
       recallL2(graft.operators.Similarity.pqTopKWith(rq, rc, 10, cwR)))
+    var rotIt: Array[Double] = null
+    var cwIt: Seq[Seq[Seq[Double]]] = Seq.empty
+    timed(s"trainRotationIterative 3 rounds (encode+Procrustes+Lloyd each)") {
+      val (r2, c2, hist) = graft.operators.Opq.trainRotationIterative(
+        corpus.select(col("cid"), col("vec")), pqm, pqks, opqIters = 3, lloydIters = 2)
+      rotIt = r2; cwIt = c2
+      "J: " + hist.map(x => f"$x%.1f").mkString(" -> ")
+    }
+    timed("iterative-OPQ pqTopK") {
+      val ric = corpus.select(col("cid"),
+        graft.operators.Opq.rotated(col("vec"), rotIt, ndim).as("vec")).localCheckpoint()
+      val riq = queries.select(col("qid"),
+        graft.operators.Opq.rotated(col("vec"), rotIt, ndim).as("vec"))
+      recallL2(graft.operators.Similarity.pqTopKWith(riq, ric, 10, cwIt))
+    }
     }
 
     if (sections("temporal")) {

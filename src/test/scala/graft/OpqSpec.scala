@@ -161,6 +161,59 @@ class OpqSpec extends SparkSuite {
     }
   }
 
+  test("procrustes: recovers a known rotation exactly and returns orthonormal R") {
+    val d = 8
+    val rnd = new scala.util.Random(11)
+    // build a known orthonormal Q via Gram-Schmidt
+    val raw = Array.fill(d, d)(rnd.nextGaussian())
+    for (i <- 0 until d) {
+      for (j <- 0 until i) {
+        val dot = (0 until d).map(k => raw(i)(k) * raw(j)(k)).sum
+        for (k <- 0 until d) raw(i)(k) -= dot * raw(j)(k)
+      }
+      val n = math.sqrt((0 until d).map(k => raw(i)(k) * raw(i)(k)).sum)
+      for (k <- 0 until d) raw(i)(k) /= n
+    }
+    val q = raw
+    // M = sum over random x of (Q x) x^T — the Procrustes minimizer
+    // of sum ||R x - Q x||^2 is R = Q exactly
+    val mm = new Array[Double](d * d)
+    for (_ <- 0 until 200) {
+      val x = Array.fill(d)(rnd.nextGaussian())
+      val y = Array.tabulate(d)(r => (0 until d).map(c => q(r)(c) * x(c)).sum)
+      for (r <- 0 until d; c <- 0 until d) mm(r * d + c) += y(r) * x(c)
+    }
+    val r = Opq.procrustes(mm, d)
+    for (i <- 0 until d; j <- 0 until d) {
+      assert(math.abs(r(i * d + j) - q(i)(j)) < 1e-8, s"R($i,$j)")
+      val dot = (0 until d).map(k => r(i * d + k) * r(j * d + k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+  }
+
+  test("iterative OPQ: distortion history non-increasing, ends at or below " +
+    "the parametric rotation's, rotation stays orthonormal") {
+    val corpus = correlated(1500)
+    val m = 4; val ks = 16
+    val (rotIt, cwIt, hist) = Opq.trainRotationIterative(corpus, m, ks,
+      opqIters = 3, lloydIters = 2)
+    hist.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6 * math.abs(a), s"distortion rose: $a -> $b in $hist")
+    }
+    // hist.head is the PARAMETRIC rotation's distortion (round 0
+    // measures before any Procrustes update) — the loop must not
+    // end above it
+    assert(hist.last <= hist.head + 1e-9, s"no improvement: $hist")
+    for (i <- 0 until D; j <- 0 until D) {
+      val dot = (0 until D).map(k => rotIt(i * D + k) * rotIt(j * D + k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8)
+    }
+    // deterministic rerun
+    val (rot2, cw2, hist2) = Opq.trainRotationIterative(corpus, m, ks,
+      opqIters = 3, lloydIters = 2)
+    assert(rot2.toSeq == rotIt.toSeq && cw2 == cwIt && hist2 == hist)
+  }
+
   test("rotated PQ cuts reconstruction error and reaches recall >= plain trained PQ " +
     "on the correlated corpus; deterministic") {
     val corpus = correlated(2000)
