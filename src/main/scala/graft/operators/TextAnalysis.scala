@@ -91,6 +91,19 @@ object TextAnalysis {
     * and RE2. */
   val UrlRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)\\??([^#]*)#?.*$"
 
+  /** Match-key fold: NFD-decompose, strip combining marks (\p{Mn}),
+    * lowercase, NFC-recompose — "Café" and "cafe" become the SAME
+    * dedup/join key (the accent-insensitive normalization fuzzy
+    * matching and cross-source entity joins run on; ICU's
+    * strip_accents ships the same transform, which is what lets the
+    * DuckDB oracle replicate it for Latin-script text). Pure
+    * map-side over the codegen'd UnicodeNormalize. */
+  def matchKey(text: Column): Column =
+    org.apache.spark.sql.graftext.TextNorm.normalize(
+      lower(regexp_replace(
+        org.apache.spark.sql.graftext.TextNorm.normalize(text, "NFD"),
+        lit("\\p{Mn}"), lit(""))), "NFC")
+
   /** Email-address pattern for PII scrubbing — the conservative
     * local@domain.tld shape; identical leftmost-greedy semantics in
     * Java regex and RE2, which is what lets the DuckDB oracle

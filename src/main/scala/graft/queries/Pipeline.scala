@@ -83,7 +83,9 @@ object Pipeline {
     "q120_snapshot_diff" -> q120,
     "q121_kcore" -> q121,
     "q122_lang_quartiles" -> q122,
-    "q123_url_canon" -> q123
+    "q123_url_canon" -> q123,
+    "q125_match_keys" -> q125,
+    "q127_curation_e2e" -> q127
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -831,6 +833,55 @@ object Pipeline {
     * makes every iteration bit-replayable: the oracle chains 5
     * materialized CTEs (the q48 discipline), so an ITERATIVE graph
     * algorithm is hash-gated, not rows-only. */
+  /** END-TO-END curation chain under ONE gate: extract (q119's HTML
+    * wrap → strip/decode) → exact dedup over a corpus doubled with
+    * planted copies (keeper = min id per text hash, the q30/q85
+    * shape — the join carries 32-byte hashes, never text) → 60%
+    * deterministic hash-sample of the survivors (the q45 gate) →
+    * per-doc token count. One status per row proves the STAGES
+    * COMPOSE — each stage is gated standalone elsewhere; this pins
+    * the plumbing between them, which is what an operator library
+    * actually sells. Every stage stays map-side or hash-keyed; no
+    * stage materializes another's intermediate to disk. */
+  def q127(spark: SparkSession, dir: String): DataFrame = {
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val html = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(lit("<html><body><p>"), esc(col("text")),
+        lit("</p> <div>footer</div></body></html>")).as("html"))
+    val cleaned = TextAnalysis.htmlToText(html, "doc_id", "html")
+      .select(col("doc_id"), col("clean_text"))
+    val doubled = cleaned.unionAll(cleaned.select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("clean_text")))
+      .withColumn("h", md5(col("clean_text")))
+      .withColumn("n_tokens",
+        size(filter(split(col("clean_text"), " "), w => length(w) > 0)).cast("long"))
+      .drop("clean_text")
+    val keeper = doubled.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    doubled.join(keeper, "h")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keeper"), "dup")
+          .when(Sampling.hashGate(col("doc_id")) >= 600000L, "sampled_out")
+          .otherwise("kept").as("status"),
+        col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Accent-insensitive match keys ([[TextAnalysis.matchKey]]:
+    * NFD → strip combining marks → lower → NFC) over text salted
+    * with a deterministic accented suffix — the normalization
+    * cross-source entity joins and fuzzy dedup run on ("Café" ==
+    * "cafe"); byte-gated against DuckDB's ICU strip_accents, which
+    * ships the same transform for Latin script. */
+  def q125(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.matchKey(concat(col("text"),
+          lit(" Café Ñandú ÜBER élan Noël"), col("doc_id") % 7))
+          .as("match_key"))
+      .orderBy(col("doc_id"))
+
   /** URL canonicalization ([[TextAnalysis.canonicalizeUrl]]) over a
     * deterministic fixture of crawl-shaped URLs (mixed-case hosts,
     * default ports, tracking params, unsorted queries, fragments,
@@ -1632,6 +1683,43 @@ object Pipeline {
          |$steps
          |SELECT id AS doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
     },
+    // q127: the full chain restated — wrap, strip, decode, double,
+    // keeper-per-text, sample gate, token count. The oracle groups
+    // on the text itself where the engine groups on md5(text):
+    // identical partitions unless md5 collides.
+    "q127_curation_e2e" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body><p>' ||
+        |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+        |    '</p> <div>footer</div></body></html>' AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(html, '<[^>]*>', '', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS clean_text
+        |  FROM h),
+        |dbl AS (
+        |  SELECT doc_id, clean_text FROM x
+        |  UNION ALL SELECT doc_id + 1000000, clean_text FROM x),
+        |k AS (SELECT clean_text, min(doc_id) AS keeper FROM dbl GROUP BY clean_text)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id <> k.keeper THEN 'dup'
+        |       WHEN list_reduce(list_transform(generate_series(1, 15),
+        |           i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |           (a, b) -> a * 16 + b) % 1000000 >= 600000 THEN 'sampled_out'
+        |       ELSE 'kept' END AS status,
+        |  CAST(len(list_filter(string_split(d.clean_text, ' '), w -> length(w) > 0)) AS BIGINT) AS n_tokens
+        |FROM dbl d JOIN k USING (clean_text)
+        |ORDER BY d.doc_id""".stripMargin,
+    // q125: ICU strip_accents == NFD + drop-Mn + NFC for Latin text;
+    // lower() commutes with accent-stripping on this repertoire.
+    "q125_match_keys" ->
+      """SELECT doc_id,
+        |  lower(strip_accents(text || ' Café Ñandú ÜBER élan Noël' || CAST(doc_id % 7 AS VARCHAR))) AS match_key
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // q123: the same RFC-3986 split + rule chain in DuckDB string
     // functions; list_sort == Spark array_sort on ASCII params
     // (binary collation both sides).

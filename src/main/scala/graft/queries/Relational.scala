@@ -48,7 +48,8 @@ object Relational {
     "q16_cube" -> q16,
     "q17_salted_join" -> q17,
     "q111_profile" -> q111,
-    "q118_table_checksum" -> q118
+    "q118_table_checksum" -> q118,
+    "q126_set_ops" -> q126
   )
 
   /** TPC-H Q1-style pricing summary: scan + filter + hash aggregate.
@@ -318,6 +319,26 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Set operators (INTERSECT / EXCEPT, both directions) on two
+    * genuinely-overlapping-but-distinct key sets: nations of rich
+    * BUILDING customers vs nations of negative-balance suppliers.
+    * Spark plans EXCEPT/INTERSECT as left-anti/left-semi joins over
+    * distincts — the same co-partitioned shapes as q08/q09, gated
+    * through the dedicated API rather than composed by hand. */
+  def q126(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 9000)
+      .select(col("c_nationkey").as("nk")).distinct()
+    val s = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_nationkey").as("nk")).distinct()
+    c.intersect(s).withColumn("op", lit("both"))
+      .unionAll(c.except(s).withColumn("op", lit("customers_only")))
+      .unionAll(s.except(c).withColumn("op", lit("suppliers_only")))
+      .select(col("op"), col("nk"))
+      .orderBy(col("op"), col("nk"))
+  }
+
   /** Portable per-group table fingerprint (the cross-engine data
     * integrity check a migration or replication pipeline runs before
     * trusting a copy — the same discipline this repo's own driver
@@ -388,6 +409,18 @@ object Relational {
         rowFor("o_orderpriority", None)
       ).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+    "q126_set_ops" ->
+      """WITH c AS (
+        |  SELECT DISTINCT c_nationkey AS nk FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000),
+        |s AS (
+        |  SELECT DISTINCT s_nationkey AS nk FROM supplier WHERE s_acctbal < 0)
+        |SELECT 'both' AS op, nk FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+        |UNION ALL
+        |SELECT 'customers_only', nk FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+        |UNION ALL
+        |SELECT 'suppliers_only', nk FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c)
+        |ORDER BY op, nk""".stripMargin,
     // q118: the canonical surface is integers only (cents via exact
     // decimal scaling, epoch-us dates), so no float-formatting rule
     // exists to diverge; the fold is the engine's portable 60-bit
