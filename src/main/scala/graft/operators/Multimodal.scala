@@ -78,6 +78,42 @@ object Multimodal {
       out
     }
 
+    private def u32le(b: Array[Byte], i: Int): Long =
+      ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+        ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+
+    /** (width, height, little-endian?) from the first TIFF IFD —
+      * the one header format whose BYTE ORDER is data-dependent
+      * ("II" = Intel/LE, "MM" = Motorola/BE), so every field read
+      * dispatches on the leading magic; dims are tags 256/257 as
+      * SHORT (inline, endian-sensitive first 2 value bytes) or LONG. */
+    private def tiffDims(b: Array[Byte]): Option[(Int, Int, Boolean)] = {
+      if (b.length < 8) return None
+      val le = b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 0x2a && b(3) == 0
+      val be = b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 0x2a
+      if (!le && !be) return None
+      def u16(i: Int) = if (le) u16le(b, i) else u16be(b, i)
+      def u32(i: Int) = if (le) u32le(b, i) else u32be(b, i)
+      val ifd = u32(4).toInt
+      if (ifd < 8 || ifd + 2 > b.length) return None
+      val n = u16(ifd)
+      var w = -1L; var h = -1L
+      var k = 0
+      while (k < n) {
+        val off = ifd + 2 + k * 12
+        if (off + 12 > b.length) return None
+        val tag = u16(off)
+        val v: Long = u16(off + 2) match {
+          case 3 => u16(off + 8) // SHORT: inline, endian-sensitive
+          case 4 => u32(off + 8) // LONG
+          case _ => -1L
+        }
+        if (tag == 256) w = v else if (tag == 257) h = v
+        k += 1
+      }
+      if (w > 0 && h > 0) Some((w.toInt, h.toInt, le)) else None
+    }
+
     def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
       val sha = java.security.MessageDigest.getInstance("SHA-256")
         .digest(bytes).map("%02x".format(_)).mkString
@@ -95,9 +131,45 @@ object Multimodal {
           case Some((w, h)) => meta(w, h, "jpeg")
           case None => meta(0, 0, "unknown")
         }
-      else meta(0, 0, "unknown")
+      else tiffDims(bytes) match {
+        case Some((w, h, le)) => meta(w, h, if (le) "tiff-le" else "tiff-be")
+        case None => meta(0, 0, "unknown")
+      }
     }
   }
+
+  /** Minimal well-formed single-IFD TIFF, endianness by id parity
+    * (even = "II" little-endian, odd = "MM" big-endian) — dims are
+    * closed-form in id, so a gate checks the decoder's
+    * endian-dispatched reads against pure arithmetic. */
+  def syntheticTiff(id: Long): Array[Byte] = {
+    val w = 3 + (id % 9).toInt
+    val h = 2 + ((id * 3) % 9).toInt
+    val le = id % 2 == 0
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (le) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Int): Unit =
+      if (le) { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+      else { out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+        out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    if (le) { out.write('I'); out.write('I'); out.write(0x2a); out.write(0) }
+    else { out.write('M'); out.write('M'); out.write(0); out.write(0x2a) }
+    w32(8) // first IFD offset
+    w16(2) // entries
+    // tag 256 ImageWidth, SHORT, count 1, value inline (endian rules:
+    // a SHORT sits in the FIRST two bytes of the 4-byte value field
+    // in both endians — the trailing pad is written after)
+    w16(256); w16(3); w32(1); w16(w); w16(0)
+    w16(257); w16(3); w32(1); w16(h); w16(0)
+    w32(0) // no next IFD
+    out.toByteArray
+  }
+
+  def syntheticTiffUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((id: Long) => syntheticTiff(id))
 
   /** Deterministic minimal-but-REAL media payload for a given id —
     * the driver-verifiable test vector for [[HeaderDecoder]]: dims

@@ -38,7 +38,8 @@ object Events {
     "q115_interval_union" -> q115,
     "q116_scd2" -> q116,
     "q117_retention" -> q117,
-    "q124_user_growth" -> q124
+    "q124_user_growth" -> q124,
+    "q128_tiff_meta" -> q128
   )
 
   /** Tumbling 1-hour window aggregation (shared with streaming). */
@@ -199,6 +200,22 @@ object Events {
     val payloads = Tables.documents(spark, dir)
       .select(col("doc_id").as("id"),
         Multimodal.syntheticMediaUdf(col("doc_id")).as("payload"))
+    Multimodal.decodeBatch(payloads)
+      .select(col("id").as("doc_id"), col("n_bytes"),
+        col("width"), col("height"), col("format"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TIFF header decode — the one raster format whose BYTE ORDER is
+    * data-dependent ("II"/"MM" magic): synthetic single-IFD TIFFs
+    * alternate endianness by id parity, and the gate checks the
+    * decoder's endian-dispatched IFD walk (tag/type/inline-SHORT
+    * reads) against pure arithmetic, including which endianness each
+    * payload declared. */
+  def q128(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        Multimodal.syntheticTiffUdf(col("doc_id")).as("payload"))
     Multimodal.decodeBatch(payloads)
       .select(col("id").as("doc_id"), col("n_bytes"),
         col("width"), col("height"), col("format"))
@@ -525,6 +542,17 @@ object Events {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q128: every surface restated from the generator's closed form —
+    // n_bytes is the fixed 38-byte single-IFD layout, dims are pure
+    // arithmetic in id, format records the id-parity endianness.
+    "q128_tiff_meta" ->
+      """SELECT doc_id,
+        |  CAST(38 AS INT) AS n_bytes,
+        |  CAST(3 + doc_id % 9 AS INT) AS width,
+        |  CAST(2 + (doc_id * 3) % 9 AS INT) AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'tiff-le' ELSE 'tiff-be' END AS format
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q124_user_growth" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day

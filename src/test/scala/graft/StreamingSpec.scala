@@ -640,6 +640,35 @@ class StreamingSpec extends SparkSuite {
     assert(g.format == "gif" && g.width == 0x1234 && g.height == 0x5678)
   }
 
+  test("HeaderDecoder TIFF: both endians, LONG-typed dims, corrupt IFDs honest") {
+    import Multimodal.HeaderDecoder.decode
+    // generator round-trip, both parities
+    for (id <- Seq(0L, 1L, 8L, 13L)) {
+      val m = decode(id, Multimodal.syntheticTiff(id))
+      assert(m.format == (if (id % 2 == 0) "tiff-le" else "tiff-be"), s"id=$id")
+      assert(m.width == 3 + (id % 9).toInt && m.height == 2 + ((id * 3) % 9).toInt)
+      assert(m.n_bytes == 38)
+    }
+    // hand-built BE TIFF with LONG (type 4) dims above 16 bits
+    val be = (Array[Int]('M', 'M', 0, 0x2a, 0, 0, 0, 8, // magic + IFD@8
+      0, 2, // 2 entries
+      0x01, 0x00, 0, 4, 0, 0, 0, 1, 0x00, 0x01, 0x00, 0x10, // width LONG 65552
+      0x01, 0x01, 0, 4, 0, 0, 0, 1, 0x00, 0x00, 0x00, 0x07, // height LONG 7
+      0, 0, 0, 0)).map(_.toByte)
+    val mBe = decode(20L, be)
+    assert(mBe.format == "tiff-be" && mBe.width == 65552 && mBe.height == 7)
+    // corrupt: IFD offset past the payload; entry table truncated;
+    // dims missing (only one tag) — all honest unknown
+    val badOff = (Array[Int]('I', 'I', 0x2a, 0, 0x40, 0, 0, 0)).map(_.toByte)
+    assert(decode(21L, badOff).format == "unknown")
+    val trunc = Multimodal.syntheticTiff(2L).take(16)
+    assert(decode(22L, trunc).format == "unknown")
+    val oneTag = (Array[Int]('I', 'I', 0x2a, 0, 8, 0, 0, 0,
+      1, 0, 0x00, 0x01, 3, 0, 1, 0, 0, 0, 5, 0, 0, 0,
+      0, 0, 0, 0)).map(_.toByte)
+    assert(decode(23L, oneTag).format == "unknown")
+  }
+
   test("Gif codec: ImageIO round-trip restores the closed-form RGB content; " +
     "hand-packed non-interlaced stream decodes; rejection cases honest") {
     import graft.operators.Multimodal
