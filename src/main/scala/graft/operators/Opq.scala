@@ -84,6 +84,11 @@ object Opq {
       }.collect()
     require(parts.nonEmpty, "opq: empty corpus")
     val d = parts.head._2.length
+    // per-partition folds only check widths within their partition;
+    // a corpus mixing widths across partitions must fail loudly here,
+    // not silently truncate the wider sums
+    require(parts.forall(_._2.length == d),
+      s"opq: vector width differs across partitions (${parts.map(_._2.length).distinct.toSeq})")
     val s = new Array[Double](d); val m = new Array[Double](d * d)
     var n = 0L
     parts.foreach { case (pn, ps, pm) =>

@@ -23,14 +23,19 @@ object Snapshot {
     * `removed` (only in old), `changed` (both, payload hash differs),
     * `unchanged`. Payload columns are folded in the given order with
     * a  separator; rows with null ids are dropped (an id-less
-    * row cannot be tracked across versions). */
+    * row cannot be tracked across versions). NULL payload cells fold
+    * as an explicit sentinel -- concat_ws SKIPS nulls, which would
+    * make ("a", null, "b") and ("a", "b", null) hash equal and hide
+    * a real change. */
   def diff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
            payloadCols: Seq[String]): DataFrame = {
     require(payloadCols.nonEmpty, "snapshot diff needs payload columns")
+    val cells = payloadCols.map(c =>
+      coalesce(col(c).cast("string"), lit("graft-null")))
     def hashed(df: DataFrame, side: String) = df
       .filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"),
-        conv(substring(md5(concat_ws("", payloadCols.map(col): _*)), 1, 15), 16, 10)
+        conv(substring(md5(concat_ws("", cells: _*)), 1, 15), 16, 10)
           .cast("long").as(side))
     hashed(oldDf, "h_old").join(hashed(newDf, "h_new"), Seq("id"), "full_outer")
       .select(col("id"),

@@ -85,7 +85,8 @@ object Pipeline {
     "q122_lang_quartiles" -> q122,
     "q123_url_canon" -> q123,
     "q125_match_keys" -> q125,
-    "q127_curation_e2e" -> q127
+    "q127_curation_e2e" -> q127,
+    "q129_dup_by_source" -> q129
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -833,6 +834,24 @@ object Pipeline {
     * makes every iteration bit-replayable: the oracle chains 5
     * materialized CTEs (the q48 discipline), so an ITERATIVE graph
     * algorithm is hash-gated, not rows-only. */
+  /** Per-source duplication report (the curation dashboard row that
+    * decides which sources get the expensive near-dup pass): every
+    * 3rd doc planted as an exact copy, then per source ONE aggregate
+    * of row count + distinct text-hash count — dup volume as exact
+    * integers (n_dup_rows = rows − uniques), the corpus never
+    * shuffles text (hashes only). */
+  def q129(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+    val doubled = base.unionAll(base.filter(col("doc_id") % 3 === 0)
+      .select(col("source"), (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    doubled.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .withColumn("n_dup_rows", col("n_rows") - col("n_unique"))
+      .orderBy(col("source"))
+  }
+
   /** END-TO-END curation chain under ONE gate: extract (q119's HTML
     * wrap → strip/decode) → exact dedup over a corpus doubled with
     * planted copies (keeper = min id per text hash, the q30/q85
@@ -1683,6 +1702,17 @@ object Pipeline {
          |$steps
          |SELECT id AS doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
     },
+    // q129: distinct text (not md5) — same partition unless md5
+    // collides, the q127 note.
+    "q129_dup_by_source" ->
+      """WITH dbl AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL SELECT source, text FROM documents WHERE doc_id % 3 = 0)
+        |SELECT source, count(*) AS n_rows,
+        |  count(DISTINCT text) AS n_unique,
+        |  count(*) - count(DISTINCT text) AS n_dup_rows
+        |FROM dbl GROUP BY source
+        |ORDER BY source""".stripMargin,
     // q127: the full chain restated — wrap, strip, decode, double,
     // keeper-per-text, sample gate, token count. The oracle groups
     // on the text itself where the engine groups on md5(text):
