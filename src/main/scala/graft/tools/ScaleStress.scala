@@ -927,10 +927,40 @@ object ScaleStress {
     def slideRun(n: Long): Long =
       graft.streaming.EventStreams.slidingAgg(
         evts(n).withColumn("ts", timestamp_micros(col("tus")))).count()
+    // q115/q116 shapes: islands-and-gaps interval union and SCD2 run
+    // collapse — both ONE user_id shuffle + windows bounded by
+    // per-user event counts, so 10x events must cost ~10x.
+    def islandRun(n: Long): Long = {
+      val byU = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      evts(n)
+        .withColumn("eus", col("tus") + lit(60000000L) * (lit(1L) + pmod(col("event_id"), lit(30L))))
+        .withColumn("pme", max(col("eus")).over(
+          byU.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+        .withColumn("nw", when(col("pme").isNull || col("tus") > col("pme"), 1L).otherwise(0L))
+        .withColumn("isl", sum(col("nw")).over(byU.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(min(col("tus")).as("s"), max(col("eus")).as("e"))
+        .groupBy(col("user_id")).agg(sum(col("e") - col("s"))).count()
+    }
+    def scd2Run(n: Long): Long = {
+      val byU = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      evts(n)
+        .withColumn("pv", lag(col("event_type"), 1).over(byU))
+        .withColumn("ch", when(col("pv").isNull || col("pv") =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("run", sum(col("ch")).over(byU.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("run"), col("event_type"))
+        .agg(min(col("tus"))).count()
+    }
     Seq(1000000L, 10000000L).foreach { n =>
       timed(s"trailing RANGE frame $n events")(trailRun(n))
       timed(s"transition counts $n events")(transRun(n))
       timed(s"sliding 1h/15min agg $n events")(slideRun(n))
+      timed(s"interval-union islands $n events")(islandRun(n))
+      timed(s"SCD2 run collapse $n events")(scd2Run(n))
     }
     }
     spark.stop()
