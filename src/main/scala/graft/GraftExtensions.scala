@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.GeoFunctions
+import graft.functions.{GeoFunctions, TextFunctions}
 
 /** Spark session extension entry point: makes every graft SQL
   * function (st_* geometry suite) available cluster-wide without any
@@ -28,5 +28,6 @@ import graft.functions.GeoFunctions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GeoFunctions.injectInto(ext)
+    TextFunctions.injectInto(ext)
   }
 }

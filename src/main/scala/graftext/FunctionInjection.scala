@@ -50,4 +50,12 @@ object FunctionInjection {
       FunctionIdentifier(name),
       new ExpressionInfo(classOf[SortedLongIntersectCount].getName, name),
       builder)
+
+  /** Column ↔ Expression bridges for builders defined OUTSIDE the
+    * org.apache.spark.sql namespace (ExpressionUtils is
+    * private[sql]; this package sits inside it). */
+  def columnOf(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def exprOf(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

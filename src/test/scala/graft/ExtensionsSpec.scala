@@ -23,6 +23,22 @@ class ExtensionsSpec extends SparkSuite {
     assert(row.getAs[Double]("d") === 1.5 * 4.0 + -2.0 * 0.25)
   }
 
+  test("injected native text/layout builders resolve in SQL") {
+    graft.functions.TextFunctions.registerBuilders(spark)
+    val row = spark.sql(
+      """SELECT
+        |  zorder_key(3L, 5L) AS zk,
+        |  vec_l2sq(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+        |           array(CAST(3.0 AS DOUBLE), CAST(0.0 AS DOUBLE))) AS l2,
+        |  unicode_normalize('Café', 'NFC') AS nf
+        |""".stripMargin).collect()(0)
+    // z(3,5) = interleave x=011, y=101 -> bits y2 x2 y1 x1 y0 x0 = 100111
+    assert(row.getAs[Long]("zk") ===
+      java.lang.Long.parseLong("100111", 2))
+    assert(row.getAs[Double]("l2") === 8.0)
+    assert(row.getAs[String]("nf") === "Café")
+  }
+
   test("vec_dot propagates a null element to a null result (SQL surface)") {
     GeoFunctions.registerBuilders(spark)
     // arbitrary user arrays reach the SQL function; a null element must
