@@ -28,6 +28,20 @@ object PipelineDemo {
     val docs = Tables.documents(spark, dir)
     println(s"=== corpus: ${docs.count()} docs ===")
 
+    // 0. crawl front door: HTML extraction + URL canonicalization —
+    //    the step before everything else on a real crawl (here the
+    //    corpus is wrapped in markup to drive the extractor)
+    val wrapped = docs.select(col("doc_id"),
+      concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")).as("html"),
+      concat(lit("HTTP://Example.COM:80/doc/"), col("doc_id"),
+        lit("?utm_source=crawl&id="), col("doc_id")).as("url"))
+    val extracted = TextAnalysis.htmlToText(wrapped, "doc_id", "html")
+    val nTags = extracted.agg(sum(col("n_tags"))).head().getLong(0)
+    val canonUrls = wrapped.select(TextAnalysis.canonicalizeUrl(col("url")).as("u"))
+      .distinct().count()
+    println(s"=== extract: $nTags tags stripped across the corpus; " +
+      s"$canonUrls canonical urls (ports/tracking params gone) ===")
+
     // 1. near-dup dedup (MinHash-LSH -> connected components)
     val deduped = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.9)
     val kept = deduped.filter(col("keep"))
