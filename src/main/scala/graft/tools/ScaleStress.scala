@@ -813,6 +813,84 @@ object ScaleStress {
       graft.operators.Profile.profile(zipf).count())
     }
 
+    if (sections("layout")) {
+    // q112's claim, measured end-to-end: writing ORDER BY zorder_key
+    // co-locates rows close in BOTH dimensions, so parquet row-group
+    // min/max stats prune a 2D box predicate on EITHER column. Three
+    // layouts of the SAME 10M rows (x, y uniform 16-bit), same box
+    // filter; the x-sorted layout prunes x but reads everything for
+    // y, the unsorted layout reads everything for both.
+    val n = 10000000L
+    val rows = spark.range(0, n, 1, 32).select(
+      col("id"),
+      pmod(conv(substring(md5(concat(lit("zx:"), col("id"))), 1, 15), 16, 10).cast("long"), lit(65536L)).as("x"),
+      pmod(conv(substring(md5(concat(lit("zy:"), col("id"))), 1, 15), 16, 10).cast("long"), lit(65536L)).as("y"))
+    val base = "/tmp/graft_layout"
+    // 1 MiB row groups -> ~200 groups: pruning has resolution to show
+    rows.withColumn("zkey", org.apache.spark.sql.graftext.Bits.zorder(col("x"), col("y")))
+      .repartition(1).sortWithinPartitions(col("zkey")).drop("zkey")
+      .write.mode("overwrite").option("parquet.block.size", 1048576)
+      .parquet(s"$base/zorder")
+    rows.repartition(1).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").option("parquet.block.size", 1048576)
+      .parquet(s"$base/xsort")
+    rows.repartition(1)
+      .write.mode("overwrite").option("parquet.block.size", 1048576)
+      .parquet(s"$base/unsorted")
+    val filters = Seq(
+      "x in [1000,1512)" -> (col("x") >= 1000 && col("x") < 1512),
+      "y in [2000,2512)" -> (col("y") >= 2000 && col("y") < 2512),
+      "x AND y box" -> (col("x") >= 1000 && col("x") < 1512 &&
+        col("y") >= 2000 && col("y") < 2512))
+    // correctness: all three layouts agree on every filter
+    filters.foreach { case (label, pred) =>
+      val counts = Seq("zorder", "xsort", "unsorted")
+        .map(l => spark.read.parquet(s"$base/$l").filter(pred).count())
+      assert(counts.distinct.size == 1, s"$label: $counts")
+    }
+    // the honest pruning metric at this (page-cached, decode-bound)
+    // size is STATIC: which row groups survive min/max skipping —
+    // read straight off the parquet footers, the same stats any
+    // engine's row-group skip consults
+    import scala.jdk.CollectionConverters._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def prune(l: String, xr: Option[(Long, Long)], yr: Option[(Long, Long)]): String = {
+      val dirPath = new org.apache.hadoop.fs.Path(s"$base/$l")
+      val fs = dirPath.getFileSystem(hconf)
+      var tot = 0; var kept = 0; var totRows = 0L; var keptRows = 0L
+      fs.listStatus(dirPath).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, hconf))
+        try {
+          rd.getFooter.getBlocks.asScala.foreach { b =>
+            tot += 1; totRows += b.getRowCount
+            val stats = b.getColumns.asScala
+              .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+            def survives(colName: String, r: Option[(Long, Long)]): Boolean =
+              r.forall { case (lo, hi) =>
+                val st = stats(colName)
+                  .asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+                st.getMax >= lo && st.getMin < hi
+              }
+            if (survives("x", xr) && survives("y", yr)) {
+              kept += 1; keptRows += b.getRowCount
+            }
+          }
+        } finally rd.close()
+      }
+      f"$kept/$tot row groups, ${100.0 * keptRows / totRows}%.1f%% of rows survive skipping"
+    }
+    val ranges = Seq(
+      ("x in [1000,1512)", Some((1000L, 1512L)), None),
+      ("y in [2000,2512)", None, Some((2000L, 2512L))),
+      ("x AND y box", Some((1000L, 1512L)), Some((2000L, 2512L))))
+    Seq("zorder", "xsort", "unsorted").foreach { l =>
+      ranges.foreach { case (label, xr, yr) =>
+        println(s"[stress] $l layout, $label: ${prune(l, xr, yr)}")
+      }
+    }
+    }
+
     if (sections("skew")) {
     // Hot-key join at 30x nDocs fact rows, ONE key holding 90%: the
     // q17 correctness gate's PERFORMANCE claim, measured. Broadcast
