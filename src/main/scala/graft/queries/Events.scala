@@ -39,7 +39,8 @@ object Events {
     "q116_scd2" -> q116,
     "q117_retention" -> q117,
     "q124_user_growth" -> q124,
-    "q128_tiff_meta" -> q128
+    "q128_tiff_meta" -> q128,
+    "q130_asof_nearest" -> q130
   )
 
   /** Tumbling 1-hour window aggregation (shared with streaming). */
@@ -155,6 +156,27 @@ object Events {
       // unmatched-left sentinels instead of nulls so the driver's
       // hash compare is engine-agnostic (the operator itself keeps
       // real nulls; both engine and oracle coalesce identically here)
+      .select(col("user_id"), col("click_id"), col("cts"),
+        coalesce(col("view_value"), lit(-1.0)).as("view_value"),
+        coalesce(col("matched_ts"), lit(-1L)).as("matched_ts"))
+      .orderBy(col("click_id"))
+  }
+
+  /** NEAREST-direction as-of (the q65 shape with the closest view on
+    * EITHER side of each click, 1-hour tolerance; distance ties
+    * prefer the backward match): gates the third as-of direction —
+    * backward is q65, forward/nearest were spec-only until here.
+    * Same single-shuffle merge, no join node. */
+  def q130(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("cts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("vts"),
+        col("value").as("view_value"))
+    TemporalJoin.asOfJoinNearest(clicks, views, "user_id", "cts", "vts",
+        tolerance = Some(3600L * 1000000))
       .select(col("user_id"), col("click_id"), col("cts"),
         coalesce(col("view_value"), lit(-1.0)).as("view_value"),
         coalesce(col("matched_ts"), lit(-1L)).as("matched_ts"))
@@ -858,6 +880,29 @@ object Events {
         |FROM m LEFT JOIN v v2
         |  ON m.user_id = v2.user_id AND m.matched_ts = v2.vts
         |ORDER BY click_id""".stripMargin,
+    // q130: candidate views within tolerance on either side ranked by
+    // (|dt|, vts) — vts ASC breaks distance ties toward the BACKWARD
+    // match, the operator's documented rule; equal-ts view payloads
+    // collapse by max first (the q65 tie convention).
+    "q130_asof_nearest" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id, epoch_us(ts) AS vts, max(value) AS view_value
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY user_id, epoch_us(ts)),
+        |ranked AS (
+        |  SELECT c.click_id, v.vts, v.view_value,
+        |    row_number() OVER (PARTITION BY c.click_id
+        |      ORDER BY abs(c.cts - v.vts), v.vts) AS rn
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |   AND abs(c.cts - v.vts) <= 3600000000)
+        |SELECT c.user_id, c.click_id, c.cts,
+        |  coalesce(r.view_value, -1.0) AS view_value,
+        |  coalesce(r.vts, -1) AS matched_ts
+        |FROM c LEFT JOIN ranked r ON r.click_id = c.click_id AND r.rn = 1
+        |ORDER BY c.click_id""".stripMargin,
     "q66_range_join" ->
       """WITH p AS (
         |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
