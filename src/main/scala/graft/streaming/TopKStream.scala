@@ -48,7 +48,9 @@ object TopKStream {
     var m: Map[String, (Long, Long)] = state.getOption
       .map(_.counters.map(c => c.token -> (c.count, c.err)).toMap)
       .getOrElse(Map.empty)
-    toks.toSeq.sortBy(_.eid).foreach { t =>
+    // (eid, token) — a total order even under duplicate event ids,
+    // so the summary never depends on partition arrival order
+    toks.toSeq.sortBy(t => (t.eid, t.token)).foreach { t =>
       m.get(t.token) match {
         case Some((c, e)) => m = m.updated(t.token, (c + 1, e))
         case None if m.size < k => m = m.updated(t.token, (1L, 0L))
