@@ -138,9 +138,10 @@ object LinkGraph {
     * data-dependent, for the q104 reason: a bounded loop is
     * bit-replayable as chained oracle CTEs, and the spec pins that
     * the fixture reaches the fixed point well inside the budget (a
-    * production run sizes `rounds` to its graph's peel depth or
-    * loops to convergence — peel depth is O(log n) on power-law
-    * graphs, public result).
+    * production run sizes `rounds` to its graph's measured peel
+    * depth or loops to convergence; peel depth is worst-case O(n) —
+    * a path peels one end per round — but small on real web graphs,
+    * where most nodes sit far from the core boundary).
     *
     * Plan per round: ONE degree aggregate over surviving canonical
     * edges + two semi-joins restricting the edge set;
