@@ -62,6 +62,34 @@ object Profile {
       .select(col("p.*"))
   }
 
+  /** The WIDE-TABLE escape hatch [[profile]]'s docs price out: NDVs
+    * via approx_count_distinct (HyperLogLog++), which needs NO
+    * Expand — one unreplicated pass however many columns — at the
+    * cost of sketch error. Emits per column the approx NDV AND an
+    * `ndv_ok` envelope boolean (|approx − exact|/exact ≤ `rsdBound`,
+    * exactness rides along for the check; a production wide-table
+    * run drops the exact column and the Expand with it). The q64x
+    * discipline: the sketch value itself is engine-specific, the
+    * BOUND is what a cross-engine gate can state as TRUE. Default
+    * bound 0.15 ≈ 3σ of the default 5% rsd. */
+  def profileApproxNdv(df: DataFrame, rsdBound: Double = 0.15): DataFrame = {
+    val fields = df.schema.fields
+    val aggExprs = fields.flatMap { f =>
+      Seq(
+        countDistinct(col(f.name)).as(s"${f.name}__ndv"),
+        approx_count_distinct(col(f.name)).as(s"${f.name}__andv"))
+    }
+    val wide = df.agg(aggExprs.head, aggExprs.tail: _*)
+    wide.select(explode(array(fields.map { f =>
+        struct(
+          lit(f.name).as("column_name"),
+          col(s"${f.name}__ndv").as("n_distinct"),
+          (abs(col(s"${f.name}__andv") - col(s"${f.name}__ndv")).cast("double") /
+            col(s"${f.name}__ndv").cast("double") <= rsdBound).as("ndv_ok"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   /** Exact q-quantile cut points of an integer-valued column — the
     * scale-correct alternative to a global ntile() (which serializes
     * EVERY row through one reducer's sort): ONE value-histogram

@@ -49,7 +49,8 @@ object Relational {
     "q17_salted_join" -> q17,
     "q111_profile" -> q111,
     "q118_table_checksum" -> q118,
-    "q126_set_ops" -> q126
+    "q126_set_ops" -> q126,
+    "q131_profile_approx" -> q131
   )
 
   /** TPC-H Q1-style pricing summary: scan + filter + hash aggregate.
@@ -378,7 +379,24 @@ object Relational {
     graft.operators.Profile.profile(Tables.orders(spark, dir))
       .orderBy(col("column_name"))
 
+  /** The wide-table profiler path (q111's escape hatch, gated): NDVs
+    * via HLL++ with the q64x envelope discipline — exact NDV is
+    * hash-gated, the sketch lands as an `ndv_ok` boolean the oracle
+    * states as TRUE. Closes SURVEY §8 backlog item 3. */
+  def q131(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profileApproxNdv(
+        Tables.orders(spark, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority")))
+      .orderBy(col("column_name"))
+
   def oracleSql: Map[String, String] = Map(
+    "q131_profile_approx" -> {
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS column_name, count(DISTINCT $c) AS n_distinct,
+           |  TRUE AS ndv_ok FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     // q111: one SELECT per column, the min/max surface picked by type
     // exactly as the engine does (numerics/timestamps -> double,
     // strings -> binary-collation varchar)
