@@ -86,7 +86,8 @@ object Pipeline {
     "q123_url_canon" -> q123,
     "q125_match_keys" -> q125,
     "q127_curation_e2e" -> q127,
-    "q129_dup_by_source" -> q129
+    "q129_dup_by_source" -> q129,
+    "q132_trending" -> q132
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -834,6 +835,33 @@ object Pipeline {
     * makes every iteration bit-replayable: the oracle chains 5
     * materialized CTEs (the q48 discipline), so an ITERATIVE graph
     * algorithm is hash-gated, not rows-only. */
+  /** Trending terms between two corpus slices (the day-over-day
+    * vocabulary-drift detector — the signal that catches a new spam
+    * campaign or topic surge before any quality model does): token
+    * counts per slice (doc_id parity plays yesterday/today), growth
+    * ranked by the EXACT integer surface c_new·1e6 div (c_old+1)
+    * (the +1 Laplace floor keeps new-word growth finite; integer
+    * division keeps the rank engine-portable — no float ratio to
+    * diverge on). Two count aggregates + one token-keyed join;
+    * tokens below minCount in the new slice drop BEFORE the join.
+    * Top 25 by (growth, token) — total order, no rank ambiguity. */
+  def q132(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    def slice(parity: Int) = d.filter(col("doc_id") % 2 === parity)
+      .select(explode(TextAnalysis.wsTokens(lower(col("text")))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val newC = slice(1).filter(col("c") >= 5)
+      .select(col("t"), col("c").as("c_new"))
+    val oldC = slice(0).select(col("t"), col("c").as("c_old"))
+    newC.join(oldC, Seq("t"), "left")
+      .select(col("t"), col("c_new"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"))
+      .withColumn("growth",
+        expr("c_new * 1000000L div (c_old + 1L)"))
+      .orderBy(col("growth").desc, col("t"))
+      .limit(25)
+  }
+
   /** Per-source duplication report (the curation dashboard row that
     * decides which sources get the expensive near-dup pass): every
     * 3rd doc planted as an exact copy, then per source ONE aggregate
@@ -1702,6 +1730,24 @@ object Pipeline {
          |$steps
          |SELECT id AS doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
     },
+    // q132: the growth surface is integer division on both engines
+    // (Spark div == DuckDB // on non-negative operands), and the
+    // (growth DESC, token) order is total, so LIMIT 25 is stable.
+    "q132_trending" ->
+      """WITH tok AS (
+        |  SELECT doc_id % 2 AS parity, t.w AS t
+        |  FROM documents,
+        |    unnest(list_filter(string_split(lower(text), ' '), w -> length(w) > 0)) AS t(w)),
+        |n AS (
+        |  SELECT t, count(*) AS c_new FROM tok WHERE parity = 1
+        |  GROUP BY t HAVING count(*) >= 5),
+        |o AS (
+        |  SELECT t, count(*) AS c_old FROM tok WHERE parity = 0 GROUP BY t)
+        |SELECT n.t, n.c_new, coalesce(o.c_old, 0) AS c_old,
+        |  CAST(n.c_new * 1000000 // (coalesce(o.c_old, 0) + 1) AS BIGINT) AS growth
+        |FROM n LEFT JOIN o ON n.t = o.t
+        |ORDER BY growth DESC, n.t
+        |LIMIT 25""".stripMargin,
     // q129: distinct text (not md5) — same partition unless md5
     // collides, the q127 note.
     "q129_dup_by_source" ->
