@@ -195,6 +195,89 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("CoverageStream seals islands identical to the batch q115 fold, exactly once") {
+    import graft.streaming.CoverageStream
+    val dur = (get_json_object(col("props"), "$.k").cast("long") % 30 + 1) * 60000L
+    val stream = EventStreams.readEventStream(spark, sf)
+      .filter(col("user_id").isNotNull && col("props").isNotNull)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts"), col("event_id").as("eid"), dur.as("dur_ms"))
+    val q = CoverageStream.islands(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("coverage_stream_spec").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("coverage_stream_spec").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_ms"),
+        r.getAs[Long]("end_ms"), r.getAs[Long]("covered_ms")))
+    assert(got.length === got.distinct.length, "an island sealed twice")
+    got.foreach { case (_, s, e, c) => assert(c == e - s && e > s) }
+
+    // batch reference: the q115 fold per user over ALL events
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("props").isNotNull)
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"),
+        col("event_id").as("eid"), dur.as("dur_ms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = evs.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val islands = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var open: Option[(Long, Long)] = None
+      sorted.foreach { case (_, s0, _, d) =>
+        val e0 = s0 + d
+        open = open match {
+          case Some((s, e)) if s0 <= e => Some((s, math.max(e, e0)))
+          case Some((s, e)) => islands += ((u, s, e, e - s)); Some((s0, e0))
+          case None => Some((s0, e0))
+        }
+      }
+      open.foreach { case (s, e) => islands += ((u, s, e, e - s)) }
+      islands
+    }.toSet
+    // every sealed island must be a batch island verbatim, and the
+    // watermark must have sealed a meaningful share
+    assert(got.nonEmpty && got.size >= want.size / 2,
+      s"only ${got.size} of ${want.size} islands sealed")
+    got.foreach(i => assert(want.contains(i), s"island $i not in batch fold"))
+  }
+
+  test("CoverageStream.updateUser: out-of-order merge inside the lateness window, " +
+    "strict-boundary pending, sealing only below the watermark") {
+    import graft.streaming.CoverageStream
+    import graft.streaming.CoverageStream.{Ev, Island, St}
+    def mkState(st: Option[St], wm: Long): org.apache.spark.sql.streaming.TestGroupState[St] =
+      org.apache.spark.sql.streaming.TestGroupState.create[St](
+        st.map(org.apache.spark.api.java.Optional.of(_))
+          .getOrElse(org.apache.spark.api.java.Optional.empty()),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+        0L, org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(wm)), false)
+    def ev(ts: Long, eid: Long, dur: Long) =
+      Ev(1L, new java.sql.Timestamp(ts), eid, dur)
+    // batch 1, wm=0: nothing ripe — everything pends
+    val st1 = mkState(None, 0L)
+    val out1 = CoverageStream.updateUser(1L,
+      Iterator(ev(1000, 1, 500), ev(100, 2, 500)), st1).toSeq
+    assert(out1.isEmpty && st1.get.pending.size == 2 && st1.get.open.isEmpty)
+    // batch 2, wm=1500: both ripen OUT OF ORDER and merge
+    // ([100,600] then [1000,1500] — gap -> two islands, first seals
+    // (end 600 < wm), second has end 1500 == wm -> stays open
+    val st2 = mkState(Some(st1.get), 1500L)
+    val out2 = CoverageStream.updateUser(1L, Iterator.empty, st2).toSeq
+    assert(out2 == Seq(Island(1L, 100, 600, 500)), s"got $out2")
+    assert(st2.get.open.contains((1000L, 1500L)))
+    // an event AT the watermark pends (strict <)
+    val st3 = mkState(Some(st2.get), 1500L)
+    val out3 = CoverageStream.updateUser(1L, Iterator(ev(1500, 3, 100)), st3).toSeq
+    assert(out3.isEmpty && st3.get.pending == List((1500L, 3L, 100L)))
+    // wm passes everything: 1500-event merges? no — it STARTS at the
+    // open island's end boundary (1500 <= 1500 merges by the batch
+    // rule), extending to 1600; island seals at wm 2000
+    val st4 = mkState(Some(st3.get), 2000L)
+    val out4 = CoverageStream.updateUser(1L, Iterator.empty, st4).toSeq
+    assert(out4 == Seq(Island(1L, 1000, 1600, 600)), s"got $out4")
+    assert(!st4.exists || (st4.get.pending.isEmpty && st4.get.open.isEmpty))
+  }
+
   test("hash-gated sampling is stateless and streaming-safe: stream == batch sample") {
     val q = graft.operators.Sampling
       .hashSample(EventStreams.readEventStream(spark, sf), "event_id", 0.3)
