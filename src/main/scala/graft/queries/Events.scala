@@ -40,7 +40,8 @@ object Events {
     "q117_retention" -> q117,
     "q124_user_growth" -> q124,
     "q128_tiff_meta" -> q128,
-    "q130_asof_nearest" -> q130
+    "q130_asof_nearest" -> q130,
+    "q133_asof_forward" -> q133
   )
 
   /** Tumbling 1-hour window aggregation (shared with streaming). */
@@ -177,6 +178,27 @@ object Events {
         col("value").as("view_value"))
     TemporalJoin.asOfJoinNearest(clicks, views, "user_id", "cts", "vts",
         tolerance = Some(3600L * 1000000))
+      .select(col("user_id"), col("click_id"), col("cts"),
+        coalesce(col("view_value"), lit(-1.0)).as("view_value"),
+        coalesce(col("matched_ts"), lit(-1L)).as("matched_ts"))
+      .orderBy(col("click_id"))
+  }
+
+  /** FORWARD-direction as-of ("what happened next": the EARLIEST
+    * view at-or-after each click, 2h tolerance) — with q65 (backward)
+    * and q130 (nearest) this puts all three as-of directions under
+    * the driver gate. Same single-shuffle merge; the forward scan is
+    * the reversed sort of the same tagged union. */
+  def q133(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("cts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("vts"),
+        col("value").as("view_value"))
+    TemporalJoin.asOfJoin(clicks, views, "user_id", "cts", "vts",
+        forward = true, tolerance = Some(2L * 3600 * 1000000))
       .select(col("user_id"), col("click_id"), col("cts"),
         coalesce(col("view_value"), lit(-1.0)).as("view_value"),
         coalesce(col("matched_ts"), lit(-1L)).as("matched_ts"))
@@ -880,6 +902,29 @@ object Events {
         |FROM m LEFT JOIN v v2
         |  ON m.user_id = v2.user_id AND m.matched_ts = v2.vts
         |ORDER BY click_id""".stripMargin,
+    // q133: mirror of q65's oracle with min(vts >= cts) — inclusive
+    // at equality, matching the operator's both-directions-inclusive
+    // equal-timestamp rule.
+    "q133_asof_forward" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id, epoch_us(ts) AS vts, max(value) AS view_value
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY user_id, epoch_us(ts)),
+        |m AS (
+        |  SELECT c.click_id, c.user_id, c.cts, min(v.vts) AS matched_ts
+        |  FROM c LEFT JOIN v
+        |    ON c.user_id = v.user_id AND v.vts >= c.cts
+        |   AND v.vts - c.cts <= 7200000000
+        |  GROUP BY c.click_id, c.user_id, c.cts)
+        |SELECT m.user_id, m.click_id, m.cts,
+        |  coalesce(v2.view_value, -1.0) AS view_value,
+        |  coalesce(m.matched_ts, -1) AS matched_ts
+        |FROM m LEFT JOIN v v2
+        |  ON m.user_id = v2.user_id AND m.matched_ts = v2.vts
+        |ORDER BY m.click_id""".stripMargin,
     // q130: candidate views within tolerance on either side ranked by
     // (|dt|, vts) — vts ASC breaks distance ties toward the BACKWARD
     // match, the operator's documented rule; equal-ts view payloads
