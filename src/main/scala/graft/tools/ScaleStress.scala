@@ -813,6 +813,28 @@ object ScaleStress {
       graft.operators.Profile.profile(zipf).count())
     }
 
+    if (sections("diff")) {
+    // Snapshot.diff at 1M and 10M rows: the claim is a
+    // metadata-sized shuffle (both sides hash map-side, the
+    // full-outer join carries 16 bytes/row) -> 10x rows ~ 10x cost,
+    // bounded by the scan+hash, not payload freight.
+    def corpusV(n: Long, rev: Boolean) = spark.range(0, n, 1, 32)
+      .filter(if (rev) col("id") % 97 =!= 0 else lit(true))
+      .select(col("id"),
+        concat(lit("payload body text for doc "), col("id"),
+          when(lit(rev) && col("id") % 31 === 0, lit(" [rev2]")).otherwise(lit(""))).as("text"))
+    Seq(1000000L, 10000000L).foreach { n =>
+      val v1 = corpusV(n, rev = false).localCheckpoint()
+      val v2 = corpusV(n, rev = true).localCheckpoint()
+      timed(s"Snapshot.diff $n rows (drop every 97th, revise every 31st)") {
+        val d = graft.operators.Snapshot.diff(v1, v2, "id", Seq("text"))
+          .groupBy(col("status")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        s"changed=${d.getOrElse("changed", 0L)} removed=${d.getOrElse("removed", 0L)} unchanged=${d.getOrElse("unchanged", 0L)}"
+      }
+    }
+    }
+
     if (sections("layout")) {
     // q112's claim, measured end-to-end: writing ORDER BY zorder_key
     // co-locates rows close in BOTH dimensions, so parquet row-group
