@@ -996,6 +996,10 @@ object ScaleStress {
       graft.operators.LinkGraph.pageRankFixedPoint(edges, nodes,
         "src", "dst", "id", iters = 5).agg(sum(col("rank"))).head().getLong(0)
     }
+    timed("kcore k=3, 8 peel rounds") {
+      graft.operators.LinkGraph.kcore(edges, nodes, "src", "dst", "id", 3, 8)
+        .agg(sum(when(col("in_core"), 1L).otherwise(0L))).head().getLong(0)
+    }
     }
 
     if (sections("window")) {
