@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal (binary) column plumbing (SURVEY.md §2.G).
   *
   * Media payloads ride as opaque `binary` columns with typed metadata
-  * alongside. Header-level decode ([[HeaderDecoder]]) is REAL —
-  * JPEG SOF / PNG IHDR / GIF screen-descriptor parsing in pure JVM
-  * code; full pixel decode (DCT/inflate) and the resize/feature
-  * kernels remain clearly-marked deterministic stubs a deployment
-  * swaps for native codecs. The Spark-side plumbing is the part that
-  * matters at 100 TB: binary columns stay columnar in parquet, the
-  * decoder runs partition-wise in batches (the shape a
+  * alongside. Header-level decode ([[HeaderDecoder]]) AND full pixel
+  * decode are REAL, pure-JVM, zero-dependency: PNG (zlib inflate +
+  * all five filter types + CRC, [[Png]]), baseline JPEG (Huffman +
+  * IDCT, [[graft.operators.Jpeg]]), GIF (variable-width LZW +
+  * 4-pass deinterlace, [[Gif]]) — each gated against independently
+  * ImageIO-encoded fixtures (q89/q101/q105), with resize/feature
+  * kernels operating on the decoded pixels (q102). Only formats the
+  * codecs don't cover fall back to the deterministic synthetic-pixel
+  * path, clearly marked where used. The Spark-side plumbing is the
+  * part that matters at 100 TB: binary columns stay columnar in
+  * parquet, the decoder runs partition-wise in batches (the shape a
   * vectorized/native decoder needs), and nothing ever collects to
   * the driver.
   */
@@ -36,10 +40,10 @@ object Multimodal {
     *    big-endian u16 height at +5 and width at +7; the scan stops
     *    at SOS (DA) since entropy-coded data follows.
     * Anything else decodes honestly as ("unknown", 0 x 0) — no
-    * fabricated metadata. Full pixel decode (DCT/inflate) is the
-    * part a real deployment supplies via a native codec; header
-    * metadata is what corpus curation filters on, and it is real
-    * here. */
+    * fabricated metadata. Header metadata is what corpus curation
+    * filters on first — full pixel decode ([[Png]]/[[Jpeg]]/[[Gif]])
+    * costs ~100× more per byte, so the metadata pass prunes before
+    * any pixel pass runs. */
   object HeaderDecoder {
     private def u16be(b: Array[Byte], i: Int): Int =
       ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)

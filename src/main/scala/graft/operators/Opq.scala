@@ -254,6 +254,16 @@ object Opq {
   def rotated(vec: Column, rotation: Array[Double], d: Int): Column =
     ArrayOps.vecMatMul(vec, rotation, d, d)
 
+  /** [[rotated]] with the width contract ENFORCED on the data path:
+    * vecMatMul's documented zero-pad tolerance is right for feature
+    * assembly but wrong for retrieval, where a short/long vector
+    * silently becomes a wrong neighbor list. Raises with the row's
+    * actual length instead. */
+  def rotatedStrict(vec: Column, rotation: Array[Double], d: Int): Column =
+    when(size(vec) === d, ArrayOps.vecMatMul(vec, rotation, d, d))
+      .otherwise(raise_error(concat(
+        lit(s"rotated: vector width != $d, got "), size(vec).cast("string"))))
+
   /** One pass of encode-and-accumulate for the iterative OPQ loop:
     * per row, rotate (y = R·x), PQ-encode y under `cw` (argmin-L2
     * per subspace, the pqEncode tie rule), and accumulate the
@@ -441,13 +451,14 @@ object Opq {
     * @return (rotation, codebook, distortion history) */
   def trainRotationIterative(corpus: DataFrame, m: Int, ks: Int,
                              opqIters: Int = 4, lloydIters: Int = 2,
-                             vecCol: String = "vec")
+                             vecCol: String = "vec", idCol: String = "cid")
       : (Array[Double], Seq[Seq[Seq[Double]]], Seq[Double]) = {
     require(opqIters >= 1 && lloydIters >= 1,
       s"bad params: opqIters=$opqIters lloydIters=$lloydIters")
     var rot = trainRotation(corpus, m, vecCol)
     val d = math.sqrt(rot.length.toDouble).round.toInt
-    val base = corpus.select(col("cid"), col(vecCol).as("vec")).localCheckpoint()
+    val base = corpus.select(col(idCol).as("cid"), col(vecCol).as("vec"))
+      .localCheckpoint()
     def rotatedCorpus(r: Array[Double]) =
       base.select(col("cid"), rotated(col("vec"), r, d).as("vec"))
     var cw = Similarity.trainPqCodebook(rotatedCorpus(rot), m, ks, lloydIters)._1
@@ -471,8 +482,8 @@ object Opq {
                     rotation: Array[Double], m: Int, ks: Int,
                     trainIters: Int = 5): DataFrame = {
     val d = math.sqrt(rotation.length.toDouble).round.toInt
-    val rc = corpus.select(col("cid"), rotated(col("vec"), rotation, d).as("vec"))
-    val rq = queries.select(col("qid"), rotated(col("vec"), rotation, d).as("vec"))
+    val rc = corpus.select(col("cid"), rotatedStrict(col("vec"), rotation, d).as("vec"))
+    val rq = queries.select(col("qid"), rotatedStrict(col("vec"), rotation, d).as("vec"))
     val (cw, _) = Similarity.trainPqCodebook(rc, m, ks, trainIters)
     Similarity.pqTopKWith(rq, rc, k, cw)
   }

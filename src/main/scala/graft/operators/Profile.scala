@@ -71,7 +71,10 @@ object Profile {
     * run drops the exact column and the Expand with it). The q64x
     * discipline: the sketch value itself is engine-specific, the
     * BOUND is what a cross-engine gate can state as TRUE. Default
-    * bound 0.15 ≈ 3σ of the default 5% rsd. */
+    * bound 0.15 ≈ 3σ of the default 5% rsd. An all-null or empty
+    * column has exact NDV 0; the relative-error ratio is undefined
+    * there, so ndv_ok is the direct verdict `approx == 0` instead of
+    * a silent NULL. */
   def profileApproxNdv(df: DataFrame, rsdBound: Double = 0.15): DataFrame = {
     val fields = df.schema.fields
     val aggExprs = fields.flatMap { f =>
@@ -84,8 +87,10 @@ object Profile {
         struct(
           lit(f.name).as("column_name"),
           col(s"${f.name}__ndv").as("n_distinct"),
-          (abs(col(s"${f.name}__andv") - col(s"${f.name}__ndv")).cast("double") /
-            col(s"${f.name}__ndv").cast("double") <= rsdBound).as("ndv_ok"))
+          when(col(s"${f.name}__ndv") === 0, col(s"${f.name}__andv") === 0)
+            .otherwise(
+              abs(col(s"${f.name}__andv") - col(s"${f.name}__ndv")).cast("double") /
+                col(s"${f.name}__ndv").cast("double") <= rsdBound).as("ndv_ok"))
       }: _*)).as("p"))
       .select(col("p.*"))
   }

@@ -76,6 +76,11 @@ object TopKStream {
     implicit val stateEnc = Encoders.product[ShardState]
     implicit val outEnc = Encoders.product[Summary]
     tokens
+      // a null token has no identity to count — drop it BEFORE the
+      // md5 shard (whose null would otherwise surface as an opaque
+      // Dataset[Tok] conversion error; the Sampling.hashGate
+      // null-discipline)
+      .filter(col(tokenCol).isNotNull)
       .select(
         (conv(substring(md5(col(tokenCol)), 1, 15), 16, 10).cast("long") % nShards)
           .cast("int").as("shard"),

@@ -255,4 +255,23 @@ class OpqSpec extends SparkSuite {
     val rot2 = Opq.trainRotation(corpus, m)
     assert(rot2.toSeq == rot.toSeq)
   }
+
+  test("rotatedStrict raises on wrong vector width; rotated zero-pads") {
+    import spark.implicits._
+    val d = 4
+    val eye = Array.tabulate(d * d)(i => if (i % (d + 1) == 0) 1.0 else 0.0)
+    val short = Seq((1L, Array(1.0, 2.0))).toDF("cid", "vec")
+    // the permissive path keeps its documented zero-pad contract
+    val padded = short.select(Opq.rotated($"vec", eye, d)).as[Seq[Double]].head()
+    assert(padded === Seq(1.0, 2.0, 0.0, 0.0))
+    // the retrieval path must FAIL, not fabricate neighbors
+    val ex = intercept[Exception] {
+      short.select(Opq.rotatedStrict($"vec", eye, d)).collect()
+    }
+    assert(ex.getMessage.contains("vector width"), ex.getMessage)
+    // exact width passes strict unchanged
+    val ok = Seq((1L, Array(1.0, 2.0, 3.0, 4.0))).toDF("cid", "vec")
+      .select(Opq.rotatedStrict($"vec", eye, d)).as[Seq[Double]].head()
+    assert(ok === Seq(1.0, 2.0, 3.0, 4.0))
+  }
 }

@@ -81,6 +81,19 @@ class RelationalSpec extends SparkSuite {
     assert(p("ts").getDouble(3) === 1000000.0 && p("ts").getDouble(4) === 2000000.0)
   }
 
+  test("profileApproxNdv: all-null column gets a verdict, not a NULL ndv_ok") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String]), (2L, None), (3L, None))
+      .toDF("k", "dead")
+    val p = graft.operators.Profile.profileApproxNdv(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // exact NDV 0 and approx NDV 0 → ndv_ok must be TRUE, never null
+    assert(!p("dead").isNullAt(2), "ndv_ok is null for an all-null column")
+    assert(p("dead").getBoolean(2))
+    assert(p("dead").getLong(1) === 0L)
+    assert(p("k").getBoolean(2))
+  }
+
   test("exactQuantiles: cut rule on hand fixtures, heavy ties, null drop") {
     import spark.implicits._
     // 1..10 once each: decile d cuts exactly at value d

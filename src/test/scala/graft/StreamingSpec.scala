@@ -889,6 +889,26 @@ class StreamingSpec extends SparkSuite {
     assert(rows.groupBy(_._2).forall(_._2.map(_._1).distinct.size == 1))
   }
 
+  test("TopKStream drops null tokens before sharding instead of " +
+    "failing the Tok conversion") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Option[String], Long)]
+    val q = graft.streaming.TopKStream
+      .summaries(ms.toDF.toDF("token", "eid"), "token", "eid", nShards = 2, k = 4)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("topk_null_spec").start()
+    try {
+      ms.addData(Seq(Some("a") -> 0L, None -> 1L, Some("a") -> 2L, None -> 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("topk_null_spec")
+      .as[(Int, String, Long, Long)].collect()
+    assert(rows.map(_._2).toSet === Set("a"))
+    assert(rows.find(_._2 == "a").get._3 === 2L)
+  }
+
   test("TopKStream: SpaceSaving invariants under eviction (k=3, single shard)") {
     import graft.streaming.TopKStream
     // skewed substream: one heavy token + a churn of singletons that
