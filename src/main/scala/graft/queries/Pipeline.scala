@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{Bloom, Bpe, Dedup, LinkGraph, Sampling, Similarity, Snapshot, TextAnalysis}
+import graft.sources.WarcSource
 
 /** Blocks C/D/E — LLM-pipeline operators over `documents` and
   * `embeddings` (SURVEY.md §2.C-E): dedup (exact, MinHash-LSH,
@@ -87,7 +88,8 @@ object Pipeline {
     "q125_match_keys" -> q125,
     "q127_curation_e2e" -> q127,
     "q129_dup_by_source" -> q129,
-    "q132_trending" -> q132
+    "q132_trending" -> q132,
+    "q134_warc_records" -> q134
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -1017,6 +1019,39 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** WARC container ingest (ISO 28500) — the step BEFORE q119's
+    * HTML extraction in a real crawl pipeline: per-doc payloads are
+    * complete synthetic WARC streams in the genuine byte layout
+    * (version line, CRLF headers, Content-Length-governed blocks,
+    * record terminators; ODD ids gzip member-per-record, the
+    * crawl-standard .warc.gz shape), parsed by [[WarcSource]]'s
+    * permissive record walker. Every surface is closed-form in
+    * doc_id, so the oracle restates arithmetic while the hash check
+    * exercises header parsing, block slicing, stream-order offsets
+    * (first_uri rides min(offset)) and multi-member gzip inflation.
+    * Scale shape: pure map-side parse (decodeBatch discipline) +
+    * one aggregation keyed by doc. */
+  def q134(spark: SparkSession, dir: String): DataFrame = {
+    val byteSum = udf((b: Array[Byte]) => {
+      var s = 0L; var i = 0
+      while (i < b.length) { s += (b(i) & 0xff); i += 1 }
+      s
+    })
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        WarcSource.syntheticWarcUdf(col("doc_id")).as("payload"))
+    val recs = WarcSource.records(WarcSource.parseBatch(payloads))
+    recs.groupBy(col("path").cast("long").as("doc_id"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("content_length")).as("block_bytes"),
+        sum(byteSum(col("body"))).as("body_sum"),
+        min(struct(col("offset"), col("target_uri")))
+          .getField("target_uri").as("first_uri"),
+        array_join(sort_array(collect_list(col("warc_type"))), ",")
+          .as("types_sorted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-node triangle counts over a denser hashed fixture graph
     * (outdeg 1 + v % 6, prefix "tri:") — the degree-ordered exact
     * enumeration of [[LinkGraph.triangleCounts]], gated against a
@@ -1929,6 +1964,33 @@ object Pipeline {
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS clean_text
         |FROM h
         |ORDER BY doc_id""".stripMargin,
+    // q134: the synthetic WARC streams' record surfaces restated as
+    // doc_id arithmetic (n = 1 + id % 3 records; block j carries
+    // 40 + (7·id + 13·j) % 100 bytes of (id + j + i) mod 256); the
+    // parse itself (headers, Content-Length slicing, gzip members)
+    // happens only on the engine side, inside the hash.
+    "q134_warc_records" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT doc_id, CAST(j AS BIGINT) AS j,
+        |    CAST(40 + (7 * doc_id + 13 * j) % 100 AS BIGINT) AS len
+        |  FROM documents, unnest(range(0, 3)) AS t(j)
+        |  WHERE j < 1 + doc_id % 3),
+        |b AS MATERIALIZED (
+        |  SELECT doc_id, sum((doc_id + j + i) % 256) AS bs
+        |  FROM (SELECT doc_id, j, unnest(range(0, len)) AS i FROM r)
+        |  GROUP BY doc_id)
+        |SELECT r.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(r.len) AS BIGINT) AS block_bytes,
+        |  CAST(any_value(b.bs) AS BIGINT) AS body_sum,
+        |  'http://host-' || CAST(r.doc_id % 50 AS VARCHAR) || '.example/p/' ||
+        |    CAST(r.doc_id AS VARCHAR) || '/0' AS first_uri,
+        |  CASE CAST(max(r.j) AS INT) WHEN 0 THEN 'response'
+        |    WHEN 1 THEN 'request,response'
+        |    ELSE 'metadata,request,response' END AS types_sorted
+        |FROM r JOIN b USING (doc_id)
+        |GROUP BY r.doc_id
+        |ORDER BY r.doc_id""".stripMargin,
     // q114: brute three-way join over the replayed edge table — the
     // oracle's id-ordered enumeration and the engine's degree-ordered
     // orientation list the same triangle set; per-node counts are

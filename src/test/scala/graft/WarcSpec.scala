@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.file.{Files, Paths}
+
+import graft.sources.WarcSource
+
+class WarcSpec extends SparkSuite {
+
+  private def rec(typ: String, uri: String, body: String,
+                  declaredLen: Option[Int] = None): Array[Byte] = {
+    val b = body.getBytes(US_ASCII)
+    val len = declaredLen.getOrElse(b.length)
+    (s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Record-ID: <urn:uuid:$uri>\r\n" +
+      s"WARC-Target-URI: $uri\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"Content-Length: $len\r\n\r\n").getBytes(US_ASCII) ++ b ++
+      "\r\n\r\n".getBytes(US_ASCII)
+  }
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close(); bos.toByteArray
+  }
+
+  test("parseStream: clean multi-record stream, fields and offsets exact") {
+    val r1 = rec("response", "u1", "hello world")
+    val r2 = rec("request", "u2", "GET / HTTP/1.1")
+    val out = WarcSource.parseStream("f", r1 ++ r2)
+    assert(out.size === 2)
+    assert(out.forall(_.error == null))
+    assert(out(0).offset === 0L && out(1).offset === r1.length.toLong)
+    assert(out(0).warc_type === "response" && out(1).warc_type === "request")
+    assert(out(0).target_uri === "u1")
+    assert(new String(out(0).body, US_ASCII) === "hello world")
+    assert(out(1).content_length === 14L)
+  }
+
+  test("parseStream quarantines + RESYNCS: bad record costs its own " +
+    "bytes, later records survive") {
+    val good1 = rec("response", "a", "first")
+    val badHeader = "WARC/1.0\r\nNoColonHere\r\nContent-Length: 5\r\n\r\nxxxxx\r\n\r\n"
+      .getBytes(US_ASCII)
+    val junk = "random bytes not a record\r\n".getBytes(US_ASCII)
+    val good2 = rec("metadata", "b", "second")
+    val out = WarcSource.parseStream("f", good1 ++ badHeader ++ junk ++ good2)
+    val good = out.filter(_.error == null)
+    val bad = out.filter(_.error != null)
+    assert(good.map(_.target_uri) === Seq("a", "b"))
+    // resync jumps to the NEXT magic, so the bad record and the junk
+    // after it coalesce into one quarantined region with exact offsets
+    assert(bad.size === 1)
+    assert(bad(0).offset === good1.length.toLong)
+    assert(bad(0).error.contains("malformed header line"))
+    // the second good record's offset is past the quarantined region
+    assert(good(1).offset ===
+      (good1.length + badHeader.length + junk.length).toLong)
+  }
+
+  test("parseStream quarantines truncated blocks and missing Content-Length") {
+    val truncated = rec("response", "t", "full body here",
+      declaredLen = Some(10000))
+    val out1 = WarcSource.parseStream("f", truncated)
+    assert(out1.size === 1 && out1.head.error.contains("truncated block"))
+
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n").getBytes(US_ASCII)
+    val out2 = WarcSource.parseStream("f", noLen)
+    assert(out2.size === 1 &&
+      out2.head.error.contains("missing or non-numeric Content-Length"))
+
+    // EOF mid-headers
+    val eof = "WARC/1.0\r\nWARC-Type: resp".getBytes(US_ASCII)
+    val out3 = WarcSource.parseStream("f", eof)
+    assert(out3.size === 1 && out3.head.error.contains("truncated headers"))
+  }
+
+  test("binary-safe blocks: body bytes containing WARC/ magic or CRLFs " +
+    "are governed by Content-Length, not delimiter scanning") {
+    val evil = "x\r\n\r\nWARC/1.0\r\nfake\r\n\r\ny"
+    val stream = rec("response", "e", evil) ++ rec("response", "after", "ok")
+    val out = WarcSource.parseStream("f", stream)
+    assert(out.forall(_.error == null), out.map(_.error).mkString("; "))
+    assert(out.size === 2)
+    assert(new String(out(0).body, US_ASCII) === evil)
+    assert(out(1).target_uri === "after")
+  }
+
+  test("inflate: member-per-record gzip, whole-stream gzip, and plain " +
+    "all decode to the same records") {
+    val r1 = rec("response", "g1", "alpha")
+    val r2 = rec("response", "g2", "beta")
+    val plain = WarcSource.parseStream("f", r1 ++ r2)
+    val members = WarcSource.parseStream("f",
+      WarcSource.inflate(gz(r1) ++ gz(r2)))
+    val whole = WarcSource.parseStream("f", WarcSource.inflate(gz(r1 ++ r2)))
+    def surf(rs: Seq[WarcSource.WarcRec]) =
+      rs.map(r => (r.offset, r.warc_type, r.target_uri, r.content_length,
+        new String(r.body, US_ASCII), r.error))
+    assert(surf(members) === surf(plain))
+    assert(surf(whole) === surf(plain))
+  }
+
+  test("end-to-end file read: one task per file, stats accounting, " +
+    "quarantine across plain and gzip siblings") {
+    val dir = Files.createTempDirectory("graft_warc").toString
+    val good = rec("response", "f1", "doc one") ++ rec("request", "f2", "doc two")
+    val withBad = rec("response", "f3", "doc three") ++
+      "GARBAGE-BETWEEN\r\n".getBytes(US_ASCII) ++ rec("response", "f4", "doc four")
+    Files.write(Paths.get(dir, "a.warc"), good)
+    Files.write(Paths.get(dir, "b.warc.gz"), gz(withBad))
+    val raw = WarcSource.read(spark, dir)
+    val (ok, bad) = WarcSource.stats(raw)
+    assert(ok === 4L && bad === 1L)
+    val uris = WarcSource.records(raw).select("target_uri")
+      .collect().map(_.getString(0)).toSet
+    assert(uris === Set("f1", "f2", "f3", "f4"))
+    val q = WarcSource.corrupt(raw).collect()
+    assert(q.length === 1)
+    assert(new String(q(0).getAs[Array[Byte]]("body"), US_ASCII)
+      .startsWith("GARBAGE-BETWEEN"))
+    // parallelism contract: one input row (= one task's worth) per file
+    assert(raw.select("path").distinct().count() === 2L)
+  }
+
+  test("synthetic stream surfaces match their closed forms (the q134 " +
+    "fixture's self-check), including the gzip leg") {
+    for (id <- 0L to 7L) {
+      val out = WarcSource.parseStream(id.toString,
+        WarcSource.inflate(WarcSource.synthWarcBytes(id)))
+      assert(out.forall(_.error == null))
+      assert(out.size === WarcSource.synthNRecords(id))
+      out.zipWithIndex.foreach { case (r, j) =>
+        assert(r.content_length === WarcSource.synthBlockLen(id, j).toLong)
+        assert(r.target_uri === s"http://host-${id % 50}.example/p/$id/$j")
+        val want = (0 until r.body.length).map(i => (id + j + i) % 256).sum
+        assert(r.body.map(_ & 0xff).map(_.toLong).sum === want)
+      }
+    }
+  }
+}
