@@ -4,21 +4,34 @@ package graft.operators
   * the DCT leg beside [[Multimodal.Png]]'s lossless leg.
   *
   * Scope (and the honesty line): baseline sequential DCT (SOF0),
-  * Huffman entropy coding, SINGLE-component (grayscale) frames —
-  * the shape `ImageIO.write(TYPE_BYTE_GRAY, "jpg")` produces and the
-  * simplest form a thumbnail/feature pipeline meets. Everything in
-  * that envelope is decoded for real: marker walk, DQT/DHT table
-  * construction (canonical Huffman from BITS/HUFFVAL), the
-  * byte-stuffed entropy bit stream, DC prediction + AC run-length,
-  * dequantization, zig-zag, a double-precision separable inverse
-  * DCT, level shift and clamp. Restart markers reset the DC
-  * predictor and byte-align, per spec.
+  * Huffman entropy coding, GRAYSCALE and 3-COMPONENT YCbCr frames
+  * with sampling factors 1 or 2 per axis — which covers 4:4:4,
+  * 4:2:2 and the crawl-dominant 4:2:0. Everything in that envelope
+  * is decoded for real: marker walk, DQT/DHT table construction
+  * (canonical Huffman from BITS/HUFFVAL), the byte-stuffed entropy
+  * bit stream, the interleaved MCU walk (h×v blocks per component,
+  * per-component DC predictors), dequantization, zig-zag, a
+  * double-precision separable inverse DCT, level shift, per-plane
+  * edge clipping, nearest-neighbor chroma upsampling and the JFIF
+  * YCbCr→RGB conversion. Restart markers reset ALL DC predictors
+  * and byte-align, per spec.
   *
-  * Color frames (3-component YCbCr), progressive (SOF2), arithmetic
-  * coding and 12-bit precision decode honestly as None — header
-  * metadata for those still comes from [[Multimodal.HeaderDecoder]].
-  * The JPEG spec permits small IDCT variance between conforming
-  * decoders; the spec pins this decoder within ±1 gray level of the
+  * Pinned conversion arithmetic (decoders are permitted to vary;
+  * ours is DEFINED so an oracle can restate it): upsampling is
+  * sample replication (pixel (x,y) reads chroma plane
+  * (x·h/Hmax, y·v/Vmax), floor division — libjpeg's "fancy"
+  * triangle filter is a different conforming choice, which is why
+  * ImageIO parity on non-flat content is spec territory), and
+  * YCbCr→RGB is the JFIF real-number formula rounded half-up:
+  * R = Y + 1.402·(Cr−128), G = Y − 0.344136·(Cb−128) −
+  * 0.714136·(Cr−128), B = Y + 1.772·(Cb−128), each
+  * floor(v + 0.5) then clamped to [0, 255].
+  *
+  * Progressive (SOF2), arithmetic coding, 12-bit precision and
+  * sampling factors > 2 decode honestly as None — header metadata
+  * for those still comes from [[Multimodal.HeaderDecoder]]. The
+  * JPEG spec permits small IDCT variance between conforming
+  * decoders; the spec pins this decoder within ±1 level of the
   * JDK's independent ImageIO implementation on round-trip fixtures.
   */
 object Jpeg {
@@ -145,9 +158,17 @@ object Jpeg {
   private def u16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
 
-  /** Decode a baseline grayscale JPEG to a [[Multimodal.Raster]]
-    * (channels = 1). None outside the supported envelope or on any
-    * structural corruption — never a fabricated raster. */
+  /** One frame component: id + sampling factors + table selectors
+    * (scan selectors filled at SOS). */
+  private final class Comp(val cid: Int, val h: Int, val v: Int, val tq: Int) {
+    var dcSel: Int = -1
+    var acSel: Int = -1
+  }
+
+  /** Decode a baseline JPEG (grayscale or 3-component YCbCr,
+    * sampling factors ≤ 2) to a [[Multimodal.Raster]] (channels = 1
+    * or 3, RGB interleaved). None outside the supported envelope or
+    * on any structural corruption — never a fabricated raster. */
   def decode(bytes: Array[Byte]): Option[Multimodal.Raster] = {
     try decodeOrThrow(bytes)
     catch { case _: Exception => None }
@@ -162,11 +183,8 @@ object Jpeg {
     val acT = new Array[Huff](4)
     var width = 0
     var height = 0
-    var qSel = -1
     var restartInterval = 0
-    var dcSel = -1
-    var acSel = -1
-    var sawSof = false
+    var comps: Array[Comp] = null
 
     while (pos + 4 <= bytes.length) {
       if ((bytes(pos) & 0xff) != 0xff) return None
@@ -206,28 +224,37 @@ object Jpeg {
           height = u16(bytes, seg + 1)
           width = u16(bytes, seg + 3)
           val nComp = bytes(seg + 5) & 0xff
-          if (nComp != 1) return None // grayscale envelope only
-          val hv = bytes(seg + 7) & 0xff
-          if (hv != 0x11) return None // 1x1 sampling (trivially true for 1 comp)
-          qSel = bytes(seg + 8) & 0x0f
-          sawSof = true
+          if (nComp != 1 && nComp != 3) return None
+          comps = Array.tabulate(nComp) { c =>
+            val cid = bytes(seg + 6 + 3 * c) & 0xff
+            val hv = bytes(seg + 7 + 3 * c) & 0xff
+            val h = (hv >> 4) & 0x0f
+            val v = hv & 0x0f
+            if (h < 1 || h > 2 || v < 1 || v > 2) return None
+            new Comp(cid, h, v, bytes(seg + 8 + 3 * c) & 0x0f)
+          }
+          if (nComp == 1 && (comps(0).h != 1 || comps(0).v != 1)) return None
         case m if m == 0xc1 || m == 0xc2 || m == 0xc3 ||
             (m >= 0xc5 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcf && m != 0xcc) =>
           return None // extended/progressive/lossless/arithmetic: out of envelope
         case 0xdd => // DRI
           restartInterval = u16(bytes, seg)
         case 0xda => // SOS
-          if (!sawSof) return None
+          if (comps == null) return None
           val ns = bytes(seg) & 0xff
-          if (ns != 1) return None
-          dcSel = (bytes(seg + 2) & 0xf0) >> 4
-          acSel = bytes(seg + 2) & 0x0f
-          val q = qt(qSel)
-          val dc = dcT(dcSel)
-          val ac = acT(acSel)
-          if (q == null || dc == null || ac == null) return None
-          return Some(decodeScan(bytes, seg + len - 2, width, height, q, dc, ac,
-            restartInterval))
+          if (ns != comps.length) return None
+          var s = 0
+          while (s < ns) {
+            val cid = bytes(seg + 1 + 2 * s) & 0xff
+            val c = comps.find(_.cid == cid).getOrElse(return None)
+            c.dcSel = (bytes(seg + 2 + 2 * s) & 0xf0) >> 4
+            c.acSel = bytes(seg + 2 + 2 * s) & 0x0f
+            s += 1
+          }
+          if (comps.exists(c => qt(c.tq) == null || dcT(c.dcSel) == null ||
+            acT(c.acSel) == null)) return None
+          return Some(decodeScan(bytes, seg + len - 2, width, height, comps,
+            qt, dcT, acT, restartInterval))
         case _ => () // APPn / COM / others skipped
       }
       pos = seg + len - 2
@@ -235,72 +262,308 @@ object Jpeg {
     None
   }
 
+  private def clamp255(v: Long): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v.toInt
+
+  /** Interleaved-MCU scan decode: per MCU, each component contributes
+    * h×v blocks (raster order) into its own plane at the plane's
+    * natural (subsampled) resolution; per-component DC predictors;
+    * restart resets them all. Planes are edge-clipped, then chroma
+    * is replicated up and converted per the pinned JFIF arithmetic
+    * in the header doc. */
   private def decodeScan(bytes: Array[Byte], scanStart: Int, width: Int,
-                         height: Int, q: Array[Int], dc: Huff, ac: Huff,
+                         height: Int, comps: Array[Comp],
+                         qt: Array[Array[Int]], dcT: Array[Huff],
+                         acT: Array[Huff],
                          restartInterval: Int): Multimodal.Raster = {
     require(width > 0 && height > 0, "bad dimensions")
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
-    val out = new Array[Byte](width * height)
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // per-component plane at its natural resolution
+    val planeW = comps.map(c => (width * c.h + hMax - 1) / hMax)
+    val planeH = comps.map(c => (height * c.v + vMax - 1) / vMax)
+    val planes = comps.indices.map(i => new Array[Byte](planeW(i) * planeH(i))).toArray
+    val pred = new Array[Int](comps.length)
     val br = new BitReader(bytes, scanStart)
-    var pred = 0
     var mcu = 0
     val block = new Array[Double](64)
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var mcuY = 0
+    while (mcuY < mcusY) {
+      var mcuX = 0
+      while (mcuX < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           br.restart()
-          pred = 0
+          java.util.Arrays.fill(pred, 0)
         }
-        java.util.Arrays.fill(block, 0.0)
-        // DC
-        val t = dc.decode(br)
-        val diff = extend(br.receive(t), t)
-        pred += diff
-        block(0) = pred.toDouble * q(0)
-        // AC
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = ac.decode(br)
-          val r = rs >> 4
-          val s = rs & 0x0f
-          if (s == 0) {
-            if (r == 15) k += 16 // ZRL
-            else eob = true // EOB
-          } else {
-            k += r
-            if (k > 63) throw new IllegalStateException("AC index overrun")
-            block(ZigZag(k)) = extend(br.receive(s), s).toDouble * q(k)
-            k += 1
-          }
-        }
-        idct(block)
-        // level shift + clamp + clip partial edge blocks
-        var yy = 0
-        while (yy < 8) {
-          val py = by * 8 + yy
-          if (py < height) {
-            var xx = 0
-            while (xx < 8) {
-              val px = bx * 8 + xx
-              if (px < width) {
-                val v = math.round(block(yy * 8 + xx) + 128.0).toInt
-                out(py * width + px) =
-                  (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          val q = qt(c.tq)
+          val dc = dcT(c.dcSel)
+          val ac = acT(c.acSel)
+          var bv = 0
+          while (bv < c.v) {
+            var bhh = 0
+            while (bhh < c.h) {
+              java.util.Arrays.fill(block, 0.0)
+              // DC
+              val t = dc.decode(br)
+              val diff = extend(br.receive(t), t)
+              pred(ci) += diff
+              block(0) = pred(ci).toDouble * q(0)
+              // AC
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = ac.decode(br)
+                val r = rs >> 4
+                val s = rs & 0x0f
+                if (s == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else eob = true // EOB
+                } else {
+                  k += r
+                  if (k > 63) throw new IllegalStateException("AC index overrun")
+                  block(ZigZag(k)) = extend(br.receive(s), s).toDouble * q(k)
+                  k += 1
+                }
               }
-              xx += 1
+              idct(block)
+              // level shift + clamp + clip past the plane edge
+              val x0 = (mcuX * c.h + bhh) * 8
+              val y0 = (mcuY * c.v + bv) * 8
+              var yy = 0
+              while (yy < 8) {
+                val py = y0 + yy
+                if (py < planeH(ci)) {
+                  var xx = 0
+                  while (xx < 8) {
+                    val px = x0 + xx
+                    if (px < planeW(ci)) {
+                      val v = math.round(block(yy * 8 + xx) + 128.0).toInt
+                      planes(ci)(py * planeW(ci) + px) =
+                        (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                    }
+                    xx += 1
+                  }
+                }
+                yy += 1
+              }
+              bhh += 1
             }
+            bv += 1
           }
-          yy += 1
+          ci += 1
         }
         mcu += 1
-        bx += 1
+        mcuX += 1
       }
-      by += 1
+      mcuY += 1
     }
-    Multimodal.Raster(width, height, 1, out)
+
+    if (comps.length == 1)
+      return Multimodal.Raster(width, height, 1, planes(0))
+
+    // upsample (replication, floor coords) + JFIF YCbCr -> RGB
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        def sample(ci: Int): Int = {
+          val c = comps(ci)
+          val sx = x * c.h / hMax
+          val sy = y * c.v / vMax
+          planes(ci)(sy * planeW(ci) + sx) & 0xff
+        }
+        val yv = sample(0).toDouble
+        val cbd = (sample(1) - 128).toDouble
+        val crd = (sample(2) - 128).toDouble
+        val o = (y * width + x) * 3
+        out(o) = clamp255(math.round(yv + 1.402 * crd)).toByte
+        out(o + 1) = clamp255(math.round(yv - 0.344136 * cbd - 0.714136 * crd)).toByte
+        out(o + 2) = clamp255(math.round(yv + 1.772 * cbd)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Multimodal.Raster(width, height, 3, out)
+  }
+
+  // ---------------------------------------------------------------
+  // Synthetic 4:2:0 COLOR fixture encoder (the q135 gate's bytes).
+  //
+  // The grayscale gate (q101) could lean on ImageIO because a gray
+  // frame has no color transform; a color gate cannot — the
+  // encoder's RGB→YCbCr fixed-point and the decoder's YCbCr→RGB are
+  // independent roundings, so closed-form pixel exactness dies in
+  // transit. The fix: hand-construct the JPEG BYTES directly in
+  // YCbCr space (all-ones quant tables, DC-only flat blocks — the
+  // exact-round-trip corner q101 established), choose Y per 8×8
+  // block and Cb/Cr per 16×16 tile in closed form, and let the gate
+  // restate this decoder's PINNED conversion arithmetic. ImageIO
+  // then serves as the independent cross-check in the SPEC (its
+  // decoder reads these bytes; parity within ±1 per channel).
+  //
+  // Layout exercised: 32×24 frame, components Y(2,2) Cb(1,1) Cr(1,1)
+  // (4:2:0), TWO quant tables, Annex K DC tables (ITU T.81, public)
+  // + minimal EOB-only AC tables, DRI=2 with an RST marker mid-scan
+  // (multi-component predictor reset), a padding luma block row
+  // (encoder emits full MCUs; plane clipping discards), and a
+  // half-clipped chroma block row.
+  // ---------------------------------------------------------------
+
+  /** Fixture frame: 32×24, luma block grid 4×3, chroma tile grid 2×2. */
+  val SynthColorW = 32
+  val SynthColorH = 24
+
+  /** Flat Y of luma block (bx, by): 16 + (13·id + 17·(4·by + bx)) % 200. */
+  def synthColorY(id: Long, bx: Int, by: Int): Int =
+    (16 + ((13 * id + 17 * (4 * by + bx)) % 200)).toInt
+
+  /** Flat Cb of 16×16 tile (tx, ty): 78 + (7·id + 29·(2·ty + tx)) % 100. */
+  def synthColorCb(id: Long, tx: Int, ty: Int): Int =
+    (78 + ((7 * id + 29 * (2 * ty + tx)) % 100)).toInt
+
+  /** Flat Cr of 16×16 tile (tx, ty): 53 + (11·id + 31·(2·ty + tx)) % 150. */
+  def synthColorCr(id: Long, tx: Int, ty: Int): Int =
+    (53 + ((11 * id + 31 * (2 * ty + tx)) % 150)).toInt
+
+  /** Canonical Huffman ENCODING table from the same BITS/HUFFVAL
+    * layout the decoder consumes: symbol -> (code, length). */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        out(vals(k)) = (code, l)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    out.toMap
+  }
+
+  // ITU T.81 Annex K typical DC tables (public spec tables)
+  private val DcLumaBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcChromaBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcVals = (0 to 11).toArray
+  // minimal AC table: the single EOB symbol as a 1-bit code
+  private val AcBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcVals = Array(0x00)
+
+  /** Entropy bit writer with FF byte stuffing and RST emission. */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    /** pad to byte boundary with 1s, per spec */
+    def align(): Unit = if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
+    def rst(n: Int): Unit = { align(); out.write(0xff); out.write(0xd0 + n) }
+  }
+
+  private def dcCategory(v: Int): Int =
+    if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  private def putDcDiff(bw: BitWriter, codes: Map[Int, (Int, Int)], diff: Int): Unit = {
+    val t = dcCategory(diff)
+    val (c, l) = codes(t)
+    bw.put(c, l)
+    if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+  }
+
+  /** Build the complete fixture JPEG bytes for `id`. */
+  def synthColorBytes(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16o(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u8(0xff); u8(0xd8) // SOI
+    // DQT: two all-ones tables (0 luma, 1 chroma)
+    u8(0xff); u8(0xdb); u16o(2 + 65 * 2)
+    u8(0x00); (0 until 64).foreach(_ => u8(1))
+    u8(0x01); (0 until 64).foreach(_ => u8(1))
+    // SOF0: 3 comps, Y 2x2 q0, Cb 1x1 q1, Cr 1x1 q1
+    u8(0xff); u8(0xc0); u16o(8 + 3 * 3)
+    u8(8); u16o(SynthColorH); u16o(SynthColorW); u8(3)
+    u8(1); u8(0x22); u8(0)
+    u8(2); u8(0x11); u8(1)
+    u8(3); u8(0x11); u8(1)
+    // DHT: DC0 (Annex K luma), AC0 (EOB-only), DC1 (Annex K chroma), AC1
+    val tables = Seq(
+      (0x00, DcLumaBits, DcVals), (0x10, AcBits, AcVals),
+      (0x01, DcChromaBits, DcVals), (0x11, AcBits, AcVals))
+    u8(0xff); u8(0xc4)
+    u16o(2 + tables.map(t => 17 + t._3.length).sum)
+    tables.foreach { case (tcth, bits, vals) =>
+      u8(tcth); bits.foreach(u8); vals.foreach(u8)
+    }
+    // DRI: restart every 2 MCUs
+    u8(0xff); u8(0xdd); u16o(4); u16o(2)
+    // SOS
+    u8(0xff); u8(0xda); u16o(6 + 2 * 3)
+    u8(3); u8(1); u8(0x00); u8(2); u8(0x11); u8(3); u8(0x11)
+    u8(0); u8(63); u8(0)
+    // entropy data: 2x2 MCUs; per MCU 4 Y blocks + Cb + Cr, DC-only
+    val dcLuma = huffCodes(DcLumaBits, DcVals)
+    val dcChroma = huffCodes(DcChromaBits, DcVals)
+    val acCode = huffCodes(AcBits, AcVals)(0x00)
+    val bw = new BitWriter(out)
+    var predY = 0; var predCb = 0; var predCr = 0
+    var mcu = 0
+    var mcuY = 0
+    while (mcuY < 2) {
+      var mcuX = 0
+      while (mcuX < 2) {
+        if (mcu > 0 && mcu % 2 == 0) {
+          bw.rst((mcu / 2 - 1) % 8)
+          predY = 0; predCb = 0; predCr = 0
+        }
+        var bv = 0
+        while (bv < 2) {
+          var bh = 0
+          while (bh < 2) {
+            val bx = mcuX * 2 + bh
+            val by = mcuY * 2 + bv
+            // padding block row (by == 3) repeats the predictor
+            val dc = if (by < 3) (synthColorY(id, bx, by) - 128) * 8 else predY
+            putDcDiff(bw, dcLuma, dc - predY)
+            predY = dc
+            bw.put(acCode._1, acCode._2) // EOB
+            bh += 1
+          }
+          bv += 1
+        }
+        val dcCb = (synthColorCb(id, mcuX, mcuY) - 128) * 8
+        putDcDiff(bw, dcChroma, dcCb - predCb); predCb = dcCb
+        bw.put(acCode._1, acCode._2)
+        val dcCr = (synthColorCr(id, mcuX, mcuY) - 128) * 8
+        putDcDiff(bw, dcChroma, dcCr - predCr); predCr = dcCr
+        bw.put(acCode._1, acCode._2)
+        mcu += 1
+        mcuX += 1
+      }
+      mcuY += 1
+    }
+    bw.align()
+    u8(0xff); u8(0xd9) // EOI
+    out.toByteArray
   }
 }

@@ -314,6 +314,11 @@ object Multimodal {
   def syntheticJpegGrayUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((id: Long) => syntheticJpegGray(id))
 
+  /** [[Jpeg.synthColorBytes]] (hand-built 4:2:0 color fixture) as a
+    * column function — the q135 gate's payload. */
+  def syntheticJpegColorUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((id: Long) => Jpeg.synthColorBytes(id))
+
   /** [[decodePixelsBatch]] for the baseline grayscale JPEG envelope
     * ([[Jpeg]]): same mapPartitions shape, honest zero-raster rows
     * outside it. */

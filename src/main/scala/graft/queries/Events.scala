@@ -31,6 +31,7 @@ object Events {
     "q101_jpeg_pixels" -> q101,
     "q102_image_features" -> q102,
     "q105_gif_pixels" -> q105,
+    "q135_jpeg_color" -> q135,
     "q107_trailing_stats" -> q107,
     "q108_transitions" -> q108,
     "q109_sliding_agg" -> q109,
@@ -422,6 +423,48 @@ object Events {
       .orderBy(col("doc_id"))
   }
 
+  /** COLOR baseline-JPEG pixel decode (4:2:0) — the r6 verdict's
+    * "honest next increment" past q101's grayscale envelope: hand
+    * built fixture bytes ([[graft.operators.Jpeg.synthColorBytes]])
+    * carry DC-only flat blocks chosen directly in YCbCr space (the
+    * one corner where the lossy format round-trips exactly), through
+    * the full color path — interleaved 2×2+1+1 MCU walk, per
+    * component DC predictors with a mid-scan restart reset, plane
+    * edge clipping (a padding luma row, a half-clipped chroma row),
+    * replication upsampling and the decoder's PINNED JFIF YCbCr→RGB
+    * rounding, which the oracle restates formula-for-formula.
+    * ImageIO parity (both decode directions) is spec territory
+    * (JpegColorSpec) — conforming upsamplers differ at tile edges. */
+  def q135(spark: SparkSession, dir: String): DataFrame = {
+    val chSum = udf((b: Array[Byte], c: Int) => {
+      var s = 0L; var i = c
+      while (i < b.length) { s += (b(i) & 0xff); i += 3 }
+      s
+    })
+    val chMin = udf((b: Array[Byte], c: Int) => {
+      var m = 255; var i = c
+      while (i < b.length) { m = math.min(m, b(i) & 0xff); i += 3 }
+      m.toLong
+    })
+    val chMax = udf((b: Array[Byte], c: Int) => {
+      var m = 0; var i = c
+      while (i < b.length) { m = math.max(m, b(i) & 0xff); i += 3 }
+      m.toLong
+    })
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        Multimodal.syntheticJpegColorUdf(col("doc_id")).as("payload"))
+    Multimodal.decodeJpegPixelsBatch(payloads)
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("channels"),
+        chSum(col("pixels"), lit(0)).as("r_sum"),
+        chSum(col("pixels"), lit(1)).as("g_sum"),
+        chSum(col("pixels"), lit(2)).as("b_sum"),
+        chMin(col("pixels"), lit(0)).as("r_min"),
+        chMax(col("pixels"), lit(2)).as("b_max"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-event trailing-hour user velocity features: for EVERY event,
     * the count and (order-independent decimal) sum of the same user's
     * events in [ts - 1h, ts] — a RANGE frame over a micros order key,
@@ -701,6 +744,35 @@ object Events {
         |  CAST(s.b_sum AS BIGINT) AS b_sum
         |FROM d JOIN s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // q135: 12 luma blocks x 64 px each, flat, so sums weight the
+    // block formulas by 64; the YCbCr->RGB restatement mirrors the
+    // decoder's pinned arithmetic term-for-term (left-assoc double
+    // ops + floor(v + 0.5) == Math.round), keeping IEEE parity.
+    "q135_jpeg_color" ->
+      """WITH blk AS MATERIALIZED (
+        |  SELECT doc_id, bx.g AS bx, by.g AS by,
+        |    16 + (13 * doc_id + 17 * (4 * by.g + bx.g)) % 200 AS yv,
+        |    78 + (7 * doc_id + 29 * (2 * (by.g // 2) + (bx.g // 2))) % 100 AS cb,
+        |    53 + (11 * doc_id + 31 * (2 * (by.g // 2) + (bx.g // 2))) % 150 AS cr
+        |  FROM documents,
+        |    unnest(generate_series(0, 3)) AS bx(g),
+        |    unnest(generate_series(0, 2)) AS by(g)),
+        |c AS (
+        |  SELECT doc_id,
+        |    least(255, greatest(0, CAST(floor(yv + 1.402 * (cr - 128) + 0.5) AS BIGINT))) AS r,
+        |    least(255, greatest(0, CAST(floor(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5) AS BIGINT))) AS g,
+        |    least(255, greatest(0, CAST(floor(yv + 1.772 * (cb - 128) + 0.5) AS BIGINT))) AS b
+        |  FROM blk)
+        |SELECT doc_id, CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+        |  3 AS channels,
+        |  CAST(sum(r) * 64 AS BIGINT) AS r_sum,
+        |  CAST(sum(g) * 64 AS BIGINT) AS g_sum,
+        |  CAST(sum(b) * 64 AS BIGINT) AS b_sum,
+        |  CAST(min(r) AS BIGINT) AS r_min,
+        |  CAST(max(b) AS BIGINT) AS b_max
+        |FROM c
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // q102: every surface restated from the raster generator — the
     // gradient terms re-derive neighbor values from the formula
     // itself (no self-join), the histogram bins by v // 16.
