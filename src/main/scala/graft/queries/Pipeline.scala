@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bloom, Bpe, Dedup, LinkGraph, Sampling, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{Bloom, Bpe, Dedup, LinkGraph, Sampling, Similarity, Snapshot, TextAnalysis, Unigram}
 import graft.sources.WarcSource
 
 /** Blocks C/D/E — LLM-pipeline operators over `documents` and
@@ -89,7 +89,9 @@ object Pipeline {
     "q127_curation_e2e" -> q127,
     "q129_dup_by_source" -> q129,
     "q132_trending" -> q132,
-    "q134_warc_records" -> q134
+    "q134_warc_records" -> q134,
+    "q136_unigram_seed" -> q136,
+    "q137_unigram_segment" -> q137
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -1052,6 +1054,37 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram-LM tokenizer SEED vocabulary (Kudo 2018's candidate
+    * extraction, the q48 counterpart for the SentencePiece family):
+    * top-48 substrings (length ≤ 4) of the corpus word types by
+    * exact integer corpus frequency. The oracle replays the same
+    * substring explosion and (score DESC, piece) ranking — pure
+    * integer counting, so the learned inventory is hash-checked
+    * end-to-end. Scale: candidate space is VOCABULARY-bounded
+    * (Σ len·4 per word TYPE), never corpus-bounded. */
+  def q136(spark: SparkSession, dir: String): DataFrame =
+    Unigram.substringSeed(Tables.documents(spark, dir), "text",
+        maxPieceLen = 4, topK = 48)
+      .orderBy(col("rank"))
+
+  /** Unigram-LM Viterbi segmentation under QUANTIZED integer costs —
+    * the gate-tier half of the q59 float/integer split: piece cost
+    * = ilog16(total) − ilog16(score) with [[Unigram.ilog2Fixed16]]'s
+    * exact shift-and-square binary log (integer ops only, so both
+    * engines price pieces bit-identically), Viterbi minimizing
+    * (Σcost, n_pieces) as the combined key Σcost·64+n. The oracle
+    * replays seed → char-coverage union → ilog (4 unrolled
+    * square-and-shift rounds) → 16 chained DP relaxation rounds (the
+    * q104 discipline), then joins the per-TYPE solution onto each
+    * doc's words exactly as the engine does. The FLOAT unigram EM
+    * (Unigram.train) is spec territory (UnigramSpec). */
+  def q137(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val pieces = Unigram.pieceCosts(d, "text", maxPieceLen = 4, topK = 48)
+    Unigram.segmentStats(d, "doc_id", "text", pieces, maxWordLen = 16)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-node triangle counts over a denser hashed fixture graph
     * (outdeg 1 + v % 6, prefix "tri:") — the degree-ordered exact
     * enumeration of [[LinkGraph.triangleCounts]], gated against a
@@ -1183,6 +1216,58 @@ object Pipeline {
          |w$i AS MATERIALIZED (
          |  SELECT w${i - 1}.b, w${i - 1}.w + coalesce(u$i.u, 0) AS w
          |  FROM w${i - 1} LEFT JOIN u$i ON w${i - 1}.b = u$i.b)""".stripMargin
+    }.mkString(",\n")
+
+  /** Unigram seed replay: word types (≤ 32 chars — the engine's
+    * SentencePiece-style candidate cap), the substring explosion
+    * with overlapping-occurrence counting, and the top-48 inventory
+    * under (score DESC, piece) order. */
+  private val sqlUnigramSeedCtes =
+    """wt AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS w
+      |    FROM documents)
+      |  WHERE length(w) <= 32
+      |  GROUP BY w),
+      |cand AS MATERIALIZED (
+      |  SELECT substr(w, CAST(i.g AS INT), CAST(l.g AS INT)) AS piece,
+      |    CAST(sum(freq) AS BIGINT) AS score
+      |  FROM wt,
+      |    unnest(generate_series(1, 32)) AS i(g),
+      |    unnest(generate_series(1, 4)) AS l(g)
+      |  WHERE i.g <= length(w) AND l.g <= length(w) - i.g + 1
+      |  GROUP BY 1),
+      |top AS MATERIALIZED (
+      |  SELECT piece, score FROM cand ORDER BY score DESC, piece LIMIT 48)""".stripMargin
+
+  /** `n` unrolled square-and-shift rounds of the exact integer
+    * binary log (bit-identical to [[Unigram.ilog2Fixed16]]): state
+    * (piece, m, g, f); each round squares the 30-bit fixed-point
+    * mantissa and shifts one fraction bit into f. */
+  private def sqlIlogRounds(from: String, n: Int): String =
+    (1 to n).map { i =>
+      val prev = if (i == 1) from else s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT piece, m,
+         |    CASE WHEN (g * g) >> 30 >= (CAST(1 AS BIGINT) << 31)
+         |      THEN (g * g) >> 31 ELSE (g * g) >> 30 END AS g,
+         |    f * 2 + CASE WHEN (g * g) >> 30 >= (CAST(1 AS BIGINT) << 31)
+         |      THEN 1 ELSE 0 END AS f
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+
+  /** `n` chained Bellman relaxation rounds of the word-type Viterbi
+    * DP (the q104 replay discipline): dk(w, pos) holds the minimal
+    * combined key Σcost·64 + pieces reachable in ≤ k pieces. */
+  private def sqlDpRounds(n: Int): String =
+    (1 to n).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT w, pos, min(comb) AS comb FROM (
+         |    SELECT w, pos, comb FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.w, e.j, d.comb + e.cost * 64 + 1
+         |    FROM d${i - 1} d JOIN edges e ON d.w = e.w AND d.pos = e.i)
+         |  GROUP BY w, pos)""".stripMargin
     }.mkString(",\n")
 
   private def sqlBpeCtes(k: Int): String = {
@@ -1991,6 +2076,62 @@ object Pipeline {
         |FROM r JOIN b USING (doc_id)
         |GROUP BY r.doc_id
         |ORDER BY r.doc_id""".stripMargin,
+    // q136/q137: the unigram-LM integer tier. Seed = exact substring
+    // counting; segmentation = the shift-and-square integer log (4
+    // unrolled rounds — bit-identical to Unigram.ilog2Fixed16) plus
+    // 16 chained Bellman relaxation rounds over the word-type DP.
+    "q136_unigram_seed" ->
+      s"""WITH $sqlUnigramSeedCtes
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, piece) AS INT) AS rank,
+         |  piece, score
+         |FROM top
+         |ORDER BY rank""".stripMargin,
+    "q137_unigram_segment" ->
+      s"""WITH $sqlUnigramSeedCtes,
+         |pieces0 AS MATERIALIZED (
+         |  SELECT piece, CAST(max(score) AS BIGINT) AS score FROM (
+         |    SELECT piece, score FROM top
+         |    UNION ALL
+         |    SELECT piece, score FROM cand WHERE length(piece) = 1)
+         |  GROUP BY piece),
+         |withtot AS MATERIALIZED (
+         |  SELECT piece, score FROM pieces0
+         |  UNION ALL
+         |  SELECT '' AS piece, CAST((SELECT sum(score) FROM pieces0) AS BIGINT) AS score),
+         |m0 AS MATERIALIZED (
+         |  SELECT piece, length(bin(score)) - 1 AS m,
+         |    ((score << 30) >> (length(bin(score)) - 1)) AS g,
+         |    CAST(0 AS BIGINT) AS f
+         |  FROM withtot),
+         |${sqlIlogRounds("m0", 4)},
+         |il AS MATERIALIZED (SELECT piece, 16 * m + f AS ilog FROM r4),
+         |pc AS MATERIALIZED (
+         |  SELECT piece, CAST(length(piece) AS BIGINT) AS pl,
+         |    (SELECT ilog FROM il WHERE piece = '') - ilog AS cost
+         |  FROM il WHERE piece <> ''),
+         |wtp AS MATERIALIZED (SELECT w FROM wt WHERE length(w) <= 16),
+         |edges AS MATERIALIZED (
+         |  SELECT wtp.w AS w, i.g AS i, i.g + pc.pl AS j, pc.cost AS cost
+         |  FROM wtp, unnest(generate_series(1, 16)) AS i(g), pc
+         |  WHERE i.g + pc.pl <= length(wtp.w) + 1
+         |    AND substr(wtp.w, CAST(i.g AS INT), CAST(pc.pl AS INT)) = pc.piece),
+         |d0 AS MATERIALIZED (
+         |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS comb FROM wtp),
+         |${sqlDpRounds(16)},
+         |seg AS MATERIALIZED (
+         |  SELECT w, comb FROM d16 WHERE pos = length(w) + 1),
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split(text, ' '),
+         |      t -> length(t) > 0 AND length(t) <= 16)) AS w
+         |  FROM documents)
+         |SELECT dw.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(seg.comb & 63) AS BIGINT) AS n_pieces,
+         |  CAST(sum(seg.comb >> 6) AS BIGINT) AS total_cost
+         |FROM dw JOIN seg ON dw.w = seg.w
+         |GROUP BY dw.doc_id
+         |ORDER BY dw.doc_id""".stripMargin,
     // q114: brute three-way join over the replayed edge table — the
     // oracle's id-ordered enumeration and the engine's degree-ordered
     // orientation list the same triangle set; per-node counts are
