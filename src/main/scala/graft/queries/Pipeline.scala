@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bloom, Bpe, Dedup, LinkGraph, Sampling, Similarity, Snapshot, TextAnalysis, Unigram}
+import graft.operators.{Bloom, Bpe, Dedup, KmeansFixed, LinkGraph, Sampling, Similarity, Snapshot, TextAnalysis, Unigram}
 import graft.sources.WarcSource
 
 /** Blocks C/D/E — LLM-pipeline operators over `documents` and
@@ -91,7 +91,8 @@ object Pipeline {
     "q132_trending" -> q132,
     "q134_warc_records" -> q134,
     "q136_unigram_seed" -> q136,
-    "q137_unigram_segment" -> q137
+    "q137_unigram_segment" -> q137,
+    "q138_kmeans_fixed" -> q138
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -1085,6 +1086,20 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** FIXED-POINT integer Lloyd k-means, driver-gated (the r6
+    * verdict's task #3 — one TRAINED quantizer path under the
+    * oracle): 3 replayed training rounds over the 1024-grid
+    * quantized embeddings, k = 4 seeded from the smallest ids. The
+    * oracle replays quantization, the combined-key argmin
+    * (dist·4 + c), and the sign-safe floor-division centroid update
+    * through 3 chained CTE rounds — final centroids, cluster sizes
+    * and total inertia all hash-checked. Float Lloyd
+    * (Similarity.trainKmeans) stays the spec'd production path. */
+  def q138(spark: SparkSession, dir: String): DataFrame =
+    KmeansFixed.gateSurface(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", k = 4, iters = 3)
+      .orderBy(col("cluster"), col("dim"))
+
   /** Per-node triangle counts over a denser hashed fixture graph
     * (outdeg 1 + v % 6, prefix "tri:") — the degree-ordered exact
     * enumeration of [[LinkGraph.triangleCounts]], gated against a
@@ -1268,6 +1283,37 @@ object Pipeline {
          |    SELECT e.w, e.j, d.comb + e.cost * 64 + 1
          |    FROM d${i - 1} d JOIN edges e ON d.w = e.w AND d.pos = e.i)
          |  GROUP BY w, pos)""".stripMargin
+    }.mkString(",\n")
+
+  /** q138's replay: `iters` Lloyd rounds as chained MATERIALIZED
+    * CTEs. Round i: per-(id, cluster) integer squared distance, the
+    * combined-key argmin (dist·4 + c — ties to the smaller cluster,
+    * exactly the engine's strict-< scan), then the sign-safe
+    * floor-division centroid update with empty-cluster carry. One
+    * extra assignment round (under the final centroids) feeds the
+    * stats surface. */
+  private def sqlKmeansRounds(iters: Int): String =
+    (1 to iters + 1).map { i =>
+      val asg =
+        s"""a$i AS MATERIALIZED (
+           |  SELECT e.id, p.c, CAST(sum((e.iv - p.v) * (e.iv - p.v)) AS BIGINT) AS dist
+           |  FROM e JOIN c${i - 1} p ON e.dim = p.dim
+           |  GROUP BY e.id, p.c),
+           |b$i AS MATERIALIZED (
+           |  SELECT id, min(dist * 4 + c) AS m FROM a$i GROUP BY id),
+           |asg$i AS MATERIALIZED (
+           |  SELECT id, m % 4 AS c, m // 4 AS dist FROM b$i)""".stripMargin
+      val upd =
+        s"""c$i AS MATERIALIZED (
+           |  SELECT p.c, p.dim,
+           |    CASE WHEN s.cnt IS NULL OR s.cnt = 0 THEN p.v
+           |      ELSE (s.sm - ((s.sm % s.cnt) + s.cnt) % s.cnt) // s.cnt END AS v
+           |  FROM c${i - 1} p LEFT JOIN (
+           |    SELECT g.c, e.dim, CAST(sum(e.iv) AS BIGINT) AS sm,
+           |      CAST(count(*) AS BIGINT) AS cnt
+           |    FROM asg$i g JOIN e USING (id) GROUP BY g.c, e.dim) s
+           |  ON p.c = s.c AND p.dim = s.dim)""".stripMargin
+      if (i <= iters) s"$asg,\n$upd" else asg
     }.mkString(",\n")
 
   private def sqlBpeCtes(k: Int): String = {
@@ -2132,6 +2178,28 @@ object Pipeline {
          |FROM dw JOIN seg ON dw.w = seg.w
          |GROUP BY dw.doc_id
          |ORDER BY dw.doc_id""".stripMargin,
+    // q138: fixed-point Lloyd replayed end-to-end — quantize,
+    // 3 argmin/update rounds, final stats. All integer arithmetic.
+    "q138_kmeans_fixed" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id AS id, d.g AS dim,
+         |    CAST(floor(embedding[CAST(d.g AS INT) + 1] * 1024.0 + 0.5) AS BIGINT) AS iv
+         |  FROM embeddings, unnest(generate_series(0, 63)) AS d(g)),
+         |seed AS MATERIALIZED (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS c
+         |  FROM (SELECT DISTINCT id FROM e) ORDER BY id LIMIT 4),
+         |c0 AS MATERIALIZED (
+         |  SELECT seed.c, e.dim, e.iv AS v FROM seed JOIN e USING (id)),
+         |${sqlKmeansRounds(3)},
+         |st AS MATERIALIZED (
+         |  SELECT c, CAST(count(*) AS BIGINT) AS n_points,
+         |    CAST(sum(dist) AS BIGINT) AS inertia
+         |  FROM asg4 GROUP BY c)
+         |SELECT c3.c AS cluster, c3.dim, c3.v AS c_val,
+         |  coalesce(st.n_points, 0) AS n_points,
+         |  coalesce(st.inertia, 0) AS inertia
+         |FROM c3 LEFT JOIN st ON c3.c = st.c
+         |ORDER BY cluster, dim""".stripMargin,
     // q114: brute three-way join over the replayed edge table — the
     // oracle's id-ordered enumeration and the engine's degree-ordered
     // orientation list the same triangle set; per-node counts are

@@ -128,4 +128,54 @@ class KmeansSpec extends SparkSuite {
     val pairs = Similarity.semanticNearDupWith(corpus, threshold = 0.9, cents)
     assert(pairs.filter($"cos" < 0.9).count() == 0)
   }
+
+  test("KmeansFixed: the sign-safe floor-division identity matches " +
+    "Math.floorDiv across signs") {
+    for (sVal <- Seq(-1000L, -17L, -1L, 0L, 1L, 17L, 1000L, 123456L);
+         n <- Seq(1L, 2L, 3L, 7L, 500L)) {
+      val viaIdentity = (sVal - ((sVal % n) + n) % n) / n
+      assert(viaIdentity === Math.floorDiv(sVal, n), s"s=$sVal n=$n")
+    }
+  }
+
+  test("KmeansFixed: deterministic training, inertia improves over the " +
+    "seed model, stats account for every vector") {
+    import graft.operators.KmeansFixed
+    val emb = graft.Tables.embeddings(spark, sf)
+    val c1 = KmeansFixed.train(emb, "vec_id", "embedding", k = 4, iters = 3)
+    val c2 = KmeansFixed.train(emb, "vec_id", "embedding", k = 4, iters = 3)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    val out = KmeansFixed.gateSurface(emb, "vec_id", "embedding", k = 4, iters = 3)
+      .collect()
+    assert(out.length === 4 * 64)
+    val n = emb.count()
+    val perCluster = out.groupBy(_.getLong(0)).view
+      .mapValues(_.head.getLong(3)).toMap
+    assert(perCluster.values.sum === n)
+    // inertia under the trained centroids beats the raw seed model
+    val seed0 = KmeansFixed.train(emb, "vec_id", "embedding", k = 4, iters = 0)
+    val i0 = KmeansFixed.gateSurface(emb, "vec_id", "embedding", k = 4, iters = 0)
+      .select("cluster", "inertia").distinct().collect().map(_.getLong(1)).sum
+    val i3 = out.groupBy(_.getLong(0)).values.map(_.head.getLong(4)).sum
+    assert(i3 < i0, s"trained inertia $i3 !< seed inertia $i0")
+    assert(seed0.length === 4)
+  }
+
+  test("KmeansFixed: an emptied cluster carries its previous centroid " +
+    "(duplicate seeds tie to the smaller index)") {
+    import spark.implicits._
+    import graft.operators.KmeansFixed
+    // seeds 0..3 = [0, 5, 9, 9]: clusters 2 and 3 start identical, so
+    // EVERY point (including seed 3's own) ties to cluster 2 -> cluster
+    // 3 is empty from round 1 and must keep its seed centroid while
+    // cluster 2's centroid moves to absorb the 8.9-valued mass
+    val vals = Seq(0.0f, 5.0f, 9.0f, 9.0f) ++ Seq.fill(16)(8.9f)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, Array.fill(8)(v)) }
+      .toDF("vec_id", "embedding")
+    val cents = KmeansFixed.train(df, "vec_id", "embedding", k = 4, iters = 2)
+    val q9 = math.floor(9.0 * 1024.0 + 0.5).toLong
+    assert(cents(3).forall(_ == q9), s"empty cluster 3 moved: ${cents(3).toSeq}")
+    assert(cents(2).forall(_ != q9), "cluster 2 failed to absorb the 8.9 mass")
+    assert(cents(0).forall(_ == 0L))
+  }
 }
