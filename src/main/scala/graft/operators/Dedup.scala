@@ -1189,14 +1189,72 @@ object Dedup {
     * cheap verify. Working on distinct values first is the
     * entity-resolution discipline: dedupe the value space, run the
     * quadratic-looking step only against blocked candidates.
-    * Generalizing to distance k needs delete-<=k neighborhoods
-    * (O(len^k) variants) — the same join, bigger freight; k=1 covers
-    * the one-typo/one-digit entity-match workload this gate models.
+    * Distance k needs delete-<=k neighborhoods (O(len^k) variants) —
+    * the same join, bigger freight: k=1 covers the one-typo/one-digit
+    * entity-match workload this gate models; [[fuzzyPairs2]] ships
+    * k=2 for record linkage (gated by q139, freight measured in
+    * BENCH.md).
     *
     * @return (a, b, dist) with a < b, one row per distinct unordered
     *         pair at levenshtein distance exactly 1 (distance 0 is
     *         impossible across distinct values)
     */
+  /** EXACT edit-distance-≤2 fuzzy pairs — [[fuzzyPairs1]]'s k = 2
+    * sibling (the r6 backlog's record-linkage ask): the
+    * delete-neighborhood theorem generalizes — lev(a, b) ≤ k ⇒
+    * del≤k(a) ∩ del≤k(b) ≠ ∅ — so candidates are the self-join of
+    * the delete-≤2 variant table (1 + len + len·(len−1)/2 variants
+    * per value, O(len²) — the freight the k=1 docstring priced) and
+    * every candidate is verified with the threshold-form codegen'd
+    * levenshtein. Verify-before-distinct matters MORE here: a true
+    * distance-d pair shares many delete-variants, so the raw join
+    * multiplicity grows with k while verified pairs stay sparse.
+    * Variant generation is one imperative UDF per distinct value
+    * (a nested-position loop; the pure-Column form needs
+    * descending-sequence guards that obscure it) — off the per-token
+    * hot path by construction, since it runs once per DISTINCT
+    * value.
+    *
+    * WORKLOAD FIT (measured — BENCH.md r7): on SPARSE key spaces
+    * (hashed/name-like ids, the record-linkage shape k=2 exists
+    * for) delete-≤2 buckets stay near-singleton and the join is
+    * n-linear. On DENSE key spaces (zero-padded sequential
+    * numerics) a variant deleting the varying positions collapses
+    * ~radix² consecutive keys into ONE bucket — the join goes
+    * bucket-quadratic AND key-skewed, and the TRUE distance-≤2
+    * output is itself ~50× the k=1 volume; for such spaces use
+    * [[fuzzyPairs1]] or pre-block on a discriminating prefix.
+    *
+    * @return (a, b, dist) with a < b, dist ∈ {1, 2}
+    */
+  def fuzzyPairs2(df: DataFrame, strCol: String): DataFrame = {
+    val del2 = udf((s: String) => {
+      val out = scala.collection.mutable.LinkedHashSet[String](s)
+      val n = s.length
+      var i = 0
+      while (i < n) { out += s.substring(0, i) + s.substring(i + 1); i += 1 }
+      var a = 0
+      while (a < n) {
+        var b = a + 1
+        while (b < n) {
+          out += s.substring(0, a) + s.substring(a + 1, b) + s.substring(b + 1)
+          b += 1
+        }
+        a += 1
+      }
+      out.toArray
+    })
+    val vals = df.select(col(strCol).as("s")).filter(col("s").isNotNull).distinct()
+    val variants = vals.select(col("s"), explode(del2(col("s"))).as("v"))
+      .localCheckpoint()
+    val left = variants.select(col("s").as("a"), col("v"))
+    val right = variants.select(col("s").as("b"), col("v"))
+    left.join(right, Seq("v"))
+      .filter(col("a") < col("b") && levenshtein(col("a"), col("b"), 2) >= 0)
+      .select(col("a"), col("b")).distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+  }
+
   def fuzzyPairs1(df: DataFrame, strCol: String): DataFrame = {
     val vals = df.select(col(strCol).as("s")).filter(col("s").isNotNull).distinct()
     // delete-one variants plus the string itself; array_distinct

@@ -92,7 +92,8 @@ object Pipeline {
     "q134_warc_records" -> q134,
     "q136_unigram_seed" -> q136,
     "q137_unigram_segment" -> q137,
-    "q138_kmeans_fixed" -> q138
+    "q138_kmeans_fixed" -> q138,
+    "q139_fuzzy_k2" -> q139
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -1129,6 +1130,17 @@ object Pipeline {
     * every candidate is levenshtein-verified. */
   def q106(spark: SparkSession, dir: String): DataFrame =
     Dedup.fuzzyPairs1(Tables.customer(spark, dir), "c_name")
+      .select(col("a").as("name_a"), col("b").as("name_b"), col("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+
+  /** Record-linkage fuzzy matching at edit distance ≤ 2
+    * ([[Dedup.fuzzyPairs2]]'s delete-≤2 symmetric blocking), proven
+    * loss-free against the same NAIVE length-banded oracle shape as
+    * q106 — identical output means the wider neighborhood still
+    * misses nothing while the join stays bounded by n·O(len²)
+    * variants, never the all-pairs product. */
+  def q139(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyPairs2(Tables.customer(spark, dir), "c_name")
       .select(col("a").as("name_a"), col("b").as("name_b"), col("dist"))
       .orderBy(col("name_a"), col("name_b"))
 
@@ -2236,6 +2248,15 @@ object Pipeline {
         |FROM d a JOIN d b
         |  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
         |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
+    // q139: q106's naive oracle widened to <= 2 — again independent
+    // of the engine's delete-neighborhood blocking.
+    "q139_fuzzy_k2" ->
+      """WITH d AS (SELECT DISTINCT c_name AS s FROM customer WHERE c_name IS NOT NULL)
+        |SELECT a.s AS name_a, b.s AS name_b, levenshtein(a.s, b.s) AS dist
+        |FROM d a JOIN d b
+        |  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2
+        |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
     // q113: cut d = smallest token count whose cumulative doc count
     // reaches d·N/10, stated as cum*10 >= d*N — integer comparison,

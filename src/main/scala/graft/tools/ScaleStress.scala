@@ -795,6 +795,38 @@ object ScaleStress {
     Seq(100000L, 1000000L).foreach { n =>
       timed(s"fuzzyPairs1 $n entity ids")(fuzzyRun(n))
     }
+    // k=2 freight, TWO shapes because the answer differs honestly:
+    //
+    // (a) SPARSE keys (base-36 hashed tails — the entity-id/record-
+    //     linkage workload k=2 exists for): delete-<=2 buckets stay
+    //     near-singleton, candidates and output stay n-linear, and
+    //     100k→1M must cost ~10x like the k=1 rows above.
+    def fuzzy2Sparse(n: Long): Long = {
+      val names = spark.range(0, n, 1, 32)
+        .select(concat(lit("u-"),
+          lpad(conv(crc32(col("id").cast("string")), 10, 36), 7, "0")).as("s"))
+      graft.operators.Dedup.fuzzyPairs2(names, "s").count()
+    }
+    Seq(100000L, 1000000L).foreach { n =>
+      timed(s"fuzzyPairs2 sparse $n ids")(fuzzy2Sparse(n))
+    }
+    // (b) DENSE zero-padded numerics — the ADVERSARIAL shape: a
+    //     delete-2 variant that removes both varying digit positions
+    //     collapses ~100 consecutive ids into ONE bucket, so the
+    //     candidate join is bucket-quadratic AND key-skewed (one hot
+    //     variant = one giant task; measured: load_avg ~1.6 on 32
+    //     cores — the join is skew-bound, not CPU-bound) and the TRUE
+    //     output is ~470 pairs/id (~50x k=1). 20k rows document the
+    //     cost curve; the fuzzyPairs2 docstring points dense numeric
+    //     spaces at k=1 or a discriminating prefix instead.
+    def fuzzy2Dense(n: Long): Long = {
+      val names = spark.range(0, n, 1, 32)
+        .select(concat(lit("ID"), lpad(col("id").cast("string"), 9, "0")).as("s"))
+      graft.operators.Dedup.fuzzyPairs2(names, "s").count()
+    }
+    Seq(10000L, 20000L).foreach { n =>
+      timed(s"fuzzyPairs2 dense $n ids")(fuzzy2Dense(n))
+    }
     }
 
     if (sections("index")) {

@@ -80,4 +80,47 @@ class FuzzySpec extends SparkSuite {
     assert(got.head.getString(0) === "abc" && got.head.getString(1) === "abd"
       && got.head.getInt(2) === 1)
   }
+
+  private def naive2(vals: Seq[String]): Set[(String, String, Int)] = {
+    val d = vals.distinct
+    (for {
+      a <- d; b <- d if a < b
+      dd = lev(a, b) if dd <= 2
+    } yield (a, b, dd)).toSet
+  }
+
+  private def run2(vals: Seq[String]): Set[(String, String, Int)] =
+    Dedup.fuzzyPairs2(vals.toDF("s"), "s")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+
+  test("k=2: every edit-kind COMBINATION against brute force " +
+    "(sub+sub, sub+ins, ins+ins, del+del, mixed positions)") {
+    val vals = Seq(
+      "widget", "wadgit",          // two substitutions
+      "widgetsx",                  // two insertions
+      "dget",                      // two deletions
+      "awidgt",                    // insert front + delete middle
+      "gadget",                    // dist 2 (sub+sub) -> now INCLUDED
+      "gadgets",                   // dist 3 from widget -> excluded
+      "x", "", "xy",               // short strings: dist 1 and 2 chains
+      "aabb", "ab",                // repeated-char collapses, dist 2
+      "totally-unrelated")
+    assert(run2(vals) === naive2(vals))
+    assert(naive2(vals).contains(("gadget", "widget", 2)))
+    assert(naive2(vals).exists(t => t._1 == "" && t._2 == "xy" && t._3 == 2))
+    assert(!naive2(vals).exists(t => t._2 == "gadgets" && t._1 == "widget"))
+  }
+
+  test("k=2: random digit-string corpus matches brute force, and the " +
+    "k=1 pairs are exactly the dist<=1 subset") {
+    val vals = (0 until 300).map { i =>
+      val h = Integer.toString((i * 2654435761L % 100000).toInt)
+      "ID" + ("0" * (5 - h.length)) + h
+    }
+    val got2 = run2(vals)
+    assert(got2 === naive2(vals))
+    val got1 = run(vals)
+    assert(got2.filter(_._3 <= 1).map(t => (t._1, t._2)) === got1)
+    assert(got2.exists(_._3 == 2), "fixture produced no distance-2 pairs")
+  }
 }

@@ -521,7 +521,8 @@ class StreamingSpec extends SparkSuite {
       assert(maxDiff <= 1,
         s"IDCT deviation $maxDiff > 1 vs ImageIO at ${w}x$h q$quality")
     }
-    // honest None: color JPEG (3-component), junk, truncated scan
+    // color baseline is IN the envelope since r7 (JpegColorSpec owns
+    // its parity pins) — here just assert it decodes as 3-channel
     val colorImg = new java.awt.image.BufferedImage(8, 8,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     val colorBytes = {
@@ -529,7 +530,10 @@ class StreamingSpec extends SparkSuite {
       javax.imageio.ImageIO.write(colorImg, "jpg", out)
       out.toByteArray
     }
-    assert(Jpeg.decode(colorBytes).isEmpty, "color must reject (envelope)")
+    val colorDec = Jpeg.decode(colorBytes)
+    assert(colorDec.isDefined && colorDec.get.channels == 3,
+      "color baseline decodes since r7")
+    // honest None: junk, truncated scan
     assert(Jpeg.decode("not a jpeg".getBytes).isEmpty)
     val good = jpegBytes(grayImage(16, 16, (x, y) => x + y), 0.9f)
     assert(Jpeg.decode(good.dropRight(good.length / 3)).isEmpty, "truncated scan")
