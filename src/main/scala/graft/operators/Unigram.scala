@@ -244,37 +244,38 @@ object Unigram {
     * INPUT model (Σ freq · ln Z_w). Single-char pieces of the input
     * model are floored at [[CharProbFloor]] (then renormalized) so
     * coverage survives underflow. */
-  def emStep(spark: SparkSession, wt: Seq[(String, Long)],
-             probs: Map[String, Double], maxPieceLen: Int)
-      : (Map[String, Double], Double) = {
-    // word types are a vocabulary-bounded Seq here; at corpus scale
-    // this fold runs as the mapPartitions+reduceByKey the docstring
-    // describes — the arithmetic below is the per-type kernel.
-    var ll = 0.0
-    val exp = scala.collection.mutable.Map.empty[String, Double]
-    wt.foreach { case (w, freq) =>
-      val (alpha, beta, z) = forwardBackward(w, probs, maxPieceLen)
-      require(z > 0.0, s"unsegmentable word under current vocab: $w")
-      ll += freq * math.log(z)
-      val n = w.length
-      var i = 0
-      while (i < n) {
-        var k = i + 1
-        val lim = math.min(n, i + maxPieceLen)
-        while (k <= lim) {
-          val s = w.substring(i, k)
-          val pr = probs.getOrElse(s, 0.0)
-          if (pr > 0.0) {
-            val c = alpha(i) * pr * beta(k) / z
-            if (c > 0.0) exp(s) = exp.getOrElse(s, 0.0) + freq * c
-          }
-          k += 1
+  /** The per-word-type E-step kernel shared by the Seq driver and
+    * the distributed job: folds `(w, freq)`'s expected piece counts
+    * into `exp` and returns freq·ln Z. */
+  private def eStepKernel(w: String, freq: Long, probs: Map[String, Double],
+                          maxPieceLen: Int,
+                          exp: scala.collection.mutable.Map[String, Double]): Double = {
+    val (alpha, beta, z) = forwardBackward(w, probs, maxPieceLen)
+    require(z > 0.0, s"unsegmentable word under current vocab: $w")
+    val n = w.length
+    var i = 0
+    while (i < n) {
+      var k = i + 1
+      val lim = math.min(n, i + maxPieceLen)
+      while (k <= lim) {
+        val s = w.substring(i, k)
+        val pr = probs.getOrElse(s, 0.0)
+        if (pr > 0.0) {
+          val c = alpha(i) * pr * beta(k) / z
+          if (c > 0.0) exp(s) = exp.getOrElse(s, 0.0) + freq * c
         }
-        i += 1
+        k += 1
       }
+      i += 1
     }
+    freq * math.log(z)
+  }
+
+  /** M-step: normalize expected counts, then apply the char floor. */
+  private def mStep(exp: Map[String, Double],
+                    probs: Map[String, Double]): Map[String, Double] = {
     val total = exp.values.sum
-    val normed = exp.toMap.map { case (s, c) => s -> c / total }
+    val normed = exp.map { case (s, c) => s -> c / total }
     // char-coverage floor: every single-char piece of the INPUT model
     // survives with at least CharProbFloor
     val floored = probs.keys.filter(_.length == 1).foldLeft(normed) {
@@ -282,7 +283,51 @@ object Unigram {
                       else m.updated(ch, CharProbFloor)
     }
     val z2 = floored.values.sum
-    (floored.map { case (s, p) => s -> p / z2 }, ll)
+    floored.map { case (s, p) => s -> p / z2 }
+  }
+
+  def emStep(spark: SparkSession, wt: Seq[(String, Long)],
+             probs: Map[String, Double], maxPieceLen: Int)
+      : (Map[String, Double], Double) = {
+    var ll = 0.0
+    val exp = scala.collection.mutable.Map.empty[String, Double]
+    wt.foreach { case (w, freq) => ll += eStepKernel(w, freq, probs, maxPieceLen, exp) }
+    (mStep(exp.toMap, probs), ll)
+  }
+
+  /** [[emStep]] as an ACTUAL distributed job (the §8 backlog item):
+    * the word-TYPE table stays a DataFrame, each partition folds its
+    * types through [[eStepKernel]] with the broadcast model and
+    * emits ONE partial (piece, count) set plus a log-likelihood
+    * sentinel row, and a piece-keyed sum collapses the partials —
+    * shuffle volume is vocabulary × partitions, never corpus rows.
+    * Float caveat, stated: cross-partition double summation is
+    * ORDER-dependent in the last ulps, so this is deterministic for
+    * a fixed partitioning and agrees with the Seq driver to ~1e-9
+    * relative (spec-pinned), not bit-for-bit — the same trade every
+    * distributed float aggregation makes (and why the GATED tier
+    * q136/q137 is integer-only). */
+  def emStepDistributed(wt: DataFrame, probs: Map[String, Double],
+                        maxPieceLen: Int): (Map[String, Double], Double) = {
+    val spark = wt.sparkSession
+    import org.apache.spark.sql.Encoders
+    val bc = spark.sparkContext.broadcast(probs)
+    val llKey = "" // pieces are never empty — safe sentinel
+    val partials = wt.select(col("w").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .mapPartitions { it =>
+        val exp = scala.collection.mutable.Map.empty[String, Double]
+        var ll = 0.0
+        it.foreach { case (w, freq) =>
+          ll += eStepKernel(w, freq, bc.value, maxPieceLen, exp)
+        }
+        exp.iterator.map { case (s, c) => (s, c) } ++ Iterator((llKey, ll))
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaDouble))
+      .toDF("piece", "c")
+      .groupBy(col("piece")).agg(sum(col("c")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ll = partials.getOrElse(llKey, 0.0)
+    (mStep(partials - llKey, probs), ll)
   }
 
   /** Train a unigram-LM vocabulary: seed from substring scores, then

@@ -93,7 +93,8 @@ object Pipeline {
     "q136_unigram_seed" -> q136,
     "q137_unigram_segment" -> q137,
     "q138_kmeans_fixed" -> q138,
-    "q139_fuzzy_k2" -> q139
+    "q139_fuzzy_k2" -> q139,
+    "q140_crawl_e2e" -> q140
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -1053,6 +1054,42 @@ object Pipeline {
           .getField("target_uri").as("first_uri"),
         array_join(sort_array(collect_list(col("warc_type"))), ",")
           .as("types_sorted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The crawl front door END-TO-END under one gate (the q127
+    * discipline applied to the NEW ingest chain): WARC response
+    * records carrying GENUINE HTTP messages (status line + headers +
+    * blank line + HTML entity body — the CommonCrawl block layout;
+    * odd ids gzipped) → [[WarcSource]] record parse →
+    * [[WarcSource.httpBody]] header/body split →
+    * [[TextAnalysis.htmlToText]] extraction. Each stage is gated
+    * standalone (q134/q119); this pins the PLUMBING between them —
+    * the declared Content-Length must cover exactly the HTTP head +
+    * HTML bytes (ASCII corpus: octet == char length, which the
+    * oracle restates as length arithmetic), and the extracted text
+    * must byte-match q119's closed forms after transiting the
+    * container. Pure map-side until the gate's orderBy. */
+  def q140(spark: SparkSession, dir: String): DataFrame = {
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val html = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(lit("<html><head><title>doc "), col("doc_id"),
+        lit("</title></head><body><p class=\"main\">"), esc(col("text")),
+        lit("</p><hr/><div id=\"f\">footer &amp; legal &#39;v1&#39;</div></body></html>"))
+        .as("html"))
+    val payloads = html.select(col("doc_id").as("id"),
+      WarcSource.syntheticHttpWarcUdf(col("doc_id"), col("html")).as("payload"))
+    val recs = WarcSource.records(WarcSource.parseBatch(payloads))
+    val pages = recs.select(col("path").cast("long").as("doc_id"),
+      col("content_length"), col("target_uri"),
+      WarcSource.httpBodyUdf(col("body")).cast("string").as("html"))
+    TextAnalysis.htmlToText(pages, "doc_id", "html")
+      .join(pages.select(col("doc_id"), col("content_length"), col("target_uri")),
+        "doc_id")
+      .select(col("doc_id"), col("content_length"), col("target_uri"),
+        col("n_tags"), col("clean_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -2134,6 +2171,31 @@ object Pipeline {
         |FROM r JOIN b USING (doc_id)
         |GROUP BY r.doc_id
         |ORDER BY r.doc_id""".stripMargin,
+    // q140: the crawl chain restated — html rebuilt as in q119, the
+    // declared Content-Length as pure length arithmetic (ASCII
+    // corpus: octet == char count; the HTTP head is a fixed-width
+    // constant), extraction identical to q119's. The WARC/HTTP
+    // transit happens only on the engine side, inside the hash.
+    "q140_crawl_e2e" -> {
+      val headLen = graft.sources.WarcSource.SynthHttpHead.length
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+         |    '</title></head><body><p class="main">' ||
+         |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+         |    '</p><hr/><div id="f">footer &amp; legal &#39;v1&#39;</div></body></html>' AS html
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(html) + $headLen AS BIGINT) AS content_length,
+         |  'http://host-' || CAST(doc_id % 50 AS VARCHAR) || '.example/page/' ||
+         |    CAST(doc_id AS VARCHAR) AS target_uri,
+         |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+         |  replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(html, '<[^>]*>', '', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS clean_text
+         |FROM h
+         |ORDER BY doc_id""".stripMargin
+    },
     // q136/q137: the unigram-LM integer tier. Seed = exact substring
     // counting; segmentation = the shift-and-square integer log (4
     // unrolled rounds — bit-identical to Unigram.ilog2Fixed16) plus

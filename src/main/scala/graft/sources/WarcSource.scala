@@ -276,6 +276,62 @@ object WarcSource {
   def syntheticWarcUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((id: Long) => synthWarcBytes(id))
 
+  // ---------------------------------------------------------------
+  // HTTP-payload records (the layout CommonCrawl response records
+  // actually carry: the block is a full HTTP message — status line,
+  // headers, blank line, entity body).
+  // ---------------------------------------------------------------
+
+  /** The fixed HTTP response head used by the synthetic crawl
+    * records (status line + one header + blank line). */
+  val SynthHttpHead: String =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+
+  /** Split an HTTP message block into its entity body: everything
+    * after the first CRLFCRLF (tolerating bare LFLF); the whole
+    * block if no header terminator exists (a non-HTTP block passes
+    * through — the permissive discipline). */
+  def httpBody(block: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i + 1 < block.length) {
+      if (block(i) == '\n') {
+        // \n\n or \n\r\n end the header section
+        if (block(i + 1) == '\n')
+          return java.util.Arrays.copyOfRange(block, i + 2, block.length)
+        if (i + 2 < block.length && block(i + 1) == '\r' && block(i + 2) == '\n')
+          return java.util.Arrays.copyOfRange(block, i + 3, block.length)
+        if (i + 2 >= block.length && block(i + 1) == '\r')
+          return Array.emptyByteArray
+      }
+      i += 1
+    }
+    block
+  }
+
+  /** Column form of [[httpBody]]. */
+  def httpBodyUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((b: Array[Byte]) => httpBody(b))
+
+  /** One synthetic crawl record: a WARC response whose block is the
+    * genuine HTTP message [[SynthHttpHead]] + `html` (the
+    * CommonCrawl layout). Odd ids gzip the record (one member). */
+  def synthHttpWarcBytes(id: Long, html: String): Array[Byte] = {
+    val body = (SynthHttpHead + html).getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val hdr = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Record-ID: <urn:uuid:crawl-${id}>\r\n" +
+      s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"WARC-Target-URI: http://host-${id % 50}.example/page/${id}\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val rec = hdr ++ body ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    if (id % 2 == 1) gzipMember(rec) else rec
+  }
+
+  /** Column form of [[synthHttpWarcBytes]]. */
+  def syntheticHttpWarcUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((id: Long, html: String) => synthHttpWarcBytes(id, html))
+
   /** Batched parse of per-row WARC payload bytes (the decodeBatch
     * shape: partition-wise, no driver involvement). `idCol` rides
     * along as the path field. */

@@ -67,6 +67,34 @@ class UnigramSpec extends SparkSuite {
     }
   }
 
+  test("emStepDistributed agrees with the Seq driver (~1e-9 relative) " +
+    "across chained rounds and is deterministic for a fixed partitioning") {
+    val wtDf = Unigram.wordTypes(docs, "text")
+    val wt = wtDf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val chars = wt.flatMap(_._1.map(_.toString)).distinct.sorted
+    val seed = Unigram.substringSeed(docs, "text", 4, 200).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    val sc = seed.toMap
+    val all = (seed.map(_._1) ++ chars).distinct
+    val tot = all.map(s => sc.getOrElse(s, 1L).toDouble).sum
+    var pSeq: Map[String, Double] = all.map(s => s -> sc.getOrElse(s, 1L) / tot).toMap
+    var pDist = pSeq
+    for (it <- 0 until 3) {
+      val (nSeq, llSeq) = Unigram.emStep(spark, wt, pSeq, 4)
+      val (nDist, llDist) = Unigram.emStepDistributed(wtDf, pDist, 4)
+      assert(math.abs(llSeq - llDist) <= 1e-9 * math.abs(llSeq), s"iter $it ll")
+      assert(nSeq.keySet === nDist.keySet, s"iter $it keys diverged")
+      nSeq.foreach { case (s, p) =>
+        assert(math.abs(p - nDist(s)) <= 1e-9 * math.max(p, 1e-12), s"iter $it $s")
+      }
+      pSeq = nSeq; pDist = nDist
+    }
+    // determinism: identical input + partitioning -> identical result
+    val (a, la) = Unigram.emStepDistributed(wtDf, pDist, 4)
+    val (b, lb) = Unigram.emStepDistributed(wtDf, pDist, 4)
+    assert(a === b && la === lb)
+  }
+
   test("train: deterministic, hits the vocab target, never prunes " +
     "single chars, and every corpus word stays encodable") {
     val v1 = Unigram.train(docs, "text", vocabSize = 40, emIters = 2)

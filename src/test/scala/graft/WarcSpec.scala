@@ -122,6 +122,26 @@ class WarcSpec extends SparkSuite {
     assert(raw.select("path").distinct().count() === 2L)
   }
 
+  test("httpBody: CRLF and bare-LF header terminators, body bytes " +
+    "verbatim, non-HTTP blocks pass through") {
+    def s2b(s: String) = s.getBytes(US_ASCII)
+    def body(s: String) = new String(WarcSource.httpBody(s2b(s)), US_ASCII)
+    assert(body("HTTP/1.1 200 OK\r\nX: y\r\n\r\n<html>hi</html>") === "<html>hi</html>")
+    assert(body("HTTP/1.1 200 OK\nX: y\n\n<html>hi</html>") === "<html>hi</html>")
+    // body containing its own blank lines: only the FIRST terminator splits
+    assert(body("H: v\r\n\r\nline1\r\n\r\nline2") === "line1\r\n\r\nline2")
+    // no terminator: permissive pass-through
+    assert(body("no header terminator here") === "no header terminator here")
+    assert(body("") === "")
+    // the q140 fixture round-trips: head + html -> html
+    val html = "<html><body>x &amp; y</body></html>"
+    val rec = WarcSource.parseStream("7",
+      WarcSource.inflate(WarcSource.synthHttpWarcBytes(7L, html))).head
+    assert(rec.error == null)
+    assert(rec.content_length === (WarcSource.SynthHttpHead + html).length.toLong)
+    assert(new String(WarcSource.httpBody(rec.body), US_ASCII) === html)
+  }
+
   test("synthetic stream surfaces match their closed forms (the q134 " +
     "fixture's self-check), including the gzip leg") {
     for (id <- 0L to 7L) {
