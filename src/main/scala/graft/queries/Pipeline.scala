@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bloom, Bpe, Dedup, KmeansFixed, LinkGraph, Sampling, Similarity, Snapshot, TextAnalysis, Unigram}
+import graft.operators.{Bloom, Bpe, Dedup, KmeansFixed, LinkGraph, Sampling, Similarity, Snapshot, TextAnalysis, Unigram, WordPiece}
 import graft.sources.WarcSource
 
 /** Blocks C/D/E — LLM-pipeline operators over `documents` and
@@ -94,7 +94,9 @@ object Pipeline {
     "q137_unigram_segment" -> q137,
     "q138_kmeans_fixed" -> q138,
     "q139_fuzzy_k2" -> q139,
-    "q140_crawl_e2e" -> q140
+    "q140_crawl_e2e" -> q140,
+    "q141_wordpiece_train" -> q141,
+    "q142_wordpiece_encode" -> q142
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -1175,11 +1177,61 @@ object Pipeline {
     * loss-free against the same NAIVE length-banded oracle shape as
     * q106 — identical output means the wider neighborhood still
     * misses nothing while the join stays bounded by n·O(len²)
-    * variants, never the all-pairs product. */
-  def q139(spark: SparkSession, dir: String): DataFrame =
-    Dedup.fuzzyPairs2(Tables.customer(spark, dir), "c_name")
-      .select(col("a").as("name_a"), col("b").as("name_b"), col("dist"))
-      .orderBy(col("name_a"), col("name_b"))
+    * variants, never the all-pairs product. The fixture keys are the
+    * SPARSE hashed shape k=2 exists for (md5-derived 8-hex prefix
+    * per 3-customer group + a one-digit suffix, so every group
+    * plants distance-1/2 positives while the space stays
+    * near-singleton-bucketed): zero-padded dense numerics like
+    * c_name are fuzzyPairs2's DOCUMENTED anti-pattern (bucket-
+    * quadratic, ~50× output — BENCH.md r7 measured 76 s at sf0.1 on
+    * exactly that shape before this re-fixture; the operator
+    * docstring routes such spaces to k=1 or prefix blocking). */
+  def q139(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(spark, dir).select(
+      expr("concat(substring(md5(cast(c_custkey div 3 as string)), 1, 8), " +
+        "cast(c_custkey % 3 as string))").as("link_key"))
+    Dedup.fuzzyPairs2(keys, "link_key")
+      .select(col("a").as("key_a"), col("b").as("key_b"), col("dist"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
+  /** WordPiece tokenizer training (Schuster & Nakajima 2012 — the
+    * BERT family, the THIRD trained-subword family beside BPE and
+    * unigram-LM): the first 10 merges under the LIKELIHOOD objective
+    * score(a,b) = count(ab) / (count(a)·count(b)) over the corpus
+    * word-type table, `##` continuation convention, merge product
+    * a + strip##(b). The argmax is FLOAT-FREE — exact BigInt
+    * cross-multiplication inside a proven tolerance band
+    * ([[WordPiece.train]]) — and the oracle replays all 10 rounds
+    * with a HUGEINT cross-multiplied anti-join argmax, so merge
+    * choices, products and the `##` bookkeeping all sit inside the
+    * hash with no float anywhere in either engine's decision. */
+  def q141(spark: SparkSession, dir: String): DataFrame = {
+    val merges = WordPiece.train(Tables.documents(spark, dir), "text",
+      numMerges = 10)
+    WordPiece.mergesDF(spark, merges).orderBy(col("rank"))
+  }
+
+  /** WordPiece inference under the q141-trained vocabulary: per-doc
+    * token counts by greedy longest-match-first (the published BERT
+    * rule — NOT merge replay; gating encode separately from training
+    * is the point, since the two algorithms only agree through the
+    * vocabulary), maxInputChars = 16 so over-length words collapse
+    * to one [UNK]. The oracle replays training to the final
+    * alphabet ∪ products vocabulary, classifies pieces by the raw
+    * `##` prefix exactly as the engine's [[WordPiece.Vocab]] does,
+    * then runs 16 chained longest-match rounds per word TYPE (each
+    * round consumes >= 1 char, so 16 rounds close every <= 16-char
+    * word) and joins counts back per doc — the q49 discipline. */
+  def q142(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = WordPiece.train(docs, "text", numMerges = 10)
+    val vocab = WordPiece.vocabulary(docs, "text", merges)
+    docs.select(col("doc_id"),
+        WordPiece.tokenCountUdf(vocab, maxInputChars = 16)(col("text"))
+          .as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Sharded inverted-index build over the corpus (8 doc-shards):
     * posting lists gated as serialized "docId:tf" runs, so the
@@ -1410,6 +1462,105 @@ object Pipeline {
        |LEFT JOIN wcount wc ON dw.w = wc.w
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** q141/q142 shared replay: `k` WordPiece merge rounds over the
+    * word-TYPE table. Round i: adjacent-pair counts AND current
+    * symbol unigram counts, the exact-fraction likelihood argmax
+    * score = cnt/(ca·cb) as a HUGEINT cross-multiplied anti-join
+    * (fraction DESC, then a, b — NO float in the decision, matching
+    * the engine's BigInt comparison), then the greedy left-to-right
+    * fold with the a + strip##(b) product. Initial symbols: first
+    * char plain, later chars `##`-prefixed. */
+  private def sqlWordPieceCtes(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT syms[j] AS a, syms[j+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM w${i - 1}, unnest(range(1, len(syms))) AS t(j) GROUP BY 1, 2),
+         |s$i AS MATERIALIZED (SELECT s AS sym, CAST(sum(freq) AS BIGINT) AS scnt
+         |  FROM w${i - 1}, unnest(syms) AS t(s) GROUP BY 1),
+         |sc$i AS MATERIALIZED (SELECT p.a, p.b, p.cnt, sa.scnt AS ca, sb.scnt AS cb
+         |  FROM p$i p JOIN s$i sa ON p.a = sa.sym JOIN s$i sb ON p.b = sb.sym),
+         |b$i AS MATERIALIZED (SELECT a AS ma, b AS mb,
+         |    a || CASE WHEN b LIKE '##%' THEN substr(b, 3) ELSE b END AS mg
+         |  FROM sc$i s WHERE NOT EXISTS (SELECT 1 FROM sc$i t WHERE
+         |    CAST(t.cnt AS HUGEINT) * s.ca * s.cb > CAST(s.cnt AS HUGEINT) * t.ca * t.cb
+         |    OR (CAST(t.cnt AS HUGEINT) * s.ca * s.cb = CAST(s.cnt AS HUGEINT) * t.ca * t.cb
+         |        AND (t.a < s.a OR (t.a = s.a AND t.b < s.b))))),
+         |w$i AS MATERIALIZED (SELECT string_split(list_reduce(syms, (acc, x) -> CASE
+         |    WHEN x = mb AND string_split(acc, chr(31))[-1] = ma
+         |    THEN substr(acc, 1, length(acc) - length(ma)) || mg
+         |    ELSE acc || chr(31) || x END), chr(31)) AS syms, freq
+         |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wt AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS w
+       |    FROM documents) GROUP BY w),
+       |w0 AS MATERIALIZED (SELECT list_prepend(w[1],
+       |    list_transform(range(2, length(w) + 1), i -> '##' || w[i])) AS syms, freq
+       |  FROM wt),
+       |$rounds""".stripMargin
+  }
+
+  private def sqlWordPieceTrain(k: Int): String = {
+    val sel = (1 to k)
+      .map(i => s"SELECT $i AS rank, ma AS a, mb AS b, mg AS merged FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""${sqlWordPieceCtes(k)}
+       |$sel
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** q142 oracle: final vocabulary = initial alphabet ∪ the k merge
+    * products, classified by the raw `##` prefix (the engine's
+    * Vocab rule restated); then `maxLen` chained greedy
+    * longest-match rounds over word TYPES — each round advances
+    * every unfinished word by its LONGEST matching piece (cont
+    * pieces match past position 1) — and per-doc counts by joining
+    * types back (over-length words count one [UNK]). */
+  private def sqlWordPieceTokenize(k: Int, maxLen: Int): String = {
+    val rounds = (1 to maxLen).map { i =>
+      s"""g$i AS MATERIALIZED (
+         |  SELECT w, pos, n FROM g${i - 1} WHERE pos > length(w)
+         |  UNION ALL
+         |  SELECT g.w, g.pos + m.plen, g.n + 1
+         |  FROM g${i - 1} g JOIN (
+         |    SELECT u.w, u.pos, max(v.plen) AS plen
+         |    FROM g${i - 1} u JOIN vocabt v
+         |      ON v.cont = (u.pos > 1) AND substr(u.w, u.pos, v.plen) = v.stripped
+         |    WHERE u.pos <= length(u.w)
+         |    GROUP BY u.w, u.pos) m ON g.w = m.w AND g.pos = m.pos)""".stripMargin
+    }.mkString(",\n")
+    val products = (1 to k).map(i => s"SELECT mg AS piece FROM b$i")
+      .mkString("\n  UNION\n  ")
+    s"""${sqlWordPieceCtes(k)},
+       |alpha AS MATERIALIZED (
+       |  SELECT DISTINCT CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END AS piece
+       |  FROM wt, unnest(range(1, length(w) + 1)) AS t(i)),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece FROM alpha
+       |  UNION
+       |  $products),
+       |vocabt AS MATERIALIZED (
+       |  SELECT stripped, cont, length(stripped) AS plen FROM (
+       |    SELECT CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS stripped,
+       |      (piece LIKE '##%') AS cont
+       |    FROM vocab) WHERE length(stripped) > 0),
+       |g0 AS MATERIALIZED (SELECT w, 1 AS pos, 0 AS n FROM wt WHERE length(w) <= $maxLen),
+       |$rounds,
+       |wnp AS MATERIALIZED (
+       |  SELECT w, n FROM g$maxLen
+       |  UNION ALL
+       |  SELECT w, 1 AS n FROM wt WHERE length(w) > $maxLen),
+       |dw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS w
+       |  FROM documents)
+       |SELECT d.doc_id, CAST(coalesce(sum(wn.n), 0) AS BIGINT) AS n_tokens
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN dw ON d.doc_id = dw.doc_id
+       |LEFT JOIN wnp wn ON dw.w = wn.w
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   private val sqlWordSets =
     """sets AS (
@@ -2252,6 +2403,13 @@ object Pipeline {
          |FROM dw JOIN seg ON dw.w = seg.w
          |GROUP BY dw.doc_id
          |ORDER BY dw.doc_id""".stripMargin,
+    // q141/q142: the WordPiece family. Training = 10 replayed
+    // likelihood-argmax merge rounds (HUGEINT cross-mult anti-join ==
+    // the engine's BigInt band argmax — no float in either decision);
+    // encode = 16 replayed greedy longest-match rounds under the
+    // alphabet ∪ products vocabulary with raw-## classification.
+    "q141_wordpiece_train" -> sqlWordPieceTrain(10),
+    "q142_wordpiece_encode" -> sqlWordPieceTokenize(10, 16),
     // q138: fixed-point Lloyd replayed end-to-end — quantize,
     // 3 argmin/update rounds, final stats. All integer arithmetic.
     "q138_kmeans_fixed" ->
@@ -2312,14 +2470,19 @@ object Pipeline {
         |WHERE levenshtein(a.s, b.s) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
     // q139: q106's naive oracle widened to <= 2 — again independent
-    // of the engine's delete-neighborhood blocking.
+    // of the engine's delete-neighborhood blocking. The sparse
+    // hashed fixture keys are derived identically on both sides
+    // (md5 of the custkey 3-group + suffix digit).
     "q139_fuzzy_k2" ->
-      """WITH d AS (SELECT DISTINCT c_name AS s FROM customer WHERE c_name IS NOT NULL)
-        |SELECT a.s AS name_a, b.s AS name_b, levenshtein(a.s, b.s) AS dist
+      """WITH d AS (SELECT DISTINCT
+        |    substr(md5(CAST(c_custkey // 3 AS VARCHAR)), 1, 8)
+        |      || CAST(c_custkey % 3 AS VARCHAR) AS s
+        |  FROM customer)
+        |SELECT a.s AS key_a, b.s AS key_b, levenshtein(a.s, b.s) AS dist
         |FROM d a JOIN d b
         |  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2
         |WHERE levenshtein(a.s, b.s) <= 2
-        |ORDER BY name_a, name_b""".stripMargin,
+        |ORDER BY key_a, key_b""".stripMargin,
     // q113: cut d = smallest token count whose cumulative doc count
     // reaches d·N/10, stated as cum*10 >= d*N — integer comparison,
     // no quantile-interpolation rule to disagree on
