@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bloom, Bpe, Dedup, KmeansFixed, LinkGraph, Sampling, Similarity, Snapshot, TextAnalysis, Unigram, WordPiece}
+import graft.operators.{Bloom, Bpe, Dedup, KmeansFixed, LinkGraph, Sampling, Similarity, Snapshot, TarShards, TextAnalysis, Unigram, WordPiece}
 import graft.sources.WarcSource
 
 /** Blocks C/D/E — LLM-pipeline operators over `documents` and
@@ -96,7 +96,8 @@ object Pipeline {
     "q139_fuzzy_k2" -> q139,
     "q140_crawl_e2e" -> q140,
     "q141_wordpiece_train" -> q141,
-    "q142_wordpiece_encode" -> q142
+    "q142_wordpiece_encode" -> q142,
+    "q143_tar_shards" -> q143
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -1231,6 +1232,26 @@ object Pipeline {
         WordPiece.tokenCountUdf(vocab, maxInputChars = 16)(col("text"))
           .as("n_tokens"))
       .orderBy(col("doc_id"))
+  }
+
+  /** WebDataset-style tar-shard assignment (the export container
+    * training pipelines ship corpora in): per source stream, entries
+    * in doc_id order cost 512 + ceil(bytes/512)·512 tar bytes;
+    * start_bytes via [[Sampling.packChunks]]'s banded two-phase
+    * prefix sum; shard = start div 64 KiB with entries NEVER
+    * straddling (bounded overshoot — a tar entry is atomic); byte
+    * offset inside the shard. All exact integer arithmetic, so the
+    * oracle restates it as two windows; the tar BYTES themselves
+    * ([[TarShards.shardBytes]]/writeShards) are spec territory where
+    * the rendered headers' actual offsets are cross-checked against
+    * exactly this assignment arithmetic. */
+  def q143(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text")).as("payload"))
+    TarShards.assign(d, "doc_id", "payload", "source", budget = 65536L)
+      .orderBy(col("source"), col("doc_id"))
   }
 
   /** Sharded inverted-index build over the corpus (8 doc-shards):
@@ -2410,6 +2431,24 @@ object Pipeline {
     // alphabet ∪ products vocabulary with raw-## classification.
     "q141_wordpiece_train" -> sqlWordPieceTrain(10),
     "q142_wordpiece_encode" -> sqlWordPieceTokenize(10, 16),
+    // q143: tar-shard assignment restated as two windows — the
+    // entry-cost formula, the straddle-free shard rule and the
+    // in-shard offset are all exact integer arithmetic.
+    "q143_tar_shards" ->
+      """WITH e AS (
+        |  SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |    512 + ((CAST(strlen(text) AS BIGINT) + 511) // 512) * 512 AS entry_bytes
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id, source, n_bytes, entry_bytes,
+        |    CAST(coalesce(sum(entry_bytes) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_bytes
+        |  FROM e),
+        |sh AS (SELECT *, start_bytes // 65536 AS shard FROM s)
+        |SELECT source, doc_id, n_bytes, entry_bytes, start_bytes, shard,
+        |  start_bytes - min(start_bytes) OVER (PARTITION BY source, shard) AS offset_in_shard
+        |FROM sh
+        |ORDER BY source, doc_id""".stripMargin,
     // q138: fixed-point Lloyd replayed end-to-end — quantize,
     // 3 argmin/update rounds, final stats. All integer arithmetic.
     "q138_kmeans_fixed" ->
