@@ -36,6 +36,7 @@ object Events {
     "q108_transitions" -> q108,
     "q109_sliding_agg" -> q109,
     "q112_zorder" -> q112,
+    "q144_hilbert" -> q144,
     "q115_interval_union" -> q115,
     "q116_scd2" -> q116,
     "q117_retention" -> q117,
@@ -521,6 +522,26 @@ object Events {
     e.select(col("event_id"), col("x"), col("y"),
         org.apache.spark.sql.graftext.Bits.zorder(col("x"), col("y")).as("zkey"))
       .orderBy(col("zkey"), col("event_id"))
+  }
+
+  /** Hilbert-curve layout keys — q112's sibling on the SAME grid
+    * (user × hour-index mod 2^16) with the strictly-better-locality
+    * curve: consecutive Hilbert indices are always grid neighbors
+    * (unit Manhattan step — spec-pinned; Z-order jumps at quadrant
+    * seams), so row-group min/max boxes stay tighter at identical
+    * sort cost (pruning measured head-to-head off real parquet
+    * footers in BENCH.md). Key = codegen'd graftext.HilbertKey (16
+    * branch-light reflect/transpose rounds per row); the oracle
+    * replays the walk as 16 chained CTE rounds of the identical
+    * integer CASE arithmetic — key values AND the layout ordering
+    * both inside the hash. */
+  def q144(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("x", pmod(col("user_id"), lit(65536L)))
+      .withColumn("y", pmod(expr("unix_micros(ts) div 3600000000"), lit(65536L)))
+    e.select(col("event_id"), col("x"), col("y"),
+        org.apache.spark.sql.graftext.Bits.hilbert(col("x"), col("y")).as("hkey"))
+      .orderBy(col("hkey"), col("event_id"))
   }
 
   /** Sliding 1-hour/15-minute window counts per event type — the
@@ -1094,6 +1115,35 @@ object Events {
         |SELECT event_id, x, y, CAST(zkey AS BIGINT) AS zkey
         |FROM b
         |ORDER BY zkey, event_id""".stripMargin,
+    // q144: the Hilbert walk replayed as 16 chained rounds of the
+    // engine's exact reflect/transpose integer arithmetic (quadrant
+    // digit via xor, rotation via the two CASEs) — bit level 15
+    // down to 0, constants inlined per round.
+    "q144_hilbert" -> {
+      val rounds = (15 to 0 by -1).zipWithIndex.map { case (bit, i) =>
+        val s = 1L << bit
+        val s2 = s * s
+        s"""h${i + 1} AS MATERIALIZED (
+           |  SELECT event_id, x0, y0,
+           |    d + $s2 * xor(3 * rx, ry) AS d,
+           |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $s - 1 - y ELSE y END) ELSE x END AS x,
+           |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $s - 1 - x ELSE x END) ELSE y END AS y
+           |  FROM (SELECT event_id, x0, y0, d, x, y,
+           |      CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |      CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+           |    FROM h$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT event_id, user_id % 65536 AS x,
+         |    (epoch_us(ts) // 3600000000) % 65536 AS y
+         |  FROM events),
+         |h0 AS MATERIALIZED (
+         |  SELECT event_id, x AS x0, y AS y0, CAST(0 AS BIGINT) AS d, x, y FROM e),
+         |$rounds
+         |SELECT event_id, x0 AS x, y0 AS y, CAST(d AS BIGINT) AS hkey
+         |FROM h16
+         |ORDER BY hkey, event_id""".stripMargin
+    },
     // q109: the 4 sliding windows containing instant t have starts
     // floor(t/15min)*15min - k*15min, k = 0..3 — replayed with an
     // unnest over k; window_start formatting matches q60's discipline

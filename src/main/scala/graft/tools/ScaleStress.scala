@@ -885,6 +885,12 @@ object ScaleStress {
       .repartition(1).sortWithinPartitions(col("zkey")).drop("zkey")
       .write.mode("overwrite").option("parquet.block.size", 1048576)
       .parquet(s"$base/zorder")
+    // q144's sibling layout, same harness: the Hilbert curve's
+    // no-seam walk should tighten the min/max boxes vs Morton
+    rows.withColumn("hkey", org.apache.spark.sql.graftext.Bits.hilbert(col("x"), col("y")))
+      .repartition(1).sortWithinPartitions(col("hkey")).drop("hkey")
+      .write.mode("overwrite").option("parquet.block.size", 1048576)
+      .parquet(s"$base/hilbert")
     rows.repartition(1).sortWithinPartitions(col("x"))
       .write.mode("overwrite").option("parquet.block.size", 1048576)
       .parquet(s"$base/xsort")
@@ -898,7 +904,7 @@ object ScaleStress {
         col("y") >= 2000 && col("y") < 2512))
     // correctness: all three layouts agree on every filter
     filters.foreach { case (label, pred) =>
-      val counts = Seq("zorder", "xsort", "unsorted")
+      val counts = Seq("zorder", "hilbert", "xsort", "unsorted")
         .map(l => spark.read.parquet(s"$base/$l").filter(pred).count())
       assert(counts.distinct.size == 1, s"$label: $counts")
     }
@@ -938,7 +944,7 @@ object ScaleStress {
       ("x in [1000,1512)", Some((1000L, 1512L)), None),
       ("y in [2000,2512)", None, Some((2000L, 2512L))),
       ("x AND y box", Some((1000L, 1512L)), Some((2000L, 2512L))))
-    Seq("zorder", "xsort", "unsorted").foreach { l =>
+    Seq("zorder", "hilbert", "xsort", "unsorted").foreach { l =>
       ranges.foreach { case (label, xr, yr) =>
         println(s"[stress] $l layout, $label: ${prune(l, xr, yr)}")
       }
