@@ -517,6 +517,85 @@ object Multimodal {
           else Some((n.toLong, sum, sumSq, mn, mx, zc))
         }
       }
+
+    /** UNNORMALIZED Haar filterbank energies over the first `frame`
+      * PCM16 samples (zero-padded when the file is shorter): level k
+      * halves the working array with pairwise sums/differences
+      * (a(2i)+a(2i+1), a(2i)−a(2i+1) — integer adds only, so the
+      * surface is exact cross-engine arithmetic), and E_k = Σ d_k²
+      * is the band energy (k = 1 the highest band). The final
+      * approximation coefficient is the frame sum; its square comes
+      * back beside the band energies. The multiresolution identity
+      * approx² + Σ_k 2^(levels−k)·E_k = frame · Σ s² ties the whole
+      * surface to [[pcm16Stats]]' sum_sq (spec-pinned) — this is the
+      * audio analogue of q102's image-feature leg: a band-energy
+      * profile a silence/noise/bandwidth filter thresholds on.
+      * `frame` must equal 2^levels. PCM16 only (None otherwise).
+      * @return (band energies E_1..E_levels, approx²) */
+    def haarEnergies(bytes: Array[Byte], frame: Int,
+                     levels: Int): Option[(Array[Long], Long)] = {
+      require(frame == (1 << levels),
+        s"frame must be 2^levels, got frame=$frame levels=$levels")
+      decodeWithOffset(bytes).flatMap { case (_, _, bits, dataOff, dataBytes) =>
+        if (bits != 16 || dataBytes % 2 != 0) None
+        else {
+          val n = (dataBytes / 2).toInt
+          val m = math.min(frame, n)
+          val a = new Array[Long](frame)
+          var i = 0
+          while (i < m) {
+            a(i) = (((bytes(dataOff + 2 * i + 1) & 0xff) << 8) |
+              (bytes(dataOff + 2 * i) & 0xff)).toShort.toLong
+            i += 1
+          }
+          val es = new Array[Long](levels)
+          var len = frame
+          var k = 0
+          while (k < levels) {
+            len /= 2
+            var e = 0L
+            var j = 0
+            while (j < len) {
+              val s = a(2 * j) + a(2 * j + 1)
+              val d = a(2 * j) - a(2 * j + 1)
+              e += d * d
+              a(j) = s
+              j += 1
+            }
+            es(k) = e
+            k += 1
+          }
+          Some((es, a(0) * a(0)))
+        }
+      }
+    }
+  }
+
+  /** Per-file Haar band-energy surface ([[WavDecoder.haarEnergies]]):
+    * undecodable/non-PCM16 payloads surface as all-zero energies
+    * with ok = false. */
+  case class WavHaar(id: Long, ok: Boolean, energies: Seq[Long], approx_sq: Long)
+
+  /** Batched partition-wise Haar energy decode (the
+    * [[decodePcm16Batch]] shape — map-side only, a few longs of
+    * state per file). @param df (id: long, payload: binary) */
+  def decodeHaarBatch(df: DataFrame, frame: Int = 64, levels: Int = 6,
+                      batchSize: Int = 64): DataFrame = {
+    val enc = Encoders.product[WavHaar]
+    df.select(col("id"), col("payload"))
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            WavDecoder.haarEnergies(bytes, frame, levels) match {
+              case Some((es, ap)) => WavHaar(id, ok = true, es.toSeq, ap)
+              case None => WavHaar(id, ok = false, Seq.fill(levels)(0L), 0L)
+            }
+          }
+        }
+      }(enc)
+      .toDF()
   }
 
   /** Closed-form synthetic WAV payload: real RIFF/WAVE byte layout

@@ -28,6 +28,7 @@ object Events {
     "q89_png_pixels" -> q89,
     "q95_wav_meta" -> q95,
     "q97_wav_samples" -> q97,
+    "q145_audio_bands" -> q145,
     "q101_jpeg_pixels" -> q101,
     "q102_image_features" -> q102,
     "q105_gif_pixels" -> q105,
@@ -344,6 +345,28 @@ object Events {
     Multimodal.decodePcm16Batch(payloads)
       .select(col("id").as("doc_id"), col("n_samples"), col("sum_s"),
         col("sum_sq"), col("min_s"), col("max_s"), col("n_zc"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Haar filterbank band energies over the first 64 REAL decoded
+    * PCM16 samples — the audio analogue of q102's image features
+    * (the band-energy profile a silence/noise/bandwidth filter
+    * thresholds on): 6 levels of unnormalized pairwise sum/diff
+    * halving, E_k = Σ d_k² exact integers, plus the squared
+    * approximation (frame sum). Same synthetic sawtooth fixture as
+    * q97, so the byte-level WAV decode sits inside the hash; the
+    * oracle replays the filterbank as 6 chained even/odd self-join
+    * CTE rounds. The multiresolution identity tying these surfaces
+    * to q97's sum_sq is spec-pinned (FormatsSpec). */
+  def q145(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        Multimodal.syntheticWavPcm16Udf(col("doc_id")).as("payload"))
+    val h = Multimodal.decodeHaarBatch(payloads, frame = 64, levels = 6)
+    h.select(
+        (col("id").as("doc_id") +:
+          (1 to 6).map(k => element_at(col("energies"), k).as(s"e$k"))) :+
+          col("approx_sq"): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -871,6 +894,35 @@ object Events {
         |  CAST(max(s) AS INT) AS max_s,
         |  CAST(sum(CASE WHEN (s < 0) <> (prev < 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_zc
         |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q145: the first-64-sample Haar filterbank replayed as 6 chained
+    // even/odd self-join halving rounds over the closed-form sawtooth
+    // (n >= 200 always, so every doc has a full frame).
+    "q145_audio_bands" -> {
+      val rounds = (1 to 6).map { k =>
+        s"""l$k AS MATERIALIZED (
+           |  SELECT e.doc_id, e.i // 2 AS i, e.a + o.a AS a, e.a - o.a AS d
+           |  FROM l${k - 1} e JOIN l${k - 1} o
+           |    ON e.doc_id = o.doc_id AND o.i = e.i + 1
+           |  WHERE e.i % 2 = 0),
+           |en$k AS MATERIALIZED (
+           |  SELECT doc_id, CAST(sum(d * d) AS BIGINT) AS e FROM l$k GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 to 6).map(k => s"JOIN en$k ON d.doc_id = en$k.doc_id").mkString("\n")
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |l0 AS MATERIALIZED (
+         |  SELECT d.doc_id, i.g AS i,
+         |    CAST((d.doc_id * 31 + i.g * 7919) % 65536 - 32768 AS BIGINT) AS a
+         |  FROM d, unnest(generate_series(0, 63)) AS i(g)),
+         |$rounds,
+         |ap AS MATERIALIZED (
+         |  SELECT doc_id, CAST(a * a AS BIGINT) AS approx_sq FROM l6 WHERE i = 0)
+         |SELECT d.doc_id, en1.e AS e1, en2.e AS e2, en3.e AS e3,
+         |  en4.e AS e4, en5.e AS e5, en6.e AS e6, ap.approx_sq
+         |FROM d
+         |$joins
+         |JOIN ap ON d.doc_id = ap.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // q95: the synthetic PCM parameters restated in closed form.
     "q95_wav_meta" ->
       """WITH d AS (

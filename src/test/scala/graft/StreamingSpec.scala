@@ -700,6 +700,49 @@ class StreamingSpec extends SparkSuite {
     assert(pcm16Stats(odd.dropRight(1)).isEmpty)
   }
 
+  test("WavDecoder.haarEnergies: matches a recursive reference, satisfies " +
+    "the multiresolution energy identity, and rejects non-PCM16") {
+    import Multimodal.WavDecoder.haarEnergies
+    // recursive reference on plain Long arrays
+    def ref(a: Seq[Long]): (Seq[Long], Long) =
+      if (a.length == 1) (Nil, a.head * a.head)
+      else {
+        val pairs = a.grouped(2).toSeq
+        val e = pairs.map(p => (p(0) - p(1)) * (p(0) - p(1))).sum
+        val (rest, ap) = ref(pairs.map(p => p(0) + p(1)))
+        (e +: rest, ap)
+      }
+    Seq(3L, 17L, 100L).foreach { id =>
+      val gen = Array.tabulate(64)(i =>
+        (((id * 31 + i.toLong * 7919) % 65536) - 32768))
+      val Some((es, ap)) = haarEnergies(Multimodal.syntheticWavPcm16(id), 64, 6)
+      val (wantE, wantAp) = ref(gen.toSeq)
+      assert(es.toSeq === wantE, s"id=$id")
+      assert(ap === wantAp)
+      // the identity tying q145's surface to q97's sum_sq over the
+      // frame: approx^2 + sum_k 2^(6-k) E_k == 64 * sum s^2
+      val frameSq = gen.map(s => s * s).sum
+      assert(ap + es.zipWithIndex.map { case (e, i) => e << (5 - i) }.sum
+        === 64L * frameSq, s"id=$id")
+    }
+    // shorter-than-frame files zero-pad: hand WAV with samples 1, -1
+    val b = java.nio.ByteBuffer.allocate(44 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 4)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(4)
+    b.putShort(1).putShort(-1)
+    val Some((es2, ap2)) = haarEnergies(b.array(), 4, 2)
+    // a0 = [1,-1,0,0]: level1 sums [0,0] diffs [2,0] -> E1 = 4;
+    // level2 sum 0 diff 0 -> E2 = 0; approx 0
+    assert(es2.toSeq === Seq(4L, 0L) && ap2 === 0L)
+    // PCM8 rejects; frame != 2^levels raises
+    assert(haarEnergies(Multimodal.syntheticWav(9L), 64, 6).isEmpty)
+    intercept[IllegalArgumentException](haarEnergies(b.array(), 48, 6))
+  }
+
   test("HeaderDecoder handles fill bytes, big dims, and corrupt streams") {
     import Multimodal.HeaderDecoder.decode
     // JPEG with fill FFs before SOF2 (progressive) and a skipped
