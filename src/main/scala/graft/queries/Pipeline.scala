@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bloom, Bpe, Dedup, KmeansFixed, LinkGraph, Sampling, Similarity, Snapshot, TarShards, TextAnalysis, Unigram, WordPiece}
+import graft.operators.{Bloom, Bpe, Dedup, KmeansFixed, LinkGraph, Robots, Sampling, Similarity, Snapshot, TarShards, TextAnalysis, Unigram, WordPiece}
 import graft.sources.WarcSource
 
 /** Blocks C/D/E — LLM-pipeline operators over `documents` and
@@ -97,7 +97,8 @@ object Pipeline {
     "q140_crawl_e2e" -> q140,
     "q141_wordpiece_train" -> q141,
     "q142_wordpiece_encode" -> q142,
-    "q143_tar_shards" -> q143
+    "q143_tar_shards" -> q143,
+    "q146_robots" -> q146
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -1252,6 +1253,43 @@ object Pipeline {
         octet_length(col("text")).as("payload"))
     TarShards.assign(d, "doc_id", "payload", "source", budget = 65536L)
       .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** robots.txt compliance decisions (RFC 9309 — the crawl-politeness
+    * leg of the curation front door): per-domain robots BODIES in the
+    * genuine line grammar (foreign-UA group, case-mixed field names,
+    * comments, Crawl-delay mid-group, an empty Disallow no-op) are
+    * parsed by [[Robots.parseRules]], matched with the `*`/`$`
+    * wildcard matcher, and decided by longest-pattern-wins with
+    * Allow beating Disallow at equal length (combined key len·2 +
+    * allow, max-struct tie-break). The oracle restates the `*`-group
+    * RULES closed-form (the q134 discipline) and replays the match
+    * as LIKE patterns with the identical argmax — parser, group
+    * selection, wildcard semantics and precedence all inside the
+    * hash via two independent match implementations. */
+  def q146(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val urls = d.select(col("doc_id"),
+      concat(lit("example"), col("doc_id") % 5, lit(".com")).as("domain"),
+      when(col("doc_id") % 4 === 0,
+          concat(lit("/p/"), col("doc_id") % 7, lit("/page"), col("doc_id")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("/static/img"), col("doc_id"), lit(".png")))
+        .when(col("doc_id") % 4 === 2, concat(lit("/admin/x"), col("doc_id")))
+        .otherwise(concat(lit("/about"), col("doc_id"))).as("path"))
+    val doms = spark.range(5).select(
+      concat(lit("example"), col("id"), lit(".com")).as("domain"),
+      concat(
+        lit("User-agent: megabot\nDisallow: /\n\n# everyone else\nUSER-AGENT: *\n" +
+          "disallow: /admin/\nAllow: /admin/x1\nDisallow: /static/*.png$\n" +
+          "Crawl-delay: 5\nDisallow: /p/"),
+        col("id"), lit("/\nAllow: /p/"), col("id"), lit("/page\nDisallow: /p/"),
+        (col("id") + 1) % 7, lit("/\nDisallow:\n")).as("robots"))
+    val rules = doms.select(col("domain"),
+        explode(Robots.parseRulesUdf(col("robots"))).as("r"))
+      .select(col("domain"), col("r._1").as("allow"), col("r._2").as("rpath"))
+    Robots.decide(urls, rules, "doc_id", "domain", "path")
+      .orderBy(col("doc_id"))
   }
 
   /** Sharded inverted-index build over the corpus (8 doc-shards):
@@ -2431,6 +2469,43 @@ object Pipeline {
     // alphabet ∪ products vocabulary with raw-## classification.
     "q141_wordpiece_train" -> sqlWordPieceTrain(10),
     "q142_wordpiece_encode" -> sqlWordPieceTokenize(10, 16),
+    // q146: the *-group rules restated closed-form (megabot group and
+    // the empty Disallow excluded — exactly what the parser must
+    // produce); match replayed via LIKE patterns (an independent
+    // matcher implementation), argmax via the identical combined key.
+    "q146_robots" ->
+      """WITH doms AS (
+        |  SELECT g.d AS d, 'example' || g.d || '.com' AS domain
+        |  FROM unnest(generate_series(0, 4)) g(d)),
+        |rules AS (
+        |  SELECT domain, FALSE AS allow, '/admin/' AS rpath, '/admin/%' AS pat FROM doms
+        |  UNION ALL SELECT domain, TRUE, '/admin/x1', '/admin/x1%' FROM doms
+        |  UNION ALL SELECT domain, FALSE, '/static/*.png$', '/static/%.png' FROM doms
+        |  UNION ALL SELECT domain, FALSE, '/p/' || d || '/', '/p/' || d || '/%' FROM doms
+        |  UNION ALL SELECT domain, TRUE, '/p/' || d || '/page', '/p/' || d || '/page%' FROM doms
+        |  UNION ALL SELECT domain, FALSE, '/p/' || ((d + 1) % 7) || '/', '/p/' || ((d + 1) % 7) || '/%' FROM doms),
+        |urls AS (
+        |  SELECT doc_id, 'example' || (doc_id % 5) || '.com' AS domain,
+        |    CASE WHEN doc_id % 4 = 0 THEN '/p/' || (doc_id % 7) || '/page' || doc_id
+        |         WHEN doc_id % 4 = 1 THEN '/static/img' || doc_id || '.png'
+        |         WHEN doc_id % 4 = 2 THEN '/admin/x' || doc_id
+        |         ELSE '/about' || doc_id END AS path
+        |  FROM documents),
+        |m AS (
+        |  SELECT u.doc_id, r.rpath,
+        |    CAST(length(r.rpath) AS BIGINT) * 2 + CASE WHEN r.allow THEN 1 ELSE 0 END AS prio
+        |  FROM urls u JOIN rules r ON u.domain = r.domain AND u.path LIKE r.pat),
+        |won AS (SELECT doc_id, max(prio) AS prio FROM m GROUP BY doc_id),
+        |wrule AS (
+        |  SELECT m.doc_id, m.prio, max(m.rpath) AS rule_path
+        |  FROM m JOIN won ON m.doc_id = won.doc_id AND m.prio = won.prio
+        |  GROUP BY m.doc_id, m.prio)
+        |SELECT u.doc_id, u.domain, u.path,
+        |  coalesce(w.prio % 2 = 1, TRUE) AS allowed,
+        |  w.rule_path,
+        |  w.prio // 2 AS rule_len
+        |FROM urls u LEFT JOIN wrule w ON u.doc_id = w.doc_id
+        |ORDER BY u.doc_id""".stripMargin,
     // q143: tar-shard assignment restated as two windows — the
     // entry-cost formula, the straddle-free shard rule and the
     // in-shard offset are all exact integer arithmetic.
