@@ -368,6 +368,112 @@ object Similarity {
     corpus.select(col("cid"), codes.as("codes"))
   }
 
+  /** IVF-ADC with RESIDUAL product quantization (Jégou et al. 2011
+    * §IV — the composition a FAISS `IndexIVFPQ` runs, and the
+    * production ANN index shape: coarse centroids partition the
+    * corpus into inverted lists, PQ encodes each vector's RESIDUAL
+    * from its list centroid, and a query scans only its `nprobe`
+    * nearest lists with a per-list ADC table built over the QUERY
+    * residual). Residual encoding is the point of the composition:
+    * residuals have far less variance than raw vectors, so the same
+    * m·log2(ks) bits buy a finer quantization — spec-measured
+    * against plain [[pqTopKWith]] at identical code budget.
+    *
+    * Metric is squared L2 end-to-end (assignment, LUT, ranking) —
+    * the ADC metric; the cosine [[ivfTopK]] family is a different
+    * contract. Centroid ties break on the FIRST centroid in the
+    * given order (argmin via array_position), query probe ties by
+    * centroid position; ranking ties by cid — deterministic.
+    *
+    * Scale shape: centroids and codebook ride the plan as literals
+    * (driver-resident by definition of IVF); corpus assignment +
+    * residual + encode are ONE map-side pass (the corpus never
+    * shuffles); queries explode only over nlist (bounded) to pick
+    * probes, build one LUT per (query, probed list) on the broadcast
+    * side, and the join lands each query row on exactly its nprobe
+    * lists — scan cost is corpus/nlist · nprobe per query, the IVF
+    * contract. Final rank is the standard top-k window
+    * (WindowGroupLimit bounds the shuffle at O(queries·k)).
+    *
+    * @param centroids coarse quantizer, e.g. a [[trainKmeans]] result
+    * @param cw        PQ codebook trained on RESIDUALS (see spec for
+    *                  the train-on-residuals recipe)
+    * @return qid, cid, rank (1..k), adist (squared L2 approximation)
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                centroids: Seq[(Long, Seq[Double])],
+                cw: Seq[Seq[Seq[Double]]], nprobe: Int = 4): DataFrame = {
+    require(centroids.nonEmpty, "ivfPqTopK: centroids must be non-empty")
+    val m = cw.length; val ks = cw.head.length; val ds = cw.head.head.length
+    val nlist = centroids.length
+    val np = math.min(nprobe, nlist)
+    val cents = typedlit(centroids.map(_._2))
+    val centIds = typedlit(centroids.map(_._1))
+    def centDists(vecCol: Column): Column =
+      transform(sequence(lit(0), lit(nlist - 1)), j =>
+        ArrayOps.vecL2Sq(vecCol, element_at(cents, j + lit(1)), 0))
+    def resCodes: Column = array((0 until m).map { s =>
+      val cwS = typedlit(cw(s))
+      val dd = transform(sequence(lit(0), lit(ks - 1)), j =>
+        ArrayOps.vecL2Sq(col("res"), element_at(cwS, j + lit(1)), s * ds))
+      (array_position(dd, array_min(dd)) - 1).cast("int")
+    }: _*)
+
+    val enc = corpus
+      .select(col("cid"), col("vec").cast("array<double>").as("vec"))
+      .withColumn("__d", centDists(col("vec")))
+      .withColumn("__idx",
+        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+      .withColumn("list_id", element_at(centIds, col("__idx") + 1))
+      .withColumn("res", zip_with(col("vec"),
+        element_at(cents, col("__idx") + 1), (a, b) => a - b))
+      .select(col("cid"), col("list_id"), resCodes.as("codes"))
+
+    val qp = queries
+      .select(col("qid"), col("vec").cast("array<double>").as("vec"))
+      .select(col("qid"), col("vec"), posexplode(centDists(col("vec"))))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("col"), col("pos"))
+    val luts = qp.withColumn("__rk", row_number().over(wp))
+      .filter(col("__rk") <= np)
+      .withColumn("list_id", element_at(centIds, col("pos").cast("int") + 1))
+      .withColumn("res", zip_with(col("vec"),
+        element_at(cents, col("pos").cast("int") + 1), (a, b) => a - b))
+      .withColumn("lut", flatten(array((0 until m).map { s =>
+        transform(typedlit(cw(s)), cwv => ArrayOps.vecL2Sq(col("res"), cwv, s * ds))
+      }: _*)))
+      .select(col("qid"), col("list_id"), col("lut"))
+
+    val adist = (0 until m).map(s =>
+      element_at(col("lut"), element_at(col("codes"), s + 1) + lit(s * ks + 1)))
+      .reduce(_ + _)
+    val scored = enc.join(broadcast(luts), "list_id")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("adist", adist)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("adist"))
+  }
+
+  /** The train-on-residuals companion of [[ivfPqTopK]]: assign every
+    * corpus vector to its nearest centroid (L2, same tie rule),
+    * subtract, and return the residual frame (cid, vec) ready for
+    * [[trainPqCodebook]]. One map-side pass. */
+  def residualFrame(corpus: DataFrame,
+                    centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "residualFrame: centroids must be non-empty")
+    val nlist = centroids.length
+    val cents = typedlit(centroids.map(_._2))
+    val dists = transform(sequence(lit(0), lit(nlist - 1)), j =>
+      ArrayOps.vecL2Sq(col("vec"), element_at(cents, j + lit(1)), 0))
+    corpus.select(col("cid"), col("vec").cast("array<double>").as("vec"))
+      .withColumn("__d", dists)
+      .withColumn("__idx",
+        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+      .select(col("cid"), zip_with(col("vec"),
+        element_at(cents, col("__idx") + 1), (a, b) => a - b).as("vec"))
+  }
+
   /** Product-quantization retrieval (Jégou et al. 2011 — the OTHER
     * FAISS storage lever beside SQ8): corpus encoded by [[pqEncode]]
     * under a [[pqCodebook]], queries score each item ASYMMETRICALLY

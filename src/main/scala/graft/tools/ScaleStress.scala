@@ -474,6 +474,19 @@ object ScaleStress {
       graft.operators.Similarity.annTopK(q, c, 10).count())
     timed("ann-IVF top-10, 500 queries x 50k corpus")(
       graft.operators.Similarity.ivfTopK(q, c, 10, nlist = 64, nprobe = 8).count())
+    // the FAISS-composition index: coarse(64) + residual PQ(8x16)
+    var ivfpqCents: Seq[(Long, Seq[Double])] = null
+    var ivfpqCw: Seq[Seq[Seq[Double]]] = null
+    timed("ivf-pq TRAIN: kmeans(64, 4 iters) + residual PQ(8x16, 3 iters) on 50k") {
+      val (cents, _) = graft.operators.Similarity.trainKmeans(
+        vecs.select(col("vid").as("id"), col("vec")), nlist = 64, iters = 4)
+      val res = graft.operators.Similarity.residualFrame(c, cents)
+      val (cw, _) = graft.operators.Similarity.trainPqCodebook(res, m = 8, ks = 16, iters = 3)
+      ivfpqCents = cents; ivfpqCw = cw
+      1L
+    }
+    timed("ivf-pq ADC top-10, 500 queries x 50k corpus, nprobe=8")(
+      graft.operators.Similarity.ivfPqTopK(q, c, 10, ivfpqCents, ivfpqCw, nprobe = 8).count())
 
     // --- embedding near-dup under block skew: one label holds 50% ---
     // of 100k vectors (the all-pairs-within-block scale-killer). The
