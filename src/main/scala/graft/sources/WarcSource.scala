@@ -312,6 +312,66 @@ object WarcSource {
   def httpBodyUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((b: Array[Byte]) => httpBody(b))
 
+  /** HTTP message-head metadata — the WAT projection's parse:
+    * (status code from the status line, header-line count, declared
+    * Content-Type or null). Permissive like [[httpBody]]: a non-HTTP
+    * block yields (0, 0, null) rather than failing. */
+  def httpMeta(block: Array[Byte]): (Int, Int, String) = {
+    var end = block.length
+    var i = 0
+    var found = false
+    while (i + 1 < block.length && !found) {
+      if (block(i) == '\n') {
+        if (block(i + 1) == '\n') { end = i; found = true }
+        else if (i + 2 < block.length && block(i + 1) == '\r' &&
+          block(i + 2) == '\n') { end = i; found = true }
+      }
+      i += 1
+    }
+    val head = new String(block, 0, end, "ISO-8859-1")
+    val lines = head.split("\n", -1).map(_.stripSuffix("\r"))
+    val status = lines.headOption.flatMap { l =>
+      val parts = l.split(" ")
+      if (parts.length >= 2 && parts(0).startsWith("HTTP/")) parts(1).toIntOption
+      else None
+    }.getOrElse(0)
+    if (status == 0) (0, 0, null)
+    else {
+      val hdrs = lines.drop(1).filter(_.contains(':'))
+      val ct = hdrs.find(_.toLowerCase.startsWith("content-type:"))
+        .map(_.split(":", 2)(1).trim).orNull
+      (status, hdrs.length, ct)
+    }
+  }
+
+  def httpMetaUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((b: Array[Byte]) => httpMeta(b))
+
+  /** WET view — the CommonCrawl "conversion" sibling record as a
+    * SELECT-level projection (the q140 composition, named): one row
+    * per well-formed RESPONSE record with the HTTP entity body
+    * reduced to plain text (tag strip + entity decode, the q119
+    * transform) and WET's Content-Length = octet length of the
+    * extracted text. Map-side end to end. */
+  def wet(raw: DataFrame): DataFrame =
+    records(raw).filter(col("warc_type") === "response")
+      .withColumn("text", graft.operators.TextAnalysis.decodeEntities(
+        graft.operators.TextAnalysis.stripTags(
+          decode(httpBodyUdf(col("body")), "UTF-8"))))
+      .select(col("path"), col("offset"), col("target_uri"), col("warc_date"),
+        col("text"), octet_length(col("text")).cast("long").as("content_length"))
+
+  /** WAT view — the metadata sibling record: per-record envelope
+    * fields + the parsed HTTP head (status, header count, declared
+    * Content-Type). Map-side. */
+  def wat(raw: DataFrame): DataFrame =
+    records(raw)
+      .withColumn("__m", httpMetaUdf(col("body")))
+      .select(col("path"), col("offset"), col("warc_type"), col("target_uri"),
+        col("warc_date"), col("content_type"), col("content_length"),
+        col("__m._1").as("http_status"), col("__m._2").as("n_http_headers"),
+        col("__m._3").as("http_content_type"))
+
   /** One synthetic crawl record: a WARC response whose block is the
     * genuine HTTP message [[SynthHttpHead]] + `html` (the
     * CommonCrawl layout). Odd ids gzip the record (one member). */

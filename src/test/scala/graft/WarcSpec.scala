@@ -122,6 +122,53 @@ class WarcSpec extends SparkSuite {
     assert(raw.select("path").distinct().count() === 2L)
   }
 
+  test("WET/WAT views: conversion text + metadata projections off the " +
+    "parsed records; non-HTTP and non-response records handled") {
+    import org.apache.spark.sql.Encoders
+    val html = "<html><body>A &amp; B</body></html>"
+    val stream =
+      WarcSource.synthHttpWarcBytes(2L, html) ++ // response w/ HTTP + html
+        rec("request", "req1", "GET / HTTP/1.1\r\nHost: h\r\n\r\n") ++
+        rec("metadata", "meta1", "not an http message")
+    val raw = spark.createDataset(
+      WarcSource.parseStream("t", WarcSource.inflate(stream)))(
+      Encoders.product[WarcSource.WarcRec]).toDF()
+    // WET: only the response row, tags stripped + entities decoded,
+    // content_length = extracted-text octets
+    val wet = WarcSource.wet(raw).collect()
+    assert(wet.length === 1)
+    val w = wet(0)
+    assert(w.getAs[String]("target_uri") === "http://host-2.example/page/2")
+    assert(w.getAs[String]("text") === "A & B")
+    assert(w.getAs[Long]("content_length") === 5L)
+    // WAT: every well-formed record; http fields only where a status
+    // line exists
+    val wat = WarcSource.wat(raw).orderBy("offset").collect()
+    assert(wat.length === 3)
+    val byType = wat.map(r => r.getAs[String]("warc_type") -> r).toMap
+    assert(byType("response").getAs[Int]("http_status") === 200)
+    assert(byType("response").getAs[Int]("n_http_headers") === 1)
+    assert(byType("response").getAs[String]("http_content_type")
+      === "text/html; charset=utf-8")
+    // the request block IS an HTTP message but not a STATUS line ->
+    // permissive (0, 0, null)
+    assert(byType("request").getAs[Int]("http_status") === 0)
+    assert(byType("metadata").getAs[Int]("http_status") === 0)
+    assert(byType("metadata").getAs[String]("http_content_type") == null)
+  }
+
+  test("httpMeta: status line, header count, content-type case folding, " +
+    "permissive non-HTTP") {
+    def m(s: String) = WarcSource.httpMeta(s.getBytes(US_ASCII))
+    assert(m("HTTP/1.1 404 Not Found\r\ncontent-TYPE: text/plain\r\nX: 1\r\n\r\nbody")
+      === ((404, 2, "text/plain")))
+    assert(m("HTTP/1.0 301\nLocation: /x\n\n") === ((301, 1, null)))
+    assert(m("not http at all") === ((0, 0, null)))
+    assert(m("") === ((0, 0, null)))
+    // malformed status code -> permissive zero
+    assert(m("HTTP/1.1 abc\r\n\r\n") === ((0, 0, null)))
+  }
+
   test("httpBody: CRLF and bare-LF header terminators, body bytes " +
     "verbatim, non-HTTP blocks pass through") {
     def s2b(s: String) = s.getBytes(US_ASCII)
