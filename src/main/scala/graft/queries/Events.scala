@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.operators.{Multimodal, TemporalJoin}
+import graft.operators.{Incremental, Multimodal, TemporalJoin}
 import graft.streaming.EventStreams
 
 /** Blocks F/G — event analytics + multimodal binary columns
@@ -44,8 +44,39 @@ object Events {
     "q124_user_growth" -> q124,
     "q128_tiff_meta" -> q128,
     "q130_asof_nearest" -> q130,
-    "q133_asof_forward" -> q133
+    "q133_asof_forward" -> q133,
+    "q147_incremental_rollup" -> q147
   )
+
+  /** Incremental rollup maintenance (the materialized-view update
+    * identity, gated): the events table split into 3 ingest batches
+    * (event_id % 3 — the split dimension is arbitrary, that's the
+    * point), each reduced to its per-type PARTIAL STATE
+    * ([[Incremental.rollupState]]), then merged
+    * ([[Incremental.mergeStates]]) — and the merged rollup must
+    * equal a one-shot full recompute on every exact surface (count /
+    * exact decimal sum / min / max), which is what the oracle
+    * computes directly. The non-mergeable NDV travels as an HLL
+    * sketch whose unioned estimate lands under the q131 envelope
+    * (exact n_users hash-gated from a full recompute, sketch as
+    * ndv_ok). */
+  def q147(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val batches = (0 to 2).map(i =>
+      Incremental.rollupState(e.filter(pmod(col("event_id"), lit(3)) === i),
+        Seq("event_type"), "value", "user_id"))
+    val merged = Incremental.mergeStates(batches, Seq("event_type"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_rows").as("n_events"),
+        col("sum_v").cast("double").as("sum_value"),
+        col("min_v").as("min_value"), col("max_v").as("max_value"),
+        col("n_users"),
+        (abs(col("ndv_est") - col("n_users")).cast("double") /
+          col("n_users").cast("double") <= 0.15).as("ndv_ok"))
+      .orderBy(col("event_type"))
+  }
 
   /** Tumbling 1-hour window aggregation (shared with streaming). */
   def q60(spark: SparkSession, dir: String): DataFrame =
@@ -923,6 +954,17 @@ object Events {
          |JOIN ap ON d.doc_id = ap.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+    // q147: the maintenance identity — merged-over-batches must equal
+    // this one-shot recompute on every exact surface; ndv_ok is the
+    // q131 envelope convention (TRUE stated, exact n_users gated).
+    "q147_incremental_rollup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  count(DISTINCT user_id) AS n_users, TRUE AS ndv_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // q95: the synthetic PCM parameters restated in closed form.
     "q95_wav_meta" ->
       """WITH d AS (
