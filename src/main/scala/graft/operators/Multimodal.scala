@@ -271,6 +271,85 @@ object Multimodal {
       .toDF()
   }
 
+  /** Perceptual difference-hash row ([[dhashBatch]]): 64-bit dHash
+    * split into two 32-bit halves so every surface stays inside
+    * overflow-free BIGINT arithmetic cross-engine (bit 63 of a
+    * packed long would need 2^63). Undecodable payloads surface as
+    * width 0 with zero hashes. */
+  case class MediaDhash(id: Long, width: Int, height: Int,
+                        dhash_hi: Long, dhash_lo: Long)
+
+  /** Integer luma of a raster sample: gray = the sample; RGB/RGBA =
+    * (299·R + 587·G + 114·B) div 1000 (the classic BT.601 weights on
+    * a pinned integer divide — alpha ignored). */
+  def lumaAt(r: Raster, x: Int, y: Int): Int = {
+    val base = (y * r.width + x) * r.channels
+    if (r.channels == 1) r.pixels(base) & 0xff
+    else {
+      val rr = r.pixels(base) & 0xff
+      val gg = r.pixels(base + 1) & 0xff
+      val bb = r.pixels(base + 2) & 0xff
+      (299 * rr + 587 * gg + 114 * bb) / 1000
+    }
+  }
+
+  /** dHash (public difference-hash technique, the image near-dup
+    * fingerprint): nearest-neighbor sample the luma plane on a 9×8
+    * grid (x = j·W div 9, y = i·H div 8 — floor mapping, exact on
+    * any dims, up- or down-sampling alike), then bit k = i·8+j set
+    * iff luma(i, j+1) > luma(i, j). The IMAGE analogue of SimHash:
+    * near-identical images land at small hamming distance, so the
+    * dedup family's banded hamming machinery applies unchanged. */
+  def dhash(r: Raster): (Long, Long) = {
+    val g = Array.ofDim[Int](8, 9)
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 9) {
+        g(i)(j) = lumaAt(r, j * r.width / 9, i * r.height / 8)
+        j += 1
+      }
+      i += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        if (g(i)(j + 1) > g(i)(j)) {
+          val k = i * 8 + j
+          if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  /** Batched partition-wise decode → dHash (the [[decodePixelsBatch]]
+    * shape). @param df (id: long, payload: binary) */
+  def dhashBatch(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = Encoders.product[MediaDhash]
+    df.select(col("id"), col("payload"))
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            Png.decode(bytes) match {
+              case Some(r) =>
+                val (hi, lo) = dhash(r)
+                MediaDhash(id, r.width, r.height, hi, lo)
+              case None => MediaDhash(id, 0, 0, 0L, 0L)
+            }
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Closed-form synthetic grayscale JPEG: every 8×8 block is FLAT
     * (value = closed form of block coords + id) and the encoder runs
     * at quality 1.0 (all-ones quantization), so each block carries a

@@ -29,6 +29,7 @@ object Events {
     "q95_wav_meta" -> q95,
     "q97_wav_samples" -> q97,
     "q145_audio_bands" -> q145,
+    "q148_image_dhash" -> q148,
     "q101_jpeg_pixels" -> q101,
     "q102_image_features" -> q102,
     "q105_gif_pixels" -> q105,
@@ -45,7 +46,8 @@ object Events {
     "q128_tiff_meta" -> q128,
     "q130_asof_nearest" -> q130,
     "q133_asof_forward" -> q133,
-    "q147_incremental_rollup" -> q147
+    "q147_incremental_rollup" -> q147,
+    "q149_session_window" -> q149
   )
 
   /** Incremental rollup maintenance (the materialized-view update
@@ -76,6 +78,30 @@ object Events {
         (abs(col("ndv_est") - col("n_users")).cast("double") /
           col("n_users").cast("double") <= 0.15).as("ndv_ok"))
       .orderBy(col("event_type"))
+  }
+
+  /** NATIVE session windows (Spark's session_window — the declarative
+    * sessionizer, Spark-first beside q61's lag/cumsum formulation and
+    * SessionizeStream's stateful one): per (user, session) start,
+    * end (= last event + gap) and event count under a 30-minute gap.
+    * BOUNDARY SEMANTICS, established by EXPERIMENT (EventsSpec's
+    * constructed boundary fixture — the gate corpus has no
+    * exact-boundary gap, checked, so the hash cannot discriminate):
+    * native sessions merge INCLUSIVELY — diff == gap merges, only
+    * diff > gap splits, the same rule as q61 (an initially-assumed
+    * strict rule was refuted by the fixture). The oracle replays
+    * lag/cumsum with `> gap` opening a session. Timestamps gate as
+    * epoch micros (the portable surface). */
+  def q149(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
   }
 
   /** Tumbling 1-hour window aggregation (shared with streaming). */
@@ -345,6 +371,28 @@ object Events {
     dec.join(rz, "id")
       .select(col("id").as("doc_id"), col("width"), col("height"),
         col("channels"), col("pix_sum"), col("rz_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Perceptual image dHash over REAL decoded PNG pixels — the image
+    * analogue of SimHash, tying block G to the dedup family (near-
+    * identical images land at small hamming distance; the banded
+    * hamming machinery applies unchanged): nearest-neighbor 9×8 luma
+    * grid (floor source mapping — exact on any dims), BT.601 integer
+    * luma, bit k = i·8+j iff right neighbor brighter; 64 bits split
+    * into two 32-bit halves so the oracle's bit arithmetic stays
+    * overflow-free. Same genuine-PNG fixture as q89, so inflate /
+    * unfilter / color-type handling all sit inside the hash; the
+    * oracle restates pixels, luma, grid and bits in closed form.
+    * Scale-invariance (2× pixel replication) is spec-pinned — the
+    * property that makes it a PERCEPTUAL hash. */
+  def q148(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        Multimodal.syntheticPngUdf(col("doc_id")).as("payload"))
+    Multimodal.dhashBatch(payloads)
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("dhash_hi"), col("dhash_lo"))
       .orderBy(col("doc_id"))
   }
 
@@ -954,6 +1002,62 @@ object Events {
          |JOIN ap ON d.doc_id = ap.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+    // q149: native session windows replayed as lag/cumsum with the
+    // INCLUSIVE boundary (only diff > gap opens a new session —
+    // Spark's rule as established by the EventsSpec fixture).
+    "q149_session_window" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |l AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS news
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (
+        |  SELECT user_id, us, sum(news) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM l)
+        |SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+        |  CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+    // q148: pixels, luma, the 9x8 floor-mapped grid and the bit pack
+    // all restated in closed form (the q89 fixture's sample formula);
+    // the engine's PNG decode chain is what the hash exercises.
+    "q148_image_dhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS w,
+        |    CAST(4 + (doc_id * 3) % 5 AS BIGINT) AS h,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, ch, i.g AS i, j.g AS j,
+        |    (j.g * w) // 9 AS x, (i.g * h) // 8 AS y
+        |  FROM d, unnest(generate_series(0, 7)) i(g),
+        |       unnest(generate_series(0, 8)) j(g)),
+        |lum AS (
+        |  SELECT doc_id, i, j,
+        |    CASE WHEN ch = 1 THEN (3 * x + 7 * y + doc_id) % 256
+        |      ELSE (299 * ((3 * x + 7 * y + doc_id) % 256)
+        |          + 587 * ((3 * x + 7 * y + 11 + doc_id) % 256)
+        |          + 114 * ((3 * x + 7 * y + 22 + doc_id) % 256)) // 1000 END AS l
+        |  FROM g),
+        |b AS (
+        |  SELECT a.doc_id, a.i, a.j, CASE WHEN n.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum n
+        |    ON a.doc_id = n.doc_id AND a.i = n.i AND n.j = a.j + 1
+        |  WHERE a.j < 8),
+        |hh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN i * 8 + j >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |    CAST(sum(CASE WHEN i * 8 + j < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j)) ELSE 0 END) AS BIGINT) AS dhash_lo
+        |  FROM b GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  hh.dhash_hi, hh.dhash_lo
+        |FROM d JOIN hh USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // q147: the maintenance identity — merged-over-batches must equal
     // this one-shot recompute on every exact surface; ndv_ok is the
     // q131 envelope convention (TRUE stated, exact n_users gated).

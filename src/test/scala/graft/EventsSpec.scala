@@ -5,6 +5,29 @@ import graft.queries.Events
 
 class EventsSpec extends SparkSuite {
 
+  test("native session_window boundary: a gap of EXACTLY the window " +
+    "duration MERGES (the inclusive rule, same as q61's — pinned here " +
+    "on a constructed fixture because q149's corpus has no boundary " +
+    "gap; this experiment corrected an initially-assumed strict rule)") {
+    import spark.implicits._
+    val base = 1700000000000000L // epoch micros
+    val gapUs = 30L * 60 * 1000000
+    val rows = Seq(
+      (1L, base), (1L, base + gapUs),          // exactly at the boundary
+      (2L, base), (2L, base + gapUs - 1),      // one microsecond inside
+      (3L, base), (3L, base + gapUs + 1))      // outside
+      .toDF("user_id", "us")
+      .select($"user_id", timestamp_micros($"us").as("ts"))
+    val sessions = rows
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // inclusive merge rule: diff == gap merges, only diff > gap splits
+    assert(sessions.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+
   test("sketch aggregates land within tolerance of exact values") {
     val approx = Events.q64(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") ->

@@ -743,6 +743,48 @@ class StreamingSpec extends SparkSuite {
     intercept[IllegalArgumentException](haarEnergies(b.array(), 48, 6))
   }
 
+  test("Multimodal.dhash: hand-checked bits, BT.601 integer luma, and " +
+    "2x-replication invariance (the perceptual property)") {
+    import Multimodal.{Raster, dhash, lumaAt, syntheticRaster}
+    // 2x1 gray [10, 200]: grid x(j) = j*2/9 -> 0 for j<=4, 1 for j>=5,
+    // so the only rising pair is j=4 -> bit i*8+4 for every i
+    val (hi, lo) = dhash(Raster(2, 1, 1, Array(10.toByte, 200.toByte)))
+    assert(lo === ((1L << 4) | (1L << 12) | (1L << 20) | (1L << 28)))
+    assert(hi === ((1L << 4) | (1L << 12) | (1L << 20) | (1L << 28)))
+    // BT.601 integer luma with the pinned div-1000
+    assert(lumaAt(Raster(1, 1, 3,
+      Array(100.toByte, 200.toByte, 50.toByte)), 0, 0)
+      === (299 * 100 + 587 * 200 + 114 * 50) / 1000)
+    // alpha ignored on RGBA
+    assert(lumaAt(Raster(1, 1, 4,
+      Array(10.toByte, 20.toByte, 30.toByte, 250.toByte)), 0, 0)
+      === (299 * 10 + 587 * 20 + 114 * 30) / 1000)
+    // perceptual invariance: pixel-replicated 2x upscale hashes
+    // identically (floor(floor(2a)/2) == floor(a) for the grid map)
+    def rep2(r: Raster): Raster = {
+      val px = new Array[Byte](r.width * 2 * r.height * 2 * r.channels)
+      var y = 0
+      while (y < r.height * 2) {
+        var x = 0
+        while (x < r.width * 2) {
+          var c = 0
+          while (c < r.channels) {
+            px((y * r.width * 2 + x) * r.channels + c) =
+              r.pixels(((y / 2) * r.width + x / 2) * r.channels + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Raster(r.width * 2, r.height * 2, r.channels, px)
+    }
+    (1L to 12L).foreach { id =>
+      val r = syntheticRaster(id)
+      assert(dhash(rep2(r)) === dhash(r), s"id=$id")
+    }
+  }
+
   test("HeaderDecoder handles fill bytes, big dims, and corrupt streams") {
     import Multimodal.HeaderDecoder.decode
     // JPEG with fill FFs before SOF2 (progressive) and a skipped
