@@ -21,13 +21,19 @@ import graft.functions.{GeoFunctions, TextFunctions}
   *
   * NOTE on architecture (SURVEY.md §3): the engine deliberately has no
   * custom LogicalPlan/Strategy — every operator composes Catalyst
-  * built-ins plus two narrow extensions (these functions and the
-  * codegen'd SortedLongIntersectCount), which keeps the whole surface
-  * inside the optimizer's reach.
+  * built-ins plus narrow extensions (these functions, the codegen'd
+  * native expressions, and ONE expression-level optimizer rule,
+  * [[org.apache.spark.sql.graftext.LevenshteinThresholdRule]]),
+  * which keeps the whole surface inside the optimizer's reach.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GeoFunctions.injectInto(ext)
     TextFunctions.injectInto(ext)
+    // expression-level optimizer rule (no new plan nodes — the §3
+    // stance holds): naive levenshtein bounds get the banded
+    // early-exit threshold form automatically
+    ext.injectOptimizerRule(_ =>
+      org.apache.spark.sql.graftext.LevenshteinThresholdRule)
   }
 }

@@ -880,6 +880,20 @@ object ScaleStress {
     }
     }
 
+    if (sections("lev")) {
+    // the LevenshteinThresholdRule's value claim, measured: the same
+    // bound <= 2 predicate over long strings, unbounded full-matrix
+    // DP vs the banded early-exit threshold form the rule rewrites to
+    val strs = spark.range(0, 20000, 1, 32).select(
+      expr("repeat(md5(cast(id as string)), 60)").as("a"),
+      expr("repeat(md5(cast(id + 1 as string)), 60)").as("b"))
+      .localCheckpoint()
+    timed("levenshtein NAIVE <= 2, 20k pairs of 1920-char strings")(
+      strs.filter(expr("levenshtein(a, b) <= 2")).count())
+    timed("levenshtein THRESHOLD form, same predicate & data")(
+      strs.filter(expr("levenshtein(a, b, 2) >= 0")).count())
+    }
+
     if (sections("layout")) {
     // q112's claim, measured end-to-end: writing ORDER BY zorder_key
     // co-locates rows close in BOTH dimensions, so parquet row-group

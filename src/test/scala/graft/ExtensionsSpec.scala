@@ -10,6 +10,38 @@ import graft.functions.GeoFunctions
   * `sbt "runMain"` path and covers only trivial plumbing on top. */
 class ExtensionsSpec extends SparkSuite {
 
+  test("LevenshteinThresholdRule: all four literal-comparison forms " +
+    "rewrite to the banded threshold expression with identical rows; " +
+    "non-positive bounds are left alone") {
+    import org.apache.spark.sql.graftext.LevenshteinThresholdRule
+    import spark.implicits._
+    val prior = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prior :+ LevenshteinThresholdRule
+    try {
+      val df = Seq(("kitten", "sitting"), ("abc", "abd"), ("same", "same"),
+        (null.asInstanceOf[String], "x"))
+        .toDF("a", "b").localCheckpoint()
+      val forms = Seq(
+        "levenshtein(a, b) <= 2" -> Seq(("abc", "abd"), ("same", "same")),
+        "2 >= levenshtein(a, b)" -> Seq(("abc", "abd"), ("same", "same")),
+        "levenshtein(a, b) < 1" -> Seq(("same", "same")),
+        "1 > levenshtein(a, b)" -> Seq(("same", "same")))
+      forms.foreach { case (pred, want) =>
+        val q = df.filter(org.apache.spark.sql.functions.expr(pred))
+        // the optimized plan carries the THRESHOLD form (3-arg) and
+        // no unbounded 2-arg call survives
+        val plan = q.queryExecution.optimizedPlan.toString
+        assert(plan.matches("(?s).*levenshtein\\([^()]*, [^()]*, Some\\(\\d\\)\\) >= 0.*"),
+          s"$pred not rewritten:\n$plan")
+        assert(q.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+          .sortBy(_._1) === want.sortBy(_._1), s"rows changed under $pred")
+      }
+      // lev <= -1: out of the rule's domain, plan keeps the 2-arg form
+      val neg = df.filter(org.apache.spark.sql.functions.expr("levenshtein(a, b) <= -1"))
+      assert(neg.count() === 0L)
+    } finally spark.experimental.extraOptimizations = prior
+  }
+
   test("injected builders resolve st_* and sorted_intersect_count in SQL") {
     GeoFunctions.registerBuilders(spark)
     val row = spark.sql(
