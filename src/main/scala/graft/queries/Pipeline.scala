@@ -98,7 +98,8 @@ object Pipeline {
     "q141_wordpiece_train" -> q141,
     "q142_wordpiece_encode" -> q142,
     "q143_tar_shards" -> q143,
-    "q146_robots" -> q146
+    "q146_robots" -> q146,
+    "q150_pretrain_e2e" -> q150
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -1292,6 +1293,35 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** The PRETRAINING-DATA chain END-TO-END under one gate (the q127
+    * curation-chain discipline applied to the training-side loop):
+    * exact dedup (keeper = min doc_id per text) → integer quality
+    * rules (20 ≤ n_tok ≤ 2000, longest word ≤ 30 — the q74
+    * integer-surface discipline) → whitespace token budgets → q46's
+    * banded two-phase prefix-sum packing into 2048-token bins per
+    * source. One hash covers the whole composition: a bug in ANY
+    * stage (a dropped dup, a filter off-by-one, a shifted offset)
+    * moves every downstream packing cell. The pieces stay
+    * individually gated (q30/q74/q46) — this pins their
+    * COMPOSITION, which is what a production pipeline actually
+    * ships. */
+  def q150(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val keeper = d.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val kept = d.join(keeper, Seq("doc_id"), "leftsemi")
+    val toks = kept.select(col("doc_id"), col("source"),
+        TextAnalysis.wsTokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"),
+        size(col("ws")).cast("long").as("n_tok"),
+        array_max(transform(col("ws"), w => length(w))).as("max_wlen"))
+      .filter(col("n_tok") >= 20 && col("n_tok") <= 2000 &&
+        col("max_wlen") <= 30)
+      .drop("max_wlen")
+    Sampling.packChunks(toks, "doc_id", "n_tok", "source", budget = 2048)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Sharded inverted-index build over the corpus (8 doc-shards):
     * posting lists gated as serialized "docId:tf" runs, so the
     * oracle's ordered string_agg must agree with the engine's
@@ -2469,6 +2499,32 @@ object Pipeline {
     // alphabet ∪ products vocabulary with raw-## classification.
     "q141_wordpiece_train" -> sqlWordPieceTrain(10),
     "q142_wordpiece_encode" -> sqlWordPieceTokenize(10, 16),
+    // q150: the whole chain restated — dedup keeper, integer quality
+    // rules, token budgets, running-sum packing; one hash over the
+    // composition.
+    "q150_pretrain_e2e" ->
+      """WITH k AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  WHERE text IS NOT NULL GROUP BY text),
+        |t AS (
+        |  SELECT d.doc_id, d.source,
+        |    list_filter(string_split(d.text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents d JOIN k ON d.doc_id = k.doc_id),
+        |f AS (
+        |  SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tok
+        |  FROM t
+        |  WHERE len(ws) BETWEEN 20 AND 2000
+        |    AND list_max(list_transform(ws, w -> length(w))) <= 30),
+        |p AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok AS start_tok
+        |  FROM f WHERE n_tok > 0)
+        |SELECT source, doc_id, n_tok AS n_tokens, start_tok,
+        |  start_tok // 2048 AS bin_first,
+        |  (start_tok + n_tok - 1) // 2048 AS bin_last,
+        |  (start_tok + n_tok - 1) // 2048 - start_tok // 2048 + 1 AS n_bins
+        |FROM p ORDER BY source, doc_id""".stripMargin,
     // q146: the *-group rules restated closed-form (megabot group and
     // the empty Disallow excluded — exactly what the parser must
     // produce); match replayed via LIKE patterns (an independent
