@@ -976,6 +976,13 @@ object ScaleStress {
         println(s"[stress] $l layout, $label: ${prune(l, xr, yr)}")
       }
     }
+
+    // (A parquet bloom-filter leg was tried and REMOVED: at this
+    // page-cached size a single-long-column scan floors at ~0.2 s
+    // with or without blooms, so the measurement has no resolution —
+    // recording it would imply a conclusion the harness can't
+    // support. Min/max + layout keys above are where this rig can
+    // actually measure.)
     }
 
     if (sections("skew")) {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 import graft.queries.Events
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, RollupStream}
 
 class StreamingSpec extends SparkSuite {
 
@@ -13,6 +13,38 @@ class StreamingSpec extends SparkSuite {
     val batch = Events.q60(spark, sf).collect().map(_.toSeq).toSet
     assert(streamed.nonEmpty)
     assert(streamed === batch)
+  }
+
+  test("RollupStream: the drained stream equals the one-shot batch rollup " +
+    "on every exact surface; NDV estimate inside the q131 envelope") {
+    val stream = EventStreams.readEventStream(spark, sf)
+    val q = RollupStream.rollup(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("rollup_stream_spec").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("rollup_stream_spec")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+    val batch = RollupStream.rollup(Tables.events(spark, sf))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+    val exactNdv = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("ndv"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed.keySet === batch.keySet && streamed.nonEmpty)
+    streamed.foreach { case (k, s) =>
+      val b = batch(k)
+      // exact surfaces identical (decimal sums are order-independent)
+      assert(s._1 === b._1 && s._2 === b._2 && s._3 === b._3 && s._4 === b._4,
+        s"type=$k stream=$s batch=$b")
+      // both estimates inside the envelope of the exact NDV
+      val e = exactNdv(k).toDouble
+      assert(math.abs(s._5 - e) / e <= 0.15, s"type=$k stream ndv ${s._5} vs $e")
+      assert(math.abs(b._5 - e) / e <= 0.15, s"type=$k batch ndv ${b._5} vs $e")
+    }
   }
 
   test("streaming sliding agg equals the batch q109 result") {
