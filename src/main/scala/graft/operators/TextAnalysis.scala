@@ -20,6 +20,42 @@ object TextAnalysis {
   def alphaWords(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
 
+  /** TF-IDF keyword extraction under a QUANTIZED integer idf — the
+    * q137/q59 float/integer split applied to the classic retrieval
+    * score: idf16(t) = ilog16(N) − ilog16(df(t)) with
+    * [[Unigram.ilog2Fixed16]]'s exact shift-and-square binary log
+    * (floor(16·log2), pure integer ops — both engines price terms
+    * bit-identically, where a double log could flip a rank at a
+    * representation boundary), score = tf · idf16, top-k terms per
+    * doc by (score DESC, term ASC). N = corpus row count (requires
+    * N < 2^33 per the ilog domain — any real corpus).
+    *
+    * Scale shape: one (doc, term) partial-agg shuffle, one
+    * vocabulary-bounded df aggregate, a term-keyed join back
+    * (broadcast when the vocabulary allows, co-partitioned shuffle
+    * otherwise), and the rank-filter window gets a map-side
+    * WindowGroupLimit — the q47 shape.
+    * @return idCol, rank (1..k), term, tf, df, score
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = df.count()
+    val ilogN = Unigram.ilog2Fixed16(math.max(1L, n))
+    val dw = df.select(col(idCol), explode(wsTokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val dfc = dw.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val idfU = udf((d: Long) => ilogN - Unigram.ilog2Fixed16(d))
+    val scored = dw.join(dfc, "w")
+      .withColumn("score", col("tf") * idfU(col("df")))
+    val win = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("w"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("w").as("term"), col("tf"),
+        col("df"), col("score"))
+  }
+
   /** HTML tag pattern: the regex-extraction contract every
     * crawl-to-text pipeline starts from — matches `<...>` runs with
     * no '>' inside, which covers well-formed markup; a literal '>'

@@ -99,7 +99,8 @@ object Pipeline {
     "q142_wordpiece_encode" -> q142,
     "q143_tar_shards" -> q143,
     "q146_robots" -> q146,
-    "q150_pretrain_e2e" -> q150
+    "q150_pretrain_e2e" -> q150,
+    "q151_tfidf_topk" -> q151
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -1322,6 +1323,19 @@ object Pipeline {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** TF-IDF keyword extraction under the QUANTIZED integer idf
+    * ([[TextAnalysis.tfidfTopK]] — the q137 shift-and-square log
+    * applied to the classic retrieval score): top-5 terms per doc by
+    * tf·idf16 with idf16 = ilog16(N) − ilog16(df), every rank
+    * decision exact integer arithmetic. The oracle replays the ilog
+    * (4 unrolled square-and-shift rounds over the df table + the N
+    * sentinel) and the rank window — term choice, quantized scores
+    * and tie order all inside the hash. */
+  def q151(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopK(Tables.documents(spark, dir), "doc_id", "text",
+        k = 5)
+      .orderBy(col("doc_id"), col("rank"))
+
   /** Sharded inverted-index build over the corpus (8 doc-shards):
     * posting lists gated as serialized "docId:tf" runs, so the
     * oracle's ordered string_agg must agree with the engine's
@@ -2499,6 +2513,36 @@ object Pipeline {
     // alphabet ∪ products vocabulary with raw-## classification.
     "q141_wordpiece_train" -> sqlWordPieceTrain(10),
     "q142_wordpiece_encode" -> sqlWordPieceTokenize(10, 16),
+    // q151: df table + N sentinel through the exact ilog replay (the
+    // q137 machinery), then tf·idf16 and the rank window.
+    "q151_tfidf_topk" ->
+      s"""WITH dw AS MATERIALIZED (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS w
+         |    FROM documents) GROUP BY doc_id, w),
+         |dfc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY w),
+         |vals AS (
+         |  SELECT w AS piece, df AS v FROM dfc
+         |  UNION ALL
+         |  SELECT '' AS piece, CAST(count(*) AS BIGINT) AS v FROM documents),
+         |m0 AS MATERIALIZED (
+         |  SELECT piece, length(bin(v)) - 1 AS m,
+         |    ((v << 30) >> (length(bin(v)) - 1)) AS g,
+         |    CAST(0 AS BIGINT) AS f
+         |  FROM vals),
+         |${sqlIlogRounds("m0", 4)},
+         |il AS MATERIALIZED (SELECT piece, 16 * m + f AS ilog FROM r4),
+         |sc AS (
+         |  SELECT dw.doc_id, dw.w, dw.tf, dfc.df,
+         |    dw.tf * ((SELECT ilog FROM il WHERE piece = '') - il.ilog) AS score
+         |  FROM dw JOIN dfc USING (w) JOIN il ON il.piece = dw.w),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rank
+         |  FROM sc)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, w AS term, tf, df,
+         |  CAST(score AS BIGINT) AS score
+         |FROM r WHERE rank <= 5
+         |ORDER BY doc_id, rank""".stripMargin,
     // q150: the whole chain restated — dedup keeper, integer quality
     // rules, token budgets, running-sum packing; one hash over the
     // composition.
