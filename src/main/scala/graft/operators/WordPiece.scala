@@ -123,16 +123,22 @@ object WordPiece {
     * cross-multiplication driver-side. Returns None when no pair
     * exists. */
   private def exactArgmax(cand: DataFrame): Option[(String, String)] = {
-    val scored = cand.withColumn("dscore",
-      col("cnt").cast("double") / (col("ca").cast("double") * col("cb").cast("double")))
-    val mx = scored.agg(max(col("dscore"))).collect()(0)
-    if (mx.isNullAt(0)) None
+    // ONE action per round: TakeOrdered the double-score prefix. The
+    // band rows (within 1e-9 of the max) sort ahead of everything
+    // else, so as long as the band fits the limit (guarded below),
+    // the true argmax is inside the collected prefix — the earlier
+    // two-action formulation (max() then band filter) re-ran both
+    // round aggregations twice and measured 2x the round cost.
+    val top = cand.withColumn("dscore",
+        col("cnt").cast("double") / (col("ca").cast("double") * col("cb").cast("double")))
+      .orderBy(col("dscore").desc, col("a"), col("b"))
+      .limit(BandLimit + 1)
+      .select(col("a"), col("b"), col("cnt"), col("ca"), col("cb"), col("dscore"))
+      .collect()
+    if (top.isEmpty) None
     else {
-      val maxD = mx.getDouble(0)
-      val band = scored
-        .filter(col("dscore") >= lit(maxD * (1 - 1e-9)))
-        .select(col("a"), col("b"), col("cnt"), col("ca"), col("cb"))
-        .limit(BandLimit + 1).collect()
+      val maxD = top(0).getDouble(5)
+      val band = top.filter(_.getDouble(5) >= maxD * (1 - 1e-9))
       require(band.length <= BandLimit,
         s"WordPiece argmax: > $BandLimit candidates tied within 1e-9 of the " +
           "maximum score — degenerate corpus; refusing to guess the argmax")
@@ -164,6 +170,14 @@ object WordPiece {
     var k = 1
     var exhausted = false
     while (k <= numMerges && !exhausted) {
+      // Two aggregations over the same word-type scan. A fused
+      // one-explode variant (pairs + last-symbol markers, symbol
+      // counts derived from the pair aggregate) was built and
+      // MEASURED SLOWER at sf0.1 (4.6 s vs 3.3 s warm): the
+      // per-round checkpoint barrier it needs costs more than the
+      // second explode, whose shuffle Spark already reuses across
+      // the round's actions. Measured dead end — recorded in
+      // BENCH.md, the two-aggregation shape stays.
       val pairs = words
         .select(explode(adjacentPairs(col("syms"))).as("p"), col("freq"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
