@@ -508,10 +508,43 @@ object Dedup {
     // (nWords <= 0 would hit subMasks.head.head on empty structures)
     // or at execution time (the expression rejects nWords > 8)
     require(nWords >= 1 && nWords <= 8, s"nWords must be in [1, 8], got $nWords")
+    val (groups, reps) = simhashGroups(df, idCol, textCol, nWords, portableHash)
+    val repPairs = hammingPairs(reps, nWords, maxHamming, hotBudget)
+
+    // expand representative pairs back to member pairs (hamming is a
+    // pure function of the two signatures, so class-mates inherit it),
+    // and emit within-class pairs directly at hamming 0
+    val membersOf = groups.select(col("rep"), explode(col("members")).as("m"))
+    val cross = repPairs
+      .join(membersOf.select(col("rep").as("i"), col("m").as("mi")), "i")
+      .join(membersOf.select(col("rep").as("j"), col("m").as("mj")), "j")
+      .select(least(col("mi"), col("mj")).as("i"),
+        greatest(col("mi"), col("mj")).as("j"), col("hamming"))
+    val within = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("mi"), col("members"))
+      .select(col("mi"), explode(col("members")).as("mj"))
+      .filter(col("mi") < col("mj"))
+      .select(col("mi").as("i"), col("mj").as("j"), lit(0).as("hamming"))
+    cross.unionAll(within)
+  }
+
+  /** Banded hamming pairs over ARBITRARY wide signatures — the
+    * simhash pigeonhole machinery as a standalone entry point
+    * (extracted so NON-TEXT signatures reuse the identical join
+    * discipline: q152 runs it over image dHashes). Input: (id, sig)
+    * with sig an array<long> of `nWords` words; output every i < j
+    * pair within `maxHamming`, exactly once, with the exact
+    * distance. Same two hot-bucket defenses as the text path EXCEPT
+    * identical-signature collapsing, which stays the caller's choice
+    * (simhashWideDuplicates pre-collapses; a caller with mostly
+    * distinct signatures — perceptual hashes — skips the pass). */
+  def hammingPairs(sigs: DataFrame, nWords: Int, maxHamming: Int,
+                   hotBudget: Int = 512): DataFrame = {
+    require(nWords >= 1 && nWords <= 8, s"nWords must be in [1, 8], got $nWords")
     val nBlocks = maxHamming + 1
     val blockMasks = simhashBlockMasks(nBlocks, nWords)
     val subMasks = simhashSubMasks(nBlocks, nWords)
-    val (groups, reps) = simhashGroups(df, idCol, textCol, nWords, portableHash)
+    val reps = sigs.select(col("id"), col("sig"))
     val blocked = simhashBlockedFrame(reps, blockMasks)
     val hotSet = simhashHotSet(blocked, hotBudget, subMasks)
     val cold = blocked.join(broadcast(hotSet), Seq("block", "value"), "left_anti")
@@ -563,26 +596,10 @@ object Dedup {
     val hammingCol = (0 until nWords)
       .map(w => bit_count(col("si")(w).bitwiseXOR(col("sj")(w))))
       .reduce(_ + _)
-    val repPairs = coldRaw.unionAll(hotRaw)
+    coldRaw.unionAll(hotRaw)
       .withColumn("hamming", hammingCol)
       .filter(col("hamming") <= maxHamming)
       .select(col("i"), col("j"), col("hamming"))
-
-    // expand representative pairs back to member pairs (hamming is a
-    // pure function of the two signatures, so class-mates inherit it),
-    // and emit within-class pairs directly at hamming 0
-    val membersOf = groups.select(col("rep"), explode(col("members")).as("m"))
-    val cross = repPairs
-      .join(membersOf.select(col("rep").as("i"), col("m").as("mi")), "i")
-      .join(membersOf.select(col("rep").as("j"), col("m").as("mj")), "j")
-      .select(least(col("mi"), col("mj")).as("i"),
-        greatest(col("mi"), col("mj")).as("j"), col("hamming"))
-    val within = groups.filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("mi"), col("members"))
-      .select(col("mi"), explode(col("members")).as("mj"))
-      .filter(col("mi") < col("mj"))
-      .select(col("mi").as("i"), col("mj").as("j"), lit(0).as("hamming"))
-    cross.unionAll(within)
   }
 
   /** Diagnostic for [[simhashDuplicates]]: the raw candidate-pair

@@ -30,6 +30,7 @@ object Events {
     "q97_wav_samples" -> q97,
     "q145_audio_bands" -> q145,
     "q148_image_dhash" -> q148,
+    "q152_image_neardup" -> q152,
     "q101_jpeg_pixels" -> q101,
     "q102_image_features" -> q102,
     "q105_gif_pixels" -> q105,
@@ -396,6 +397,29 @@ object Events {
       .orderBy(col("doc_id"))
   }
 
+  /** IMAGE near-dup pairs by dHash hamming — q148 composed into the
+    * dedup family's banded machinery ([[graft.operators.Dedup.hammingPairs]],
+    * the simhash pigeonhole join extracted signature-generic): decode
+    * PNGs → 64-bit dHash packed into one signature word → all pairs
+    * within hamming 12, exactly once, exact distances. The synthetic
+    * corpus plants REAL near-dups structurally (ids 75 apart share
+    * dims/channels and differ by a constant luma shift, so their
+    * comparison grids agree except at mod-256 wraps). Oracle:
+    * closed-form hashes (the q148 replay) self-joined with part-wise
+    * bit_count(xor) — the banding algorithm is the engine's
+    * business, the oracle states the answer (the q32 discipline). */
+  def q152(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        Multimodal.syntheticPngUdf(col("doc_id")).as("payload"))
+    val sigs = Multimodal.dhashBatch(payloads)
+      .select(col("id"),
+        array(shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo")))
+          .as("sig"))
+    graft.operators.Dedup.hammingPairs(sigs, nWords = 1, maxHamming = 12)
+      .orderBy(col("i"), col("j"))
+  }
+
   /** REAL WAV (RIFF) header decode — the audio leg of block G: per-doc
     * payloads carry closed-form PCM parameters in the genuine
     * little-endian RIFF byte layout (fmt + zeroed data chunk); the
@@ -751,6 +775,40 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** q148/q152 shared replay: closed-form raster pixels → integer
+    * luma on the 9×8 floor-mapped grid → dHash bits → the two
+    * 32-bit halves. */
+  private val sqlDhashCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS w,
+      |    CAST(4 + (doc_id * 3) % 5 AS BIGINT) AS h,
+      |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, ch, i.g AS i, j.g AS j,
+      |    (j.g * w) // 9 AS x, (i.g * h) // 8 AS y
+      |  FROM d, unnest(generate_series(0, 7)) i(g),
+      |       unnest(generate_series(0, 8)) j(g)),
+      |lum AS (
+      |  SELECT doc_id, i, j,
+      |    CASE WHEN ch = 1 THEN (3 * x + 7 * y + doc_id) % 256
+      |      ELSE (299 * ((3 * x + 7 * y + doc_id) % 256)
+      |          + 587 * ((3 * x + 7 * y + 11 + doc_id) % 256)
+      |          + 114 * ((3 * x + 7 * y + 22 + doc_id) % 256)) // 1000 END AS l
+      |  FROM g),
+      |b AS (
+      |  SELECT a.doc_id, a.i, a.j, CASE WHEN n.l > a.l THEN 1 ELSE 0 END AS bit
+      |  FROM lum a JOIN lum n
+      |    ON a.doc_id = n.doc_id AND a.i = n.i AND n.j = a.j + 1
+      |  WHERE a.j < 8),
+      |hh AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN i * 8 + j >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+      |    CAST(sum(CASE WHEN i * 8 + j < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j)) ELSE 0 END) AS BIGINT) AS dhash_lo
+      |  FROM b GROUP BY doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // q128: every surface restated from the generator's closed form —
     // n_bytes is the fixed 38-byte single-IFD layout, dims are pure
@@ -1025,39 +1083,23 @@ object Events {
     // all restated in closed form (the q89 fixture's sample formula);
     // the engine's PNG decode chain is what the hash exercises.
     "q148_image_dhash" ->
-      """WITH d AS (
-        |  SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS w,
-        |    CAST(4 + (doc_id * 3) % 5 AS BIGINT) AS h,
-        |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, ch, i.g AS i, j.g AS j,
-        |    (j.g * w) // 9 AS x, (i.g * h) // 8 AS y
-        |  FROM d, unnest(generate_series(0, 7)) i(g),
-        |       unnest(generate_series(0, 8)) j(g)),
-        |lum AS (
-        |  SELECT doc_id, i, j,
-        |    CASE WHEN ch = 1 THEN (3 * x + 7 * y + doc_id) % 256
-        |      ELSE (299 * ((3 * x + 7 * y + doc_id) % 256)
-        |          + 587 * ((3 * x + 7 * y + 11 + doc_id) % 256)
-        |          + 114 * ((3 * x + 7 * y + 22 + doc_id) % 256)) // 1000 END AS l
-        |  FROM g),
-        |b AS (
-        |  SELECT a.doc_id, a.i, a.j, CASE WHEN n.l > a.l THEN 1 ELSE 0 END AS bit
-        |  FROM lum a JOIN lum n
-        |    ON a.doc_id = n.doc_id AND a.i = n.i AND n.j = a.j + 1
-        |  WHERE a.j < 8),
-        |hh AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN i * 8 + j >= 32
-        |      THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
-        |    CAST(sum(CASE WHEN i * 8 + j < 32
-        |      THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j)) ELSE 0 END) AS BIGINT) AS dhash_lo
-        |  FROM b GROUP BY doc_id)
-        |SELECT d.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-        |  hh.dhash_hi, hh.dhash_lo
-        |FROM d JOIN hh USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""$sqlDhashCtes
+         |SELECT d.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  hh.dhash_hi, hh.dhash_lo
+         |FROM d JOIN hh USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // q152: closed-form hashes self-joined with part-wise popcount —
+    // the banding algorithm is the engine's business, the oracle
+    // states the answer.
+    "q152_image_neardup" ->
+      s"""$sqlDhashCtes
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+         |     + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INT) AS hamming
+         |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+         |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 12
+         |ORDER BY i, j""".stripMargin,
     // q147: the maintenance identity — merged-over-batches must equal
     // this one-shot recompute on every exact surface; ndv_ok is the
     // q131 envelope convention (TRUE stated, exact n_users gated).

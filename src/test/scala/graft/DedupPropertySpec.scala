@@ -175,6 +175,41 @@ class DedupPropertySpec extends SparkSuite {
     }
   }
 
+  test("hammingPairs (the signature-generic banding entry) == brute force " +
+    "over random wide signatures, exactly once, incl. a hot bucket") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    Seq((1, 6, 512), (2, 10, 512), (1, 8, 4)).foreach { case (nWords, maxHam, budget) =>
+      // clustered signatures so true pairs exist: 40 bases, members
+      // flip a few random bits; plus one value repeated 30x so the
+      // budget=4 case exercises the hot sub-split path
+      val bases = Array.fill(40)(Array.fill(nWords)(rnd.nextLong()))
+      val sigs = (0 until 300).map { i =>
+        val b = bases(i % 40).clone()
+        (0 until rnd.nextInt(4)).foreach { _ =>
+          val w = rnd.nextInt(nWords)
+          b(w) ^= (1L << rnd.nextInt(64))
+        }
+        (i.toLong, b.toSeq)
+      } ++ (1000L until 1030L).map(i => (i, bases(0).toSeq))
+      val df = sigs.toDF("id", "sig")
+      val got = Dedup.hammingPairs(df, nWords, maxHam, budget)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+      // exactly once
+      assert(got.map(_._1).distinct.length === got.length,
+        s"duplicate pairs at nWords=$nWords")
+      val want = (for {
+        a <- sigs; b <- sigs if a._1 < b._1
+        h = (0 until nWords).map(w =>
+          java.lang.Long.bitCount(a._2(w) ^ b._2(w))).sum
+        if h <= maxHam
+      } yield ((a._1, b._1), h)).toMap
+      assert(got.toMap === want,
+        s"nWords=$nWords maxHam=$maxHam budget=$budget: " +
+          s"${got.length} vs ${want.size}")
+    }
+  }
+
   test("simhash pairs == brute-force hamming pairs, exactly once, hot split on/off") {
     for (round <- 1 to 2) {
       val docs = corpus(80)
