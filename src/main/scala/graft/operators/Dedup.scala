@@ -509,11 +509,14 @@ object Dedup {
     // or at execution time (the expression rejects nWords > 8)
     require(nWords >= 1 && nWords <= 8, s"nWords must be in [1, 8], got $nWords")
     val (groups, reps) = simhashGroups(df, idCol, textCol, nWords, portableHash)
-    val repPairs = hammingPairs(reps, nWords, maxHamming, hotBudget)
+    expandRepPairs(hammingPairs(reps, nWords, maxHamming, hotBudget), groups)
+  }
 
-    // expand representative pairs back to member pairs (hamming is a
-    // pure function of the two signatures, so class-mates inherit it),
-    // and emit within-class pairs directly at hamming 0
+  /** Expand representative pairs back to member pairs (hamming is a
+    * pure function of the two signatures, so class-mates inherit
+    * it), and emit within-class pairs directly at hamming 0.
+    * @param groups (sig, rep, members) as simhashGroups builds */
+  private def expandRepPairs(repPairs: DataFrame, groups: DataFrame): DataFrame = {
     val membersOf = groups.select(col("rep"), explode(col("members")).as("m"))
     val cross = repPairs
       .join(membersOf.select(col("rep").as("i"), col("m").as("mi")), "i")
@@ -526,6 +529,23 @@ object Dedup {
       .filter(col("mi") < col("mj"))
       .select(col("mi").as("i"), col("mj").as("j"), lit(0).as("hamming"))
     cross.unionAll(within)
+  }
+
+  /** [[hammingPairs]] with identical-signature classes collapsed to
+    * one representative BEFORE banding and expanded after — the
+    * right entry for duplicate-heavy signature spaces (templated /
+    * low-entropy media where many items share a perceptual hash:
+    * the banding join then works on distinct signatures instead of
+    * grinding each hamming-0 class quadratically; q152's corpus
+    * measured ~3× on exactly this, 7.7 → 2.3 s at sf0.1). Same
+    * output contract as [[hammingPairs]]. */
+  def hammingPairsCollapsed(sigs: DataFrame, nWords: Int, maxHamming: Int,
+                            hotBudget: Int = 512): DataFrame = {
+    val groups = sigs.groupBy(col("sig"))
+      .agg(min(col("id")).as("rep"), collect_list(col("id")).as("members"))
+      .localCheckpoint()
+    val reps = groups.select(col("rep").as("id"), col("sig"))
+    expandRepPairs(hammingPairs(reps, nWords, maxHamming, hotBudget), groups)
   }
 
   /** Banded hamming pairs over ARBITRARY wide signatures — the

@@ -416,7 +416,7 @@ object Events {
       .select(col("id"),
         array(shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo")))
           .as("sig"))
-    graft.operators.Dedup.hammingPairs(sigs, nWords = 1, maxHamming = 12)
+    graft.operators.Dedup.hammingPairsCollapsed(sigs, nWords = 1, maxHamming = 12)
       .orderBy(col("i"), col("j"))
   }
 

@@ -207,6 +207,13 @@ class DedupPropertySpec extends SparkSuite {
       assert(got.toMap === want,
         s"nWords=$nWords maxHam=$maxHam budget=$budget: " +
           s"${got.length} vs ${want.size}")
+      // the collapsed entry (identical-sig classes pre-collapsed,
+      // pairs expanded back) keeps the identical output contract —
+      // the fixture's 30 duplicated signatures exercise it
+      val gotC = Dedup.hammingPairsCollapsed(df, nWords, maxHam, budget)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+      assert(gotC.map(_._1).distinct.length === gotC.length)
+      assert(gotC.toMap === want, s"collapsed variant nWords=$nWords")
     }
   }
 
