@@ -49,6 +49,7 @@ object Relational {
     "q17_salted_join" -> q17,
     "q111_profile" -> q111,
     "q118_table_checksum" -> q118,
+    "q153_constraints" -> q153,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -369,6 +370,28 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Deequ-style constraint suite over orders
+    * ([[graft.operators.Constraints]] — the publish gate of the
+    * ops family): NotNull / Unique / InRange / OneOf constraints,
+    * every one an exact integer violation count, ALL evaluated in
+    * ONE aggregate over ONE scan (the single-pass discipline — a
+    * 100 TB batch pays one read however many constraints the suite
+    * carries). The fixture mixes passing and failing constraints so
+    * both verdicts sit inside the hash (Unique(o_custkey) and the
+    * strict priority set fail; the key/status constraints pass). */
+  def q153(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Constraints
+    import graft.operators.Constraints._
+    Constraints.check(Tables.orders(spark, dir), Seq(
+        NotNull("o_custkey"),
+        Unique("o_orderkey"),
+        Unique("o_custkey"),
+        InRange("o_totalprice", 0.0, 100000.0),
+        OneOf("o_orderstatus", Seq("F", "O", "P")),
+        OneOf("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))))
+      .orderBy(col("constraint"))
+  }
+
   /** Generic column profiler over orders (bigint + varchar + double +
     * timestamp columns in one fixture): null count, EXACT distinct
     * count, and min/max on the type-stable surface per column —
@@ -391,6 +414,28 @@ object Relational {
       .orderBy(col("column_name"))
 
   def oracleSql: Map[String, String] = Map(
+    // q153: each constraint restated as its violation count — null
+    // handling per constraint type exactly as the operator pins it.
+    "q153_constraints" -> {
+      def row(label: String, colName: String, viol: String): String =
+        s"""SELECT '$label' AS "constraint", '$colName' AS column_name,
+           |  CAST($viol AS BIGINT) AS violations,
+           |  count(*) AS n_rows, ($viol) = 0 AS passed FROM orders""".stripMargin
+      Seq(
+        row("not_null:o_custkey", "o_custkey",
+          "sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)"),
+        row("unique:o_orderkey", "o_orderkey",
+          "count(o_orderkey) - count(DISTINCT o_orderkey)"),
+        row("unique:o_custkey", "o_custkey",
+          "count(o_custkey) - count(DISTINCT o_custkey)"),
+        row("in_range:o_totalprice", "o_totalprice",
+          "sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0.0 OR o_totalprice > 100000.0) THEN 1 ELSE 0 END)"),
+        row("one_of:o_orderstatus", "o_orderstatus",
+          "sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)"),
+        row("one_of:o_orderpriority", "o_orderpriority",
+          "sum(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM') THEN 1 ELSE 0 END)"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"constraint\"")
+    },
     "q131_profile_approx" -> {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").map { c =>
         s"""SELECT '$c' AS column_name, count(DISTINCT $c) AS n_distinct,
