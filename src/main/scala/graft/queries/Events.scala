@@ -48,7 +48,8 @@ object Events {
     "q130_asof_nearest" -> q130,
     "q133_asof_forward" -> q133,
     "q147_incremental_rollup" -> q147,
-    "q149_session_window" -> q149
+    "q149_session_window" -> q149,
+    "q154_volume_anomaly" -> q154
   )
 
   /** Incremental rollup maintenance (the materialized-view update
@@ -103,6 +104,40 @@ object Events {
         unix_micros(col("sw.end")).as("end_us"),
         col("n_events"))
       .orderBy(col("user_id"), col("start_us"))
+  }
+
+  /** Ingest-volume anomaly detection by ROBUST integer statistics
+    * (median/MAD — the outlier-insensitive pair; a mean/stddev alarm
+    * is blind exactly when it matters, since the anomaly itself
+    * drags the mean): per event type, daily counts flagged when
+    * |n − median| > 3·MAD, with BOTH medians computed by
+    * [[graft.operators.Profile.exactQuantilesBy]]'s integer
+    * histogram rule (cum·2 ≥ N — no interpolation rule to diverge;
+    * MAD = 0 degenerates to any-deviation-flags, the comparison's
+    * natural behavior). The type×day surface is rollup-sized, so
+    * the per-type windows stay histogram-bounded (the q113/q122
+    * discipline); partial boundary days flag themselves naturally —
+    * exactly what an ingest monitor wants. Oracle replays both
+    * histogram medians and the flag arithmetic. */
+  def q154(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = graft.operators.Profile
+      .exactQuantilesBy(daily, "event_type", "n_events", 2)
+      .select(col("event_type"), col("cut_value").as("med"))
+    val dev = daily.join(med, "event_type")
+      .withColumn("adev", abs(col("n_events") - col("med")))
+    val mad = graft.operators.Profile
+      .exactQuantilesBy(dev, "event_type", "adev", 2)
+      .select(col("event_type"), col("cut_value").as("mad"))
+    daily.join(med, "event_type").join(mad, "event_type")
+      .withColumn("anomalous",
+        abs(col("n_events") - col("med")) > lit(3L) * col("mad"))
+      .select(col("event_type"), col("day"), col("n_events"), col("med"),
+        col("mad"), col("anomalous"))
+      .orderBy(col("event_type"), col("day"))
   }
 
   /** Tumbling 1-hour window aggregation (shared with streaming). */
@@ -1100,6 +1135,31 @@ object Events {
          |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
          |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 12
          |ORDER BY i, j""".stripMargin,
+    // q154: both robust statistics replayed as integer histogram
+    // medians (cum*2 >= N), then the flag arithmetic.
+    "q154_volume_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |h1 AS (SELECT event_type, n AS v, count(*) AS c FROM daily GROUP BY 1, 2),
+        |c1 AS (SELECT event_type, v, sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h1),
+        |t1 AS (SELECT event_type, count(*) AS nt FROM daily GROUP BY 1),
+        |med AS (SELECT c1.event_type, CAST(min(v) AS BIGINT) AS med
+        |  FROM c1 JOIN t1 USING (event_type) WHERE c1.cum * 2 >= t1.nt GROUP BY 1),
+        |dev AS (SELECT d.event_type, abs(d.n - m.med) AS v
+        |  FROM daily d JOIN med m USING (event_type)),
+        |h2 AS (SELECT event_type, v, count(*) AS c FROM dev GROUP BY 1, 2),
+        |c2 AS (SELECT event_type, v, sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h2),
+        |t2 AS (SELECT event_type, count(*) AS nt FROM dev GROUP BY 1),
+        |mad AS (SELECT c2.event_type, CAST(min(v) AS BIGINT) AS mad
+        |  FROM c2 JOIN t2 USING (event_type) WHERE c2.cum * 2 >= t2.nt GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n AS n_events, m.med, md.mad,
+        |  abs(d.n - m.med) > 3 * md.mad AS anomalous
+        |FROM daily d JOIN med m USING (event_type) JOIN mad md USING (event_type)
+        |ORDER BY d.event_type, d.day""".stripMargin,
     // q147: the maintenance identity — merged-over-batches must equal
     // this one-shot recompute on every exact surface; ndv_ok is the
     // q131 envelope convention (TRUE stated, exact n_users gated).
