@@ -85,4 +85,31 @@ object Constraints {
       }: _*)).as("r"))
       .select(col("r.*"))
   }
+
+  /** Referential-integrity constraint — the CROSS-TABLE member the
+    * single-pass suite structurally can't express: violations =
+    * non-null values of `column` absent from the reference column
+    * (null references in the target are ignored, matching the SQL
+    * `NOT IN (... WHERE ref IS NOT NULL)` reading — a null can't
+    * vouch for anything). One left join against the DISTINCT
+    * reference key set (broadcast when the key set allows,
+    * co-partitioned shuffle at scale — either way the fact table
+    * moves at most once) folded straight into the report row. Same
+    * output shape as [[check]], so reports union. */
+  def checkRef(df: DataFrame, column: String, ref: DataFrame,
+               refColumn: String): DataFrame = {
+    val r = ref.select(col(refColumn).as("__r"))
+      .filter(col("__r").isNotNull).distinct()
+    df.select(col(column).as("__v"))
+      .join(r, col("__v") === col("__r"), "left")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__v").isNotNull && col("__r").isNull, 1L)
+          .otherwise(0L)).as("__viol"))
+      .select(
+        lit(s"ref:$column->$refColumn").as("constraint"),
+        lit(column).as("column_name"),
+        coalesce(col("__viol"), lit(0L)).as("violations"),
+        col("__n").as("n_rows"),
+        (coalesce(col("__viol"), lit(0L)) === 0L).as("passed"))
+  }
 }

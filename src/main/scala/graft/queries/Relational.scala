@@ -50,6 +50,7 @@ object Relational {
     "q111_profile" -> q111,
     "q118_table_checksum" -> q118,
     "q153_constraints" -> q153,
+    "q155_ref_integrity" -> q155,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -392,6 +393,22 @@ object Relational {
       .orderBy(col("constraint"))
   }
 
+  /** Referential-integrity constraints (q153's cross-table sibling —
+    * [[graft.operators.Constraints.checkRef]]): orders.o_custkey ⊆
+    * customer.c_custkey holds by TPC-H construction (passes);
+    * customer.c_custkey ⊆ orders.o_custkey fails — customers without
+    * orders exist — so both verdicts and a real violation count sit
+    * inside the hash. Each check is one left join against the
+    * DISTINCT reference key set folded into a single report row. */
+  def q155(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Constraints
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    Constraints.checkRef(o, "o_custkey", c, "c_custkey")
+      .unionAll(Constraints.checkRef(c, "c_custkey", o, "o_custkey"))
+      .orderBy(col("constraint"))
+  }
+
   /** Generic column profiler over orders (bigint + varchar + double +
     * timestamp columns in one fixture): null count, EXACT distinct
     * count, and min/max on the type-stable surface per column —
@@ -434,6 +451,22 @@ object Relational {
           "sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)"),
         row("one_of:o_orderpriority", "o_orderpriority",
           "sum(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM') THEN 1 ELSE 0 END)"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"constraint\"")
+    },
+    // q155: both directions restated as NOT IN counts (null refs
+    // filtered — a null can't vouch for membership).
+    "q155_ref_integrity" -> {
+      def row(label: String, colName: String, from: String, refCol: String,
+              refTable: String): String =
+        s"""SELECT '$label' AS "constraint", '$colName' AS column_name,
+           |  CAST((SELECT count(*) FROM $from f WHERE f.$colName IS NOT NULL
+           |    AND f.$colName NOT IN (SELECT $refCol FROM $refTable WHERE $refCol IS NOT NULL)) AS BIGINT) AS violations,
+           |  (SELECT count(*) FROM $from) AS n_rows,
+           |  (SELECT count(*) FROM $from f WHERE f.$colName IS NOT NULL
+           |    AND f.$colName NOT IN (SELECT $refCol FROM $refTable WHERE $refCol IS NOT NULL)) = 0 AS passed""".stripMargin
+      Seq(
+        row("ref:o_custkey->c_custkey", "o_custkey", "orders", "c_custkey", "customer"),
+        row("ref:c_custkey->o_custkey", "c_custkey", "customer", "o_custkey", "orders"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"constraint\"")
     },
     "q131_profile_approx" -> {

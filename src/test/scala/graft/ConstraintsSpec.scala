@@ -48,6 +48,24 @@ class ConstraintsSpec extends SparkSuite {
     assert(scans === 1, s"expected one scan:\n$plan")
   }
 
+  test("checkRef: non-null values absent from the reference violate; " +
+    "null targets and null references are both inert") {
+    val facts = Seq(Some(1L), Some(2L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val dims = Seq(Some(1L), Some(2L), Some(3L), None).toDF("pk")
+    val r = Constraints.checkRef(facts, "fk", dims, "pk").collect()(0)
+    assert(r.getString(0) === "ref:fk->pk" && r.getString(1) === "fk")
+    // the two 9s violate (each occurrence counts); the null fk is
+    // NotNull's business; the null pk vouches for nothing
+    assert(r.getLong(2) === 2L && r.getLong(3) === 5L && !r.getBoolean(4))
+    // a fully-covered target passes, empty reference = all violate
+    val ok = Constraints.checkRef(facts.filter($"fk" <= 2), "fk", dims, "pk")
+      .collect()(0)
+    assert(ok.getLong(2) === 0L && ok.getBoolean(4))
+    val none = Constraints.checkRef(facts, "fk", dims.limit(0), "pk").collect()(0)
+    assert(none.getLong(2) === 4L && !none.getBoolean(4))
+  }
+
   test("duplicate labels and empty suites are rejected at the API boundary") {
     intercept[IllegalArgumentException](
       Constraints.check(fixture, Seq(NotNull("id"), NotNull("id"))))
