@@ -329,7 +329,16 @@ object Multimodal {
   }
 
   /** Batched partition-wise decode → dHash (the [[decodePixelsBatch]]
-    * shape). @param df (id: long, payload: binary) */
+    * shape); decodes ANY supported raster format by magic sniff
+    * ([[decodeAnyRaster]]: PNG, baseline JPEG, GIF — not just PNG).
+    * @param df (id: long, payload: binary)
+    *
+    * CONTRACT for banding callers: undecodable payloads surface as
+    * `width = 0` with the zero sentinel hash — they are kept for
+    * accounting, but composed with [[graft.operators.Dedup.hammingPairs]]
+    * they would form one mutual hamming-0 clique of spurious
+    * near-dup pairs, so callers MUST `filter(width > 0)` before
+    * banding (the q152 composition does). */
   def dhashBatch(df: DataFrame, batchSize: Int = 64): DataFrame = {
     val enc = Encoders.product[MediaDhash]
     df.select(col("id"), col("payload"))
@@ -338,7 +347,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
-            Png.decode(bytes) match {
+            decodeAnyRaster(bytes) match {
               case Some(r) =>
                 val (hi, lo) = dhash(r)
                 MediaDhash(id, r.width, r.height, hi, lo)

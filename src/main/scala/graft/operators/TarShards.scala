@@ -51,9 +51,12 @@ object TarShards {
   /** Shard assignment (the gated arithmetic): per stream, entries in
     * id order get `start_bytes` (prefix sum of entry costs),
     * `shard = start_bytes div budget`, and their byte offset inside
-    * the shard. Input rows with NULL payload size are rejected
-    * upstream by the cast; sizes are payload bytes (0 allowed — a
-    * header-only entry still costs 512).
+    * the shard. A NULL or negative payload size FAILS the job loudly
+    * (raise_error) — a null would otherwise null `_entry` and slip
+    * past packChunks' positives filter, silently dropping the row
+    * from the shard manifest, which is a silently incomplete export;
+    * sizes are payload bytes (0 allowed — a header-only entry still
+    * costs 512).
     *
     * @return streamCol, idCol, n_bytes, entry_bytes, start_bytes,
     *         shard, offset_in_shard
@@ -63,7 +66,12 @@ object TarShards {
     require(budget >= BlockSize * 2,
       s"budget must hold at least one entry (>= ${BlockSize * 2}), got $budget")
     val sized = df
-      .withColumn("n_bytes", col(bytesCol).cast("long"))
+      .withColumn("n_bytes",
+        when(col(bytesCol).isNotNull && col(bytesCol).cast("long") >= 0L,
+          col(bytesCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"TarShards.assign: NULL or negative $bytesCol for entry "),
+            col(idCol).cast("string")))))
       // integer div keeps the arithmetic exact at any byte scale (a
       // double division would wobble past 2^53)
       .withColumn("_entry",

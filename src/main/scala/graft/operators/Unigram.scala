@@ -143,6 +143,12 @@ object Unigram {
     * @return (doc_id, n_words, n_pieces, total_cost) */
   def segmentStats(docs: DataFrame, idCol: String, textCol: String,
                    pieces: DataFrame, maxWordLen: Int = 16): DataFrame = {
+    // the combined key packs n_pieces into 6 bits (comb & 63), so a
+    // word may segment into at most 63 pieces — maxWordLen >= 64
+    // would silently corrupt n_pieces AND total_cost
+    require(maxWordLen >= 1 && maxWordLen < 64,
+      s"maxWordLen must be in [1, 63] (n_pieces rides 6 bits of the " +
+        s"combined key), got $maxWordLen")
     val costMap = pieces.select(col("piece"), col("cost"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val maxPiece = if (costMap.isEmpty) 1 else costMap.keys.map(_.length).max
@@ -161,9 +167,15 @@ object Unigram {
 
   /** The combined-key Viterbi: dp(j) = min over i<j with
     * piece = w[i..j) of dp(i) + cost(piece)·64 + 1. Exact integer
-    * DP, O(len · maxPieceLen) with a hash probe per span. */
+    * DP, O(len · maxPieceLen) with a hash probe per span. Contract:
+    * w.length < 64, so n_pieces (≤ len) fits the 6-bit field of the
+    * combined key (enforced by [[segmentStats]]'s maxWordLen bound;
+    * re-checked here because the key encoding is THIS function's). */
   private[graft] def viterbiCombined(w: String, cost: Map[String, Long],
                                          maxPiece: Int): Long = {
+    require(w.length < 64,
+      s"viterbiCombined: word length ${w.length} >= 64 would overflow " +
+        "the 6-bit n_pieces field of the combined key")
     val n = w.length
     val INF = Long.MaxValue / 4
     val dp = Array.fill(n + 1)(INF)

@@ -448,6 +448,11 @@ object Events {
       .select(col("doc_id").as("id"),
         Multimodal.syntheticPngUdf(col("doc_id")).as("payload"))
     val sigs = Multimodal.dhashBatch(payloads)
+      // the dhashBatch contract: undecodable rows carry the width-0
+      // zero-hash sentinel and MUST NOT enter the banding (they'd be
+      // one giant hamming-0 clique); the gate corpus is all-decodable
+      // so this filter drops nothing there
+      .filter(col("width") > 0)
       .select(col("id"),
         array(shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo")))
           .as("sig"))

@@ -817,6 +817,35 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("Multimodal.dhashBatch decodes PNG, JPEG and GIF payloads " +
+    "(magic sniff, not PNG-only) and sentinels undecodables as width 0 " +
+    "so the width > 0 banding filter excludes them") {
+    import spark.implicits._
+    import Multimodal.{dhash, decodeAnyRaster, syntheticRaster,
+      syntheticJpegGray, syntheticGif, Png}
+    val png = Png.encode(syntheticRaster(3L))
+    val jpg = syntheticJpegGray(4L)
+    val gif = syntheticGif(5L)
+    val junk = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+    val df = Seq((1L, png), (2L, jpg), (3L, gif), (4L, junk))
+      .toDF("id", "payload")
+    val out = Multimodal.dhashBatch(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    // each decodable format matches dhash over its own decoder
+    Seq(1L -> png, 2L -> jpg, 3L -> gif).foreach { case (id, bytes) =>
+      val r = decodeAnyRaster(bytes).get
+      val (hi, lo) = dhash(r)
+      assert(out(id) === ((r.width, r.height, hi, lo)), s"id=$id")
+    }
+    // undecodable: width-0 sentinel, kept for accounting...
+    assert(out(4L) === ((0, 0, 0L, 0L)))
+    // ...and excluded by the documented banding-side contract filter
+    val banded = Multimodal.dhashBatch(df)
+      .filter(col("width") > 0).select("id").as[Long].collect().sorted
+    assert(banded.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("HeaderDecoder handles fill bytes, big dims, and corrupt streams") {
     import Multimodal.HeaderDecoder.decode
     // JPEG with fill FFs before SOF2 (progressive) and a skipped

@@ -125,4 +125,37 @@ class TarShardsSpec extends SparkSuite {
         s"shard $key size ${tar.length}")
     }
   }
+
+  test("assign FAILS LOUDLY on NULL or negative payload sizes instead of " +
+    "silently dropping the row from the shard manifest") {
+    import spark.implicits._
+    def allMessages(t: Throwable): String = {
+      val sb = new StringBuilder
+      var cur: Throwable = t
+      while (cur != null) {
+        sb.append(Option(cur.getMessage).getOrElse("")).append('\n')
+        cur = cur.getCause
+      }
+      sb.toString
+    }
+    val withNull = Seq((1L, Some(10L), "s"), (2L, None, "s"))
+      .toDF("id", "bytes", "stream")
+    val eNull = intercept[Exception] {
+      TarShards.assign(withNull, "id", "bytes", "stream", 4096L).collect()
+    }
+    assert(allMessages(eNull).contains("NULL or negative"),
+      s"got: ${allMessages(eNull)}")
+    val withNeg = Seq((1L, 10L, "s"), (2L, -1L, "s"))
+      .toDF("id", "bytes", "stream")
+    val eNeg = intercept[Exception] {
+      TarShards.assign(withNeg, "id", "bytes", "stream", 4096L).collect()
+    }
+    assert(allMessages(eNeg).contains("NULL or negative"),
+      s"got: ${allMessages(eNeg)}")
+    // clean input still assigns every row (the fix must not cost rows)
+    val ok = TarShards.assign(
+      Seq((1L, 10L, "s"), (2L, 0L, "s")).toDF("id", "bytes", "stream"),
+      "id", "bytes", "stream", 4096L)
+    assert(ok.count() === 2L)
+  }
 }

@@ -154,5 +154,22 @@ class UnigramSpec extends SparkSuite {
     }
   }
 
+  test("segmentStats rejects maxWordLen >= 64 (n_pieces rides 6 bits of " +
+    "the combined key) and viterbiCombined re-checks the bound") {
+    val pieces = Unigram.pieceCosts(docs, "text", maxPieceLen = 4, topK = 16)
+    intercept[IllegalArgumentException] {
+      Unigram.segmentStats(docs, "doc_id", "text", pieces, maxWordLen = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Unigram.segmentStats(docs, "doc_id", "text", pieces, maxWordLen = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Unigram.viterbiCombined("a" * 64, Map("a" -> 1L), 1)
+    }
+    // the boundary value is legal and the 63-piece worst case decodes
+    val comb = Unigram.viterbiCombined("a" * 63, Map("a" -> 1L), 1)
+    assert((comb & 63) === 63L && (comb >> 6) === 63L)
+  }
+
   private def col(s: String) = org.apache.spark.sql.functions.col(s)
 }
