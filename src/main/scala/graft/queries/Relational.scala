@@ -51,6 +51,7 @@ object Relational {
     "q118_table_checksum" -> q118,
     "q153_constraints" -> q153,
     "q155_ref_integrity" -> q155,
+    "q156_publish_roundtrip" -> q156,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -409,6 +410,106 @@ object Relational {
       .orderBy(col("constraint"))
   }
 
+  /** The key-range predicates q156 prunes on, shared with its oracle:
+    * (label, lo, hi) half-open ranges over o_orderkey. p2 covers every
+    * bucket at any SF, p3 none, p1/p4 a prefix slice and a point. */
+  private val publishPreds = Seq(
+    ("p1_low", 256L, 1280L),
+    ("p2_all", 0L, 1L << 40),
+    ("p3_none", 1L << 30, (1L << 30) + 100L),
+    ("p4_point", 777L, 778L))
+
+  /** The canonical 60-bit row fold of an orders row (the q118
+    * discipline): integer key surfaces, epoch-us date, exact cents —
+    * reusable on the source, the read-back AND any pruned scan
+    * (unresolved columns bind wherever it is applied). */
+  private def ordersRowHash: Column = {
+    val canon = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      unix_micros(col("o_orderdate").cast("timestamp")),
+      (dec2(col("o_totalprice")) * 100).cast("long"))
+    conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+  }
+
+  /** The gated PUBLISH round trip (the r7 verdict's task #1 — the
+    * "save the output" step every real pipeline runs last; reference
+    * main.py computes frames and never writes one): orders bucketed
+    * by `o_orderkey div 1024`, published as a key-sorted,
+    * bucket-partitioned parquet dataset behind a PASSING constraint
+    * suite ([[graft.operators.Layout.publishChecked]] — the q153
+    * gate moved to where it matters, before the data ships), then
+    * read back THREE ways, all inside one hash:
+    *
+    *  - 'checksum' rows: the q118 60-bit fold per bucket computed on
+    *    the READ-BACK files; the oracle computes it on the SOURCE
+    *    table directly — equality proves the write→read round trip
+    *    dropped, duplicated and altered nothing;
+    *  - 'survival' rows: per key-range predicate, how many buckets
+    *    survive REAL parquet footer min/max skipping
+    *    ([[graft.operators.Layout.rowGroupStats]]) plus the row count
+    *    behind the survivors; the oracle restates survival
+    *    closed-form from per-bucket min/max (a bucket is a contiguous
+    *    key range by construction) — so the gate checks the written
+    *    footers actually carry the statistics pruning needs;
+    *  - 'pruned' rows: count + exact cents sum + xor row-fold over a
+    *    scan that reads ONLY the surviving files
+    *    ([[graft.operators.Layout.prunedScan]]); the oracle runs the
+    *    plain WHERE on the source — equality proves pruned scan ==
+    *    full scan, row for row (the xor fold makes "same rows", not
+    *    just "same count").
+    *
+    * Scale: the publish is one hash repartition + local sort (each
+    * bucket lands in exactly one file); footer stats are per-file
+    * metadata read driver-side (bounded by file count — exactly a
+    * manifest read); the four pruned aggregates are bounded scalar
+    * collects. */
+  def q156(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Constraints, Layout}
+    import spark.implicits._
+    val W = 1024L
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_publish_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    Layout.publishChecked(src, out, "bucket", Seq("o_orderkey"),
+      Seq(Constraints.NotNull("o_orderkey"), Constraints.Unique("o_orderkey"),
+        Constraints.NotNull("bucket"),
+        Constraints.InRange("o_totalprice", 0.0, 1e6)))
+    val back = spark.read.parquet(out)
+      .withColumn("bucket", col("bucket").cast("long"))
+    val checksum = back.withColumn("h", ordersRowHash)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("m1"), expr("bit_xor(h)").as("m2"),
+        sum(col("h") % 1000000000000L).as("m3"))
+      .select(lit("checksum").as("section"),
+        lpad(col("bucket").cast("string"), 6, "0").as("label"),
+        col("m1"), col("m2"), col("m3"))
+    val stats = Layout.rowGroupStats(spark, out, "o_orderkey")
+    val perBucket = stats
+      .groupBy(_.bucket.getOrElse(sys.error(
+        "publish wrote a data file outside a bucket directory")))
+      .map { case (b, ss) =>
+        (b, ss.map(_.min).min, ss.map(_.max).max, ss.map(_.rowCount).sum)
+      }.toSeq
+    val survival = publishPreds.map { case (lbl, lo, hi) =>
+      val surv = perBucket.filter { case (_, mn, mx, _) => mx >= lo && mn < hi }
+      ("survival", lbl, perBucket.size.toLong, surv.size.toLong,
+        surv.map(_._4).sum)
+    }
+    val pruned = publishPreds.map { case (lbl, lo, hi) =>
+      val r = Layout.prunedScan(spark, out, "o_orderkey", lo, hi, Some(stats))
+        .withColumn("h", ordersRowHash)
+        .agg(count(lit(1)).as("m1"),
+          coalesce(sum((dec2(col("o_totalprice")) * 100).cast("long")), lit(0L)).as("m2"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("m3"))
+        .collect()(0)
+      ("pruned", lbl, r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    checksum.unionAll(
+        (survival ++ pruned).toDF("section", "label", "m1", "m2", "m3"))
+      .orderBy(col("section"), col("label"))
+  }
+
   /** Generic column profiler over orders (bigint + varchar + double +
     * timestamp columns in one fixture): null count, EXACT distinct
     * count, and min/max on the type-stable surface per column —
@@ -538,6 +639,52 @@ object Relational {
          |  CAST(sum(h % 1000000000000) AS BIGINT) AS sum_sig
          |FROM h GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin
+    },
+    // q156: the oracle never sees the published files — it restates
+    // every surface from the SOURCE table (checksums per bucket,
+    // bucket survival closed-form from per-bucket min/max since a
+    // bucket is a contiguous key range, pruned aggregates as the
+    // plain WHERE). The engine computes the same numbers from the
+    // written dataset's read-back and REAL parquet footers; equality
+    // proves the round trip and the footer statistics.
+    "q156_publish_roundtrip" -> {
+      val canon = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+        "o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      s"""WITH b AS (
+         |  SELECT *, o_orderkey // 1024 AS bucket,
+         |    list_reduce(list_transform(generate_series(1, 15),
+         |      i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+         |      (a, x) -> a * 16 + x) AS h
+         |  FROM orders),
+         |cs AS (
+         |  SELECT 'checksum' AS section, lpad(CAST(bucket AS VARCHAR), 6, '0') AS label,
+         |    count(*) AS m1, CAST(bit_xor(h) AS BIGINT) AS m2,
+         |    CAST(sum(h % 1000000000000) AS BIGINT) AS m3
+         |  FROM b GROUP BY bucket),
+         |bs AS (
+         |  SELECT bucket, min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+         |    count(*) AS n
+         |  FROM b GROUP BY bucket),
+         |p AS (SELECT * FROM (VALUES
+         |  ('p1_low', 256, 1280), ('p2_all', 0, 1099511627776),
+         |  ('p3_none', 1073741824, 1073741924), ('p4_point', 777, 778))
+         |  AS t(label, lo, hi)),
+         |sv AS (
+         |  SELECT 'survival' AS section, p.label,
+         |    (SELECT count(*) FROM bs) AS m1,
+         |    CAST(coalesce(sum(CASE WHEN bs.mx >= p.lo AND bs.mn < p.hi THEN 1 ELSE 0 END), 0) AS BIGINT) AS m2,
+         |    CAST(coalesce(sum(CASE WHEN bs.mx >= p.lo AND bs.mn < p.hi THEN bs.n ELSE 0 END), 0) AS BIGINT) AS m3
+         |  FROM p CROSS JOIN bs GROUP BY p.label),
+         |pr AS (
+         |  SELECT 'pruned' AS section, p.label,
+         |    count(b.o_orderkey) AS m1,
+         |    CAST(coalesce(sum(CAST(CAST(b.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)), 0) AS BIGINT) AS m2,
+         |    CAST(coalesce(bit_xor(b.h), 0) AS BIGINT) AS m3
+         |  FROM p LEFT JOIN b ON b.o_orderkey >= p.lo AND b.o_orderkey < p.hi
+         |  GROUP BY p.label)
+         |SELECT * FROM cs UNION ALL SELECT * FROM sv UNION ALL SELECT * FROM pr
+         |ORDER BY section, label""".stripMargin
     },
     "q16_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Constraints, Layout}
+
+/** The publish path (q156 + operators.Layout): layout write
+  * determinism (one file per bucket, key-sorted), footer statistics
+  * vs ground truth, pruned-scan == full-scan row identity (the
+  * operator's whole point), the empty-survivor edge, and the
+  * constraint gate refusing a bad batch. */
+class LayoutSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_layout_$name")
+    d.toFile.deleteOnExit()
+    d.toString + "/ds"
+  }
+
+  // 2000 rows, key = permuted ids so buckets are NOT in write order,
+  // a payload column to carry through the round trip
+  private def fixture = spark.range(0, 2000, 1, 8)
+    .select(
+      pmod(col("id") * 811L + 13L, lit(2000L)).as("key"),
+      (col("id") % 7).cast("string").as("tag"),
+      (col("id") * 31L).as("payload"))
+    .withColumn("bucket", expr("key div 256"))
+
+  test("publish: exactly one file per bucket, rows key-sorted inside, " +
+    "footer min/max equal the true per-bucket min/max") {
+    val out = tmpDir("det")
+    Layout.publish(fixture, out, "bucket", Seq("key"))
+    val stats = Layout.rowGroupStats(spark, out, "key")
+    // one file per bucket (deterministic layout, no small-file spray)
+    val byBucket = stats.groupBy(_.bucket.get)
+    assert(byBucket.size === 8) // 2000 keys / 256 per bucket -> buckets 0..7
+    byBucket.foreach { case (b, ss) =>
+      assert(ss.map(_.path).distinct.size === 1, s"bucket $b file count")
+    }
+    // footer min/max == ground truth per bucket
+    val truth = fixture.groupBy("bucket")
+      .agg(min("key").as("mn"), max("key").as("mx"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    byBucket.foreach { case (b, ss) =>
+      val (mn, mx, n) = truth(b)
+      assert(ss.map(_.min).min === mn, s"bucket $b min")
+      assert(ss.map(_.max).max === mx, s"bucket $b max")
+      assert(ss.map(_.rowCount).sum === n, s"bucket $b rows")
+    }
+    // rows are key-sorted within each file (read one file raw)
+    val oneFile = stats.head.path
+    val keys = spark.read.parquet(oneFile).select("key").as[Long].collect()
+    assert(keys.toSeq === keys.sorted.toSeq)
+  }
+
+  test("prunedScan returns BIT-IDENTICAL rows to the full-table filter " +
+    "for interior, boundary, full and empty key ranges") {
+    val out = tmpDir("prune")
+    Layout.publish(fixture, out, "bucket", Seq("key"))
+    val full = spark.read.parquet(out)
+    val ranges = Seq((300L, 900L), (0L, 2000L), (256L, 257L),
+      (1999L, 2000L), (5000L, 6000L), (0L, 1L))
+    ranges.foreach { case (lo, hi) =>
+      val pruned = Layout.prunedScan(spark, out, "key", lo, hi)
+        .select("key", "tag", "payload")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val direct = full.filter(col("key") >= lo && col("key") < hi)
+        .select("key", "tag", "payload")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(pruned.toSeq === direct.toSeq, s"range [$lo,$hi)")
+    }
+    // pruning actually prunes: an interior range must not read all files
+    val stats = Layout.rowGroupStats(spark, out, "key")
+    val surv = Layout.survivingFiles(stats, 300L, 400L)
+    assert(surv.size === 1, s"[300,400) should touch bucket 1 only: $surv")
+    assert(Layout.survivingFiles(stats, 5000L, 6000L).isEmpty)
+  }
+
+  test("small parquet.block.size yields multiple row groups per file and " +
+    "row-group stats stay sound for pruning") {
+    val out = tmpDir("rg")
+    // one bucket -> one file; tiny row groups force multiple blocks
+    Layout.publish(fixture.withColumn("bucket", lit(0L)), out, "bucket",
+      Seq("key"), blockSize = 64L * 1024)
+    val stats = Layout.rowGroupStats(spark, out, "key")
+    assert(stats.map(_.path).distinct.size === 1)
+    // sorted write: row groups cover disjoint, increasing key ranges
+    val sorted = stats.sortBy(_.min)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.max < b.min, s"overlap: $a vs $b")
+      case _ =>
+    }
+    assert(sorted.map(_.rowCount).sum === 2000L)
+    assert(sorted.head.min === 0L && sorted.last.max === 1999L)
+  }
+
+  test("publishChecked refuses a batch that fails its suite and writes " +
+    "NOTHING; a passing suite publishes") {
+    val out = tmpDir("gate")
+    val dupes = fixture.withColumn("key", col("key") % 10) // Unique fails
+    val e = intercept[IllegalStateException] {
+      Layout.publishChecked(dupes, out, "bucket", Seq("key"),
+        Seq(Constraints.Unique("key")))
+    }
+    assert(e.getMessage.contains("refusing to publish"))
+    assert(e.getMessage.contains("unique:key"))
+    assert(!new java.io.File(out).exists(), "refused publish must not write")
+    Layout.publishChecked(fixture, out, "bucket", Seq("key"),
+      Seq(Constraints.NotNull("key"), Constraints.Unique("key")))
+    assert(spark.read.parquet(out).count() === 2000L)
+  }
+
+  test("round trip preserves every row and column (checksum identity " +
+    "shape of the q156 gate)") {
+    val out = tmpDir("rt")
+    Layout.publish(fixture, out, "bucket", Seq("key"))
+    val h = conv(substring(md5(concat_ws("|",
+      col("key"), col("tag"), col("payload"))), 1, 15), 16, 10).cast("long")
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.withColumn("h", h)
+        .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(sig(spark.read.parquet(out)) === sig(fixture))
+  }
+}
