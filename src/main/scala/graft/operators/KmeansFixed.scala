@@ -36,7 +36,7 @@ object KmeansFixed {
       if (v == null) null
       else v.map(x => math.floor(x.toDouble * 1024.0 + 0.5).toLong).toArray)
 
-  private def assignUdf(cents: Array[Array[Long]]) =
+  private[operators] def assignUdf(cents: Array[Array[Long]]) =
     udf((iv: Seq[Long]) => {
       val k = cents.length
       var bestC = 0

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bloom, Bpe, Dedup, KmeansFixed, LinkGraph, Robots, Sampling, Similarity, Snapshot, TarShards, TextAnalysis, Unigram, WordPiece}
+import graft.operators.{Bloom, Bpe, Dedup, IvfPqFixed, KmeansFixed, LinkGraph, Robots, Sampling, Similarity, Snapshot, TarShards, TextAnalysis, Unigram, WordPiece}
 import graft.sources.WarcSource
 
 /** Blocks C/D/E — LLM-pipeline operators over `documents` and
@@ -100,7 +100,8 @@ object Pipeline {
     "q143_tar_shards" -> q143,
     "q146_robots" -> q146,
     "q150_pretrain_e2e" -> q150,
-    "q151_tfidf_topk" -> q151
+    "q151_tfidf_topk" -> q151,
+    "q157_ivfpq_fixed" -> q157
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -1143,6 +1144,18 @@ object Pipeline {
     KmeansFixed.gateSurface(Tables.embeddings(spark, dir),
         "vec_id", "embedding", k = 4, iters = 3)
       .orderBy(col("cluster"), col("dim"))
+
+  /** Fixed-point IVF-PQ end-to-end (the r7 verdict's task #2): the
+    * q138 coarse quantizer + q81's hash-picked codebook applied to
+    * integer RESIDUALS, encode, and the nprobe ADC search — index
+    * ('assign' rows: list + folded codes + coarse dist per vector)
+    * AND search ('topk' rows: rank/cid/exact adist per query) under
+    * ONE hash. Float IVF-PQ (Similarity.ivfPqTopK) stays the spec'd
+    * production path. */
+  def q157(spark: SparkSession, dir: String): DataFrame =
+    IvfPqFixed.gateSurface(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", k = 4, iters = 3, m = 8, ks = 16,
+      nprobe = 2, topK = 5)
 
   /** Per-node triangle counts over a denser hashed fixture graph
     * (outdeg 1 + v % 6, prefix "tri:") — the degree-ordered exact
@@ -2646,6 +2659,91 @@ object Pipeline {
          |  coalesce(st.inertia, 0) AS inertia
          |FROM c3 LEFT JOIN st ON c3.c = st.c
          |ORDER BY cluster, dim""".stripMargin,
+    // q157: the whole fixed-point IVF-PQ pipeline restated — q138's
+    // 3 Lloyd rounds verbatim (c3 + final assignment asg4), residual
+    // vectors per id, the q81 hash-pick of 16 RESIDUAL rows as the
+    // codebook, per-subspace argmin codes folded 4 bits per subspace,
+    // then the nprobe=2 search: per-query probes by (centroid dist,
+    // c), integer LUT per (query, probed list, s, j), ADC sum joined
+    // code-to-LUT, rank by (adist, cid). Every number an exact int64.
+    "q157_ivfpq_fixed" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id AS id, d.g AS dim,
+         |    CAST(floor(embedding[CAST(d.g AS INT) + 1] * 1024.0 + 0.5) AS BIGINT) AS iv
+         |  FROM embeddings, unnest(generate_series(0, 63)) AS d(g)),
+         |seed AS MATERIALIZED (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS c
+         |  FROM (SELECT DISTINCT id FROM e) ORDER BY id LIMIT 4),
+         |c0 AS MATERIALIZED (
+         |  SELECT seed.c, e.dim, e.iv AS v FROM seed JOIN e USING (id)),
+         |${sqlKmeansRounds(3)},
+         |res AS MATERIALIZED (
+         |  SELECT e.id, e.dim, e.iv - p.v AS rv
+         |  FROM e JOIN asg4 g USING (id) JOIN c3 p ON p.c = g.c AND p.dim = e.dim),
+         |rvec AS MATERIALIZED (
+         |  SELECT id, list(rv ORDER BY dim) AS rv FROM res GROUP BY id),
+         |cb AS MATERIALIZED (
+         |  SELECT j, rv FROM (
+         |    SELECT row_number() OVER (
+         |        ORDER BY ((id % 1000000007) * 2654435761) % 4294967296, id) AS j, rv
+         |    FROM rvec) WHERE j <= 16),
+         |cw AS MATERIALIZED (
+         |  SELECT CAST(s AS INT) AS s, CAST(j - 1 AS BIGINT) AS j,
+         |    rv[CAST(s*8+1 AS INT) : CAST(s*8+8 AS INT)] AS cwv
+         |  FROM cb, unnest(generate_series(0, 7)) AS t(s)),
+         |code AS MATERIALIZED (
+         |  SELECT id, s, j FROM (
+         |    SELECT id, s, j, row_number() OVER (PARTITION BY id, s ORDER BY d2, j) AS rn
+         |    FROM (
+         |      SELECT rvec.id, cw.s, cw.j,
+         |        list_reduce(list_transform(generate_series(1, 8),
+         |          i -> (rv[CAST(s*8+i AS INT)] - cwv[CAST(i AS INT)])
+         |             * (rv[CAST(s*8+i AS INT)] - cwv[CAST(i AS INT)])),
+         |          (acc, x) -> acc + x) AS d2
+         |      FROM rvec, cw)) WHERE rn = 1),
+         |codef AS MATERIALIZED (
+         |  SELECT id, CAST(sum(j * (CAST(1 AS BIGINT) << CAST(4 * s AS INT))) AS BIGINT) AS codes
+         |  FROM code GROUP BY id),
+         |qd AS MATERIALIZED (
+         |  SELECT e.id AS qid, p.c,
+         |    CAST(sum((e.iv - p.v) * (e.iv - p.v)) AS BIGINT) AS dist
+         |  FROM e JOIN c3 p ON e.dim = p.dim
+         |  WHERE e.id % 50 = 0 GROUP BY e.id, p.c),
+         |probe AS MATERIALIZED (
+         |  SELECT qid, c FROM (
+         |    SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY dist, c) AS rn
+         |    FROM qd) WHERE rn <= 2),
+         |qrvec AS MATERIALIZED (
+         |  SELECT q.qid, q.c, list(e.iv - p.v ORDER BY e.dim) AS rv
+         |  FROM probe q JOIN e ON e.id = q.qid
+         |  JOIN c3 p ON p.c = q.c AND p.dim = e.dim
+         |  GROUP BY q.qid, q.c),
+         |lut AS MATERIALIZED (
+         |  SELECT qid, qrvec.c, cw.s, cw.j,
+         |    list_reduce(list_transform(generate_series(1, 8),
+         |      i -> (rv[CAST(s*8+i AS INT)] - cwv[CAST(i AS INT)])
+         |         * (rv[CAST(s*8+i AS INT)] - cwv[CAST(i AS INT)])),
+         |      (acc, x) -> acc + x) AS d2
+         |  FROM qrvec, cw),
+         |scored AS MATERIALIZED (
+         |  SELECT l.qid, cd.id AS cid,
+         |    CAST(list_reduce(list(d2 ORDER BY l.s), (acc, x) -> acc + x) AS BIGINT) AS adist
+         |  FROM code cd JOIN asg4 g ON cd.id = g.id
+         |  JOIN lut l ON l.c = g.c AND l.s = cd.s AND l.j = cd.j
+         |  WHERE l.qid <> cd.id GROUP BY l.qid, cd.id),
+         |topk AS (
+         |  SELECT qid, cid, rank, adist FROM (
+         |    SELECT qid, cid, adist,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank
+         |    FROM scored) WHERE rank <= 5)
+         |SELECT 'assign' AS section, g.id AS a, g.c AS b,
+         |  codef.codes AS m1, g.dist AS m2
+         |FROM asg4 g JOIN codef USING (id)
+         |UNION ALL
+         |SELECT 'topk' AS section, qid AS a, CAST(rank AS BIGINT) AS b,
+         |  cid AS m1, adist AS m2
+         |FROM topk
+         |ORDER BY section, a, b""".stripMargin,
     // q114: brute three-way join over the replayed edge table — the
     // oracle's id-ordered enumeration and the engine's degree-ordered
     // orientation list the same triangle set; per-node counts are
