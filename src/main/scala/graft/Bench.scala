@@ -70,6 +70,18 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
+    // The full line above exceeds any sane stdout tail window (150+
+    // queries x 3 rounds), so a consumer keeping only the LAST ~2000
+    // chars sees a mid-line fragment and parses nothing. Emit a
+    // compact self-contained summary as the FINAL line: same
+    // metric/value contract, per-query detail delegated to the
+    // artifact file and the slowest-5 inline.
+    val slowest = names.filter(minPer(_) >= 0).sortBy(-minPer(_)).take(5)
+      .map(n => s"\"" + n + "\":" + minPer(n)).mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},""" +
+        s""""n_runs":$nRuns,"load_avg":[$loadStart,$loadEnd],"sf":"$sfDir",""" +
+        s""""slowest":$slowest,"per_query_in":"$outPath"}""")
     spark.stop()
   }
 }
