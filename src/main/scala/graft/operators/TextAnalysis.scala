@@ -911,6 +911,79 @@ object TextAnalysis {
       .withColumn("pred", col("margin") > 0)
   }
 
+  /** TRAINED language identification — [[qualityPerceptron]]'s
+    * machinery lifted to ONE-VS-REST MULTICLASS over hashed
+    * CHARACTER n-gram features (the fastText/CCNet lid shape: char
+    * grams survive scripts whitespace tokenization butchers; the
+    * q52 heuristic stays the zero-training bootstrap). One binary
+    * batch perceptron per label, all trained simultaneously: each
+    * round computes every class's integer margin (C codegen'd
+    * integer dots over the SAME cached histogram) and folds ALL
+    * C·(buckets+1) flagged-update sums into ONE aggregate — per
+    * round the corpus is read once however many classes exist.
+    * Every margin/update/weight is an exact integer (the q87
+    * discipline), so a SQL oracle replays the full multiclass
+    * trajectory bit-for-bit.
+    *
+    * Scale shape: featurize = one fused char-gram hash +
+    * one bincount pass, checkpointed ONCE; each round shuffles
+    * C·(buckets+1)·partitions longs of map-side partials (classes
+    * and buckets are fixed — corpus-size-independent) and the
+    * corpus never shuffles; final margins are C more map-side dots.
+    * Class count is bounded by the label domain (languages), so the
+    * C-way explode of the output is a constant fan-out.
+    *
+    * @param labelCol string label column (the language)
+    * @return (id, cls, margin, is_pred) — the FULL final margin
+    *         matrix, one row per (doc, class); is_pred marks the
+    *         argmax row (ties to the lexicographically smaller
+    *         class — pinned). Rows with a NULL label train nothing
+    *         but are still scored (their y is −1 for every class).
+    */
+  def langIdPerceptron(df: DataFrame, idCol: String, textCol: String,
+                       labelCol: String, gramLen: Int = 3,
+                       buckets: Int = 64, iters: Int = 3): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(gramLen >= 1, s"gramLen must be >= 1, got $gramLen")
+    val fx = df.select(col(idCol).as("id"), col(labelCol).as("lang"),
+        ArrayOps.bincount(
+          ArrayOps.charGramBuckets(lower(col(textCol)), gramLen, buckets.toLong),
+          buckets, bias = true).as("x"))
+      .localCheckpoint()
+    val classes = fx.select(col("lang")).filter(col("lang").isNotNull)
+      .distinct().collect().map(_.getString(0)).sorted
+    require(classes.nonEmpty, "langIdPerceptron: no non-null labels")
+    val ws = scala.collection.mutable.Map(
+      classes.map(c => c -> Array.fill(buckets + 1)(0L)): _*)
+    def yOf(c: String): Column =
+      when(col("lang") === c, 1L).otherwise(-1L)
+    for (_ <- 1 to iters) {
+      // one aggregate: every class's flagged update sums ride the
+      // same map-side partials (C·(buckets+1) columns, one pass)
+      val aggCols = classes.flatMap { c =>
+        val flagged = yOf(c) * ArrayOps.vecDotLong(col("x"), ws(c)) <= 0
+        (0 to buckets).map(i =>
+          sum(when(flagged, yOf(c) * element_at(col("x"), i + 1))
+            .otherwise(0L)).as(s"u_${c}_$i"))
+      }
+      val upd = fx.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+      classes.zipWithIndex.foreach { case (c, ci) =>
+        val base = ci * (buckets + 1)
+        ws(c) = Array.tabulate(buckets + 1)(i =>
+          ws(c)(i) + (if (upd.isNullAt(base + i)) 0L else upd.getLong(base + i)))
+      }
+    }
+    val margins = fx.select(col("id") +:
+      classes.map(c => ArrayOps.vecDotLong(col("x"), ws(c)).as(s"m_$c")): _*)
+    val stacked = margins.select(col("id"), explode(array(classes.map(c =>
+      struct(lit(c).as("cls"), col(s"m_$c").as("margin"))): _*)).as("e"))
+      .select(col("id"), col("e.cls").as("cls"), col("e.margin").as("margin"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("margin").desc, col("cls"))
+    stacked.withColumn("is_pred", (row_number().over(w) === 1).cast("int"))
+  }
+
   /** AUC of an integer classifier score via the Mann–Whitney rank
     * statistic — the evaluation step that closes the train→score→
     * evaluate loop ([[qualityPerceptron]]'s integer margins make it

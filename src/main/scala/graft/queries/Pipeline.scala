@@ -101,7 +101,8 @@ object Pipeline {
     "q146_robots" -> q146,
     "q150_pretrain_e2e" -> q150,
     "q151_tfidf_topk" -> q151,
-    "q157_ivfpq_fixed" -> q157
+    "q157_ivfpq_fixed" -> q157,
+    "q158_langid_trained" -> q158
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -1157,6 +1158,22 @@ object Pipeline {
       "vec_id", "embedding", k = 4, iters = 3, m = 8, ks = 16,
       nprobe = 2, topK = 5)
 
+  /** TRAINED language-ID under the gate (the r7 verdict's task #3):
+    * one-vs-rest integer batch perceptrons over hashed char-trigram
+    * buckets, 3 training rounds, the FULL final margin matrix (one
+    * row per doc × class) plus the pinned argmax hash-checked — the
+    * oracle replays featurization and every round's multiclass
+    * update as chained CTEs (the q87 discipline, lifted to C
+    * classes). The q52 heuristic stays the zero-training bootstrap;
+    * honesty note: this corpus's text is language-independent
+    * (q87's note), so accuracy here is near chance — separation is
+    * spec territory (TextAnalysisSpec's separable multiclass
+    * fixture). */
+  def q158(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langIdPerceptron(Tables.documents(spark, dir),
+        "doc_id", "text", "lang", gramLen = 3, buckets = 64, iters = 3)
+      .orderBy(col("id"), col("cls"))
+
   /** Per-node triangle counts over a denser hashed fixture graph
     * (outdeg 1 + v % 6, prefix "tri:") — the degree-ordered exact
     * enumeration of [[LinkGraph.triangleCounts]], gated against a
@@ -1448,6 +1465,29 @@ object Pipeline {
          |w$i AS MATERIALIZED (
          |  SELECT w${i - 1}.b, w${i - 1}.w + coalesce(u$i.u, 0) AS w
          |  FROM w${i - 1} LEFT JOIN u$i ON w${i - 1}.b = u$i.b)""".stripMargin
+    }.mkString(",\n")
+
+  /** q158's multiclass training replay: [[sqlPerceptronCtes]] lifted
+    * to a `cls` key — per round, margins per (id, cls), flagged
+    * update sums per (cls, b), weight fold per (cls, b). Expects
+    * `lab (id, cls, y)`, `fx (id, b, n)` and `w0 (cls, b, w)`
+    * upstream; leaves `w<iters>`. */
+  private def sqlLangIdCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""m$i AS MATERIALIZED (
+         |  SELECT lab.id, lab.cls, lab.y, sum(fx.n * w${i - 1}.w) AS m
+         |  FROM lab JOIN fx USING (id)
+         |  JOIN w${i - 1} ON w${i - 1}.cls = lab.cls AND w${i - 1}.b = fx.b
+         |  GROUP BY lab.id, lab.cls, lab.y),
+         |u$i AS MATERIALIZED (
+         |  SELECT m$i.cls, fx.b, sum(m$i.y * fx.n) AS u
+         |  FROM m$i JOIN fx ON m$i.id = fx.id
+         |  WHERE m$i.y * m$i.m <= 0
+         |  GROUP BY m$i.cls, fx.b),
+         |w$i AS MATERIALIZED (
+         |  SELECT w${i - 1}.cls, w${i - 1}.b, w${i - 1}.w + coalesce(u$i.u, 0) AS w
+         |  FROM w${i - 1} LEFT JOIN u$i
+         |    ON u$i.cls = w${i - 1}.cls AND u$i.b = w${i - 1}.b)""".stripMargin
     }.mkString(",\n")
 
   /** Unigram seed replay: word types (≤ 32 chars — the engine's
@@ -2744,6 +2784,43 @@ object Pipeline {
          |  cid AS m1, adist AS m2
          |FROM topk
          |ORDER BY section, a, b""".stripMargin,
+    // q158: the multiclass trajectory restated — char-trigram
+    // featurization (char indexing both sides, so multi-byte scripts
+    // gram identically), one-vs-rest labels as docs × classes, and
+    // each round's C·(buckets+1) flagged-update sums as chained
+    // MATERIALIZED CTEs (the q87 replay lifted to a cls key), then
+    // the full final margin matrix + the pinned argmax.
+    "q158_langid_trained" ->
+      s"""WITH docs AS MATERIALIZED (
+         |  SELECT doc_id AS id, lang, lower(text) AS t FROM documents),
+         |cls AS MATERIALIZED (
+         |  SELECT DISTINCT lang AS cls FROM docs WHERE lang IS NOT NULL),
+         |gr AS MATERIALIZED (
+         |  -- gi, NOT i: sqlMd5Fold's lambda binds i, which would
+         |  -- shadow the gram index inside the fold
+         |  SELECT id, ${sqlMd5Fold("substr(t, CAST(gi AS INT), 3)")} % 64 AS b
+         |  FROM docs, unnest(generate_series(1, length(t) - 2)) AS u(gi)),
+         |fx AS MATERIALIZED (
+         |  SELECT id, b, CAST(count(*) AS BIGINT) AS n FROM gr GROUP BY id, b
+         |  UNION ALL
+         |  SELECT id, CAST(64 AS BIGINT) AS b, CAST(1 AS BIGINT) AS n FROM docs),
+         |lab AS MATERIALIZED (
+         |  SELECT d.id, c.cls,
+         |    CAST(CASE WHEN d.lang = c.cls THEN 1 ELSE -1 END AS BIGINT) AS y
+         |  FROM docs d CROSS JOIN cls c),
+         |w0 AS MATERIALIZED (
+         |  SELECT c.cls, CAST(t.b AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+         |  FROM cls c CROSS JOIN unnest(generate_series(0, 64)) AS t(b)),
+         |${sqlLangIdCtes(3)},
+         |fin AS (
+         |  SELECT lab.id, lab.cls, CAST(sum(fx.n * w3.w) AS BIGINT) AS margin
+         |  FROM lab JOIN fx USING (id) JOIN w3 ON w3.cls = lab.cls AND w3.b = fx.b
+         |  GROUP BY lab.id, lab.cls)
+         |SELECT id, cls, margin,
+         |  CAST(CASE WHEN row_number() OVER (
+         |    PARTITION BY id ORDER BY margin DESC, cls) = 1
+         |    THEN 1 ELSE 0 END AS INT) AS is_pred
+         |FROM fin ORDER BY id, cls""".stripMargin,
     // q114: brute three-way join over the replayed edge table — the
     // oracle's id-ordered enumeration and the engine's degree-ordered
     // orientation list the same triangle set; per-node counts are

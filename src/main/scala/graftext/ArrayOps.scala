@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, TypeCollection}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Intersection size of two SORTED long arrays via a zero-allocation
   * two-pointer merge, with full whole-stage-codegen support.
@@ -626,6 +627,24 @@ object GramHash {
     if (k == out.length) new GenericArrayData(out)
     else new GenericArrayData(java.util.Arrays.copyOf(out, k))
   }
+
+  /** Bucket ids of a string's overlapping CHARACTER n-gram windows
+    * (the language-ID featurization): gram i is the n code points
+    * starting at char i, hashed over its UTF-8 bytes by the same
+    * md5 fold — so `substr(t, i, n)` in any engine followed by the
+    * SQL fold chain reproduces the ids bit-for-bit (char indexing,
+    * not bytes: multi-byte scripts gram identically everywhere). A
+    * string shorter than n chars yields no grams. */
+  def charGramBuckets(s: UTF8String, n: Int, m: Long): ArrayData = {
+    val cnt = math.max(0, s.numChars() - n + 1)
+    val out = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      out(i) = bucketOf(s.substring(i, i + n).getBytes, m)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Unigram + adjacent-bigram bucket ids of a token array in ONE pass —
@@ -659,6 +678,41 @@ case class VecGramBuckets(child: Expression, buckets: Long)
     })
 
   override protected def withNewChildInternal(newChild: Expression): VecGramBuckets =
+    copy(child = newChild)
+}
+
+/** Hashed character n-gram bucket ids of a string column in one fused
+  * pass — the language-ID featurization (fastText/CCNet classify on
+  * char grams, which survive tokenizer-hostile scripts): every
+  * overlapping n-CHAR window hashed by the portable md5 fold.
+  *
+  * Why a custom Catalyst Expression: the HOF formulation
+  * (`transform(sequence(1, length-n+1), i => substring(t, i, n))`
+  * then the md5-fold chain) materializes every gram as a string ROW
+  * expression evaluated interpreted; here the windows are UTF8String
+  * slices hashed directly. Bucket ids replay in SQL as
+  * `md5-fold(substr(t, i, n)) % m` — char indexing both sides, so
+  * multi-byte scripts agree. */
+case class VecCharGramBuckets(child: Expression, n: Int, buckets: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"char grams: need n >= 1, got $n")
+  require(buckets >= 2, s"gram buckets: need >= 2, got $buckets")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    GramHash.charGramBuckets(v.asInstanceOf[UTF8String], n, buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.graftext.GramHash.charGramBuckets($a, $n, ${buckets}L);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecCharGramBuckets =
     copy(child = newChild)
 }
 
@@ -1105,6 +1159,12 @@ object ArrayOps {
   def gramBuckets(tokens: Column, buckets: Long): Column =
     ExpressionUtils.column(VecGramBuckets(
       ExpressionUtils.expression(tokens), buckets))
+
+  /** Column API: portable md5-fold bucket ids of a string's
+    * overlapping character n-grams (one fused pass). */
+  def charGramBuckets(text: Column, n: Int, buckets: Long): Column =
+    ExpressionUtils.column(VecCharGramBuckets(
+      ExpressionUtils.expression(text), n, buckets))
 
   /** Column API: one-pass histogram of an array<long> of bucket ids
     * (counts of value i in slot i, i < buckets), plus a trailing

@@ -266,6 +266,71 @@ class PipelineSpec extends SparkSuite {
     assert(e(0)._3 === 1L && e(1)._3 === 1L)
   }
 
+  test("langIdPerceptron: separates disjoint-script classes, pinned " +
+       "argmax, partition-invariant, null labels scored not trained") {
+    // disjoint character vocabularies: linearly separable one-vs-rest
+    val mk = (n: Int, base: Int, txt: String, lang: String) =>
+      (0 until n).map(i => ((base + i).toLong, txt, lang))
+    val df = (mk(12, 0, "aaa aaa aaa aaa", "aa") ++
+      mk(12, 100, "bbb bbb bbb bbb", "bb") ++
+      mk(12, 200, "ccc ccc ccc ccc", "cc")).toDF("id", "text", "lang")
+    val out = TextAnalysis.langIdPerceptron(df, "id", "text", "lang",
+        gramLen = 3, buckets = 32, iters = 6)
+      .orderBy($"id", $"cls")
+      .as[(Long, String, Long, Int)].collect().toSeq
+    assert(out.length === 36 * 3)
+    // exactly one argmax row per doc, and it names the true class
+    val preds = out.filter(_._4 == 1)
+    assert(preds.length === 36)
+    val truth = df.as[(Long, String, String)].collect().map(t => t._1 -> t._3).toMap
+    preds.foreach { case (id, cls, _, _) =>
+      assert(cls === truth(id), s"doc $id predicted $cls")
+    }
+    // the argmax rule re-derived from the margin matrix: max margin,
+    // ties to the smaller class
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val want = rows.minBy { case (_, cls, m, _) => (-m, cls) }
+      rows.foreach { case r =>
+        assert((r._4 == 1) === (r == want), s"argmax flag wrong on $r")
+      }
+    }
+    // batch updates are order-independent integer sums
+    val out7 = TextAnalysis.langIdPerceptron(df.repartition(7), "id", "text",
+        "lang", gramLen = 3, buckets = 32, iters = 6)
+      .orderBy($"id", $"cls").as[(Long, String, Long, Int)].collect().toSeq
+    assert(out === out7)
+    // a NULL-label doc joins no class but is still scored: y = -1
+    // for every class, C rows out, and the class list excludes null
+    val withNull = df.unionAll(Seq((999L, "aaa aaa", null: String))
+      .toDF("id", "text", "lang"))
+    val scored = TextAnalysis.langIdPerceptron(withNull, "id", "text", "lang",
+        gramLen = 3, buckets = 32, iters = 2)
+    assert(scored.select($"cls").distinct().count() === 3)
+    assert(scored.filter($"id" === 999L).count() === 3)
+  }
+
+  test("charGramBuckets kernel is bit-identical to the substring + " +
+       "md5-fold SQL chain, including multi-byte scripts") {
+    val df = Seq("the quick brown fox", "héllo wörld", "世界中のデータ処理",
+      "mix 中文 and ascii", "ab", "", "   ").toDF("t")
+    val kernel = df.select($"t",
+      org.apache.spark.sql.graftext.ArrayOps.charGramBuckets($"t", 3, 64L).as("k"))
+    val hof = kernel.withColumn("h",
+      when(length($"t") >= 3,
+        transform(sequence(lit(1), length($"t") - 2), i =>
+          conv(substring(md5($"t".substr(i, lit(3))), 1, 15), 16, 10)
+            .cast("long") % 64))
+        .otherwise(array().cast("array<long>")))
+    val rows = hof.select($"t", $"k", $"h")
+      .as[(String, Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (t, k, h) =>
+      assert(k === h, s"kernel != SQL chain on '$t'")
+    }
+    // under-n strings yield no grams
+    assert(rows.find(_._1 == "ab").get._2.isEmpty)
+    assert(rows.find(_._1 == "").get._2.isEmpty)
+  }
+
   test("htmlToText: tags with attributes, entity order, the quoted-'>' limitation") {
     val df = Seq(
       (1L, "<html><body><p class=\"x\">a &amp; b</p><br/>c</body></html>"),
