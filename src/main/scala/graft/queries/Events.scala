@@ -40,6 +40,7 @@ object Events {
     "q109_sliding_agg" -> q109,
     "q112_zorder" -> q112,
     "q144_hilbert" -> q144,
+    "q159_layout3" -> q159,
     "q115_interval_union" -> q115,
     "q116_scd2" -> q116,
     "q117_retention" -> q117,
@@ -708,6 +709,35 @@ object Events {
     e.select(col("event_id"), col("x"), col("y"),
         org.apache.spark.sql.graftext.Bits.hilbert(col("x"), col("y")).as("hkey"))
       .orderBy(col("hkey"), col("event_id"))
+  }
+
+  /** 3-DIMENSIONAL layout keys (the r7 verdict's task #4 — real
+    * lakehouse tables cluster on source × day × lang, not two dims):
+    * q112/q144's grid extended by a third dimension (the md5-fold of
+    * event_type — the portable categorical hash), both 48-bit keys
+    * gated in one row: zkey3 = graftext.ZOrderKey3's d-way
+    * interleave (bit i of dim j at 3i+j), hkey3 =
+    * graftext.HilbertKey3's Skilling d-dim walk (inverse-undo
+    * rounds, Gray encode, t-fold, MSB-first gather), both codegen'd
+    * TernaryExpressions. The oracle replays the interleave as a bit
+    * unnest and the Hilbert walk as 15 chained rounds of the
+    * IDENTICAL integer CASE arithmetic (each round = the three
+    * sequential axis steps nested) + the Gray/t-fold/gather tail —
+    * key values AND the hkey3 layout order inside the hash.
+    * Locality (unit-step bijection in all 3 dims) and 3-predicate
+    * footer pruning are spec/BENCH territory (BitsSpec exhaustive
+    * order-4 cube; ScaleStress layout3). */
+  def q159(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("x", pmod(col("user_id"), lit(65536L)))
+      .withColumn("y", pmod(expr("unix_micros(ts) div 3600000000"), lit(65536L)))
+      .withColumn("z", pmod(
+        conv(substring(md5(col("event_type")), 1, 15), 16, 10).cast("long"),
+        lit(65536L)))
+    e.select(col("event_id"), col("x"), col("y"), col("z"),
+        org.apache.spark.sql.graftext.Bits.zorder3(col("x"), col("y"), col("z")).as("zkey3"),
+        org.apache.spark.sql.graftext.Bits.hilbert3(col("x"), col("y"), col("z")).as("hkey3"))
+      .orderBy(col("hkey3"), col("event_id"))
   }
 
   /** Sliding 1-hour/15-minute window counts per event type — the
@@ -1448,6 +1478,74 @@ object Events {
          |SELECT event_id, x0 AS x, y0 AS y, CAST(d AS BIGINT) AS hkey
          |FROM h16
          |ORDER BY hkey, event_id""".stripMargin
+    },
+    // q159: zkey3 replayed as a 3-way bit unnest (bit i of dim j at
+    // 3i+j); hkey3 as 15 chained rounds of Skilling's inverse-undo —
+    // each round nests the THREE sequential axis steps (axis 0:
+    // conditional invert; axes 1..2: invert-axis-0 or bit-swap-with-
+    // axis-0 under the P mask) — then Gray encode, the t-fold off
+    // the last axis (bit_xor over levels), the final xor and the
+    // MSB-first gather (bit k of axis j at 3k + (2-j)).
+    "q159_layout3" -> {
+      val rounds = (15 to 1 by -1).zipWithIndex.map { case (bit, i) =>
+        val q = 1L << bit
+        val p = q - 1
+        s"""h${i + 1} AS MATERIALIZED (
+           |  SELECT event_id, x, y, z,
+           |    CASE WHEN (a2 & $q) > 0 THEN xor(s1_0, $p)
+           |      ELSE xor(s1_0, xor(s1_0, a2) & $p) END AS a0,
+           |    s1_1 AS a1,
+           |    CASE WHEN (a2 & $q) > 0 THEN a2
+           |      ELSE xor(a2, xor(s1_0, a2) & $p) END AS a2
+           |  FROM (
+           |    SELECT event_id, x, y, z, a2,
+           |      CASE WHEN (a1 & $q) > 0 THEN xor(s0_0, $p)
+           |        ELSE xor(s0_0, xor(s0_0, a1) & $p) END AS s1_0,
+           |      CASE WHEN (a1 & $q) > 0 THEN a1
+           |        ELSE xor(a1, xor(s0_0, a1) & $p) END AS s1_1
+           |    FROM (
+           |      SELECT event_id, x, y, z, a1, a2,
+           |        CASE WHEN (a0 & $q) > 0 THEN xor(a0, $p) ELSE a0 END AS s0_0
+           |      FROM h$i)))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT event_id, user_id % 65536 AS x,
+         |    (epoch_us(ts) // 3600000000) % 65536 AS y,
+         |    list_reduce(list_transform(generate_series(1, 15),
+         |      i -> CAST(strpos('0123456789abcdef', substr(md5(event_type), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+         |      (a, b) -> a * 16 + b) % 65536 AS z
+         |  FROM events),
+         |zk AS MATERIALIZED (
+         |  SELECT event_id,
+         |    sum((((x >> i) & 1) << (3 * i)) + (((y >> i) & 1) << (3 * i + 1))
+         |      + (((z >> i) & 1) << (3 * i + 2))) AS zkey3
+         |  FROM e, unnest(generate_series(0, 15)) AS t(i)
+         |  GROUP BY event_id),
+         |h0 AS MATERIALIZED (
+         |  SELECT event_id, x, y, z, x AS a0, y AS a1, z AS a2 FROM e),
+         |$rounds,
+         |g AS MATERIALIZED (
+         |  SELECT event_id, x, y, z, a0, xor(a1, a0) AS g1,
+         |    xor(a2, xor(a1, a0)) AS g2
+         |  FROM h15),
+         |tf AS MATERIALIZED (
+         |  SELECT event_id, coalesce(bit_xor(
+         |    CASE WHEN (g2 & (CAST(1 AS BIGINT) << q)) > 0
+         |      THEN (CAST(1 AS BIGINT) << q) - 1 END), 0) AS t
+         |  FROM g, unnest(generate_series(1, 15)) AS u(q)
+         |  GROUP BY event_id),
+         |hk AS MATERIALIZED (
+         |  SELECT g.event_id,
+         |    sum((((xor(a0, t) >> k) & 1) << (3 * k + 2))
+         |      + (((xor(g1, t) >> k) & 1) << (3 * k + 1))
+         |      + (((xor(g2, t) >> k) & 1) << (3 * k))) AS hkey3
+         |  FROM g JOIN tf USING (event_id),
+         |    unnest(generate_series(0, 15)) AS u(k)
+         |  GROUP BY g.event_id)
+         |SELECT e.event_id, e.x, e.y, e.z,
+         |  CAST(zk.zkey3 AS BIGINT) AS zkey3, CAST(hk.hkey3 AS BIGINT) AS hkey3
+         |FROM e JOIN zk USING (event_id) JOIN hk USING (event_id)
+         |ORDER BY hkey3, event_id""".stripMargin
     },
     // q109: the 4 sliding windows containing instant t have starts
     // floor(t/15min)*15min - k*15min, k = 0..3 — replayed with an

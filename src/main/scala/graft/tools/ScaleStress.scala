@@ -985,6 +985,84 @@ object ScaleStress {
     // actually measure.)
     }
 
+    if (sections("layout3")) {
+    // q159's claim, measured the same way: a real table clusters on
+    // 3 dims (source x day x lang). Same 10M rows with a third
+    // uniform 16-bit dim; layouts = 3-dim Morton, 3-dim Hilbert, the
+    // 2-dim Morton over (x, y) (what a 2-dim-only engine would
+    // write), x-sort, unsorted. The workload is the 3-predicate
+    // family: each single-dim slice, each 2-dim box, the 3-dim box.
+    val n = 10000000L
+    val rows = spark.range(0, n, 1, 32).select(
+      col("id"),
+      pmod(conv(substring(md5(concat(lit("zx:"), col("id"))), 1, 15), 16, 10).cast("long"), lit(65536L)).as("x"),
+      pmod(conv(substring(md5(concat(lit("zy:"), col("id"))), 1, 15), 16, 10).cast("long"), lit(65536L)).as("y"),
+      pmod(conv(substring(md5(concat(lit("zz:"), col("id"))), 1, 15), 16, 10).cast("long"), lit(65536L)).as("z"))
+    val base = "/tmp/graft_layout3"
+    def write(name: String, key: Option[org.apache.spark.sql.Column]): Unit = {
+      val sorted = key match {
+        case Some(k) => rows.withColumn("k", k)
+          .repartition(1).sortWithinPartitions(col("k")).drop("k")
+        case None => rows.repartition(1)
+      }
+      sorted.write.mode("overwrite").option("parquet.block.size", 1048576)
+        .parquet(s"$base/$name")
+    }
+    write("zorder3", Some(org.apache.spark.sql.graftext.Bits.zorder3(col("x"), col("y"), col("z"))))
+    write("hilbert3", Some(org.apache.spark.sql.graftext.Bits.hilbert3(col("x"), col("y"), col("z"))))
+    write("zorder2", Some(org.apache.spark.sql.graftext.Bits.zorder(col("x"), col("y"))))
+    write("xsort", Some(col("x")))
+    write("unsorted", None)
+    import scala.jdk.CollectionConverters._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def prune(l: String, rs: Seq[(String, Option[(Long, Long)])]): String = {
+      val dirPath = new org.apache.hadoop.fs.Path(s"$base/$l")
+      val fs = dirPath.getFileSystem(hconf)
+      var tot = 0; var kept = 0; var totRows = 0L; var keptRows = 0L
+      fs.listStatus(dirPath).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, hconf))
+        try {
+          rd.getFooter.getBlocks.asScala.foreach { b =>
+            tot += 1; totRows += b.getRowCount
+            val stats = b.getColumns.asScala
+              .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+            val ok = rs.forall { case (cn, r) =>
+              r.forall { case (lo, hi) =>
+                val st = stats(cn)
+                  .asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+                st.getMax >= lo && st.getMin < hi
+              }
+            }
+            if (ok) { kept += 1; keptRows += b.getRowCount }
+          }
+        } finally rd.close()
+      }
+      f"$kept/$tot row groups, ${100.0 * keptRows / totRows}%.1f%% of rows survive skipping"
+    }
+    val xr = Some((1000L, 1512L)); val yr = Some((2000L, 2512L))
+    val zr = Some((3000L, 3512L)); val non: Option[(Long, Long)] = None
+    val workload = Seq(
+      ("x slice", Seq("x" -> xr, "y" -> non, "z" -> non)),
+      ("y slice", Seq("x" -> non, "y" -> yr, "z" -> non)),
+      ("z slice", Seq("x" -> non, "y" -> non, "z" -> zr)),
+      ("x AND y box", Seq("x" -> xr, "y" -> yr, "z" -> non)),
+      ("x AND z box", Seq("x" -> xr, "y" -> non, "z" -> zr)),
+      ("y AND z box", Seq("x" -> non, "y" -> yr, "z" -> zr)),
+      ("x AND y AND z box", Seq("x" -> xr, "y" -> yr, "z" -> zr)))
+    // correctness: every layout agrees on the 3-dim box count
+    val boxPred = col("x") >= 1000 && col("x") < 1512 &&
+      col("y") >= 2000 && col("y") < 2512 && col("z") >= 3000 && col("z") < 3512
+    val counts = Seq("zorder3", "hilbert3", "zorder2", "xsort", "unsorted")
+      .map(l => spark.read.parquet(s"$base/$l").filter(boxPred).count())
+    assert(counts.distinct.size == 1, s"3-dim box: $counts")
+    Seq("zorder3", "hilbert3", "zorder2", "xsort", "unsorted").foreach { l =>
+      workload.foreach { case (label, rs) =>
+        println(s"[stress] $l layout, $label: ${prune(l, rs)}")
+      }
+    }
+    }
+
     if (sections("skew")) {
     // Hot-key join at 30x nDocs fact rows, ONE key holding 90%: the
     // q17 correctness gate's PERFORMANCE claim, measured. Broadcast

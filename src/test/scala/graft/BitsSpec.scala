@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftext.{Bits, HilbertCurve, ZCurve}
+import org.apache.spark.sql.graftext.{Bits, HilbertCurve, HilbertCurveN, ZCurve, ZCurveN}
 
 /** Z-order key: hand-checked interleaves, the locality property the
   * layout exists for, and codegen/interpreted agreement. */
@@ -125,6 +125,85 @@ class BitsSpec extends SparkSuite {
       val xs = run.map(_.getLong(0)); val ys = run.map(_.getLong(1))
       assert(xs.max - xs.min <= 7, s"x span ${xs.max - xs.min}")
       assert(ys.max - ys.min <= 7, s"y span ${ys.max - ys.min}")
+    }
+  }
+
+  test("ZCurveN: d-dim interleave generalizes the 2-D layout exactly, " +
+    "hand-checked 3-dim bit placement") {
+    // d=2 at 16 bits IS interleave16
+    for (x <- Seq(0L, 1L, 3L, 0x1234L, 0xffffL); y <- Seq(0L, 7L, 0xabcdL))
+      assert(ZCurveN.interleave(Array(x, y), 16) === ZCurve.interleave16(x, y))
+    // 3-dim: bit i of dim j lands at 3i + j
+    assert(ZCurveN.interleave(Array(1L, 0L, 0L), 16) === 1L)
+    assert(ZCurveN.interleave(Array(0L, 1L, 0L), 16) === 2L)
+    assert(ZCurveN.interleave(Array(0L, 0L, 1L), 16) === 4L)
+    assert(ZCurveN.interleave(Array(2L, 0L, 0L), 16) === 8L)
+    assert(ZCurveN.interleave(Array(7L, 7L, 7L), 16) === 0x1ffL)
+    assert(ZCurveN.interleave(Array(0xffffL, 0xffffL, 0xffffL), 16)
+      === (1L << 48) - 1)
+  }
+
+  test("HilbertCurveN: 3-dim curve is a bijection whose consecutive " +
+    "indices are unit Manhattan steps — exhaustive at order 4") {
+    // every cell of the 16^3 grid, scaled to the top 4 bits of the
+    // 16-bit grid so the residual 12 rounds walk a degenerate (all
+    // zero) suffix and d div 2^36 ranks the blocks
+    val b = 16
+    val scale = 1L << 12
+    val unit = 1L << 36
+    val cells = for (x <- 0 until b; y <- 0 until b; z <- 0 until b)
+      yield (x, y, z,
+        HilbertCurveN.index(Array(x * scale, y * scale, z * scale), 16) / unit)
+    val ranked = cells.sortBy(_._4)
+    assert(ranked.map(_._4) === (0L until (b.toLong * b * b)),
+      "not a bijection onto 0..4095")
+    ranked.sliding(2).foreach { case Seq((x1, y1, z1, _), (x2, y2, z2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) === 1,
+        s"non-unit step ($x1,$y1,$z1)->($x2,$y2,$z2)")
+    }
+    // d=2 through the generic kernel keeps the property too (the 2-D
+    // xy2d stays the gated q144 curve; conventions may differ)
+    val cells2 = for (x <- 0 until 32; y <- 0 until 32)
+      yield (x, y, HilbertCurveN.index(Array(x.toLong * 2048, y.toLong * 2048), 16) >> 22)
+    val r2 = cells2.sortBy(_._3)
+    assert(r2.map(_._3) === (0L until 1024L))
+    r2.sliding(2).foreach { case Seq((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1)
+    }
+  }
+
+  test("3-dim column APIs match the kernels, keep nulls null, and the " +
+    "hilbert3 sort clusters ALL THREE dimensions") {
+    val df = Seq((Some(5L), Some(9L), Some(13L)), (None, Some(1L), Some(2L)),
+        (Some(2L), None, Some(3L)), (Some(2L), Some(3L), None))
+      .toDF("x", "y", "z")
+      .select(Bits.zorder3(col("x"), col("y"), col("z")).as("zk"),
+        Bits.hilbert3(col("x"), col("y"), col("z")).as("hk"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) === ZCurveN.interleave(Array(5L, 9L, 13L), 16))
+    assert(rows(0).getLong(1) === HilbertCurveN.index(Array(5L, 9L, 13L), 16))
+    (1 to 3).foreach(i => assert(rows(i).isNullAt(0) && rows(i).isNullAt(1)))
+    // 8x8x8 grid scaled to the top 3 bits: aligned 64-runs of the
+    // hilbert3 sort are aligned 4x4x4 subcubes — span <= 3 in EVERY
+    // dim (a 2-dim key would leave the third dim spanning 0..7)
+    val n = 8
+    val scale = 1L << 13
+    val pts = for (x <- 0 until n; y <- 0 until n; z <- 0 until n)
+      yield (x.toLong, y.toLong, z.toLong)
+    val sorted = spark.createDataset(scala.util.Random.shuffle(pts.toVector))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        Bits.hilbert3(col("x") * scale, col("y") * scale, col("z") * scale).as("h"))
+      .orderBy(col("h")).collect()
+    sorted.grouped(64).foreach { run =>
+      Seq(0, 1, 2).foreach { d =>
+        val vs = run.map(_.getLong(d))
+        assert(vs.max - vs.min <= 3, s"dim $d span ${vs.max - vs.min}")
+      }
     }
   }
 }
