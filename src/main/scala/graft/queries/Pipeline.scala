@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{Bloom, Bpe, Dedup, IvfPqFixed, KmeansFixed, LinkGraph, Robots, Sampling, Similarity, Snapshot, TarShards, TextAnalysis, Unigram, WordPiece}
-import graft.sources.WarcSource
+import graft.sources.{AvroSource, WarcSource}
 
 /** Blocks C/D/E — LLM-pipeline operators over `documents` and
   * `embeddings` (SURVEY.md §2.C-E): dedup (exact, MinHash-LSH,
@@ -102,7 +102,8 @@ object Pipeline {
     "q150_pretrain_e2e" -> q150,
     "q151_tfidf_topk" -> q151,
     "q157_ivfpq_fixed" -> q157,
-    "q158_langid_trained" -> q158
+    "q158_langid_trained" -> q158,
+    "q160_avro_roundtrip" -> q160
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -1062,6 +1063,98 @@ object Pipeline {
           .getField("target_uri").as("first_uri"),
         array_join(sort_array(collect_list(col("warc_type"))), ",")
           .as("types_sorted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Writer schema for [[q160]]: every contract type the
+    * [[AvroSource]] conversion supports, values closed-form in
+    * doc_id so the oracle restates arithmetic while the hash check
+    * exercises the genuine container bytes (magic, header schema,
+    * deflate blocks, sync markers) both directions. */
+  private val q160WriterSchema =
+    """{"type":"record","name":"DocRow","fields":[
+      |{"name":"doc_id","type":"long"},
+      |{"name":"b","type":"boolean"},
+      |{"name":"i","type":"int"},
+      |{"name":"l","type":"long"},
+      |{"name":"s","type":"string"},
+      |{"name":"lang","type":"string"},
+      |{"name":"n_chars","type":"long"},
+      |{"name":"bin","type":"bytes"},
+      |{"name":"arr","type":{"type":"array","items":"long"}},
+      |{"name":"opt","type":["null","long"]},
+      |{"name":"e","type":{"type":"enum","name":"Sym","symbols":["S0","S1","S2"]}},
+      |{"name":"rec","type":{"type":"record","name":"Inner","fields":[
+      |  {"name":"rs","type":"string"},{"name":"rn","type":"long"}]}},
+      |{"name":"m","type":{"type":"map","values":"long"}}]}""".stripMargin
+
+  /** Reader schema for [[q160]]: the EVOLVED contract — field `i`
+    * dropped (writer-only fields are skipped), `extra` added with a
+    * default (reader-only fields are filled), order shuffled (Avro
+    * resolution matches by name) — the shard-to-shard drift a
+    * months-long 100 TB archive accumulates. */
+  private val q160ReaderSchema =
+    """{"type":"record","name":"DocRow","fields":[
+      |{"name":"l","type":"long"},
+      |{"name":"doc_id","type":"long"},
+      |{"name":"extra","type":"long","default":-1},
+      |{"name":"s","type":"string"},
+      |{"name":"b","type":"boolean"},
+      |{"name":"n_chars","type":"long"},
+      |{"name":"bin","type":"bytes"},
+      |{"name":"lang","type":"string"},
+      |{"name":"opt","type":["null","long"]},
+      |{"name":"arr","type":{"type":"array","items":"long"}},
+      |{"name":"e","type":{"type":"enum","name":"Sym","symbols":["S0","S1","S2"]}},
+      |{"name":"rec","type":{"type":"record","name":"Inner","fields":[
+      |  {"name":"rs","type":"string"},{"name":"rn","type":"long"}]}},
+      |{"name":"m","type":{"type":"map","values":"long"}}]}""".stripMargin
+
+  /** Avro container round trip under the gate (the r7 verdict's task
+    * #5, proven the q156 way — REAL files on disk, not in-memory
+    * bytes): documents projected onto every [[AvroSource]] contract
+    * type with closed-form values → written as 4 deflate container
+    * shards (one file per partition) → read back under the EVOLVED
+    * reader schema ([[q160ReaderSchema]]: drop/add-default/reorder,
+    * Avro's public resolution rules). The hash covers every value
+    * after the byte round trip plus the resolution surface (`extra`
+    * = its default on all rows); the oracle restates the same values
+    * straight off the source table — equality proves the writer laid
+    * out valid containers and the reader decoded + resolved them
+    * without loss. Binary/array/map surfaces land as deterministic
+    * strings (hex / joins) for engine-portable hashing. Corruption
+    * paths are AvroSpec territory (planted flip/sync/truncation). */
+  def q160(spark: SparkSession, dir: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_avro_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      (col("doc_id") % 2 === 0).as("b"),
+      ((col("doc_id") * 3) % 1000 - 500).cast("int").as("i"),
+      (col("doc_id") * 1000003L).as("l"),
+      col("source").as("s"),
+      col("lang"),
+      col("n_chars"),
+      unhex(md5(col("text"))).as("bin"),
+      array(col("doc_id"), col("n_chars"), col("doc_id") % 7).as("arr"),
+      when(col("doc_id") % 5 === 0, lit(null).cast("long"))
+        .otherwise(col("doc_id") * 7).as("opt"),
+      concat(lit("S"), col("doc_id") % 3).as("e"),
+      struct(col("source").as("rs"), (col("doc_id") % 13).as("rn")).as("rec"),
+      map(lit("a"), col("n_chars"), lit("b"), col("doc_id") % 11).as("m"))
+    AvroSource.write(src.repartition(4, col("doc_id")), out,
+      q160WriterSchema, codec = "deflate")
+    AvroSource.records(AvroSource.read(spark, out, q160ReaderSchema))
+      .select(
+        col("doc_id"), col("b"), col("l"), col("s"), col("lang"), col("n_chars"),
+        hex(col("bin")).as("bin_hex"),
+        array_join(transform(col("arr"), x => x.cast("string")), ",").as("arr_s"),
+        col("opt"), col("e"),
+        col("rec").getField("rs").as("rs"), col("rec").getField("rn").as("rn"),
+        array_join(sort_array(transform(map_entries(col("m")),
+          kv => concat(kv.getField("key"), lit("="),
+            kv.getField("value").cast("string")))), ";").as("m_s"),
+        col("extra"))
       .orderBy(col("doc_id"))
   }
 
@@ -2677,6 +2770,26 @@ object Pipeline {
         |  start_bytes - min(start_bytes) OVER (PARTITION BY source, shard) AS offset_in_shard
         |FROM sh
         |ORDER BY source, doc_id""".stripMargin,
+    // q160: every field restated straight off documents — equality
+    // with the Spark side proves the avro write -> evolved read
+    // round trip (container bytes + schema resolution) lost nothing.
+    "q160_avro_roundtrip" ->
+      """SELECT doc_id,
+        |  doc_id % 2 = 0 AS b,
+        |  doc_id * 1000003 AS l,
+        |  source AS s,
+        |  lang,
+        |  n_chars,
+        |  upper(md5(text)) AS bin_hex,
+        |  doc_id || ',' || n_chars || ',' || (doc_id % 7) AS arr_s,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id * 7 END AS opt,
+        |  'S' || (doc_id % 3) AS e,
+        |  source AS rs,
+        |  doc_id % 13 AS rn,
+        |  'a=' || n_chars || ';b=' || (doc_id % 11) AS m_s,
+        |  CAST(-1 AS BIGINT) AS extra
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // q138: fixed-point Lloyd replayed end-to-end — quantize,
     // 3 argmin/update rounds, final stats. All integer arithmetic.
     "q138_kmeans_fixed" ->
