@@ -85,6 +85,92 @@ object Layout {
     publish(df, outDir, bucketCol, sortCols, blockSize, numTasks)
   }
 
+  /** Append an incremental batch into a published dataset: the same
+    * one-task-per-bucket repartition + local sort, in APPEND mode —
+    * each load adds exactly ONE new file per bucket it touches. This
+    * is how real tables fragment (N incremental loads = N files per
+    * bucket, each key-sorted internally but interleaved across
+    * files); [[compact]] is the maintenance step that heals it. */
+  def append(df: DataFrame, outDir: String, bucketCol: String,
+             sortCols: Seq[String], blockSize: Long = 128L * 1024 * 1024,
+             numTasks: Int = 32): Unit = {
+    require(sortCols.nonEmpty, "append needs at least one sort column")
+    df.repartition(numTasks, col(bucketCol))
+      .sortWithinPartitions(col(bucketCol) +: sortCols.map(col): _*)
+      .write.mode("append")
+      .option("parquet.block.size", blockSize)
+      .partitionBy(bucketCol)
+      .parquet(outDir)
+  }
+
+  /** One bucket's compaction outcome: data-file count before/after
+    * and the bucket's row count (all off real footers). */
+  case class CompactStat(bucket: Long, filesBefore: Long,
+                         filesAfter: Long, rows: Long)
+
+  /** Compaction — the lakehouse OPTIMIZE / rewrite-data-files step:
+    * merge every FRAGMENTED bucket (≥ 2 data files) back to one
+    * key-sorted file; single-file buckets are not rewritten, not
+    * even read. That selectivity is the 100 TB contract: maintenance
+    * cost is proportional to FRAGMENTATION (the files the recent
+    * loads touched), never to table size — a steady-state table pays
+    * only for its churn. The merge itself is the publish shape (one
+    * hash repartition of the fragmented buckets' rows + local sort,
+    * each bucket lands in exactly one task → exactly one file).
+    *
+    * Swap discipline: new files land in a temp dir first, then per
+    * bucket the old files are deleted and the new file moved in —
+    * readers racing a swap can observe a bucket mid-replace (the
+    * known limitation of directory-listing tables; a manifest-commit
+    * table format is the named upgrade path). Crash before a swap
+    * leaves the data intact + an orphan temp dir; crash mid-swap is
+    * repaired by re-running compact (the bucket re-merges from
+    * whichever files remain).
+    *
+    * @return one [[CompactStat]] per bucket (touched or not). */
+  def compact(spark: SparkSession, dir: String, bucketCol: String,
+              sortCols: Seq[String], keyCol: String,
+              blockSize: Long = 128L * 1024 * 1024): Seq[CompactStat] = {
+    require(sortCols.nonEmpty, "compact needs the layout sort columns")
+    val stats = rowGroupStats(spark, dir, keyCol)
+    val byBucket = stats.groupBy(_.bucket.getOrElse(throw new IllegalArgumentException(
+      "compact: found a data file outside a bucket directory")))
+    val files = byBucket.map { case (b, ss) => b -> ss.map(_.path).distinct }
+    val frag = files.filter(_._2.size >= 2)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    if (frag.nonEmpty) {
+      val tmp = dir.stripSuffix("/") + "_compact_tmp"
+      spark.read.option("basePath", dir).parquet(frag.values.flatten.toSeq: _*)
+        .repartition(math.max(frag.size, 1), col(bucketCol))
+        .sortWithinPartitions(col(bucketCol) +: sortCols.map(col): _*)
+        .write.mode("overwrite")
+        .option("parquet.block.size", blockSize)
+        .partitionBy(bucketCol)
+        .parquet(tmp)
+      frag.foreach { case (b, oldFiles) =>
+        oldFiles.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+        val srcDir = new org.apache.hadoop.fs.Path(tmp, s"$bucketCol=$b")
+        val dstDir = new org.apache.hadoop.fs.Path(dir, s"$bucketCol=$b")
+        fs.listStatus(srcDir).filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach(f => require(fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(dstDir, f.getPath.getName)),
+            s"compact: rename failed for bucket $b"))
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    byBucket.toSeq.sortBy(_._1).map { case (b, ss) =>
+      // filesAfter MEASURED off the post-swap listing for rewritten
+      // buckets (never assumed); untouched buckets keep their count
+      val after =
+        if (frag.contains(b))
+          fs.listStatus(new org.apache.hadoop.fs.Path(dir, s"$bucketCol=$b"))
+            .count(_.getPath.getName.endsWith(".parquet")).toLong
+        else files(b).size.toLong
+      CompactStat(b, files(b).size, after, ss.map(_.rowCount).sum)
+    }
+  }
+
   /** Per-row-group footer min/max statistics for an INT64 key column
     * across every data file under `dir` (recursing into `bucket=N`
     * partition directories). This is the metadata a scan planner's

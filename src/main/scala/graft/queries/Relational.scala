@@ -52,6 +52,7 @@ object Relational {
     "q153_constraints" -> q153,
     "q155_ref_integrity" -> q155,
     "q156_publish_roundtrip" -> q156,
+    "q161_compaction" -> q161,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -510,6 +511,84 @@ object Relational {
       .orderBy(col("section"), col("label"))
   }
 
+  /** Compaction under the gate (the lakehouse OPTIMIZE step — q156
+    * proves one publish; real tables take INCREMENTAL loads and
+    * fragment): orders split into three loads by key residue
+    * ([[graft.operators.Layout.publish]] + two
+    * [[graft.operators.Layout.append]]s — every bucket accumulates
+    * one file per load that touches it), then
+    * [[graft.operators.Layout.compact]] merges every fragmented
+    * bucket back to ONE key-sorted file. Four sections in one hash:
+    *
+    *  - 'compact' rows: per bucket, file count BEFORE (measured off
+    *    real footers — the oracle restates it as the bucket's count
+    *    of distinct key residues, i.e. which loads touched it),
+    *    file count AFTER (measured off the post-swap listing — the
+    *    oracle states 1), and the row count;
+    *  - 'checksum' rows: the q118 fold per bucket on the COMPACTED
+    *    read-back vs the oracle's source-side restatement —
+    *    compaction dropped, duplicated and altered nothing;
+    *  - 'survival' rows: footer min/max pruning still works on the
+    *    compacted files, with m1 = TOTAL data files proving files ==
+    *    buckets post-compaction;
+    *  - 'pruned' rows: pruned scan == plain WHERE on the compacted
+    *    dataset, xor row-fold included.
+    *
+    * Scale: compact reads and rewrites ONLY fragmented buckets —
+    * maintenance proportional to churn, never to table size. */
+  def q161(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    import spark.implicits._
+    val W = 1024L
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_compact_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    Layout.publish(src.filter(col("o_orderkey") % 3 === 0), out,
+      "bucket", Seq("o_orderkey"))
+    Layout.append(src.filter(col("o_orderkey") % 3 === 1), out,
+      "bucket", Seq("o_orderkey"))
+    Layout.append(src.filter(col("o_orderkey") % 3 === 2), out,
+      "bucket", Seq("o_orderkey"))
+    val report = Layout.compact(spark, out, "bucket", Seq("o_orderkey"), "o_orderkey")
+    val compactRows = report.map(r =>
+      ("compact", f"${r.bucket}%06d", r.filesBefore, r.filesAfter, r.rows))
+    val back = spark.read.parquet(out)
+      .withColumn("bucket", col("bucket").cast("long"))
+    val checksum = back.withColumn("h", ordersRowHash)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("m1"), expr("bit_xor(h)").as("m2"),
+        sum(col("h") % 1000000000000L).as("m3"))
+      .select(lit("checksum").as("section"),
+        lpad(col("bucket").cast("string"), 6, "0").as("label"),
+        col("m1"), col("m2"), col("m3"))
+    val stats = Layout.rowGroupStats(spark, out, "o_orderkey")
+    val perBucket = stats
+      .groupBy(_.bucket.getOrElse(sys.error(
+        "compaction left a data file outside a bucket directory")))
+      .map { case (b, ss) =>
+        (b, ss.map(_.min).min, ss.map(_.max).max, ss.map(_.rowCount).sum)
+      }.toSeq
+    val nFiles = stats.map(_.path).distinct.size.toLong
+    val survival = publishPreds.map { case (lbl, lo, hi) =>
+      val surv = perBucket.filter { case (_, mn, mx, _) => mx >= lo && mn < hi }
+      ("survival", lbl, nFiles, surv.size.toLong, surv.map(_._4).sum)
+    }
+    val pruned = publishPreds.map { case (lbl, lo, hi) =>
+      val r = Layout.prunedScan(spark, out, "o_orderkey", lo, hi, Some(stats))
+        .withColumn("h", ordersRowHash)
+        .agg(count(lit(1)).as("m1"),
+          coalesce(sum((dec2(col("o_totalprice")) * 100).cast("long")), lit(0L)).as("m2"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("m3"))
+        .collect()(0)
+      ("pruned", lbl, r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    checksum.unionAll(
+        (compactRows ++ survival ++ pruned)
+          .toDF("section", "label", "m1", "m2", "m3"))
+      .orderBy(col("section"), col("label"))
+  }
+
   /** Generic column profiler over orders (bigint + varchar + double +
     * timestamp columns in one fixture): null count, EXACT distinct
     * count, and min/max on the type-stable surface per column —
@@ -684,6 +763,59 @@ object Relational {
          |  FROM p LEFT JOIN b ON b.o_orderkey >= p.lo AND b.o_orderkey < p.hi
          |  GROUP BY p.label)
          |SELECT * FROM cs UNION ALL SELECT * FROM sv UNION ALL SELECT * FROM pr
+         |ORDER BY section, label""".stripMargin
+    },
+    // q161: the compact section restates fragmentation closed-form —
+    // filesBefore = distinct key residues in the bucket (which of the
+    // three loads touched it), filesAfter = 1; checksum/survival/
+    // pruned re-prove the q156 invariants on the COMPACTED files.
+    "q161_compaction" -> {
+      val canon = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+        "o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      s"""WITH b AS (
+         |  SELECT *, o_orderkey // 1024 AS bucket,
+         |    list_reduce(list_transform(generate_series(1, 15),
+         |      i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+         |      (a, x) -> a * 16 + x) AS h
+         |  FROM orders),
+         |res AS (
+         |  SELECT bucket, count(DISTINCT o_orderkey % 3) AS nres, count(*) AS n
+         |  FROM b GROUP BY bucket),
+         |cp AS (
+         |  SELECT 'compact' AS section, lpad(CAST(bucket AS VARCHAR), 6, '0') AS label,
+         |    CAST(nres AS BIGINT) AS m1,
+         |    CAST(CASE WHEN nres >= 2 THEN 1 ELSE nres END AS BIGINT) AS m2,
+         |    n AS m3
+         |  FROM res),
+         |cs AS (
+         |  SELECT 'checksum' AS section, lpad(CAST(bucket AS VARCHAR), 6, '0') AS label,
+         |    count(*) AS m1, CAST(bit_xor(h) AS BIGINT) AS m2,
+         |    CAST(sum(h % 1000000000000) AS BIGINT) AS m3
+         |  FROM b GROUP BY bucket),
+         |bs AS (
+         |  SELECT bucket, min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+         |    count(*) AS n
+         |  FROM b GROUP BY bucket),
+         |p AS (SELECT * FROM (VALUES
+         |  ('p1_low', 256, 1280), ('p2_all', 0, 1099511627776),
+         |  ('p3_none', 1073741824, 1073741924), ('p4_point', 777, 778))
+         |  AS t(label, lo, hi)),
+         |sv AS (
+         |  SELECT 'survival' AS section, p.label,
+         |    (SELECT count(*) FROM bs) AS m1,
+         |    CAST(coalesce(sum(CASE WHEN bs.mx >= p.lo AND bs.mn < p.hi THEN 1 ELSE 0 END), 0) AS BIGINT) AS m2,
+         |    CAST(coalesce(sum(CASE WHEN bs.mx >= p.lo AND bs.mn < p.hi THEN bs.n ELSE 0 END), 0) AS BIGINT) AS m3
+         |  FROM p CROSS JOIN bs GROUP BY p.label),
+         |pr AS (
+         |  SELECT 'pruned' AS section, p.label,
+         |    count(b.o_orderkey) AS m1,
+         |    CAST(coalesce(sum(CAST(CAST(b.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)), 0) AS BIGINT) AS m2,
+         |    CAST(coalesce(bit_xor(b.h), 0) AS BIGINT) AS m3
+         |  FROM p LEFT JOIN b ON b.o_orderkey >= p.lo AND b.o_orderkey < p.hi
+         |  GROUP BY p.label)
+         |SELECT * FROM cp UNION ALL SELECT * FROM cs
+         |UNION ALL SELECT * FROM sv UNION ALL SELECT * FROM pr
          |ORDER BY section, label""".stripMargin
     },
     "q16_cube" ->

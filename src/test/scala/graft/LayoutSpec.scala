@@ -126,4 +126,64 @@ class LayoutSpec extends SparkSuite {
     }
     assert(sig(spark.read.parquet(out)) === sig(fixture))
   }
+
+  test("append fragments (one file per bucket per load) and compact heals: " +
+    "one sorted file per bucket, contents identical, pruning intact") {
+    val out = tmpDir("cmp")
+    Layout.publish(fixture.filter(col("key") % 3 === 0), out, "bucket", Seq("key"))
+    Layout.append(fixture.filter(col("key") % 3 === 1), out, "bucket", Seq("key"))
+    Layout.append(fixture.filter(col("key") % 3 === 2), out, "bucket", Seq("key"))
+    val before = Layout.rowGroupStats(spark, out, "key")
+    before.groupBy(_.bucket.get).foreach { case (b, ss) =>
+      assert(ss.map(_.path).distinct.size === 3, s"bucket $b pre-compact files")
+    }
+    val report = Layout.compact(spark, out, "bucket", Seq("key"), "key")
+    assert(report.size === 8)
+    report.foreach { r =>
+      assert(r.filesBefore === 3L && r.filesAfter === 1L, s"bucket ${r.bucket}")
+    }
+    val after = Layout.rowGroupStats(spark, out, "key")
+    after.groupBy(_.bucket.get).foreach { case (b, ss) =>
+      assert(ss.map(_.path).distinct.size === 1, s"bucket $b post-compact files")
+      // merged file is key-sorted (the layout property appends broke
+      // ACROSS files is restored WITHIN the single file)
+      val keys = spark.read.parquet(ss.head.path).select("key").as[Long].collect()
+      assert(keys.toSeq === keys.sorted.toSeq, s"bucket $b sort order")
+    }
+    // contents identical to the source
+    val got = spark.read.parquet(out)
+      .select("key", "tag", "payload").collect().map(_.toSeq).toSet
+    val want = fixture.select("key", "tag", "payload").collect().map(_.toSeq).toSet
+    assert(got === want)
+    // pruning still bit-identical to the full filter on compacted files
+    val pr = Layout.prunedScan(spark, out, "key", 300L, 700L)
+      .select("key").as[Long].collect().sorted.toSeq
+    assert(pr === (300L until 700L).toSeq)
+  }
+
+  test("compact rewrites ONLY fragmented buckets: untouched buckets keep " +
+    "their exact files; a second compact is a no-op with no temp leftovers") {
+    val out = tmpDir("sel")
+    Layout.publish(fixture, out, "bucket", Seq("key"))
+    // fragment bucket 0 only
+    Layout.append(fixture.filter(col("key") < 10), out, "bucket", Seq("key"))
+    val before = Layout.rowGroupStats(spark, out, "key")
+    val untouchedBefore = before.filter(_.bucket.get != 0L).map(_.path).toSet
+    val report = Layout.compact(spark, out, "bucket", Seq("key"), "key")
+    assert(report.find(_.bucket == 0L).get.filesBefore === 2L)
+    assert(report.find(_.bucket == 0L).get.filesAfter === 1L)
+    report.filter(_.bucket != 0L).foreach(r =>
+      assert(r.filesBefore === 1L && r.filesAfter === 1L))
+    val after = Layout.rowGroupStats(spark, out, "key")
+    assert(after.filter(_.bucket.get != 0L).map(_.path).toSet === untouchedBefore,
+      "untouched buckets must keep their exact files (maintenance ∝ churn)")
+    // bucket 0 row count preserved: 256 original + 10 appended
+    assert(after.filter(_.bucket.get == 0L).map(_.rowCount).sum === 266L)
+    // no-op second pass
+    val again = Layout.compact(spark, out, "bucket", Seq("key"), "key")
+    assert(again.forall(r => r.filesBefore === 1L && r.filesAfter === 1L))
+    assert(!new java.io.File(out.stripSuffix("/") + "_compact_tmp").exists(),
+      "no temp dir left behind")
+    assert(spark.read.parquet(out).count() === 2010L)
+  }
 }
