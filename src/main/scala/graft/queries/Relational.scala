@@ -53,6 +53,8 @@ object Relational {
     "q155_ref_integrity" -> q155,
     "q156_publish_roundtrip" -> q156,
     "q161_compaction" -> q161,
+    "q162_snapshots" -> q162,
+    "q163_orc_roundtrip" -> q163,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -589,6 +591,127 @@ object Relational {
       .orderBy(col("section"), col("label"))
   }
 
+  /** Manifest-committed snapshots under the gate — the atomicity
+    * upgrade path q161's compact documents, built and proven
+    * ([[graft.operators.Snapshots]]): three residue-split loads
+    * commit versions 1–3, [[graft.operators.Snapshots.compact]]
+    * commits version 4 re-pointing fragmented buckets at merged
+    * files (old versions untouched), then
+    * [[graft.operators.Snapshots.vacuum]] drops versions 1–3 and
+    * deletes exactly the files no kept version references. Four
+    * sections, all closed-form in key residues, inside one hash:
+    *
+    *  - 'read' rows, one per version: TIME TRAVEL — count + xor
+    *    row-fold + mod-sum of each version's rows (v1 = residue 0,
+    *    v2 = residues ≤ 1, v3 = v4 = everything), read AFTER all
+    *    commits exist — later commits must not bleed into earlier
+    *    versions;
+    *  - 'files' rows, one per version: manifest file count (each
+    *    load adds one file per touched bucket; compaction re-points
+    *    fragmented buckets at exactly one), distinct buckets, rows;
+    *  - 'vacuum' row: manifests dropped / data files deleted / kept
+    *    — deleted is restated closed-form as (Σ residues per bucket
+    *    + fragmented buckets) − compacted file count;
+    *  - 'after' row: the live version re-read AFTER vacuum — count +
+    *    fold prove vacuum deleted nothing a reader needs.
+    *
+    * Scale: a manifest is one small file per commit (driver
+    * metadata, O(files)); commit is one create-exclusive call;
+    * compaction stages only fragmented buckets; vacuum's walk is the
+    * same file-count-bounded listing every table format runs. */
+  def q162(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import spark.implicits._
+    val W = 1024L
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_snap_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // fresh table per run (publish refuses an existing history)
+    new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    val src = Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    val v1 = Snapshots.publish(src.filter(col("o_orderkey") % 3 === 0), out,
+      "bucket", Seq("o_orderkey"))
+    val v2 = Snapshots.append(src.filter(col("o_orderkey") % 3 === 1), out,
+      "bucket", Seq("o_orderkey"))
+    val v3 = Snapshots.append(src.filter(col("o_orderkey") % 3 === 2), out,
+      "bucket", Seq("o_orderkey"))
+    val v4 = Snapshots.compact(spark, out, "bucket", Seq("o_orderkey"))
+    def fold(df: DataFrame): (Long, Long, Long) = {
+      val r = df.withColumn("h", ordersRowHash)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+          coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val vers = Seq(v1, v2, v3, v4)
+    val reads = vers.zipWithIndex.map { case (v, i) =>
+      val (c, x, s) = fold(Snapshots.readAt(spark, out, v))
+      ("read", f"v${i + 1}%04d", c, x, s)
+    }
+    val fileRows = vers.zipWithIndex.map { case (v, i) =>
+      val fls = Snapshots.files(spark, out, v)
+      val buckets = fls.flatMap(_.split("/").find(_.startsWith("bucket=")))
+        .distinct.size.toLong
+      val rows = Snapshots.readAt(spark, out, v).count()
+      ("files", f"v${i + 1}%04d", fls.size.toLong, buckets, rows)
+    }
+    val (dropped, deleted, kept) = Snapshots.vacuum(spark, out, v4)
+    val vacRow = Seq(("vacuum", "only", dropped, deleted, kept))
+    val (ac, ax, as_) = fold(Snapshots.read(spark, out))
+    val afterRow = Seq(("after", "live", ac, ax, as_))
+    (reads ++ fileRows ++ vacRow ++ afterRow)
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
+  /** ORC round trip under the gate — the THIRD columnar interchange
+    * leg (parquet is the native table format, Avro the row-oriented
+    * ingest shape (q160); ORC is what Hive-era warehouses hand over,
+    * and Spark carries a native vectorized reader/writer for it):
+    * orders projected onto the type surfaces that actually diverge
+    * across formats — TIMESTAMP (micros fidelity), DECIMAL(18,2)
+    * (exact cents after the trip), boolean, binary, array, map and
+    * nested struct — written as 4 ORC files and read back; every
+    * value is closed-form in o_orderkey, so the oracle restates them
+    * off the source table and the hash proves the ORC writer/reader
+    * pair loses neither values nor types — including the timestamp's
+    * NTZ-ness: ORC round-trips TIMESTAMP_NTZ as NTZ (observed: the
+    * read-back rejects bare unix_micros, exactly like the parquet
+    * source), so the fold casts first, the q118 discipline. Scale:
+    * both legs are plain columnar scans (ORC predicate pushdown is
+    * spec-asserted in FormatsSpec); one hash repartition on the
+    * write. */
+  def q163(spark: SparkSession, dir: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_orc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      col("o_orderdate").as("ts"),
+      dec2(col("o_totalprice")).as("price_dec"),
+      (col("o_orderkey") % 2 === 0).as("b"),
+      unhex(md5(col("o_orderkey").cast("string"))).as("bin"),
+      array(col("o_orderkey"), col("o_custkey")).as("arr"),
+      map(lit("k"), col("o_custkey")).as("m"),
+      struct(col("o_orderpriority").as("p"),
+        (col("o_orderkey") % 9).as("n")).as("rec"))
+    src.repartition(4, col("o_orderkey"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out).select(
+        col("o_orderkey"),
+        col("status"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        (col("price_dec") * 100).cast("long").as("cents"),
+        col("b"),
+        hex(col("bin")).as("bin_hex"),
+        array_join(transform(col("arr"), x => x.cast("string")), ",").as("arr_s"),
+        col("m").getItem("k").as("mk"),
+        col("rec").getField("p").as("p"),
+        col("rec").getField("n").as("n"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Generic column profiler over orders (bigint + varchar + double +
     * timestamp columns in one fixture): null count, EXACT distinct
     * count, and min/max on the type-stable surface per column —
@@ -818,6 +941,76 @@ object Relational {
          |UNION ALL SELECT * FROM sv UNION ALL SELECT * FROM pr
          |ORDER BY section, label""".stripMargin
     },
+    // q162: every section restated closed-form in key residues —
+    // version v reads residues <= maxres(v); file counts are
+    // distinct (bucket, residue) pairs (one file per bucket per
+    // load), compaction re-points fragmented buckets at exactly one;
+    // vacuum's deleted count = (files ever written) - (files the
+    // kept version references).
+    "q162_snapshots" -> {
+      val canon = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+        "o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      s"""WITH b AS (
+         |  SELECT *, o_orderkey // 1024 AS bucket, o_orderkey % 3 AS res,
+         |    list_reduce(list_transform(generate_series(1, 15),
+         |      i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+         |      (a, x) -> a * 16 + x) AS h
+         |  FROM orders),
+         |nb AS (SELECT DISTINCT bucket, res FROM b),
+         |per AS (SELECT bucket, count(*) AS nres FROM nb GROUP BY bucket),
+         |v AS (SELECT * FROM (VALUES (1, 0), (2, 1), (3, 2), (4, 2)) AS t(v, maxres)),
+         |rd AS (
+         |  SELECT 'read' AS section, 'v' || lpad(CAST(v.v AS VARCHAR), 4, '0') AS label,
+         |    count(b.o_orderkey) AS m1,
+         |    CAST(coalesce(bit_xor(b.h), 0) AS BIGINT) AS m2,
+         |    CAST(coalesce(sum(b.h % 1000000000000), 0) AS BIGINT) AS m3
+         |  FROM v LEFT JOIN b ON b.res <= v.maxres
+         |  GROUP BY v.v),
+         |fl AS (
+         |  SELECT 'files' AS section, 'v' || lpad(CAST(v.v AS VARCHAR), 4, '0') AS label,
+         |    CAST(CASE v.v
+         |      WHEN 1 THEN (SELECT count(*) FROM nb WHERE res <= 0)
+         |      WHEN 2 THEN (SELECT count(*) FROM nb WHERE res <= 1)
+         |      WHEN 3 THEN (SELECT count(*) FROM nb)
+         |      ELSE (SELECT sum(CASE WHEN nres >= 2 THEN 1 ELSE nres END) FROM per)
+         |    END AS BIGINT) AS m1,
+         |    (SELECT count(DISTINCT bucket) FROM nb WHERE res <= v.maxres) AS m2,
+         |    (SELECT count(*) FROM b WHERE res <= v.maxres) AS m3
+         |  FROM v),
+         |fragn AS (SELECT count(*) AS nf FROM per WHERE nres >= 2),
+         |vc AS (
+         |  SELECT 'vacuum' AS section, 'only' AS label,
+         |    CAST(CASE WHEN (SELECT nf FROM fragn) > 0 THEN 3 ELSE 2 END AS BIGINT) AS m1,
+         |    CAST((SELECT sum(nres) FROM per) + (SELECT nf FROM fragn)
+         |      - (SELECT sum(CASE WHEN nres >= 2 THEN 1 ELSE nres END) FROM per) AS BIGINT) AS m2,
+         |    CAST((SELECT sum(CASE WHEN nres >= 2 THEN 1 ELSE nres END) FROM per) AS BIGINT) AS m3),
+         |af AS (
+         |  SELECT 'after' AS section, 'live' AS label,
+         |    count(*) AS m1, CAST(bit_xor(h) AS BIGINT) AS m2,
+         |    CAST(sum(h % 1000000000000) AS BIGINT) AS m3
+         |  FROM b)
+         |SELECT * FROM rd UNION ALL SELECT * FROM fl
+         |UNION ALL SELECT * FROM vc UNION ALL SELECT * FROM af
+         |ORDER BY section, label""".stripMargin
+    },
+    // q163: every field restated straight off orders — equality
+    // proves the ORC write -> read round trip preserved timestamps
+    // (micros), decimals (exact cents), booleans, binary, arrays,
+    // maps and nested structs.
+    "q163_orc_roundtrip" ->
+      """SELECT o_orderkey,
+        |  o_orderstatus AS status,
+        |  epoch_us(o_orderdate) AS ts_us,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  o_orderkey % 2 = 0 AS b,
+        |  upper(md5(CAST(o_orderkey AS VARCHAR))) AS bin_hex,
+        |  o_orderkey || ',' || o_custkey AS arr_s,
+        |  o_custkey AS mk,
+        |  o_orderpriority AS p,
+        |  o_orderkey % 9 AS n
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     "q16_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
