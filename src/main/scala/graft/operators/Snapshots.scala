@@ -59,8 +59,8 @@ object Snapshots {
   def latest(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).lastOption
 
-  /** The data files (paths relative to `dir`) version `v` reads. */
-  def files(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+  private def manifestLines(spark: SparkSession, dir: String,
+                            v: Long): Seq[String] = {
     val p = manifestPath(dir, v)
     val f = fs(spark, dir)
     require(f.exists(p), s"snapshot version $v does not exist under $dir")
@@ -70,18 +70,35 @@ object Snapshots {
     finally in.close()
   }
 
+  /** The data files (paths relative to `dir`) version `v` reads. */
+  def files(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    manifestLines(spark, dir, v).filterNot(_.startsWith("#"))
+
+  /** The streaming batch ids already applied to this table (the
+    * `#batch:` headers across all manifests) — the replay ledger
+    * [[mergeBatch]] consults for exactly-once sink semantics. */
+  def appliedBatches(spark: SparkSession, dir: String): Set[Long] =
+    versions(spark, dir).flatMap(v =>
+      manifestLines(spark, dir, v).filter(_.startsWith("#batch:"))
+        .map(_.stripPrefix("#batch:").toLong)).toSet
+
   /** Atomically commit `relFiles` as version `v`. Create-exclusive:
     * if `v` already exists (a racing writer won it), this throws and
-    * nothing changes — the caller re-reads latest and retries. */
+    * nothing changes — the caller re-reads latest and retries.
+    * `meta` lines (each rendered as `#key:value`) ride in the same
+    * atomic write — metadata and file list cannot diverge. */
   def commit(spark: SparkSession, dir: String, v: Long,
-             relFiles: Seq[String]): Unit = {
+             relFiles: Seq[String], meta: Seq[String] = Nil): Unit = {
     require(v >= 1, "versions start at 1")
+    require(meta.forall(m => m.nonEmpty && !m.contains("\n")),
+      "meta lines must be non-empty and single-line")
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val p = manifestPath(dir, v)
     // overwrite=false — the atomic claim; throws if v is taken
     val out = f.create(p, false)
-    try out.write((relFiles.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(((meta.map("#" + _) ++ relFiles).mkString("\n") + "\n")
+      .getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -136,16 +153,29 @@ object Snapshots {
     v
   }
 
-  /** Read the table at version `v` (time travel), bucket column
-    * recovered. Files are grouped by staging token so partition
-    * discovery gets one basePath per group, then unioned. */
-  def readAt(spark: SparkSession, dir: String, v: Long): DataFrame = {
-    val byToken = files(spark, dir, v).groupBy(_.split("/")(1))
+  /** Read a set of manifest-relative files, bucket column recovered.
+    * Files are grouped by staging token so partition discovery gets
+    * one basePath per group, then unioned. */
+  private def readFiles(spark: SparkSession, dir: String,
+                        rels: Seq[String]): DataFrame = {
+    val byToken = rels.groupBy(_.split("/")(1))
     byToken.toSeq.sortBy(_._1).map { case (token, fls) =>
       spark.read.option("basePath", s"$dir/data/$token")
         .parquet(fls.map(f => s"$dir/$f"): _*)
     }.reduce(_.unionByName(_))
   }
+
+  /** Bucket value encoded in a manifest-relative file path. */
+  private def bucketOf(bucketCol: String)(rel: String): Long = {
+    val seg = rel.split("/").find(_.startsWith(s"$bucketCol="))
+      .getOrElse(throw new IllegalArgumentException(
+        s"data file outside a bucket directory: $rel"))
+    seg.substring(seg.indexOf('=') + 1).toLong
+  }
+
+  /** Read the table at version `v` (time travel). */
+  def readAt(spark: SparkSession, dir: String, v: Long): DataFrame =
+    readFiles(spark, dir, files(spark, dir, v))
 
   /** Read the latest version. */
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -164,28 +194,130 @@ object Snapshots {
     val prev = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir has no snapshots"))
     val prevFiles = files(spark, dir, prev)
-    def bucketOf(rel: String): Long = {
-      val seg = rel.split("/").find(_.startsWith(s"$bucketCol="))
-        .getOrElse(throw new IllegalArgumentException(
-          s"compact: data file outside a bucket directory: $rel"))
-      seg.substring(seg.indexOf('=') + 1).toLong
-    }
-    val byBucket = prevFiles.groupBy(bucketOf)
-    val frag = byBucket.filter(_._2.size >= 2)
+    val bOf = bucketOf(bucketCol) _
+    val frag = prevFiles.groupBy(bOf).filter(_._2.size >= 2)
     if (frag.isEmpty) return prev
-    val fragDf = frag.toSeq.sortBy(_._1).map { case (_, fls) =>
-      // per-token basePath grouping, same as readAt
-      fls.groupBy(_.split("/")(1)).toSeq.sortBy(_._1).map { case (tok, fs2) =>
-        spark.read.option("basePath", s"$dir/data/$tok")
-          .parquet(fs2.map(f => s"$dir/$f"): _*)
-      }.reduce(_.unionByName(_))
-    }.reduce(_.unionByName(_))
+    val fragDf = readFiles(spark, dir, frag.values.flatten.toSeq)
     val staged = stage(fragDf, dir, bucketCol, sortCols, blockSize,
       math.max(frag.size, 1))
-    val kept = prevFiles.filterNot(f => frag.contains(bucketOf(f)))
+    val kept = prevFiles.filterNot(f => frag.contains(bOf(f)))
     val v = prev + 1
     commit(spark, dir, v, kept ++ staged)
     v
+  }
+
+  /** MERGE (upsert) — the CDC apply step: commit a new version where
+    * every target row whose key matches an update row is REPLACED
+    * and every update row is inserted (rows with unmatched keys are
+    * pure inserts, including into brand-new buckets). Only the
+    * buckets the updates touch are rewritten — untouched buckets
+    * share their files with the previous version byte-for-byte, and
+    * earlier versions keep reading the pre-merge state (time travel
+    * across a merge works). Updates must carry exactly the target's
+    * columns, including `bucketCol`; key uniqueness WITHIN the
+    * update batch is the caller's contract (duplicate update keys
+    * all insert — dedup upstream, e.g. q12's idxmax keep-latest).
+    *
+    * Scale: one driver-side distinct on the touched-bucket ids
+    * (bounded by bucket count, a manifest-sized list), one anti-join
+    * of ONLY the touched buckets' rows against the update keys, one
+    * staged write of those buckets. Cost ∝ touched data, never
+    * table size. */
+  def merge(updates: DataFrame, dir: String, bucketCol: String,
+            keyCols: Seq[String], sortCols: Seq[String],
+            blockSize: Long = 128L * 1024 * 1024,
+            numTasks: Int = 32, meta: Seq[String] = Nil): Long = {
+    require(keyCols.nonEmpty, "merge needs key columns")
+    val spark = updates.sparkSession
+    val prev = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots — use publish"))
+    val prevFiles = files(spark, dir, prev)
+    val bOf = bucketOf(bucketCol) _
+    val touched = updates.select(col(bucketCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (touched.isEmpty) return prev // empty batch: nothing to commit
+    val existingFiles = prevFiles.filter(f => touched.contains(bOf(f)))
+    val mergedRows = {
+      val aligned =
+        if (existingFiles.isEmpty) updates
+        else {
+          val existing = readFiles(spark, dir, existingFiles)
+          require(existing.columns.toSet == updates.columns.toSet,
+            s"merge: update columns ${updates.columns.sorted.mkString(",")} " +
+              s"must match the target's ${existing.columns.sorted.mkString(",")}")
+          // align names AND types (partition discovery may narrow the
+          // bucket column) to the update side, then drop matched keys
+          existing.select(updates.columns.map(c =>
+            col(c).cast(updates.schema(c).dataType)): _*)
+            .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+            .unionByName(updates)
+        }
+      aligned
+    }
+    val staged = stage(mergedRows, dir, bucketCol, sortCols, blockSize, numTasks)
+    val kept = prevFiles.filterNot(f => touched.contains(bOf(f)))
+    val v = prev + 1
+    commit(spark, dir, v, kept ++ staged, meta)
+    v
+  }
+
+  /** Idempotent batch upsert — the foreachBatch EXACTLY-ONCE sink
+    * discipline: the applied batch id rides in the committed
+    * manifest itself (same atomic write as the file list), and a
+    * REPLAY of an already-applied id is a no-op returning the
+    * current version. This is what makes a Structured Streaming
+    * restart safe: the engine re-delivers the last unacknowledged
+    * batch, the ledger absorbs it, the table state stays applied-
+    * once. Single-writer discipline (one streaming query per table)
+    * is the stated contract — foreachBatch already serializes
+    * batches within a query; a second concurrent writer should go
+    * through its own table and a downstream merge. */
+  def mergeBatch(batchId: Long, updates: DataFrame, dir: String,
+                 bucketCol: String, keyCols: Seq[String],
+                 sortCols: Seq[String],
+                 blockSize: Long = 128L * 1024 * 1024,
+                 numTasks: Int = 32): Long = {
+    val spark = updates.sparkSession
+    if (appliedBatches(spark, dir).contains(batchId))
+      latest(spark, dir).get // replay: already applied, change nothing
+    else
+      merge(updates, dir, bucketCol, keyCols, sortCols, blockSize,
+        numTasks, meta = Seq(s"batch:$batchId"))
+  }
+
+  /** [[mergeBatch]] curried for `writeStream.foreachBatch`. */
+  def foreachBatchMerge(dir: String, bucketCol: String,
+                        keyCols: Seq[String], sortCols: Seq[String]):
+      (DataFrame, Long) => Unit =
+    (batchDf, batchId) => {
+      mergeBatch(batchId, batchDf, dir, bucketCol, keyCols, sortCols)
+      ()
+    }
+
+  /** Row-level change feed between two versions (CDC EMIT — the
+    * complement of [[merge]]'s CDC apply): `_change` = 'insert' for
+    * rows present in `vNew` but not `vOld`, 'delete' for the
+    * reverse, EXACT MULTISET semantics (a replaced row appears as
+    * one delete + one insert; duplicates count). Reads ONLY the
+    * files the two manifests do NOT share — file sharing makes the
+    * carried-over bulk cancel at the metadata level, so a diff
+    * across a merge reads just the rewritten buckets, and a diff
+    * across a COMPACTION is provably empty (same rows, different
+    * files — the q166 gate pins it). Cost ∝ churn between the
+    * versions, never table size. */
+  def diff(spark: SparkSession, dir: String, vOld: Long, vNew: Long): DataFrame = {
+    val fo = files(spark, dir, vOld).toSet
+    val fn = files(spark, dir, vNew).toSet
+    val onlyOld = (fo -- fn).toSeq.sorted
+    val onlyNew = (fn -- fo).toSeq.sorted
+    lazy val empty = readFiles(spark, dir, files(spark, dir, vNew)).limit(0)
+    val newSide = if (onlyNew.isEmpty) empty else readFiles(spark, dir, onlyNew)
+    val oldSide = if (onlyOld.isEmpty) empty else readFiles(spark, dir, onlyOld)
+    // align partition-discovered column types across token groups
+    val oldAligned = oldSide.select(newSide.columns.map(c =>
+      col(c).cast(newSide.schema(c).dataType)): _*)
+    newSide.exceptAll(oldAligned).withColumn("_change", lit("insert"))
+      .unionByName(oldAligned.exceptAll(newSide).withColumn("_change", lit("delete")))
   }
 
   /** Drop every version below `keepFrom` and delete the data files

@@ -55,6 +55,10 @@ object Relational {
     "q161_compaction" -> q161,
     "q162_snapshots" -> q162,
     "q163_orc_roundtrip" -> q163,
+    "q164_merge" -> q164,
+    "q165_bucketed_join" -> q165,
+    "q166_snapshot_diff" -> q166,
+    "q167_idempotent_sink" -> q167,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -665,6 +669,76 @@ object Relational {
       .orderBy(col("section"), col("label"))
   }
 
+  /** MERGE (upsert) under the gate — the CDC apply step every
+    * warehouse load runs ([[graft.operators.Snapshots.merge]]):
+    * orders published as snapshot v1, then ONE update batch that
+    * both MODIFIES every key ≡ 0 (mod 7) (price +1.00, status 'U')
+    * and INSERTS shifted copies of every key ≡ 3 (mod 7) (key +
+    * 2^30 — landing in brand-new buckets), committed as v2. Three
+    * sections, all closed-form in key residues, inside one hash:
+    *
+    *  - 'read' rows: v1's fold unchanged AFTER the merge (time
+    *    travel across a merge) and v2's fold equal to the oracle's
+    *    restated post-merge content (unchanged ∪ modified ∪
+    *    inserted — replaced rows GONE, not shadowed);
+    *  - 'files' rows: per version, manifest files / distinct buckets
+    *    / rows — v2 keeps one file per bucket (touched old buckets
+    *    restaged, new buckets created, untouched shared);
+    *  - 'delta' row: files shared / added / removed between the two
+    *    manifests — shared = buckets no update touched, restated
+    *    from residue-7 bucket counts.
+    *
+    * Scale: the anti-join reads ONLY touched buckets' rows; the
+    * staged write is one hash repartition of exactly those rows;
+    * untouched data neither moves nor re-lists. Cost ∝ churn. */
+  def q164(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import spark.implicits._
+    val W = 1024L
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_merge_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    val src = Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    val v1 = Snapshots.publish(src, out, "bucket", Seq("o_orderkey"))
+    val updates = src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("o_orderstatus", lit("U"))
+      .unionByName(
+        src.filter(col("o_orderkey") % 7 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + (1L << 30))
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("bucket", expr(s"o_orderkey div $W")))
+    val v2 = Snapshots.merge(updates, out, "bucket",
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    def fold(df: DataFrame): (Long, Long, Long) = {
+      val r = df.withColumn("h", ordersRowHash)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+          coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val reads = Seq(v1, v2).zipWithIndex.map { case (v, i) =>
+      val (c, x, s) = fold(Snapshots.readAt(spark, out, v))
+      ("read", f"v${i + 1}%04d", c, x, s)
+    }
+    val fileRows = Seq(v1, v2).zipWithIndex.map { case (v, i) =>
+      val fls = Snapshots.files(spark, out, v)
+      val buckets = fls.flatMap(_.split("/").find(_.startsWith("bucket=")))
+        .distinct.size.toLong
+      ("files", f"v${i + 1}%04d", fls.size.toLong, buckets,
+        Snapshots.readAt(spark, out, v).count())
+    }
+    val f1 = Snapshots.files(spark, out, v1).toSet
+    val f2 = Snapshots.files(spark, out, v2).toSet
+    val delta = Seq(("delta", "files", (f1 & f2).size.toLong,
+      (f2 -- f1).size.toLong, (f1 -- f2).size.toLong))
+    (reads ++ fileRows ++ delta)
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
   /** ORC round trip under the gate — the THIRD columnar interchange
     * leg (parquet is the native table format, Avro the row-oriented
     * ingest shape (q160); ORC is what Hive-era warehouses hand over,
@@ -710,6 +784,156 @@ object Relational {
         col("rec").getField("p").as("p"),
         col("rec").getField("n").as("n"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** Change-feed extraction under the gate — CDC EMIT, the
+    * complement of q164's CDC apply ([[graft.operators.Snapshots
+    * .diff]]): exact multiset inserts/deletes between two versions,
+    * computed from ONLY the files the two manifests do not share
+    * (file sharing cancels the carried-over bulk at the metadata
+    * level — cost ∝ churn, never table size). The scenario walks
+    * every manifest-changing operation: v1 publish, v2 append
+    * (status-'A' copies of keys ≡ 3 mod 7 — duplicate keys, multiset
+    * semantics on display), v3 COMPACT, v4 merge (q164's batch).
+    * Six section rows inside one hash: diff(v1,v2) = the A-copies
+    * inserted / nothing deleted; diff(v2,v3) = EMPTY BOTH WAYS (the
+    * compaction invariant, proven at the row level); diff(v3,v4) =
+    * modified + shifted-insert rows in, original mod-7 rows out —
+    * every side restated closed-form by the oracle. */
+  def q166(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import spark.implicits._
+    val W = 1024L
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_diff_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    val src = Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    val v1 = Snapshots.publish(src, out, "bucket", Seq("o_orderkey"))
+    val v2 = Snapshots.append(
+      src.filter(col("o_orderkey") % 7 === 3)
+        .withColumn("o_orderstatus", lit("A")),
+      out, "bucket", Seq("o_orderkey"))
+    val v3 = Snapshots.compact(spark, out, "bucket", Seq("o_orderkey"))
+    val updates = src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("o_orderstatus", lit("U"))
+      .unionByName(
+        src.filter(col("o_orderkey") % 7 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + (1L << 30))
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("bucket", expr(s"o_orderkey div $W")))
+    val v4 = Snapshots.merge(updates, out, "bucket",
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    val pairs = Seq((v1, v2, "p12"), (v2, v3, "p23"), (v3, v4, "p34"))
+    val rows = pairs.flatMap { case (a, b, lbl) =>
+      val d = Snapshots.diff(spark, out, a, b).withColumn("h", ordersRowHash)
+      Seq("insert", "delete").map { kind =>
+        val r = d.filter(col("_change") === kind)
+          .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+            coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+        (lbl, kind, r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+    }
+    rows.toDF("pair", "kind", "m1", "m2", "m3")
+      .orderBy(col("pair"), col("kind"))
+  }
+
+  /** Exactly-once streaming sink under the gate
+    * ([[graft.operators.Snapshots.mergeBatch]] — the foreachBatch
+    * discipline that makes a Structured Streaming restart safe): the
+    * applied batch id rides IN the committed manifest (one atomic
+    * write covers ledger + file list, so they cannot diverge), and a
+    * replayed id is absorbed as a no-op even when the re-delivered
+    * data differs — the ledger decides, not the content. The gate
+    * applies batch 7 (q164's modify batch), REPLAYS batch 7 with a
+    * poisoned payload (every status flipped to 'X' — if the replay
+    * applied, every fold below changes), then applies batch 8 (the
+    * shifted inserts). Sections: 'state' (version count / latest /
+    * ledger size — the replay committed NOTHING), 'read' (the final
+    * fold == q164's apply-once closed form), 'ledger' (the batch-id
+    * set itself). Streaming-side plumbing (a real
+    * writeStream.foreachBatch over a file stream + checkpoint) is
+    * SnapshotsSpec territory. */
+  def q167(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import spark.implicits._
+    val W = 1024L
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_eos_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    val src = Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    Snapshots.publish(src, out, "bucket", Seq("o_orderkey"))
+    val mods = src.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .withColumn("o_orderstatus", lit("U"))
+    Snapshots.mergeBatch(7L, mods, out, "bucket",
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    // the restart re-delivery, poisoned: absorbed by the ledger
+    Snapshots.mergeBatch(7L, mods.withColumn("o_orderstatus", lit("X")),
+      out, "bucket", Seq("o_orderkey"), Seq("o_orderkey"))
+    val inserts = src.filter(col("o_orderkey") % 7 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + (1L << 30))
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    Snapshots.mergeBatch(8L, inserts, out, "bucket",
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    val vers = Snapshots.versions(spark, out)
+    val batches = Snapshots.appliedBatches(spark, out)
+    val r = Snapshots.read(spark, out).withColumn("h", ordersRowHash)
+      .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+        coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+    Seq(
+      ("state", "versions", vers.size.toLong, vers.max, batches.size.toLong),
+      ("read", "final", r.getLong(0), r.getLong(1), r.getLong(2)),
+      ("ledger", "batches", batches.sum, batches.min, batches.max))
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
+  /** Bucketed-table sort-merge join under the gate — the co-located
+    * fact-fact join that removes the query-time shuffle entirely
+    * (the q17 salted join's complement: salt when you cannot
+    * pre-bucket, bucket when the big join RECURS — the standard
+    * warehouse answer for a nightly lineitem ⋈ orders): both facts
+    * persisted as 8-bucket tables hashed on the join key (the write
+    * repartitions on the same key so each task holds exactly its
+    * bucket → one file per bucket), then joined and aggregated.
+    * The hash proves correctness (the oracle is the PLAIN join —
+    * identical output shows bucketing changed nothing); the
+    * ZERO-EXCHANGE property is spec territory (BucketedJoinSpec
+    * pins it with broadcast disabled: Exchange gone, the residual
+    * in-task sorts documented — at this gate's tiny SF the planner
+    * rightly broadcasts instead, which is also correct). At 100 TB
+    * neither fact side broadcasts and the bucketed SMJ is the only
+    * plan that moves zero rows at query time. */
+  def q165(spark: SparkSession, dir: String): DataFrame = {
+    val base = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_bjoin_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
+    Tables.orders(spark, dir).repartition(8, col("o_orderkey"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").option("path", s"$base/orders")
+      .saveAsTable("graft_orders_bkt")
+    Tables.lineitem(spark, dir).repartition(8, col("l_orderkey"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").option("path", s"$base/lineitem")
+      .saveAsTable("graft_lineitem_bkt")
+    spark.table("graft_lineitem_bkt")
+      .join(spark.table("graft_orders_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
   }
 
   /** Generic column profiler over orders (bigint + varchar + double +
@@ -992,6 +1216,133 @@ object Relational {
          |  FROM b)
          |SELECT * FROM rd UNION ALL SELECT * FROM fl
          |UNION ALL SELECT * FROM vc UNION ALL SELECT * FROM af
+         |ORDER BY section, label""".stripMargin
+    },
+    // q167: state/ledger are constants (the replay committed
+    // nothing); the final read is q164's apply-once v2 content —
+    // identical fold proves the poisoned replay never applied.
+    "q167_idempotent_sink" -> {
+      val canon = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+        "o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      s"""WITH v2rows AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, 'U', o_orderdate, o_totalprice + 1.0
+         |  FROM orders WHERE o_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 1073741824, o_custkey, 'N', o_orderdate, o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 = 3),
+         |h AS (SELECT list_reduce(list_transform(generate_series(1, 15),
+         |    i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+         |    (a, x) -> a * 16 + x) AS h FROM v2rows)
+         |SELECT 'ledger' AS section, 'batches' AS label,
+         |  CAST(15 AS BIGINT) AS m1, CAST(7 AS BIGINT) AS m2, CAST(8 AS BIGINT) AS m3
+         |UNION ALL
+         |SELECT 'read', 'final', count(*),
+         |  CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h
+         |UNION ALL
+         |SELECT 'state', 'versions', 3, 3, 2
+         |ORDER BY section, label""".stripMargin
+    },
+    // q166: each diff side restated closed-form — p12's inserts are
+    // the 'A' copies, p23 is empty both ways (the compaction
+    // invariant at row level), p34 trades the modified + shifted
+    // rows in for the original mod-7-0 rows out.
+    "q166_snapshot_diff" -> {
+      def canonH(src: String) =
+        s"""SELECT list_reduce(list_transform(generate_series(1, 15),
+           |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+           |      (a, x) -> a * 16 + x) AS h FROM $src""".stripMargin
+      s"""WITH acp AS (
+         |  SELECT o_orderkey, o_custkey, 'A' AS o_orderstatus, o_orderdate, o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 = 3),
+         |ins34 AS (
+         |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_orderdate, o_totalprice + 1.0 AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 1073741824, o_custkey, 'N', o_orderdate, o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 = 3),
+         |del34 AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 = 0),
+         |h12 AS (${canonH("acp")}),
+         |hi34 AS (${canonH("ins34")}),
+         |hd34 AS (${canonH("del34")}),
+         |agg AS (
+         |  SELECT 'p12' AS pair, 'insert' AS kind, count(*) AS m1,
+         |    CAST(coalesce(bit_xor(h), 0) AS BIGINT) AS m2,
+         |    CAST(coalesce(sum(h % 1000000000000), 0) AS BIGINT) AS m3 FROM h12
+         |  UNION ALL SELECT 'p12', 'delete', 0, 0, 0
+         |  UNION ALL SELECT 'p23', 'insert', 0, 0, 0
+         |  UNION ALL SELECT 'p23', 'delete', 0, 0, 0
+         |  UNION ALL SELECT 'p34', 'insert', count(*),
+         |    CAST(coalesce(bit_xor(h), 0) AS BIGINT),
+         |    CAST(coalesce(sum(h % 1000000000000), 0) AS BIGINT) FROM hi34
+         |  UNION ALL SELECT 'p34', 'delete', count(*),
+         |    CAST(coalesce(bit_xor(h), 0) AS BIGINT),
+         |    CAST(coalesce(sum(h % 1000000000000), 0) AS BIGINT) FROM hd34)
+         |SELECT * FROM agg ORDER BY pair, kind""".stripMargin
+    },
+    // q165: the oracle is the PLAIN join — identical output proves
+    // the persisted bucketing changed nothing (the q17 discipline).
+    "q165_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // q164: v2's content restated as unchanged ∪ modified ∪ inserted
+    // (the upsert contract — replaced rows GONE); file/bucket/delta
+    // counts restated from residue-7 bucket arithmetic (+2^30 on the
+    // key shifts buckets by 2^20, never colliding with old ones).
+    "q164_merge" -> {
+      def canonH(cols: String) =
+        s"""list_reduce(list_transform(generate_series(1, 15),
+           |      i -> CAST(strpos('0123456789abcdef', substr(md5($cols), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+           |      (a, x) -> a * 16 + x)""".stripMargin
+      val canon = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+        "o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      s"""WITH v2rows AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, 'U', o_orderdate, o_totalprice + 1.0
+         |  FROM orders WHERE o_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 1073741824, o_custkey, 'N', o_orderdate, o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 = 3),
+         |h1 AS (SELECT ${canonH(canon)} AS h FROM orders),
+         |h2 AS (SELECT ${canonH(canon)} AS h FROM v2rows),
+         |rd AS (
+         |  SELECT 'read' AS section, 'v0001' AS label, count(*) AS m1,
+         |    CAST(bit_xor(h) AS BIGINT) AS m2,
+         |    CAST(sum(h % 1000000000000) AS BIGINT) AS m3 FROM h1
+         |  UNION ALL
+         |  SELECT 'read', 'v0002', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h2),
+         |oldb AS (SELECT count(DISTINCT o_orderkey // 1024) AS n FROM orders),
+         |newb AS (SELECT count(DISTINCT o_orderkey // 1024) AS n FROM orders WHERE o_orderkey % 7 = 3),
+         |tch AS (SELECT count(DISTINCT o_orderkey // 1024) AS n FROM orders WHERE o_orderkey % 7 = 0),
+         |fl AS (
+         |  SELECT 'files' AS section, 'v0001' AS label,
+         |    CAST((SELECT n FROM oldb) AS BIGINT) AS m1,
+         |    CAST((SELECT n FROM oldb) AS BIGINT) AS m2,
+         |    (SELECT count(*) FROM orders) AS m3
+         |  UNION ALL
+         |  SELECT 'files', 'v0002',
+         |    CAST((SELECT n FROM oldb) + (SELECT n FROM newb) AS BIGINT),
+         |    CAST((SELECT n FROM oldb) + (SELECT n FROM newb) AS BIGINT),
+         |    (SELECT count(*) FROM v2rows)),
+         |dl AS (
+         |  SELECT 'delta' AS section, 'files' AS label,
+         |    CAST((SELECT n FROM oldb) - (SELECT n FROM tch) AS BIGINT) AS m1,
+         |    CAST((SELECT n FROM tch) + (SELECT n FROM newb) AS BIGINT) AS m2,
+         |    CAST((SELECT n FROM tch) AS BIGINT) AS m3)
+         |SELECT * FROM rd UNION ALL SELECT * FROM fl UNION ALL SELECT * FROM dl
          |ORDER BY section, label""".stripMargin
     },
     // q163: every field restated straight off orders — equality

@@ -1063,6 +1063,44 @@ object ScaleStress {
     }
     }
 
+    if (sections("snapshots")) {
+    // q164/q167's scale claim, measured: merge cost tracks TOUCHED
+    // BUCKETS (the data actually rewritten), never table size. One
+    // 10M-row / 256-bucket snapshot table; merges touch 1, 8, 64,
+    // then all 256 buckets (100 modified keys per touched bucket —
+    // update SIZE stays tiny, the rewrite is the bucket). The
+    // publish line is the full-rewrite baseline every merge avoids.
+    // diff is measured across the cheapest and the costliest merge.
+    import graft.operators.Snapshots
+    val n = 10000000L
+    val nBuckets = 256L
+    val per = n / nBuckets
+    val rows = spark.range(0, n, 1, 32).select(
+        col("id").as("key"),
+        pmod(conv(substring(md5(concat(lit("p:"), col("id"))), 1, 15), 16, 10)
+          .cast("long"), lit(1000000L)).as("payload"))
+      .withColumn("bucket", expr(s"key div $per"))
+    val dir = "/tmp/graft_scale_snap"
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    timed(s"snapshots publish $n rows / $nBuckets buckets (full-rewrite baseline)")(
+      Snapshots.publish(rows, dir, "bucket", Seq("key")))
+    Seq(1L, 8L, 64L, 256L).foreach { touched =>
+      val upd = rows.filter(col("bucket") < touched &&
+          col("key") % per < 100)
+        .withColumn("payload", lit(-touched))
+      timed(s"merge touching $touched/$nBuckets buckets (${touched * 100} keys)")(
+        Snapshots.merge(upd, dir, "bucket", Seq("key"), Seq("key")))
+    }
+    timed("diff across the 1-bucket merge")(
+      Snapshots.diff(spark, dir, 1L, 2L).count())
+    timed("diff across the 256-bucket merge")(
+      Snapshots.diff(spark, dir, 4L, 5L).count())
+    timed("vacuum to the live version")(
+      Snapshots.vacuum(spark, dir, 5L))
+    }
+
     if (sections("skew")) {
     // Hot-key join at 30x nDocs fact rows, ONE key holding 90%: the
     // q17 correctness gate's PERFORMANCE claim, measured. Broadcast

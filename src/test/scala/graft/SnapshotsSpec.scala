@@ -99,6 +99,115 @@ class SnapshotsSpec extends SparkSuite {
     assert(Snapshots.compact(spark, dir, "bucket", Seq("key")) === 3L)
   }
 
+  test("merge upserts: matched keys replaced, new keys inserted (incl. a " +
+    "brand-new bucket), untouched buckets share files, old version intact") {
+    val dir = tmpDir("mrg")
+    Snapshots.publish(fixture, dir, "bucket", Seq("key"))
+    // updates: modify keys 0..4 (bucket 0), insert keys 1000..1004 (new bucket 3)
+    val updates = fixture.filter(col("key") < 5)
+      .withColumn("payload", col("payload") + 100000L)
+      .unionByName(
+        fixture.filter(col("key") >= 5 && col("key") < 10)
+          .withColumn("key", col("key") + 1000L)
+          .withColumn("payload", lit(-1L))
+          .withColumn("bucket", expr("key div 300")))
+    val v2 = Snapshots.merge(updates, dir, "bucket", Seq("key"), Seq("key"))
+    assert(v2 === 2L)
+    val got = Snapshots.read(spark, dir)
+      .select("key", "payload").as[(Long, Long)].collect().toMap
+    assert(got.size === 905)
+    (0L until 5L).foreach(k =>
+      assert(got(k) > 100000L - 1, s"key $k must carry the updated payload"))
+    (1005L until 1010L).foreach(k => assert(got(k) === -1L, s"insert $k"))
+    assert(got(10L) === fixture.filter(col("key") === 10)
+      .select("payload").as[Long].head())
+    // untouched buckets (1, 2) share files byte-for-byte with v1
+    val f1 = Snapshots.files(spark, dir, 1).toSet
+    val f2 = Snapshots.files(spark, dir, 2).toSet
+    def bOf(rel: String) = rel.split("/").find(_.startsWith("bucket=")).get
+    assert(f1.filter(f => bOf(f) != "bucket=0") ===
+      f2.filter(f => bOf(f) != "bucket=0" && bOf(f) != "bucket=3"))
+    assert(f2.exists(bOf(_) == "bucket=3"), "new bucket staged")
+    // time travel across the merge: v1 unchanged
+    assert(Snapshots.readAt(spark, dir, 1).count() === 900L)
+    assert(Snapshots.readAt(spark, dir, 1).filter(col("key") >= 1000).count() === 0L)
+    // empty update batch commits nothing
+    assert(Snapshots.merge(updates.filter(col("key") < -1), dir,
+      "bucket", Seq("key"), Seq("key")) === 2L)
+    // column-set mismatch refused
+    intercept[IllegalArgumentException](
+      Snapshots.merge(updates.withColumn("extra", lit(1)), dir,
+        "bucket", Seq("key"), Seq("key")))
+  }
+
+  test("diff emits exact multiset inserts/deletes; a compaction's diff is " +
+    "EMPTY; spans across several versions stay exact") {
+    val dir = tmpDir("dif")
+    Snapshots.publish(fixture, dir, "bucket", Seq("key"))
+    // duplicate keys 0..4 with a marker payload (fragments bucket 0)
+    Snapshots.append(fixture.filter(col("key") < 5)
+      .withColumn("payload", lit(-7L)), dir, "bucket", Seq("key"))
+    val d12 = Snapshots.diff(spark, dir, 1L, 2L)
+    assert(d12.filter(col("_change") === "insert").count() === 5L)
+    assert(d12.filter(col("_change") === "insert")
+      .select("payload").as[Long].collect().forall(_ === -7L))
+    assert(d12.filter(col("_change") === "delete").count() === 0L)
+    // compaction: same rows, different files -> empty diff
+    val v3 = Snapshots.compact(spark, dir, "bucket", Seq("key"))
+    assert(v3 === 3L)
+    assert(Snapshots.diff(spark, dir, 2L, 3L).count() === 0L)
+    // merge: replaced rows appear as delete + insert pairs
+    val updates = fixture.filter(col("key") >= 10 && col("key") < 15)
+      .withColumn("payload", col("payload") + 777777L)
+    Snapshots.merge(updates, dir, "bucket", Seq("key"), Seq("key"))
+    val d34 = Snapshots.diff(spark, dir, 3L, 4L)
+    assert(d34.filter(col("_change") === "insert").count() === 5L)
+    assert(d34.filter(col("_change") === "delete").count() === 5L)
+    assert(d34.filter(col("_change") === "insert")
+      .select("payload").as[Long].collect().forall(_ >= 777777L))
+    // multi-version span: v1 -> v4 = dups inserted + 5 replaced
+    val d14 = Snapshots.diff(spark, dir, 1L, 4L)
+    assert(d14.filter(col("_change") === "insert").count() === 10L)
+    assert(d14.filter(col("_change") === "delete").count() === 5L)
+    // identical versions diff empty (and schema survives the edge)
+    assert(Snapshots.diff(spark, dir, 4L, 4L).count() === 0L)
+  }
+
+  test("mergeBatch EXACTLY-ONCE: a replayed batch id is a no-op even with " +
+    "different data (the ledger decides, not the content); the foreachBatch " +
+    "sink applies a real stream batch once") {
+    val dir = tmpDir("eos")
+    Snapshots.publish(fixture, dir, "bucket", Seq("key"))
+    val upd = fixture.filter(col("key") < 5).withColumn("payload", lit(111L))
+    assert(Snapshots.mergeBatch(42L, upd, dir, "bucket", Seq("key"), Seq("key")) === 2L)
+    assert(Snapshots.appliedBatches(spark, dir) === Set(42L))
+    // replay with DIFFERENT content — still absorbed
+    val poison = fixture.filter(col("key") < 3).withColumn("payload", lit(-999L))
+    assert(Snapshots.mergeBatch(42L, poison, dir, "bucket", Seq("key"), Seq("key")) === 2L)
+    assert(Snapshots.versions(spark, dir) === Seq(1L, 2L))
+    val pay = Snapshots.read(spark, dir).filter(col("key") < 5)
+      .select("payload").as[Long].collect().toSeq
+    assert(pay.size === 5 && pay.forall(_ === 111L), s"replay must not apply: $pay")
+    // a NEW id applies
+    assert(Snapshots.mergeBatch(43L, poison, dir, "bucket", Seq("key"), Seq("key")) === 3L)
+    assert(Snapshots.appliedBatches(spark, dir) === Set(42L, 43L))
+    // real Structured Streaming plumbing: file stream -> foreachBatch
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_eos_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_eos_ck").toString
+    fixture.filter(col("key") >= 890).withColumn("payload", lit(222L))
+      .write.mode("overwrite").parquet(srcDir)
+    val q = spark.readStream.schema(fixture.schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch(Snapshots.foreachBatchMerge(dir, "bucket", Seq("key"), Seq("key")))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(Snapshots.appliedBatches(spark, dir) === Set(0L, 42L, 43L))
+    val streamed = Snapshots.read(spark, dir).filter(col("key") >= 890)
+      .select("payload").as[Long].collect().toSeq
+    assert(streamed.size === 10 && streamed.forall(_ === 222L))
+  }
+
   test("vacuum drops old versions and deletes exactly the files no kept " +
     "version references; shared files survive") {
     val dir = tmpDir("vac")
