@@ -186,24 +186,33 @@ object Layout {
         else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
         else Seq.empty
       }
-    dataFiles(dirPath).flatMap { f =>
-      val bucket = f.getPath.getParent.getName match {
+    rowGroupStatsFiles(spark, dataFiles(dirPath).map(_.getPath.toString), keyCol)
+  }
+
+  /** [[rowGroupStats]] for an EXPLICIT file list (a manifest read —
+    * what a snapshot table's scan planner consults): stats carry the
+    * caller's path strings verbatim so survivors map back 1:1. */
+  def rowGroupStatsFiles(spark: SparkSession, paths: Seq[String],
+                         keyCol: String): Seq[RowGroupStat] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    paths.flatMap { p0 =>
+      val p = new org.apache.hadoop.fs.Path(p0)
+      val bucket = p.getParent.getName match {
         case s if s.contains("=") =>
           scala.util.Try(s.substring(s.indexOf('=') + 1).toLong).toOption
         case _ => None
       }
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, hconf))
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
       try {
         rd.getFooter.getBlocks.asScala.toSeq.map { b =>
           val st = b.getColumns.asScala
             .find(_.getPath.toDotString == keyCol)
             .getOrElse(throw new IllegalArgumentException(
-              s"rowGroupStats: no column '$keyCol' in ${f.getPath}"))
+              s"rowGroupStats: no column '$keyCol' in $p0"))
             .getStatistics
             .asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
-          RowGroupStat(f.getPath.toString, bucket, b.getRowCount,
-            st.getMin, st.getMax)
+          RowGroupStat(p0, bucket, b.getRowCount, st.getMin, st.getMax)
         }
       } finally rd.close()
     }

@@ -123,8 +123,15 @@ object Snapshots {
         else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
         else Seq.empty
       }
-    walk(new org.apache.hadoop.fs.Path(stageDir))
+    val staged = walk(new org.apache.hadoop.fs.Path(stageDir))
       .map(p => s"data/$token/" + p.toString.split(s"/data/$token/").last)
+    // a zero-file stage would commit a manifest no reader can resolve
+    // a schema from — almost certainly an empty input upstream; fail
+    // loudly rather than poison the version history
+    require(staged.nonEmpty,
+      s"stage produced no data files under $stageDir — refusing to " +
+        "commit an unreadable version (empty input?)")
+    staged
   }
 
   /** Publish the FIRST version of a snapshot table. */
@@ -155,14 +162,17 @@ object Snapshots {
 
   /** Read a set of manifest-relative files, bucket column recovered.
     * Files are grouped by staging token so partition discovery gets
-    * one basePath per group, then unioned. */
+    * one basePath per group, then unioned WITH null-fill for columns
+    * a group predates — ADDITIVE schema evolution (new columns
+    * appear over a table's life; old files read them as null; column
+    * DROPS are not supported and surface loudly at merge). */
   private def readFiles(spark: SparkSession, dir: String,
                         rels: Seq[String]): DataFrame = {
     val byToken = rels.groupBy(_.split("/")(1))
     byToken.toSeq.sortBy(_._1).map { case (token, fls) =>
       spark.read.option("basePath", s"$dir/data/$token")
         .parquet(fls.map(f => s"$dir/$f"): _*)
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Bucket value encoded in a manifest-relative file path. */
@@ -242,13 +252,18 @@ object Snapshots {
         if (existingFiles.isEmpty) updates
         else {
           val existing = readFiles(spark, dir, existingFiles)
-          require(existing.columns.toSet == updates.columns.toSet,
-            s"merge: update columns ${updates.columns.sorted.mkString(",")} " +
-              s"must match the target's ${existing.columns.sorted.mkString(",")}")
+          // additive evolution: updates may ADD columns (old rows
+          // null-fill on read); dropping target columns is refused
+          val dropped = existing.columns.toSet -- updates.columns.toSet
+          require(dropped.isEmpty,
+            s"merge: updates drop target columns ${dropped.toSeq.sorted.mkString(",")} " +
+              "— additive evolution only (add columns, never remove)")
           // align names AND types (partition discovery may narrow the
-          // bucket column) to the update side, then drop matched keys
+          // bucket column) to the update side, null-filling columns
+          // the target predates, then drop matched keys
           existing.select(updates.columns.map(c =>
-            col(c).cast(updates.schema(c).dataType)): _*)
+            (if (existing.columns.contains(c)) col(c)
+             else lit(null)).cast(updates.schema(c).dataType).as(c)): _*)
             .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
             .unionByName(updates)
         }
@@ -313,11 +328,33 @@ object Snapshots {
     lazy val empty = readFiles(spark, dir, files(spark, dir, vNew)).limit(0)
     val newSide = if (onlyNew.isEmpty) empty else readFiles(spark, dir, onlyNew)
     val oldSide = if (onlyOld.isEmpty) empty else readFiles(spark, dir, onlyOld)
-    // align partition-discovered column types across token groups
+    // align partition-discovered column types across token groups,
+    // null-filling columns the old side predates (additive evolution)
     val oldAligned = oldSide.select(newSide.columns.map(c =>
-      col(c).cast(newSide.schema(c).dataType)): _*)
+      (if (oldSide.columns.contains(c)) col(c)
+       else lit(null)).cast(newSide.schema(c).dataType).as(c)): _*)
     newSide.exceptAll(oldAligned).withColumn("_change", lit("insert"))
       .unionByName(oldAligned.exceptAll(newSide).withColumn("_change", lit("delete")))
+  }
+
+  /** Footer-pruned range scan of a VERSION — time travel composed
+    * with [[Layout]]'s min/max skipping: the manifest supplies the
+    * file list (no directory walk — unreferenced/orphaned files
+    * never consulted), real parquet footers supply per-row-group
+    * min/max, and only surviving files are read before the residual
+    * filter. Same rows as `readAt(v).filter(lo <= key < hi)`, I/O
+    * proportional to the predicate's key range within that
+    * version. */
+  def prunedScanAt(spark: SparkSession, dir: String, v: Long,
+                   keyCol: String, lo: Long, hi: Long): DataFrame = {
+    val rels = files(spark, dir, v)
+    val stats = Layout.rowGroupStatsFiles(spark,
+      rels.map(r => s"$dir/$r"), keyCol)
+    val surviving = stats.filter(s => s.max >= lo && s.min < hi)
+      .map(_.path.stripPrefix(s"$dir/")).distinct
+    val residual = col(keyCol) >= lo && col(keyCol) < hi
+    if (surviving.isEmpty) readFiles(spark, dir, rels).filter(residual).limit(0)
+    else readFiles(spark, dir, surviving).filter(residual)
   }
 
   /** Drop every version below `keepFrom` and delete the data files

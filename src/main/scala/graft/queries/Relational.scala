@@ -59,6 +59,8 @@ object Relational {
     "q165_bucketed_join" -> q165,
     "q166_snapshot_diff" -> q166,
     "q167_idempotent_sink" -> q167,
+    "q168_schema_evolution" -> q168,
+    "q169_snapshot_prune" -> q169,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -896,6 +898,105 @@ object Relational {
       .orderBy(col("section"), col("label"))
   }
 
+  /** ADDITIVE schema evolution under the gate — the drift every
+    * months-long table accumulates (new columns appear; q160 gated
+    * Avro's reader-side resolution, this gates the SNAPSHOT TABLE's:
+    * [[graft.operators.Snapshots]] null-fills columns a file
+    * predates at read time, refuses drops at merge time): orders
+    * published as v1, then a merge whose update batch CARRIES A NEW
+    * COLUMN `o_src` (modified keys ≡ 0 mod 5, price +1.00, status
+    * 'E', src 'b2'). Sections inside one hash: v1's fold on the old
+    * schema (unchanged after the evolution — time travel ignores
+    * the new column entirely), v2's fold WITH the src surface
+    * (coalesced — old rows must read exactly null), and the
+    * null/new-value counts. */
+  def q168(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import spark.implicits._
+    val W = 1024L
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_evo_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    val src = Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    val v1 = Snapshots.publish(src, out, "bucket", Seq("o_orderkey"))
+    val evolved = src.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .withColumn("o_orderstatus", lit("E"))
+      .withColumn("o_src", lit("b2"))
+    val v2 = Snapshots.merge(evolved, out, "bucket",
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    def fold(df: DataFrame, h: Column): (Long, Long, Long) = {
+      val r = df.withColumn("h", h)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+          coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val hSrc = {
+      val canon = concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        (dec2(col("o_totalprice")) * 100).cast("long"),
+        coalesce(col("o_src"), lit("-")))
+      conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    }
+    val (c1, x1, s1) = fold(Snapshots.readAt(spark, out, v1), ordersRowHash)
+    val (c2, x2, s2) = fold(Snapshots.readAt(spark, out, v2), hSrc)
+    val back = Snapshots.readAt(spark, out, v2)
+    val nulls = back.agg(
+      sum(when(col("o_src").isNull, 1L).otherwise(0L)),
+      sum(when(col("o_src") === "b2", 1L).otherwise(0L))).collect()(0)
+    Seq(
+      ("read_v1_oldschema", "fold", c1, x1, s1),
+      ("read_v2_withsrc", "fold", c2, x2, s2),
+      ("src_counts", "nulls_b2", nulls.getLong(0), nulls.getLong(1), 0L))
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"))
+  }
+
+  /** Footer pruning composed with TIME TRAVEL under the gate
+    * ([[graft.operators.Snapshots.prunedScanAt]] — the manifest
+    * supplies the file list, real footers supply row-group min/max,
+    * only survivors are read): orders published as v1, q164's
+    * modify batch merged as v2, then every q156 key-range predicate
+    * pruned-scanned AT BOTH VERSIONS. The folds must equal the
+    * oracle's plain WHERE over each version's restated content —
+    * v1's scans see pre-merge prices/statuses through pruned reads
+    * even though newer files exist on disk, and p3's empty range
+    * stays empty. I/O per scan ∝ the range's surviving files within
+    * that version. */
+  def q169(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import spark.implicits._
+    val W = 1024L
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_tprune_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    val src = Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    val v1 = Snapshots.publish(src, out, "bucket", Seq("o_orderkey"))
+    val mods = src.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .withColumn("o_orderstatus", lit("U"))
+    val v2 = Snapshots.merge(mods, out, "bucket",
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    val rows = Seq((v1, "v1"), (v2, "v2")).flatMap { case (v, vl) =>
+      publishPreds.map { case (lbl, lo, hi) =>
+        val r = Snapshots.prunedScanAt(spark, out, v, "o_orderkey", lo, hi)
+          .withColumn("h", ordersRowHash)
+          .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+            coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+        (vl, lbl, r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+    }
+    rows.toDF("version", "pred", "m1", "m2", "m3")
+      .orderBy(col("version"), col("pred"))
+  }
+
   /** Bucketed-table sort-merge join under the gate — the co-located
     * fact-fact join that removes the query-time shuffle entirely
     * (the q17 salted join's complement: salt when you cannot
@@ -1217,6 +1318,71 @@ object Relational {
          |SELECT * FROM rd UNION ALL SELECT * FROM fl
          |UNION ALL SELECT * FROM vc UNION ALL SELECT * FROM af
          |ORDER BY section, label""".stripMargin
+    },
+    // q168: v1 restated on the old schema straight off orders
+    // (evolution must not touch it); v2 restated with the src
+    // surface coalesced — old rows MUST read null ('-' in the fold).
+    "q168_schema_evolution" -> {
+      def h(extra: String) =
+        s"""list_reduce(list_transform(generate_series(1, 15),
+           |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)$extra), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+           |      (a, x) -> a * 16 + x)""".stripMargin
+      s"""WITH v2rows AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_totalprice,
+         |    CAST(NULL AS VARCHAR) AS o_src
+         |  FROM orders WHERE o_orderkey % 5 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, 'E', o_orderdate, o_totalprice + 1.0, 'b2'
+         |  FROM orders WHERE o_orderkey % 5 = 0),
+         |h1 AS (SELECT ${h("")} AS h FROM orders),
+         |h2 AS (SELECT ${h(" || '|' || coalesce(o_src, '-')")} AS h FROM v2rows)
+         |SELECT 'read_v1_oldschema' AS section, 'fold' AS label, count(*) AS m1,
+         |  CAST(bit_xor(h) AS BIGINT) AS m2, CAST(sum(h % 1000000000000) AS BIGINT) AS m3
+         |FROM h1
+         |UNION ALL
+         |SELECT 'read_v2_withsrc', 'fold', count(*),
+         |  CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h2
+         |UNION ALL
+         |SELECT 'src_counts', 'nulls_b2',
+         |  (SELECT count(*) FROM orders WHERE o_orderkey % 5 <> 0),
+         |  (SELECT count(*) FROM orders WHERE o_orderkey % 5 = 0), 0
+         |ORDER BY section""".stripMargin
+    },
+    // q169: each (version, predicate) fold restated as a plain WHERE
+    // over that version's content — v1 = orders as-is, v2 = the
+    // modify batch applied; pruning must change nothing.
+    "q169_snapshot_prune" -> {
+      val canon = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+        "o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      s"""WITH v2rows AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, 'U', o_orderdate, o_totalprice + 1.0
+         |  FROM orders WHERE o_orderkey % 7 = 0),
+         |h1 AS (SELECT o_orderkey AS k, list_reduce(list_transform(generate_series(1, 15),
+         |    i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+         |    (a, x) -> a * 16 + x) AS h FROM orders),
+         |h2 AS (SELECT o_orderkey AS k, list_reduce(list_transform(generate_series(1, 15),
+         |    i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+         |    (a, x) -> a * 16 + x) AS h FROM v2rows),
+         |p AS (SELECT * FROM (VALUES
+         |  ('p1_low', 256, 1280), ('p2_all', 0, 1099511627776),
+         |  ('p3_none', 1073741824, 1073741924), ('p4_point', 777, 778))
+         |  AS t(label, lo, hi))
+         |SELECT 'v1' AS version, p.label AS pred, count(x.k) AS m1,
+         |  CAST(coalesce(bit_xor(x.h), 0) AS BIGINT) AS m2,
+         |  CAST(coalesce(sum(x.h % 1000000000000), 0) AS BIGINT) AS m3
+         |FROM p LEFT JOIN h1 x ON x.k >= p.lo AND x.k < p.hi
+         |GROUP BY p.label
+         |UNION ALL
+         |SELECT 'v2', p.label, count(x.k),
+         |  CAST(coalesce(bit_xor(x.h), 0) AS BIGINT),
+         |  CAST(coalesce(sum(x.h % 1000000000000), 0) AS BIGINT)
+         |FROM p LEFT JOIN h2 x ON x.k >= p.lo AND x.k < p.hi
+         |GROUP BY p.label
+         |ORDER BY version, pred""".stripMargin
     },
     // q167: state/ledger are constants (the replay committed
     // nothing); the final read is q164's apply-once v2 content —

@@ -134,10 +134,52 @@ class SnapshotsSpec extends SparkSuite {
     // empty update batch commits nothing
     assert(Snapshots.merge(updates.filter(col("key") < -1), dir,
       "bucket", Seq("key"), Seq("key")) === 2L)
-    // column-set mismatch refused
+    // DROPPING a target column is refused (additive evolution only)
     intercept[IllegalArgumentException](
-      Snapshots.merge(updates.withColumn("extra", lit(1)), dir,
+      Snapshots.merge(updates.drop("payload"), dir,
         "bucket", Seq("key"), Seq("key")))
+  }
+
+  test("ADDITIVE schema evolution: a merge may add columns — old rows read " +
+    "them as null, diff spans the boundary, dropping is refused") {
+    val dir = tmpDir("evo")
+    Snapshots.publish(fixture, dir, "bucket", Seq("key"))
+    val evolved = fixture.filter(col("key") < 5)
+      .withColumn("payload", col("payload") + 1L)
+      .withColumn("src", lit("batch2"))
+    Snapshots.merge(evolved, dir, "bucket", Seq("key"), Seq("key"))
+    val back = Snapshots.read(spark, dir)
+    assert(back.columns.contains("src"))
+    assert(back.filter(col("src") === "batch2").count() === 5L)
+    assert(back.filter(col("src").isNull).count() === 895L,
+      "rows the column predates read as null")
+    assert(back.count() === 900L)
+    // diff across the evolution boundary: deletes carry null src
+    val d = Snapshots.diff(spark, dir, 1L, 2L)
+    assert(d.filter(col("_change") === "delete").count() === 5L)
+    assert(d.filter(col("_change") === "delete" && col("src").isNull).count() === 5L)
+    assert(d.filter(col("_change") === "insert" && col("src") === "batch2").count() === 5L)
+  }
+
+  test("prunedScanAt: footer min/max pruning composes with time travel — " +
+    "same rows as the filtered full read, per version") {
+    val dir = tmpDir("psc")
+    Snapshots.publish(fixture, dir, "bucket", Seq("key"))
+    Snapshots.merge(fixture.filter(col("key") >= 100 && col("key") < 110)
+      .withColumn("payload", lit(0L)), dir, "bucket", Seq("key"), Seq("key"))
+    for (v <- Seq(1L, 2L); (lo, hi) <- Seq((100L, 200L), (0L, 2000L), (5000L, 6000L))) {
+      val pruned = Snapshots.prunedScanAt(spark, dir, v, "key", lo, hi)
+        .select("key", "payload").as[(Long, Long)].collect().sorted.toSeq
+      val full = Snapshots.readAt(spark, dir, v)
+        .filter(col("key") >= lo && col("key") < hi)
+        .select("key", "payload").as[(Long, Long)].collect().sorted.toSeq
+      assert(pruned === full, s"v$v [$lo,$hi)")
+    }
+    // the v2 pruned scan sees the merged payloads; the v1 scan does not
+    assert(Snapshots.prunedScanAt(spark, dir, 2L, "key", 100L, 110L)
+      .select("payload").as[Long].collect().forall(_ === 0L))
+    assert(Snapshots.prunedScanAt(spark, dir, 1L, "key", 100L, 110L)
+      .select("payload").as[Long].collect().forall(_ !== 0L))
   }
 
   test("diff emits exact multiset inserts/deletes; a compaction's diff is " +
@@ -206,6 +248,15 @@ class SnapshotsSpec extends SparkSuite {
     val streamed = Snapshots.read(spark, dir).filter(col("key") >= 890)
       .select("payload").as[Long].collect().toSeq
     assert(streamed.size === 10 && streamed.forall(_ === 222L))
+  }
+
+  test("FAILS LOUDLY: publishing an empty frame refuses to commit an " +
+    "unreadable zero-file version") {
+    val dir = tmpDir("mt")
+    val e = intercept[IllegalArgumentException](
+      Snapshots.publish(fixture.filter(col("key") < 0), dir, "bucket", Seq("key")))
+    assert(e.getMessage.contains("no data files"))
+    assert(Snapshots.versions(spark, dir).isEmpty, "nothing committed")
   }
 
   test("vacuum drops old versions and deletes exactly the files no kept " +
