@@ -345,15 +345,23 @@ object Snapshots {
     * filter. Same rows as `readAt(v).filter(lo <= key < hi)`, I/O
     * proportional to the predicate's key range within that
     * version. */
+  /** Footer stats for version `v`'s files — compute once and pass to
+    * repeated [[prunedScanAt]] calls over the same version (a scan
+    * planner caches exactly this). */
+  def versionStats(spark: SparkSession, dir: String, v: Long,
+                   keyCol: String): Seq[Layout.RowGroupStat] =
+    Layout.rowGroupStatsFiles(spark,
+      files(spark, dir, v).map(r => s"$dir/$r"), keyCol)
+
   def prunedScanAt(spark: SparkSession, dir: String, v: Long,
-                   keyCol: String, lo: Long, hi: Long): DataFrame = {
-    val rels = files(spark, dir, v)
-    val stats = Layout.rowGroupStatsFiles(spark,
-      rels.map(r => s"$dir/$r"), keyCol)
-    val surviving = stats.filter(s => s.max >= lo && s.min < hi)
+                   keyCol: String, lo: Long, hi: Long,
+                   stats: Option[Seq[Layout.RowGroupStat]] = None): DataFrame = {
+    val st = stats.getOrElse(versionStats(spark, dir, v, keyCol))
+    val surviving = st.filter(s => s.max >= lo && s.min < hi)
       .map(_.path.stripPrefix(s"$dir/")).distinct
     val residual = col(keyCol) >= lo && col(keyCol) < hi
-    if (surviving.isEmpty) readFiles(spark, dir, rels).filter(residual).limit(0)
+    if (surviving.isEmpty)
+      readFiles(spark, dir, files(spark, dir, v)).filter(residual).limit(0)
     else readFiles(spark, dir, surviving).filter(residual)
   }
 

@@ -61,6 +61,7 @@ object Relational {
     "q167_idempotent_sink" -> q167,
     "q168_schema_evolution" -> q168,
     "q169_snapshot_prune" -> q169,
+    "q170_lakehouse_e2e" -> q170,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -443,7 +444,7 @@ object Relational {
   /** The gated PUBLISH round trip (the r7 verdict's task #1 — the
     * "save the output" step every real pipeline runs last; reference
     * main.py computes frames and never writes one): orders bucketed
-    * by `o_orderkey div 1024`, published as a key-sorted,
+    * by `o_orderkey div 8192`, published as a key-sorted,
     * bucket-partitioned parquet dataset behind a PASSING constraint
     * suite ([[graft.operators.Layout.publishChecked]] — the q153
     * gate moved to where it matters, before the data ships), then
@@ -475,7 +476,7 @@ object Relational {
   def q156(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Constraints, Layout}
     import spark.implicits._
-    val W = 1024L
+    val W = 8192L
     val out = sys.props("java.io.tmpdir").stripSuffix("/") +
       "/graft_publish_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     val src = Tables.orders(spark, dir)
@@ -547,7 +548,7 @@ object Relational {
   def q161(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Layout
     import spark.implicits._
-    val W = 1024L
+    val W = 8192L
     val out = sys.props("java.io.tmpdir").stripSuffix("/") +
       "/graft_compact_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     val src = Tables.orders(spark, dir)
@@ -628,7 +629,7 @@ object Relational {
   def q162(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Snapshots
     import spark.implicits._
-    val W = 1024L
+    val W = 8192L
     val out = sys.props("java.io.tmpdir").stripSuffix("/") +
       "/graft_snap_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     // fresh table per run (publish refuses an existing history)
@@ -696,7 +697,7 @@ object Relational {
   def q164(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Snapshots
     import spark.implicits._
-    val W = 1024L
+    val W = 8192L
     val out = sys.props("java.io.tmpdir").stripSuffix("/") +
       "/graft_merge_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     new org.apache.hadoop.fs.Path(out)
@@ -805,7 +806,7 @@ object Relational {
   def q166(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Snapshots
     import spark.implicits._
-    val W = 1024L
+    val W = 8192L
     val out = sys.props("java.io.tmpdir").stripSuffix("/") +
       "/graft_diff_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     new org.apache.hadoop.fs.Path(out)
@@ -862,7 +863,7 @@ object Relational {
   def q167(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Snapshots
     import spark.implicits._
-    val W = 1024L
+    val W = 8192L
     val out = sys.props("java.io.tmpdir").stripSuffix("/") +
       "/graft_eos_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     new org.apache.hadoop.fs.Path(out)
@@ -913,7 +914,7 @@ object Relational {
   def q168(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Snapshots
     import spark.implicits._
-    val W = 1024L
+    val W = 8192L
     val out = sys.props("java.io.tmpdir").stripSuffix("/") +
       "/graft_evo_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     new org.apache.hadoop.fs.Path(out)
@@ -970,7 +971,7 @@ object Relational {
   def q169(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Snapshots
     import spark.implicits._
-    val W = 1024L
+    val W = 8192L
     val out = sys.props("java.io.tmpdir").stripSuffix("/") +
       "/graft_tprune_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     new org.apache.hadoop.fs.Path(out)
@@ -985,8 +986,11 @@ object Relational {
     val v2 = Snapshots.merge(mods, out, "bucket",
       Seq("o_orderkey"), Seq("o_orderkey"))
     val rows = Seq((v1, "v1"), (v2, "v2")).flatMap { case (v, vl) =>
+      // one footer walk per version, shared across the predicates —
+      // exactly the cache a scan planner keeps
+      val stats = Some(Snapshots.versionStats(spark, out, v, "o_orderkey"))
       publishPreds.map { case (lbl, lo, hi) =>
-        val r = Snapshots.prunedScanAt(spark, out, v, "o_orderkey", lo, hi)
+        val r = Snapshots.prunedScanAt(spark, out, v, "o_orderkey", lo, hi, stats)
           .withColumn("h", ordersRowHash)
           .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
             coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
@@ -995,6 +999,80 @@ object Relational {
     }
     rows.toDF("version", "pred", "m1", "m2", "m3")
       .orderBy(col("version"), col("pred"))
+  }
+
+  /** The TABLE-FORMAT family END-TO-END under one gate (the
+    * q127/q140/q150 chain discipline: each stage is gated standalone
+    * — q162 snapshots, q161/q162 compaction, q164 merge, q168
+    * evolution, q169 pruning, q162 vacuum — this pins the PLUMBING
+    * between them across one table's whole life): three residue
+    * loads → compact → an EVOLVED merge (new column) → a pruned
+    * range scan of the final version → vacuum to the live version →
+    * the survivor re-read. Sections inside one hash: per-version
+    * 'chain' folds (v4's must equal v3's — compaction invisible in
+    * content; v5's carries the coalesced src surface), the 'prune'
+    * fold over the evolved final version, the 'vacuum' file
+    * arithmetic (deleted = every file the five versions ever wrote
+    * minus the live manifest — restated from residue counts), and
+    * the 'final' post-vacuum fold + version count. */
+  def q170(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import spark.implicits._
+    val W = 8192L
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_lake_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    val src = Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    val v1 = Snapshots.publish(src.filter(col("o_orderkey") % 3 === 0), out,
+      "bucket", Seq("o_orderkey"))
+    val v2 = Snapshots.append(src.filter(col("o_orderkey") % 3 === 1), out,
+      "bucket", Seq("o_orderkey"))
+    val v3 = Snapshots.append(src.filter(col("o_orderkey") % 3 === 2), out,
+      "bucket", Seq("o_orderkey"))
+    val v4 = Snapshots.compact(spark, out, "bucket", Seq("o_orderkey"))
+    val evolved = src.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .withColumn("o_orderstatus", lit("E"))
+      .withColumn("o_src", lit("b2"))
+    val v5 = Snapshots.merge(evolved, out, "bucket",
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    val hSrc = {
+      val canon = concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        (dec2(col("o_totalprice")) * 100).cast("long"),
+        coalesce(col("o_src"), lit("-")))
+      conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    }
+    def fold(df: DataFrame, h: Column): (Long, Long, Long) = {
+      val r = df.withColumn("h", h)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+          coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val chain = Seq(v1, v2, v3, v4).zipWithIndex.map { case (v, i) =>
+      val (c, x, s) = fold(Snapshots.readAt(spark, out, v), ordersRowHash)
+      ("chain", f"v${i + 1}%04d", c, x, s)
+    } :+ {
+      val (c, x, s) = fold(Snapshots.readAt(spark, out, v5), hSrc)
+      ("chain", "v0005", c, x, s)
+    }
+    val prune = {
+      val (c, x, s) = fold(
+        Snapshots.prunedScanAt(spark, out, v5, "o_orderkey", 256L, 1280L), hSrc)
+      Seq(("prune", "p1_low", c, x, s))
+    }
+    val (dropped, deleted, kept) = Snapshots.vacuum(spark, out, v5)
+    val vac = Seq(("vacuum", "only", dropped, deleted, kept))
+    val (fc, fx, _) = fold(Snapshots.read(spark, out), hSrc)
+    val fin = Seq(("final", "live", fc, fx,
+      Snapshots.versions(spark, out).size.toLong))
+    (chain ++ prune ++ vac ++ fin)
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
   }
 
   /** Bucketed-table sort-merge join under the gate — the co-located
@@ -1179,7 +1257,7 @@ object Relational {
         "o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || " +
         "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
       s"""WITH b AS (
-         |  SELECT *, o_orderkey // 1024 AS bucket,
+         |  SELECT *, o_orderkey // 8192 AS bucket,
          |    list_reduce(list_transform(generate_series(1, 15),
          |      i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
          |      (a, x) -> a * 16 + x) AS h
@@ -1222,7 +1300,7 @@ object Relational {
         "o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || " +
         "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
       s"""WITH b AS (
-         |  SELECT *, o_orderkey // 1024 AS bucket,
+         |  SELECT *, o_orderkey // 8192 AS bucket,
          |    list_reduce(list_transform(generate_series(1, 15),
          |      i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
          |      (a, x) -> a * 16 + x) AS h
@@ -1277,7 +1355,7 @@ object Relational {
         "o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || " +
         "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
       s"""WITH b AS (
-         |  SELECT *, o_orderkey // 1024 AS bucket, o_orderkey % 3 AS res,
+         |  SELECT *, o_orderkey // 8192 AS bucket, o_orderkey % 3 AS res,
          |    list_reduce(list_transform(generate_series(1, 15),
          |      i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
          |      (a, x) -> a * 16 + x) AS h
@@ -1317,6 +1395,65 @@ object Relational {
          |  FROM b)
          |SELECT * FROM rd UNION ALL SELECT * FROM fl
          |UNION ALL SELECT * FROM vc UNION ALL SELECT * FROM af
+         |ORDER BY section, label""".stripMargin
+    },
+    // q170: the whole table life restated — per-version residue
+    // subsets (v4 == v3: compaction invisible in content), the
+    // evolved v5 with the coalesced src surface, the pruned range
+    // over v5, and vacuum's files-ever-minus-live arithmetic.
+    "q170_lakehouse_e2e" -> {
+      val hb =
+        """list_reduce(list_transform(generate_series(1, 15),
+          |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+          |      (a, x) -> a * 16 + x)""".stripMargin
+      val hs =
+        """list_reduce(list_transform(generate_series(1, 15),
+          |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR) || '|' || coalesce(o_src, '-')), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+          |      (a, x) -> a * 16 + x)""".stripMargin
+      s"""WITH b AS (
+         |  SELECT *, o_orderkey // 8192 AS bucket, o_orderkey % 3 AS res3,
+         |    $hb AS h
+         |  FROM orders),
+         |v5rows AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_totalprice,
+         |    CAST(NULL AS VARCHAR) AS o_src
+         |  FROM orders WHERE o_orderkey % 5 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, 'E', o_orderdate, o_totalprice + 1.0, 'b2'
+         |  FROM orders WHERE o_orderkey % 5 = 0),
+         |h5 AS (SELECT o_orderkey AS k, $hs AS h FROM v5rows),
+         |per AS (SELECT bucket, count(DISTINCT res3) AS nres FROM b GROUP BY bucket),
+         |fragn AS (SELECT count(*) AS nf FROM per WHERE nres >= 2),
+         |t5 AS (SELECT count(DISTINCT bucket) AS n FROM b WHERE o_orderkey % 5 = 0),
+         |nb AS (SELECT count(DISTINCT bucket) AS n FROM b),
+         |chain AS (
+         |  SELECT 'chain' AS section, 'v0001' AS label, count(*) AS m1,
+         |    CAST(bit_xor(h) AS BIGINT) AS m2,
+         |    CAST(sum(h % 1000000000000) AS BIGINT) AS m3 FROM b WHERE res3 = 0
+         |  UNION ALL SELECT 'chain', 'v0002', count(*), CAST(bit_xor(h) AS BIGINT),
+         |    CAST(sum(h % 1000000000000) AS BIGINT) FROM b WHERE res3 <= 1
+         |  UNION ALL SELECT 'chain', 'v0003', count(*), CAST(bit_xor(h) AS BIGINT),
+         |    CAST(sum(h % 1000000000000) AS BIGINT) FROM b
+         |  UNION ALL SELECT 'chain', 'v0004', count(*), CAST(bit_xor(h) AS BIGINT),
+         |    CAST(sum(h % 1000000000000) AS BIGINT) FROM b
+         |  UNION ALL SELECT 'chain', 'v0005', count(*), CAST(bit_xor(h) AS BIGINT),
+         |    CAST(sum(h % 1000000000000) AS BIGINT) FROM h5),
+         |pr AS (
+         |  SELECT 'prune' AS section, 'p1_low' AS label, count(*) AS m1,
+         |    CAST(coalesce(bit_xor(h), 0) AS BIGINT) AS m2,
+         |    CAST(coalesce(sum(h % 1000000000000), 0) AS BIGINT) AS m3
+         |  FROM h5 WHERE k >= 256 AND k < 1280),
+         |vac AS (
+         |  SELECT 'vacuum' AS section, 'only' AS label,
+         |    CAST(CASE WHEN (SELECT nf FROM fragn) > 0 THEN 4 ELSE 3 END AS BIGINT) AS m1,
+         |    CAST((SELECT sum(nres) FROM per) + (SELECT nf FROM fragn)
+         |      + (SELECT n FROM t5) - (SELECT n FROM nb) AS BIGINT) AS m2,
+         |    CAST((SELECT n FROM nb) AS BIGINT) AS m3),
+         |fin AS (
+         |  SELECT 'final' AS section, 'live' AS label, count(*) AS m1,
+         |    CAST(bit_xor(h) AS BIGINT) AS m2, CAST(1 AS BIGINT) AS m3 FROM h5)
+         |SELECT * FROM chain UNION ALL SELECT * FROM pr
+         |UNION ALL SELECT * FROM vac UNION ALL SELECT * FROM fin
          |ORDER BY section, label""".stripMargin
     },
     // q168: v1 restated on the old schema straight off orders
@@ -1490,9 +1627,9 @@ object Relational {
          |  UNION ALL
          |  SELECT 'read', 'v0002', count(*),
          |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h2),
-         |oldb AS (SELECT count(DISTINCT o_orderkey // 1024) AS n FROM orders),
-         |newb AS (SELECT count(DISTINCT o_orderkey // 1024) AS n FROM orders WHERE o_orderkey % 7 = 3),
-         |tch AS (SELECT count(DISTINCT o_orderkey // 1024) AS n FROM orders WHERE o_orderkey % 7 = 0),
+         |oldb AS (SELECT count(DISTINCT o_orderkey // 8192) AS n FROM orders),
+         |newb AS (SELECT count(DISTINCT o_orderkey // 8192) AS n FROM orders WHERE o_orderkey % 7 = 3),
+         |tch AS (SELECT count(DISTINCT o_orderkey // 8192) AS n FROM orders WHERE o_orderkey % 7 = 0),
          |fl AS (
          |  SELECT 'files' AS section, 'v0001' AS label,
          |    CAST((SELECT n FROM oldb) AS BIGINT) AS m1,
