@@ -75,12 +75,26 @@ object Snapshots {
     manifestLines(spark, dir, v).filterNot(_.startsWith("#"))
 
   /** The streaming batch ids already applied to this table (the
-    * `#batch:` headers across all manifests) — the replay ledger
-    * [[mergeBatch]] consults for exactly-once sink semantics. */
+    * `#batch:` headers across all manifests) — the full ledger, for
+    * inspection/audit. O(versions); the hot-path replay check is
+    * [[lastAppliedBatch]]. */
   def appliedBatches(spark: SparkSession, dir: String): Set[Long] =
     versions(spark, dir).flatMap(v =>
       manifestLines(spark, dir, v).filter(_.startsWith("#batch:"))
         .map(_.stripPrefix("#batch:").toLong)).toSet
+
+  /** The HIGHEST applied batch id — found by scanning manifests
+    * newest-first and stopping at the first batch header (batch ids
+    * are monotone per streaming query, so the newest header carries
+    * the max). This keeps [[mergeBatch]]'s per-batch replay check at
+    * O(non-batch commits since the last batch), not O(all versions)
+    * — a stream sinking thousands of batches would otherwise pay a
+    * quadratic manifest re-scan over its life. */
+  def lastAppliedBatch(spark: SparkSession, dir: String): Option[Long] =
+    versions(spark, dir).reverseIterator
+      .map(v => manifestLines(spark, dir, v)
+        .find(_.startsWith("#batch:")).map(_.stripPrefix("#batch:").toLong))
+      .collectFirst { case Some(id) => id }
 
   /** Atomically commit `relFiles` as version `v`. Create-exclusive:
     * if `v` already exists (a racing writer won it), this throws and
@@ -283,7 +297,10 @@ object Snapshots {
     * current version. This is what makes a Structured Streaming
     * restart safe: the engine re-delivers the last unacknowledged
     * batch, the ledger absorbs it, the table state stays applied-
-    * once. Single-writer discipline (one streaming query per table)
+    * once. Batch ids are monotone per query, so "already applied" =
+    * "id ≤ [[lastAppliedBatch]]" — checked off the newest
+    * batch-bearing manifest only, never a full ledger scan.
+    * Single-writer discipline (one streaming query per table)
     * is the stated contract — foreachBatch already serializes
     * batches within a query; a second concurrent writer should go
     * through its own table and a downstream merge. */
@@ -293,8 +310,14 @@ object Snapshots {
                  blockSize: Long = 128L * 1024 * 1024,
                  numTasks: Int = 32): Long = {
     val spark = updates.sparkSession
-    if (appliedBatches(spark, dir).contains(batchId))
-      latest(spark, dir).get // replay: already applied, change nothing
+    // batch ids are MONOTONE per streaming query (Spark's checkpoint
+    // guarantees it), so any id <= the highest applied one is a
+    // re-delivery — absorbed without reading a single manifest
+    // beyond the newest batch-bearing one (the Delta-sink
+    // txn-version semantics; an all-manifests ledger scan per batch
+    // would go quadratic over a long stream's life)
+    if (lastAppliedBatch(spark, dir).exists(batchId <= _))
+      latest(spark, dir).get // re-delivery: already applied, change nothing
     else
       merge(updates, dir, bucketCol, keyCols, sortCols, blockSize,
         numTasks, meta = Seq(s"batch:$batchId"))

@@ -220,20 +220,9 @@ class SnapshotsSpec extends SparkSuite {
     "sink applies a real stream batch once") {
     val dir = tmpDir("eos")
     Snapshots.publish(fixture, dir, "bucket", Seq("key"))
-    val upd = fixture.filter(col("key") < 5).withColumn("payload", lit(111L))
-    assert(Snapshots.mergeBatch(42L, upd, dir, "bucket", Seq("key"), Seq("key")) === 2L)
-    assert(Snapshots.appliedBatches(spark, dir) === Set(42L))
-    // replay with DIFFERENT content — still absorbed
-    val poison = fixture.filter(col("key") < 3).withColumn("payload", lit(-999L))
-    assert(Snapshots.mergeBatch(42L, poison, dir, "bucket", Seq("key"), Seq("key")) === 2L)
-    assert(Snapshots.versions(spark, dir) === Seq(1L, 2L))
-    val pay = Snapshots.read(spark, dir).filter(col("key") < 5)
-      .select("payload").as[Long].collect().toSeq
-    assert(pay.size === 5 && pay.forall(_ === 111L), s"replay must not apply: $pay")
-    // a NEW id applies
-    assert(Snapshots.mergeBatch(43L, poison, dir, "bucket", Seq("key"), Seq("key")) === 3L)
-    assert(Snapshots.appliedBatches(spark, dir) === Set(42L, 43L))
-    // real Structured Streaming plumbing: file stream -> foreachBatch
+    // real Structured Streaming plumbing first (its ids start at 0;
+    // batch ids are monotone PER QUERY — the stated contract):
+    // file stream -> foreachBatch applies batch 0 once
     val srcDir = java.nio.file.Files.createTempDirectory("graft_eos_src").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_eos_ck").toString
     fixture.filter(col("key") >= 890).withColumn("payload", lit(222L))
@@ -244,10 +233,27 @@ class SnapshotsSpec extends SparkSuite {
       .option("checkpointLocation", ckpt)
       .start()
     try q.processAllAvailable() finally q.stop()
-    assert(Snapshots.appliedBatches(spark, dir) === Set(0L, 42L, 43L))
+    assert(Snapshots.appliedBatches(spark, dir) === Set(0L))
     val streamed = Snapshots.read(spark, dir).filter(col("key") >= 890)
       .select("payload").as[Long].collect().toSeq
     assert(streamed.size === 10 && streamed.forall(_ === 222L))
+    val upd = fixture.filter(col("key") < 5).withColumn("payload", lit(111L))
+    assert(Snapshots.mergeBatch(42L, upd, dir, "bucket", Seq("key"), Seq("key")) === 3L)
+    assert(Snapshots.lastAppliedBatch(spark, dir) === Some(42L))
+    // replay with DIFFERENT content — still absorbed
+    val poison = fixture.filter(col("key") < 3).withColumn("payload", lit(-999L))
+    assert(Snapshots.mergeBatch(42L, poison, dir, "bucket", Seq("key"), Seq("key")) === 3L)
+    // an id BELOW the high-water mark is also a re-delivery (monotone
+    // contract): absorbed, nothing committed
+    assert(Snapshots.mergeBatch(10L, poison, dir, "bucket", Seq("key"), Seq("key")) === 3L)
+    assert(Snapshots.versions(spark, dir) === Seq(1L, 2L, 3L))
+    val pay = Snapshots.read(spark, dir).filter(col("key") < 5)
+      .select("payload").as[Long].collect().toSeq
+    assert(pay.size === 5 && pay.forall(_ === 111L), s"replay must not apply: $pay")
+    // the next id applies
+    assert(Snapshots.mergeBatch(43L, poison, dir, "bucket", Seq("key"), Seq("key")) === 4L)
+    assert(Snapshots.appliedBatches(spark, dir) === Set(0L, 42L, 43L))
+    assert(Snapshots.lastAppliedBatch(spark, dir) === Some(43L))
   }
 
   test("FAILS LOUDLY: publishing an empty frame refuses to commit an " +
