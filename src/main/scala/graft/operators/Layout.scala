@@ -108,6 +108,56 @@ object Layout {
   case class CompactStat(bucket: Long, filesBefore: Long,
                          filesAfter: Long, rows: Long)
 
+  /** One bucket's planned swap: the merged replacement file sitting
+    * in the temp dir, its final destination, and the fragmented old
+    * files it replaces. Serialized into the journal verbatim. */
+  private[graft] case class SwapEntry(bucket: Long, tmpFile: String,
+                                      dstFile: String, oldFiles: Seq[String])
+
+  private def journalPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_compact_journal")
+
+  /** Write the swap journal ATOMICALLY (create-exclusive) before any
+    * destructive step. Tab-separated: bucket, tmp, dst, old files
+    * (comma-joined) — none of which can contain tabs or commas
+    * (they are parquet part-file paths). */
+  private[graft] def writeJournal(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: String, entries: Seq[SwapEntry]): Unit = {
+    val out = fs.create(journalPath(dir), false)
+    try out.write(entries.map(e =>
+        s"${e.bucket}\t${e.tmpFile}\t${e.dstFile}\t${e.oldFiles.mkString(",")}")
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Replay a crashed compaction's journal to completion: for each
+    * entry, finish the rename if the merged file is still in the
+    * temp dir, then delete whichever old files remain. Every step is
+    * idempotent (existence-checked), so recovery itself can crash
+    * and re-run. No-op when no journal exists. */
+  private[graft] def recoverCompact(fs: org.apache.hadoop.fs.FileSystem,
+                                    dir: String): Boolean = {
+    val jp = journalPath(dir)
+    if (!fs.exists(jp)) return false
+    val in = fs.open(jp)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    lines.foreach { l =>
+      val Array(_, tmpFile, dstFile, olds) = l.split("\t", 4)
+      val tp = new org.apache.hadoop.fs.Path(tmpFile)
+      val dp = new org.apache.hadoop.fs.Path(dstFile)
+      if (fs.exists(tp) && !fs.exists(dp))
+        require(fs.rename(tp, dp), s"compact recovery: rename $tp -> $dp failed")
+      else if (fs.exists(tp)) fs.delete(tp, false) // defensive: both present
+      olds.split(",").filter(_.nonEmpty).map(new org.apache.hadoop.fs.Path(_))
+        .filter(fs.exists).foreach(fs.delete(_, false))
+    }
+    fs.delete(jp, false)
+    true
+  }
+
   /** Compaction — the lakehouse OPTIMIZE / rewrite-data-files step:
     * merge every FRAGMENTED bucket (≥ 2 data files) back to one
     * key-sorted file; single-file buckets are not rewritten, not
@@ -118,27 +168,51 @@ object Layout {
     * hash repartition of the fragmented buckets' rows + local sort,
     * each bucket lands in exactly one task → exactly one file).
     *
-    * Swap discipline: new files land in a temp dir first, then per
-    * bucket the old files are deleted and the new file moved in —
-    * readers racing a swap can observe a bucket mid-replace (the
-    * known limitation of directory-listing tables; a manifest-commit
-    * table format is the named upgrade path). Crash before a swap
-    * leaves the data intact + an orphan temp dir; crash mid-swap is
-    * repaired by re-running compact (the bucket re-merges from
-    * whichever files remain).
+    * Swap discipline (crash-safe, journaled): new files land in a
+    * temp dir first; then a JOURNAL listing every planned swap
+    * (merged file → destination, old files to delete) is created
+    * atomically; then per bucket the merged file is RENAMED IN FIRST
+    * and the old files deleted after; then the journal is removed.
+    * A crash before the journal leaves the data untouched (plus an
+    * orphan temp dir the next run overwrites); a crash anywhere
+    * after it is healed by [[recoverCompact]], which the next
+    * compact runs FIRST — it finishes the renames and deletes off
+    * the journal before anything else touches the temp dir, so no
+    * window exists where a bucket's only copy can be destroyed.
+    * Readers racing a swap can still observe a bucket mid-replace
+    * (old+new together — the known limitation of directory-listing
+    * tables; [[Snapshots]]' manifest commit is the upgrade path that
+    * removes even that).
     *
     * @return one [[CompactStat]] per bucket (touched or not). */
   def compact(spark: SparkSession, dir: String, bucketCol: String,
               sortCols: Seq[String], keyCol: String,
-              blockSize: Long = 128L * 1024 * 1024): Seq[CompactStat] = {
+              blockSize: Long = 128L * 1024 * 1024): Seq[CompactStat] =
+    compactImpl(spark, dir, bucketCol, sortCols, keyCol, blockSize,
+      crashAfterSwaps = None, crashMidEntry = false)
+
+  /** Test seam: `crashAfterSwaps = Some(k)` applies only the first k
+    * buckets' swaps and then aborts (simulating a crash with the
+    * journal in place); `crashMidEntry` additionally performs entry
+    * k+1's RENAME but not its deletes (the tightest mid-swap
+    * window). The LayoutSpec crash-recovery tests drive these. */
+  private[graft] def compactImpl(spark: SparkSession, dir: String,
+      bucketCol: String, sortCols: Seq[String], keyCol: String,
+      blockSize: Long, crashAfterSwaps: Option[Int],
+      crashMidEntry: Boolean): Seq[CompactStat] = {
     require(sortCols.nonEmpty, "compact needs the layout sort columns")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    // heal any crashed predecessor BEFORE planning (and before the
+    // temp-dir overwrite below, which would otherwise destroy a
+    // crashed run's merged files — the data-loss window this journal
+    // exists to close)
+    recoverCompact(fs, dir)
     val stats = rowGroupStats(spark, dir, keyCol)
     val byBucket = stats.groupBy(_.bucket.getOrElse(throw new IllegalArgumentException(
       "compact: found a data file outside a bucket directory")))
     val files = byBucket.map { case (b, ss) => b -> ss.map(_.path).distinct }
     val frag = files.filter(_._2.size >= 2)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
     if (frag.nonEmpty) {
       val tmp = dir.stripSuffix("/") + "_compact_tmp"
       spark.read.option("basePath", dir).parquet(frag.values.flatten.toSeq: _*)
@@ -148,15 +222,36 @@ object Layout {
         .option("parquet.block.size", blockSize)
         .partitionBy(bucketCol)
         .parquet(tmp)
-      frag.foreach { case (b, oldFiles) =>
-        oldFiles.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+      val entries = frag.toSeq.sortBy(_._1).map { case (b, oldFiles) =>
         val srcDir = new org.apache.hadoop.fs.Path(tmp, s"$bucketCol=$b")
-        val dstDir = new org.apache.hadoop.fs.Path(dir, s"$bucketCol=$b")
-        fs.listStatus(srcDir).filter(_.getPath.getName.endsWith(".parquet"))
-          .foreach(f => require(fs.rename(f.getPath,
-            new org.apache.hadoop.fs.Path(dstDir, f.getPath.getName)),
-            s"compact: rename failed for bucket $b"))
+        val merged = fs.listStatus(srcDir)
+          .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+        require(merged.length == 1,
+          s"compact: bucket $b merged into ${merged.length} files, expected 1")
+        val dst = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(dir, s"$bucketCol=$b"),
+          merged.head.getName)
+        SwapEntry(b, merged.head.toString, dst.toString, oldFiles)
       }
+      writeJournal(fs, dir, entries)
+      entries.zipWithIndex.foreach { case (e, i) =>
+        crashAfterSwaps.foreach { k =>
+          if (i == k && !crashMidEntry)
+            throw new IllegalStateException("compact: simulated crash (test seam)")
+        }
+        // rename the replacement IN first — from here the bucket
+        // always holds at least one complete copy of its rows
+        require(fs.rename(new org.apache.hadoop.fs.Path(e.tmpFile),
+          new org.apache.hadoop.fs.Path(e.dstFile)),
+          s"compact: rename failed for bucket ${e.bucket}")
+        crashAfterSwaps.foreach { k =>
+          if (i == k && crashMidEntry)
+            throw new IllegalStateException("compact: simulated crash (test seam)")
+        }
+        e.oldFiles.foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), false))
+      }
+      fs.delete(journalPath(dir), false)
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
     byBucket.toSeq.sortBy(_._1).map { case (b, ss) =>

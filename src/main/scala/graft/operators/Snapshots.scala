@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Manifest-committed snapshot tables — the atomicity upgrade path
   * [[Layout.compact]]'s docstring names, built: a table is a
@@ -23,15 +24,47 @@ import org.apache.spark.sql.functions._
   * previous version fully readable plus orphaned staging files that
   * [[vacuum]] sweeps; there is no state in between.
   *
+  * Manifest format (v2): alongside the file list, each manifest
+  * carries `#`-prefixed META that makes planning manifest-only —
+  *  - `#schema:<json>`  the version's logical schema. Reads pass it
+  *    as the EXPLICIT parquet read schema, so any file mix (tokens,
+  *    schema epochs) reads in ONE `spark.read.parquet(files:_*)`
+  *    relation — no per-token partition discovery, no unionByName
+  *    chain growing with commit count, and files that predate a
+  *    column null-fill it natively (additive evolution).
+  *  - `#stat:<key>:<rows>:<min>:<max>:<relpath>`  per-FILE min/max
+  *    of the layout key, footer-walked at WRITE time over ONLY the
+  *    newly staged files and carried forward for kept files — so
+  *    [[prunedScanAt]]/[[versionStats]] plan from the manifest alone
+  *    with ZERO data-file opens (the Delta/Iceberg stats-in-metadata
+  *    shape; the footer walk remains as the verification path).
+  *  - `#batch:<id>`  the exactly-once sink's ledger entry.
+  * The bucket value is stored as a DATA column (the staging write
+  * duplicates it into the `__bdir=N` directory for layout); reads
+  * never need partition discovery to recover it, and its original
+  * type survives.
+  *
   * Scale shape (100 TB): a manifest is one small file per commit —
-  * reading it is O(files listed), the same driver-side metadata
-  * walk [[Layout.rowGroupStats]] already does; data moves only in
-  * the staged writes themselves. [[compact]] stages merged files
-  * for FRAGMENTED buckets only and the new manifest re-points those
-  * buckets — old versions keep reading the old files untouched
-  * (maintenance ∝ churn, readers ∝ nothing).
+  * reading it is O(files listed); scan PLANNING is a pure manifest
+  * read (no footer opens — at a million files the difference is
+  * hours); data moves only in the staged writes themselves.
+  * [[compact]] stages merged files for FRAGMENTED buckets only and
+  * the new manifest re-points those buckets — old versions keep
+  * reading the old files untouched (maintenance ∝ churn, readers
+  * ∝ nothing).
   */
 object Snapshots {
+
+  /** Directory-partition column name used by the staging write — the
+    * bucket value itself stays in the data (see class doc). */
+  private[graft] val DirCol = "__bdir"
+
+  /** Default [[vacuum]] retention: data files younger than this are
+    * never swept as orphans, so a vacuum racing an in-flight writer
+    * cannot delete files the writer has staged but not yet committed
+    * (the Delta/Iceberg retention-threshold guard). Tests and
+    * exclusive-access maintenance pass 0 explicitly. */
+  val DefaultRetainMs: Long = 7L * 24 * 3600 * 1000
 
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -43,8 +76,11 @@ object Snapshots {
   private def manifestPath(dir: String, v: Long) =
     new org.apache.hadoop.fs.Path(manifestDir(dir), f"v$v%020d")
 
-  /** All committed versions, ascending. */
-  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+  /** Every version NUMBER a manifest file exists for, ascending —
+    * including transactional manifests whose record is still
+    * in-flight or aborted (tombstones). Version claims go above
+    * these; READERS want [[versions]]. */
+  private[graft] def rawVersions(spark: SparkSession, dir: String): Seq[Long] = {
     val f = fs(spark, dir)
     val md = manifestDir(dir)
     if (!f.exists(md)) Seq.empty
@@ -55,9 +91,57 @@ object Snapshots {
       .sorted
   }
 
-  /** Latest committed version, if any. */
+  /** A transaction record's state: absent (in flight), committed, or
+    * aborted. The record is create-exclusive — its first writer
+    * decides, permanently. */
+  private def txnState(spark: SparkSession, rec: String): Option[Boolean] = {
+    val p = new org.apache.hadoop.fs.Path(rec)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val first =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .find(_.nonEmpty).getOrElse("")
+        finally in.close()
+      Some(first.startsWith("commit"))
+    }
+  }
+
+  /** Is this manifest visible to readers? Plain manifests always;
+    * transactional ones only once their record says `commit`. */
+  private def isCommitted(spark: SparkSession, m: Manifest): Boolean =
+    m.metaValues("txn").headOption.forall(rec =>
+      txnState(spark, rec).contains(true))
+
+  private def isCommittedVersion(spark: SparkSession, dir: String,
+                                 v: Long): Boolean =
+    isCommitted(spark, manifest(spark, dir, v))
+
+  /** All COMMITTED versions, ascending — the reader's view. Plain
+    * manifests need no extra I/O; transactional ones cost one record
+    * existence check each. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] =
+    rawVersions(spark, dir).filter(isCommittedVersion(spark, dir, _))
+
+  /** Latest committed version, if any — walks the manifest listing
+    * from the top and stops at the first committed one (normally the
+    * very first probe). */
   def latest(spark: SparkSession, dir: String): Option[Long] =
-    versions(spark, dir).lastOption
+    rawVersions(spark, dir).reverseIterator
+      .find(isCommittedVersion(spark, dir, _))
+
+  /** Resolve the manifest of a COMMITTED version, refusing aborted /
+    * in-flight transactional manifests — the accessor every read
+    * path goes through. */
+  private def committedManifest(spark: SparkSession, dir: String,
+                                v: Long): Manifest = {
+    val m = manifest(spark, dir, v)
+    require(isCommitted(spark, m),
+      s"snapshot version $v of $dir is not committed (an in-flight or " +
+        "aborted transaction) — readers see only committed versions")
+    m
+  }
 
   private def manifestLines(spark: SparkSession, dir: String,
                             v: Long): Seq[String] = {
@@ -70,30 +154,61 @@ object Snapshots {
     finally in.close()
   }
 
+  /** One parsed manifest: the file list plus keyed meta accessors. */
+  private[graft] case class Manifest(files: Seq[String], meta: Seq[String]) {
+    def metaValues(key: String): Seq[String] = {
+      val p = s"#$key:"
+      meta.collect { case m if m.startsWith(p) => m.stripPrefix(p) }
+    }
+    /** The version's logical read schema, if recorded (format 2). */
+    def schemaOpt: Option[StructType] =
+      metaValues("schema").headOption.map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+    /** Per-file (rows, min, max) stats recorded for `keyCol`. */
+    def stats(keyCol: String): Map[String, (Long, Long, Long)] =
+      metaValues("stat").flatMap { s =>
+        // key:rows:min:max:relpath — path last (never contains ':')
+        s.split(":", 5) match {
+          case Array(k, rows, mn, mx, rel) if k == keyCol =>
+            Some(rel -> ((rows.toLong, mn.toLong, mx.toLong)))
+          case _ => None
+        }
+      }.toMap
+    /** Raw stat meta lines (for carrying kept files forward). */
+    def statLines: Seq[String] = meta.filter(_.startsWith("#stat:"))
+      .map(_.stripPrefix("#"))
+  }
+
+  private[graft] def manifest(spark: SparkSession, dir: String,
+                                  v: Long): Manifest = {
+    val (meta, files) = manifestLines(spark, dir, v).partition(_.startsWith("#"))
+    Manifest(files, meta)
+  }
+
   /** The data files (paths relative to `dir`) version `v` reads. */
   def files(spark: SparkSession, dir: String, v: Long): Seq[String] =
-    manifestLines(spark, dir, v).filterNot(_.startsWith("#"))
+    committedManifest(spark, dir, v).files
 
   /** The streaming batch ids already applied to this table (the
-    * `#batch:` headers across all manifests) — the full ledger, for
-    * inspection/audit. O(versions); the hot-path replay check is
-    * [[lastAppliedBatch]]. */
+    * `#batch:` headers across all committed manifests) — the full
+    * ledger, for inspection/audit. O(versions); the hot-path replay
+    * check is [[lastAppliedBatch]]. */
   def appliedBatches(spark: SparkSession, dir: String): Set[Long] =
     versions(spark, dir).flatMap(v =>
-      manifestLines(spark, dir, v).filter(_.startsWith("#batch:"))
-        .map(_.stripPrefix("#batch:").toLong)).toSet
+      manifest(spark, dir, v).metaValues("batch").map(_.toLong)).toSet
 
   /** The HIGHEST applied batch id — found by scanning manifests
-    * newest-first and stopping at the first batch header (batch ids
-    * are monotone per streaming query, so the newest header carries
-    * the max). This keeps [[mergeBatch]]'s per-batch replay check at
-    * O(non-batch commits since the last batch), not O(all versions)
-    * — a stream sinking thousands of batches would otherwise pay a
-    * quadratic manifest re-scan over its life. */
+    * newest-first and stopping at the first committed batch header
+    * (batch ids are monotone per streaming query, so the newest
+    * header carries the max). This keeps [[mergeBatch]]'s per-batch
+    * replay check at O(non-batch commits since the last batch), not
+    * O(all versions) — a stream sinking thousands of batches would
+    * otherwise pay a quadratic manifest re-scan over its life. */
   def lastAppliedBatch(spark: SparkSession, dir: String): Option[Long] =
-    versions(spark, dir).reverseIterator
-      .map(v => manifestLines(spark, dir, v)
-        .find(_.startsWith("#batch:")).map(_.stripPrefix("#batch:").toLong))
+    rawVersions(spark, dir).reverseIterator
+      .map(v => manifest(spark, dir, v))
+      .filter(isCommitted(spark, _))
+      .map(_.metaValues("batch").headOption.map(_.toLong))
       .collectFirst { case Some(id) => id }
 
   /** Atomically commit `relFiles` as version `v`. Create-exclusive:
@@ -116,19 +231,60 @@ object Snapshots {
     finally out.close()
   }
 
+  /** A staged write's outcome: the new files plus the meta lines
+    * (schema + per-file stats) the commit should carry. */
+  private case class Staged(rels: Seq[String], schemaJson: String,
+                            statLines: Seq[String])
+
+  private def nullable(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** Additive schema merge: shared columns must keep their type;
+    * columns only one side carries are appended (files that predate
+    * a column null-fill it at read). */
+  private def mergeSchemas(base: StructType, add: StructType): StructType = {
+    add.fields.filter(f => base.fieldNames.contains(f.name)).foreach { f =>
+      val b = base(f.name)
+      require(b.dataType == f.dataType,
+        s"schema evolution is ADDITIVE only: column ${f.name} cannot change " +
+          s"type ${b.dataType.simpleString} -> ${f.dataType.simpleString}")
+    }
+    StructType(base.fields ++
+      add.fields.filterNot(f => base.fieldNames.contains(f.name)))
+  }
+
   /** Stage one bucket-partitioned, key-sorted load under a fresh
-    * token dir and return the staged files relative to `dir`.
-    * Nothing is visible until a manifest referencing them commits. */
+    * token dir and return the staged files relative to `dir`, plus
+    * the meta (schema json + per-file key stats) for the commit.
+    * Nothing is visible until a manifest referencing them commits.
+    * The bucket value is DUPLICATED into the `__bdir` directory
+    * column, so the data files carry the full logical schema —
+    * readers never need partition discovery.
+    *
+    * Stats are footer-walked over ONLY the files this stage just
+    * wrote (cost ∝ this commit's churn, incremental by
+    * construction); non-INT64 sort keys simply record no stats and
+    * [[versionStats]] falls back to the verification walk. */
   private def stage(df: DataFrame, dir: String, bucketCol: String,
                     sortCols: Seq[String], blockSize: Long,
-                    numTasks: Int): Seq[String] = {
+                    numTasks: Int): Staged = {
+    require(!df.columns.contains(DirCol),
+      s"column name $DirCol is reserved for the staging layout")
+    require(sortCols.nonEmpty, "snapshot writes need the layout sort columns")
     val token = java.util.UUID.randomUUID().toString.take(8)
     val stageDir = s"$dir/data/$token"
-    df.repartition(numTasks, col(bucketCol))
-      .sortWithinPartitions(col(bucketCol) +: sortCols.map(col): _*)
+    df.withColumn(DirCol, col(bucketCol))
+      .repartition(numTasks, col(bucketCol))
+      // DirCol leads the local sort: FileFormatWriter requires its
+      // partition column ordered and cannot see that DirCol aliases
+      // bucketCol — without the prefix it would inject its own
+      // NON-STABLE sort by DirCol alone, destroying the key order
+      // inside each file (caught by the merged-file-sorted spec)
+      .sortWithinPartitions(
+        col(DirCol) +: col(bucketCol) +: sortCols.map(col): _*)
       .write.mode("errorifexists")
       .option("parquet.block.size", blockSize)
-      .partitionBy(bucketCol)
+      .partitionBy(DirCol)
       .parquet(stageDir)
     val f = fs(df.sparkSession, dir)
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
@@ -145,61 +301,149 @@ object Snapshots {
     require(staged.nonEmpty,
       s"stage produced no data files under $stageDir — refusing to " +
         "commit an unreadable version (empty input?)")
-    staged
+    val keyCol = sortCols.head
+    val statLines: Seq[String] =
+      if (!df.schema.fieldNames.contains(keyCol) ||
+          df.schema(keyCol).dataType != LongType) Seq.empty
+      else scala.util.Try {
+        Layout.rowGroupStatsFiles(df.sparkSession,
+            staged.map(r => s"$dir/$r"), keyCol)
+          .groupBy(_.path).toSeq.map { case (p, gs) =>
+            val rel = p.stripPrefix(s"$dir/")
+            s"stat:$keyCol:${gs.map(_.rowCount).sum}:" +
+              s"${gs.map(_.min).min}:${gs.map(_.max).max}:$rel"
+          }
+      }.getOrElse(Seq.empty)
+    Staged(staged, nullable(df.schema).json, statLines)
+  }
+
+  /** The next claimable version number: one above the highest RAW
+    * manifest (committed or tombstone — a claim must never collide
+    * with an aborted transaction's manifest). */
+  private def nextVersion(spark: SparkSession, dir: String): Long =
+    rawVersions(spark, dir).lastOption.getOrElse(0L) + 1
+
+  /** Resolve an UNDECIDED transactional manifest sitting at the raw
+    * top before claiming above it: force-abort it by winning its
+    * create-exclusive record with `abort`. This is the liveness
+    * valve — a crashed transaction can never write-lock its tables —
+    * and the serializability guard: a writer never bases a commit on
+    * a version whose fate is still open (either the force-abort wins
+    * and the txn's own commit() throws, or the txn committed first
+    * and [[latest]] sees it). Callers coordinating transactions
+    * should not run plain writers against member tables mid-txn:
+    * the plain writer WILL abort them. */
+  private def resolveForWrite(spark: SparkSession, dir: String): Unit =
+    rawVersions(spark, dir).lastOption.foreach { rv =>
+      manifest(spark, dir, rv).metaValues("txn").headOption.foreach { rec =>
+        if (txnState(spark, rec).isEmpty) writeTxnRecord(spark, rec, commit = false)
+      }
+    }
+
+  /** Try to win a transaction record create-exclusively; returns
+    * whether THIS call decided it. */
+  private def writeTxnRecord(spark: SparkSession, rec: String,
+                             commit: Boolean): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(rec)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (p.getParent != null) f.mkdirs(p.getParent)
+    try {
+      val out = f.create(p, false)
+      try out.write((if (commit) "commit\n" else "abort\n").getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
   }
 
   /** Publish the FIRST version of a snapshot table. */
   def publish(df: DataFrame, dir: String, bucketCol: String,
               sortCols: Seq[String], blockSize: Long = 128L * 1024 * 1024,
-              numTasks: Int = 32): Long = {
+              numTasks: Int = 32): Long =
+    publishImpl(df, dir, bucketCol, sortCols, blockSize, numTasks, Nil)
+
+  private def publishImpl(df: DataFrame, dir: String, bucketCol: String,
+                          sortCols: Seq[String], blockSize: Long,
+                          numTasks: Int, extraMeta: Seq[String]): Long = {
     val spark = df.sparkSession
+    resolveForWrite(spark, dir)
     require(latest(spark, dir).isEmpty,
       s"$dir already has snapshots — use append")
-    val staged = stage(df, dir, bucketCol, sortCols, blockSize, numTasks)
-    commit(spark, dir, 1L, staged)
-    1L
-  }
-
-  /** Commit an incremental load: next version = previous files + the
-    * newly staged ones (one new file per touched bucket). */
-  def append(df: DataFrame, dir: String, bucketCol: String,
-             sortCols: Seq[String], blockSize: Long = 128L * 1024 * 1024,
-             numTasks: Int = 32): Long = {
-    val spark = df.sparkSession
-    val prev = latest(spark, dir).getOrElse(
-      throw new IllegalArgumentException(s"$dir has no snapshots — use publish"))
-    val staged = stage(df, dir, bucketCol, sortCols, blockSize, numTasks)
-    val v = prev + 1
-    commit(spark, dir, v, files(spark, dir, prev) ++ staged)
+    val st = stage(df, dir, bucketCol, sortCols, blockSize, numTasks)
+    val v = nextVersion(spark, dir)
+    commit(spark, dir, v, st.rels,
+      extraMeta ++ Seq("format:2", s"schema:${st.schemaJson}") ++ st.statLines)
     v
   }
 
-  /** Read a set of manifest-relative files, bucket column recovered.
-    * Files are grouped by staging token so partition discovery gets
-    * one basePath per group, then unioned WITH null-fill for columns
-    * a group predates — ADDITIVE schema evolution (new columns
-    * appear over a table's life; old files read them as null; column
-    * DROPS are not supported and surface loudly at merge). */
-  private def readFiles(spark: SparkSession, dir: String,
-                        rels: Seq[String]): DataFrame = {
-    val byToken = rels.groupBy(_.split("/")(1))
-    byToken.toSeq.sortBy(_._1).map { case (token, fls) =>
-      spark.read.option("basePath", s"$dir/data/$token")
-        .parquet(fls.map(f => s"$dir/$f"): _*)
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  /** Commit an incremental load: next version = previous files + the
+    * newly staged ones (one new file per touched bucket). The new
+    * manifest's schema is the ADDITIVE merge of the table's and the
+    * batch's; kept files carry their stats forward unwalked. */
+  def append(df: DataFrame, dir: String, bucketCol: String,
+             sortCols: Seq[String], blockSize: Long = 128L * 1024 * 1024,
+             numTasks: Int = 32): Long =
+    appendImpl(df, dir, bucketCol, sortCols, blockSize, numTasks, Nil)
+
+  private def appendImpl(df: DataFrame, dir: String, bucketCol: String,
+                         sortCols: Seq[String], blockSize: Long,
+                         numTasks: Int, extraMeta: Seq[String]): Long = {
+    val spark = df.sparkSession
+    resolveForWrite(spark, dir)
+    val prev = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots — use publish"))
+    val pm = manifest(spark, dir, prev)
+    val st = stage(df, dir, bucketCol, sortCols, blockSize, numTasks)
+    val schema = pm.schemaOpt match {
+      case Some(ps) => mergeSchemas(ps, nullable(df.schema)).json
+      case None => st.schemaJson
+    }
+    val v = nextVersion(spark, dir)
+    commit(spark, dir, v, pm.files ++ st.rels,
+      extraMeta ++ Seq("format:2", s"schema:$schema") ++
+        pm.statLines ++ st.statLines)
+    v
   }
 
-  /** Bucket value encoded in a manifest-relative file path. */
-  private def bucketOf(bucketCol: String)(rel: String): Long = {
-    val seg = rel.split("/").find(_.startsWith(s"$bucketCol="))
-      .getOrElse(throw new IllegalArgumentException(
-        s"data file outside a bucket directory: $rel"))
-    seg.substring(seg.indexOf('=') + 1).toLong
+  /** Read a set of manifest-relative files. With a recorded schema
+    * (format 2) this is ONE `spark.read.schema(s).parquet(files:_*)`
+    * relation — plan size flat in commit count, no partition
+    * discovery (the bucket is a data column), files that predate a
+    * column null-fill it natively. Without one (legacy manifests
+    * written via raw [[commit]]), falls back to the per-token
+    * basePath union that recovers directory-partition columns. */
+  private def readFiles(spark: SparkSession, dir: String,
+                        rels: Seq[String],
+                        schema: Option[StructType]): DataFrame = schema match {
+    case Some(s) =>
+      spark.read.schema(s).parquet(rels.map(r => s"$dir/$r"): _*)
+    case None =>
+      val byToken = rels.groupBy(_.split("/")(1))
+      byToken.toSeq.sortBy(_._1).map { case (token, fls) =>
+        spark.read.option("basePath", s"$dir/data/$token")
+          .parquet(fls.map(f => s"$dir/$f"): _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Bucket value encoded in a manifest-relative file path (the
+    * `__bdir=N` staging directory; legacy manifests used the bucket
+    * column's own name). */
+  private def bucketOf(bucketCol: String)(rel: String): Long =
+    fileBucket(rel).getOrElse(throw new IllegalArgumentException(
+      s"data file outside a bucket directory: $rel"))
+
+  /** The bucket a manifest-relative data file belongs to, parsed
+    * from its staging directory — the public path-inspection helper
+    * gates and specs use. */
+  def fileBucket(rel: String): Option[Long] =
+    rel.split("/").find(_.contains("=")).flatMap { seg =>
+      scala.util.Try(seg.substring(seg.indexOf('=') + 1).toLong).toOption
+    }
 
   /** Read the table at version `v` (time travel). */
-  def readAt(spark: SparkSession, dir: String, v: Long): DataFrame =
-    readFiles(spark, dir, files(spark, dir, v))
+  def readAt(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val m = committedManifest(spark, dir, v)
+    readFiles(spark, dir, m.files, m.schemaOpt)
+  }
 
   /** Read the latest version. */
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -215,18 +459,26 @@ object Snapshots {
   def compact(spark: SparkSession, dir: String, bucketCol: String,
               sortCols: Seq[String], blockSize: Long = 128L * 1024 * 1024):
       Long = {
+    resolveForWrite(spark, dir)
     val prev = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir has no snapshots"))
-    val prevFiles = files(spark, dir, prev)
+    val pm = manifest(spark, dir, prev)
     val bOf = bucketOf(bucketCol) _
-    val frag = prevFiles.groupBy(bOf).filter(_._2.size >= 2)
+    val frag = pm.files.groupBy(bOf).filter(_._2.size >= 2)
     if (frag.isEmpty) return prev
-    val fragDf = readFiles(spark, dir, frag.values.flatten.toSeq)
-    val staged = stage(fragDf, dir, bucketCol, sortCols, blockSize,
+    val fragFiles = frag.values.flatten.toSeq
+    val fragDf = readFiles(spark, dir, fragFiles, pm.schemaOpt)
+    val st = stage(fragDf, dir, bucketCol, sortCols, blockSize,
       math.max(frag.size, 1))
-    val kept = prevFiles.filterNot(f => frag.contains(bOf(f)))
-    val v = prev + 1
-    commit(spark, dir, v, kept ++ staged)
+    val kept = pm.files.filterNot(f => frag.contains(bOf(f)))
+    val keptSet = kept.toSet
+    // stat:<key>:<rows>:<min>:<max>:<relpath> — path is the 6th field
+    val keptStats = pm.statLines.filter(l =>
+      keptSet.contains(l.split(":", 6).last))
+    val schema = pm.schemaOpt.map(nullable(_).json).getOrElse(st.schemaJson)
+    val v = nextVersion(spark, dir)
+    commit(spark, dir, v, kept ++ st.rels,
+      Seq("format:2", s"schema:$schema") ++ keptStats ++ st.statLines)
     v
   }
 
@@ -237,8 +489,9 @@ object Snapshots {
     * buckets the updates touch are rewritten — untouched buckets
     * share their files with the previous version byte-for-byte, and
     * earlier versions keep reading the pre-merge state (time travel
-    * across a merge works). Updates must carry exactly the target's
-    * columns, including `bucketCol`; key uniqueness WITHIN the
+    * across a merge works). Updates must carry at least the target's
+    * columns (additive evolution: they may add new ones), including
+    * `bucketCol` — NON-NULL on every row; key uniqueness WITHIN the
     * update batch is the caller's contract (duplicate update keys
     * all insert — dedup upstream, e.g. q12's idxmax keep-latest).
     *
@@ -253,28 +506,36 @@ object Snapshots {
             numTasks: Int = 32, meta: Seq[String] = Nil): Long = {
     require(keyCols.nonEmpty, "merge needs key columns")
     val spark = updates.sparkSession
+    resolveForWrite(spark, dir)
     val prev = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir has no snapshots — use publish"))
-    val prevFiles = files(spark, dir, prev)
+    val pm = manifest(spark, dir, prev)
     val bOf = bucketOf(bucketCol) _
-    val touched = updates.select(col(bucketCol).cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSet
+    val bucketRows = updates.select(col(bucketCol).cast("long")).distinct()
+      .collect()
+    // fail fast with the contract, not an NPE deep in the plan — a
+    // NULL bucket would otherwise stage into an unparseable directory
+    require(bucketRows.forall(!_.isNullAt(0)),
+      s"merge: update rows carry NULL $bucketCol values — every update " +
+        "row must have a non-null bucket (derive it from the key upstream)")
+    val touched = bucketRows.map(_.getLong(0)).toSet
     if (touched.isEmpty) return prev // empty batch: nothing to commit
-    val existingFiles = prevFiles.filter(f => touched.contains(bOf(f)))
+    val existingFiles = pm.files.filter(f => touched.contains(bOf(f)))
     val mergedRows = {
       val aligned =
         if (existingFiles.isEmpty) updates
         else {
-          val existing = readFiles(spark, dir, existingFiles)
+          val existing = readFiles(spark, dir, existingFiles, pm.schemaOpt)
           // additive evolution: updates may ADD columns (old rows
           // null-fill on read); dropping target columns is refused
           val dropped = existing.columns.toSet -- updates.columns.toSet
           require(dropped.isEmpty,
             s"merge: updates drop target columns ${dropped.toSeq.sorted.mkString(",")} " +
               "— additive evolution only (add columns, never remove)")
-          // align names AND types (partition discovery may narrow the
-          // bucket column) to the update side, null-filling columns
-          // the target predates, then drop matched keys
+          // align names AND types to the update side (legacy
+          // manifests' partition discovery may have narrowed the
+          // bucket column), null-filling columns the target
+          // predates, then drop matched keys
           existing.select(updates.columns.map(c =>
             (if (existing.columns.contains(c)) col(c)
              else lit(null)).cast(updates.schema(c).dataType).as(c)): _*)
@@ -283,10 +544,18 @@ object Snapshots {
         }
       aligned
     }
-    val staged = stage(mergedRows, dir, bucketCol, sortCols, blockSize, numTasks)
-    val kept = prevFiles.filterNot(f => touched.contains(bOf(f)))
-    val v = prev + 1
-    commit(spark, dir, v, kept ++ staged, meta)
+    val st = stage(mergedRows, dir, bucketCol, sortCols, blockSize, numTasks)
+    val kept = pm.files.filterNot(f => touched.contains(bOf(f)))
+    val keptSet = kept.toSet
+    val keptStats = pm.statLines.filter(l =>
+      keptSet.contains(l.split(":", 6).last))
+    val schema = pm.schemaOpt match {
+      case Some(ps) => mergeSchemas(ps, nullable(mergedRows.schema)).json
+      case None => st.schemaJson
+    }
+    val v = nextVersion(spark, dir)
+    commit(spark, dir, v, kept ++ st.rels,
+      Seq("format:2", s"schema:$schema") ++ meta ++ keptStats ++ st.statLines)
     v
   }
 
@@ -344,15 +613,22 @@ object Snapshots {
     * files — the q166 gate pins it). Cost ∝ churn between the
     * versions, never table size. */
   def diff(spark: SparkSession, dir: String, vOld: Long, vNew: Long): DataFrame = {
+    val mNew = committedManifest(spark, dir, vNew)
     val fo = files(spark, dir, vOld).toSet
-    val fn = files(spark, dir, vNew).toSet
+    val fn = mNew.files.toSet
     val onlyOld = (fo -- fn).toSeq.sorted
     val onlyNew = (fn -- fo).toSeq.sorted
-    lazy val empty = readFiles(spark, dir, files(spark, dir, vNew)).limit(0)
-    val newSide = if (onlyNew.isEmpty) empty else readFiles(spark, dir, onlyNew)
-    val oldSide = if (onlyOld.isEmpty) empty else readFiles(spark, dir, onlyOld)
-    // align partition-discovered column types across token groups,
-    // null-filling columns the old side predates (additive evolution)
+    // both sides read under vNew's schema: columns the old files
+    // predate null-fill natively (additive evolution)
+    lazy val empty = readFiles(spark, dir, mNew.files, mNew.schemaOpt).limit(0)
+    val newSide =
+      if (onlyNew.isEmpty) empty
+      else readFiles(spark, dir, onlyNew, mNew.schemaOpt)
+    val oldSide =
+      if (onlyOld.isEmpty) empty
+      else readFiles(spark, dir, onlyOld, mNew.schemaOpt)
+    // align column order/types (a no-op under a recorded schema;
+    // legacy manifests' partition discovery may disagree per token)
     val oldAligned = oldSide.select(newSide.columns.map(c =>
       (if (oldSide.columns.contains(c)) col(c)
        else lit(null)).cast(newSide.schema(c).dataType).as(c)): _*)
@@ -360,63 +636,213 @@ object Snapshots {
       .unionByName(oldAligned.exceptAll(newSide).withColumn("_change", lit("delete")))
   }
 
-  /** Footer-pruned range scan of a VERSION — time travel composed
-    * with [[Layout]]'s min/max skipping: the manifest supplies the
-    * file list (no directory walk — unreferenced/orphaned files
-    * never consulted), real parquet footers supply per-row-group
-    * min/max, and only surviving files are read before the residual
-    * filter. Same rows as `readAt(v).filter(lo <= key < hi)`, I/O
-    * proportional to the predicate's key range within that
-    * version. */
-  /** Footer stats for version `v`'s files — compute once and pass to
-    * repeated [[prunedScanAt]] calls over the same version (a scan
-    * planner caches exactly this). */
+  /** Per-file key stats for version `v` — read from the MANIFEST
+    * (zero data-file opens: the stats were footer-walked once at
+    * write time over just that commit's new files). Files the
+    * manifest carries no stats for — legacy manifests, or a
+    * different key column than the one recorded — fall back to the
+    * footer walk, which stays the verification path (the spec pins
+    * manifest == footers). Compute once and pass to repeated
+    * [[prunedScanAt]] calls over the same version. */
   def versionStats(spark: SparkSession, dir: String, v: Long,
-                   keyCol: String): Seq[Layout.RowGroupStat] =
-    Layout.rowGroupStatsFiles(spark,
-      files(spark, dir, v).map(r => s"$dir/$r"), keyCol)
+                   keyCol: String): Seq[Layout.RowGroupStat] = {
+    val m = committedManifest(spark, dir, v)
+    val recorded = m.stats(keyCol)
+    val (have, missing) = m.files.partition(recorded.contains)
+    val fromManifest = have.map { rel =>
+      val (rows, mn, mx) = recorded(rel)
+      Layout.RowGroupStat(s"$dir/$rel", fileBucket(rel), rows, mn, mx)
+    }
+    val walked =
+      if (missing.isEmpty) Seq.empty
+      else Layout.rowGroupStatsFiles(spark, missing.map(r => s"$dir/$r"), keyCol)
+    fromManifest ++ walked
+  }
 
+  /** Footer-pruned range scan of a VERSION — time travel composed
+    * with min/max skipping, planned ENTIRELY from the manifest: the
+    * manifest supplies the file list AND the per-file key stats (no
+    * directory walk, no footer opens — unreferenced/orphaned files
+    * never consulted, non-surviving files never touched), and only
+    * surviving files are read before the residual filter. Same rows
+    * as `readAt(v).filter(lo <= key < hi)`, I/O proportional to the
+    * predicate's key range within that version. */
   def prunedScanAt(spark: SparkSession, dir: String, v: Long,
                    keyCol: String, lo: Long, hi: Long,
                    stats: Option[Seq[Layout.RowGroupStat]] = None): DataFrame = {
+    val m = committedManifest(spark, dir, v)
     val st = stats.getOrElse(versionStats(spark, dir, v, keyCol))
     val surviving = st.filter(s => s.max >= lo && s.min < hi)
       .map(_.path.stripPrefix(s"$dir/")).distinct
     val residual = col(keyCol) >= lo && col(keyCol) < hi
     if (surviving.isEmpty)
-      readFiles(spark, dir, files(spark, dir, v)).filter(residual).limit(0)
-    else readFiles(spark, dir, surviving).filter(residual)
+      readFiles(spark, dir, m.files, m.schemaOpt).filter(residual).limit(0)
+    else readFiles(spark, dir, surviving, m.schemaOpt).filter(residual)
   }
 
   /** Drop every version below `keepFrom` and delete the data files
     * no kept version references. Returns (manifests dropped, data
     * files deleted, data files kept). This is the ONLY operation
-    * that deletes data — everything else only adds. */
-  def vacuum(spark: SparkSession, dir: String, keepFrom: Long):
-      (Long, Long, Long) = {
-    val vs = versions(spark, dir)
-    require(vs.contains(keepFrom), s"keepFrom=$keepFrom is not a version of $dir")
-    val (drop, keep) = vs.partition(_ < keepFrom)
-    val referenced = keep.flatMap(v => files(spark, dir, v)).toSet
+    * that deletes data — everything else only adds.
+    *
+    * `retainMs` is the concurrent-writer guard: a racing writer's
+    * staged-but-uncommitted files are unreferenced by ANY manifest,
+    * so an unguarded sweep would delete them and the writer's
+    * subsequent commit would publish an unreadable version. Files
+    * younger than the window are therefore skipped (they count as
+    * kept); pass 0 ONLY under exclusive access (no concurrent
+    * writers — e.g. single-writer maintenance jobs and tests).
+    *
+    * Transactions: tombstone manifests (aborted txns) below
+    * `keepFrom` are dropped like any other, which unreferences their
+    * staged files for the sweep — how an aborted transaction's space
+    * is reclaimed. Kept tombstones' files stay protected: an
+    * in-flight txn at the top may still commit. */
+  def vacuum(spark: SparkSession, dir: String, keepFrom: Long,
+             retainMs: Long = DefaultRetainMs): (Long, Long, Long) = {
+    require(versions(spark, dir).contains(keepFrom),
+      s"keepFrom=$keepFrom is not a committed version of $dir")
+    val (drop, keep) = rawVersions(spark, dir).partition(_ < keepFrom)
+    val referenced = keep.flatMap(v => manifest(spark, dir, v).files).toSet
     val f = fs(spark, dir)
-    // every data file on disk, relative
+    // every data file on disk, relative, with its modification time
     val dataRoot = new org.apache.hadoop.fs.Path(dir, "data")
-    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       if (!f.exists(p)) Seq.empty
       else f.listStatus(p).toSeq.flatMap { st =>
         if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
         else Seq.empty
       }
     val prefix = new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
-    val all = walk(dataRoot).map { p =>
-      val abs = p.toUri.getPath
-      abs.stripPrefix(prefix).stripPrefix("/")
+    val cutoff = System.currentTimeMillis() - retainMs
+    val all = walk(dataRoot).map { st =>
+      val abs = st.getPath.toUri.getPath
+      (abs.stripPrefix(prefix).stripPrefix("/"), st.getModificationTime)
     }
-    val orphans = all.filterNot(referenced)
-    orphans.foreach(rel =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+    val orphans = all.filter { case (rel, mod) =>
+      !referenced(rel) && mod <= cutoff
+    }
+    orphans.foreach { case (rel, _) =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false)
+    }
     drop.foreach(v => f.delete(manifestPath(dir, v), false))
     (drop.size.toLong, orphans.size.toLong, (all.size - orphans.size).toLong)
+  }
+
+  // -----------------------------------------------------------------
+  // Multi-table transactions
+  // -----------------------------------------------------------------
+
+  /** Begin a MULTI-TABLE transaction — one atomic commit spanning N
+    * snapshot tables (the fact+dims publish every warehouse load
+    * needs: either every table advances or none does).
+    *
+    * Protocol — the create-exclusive claim GENERALIZED: each member
+    * write stages its data files and claims its table's next version
+    * normally, but the manifest carries `#txn:<recordPath>` — such a
+    * manifest is PROVISIONAL: readers treat it as committed only
+    * once the shared record file says `commit`. [[Txn.commit]] is
+    * ONE create-exclusive write of that record — the single atomic
+    * point at which every member version becomes visible at once.
+    * A crash before it leaves every table at its old version (the
+    * provisional manifests are invisible tombstones); there is no
+    * state in between, per table or across tables.
+    *
+    * Arbitration / liveness: the record is first-writer-wins with
+    * `commit` or `abort` content. A plain writer that finds an
+    * UNDECIDED transactional manifest at its table's top force-
+    * aborts it (writes `abort`) before claiming above — so a crashed
+    * transaction never write-locks its tables, and a transaction
+    * racing a plain writer fails cleanly at [[Txn.commit]] instead
+    * of publishing a half-visible state. Tombstoned version numbers
+    * are never reused (claims go above them); their staged files are
+    * reclaimed once [[vacuum]]'s `keepFrom` passes the tombstone.
+    *
+    * Scale: zero new I/O classes — the record check is one small-
+    * file existence/read per TRANSACTIONAL manifest encountered
+    * (plain manifests pay nothing), and commit cost is one file
+    * create regardless of member count or data volume.
+    *
+    * @param recordPath the shared record location (any FS path the
+    *   members can all reach, e.g. a `_txns/<id>` sibling). Must be
+    *   unused — one record per transaction. */
+  def beginTxn(spark: SparkSession, recordPath: String): Txn = {
+    require(txnState(spark, recordPath).isEmpty,
+      s"transaction record $recordPath already exists — records are one-shot")
+    new Txn(spark, recordPath)
+  }
+
+  /** A handle for one in-flight multi-table transaction; see
+    * [[beginTxn]] for the protocol. NOT thread-safe (one coordinator
+    * drives a txn). */
+  final class Txn private[Snapshots] (spark: SparkSession, val recordPath: String) {
+    private val txnMeta = Seq(s"txn:$recordPath")
+    private val claimed = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    private var resolved = false
+
+    private def claim(dir: String, v: Long): Long = {
+      require(!resolved, "transaction already resolved")
+      claimed.put(dir, v)
+      v
+    }
+
+    /** Members claimed so far: table dir → provisional version. */
+    def claims: Seq[(String, Long)] = claimed.toSeq
+
+    /** Stage + provisionally claim a FIRST version (see [[Snapshots.publish]]). */
+    def publish(df: DataFrame, dir: String, bucketCol: String,
+                sortCols: Seq[String], blockSize: Long = 128L * 1024 * 1024,
+                numTasks: Int = 32): Long = {
+      require(!claimed.contains(dir), s"transaction already claimed $dir")
+      claim(dir, publishImpl(df, dir, bucketCol, sortCols, blockSize,
+        numTasks, txnMeta))
+    }
+
+    /** Stage + provisionally claim an incremental load (see [[Snapshots.append]]). */
+    def append(df: DataFrame, dir: String, bucketCol: String,
+               sortCols: Seq[String], blockSize: Long = 128L * 1024 * 1024,
+               numTasks: Int = 32): Long = {
+      require(!claimed.contains(dir), s"transaction already claimed $dir")
+      claim(dir, appendImpl(df, dir, bucketCol, sortCols, blockSize,
+        numTasks, txnMeta))
+    }
+
+    /** Stage + provisionally claim an upsert (see [[Snapshots.merge]]). */
+    def merge(updates: DataFrame, dir: String, bucketCol: String,
+              keyCols: Seq[String], sortCols: Seq[String],
+              blockSize: Long = 128L * 1024 * 1024,
+              numTasks: Int = 32): Long = {
+      require(!claimed.contains(dir), s"transaction already claimed $dir")
+      claim(dir, Snapshots.merge(updates, dir, bucketCol, keyCols, sortCols,
+        blockSize, numTasks, meta = txnMeta))
+    }
+
+    /** THE atomic point: win the record with `commit` and every
+      * member version becomes visible at once. Throws (and no table
+      * changes — the manifests stay tombstones) if a concurrent
+      * writer force-aborted this transaction first. Idempotent if
+      * this transaction already committed. */
+    def commit(): Unit = {
+      require(claimed.nonEmpty, "transaction has no members to commit")
+      resolved = true
+      if (!writeTxnRecord(spark, recordPath, commit = true) &&
+          !txnState(spark, recordPath).contains(true))
+        throw new IllegalStateException(
+          s"transaction $recordPath was aborted by a concurrent writer — " +
+            "no member table changed (provisional versions stay invisible)")
+    }
+
+    /** Explicitly abandon: write `abort` (first-writer-wins; a no-op
+      * if something already resolved the record). Throws if the
+      * record already says `commit` — a committed txn cannot be
+      * taken back. */
+    def abort(): Unit = {
+      resolved = true
+      writeTxnRecord(spark, recordPath, commit = false)
+      if (txnState(spark, recordPath).contains(true))
+        throw new IllegalStateException(
+          s"transaction $recordPath already committed — cannot abort")
+    }
   }
 }

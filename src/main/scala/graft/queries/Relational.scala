@@ -658,12 +658,13 @@ object Relational {
     }
     val fileRows = vers.zipWithIndex.map { case (v, i) =>
       val fls = Snapshots.files(spark, out, v)
-      val buckets = fls.flatMap(_.split("/").find(_.startsWith("bucket=")))
-        .distinct.size.toLong
+      val buckets = fls.flatMap(Snapshots.fileBucket).distinct.size.toLong
       val rows = Snapshots.readAt(spark, out, v).count()
       ("files", f"v${i + 1}%04d", fls.size.toLong, buckets, rows)
     }
-    val (dropped, deleted, kept) = Snapshots.vacuum(spark, out, v4)
+    // exclusive access (the gate is this table's only writer) -> the
+    // concurrent-writer retention window is deliberately 0
+    val (dropped, deleted, kept) = Snapshots.vacuum(spark, out, v4, retainMs = 0L)
     val vacRow = Seq(("vacuum", "only", dropped, deleted, kept))
     val (ac, ax, as_) = fold(Snapshots.read(spark, out))
     val afterRow = Seq(("after", "live", ac, ax, as_))
@@ -728,8 +729,7 @@ object Relational {
     }
     val fileRows = Seq(v1, v2).zipWithIndex.map { case (v, i) =>
       val fls = Snapshots.files(spark, out, v)
-      val buckets = fls.flatMap(_.split("/").find(_.startsWith("bucket=")))
-        .distinct.size.toLong
+      val buckets = fls.flatMap(Snapshots.fileBucket).distinct.size.toLong
       ("files", f"v${i + 1}%04d", fls.size.toLong, buckets,
         Snapshots.readAt(spark, out, v).count())
     }
@@ -1065,7 +1065,7 @@ object Relational {
         Snapshots.prunedScanAt(spark, out, v5, "o_orderkey", 256L, 1280L), hSrc)
       Seq(("prune", "p1_low", c, x, s))
     }
-    val (dropped, deleted, kept) = Snapshots.vacuum(spark, out, v5)
+    val (dropped, deleted, kept) = Snapshots.vacuum(spark, out, v5, retainMs = 0L)
     val vac = Seq(("vacuum", "only", dropped, deleted, kept))
     val (fc, fx, _) = fold(Snapshots.read(spark, out), hSrc)
     val fin = Seq(("final", "live", fc, fx,

@@ -294,11 +294,23 @@ object AvroSource {
     * partition (each shard independently block-splittable and
     * independently recoverable, the [[JsonlSource.write]] stance),
     * columns matched to the schema's fields BY NAME. Files are named
-    * by partition id and created with overwrite, so a task retry
-    * rewrites its own file rather than duplicating it. `syncEvery`
-    * > 0 forces a block boundary every that many records — smaller
-    * blast radius per corrupt block at a few bytes/block overhead
-    * (the knob the [[AvroSource]] spec uses to pin resync exactly).
+    * by partition id. `syncEvery` > 0 forces a block boundary every
+    * that many records — smaller blast radius per corrupt block at a
+    * few bytes/block overhead (the knob the [[AvroSource]] spec uses
+    * to pin resync exactly).
+    *
+    * Task-commit protocol: each task writes to a temp name carrying
+    * its task ATTEMPT number and renames to the final part name only
+    * after a clean close — a speculative or zombie duplicate attempt
+    * writes its OWN temp file and the rename is a whole-file swap,
+    * so two attempts can never interleave bytes into one container.
+    * The job writes a `_SUCCESS` marker after all tasks return, so a
+    * partial output (mid-job crash) is detectable: readers that care
+    * check the marker. Executors build their FileSystem from the
+    * SESSION's Hadoop configuration (broadcast via
+    * `SerializableConfiguration`), not a bare `new Configuration()`
+    * — object-store credentials / fs.defaultFS settings configured
+    * on the session apply to the task-side writes too.
     *
     * Codecs: "null" (none) and "deflate" (built-in everywhere); the
     * snappy codec needs a jar this distribution does not pin for
@@ -311,22 +323,30 @@ object AvroSource {
     val names = schema.getFields.asScala.map(_.name).toSeq
     val selected = df.select(names.map(col): _*)
     // fresh output dir, driver-side (mode=overwrite semantics)
+    val sc = df.sparkSession.sparkContext
     val dirPath = new org.apache.hadoop.fs.Path(path)
-    val fs = dirPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = dirPath.getFileSystem(sc.hadoopConfiguration)
     fs.delete(dirPath, true)
     fs.mkdirs(dirPath)
+    val confBc = sc.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration))
     selected.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val taskSchema = new Schema.Parser().parse(avroSchemaJson)
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val p = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
-        val tfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val os = tfs.create(p, true)
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val finalPath = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
+        // attempt-unique temp name: concurrent attempts never share a file
+        val tmpPath = new org.apache.hadoop.fs.Path(path,
+          f".part-$pid%05d-attempt-${tc.taskAttemptId()}.avro.tmp")
+        val tfs = finalPath.getFileSystem(confBc.value.value)
+        val os = tfs.create(tmpPath, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](taskSchema))
         w.setCodec(if (codec == "null") CodecFactory.nullCodec()
                    else CodecFactory.deflateCodec(6))
         w.create(taskSchema, os)
+        var committed = false
         try {
           var n = 0
           val fields = taskSchema.getFields.asScala.toArray
@@ -340,8 +360,20 @@ object AvroSource {
             n += 1
             if (syncEvery > 0 && n % syncEvery == 0) w.sync()
           }
-        } finally w.close()
+          w.close()
+          // task commit: whole-file swap; a lost race (the other
+          // attempt already committed) just discards this attempt
+          if (!tfs.rename(tmpPath, finalPath)) tfs.delete(tmpPath, false)
+          committed = true
+        } finally {
+          if (!committed) {
+            try w.close() catch { case _: Throwable => () }
+            try tfs.delete(tmpPath, false) catch { case _: Throwable => () }
+          }
+        }
       }
     }
+    // job commit marker: absent => the output may be partial
+    fs.create(new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS"), true).close()
   }
 }

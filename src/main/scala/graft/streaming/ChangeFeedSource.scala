@@ -1,0 +1,299 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.operators.Snapshots
+
+/** The CDC CONSUMER half of the snapshot table's streaming story —
+  * the complement of [[graft.operators.Snapshots.mergeBatch]]'s
+  * exactly-once PRODUCER sink: a Structured Streaming SOURCE that
+  * replays a snapshot table's change feed version by version, one
+  * microbatch per committed-version range (the Delta CDF /
+  * Iceberg changelog-scan shape), implemented as a DataSource V2
+  * `MicroBatchStream`.
+  *
+  * Offsets ARE versions: `latestOffset` is one manifest-directory
+  * listing, and planning a batch for versions (a, b] reads ONLY
+  * manifests — for each step v-1 → v the input partitions are the
+  * files the two manifests do NOT share, each tagged `insert` (only
+  * in v) or `delete` (only in v-1) with its `_version`. File sharing
+  * cancels the carried-over bulk at the METADATA level, so a batch's
+  * I/O is ∝ the churn between its versions, never table size, and a
+  * compaction contributes only its rewritten buckets.
+  *
+  * Semantics contract — FILE-level changelog: a row that was
+  * rewritten byte-identically into a new file (a compaction, or the
+  * untouched rows of a merged bucket) appears as one delete + one
+  * insert in the same version. That is exactly what Iceberg's
+  * changelog scan emits before its net-changes fold; the NET
+  * row-level feed ([[graft.operators.Snapshots.diff]]'s exceptAll
+  * semantics) is [[ChangeFeed.net]] — a per-version multiset
+  * cancellation the consumer applies where it wants row-exact
+  * changes (the spec reconciles `net(drained) == diff` bit-for-bit
+  * per version; net-of-a-compaction is provably empty).
+  *
+  * Scale shape: executors read whole parquet files (the same
+  * row-group streams any scan reads) with no shuffle at all — the
+  * shuffle, if any, belongs to the consumer's fold. The reader
+  * handles flat scalar schemas (the snapshot-table write shape) and
+  * fails loudly outside them; files that predate a column (additive
+  * evolution) null-fill it by NAME, matching the batch read path.
+  *
+  * Vacuum interplay: streaming from `startVersion` requires every
+  * manifest in (startVersion, latest] to still exist — a vacuumed
+  * horizon refuses loudly (the Delta CDF retention rule), it never
+  * silently skips versions.
+  */
+object ChangeFeed {
+
+  val ChangeCol = "_change"
+  val VersionCol = "_version"
+
+  /** Open the change feed of the snapshot table at `dir` as a
+    * streaming DataFrame. `startVersion` is EXCLUSIVE: 0 replays all
+    * history (the first version arrives as pure inserts). */
+  def readStream(spark: SparkSession, dir: String,
+                 startVersion: Long = 0L): DataFrame =
+    spark.readStream.format(classOf[ChangeFeedProvider].getName)
+      .option("path", dir)
+      .option("startVersion", startVersion.toString)
+      .load()
+
+  /** Collapse the file-level changelog into NET row-level changes
+    * per version — exactly [[graft.operators.Snapshots.diff]]'s
+    * exceptAll (multiset-difference) semantics: per (row, version),
+    * inserts and deletes cancel; |net| copies of the winning sign
+    * survive. One hash aggregation keyed by the row itself — the
+    * same shuffle exceptAll pays. */
+  def net(changes: DataFrame): DataFrame = {
+    val dataCols = changes.columns.filterNot(_ == ChangeCol)
+    changes
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(when(col(ChangeCol) === "insert", 1L).otherwise(-1L)).as("_net"))
+      .filter(col("_net") =!= 0L)
+      .withColumn(ChangeCol,
+        when(col("_net") > 0, "insert").otherwise("delete"))
+      .withColumn("_dup", explode(sequence(lit(1L), abs(col("_net")))))
+      .drop("_net", "_dup")
+  }
+
+  /** The feed's schema: the table's logical schema + change tag +
+    * version stamp. */
+  private[streaming] def feedSchema(spark: SparkSession, dir: String): StructType = {
+    val v = Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no committed snapshot versions to stream from"))
+    val data = Snapshots.manifest(spark, dir, v).schemaOpt.getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir: version $v predates manifest format 2 (no recorded schema) " +
+          "— the change feed needs format-2 manifests"))
+    StructType(data.fields :+
+      StructField(ChangeCol, StringType, nullable = false) :+
+      StructField(VersionCol, LongType, nullable = false))
+  }
+}
+
+/** DSv2 entry point: `spark.readStream.format(<this class>)`. */
+class ChangeFeedProvider extends TableProvider {
+  private def dirOf(m: CaseInsensitiveStringMap): String = {
+    val d = m.get("path")
+    require(d != null && d.nonEmpty, "changefeed: option 'path' is required")
+    d
+  }
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangeFeed.feedSchema(SparkSession.active, dirOf(options))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val start = Option(opts.get("startVersion")).map(_.toLong).getOrElse(0L)
+    new ChangeFeedTable(dirOf(opts), start, schema)
+  }
+}
+
+private[streaming] class ChangeFeedTable(dir: String, startVersion: Long,
+                                         fullSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_changefeed($dir)"
+  override def schema(): StructType = fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = fullSchema
+        override def description(): String = name()
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ChangeFeedStream(dir, startVersion, fullSchema)
+      }
+    }
+}
+
+/** Offset = committed table version (json is just the number). */
+private[streaming] case class ChangeFeedOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** One input partition: a whole data file, tagged with the change
+  * kind and the version whose commit added/removed it. */
+private[streaming] case class ChangeFilePartition(
+    absPath: String, change: String, version: Long) extends InputPartition
+
+private[streaming] class ChangeFeedStream(dir: String, startVersion: Long,
+                                          fullSchema: StructType)
+    extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = ChangeFeedOffset(startVersion)
+
+  override def latestOffset(): Offset =
+    ChangeFeedOffset(Snapshots.latest(spark, dir).getOrElse(startVersion))
+
+  override def deserializeOffset(json: String): Offset =
+    ChangeFeedOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[ChangeFeedOffset].v
+    val b = end.asInstanceOf[ChangeFeedOffset].v
+    val raw = Snapshots.rawVersions(spark, dir)
+    val rawSet = raw.toSet
+    // every number in the replay window must still have its manifest —
+    // a vacuumed gap refuses loudly (the Delta-CDF retention rule),
+    // it never silently skips history
+    (math.max(a + 1, raw.headOption.getOrElse(Long.MaxValue)) to b).foreach(v =>
+      require(rawSet.contains(v),
+        s"changefeed: version $v of $dir no longer exists (vacuumed?) — " +
+          "cannot replay a gap; start the stream at or above the vacuum horizon"))
+    val committed = Snapshots.versions(spark, dir)
+    committed.filter(v => v > a && v <= b).flatMap { v =>
+      val fNew = Snapshots.files(spark, dir, v).toSet
+      // aborted-transaction tombstones carry no state: a step's
+      // predecessor is the last COMMITTED version below it
+      val fOld = committed.filter(_ < v).lastOption match {
+        case Some(p) => Snapshots.files(spark, dir, p).toSet
+        case None =>
+          // genesis (all inserts) is only valid when history is
+          // complete back to version 1 — otherwise older committed
+          // state was vacuumed away and a full-insert would double it
+          require(raw.headOption.contains(1L),
+            s"changefeed: no committed predecessor of version $v and the " +
+              s"manifest history of $dir no longer starts at v1 (vacuumed) " +
+              "— cannot establish a change baseline")
+          Set.empty[String]
+      }
+      (fNew -- fOld).toSeq.sorted.map(r =>
+        ChangeFilePartition(s"$dir/$r", "insert", v)) ++
+        (fOld -- fNew).toSeq.sorted.map(r =>
+          ChangeFilePartition(s"$dir/$r", "delete", v))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangeFeedReaderFactory(fullSchema.json,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[streaming] class ChangeFeedReaderFactory(
+    schemaJson: String, conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[ChangeFilePartition]
+    new ChangeFileReader(cp,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], conf.value)
+  }
+}
+
+/** Executor-side whole-file parquet reader producing the feed's rows
+  * (data columns by NAME, then `_change`, `_version`). Built on the
+  * public parquet-mr Group API — no SparkSession exists on the
+  * executor. Flat scalar schemas only (the snapshot-table write
+  * shape); columns the file predates null-fill. */
+private[streaming] class ChangeFileReader(
+    part: ChangeFilePartition, fullSchema: StructType,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val dataFields = fullSchema.fields.dropRight(2) // _change, _version last
+  private val reader = org.apache.parquet.hadoop.ParquetReader
+    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(part.absPath))
+    .withConf(conf)
+    .build()
+  private val changeTag = UTF8String.fromString(part.change)
+  private var row: InternalRow = _
+  // resolved lazily off the first Group: data-field name -> file index
+  private var fieldIdx: Array[Int] = _
+
+  override def next(): Boolean = {
+    val g = reader.read()
+    if (g == null) { row = null; false }
+    else { row = convert(g); true }
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+
+  private def convert(g: org.apache.parquet.example.data.Group): InternalRow = {
+    if (fieldIdx == null) {
+      val t = g.getType
+      fieldIdx = dataFields.map(f =>
+        if (t.containsField(f.name)) t.getFieldIndex(f.name) else -1)
+    }
+    val out = new Array[Any](dataFields.length + 2)
+    var i = 0
+    while (i < dataFields.length) {
+      val fi = fieldIdx(i)
+      out(i) =
+        if (fi < 0 || g.getFieldRepetitionCount(fi) == 0) null
+        else readValue(g, fi, dataFields(i).dataType)
+      i += 1
+    }
+    out(dataFields.length) = changeTag
+    out(dataFields.length + 1) = part.version
+    new GenericInternalRow(out)
+  }
+
+  private def readValue(g: org.apache.parquet.example.data.Group,
+                        fi: Int, dt: DataType): Any = dt match {
+    case LongType | TimestampType | TimestampNTZType => g.getLong(fi, 0)
+    case IntegerType | DateType => g.getInteger(fi, 0)
+    case DoubleType => g.getDouble(fi, 0)
+    case FloatType => g.getFloat(fi, 0)
+    case BooleanType => g.getBoolean(fi, 0)
+    case StringType => UTF8String.fromBytes(g.getBinary(fi, 0).getBytes)
+    case BinaryType => g.getBinary(fi, 0).getBytes
+    case d: DecimalType =>
+      val prim = g.getType.getType(fi).asPrimitiveType().getPrimitiveTypeName
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      prim match {
+        case INT32 => org.apache.spark.sql.types.Decimal(
+          g.getInteger(fi, 0).toLong, d.precision, d.scale)
+        case INT64 => org.apache.spark.sql.types.Decimal(
+          g.getLong(fi, 0), d.precision, d.scale)
+        case BINARY | FIXED_LEN_BYTE_ARRAY =>
+          org.apache.spark.sql.types.Decimal(
+            scala.math.BigDecimal(new java.math.BigDecimal(
+              new java.math.BigInteger(g.getBinary(fi, 0).getBytes), d.scale)),
+            d.precision, d.scale)
+        case other => throw new UnsupportedOperationException(
+          s"changefeed: decimal stored as $other is outside the contract")
+      }
+    case other => throw new UnsupportedOperationException(
+      s"changefeed reads flat scalar columns; ${other.simpleString} " +
+        s"in ${part.absPath} is outside the contract")
+  }
+}

@@ -164,8 +164,11 @@ class AvroSpec extends SparkSuite {
     AvroSource.write(df.repartition(3, col("id")), dir, docSchema, "null")
     // ignore Hadoop local-FS .crc sidecars: dot-prefixed = hidden to
     // Spark's file listing, so read() never sees them either
-    val files = new java.io.File(dir).listFiles().map(_.getName)
+    val all = new java.io.File(dir).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).sorted.toSeq
+    // job commit: the marker exists, and no task left a temp file behind
+    assert(all.contains("_SUCCESS"), all.toString)
+    val files = all.filterNot(_.startsWith("_"))
     assert(files.forall(_.matches("part-\\d{5}\\.avro")), files.toString)
     assert(files.size >= 2 && files.size <= 3)
     val back = AvroSource.records(AvroSource.read(spark, dir, docSchema))

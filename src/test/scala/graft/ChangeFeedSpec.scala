@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Snapshots
+import graft.streaming.ChangeFeed
+
+/** The snapshot table's change feed as a Structured Streaming SOURCE
+  * (DSv2 MicroBatchStream; offsets = committed versions): reconciled
+  * against [[Snapshots.diff]] bit-for-bit per version step — the
+  * same stream==batch discipline as the other streaming operators —
+  * plus checkpoint resume, vacuum-horizon refusal and additive
+  * schema evolution crossing the feed. */
+class ChangeFeedSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_cf_$name")
+    d.toFile.deleteOnExit()
+    d.toString + "/tbl"
+  }
+
+  private def fixture = spark.range(0, 900, 1, 4)
+    .select(
+      pmod(col("id") * 811L + 13L, lit(900L)).as("key"),
+      (col("id") * 31L).as("payload"))
+    .withColumn("bucket", expr("key div 300"))
+
+  /** publish → append → compact → EVOLVED merge; returns the dir. */
+  private def buildTable(dir: String): Unit = {
+    Snapshots.publish(fixture, dir, "bucket", Seq("key"))
+    Snapshots.append(fixture.filter(col("key") < 5)
+      .withColumn("payload", lit(-7L)), dir, "bucket", Seq("key"))
+    Snapshots.compact(spark, dir, "bucket", Seq("key"))
+    Snapshots.merge(
+      fixture.filter(col("key") >= 10 && col("key") < 15)
+        .withColumn("payload", col("payload") + 777777L)
+        .withColumn("src", lit("b4")),
+      dir, "bucket", Seq("key"), Seq("key"))
+  }
+
+  private def drain(dir: String, queryName: String, startVersion: Long = 0L,
+                    checkpoint: Option[String] = None): DataFrame = {
+    val w = ChangeFeed.readStream(spark, dir, startVersion)
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+    val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+  test("drained feed, NETTED, equals Snapshots.diff bit-for-bit for every " +
+    "version step — inserts, deletes, a compaction netting to EMPTY (while " +
+    "the raw file-level feed for it is non-empty), and an evolved merge") {
+    val dir = tmpDir("recon")
+    buildTable(dir)
+    val drained = drain(dir, "cf_recon")
+    assert(drained.columns.toSeq ===
+      Seq("key", "payload", "bucket", "src", "_change", "_version"))
+    // raw file-level feed: the compaction step (v3) rewrote bucket 0 —
+    // its carried-over rows appear as delete+insert pairs…
+    assert(drained.filter(col("_version") === 3L).count() > 0,
+      "compaction contributes raw file-level changes")
+    // …which must cancel EXACTLY under the net fold
+    val net = ChangeFeed.net(drained)
+    assert(net.filter(col("_version") === 3L).count() === 0L,
+      "a compaction's net change feed is empty")
+    // per step: net(stream) == diff(prev, v) (the batch CDC), bit-for-bit.
+    // diff's schema is the NEW version's — steps before the evolution
+    // lack src, which the feed (latest schema) null-fills; align.
+    for (v <- 2L to 4L) {
+      val d = Snapshots.diff(spark, dir, v - 1, v).withColumn("_version", lit(v))
+      val want = rows(d.select(drained.columns.map(c =>
+        (if (d.columns.contains(c)) col(c)
+         else lit(null).cast(drained.schema(c).dataType)).as(c)): _*))
+      val got = rows(net.filter(col("_version") === v)
+        .select(drained.columns.map(col): _*))
+      assert(got === want, s"step v${v - 1} -> v$v")
+    }
+    // the genesis step: version 1 arrives as pure inserts = the full v1
+    val v1 = rows(Snapshots.readAt(spark, dir, 1L)
+      .withColumn("src", lit(null).cast("string"))
+      .withColumn("_change", lit("insert")).withColumn("_version", lit(1L)))
+    assert(rows(drained.filter(col("_version") === 1L)) === v1)
+    // evolution across the feed: pre-evolution files null-fill src
+    assert(drained.filter(col("_version") === 1L && col("src").isNotNull)
+      .count() === 0L)
+    assert(net.filter(col("_version") === 4L && col("_change") === "insert"
+      && col("src") === "b4").count() === 5L)
+  }
+
+  test("CHECKPOINT RESUME: a restarted query replays nothing — only the " +
+    "versions committed after the first drain arrive; startVersion skips " +
+    "history on a fresh query") {
+    val dir = tmpDir("resume")
+    buildTable(dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cf_ck").toString
+    val first = drain(dir, "cf_run1", checkpoint = Some(ckpt))
+    assert(first.select("_version").distinct().as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L))
+    // new commit while the query is down
+    Snapshots.append(fixture.filter(col("key") === 0L)
+      .withColumn("payload", lit(5555L)), dir, "bucket", Seq("key"))
+    val second = drain(dir, "cf_run2", checkpoint = Some(ckpt))
+    assert(second.select("_version").distinct().as[Long].collect().toSeq
+      === Seq(5L), "resume starts at the checkpointed offset")
+    assert(second.count() === 1L)
+    assert(second.select("payload").as[Long].head() === 5555L)
+    // fresh query, startVersion=3: only the steps above 3
+    val skipped = drain(dir, "cf_skip", startVersion = 3L)
+    assert(skipped.select("_version").distinct().as[Long].collect().sorted.toSeq
+      === Seq(4L, 5L))
+  }
+
+  test("VACUUM HORIZON: replaying across vacuumed versions refuses loudly " +
+    "(never silently skips history); streaming from the horizon works") {
+    val dir = tmpDir("vac")
+    buildTable(dir)
+    Snapshots.vacuum(spark, dir, 3L, retainMs = 0L) // v1, v2 gone
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = ChangeFeed.readStream(spark, dir, 0L)
+        .writeStream.outputMode("append").format("memory").queryName("cf_gap")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getMessage.contains("vacuumed") ||
+      Option(e.getCause).exists(_.getMessage.contains("vacuumed")))
+    val ok = drain(dir, "cf_horizon", startVersion = 3L)
+    assert(ok.select("_version").distinct().as[Long].collect().toSeq === Seq(4L))
+    val want = rows(Snapshots.diff(spark, dir, 3L, 4L)
+      .withColumn("_version", lit(4L)))
+    assert(rows(ChangeFeed.net(ok).select(ok.columns.map(col): _*)) === want)
+  }
+}

@@ -186,4 +186,49 @@ class LayoutSpec extends SparkSuite {
       "no temp dir left behind")
     assert(spark.read.parquet(out).count() === 2010L)
   }
+
+  test("compact CRASH at the worst window — journal written, nothing " +
+    "swapped yet: the re-run heals off the journal BEFORE overwriting the " +
+    "temp dir, so the merged copies are never destroyed (no data loss)") {
+    val out = tmpDir("crash0")
+    Layout.publish(fixture, out, "bucket", Seq("key"))
+    Layout.append(fixture.filter(col("key") < 300), out, "bucket", Seq("key"))
+    val expect = 2300L // 2000 + the 300 appended duplicates
+    intercept[IllegalStateException](
+      Layout.compactImpl(spark, out, "bucket", Seq("key"), "key",
+        128L * 1024 * 1024, crashAfterSwaps = Some(0), crashMidEntry = false))
+    // crashed state on disk: journal present, merged files stranded in tmp
+    assert(new java.io.File(s"$out/_compact_journal").exists())
+    assert(new java.io.File(out.stripSuffix("/") + "_compact_tmp").exists())
+    assert(spark.read.parquet(out).count() === expect, "data intact at crash")
+    // the re-run must recover, then find nothing left to merge
+    val report = Layout.compact(spark, out, "bucket", Seq("key"), "key")
+    assert(report.forall(_.filesAfter === 1L), s"fragmentation healed: $report")
+    assert(!new java.io.File(s"$out/_compact_journal").exists())
+    val back = spark.read.parquet(out)
+    assert(back.count() === expect, "recovery loses nothing, duplicates nothing")
+    assert(back.filter(col("key") < 300).count() === 600L)
+    assert(back.filter(col("key") >= 300).count() === 1700L)
+  }
+
+  test("compact CRASH mid-entry — replacement renamed in, old files not " +
+    "yet deleted: readers see duplicates transiently, the re-run deletes " +
+    "exactly the journaled old files and completes the remaining buckets") {
+    val out = tmpDir("crash1")
+    Layout.publish(fixture, out, "bucket", Seq("key"))
+    Layout.append(fixture.filter(col("key") < 300), out, "bucket", Seq("key"))
+    intercept[IllegalStateException](
+      Layout.compactImpl(spark, out, "bucket", Seq("key"), "key",
+        128L * 1024 * 1024, crashAfterSwaps = Some(0), crashMidEntry = true))
+    // mid-swap state: bucket 0 holds old + merged together (duplicates
+    // visible — the documented directory-table race), nothing lost
+    val mid = spark.read.parquet(out)
+    assert(mid.filter(col("key") < 256).count() === 2 * (256L + 256L),
+      "bucket 0: old two files AND the merged copy")
+    val report = Layout.compact(spark, out, "bucket", Seq("key"), "key")
+    assert(report.forall(_.filesAfter === 1L))
+    val back = spark.read.parquet(out)
+    assert(back.count() === 2300L, "recovery deduplicates the mid-swap state")
+    assert(back.filter(col("key") < 300).count() === 600L)
+  }
 }
