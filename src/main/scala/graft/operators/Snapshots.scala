@@ -134,7 +134,7 @@ object Snapshots {
   /** Resolve the manifest of a COMMITTED version, refusing aborted /
     * in-flight transactional manifests — the accessor every read
     * path goes through. */
-  private def committedManifest(spark: SparkSession, dir: String,
+  private[operators] def committedManifest(spark: SparkSession, dir: String,
                                 v: Long): Manifest = {
     val m = manifest(spark, dir, v)
     require(isCommitted(spark, m),
@@ -233,16 +233,16 @@ object Snapshots {
 
   /** A staged write's outcome: the new files plus the meta lines
     * (schema + per-file stats) the commit should carry. */
-  private case class Staged(rels: Seq[String], schemaJson: String,
+  private[operators] case class Staged(rels: Seq[String], schemaJson: String,
                             statLines: Seq[String])
 
-  private def nullable(s: StructType): StructType =
+  private[operators] def nullable(s: StructType): StructType =
     StructType(s.fields.map(_.copy(nullable = true)))
 
   /** Additive schema merge: shared columns must keep their type;
     * columns only one side carries are appended (files that predate
     * a column null-fill it at read). */
-  private def mergeSchemas(base: StructType, add: StructType): StructType = {
+  private[operators] def mergeSchemas(base: StructType, add: StructType): StructType = {
     add.fields.filter(f => base.fieldNames.contains(f.name)).foreach { f =>
       val b = base(f.name)
       require(b.dataType == f.dataType,
@@ -265,7 +265,7 @@ object Snapshots {
     * wrote (cost ∝ this commit's churn, incremental by
     * construction); non-INT64 sort keys simply record no stats and
     * [[versionStats]] falls back to the verification walk. */
-  private def stage(df: DataFrame, dir: String, bucketCol: String,
+  private[operators] def stage(df: DataFrame, dir: String, bucketCol: String,
                     sortCols: Seq[String], blockSize: Long,
                     numTasks: Int): Staged = {
     require(!df.columns.contains(DirCol),
@@ -320,7 +320,7 @@ object Snapshots {
   /** The next claimable version number: one above the highest RAW
     * manifest (committed or tombstone — a claim must never collide
     * with an aborted transaction's manifest). */
-  private def nextVersion(spark: SparkSession, dir: String): Long =
+  private[operators] def nextVersion(spark: SparkSession, dir: String): Long =
     rawVersions(spark, dir).lastOption.getOrElse(0L) + 1
 
   /** Resolve an UNDECIDED transactional manifest sitting at the raw
@@ -333,7 +333,7 @@ object Snapshots {
     * and [[latest]] sees it). Callers coordinating transactions
     * should not run plain writers against member tables mid-txn:
     * the plain writer WILL abort them. */
-  private def resolveForWrite(spark: SparkSession, dir: String): Unit =
+  private[operators] def resolveForWrite(spark: SparkSession, dir: String): Unit =
     rawVersions(spark, dir).lastOption.foreach { rv =>
       manifest(spark, dir, rv).metaValues("txn").headOption.foreach { rec =>
         if (txnState(spark, rec).isEmpty) writeTxnRecord(spark, rec, commit = false)
@@ -411,7 +411,7 @@ object Snapshots {
     * column null-fill it natively. Without one (legacy manifests
     * written via raw [[commit]]), falls back to the per-token
     * basePath union that recovers directory-partition columns. */
-  private def readFiles(spark: SparkSession, dir: String,
+  private[operators] def readFiles(spark: SparkSession, dir: String,
                         rels: Seq[String],
                         schema: Option[StructType]): DataFrame = schema match {
     case Some(s) =>

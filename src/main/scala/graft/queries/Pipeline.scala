@@ -103,7 +103,8 @@ object Pipeline {
     "q151_tfidf_topk" -> q151,
     "q157_ivfpq_fixed" -> q157,
     "q158_langid_trained" -> q158,
-    "q160_avro_roundtrip" -> q160
+    "q160_avro_roundtrip" -> q160,
+    "q171_snapshot_pipeline" -> q171
   )
 
   /** Exact dedup over a corpus with planted duplicates (the corpus
@@ -1429,8 +1430,17 @@ object Pipeline {
     * individually gated (q30/q74/q46) — this pins their
     * COMPOSITION, which is what a production pipeline actually
     * ships. */
-  def q150(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+  def q150(spark: SparkSession, dir: String): DataFrame =
+    pretrainChain(Tables.documents(spark, dir))
+      .orderBy(col("source"), col("doc_id"))
+
+  /** The q150 chain body over an arbitrary documents-shaped frame
+    * (doc_id, source, text ...) — shared by q150 (raw parquet
+    * source) and q171 (the same chain running OVER a snapshot
+    * table), so the two gates provably run the identical
+    * composition. */
+  private def pretrainChain(docs: DataFrame): DataFrame = {
+    val d = docs.filter(col("text").isNotNull)
     val keeper = d.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val kept = d.join(keeper, Seq("doc_id"), "leftsemi")
@@ -1443,6 +1453,43 @@ object Pipeline {
         col("max_wlen") <= 30)
       .drop("max_wlen")
     Sampling.packChunks(toks, "doc_id", "n_tok", "source", budget = 2048)
+  }
+
+  /** The pretraining chain run END-TO-END OVER THE TABLE LAYER — the
+    * integration [[graft.operators.Snapshots]] exists for (the r8
+    * backlog's #1): documents land in a snapshot table over TWO
+    * commits (publish + append — the chain's source is a real
+    * multi-version manifest read, one explicit-schema relation), the
+    * EXACT q150 composition ([[pretrainChain]] — the same function
+    * object) runs over `Snapshots.read`, and its output is PUBLISHED
+    * as a snapshot table and read back through a manifest before
+    * hashing. The oracle restates the chain off the raw parquet —
+    * identical output proves the table layer is TRANSPARENT to the
+    * operators: no row, type or value drifts crossing publish/read
+    * on either side of the pipeline.
+    *
+    * Scale: the snapshot read adds zero shuffles (one parquet
+    * relation either way); the publish legs are the standard one
+    *-hash-repartition write. Cost over q150 = the two table writes. */
+  def q171(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    val base = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_snappipe_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val srcTbl = s"$base/docs"
+    val outTbl = s"$base/packed"
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket", expr("doc_id div 4096"))
+    Snapshots.publish(docs.filter(col("doc_id") % 2 === 0), srcTbl,
+      "bucket", Seq("doc_id"))
+    Snapshots.append(docs.filter(col("doc_id") % 2 === 1), srcTbl,
+      "bucket", Seq("doc_id"))
+    val packed = pretrainChain(Snapshots.read(spark, srcTbl).drop("bucket"))
+    Snapshots.publish(packed.withColumn("bucket", expr("doc_id div 4096")),
+      outTbl, "bucket", Seq("doc_id"))
+    Snapshots.read(spark, outTbl).drop("bucket")
       .orderBy(col("source"), col("doc_id"))
   }
 
@@ -1937,6 +1984,33 @@ object Pipeline {
        |  SELECT vec_id, label, tbl,
        |    CAST(sum(CASE WHEN dot > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
        |  FROM plane_dots GROUP BY vec_id, label, tbl)""".stripMargin
+
+  /** The q150/q171 chain restated in DuckDB SQL (shared VERBATIM —
+    * q171 proves the snapshot table layer transparent by matching
+    * the same oracle). */
+  private val pretrainChainSql: String =
+    """WITH k AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  WHERE text IS NOT NULL GROUP BY text),
+        |t AS (
+        |  SELECT d.doc_id, d.source,
+        |    list_filter(string_split(d.text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents d JOIN k ON d.doc_id = k.doc_id),
+        |f AS (
+        |  SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tok
+        |  FROM t
+        |  WHERE len(ws) BETWEEN 20 AND 2000
+        |    AND list_max(list_transform(ws, w -> length(w))) <= 30),
+        |p AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok AS start_tok
+        |  FROM f WHERE n_tok > 0)
+        |SELECT source, doc_id, n_tok AS n_tokens, start_tok,
+        |  start_tok // 2048 AS bin_first,
+        |  (start_tok + n_tok - 1) // 2048 AS bin_last,
+        |  (start_tok + n_tok - 1) // 2048 - start_tok // 2048 + 1 AS n_bins
+        |FROM p ORDER BY source, doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -2692,29 +2766,12 @@ object Pipeline {
     // q150: the whole chain restated — dedup keeper, integer quality
     // rules, token budgets, running-sum packing; one hash over the
     // composition.
-    "q150_pretrain_e2e" ->
-      """WITH k AS (
-        |  SELECT min(doc_id) AS doc_id FROM documents
-        |  WHERE text IS NOT NULL GROUP BY text),
-        |t AS (
-        |  SELECT d.doc_id, d.source,
-        |    list_filter(string_split(d.text, ' '), w -> length(w) > 0) AS ws
-        |  FROM documents d JOIN k ON d.doc_id = k.doc_id),
-        |f AS (
-        |  SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tok
-        |  FROM t
-        |  WHERE len(ws) BETWEEN 20 AND 2000
-        |    AND list_max(list_transform(ws, w -> length(w))) <= 30),
-        |p AS (
-        |  SELECT doc_id, source, n_tok,
-        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok AS start_tok
-        |  FROM f WHERE n_tok > 0)
-        |SELECT source, doc_id, n_tok AS n_tokens, start_tok,
-        |  start_tok // 2048 AS bin_first,
-        |  (start_tok + n_tok - 1) // 2048 AS bin_last,
-        |  (start_tok + n_tok - 1) // 2048 - start_tok // 2048 + 1 AS n_bins
-        |FROM p ORDER BY source, doc_id""".stripMargin,
+    "q150_pretrain_e2e" -> pretrainChainSql,
+    // q171: the table layer must be TRANSPARENT — the oracle is the
+    // IDENTICAL chain off the raw parquet (the same SQL object as
+    // q150); any row/type/value drift crossing snapshot publish/read
+    // on either side of the pipeline breaks the hash.
+    "q171_snapshot_pipeline" -> pretrainChainSql,
     // q146: the *-group rules restated closed-form (megabot group and
     // the empty Disallow excluded — exactly what the parser must
     // produce); match replayed via LIKE patterns (an independent

@@ -62,6 +62,9 @@ object Relational {
     "q168_schema_evolution" -> q168,
     "q169_snapshot_prune" -> q169,
     "q170_lakehouse_e2e" -> q170,
+    "q172_changefeed" -> q172,
+    "q173_txn_publish" -> q173,
+    "q174_bucket_evolution" -> q174,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -1075,6 +1078,249 @@ object Relational {
       .orderBy(col("section"), col("label"))
   }
 
+  /** The snapshot table's CHANGE FEED as a LIVE Structured Streaming
+    * source under the gate ([[graft.streaming.ChangeFeed]] — the CDC
+    * consumer closing the loop q167's exactly-once sink opens; a
+    * DSv2 MicroBatchStream whose offsets ARE committed versions):
+    * q166's exact table life (publish → 'A' append → compact →
+    * modify+insert merge) is drained BY A REAL STREAMING QUERY into
+    * a memory sink, the file-level changelog is collapsed by
+    * [[graft.streaming.ChangeFeed.net]] (exceptAll semantics), and
+    * the per-(version, kind) folds go under one hash. The oracle
+    * restates every step closed-form in key residues: v1 = the whole
+    * table as inserts, v2 = the 'A' copies, v3 = ZERO both ways (a
+    * compaction's net feed is empty even though its raw file-level
+    * feed is not), v4 = q166's merge trade. Identical folds prove
+    * stream == batch CDC: the streaming consumer sees exactly what
+    * [[graft.operators.Snapshots.diff]] computes.
+    *
+    * Scale: batch planning is manifest-only (the files the two
+    * manifests do not share); executors read whole churn files with
+    * zero shuffle; the net fold is the one hash aggregation the
+    * consumer's exceptAll would pay anyway. */
+  def q172(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import graft.streaming.ChangeFeed
+    import spark.implicits._
+    val W = 8192L
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_cdc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    val src = Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    Snapshots.publish(src, out, "bucket", Seq("o_orderkey"))
+    Snapshots.append(
+      src.filter(col("o_orderkey") % 7 === 3)
+        .withColumn("o_orderstatus", lit("A")),
+      out, "bucket", Seq("o_orderkey"))
+    Snapshots.compact(spark, out, "bucket", Seq("o_orderkey"))
+    val updates = src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("o_orderstatus", lit("U"))
+      .unionByName(
+        src.filter(col("o_orderkey") % 7 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + (1L << 30))
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("bucket", expr(s"o_orderkey div $W")))
+    Snapshots.merge(updates, out, "bucket",
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    // the LIVE consumer: drain the feed with a real streaming query
+    val qn = "graft_cdc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = ChangeFeed.readStream(spark, out)
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val net = ChangeFeed.net(spark.table(qn)).cache()
+    val rows =
+      try {
+        (1L to 4L).flatMap { v =>
+          Seq("insert", "delete").map { kind =>
+            val r = net.filter(col("_version") === v && col("_change") === kind)
+              .withColumn("h", ordersRowHash)
+              .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+                coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+            (f"v$v%04d", kind, r.getLong(0), r.getLong(1), r.getLong(2))
+          }
+        }
+      } finally {
+        net.unpersist()
+        spark.catalog.dropTempView(qn)
+      }
+    rows.toDF("version", "kind", "m1", "m2", "m3")
+      .orderBy(col("version"), col("kind"))
+  }
+
+  /** MULTI-TABLE TRANSACTIONAL PUBLISH under the gate
+    * ([[graft.operators.Snapshots.beginTxn]] — the cross-table
+    * atomicity a pipeline's fact+dim pair needs; the create-
+    * exclusive claim generalized to ONE record file that commits N
+    * tables at once): orders (fact) and customer (dim) each publish
+    * v1, then a transaction stages changes to BOTH tables and
+    * CRASHES before its record write — the 'crashed' folds prove
+    * both tables still read their v1 content (the provisional
+    * manifests are invisible tombstones). A second transaction
+    * applies a modify-merge to each table and COMMITS — the 'final'
+    * folds carry both tables' post-txn content, the 'join' fold
+    * reads the pair TOGETHER (the cross-table consistency read), and
+    * the 'state' rows pin the version arithmetic: 2 committed
+    * versions per table, latest = 3 (claims sit ABOVE the crashed
+    * txn's tombstone at v2), 3 raw manifests. All closed-form in key
+    * residues. */
+  def q173(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import spark.implicits._
+    val W = 8192L
+    val base = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_txn_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val factT = s"$base/fact"
+    val dimT = s"$base/dim"
+    val fact = Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    val dim = Tables.customer(spark, dir)
+      .withColumn("bucket", expr("c_custkey div 4096"))
+    Snapshots.publish(fact, factT, "bucket", Seq("o_orderkey"))
+    Snapshots.publish(dim, dimT, "bucket", Seq("c_custkey"))
+    // the crashed transaction: stages BOTH tables, record never written
+    val dead = Snapshots.beginTxn(spark, s"$base/_txns/dead")
+    dead.merge(fact.filter(col("o_orderkey") % 11 === 5)
+        .withColumn("o_orderstatus", lit("Z")),
+      factT, "bucket", Seq("o_orderkey"), Seq("o_orderkey"))
+    dead.merge(dim.filter(col("c_custkey") % 13 === 5)
+        .withColumn("c_mktsegment", lit("ZZ")),
+      dimT, "bucket", Seq("c_custkey"), Seq("c_custkey"))
+    def fold(df: DataFrame, h: Column): (Long, Long, Long) = {
+      val r = df.withColumn("h", h)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+          coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val dimRowHash: Column = {
+      val canon = concat_ws("|", col("c_custkey"), col("c_name"),
+        col("c_mktsegment"))
+      conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    }
+    val (cf1, cf2, cf3) = fold(Snapshots.read(spark, factT), ordersRowHash)
+    val (cd1, cd2, cd3) = fold(Snapshots.read(spark, dimT), dimRowHash)
+    val crashed = Seq(
+      ("crashed", "fact", cf1, cf2, cf3),
+      ("crashed", "dim", cd1, cd2, cd3))
+    // the committed transaction: both tables flip at ONE record write
+    // (its claims also force-abort the dead txn — arbitration live)
+    val txn = Snapshots.beginTxn(spark, s"$base/_txns/live")
+    txn.merge(fact.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 2.0)
+        .withColumn("o_orderstatus", lit("T")),
+      factT, "bucket", Seq("o_orderkey"), Seq("o_orderkey"))
+    txn.merge(dim.filter(col("c_custkey") % 13 === 0)
+        .withColumn("c_mktsegment", lit("TX")),
+      dimT, "bucket", Seq("c_custkey"), Seq("c_custkey"))
+    txn.commit()
+    val (ff1, ff2, ff3) = fold(Snapshots.read(spark, factT), ordersRowHash)
+    val (fd1, fd2, fd3) = fold(Snapshots.read(spark, dimT), dimRowHash)
+    val fin = Seq(
+      ("final", "fact", ff1, ff2, ff3),
+      ("final", "dim", fd1, fd2, fd3))
+    // the pair read TOGETHER: fact ⋈ dim post-txn
+    val joinHash: Column = {
+      val canon = concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+        (dec2(col("o_totalprice")) * 100).cast("long"), col("c_mktsegment"))
+      conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    }
+    val joined = Snapshots.read(spark, factT)
+      .join(Snapshots.read(spark, dimT), col("o_custkey") === col("c_custkey"))
+    val (j1, j2, j3) = fold(joined, joinHash)
+    val state = Seq(factT, dimT).zip(Seq("fact", "dim")).map { case (t, lbl) =>
+      ("state", lbl, Snapshots.versions(spark, t).size.toLong,
+        Snapshots.latest(spark, t).get,
+        Snapshots.rawVersions(spark, t).size.toLong)
+    }
+    (crashed ++ fin ++ Seq(("join", "pair", j1, j2, j3)) ++ state)
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
+  /** PARTITION EVOLUTION under the gate
+    * ([[graft.operators.BucketedTable]] — re-bucket a snapshot
+    * table's layout width WITHOUT rewriting history): orders publish
+    * + append at width 8192, [[graft.operators.BucketedTable
+    * .evolveWidth]] flips to 2048 as a METADATA-ONLY commit (v3
+    * lists v2's exact files), another append lands at the new width
+    * (mixed epochs coexist), a MERGE modifying every key < 8192
+    * crosses the epoch boundary (its rewrite set chosen from
+    * manifest stats, not bucket arithmetic — touched data migrates
+    * to the new width as a side effect), and [[graft.operators
+    * .BucketedTable.compact]] migrates the rest. Sections inside one
+    * hash: per-version 'read' folds (v3 == v2: evolution changes no
+    * rows; v6 == v5: migration changes no rows), 'files' rows
+    * restating each version's file count PER EPOCH closed-form in
+    * key-residue bucket arithmetic, the 'migrate' invariants (zero
+    * old-epoch files after compact, one file per bucket, idempotent
+    * re-compact), 'prune' folds across the epoch boundary at BOTH a
+    * mixed-epoch version and the migrated one (pruning consults
+    * per-file stats, never bucket arithmetic — epochs are invisible
+    * to it), and the 'state' row. */
+  def q174(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{BucketedTable, Snapshots}
+    import spark.implicits._
+    val W1 = 8192L
+    val W2 = 2048L
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_bevo_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    val src = Tables.orders(spark, dir) // no bucket column: DERIVED
+    val v1 = BucketedTable.publish(src.filter(col("o_orderkey") % 3 === 0),
+      out, "o_orderkey", W1)
+    val v2 = BucketedTable.append(src.filter(col("o_orderkey") % 3 === 1), out)
+    val v3 = BucketedTable.evolveWidth(spark, out, W2)
+    val v4 = BucketedTable.append(src.filter(col("o_orderkey") % 3 === 2), out)
+    val upd = src.filter(col("o_orderkey") < W1)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .withColumn("o_orderstatus", lit("U"))
+    val v5 = BucketedTable.merge(upd, out, Seq("o_orderkey"))
+    val v6 = BucketedTable.compact(spark, out)
+    def fold(df: DataFrame): (Long, Long, Long) = {
+      val r = df.withColumn("h", ordersRowHash)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+          coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val vers = Seq(v1, v2, v3, v4, v5, v6)
+    val reads = vers.zipWithIndex.map { case (v, i) =>
+      val (c, x, s) = fold(BucketedTable.readAt(spark, out, v))
+      ("read", f"v${i + 1}%04d", c, x, s)
+    }
+    val fileRows = vers.take(5).zipWithIndex.map { case (v, i) =>
+      val fw = BucketedTable.fileWidths(spark, out, v)
+      (s"files", f"v${i + 1}%04d", fw.size.toLong,
+        fw.values.count(_ == W1).toLong, fw.values.count(_ == W2).toLong)
+    }
+    val fw6 = BucketedTable.fileWidths(spark, out, v6)
+    val files6 = Snapshots.files(spark, out, v6)
+    val migrate = Seq(("migrate", "v0006",
+      fw6.values.count(_ == W1).toLong,
+      if (files6.groupBy(Snapshots.fileBucket).forall(_._2.size == 1)) 1L else 0L,
+      if (BucketedTable.compact(spark, out) == v6) 1L else 0L))
+    val prune = Seq(v4 -> "v0004", v6 -> "v0006").map { case (v, lbl) =>
+      val (c, x, s) = fold(
+        BucketedTable.prunedScanAt(spark, out, v, 4096L, 12288L))
+      ("prune", lbl, c, x, s)
+    }
+    val state = Seq(("state", "meta",
+      Snapshots.versions(spark, out).size.toLong,
+      Snapshots.latest(spark, out).get,
+      BucketedTable.currentWidth(spark, out)._2))
+    (reads ++ fileRows ++ migrate ++ prune ++ state)
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
   /** Bucketed-table sort-merge join under the gate — the co-located
     * fact-fact join that removes the query-time shuffle entirely
     * (the q17 salted join's complement: salt when you cannot
@@ -1587,6 +1833,160 @@ object Relational {
          |    CAST(coalesce(bit_xor(h), 0) AS BIGINT),
          |    CAST(coalesce(sum(h % 1000000000000), 0) AS BIGINT) FROM hd34)
          |SELECT * FROM agg ORDER BY pair, kind""".stripMargin
+    },
+    // q172: the streamed-and-netted change feed restated closed-form
+    // per version — v1 the whole table as inserts, v2 the 'A'
+    // copies, v3 ZERO (net of a compaction), v4 the merge trade
+    // (q166's p34). Stream == batch CDC or the folds diverge.
+    "q172_changefeed" -> {
+      def canonH(src: String) =
+        s"""SELECT list_reduce(list_transform(generate_series(1, 15),
+           |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+           |      (a, x) -> a * 16 + x) AS h FROM $src""".stripMargin
+      s"""WITH acp AS (
+         |  SELECT o_orderkey, o_custkey, 'A' AS o_orderstatus, o_orderdate, o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 = 3),
+         |ins34 AS (
+         |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_orderdate, o_totalprice + 1.0 AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 1073741824, o_custkey, 'N', o_orderdate, o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 = 3),
+         |del34 AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 = 0),
+         |hall AS (${canonH("orders")}),
+         |h12 AS (${canonH("acp")}),
+         |hi34 AS (${canonH("ins34")}),
+         |hd34 AS (${canonH("del34")}),
+         |agg AS (
+         |  SELECT 'v0001' AS version, 'insert' AS kind, count(*) AS m1,
+         |    CAST(coalesce(bit_xor(h), 0) AS BIGINT) AS m2,
+         |    CAST(coalesce(sum(h % 1000000000000), 0) AS BIGINT) AS m3 FROM hall
+         |  UNION ALL SELECT 'v0001', 'delete', 0, 0, 0
+         |  UNION ALL SELECT 'v0002', 'insert', count(*),
+         |    CAST(coalesce(bit_xor(h), 0) AS BIGINT),
+         |    CAST(coalesce(sum(h % 1000000000000), 0) AS BIGINT) FROM h12
+         |  UNION ALL SELECT 'v0002', 'delete', 0, 0, 0
+         |  UNION ALL SELECT 'v0003', 'insert', 0, 0, 0
+         |  UNION ALL SELECT 'v0003', 'delete', 0, 0, 0
+         |  UNION ALL SELECT 'v0004', 'insert', count(*),
+         |    CAST(coalesce(bit_xor(h), 0) AS BIGINT),
+         |    CAST(coalesce(sum(h % 1000000000000), 0) AS BIGINT) FROM hi34
+         |  UNION ALL SELECT 'v0004', 'delete', count(*),
+         |    CAST(coalesce(bit_xor(h), 0) AS BIGINT),
+         |    CAST(coalesce(sum(h % 1000000000000), 0) AS BIGINT) FROM hd34)
+         |SELECT * FROM agg ORDER BY version, kind""".stripMargin
+    },
+    // q173: both tables' crashed folds are the ORIGINALS (the txn
+    // never committed), the final folds carry each table's merge,
+    // the join reads the pair together, and the state rows pin the
+    // version arithmetic (2 committed, latest 3 above the tombstone,
+    // 3 raw manifests) — constants by protocol.
+    "q173_txn_publish" -> {
+      val ocanon = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+        "o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      val ccanon = "CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || c_mktsegment"
+      val jcanon = "CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR) || '|' || c_mktsegment"
+      def h60(canon: String) =
+        s"""list_reduce(list_transform(generate_series(1, 15),
+           |      i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+           |      (a, x) -> a * 16 + x)""".stripMargin
+      s"""WITH factf AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_totalprice
+         |  FROM orders WHERE o_orderkey % 11 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, 'T', o_orderdate, o_totalprice + 2.0
+         |  FROM orders WHERE o_orderkey % 11 = 0),
+         |dimf AS (
+         |  SELECT c_custkey, c_name,
+         |    CASE WHEN c_custkey % 13 = 0 THEN 'TX' ELSE c_mktsegment END AS c_mktsegment
+         |  FROM customer),
+         |hco AS (SELECT ${h60(ocanon)} AS h FROM orders),
+         |hcd AS (SELECT ${h60(ccanon)} AS h FROM customer),
+         |hfo AS (SELECT ${h60(ocanon)} AS h FROM factf),
+         |hfd AS (SELECT ${h60(ccanon)} AS h FROM dimf),
+         |hj AS (SELECT ${h60(jcanon)} AS h
+         |  FROM factf JOIN dimf ON o_custkey = c_custkey),
+         |agg AS (
+         |  SELECT 'crashed' AS section, 'fact' AS label, count(*) AS m1,
+         |    CAST(bit_xor(h) AS BIGINT) AS m2,
+         |    CAST(sum(h % 1000000000000) AS BIGINT) AS m3 FROM hco
+         |  UNION ALL SELECT 'crashed', 'dim', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hcd
+         |  UNION ALL SELECT 'final', 'fact', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hfo
+         |  UNION ALL SELECT 'final', 'dim', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hfd
+         |  UNION ALL SELECT 'join', 'pair', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hj
+         |  UNION ALL SELECT 'state', 'fact', 2, 3, 3
+         |  UNION ALL SELECT 'state', 'dim', 2, 3, 3)
+         |SELECT * FROM agg ORDER BY section, label""".stripMargin
+    },
+    // q174: per-version content closed-form in residues (v3==v2:
+    // metadata-only evolution; v6==v5: migration moves no rows);
+    // file counts per EPOCH from residue bucket arithmetic — v5's
+    // rewrite set restated as "every file whose key range intersects
+    // [0, 8192)" (bucket-0 old-epoch files + new-epoch buckets 0-3,
+    // each iff its residue has keys there), replaced by one file per
+    // occupied new-width bucket below 8192; migrate/state rows are
+    // protocol constants.
+    "q174_bucket_evolution" -> {
+      val canon = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+        "o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      def h60(src: String) =
+        s"""SELECT list_reduce(list_transform(generate_series(1, 15),
+           |      i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+           |      (a, x) -> a * 16 + x) AS h FROM $src""".stripMargin
+      s"""WITH merged AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CASE WHEN o_orderkey < 8192 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+         |    o_orderdate,
+         |    CASE WHEN o_orderkey < 8192 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+         |  FROM orders),
+         |r0 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+         |r01 AS (SELECT * FROM orders WHERE o_orderkey % 3 <= 1),
+         |h1 AS (${h60("r0")}),
+         |h2 AS (${h60("r01")}),
+         |h4 AS (${h60("orders")}),
+         |h5 AS (${h60("merged")}),
+         |p4 AS (${h60("orders")}
+         |  WHERE o_orderkey >= 4096 AND o_orderkey < 12288),
+         |p6 AS (${h60("merged")}
+         |  WHERE o_orderkey >= 4096 AND o_orderkey < 12288),
+         |nb AS (SELECT
+         |  (SELECT count(DISTINCT o_orderkey // 8192) FROM orders WHERE o_orderkey % 3 = 0) AS b1,
+         |  (SELECT count(DISTINCT o_orderkey // 8192) FROM orders WHERE o_orderkey % 3 = 1) AS b2,
+         |  (SELECT count(DISTINCT o_orderkey // 2048) FROM orders WHERE o_orderkey % 3 = 2) AS b4,
+         |  (SELECT count(DISTINCT o_orderkey // 8192) FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey < 8192)
+         |    + (SELECT count(DISTINCT o_orderkey // 8192) FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey < 8192) AS tw1,
+         |  (SELECT count(DISTINCT o_orderkey // 2048) FROM orders WHERE o_orderkey % 3 = 2 AND o_orderkey < 8192) AS tw2,
+         |  (SELECT count(DISTINCT o_orderkey // 2048) FROM orders WHERE o_orderkey < 8192) AS repl),
+         |agg AS (
+         |  SELECT 'read' AS section, 'v0001' AS label, count(*) AS m1,
+         |    CAST(bit_xor(h) AS BIGINT) AS m2, CAST(sum(h % 1000000000000) AS BIGINT) AS m3 FROM h1
+         |  UNION ALL SELECT 'read', 'v0002', count(*), CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h2
+         |  UNION ALL SELECT 'read', 'v0003', count(*), CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h2
+         |  UNION ALL SELECT 'read', 'v0004', count(*), CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h4
+         |  UNION ALL SELECT 'read', 'v0005', count(*), CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h5
+         |  UNION ALL SELECT 'read', 'v0006', count(*), CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h5
+         |  UNION ALL SELECT 'files', 'v0001', b1, b1, 0 FROM nb
+         |  UNION ALL SELECT 'files', 'v0002', b1 + b2, b1 + b2, 0 FROM nb
+         |  UNION ALL SELECT 'files', 'v0003', b1 + b2, b1 + b2, 0 FROM nb
+         |  UNION ALL SELECT 'files', 'v0004', b1 + b2 + b4, b1 + b2, b4 FROM nb
+         |  UNION ALL SELECT 'files', 'v0005', b1 + b2 + b4 - tw1 - tw2 + repl,
+         |    b1 + b2 - tw1, b4 - tw2 + repl FROM nb
+         |  UNION ALL SELECT 'migrate', 'v0006', 0, 1, 1
+         |  UNION ALL SELECT 'prune', 'v0004', count(*),
+         |    CAST(coalesce(bit_xor(h), 0) AS BIGINT), CAST(coalesce(sum(h % 1000000000000), 0) AS BIGINT) FROM p4
+         |  UNION ALL SELECT 'prune', 'v0006', count(*),
+         |    CAST(coalesce(bit_xor(h), 0) AS BIGINT), CAST(coalesce(sum(h % 1000000000000), 0) AS BIGINT) FROM p6
+         |  UNION ALL SELECT 'state', 'meta', 6, 6, 2048)
+         |SELECT * FROM agg ORDER BY section, label""".stripMargin
     },
     // q165: the oracle is the PLAIN join — identical output proves
     // the persisted bucketing changed nothing (the q17 discipline).
