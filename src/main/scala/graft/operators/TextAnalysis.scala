@@ -960,14 +960,25 @@ object TextAnalysis {
       when(col("lang") === c, 1L).otherwise(-1L)
     for (_ <- 1 to iters) {
       // one aggregate: every class's flagged update sums ride the
-      // same map-side partials (C·(buckets+1) columns, one pass)
+      // same map-side partials (C·(buckets+1) columns, one pass).
+      // The per-class margin dot is HOISTED into a projection first
+      // — each class's (buckets+1)-term dot is evaluated ONCE per
+      // row, and the C·(buckets+1) sums reference a boolean flag
+      // column instead of each carrying its own copy of the dot
+      // (pre-hoist the expression tree held C·(buckets+1) dots and
+      // q158 ran ~7× slower than its C=1 twin q87; whether codegen's
+      // subexpression elimination recovered it was never proven —
+      // now the cost shape is explicit and the codegen unit small)
+      val flaggedRows = fx.select(col("x") +: classes.flatMap { c =>
+        Seq(yOf(c).as(s"y_$c"),
+          (yOf(c) * ArrayOps.vecDotLong(col("x"), ws(c)) <= 0).as(s"f_$c"))
+      }: _*)
       val aggCols = classes.flatMap { c =>
-        val flagged = yOf(c) * ArrayOps.vecDotLong(col("x"), ws(c)) <= 0
         (0 to buckets).map(i =>
-          sum(when(flagged, yOf(c) * element_at(col("x"), i + 1))
+          sum(when(col(s"f_$c"), col(s"y_$c") * element_at(col("x"), i + 1))
             .otherwise(0L)).as(s"u_${c}_$i"))
       }
-      val upd = fx.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+      val upd = flaggedRows.agg(aggCols.head, aggCols.tail: _*).collect()(0)
       classes.zipWithIndex.foreach { case (c, ci) =>
         val base = ci * (buckets + 1)
         ws(c) = Array.tabulate(buckets + 1)(i =>

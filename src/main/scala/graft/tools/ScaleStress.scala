@@ -1098,7 +1098,51 @@ object ScaleStress {
     timed("diff across the 256-bucket merge")(
       Snapshots.diff(spark, dir, 4L, 5L).count())
     timed("vacuum to the live version")(
-      Snapshots.vacuum(spark, dir, 5L))
+      // retainMs=0: this stress IS the exclusive writer, and the point
+      // is to time the sweep (default retention would protect every
+      // just-written orphan and time nothing)
+      Snapshots.vacuum(spark, dir, 5L, retainMs = 0L))
+    }
+
+    if (sections("statsplan")) {
+    // r9's stats-in-manifest claim, measured: scan PLANNING reads the
+    // manifest only, so planning time stays flat as the file count
+    // grows — while the footer-walk (the r8 planner, kept as the
+    // verification path) grows linearly in files opened. Tables of
+    // 128 and ~896 files (same 1M rows), both planned both ways.
+    import graft.operators.{Layout, Snapshots}
+    val nRows = 1000000L
+    val nBuckets = 128L
+    val per = nRows / nBuckets
+    def mk(dirSuffix: String, appends: Int): String = {
+      val dir = s"/tmp/graft_scale_statsplan_$dirSuffix"
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+      val rows = spark.range(0, nRows, 1, 32).select(
+          col("id").as("key"), (col("id") * 31L).as("payload"))
+        .withColumn("bucket", expr(s"key div $per"))
+      Snapshots.publish(rows, dir, "bucket", Seq("key"))
+      // each append adds one file per bucket (same rows re-appended:
+      // file COUNT is the variable under test, not content)
+      (1 to appends).foreach(_ =>
+        Snapshots.append(rows, dir, "bucket", Seq("key")))
+      dir
+    }
+    for ((lbl, appends) <- Seq(("128files", 0), ("896files", 6))) {
+      val dir = mk(lbl, appends)
+      val v = Snapshots.latest(spark, dir).get
+      val nf = Snapshots.files(spark, dir, v).size
+      timed(s"statsplan $lbl($nf): versionStats from MANIFEST")(
+        Snapshots.versionStats(spark, dir, v, "key").size)
+      timed(s"statsplan $lbl($nf): footer WALK (verification path)")(
+        Layout.rowGroupStatsFiles(spark,
+          Snapshots.files(spark, dir, v).map(r => s"$dir/$r"), "key").size)
+      val stats = Snapshots.versionStats(spark, dir, v, "key")
+      timed(s"statsplan $lbl($nf): prunedScanAt one-bucket range (manifest-planned)")(
+        Snapshots.prunedScanAt(spark, dir, v, "key", 0L, per,
+          Some(stats)).count())
+    }
     }
 
     if (sections("skew")) {
