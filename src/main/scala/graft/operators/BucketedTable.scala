@@ -181,18 +181,14 @@ object BucketedTable {
       else {
         val existing = Snapshots.readFiles(spark, dir,
           touched.toSeq.sorted, pm.schemaOpt)
-        val dropped = existing.columns.toSet -- upd.columns.toSet
-        require(dropped.isEmpty,
-          s"merge: updates drop target columns ${dropped.toSeq.sorted.mkString(",")} " +
-            "— additive evolution only")
-        existing.select(upd.columns.map(c =>
-            (if (existing.columns.contains(c)) col(c)
-             else lit(null)).cast(upd.schema(c).dataType).as(c)): _*)
-          // restaged rows RE-derive their bucket at the current width
-          // (the epoch migration side effect)
-          .withColumn(BCol, expr(s"$keyCol div $w"))
-          .join(upd.select(keyCols.map(col): _*), keyCols, "left_anti")
-          .unionByName(upd)
+        // additive/widening alignment, then restaged rows RE-derive
+        // their bucket at the current width (the epoch migration
+        // side effect overrides whatever stale epoch values the old
+        // files' materialized bucket column carries)
+        val (ex0, up) = Snapshots.mergeAlign(existing, upd)
+        ex0.withColumn(BCol, expr(s"$keyCol div $w"))
+          .join(up.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(up)
       }
     val st = Snapshots.stage(withBucket(mergedRows.drop(BCol), keyCol, w),
       dir, BCol, Seq(keyCol), blockSize, numTasks)

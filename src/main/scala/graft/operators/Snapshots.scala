@@ -239,18 +239,82 @@ object Snapshots {
   private[operators] def nullable(s: StructType): StructType =
     StructType(s.fields.map(_.copy(nullable = true)))
 
-  /** Additive schema merge: shared columns must keep their type;
-    * columns only one side carries are appended (files that predate
-    * a column null-fill it at read). */
-  private[operators] def mergeSchemas(base: StructType, add: StructType): StructType = {
-    add.fields.filter(f => base.fieldNames.contains(f.name)).foreach { f =>
-      val b = base(f.name)
-      require(b.dataType == f.dataType,
-        s"schema evolution is ADDITIVE only: column ${f.name} cannot change " +
-          s"type ${b.dataType.simpleString} -> ${f.dataType.simpleString}")
+  /** Lossless type-WIDENING lattice — exactly the promotions Spark's
+    * parquet reader performs natively when the requested schema is
+    * wider than a file's (probed on this distribution: int32 files
+    * read as long/double, float as double, etc.), so a widened
+    * manifest schema needs NO rewrite of old files. Long→double is
+    * deliberately absent (lossy above 2^53). */
+  private[operators] def widens(from: org.apache.spark.sql.types.DataType,
+                                to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
     }
-    StructType(base.fields ++
+  }
+
+  /** Additive + WIDENING schema merge: columns only one side carries
+    * are appended (files that predate a column null-fill it at
+    * read); shared columns keep their type or widen losslessly in
+    * either direction — the manifest records the WIDEST, and old
+    * files widen natively under the explicit read schema. Anything
+    * else (drops, narrows, incomparable changes) refuses. */
+  private[operators] def mergeSchemas(base: StructType, add: StructType): StructType = {
+    val addMap = add.fields.map(f => f.name -> f).toMap
+    val merged = base.fields.map { bf =>
+      addMap.get(bf.name) match {
+        case Some(af) if af.dataType == bf.dataType => bf
+        case Some(af) if widens(bf.dataType, af.dataType) =>
+          bf.copy(dataType = af.dataType)
+        case Some(af) if widens(af.dataType, bf.dataType) => bf
+        case Some(af) =>
+          throw new IllegalArgumentException(
+            s"schema evolution is ADDITIVE/WIDENING only: column ${bf.name} " +
+              s"cannot change type ${bf.dataType.simpleString} -> " +
+              s"${af.dataType.simpleString}")
+        case None => bf
+      }
+    }
+    StructType(merged ++
       add.fields.filterNot(f => base.fieldNames.contains(f.name)))
+  }
+
+  /** Widening-aware MERGE alignment: both sides cast to the
+    * per-column WIDEST type, target column order = the update
+    * batch's. Dropping a target column refuses; incomparable type
+    * changes refuse. */
+  private[operators] def mergeAlign(existing: DataFrame,
+                                    updates: DataFrame): (DataFrame, DataFrame) = {
+    val dropped = existing.columns.toSet -- updates.columns.toSet
+    require(dropped.isEmpty,
+      s"merge: updates drop target columns ${dropped.toSeq.sorted.mkString(",")} " +
+        "— additive evolution only (add columns, never remove)")
+    val target = updates.columns.map { c =>
+      val u = updates.schema(c).dataType
+      val t =
+        if (!existing.columns.contains(c)) u
+        else {
+          val e = existing.schema(c).dataType
+          if (e == u || widens(e, u)) u
+          else if (widens(u, e)) e
+          else throw new IllegalArgumentException(
+            s"merge: column $c cannot change type ${e.simpleString} -> " +
+              s"${u.simpleString} (additive/widening evolution only)")
+        }
+      c -> t
+    }
+    val ex = existing.select(target.map { case (c, t) =>
+      (if (existing.columns.contains(c)) col(c) else lit(null)).cast(t).as(c)
+    }: _*)
+    val up = updates.select(target.map { case (c, t) =>
+      col(c).cast(t).as(c)
+    }: _*)
+    (ex, up)
   }
 
   /** Stage one bucket-partitioned, key-sorted load under a fresh
@@ -526,21 +590,13 @@ object Snapshots {
         if (existingFiles.isEmpty) updates
         else {
           val existing = readFiles(spark, dir, existingFiles, pm.schemaOpt)
-          // additive evolution: updates may ADD columns (old rows
-          // null-fill on read); dropping target columns is refused
-          val dropped = existing.columns.toSet -- updates.columns.toSet
-          require(dropped.isEmpty,
-            s"merge: updates drop target columns ${dropped.toSeq.sorted.mkString(",")} " +
-              "— additive evolution only (add columns, never remove)")
-          // align names AND types to the update side (legacy
-          // manifests' partition discovery may have narrowed the
-          // bucket column), null-filling columns the target
-          // predates, then drop matched keys
-          existing.select(updates.columns.map(c =>
-            (if (existing.columns.contains(c)) col(c)
-             else lit(null)).cast(updates.schema(c).dataType).as(c)): _*)
-            .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-            .unionByName(updates)
+          // additive/WIDENING evolution: updates may ADD columns (old
+          // rows null-fill on read) and shared columns may WIDEN in
+          // either direction — both sides align to the per-column
+          // widest type, then matched keys drop
+          val (ex, up) = mergeAlign(existing, updates)
+          ex.join(up.select(keyCols.map(col): _*), keyCols, "left_anti")
+            .unionByName(up)
         }
       aligned
     }

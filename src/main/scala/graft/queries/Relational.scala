@@ -65,6 +65,7 @@ object Relational {
     "q172_changefeed" -> q172,
     "q173_txn_publish" -> q173,
     "q174_bucket_evolution" -> q174,
+    "q175_type_widening" -> q175,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -1321,6 +1322,76 @@ object Relational {
       .orderBy(col("section"), col("label"))
   }
 
+  /** TYPE-WIDENING schema evolution under the gate (q168 gated the
+    * ADDITIVE axis — new columns; this gates the WIDENING axis —
+    * int→long on a shared column, the drift real tables hit when a
+    * counter outgrows its type): orders published with o_custkey
+    * narrowed to INT (`cust_i`), then a merge whose batch needs
+    * LONG (keys ≡0 mod 9 get cust_i + 3·10⁹ — above 2³¹ — and
+    * status 'W'). The manifest records the WIDEST type and old
+    * files widen NATIVELY under the explicit read schema (no
+    * rewrite — untouched buckets share files byte-for-byte, which
+    * only works because Spark's parquet reader performs the int32→
+    * int64 promotion itself; probed and spec-pinned). Sections:
+    * v1's fold on the narrow surface, v1 RE-read after the widening
+    * (time travel keeps the narrow schema — both folds equal), v2's
+    * fold on the widened surface, and the schema row (v1 int / v2
+    * long / a narrowing-to-string merge REFUSED — constants by
+    * contract). Lossless widenings only; long→double is refused as
+    * lossy (spec territory). */
+  def q175(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import spark.implicits._
+    val W = 8192L
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_widen_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    val src = Tables.orders(spark, dir).select(
+        col("o_orderkey"),
+        col("o_custkey").cast("int").as("cust_i"),
+        col("o_orderstatus"))
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    val v1 = Snapshots.publish(src, out, "bucket", Seq("o_orderkey"))
+    val widenBatch = src.filter(col("o_orderkey") % 9 === 0)
+      .withColumn("cust_i", col("cust_i").cast("long") + 3000000000L)
+      .withColumn("o_orderstatus", lit("W"))
+    val v2 = Snapshots.merge(widenBatch, out, "bucket",
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    def fold(df: DataFrame): (Long, Long, Long) = {
+      val h = conv(substring(md5(concat_ws("|",
+        col("o_orderkey"), col("cust_i"), col("o_orderstatus"))), 1, 15),
+        16, 10).cast("long")
+      val r = df.withColumn("h", h)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+          coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (a1, a2, a3) = fold(Snapshots.readAt(spark, out, v1))
+    val (b1, b2, b3) = fold(Snapshots.readAt(spark, out, v2))
+    val v1Schema = Snapshots.readAt(spark, out, v1).schema
+    val v2Schema = Snapshots.readAt(spark, out, v2).schema
+    val refused =
+      try {
+        Snapshots.merge(
+          src.limit(1).withColumn("cust_i", lit("oops")),
+          out, "bucket", Seq("o_orderkey"), Seq("o_orderkey"))
+        0L
+      } catch { case _: IllegalArgumentException => 1L }
+    Seq(
+      ("read_v1_narrow", "fold", a1, a2, a3),
+      ("read_v2_widened", "fold", b1, b2, b3),
+      ("schema", "types",
+        if (v1Schema("cust_i").dataType ==
+          org.apache.spark.sql.types.IntegerType) 1L else 0L,
+        if (v2Schema("cust_i").dataType ==
+          org.apache.spark.sql.types.LongType) 1L else 0L,
+        refused))
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"))
+  }
+
   /** Bucketed-table sort-merge join under the gate — the co-located
     * fact-fact join that removes the query-time shuffle entirely
     * (the q17 salted join's complement: salt when you cannot
@@ -1987,6 +2058,33 @@ object Relational {
          |    CAST(coalesce(bit_xor(h), 0) AS BIGINT), CAST(coalesce(sum(h % 1000000000000), 0) AS BIGINT) FROM p6
          |  UNION ALL SELECT 'state', 'meta', 6, 6, 2048)
          |SELECT * FROM agg ORDER BY section, label""".stripMargin
+    },
+    // q175: the narrow fold is the original (int prints like long),
+    // the widened fold trades the mod-9 rows' cust for +3e9/'W', the
+    // schema row is protocol constants (v1 int, v2 long, narrowing
+    // refused).
+    "q175_type_widening" -> {
+      def h60(src: String) =
+        s"""SELECT list_reduce(list_transform(generate_series(1, 15),
+           |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(c AS VARCHAR) || '|' || o_orderstatus), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+           |      (a, x) -> a * 16 + x) AS h FROM $src""".stripMargin
+      s"""WITH v1r AS (
+         |  SELECT o_orderkey, o_custkey AS c, o_orderstatus FROM orders),
+         |v2r AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 9 = 0 THEN o_custkey + 3000000000 ELSE o_custkey END AS c,
+         |    CASE WHEN o_orderkey % 9 = 0 THEN 'W' ELSE o_orderstatus END AS o_orderstatus
+         |  FROM orders),
+         |h1 AS (${h60("v1r")}),
+         |h2 AS (${h60("v2r")}),
+         |agg AS (
+         |  SELECT 'read_v1_narrow' AS section, 'fold' AS label, count(*) AS m1,
+         |    CAST(bit_xor(h) AS BIGINT) AS m2,
+         |    CAST(sum(h % 1000000000000) AS BIGINT) AS m3 FROM h1
+         |  UNION ALL SELECT 'read_v2_widened', 'fold', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h2
+         |  UNION ALL SELECT 'schema', 'types', 1, 1, 1)
+         |SELECT * FROM agg ORDER BY section""".stripMargin
     },
     // q165: the oracle is the PLAIN join — identical output proves
     // the persisted bucketing changed nothing (the q17 discipline).

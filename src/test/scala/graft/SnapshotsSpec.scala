@@ -378,4 +378,70 @@ class SnapshotsSpec extends SparkSuite {
     assert(df.count() === 900L + 99L * 3L)
     assert(df.filter(col("bucket") === 40L).count() === 297L)
   }
+
+  test("TYPE WIDENING evolution: a merge batch may widen columns " +
+    "(int->long, float->double) — the manifest records the widest type, " +
+    "old files widen natively at read, untouched files are shared, time " +
+    "travel keeps the narrow schema, a narrower LATER batch upcasts, and " +
+    "incomparable changes refuse") {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, FloatType}
+    val dir = tmpDir("wide")
+    val base = spark.range(0, 100, 1, 2).select(
+        col("id").as("key"),
+        col("id").cast("int").as("cnt"),
+        // cast AFTER the divide: Spark's / promotes to double
+        (col("id") / 2).cast("float").as("score"))
+      .withColumn("bucket", expr("key div 50"))
+    Snapshots.publish(base, dir, "bucket", Seq("key"))
+    val widen = spark.range(0, 5).select(
+        col("id").as("key"),
+        (col("id") + (1L << 40)).as("cnt"),
+        (col("id").cast("double") + 0.25).as("score"))
+      .withColumn("bucket", expr("key div 50"))
+    Snapshots.merge(widen, dir, "bucket", Seq("key"), Seq("key"))
+    val back = Snapshots.read(spark, dir)
+    assert(back.schema("cnt").dataType === LongType)
+    assert(back.schema("score").dataType === DoubleType)
+    assert(back.count() === 100L)
+    val got = back.select("key", "cnt", "score")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    (0L until 100L).foreach { k =>
+      if (k < 5) assert(got(k) === ((k + (1L << 40), k + 0.25)), s"key $k widened row")
+      else assert(got(k) === ((k, k / 2.0)), s"key $k old row widened natively")
+    }
+    // untouched bucket (keys >= 50) shares its file byte-for-byte
+    val f1 = Snapshots.files(spark, dir, 1).toSet
+    val f2 = Snapshots.files(spark, dir, 2).toSet
+    assert(f1.filter(f => Snapshots.fileBucket(f).contains(1L)) ===
+      f2.filter(f => Snapshots.fileBucket(f).contains(1L)))
+    // time travel keeps the ORIGINAL narrow schema
+    val v1 = Snapshots.readAt(spark, dir, 1)
+    assert(v1.schema("cnt").dataType === IntegerType)
+    assert(v1.schema("score").dataType === FloatType)
+    // diff spans the widening boundary (old side widens under vNew's schema)
+    val d = Snapshots.diff(spark, dir, 1L, 2L)
+    assert(d.filter(col("_change") === "insert").count() === 5L)
+    assert(d.filter(col("_change") === "delete").count() === 5L)
+    // a NARROWER later batch upcasts into the widened table
+    val narrow = spark.range(7, 9).select(
+        col("id").as("key"),
+        lit(42).cast("int").as("cnt"),
+        lit(1.5f).as("score"))
+      .withColumn("bucket", expr("key div 50"))
+    Snapshots.merge(narrow, dir, "bucket", Seq("key"), Seq("key"))
+    val after = Snapshots.read(spark, dir)
+    assert(after.schema("cnt").dataType === LongType, "stays at the widest")
+    assert(after.filter(col("key") === 7L).select("cnt").as[Long].head() === 42L)
+    // incomparable change refuses, nothing commits
+    val vBefore = Snapshots.versions(spark, dir)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.merge(
+        spark.range(0, 1).select(col("id").as("key"),
+            lit("oops").as("cnt"), lit(1.0).as("score"))
+          .withColumn("bucket", expr("key div 50")),
+        dir, "bucket", Seq("key"), Seq("key")))
+    assert(e.getMessage.contains("widening") || e.getMessage.contains("WIDENING"),
+      e.getMessage)
+    assert(Snapshots.versions(spark, dir) === vBefore)
+  }
 }
