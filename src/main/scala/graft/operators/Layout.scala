@@ -286,11 +286,15 @@ object Layout {
 
   /** [[rowGroupStats]] for an EXPLICIT file list (a manifest read —
     * what a snapshot table's scan planner consults): stats carry the
-    * caller's path strings verbatim so survivors map back 1:1. */
+    * caller's path strings verbatim so survivors map back 1:1.
+    * Footer opens run on a BOUNDED thread pool (they are independent
+    * small metadata reads — IO-latency-bound, so the walk's wall
+    * time divides by the pool instead of serializing on per-file
+    * RTT); result order stays the caller's path order. */
   def rowGroupStatsFiles(spark: SparkSession, paths: Seq[String],
                          keyCol: String): Seq[RowGroupStat] = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    paths.flatMap { p0 =>
+    def one(p0: String): Seq[RowGroupStat] = {
       val p = new org.apache.hadoop.fs.Path(p0)
       val bucket = p.getParent.getName match {
         case s if s.contains("=") =>
@@ -310,6 +314,18 @@ object Layout {
           RowGroupStat(p0, bucket, b.getRowCount, st.getMin, st.getMax)
         }
       } finally rd.close()
+    }
+    if (paths.size <= 1) paths.flatMap(one)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, paths.size))
+      try {
+        val futs = paths.map(p0 => pool.submit(
+          new java.util.concurrent.Callable[Seq[RowGroupStat]] {
+            override def call(): Seq[RowGroupStat] = one(p0)
+          }))
+        futs.flatMap(_.get())
+      } finally pool.shutdown()
     }
   }
 

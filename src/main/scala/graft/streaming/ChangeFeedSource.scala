@@ -62,12 +62,18 @@ object ChangeFeed {
 
   /** Open the change feed of the snapshot table at `dir` as a
     * streaming DataFrame. `startVersion` is EXCLUSIVE: 0 replays all
-    * history (the first version arrives as pure inserts). */
+    * history (the first version arrives as pure inserts).
+    * `maxVersionsPerBatch` > 0 is ADMISSION CONTROL: a restart
+    * facing a long version backlog paces it across that many
+    * committed versions per microbatch instead of one giant
+    * catch-up batch (0 = unbounded, the default). */
   def readStream(spark: SparkSession, dir: String,
-                 startVersion: Long = 0L): DataFrame =
+                 startVersion: Long = 0L,
+                 maxVersionsPerBatch: Long = 0L): DataFrame =
     spark.readStream.format(classOf[ChangeFeedProvider].getName)
       .option("path", dir)
       .option("startVersion", startVersion.toString)
+      .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
       .load()
 
   /** Collapse the file-level changelog into NET row-level changes
@@ -117,11 +123,13 @@ class ChangeFeedProvider extends TableProvider {
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val start = Option(opts.get("startVersion")).map(_.toLong).getOrElse(0L)
-    new ChangeFeedTable(dirOf(opts), start, schema)
+    val maxV = Option(opts.get("maxVersionsPerBatch")).map(_.toLong).getOrElse(0L)
+    new ChangeFeedTable(dirOf(opts), start, maxV, schema)
   }
 }
 
 private[streaming] class ChangeFeedTable(dir: String, startVersion: Long,
+                                         maxVersionsPerBatch: Long,
                                          fullSchema: StructType)
     extends Table with SupportsRead {
   override def name(): String = s"graft_changefeed($dir)"
@@ -134,7 +142,7 @@ private[streaming] class ChangeFeedTable(dir: String, startVersion: Long,
         override def readSchema(): StructType = fullSchema
         override def description(): String = name()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ChangeFeedStream(dir, startVersion, fullSchema)
+          new ChangeFeedStream(dir, startVersion, maxVersionsPerBatch, fullSchema)
       }
     }
 }
@@ -150,8 +158,10 @@ private[streaming] case class ChangeFilePartition(
     absPath: String, change: String, version: Long) extends InputPartition
 
 private[streaming] class ChangeFeedStream(dir: String, startVersion: Long,
+                                          maxVersionsPerBatch: Long,
                                           fullSchema: StructType)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def spark = SparkSession.active
 
@@ -159,6 +169,31 @@ private[streaming] class ChangeFeedStream(dir: String, startVersion: Long,
 
   override def latestOffset(): Offset =
     ChangeFeedOffset(Snapshots.latest(spark, dir).getOrElse(startVersion))
+
+  /** ADMISSION CONTROL: with `maxVersionsPerBatch` set, a restart
+    * facing a long committed-version backlog paces it across that
+    * many versions per microbatch — bounded catch-up batches instead
+    * of one giant one (the Delta `maxFilesPerTrigger` discipline,
+    * in version units because versions are this source's offsets). */
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val a = start.asInstanceOf[ChangeFeedOffset].v
+    val end = Snapshots.latest(spark, dir).getOrElse(startVersion)
+    if (maxVersionsPerBatch <= 0) ChangeFeedOffset(end)
+    else {
+      // pace in COMMITTED versions (tombstones carry no data and
+      // should not consume batch budget)
+      val admitted = Snapshots.versions(spark, dir)
+        .filter(v => v > a && v <= end)
+        .take(math.min(maxVersionsPerBatch, Int.MaxValue.toLong).toInt)
+      ChangeFeedOffset(if (admitted.isEmpty) a else admitted.max)
+    }
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
   override def deserializeOffset(json: String): Offset =
     ChangeFeedOffset(json.toLong)

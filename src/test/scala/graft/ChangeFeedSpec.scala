@@ -148,4 +148,25 @@ class ChangeFeedSpec extends SparkSuite {
       .withColumn("_version", lit(4L)))
     assert(rows(ChangeFeed.net(ok).select(ok.columns.map(col): _*)) === want)
   }
+
+  test("ADMISSION CONTROL: maxVersionsPerBatch=1 paces a version backlog " +
+    "one committed version per microbatch — bounded catch-up instead of " +
+    "one giant batch, same total content") {
+    val dir = tmpDir("pace")
+    buildTable(dir) // 4 committed versions before the query ever starts
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = ChangeFeed.readStream(spark, dir, maxVersionsPerBatch = 1L)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vs = batch.select("_version").distinct()
+          .collect().map(_.getLong(0)).toSet
+        batches.synchronized { batches += vs }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val nonEmpty = batches.filter(_.nonEmpty)
+    assert(nonEmpty.size === 4, s"one batch per version: $batches")
+    assert(nonEmpty.forall(_.size == 1), s"each batch carries ONE version: $batches")
+    assert(nonEmpty.flatten.toSet === Set(1L, 2L, 3L, 4L))
+  }
 }
