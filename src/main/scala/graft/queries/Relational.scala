@@ -66,6 +66,7 @@ object Relational {
     "q173_txn_publish" -> q173,
     "q174_bucket_evolution" -> q174,
     "q175_type_widening" -> q175,
+    "q176_cdc_loop" -> q176,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -1153,6 +1154,89 @@ object Relational {
       .orderBy(col("version"), col("kind"))
   }
 
+  /** The FULL CDC LOOP under one gate — producer, feed and
+    * exactly-once consumer CHAINED (q167 gates the sink, q172 the
+    * source; this pins the composition a real replication pipeline
+    * ships): a source table lives through publish → new-key append →
+    * compact → modify-merge, and a LIVE streaming query replicates
+    * it into a SECOND snapshot table — [[graft.streaming.ChangeFeed]]
+    * paced at ONE COMMITTED VERSION PER MICROBATCH (admission
+    * control live under the gate), each batch NETTED
+    * ([[graft.streaming.ChangeFeed.net]]) and its inserts applied
+    * through [[graft.operators.Snapshots.mergeBatch]]'s ledger.
+    * Upsert-shaped replication contract: the source's keys are
+    * unique and every net delete is paired with a same-key insert
+    * (true for publish/append/merge lives; a compaction's batch nets
+    * to EMPTY and commits nothing — ChangeFeedSpec pins that case;
+    * here the compact is a NO-OP since the append created only new
+    * buckets, so versions map 1:1 to batches). Sections: the source
+    * fold, the replica fold (MUST equal it — the loop's whole
+    * claim), and the replica's version/ledger arithmetic (3 commits;
+    * ledger {1,2} — batch 0 was the bootstrap publish). */
+  def q176(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import graft.streaming.ChangeFeed
+    import spark.implicits._
+    val W = 8192L
+    val base = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_cdcloop_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val srcT = s"$base/src"
+    val repT = s"$base/replica"
+    val src = Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    Snapshots.publish(src, srcT, "bucket", Seq("o_orderkey"))
+    Snapshots.append(
+      src.filter(col("o_orderkey") % 7 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + (1L << 31))
+        .withColumn("o_orderstatus", lit("B"))
+        .withColumn("bucket", expr(s"o_orderkey div $W")),
+      srcT, "bucket", Seq("o_orderkey"))
+    Snapshots.compact(spark, srcT, "bucket", Seq("o_orderkey"))
+    Snapshots.merge(
+      src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("o_orderstatus", lit("U")),
+      srcT, "bucket", Seq("o_orderkey"), Seq("o_orderkey"))
+    // the consumer: one committed version per microbatch, netted,
+    // inserts upserted into the replica through the batch ledger
+    val q = ChangeFeed.readStream(spark, srcT, maxVersionsPerBatch = 1L)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val inserts = ChangeFeed.net(batch)
+          .filter(col(ChangeFeed.ChangeCol) === "insert")
+          .drop(ChangeFeed.ChangeCol, ChangeFeed.VersionCol)
+        if (Snapshots.latest(batch.sparkSession, repT).isEmpty)
+          Snapshots.publish(inserts, repT, "bucket", Seq("o_orderkey"))
+        else
+          Snapshots.mergeBatch(batchId, inserts, repT, "bucket",
+            Seq("o_orderkey"), Seq("o_orderkey"))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    def fold(df: DataFrame): (Long, Long, Long) = {
+      val r = df.withColumn("h", ordersRowHash)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+          coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (s1, s2, s3) = fold(Snapshots.read(spark, srcT))
+    val (r1, r2, r3) = fold(Snapshots.read(spark, repT))
+    val ledger = Snapshots.appliedBatches(spark, repT)
+    Seq(
+      ("source", "final", s1, s2, s3),
+      ("replica", "final", r1, r2, r3),
+      ("state", "replica",
+        Snapshots.versions(spark, repT).size.toLong,
+        Snapshots.latest(spark, repT).get,
+        ledger.size.toLong),
+      ("ledger", "ids", ledger.sum, ledger.min, ledger.max))
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
   /** MULTI-TABLE TRANSACTIONAL PUBLISH under the gate
     * ([[graft.operators.Snapshots.beginTxn]] — the cross-table
     * atomicity a pipeline's fact+dim pair needs; the create-
@@ -2057,6 +2141,35 @@ object Relational {
          |  UNION ALL SELECT 'prune', 'v0006', count(*),
          |    CAST(coalesce(bit_xor(h), 0) AS BIGINT), CAST(coalesce(sum(h % 1000000000000), 0) AS BIGINT) FROM p6
          |  UNION ALL SELECT 'state', 'meta', 6, 6, 2048)
+         |SELECT * FROM agg ORDER BY section, label""".stripMargin
+    },
+    // q176: source and replica restate to the SAME closed form (the
+    // loop's whole claim); state/ledger are protocol constants —
+    // batch 0 bootstrapped the replica; the ledger is {1,2}.
+    "q176_cdc_loop" -> {
+      val canon = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+        "o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      s"""WITH fin AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+         |    o_orderdate,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey + 2147483648, o_custkey, 'B', o_orderdate, o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 = 3),
+         |h AS (SELECT list_reduce(list_transform(generate_series(1, 15),
+         |    i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+         |    (a, x) -> a * 16 + x) AS h FROM fin),
+         |f AS (SELECT count(*) AS c, CAST(bit_xor(h) AS BIGINT) AS x,
+         |  CAST(sum(h % 1000000000000) AS BIGINT) AS s FROM h),
+         |agg AS (
+         |  SELECT 'ledger' AS section, 'ids' AS label,
+         |    CAST(3 AS BIGINT) AS m1, CAST(1 AS BIGINT) AS m2, CAST(2 AS BIGINT) AS m3
+         |  UNION ALL SELECT 'replica', 'final', c, x, s FROM f
+         |  UNION ALL SELECT 'source', 'final', c, x, s FROM f
+         |  UNION ALL SELECT 'state', 'replica', 3, 3, 2)
          |SELECT * FROM agg ORDER BY section, label""".stripMargin
     },
     // q175: the narrow fold is the original (int prints like long),
