@@ -92,7 +92,7 @@ object BucketedTable {
     val sorts = if (sortCols.nonEmpty) sortCols else Seq(keyCol)
     val st = Snapshots.stage(withBucket(df, keyCol, width), dir, BCol,
       sorts, blockSize, numTasks)
-    val v = Snapshots.nextVersion(spark, dir)
+    val v = Snapshots.claimAbove(spark, dir, 0L)
     Snapshots.commit(spark, dir, v, st.rels,
       Seq("format:2", s"schema:${st.schemaJson}", s"bucketw:$keyCol:$width") ++
         filewLines(st.rels, width) ++ st.statLines)
@@ -117,7 +117,7 @@ object BucketedTable {
           Snapshots.nullable(withBucket(df, keyCol, w).schema)).json
       case None => st.schemaJson
     }
-    val v = Snapshots.nextVersion(spark, dir)
+    val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, pm.files ++ st.rels,
       Seq("format:2", s"schema:$schema", s"bucketw:$keyCol:$w") ++
         carriedFilew(pm, pm.files.toSet) ++ filewLines(st.rels, w) ++
@@ -139,7 +139,7 @@ object BucketedTable {
     val (keyCol, _) = widthAt(spark, dir, prev)
     val schema = pm.schemaOpt.map(Snapshots.nullable(_).json).getOrElse(
       throw new IllegalArgumentException(s"$dir has no recorded schema"))
-    val v = Snapshots.nextVersion(spark, dir)
+    val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, pm.files,
       Seq("format:2", s"schema:$schema", s"bucketw:$keyCol:$newWidth") ++
         carriedFilew(pm, pm.files.toSet) ++ pm.statLines)
@@ -199,7 +199,7 @@ object BucketedTable {
         Snapshots.mergeSchemas(ps, Snapshots.nullable(mergedRows.schema)).json
       case None => st.schemaJson
     }
-    val v = Snapshots.nextVersion(spark, dir)
+    val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, kept ++ st.rels,
       Seq("format:2", s"schema:$schema", s"bucketw:$keyCol:$w") ++
         carriedFilew(pm, keptSet) ++ filewLines(st.rels, w) ++
@@ -249,7 +249,7 @@ object BucketedTable {
     val kept = pm.files.filterNot(rewrite.contains)
     val keptSet = kept.toSet
     val schema = pm.schemaOpt.map(Snapshots.nullable(_).json).getOrElse(st.schemaJson)
-    val v = Snapshots.nextVersion(spark, dir)
+    val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, kept ++ st.rels,
       Seq("format:2", s"schema:$schema", s"bucketw:$keyCol:$w") ++
         carriedFilew(pm, keptSet) ++ filewLines(st.rels, w) ++

@@ -117,17 +117,25 @@ object Layout {
   private def journalPath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "_compact_journal")
 
-  /** Write the swap journal ATOMICALLY (create-exclusive) before any
-    * destructive step. Tab-separated: bucket, tmp, dst, old files
-    * (comma-joined) — none of which can contain tabs or commas
-    * (they are parquet part-file paths). */
+  /** Write the swap journal ATOMICALLY before any destructive step.
+    * Content atomicity matters as much as the claim: a create+write
+    * that crashes mid-stream would leave a TORN journal whose
+    * truncated last line wedges every future recovery — so the bytes
+    * land in a temp sibling first and RENAME into place (rename is
+    * the atomic primitive the swaps themselves already rely on).
+    * Tab-separated: bucket, tmp, dst, old files (comma-joined) —
+    * none of which can contain tabs or commas (they are parquet
+    * part-file paths). */
   private[graft] def writeJournal(fs: org.apache.hadoop.fs.FileSystem,
                                   dir: String, entries: Seq[SwapEntry]): Unit = {
-    val out = fs.create(journalPath(dir), false)
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_compact_journal.tmp")
+    val out = fs.create(tmp, true) // temp: a crashed prior temp is garbage
     try out.write(entries.map(e =>
         s"${e.bucket}\t${e.tmpFile}\t${e.dstFile}\t${e.oldFiles.mkString(",")}")
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    require(fs.rename(tmp, journalPath(dir)),
+      s"compact: journal rename failed under $dir (journal already present?)")
   }
 
   /** Replay a crashed compaction's journal to completion: for each
@@ -145,14 +153,24 @@ object Layout {
         .filter(_.nonEmpty).toList
       finally in.close()
     lines.foreach { l =>
-      val Array(_, tmpFile, dstFile, olds) = l.split("\t", 4)
-      val tp = new org.apache.hadoop.fs.Path(tmpFile)
-      val dp = new org.apache.hadoop.fs.Path(dstFile)
-      if (fs.exists(tp) && !fs.exists(dp))
-        require(fs.rename(tp, dp), s"compact recovery: rename $tp -> $dp failed")
-      else if (fs.exists(tp)) fs.delete(tp, false) // defensive: both present
-      olds.split(",").filter(_.nonEmpty).map(new org.apache.hadoop.fs.Path(_))
-        .filter(fs.exists).foreach(fs.delete(_, false))
+      l.split("\t", 4) match {
+        case Array(_, tmpFile, dstFile, olds) =>
+          val tp = new org.apache.hadoop.fs.Path(tmpFile)
+          val dp = new org.apache.hadoop.fs.Path(dstFile)
+          if (fs.exists(tp) && !fs.exists(dp))
+            require(fs.rename(tp, dp), s"compact recovery: rename $tp -> $dp failed")
+          else if (fs.exists(tp)) fs.delete(tp, false) // defensive: both present
+          olds.split(",").filter(_.nonEmpty).map(new org.apache.hadoop.fs.Path(_))
+            .filter(fs.exists).foreach(fs.delete(_, false))
+        case _ =>
+          // a truncated trailing line (journal written by a pre-rename
+          // build that crashed mid-write): its swap never started —
+          // the merged file still sits in the temp dir and the bucket
+          // is untouched, so skipping is SAFE (the re-plan below
+          // re-compacts it) where a MatchError would wedge every
+          // future compact of this directory until hand-repaired
+          ()
+      }
     }
     fs.delete(jp, false)
     true

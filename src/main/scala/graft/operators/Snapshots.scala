@@ -381,11 +381,33 @@ object Snapshots {
     Staged(staged, nullable(df.schema).json, statLines)
   }
 
-  /** The next claimable version number: one above the highest RAW
-    * manifest (committed or tombstone — a claim must never collide
-    * with an aborted transaction's manifest). */
-  private[operators] def nextVersion(spark: SparkSession, dir: String): Long =
-    rawVersions(spark, dir).lastOption.getOrElse(0L) + 1
+  /** Claim the next version number for a write PLANNED against
+    * version `basedOn` — the optimistic-concurrency check every
+    * writer must pass. The claim may sit above `basedOn` only across
+    * ABORTED-transaction tombstones (their manifests hold version
+    * numbers but no state); if any raw version in `(basedOn, top]`
+    * is committed or still in flight, a concurrent writer advanced
+    * the table after this write read its base, and committing above
+    * it would silently drop the racer's rows from the table head (a
+    * lost update) — so this throws and the caller re-reads latest
+    * and retries. The create-exclusive manifest write remains the
+    * backstop for two writers that both pass this check and race the
+    * same number. */
+  private[graft] def claimAbove(spark: SparkSession, dir: String,
+                                basedOn: Long): Long = {
+    val above = rawVersions(spark, dir).filter(_ > basedOn)
+    above.foreach { rv =>
+      val aborted = manifest(spark, dir, rv).metaValues("txn").headOption
+        .exists(rec => txnState(spark, rec).contains(false))
+      if (!aborted)
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot write to $dir was planned against version $basedOn, " +
+            s"but version $rv was committed (or is in flight) by a " +
+            "concurrent writer — committing above it would drop the " +
+            "racer's rows from the table head; re-read latest and retry")
+    }
+    above.lastOption.getOrElse(basedOn) + 1
+  }
 
   /** Resolve an UNDECIDED transactional manifest sitting at the raw
     * top before claiming above it: force-abort it by winning its
@@ -433,7 +455,9 @@ object Snapshots {
     require(latest(spark, dir).isEmpty,
       s"$dir already has snapshots — use append")
     val st = stage(df, dir, bucketCol, sortCols, blockSize, numTasks)
-    val v = nextVersion(spark, dir)
+    // planned against "no committed state": anything committed during
+    // staging is a conflict (claimAbove tolerates only tombstones)
+    val v = claimAbove(spark, dir, 0L)
     commit(spark, dir, v, st.rels,
       extraMeta ++ Seq("format:2", s"schema:${st.schemaJson}") ++ st.statLines)
     v
@@ -461,7 +485,7 @@ object Snapshots {
       case Some(ps) => mergeSchemas(ps, nullable(df.schema)).json
       case None => st.schemaJson
     }
-    val v = nextVersion(spark, dir)
+    val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, pm.files ++ st.rels,
       extraMeta ++ Seq("format:2", s"schema:$schema") ++
         pm.statLines ++ st.statLines)
@@ -540,7 +564,7 @@ object Snapshots {
     val keptStats = pm.statLines.filter(l =>
       keptSet.contains(l.split(":", 6).last))
     val schema = pm.schemaOpt.map(nullable(_).json).getOrElse(st.schemaJson)
-    val v = nextVersion(spark, dir)
+    val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, kept ++ st.rels,
       Seq("format:2", s"schema:$schema") ++ keptStats ++ st.statLines)
     v
@@ -609,7 +633,7 @@ object Snapshots {
       case Some(ps) => mergeSchemas(ps, nullable(mergedRows.schema)).json
       case None => st.schemaJson
     }
-    val v = nextVersion(spark, dir)
+    val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, kept ++ st.rels,
       Seq("format:2", s"schema:$schema") ++ meta ++ keptStats ++ st.statLines)
     v

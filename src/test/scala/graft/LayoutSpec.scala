@@ -231,4 +231,33 @@ class LayoutSpec extends SparkSuite {
     assert(back.count() === 2300L, "recovery deduplicates the mid-swap state")
     assert(back.filter(col("key") < 300).count() === 600L)
   }
+
+  test("recoverCompact survives a TORN journal (truncated trailing line " +
+    "from a crash mid-journal-write): the short line is skipped instead of " +
+    "wedging recovery, the journal is cleared, and the next compact heals " +
+    "the table normally") {
+    val out = tmpDir("torn")
+    Layout.publish(fixture, out, "bucket", Seq("key"))
+    Layout.append(fixture.filter(col("key") < 300), out, "bucket", Seq("key"))
+    // hand-plant a torn journal the way a crash mid-write would leave it:
+    // fewer than 4 tab-separated fields on the trailing line (the swaps it
+    // would have described never started — the data is untouched)
+    val jp = new java.io.File(s"$out/_compact_journal")
+    val w = new java.io.FileWriter(jp)
+    try w.write("0\t/nonexistent/tmp.parquet") finally w.close()
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Layout.recoverCompact(fs, out), "recovery ran (journal existed)")
+    assert(!jp.exists(), "torn journal cleared, not wedged")
+    assert(spark.read.parquet(out).count() === 2300L, "data untouched")
+    // the journal writer itself is now torn-proof: bytes land in a temp
+    // sibling and RENAME in, so a half-written journal cannot exist at
+    // the final path at all
+    Layout.writeJournal(fs, out, Seq(Layout.SwapEntry(0L, "a", "b", Seq("c"))))
+    assert(jp.exists())
+    assert(Layout.recoverCompact(fs, out))
+    val report = Layout.compact(spark, out, "bucket", Seq("key"), "key")
+    assert(report.forall(_.filesAfter === 1L), "fragmentation healed")
+    assert(spark.read.parquet(out).count() === 2300L)
+  }
 }

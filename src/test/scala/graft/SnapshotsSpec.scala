@@ -444,4 +444,69 @@ class SnapshotsSpec extends SparkSuite {
       e.getMessage)
     assert(Snapshots.versions(spark, dir) === vBefore)
   }
+
+  test("OPTIMISTIC CONCURRENCY: a writer whose base version was overtaken " +
+    "by a concurrent commit THROWS at claim time (no lost update); aborted " +
+    "transaction tombstones never conflict; in-flight transactions do") {
+    val dir = tmpDir("occ")
+    Snapshots.publish(fixture, dir, "bucket", Seq("key"))
+    // a racer committed v2 between this writer's plan (base v1) and its
+    // commit: committing above v2 would silently drop the racer's rows
+    // from the table head — the claim refuses instead
+    Snapshots.commit(spark, dir, 2L, Snapshots.files(spark, dir, 1L),
+      Seq("format:2"))
+    intercept[java.util.ConcurrentModificationException](
+      Snapshots.claimAbove(spark, dir, 1L))
+    // a write planned against the NEW latest proceeds
+    assert(Snapshots.claimAbove(spark, dir, 2L) === 3L)
+    // an ABORTED transaction's tombstone holds a version number but no
+    // state: claims skip above it without conflict
+    val dead = Snapshots.beginTxn(spark, dir + "_rec_dead")
+    dead.append(fixture.limit(10), dir, "bucket", Seq("key")) // provisional v3
+    dead.abort()
+    assert(Snapshots.claimAbove(spark, dir, 2L) === 4L, "tombstone skipped")
+    // an IN-FLIGHT transaction's provisional manifest DOES conflict (its
+    // fate is open — basing a commit on it would not be serializable)
+    val open = Snapshots.beginTxn(spark, dir + "_rec_open")
+    open.append(fixture.limit(10), dir, "bucket", Seq("key")) // provisional v4
+    intercept[java.util.ConcurrentModificationException](
+      Snapshots.claimAbove(spark, dir, 2L))
+    open.abort()
+  }
+
+  test("two RACING plain appends with claim-check + retry: both batches " +
+    "land in the final table — the lost-update window is closed end-to-end") {
+    val dir = tmpDir("race")
+    Snapshots.publish(fixture.filter(col("key") < 300), dir, "bucket", Seq("key"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val localSpark = spark
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        try {
+          val rows = fixture
+            .filter(col("key") >= 300L + i * 300L && col("key") < 600L + i * 300L)
+          var done = false
+          var attempts = 0
+          while (!done && attempts < 25) {
+            attempts += 1
+            try {
+              Snapshots.append(rows, dir, "bucket", Seq("key"))
+              done = true
+            } catch {
+              // claim conflict OR a same-number create-exclusive loss:
+              // re-read latest and retry — the writer protocol
+              case _: java.util.ConcurrentModificationException => ()
+              case _: java.io.IOException => ()
+            }
+          }
+          if (!done) errs.add(new IllegalStateException(s"writer $i starved"))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing writers failed: ${errs.toArray.mkString(";")}")
+    assert(Snapshots.read(localSpark, dir).count() === 900L,
+      "BOTH racers' batches present at head — nothing lost")
+  }
 }
