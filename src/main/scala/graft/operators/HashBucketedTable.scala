@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HASH-bucketed snapshot tables — [[BucketedTable]]'s sibling for
+  * NON-RANGE keys (string ids, urls, uuids): the bucket is DERIVED as
+  * `pmod(xxhash64(key), n)` and the bucket count `n` is table
+  * metadata (`#bucketh`) that [[evolveBuckets]] changes with a
+  * METADATA-ONLY commit, per-file epochs riding as `#fileh` lines.
+  *
+  * The planning story deliberately differs from the range table's:
+  * a hash layout SCATTERS keys, so per-file key-range stats cannot
+  * discriminate (every bucket's min/max spans the key space) — all
+  * point planning here is HASH ARITHMETIC per epoch instead, which
+  * is exact and manifest-only:
+  *  - [[merge]]/[[delete]] pick their rewrite set by hashing the
+  *    update keys at EACH epoch's modulus (one tiny job per epoch
+  *    over the update batch) and matching the files' path buckets —
+  *    cost ∝ epochs × batch + touched data, correct across any
+  *    epoch mix; rewritten rows restage at the CURRENT modulus
+  *    (touched data migrates as a side effect).
+  *  - [[lookupAt]] (the point-read a hash layout exists for) reads,
+  *    per epoch, only the buckets the probe keys hash to.
+  *  - [[compact]] migrates stale epochs: landing buckets are
+  *    computed by ONE scan of the STALE files only (data that must
+  *    be rewritten anyway), then current-epoch files in colliding or
+  *    fragmented buckets join the rewrite — maintenance ∝ old-epoch
+  *    + fragmented data, never table size.
+  *
+  * Keys are strings (cast your key to string upstream); the modulus
+  * must be positive. The derived bucket column ([[BCol]]) is
+  * materialized in the files and dropped by [[read]].
+  */
+object HashBucketedTable {
+
+  /** The derived hash-bucket column materialized in the data files. */
+  val BCol = "__ghbucket"
+
+  private def withBucket(df: DataFrame, keyCol: String, n: Long): DataFrame =
+    df.withColumn(BCol, pmod(xxhash64(col(keyCol)), lit(n)))
+
+  /** (keyCol, modulus) currently in force, from the latest manifest. */
+  def currentBuckets(spark: SparkSession, dir: String): (String, Long) = {
+    val v = Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots"))
+    bucketsAt(spark, dir, v)
+  }
+
+  private def bucketsAt(spark: SparkSession, dir: String, v: Long): (String, Long) =
+    Snapshots.committedManifest(spark, dir, v).metaValues("bucketh").headOption
+      .map { s =>
+        val Array(k, n) = s.split(":", 2)
+        (k, n.toLong)
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$dir version $v is not a hash-bucketed table (no #bucketh metadata)"))
+
+  /** Per-file write-epoch moduli of version `v` (manifest-only). */
+  def fileBuckets(spark: SparkSession, dir: String, v: Long): Map[String, Long] =
+    Snapshots.committedManifest(spark, dir, v).metaValues("fileh").map { s =>
+      val Array(n, rel) = s.split(":", 2)
+      rel -> n.toLong
+    }.toMap
+
+  private def filehLines(rels: Seq[String], n: Long): Seq[String] =
+    rels.map(r => s"fileh:$n:$r")
+
+  private def carriedFileh(m: Snapshots.Manifest, kept: Set[String]): Seq[String] =
+    m.meta.filter(_.startsWith("#fileh:")).map(_.stripPrefix("#"))
+      .filter(l => kept.contains(l.split(":", 3).last))
+
+  /** Publish the first version at `numBuckets`. */
+  def publish(df: DataFrame, dir: String, keyCol: String, numBuckets: Long,
+              blockSize: Long = 128L * 1024 * 1024, numTasks: Int = 32): Long = {
+    require(numBuckets > 0, "bucket count must be positive")
+    val spark = df.sparkSession
+    Snapshots.resolveForWrite(spark, dir)
+    require(Snapshots.latest(spark, dir).isEmpty,
+      s"$dir already has snapshots — use append")
+    val st = Snapshots.stage(withBucket(df, keyCol, numBuckets), dir, BCol,
+      Seq(keyCol), blockSize, numTasks)
+    val v = Snapshots.claimAbove(spark, dir, 0L)
+    Snapshots.commit(spark, dir, v, st.rels,
+      Seq("format:2", s"schema:${st.schemaJson}",
+        s"bucketh:$keyCol:$numBuckets") ++
+        filehLines(st.rels, numBuckets) ++ st.statLines)
+    v
+  }
+
+  /** Incremental load at the CURRENT modulus. */
+  def append(df: DataFrame, dir: String,
+             blockSize: Long = 128L * 1024 * 1024, numTasks: Int = 32): Long = {
+    val spark = df.sparkSession
+    Snapshots.resolveForWrite(spark, dir)
+    val prev = Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots — use publish"))
+    val pm = Snapshots.committedManifest(spark, dir, prev)
+    val (keyCol, n) = bucketsAt(spark, dir, prev)
+    val st = Snapshots.stage(withBucket(df, keyCol, n), dir, BCol,
+      Seq(keyCol), blockSize, numTasks)
+    val schema = pm.schemaOpt match {
+      case Some(ps) =>
+        Snapshots.mergeSchemas(ps,
+          Snapshots.nullable(withBucket(df, keyCol, n).schema)).json
+      case None => st.schemaJson
+    }
+    val v = Snapshots.claimAbove(spark, dir, prev)
+    Snapshots.commit(spark, dir, v, pm.files ++ st.rels,
+      Seq("format:2", s"schema:$schema", s"bucketh:$keyCol:$n") ++
+        carriedFileh(pm, pm.files.toSet) ++ filehLines(st.rels, n) ++
+        pm.statLines ++ st.statLines)
+    v
+  }
+
+  /** Change the bucket COUNT — a METADATA-ONLY commit (same files,
+    * same epochs, only `#bucketh` changes). O(manifest). */
+  def evolveBuckets(spark: SparkSession, dir: String, newN: Long): Long = {
+    require(newN > 0, "bucket count must be positive")
+    Snapshots.resolveForWrite(spark, dir)
+    val prev = Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots"))
+    val pm = Snapshots.committedManifest(spark, dir, prev)
+    val (keyCol, _) = bucketsAt(spark, dir, prev)
+    val schema = pm.schemaOpt.map(Snapshots.nullable(_).json).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no recorded schema"))
+    val v = Snapshots.claimAbove(spark, dir, prev)
+    Snapshots.commit(spark, dir, v, pm.files,
+      Seq("format:2", s"schema:$schema", s"bucketh:$keyCol:$newN") ++
+        carriedFileh(pm, pm.files.toSet) ++ pm.statLines)
+    v
+  }
+
+  /** The files any of `keysDf`'s keys can live in, per EPOCH, by
+    * hash arithmetic — one tiny distinct-buckets job per epoch over
+    * the key batch, zero data-file opens. */
+  private def touchedFiles(spark: SparkSession, pm: Snapshots.Manifest,
+                           epochs: Map[String, Long], keyCol: String,
+                           keysDf: DataFrame): Seq[String] = {
+    val byEpoch = pm.files.groupBy(f => epochs.getOrElse(f, -1L))
+    byEpoch.toSeq.flatMap { case (n, files) =>
+      if (n <= 0) files // unknown epoch: conservative, rewrite/read it
+      else {
+        val touched = keysDf
+          .select(pmod(xxhash64(col(keyCol)), lit(n)).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        files.filter(f => Snapshots.fileBucket(f).exists(touched.contains))
+      }
+    }
+  }
+
+  /** MERGE (upsert) across epochs: the rewrite set is the union over
+    * epochs of the buckets the update keys hash to at THAT epoch's
+    * modulus. Rewritten rows restage at the CURRENT modulus. */
+  def merge(updates: DataFrame, dir: String, keyCols: Seq[String],
+            blockSize: Long = 128L * 1024 * 1024, numTasks: Int = 32): Long =
+    applyImpl(Some(updates), None, dir, keyCols, blockSize, numTasks)
+
+  /** DELETE rows by key (see [[Snapshots.delete]] for semantics);
+    * rewrite set by per-epoch hash arithmetic like [[merge]]. */
+  def delete(keys: DataFrame, dir: String, keyCols: Seq[String],
+             blockSize: Long = 128L * 1024 * 1024, numTasks: Int = 32): Long =
+    applyImpl(None, Some(keys), dir, keyCols, blockSize, numTasks)
+
+  private def applyImpl(updatesOpt: Option[DataFrame],
+                        deletesOpt: Option[DataFrame], dir: String,
+                        keyCols: Seq[String], blockSize: Long,
+                        numTasks: Int): Long = {
+    require(keyCols.nonEmpty, "merge/delete needs key columns")
+    val spark = updatesOpt.orElse(deletesOpt).get.sparkSession
+    Snapshots.resolveForWrite(spark, dir)
+    val prev = Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots — use publish"))
+    val pm = Snapshots.committedManifest(spark, dir, prev)
+    val (keyCol, n) = bucketsAt(spark, dir, prev)
+    require(keyCols.contains(keyCol),
+      s"merge keys must include the layout key $keyCol")
+    val epochs = fileBuckets(spark, dir, prev)
+    val allKeys = (updatesOpt.toSeq ++ deletesOpt.toSeq)
+      .map(_.select(keyCols.map(col): _*)).reduce(_.unionByName(_))
+    require(allKeys.filter(col(keyCol).isNull).isEmpty,
+      s"update/delete rows carry NULL $keyCol values")
+    val touched = touchedFiles(spark, pm, epochs, keyCol, allKeys)
+    if (touched.isEmpty && updatesOpt.isEmpty) return prev
+    val dropKeys = allKeys
+    val mergedRows =
+      if (touched.isEmpty) withBucket(updatesOpt.get, keyCol, n)
+      else {
+        val existing = Snapshots.readFiles(spark, dir, touched.sorted,
+          pm.schemaOpt)
+        updatesOpt match {
+          case Some(updates) =>
+            val (ex0, up) = Snapshots.mergeAlign(existing,
+              withBucket(updates, keyCol, n))
+            // restaged rows RE-derive their bucket at the current
+            // modulus (epoch migration side effect)
+            ex0.withColumn(BCol, pmod(xxhash64(col(keyCol)), lit(n)))
+              .join(up.select(keyCols.map(col): _*), keyCols, "left_anti")
+              .unionByName(up)
+          case None =>
+            existing.withColumn(BCol, pmod(xxhash64(col(keyCol)), lit(n)))
+              .join(dropKeys, keyCols, "left_anti")
+        }
+      }
+    val st =
+      if (updatesOpt.isEmpty && mergedRows.isEmpty)
+        Snapshots.Staged(Nil,
+          pm.schemaOpt.map(Snapshots.nullable(_).json).get, Nil)
+      else Snapshots.stage(
+        withBucket(mergedRows.drop(BCol), keyCol, n), dir, BCol,
+        Seq(keyCol), blockSize, numTasks)
+    val touchedSet = touched.toSet
+    val kept = pm.files.filterNot(touchedSet)
+    val keptSet = kept.toSet
+    val schema = pm.schemaOpt match {
+      case Some(ps) if updatesOpt.isEmpty => Snapshots.nullable(ps).json
+      case Some(ps) =>
+        Snapshots.mergeSchemas(ps, Snapshots.nullable(mergedRows.schema)).json
+      case None => st.schemaJson
+    }
+    val v = Snapshots.claimAbove(spark, dir, prev)
+    Snapshots.commit(spark, dir, v, kept ++ st.rels,
+      Seq("format:2", s"schema:$schema", s"bucketh:$keyCol:$n") ++
+        carriedFileh(pm, keptSet) ++ filehLines(st.rels, n) ++
+        pm.statLines.filter(l => keptSet.contains(l.split(":", 6).last)) ++
+        st.statLines)
+    v
+  }
+
+  /** Compaction = the epoch MIGRATOR: rewrite every stale-epoch file,
+    * every current-epoch file in a bucket the migrating rows land in
+    * (landing buckets computed by ONE scan of the STALE files only —
+    * data being rewritten anyway), and every fragmented bucket.
+    * Returns the previous version when there is nothing to do. */
+  def compact(spark: SparkSession, dir: String,
+              blockSize: Long = 128L * 1024 * 1024): Long = {
+    Snapshots.resolveForWrite(spark, dir)
+    val prev = Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots"))
+    val pm = Snapshots.committedManifest(spark, dir, prev)
+    val (keyCol, n) = bucketsAt(spark, dir, prev)
+    val epochs = fileBuckets(spark, dir, prev)
+    val stale = pm.files.filter(f => !epochs.get(f).contains(n))
+    val current = pm.files.filterNot(stale.contains)
+    val landing: Set[Long] =
+      if (stale.isEmpty) Set.empty
+      else Snapshots.readFiles(spark, dir, stale, pm.schemaOpt)
+        .select(pmod(xxhash64(col(keyCol)), lit(n)).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSet
+    val conflict = current.filter(f =>
+      Snapshots.fileBucket(f).exists(landing.contains))
+    val frag = current.groupBy(f => Snapshots.fileBucket(f).getOrElse(-1L))
+      .filter(_._2.size >= 2).values.flatten.toSeq
+    val rewrite = (stale ++ conflict ++ frag).distinct.sorted
+    if (rewrite.isEmpty) return prev
+    val df = Snapshots.readFiles(spark, dir, rewrite, pm.schemaOpt)
+    val st = Snapshots.stage(withBucket(df.drop(BCol), keyCol, n), dir, BCol,
+      Seq(keyCol), blockSize, 32)
+    val kept = pm.files.filterNot(rewrite.contains)
+    val keptSet = kept.toSet
+    val schema = pm.schemaOpt.map(Snapshots.nullable(_).json).getOrElse(st.schemaJson)
+    val v = Snapshots.claimAbove(spark, dir, prev)
+    Snapshots.commit(spark, dir, v, kept ++ st.rels,
+      Seq("format:2", s"schema:$schema", s"bucketh:$keyCol:$n") ++
+        carriedFileh(pm, keptSet) ++ filehLines(st.rels, n) ++
+        pm.statLines.filter(l => keptSet.contains(l.split(":", 6).last)) ++
+        st.statLines)
+    v
+  }
+
+  /** POINT LOOKUP at version `v` — the read shape hash bucketing
+    * exists for: per epoch, read ONLY the buckets the probe keys
+    * hash to (manifest-only planning: path buckets × epoch moduli),
+    * then the exact residual semi-join. */
+  def lookupAt(spark: SparkSession, dir: String, v: Long,
+               keys: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val pm = Snapshots.committedManifest(spark, dir, v)
+    val (keyCol, _) = bucketsAt(spark, dir, v)
+    val epochs = fileBuckets(spark, dir, v)
+    val keysDf = keys.toDF(keyCol)
+    val files = touchedFiles(spark, pm, epochs, keyCol, keysDf)
+    val base =
+      if (files.isEmpty)
+        Snapshots.readFiles(spark, dir, pm.files, pm.schemaOpt).limit(0)
+      else Snapshots.readFiles(spark, dir, files.sorted, pm.schemaOpt)
+    base.join(broadcast(keysDf), Seq(keyCol), "left_semi").drop(BCol)
+  }
+
+  /** Read version `v` (time travel), derived bucket dropped. */
+  def readAt(spark: SparkSession, dir: String, v: Long): DataFrame =
+    Snapshots.readAt(spark, dir, v).drop(BCol)
+
+  /** Read the latest version, derived bucket dropped. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    Snapshots.read(spark, dir).drop(BCol)
+}

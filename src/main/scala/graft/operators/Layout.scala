@@ -347,6 +347,99 @@ object Layout {
     }
   }
 
+  /** Typed per-FILE min/max for arbitrary scalar columns — the
+    * generalized footer walk behind format 2.1's `#stat2` manifest
+    * lines. Values are canonically ENCODED as strings so they ride
+    * in meta lines: integer family incl. date/timestamp-micros as
+    * decimal (kind "i"), float/double via Double.toString (kind "d",
+    * skipped when NaN), string/binary as BASE64 of the raw bytes
+    * (kind "s" — colon-proof, compared unsigned-byte-lexicographic,
+    * parquet's own binary order; parquet may TRUNCATE long binary
+    * stats, which stays conservative by its contract). A column with
+    * absent/unusable statistics in ANY row group yields no entry for
+    * that file — pruning then keeps the file (conservative). */
+  case class TypedFileStat(path: String, column: String, rows: Long,
+                           kind: String, min: String, max: String)
+
+  def typedStatsFiles(spark: SparkSession, paths: Seq[String],
+                      cols: Seq[String]): Seq[TypedFileStat] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val b64 = java.util.Base64.getEncoder
+    def one(p0: String): Seq[TypedFileStat] = {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p0), hconf))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        cols.flatMap { c =>
+          import org.apache.parquet.column.statistics._
+          val sts = blocks.map(_.getColumns.asScala
+            .find(_.getPath.toDotString == c).map(_.getStatistics))
+          if (sts.exists(s => s.isEmpty || s.get == null ||
+              s.get.isEmpty || !s.get.hasNonNullValue)) None
+          else sts.map(_.get) match {
+            case ss if ss.forall(_.isInstanceOf[LongStatistics]) =>
+              val ls = ss.map(_.asInstanceOf[LongStatistics])
+              Some(TypedFileStat(p0, c, rows, "i",
+                ls.map(_.getMin).min.toString, ls.map(_.getMax).max.toString))
+            case ss if ss.forall(_.isInstanceOf[IntStatistics]) =>
+              val is = ss.map(_.asInstanceOf[IntStatistics])
+              Some(TypedFileStat(p0, c, rows, "i",
+                is.map(_.getMin).min.toString, is.map(_.getMax).max.toString))
+            case ss if ss.forall(s => s.isInstanceOf[DoubleStatistics] ||
+                s.isInstanceOf[FloatStatistics]) =>
+              val mins = ss.map {
+                case d: DoubleStatistics => d.getMin
+                case f: FloatStatistics => f.getMin.toDouble
+              }
+              val maxs = ss.map {
+                case d: DoubleStatistics => d.getMax
+                case f: FloatStatistics => f.getMax.toDouble
+              }
+              if (mins.exists(_.isNaN) || maxs.exists(_.isNaN)) None
+              else Some(TypedFileStat(p0, c, rows, "d",
+                mins.min.toString, maxs.max.toString))
+            case ss if ss.forall(_.isInstanceOf[BinaryStatistics]) =>
+              val bs = ss.map(_.asInstanceOf[BinaryStatistics])
+              val mn = bs.map(_.genericGetMin.getBytes)
+                .reduce((a, b) => if (bytesLt(a, b)) a else b)
+              val mx = bs.map(_.genericGetMax.getBytes)
+                .reduce((a, b) => if (bytesLt(a, b)) b else a)
+              Some(TypedFileStat(p0, c, rows, "s",
+                b64.encodeToString(mn), b64.encodeToString(mx)))
+            case _ => None // mixed/unsupported physical types: no claim
+          }
+        }
+      } finally rd.close()
+    }
+    if (paths.size <= 1) paths.flatMap(one)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, paths.size))
+      try {
+        val futs = paths.map(p0 => pool.submit(
+          new java.util.concurrent.Callable[Seq[TypedFileStat]] {
+            override def call(): Seq[TypedFileStat] = one(p0)
+          }))
+        futs.flatMap(_.get())
+      } finally pool.shutdown()
+    }
+  }
+
+  /** Unsigned byte-lexicographic a < b (parquet binary stat order). */
+  private[graft] def bytesLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
   /** The files whose footer stats intersect [lo, hi) — the min/max
     * skip decision, made from [[rowGroupStats]] output. */
   def survivingFiles(stats: Seq[RowGroupStat], lo: Long, hi: Long): Seq[String] =

@@ -66,6 +66,12 @@ object Snapshots {
     * exclusive-access maintenance pass 0 explicitly. */
   val DefaultRetainMs: Long = 7L * 24 * 3600 * 1000
 
+  /** The pluggable atomic-claim primitive every manifest commit and
+    * txn record goes through — see [[CommitStore]] for the exact
+    * filesystem contract and when the default does NOT hold (plain
+    * S3A). Process-wide, set once at startup. */
+  @volatile var commitStore: CommitStore = AtomicCreateStore
+
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -80,21 +86,202 @@ object Snapshots {
     * including transactional manifests whose record is still
     * in-flight or aborted (tombstones). Version claims go above
     * these; READERS want [[versions]]. */
+  // hoisted: String.matches would re-compile the pattern on EVERY
+  // manifest-listing entry
+  private val ManifestName = java.util.regex.Pattern.compile("v\\d{20}")
+
+  /** Cached manifest listing per table dir. Version claims are DENSE
+    * at the top (every writer claims rawTop + 1; only vacuum removes,
+    * and only from the bottom), so after one full listing the set is
+    * maintained by PROBING `top + 1` — a steady-state streaming
+    * trigger costs ONE existence check instead of an O(all versions)
+    * directory listing (on an object store: one HEAD instead of a
+    * paged LIST). Writers in this process extend it at commit;
+    * foreign writers are discovered by the probe; vacuum drops the
+    * entry (next call re-lists). Like every metadata cache here it
+    * assumes the vacuum retention discipline the docstrings demand —
+    * a FOREIGN process must not vacuum versions this one still
+    * replays. */
+  private val dirListCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[Long]]()
+
   private[graft] def rawVersions(spark: SparkSession, dir: String): Seq[Long] = {
     val f = fs(spark, dir)
-    val md = manifestDir(dir)
-    if (!f.exists(md)) Seq.empty
-    else f.listStatus(md).toSeq
-      .map(_.getPath.getName)
-      .filter(_.matches("v\\d{20}"))
-      .map(_.drop(1).toLong)
-      .sorted
+    val cached = dirListCache.get(dir)
+    if (cached == null || cached.isEmpty) {
+      val md = manifestDir(dir)
+      val full =
+        if (!f.exists(md)) Vector.empty[Long]
+        else f.listStatus(md).toVector
+          .map(_.getPath.getName)
+          .filter(ManifestName.matcher(_).matches())
+          .map(_.drop(1).toLong)
+          .sorted
+      if (full.nonEmpty) dirListCache.put(dir, full)
+      full
+    } else if (!f.exists(manifestPath(dir, cached.last))) {
+      // out-of-band wipe guard: the cached top vanished, so the
+      // location was deleted/rebuilt outside the protocol (vacuum
+      // never touches the top) — purge EVERYTHING cached under it
+      // and re-list from disk
+      invalidate(dir)
+      rawVersions(spark, dir)
+    } else {
+      var ext = cached
+      while (f.exists(manifestPath(dir, ext.last + 1))) ext = ext :+ (ext.last + 1)
+      if (ext ne cached) dirListCache.put(dir, ext)
+      ext
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // Driver-side metadata caches. Manifests are IMMUTABLE once written
+  // (version numbers are never reused; vacuum deletes but never
+  // rewrites), a DECIDED transaction record is permanent, and
+  // committedness can only go one way (in-flight → decided). So:
+  // parsed manifests cache until evicted, decided txn records cache
+  // forever, and committedness caches once true. This is what keeps
+  // [[versions]]/[[latest]] manifest-read-FREE on hot paths — the
+  // change feed's admission-control `latestOffset` calls [[versions]]
+  // EVERY microbatch trigger, and without the cache a long-lived
+  // table would pay O(all versions) small-file reads per trigger
+  // (the quadratic-over-a-stream's-life shape the batch ledger and
+  // the high-water sink check already avoid). A fresh process still
+  // pays O(versions) reads ONCE to warm; after that a trigger costs
+  // one directory listing plus reads for genuinely NEW manifests.
+  // -----------------------------------------------------------------
+  private val ManifestCacheMax = 4096
+  private val manifestCache: java.util.Map[String, Manifest] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Manifest](128, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Manifest]): Boolean =
+          size() > ManifestCacheMax
+      })
+  /** Manifest paths KNOWN committed — monotone, never invalidated
+    * (only vacuum removes entries, with their manifests). */
+  private val committedCache =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Decided transaction records: recordPath → committed?. */
+  private val txnCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Drop all cached metadata — the stress/spec hook that simulates a
+    * FRESH process attaching to an existing table (the one-time warm
+    * cost the caches amortize). */
+  private[graft] def clearCaches(): Unit = {
+    manifestCache.clear()
+    committedCache.clear()
+    txnCache.clear()
+    dirListCache.clear()
+    checkpointLoaded.clear()
+  }
+
+  /** Cache key for (dir, version) — a plain string concat, NOT a
+    * hadoop Path: Path.toString re-parses the URI every time, and the
+    * hot paths build one key per version per trigger. */
+  private def cacheKey(dir: String, v: Long): String = dir + " " + v
+
+  /** Purge every cached metadata entry at or under `path` (no
+    * filesystem change). Needed when a table LOCATION is wiped and
+    * rebuilt outside the commit protocol (tests, benchmarks): the
+    * immutability assumptions the caches rest on do not survive an
+    * out-of-band delete+recreate. */
+  def invalidate(path: String): Unit = {
+    val pfx = path.stripSuffix("/")
+    val hit: java.util.function.Predicate[String] = k =>
+      k == pfx || k.startsWith(pfx + "/") || k.startsWith(pfx + " ")
+    manifestCache.synchronized { manifestCache.keySet().removeIf(hit) }
+    committedCache.removeIf(hit)
+    txnCache.keySet().removeIf(hit)
+    dirListCache.keySet().removeIf(hit)
+    checkpointLoaded.removeIf(hit)
+  }
+
+  /** Delete `path` recursively AND purge the metadata caches under it
+    * — the only safe way to wipe and rebuild a table location within
+    * one process (a raw `fs.delete` would leave the caches serving
+    * the dead table's manifests). */
+  def dropPath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    invalidate(path)
+  }
+
+  private def checkpointPath(dir: String) =
+    new org.apache.hadoop.fs.Path(manifestDir(dir), "_checkpoint")
+
+  /** Persist a COMMITTEDNESS CHECKPOINT (the Delta `_last_checkpoint`
+    * discipline, for the one thing our cold path pays for): a fresh
+    * process attaching to a long-lived table must otherwise OPEN
+    * every manifest once just to learn whether it carries `#txn` —
+    * O(versions) small-file reads. The checkpoint records each
+    * version's DECIDED state (`c` committed / `a` aborted tombstone);
+    * undecided in-flight transactions are deliberately OMITTED (their
+    * fate is open — readers must re-check the record). Written to a
+    * temp sibling and RENAMED in (content-atomic, like the compaction
+    * journal); safe to regenerate at any time, stale checkpoints just
+    * cover fewer versions. Run it as maintenance after batch loads —
+    * cold attach cost drops to one listing + one file read + opens
+    * for versions ABOVE the checkpoint only. */
+  def checkpoint(spark: SparkSession, dir: String): Long = {
+    val f = fs(spark, dir)
+    val lines = rawVersions(spark, dir).flatMap { v =>
+      val m = manifest(spark, dir, v)
+      m.metaValues("txn").headOption match {
+        case None => Some(s"$v:c")
+        case Some(rec) => txnState(spark, rec) match {
+          case Some(true) => Some(s"$v:c")
+          case Some(false) => Some(s"$v:a")
+          case None => None // in flight: fate open, never checkpointed
+        }
+      }
+    }
+    val tmp = new org.apache.hadoop.fs.Path(manifestDir(dir), "_checkpoint.tmp")
+    f.mkdirs(manifestDir(dir))
+    val out = f.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    f.delete(checkpointPath(dir), false)
+    require(f.rename(tmp, checkpointPath(dir)),
+      s"checkpoint rename failed under $dir")
+    lines.size.toLong
+  }
+
+  /** Seed the committedness caches from the checkpoint, if present —
+    * called once per (process, dir) on the first cold committedness
+    * miss. Aborted entries seed the decided-txn knowledge indirectly:
+    * the version is simply never marked committed, and the one
+    * manifest+record read it would cost only happens if someone asks
+    * about that tombstone specifically. */
+  private val checkpointLoaded =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def loadCheckpoint(spark: SparkSession, dir: String): Unit = {
+    if (!checkpointLoaded.add(dir)) return
+    val f = fs(spark, dir)
+    val cp = checkpointPath(dir)
+    if (!f.exists(cp)) return
+    val in = f.open(cp)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    lines.foreach { l =>
+      l.split(":", 2) match {
+        case Array(v, "c") if v.forall(_.isDigit) =>
+          committedCache.add(cacheKey(dir, v.toLong))
+        case _ => () // aborted or malformed: decide from disk if asked
+      }
+    }
   }
 
   /** A transaction record's state: absent (in flight), committed, or
     * aborted. The record is create-exclusive — its first writer
-    * decides, permanently. */
+    * decides, permanently (which is what makes the decided state
+    * cacheable). */
   private def txnState(spark: SparkSession, rec: String): Option[Boolean] = {
+    val cached = txnCache.get(rec)
+    if (cached != null) return Some(cached.booleanValue())
     val p = new org.apache.hadoop.fs.Path(rec)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) None
@@ -104,7 +291,9 @@ object Snapshots {
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .find(_.nonEmpty).getOrElse("")
         finally in.close()
-      Some(first.startsWith("commit"))
+      val st = first.startsWith("commit")
+      txnCache.put(rec, java.lang.Boolean.valueOf(st))
+      Some(st)
     }
   }
 
@@ -115,8 +304,21 @@ object Snapshots {
       txnState(spark, rec).contains(true))
 
   private def isCommittedVersion(spark: SparkSession, dir: String,
-                                 v: Long): Boolean =
-    isCommitted(spark, manifest(spark, dir, v))
+                                 v: Long): Boolean = {
+    val key = cacheKey(dir, v)
+    if (committedCache.contains(key)) true
+    else {
+      // first cold miss per (process, dir): seed from the persisted
+      // checkpoint so attaching to a long history opens no manifests
+      loadCheckpoint(spark, dir)
+      if (committedCache.contains(key)) true
+      else {
+        val ok = isCommitted(spark, manifest(spark, dir, v))
+        if (ok) committedCache.add(key)
+        ok
+      }
+    }
+  }
 
   /** All COMMITTED versions, ascending — the reader's view. Plain
     * manifests need no extra I/O; transactional ones cost one record
@@ -177,12 +379,53 @@ object Snapshots {
     /** Raw stat meta lines (for carrying kept files forward). */
     def statLines: Seq[String] = meta.filter(_.startsWith("#stat:"))
       .map(_.stripPrefix("#"))
+    /** Typed per-file stats for a PHYSICAL column (format 2.1
+      * `#stat2:<col>:<kind>:<rows>:<min>:<max>:<rel>` lines):
+      * rel → (rows, kind, minEnc, maxEnc). */
+    def stats2(colPhys: String): Map[String, (Long, String, String, String)] =
+      metaValues("stat2").flatMap { s =>
+        s.split(":", 6) match {
+          case Array(c, kind, rows, mn, mx, rel) if c == colPhys =>
+            Some(rel -> ((rows.toLong, kind, mn, mx)))
+          case _ => None
+        }
+      }.toMap
+    /** Raw stat2 lines (carry-forward). */
+    def stat2Lines: Seq[String] = meta.filter(_.startsWith("#stat2:"))
+      .map(_.stripPrefix("#"))
+    /** The declared typed-stats column list (PHYSICAL names). */
+    def statCols: Seq[String] = metaValues("statcols").headOption
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    /** The statcols declaration line, for carry-forward. */
+    def statColsLines: Seq[String] =
+      metaValues("statcols").headOption.map(s => s"statcols:$s").toSeq
+    /** Column RENAME map, physical → logical (format 2.1): entries
+      * exist only for renamed columns. The PHYSICAL name — the name a
+      * column was born under, the one every data file stores — never
+      * changes; the manifest schema carries the current LOGICAL name
+      * and this map ties them. */
+    def colMap: Map[String, String] = metaValues("colmap").map { s =>
+      val Array(p, l) = s.split(":", 2)
+      p -> l
+    }.toMap
+    /** logical → physical (the staging/stat direction). */
+    def toPhysical: Map[String, String] = colMap.map(_.swap)
+    /** Raw colmap lines for carrying forward. */
+    def colmapLines: Seq[String] = meta.filter(_.startsWith("#colmap:"))
+      .map(_.stripPrefix("#"))
   }
 
   private[graft] def manifest(spark: SparkSession, dir: String,
                                   v: Long): Manifest = {
-    val (meta, files) = manifestLines(spark, dir, v).partition(_.startsWith("#"))
-    Manifest(files, meta)
+    val key = cacheKey(dir, v)
+    val hit = manifestCache.get(key)
+    if (hit != null) hit
+    else {
+      val (meta, files) = manifestLines(spark, dir, v).partition(_.startsWith("#"))
+      val m = Manifest(files, meta)
+      manifestCache.put(key, m)
+      m
+    }
   }
 
   /** The data files (paths relative to `dir`) version `v` reads. */
@@ -224,17 +467,21 @@ object Snapshots {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val p = manifestPath(dir, v)
-    // overwrite=false — the atomic claim; throws if v is taken
-    val out = f.create(p, false)
-    try out.write(((meta.map("#" + _) ++ relFiles).mkString("\n") + "\n")
-      .getBytes("UTF-8"))
-    finally out.close()
+    // the atomic claim (pluggable — see CommitStore): throws if v is
+    // taken, never leaves a partial or replaced manifest
+    commitStore.createExclusive(f, p,
+      ((meta.map("#" + _) ++ relFiles).mkString("\n") + "\n").getBytes("UTF-8"))
+    // keep the listing cache current: dense extension when this commit
+    // is the next version, otherwise invalidate (re-list on next read)
+    dirListCache.computeIfPresent(dir, (_, old) =>
+      if (old.nonEmpty && old.last == v - 1) old :+ v else null)
   }
 
   /** A staged write's outcome: the new files plus the meta lines
     * (schema + per-file stats) the commit should carry. */
   private[operators] case class Staged(rels: Seq[String], schemaJson: String,
-                            statLines: Seq[String])
+                            statLines: Seq[String],
+                            stat2Lines: Seq[String] = Nil)
 
   private[operators] def nullable(s: StructType): StructType =
     StructType(s.fields.map(_.copy(nullable = true)))
@@ -331,7 +578,7 @@ object Snapshots {
     * [[versionStats]] falls back to the verification walk. */
   private[operators] def stage(df: DataFrame, dir: String, bucketCol: String,
                     sortCols: Seq[String], blockSize: Long,
-                    numTasks: Int): Staged = {
+                    numTasks: Int, stat2Cols: Seq[String] = Nil): Staged = {
     require(!df.columns.contains(DirCol),
       s"column name $DirCol is reserved for the staging layout")
     require(sortCols.nonEmpty, "snapshot writes need the layout sort columns")
@@ -378,7 +625,18 @@ object Snapshots {
               s"${gs.map(_.min).min}:${gs.map(_.max).max}:$rel"
           }
       }.getOrElse(Seq.empty)
-    Staged(staged, nullable(df.schema).json, statLines)
+    // typed stats for the table's DECLARED stats columns (format 2.1)
+    // — same one footer walk over only this commit's new files
+    val stat2: Seq[String] =
+      if (stat2Cols.isEmpty) Seq.empty
+      else scala.util.Try {
+        Layout.typedStatsFiles(df.sparkSession,
+            staged.map(r => s"$dir/$r"),
+            stat2Cols.filter(c => !c.contains(":")))
+          .map(ts => s"stat2:${ts.column}:${ts.kind}:${ts.rows}:" +
+            s"${ts.min}:${ts.max}:${ts.path.stripPrefix(s"$dir/")}")
+      }.getOrElse(Seq.empty)
+    Staged(staged, nullable(df.schema).json, statLines, stat2)
   }
 
   /** Claim the next version number for a write PLANNED against
@@ -434,32 +692,48 @@ object Snapshots {
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (p.getParent != null) f.mkdirs(p.getParent)
     try {
-      val out = f.create(p, false)
-      try out.write((if (commit) "commit\n" else "abort\n").getBytes("UTF-8"))
-      finally out.close()
+      commitStore.createExclusive(f, p,
+        (if (commit) "commit\n" else "abort\n").getBytes("UTF-8"))
+      txnCache.put(rec, java.lang.Boolean.valueOf(commit))
       true
     } catch { case _: java.io.IOException => false }
   }
 
-  /** Publish the FIRST version of a snapshot table. */
+  /** Publish the FIRST version of a snapshot table. `meta` lines ride
+    * in the manifest like [[merge]]'s — in particular a streaming
+    * bootstrap passes `batch:<id>` so the FIRST batch enters the
+    * exactly-once ledger too (a replayed bootstrap batch is then
+    * absorbed by [[mergeBatch]]'s high-water check instead of
+    * re-merging its rows). */
   def publish(df: DataFrame, dir: String, bucketCol: String,
               sortCols: Seq[String], blockSize: Long = 128L * 1024 * 1024,
-              numTasks: Int = 32): Long =
-    publishImpl(df, dir, bucketCol, sortCols, blockSize, numTasks, Nil)
+              numTasks: Int = 32, meta: Seq[String] = Nil,
+              statsCols: Seq[String] = Nil): Long =
+    publishImpl(df, dir, bucketCol, sortCols, blockSize, numTasks, meta,
+      statsCols)
 
   private def publishImpl(df: DataFrame, dir: String, bucketCol: String,
                           sortCols: Seq[String], blockSize: Long,
-                          numTasks: Int, extraMeta: Seq[String]): Long = {
+                          numTasks: Int, extraMeta: Seq[String],
+                          statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     resolveForWrite(spark, dir)
     require(latest(spark, dir).isEmpty,
       s"$dir already has snapshots — use append")
-    val st = stage(df, dir, bucketCol, sortCols, blockSize, numTasks)
+    require(statsCols.forall(c => c.nonEmpty && !c.contains(":") &&
+      !c.contains(",") && df.columns.contains(c)),
+      s"statsCols must be existing plain-named columns: $statsCols")
+    val st = stage(df, dir, bucketCol, sortCols, blockSize, numTasks,
+      stat2Cols = statsCols)
     // planned against "no committed state": anything committed during
     // staging is a conflict (claimAbove tolerates only tombstones)
     val v = claimAbove(spark, dir, 0L)
+    val scLine =
+      if (statsCols.isEmpty) Nil
+      else Seq(s"statcols:${statsCols.mkString(",")}")
     commit(spark, dir, v, st.rels,
-      extraMeta ++ Seq("format:2", s"schema:${st.schemaJson}") ++ st.statLines)
+      extraMeta ++ Seq("format:2", s"schema:${st.schemaJson}") ++ scLine ++
+        st.statLines ++ st.stat2Lines)
     v
   }
 
@@ -472,6 +746,13 @@ object Snapshots {
              numTasks: Int = 32): Long =
     appendImpl(df, dir, bucketCol, sortCols, blockSize, numTasks, Nil)
 
+  /** Swap a frame's columns logical → PHYSICAL for staging (renamed
+    * columns write under their birth names so every file in the
+    * table agrees — see [[rename]]). */
+  private def toPhysicalDf(df: DataFrame, toPhys: Map[String, String]): DataFrame =
+    if (toPhys.isEmpty) df
+    else df.select(df.columns.map(c => col(c).as(toPhys.getOrElse(c, c))): _*)
+
   private def appendImpl(df: DataFrame, dir: String, bucketCol: String,
                          sortCols: Seq[String], blockSize: Long,
                          numTasks: Int, extraMeta: Seq[String]): Long = {
@@ -480,15 +761,20 @@ object Snapshots {
     val prev = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir has no snapshots — use publish"))
     val pm = manifest(spark, dir, prev)
-    val st = stage(df, dir, bucketCol, sortCols, blockSize, numTasks)
+    val tp = pm.toPhysical
+    val st = stage(toPhysicalDf(df, tp), dir,
+      tp.getOrElse(bucketCol, bucketCol),
+      sortCols.map(c => tp.getOrElse(c, c)), blockSize, numTasks,
+      stat2Cols = pm.statCols)
     val schema = pm.schemaOpt match {
       case Some(ps) => mergeSchemas(ps, nullable(df.schema)).json
       case None => st.schemaJson
     }
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, pm.files ++ st.rels,
-      extraMeta ++ Seq("format:2", s"schema:$schema") ++
-        pm.statLines ++ st.statLines)
+      extraMeta ++ Seq("format:2", s"schema:$schema") ++ pm.colmapLines ++
+        pm.statColsLines ++ pm.statLines ++ st.statLines ++
+        pm.stat2Lines ++ st.stat2Lines)
     v
   }
 
@@ -496,14 +782,27 @@ object Snapshots {
     * (format 2) this is ONE `spark.read.schema(s).parquet(files:_*)`
     * relation — plan size flat in commit count, no partition
     * discovery (the bucket is a data column), files that predate a
-    * column null-fill it natively. Without one (legacy manifests
-    * written via raw [[commit]]), falls back to the per-token
-    * basePath union that recovers directory-partition columns. */
+    * column null-fill it natively. `colMap` (physical → logical,
+    * format 2.1) handles RENAMED columns: the parquet relation reads
+    * under the files' PHYSICAL names and ONE projection restores the
+    * logical surface — still a single scan. Without a recorded schema
+    * (legacy manifests written via raw [[commit]]), falls back to the
+    * per-token basePath union that recovers directory-partition
+    * columns. */
   private[operators] def readFiles(spark: SparkSession, dir: String,
                         rels: Seq[String],
-                        schema: Option[StructType]): DataFrame = schema match {
-    case Some(s) =>
+                        schema: Option[StructType],
+                        colMap: Map[String, String] = Map.empty): DataFrame =
+    schema match {
+    case Some(s) if colMap.isEmpty =>
       spark.read.schema(s).parquet(rels.map(r => s"$dir/$r"): _*)
+    case Some(s) =>
+      val toPhys = colMap.map(_.swap)
+      val physSchema = StructType(s.fields.map(f =>
+        f.copy(name = toPhys.getOrElse(f.name, f.name))))
+      spark.read.schema(physSchema).parquet(rels.map(r => s"$dir/$r"): _*)
+        .select(s.fields.map(f =>
+          col(toPhys.getOrElse(f.name, f.name)).as(f.name)): _*)
     case None =>
       val byToken = rels.groupBy(_.split("/")(1))
       byToken.toSeq.sortBy(_._1).map { case (token, fls) =>
@@ -527,10 +826,12 @@ object Snapshots {
       scala.util.Try(seg.substring(seg.indexOf('=') + 1).toLong).toOption
     }
 
-  /** Read the table at version `v` (time travel). */
+  /** Read the table at version `v` (time travel) — under that
+    * VERSION's logical schema and column names (pre-rename versions
+    * read under the old names). */
   def readAt(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val m = committedManifest(spark, dir, v)
-    readFiles(spark, dir, m.files, m.schemaOpt)
+    readFiles(spark, dir, m.files, m.schemaOpt, m.colMap)
   }
 
   /** Read the latest version. */
@@ -555,18 +856,25 @@ object Snapshots {
     val frag = pm.files.groupBy(bOf).filter(_._2.size >= 2)
     if (frag.isEmpty) return prev
     val fragFiles = frag.values.flatten.toSeq
-    val fragDf = readFiles(spark, dir, fragFiles, pm.schemaOpt)
-    val st = stage(fragDf, dir, bucketCol, sortCols, blockSize,
-      math.max(frag.size, 1))
+    val fragDf = readFiles(spark, dir, fragFiles, pm.schemaOpt, pm.colMap)
+    val tp = pm.toPhysical
+    val st = stage(toPhysicalDf(fragDf, tp), dir,
+      tp.getOrElse(bucketCol, bucketCol),
+      sortCols.map(c => tp.getOrElse(c, c)), blockSize,
+      math.max(frag.size, 1), stat2Cols = pm.statCols)
     val kept = pm.files.filterNot(f => frag.contains(bOf(f)))
     val keptSet = kept.toSet
     // stat:<key>:<rows>:<min>:<max>:<relpath> — path is the 6th field
     val keptStats = pm.statLines.filter(l =>
       keptSet.contains(l.split(":", 6).last))
+    val keptStats2 = pm.stat2Lines.filter(l =>
+      keptSet.contains(l.split(":", 6).last))
     val schema = pm.schemaOpt.map(nullable(_).json).getOrElse(st.schemaJson)
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++ keptStats ++ st.statLines)
+      Seq("format:2", s"schema:$schema") ++ pm.colmapLines ++
+        pm.statColsLines ++ keptStats ++ st.statLines ++
+        keptStats2 ++ st.stat2Lines)
     v
   }
 
@@ -591,51 +899,171 @@ object Snapshots {
   def merge(updates: DataFrame, dir: String, bucketCol: String,
             keyCols: Seq[String], sortCols: Seq[String],
             blockSize: Long = 128L * 1024 * 1024,
-            numTasks: Int = 32, meta: Seq[String] = Nil): Long = {
-    require(keyCols.nonEmpty, "merge needs key columns")
-    val spark = updates.sparkSession
+            numTasks: Int = 32, meta: Seq[String] = Nil): Long =
+    mergeImpl(Some(updates), None, dir, bucketCol, keyCols, sortCols,
+      blockSize, numTasks, meta)
+
+  /** DELETE rows by key — the missing half of CDC apply (and the
+    * GDPR-erasure / retention-purge primitive): commit a new version
+    * where every target row whose key matches a `keys` row is GONE.
+    * `keys` must carry `keyCols` and a non-null `bucketCol` (locate
+    * the buckets without scanning the table). Only buckets holding
+    * delete keys are rewritten; a bucket whose every row is deleted
+    * simply drops out of the manifest (no empty files). Earlier
+    * versions keep reading the pre-delete state — time travel across
+    * a delete works, and the data files are reclaimed by [[vacuum]]
+    * once no kept version references them (deletion of HISTORY is
+    * still vacuum's job alone; this deletes from the table HEAD).
+    * Keys matching nothing simply rewrite their bucket unchanged.
+    * Cost ∝ touched buckets, never table size. */
+  def delete(keys: DataFrame, dir: String, bucketCol: String,
+             keyCols: Seq[String], sortCols: Seq[String],
+             blockSize: Long = 128L * 1024 * 1024,
+             numTasks: Int = 32, meta: Seq[String] = Nil): Long =
+    mergeImpl(None, Some(keys), dir, bucketCol, keyCols, sortCols,
+      blockSize, numTasks, meta)
+
+  /** Upserts and deletes in ONE commit — the full CDC apply step a
+    * net change batch needs (replaced keys arrive as upserts, gone
+    * keys as deletes; both land atomically in one version). Update
+    * and delete key sets must be DISJOINT (a replaced key is an
+    * upsert, not a delete+insert) — that disjointness is exactly
+    * what [[graft.streaming.ChangeFeed.net]] plus a same-key
+    * anti-join gives a consumer, and it is the caller's contract
+    * here (checking it would cost a join per batch). */
+  def applyChanges(updates: DataFrame, deletes: DataFrame, dir: String,
+                   bucketCol: String, keyCols: Seq[String],
+                   sortCols: Seq[String],
+                   blockSize: Long = 128L * 1024 * 1024,
+                   numTasks: Int = 32, meta: Seq[String] = Nil): Long =
+    mergeImpl(Some(updates), Some(deletes), dir, bucketCol, keyCols, sortCols,
+      blockSize, numTasks, meta)
+
+  private def mergeImpl(updatesOpt: Option[DataFrame],
+                        deletesOpt: Option[DataFrame], dir: String,
+                        bucketCol: String, keyCols: Seq[String],
+                        sortCols: Seq[String], blockSize: Long,
+                        numTasks: Int, meta: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge/delete needs key columns")
+    val spark = updatesOpt.orElse(deletesOpt).get.sparkSession
     resolveForWrite(spark, dir)
     val prev = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir has no snapshots — use publish"))
     val pm = manifest(spark, dir, prev)
     val bOf = bucketOf(bucketCol) _
-    val bucketRows = updates.select(col(bucketCol).cast("long")).distinct()
-      .collect()
-    // fail fast with the contract, not an NPE deep in the plan — a
-    // NULL bucket would otherwise stage into an unparseable directory
-    require(bucketRows.forall(!_.isNullAt(0)),
-      s"merge: update rows carry NULL $bucketCol values — every update " +
-        "row must have a non-null bucket (derive it from the key upstream)")
-    val touched = bucketRows.map(_.getLong(0)).toSet
+    def bucketsOf(df: DataFrame, what: String): Set[Long] = {
+      val rows = df.select(col(bucketCol).cast("long")).distinct().collect()
+      // fail fast with the contract, not an NPE deep in the plan — a
+      // NULL bucket would otherwise stage into an unparseable directory
+      require(rows.forall(!_.isNullAt(0)),
+        s"$what rows carry NULL $bucketCol values — every row must have " +
+          "a non-null bucket (derive it from the key upstream)")
+      rows.map(_.getLong(0)).toSet
+    }
+    val touched = updatesOpt.map(bucketsOf(_, "merge: update")).getOrElse(Set.empty) ++
+      deletesOpt.map(bucketsOf(_, "delete: key")).getOrElse(Set.empty)
     if (touched.isEmpty) return prev // empty batch: nothing to commit
     val existingFiles = pm.files.filter(f => touched.contains(bOf(f)))
-    val mergedRows = {
-      val aligned =
-        if (existingFiles.isEmpty) updates
-        else {
-          val existing = readFiles(spark, dir, existingFiles, pm.schemaOpt)
-          // additive/WIDENING evolution: updates may ADD columns (old
-          // rows null-fill on read) and shared columns may WIDEN in
-          // either direction — both sides align to the per-column
-          // widest type, then matched keys drop
-          val (ex, up) = mergeAlign(existing, updates)
-          ex.join(up.select(keyCols.map(col): _*), keyCols, "left_anti")
-            .unionByName(up)
+    // the keys whose existing rows must NOT survive: replaced + deleted
+    val dropKeys = (updatesOpt.toSeq ++ deletesOpt.toSeq)
+      .map(_.select(keyCols.map(col): _*))
+      .reduce(_.unionByName(_))
+    if (existingFiles.isEmpty && updatesOpt.isEmpty)
+      return prev // pure delete of keys in non-existent buckets: no-op
+    val mergedRows =
+      if (existingFiles.isEmpty) updatesOpt.get
+      else {
+        val existing = readFiles(spark, dir, existingFiles, pm.schemaOpt,
+          pm.colMap)
+        // additive/WIDENING evolution: updates may ADD columns (old
+        // rows null-fill on read) and shared columns may WIDEN in
+        // either direction — both sides align to the per-column
+        // widest type, then matched/deleted keys drop
+        updatesOpt match {
+          case Some(updates) =>
+            val (ex, up) = mergeAlign(existing, updates)
+            ex.join(dropKeys, keyCols, "left_anti").unionByName(up)
+          case None =>
+            existing.join(dropKeys, keyCols, "left_anti")
         }
-      aligned
-    }
-    val st = stage(mergedRows, dir, bucketCol, sortCols, blockSize, numTasks)
+      }
+    // a delete can empty its buckets entirely: commit kept files only
+    // (the bucket disappears) — stage refuses zero-file writes. The
+    // emptiness probe (one limit-1 scan of the touched buckets) runs
+    // only when deletes are present; a plain merge cannot be empty.
+    val tp = pm.toPhysical
+    val st =
+      if (deletesOpt.isDefined && mergedRows.isEmpty)
+        Staged(Nil, pm.schemaOpt.map(nullable(_).json).getOrElse(
+          nullable(mergedRows.schema).json), Nil)
+      else stage(toPhysicalDf(mergedRows, tp), dir,
+        tp.getOrElse(bucketCol, bucketCol),
+        sortCols.map(c => tp.getOrElse(c, c)), blockSize, numTasks,
+        stat2Cols = pm.statCols)
     val kept = pm.files.filterNot(f => touched.contains(bOf(f)))
     val keptSet = kept.toSet
     val keptStats = pm.statLines.filter(l =>
       keptSet.contains(l.split(":", 6).last))
+    val keptStats2 = pm.stat2Lines.filter(l =>
+      keptSet.contains(l.split(":", 6).last))
     val schema = pm.schemaOpt match {
+      case Some(ps) if updatesOpt.isEmpty => nullable(ps).json // deletes never evolve
       case Some(ps) => mergeSchemas(ps, nullable(mergedRows.schema)).json
       case None => st.schemaJson
     }
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++ meta ++ keptStats ++ st.statLines)
+      Seq("format:2", s"schema:$schema") ++ meta ++ pm.colmapLines ++
+        pm.statColsLines ++ keptStats ++ st.statLines ++
+        keptStats2 ++ st.stat2Lines)
+    v
+  }
+
+  /** Column RENAME as a METADATA-ONLY commit (format 2.1 — the
+    * Iceberg-class evolution axis): the new manifest lists the SAME
+    * files; only the logical schema and the physical→logical column
+    * map (`#colmap` lines) change. The PHYSICAL name a column was
+    * born under never changes and is what every data file stores —
+    * later writes stage under physical names, reads pass the
+    * physical schema to ONE parquet relation and restore the logical
+    * surface with a single projection, stats stay keyed by the
+    * physical name (rename-proof), and time travel reads each
+    * version under ITS OWN names. Renaming a width-bucketed table's
+    * layout key is refused (`#bucketw` binds it by name), as is any
+    * name containing `:`/newline (the meta-line encoding). O(manifest)
+    * however large the table. */
+  def rename(spark: SparkSession, dir: String, oldName: String,
+             newName: String): Long = {
+    resolveForWrite(spark, dir)
+    val prev = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots"))
+    val pm = manifest(spark, dir, prev)
+    val ps = pm.schemaOpt.getOrElse(throw new IllegalArgumentException(
+      s"$dir predates manifest format 2 — rename needs a recorded schema"))
+    require(ps.fieldNames.contains(oldName),
+      s"rename: no column $oldName in $dir")
+    require(!ps.fieldNames.contains(newName),
+      s"rename: column $newName already exists in $dir")
+    require(newName.nonEmpty && !newName.contains(":") &&
+      !newName.contains("\n") && newName != DirCol,
+      s"rename: invalid column name '$newName'")
+    require(!pm.metaValues("bucketw").exists(_.split(":", 2)(0) == oldName),
+      s"rename: $oldName is a width-bucketed table's layout key — " +
+        "unsupported (the #bucketw metadata binds it by name)")
+    val phys = pm.toPhysical.getOrElse(oldName, oldName)
+    val newMap = (pm.colMap - phys) ++
+      (if (phys == newName) Map.empty[String, String]
+       else Map(phys -> newName)) // rename back to birth name drops the entry
+    val schema = StructType(ps.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val carried = pm.meta.filter(m => m.startsWith("#stat:") ||
+      m.startsWith("#stat2:") || m.startsWith("#statcols:") ||
+      m.startsWith("#bucketw:") || m.startsWith("#filew:"))
+      .map(_.stripPrefix("#"))
+    val v = claimAbove(spark, dir, prev)
+    commit(spark, dir, v, pm.files,
+      Seq("format:2", s"schema:${nullable(schema).json}") ++
+        newMap.toSeq.sorted.map { case (p, l) => s"colmap:$p:$l" } ++ carried)
     v
   }
 
@@ -657,7 +1085,8 @@ object Snapshots {
                  bucketCol: String, keyCols: Seq[String],
                  sortCols: Seq[String],
                  blockSize: Long = 128L * 1024 * 1024,
-                 numTasks: Int = 32): Long = {
+                 numTasks: Int = 32,
+                 deletes: Option[DataFrame] = None): Long = {
     val spark = updates.sparkSession
     // batch ids are MONOTONE per streaming query (Spark's checkpoint
     // guarantees it), so any id <= the highest applied one is a
@@ -667,9 +1096,22 @@ object Snapshots {
     // would go quadratic over a long stream's life)
     if (lastAppliedBatch(spark, dir).exists(batchId <= _))
       latest(spark, dir).get // re-delivery: already applied, change nothing
-    else
-      merge(updates, dir, bucketCol, keyCols, sortCols, blockSize,
-        numTasks, meta = Seq(s"batch:$batchId"))
+    else latest(spark, dir) match {
+      case None =>
+        // BOOTSTRAP: the first batch creates the table — stamped into
+        // the ledger like any other batch, so a crash-replay of the
+        // bootstrap batch is absorbed above instead of re-merged
+        publishImpl(updates, dir, bucketCol, sortCols, blockSize,
+          numTasks, Seq(s"batch:$batchId"))
+      case Some(_) => deletes match {
+        case Some(d) =>
+          applyChanges(updates, d, dir, bucketCol, keyCols, sortCols,
+            blockSize, numTasks, meta = Seq(s"batch:$batchId"))
+        case None =>
+          merge(updates, dir, bucketCol, keyCols, sortCols, blockSize,
+            numTasks, meta = Seq(s"batch:$batchId"))
+      }
+    }
   }
 
   /** [[mergeBatch]] curried for `writeStream.foreachBatch`. */
@@ -698,15 +1140,17 @@ object Snapshots {
     val fn = mNew.files.toSet
     val onlyOld = (fo -- fn).toSeq.sorted
     val onlyNew = (fn -- fo).toSeq.sorted
-    // both sides read under vNew's schema: columns the old files
-    // predate null-fill natively (additive evolution)
-    lazy val empty = readFiles(spark, dir, mNew.files, mNew.schemaOpt).limit(0)
+    // both sides read under vNew's schema AND column names: columns
+    // the old files predate null-fill natively (additive evolution);
+    // renamed columns resolve by PHYSICAL name on both sides
+    lazy val empty = readFiles(spark, dir, mNew.files, mNew.schemaOpt,
+      mNew.colMap).limit(0)
     val newSide =
       if (onlyNew.isEmpty) empty
-      else readFiles(spark, dir, onlyNew, mNew.schemaOpt)
+      else readFiles(spark, dir, onlyNew, mNew.schemaOpt, mNew.colMap)
     val oldSide =
       if (onlyOld.isEmpty) empty
-      else readFiles(spark, dir, onlyOld, mNew.schemaOpt)
+      else readFiles(spark, dir, onlyOld, mNew.schemaOpt, mNew.colMap)
     // align column order/types (a no-op under a recorded schema;
     // legacy manifests' partition discovery may disagree per token)
     val oldAligned = oldSide.select(newSide.columns.map(c =>
@@ -727,7 +1171,10 @@ object Snapshots {
   def versionStats(spark: SparkSession, dir: String, v: Long,
                    keyCol: String): Seq[Layout.RowGroupStat] = {
     val m = committedManifest(spark, dir, v)
-    val recorded = m.stats(keyCol)
+    // stats are keyed by the PHYSICAL column name (rename-proof) —
+    // translate the caller's logical name through this version's map
+    val phys = m.toPhysical.getOrElse(keyCol, keyCol)
+    val recorded = m.stats(phys)
     val (have, missing) = m.files.partition(recorded.contains)
     val fromManifest = have.map { rel =>
       val (rows, mn, mx) = recorded(rel)
@@ -735,7 +1182,7 @@ object Snapshots {
     }
     val walked =
       if (missing.isEmpty) Seq.empty
-      else Layout.rowGroupStatsFiles(spark, missing.map(r => s"$dir/$r"), keyCol)
+      else Layout.rowGroupStatsFiles(spark, missing.map(r => s"$dir/$r"), phys)
     fromManifest ++ walked
   }
 
@@ -756,8 +1203,92 @@ object Snapshots {
       .map(_.path.stripPrefix(s"$dir/")).distinct
     val residual = col(keyCol) >= lo && col(keyCol) < hi
     if (surviving.isEmpty)
-      readFiles(spark, dir, m.files, m.schemaOpt).filter(residual).limit(0)
-    else readFiles(spark, dir, surviving, m.schemaOpt).filter(residual)
+      readFiles(spark, dir, m.files, m.schemaOpt, m.colMap)
+        .filter(residual).limit(0)
+    else readFiles(spark, dir, surviving, m.schemaOpt, m.colMap)
+      .filter(residual)
+  }
+
+  /** Typed per-file stats for ANY declared stats column of version
+    * `v` — read from the MANIFEST (zero data-file opens; the
+    * `#stat2` lines were typed-footer-walked once at write time over
+    * each commit's new files). Files without a recorded entry fall
+    * back to the typed footer walk, the verification path (the spec
+    * pins manifest == footers per recorded column). `column` is the
+    * version's LOGICAL name; stats are stored physical-keyed
+    * (rename-proof). */
+  def versionStatsFor(spark: SparkSession, dir: String, v: Long,
+                      column: String): Seq[Layout.TypedFileStat] = {
+    val m = committedManifest(spark, dir, v)
+    val phys = m.toPhysical.getOrElse(column, column)
+    val recorded = m.stats2(phys)
+    val (have, missing) = m.files.partition(recorded.contains)
+    val fromManifest = have.map { rel =>
+      val (rows, kind, mn, mx) = recorded(rel)
+      Layout.TypedFileStat(s"$dir/$rel", phys, rows, kind, mn, mx)
+    }
+    val walked =
+      if (missing.isEmpty) Seq.empty
+      else Layout.typedStatsFiles(spark, missing.map(r => s"$dir/$r"), Seq(phys))
+    fromManifest ++ walked
+  }
+
+  /** [lo, hi) survival decision on one encoded typed stat. */
+  private def stat2Survives(kind: String, minEnc: String, maxEnc: String,
+                            lo: Any, hi: Any): Boolean = kind match {
+    case "i" =>
+      maxEnc.toLong >= lo.asInstanceOf[Number].longValue &&
+        minEnc.toLong < hi.asInstanceOf[Number].longValue
+    case "d" =>
+      maxEnc.toDouble >= lo.asInstanceOf[Number].doubleValue &&
+        minEnc.toDouble < hi.asInstanceOf[Number].doubleValue
+    case "s" =>
+      val dec = java.util.Base64.getDecoder
+      val lb = lo.asInstanceOf[String].getBytes("UTF-8")
+      val hb = hi.asInstanceOf[String].getBytes("UTF-8")
+      // max >= lo && min < hi, unsigned byte order (parquet's own)
+      !Layout.bytesLt(dec.decode(maxEnc), lb) &&
+        Layout.bytesLt(dec.decode(minEnc), hb)
+    case _ => true // unknown kind: keep the file (conservative)
+  }
+
+  /** Stats-pruned range scan of a version on ANY declared stats
+    * column, [lo, hi) — the q169 discipline generalized past the
+    * INT64 layout key: string and timestamp predicates prune too,
+    * planned entirely from the manifest. Typing: integer-family
+    * columns take Long bounds, double/float take Doubles, strings
+    * take Strings, and TIMESTAMP columns take MICROS-since-epoch
+    * Longs (the residual compares `unix_micros`). Pruning is
+    * CONSERVATIVE — a file without a recorded stat is read, the
+    * residual filter is exact — so the result always equals the
+    * full-scan filter. */
+  def prunedScanAtBy(spark: SparkSession, dir: String, v: Long,
+                     column: String, lo: Any, hi: Any,
+                     stats: Option[Seq[Layout.TypedFileStat]] = None): DataFrame = {
+    val m = committedManifest(spark, dir, v)
+    val st = stats.getOrElse(versionStatsFor(spark, dir, v, column))
+    val byFile = st.map(s => s.path -> s).toMap
+    val surviving = m.files.filter { rel =>
+      byFile.get(s"$dir/$rel") match {
+        case Some(s) => stat2Survives(s.kind, s.min, s.max, lo, hi)
+        case None => true // no stats claim for this file: must read it
+      }
+    }
+    val isTs = m.schemaOpt.exists { s =>
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      s.fieldNames.contains(column) &&
+        (s(column).dataType == TimestampType ||
+          s(column).dataType == TimestampNTZType)
+    }
+    // NTZ casts through TimestampType under the pinned-UTC session —
+    // identical micros to the parquet INT64 the stats recorded
+    val c = if (isTs) unix_micros(col(column).cast("timestamp")) else col(column)
+    val residual = c >= lit(lo) && c < lit(hi)
+    if (surviving.isEmpty)
+      readFiles(spark, dir, m.files, m.schemaOpt, m.colMap)
+        .filter(residual).limit(0)
+    else readFiles(spark, dir, surviving, m.schemaOpt, m.colMap)
+      .filter(residual)
   }
 
   /** Drop every version below `keepFrom` and delete the data files
@@ -806,7 +1337,17 @@ object Snapshots {
     orphans.foreach { case (rel, _) =>
       f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false)
     }
-    drop.foreach(v => f.delete(manifestPath(dir, v), false))
+    drop.foreach { v =>
+      f.delete(manifestPath(dir, v), false)
+      // a dropped version's manifest must not survive in the caches —
+      // readers should see the same "does not exist" the disk says
+      manifestCache.remove(cacheKey(dir, v))
+      committedCache.remove(cacheKey(dir, v))
+    }
+    dirListCache.remove(dir)
+    // a checkpoint may still list dropped versions as committed —
+    // refresh it in place (cheap here: this process's caches are warm)
+    if (f.exists(checkpointPath(dir))) checkpoint(spark, dir)
     (drop.size.toLong, orphans.size.toLong, (all.size - orphans.size).toLong)
   }
 
@@ -895,6 +1436,18 @@ object Snapshots {
               numTasks: Int = 32): Long = {
       require(!claimed.contains(dir), s"transaction already claimed $dir")
       claim(dir, Snapshots.merge(updates, dir, bucketCol, keyCols, sortCols,
+        blockSize, numTasks, meta = txnMeta))
+    }
+
+    /** Stage + provisionally claim a delete (see [[Snapshots.delete]]) —
+      * the cross-table erasure shape: delete a key from N tables, all
+      * visible at one record write. */
+    def delete(keys: DataFrame, dir: String, bucketCol: String,
+               keyCols: Seq[String], sortCols: Seq[String],
+               blockSize: Long = 128L * 1024 * 1024,
+               numTasks: Int = 32): Long = {
+      require(!claimed.contains(dir), s"transaction already claimed $dir")
+      claim(dir, Snapshots.delete(keys, dir, bucketCol, keyCols, sortCols,
         blockSize, numTasks, meta = txnMeta))
     }
 

@@ -1475,9 +1475,7 @@ object Pipeline {
     import graft.operators.Snapshots
     val base = sys.props("java.io.tmpdir").stripSuffix("/") +
       "/graft_snappipe_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(base), true)
+    graft.operators.Snapshots.dropPath(spark, base)
     val srcTbl = s"$base/docs"
     val outTbl = s"$base/packed"
     val docs = Tables.documents(spark, dir)

@@ -234,21 +234,34 @@ private[streaming] class ChangeFeedStream(dir: String, startVersion: Long,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ChangeFeedReaderFactory(fullSchema.json,
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // RENAMED columns (format 2.1): files store PHYSICAL names, the
+    // feed surfaces the latest LOGICAL names — resolve the mapping
+    // once from the latest manifest and ship it to the executors
+    // (physical names are immutable, so one map covers every replayed
+    // version's files)
+    val toPhys = Snapshots.latest(spark, dir)
+      .map(v => Snapshots.manifest(spark, dir, v).toPhysical)
+      .getOrElse(Map.empty[String, String])
+    val physNames = fullSchema.fields.dropRight(2)
+      .map(f => toPhys.getOrElse(f.name, f.name))
+    new ChangeFeedReaderFactory(fullSchema.json, physNames,
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 private[streaming] class ChangeFeedReaderFactory(
-    schemaJson: String, conf: SerializableConfiguration)
+    schemaJson: String, physNames: Array[String],
+    conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[ChangeFilePartition]
     new ChangeFileReader(cp,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType], conf.value)
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], physNames,
+      conf.value)
   }
 }
 
@@ -259,6 +272,7 @@ private[streaming] class ChangeFeedReaderFactory(
   * shape); columns the file predates null-fill. */
 private[streaming] class ChangeFileReader(
     part: ChangeFilePartition, fullSchema: StructType,
+    physNames: Array[String],
     conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
@@ -270,8 +284,14 @@ private[streaming] class ChangeFileReader(
     .build()
   private val changeTag = UTF8String.fromString(part.change)
   private var row: InternalRow = _
-  // resolved lazily off the first Group: data-field name -> file index
+  // resolved lazily off the first Group: data-field name -> file index,
+  // and each present field's PHYSICAL parquet primitive type — the feed
+  // schema is the table's LATEST (widest) schema, but files written
+  // before a type widening still store the narrow primitive (that
+  // no-rewrite sharing is the widening feature), so value reads must
+  // dispatch on what the FILE stores and widen to what the FEED wants
   private var fieldIdx: Array[Int] = _
+  private var fieldPrim: Array[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] = _
 
   override def next(): Boolean = {
     val g = reader.read()
@@ -285,8 +305,13 @@ private[streaming] class ChangeFileReader(
   private def convert(g: org.apache.parquet.example.data.Group): InternalRow = {
     if (fieldIdx == null) {
       val t = g.getType
-      fieldIdx = dataFields.map(f =>
-        if (t.containsField(f.name)) t.getFieldIndex(f.name) else -1)
+      // files are addressed by PHYSICAL name (renames never rewrite
+      // files); a field the file predates resolves to -1 (null-fill)
+      fieldIdx = physNames.map(n =>
+        if (t.containsField(n)) t.getFieldIndex(n) else -1)
+      fieldPrim = fieldIdx.map(fi =>
+        if (fi < 0) null
+        else t.getType(fi).asPrimitiveType().getPrimitiveTypeName)
     }
     val out = new Array[Any](dataFields.length + 2)
     var i = 0
@@ -294,7 +319,7 @@ private[streaming] class ChangeFileReader(
       val fi = fieldIdx(i)
       out(i) =
         if (fi < 0 || g.getFieldRepetitionCount(fi) == 0) null
-        else readValue(g, fi, dataFields(i).dataType)
+        else readValue(g, fi, fieldPrim(i), dataFields(i).dataType)
       i += 1
     }
     out(dataFields.length) = changeTag
@@ -302,33 +327,59 @@ private[streaming] class ChangeFileReader(
     new GenericInternalRow(out)
   }
 
-  private def readValue(g: org.apache.parquet.example.data.Group,
-                        fi: Int, dt: DataType): Any = dt match {
-    case LongType | TimestampType | TimestampNTZType => g.getLong(fi, 0)
-    case IntegerType | DateType => g.getInteger(fi, 0)
-    case DoubleType => g.getDouble(fi, 0)
-    case FloatType => g.getFloat(fi, 0)
-    case BooleanType => g.getBoolean(fi, 0)
-    case StringType => UTF8String.fromBytes(g.getBinary(fi, 0).getBytes)
-    case BinaryType => g.getBinary(fi, 0).getBytes
-    case d: DecimalType =>
-      val prim = g.getType.getType(fi).asPrimitiveType().getPrimitiveTypeName
-      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-      prim match {
-        case INT32 => org.apache.spark.sql.types.Decimal(
-          g.getInteger(fi, 0).toLong, d.precision, d.scale)
-        case INT64 => org.apache.spark.sql.types.Decimal(
-          g.getLong(fi, 0), d.precision, d.scale)
-        case BINARY | FIXED_LEN_BYTE_ARRAY =>
-          org.apache.spark.sql.types.Decimal(
-            scala.math.BigDecimal(new java.math.BigDecimal(
-              new java.math.BigInteger(g.getBinary(fi, 0).getBytes), d.scale)),
-            d.precision, d.scale)
-        case other => throw new UnsupportedOperationException(
-          s"changefeed: decimal stored as $other is outside the contract")
+  /** Read one value: dispatch on the FILE's physical primitive and
+    * WIDEN to the feed's Catalyst type where they differ (int32→long,
+    * float→double, int32→double — exactly the lossless promotions
+    * [[graft.operators.Snapshots]] permits, and the same promotions
+    * Spark's own parquet reader performs on the batch path). Any
+    * other physical/logical pairing fails loudly. */
+  private def readValue(g: org.apache.parquet.example.data.Group, fi: Int,
+                        prim: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+                        dt: DataType): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def refuse(): Nothing = throw new UnsupportedOperationException(
+      s"changefeed: feed column type ${dt.simpleString} cannot be read " +
+        s"from a $prim-typed file column in ${part.absPath}")
+    dt match {
+      case LongType | TimestampType | TimestampNTZType => prim match {
+        case INT64 => g.getLong(fi, 0)
+        case INT32 => g.getInteger(fi, 0).toLong // pre-widening file
+        case _ => refuse()
       }
-    case other => throw new UnsupportedOperationException(
-      s"changefeed reads flat scalar columns; ${other.simpleString} " +
-        s"in ${part.absPath} is outside the contract")
+      case IntegerType | DateType => prim match {
+        case INT32 => g.getInteger(fi, 0)
+        case _ => refuse()
+      }
+      case DoubleType => prim match {
+        case DOUBLE => g.getDouble(fi, 0)
+        case FLOAT => g.getFloat(fi, 0).toDouble // pre-widening file
+        case INT32 => g.getInteger(fi, 0).toDouble // int→double widening
+        case _ => refuse()
+      }
+      case FloatType => prim match {
+        case FLOAT => g.getFloat(fi, 0)
+        case _ => refuse()
+      }
+      case BooleanType => g.getBoolean(fi, 0)
+      case StringType => UTF8String.fromBytes(g.getBinary(fi, 0).getBytes)
+      case BinaryType => g.getBinary(fi, 0).getBytes
+      case d: DecimalType =>
+        prim match {
+          case INT32 => org.apache.spark.sql.types.Decimal(
+            g.getInteger(fi, 0).toLong, d.precision, d.scale)
+          case INT64 => org.apache.spark.sql.types.Decimal(
+            g.getLong(fi, 0), d.precision, d.scale)
+          case BINARY | FIXED_LEN_BYTE_ARRAY =>
+            org.apache.spark.sql.types.Decimal(
+              scala.math.BigDecimal(new java.math.BigDecimal(
+                new java.math.BigInteger(g.getBinary(fi, 0).getBytes), d.scale)),
+              d.precision, d.scale)
+          case other => throw new UnsupportedOperationException(
+            s"changefeed: decimal stored as $other is outside the contract")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"changefeed reads flat scalar columns; ${other.simpleString} " +
+          s"in ${part.absPath} is outside the contract")
+    }
   }
 }

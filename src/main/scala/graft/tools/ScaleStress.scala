@@ -1145,6 +1145,62 @@ object ScaleStress {
     }
     }
 
+    if (sections("feedplan")) {
+    // r10's per-trigger planning claim, measured: versions()/latest()
+    // are manifest-read-free after warm (parsed manifests and decided
+    // committedness cache; both are immutable), so the change feed's
+    // admission-control latestOffset — which calls versions() EVERY
+    // microbatch trigger — stays FLAT in version count instead of
+    // paying O(all versions) small-file reads per trigger. Tables of
+    // 64 and 512 versions; the COLD line is the one-time warm a fresh
+    // process pays (simulated by clearing the caches), the 200-trigger
+    // line is the steady state, the step-plan line is one microbatch's
+    // manifest symmetric difference.
+    import graft.operators.Snapshots
+    for (nv <- Seq(64, 512)) {
+      val dir = s"/tmp/graft_scale_feedplan_$nv"
+      // reuse a previous run's table when present (the build is the
+      // slow part and is not what this leg measures)
+      if (!scala.util.Try(Snapshots.latest(spark, dir)).toOption.flatten
+          .contains(nv.toLong)) {
+        new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        val base = spark.range(0, 1000, 1, 2).select(
+            col("id").as("key"), (col("id") * 31L).as("payload"))
+          .withColumn("bucket", expr("key div 1000"))
+        timed(s"feedplan $nv: build ($nv single-bucket commits)") {
+          Snapshots.publish(base, dir, "bucket", Seq("key"))
+          (2 to nv).foreach(_ =>
+            Snapshots.append(base.limit(3), dir, "bucket", Seq("key")))
+          Snapshots.latest(spark, dir).get
+        }
+      }
+      Snapshots.clearCaches()
+      timed(s"feedplan $nv: COLD versions() (fresh-process warm, once)")(
+        Snapshots.versions(spark, dir).size)
+      // the checkpoint removes even that one-time cost: a fresh
+      // process seeds committedness from ONE file
+      timed(s"feedplan $nv: checkpoint write")(
+        Snapshots.checkpoint(spark, dir))
+      Snapshots.clearCaches()
+      timed(s"feedplan $nv: COLD versions() WITH checkpoint (1 file read)")(
+        Snapshots.versions(spark, dir).size)
+      timed(s"feedplan $nv: 200 WARM triggers (versions + latest each)") {
+        var s = 0L
+        (1 to 200).foreach { _ =>
+          s += Snapshots.versions(spark, dir).size + Snapshots.latest(spark, dir).get
+        }
+        s / 200
+      }
+      timed(s"feedplan $nv: one-step batch plan (manifest symmetric diff)") {
+        val v = Snapshots.latest(spark, dir).get
+        (Snapshots.files(spark, dir, v).toSet --
+          Snapshots.files(spark, dir, v - 1).toSet).size
+      }
+    }
+    }
+
     if (sections("skew")) {
     // Hot-key join at 30x nDocs fact rows, ONE key holding 90%: the
     // q17 correctness gate's PERFORMANCE claim, measured. Broadcast

@@ -169,4 +169,50 @@ class ChangeFeedSpec extends SparkSuite {
     assert(nonEmpty.forall(_.size == 1), s"each batch carries ONE version: $batches")
     assert(nonEmpty.flatten.toSet === Set(1L, 2L, 3L, 4L))
   }
+
+  test("TYPE-WIDENED history streams: a table widened int->long and " +
+    "float->double replays its FULL history (old narrow files under the " +
+    "wide feed schema) and net(drained) == diff per step") {
+    val dir = tmpDir("widen")
+    val narrow = spark.range(0, 100, 1, 2).select(
+        col("id").as("key"),
+        (col("id") % 1000).cast("int").as("cnt"),
+        (col("id") / 2.0).cast("float").as("score"))
+      .withColumn("bucket", expr("key div 50"))
+    Snapshots.publish(narrow, dir, "bucket", Seq("key"))
+    // the widening merge: keys < 5 go wide; bucket-1 files stay NARROW
+    // on disk and must still stream under the widened feed schema
+    Snapshots.merge(
+      narrow.filter(col("key") < 5)
+        .withColumn("cnt", col("cnt").cast("long") + (1L << 40))
+        .withColumn("score", col("score").cast("double") + 0.25),
+      dir, "bucket", Seq("key"), Seq("key"))
+    // one more commit AFTER the widening so the stream crosses it too
+    Snapshots.append(
+      narrow.filter(col("key") === 99L)
+        .withColumn("cnt", col("cnt").cast("long"))
+        .withColumn("score", col("score").cast("double")),
+      dir, "bucket", Seq("key"))
+    val drained = drain(dir, "cf_widen")
+    assert(drained.schema("cnt").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(drained.schema("score").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    // genesis = all 100 narrow rows, read from int32/float files and
+    // widened by the executor reader — values intact
+    val g1 = drained.filter(col("_version") === 1L)
+    assert(g1.count() === 100L)
+    assert(g1.filter(col("key") === 7L).select("cnt", "score").collect()
+      .map(_.toSeq).toSeq === Seq(Seq(7L, 3.5)))
+    val net = ChangeFeed.net(drained)
+    for (v <- 2L to 3L) {
+      val d = Snapshots.diff(spark, dir, v - 1, v).withColumn("_version", lit(v))
+      assert(rows(net.filter(col("_version") === v)
+        .select(drained.columns.map(col): _*)) ===
+        rows(d.select(drained.columns.map(col): _*)), s"step v${v - 1} -> v$v")
+    }
+    // the widened rows themselves arrived wide
+    assert(net.filter(col("_version") === 2L && col("_change") === "insert"
+      && col("cnt") > (1L << 39)).count() === 5L)
+  }
 }

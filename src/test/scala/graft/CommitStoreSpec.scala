@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AtomicCreateStore, CommitStore, Snapshots}
+
+/** The commit-store seam: the exact filesystem contract the manifest
+  * claim rests on, the S3A-shaped failure DEMONSTRATED (HEAD-then-PUT
+  * loses a racing commit silently), and Snapshots running end-to-end
+  * over a conditional-put store where the loser loses CLEANLY. */
+class CommitStoreSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_cstore_$name")
+    d.toFile.deleteOnExit()
+    d.toString + "/tbl"
+  }
+
+  private def fixture = spark.range(0, 300, 1, 2)
+    .select(col("id").as("key"), (col("id") * 31L).as("payload"))
+    .withColumn("bucket", expr("key div 100"))
+
+  private def fsOf(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** What plain S3A create(overwrite=false) actually is: a HEAD
+    * existence check, then a BLIND PUT. `interleave` runs between the
+    * two — the window a real racer lands in. */
+  private class HeadThenPutStore(interleave: () => Unit) extends CommitStore {
+    override def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: org.apache.hadoop.fs.Path,
+                                 bytes: Array[Byte]): Unit = {
+      if (fs.exists(path)) // HEAD
+        throw new java.io.IOException(s"$path already exists")
+      interleave()
+      val out = fs.create(path, true) // blind PUT — replaces silently
+      try out.write(bytes) finally out.close()
+    }
+  }
+
+  /** A correct store for stores WITHOUT atomic create: an arbiter
+    * decides each path exactly once (S3 conditional PUT / Delta's
+    * DynamoDB LogStore shape — here an in-process set, which is
+    * exactly the arbiter's job). Fully contract-correct, so plugging
+    * it process-wide is safe. */
+  private object ConditionalPutStore extends CommitStore {
+    private val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val losses = new java.util.concurrent.atomic.AtomicLong(0)
+    override def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: org.apache.hadoop.fs.Path,
+                                 bytes: Array[Byte]): Unit = {
+      if (!claimed.add(path.toString) || fs.exists(path)) {
+        losses.incrementAndGet()
+        throw new java.io.IOException(s"conditional put lost: $path exists")
+      }
+      val out = fs.create(path, true)
+      try out.write(bytes) finally out.close()
+    }
+  }
+
+  test("the HAZARD, demonstrated: a HEAD-then-PUT store under a racer " +
+    "that lands between the two loses the racer's commit SILENTLY — " +
+    "both writers believe they won, one manifest is gone") {
+    val dir = tmpDir("hazard")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/claim")
+    val fs = fsOf(dir)
+    fs.mkdirs(p.getParent)
+    var racerSucceeded = false
+    val racy = new HeadThenPutStore(() => {
+      // the racer commits THROUGH THE CONTRACT while writer A sits
+      // between its HEAD and its PUT
+      AtomicCreateStore.createExclusive(fs, p, "RACER\n".getBytes("UTF-8"))
+      racerSucceeded = true
+    })
+    racy.createExclusive(fs, p, "WRITER_A\n".getBytes("UTF-8")) // no throw!
+    assert(racerSucceeded, "the racer's create-exclusive succeeded")
+    val in = fs.open(p)
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // BOTH writers returned success, but only one manifest exists —
+    // the racer's committed state vanished: the lost commit
+    assert(content === "WRITER_A\n", "the blind PUT replaced the racer's file")
+  }
+
+  test("a conditional-put store plugged through the seam makes the loser " +
+    "lose CLEANLY: Snapshots runs end-to-end (publish/append/merge/txn " +
+    "arbitration), a double-claim throws, and the winner's state is intact") {
+    Snapshots.commitStore = ConditionalPutStore
+    try {
+      val dir = tmpDir("seam")
+      Snapshots.publish(fixture, dir, "bucket", Seq("key"))
+      Snapshots.append(fixture.filter(col("key") < 5)
+        .withColumn("payload", lit(-1L)), dir, "bucket", Seq("key"))
+      Snapshots.merge(fixture.filter(col("key") === 7L)
+        .withColumn("payload", lit(77L)), dir, "bucket", Seq("key"), Seq("key"))
+      assert(Snapshots.versions(spark, dir) === Seq(1L, 2L, 3L))
+      val before = Snapshots.files(spark, dir, 3L)
+      // a direct double-claim of a taken version: the loser THROWS
+      // (java.io.IOException per the contract) and nothing changed
+      val lossesBefore = ConditionalPutStore.losses.get()
+      intercept[java.io.IOException](
+        Snapshots.commit(spark, dir, 3L, Seq("data/zz/bogus.parquet")))
+      assert(ConditionalPutStore.losses.get() === lossesBefore + 1)
+      assert(Snapshots.files(spark, dir, 3L) === before, "winner intact")
+      // txn arbitration still works through the seam: a plain writer
+      // force-aborts an undecided txn by WINNING its record
+      val txn = Snapshots.beginTxn(spark, dir + "_rec")
+      txn.append(fixture.limit(10), dir, "bucket", Seq("key"))
+      Snapshots.append(fixture.filter(col("key") === 9L)
+        .withColumn("payload", lit(9L)), dir, "bucket", Seq("key"))
+      intercept[IllegalStateException](txn.commit())
+      assert(Snapshots.read(spark, dir).filter(col("payload") === 9L).count() === 1L)
+    } finally Snapshots.commitStore = AtomicCreateStore
+  }
+}

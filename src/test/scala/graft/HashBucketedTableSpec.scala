@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{HashBucketedTable => H, Snapshots}
+
+/** Hash-bucketed snapshot tables (string keys): metadata-only bucket
+  * evolution, per-epoch hash-arithmetic planning for merges/deletes/
+  * lookups, the stale-epoch migrator, and content identity throughout. */
+class HashBucketedTableSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_hbt_$name")
+    d.toFile.deleteOnExit()
+    d.toString + "/tbl"
+  }
+
+  private def fixture = spark.range(0, 600, 1, 4).select(
+    format_string("k%04d", col("id")).as("key"),
+    (col("id") * 31L).as("payload"))
+
+  private def keysOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select("key").as[String].collect().sorted.toSeq
+
+  test("publish/append/evolveBuckets: evolution is METADATA-ONLY (exact " +
+    "file identity), epochs coexist, every version reads its own rows") {
+    val dir = tmpDir("evo")
+    val v1 = H.publish(fixture.filter(col("key") < "k0200"), dir, "key", 4L)
+    val v2 = H.append(fixture.filter(col("key") >= "k0200" &&
+      col("key") < "k0400"), dir)
+    val v3 = H.evolveBuckets(spark, dir, 16L)
+    assert(Snapshots.files(spark, dir, v3) === Snapshots.files(spark, dir, v2),
+      "metadata-only: the exact same files")
+    val v4 = H.append(fixture.filter(col("key") >= "k0400"), dir)
+    assert(H.currentBuckets(spark, dir) === (("key", 16L)))
+    val eps = H.fileBuckets(spark, dir, v4).values.toSet
+    assert(eps === Set(4L, 16L), s"mixed epochs coexist: $eps")
+    assert(keysOf(H.readAt(spark, dir, v1)) ===
+      (0 until 200).map(i => f"k$i%04d"))
+    assert(keysOf(H.readAt(spark, dir, v4)) === (0 until 600).map(i => f"k$i%04d"))
+  }
+
+  test("merge/delete plan by PER-EPOCH hash arithmetic: untouched buckets " +
+    "share files byte-for-byte across the epoch mix; lookupAt reads only " +
+    "the hashed buckets and equals the plain filter") {
+    val dir = tmpDir("pt")
+    H.publish(fixture.filter(col("key") < "k0300"), dir, "key", 4L)
+    H.evolveBuckets(spark, dir, 16L)
+    val v3 = H.append(fixture.filter(col("key") >= "k0300"), dir)
+    // merge exactly 3 keys: at most 3 buckets per epoch rewrite
+    val upd = fixture.filter(col("key").isin("k0007", "k0307", "k0599"))
+      .withColumn("payload", lit(-5L))
+    val v4 = H.merge(upd, dir, Seq("key"))
+    val shared = Snapshots.files(spark, dir, v4).toSet
+      .intersect(Snapshots.files(spark, dir, v3).toSet)
+    assert(shared.nonEmpty, "untouched buckets share files byte-for-byte")
+    val head = H.read(spark, dir)
+    assert(head.count() === 600L)
+    assert(head.filter(col("payload") === -5L).count() === 3L)
+    assert(head.filter(col("key") === "k0307").select("payload")
+      .as[Long].head() === -5L)
+    // delete by key, across epochs
+    val v5 = H.delete(fixture.filter(col("key") < "k0010").select("key"),
+      dir, Seq("key"))
+    assert(H.read(spark, dir).count() === 590L)
+    assert(keysOf(H.readAt(spark, dir, v4)).size === 600, "time travel")
+    // point lookup == plain filter, incl. a deleted and an absent key
+    val probes = Seq("k0005", "k0042", "k0307", "nope")
+    val got = H.lookupAt(spark, dir, v5, probes)
+    assert(keysOf(got) === Seq("k0042", "k0307"))
+    assert(got.filter(col("key") === "k0307").select("payload")
+      .as[Long].head() === -5L)
+  }
+
+  test("compact MIGRATES stale epochs (landing buckets from one scan of " +
+    "the stale files only): zero old-epoch files after, one file per " +
+    "bucket, idempotent, content identical") {
+    val dir = tmpDir("mig")
+    H.publish(fixture.filter(col("key") < "k0300"), dir, "key", 4L)
+    H.evolveBuckets(spark, dir, 8L)
+    H.append(fixture.filter(col("key") >= "k0300"), dir)
+    val before = keysOf(H.read(spark, dir))
+    val v4 = H.compact(spark, dir)
+    val eps = H.fileBuckets(spark, dir, v4)
+    assert(eps.values.forall(_ == 8L), "zero stale-epoch files remain")
+    val byBucket = Snapshots.files(spark, dir, v4)
+      .groupBy(Snapshots.fileBucket)
+    assert(byBucket.forall(_._2.size == 1), "one file per bucket")
+    assert(H.compact(spark, dir) === v4, "idempotent re-compact")
+    assert(keysOf(H.readAt(spark, dir, v4)) === before, "migration moves no rows")
+  }
+}

@@ -509,4 +509,212 @@ class SnapshotsSpec extends SparkSuite {
     assert(Snapshots.read(localSpark, dir).count() === 900L,
       "BOTH racers' batches present at head — nothing lost")
   }
+
+  test("DELETE removes rows from the table head rewriting ONLY touched " +
+    "buckets; a fully-deleted bucket drops out of the manifest with no " +
+    "staged file; time travel and diff cross the delete; vacuum reclaims " +
+    "the rewritten buckets' old files") {
+    val dir = tmpDir("del")
+    Snapshots.publish(fixture, dir, "bucket", Seq("key")) // buckets 0,1,2
+    val f1 = Snapshots.files(spark, dir, 1).toSet
+    // partial delete inside bucket 0
+    val v2 = Snapshots.delete(fixture.filter(col("key") < 10)
+      .select("key", "bucket"), dir, "bucket", Seq("key"), Seq("key"))
+    assert(v2 === 2L)
+    assert(keysAt(dir, 2) === (10L until 900L).toSeq)
+    // untouched buckets 1,2 share their files byte-for-byte
+    val f2 = Snapshots.files(spark, dir, 2).toSet
+    assert(f1.filter(f => Snapshots.fileBucket(f).exists(_ >= 1L)) ===
+      f2.filter(f => Snapshots.fileBucket(f).exists(_ >= 1L)))
+    // diff across the delete: 10 pure deletes, zero inserts (the
+    // rewritten bucket's carried rows cancel at the row level)
+    val d = Snapshots.diff(spark, dir, 1L, 2L)
+    assert(d.filter(col("_change") === "delete").count() === 10L)
+    assert(d.filter(col("_change") === "insert").count() === 0L)
+    // full-bucket delete: bucket 2 disappears — no empty staged file
+    val v3 = Snapshots.delete(fixture.filter(col("key") >= 600)
+      .select("key", "bucket"), dir, "bucket", Seq("key"), Seq("key"))
+    assert(keysAt(dir, 3) === (10L until 600L).toSeq)
+    assert(Snapshots.files(spark, dir, 3)
+      .flatMap(Snapshots.fileBucket).toSet === Set(0L, 1L))
+    // deleting keys that were never present is a committed no-op on
+    // content (its bucket rewrites unchanged); ghost buckets no-op
+    val v4 = Snapshots.delete(
+      spark.range(5000, 5003).select(col("id").as("key"))
+        .withColumn("bucket", expr("key div 300")),
+      dir, "bucket", Seq("key"), Seq("key"))
+    assert(v4 === 3L, "all-ghost-bucket delete commits nothing")
+    // TIME TRAVEL: pre-delete versions still read every deleted row
+    assert(keysAt(dir, 1) === (0L until 900L).toSeq)
+    // vacuum past the deletes reclaims the rewritten buckets' old files
+    val (dropped, deleted, kept) = Snapshots.vacuum(spark, dir, v3, retainMs = 0L)
+    assert(dropped === 2L)
+    assert(deleted === 2L, "bucket-0 v1 file + bucket-2 v1 file reclaimed")
+    assert(kept === 2L)
+    assert(keysAt(dir, 3) === (10L until 600L).toSeq, "head intact after vacuum")
+  }
+
+  test("mergeBatch BOOTSTRAP stamps the first batch into the ledger (a " +
+    "replayed bootstrap batch is absorbed, not re-merged) and a batch may " +
+    "carry updates AND deletes in ONE commit") {
+    val dir = tmpDir("boot")
+    val b0 = fixture.filter(col("key") < 100)
+    assert(Snapshots.mergeBatch(0L, b0, dir, "bucket", Seq("key"), Seq("key")) === 1L)
+    assert(Snapshots.appliedBatches(spark, dir) === Set(0L))
+    // crash-replay of the bootstrap batch: absorbed by the high-water
+    // check — no spurious extra version (the pre-stamp hole closed)
+    assert(Snapshots.mergeBatch(0L, b0, dir, "bucket", Seq("key"), Seq("key")) === 1L)
+    assert(Snapshots.versions(spark, dir) === Seq(1L))
+    // one batch, both sides: upsert 100..109 in, delete 0..4 out
+    val upd = fixture.filter(col("key") >= 100 && col("key") < 110)
+    val del = fixture.filter(col("key") < 5).select("key", "bucket")
+    assert(Snapshots.mergeBatch(1L, upd, dir, "bucket", Seq("key"), Seq("key"),
+      deletes = Some(del)) === 2L)
+    assert(keysAt(dir, 2) === (5L until 110L).toSeq)
+    assert(Snapshots.appliedBatches(spark, dir) === Set(0L, 1L))
+    // replay of the two-sided batch: absorbed too
+    assert(Snapshots.mergeBatch(1L, upd, dir, "bucket", Seq("key"), Seq("key"),
+      deletes = Some(del)) === 2L)
+    assert(Snapshots.versions(spark, dir) === Seq(1L, 2L))
+  }
+
+  test("column RENAME is a METADATA-ONLY commit: same files, renamed " +
+    "logical surface, time travel under each version's OWN names, writes " +
+    "after the rename stage under the BIRTH name, stats/pruning and diff " +
+    "survive, invalid renames refuse") {
+    val dir = tmpDir("ren")
+    Snapshots.publish(fixture, dir, "bucket", Seq("key"))
+    val s1 = Snapshots.readAt(spark, dir, 1)
+      .agg(sum(col("payload"))).as[Long].head()
+    assert(Snapshots.rename(spark, dir, "payload", "pay2") === 2L)
+    assert(Snapshots.files(spark, dir, 2) === Snapshots.files(spark, dir, 1),
+      "metadata-only: the exact same data files")
+    assert(Snapshots.read(spark, dir).columns.toSeq ===
+      Seq("key", "pay2", "bucket"))
+    // time travel keeps the OLD name on the old version
+    assert(Snapshots.readAt(spark, dir, 1).columns.toSeq ===
+      Seq("key", "payload", "bucket"))
+    assert(Snapshots.read(spark, dir).agg(sum(col("pay2"))).as[Long].head()
+      === s1, "values unchanged through the rename")
+    // merge AFTER the rename: updates carry the NEW name
+    Snapshots.merge(
+      fixture.filter(col("key") < 5).withColumnRenamed("payload", "pay2")
+        .withColumn("pay2", lit(-1L)),
+      dir, "bucket", Seq("key"), Seq("key")) // v3
+    val head = Snapshots.read(spark, dir)
+    assert(head.count() === 900L)
+    assert(head.filter(col("key") < 5).select("pay2").as[Long].collect()
+      .forall(_ == -1L))
+    // the post-rename file stores the BIRTH name (all files agree)
+    val newFiles = (Snapshots.files(spark, dir, 3).toSet --
+      Snapshots.files(spark, dir, 2).toSet).toSeq
+    val raw = spark.read.parquet(newFiles.map(r => s"$dir/$r"): _*)
+    assert(raw.columns.contains("payload") && !raw.columns.contains("pay2"),
+      s"staged under the physical name: ${raw.columns.toSeq}")
+    // append after the rename, then rename the KEY column too
+    Snapshots.append(
+      fixture.filter(col("key") === 899L).withColumnRenamed("payload", "pay2"),
+      dir, "bucket", Seq("key")) // v4: 901 rows (one duplicate key)
+    val v5 = Snapshots.rename(spark, dir, "key", "k2")
+    assert(Snapshots.read(spark, dir).count() === 901L)
+    // pruning consults PHYSICAL-keyed stats across the rename
+    val pruned = Snapshots.prunedScanAt(spark, dir, v5, "k2", 0L, 10L)
+    assert(pruned.select("k2").as[Long].collect().sorted.toSeq ===
+      (0L until 10L).toSeq)
+    // diff across a rename is EMPTY (identical files cancel)
+    assert(Snapshots.diff(spark, dir, 4L, v5).count() === 0L)
+    // refusals: unknown source, name collision, meta-breaking name
+    intercept[IllegalArgumentException](
+      Snapshots.rename(spark, dir, "nope", "x"))
+    intercept[IllegalArgumentException](
+      Snapshots.rename(spark, dir, "k2", "pay2"))
+    intercept[IllegalArgumentException](
+      Snapshots.rename(spark, dir, "k2", "a:b"))
+    // rename BACK to the birth name drops the map entry entirely
+    val v6 = Snapshots.rename(spark, dir, "pay2", "payload")
+    assert(Snapshots.manifest(spark, dir, v6).colMap === Map("key" -> "k2"))
+  }
+
+  test("TYPED multi-column stats (format 2.1 #stat2): declared stats " +
+    "columns record per-file min/max for long, string, timestamp and " +
+    "double surfaces; manifest == typed footer walk; pruning on a SECOND " +
+    "column equals the full filter and skips non-intersecting files; " +
+    "appends extend and renames keep stats physical-keyed") {
+    val dir = tmpDir("stat2")
+    val rows = spark.range(0, 300, 1, 2).select(
+        col("id").as("key"),
+        concat(lit("u"), lpad(col("id").cast("string"), 4, "0")).as("name"),
+        timestamp_micros(col("id") * 1000000L + 1600000000000000L).as("ts"),
+        (col("id") / 7.0).as("score"))
+      .withColumn("bucket", expr("key div 100"))
+    Snapshots.publish(rows, dir, "bucket", Seq("key"),
+      statsCols = Seq("key", "name", "ts", "score"))
+    // manifest == typed footer walk, per recorded column
+    for (c <- Seq("key", "name", "ts", "score")) {
+      val m = Snapshots.versionStatsFor(spark, dir, 1L, c).sortBy(_.path)
+      val w = graft.operators.Layout.typedStatsFiles(spark,
+        Snapshots.files(spark, dir, 1L).map(r => s"$dir/$r"), Seq(c))
+        .sortBy(_.path)
+      assert(m === w, s"column $c: manifest stats == footer walk")
+    }
+    // the string stats are REAL per-file ranges (bucket 0 = u0000..u0099)
+    val nameStats = Snapshots.versionStatsFor(spark, dir, 1L, "name")
+    val s0 = nameStats.find(_.path.contains("=0")).get
+    def b64s(s: String) = new String(
+      java.util.Base64.getDecoder.decode(s), "UTF-8")
+    assert(s0.kind === "s")
+    assert(b64s(s0.min) === "u0000" && b64s(s0.max) === "u0099")
+    // typed pruning == the full filter, all three kinds
+    assert(Snapshots.prunedScanAtBy(spark, dir, 1L, "name", "u0050", "u0150")
+      .select("key").as[Long].collect().sorted.toSeq === (50L until 150L).toSeq)
+    assert(Snapshots.prunedScanAtBy(spark, dir, 1L, "ts",
+      1600000000000000L + 10000000L, 1600000000000000L + 20000000L)
+      .count() === 10L)
+    assert(Snapshots.prunedScanAtBy(spark, dir, 1L, "score", 0.0, 1.0)
+      .count() === 7L)
+    // an append's new file gets its own stats AND is SKIPPED when its
+    // range cannot intersect (name='zzz' is above the probe window)
+    Snapshots.append(rows.filter(col("key") < 5).withColumn("name", lit("zzz")),
+      dir, "bucket", Seq("key"))
+    assert(Snapshots.manifest(spark, dir, 2L).stats2("name").size ===
+      Snapshots.files(spark, dir, 2L).size, "every file carries name stats")
+    val pruned = Snapshots.prunedScanAtBy(spark, dir, 2L, "name", "u0050", "u0150")
+    assert(pruned.count() === 100L, "zzz rows excluded, originals kept")
+    // rename keeps stats keyed by the PHYSICAL name: prune by new name
+    val v3 = Snapshots.rename(spark, dir, "name", "uname")
+    assert(Snapshots.prunedScanAtBy(spark, dir, v3, "uname", "u0050", "u0150")
+      .count() === 100L)
+  }
+
+  test("committedness CHECKPOINT: a fresh process seeds from ONE file " +
+    "(no manifest opens for covered versions); in-flight transactions are " +
+    "never checkpointed and resolve from disk; newer commits above a stale " +
+    "checkpoint resolve; vacuum refreshes it in place") {
+    val dir = tmpDir("ckpt")
+    Snapshots.publish(fixture, dir, "bucket", Seq("key"))
+    Snapshots.append(fixture.limit(10), dir, "bucket", Seq("key"))
+    val dead = Snapshots.beginTxn(spark, dir + "_cr_dead")
+    dead.append(fixture.limit(5), dir, "bucket", Seq("key")) // v3 provisional
+    dead.abort()
+    assert(Snapshots.checkpoint(spark, dir) === 3L, "v1:c v2:c v3:a")
+    // an IN-FLIGHT txn claims v4 AFTER the checkpoint
+    val open = Snapshots.beginTxn(spark, dir + "_cr_open")
+    open.append(fixture.limit(5), dir, "bucket", Seq("key"))
+    Snapshots.clearCaches() // simulate a fresh process attaching
+    assert(Snapshots.versions(spark, dir) === Seq(1L, 2L),
+      "checkpointed history + the open txn correctly invisible")
+    open.commit()
+    Snapshots.clearCaches()
+    assert(Snapshots.versions(spark, dir) === Seq(1L, 2L, 4L),
+      "a commit above the stale checkpoint resolves from disk")
+    Snapshots.append(fixture.limit(3), dir, "bucket", Seq("key")) // v5
+    Snapshots.clearCaches()
+    assert(Snapshots.versions(spark, dir) === Seq(1L, 2L, 4L, 5L))
+    // vacuum refreshes the checkpoint: dropped versions leave it
+    Snapshots.vacuum(spark, dir, 4L, retainMs = 0L)
+    Snapshots.clearCaches()
+    assert(Snapshots.versions(spark, dir) === Seq(4L, 5L))
+    assert(Snapshots.read(spark, dir).count() === 918L,
+      "head intact: 900 + 10 + 5 + 3 appended duplicates")
+  }
 }
