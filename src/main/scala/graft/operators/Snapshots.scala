@@ -399,6 +399,24 @@ object Snapshots {
     /** The statcols declaration line, for carry-forward. */
     def statColsLines: Seq[String] =
       metaValues("statcols").headOption.map(s => s"statcols:$s").toSeq
+    /** Per-file KMV NDV sketches for a PHYSICAL column (format 2.1
+      * `#ndv:<col>:<b64>:<rel>` lines): rel → decoded sketch. */
+    def ndvSketches(colPhys: String): Map[String, Array[Long]] =
+      metaValues("ndv").flatMap { s =>
+        s.split(":", 3) match {
+          case Array(c, b64, rel) if c == colPhys =>
+            Some(rel -> Ndv.decode(b64))
+          case _ => None
+        }
+      }.toMap
+    /** Raw ndv lines (carry-forward). */
+    def ndvLines: Seq[String] = meta.filter(_.startsWith("#ndv:"))
+      .map(_.stripPrefix("#"))
+    /** The declared NDV column list (PHYSICAL names). */
+    def ndvCols: Seq[String] = metaValues("ndvcols").headOption
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    def ndvColsLines: Seq[String] =
+      metaValues("ndvcols").headOption.map(s => s"ndvcols:$s").toSeq
     /** Column RENAME map, physical → logical (format 2.1): entries
       * exist only for renamed columns. The PHYSICAL name — the name a
       * column was born under, the one every data file stores — never
@@ -481,7 +499,8 @@ object Snapshots {
     * (schema + per-file stats) the commit should carry. */
   private[operators] case class Staged(rels: Seq[String], schemaJson: String,
                             statLines: Seq[String],
-                            stat2Lines: Seq[String] = Nil)
+                            stat2Lines: Seq[String] = Nil,
+                            ndvLines: Seq[String] = Nil)
 
   private[operators] def nullable(s: StructType): StructType =
     StructType(s.fields.map(_.copy(nullable = true)))
@@ -578,7 +597,8 @@ object Snapshots {
     * [[versionStats]] falls back to the verification walk. */
   private[operators] def stage(df: DataFrame, dir: String, bucketCol: String,
                     sortCols: Seq[String], blockSize: Long,
-                    numTasks: Int, stat2Cols: Seq[String] = Nil): Staged = {
+                    numTasks: Int, stat2Cols: Seq[String] = Nil,
+                    ndvCols: Seq[String] = Nil): Staged = {
     require(!df.columns.contains(DirCol),
       s"column name $DirCol is reserved for the staging layout")
     require(sortCols.nonEmpty, "snapshot writes need the layout sort columns")
@@ -636,7 +656,23 @@ object Snapshots {
           .map(ts => s"stat2:${ts.column}:${ts.kind}:${ts.rows}:" +
             s"${ts.min}:${ts.max}:${ts.path.stripPrefix(s"$dir/")}")
       }.getOrElse(Seq.empty)
-    Staged(staged, nullable(df.schema).json, statLines, stat2)
+    // KMV NDV sketches for the DECLARED ndv columns: one distinct +
+    // windowed-top-k pass over ONLY this commit's new files
+    val ndvL: Seq[String] =
+      if (ndvCols.isEmpty) Seq.empty
+      else {
+        val back = df.sparkSession.read.parquet(staged.map(r => s"$dir/$r"): _*)
+        ndvCols.filter(c => back.columns.contains(c) && !c.contains(":"))
+          .flatMap { c =>
+            Ndv.fileSketches(back, c).toSeq.map { case (fname, sk) =>
+              val rel = staged.find(r => fname.endsWith(r)).getOrElse(
+                throw new IllegalStateException(
+                  s"ndv sketch for unknown staged file $fname"))
+              s"ndv:$c:${Ndv.encode(sk)}:$rel"
+            }
+          }
+      }
+    Staged(staged, nullable(df.schema).json, statLines, stat2, ndvL)
   }
 
   /** Claim the next version number for a write PLANNED against
@@ -708,32 +744,38 @@ object Snapshots {
   def publish(df: DataFrame, dir: String, bucketCol: String,
               sortCols: Seq[String], blockSize: Long = 128L * 1024 * 1024,
               numTasks: Int = 32, meta: Seq[String] = Nil,
-              statsCols: Seq[String] = Nil): Long =
+              statsCols: Seq[String] = Nil,
+              ndvCols: Seq[String] = Nil): Long =
     publishImpl(df, dir, bucketCol, sortCols, blockSize, numTasks, meta,
-      statsCols)
+      statsCols, ndvCols)
 
   private def publishImpl(df: DataFrame, dir: String, bucketCol: String,
                           sortCols: Seq[String], blockSize: Long,
                           numTasks: Int, extraMeta: Seq[String],
-                          statsCols: Seq[String] = Nil): Long = {
+                          statsCols: Seq[String] = Nil,
+                          ndvCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     resolveForWrite(spark, dir)
     require(latest(spark, dir).isEmpty,
       s"$dir already has snapshots — use append")
-    require(statsCols.forall(c => c.nonEmpty && !c.contains(":") &&
+    require((statsCols ++ ndvCols).forall(c => c.nonEmpty && !c.contains(":") &&
       !c.contains(",") && df.columns.contains(c)),
-      s"statsCols must be existing plain-named columns: $statsCols")
+      s"stats/ndv columns must be existing plain-named columns: " +
+        s"$statsCols / $ndvCols")
     val st = stage(df, dir, bucketCol, sortCols, blockSize, numTasks,
-      stat2Cols = statsCols)
+      stat2Cols = statsCols, ndvCols = ndvCols)
     // planned against "no committed state": anything committed during
     // staging is a conflict (claimAbove tolerates only tombstones)
     val v = claimAbove(spark, dir, 0L)
     val scLine =
       if (statsCols.isEmpty) Nil
       else Seq(s"statcols:${statsCols.mkString(",")}")
+    val ncLine =
+      if (ndvCols.isEmpty) Nil
+      else Seq(s"ndvcols:${ndvCols.mkString(",")}")
     commit(spark, dir, v, st.rels,
       extraMeta ++ Seq("format:2", s"schema:${st.schemaJson}") ++ scLine ++
-        st.statLines ++ st.stat2Lines)
+        ncLine ++ st.statLines ++ st.stat2Lines ++ st.ndvLines)
     v
   }
 
@@ -765,7 +807,7 @@ object Snapshots {
     val st = stage(toPhysicalDf(df, tp), dir,
       tp.getOrElse(bucketCol, bucketCol),
       sortCols.map(c => tp.getOrElse(c, c)), blockSize, numTasks,
-      stat2Cols = pm.statCols)
+      stat2Cols = pm.statCols, ndvCols = pm.ndvCols)
     val schema = pm.schemaOpt match {
       case Some(ps) => mergeSchemas(ps, nullable(df.schema)).json
       case None => st.schemaJson
@@ -773,8 +815,8 @@ object Snapshots {
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, pm.files ++ st.rels,
       extraMeta ++ Seq("format:2", s"schema:$schema") ++ pm.colmapLines ++
-        pm.statColsLines ++ pm.statLines ++ st.statLines ++
-        pm.stat2Lines ++ st.stat2Lines)
+        pm.statColsLines ++ pm.ndvColsLines ++ pm.statLines ++ st.statLines ++
+        pm.stat2Lines ++ st.stat2Lines ++ pm.ndvLines ++ st.ndvLines)
     v
   }
 
@@ -861,20 +903,24 @@ object Snapshots {
     val st = stage(toPhysicalDf(fragDf, tp), dir,
       tp.getOrElse(bucketCol, bucketCol),
       sortCols.map(c => tp.getOrElse(c, c)), blockSize,
-      math.max(frag.size, 1), stat2Cols = pm.statCols)
+      math.max(frag.size, 1), stat2Cols = pm.statCols, ndvCols = pm.ndvCols)
     val kept = pm.files.filterNot(f => frag.contains(bOf(f)))
     val keptSet = kept.toSet
     // stat:<key>:<rows>:<min>:<max>:<relpath> — path is the 6th field
     val keptStats = pm.statLines.filter(l =>
       keptSet.contains(l.split(":", 6).last))
+    // stat2 lines carry SEVEN fields (stat2:col:kind:rows:min:max:rel)
+    // and ndv lines FOUR (ndv:col:b64:rel) — the path is always last
     val keptStats2 = pm.stat2Lines.filter(l =>
-      keptSet.contains(l.split(":", 6).last))
+      keptSet.contains(l.split(":", 7).last))
+    val keptNdv = pm.ndvLines.filter(l =>
+      keptSet.contains(l.split(":", 4).last))
     val schema = pm.schemaOpt.map(nullable(_).json).getOrElse(st.schemaJson)
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, kept ++ st.rels,
       Seq("format:2", s"schema:$schema") ++ pm.colmapLines ++
-        pm.statColsLines ++ keptStats ++ st.statLines ++
-        keptStats2 ++ st.stat2Lines)
+        pm.statColsLines ++ pm.ndvColsLines ++ keptStats ++ st.statLines ++
+        keptStats2 ++ st.stat2Lines ++ keptNdv ++ st.ndvLines)
     v
   }
 
@@ -999,13 +1045,17 @@ object Snapshots {
       else stage(toPhysicalDf(mergedRows, tp), dir,
         tp.getOrElse(bucketCol, bucketCol),
         sortCols.map(c => tp.getOrElse(c, c)), blockSize, numTasks,
-        stat2Cols = pm.statCols)
+        stat2Cols = pm.statCols, ndvCols = pm.ndvCols)
     val kept = pm.files.filterNot(f => touched.contains(bOf(f)))
     val keptSet = kept.toSet
     val keptStats = pm.statLines.filter(l =>
       keptSet.contains(l.split(":", 6).last))
+    // stat2 lines carry SEVEN fields (stat2:col:kind:rows:min:max:rel)
+    // and ndv lines FOUR (ndv:col:b64:rel) — the path is always last
     val keptStats2 = pm.stat2Lines.filter(l =>
-      keptSet.contains(l.split(":", 6).last))
+      keptSet.contains(l.split(":", 7).last))
+    val keptNdv = pm.ndvLines.filter(l =>
+      keptSet.contains(l.split(":", 4).last))
     val schema = pm.schemaOpt match {
       case Some(ps) if updatesOpt.isEmpty => nullable(ps).json // deletes never evolve
       case Some(ps) => mergeSchemas(ps, nullable(mergedRows.schema)).json
@@ -1014,8 +1064,8 @@ object Snapshots {
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, kept ++ st.rels,
       Seq("format:2", s"schema:$schema") ++ meta ++ pm.colmapLines ++
-        pm.statColsLines ++ keptStats ++ st.statLines ++
-        keptStats2 ++ st.stat2Lines)
+        pm.statColsLines ++ pm.ndvColsLines ++ keptStats ++ st.statLines ++
+        keptStats2 ++ st.stat2Lines ++ keptNdv ++ st.ndvLines)
     v
   }
 
@@ -1058,6 +1108,7 @@ object Snapshots {
       if (f.name == oldName) f.copy(name = newName) else f))
     val carried = pm.meta.filter(m => m.startsWith("#stat:") ||
       m.startsWith("#stat2:") || m.startsWith("#statcols:") ||
+      m.startsWith("#ndv:") || m.startsWith("#ndvcols:") ||
       m.startsWith("#bucketw:") || m.startsWith("#filew:"))
       .map(_.stripPrefix("#"))
     val v = claimAbove(spark, dir, prev)
@@ -1289,6 +1340,32 @@ object Snapshots {
         .filter(residual).limit(0)
     else readFiles(spark, dir, surviving, m.schemaOpt, m.colMap)
       .filter(residual)
+  }
+
+  /** Approximate DISTINCT COUNT of `column` at version `v`, planned
+    * from the MANIFEST alone: the per-file KMV sketches ([[Ndv]],
+    * `#ndv` lines, computed once per immutable file at its staging)
+    * merge EXACTLY to the union's sketch, so the estimate needs zero
+    * data reads however many commits built the version. Returns
+    * (estimate, exact?) — exact when the merged sketch holds fewer
+    * than k hashes. Files without a recorded sketch (legacy, or a
+    * column outside the declared `ndvCols` list) are sketched on the
+    * fly — the verification path, reads those files once. The use
+    * case is JOIN PLANNING: NDV + row counts (the `#stat` lines)
+    * decide broadcast vs shuffle and flag low-NDV skew keys before a
+    * stage burns on them. */
+  def approxDistinctAt(spark: SparkSession, dir: String, v: Long,
+                       column: String): (Double, Boolean) = {
+    val m = committedManifest(spark, dir, v)
+    val phys = m.toPhysical.getOrElse(column, column)
+    val recorded = m.ndvSketches(phys)
+    val (have, missing) = m.files.partition(recorded.contains)
+    val extra =
+      if (missing.isEmpty) Seq.empty[Array[Long]]
+      else Ndv.fileSketches(
+        spark.read.parquet(missing.map(r => s"$dir/$r"): _*), phys)
+        .values.toSeq
+    Ndv.estimate(Ndv.merge(have.map(recorded) ++ extra))
   }
 
   /** Drop every version below `keepFrom` and delete the data files

@@ -72,6 +72,7 @@ object Relational {
     "q179_rename" -> q179,
     "q180_prune_typed" -> q180,
     "q181_hash_bucket" -> q181,
+    "q182_ndv" -> q182,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -1634,6 +1635,53 @@ object Relational {
       .orderBy(col("section"), col("label"))
   }
 
+  /** NDV SKETCHES in the manifest under the gate (the r9-backlog
+    * join-planning statistic, shipped as [[graft.operators.Ndv]] KMV
+    * sketches — `#ndv` per-FILE lines computed once per immutable
+    * file at staging, merged EXACTLY to the union's sketch at read,
+    * zero data opens): orders publish with declared ndvCols, then a
+    * mod-3 DELETE (rewritten buckets re-sketch, so the estimate
+    * tracks row removal). Rows per (version, column): m1 = the EXACT
+    * distinct count (the SQL-checkable surface), m2 = 1 iff the
+    * manifest estimate lands within the 3σ band (27% at k=128 —
+    * deterministic, xxhash64 is fixed), m3 = 1 iff the sketch is
+    * EXACT (fewer than k values — o_orderstatus's 3). The estimates
+    * themselves are engine-native (xxhash64) and deliberately NOT the
+    * oracle surface; the band flags are (the q64x discipline). */
+  def q182(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import spark.implicits._
+    val W = 8192L
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_ndv_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Snapshots.dropPath(spark, out)
+    val src = Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    val v1 = Snapshots.publish(src, out, "bucket", Seq("o_orderkey"),
+      ndvCols = Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+    val v2 = Snapshots.delete(
+      src.filter(col("o_orderkey") % 3 === 0).select("o_orderkey", "bucket"),
+      out, "bucket", Seq("o_orderkey"), Seq("o_orderkey"))
+    def row(v: Long, lbl: String, c: String): (String, String, Long, Long, Long) = {
+      val exact = Snapshots.readAt(spark, out, v)
+        .agg(countDistinct(col(c))).as[Long].head()
+      val (est, isExact) = Snapshots.approxDistinctAt(spark, out, v, c)
+      (f"v$v%04d", lbl,
+        exact,
+        if (math.abs(est / exact.toDouble - 1.0) <= 0.27) 1L else 0L,
+        if (isExact) 1L else 0L)
+    }
+    Seq(
+      row(v1, "custkey", "o_custkey"),
+      row(v1, "orderkey", "o_orderkey"),
+      row(v1, "status", "o_orderstatus"),
+      row(v2, "custkey", "o_custkey"),
+      row(v2, "orderkey", "o_orderkey"),
+      row(v2, "status", "o_orderstatus"))
+      .toDF("version", "colname", "m1", "m2", "m3")
+      .orderBy(col("version"), col("colname"))
+  }
+
   /** MULTI-TABLE TRANSACTIONAL PUBLISH under the gate
     * ([[graft.operators.Snapshots.beginTxn]] — the cross-table
     * atomicity a pipeline's fact+dim pair needs; the create-
@@ -2651,6 +2699,27 @@ object Relational {
          |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h1
          |  UNION ALL SELECT 'vacuum', 'reclaim', 2, 1, 1)
          |SELECT * FROM agg ORDER BY section, label""".stripMargin
+    },
+    // q182: the exact distinct counts are the SQL surface; the band
+    // and exactness flags are constants (deterministic xxhash64
+    // sketches; o_orderstatus's 3 values sit below k=128 so its
+    // sketch is exact, the key columns estimate within 3 sigma).
+    "q182_ndv" -> {
+      s"""WITH agg AS (
+         |  SELECT 'v0001' AS version, 'custkey' AS colname,
+         |    (SELECT count(DISTINCT o_custkey) FROM orders) AS m1,
+         |    CAST(1 AS BIGINT) AS m2, CAST(0 AS BIGINT) AS m3
+         |  UNION ALL SELECT 'v0001', 'orderkey',
+         |    (SELECT count(DISTINCT o_orderkey) FROM orders), 1, 0
+         |  UNION ALL SELECT 'v0001', 'status',
+         |    (SELECT count(DISTINCT o_orderstatus) FROM orders), 1, 1
+         |  UNION ALL SELECT 'v0002', 'custkey',
+         |    (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderkey % 3 <> 0), 1, 0
+         |  UNION ALL SELECT 'v0002', 'orderkey',
+         |    (SELECT count(DISTINCT o_orderkey) FROM orders WHERE o_orderkey % 3 <> 0), 1, 0
+         |  UNION ALL SELECT 'v0002', 'status',
+         |    (SELECT count(DISTINCT o_orderstatus) FROM orders WHERE o_orderkey % 3 <> 0), 1, 1)
+         |SELECT * FROM agg ORDER BY version, colname""".stripMargin
     },
     // q181: per-version content in residue algebra over the derived
     // string key (v3==v2: metadata-only evolution; v7==v6: migration

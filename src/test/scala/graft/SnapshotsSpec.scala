@@ -680,6 +680,15 @@ class SnapshotsSpec extends SparkSuite {
       Snapshots.files(spark, dir, 2L).size, "every file carries name stats")
     val pruned = Snapshots.prunedScanAtBy(spark, dir, 2L, "name", "u0050", "u0150")
     assert(pruned.count() === 100L, "zzz rows excluded, originals kept")
+    // a MERGE must carry kept files' stat2 lines forward too (the
+    // 7-field split regression pin: results were correct through the
+    // footer-walk fallback, but planning must stay manifest-only)
+    Snapshots.merge(rows.filter(col("key") === 250L)
+        .withColumn("name", lit("u9999")),
+      dir, "bucket", Seq("key"), Seq("key"))
+    assert(Snapshots.manifest(spark, dir, 3L).stats2("name").size ===
+      Snapshots.files(spark, dir, 3L).size,
+      "kept + staged files ALL carry name stats after a merge")
     // rename keeps stats keyed by the PHYSICAL name: prune by new name
     val v3 = Snapshots.rename(spark, dir, "name", "uname")
     assert(Snapshots.prunedScanAtBy(spark, dir, v3, "uname", "u0050", "u0150")
