@@ -215,4 +215,48 @@ class ChangeFeedSpec extends SparkSuite {
     assert(net.filter(col("_version") === 2L && col("_change") === "insert"
       && col("cnt") > (1L << 39)).count() === 5L)
   }
+
+  test("WIDENED x RENAMED composition streams: a table that was both " +
+    "type-widened AND column-renamed replays its full history — the " +
+    "reader resolves fields by PHYSICAL birth name and widens by the " +
+    "file's physical primitive, per file, independently") {
+    val dir = tmpDir("widren")
+    val narrow = spark.range(0, 60, 1, 2).select(
+        col("id").as("key"),
+        (col("id") % 40).cast("int").as("cnt"))
+      .withColumn("bucket", expr("key div 30"))
+    Snapshots.publish(narrow, dir, "bucket", Seq("key"))
+    // widen cnt int->long on a 3-key merge (bucket 1 stays int32)
+    Snapshots.merge(
+      narrow.filter(col("key") < 3)
+        .withColumn("cnt", col("cnt").cast("long") + (1L << 40)),
+      dir, "bucket", Seq("key"), Seq("key"))
+    // rename the widened column, then commit once more under the new name
+    Snapshots.rename(spark, dir, "cnt", "counter")
+    Snapshots.append(
+      narrow.filter(col("key") === 59L).withColumnRenamed("cnt", "counter"),
+      dir, "bucket", Seq("key"))
+    val drained = drain(dir, "cf_widren")
+    assert(drained.columns.take(3).toSeq === Seq("key", "counter", "bucket"),
+      "feed surfaces the LATEST logical name")
+    assert(drained.schema("counter").dataType ===
+      org.apache.spark.sql.types.LongType, "…at the widened type")
+    // genesis: all 60 rows from int32 files under the old physical name
+    val g = drained.filter(col("_version") === 1L)
+    assert(g.count() === 60L)
+    assert(g.filter(col("key") === 7L).select("counter").as[Long].head() === 7L)
+    val net = ChangeFeed.net(drained)
+    // the rename version nets to ZERO (identical files)
+    assert(net.filter(col("_version") === 3L).count() === 0L)
+    // and every step reconciles with diff under the latest surface
+    // (a diff at a pre-rename step answers under THAT version's names
+    // — field ORDER is rename-stable, so align positionally)
+    for (v <- 2L to 4L) {
+      val d = Snapshots.diff(spark, dir, v - 1, v).withColumn("_version", lit(v))
+        .toDF(drained.columns: _*)
+      assert(rows(net.filter(col("_version") === v)
+        .select(drained.columns.map(col): _*)) ===
+        rows(d.select(drained.columns.map(col): _*)), s"step v${v - 1} -> v$v")
+    }
+  }
 }
