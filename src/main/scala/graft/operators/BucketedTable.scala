@@ -95,7 +95,7 @@ object BucketedTable {
     val v = Snapshots.claimAbove(spark, dir, 0L)
     Snapshots.commit(spark, dir, v, st.rels,
       Seq("format:2", s"schema:${st.schemaJson}", s"bucketw:$keyCol:$width") ++
-        filewLines(st.rels, width) ++ st.statLines)
+        filewLines(st.rels, width) ++ st.statLines ++ st.sizeLines)
     v
   }
 
@@ -119,9 +119,9 @@ object BucketedTable {
     }
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, pm.files ++ st.rels,
-      Seq("format:2", s"schema:$schema", s"bucketw:$keyCol:$w") ++
+      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ Seq(s"bucketw:$keyCol:$w") ++
         carriedFilew(pm, pm.files.toSet) ++ filewLines(st.rels, w) ++
-        pm.statLines ++ st.statLines)
+        pm.statLines ++ st.statLines ++ pm.fsizeLines ++ st.sizeLines)
     v
   }
 
@@ -141,8 +141,8 @@ object BucketedTable {
       throw new IllegalArgumentException(s"$dir has no recorded schema"))
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, pm.files,
-      Seq("format:2", s"schema:$schema", s"bucketw:$keyCol:$newWidth") ++
-        carriedFilew(pm, pm.files.toSet) ++ pm.statLines)
+      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ Seq(s"bucketw:$keyCol:$newWidth") ++
+        carriedFilew(pm, pm.files.toSet) ++ pm.statLines ++ pm.fsizeLines)
     v
   }
 
@@ -201,9 +201,11 @@ object BucketedTable {
     }
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema", s"bucketw:$keyCol:$w") ++
+      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ Seq(s"bucketw:$keyCol:$w") ++
         carriedFilew(pm, keptSet) ++ filewLines(st.rels, w) ++
-        carriedStats(pm, keptSet) ++ st.statLines)
+        carriedStats(pm, keptSet) ++ st.statLines ++
+        pm.fsizeLines.filter(l => keptSet.contains(l.split(":", 3).last)) ++
+        st.sizeLines)
     v
   }
 
@@ -251,9 +253,11 @@ object BucketedTable {
     val schema = pm.schemaOpt.map(Snapshots.nullable(_).json).getOrElse(st.schemaJson)
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema", s"bucketw:$keyCol:$w") ++
+      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ Seq(s"bucketw:$keyCol:$w") ++
         carriedFilew(pm, keptSet) ++ filewLines(st.rels, w) ++
-        carriedStats(pm, keptSet) ++ st.statLines)
+        carriedStats(pm, keptSet) ++ st.statLines ++
+        pm.fsizeLines.filter(l => keptSet.contains(l.split(":", 3).last)) ++
+        st.sizeLines)
     v
   }
 

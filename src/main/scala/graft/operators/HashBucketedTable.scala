@@ -84,7 +84,7 @@ object HashBucketedTable {
     Snapshots.commit(spark, dir, v, st.rels,
       Seq("format:2", s"schema:${st.schemaJson}",
         s"bucketh:$keyCol:$numBuckets") ++
-        filehLines(st.rels, numBuckets) ++ st.statLines)
+        filehLines(st.rels, numBuckets) ++ st.statLines ++ st.sizeLines)
     v
   }
 
@@ -107,9 +107,9 @@ object HashBucketedTable {
     }
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, pm.files ++ st.rels,
-      Seq("format:2", s"schema:$schema", s"bucketh:$keyCol:$n") ++
+      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ Seq(s"bucketh:$keyCol:$n") ++
         carriedFileh(pm, pm.files.toSet) ++ filehLines(st.rels, n) ++
-        pm.statLines ++ st.statLines)
+        pm.statLines ++ st.statLines ++ pm.fsizeLines ++ st.sizeLines)
     v
   }
 
@@ -126,8 +126,8 @@ object HashBucketedTable {
       throw new IllegalArgumentException(s"$dir has no recorded schema"))
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, pm.files,
-      Seq("format:2", s"schema:$schema", s"bucketh:$keyCol:$newN") ++
-        carriedFileh(pm, pm.files.toSet) ++ pm.statLines)
+      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ Seq(s"bucketh:$keyCol:$newN") ++
+        carriedFileh(pm, pm.files.toSet) ++ pm.statLines ++ pm.fsizeLines)
     v
   }
 
@@ -220,10 +220,12 @@ object HashBucketedTable {
     }
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema", s"bucketh:$keyCol:$n") ++
+      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ Seq(s"bucketh:$keyCol:$n") ++
         carriedFileh(pm, keptSet) ++ filehLines(st.rels, n) ++
         pm.statLines.filter(l => keptSet.contains(l.split(":", 6).last)) ++
-        st.statLines)
+        st.statLines ++
+        pm.fsizeLines.filter(l => keptSet.contains(l.split(":", 3).last)) ++
+        st.sizeLines)
     v
   }
 
@@ -261,10 +263,12 @@ object HashBucketedTable {
     val schema = pm.schemaOpt.map(Snapshots.nullable(_).json).getOrElse(st.schemaJson)
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema", s"bucketh:$keyCol:$n") ++
+      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ Seq(s"bucketh:$keyCol:$n") ++
         carriedFileh(pm, keptSet) ++ filehLines(st.rels, n) ++
         pm.statLines.filter(l => keptSet.contains(l.split(":", 6).last)) ++
-        st.statLines)
+        st.statLines ++
+        pm.fsizeLines.filter(l => keptSet.contains(l.split(":", 3).last)) ++
+        st.sizeLines)
     v
   }
 

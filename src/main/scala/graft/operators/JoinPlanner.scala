@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MANIFEST-DRIVEN JOIN STRATEGY CHOOSER — the r10-backlog item that
+  * closes the statistics loop: the manifest already records per-file
+  * byte sizes (`#fsize`), row counts (`#stat`/`#stat2`) and KMV NDV
+  * sketches (`#ndv`); this turns them into the three decisions a
+  * 100 TB join actually needs, with ZERO data opens (reference scope:
+  * pycart main.py's merge step, planned instead of defaulted):
+  *
+  *  - BROADCAST when a side's manifest byte size fits the threshold
+  *    (Spark's own autoBroadcastJoinThreshold discipline, but decided
+  *    from TABLE stats rather than Spark's often-missing relation
+  *    estimates — a snapshot read is a file-list relation whose plan
+  *    size Spark can only guess);
+  *  - SALTED when both sides are big and a side's average key
+  *    multiplicity (rows/NDV — [[Ndv.skewRisk]]) crosses the skew
+  *    threshold: the skewed side salts, the other explodes
+  *    ([[Scale.saltedJoin]]) — the regime where a plain shuffle join
+  *    funnels a hot key through one reducer;
+  *  - plain SHUFFLE otherwise (AQE handles residual runtime skew).
+  *
+  * [[estimateJoinRows]] adds the planning number optimizers want
+  * next: expected output cardinality = (overlapping distinct keys,
+  * from the two sketches' KMV intersection — [[Ndv.intersectEstimate]])
+  * × each side's average multiplicity, under the uniform-multiplicity
+  * assumption (stated; a per-key histogram would refine it).
+  *
+  * Everything here is driver-side arithmetic over two manifests —
+  * safe to call per query. Missing stats degrade gracefully: no
+  * sizes → filesystem stat fallback ([[Snapshots.sizeAt]]); no row
+  * counts or sketches → the chooser returns SHUFFLE (never guesses
+  * skew it cannot see).
+  */
+object JoinPlanner {
+
+  /** One side's manifest-only planning numbers. */
+  final case class SideStats(dir: String, version: Long, bytes: Long,
+                             rows: Option[Long], ndv: Option[Double],
+                             mult: Option[Double])
+
+  /** The decision, with the numbers that drove it (for explain/gates). */
+  final case class Decision(strategy: String, buildSide: String,
+                            saltFactor: Int, left: SideStats,
+                            right: SideStats)
+
+  /** Collect one side's stats from its latest (or given) manifest. */
+  def sideStats(spark: SparkSession, dir: String, key: String,
+                version: Option[Long] = None): SideStats = {
+    val v = version.getOrElse(Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots")))
+    val bytes = Snapshots.sizeAt(spark, dir, v)
+    val rows = Snapshots.rowCountAt(spark, dir, v)
+    val m = Snapshots.committedManifest(spark, dir, v)
+    val phys = m.toPhysical.getOrElse(key, key)
+    // only DECLARED ndv columns count here: sketching on the fly would
+    // break the zero-data-opens planning contract
+    val ndv =
+      if (!m.ndvCols.contains(phys)) None
+      else Some(Ndv.estimate(Ndv.merge(
+        m.files.flatMap(m.ndvSketches(phys).get)))._1)
+    val mult = for (r <- rows; n <- ndv) yield Ndv.skewRisk(r, n)
+    SideStats(dir, v, bytes, rows, ndv, mult)
+  }
+
+  /** Choose the strategy for an equi-join of two snapshot tables on
+    * `key`. `broadcastBytes` mirrors Spark's threshold default
+    * (10 MiB); `skewMult` is the average-multiplicity bound above
+    * which a shuffle join is presumed hot-keyed. */
+  def plan(spark: SparkSession, leftDir: String, rightDir: String,
+           key: String, broadcastBytes: Long = 10L * 1024 * 1024,
+           skewMult: Double = 64.0, saltFactor: Int = 16,
+           leftVersion: Option[Long] = None,
+           rightVersion: Option[Long] = None): Decision = {
+    val l = sideStats(spark, leftDir, key, leftVersion)
+    val r = sideStats(spark, rightDir, key, rightVersion)
+    if (math.min(l.bytes, r.bytes) <= broadcastBytes)
+      Decision("broadcast", if (r.bytes <= l.bytes) "right" else "left",
+        1, l, r)
+    else {
+      val lm = l.mult.getOrElse(0.0)
+      val rm = r.mult.getOrElse(0.0)
+      if (math.max(lm, rm) >= skewMult)
+        // the skewed (hot-multiplicity) side salts; the other explodes
+        Decision("salted", if (lm >= rm) "left" else "right",
+          saltFactor, l, r)
+      else Decision("shuffle", "none", 1, l, r)
+    }
+  }
+
+  /** Execute a [[Decision]] over the two sides' frames (read them with
+    * [[Snapshots.readAt]] at the decision's versions for consistency).
+    * Inner equi-join on `key`; result content is strategy-independent
+    * — the strategy only moves bytes differently. */
+  def execute(left: DataFrame, right: DataFrame, key: String,
+              d: Decision): DataFrame = d.strategy match {
+    case "broadcast" =>
+      if (d.buildSide == "right") left.join(broadcast(right), key)
+      else broadcast(left).join(right, key)
+    case "salted" =>
+      if (d.buildSide == "left")
+        Scale.saltedJoin(left, right, key, d.saltFactor)
+      else Scale.saltedJoin(right, left, key, d.saltFactor)
+    case _ => left.join(right, key)
+  }
+
+  /** [[plan]] + read + [[execute]] in one call, reading both sides at
+    * the planned versions. */
+  def join(spark: SparkSession, leftDir: String, rightDir: String,
+           key: String, broadcastBytes: Long = 10L * 1024 * 1024,
+           skewMult: Double = 64.0, saltFactor: Int = 16): DataFrame = {
+    val d = plan(spark, leftDir, rightDir, key, broadcastBytes, skewMult,
+      saltFactor)
+    execute(Snapshots.readAt(spark, leftDir, d.left.version),
+      Snapshots.readAt(spark, rightDir, d.right.version), key, d)
+  }
+
+  /** Expected inner equi-join output rows, manifest-only: overlapping
+    * distinct keys (KMV intersection of the two sides' sketches) ×
+    * each side's average key multiplicity. Uniform-multiplicity
+    * assumption stated in the object doc. None when either side lacks
+    * declared row counts or NDV sketches for `key`. */
+  def estimateJoinRows(spark: SparkSession, leftDir: String,
+                       rightDir: String, key: String,
+                       leftVersion: Option[Long] = None,
+                       rightVersion: Option[Long] = None): Option[Double] = {
+    val lv = leftVersion.getOrElse(Snapshots.latest(spark, leftDir).get)
+    val rv = rightVersion.getOrElse(Snapshots.latest(spark, rightDir).get)
+    val l = sideStats(spark, leftDir, key, Some(lv))
+    val r = sideStats(spark, rightDir, key, Some(rv))
+    for (lm <- l.mult; rm <- r.mult) yield {
+      val overlap = Ndv.intersectEstimate(
+        Snapshots.ndvSketchAt(spark, leftDir, lv, key),
+        Snapshots.ndvSketchAt(spark, rightDir, rv, key))
+      overlap * lm * rm
+    }
+  }
+}

@@ -94,4 +94,22 @@ object Ndv {
     * skew-prone? Pure arithmetic over manifest numbers — no scan. */
   def skewRisk(rows: Long, ndv: Double): Double =
     if (ndv <= 0) Double.PositiveInfinity else rows / ndv
+
+  /** Estimated DISTINCT-VALUE INTERSECTION |A ∩ B| of two sketched
+    * sets — the standard KMV set-operation estimator (Beyer et al.,
+    * SIGMOD 2007): take the union's k smallest hashes, count how many
+    * appear in BOTH input sketches (a Jaccard sample over the union),
+    * and scale by the union's cardinality estimate. EXACT when both
+    * sides sit below k (every distinct hash is present). The
+    * join-cardinality primitive: overlapping key count with zero
+    * data opens. */
+  def intersectEstimate(a: Array[Long], b: Array[Long], k: Int = K): Double = {
+    val u = merge(Seq(a, b), k)
+    if (u.isEmpty) return 0.0
+    val aSet = a.toSet
+    val bSet = b.toSet
+    val j = u.count(h => aSet(h) && bSet(h))
+    val (uEst, _) = estimate(u, k)
+    uEst * j.toDouble / u.length
+  }
 }

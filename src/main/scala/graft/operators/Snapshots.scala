@@ -248,6 +248,21 @@ object Snapshots {
     lines.size.toLong
   }
 
+  /** How many versions the persisted committedness checkpoint covers
+    * (None if no checkpoint has been written) — operational
+    * visibility for the `ckptevery` policy and the maintenance docs. */
+  def checkpointCoverage(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val cp = checkpointPath(dir)
+    if (!f.exists(cp)) None
+    else {
+      val in = f.open(cp)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .count(_.nonEmpty).toLong)
+      finally in.close()
+    }
+  }
+
   /** Seed the committedness caches from the checkpoint, if present —
     * called once per (process, dir) on the first cold committedness
     * miss. Aborted entries seed the decided-txn knowledge indirectly:
@@ -431,6 +446,33 @@ object Snapshots {
     /** Raw colmap lines for carrying forward. */
     def colmapLines: Seq[String] = meta.filter(_.startsWith("#colmap:"))
       .map(_.stripPrefix("#"))
+    /** Per-file byte sizes (`#fsize:<bytes>:<rel>`, recorded from the
+      * staging listing — Iceberg's file_size_in_bytes): size-based
+      * planning reads the manifest, never the filesystem. */
+    def fileSizes: Map[String, Long] = metaValues("fsize").flatMap { s =>
+      s.split(":", 2) match {
+        case Array(n, rel) => Some(rel -> n.toLong)
+        case _ => None
+      }
+    }.toMap
+    /** Raw fsize lines (carry-forward). */
+    def fsizeLines: Seq[String] = meta.filter(_.startsWith("#fsize:"))
+      .map(_.stripPrefix("#"))
+    /** Generic CARRIED table properties (`#prop:key=value` — the
+      * Delta table-properties shape): set once at publish (via the
+      * `meta` arg) or later with [[setProp]], and copied forward
+      * verbatim by EVERY write path, so a policy rides on all future
+      * versions until changed. The channel behind the auto-checkpoint
+      * policy (`ckptevery`) and the Z-order layout descriptor
+      * (`zlayout`). */
+    def props: Map[String, String] = metaValues("prop").map { s =>
+      val i = s.indexOf('=')
+      require(i > 0, s"malformed #prop line (need key=value): $s")
+      s.substring(0, i) -> s.substring(i + 1)
+    }.toMap
+    /** Raw prop lines for carrying forward. */
+    def propLines: Seq[String] = meta.filter(_.startsWith("#prop:"))
+      .map(_.stripPrefix("#"))
   }
 
   private[graft] def manifest(spark: SparkSession, dir: String,
@@ -493,14 +535,62 @@ object Snapshots {
     // is the next version, otherwise invalidate (re-list on next read)
     dirListCache.computeIfPresent(dir, (_, old) =>
       if (old.nonEmpty && old.last == v - 1) old :+ v else null)
+    // PERIODIC CHECKPOINT POLICY (`prop:ckptevery=N`, carried): every
+    // Nth version refreshes the committedness checkpoint as part of
+    // the write itself — long-lived tables keep their cold-attach
+    // cost at one file read WITHOUT anyone remembering to run
+    // maintenance. Provisional transaction manifests never trigger it
+    // (their fate is undecided; the txn's own commit cannot be
+    // checkpointed from here anyway). A checkpoint failure must not
+    // fail the WRITE — the commit is already durable; the checkpoint
+    // is an optimization that the next policy hit retries.
+    if (!meta.exists(_.startsWith("txn:")))
+      meta.collectFirst {
+        case m if m.startsWith("prop:ckptevery=") =>
+          m.stripPrefix("prop:ckptevery=")
+      }.map(_.toLong).filter(_ > 0).foreach { n =>
+        if (v % n == 0)
+          try checkpoint(spark, dir)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+  }
+
+  /** Table properties of version `v` (the carried `#prop` lines). */
+  def propsAt(spark: SparkSession, dir: String, v: Long): Map[String, String] =
+    committedManifest(spark, dir, v).props
+
+  /** Set (or with `value = None` REMOVE) one carried table property —
+    * a METADATA-ONLY commit: same files, same schema, same stats,
+    * only the `#prop` set changes. O(manifest). Property keys and
+    * values must be single-line and colon-free on the key side
+    * (the manifest line grammar). */
+  def setProp(spark: SparkSession, dir: String, key: String,
+              value: Option[String]): Long = {
+    require(key.nonEmpty && !key.contains("=") && !key.contains("\n") &&
+      !key.contains(":"), s"invalid property key '$key'")
+    value.foreach(vv => require(!vv.contains("\n"),
+      s"invalid property value for '$key' (must be single-line)"))
+    resolveForWrite(spark, dir)
+    val prev = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots"))
+    val pm = manifest(spark, dir, prev)
+    val kept = pm.meta.filterNot(m => m.startsWith("#format:") ||
+        m.startsWith(s"#prop:$key=") || m.startsWith("#batch:") ||
+        m.startsWith("#txn:"))
+      .map(_.stripPrefix("#"))
+    val v = claimAbove(spark, dir, prev)
+    commit(spark, dir, v, pm.files,
+      Seq("format:2") ++ kept ++ value.map(vv => s"prop:$key=$vv").toSeq)
+    v
   }
 
   /** A staged write's outcome: the new files plus the meta lines
-    * (schema + per-file stats) the commit should carry. */
+    * (schema + per-file stats + byte sizes) the commit should carry. */
   private[operators] case class Staged(rels: Seq[String], schemaJson: String,
                             statLines: Seq[String],
                             stat2Lines: Seq[String] = Nil,
-                            ndvLines: Seq[String] = Nil)
+                            ndvLines: Seq[String] = Nil,
+                            sizeLines: Seq[String] = Nil)
 
   private[operators] def nullable(s: StructType): StructType =
     StructType(s.fields.map(_.copy(nullable = true)))
@@ -618,14 +708,21 @@ object Snapshots {
       .partitionBy(DirCol)
       .parquet(stageDir)
     val f = fs(df.sparkSession, dir)
-    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       f.listStatus(p).toSeq.flatMap { st =>
         if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
         else Seq.empty
       }
-    val staged = walk(new org.apache.hadoop.fs.Path(stageDir))
-      .map(p => s"data/$token/" + p.toString.split(s"/data/$token/").last)
+    val walked = walk(new org.apache.hadoop.fs.Path(stageDir))
+    def relOf(p: org.apache.hadoop.fs.Path): String =
+      s"data/$token/" + p.toString.split(s"/data/$token/").last
+    val staged = walked.map(st => relOf(st.getPath))
+    // per-file BYTE sizes, from the listing this walk already did
+    // (Iceberg's file_size_in_bytes discipline): size-based planning —
+    // broadcast-vs-shuffle decisions, compaction targeting — reads the
+    // MANIFEST, never the filesystem
+    val sizeLines = walked.map(st => s"fsize:${st.getLen}:${relOf(st.getPath)}")
     // a zero-file stage would commit a manifest no reader can resolve
     // a schema from — almost certainly an empty input upstream; fail
     // loudly rather than poison the version history
@@ -672,7 +769,7 @@ object Snapshots {
             }
           }
       }
-    Staged(staged, nullable(df.schema).json, statLines, stat2, ndvL)
+    Staged(staged, nullable(df.schema).json, statLines, stat2, ndvL, sizeLines)
   }
 
   /** Claim the next version number for a write PLANNED against
@@ -775,7 +872,7 @@ object Snapshots {
       else Seq(s"ndvcols:${ndvCols.mkString(",")}")
     commit(spark, dir, v, st.rels,
       extraMeta ++ Seq("format:2", s"schema:${st.schemaJson}") ++ scLine ++
-        ncLine ++ st.statLines ++ st.stat2Lines ++ st.ndvLines)
+        ncLine ++ st.statLines ++ st.stat2Lines ++ st.ndvLines ++ st.sizeLines)
     v
   }
 
@@ -814,9 +911,11 @@ object Snapshots {
     }
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, pm.files ++ st.rels,
-      extraMeta ++ Seq("format:2", s"schema:$schema") ++ pm.colmapLines ++
+      extraMeta ++ Seq("format:2", s"schema:$schema") ++ pm.propLines ++
+        pm.colmapLines ++
         pm.statColsLines ++ pm.ndvColsLines ++ pm.statLines ++ st.statLines ++
-        pm.stat2Lines ++ st.stat2Lines ++ pm.ndvLines ++ st.ndvLines)
+        pm.stat2Lines ++ st.stat2Lines ++ pm.ndvLines ++ st.ndvLines ++
+        pm.fsizeLines ++ st.sizeLines)
     v
   }
 
@@ -915,12 +1014,15 @@ object Snapshots {
       keptSet.contains(l.split(":", 7).last))
     val keptNdv = pm.ndvLines.filter(l =>
       keptSet.contains(l.split(":", 4).last))
+    val keptSizes = pm.fsizeLines.filter(l =>
+      keptSet.contains(l.split(":", 3).last))
     val schema = pm.schemaOpt.map(nullable(_).json).getOrElse(st.schemaJson)
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++ pm.colmapLines ++
+      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ pm.colmapLines ++
         pm.statColsLines ++ pm.ndvColsLines ++ keptStats ++ st.statLines ++
-        keptStats2 ++ st.stat2Lines ++ keptNdv ++ st.ndvLines)
+        keptStats2 ++ st.stat2Lines ++ keptNdv ++ st.ndvLines ++
+        keptSizes ++ st.sizeLines)
     v
   }
 
@@ -971,12 +1073,15 @@ object Snapshots {
 
   /** Upserts and deletes in ONE commit — the full CDC apply step a
     * net change batch needs (replaced keys arrive as upserts, gone
-    * keys as deletes; both land atomically in one version). Update
-    * and delete key sets must be DISJOINT (a replaced key is an
-    * upsert, not a delete+insert) — that disjointness is exactly
-    * what [[graft.streaming.ChangeFeed.net]] plus a same-key
-    * anti-join gives a consumer, and it is the caller's contract
-    * here (checking it would cost a join per batch). */
+    * keys as deletes; both land atomically in one version). Keep the
+    * update and delete key sets DISJOINT for CDC applies (a replaced
+    * key is an upsert, not a delete+insert) — that disjointness is
+    * exactly what [[graft.streaming.ChangeFeed.net]] plus a same-key
+    * anti-join gives a consumer. A key present on BOTH sides is
+    * dropped from its delete-side bucket and re-inserted from the
+    * update side (the update wins) — the behavior
+    * [[ZOrderTable.mergeMoving]] uses deliberately to relocate rows
+    * whose bucket changed. */
   def applyChanges(updates: DataFrame, deletes: DataFrame, dir: String,
                    bucketCol: String, keyCols: Seq[String],
                    sortCols: Seq[String],
@@ -1056,6 +1161,8 @@ object Snapshots {
       keptSet.contains(l.split(":", 7).last))
     val keptNdv = pm.ndvLines.filter(l =>
       keptSet.contains(l.split(":", 4).last))
+    val keptSizes = pm.fsizeLines.filter(l =>
+      keptSet.contains(l.split(":", 3).last))
     val schema = pm.schemaOpt match {
       case Some(ps) if updatesOpt.isEmpty => nullable(ps).json // deletes never evolve
       case Some(ps) => mergeSchemas(ps, nullable(mergedRows.schema)).json
@@ -1063,9 +1170,11 @@ object Snapshots {
     }
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++ meta ++ pm.colmapLines ++
+      Seq("format:2", s"schema:$schema") ++ meta ++ pm.propLines ++
+        pm.colmapLines ++
         pm.statColsLines ++ pm.ndvColsLines ++ keptStats ++ st.statLines ++
-        keptStats2 ++ st.stat2Lines ++ keptNdv ++ st.ndvLines)
+        keptStats2 ++ st.stat2Lines ++ keptNdv ++ st.ndvLines ++
+        keptSizes ++ st.sizeLines)
     v
   }
 
@@ -1109,7 +1218,8 @@ object Snapshots {
     val carried = pm.meta.filter(m => m.startsWith("#stat:") ||
       m.startsWith("#stat2:") || m.startsWith("#statcols:") ||
       m.startsWith("#ndv:") || m.startsWith("#ndvcols:") ||
-      m.startsWith("#bucketw:") || m.startsWith("#filew:"))
+      m.startsWith("#bucketw:") || m.startsWith("#filew:") ||
+      m.startsWith("#prop:") || m.startsWith("#fsize:"))
       .map(_.stripPrefix("#"))
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, pm.files,
@@ -1315,31 +1425,114 @@ object Snapshots {
     * full-scan filter. */
   def prunedScanAtBy(spark: SparkSession, dir: String, v: Long,
                      column: String, lo: Any, hi: Any,
-                     stats: Option[Seq[Layout.TypedFileStat]] = None): DataFrame = {
+                     stats: Option[Seq[Layout.TypedFileStat]] = None): DataFrame =
+    prunedScanAtBox(spark, dir, v, Seq((column, lo, hi)), stats.map(s =>
+      Map(column -> s)))
+
+  /** The manifest-relative files a `[lo, hi)` predicate on `column`
+    * must read at version `v` — the pruning DECISION alone (what
+    * [[prunedScanAtBy]] scans), exposed so layout gates/benchmarks
+    * can count skipped files without touching data. Conservative:
+    * files without a recorded stat survive. */
+  def prunedFilesBy(spark: SparkSession, dir: String, v: Long,
+                    column: String, lo: Any, hi: Any): Seq[String] =
+    prunedFilesBox(spark, dir, v, Seq((column, lo, hi)))
+
+  /** [[prunedFilesBy]] for a CONJUNCTION of range predicates — the
+    * multi-dimensional pruning decision a Z-ORDER layout exists for:
+    * a file survives only if EVERY predicate's recorded min/max
+    * window overlaps it, so per-file survival sets INTERSECT across
+    * dimensions (under a z-prefix bucketing each dimension's stats
+    * box is the bucket cell's projection — an axis-aligned box reads
+    * just the cells it intersects). */
+  def prunedFilesBox(spark: SparkSession, dir: String, v: Long,
+                     preds: Seq[(String, Any, Any)],
+                     stats: Option[Map[String, Seq[Layout.TypedFileStat]]] = None)
+      : Seq[String] = {
+    require(preds.nonEmpty, "box pruning needs at least one predicate")
     val m = committedManifest(spark, dir, v)
-    val st = stats.getOrElse(versionStatsFor(spark, dir, v, column))
-    val byFile = st.map(s => s.path -> s).toMap
-    val surviving = m.files.filter { rel =>
-      byFile.get(s"$dir/$rel") match {
-        case Some(s) => stat2Survives(s.kind, s.min, s.max, lo, hi)
-        case None => true // no stats claim for this file: must read it
+    val byCol = preds.map { case (c, _, _) =>
+      val st = stats.flatMap(_.get(c))
+        .getOrElse(versionStatsFor(spark, dir, v, c))
+      c -> st.map(s => s.path -> s).toMap
+    }.toMap
+    m.files.filter { rel =>
+      preds.forall { case (c, lo, hi) =>
+        byCol(c).get(s"$dir/$rel") match {
+          case Some(s) => stat2Survives(s.kind, s.min, s.max, lo, hi)
+          case None => true // no stats claim for this file: must read it
+        }
       }
     }
-    val isTs = m.schemaOpt.exists { s =>
-      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-      s.fieldNames.contains(column) &&
-        (s(column).dataType == TimestampType ||
-          s(column).dataType == TimestampNTZType)
-    }
-    // NTZ casts through TimestampType under the pinned-UTC session —
-    // identical micros to the parquet INT64 the stats recorded
-    val c = if (isTs) unix_micros(col(column).cast("timestamp")) else col(column)
-    val residual = c >= lit(lo) && c < lit(hi)
+  }
+
+  /** Stats-pruned scan of a version under a CONJUNCTION of range
+    * predicates, `[lo, hi)` each — [[prunedScanAtBy]] generalized to
+    * the multi-dimensional box query: planned entirely from the
+    * manifest, surviving files = the per-dimension survivals'
+    * INTERSECTION, residual = the exact AND. Always equals the
+    * full-scan filter. */
+  def prunedScanAtBox(spark: SparkSession, dir: String, v: Long,
+                      preds: Seq[(String, Any, Any)],
+                      stats: Option[Map[String, Seq[Layout.TypedFileStat]]] = None)
+      : DataFrame = {
+    val m = committedManifest(spark, dir, v)
+    val surviving = prunedFilesBox(spark, dir, v, preds, stats)
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val residual = preds.map { case (column, lo, hi) =>
+      val isTs = m.schemaOpt.exists { s =>
+        s.fieldNames.contains(column) &&
+          (s(column).dataType == TimestampType ||
+            s(column).dataType == TimestampNTZType)
+      }
+      // NTZ casts through TimestampType under the pinned-UTC session —
+      // identical micros to the parquet INT64 the stats recorded
+      val c = if (isTs) unix_micros(col(column).cast("timestamp"))
+              else col(column)
+      c >= lit(lo) && c < lit(hi)
+    }.reduce(_ && _)
     if (surviving.isEmpty)
       readFiles(spark, dir, m.files, m.schemaOpt, m.colMap)
         .filter(residual).limit(0)
     else readFiles(spark, dir, surviving, m.schemaOpt, m.colMap)
       .filter(residual)
+  }
+
+  /** TOTAL byte size of version `v`, planned from the manifest's
+    * per-file `#fsize` lines (recorded free at staging from the
+    * listing). Files without a recorded size — legacy manifests —
+    * are stat'ed once from the filesystem, the conservative fallback
+    * every stats reader here uses. */
+  def sizeAt(spark: SparkSession, dir: String, v: Long): Long = {
+    val m = committedManifest(spark, dir, v)
+    val recorded = m.fileSizes
+    val f = fs(spark, dir)
+    m.files.map { rel =>
+      recorded.getOrElse(rel,
+        f.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$rel")).getLen)
+    }.sum
+  }
+
+  /** TOTAL row count of version `v` from the MANIFEST alone: per-file
+    * row counts ride in the `#stat` / `#stat2` lines. None when any
+    * file lacks one (no stats columns were declared) — callers fall
+    * back to counting, or treat the table as stats-less. */
+  def rowCountAt(spark: SparkSession, dir: String, v: Long): Option[Long] = {
+    val m = committedManifest(spark, dir, v)
+    val rows: Map[String, Long] =
+      (m.metaValues("stat").flatMap { s =>
+        s.split(":", 5) match {
+          case Array(_, r, _, _, rel) => Some(rel -> r.toLong)
+          case _ => None
+        }
+      } ++ m.metaValues("stat2").flatMap { s =>
+        s.split(":", 6) match {
+          case Array(_, _, r, _, _, rel) => Some(rel -> r.toLong)
+          case _ => None
+        }
+      }).toMap
+    val per = m.files.map(rows.get)
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
   }
 
   /** Approximate DISTINCT COUNT of `column` at version `v`, planned
@@ -1355,7 +1548,16 @@ object Snapshots {
     * decide broadcast vs shuffle and flag low-NDV skew keys before a
     * stage burns on them. */
   def approxDistinctAt(spark: SparkSession, dir: String, v: Long,
-                       column: String): (Double, Boolean) = {
+                       column: String): (Double, Boolean) =
+    Ndv.estimate(ndvSketchAt(spark, dir, v, column))
+
+  /** The version's MERGED KMV sketch for `column` (the union of its
+    * files' recorded sketches; files without one — legacy, or the
+    * column wasn't declared — are sketched on the fly, the
+    * verification path). Feed two tables' sketches to
+    * [[Ndv.intersectEstimate]] for join-overlap planning. */
+  def ndvSketchAt(spark: SparkSession, dir: String, v: Long,
+                  column: String): Array[Long] = {
     val m = committedManifest(spark, dir, v)
     val phys = m.toPhysical.getOrElse(column, column)
     val recorded = m.ndvSketches(phys)
@@ -1365,7 +1567,7 @@ object Snapshots {
       else Ndv.fileSketches(
         spark.read.parquet(missing.map(r => s"$dir/$r"): _*), phys)
         .values.toSeq
-    Ndv.estimate(Ndv.merge(have.map(recorded) ++ extra))
+    Ndv.merge(have.map(recorded) ++ extra)
   }
 
   /** Drop every version below `keepFrom` and delete the data files

@@ -73,6 +73,9 @@ object Relational {
     "q180_prune_typed" -> q180,
     "q181_hash_bucket" -> q181,
     "q182_ndv" -> q182,
+    "q183_zorder_table" -> q183,
+    "q184_table_props" -> q184,
+    "q185_join_planner" -> q185,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -1682,6 +1685,246 @@ object Relational {
       .orderBy(col("version"), col("colname"))
   }
 
+  /** Z-ORDER TABLE LAYOUT under the gate (the r10-backlog
+    * "multi-column layout keys for the snapshot WRITE PATH" —
+    * [[graft.operators.ZOrderTable]]: rows bucketed by their Morton-
+    * key PREFIX, one file per curve cell, per-dimension typed stats
+    * auto-declared, layout carried as a table property): orders on a
+    * derived 2-D grid (x = key·7919 mod 2^16, y = custkey·104729 mod
+    * 2^16 — both SQL-expressible scatters), published at shift 26 =
+    * 64 level-3 cells. The 'state' rows are CLOSED FORM BY
+    * CONSTRUCTION: the cell-aligned quadrant box [0,16384)^2 reads
+    * EXACTLY 2×2 = 4 of 64 files and a single-dimension window 2×8 =
+    * 16 — a linear sort order prunes only its leading column; here
+    * BOTH dimensions prune, and their conjunction INTERSECTS
+    * ([[graft.operators.Snapshots.prunedFilesBox]]). The write path
+    * then composes: a pruned MERGE (dims in the key — attribute bump
+    * on key%500==7) and a DELETE (key%5==0) keep the layout and the
+    * closed-form pruning counts; every fold is the exact residual
+    * answer the oracle recomputes from raw orders. */
+  def q183(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Snapshots, ZOrderTable => Z}
+    import spark.implicits._
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_ztable_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Snapshots.dropPath(spark, out)
+    val src = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      (col("o_orderkey") * 7919 % 65536).as("x"),
+      (col("o_custkey") * 104729 % 65536).as("y"))
+    val v1 = Z.publish(src, out, Seq("x", "y"), shift = 26)
+    // pruned merge (dims in the key): attribute bump, cells unchanged
+    Z.merge(src.filter(col("o_orderkey") % 500 === 7)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0)),
+      out, Seq("o_orderkey", "x", "y"))
+    val v3 = Z.delete(src.filter(col("o_orderkey") % 5 === 0)
+        .select("o_orderkey", "x", "y"),
+      out, Seq("o_orderkey", "x", "y"))
+    def fold(df: DataFrame): (Long, Long, Long) = {
+      val canon = concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("x"), col("y"), (dec2(col("o_totalprice")) * 100).cast("long"))
+      val r = df
+        .withColumn("h", conv(substring(md5(canon), 1, 15), 16, 10).cast("long"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+          coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val boxPred = Seq(("x", 0L, 16384L), ("y", 0L, 16384L))
+    def stateRow(v: Long) = (
+      Z.boxFiles(spark, out, v, boxPred).size.toLong,
+      Z.boxFiles(spark, out, v, Seq(("x", 0L, 16384L))).size.toLong,
+      Snapshots.files(spark, out, v).size.toLong)
+    val (b11, b12, b13) = fold(Z.box(spark, out, v1, boxPred))
+    val (b31, b32, b33) = fold(Z.box(spark, out, v3, boxPred))
+    val (x1, x2, x3) = fold(Z.box(spark, out, v3, Seq(("x", 0L, 16384L))))
+    val (y1, y2, y3) = fold(Z.box(spark, out, v3, Seq(("y", 0L, 16384L))))
+    val (f1, f2, f3) = fold(Z.readAt(spark, out, v3))
+    val (s11, s12, s13) = stateRow(v1)
+    val (s31, s32, s33) = stateRow(v3)
+    Seq(
+      ("box", "v0001", b11, b12, b13),
+      ("box", "v0003", b31, b32, b33),
+      ("window", "x", x1, x2, x3),
+      ("window", "y", y1, y2, y3),
+      ("read", "v0003", f1, f2, f3),
+      ("state", "files_v0001", s11, s12, s13),
+      ("state", "files_v0003", s31, s32, s33),
+      ("state", "meta",
+        Z.boxFiles(spark, out, v3, Seq(("y", 0L, 16384L))).size.toLong,
+        Snapshots.versions(spark, out).size.toLong,
+        Z.currentLayout(spark, out).shift.toLong))
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
+  /** CARRIED TABLE PROPERTIES + the PERIODIC CHECKPOINT POLICY under
+    * the gate ([[graft.operators.Snapshots.setProp]] /
+    * `prop:ckptevery=N` — Delta's table-properties +
+    * `_last_checkpoint` disciplines fused: properties ride every
+    * commit verbatim, and every Nth version refreshes the
+    * committedness checkpoint INSIDE the write itself, so a fresh
+    * process attaches to a long history with ONE file read and
+    * nobody schedules maintenance): orders publish with
+    * `ckptevery=2` + an owner tag, append (policy fires at v2),
+    * setProp (metadata-only v3 — files identical), merge (fires at
+    * v4). The 'ckpt' rows pin the protocol arithmetic (exists flag ×
+    * covered-version count per step); 'prop' rows pin each version's
+    * property SET as strings; reads hash v1 (time travel across
+    * metadata commits) and v4. */
+  def q184(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import spark.implicits._
+    val W = 8192L
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_props_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Snapshots.dropPath(spark, out)
+    val src = Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    val half = src.filter(col("o_orderkey") % 2 === 0)
+    val rest = src.filter(col("o_orderkey") % 2 =!= 0)
+    def ckpt(): (Long, Long) = {
+      val cov = Snapshots.checkpointCoverage(spark, out)
+      (if (cov.isDefined) 1L else 0L, cov.getOrElse(0L))
+    }
+    val v1 = Snapshots.publish(half, out, "bucket", Seq("o_orderkey"),
+      meta = Seq("prop:ckptevery=2", "prop:owner=pipeline-a"))
+    val c1 = ckpt()
+    val v2 = Snapshots.append(rest, out, "bucket", Seq("o_orderkey"))
+    val c2 = ckpt()
+    val v3 = Snapshots.setProp(spark, out, "tier", Some("gold"))
+    val c3 = ckpt()
+    val v4 = Snapshots.merge(
+      src.filter(col("o_orderkey") % 500 === 7)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0)),
+      out, "bucket", Seq("o_orderkey"), Seq("o_orderkey"))
+    val c4 = ckpt()
+    def propsOf(v: Long): String =
+      Snapshots.propsAt(spark, out, v).toSeq.sorted
+        .map { case (k, vv) => s"$k=$vv" }.mkString(",")
+    def fold(df: DataFrame): (Long, Long, Long) = {
+      val r = df.withColumn("h", ordersRowHash)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+          coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (r11, r12, r13) = fold(Snapshots.readAt(spark, out, v1))
+    val (r41, r42, r43) = fold(Snapshots.readAt(spark, out, v4))
+    // v3 was metadata-only: same files as v2, byte for byte
+    val metaOnly =
+      if (Snapshots.files(spark, out, v3) ==
+          Snapshots.files(spark, out, v2)) 1L else 0L
+    Seq(
+      ("ckpt", "v0001", c1._1, c1._2, 0L),
+      ("ckpt", "v0002", c2._1, c2._2, 0L),
+      ("ckpt", "v0003", c3._1, c3._2, metaOnly),
+      ("ckpt", "v0004", c4._1, c4._2, 0L),
+      ("prop", "v0001_" + propsOf(v1), 1L, 1L, 1L),
+      ("prop", "v0004_" + propsOf(v4), 1L, 1L, 1L),
+      ("read", "v0001", r11, r12, r13),
+      ("read", "v0004", r41, r42, r43))
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
+  /** MANIFEST-DRIVEN JOIN PLANNING under the gate (the r10-backlog
+    * "feed NDV + row counts into an automatic join-strategy chooser"
+    * — [[graft.operators.JoinPlanner]] closing the statistics loop:
+    * `#fsize` byte sizes + `#stat2` row counts + `#ndv` KMV sketches,
+    * ALL read from two manifests with zero data opens, drive
+    * broadcast-vs-salted-vs-shuffle): three table pairs exercise the
+    * three regimes — orders⋈customer on custkey (customer fits the
+    * 10 MiB threshold → BROADCAST, build right), orders⋈lineitem on
+    * orderkey with the threshold forced to 0 (multiplicity ≈ 4 < 64 →
+    * plain SHUFFLE), and a derived hot-key pair (key = custkey mod 50
+    * → orders-side multiplicity 300 ≥ 64 → SALTED, build left, ×16).
+    * The strategy/build/salt of each decision ride in the row LABELS
+    * (constants in the oracle — xxhash64 and the manifests are
+    * deterministic); each executed join folds to the same hash as the
+    * oracle's plain SQL join — strategies move bytes, never rows. The
+    * 'est' row pins the KMV join-cardinality estimate
+    * ([[graft.operators.Ndv.intersectEstimate]] × multiplicities)
+    * inside its band against the EXACT join count (the q64x envelope
+    * discipline: the estimate is engine-native, the flag is the
+    * surface). */
+  def q185(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{JoinPlanner => JP, Snapshots}
+    import spark.implicits._
+    val base = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_jplan_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Snapshots.dropPath(spark, base)
+    def pub(name: String, df: DataFrame): String = {
+      val out = s"$base/$name"
+      Snapshots.publish(df, out, "bucket", Seq("k"),
+        statsCols = Seq("k"), ndvCols = Seq("k"))
+      out
+    }
+    val ordC = pub("ord_c", Tables.orders(spark, dir).select(
+      col("o_custkey").as("k"), col("o_orderkey"), col("o_totalprice"),
+      (col("o_custkey") % 16).as("bucket")))
+    val cust = pub("cust", Tables.customer(spark, dir).select(
+      col("c_custkey").as("k"), col("c_acctbal"),
+      (col("c_custkey") % 16).as("bucket")))
+    val ordK = pub("ord_k", Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_totalprice"),
+      expr("o_orderkey div 8192").as("bucket")))
+    val line = pub("line", Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("k"), col("l_linenumber"),
+      expr("l_orderkey div 8192").as("bucket")))
+    val hotO = pub("hot_o", Tables.orders(spark, dir).select(
+      (col("o_custkey") % 50).as("k"), col("o_orderkey"),
+      (col("o_custkey") % 8).as("bucket")))
+    // one dim row per hot key: the join output stays linear in the
+    // fact (the salted REGIME needs the fact side's multiplicity, not
+    // a quadratic blowup — bench runs this at sf0.1)
+    val hotC = pub("hot_c", Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 50).select(
+        (col("c_custkey") % 50).as("k"), col("c_custkey"),
+        (col("c_custkey") % 8).as("bucket")))
+    val dBc = JP.plan(spark, ordC, cust, "k")
+    val dSh = JP.plan(spark, ordK, line, "k", broadcastBytes = 0)
+    val dSa = JP.plan(spark, hotO, hotC, "k", broadcastBytes = 0)
+    def side(dirS: String, d: Long): DataFrame =
+      Snapshots.readAt(spark, dirS, d).drop("bucket")
+    def fold(df: DataFrame, canon: Column): (Long, Long, Long) = {
+      val r = df
+        .withColumn("h", conv(substring(md5(canon), 1, 15), 16, 10).cast("long"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+          coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (b1, b2, b3) = fold(
+      JP.execute(side(ordC, dBc.left.version), side(cust, dBc.right.version),
+        "k", dBc),
+      concat_ws("|", col("k"), col("o_orderkey"),
+        (dec2(col("o_totalprice")) * 100).cast("long"),
+        (dec2(col("c_acctbal")) * 100).cast("long")))
+    val (s1, s2, s3) = fold(
+      JP.execute(side(ordK, dSh.left.version), side(line, dSh.right.version),
+        "k", dSh),
+      concat_ws("|", col("k"), col("l_linenumber"),
+        (dec2(col("o_totalprice")) * 100).cast("long")))
+    val (a1, a2, a3) = fold(
+      JP.execute(side(hotO, dSa.left.version), side(hotC, dSa.right.version),
+        "k", dSa),
+      concat_ws("|", col("k"), col("o_orderkey"), col("c_custkey")))
+    // the KMV cardinality estimate vs the exact join count, as a band
+    // flag (deterministic: fixed hashes, fixed manifests)
+    val est = JP.estimateJoinRows(spark, ordK, line, "k").get
+    val exact = s1.toDouble
+    def lbl(d: JP.Decision) = s"${d.strategy}_${d.buildSide}_x${d.saltFactor}"
+    Seq(
+      ("plan", "bc_" + lbl(dBc), 1L, 1L, 1L),
+      ("plan", "sh_" + lbl(dSh), 1L, 1L, 1L),
+      ("plan", "sa_" + lbl(dSa), 1L, 1L, 1L),
+      ("join", "bc", b1, b2, b3),
+      ("join", "sh", s1, s2, s3),
+      ("join", "sa", a1, a2, a3),
+      ("est", "orders_lineitem",
+        if (math.abs(est / exact - 1.0) <= 0.30) 1L else 0L, s1, 1L))
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
   /** MULTI-TABLE TRANSACTIONAL PUBLISH under the gate
     * ([[graft.operators.Snapshots.beginTxn]] — the cross-table
     * atomicity a pipeline's fact+dim pair needs; the create-
@@ -2770,6 +3013,135 @@ object Relational {
          |  UNION ALL SELECT 'read', 'v0007', count(*),
          |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h6
          |  UNION ALL SELECT 'state', 'meta', 7, 7, 32)
+         |SELECT * FROM agg ORDER BY section, label""".stripMargin
+    },
+    // q183: every box/window fold restates as its plain filter over
+    // the derived grid (pruning is pure I/O — residuals keep it
+    // exact); state rows are closed form BY CONSTRUCTION: shift 26 on
+    // a 32-bit Morton key = 64 level-3 cells, the cell-aligned
+    // quadrant box reads 2x2 = 4 files, a one-dimension window 2x8 =
+    // 16, regardless of data
+    "q183_zorder_table" -> {
+      val canon = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+        "CAST(x AS VARCHAR) || '|' || CAST(y AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      def h60(src: String) =
+        s"""SELECT list_reduce(list_transform(generate_series(1, 15),
+           |      i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+           |      (a, x2) -> a * 16 + x2) AS h FROM $src""".stripMargin
+      s"""WITH src AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice,
+         |    (o_orderkey * 7919) % 65536 AS x,
+         |    (o_custkey * 104729) % 65536 AS y
+         |  FROM orders),
+         |v2 AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CASE WHEN o_orderkey % 500 = 7 THEN o_totalprice + 1.0
+         |         ELSE o_totalprice END AS o_totalprice, x, y
+         |  FROM src),
+         |v3 AS (SELECT * FROM v2 WHERE o_orderkey % 5 <> 0),
+         |b1 AS (SELECT * FROM src WHERE x < 16384 AND y < 16384),
+         |b3 AS (SELECT * FROM v3 WHERE x < 16384 AND y < 16384),
+         |wx AS (SELECT * FROM v3 WHERE x < 16384),
+         |wy AS (SELECT * FROM v3 WHERE y < 16384),
+         |hb1 AS (${h60("b1")}),
+         |hb3 AS (${h60("b3")}),
+         |hwx AS (${h60("wx")}),
+         |hwy AS (${h60("wy")}),
+         |hf AS (${h60("v3")}),
+         |agg AS (
+         |  SELECT 'box' AS section, 'v0001' AS label, count(*) AS m1,
+         |    CAST(bit_xor(h) AS BIGINT) AS m2,
+         |    CAST(sum(h % 1000000000000) AS BIGINT) AS m3 FROM hb1
+         |  UNION ALL SELECT 'box', 'v0003', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hb3
+         |  UNION ALL SELECT 'window', 'x', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hwx
+         |  UNION ALL SELECT 'window', 'y', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hwy
+         |  UNION ALL SELECT 'read', 'v0003', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hf
+         |  UNION ALL SELECT 'state', 'files_v0001', 4, 16, 64
+         |  UNION ALL SELECT 'state', 'files_v0003', 4, 16, 64
+         |  UNION ALL SELECT 'state', 'meta', 16, 3, 26)
+         |SELECT * FROM agg ORDER BY section, label""".stripMargin
+    },
+    // q184: reads restate as plain filters; ckpt/prop rows are
+    // protocol arithmetic (policy N=2 fires at v2 covering 2 and at
+    // v4 covering 4; the setProp commit is metadata-only so v3 lists
+    // v2's exact files; property sets ride in the labels)
+    "q184_table_props" -> {
+      val canon = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+        "o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      def h60(src: String) =
+        s"""SELECT list_reduce(list_transform(generate_series(1, 15),
+           |      i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+           |      (a, x) -> a * 16 + x) AS h FROM $src""".stripMargin
+      s"""WITH v1r AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         |v4r AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    CASE WHEN o_orderkey % 500 = 7 THEN o_totalprice + 1.0
+         |         ELSE o_totalprice END AS o_totalprice, o_orderdate
+         |  FROM orders),
+         |h1 AS (${h60("v1r")}),
+         |h4 AS (${h60("v4r")}),
+         |agg AS (
+         |  SELECT 'ckpt' AS section, 'v0001' AS label, CAST(0 AS BIGINT) AS m1,
+         |    CAST(0 AS BIGINT) AS m2, CAST(0 AS BIGINT) AS m3
+         |  UNION ALL SELECT 'ckpt', 'v0002', 1, 2, 0
+         |  UNION ALL SELECT 'ckpt', 'v0003', 1, 2, 1
+         |  UNION ALL SELECT 'ckpt', 'v0004', 1, 4, 0
+         |  UNION ALL SELECT 'prop', 'v0001_ckptevery=2,owner=pipeline-a', 1, 1, 1
+         |  UNION ALL SELECT 'prop', 'v0004_ckptevery=2,owner=pipeline-a,tier=gold', 1, 1, 1
+         |  UNION ALL SELECT 'read', 'v0001', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h1
+         |  UNION ALL SELECT 'read', 'v0004', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h4)
+         |SELECT * FROM agg ORDER BY section, label""".stripMargin
+    },
+    // q185: each executed join restates as its plain SQL join (a
+    // strategy moves bytes, never rows); plan labels are constants
+    // (decisions are deterministic functions of the fixed manifests);
+    // the est row's band flag is 1 by the q64x envelope discipline
+    "q185_join_planner" -> {
+      def h60(canon: String, src: String) =
+        s"""SELECT list_reduce(list_transform(generate_series(1, 15),
+           |      i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+           |      (a, x) -> a * 16 + x) AS h FROM $src""".stripMargin
+      val cBc = "CAST(k AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      val cSh = "CAST(k AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      val cSa = "CAST(k AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR) || '|' || " +
+        "CAST(c_custkey AS VARCHAR)"
+      s"""WITH bc AS (
+         |  SELECT o.o_custkey AS k, o.o_orderkey, o.o_totalprice, c.c_acctbal
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |sh AS (
+         |  SELECT o.o_orderkey AS k, l.l_linenumber, o.o_totalprice
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |sa AS (
+         |  SELECT (o.o_custkey % 50) AS k, o.o_orderkey, c.c_custkey
+         |  FROM orders o JOIN customer c ON (o.o_custkey % 50) = (c.c_custkey % 50)
+         |  WHERE c.c_custkey <= 50),
+         |hb AS (${h60(cBc, "bc")}),
+         |hs AS (${h60(cSh, "sh")}),
+         |ha AS (${h60(cSa, "sa")}),
+         |agg AS (
+         |  SELECT 'plan' AS section, 'bc_broadcast_right_x1' AS label,
+         |    CAST(1 AS BIGINT) AS m1, CAST(1 AS BIGINT) AS m2, CAST(1 AS BIGINT) AS m3
+         |  UNION ALL SELECT 'plan', 'sh_shuffle_none_x1', 1, 1, 1
+         |  UNION ALL SELECT 'plan', 'sa_salted_left_x16', 1, 1, 1
+         |  UNION ALL SELECT 'join', 'bc', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hb
+         |  UNION ALL SELECT 'join', 'sh', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hs
+         |  UNION ALL SELECT 'join', 'sa', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM ha
+         |  UNION ALL SELECT 'est', 'orders_lineitem', 1,
+         |    (SELECT count(*) FROM sh), 1)
          |SELECT * FROM agg ORDER BY section, label""".stripMargin
     },
     // q180: each prune restates as its plain filter (pruning is a

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Snapshots
+
+/** Carried table properties (`#prop`) and the periodic checkpoint
+  * policy (`ckptevery`): set once, ride every write path, drive the
+  * committedness checkpoint without explicit maintenance calls. */
+class TablePropsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_props_$name")
+    d.toFile.deleteOnExit()
+    d.toString + "/tbl"
+  }
+
+  private def rows(lo: Long, hi: Long) =
+    spark.range(lo, hi, 1, 4).select(col("id").as("k"),
+      (col("id") % 8).as("bucket"), (col("id") * 3).as("v"))
+
+  private def ckptFile(dir: String) =
+    new java.io.File(s"$dir/_manifests/_checkpoint")
+
+  test("props carry verbatim through append, merge, delete, compact and " +
+    "rename; setProp adds, replaces and removes with metadata-only commits") {
+    val dir = tmpDir("carry")
+    Snapshots.publish(rows(0, 1000), dir, "bucket", Seq("k"),
+      meta = Seq("prop:owner=pipeline-a"))
+    def props = Snapshots.propsAt(spark, dir,
+      Snapshots.latest(spark, dir).get)
+    assert(props === Map("owner" -> "pipeline-a"))
+    Snapshots.append(rows(1000, 1200), dir, "bucket", Seq("k"))
+    assert(props === Map("owner" -> "pipeline-a"), "append carries")
+    Snapshots.merge(rows(5, 6).withColumn("v", lit(99L)), dir, "bucket",
+      Seq("k"), Seq("k"))
+    assert(props === Map("owner" -> "pipeline-a"), "merge carries")
+    Snapshots.delete(rows(5, 6).select("k", "bucket"), dir, "bucket",
+      Seq("k"), Seq("k"))
+    assert(props === Map("owner" -> "pipeline-a"), "delete carries")
+    Snapshots.compact(spark, dir, "bucket", Seq("k"))
+    assert(props === Map("owner" -> "pipeline-a"), "compact carries")
+    Snapshots.rename(spark, dir, "v", "val")
+    assert(props === Map("owner" -> "pipeline-a"), "rename carries")
+    // setProp: add a second, replace the first, then remove
+    val vFiles = Snapshots.files(spark, dir, Snapshots.latest(spark, dir).get)
+    Snapshots.setProp(spark, dir, "tier", Some("gold"))
+    assert(props === Map("owner" -> "pipeline-a", "tier" -> "gold"))
+    Snapshots.setProp(spark, dir, "owner", Some("pipeline-b"))
+    assert(props === Map("owner" -> "pipeline-b", "tier" -> "gold"))
+    Snapshots.setProp(spark, dir, "tier", None)
+    assert(props === Map("owner" -> "pipeline-b"))
+    // metadata-only: the file list never changed, and the table still reads
+    assert(Snapshots.files(spark, dir,
+      Snapshots.latest(spark, dir).get) === vFiles)
+    assert(Snapshots.read(spark, dir).count() === 1199)
+    assert(Snapshots.read(spark, dir).columns.contains("val"),
+      "setProp preserved the rename")
+    intercept[IllegalArgumentException] {
+      Snapshots.setProp(spark, dir, "bad=key", Some("x"))
+    }
+  }
+
+  test("ckptevery policy: every Nth commit refreshes the committedness " +
+    "checkpoint as part of the write itself; a fresh process seeds from it") {
+    val dir = tmpDir("policy")
+    Snapshots.publish(rows(0, 500), dir, "bucket", Seq("k"),
+      meta = Seq("prop:ckptevery=2"))
+    assert(!ckptFile(dir).exists(), "v1: below the policy period")
+    Snapshots.append(rows(500, 600), dir, "bucket", Seq("k"))
+    assert(ckptFile(dir).exists(), "v2: policy fired inside the commit")
+    val afterV2 = ckptFile(dir).lastModified()
+    val lenV2 = ckptFile(dir).length()
+    Snapshots.append(rows(600, 700), dir, "bucket", Seq("k"))
+    assert(ckptFile(dir).length() === lenV2, "v3: off-period, not refreshed")
+    Snapshots.append(rows(700, 800), dir, "bucket", Seq("k"))
+    assert(ckptFile(dir).length() > lenV2,
+      s"v4: refreshed (covers 4 versions, was $afterV2)")
+    // the checkpoint a fresh process would read covers all 4 versions
+    Snapshots.clearCaches()
+    assert(Snapshots.versions(spark, dir) === Seq(1L, 2L, 3L, 4L))
+    assert(Snapshots.read(spark, dir).count() === 800)
+    // policy is itself a prop: removable like any other
+    Snapshots.setProp(spark, dir, "ckptevery", None)
+    assert(Snapshots.propsAt(spark, dir,
+      Snapshots.latest(spark, dir).get).isEmpty)
+  }
+}

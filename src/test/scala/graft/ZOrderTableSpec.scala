@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Snapshots, ZOrderTable}
+
+/** Z-order table layout: closed-form box pruning (a power-of-2-aligned
+  * box reads EXACTLY its intersecting curve cells), correctness of the
+  * pruned scan vs the full filter, layout carry through
+  * append/merge/delete, and the Hilbert variant. */
+class ZOrderTableSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_zt_$name")
+    d.toFile.deleteOnExit()
+    d.toString + "/tbl"
+  }
+
+  /** 20k rows scattered deterministically over the 16-bit grid. */
+  private def grid() =
+    spark.range(0, 20000, 1, 8).select(
+      col("id"),
+      (col("id") * 7919 % 65536).as("x"),
+      (col("id") * 104729 % 65536).as("y"),
+      (col("id") * 3).as("v"))
+
+  test("closed-form box pruning: shift 26 = 64 level-3 cells; the " +
+    "aligned quadrant box [0,16384)^2 reads EXACTLY 4 files, a single-" +
+    "dim window 16, and the pruned scan equals the full filter") {
+    val dir = tmpDir("box")
+    val v = ZOrderTable.publish(grid(), dir, Seq("x", "y"), shift = 26)
+    val all = Snapshots.files(spark, dir, v)
+    assert(all.size === 64, s"one file per occupied cell, got ${all.size}")
+    // the box is cell-aligned (2x2 cells of 8192): exactly 4 survive
+    val box = Seq(("x", 0L, 16384L), ("y", 0L, 16384L))
+    assert(ZOrderTable.boxFiles(spark, dir, v, box).size === 4)
+    // one dimension alone: 2 of 8 cell columns x all 8 rows = 16
+    assert(ZOrderTable.boxFiles(spark, dir, v,
+      Seq(("x", 0L, 16384L))).size === 16)
+    assert(ZOrderTable.boxFiles(spark, dir, v,
+      Seq(("y", 0L, 16384L))).size === 16)
+    // non-aligned boxes stay conservative-correct (and can't read fewer
+    // files than the cells they intersect: [1000,17000) spans 3 columns)
+    assert(ZOrderTable.boxFiles(spark, dir, v,
+      Seq(("x", 1000L, 17000L))).size === 24)
+    // pruned == full filter, rows and content
+    val pruned = ZOrderTable.box(spark, dir, v, box)
+      .select("id", "x", "y").orderBy("id")
+    val full = ZOrderTable.readAt(spark, dir, v)
+      .filter(col("x") < 16384 && col("y") < 16384)
+      .select("id", "x", "y").orderBy("id")
+    assert(pruned.collect().toSeq === full.collect().toSeq)
+  }
+
+  test("layout carries: append and merge re-derive the SAME cells from " +
+    "the manifest property; delete rewrites only touched cells") {
+    val dir = tmpDir("carry")
+    val base = grid().filter(col("id") < 15000)
+    ZOrderTable.publish(base, dir, Seq("x", "y"), shift = 26)
+    assert(ZOrderTable.currentLayout(spark, dir) ===
+      ZOrderTable.ZLayout("z", 26, Seq("x", "y")))
+    // append new rows: layout re-derived, no layout args needed
+    val v2 = ZOrderTable.append(grid().filter(col("id") >= 15000), dir)
+    assert(ZOrderTable.readAt(spark, dir, v2).count() === 20000)
+    // pruned merge: key determines the cell (dims part of the key) —
+    // update row 7's ATTRIBUTE in place
+    val x7 = 7L * 7919 % 65536
+    val y7 = 7L * 104729 % 65536
+    val upd = Seq((7L, x7, y7, 999L)).toDF("id", "x", "y", "v")
+    val v3 = ZOrderTable.merge(upd, dir, Seq("id", "x", "y"))
+    val got = ZOrderTable.read(spark, dir).filter(col("id") === 7)
+      .select("v").as[Long].collect()
+    assert(got.toSeq === Seq(999L))
+    assert(ZOrderTable.readAt(spark, dir, v3).count() === 20000)
+    // a key that does NOT determine the cell refuses the pruned path
+    intercept[IllegalArgumentException] {
+      ZOrderTable.merge(upd, dir, Seq("id"))
+    }
+    // delete by key (keys carry the dims to locate cells)
+    val pre = Snapshots.files(spark, dir, v3).toSet
+    val v4 = ZOrderTable.delete(Seq((7L, x7, y7)).toDF("id", "x", "y"),
+      dir, Seq("id", "x", "y"))
+    assert(ZOrderTable.readAt(spark, dir, v4)
+      .filter(col("id") === 7).count() === 0)
+    assert(ZOrderTable.readAt(spark, dir, v4).count() === 19999)
+    val post = Snapshots.files(spark, dir, v4).toSet
+    // only the origin cell's file was rewritten
+    assert((pre -- post).size <= 2 && (post -- pre).size <= 1,
+      s"delete rewrote more than the touched cell: -${pre -- post} +${post -- pre}")
+    // time travel across it all still works
+    assert(ZOrderTable.readAt(spark, dir, v2).count() === 20000)
+  }
+
+  test("mergeMoving relocates a row whose dims changed: old cell loses " +
+    "it, new cell gains it, exactly one copy survives") {
+    val dir = tmpDir("move")
+    ZOrderTable.publish(grid(), dir, Seq("x", "y"), shift = 26)
+    // move row 7 (an attribute-dim upsert: key = id alone) to the
+    // origin cell and change its attribute
+    val v2 = ZOrderTable.mergeMoving(
+      Seq((7L, 5L, 5L, 777L)).toDF("id", "x", "y", "v"), dir, Seq("id"))
+    val got = ZOrderTable.read(spark, dir).filter(col("id") === 7)
+      .select("x", "y", "v").as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((5L, 5L, 777L)), "exactly one moved copy")
+    assert(ZOrderTable.readAt(spark, dir, v2).count() === 20000)
+    // the old position no longer holds id 7
+    val x7 = 7L * 7919 % 65536
+    val y7 = 7L * 104729 % 65536
+    assert(ZOrderTable.read(spark, dir)
+      .filter(col("x") === x7 && col("y") === y7 && col("id") === 7)
+      .count() === 0)
+    // a brand-new key through the same path is a pure insert
+    val v3 = ZOrderTable.mergeMoving(
+      Seq((99999L, 9L, 9L, 1L)).toDF("id", "x", "y", "v"), dir, Seq("id"))
+    assert(ZOrderTable.readAt(spark, dir, v3).count() === 20001)
+    // time travel: the pre-move version still shows the old position
+    assert(ZOrderTable.readAt(spark, dir, 1L)
+      .filter(col("id") === 7).select("x", "y").as[(Long, Long)]
+      .head() === ((x7, y7)))
+  }
+
+  test("Hilbert curve variant: same closed-form cell pruning (cells are " +
+    "quadrant-recursive for both curves), same correctness") {
+    val dir = tmpDir("hilbert")
+    val v = ZOrderTable.publish(grid(), dir, Seq("x", "y"), shift = 26,
+      curve = "h")
+    assert(Snapshots.files(spark, dir, v).size === 64)
+    val box = Seq(("x", 0L, 16384L), ("y", 0L, 16384L))
+    assert(ZOrderTable.boxFiles(spark, dir, v, box).size === 4)
+    val pruned = ZOrderTable.box(spark, dir, v, box)
+      .agg(count(lit(1)), sum("id")).as[(Long, Long)].head()
+    val full = ZOrderTable.readAt(spark, dir, v)
+      .filter(col("x") < 16384 && col("y") < 16384)
+      .agg(count(lit(1)), sum("id")).as[(Long, Long)].head()
+    assert(pruned === full)
+  }
+
+  test("COMPOSITION: the change feed streams a z-order table's history; " +
+    "a mergeMoving relocation nets to exactly the diff per step, with the " +
+    "move visible as a delete at the old cell + an insert at the new") {
+    import graft.streaming.ChangeFeed
+    val dir = tmpDir("feed")
+    val small = grid().filter(col("id") < 3000)
+    ZOrderTable.publish(small.filter(col("id") < 2000), dir,
+      Seq("x", "y"), shift = 26)
+    ZOrderTable.append(small.filter(col("id") >= 2000), dir)
+    ZOrderTable.mergeMoving(
+      Seq((7L, 5L, 5L, 777L)).toDF("id", "x", "y", "v"), dir, Seq("id"))
+    val q = ChangeFeed.readStream(spark, dir, 0L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("zt_feed").start()
+    try q.processAllAvailable() finally q.stop()
+    val net = ChangeFeed.net(spark.table("zt_feed"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    for (v <- 2L to 3L) {
+      val d = Snapshots.diff(spark, dir, v - 1, v)
+        .withColumn("_version", lit(v))
+      val got = net.filter(col("_version") === v)
+        .select(d.columns.map(col): _*)
+      assert(rows(got) === rows(d), s"net(feed) != diff at step $v")
+    }
+    // the relocation is row-level CDC: id 7 leaves its old cell and
+    // lands at the origin, in ONE version step
+    val x7 = 7L * 7919 % 65536
+    val mv = net.filter(col("_version") === 3L && col("id") === 7)
+      .select("_change", "x", "y", "v").as[(String, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(mv === Seq(("delete", x7, 7L * 104729 % 65536, 21L),
+      ("insert", 5L, 5L, 777L)))
+  }
+
+  test("refusals: non-Long dims, wrong arity, bad shift, reserved names") {
+    val dir = tmpDir("refuse")
+    val df = grid()
+    intercept[IllegalArgumentException] {
+      ZOrderTable.publish(df, dir, Seq("x"), shift = 10)
+    }
+    intercept[IllegalArgumentException] {
+      ZOrderTable.publish(df, dir, Seq("x", "y"), shift = 32)
+    }
+    intercept[IllegalArgumentException] {
+      ZOrderTable.publish(df.withColumn("x", col("x").cast("int")),
+        dir, Seq("x", "y"), shift = 26)
+    }
+    intercept[IllegalArgumentException] {
+      ZOrderTable.publish(df, dir, Seq("x", "y"), shift = 26, curve = "q")
+    }
+  }
+}
