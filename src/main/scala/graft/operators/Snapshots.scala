@@ -1209,6 +1209,10 @@ object Snapshots {
     require(!pm.metaValues("bucketw").exists(_.split(":", 2)(0) == oldName),
       s"rename: $oldName is a width-bucketed table's layout key — " +
         "unsupported (the #bucketw metadata binds it by name)")
+    require(!pm.props.get("zlayout").exists(
+        _.split(":", 3)(2).split(",").contains(oldName)),
+      s"rename: $oldName is a z-order table's layout dimension — " +
+        "unsupported (the zlayout property binds it by name)")
     val phys = pm.toPhysical.getOrElse(oldName, oldName)
     val newMap = (pm.colMap - phys) ++
       (if (phys == newName) Map.empty[String, String]

@@ -21,14 +21,20 @@ import org.apache.spark.sql.types.LongType
   * Layout mechanics: the curve key ([[ZCol]], the 16-bit/dim Morton
   * interleave or Hilbert index from graftext.Bits — both hierarchical,
   * so a key PREFIX identifies a grid cell) and the bucket
-  * ([[BCol]] = key >>> `shift`) are derived, materialized in the
-  * files, and dropped by [[read]]. The layout descriptor rides as the
-  * carried table property `zlayout=<curve>:<shift>:<dims>`, so
-  * [[append]]/[[merge]]/[[delete]] re-derive the SAME layout from the
-  * manifest alone, and the dimension columns are auto-declared as
-  * typed-stats columns — pruning needs no extra setup. The shift is
-  * FIXED at publish (changing it re-assigns buckets; evolving it
-  * needs BucketedTable-style per-file epochs — use a fresh publish).
+  * ([[BCol]] = key >>> shift) are derived, materialized in the files,
+  * and dropped by [[read]]. The layout descriptor rides as the
+  * carried table property `zlayout=<curve>:<shift>:<dims>`; the curve
+  * and dimension list are IMMUTABLE (they define what the key MEANS),
+  * but the SHIFT — the cell granularity — EVOLVES like the sibling
+  * bucketed tables' layouts: [[evolveShift]] is a METADATA-ONLY
+  * commit, per-file write epochs ride as `#filez:<shift>:<rel>`
+  * lines, [[merge]]/[[delete]] pick their rewrite sets by PER-EPOCH
+  * prefix arithmetic (cells of the update batch at each epoch's
+  * shift — one tiny job per epoch, manifest-matched), rewritten rows
+  * restage at the CURRENT shift (touched data migrates as a side
+  * effect), and [[compact]] is the migrator for the rest. Stats-based
+  * BOX PRUNING is deliberately epoch-INDEPENDENT: per-dimension
+  * min/max boxes discriminate identically at any cell granularity.
   *
   * Grid contract: dimension columns are LongType on the 16-bit grid
   * `[0, 65536)` (scale/bucket upstream — q112's `pmod` discipline).
@@ -38,8 +44,10 @@ import org.apache.spark.sql.types.LongType
   *
   * Scale: everything here is [[Snapshots]] machinery — one hash
   * repartition + local sort per write, merge/delete cost ∝ touched
-  * buckets, planning is manifest-only. At 100 TB pick `shift` so a
-  * cell ≈ one task's worth of rows (buckets = 2^(keyBits − shift)).
+  * cells (× epochs for the tiny cell jobs), planning is manifest-only.
+  * At 100 TB pick `shift` so a cell ≈ one task's worth of rows
+  * (cells = 2^(keyBits − shift)) and coarsen/refine later with
+  * [[evolveShift]] + [[compact]].
   */
 object ZOrderTable {
 
@@ -83,6 +91,31 @@ object ZOrderTable {
     layoutAt(spark, dir, Snapshots.latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir has no snapshots")))
 
+  /** Per-file write-epoch SHIFTS of version `v` (manifest-only). */
+  def fileShifts(spark: SparkSession, dir: String, v: Long): Map[String, Int] =
+    Snapshots.committedManifest(spark, dir, v).metaValues("filez").flatMap {
+      s => s.split(":", 2) match {
+        case Array(n, rel) => Some(rel -> n.toInt)
+        case _ => None
+      }
+    }.toMap
+
+  private def filezLines(rels: Seq[String], shift: Int): Seq[String] =
+    rels.map(r => s"filez:$shift:$r")
+
+  private def carriedMeta(pm: Snapshots.Manifest, kept: Set[String]) = {
+    // stat:<key>:<rows>:<min>:<max>:<rel> / stat2: 7 fields / ndv: 4 /
+    // fsize + filez: 3 — the path is always the last field
+    val stats = pm.statLines.filter(l => kept.contains(l.split(":", 6).last))
+    val stats2 = pm.stat2Lines.filter(l => kept.contains(l.split(":", 7).last))
+    val ndv = pm.ndvLines.filter(l => kept.contains(l.split(":", 4).last))
+    val sizes = pm.fsizeLines.filter(l => kept.contains(l.split(":", 3).last))
+    val filez = pm.meta.filter(_.startsWith("#filez:")).map(_.stripPrefix("#"))
+      .filter(l => kept.contains(l.split(":", 3).last))
+    pm.propLines ++ pm.statColsLines ++ pm.ndvColsLines ++
+      filez ++ stats ++ stats2 ++ ndv ++ sizes
+  }
+
   private def keyExpr(l: ZLayout): Column = {
     import org.apache.spark.sql.graftext.Bits
     (l.curve, l.dims.map(col)) match {
@@ -116,19 +149,95 @@ object ZOrderTable {
               numTasks: Int = 32, extraStatsCols: Seq[String] = Nil,
               ndvCols: Seq[String] = Nil): Long = {
     val l = ZLayout(curve, shift, dims)
-    Snapshots.publish(withLayout(df, l), dir, BCol, Seq(ZCol),
-      blockSize, numTasks, meta = Seq(s"prop:$PropKey=${l.propValue}"),
-      statsCols = (dims ++ extraStatsCols).distinct, ndvCols = ndvCols)
+    val spark = df.sparkSession
+    Snapshots.resolveForWrite(spark, dir)
+    require(Snapshots.latest(spark, dir).isEmpty,
+      s"$dir already has snapshots — use append")
+    val statsCols = (dims ++ extraStatsCols).distinct
+    val st = Snapshots.stage(withLayout(df, l), dir, BCol, Seq(ZCol),
+      blockSize, numTasks, stat2Cols = statsCols, ndvCols = ndvCols)
+    val v = Snapshots.claimAbove(spark, dir, 0L)
+    Snapshots.commit(spark, dir, v, st.rels,
+      Seq("format:2", s"schema:${st.schemaJson}",
+        s"prop:$PropKey=${l.propValue}",
+        s"statcols:${statsCols.mkString(",")}") ++
+        (if (ndvCols.isEmpty) Nil else Seq(s"ndvcols:${ndvCols.mkString(",")}")) ++
+        filezLines(st.rels, l.shift) ++ st.statLines ++ st.stat2Lines ++
+        st.ndvLines ++ st.sizeLines)
+    v
   }
 
   /** Incremental load under the table's OWN layout (re-derived from
-    * the manifest — new rows land in their curve cells). */
+    * the manifest — new rows land in their CURRENT-shift cells; files
+    * from earlier epochs coexist untouched). */
   def append(df: DataFrame, dir: String,
              blockSize: Long = 128L * 1024 * 1024,
              numTasks: Int = 32): Long = {
     val spark = df.sparkSession
-    Snapshots.append(withLayout(df, currentLayout(spark, dir)), dir, BCol,
-      Seq(ZCol), blockSize, numTasks)
+    Snapshots.resolveForWrite(spark, dir)
+    val prev = Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots — use publish"))
+    val pm = Snapshots.committedManifest(spark, dir, prev)
+    val l = layoutAt(spark, dir, prev)
+    val laid = withLayout(df, l)
+    val st = Snapshots.stage(laid, dir, BCol, Seq(ZCol), blockSize, numTasks,
+      stat2Cols = pm.statCols, ndvCols = pm.ndvCols)
+    val schema = pm.schemaOpt match {
+      case Some(ps) => Snapshots.mergeSchemas(ps,
+        Snapshots.nullable(laid.schema)).json
+      case None => st.schemaJson
+    }
+    val v = Snapshots.claimAbove(spark, dir, prev)
+    Snapshots.commit(spark, dir, v, pm.files ++ st.rels,
+      Seq("format:2", s"schema:$schema") ++
+        carriedMeta(pm, pm.files.toSet) ++ filezLines(st.rels, l.shift) ++
+        st.statLines ++ st.stat2Lines ++ st.ndvLines ++ st.sizeLines)
+    v
+  }
+
+  /** Change the CELL GRANULARITY — a METADATA-ONLY commit (same
+    * files, same epochs, only the `zlayout` property's shift
+    * changes). New writes land at the new shift; earlier epochs
+    * coexist and migrate when touched (or via [[compact]]). The
+    * curve and dimensions are immutable — they define the key. */
+  def evolveShift(spark: SparkSession, dir: String, newShift: Int): Long = {
+    Snapshots.resolveForWrite(spark, dir)
+    val prev = Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots"))
+    val pm = Snapshots.committedManifest(spark, dir, prev)
+    val old = layoutAt(spark, dir, prev)
+    val l = ZLayout(old.curve, newShift, old.dims) // validates the range
+    require(newShift != old.shift, s"table is already at shift $newShift")
+    val schema = pm.schemaOpt.map(Snapshots.nullable(_).json).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no recorded schema"))
+    val v = Snapshots.claimAbove(spark, dir, prev)
+    // carriedMeta copies the OLD zlayout prop line — drop it first
+    val carried = carriedMeta(pm, pm.files.toSet)
+      .filterNot(_.startsWith(s"prop:$PropKey="))
+    Snapshots.commit(spark, dir, v, pm.files,
+      Seq("format:2", s"schema:$schema", s"prop:$PropKey=${l.propValue}") ++
+        carried)
+    v
+  }
+
+  /** The files any of `rowsWithDims`'s rows can live in, per EPOCH,
+    * by curve-prefix arithmetic: the batch's cells at each epoch's
+    * shift (one tiny distinct job per epoch), matched against the
+    * files' path buckets. Zero data-file opens. */
+  private def touchedFiles(spark: SparkSession, pm: Snapshots.Manifest,
+                           epochs: Map[String, Int], l: ZLayout,
+                           rowsWithDims: DataFrame): Seq[String] = {
+    val byEpoch = pm.files.groupBy(f => epochs.getOrElse(f, -1))
+    val zkey = keyExpr(l)
+    byEpoch.toSeq.flatMap { case (sh, files) =>
+      if (sh <= 0) files // unknown epoch: conservative, rewrite/read it
+      else {
+        val cells = rowsWithDims
+          .select(shiftrightunsigned(zkey, sh).as("c"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        files.filter(f => Snapshots.fileBucket(f).exists(cells.contains))
+      }
+    }
   }
 
   /** Upsert by `keyCols` — the PRUNED path (cost ∝ touched cells),
@@ -137,7 +246,9 @@ object ZOrderTable {
     * keyed by its grid position, a fact keyed on source × day × id
     * grid columns). With attribute dims a row's cell can MOVE under
     * an update and the pruned merge would leave the old row alive in
-    * its untouched cell — refused here; use [[mergeMoving]]. */
+    * its untouched cell — refused here; use [[mergeMoving]].
+    * Rewrite sets span EPOCHS (per-epoch prefix arithmetic);
+    * rewritten rows restage at the current shift. */
   def merge(updates: DataFrame, dir: String, keyCols: Seq[String],
             blockSize: Long = 128L * 1024 * 1024,
             numTasks: Int = 32): Long = {
@@ -147,9 +258,16 @@ object ZOrderTable {
       s"merge by $keyCols cannot prune safely: the layout dims ${l.dims} " +
         "are not all key columns, so an update may MOVE a row's cell and " +
         "orphan the old copy — use mergeMoving (one locate scan)")
-    Snapshots.merge(withLayout(updates, l), dir,
-      BCol, keyCols, Seq(ZCol), blockSize, numTasks)
+    applyImpl(Some(updates), None, dir, keyCols, blockSize, numTasks)
   }
+
+  /** Delete by key — `keys` must carry `keyCols` AND the dimension
+    * columns with the rows' CURRENT values (cells are located without
+    * scanning the table). */
+  def delete(keys: DataFrame, dir: String, keyCols: Seq[String],
+             blockSize: Long = 128L * 1024 * 1024,
+             numTasks: Int = 32): Long =
+    applyImpl(None, Some(keys), dir, keyCols, blockSize, numTasks)
 
   /** Upsert by `keyCols` when the dims are ATTRIBUTES (an update may
     * move a row across cells): the keys' CURRENT rows are located
@@ -164,30 +282,116 @@ object ZOrderTable {
                   numTasks: Int = 32): Long = {
     val spark = updates.sparkSession
     val l = currentLayout(spark, dir)
-    val up = withLayout(updates, l)
-    val oldPositions = Snapshots.read(spark, dir)
+    val oldPositions = Snapshots.read(spark, dir).drop(ZCol, BCol)
       .join(broadcast(updates.select(keyCols.map(col): _*).distinct()),
         keyCols, "left_semi")
-      .select(keyCols.map(col) :+ col(BCol): _*)
-    Snapshots.applyChanges(up, oldPositions, dir, BCol, keyCols, Seq(ZCol),
-      blockSize, numTasks)
+      .select((keyCols ++ l.dims).distinct.map(col): _*)
+    applyImpl(Some(updates), Some(oldPositions), dir, keyCols, blockSize,
+      numTasks)
   }
 
-  /** Delete by key — `keys` must carry `keyCols` AND the dimension
-    * columns (cells are located without scanning the table). */
-  def delete(keys: DataFrame, dir: String, keyCols: Seq[String],
-             blockSize: Long = 128L * 1024 * 1024,
-             numTasks: Int = 32): Long = {
-    val spark = keys.sparkSession
-    Snapshots.delete(withLayout(keys, currentLayout(spark, dir)), dir,
-      BCol, keyCols, Seq(ZCol), blockSize, numTasks)
+  private def applyImpl(updatesOpt: Option[DataFrame],
+                        deletesOpt: Option[DataFrame], dir: String,
+                        keyCols: Seq[String], blockSize: Long,
+                        numTasks: Int): Long = {
+    require(keyCols.nonEmpty, "merge/delete needs key columns")
+    val spark = updatesOpt.orElse(deletesOpt).get.sparkSession
+    Snapshots.resolveForWrite(spark, dir)
+    val prev = Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots — use publish"))
+    val pm = Snapshots.committedManifest(spark, dir, prev)
+    val l = layoutAt(spark, dir, prev)
+    val epochs = fileShifts(spark, dir, prev)
+    (updatesOpt.toSeq ++ deletesOpt.toSeq).foreach { f =>
+      l.dims.foreach(d => require(f.columns.contains(d),
+        s"update/delete rows must carry the layout dimension $d"))
+    }
+    // cells are located from BOTH sides' dims (an update's target cell
+    // and a delete's current cell), per epoch
+    val allDims = (updatesOpt.toSeq ++ deletesOpt.toSeq)
+      .map(_.select(l.dims.map(col): _*)).reduce(_.unionByName(_))
+    val dropKeys = (updatesOpt.toSeq ++ deletesOpt.toSeq)
+      .map(_.select(keyCols.map(col): _*)).reduce(_.unionByName(_))
+    val touched = touchedFiles(spark, pm, epochs, l, allDims)
+    if (touched.isEmpty && updatesOpt.isEmpty) return prev
+    val mergedRows =
+      if (touched.isEmpty) updatesOpt.get
+      else {
+        val existing = Snapshots.readFiles(spark, dir, touched.sorted,
+          pm.schemaOpt, pm.colMap).drop(ZCol, BCol)
+        updatesOpt match {
+          case Some(updates) =>
+            val (ex, up) = Snapshots.mergeAlign(existing, updates)
+            ex.join(dropKeys, keyCols, "left_anti").unionByName(up)
+          case None =>
+            existing.join(dropKeys, keyCols, "left_anti")
+        }
+      }
+    // a delete can empty its cells entirely: commit kept files only
+    val st =
+      if (deletesOpt.isDefined && mergedRows.isEmpty)
+        Snapshots.Staged(Nil, pm.schemaOpt.map(Snapshots.nullable(_).json)
+          .getOrElse(Snapshots.nullable(mergedRows.schema).json), Nil)
+      else Snapshots.stage(withLayout(mergedRows, l), dir, BCol, Seq(ZCol),
+        blockSize, numTasks, stat2Cols = pm.statCols, ndvCols = pm.ndvCols)
+    val touchedSet = touched.toSet
+    val kept = pm.files.filterNot(touchedSet)
+    val schema = pm.schemaOpt match {
+      case Some(ps) if updatesOpt.isEmpty => Snapshots.nullable(ps).json
+      case Some(ps) => Snapshots.mergeSchemas(ps,
+        Snapshots.nullable(withLayout(mergedRows, l).schema)).json
+      case None => st.schemaJson
+    }
+    val v = Snapshots.claimAbove(spark, dir, prev)
+    Snapshots.commit(spark, dir, v, kept ++ st.rels,
+      Seq("format:2", s"schema:$schema") ++
+        carriedMeta(pm, kept.toSet) ++ filezLines(st.rels, l.shift) ++
+        st.statLines ++ st.stat2Lines ++ st.ndvLines ++ st.sizeLines)
+    v
   }
 
-  /** Re-sector fragmented cells (2+ files) back to one file each,
-    * preserving the in-cell key order. Props/stats carry. */
+  /** Compaction = the epoch MIGRATOR: rewrite every stale-epoch file,
+    * every current-epoch file in a cell the migrating rows land in
+    * (landing cells computed from the STORED keys of the stale files
+    * alone — `ZCol >>> shift`, no curve recompute, data being
+    * rewritten anyway), and every fragmented cell (2+ files).
+    * Returns the previous version when there is nothing to do. */
   def compact(spark: SparkSession, dir: String,
-              blockSize: Long = 128L * 1024 * 1024): Long =
-    Snapshots.compact(spark, dir, BCol, Seq(ZCol), blockSize)
+              blockSize: Long = 128L * 1024 * 1024): Long = {
+    Snapshots.resolveForWrite(spark, dir)
+    val prev = Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots"))
+    val pm = Snapshots.committedManifest(spark, dir, prev)
+    val l = layoutAt(spark, dir, prev)
+    val epochs = fileShifts(spark, dir, prev)
+    val stale = pm.files.filter(f => !epochs.get(f).contains(l.shift))
+    val current = pm.files.filterNot(stale.contains)
+    val landing: Set[Long] =
+      if (stale.isEmpty) Set.empty
+      else Snapshots.readFiles(spark, dir, stale, pm.schemaOpt, pm.colMap)
+        .select(shiftrightunsigned(col(ZCol), l.shift).as("c"))
+        .distinct().collect().map(_.getLong(0)).toSet
+    val conflict = current.filter(f =>
+      Snapshots.fileBucket(f).exists(landing.contains))
+    val frag = current.groupBy(f => Snapshots.fileBucket(f).getOrElse(-1L))
+      .filter(_._2.size >= 2).values.flatten.toSeq
+    val rewrite = (stale ++ conflict ++ frag).distinct.sorted
+    if (rewrite.isEmpty) return prev
+    val df = Snapshots.readFiles(spark, dir, rewrite, pm.schemaOpt, pm.colMap)
+      .drop(ZCol, BCol)
+    val st = Snapshots.stage(withLayout(df, l), dir, BCol, Seq(ZCol),
+      blockSize, math.max(rewrite.size, 1), stat2Cols = pm.statCols,
+      ndvCols = pm.ndvCols)
+    val kept = pm.files.filterNot(rewrite.contains)
+    val schema = pm.schemaOpt.map(Snapshots.nullable(_).json)
+      .getOrElse(st.schemaJson)
+    val v = Snapshots.claimAbove(spark, dir, prev)
+    Snapshots.commit(spark, dir, v, kept ++ st.rels,
+      Seq("format:2", s"schema:$schema") ++
+        carriedMeta(pm, kept.toSet) ++ filezLines(st.rels, l.shift) ++
+        st.statLines ++ st.stat2Lines ++ st.ndvLines ++ st.sizeLines)
+    v
+  }
 
   /** The table surface (derived layout columns dropped). */
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -199,7 +403,8 @@ object ZOrderTable {
 
   /** Manifest-pruned BOX scan: `[lo, hi)` per dimension, reading only
     * the files whose curve cell intersects the box (+ exact residual).
-    * Equals the full-scan filter always. */
+    * Equals the full-scan filter always, at ANY epoch mix (the
+    * per-dimension min/max stats are epoch-independent). */
   def box(spark: SparkSession, dir: String, v: Long,
           preds: Seq[(String, Long, Long)]): DataFrame =
     Snapshots.prunedScanAtBox(spark, dir, v,

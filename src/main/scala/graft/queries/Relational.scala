@@ -1700,7 +1700,15 @@ object Relational {
     * ([[graft.operators.Snapshots.prunedFilesBox]]). The write path
     * then composes: a pruned MERGE (dims in the key — attribute bump
     * on key%500==7) and a DELETE (key%5==0) keep the layout and the
-    * closed-form pruning counts; every fold is the exact residual
+    * closed-form pruning counts. Then the layout EVOLVES like its
+    * bucketed siblings (q174/q181): [[graft.operators.ZOrderTable
+    * .evolveShift]] to the coarser 4×4 grid is METADATA-ONLY (v4
+    * lists v3's exact files — pinned), an append of shifted keys
+    * lands at the NEW epoch (epochs coexist, pinned 2), and the
+    * migrator [[graft.operators.ZOrderTable.compact]] rewrites every
+    * stale cell — 16 level-2 cells, the quadrant box now reads
+    * EXACTLY 1 of 16 files, and v6 hashes identically to v5
+    * (migration moves nothing). Every fold is the exact residual
     * answer the oracle recomputes from raw orders. */
   def q183(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Snapshots, ZOrderTable => Z}
@@ -1720,6 +1728,16 @@ object Relational {
     val v3 = Z.delete(src.filter(col("o_orderkey") % 5 === 0)
         .select("o_orderkey", "x", "y"),
       out, Seq("o_orderkey", "x", "y"))
+    // SHIFT EVOLUTION (metadata-only, coarser 4x4 grid), an append at
+    // the new epoch (shifted keys -> epochs coexist), the migrator
+    val v4 = Z.evolveShift(spark, out, 28)
+    val v5 = Z.append(Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 10 === 7).select(
+        (col("o_orderkey") + lit(2147483648L)).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"),
+        ((col("o_orderkey") + lit(2147483648L)) * 7919 % 65536).as("x"),
+        (col("o_custkey") * 104729 % 65536).as("y")), out)
+    val v6 = Z.compact(spark, out)
     def fold(df: DataFrame): (Long, Long, Long) = {
       val canon = concat_ws("|", col("o_orderkey"), col("o_custkey"),
         col("x"), col("y"), (dec2(col("o_totalprice")) * 100).cast("long"))
@@ -1739,16 +1757,28 @@ object Relational {
     val (x1, x2, x3) = fold(Z.box(spark, out, v3, Seq(("x", 0L, 16384L))))
     val (y1, y2, y3) = fold(Z.box(spark, out, v3, Seq(("y", 0L, 16384L))))
     val (f1, f2, f3) = fold(Z.readAt(spark, out, v3))
+    val (g51, g52, g53) = fold(Z.readAt(spark, out, v5))
+    val (g61, g62, g63) = fold(Z.readAt(spark, out, v6))
     val (s11, s12, s13) = stateRow(v1)
     val (s31, s32, s33) = stateRow(v3)
+    val (s61, s62, s63) = stateRow(v6)
+    val metaOnly =
+      if (Snapshots.files(spark, out, v4) ==
+          Snapshots.files(spark, out, v3)) 1L else 0L
     Seq(
       ("box", "v0001", b11, b12, b13),
       ("box", "v0003", b31, b32, b33),
       ("window", "x", x1, x2, x3),
       ("window", "y", y1, y2, y3),
       ("read", "v0003", f1, f2, f3),
+      ("read", "v0005", g51, g52, g53),
+      ("read", "v0006", g61, g62, g63),
       ("state", "files_v0001", s11, s12, s13),
       ("state", "files_v0003", s31, s32, s33),
+      ("state", "files_v0006", s61, s62, s63),
+      ("state", "evolve", metaOnly,
+        Z.fileShifts(spark, out, v5).values.toSet.size.toLong,
+        Z.fileShifts(spark, out, v6).values.toSet.size.toLong),
       ("state", "meta",
         Z.boxFiles(spark, out, v3, Seq(("y", 0L, 16384L))).size.toLong,
         Snapshots.versions(spark, out).size.toLong,
@@ -3040,6 +3070,13 @@ object Relational {
          |         ELSE o_totalprice END AS o_totalprice, x, y
          |  FROM src),
          |v3 AS (SELECT * FROM v2 WHERE o_orderkey % 5 <> 0),
+         |a5 AS (
+         |  SELECT o_orderkey + 2147483648 AS o_orderkey, o_custkey,
+         |    o_totalprice,
+         |    ((o_orderkey + 2147483648) * 7919) % 65536 AS x,
+         |    (o_custkey * 104729) % 65536 AS y
+         |  FROM orders WHERE o_orderkey % 10 = 7),
+         |v5 AS (SELECT * FROM v3 UNION ALL SELECT * FROM a5),
          |b1 AS (SELECT * FROM src WHERE x < 16384 AND y < 16384),
          |b3 AS (SELECT * FROM v3 WHERE x < 16384 AND y < 16384),
          |wx AS (SELECT * FROM v3 WHERE x < 16384),
@@ -3049,6 +3086,7 @@ object Relational {
          |hwx AS (${h60("wx")}),
          |hwy AS (${h60("wy")}),
          |hf AS (${h60("v3")}),
+         |h5 AS (${h60("v5")}),
          |agg AS (
          |  SELECT 'box' AS section, 'v0001' AS label, count(*) AS m1,
          |    CAST(bit_xor(h) AS BIGINT) AS m2,
@@ -3061,9 +3099,15 @@ object Relational {
          |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hwy
          |  UNION ALL SELECT 'read', 'v0003', count(*),
          |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hf
+         |  UNION ALL SELECT 'read', 'v0005', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h5
+         |  UNION ALL SELECT 'read', 'v0006', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h5
+         |  UNION ALL SELECT 'state', 'evolve', 1, 2, 1
          |  UNION ALL SELECT 'state', 'files_v0001', 4, 16, 64
          |  UNION ALL SELECT 'state', 'files_v0003', 4, 16, 64
-         |  UNION ALL SELECT 'state', 'meta', 16, 3, 26)
+         |  UNION ALL SELECT 'state', 'files_v0006', 1, 4, 16
+         |  UNION ALL SELECT 'state', 'meta', 16, 6, 28)
          |SELECT * FROM agg ORDER BY section, label""".stripMargin
     },
     // q184: reads restate as plain filters; ckpt/prop rows are

@@ -172,6 +172,71 @@ class ZOrderTableSpec extends SparkSuite {
       ("insert", 5L, 5L, 777L)))
   }
 
+  test("shift evolution: evolveShift is metadata-only; epochs coexist; " +
+    "cross-epoch merge/delete pick their rewrite sets by per-epoch prefix " +
+    "arithmetic; compact is the migrator; box pruning stays exact at any " +
+    "epoch mix") {
+    val dir = tmpDir("evolve")
+    val v1 = ZOrderTable.publish(grid().filter(col("id") < 15000), dir,
+      Seq("x", "y"), shift = 26)
+    assert(Snapshots.files(spark, dir, v1).size === 64)
+    // metadata-only: same files byte for byte, only the prop changes
+    val v2 = ZOrderTable.evolveShift(spark, dir, 28)
+    assert(Snapshots.files(spark, dir, v2) === Snapshots.files(spark, dir, v1))
+    assert(ZOrderTable.currentLayout(spark, dir).shift === 28)
+    assert(ZOrderTable.fileShifts(spark, dir, v2).values.toSet === Set(26))
+    // append at the NEW shift: epochs coexist (16 new cells possible)
+    val v3 = ZOrderTable.append(grid().filter(col("id") >= 15000), dir)
+    assert(ZOrderTable.fileShifts(spark, dir, v3).values.toSet === Set(26, 28))
+    assert(ZOrderTable.readAt(spark, dir, v3).count() === 20000)
+    // cross-epoch pruned merge: one key, dims in key — the rewrite set
+    // is located at BOTH epochs (its cell at 26 and at 28)
+    val x7 = 7L * 7919 % 65536
+    val y7 = 7L * 104729 % 65536
+    val pre = Snapshots.files(spark, dir, v3).toSet
+    val v4 = ZOrderTable.merge(
+      Seq((7L, x7, y7, 424242L)).toDF("id", "x", "y", "v"),
+      dir, Seq("id", "x", "y"))
+    assert(ZOrderTable.read(spark, dir).filter(col("id") === 7)
+      .select("v").as[Long].head() === 424242L)
+    assert(ZOrderTable.readAt(spark, dir, v4).count() === 20000)
+    val post = Snapshots.files(spark, dir, v4).toSet
+    assert((pre -- post).size <= 2, s"merge rewrote ${(pre -- post).size} " +
+      "files — the per-epoch cell arithmetic should touch at most one per epoch")
+    // box pruning stays EXACT across the epoch mix
+    val box = Seq(("x", 0L, 16384L), ("y", 0L, 16384L))
+    val pruned = ZOrderTable.box(spark, dir, v4, box)
+      .agg(count(lit(1)), sum("id")).as[(Long, Long)].head()
+    val full = ZOrderTable.readAt(spark, dir, v4)
+      .filter(col("x") < 16384 && col("y") < 16384)
+      .agg(count(lit(1)), sum("id")).as[(Long, Long)].head()
+    assert(pruned === full)
+    // the migrator: every stale file rewrites; one file per cell at 28
+    val v5 = ZOrderTable.compact(spark, dir)
+    assert(ZOrderTable.fileShifts(spark, dir, v5).values.toSet === Set(28))
+    val cells = Snapshots.files(spark, dir, v5)
+      .map(f => Snapshots.fileBucket(f).get)
+    assert(cells.distinct.size === cells.size, "one file per cell")
+    assert(cells.toSet === (0L until 16L).toSet, "16 level-2 cells")
+    // migration moved nothing
+    val a = ZOrderTable.readAt(spark, dir, v5).orderBy("id")
+      .select("id", "x", "y", "v").collect().toSeq
+    val b = ZOrderTable.readAt(spark, dir, v4).orderBy("id")
+      .select("id", "x", "y", "v").collect().toSeq
+    assert(a === b)
+    // closed form at the coarser grid: the quadrant box = ONE cell,
+    // an x-window = a 1x4 cell column
+    assert(ZOrderTable.boxFiles(spark, dir, v5, box).size === 1)
+    assert(ZOrderTable.boxFiles(spark, dir, v5,
+      Seq(("x", 0L, 16384L))).size === 4)
+    // idempotent
+    assert(ZOrderTable.compact(spark, dir) === v5)
+    // renaming a layout dimension refuses
+    intercept[IllegalArgumentException] {
+      Snapshots.rename(spark, dir, "x", "x2")
+    }
+  }
+
   test("refusals: non-Long dims, wrong arity, bad shift, reserved names") {
     val dir = tmpDir("refuse")
     val df = grid()
