@@ -1145,6 +1145,63 @@ object ScaleStress {
     }
     }
 
+    if (sections("zlayout")) {
+    // r10's z-order-table claim, measured: a 2-predicate box query on
+    // a Z-ORDER layout reads ~the box's cell fraction of files, where
+    // a LINEAR layout prunes only its leading column — same 1M rows,
+    // same declared stats, same residuals, only the layout differs.
+    // Planning is manifest-only for both (boxFiles cost printed too).
+    import graft.operators.{Snapshots, ZOrderTable}
+    val nRows = 1000000L
+    val rows = spark.range(0, nRows, 1, 32).select(
+      col("id"),
+      (col("id") * 7919 % 65536).as("x"),
+      (col("id") * 104729 % 65536).as("y"),
+      (col("id") * 31L).as("payload"))
+    val zDir = "/tmp/graft_scale_zlayout_z"
+    val linDir = "/tmp/graft_scale_zlayout_lin"
+    Seq(zDir, linDir).foreach(Snapshots.dropPath(spark, _))
+    // 256 cells (shift 24) vs 256 linear x-ranges — equal file counts
+    ZOrderTable.publish(rows, zDir, Seq("x", "y"), shift = 24)
+    Snapshots.publish(rows.withColumn("bucket", expr("x div 256")),
+      linDir, "bucket", Seq("x"), statsCols = Seq("x", "y"))
+    val zv = Snapshots.latest(spark, zDir).get
+    val lv = Snapshots.latest(spark, linDir).get
+    // an aligned 1/8 x 1/8 box: 4096-wide windows on the 16-bit grid
+    val box = Seq(("x", 8192L, 12288L), ("y", 8192L, 12288L))
+    val boxAny = box.map { case (c, a, b) => (c, a: Any, b: Any) }
+    val zFiles = Snapshots.prunedFilesBox(spark, zDir, zv, boxAny).size
+    val lFiles = Snapshots.prunedFilesBox(spark, linDir, lv, boxAny).size
+    val zTotal = Snapshots.files(spark, zDir, zv).size
+    val lTotal = Snapshots.files(spark, linDir, lv).size
+    // warm the read paths (codegen, parquet reader) so the timed
+    // scans measure I/O shape, not JIT startup
+    Snapshots.readAt(spark, zDir, zv).count()
+    Snapshots.readAt(spark, linDir, lv).count()
+    timed(s"zlayout: plan box on z ($zFiles of $zTotal files)")(
+      Snapshots.prunedFilesBox(spark, zDir, zv, boxAny).size)
+    timed(s"zlayout: plan box on linear ($lFiles of $lTotal files)")(
+      Snapshots.prunedFilesBox(spark, linDir, lv, boxAny).size)
+    timed("zlayout: box scan, Z layout (both dims prune)")(
+      Snapshots.prunedScanAtBox(spark, zDir, zv, boxAny).count())
+    timed("zlayout: box scan, LINEAR layout (leading dim only)")(
+      Snapshots.prunedScanAtBox(spark, linDir, lv, boxAny).count())
+    timed("zlayout: box scan, full-scan baseline (no pruning)")(
+      Snapshots.readAt(spark, linDir, lv)
+        .filter(col("x") >= 8192 && col("x") < 12288 &&
+          col("y") >= 8192 && col("y") < 12288).count())
+    // the non-leading-dimension window — the case a linear sort
+    // CANNOT prune at all (every x-range file spans all of y)
+    val yWin = Seq(("y", 8192L, 12288L)).map { case (c, a, b) =>
+      (c, a: Any, b: Any) }
+    val zY = Snapshots.prunedFilesBox(spark, zDir, zv, yWin).size
+    val lY = Snapshots.prunedFilesBox(spark, linDir, lv, yWin).size
+    timed(s"zlayout: y-window scan, Z layout ($zY of $zTotal files)")(
+      Snapshots.prunedScanAtBox(spark, zDir, zv, yWin).count())
+    timed(s"zlayout: y-window scan, LINEAR layout ($lY of $lTotal files)")(
+      Snapshots.prunedScanAtBox(spark, linDir, lv, yWin).count())
+    }
+
     if (sections("feedplan")) {
     // r10's per-trigger planning claim, measured: versions()/latest()
     // are manifest-read-free after warm (parsed manifests and decided
