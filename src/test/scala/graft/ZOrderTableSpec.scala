@@ -237,6 +237,30 @@ class ZOrderTableSpec extends SparkSuite {
     }
   }
 
+  test("3-dimensional layout: shift 42 on the 48-bit key = 4x4x4 cells; " +
+    "the aligned octant box reads exactly 8 files, a one-dim window 16, " +
+    "and the pruned scan equals the full filter") {
+    val dir = tmpDir("d3")
+    val rows = spark.range(0, 20000, 1, 8).select(
+      col("id"),
+      (col("id") * 7919 % 65536).as("x"),
+      (col("id") * 104729 % 65536).as("y"),
+      (col("id") * 1299721 % 65536).as("z"))
+    val v = ZOrderTable.publish(rows, dir, Seq("x", "y", "z"), shift = 42)
+    assert(Snapshots.files(spark, dir, v).size === 64)
+    // cells are 16384 wide per dim; [0,32768)^3 = 2x2x2 aligned cells
+    val oct = Seq(("x", 0L, 32768L), ("y", 0L, 32768L), ("z", 0L, 32768L))
+    assert(ZOrderTable.boxFiles(spark, dir, v, oct).size === 8)
+    assert(ZOrderTable.boxFiles(spark, dir, v,
+      Seq(("z", 0L, 16384L))).size === 16)
+    val pruned = ZOrderTable.box(spark, dir, v, oct)
+      .agg(count(lit(1)), sum("id")).as[(Long, Long)].head()
+    val full = ZOrderTable.readAt(spark, dir, v)
+      .filter(col("x") < 32768 && col("y") < 32768 && col("z") < 32768)
+      .agg(count(lit(1)), sum("id")).as[(Long, Long)].head()
+    assert(pruned === full)
+  }
+
   test("refusals: non-Long dims, wrong arity, bad shift, reserved names") {
     val dir = tmpDir("refuse")
     val df = grid()
