@@ -59,8 +59,10 @@ object JoinPlanner {
     // break the zero-data-opens planning contract
     val ndv =
       if (!m.ndvCols.contains(phys)) None
-      else Some(Ndv.estimate(Ndv.merge(
-        m.files.flatMap(m.ndvSketches(phys).get)))._1)
+      else {
+        val sketches = m.ndvSketches(phys) // parse the lines ONCE
+        Some(Ndv.estimate(Ndv.merge(m.files.flatMap(sketches.get)))._1)
+      }
     val mult = for (r <- rows; n <- ndv) yield Ndv.skewRisk(r, n)
     SideStats(dir, v, bytes, rows, ndv, mult)
   }

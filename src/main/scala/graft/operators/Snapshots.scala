@@ -548,11 +548,12 @@ object Snapshots {
       meta.collectFirst {
         case m if m.startsWith("prop:ckptevery=") =>
           m.stripPrefix("prop:ckptevery=")
-      }.map(_.toLong).filter(_ > 0).foreach { n =>
-        if (v % n == 0)
-          try checkpoint(spark, dir)
-          catch { case scala.util.control.NonFatal(_) => () }
-      }
+      }.flatMap(s => scala.util.Try(s.toLong).toOption) // malformed: ignore
+        .filter(_ > 0).foreach { n =>
+          if (v % n == 0)
+            try checkpoint(spark, dir)
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
   }
 
   /** Table properties of version `v` (the carried `#prop` lines). */

@@ -86,5 +86,11 @@ class TablePropsSpec extends SparkSuite {
     Snapshots.setProp(spark, dir, "ckptevery", None)
     assert(Snapshots.propsAt(spark, dir,
       Snapshots.latest(spark, dir).get).isEmpty)
+    // a malformed policy value must never fail the durable write —
+    // the hook ignores it (the commit already happened when it runs)
+    Snapshots.setProp(spark, dir, "ckptevery", Some("not-a-number"))
+    val v = Snapshots.append(rows(800, 900), dir, "bucket", Seq("k"))
+    assert(Snapshots.read(spark, dir).count() === 900)
+    assert(Snapshots.versions(spark, dir).contains(v))
   }
 }
