@@ -1027,6 +1027,83 @@ object Snapshots {
     v
   }
 
+  /** Run a snapshot WRITE under the optimistic-concurrency RETRY loop
+    * the claim contract expects of callers: every write function
+    * plans from `latest()` at entry, [[claimAbove]] throws
+    * ConcurrentModificationException when a racer committed above the
+    * planned base, and the create-exclusive commit throws
+    * FileAlreadyExists when two writers race the same number — both
+    * are "re-plan from the new head and try again" signals, which is
+    * exactly what re-executing the closure does. ONLY those two
+    * racing-loser signals retry; real failures propagate
+    * immediately. Usage:
+    * `Snapshots.retryingWrite() { Snapshots.append(df, dir, ...) }` */
+  def retryingWrite[T](maxAttempts: Int = 5)(op: => T): T = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    var attempt = 1
+    while (true) {
+      try return op
+      catch {
+        case e @ (_: java.util.ConcurrentModificationException |
+                  _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One maintenance pass's outcome. */
+  final case class Maintenance(compactedTo: Option[Long],
+                               vacuumedFrom: Option[Long],
+                               manifestsDropped: Long, filesDeleted: Long,
+                               checkpointCovers: Long)
+
+  /** ONE maintenance entry point, driven by the table's OWN carried
+    * properties — the piece that turns the format's maintenance
+    * primitives into something a scheduler can call blindly per
+    * table (no per-table configuration lives outside the table):
+    *
+    *  1. [[compact]] — always offered; a no-op commit-free return
+    *     when no bucket is fragmented;
+    *  2. retention vacuum — only if the table declares
+    *     `prop:retainversions=N`: keep the newest N committed
+    *     versions, [[vacuum]] the rest (with `retainMs` still
+    *     guarding concurrent writers' staged files — pass 0 only
+    *     under exclusive access, same contract as vacuum itself).
+    *     Malformed/absent property → no deletion, ever;
+    *  3. [[checkpoint]] — always (cheap; keeps cold attach at one
+    *     file read even between `ckptevery` hits).
+    *
+    * Deliberately NOT run inside commits: compaction is a data
+    * rewrite and vacuum is the format's only destructive operation —
+    * neither belongs on a writer's latency path nor under its
+    * permissions. This is the side-channel runner the `ckptevery`
+    * in-commit policy cannot be. */
+  def maintain(spark: SparkSession, dir: String, bucketCol: String,
+               sortCols: Seq[String], retainMs: Long = DefaultRetainMs,
+               blockSize: Long = 128L * 1024 * 1024): Maintenance = {
+    val before = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots"))
+    val props = propsAt(spark, dir, before)
+    val afterCompact = compact(spark, dir, bucketCol, sortCols, blockSize)
+    val compacted = if (afterCompact != before) Some(afterCompact) else None
+    val retainN = props.get("retainversions")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).filter(_ >= 1)
+    val (vFrom, dropped, deleted) = retainN match {
+      case Some(n) =>
+        val vs = versions(spark, dir)
+        val keepFrom = vs.takeRight(math.min(n, vs.size.toLong).toInt).head
+        if (keepFrom > vs.head) {
+          val (d, del, _) = vacuum(spark, dir, keepFrom, retainMs)
+          (Some(keepFrom), d, del)
+        } else (None, 0L, 0L)
+      case None => (None, 0L, 0L)
+    }
+    val covers = checkpoint(spark, dir)
+    Maintenance(compacted, vFrom, dropped, deleted, covers)
+  }
+
   /** MERGE (upsert) — the CDC apply step: commit a new version where
     * every target row whose key matches an update row is REPLACED
     * and every update row is inserted (rows with unmatched keys are

@@ -147,7 +147,7 @@ object ZOrderTable {
   def publish(df: DataFrame, dir: String, dims: Seq[String], shift: Int,
               curve: String = "z", blockSize: Long = 128L * 1024 * 1024,
               numTasks: Int = 32, extraStatsCols: Seq[String] = Nil,
-              ndvCols: Seq[String] = Nil): Long = {
+              ndvCols: Seq[String] = Nil, meta: Seq[String] = Nil): Long = {
     val l = ZLayout(curve, shift, dims)
     val spark = df.sparkSession
     Snapshots.resolveForWrite(spark, dir)
@@ -158,7 +158,7 @@ object ZOrderTable {
       blockSize, numTasks, stat2Cols = statsCols, ndvCols = ndvCols)
     val v = Snapshots.claimAbove(spark, dir, 0L)
     Snapshots.commit(spark, dir, v, st.rels,
-      Seq("format:2", s"schema:${st.schemaJson}",
+      meta ++ Seq("format:2", s"schema:${st.schemaJson}",
         s"prop:$PropKey=${l.propValue}",
         s"statcols:${statsCols.mkString(",")}") ++
         (if (ndvCols.isEmpty) Nil else Seq(s"ndvcols:${ndvCols.mkString(",")}")) ++
@@ -293,7 +293,7 @@ object ZOrderTable {
   private def applyImpl(updatesOpt: Option[DataFrame],
                         deletesOpt: Option[DataFrame], dir: String,
                         keyCols: Seq[String], blockSize: Long,
-                        numTasks: Int): Long = {
+                        numTasks: Int, meta: Seq[String] = Nil): Long = {
     require(keyCols.nonEmpty, "merge/delete needs key columns")
     val spark = updatesOpt.orElse(deletesOpt).get.sparkSession
     Snapshots.resolveForWrite(spark, dir)
@@ -344,11 +344,49 @@ object ZOrderTable {
     }
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++
+      meta ++ Seq("format:2", s"schema:$schema") ++
         carriedMeta(pm, kept.toSet) ++ filezLines(st.rels, l.shift) ++
         st.statLines ++ st.stat2Lines ++ st.ndvLines ++ st.sizeLines)
     v
   }
+
+  /** Idempotent batch upsert into a z-table — the EXACTLY-ONCE
+    * streaming sink discipline ([[Snapshots.mergeBatch]]) over the
+    * clustered layout: the applied batch id rides in the committed
+    * manifest, a replayed id is a no-op, the BOOTSTRAP batch creates
+    * the table under `bootstrap`'s layout (ledger-stamped like any
+    * other batch), and every applied batch lands in its curve cells
+    * (pruned path — `keyCols` must include the dims, the [[merge]]
+    * contract; pass `deletes` for a two-sided CDC batch). Single
+    * streaming writer per table, as for the flat sink. */
+  def mergeBatch(batchId: Long, updates: DataFrame, dir: String,
+                 keyCols: Seq[String], bootstrap: ZLayout,
+                 blockSize: Long = 128L * 1024 * 1024, numTasks: Int = 32,
+                 deletes: Option[DataFrame] = None): Long = {
+    val spark = updates.sparkSession
+    require(bootstrap.dims.forall(keyCols.contains),
+      s"mergeBatch by $keyCols cannot prune safely: the layout dims " +
+        s"${bootstrap.dims} must be key columns (the merge contract)")
+    if (Snapshots.lastAppliedBatch(spark, dir).exists(batchId <= _))
+      Snapshots.latest(spark, dir).get // re-delivery: already applied
+    else Snapshots.latest(spark, dir) match {
+      case None =>
+        publish(updates, dir, bootstrap.dims, bootstrap.shift,
+          bootstrap.curve, blockSize, numTasks,
+          meta = Seq(s"batch:$batchId"))
+      case Some(_) =>
+        applyImpl(Some(updates), deletes, dir, keyCols, blockSize,
+          numTasks, meta = Seq(s"batch:$batchId"))
+    }
+  }
+
+  /** [[mergeBatch]] curried for `writeStream.foreachBatch`. */
+  def foreachBatchMerge(dir: String, keyCols: Seq[String],
+                        bootstrap: ZLayout): (DataFrame, Long) => Unit =
+    (batchDf, batchId) => {
+      mergeBatch(batchId, batchDf, dir, keyCols, bootstrap)
+      ()
+    }
 
   /** Compaction = the epoch MIGRATOR: rewrite every stale-epoch file,
     * every current-epoch file in a cell the migrating rows land in

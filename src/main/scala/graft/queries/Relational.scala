@@ -76,6 +76,7 @@ object Relational {
     "q183_zorder_table" -> q183,
     "q184_table_props" -> q184,
     "q185_join_planner" -> q185,
+    "q186_maintain" -> q186,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -1955,6 +1956,59 @@ object Relational {
       .orderBy(col("section"), col("label"))
   }
 
+  /** PROPS-DRIVEN MAINTENANCE under the gate
+    * ([[graft.operators.Snapshots.maintain]] — the one entry point a
+    * scheduler calls blindly per table; the table's own carried
+    * `retainversions` property decides what may be deleted, so no
+    * per-table configuration lives outside the table): orders land
+    * in three loads (8 buckets × 3 files — every bucket fragmented),
+    * then ONE maintain() compacts to 8 files, retention-vacuums to
+    * the newest version (the three pre-compaction manifests drop and
+    * their 24 fragments — now unreferenced — delete; retainMs=0 is
+    * the gates' stated exclusive-access mode), and refreshes the
+    * committedness checkpoint to cover exactly the surviving
+    * version. All closed-form protocol arithmetic; the read fold
+    * proves maintenance moved NOTHING (the oracle recomputes it from
+    * raw orders). */
+  def q186(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import spark.implicits._
+    val W = 2048L // sf0.01 orderkeys are dense to 15000 -> 8 buckets
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_maint_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Snapshots.dropPath(spark, out)
+    val src = Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    Snapshots.publish(src.filter(col("o_orderkey") % 3 === 0), out,
+      "bucket", Seq("o_orderkey"), meta = Seq("prop:retainversions=1"))
+    Snapshots.append(src.filter(col("o_orderkey") % 3 === 1), out,
+      "bucket", Seq("o_orderkey"))
+    val v3 = Snapshots.append(src.filter(col("o_orderkey") % 3 === 2), out,
+      "bucket", Seq("o_orderkey"))
+    val before = Snapshots.files(spark, out, v3).size.toLong
+    val r = Snapshots.maintain(spark, out, "bucket", Seq("o_orderkey"),
+      retainMs = 0)
+    val v4 = Snapshots.latest(spark, out).get
+    def fold(df: DataFrame): (Long, Long, Long) = {
+      val rr = df.withColumn("h", ordersRowHash)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+          coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+      (rr.getLong(0), rr.getLong(1), rr.getLong(2))
+    }
+    val (f1, f2, f3) = fold(Snapshots.readAt(spark, out, v4))
+    Seq(
+      ("read", "v0004", f1, f2, f3),
+      ("state", "files", before,
+        Snapshots.files(spark, out, v4).size.toLong,
+        Snapshots.versions(spark, out).size.toLong),
+      ("state", "maintain", r.manifestsDropped, r.filesDeleted,
+        r.checkpointCovers),
+      ("state", "steps",
+        r.compactedTo.getOrElse(0L), r.vacuumedFrom.getOrElse(0L), v4))
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
   /** MULTI-TABLE TRANSACTIONAL PUBLISH under the gate
     * ([[graft.operators.Snapshots.beginTxn]] — the cross-table
     * atomicity a pipeline's fact+dim pair needs; the create-
@@ -3186,6 +3240,28 @@ object Relational {
          |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM ha
          |  UNION ALL SELECT 'est', 'orders_lineitem', 1,
          |    (SELECT count(*) FROM sh), 1)
+         |SELECT * FROM agg ORDER BY section, label""".stripMargin
+    },
+    // q186: the read restates as the plain table (maintenance moves
+    // nothing); state rows are protocol arithmetic — 3 loads x 8
+    // key-div buckets = 24 files compact to 8 at v4, retention 1
+    // drops manifests 1..3 and deletes the 24 now-unreferenced
+    // fragments, the checkpoint covers the 1 surviving version
+    "q186_maintain" -> {
+      val canon = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+        "o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      s"""WITH h AS (
+         |  SELECT list_reduce(list_transform(generate_series(1, 15),
+         |      i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+         |      (a, x) -> a * 16 + x) AS h FROM orders),
+         |agg AS (
+         |  SELECT 'read' AS section, 'v0004' AS label, count(*) AS m1,
+         |    CAST(bit_xor(h) AS BIGINT) AS m2,
+         |    CAST(sum(h % 1000000000000) AS BIGINT) AS m3 FROM h
+         |  UNION ALL SELECT 'state', 'files', 24, 8, 1
+         |  UNION ALL SELECT 'state', 'maintain', 3, 24, 1
+         |  UNION ALL SELECT 'state', 'steps', 4, 4, 4)
          |SELECT * FROM agg ORDER BY section, label""".stripMargin
     },
     // q180: each prune restates as its plain filter (pruning is a

@@ -93,4 +93,45 @@ class TablePropsSpec extends SparkSuite {
     assert(Snapshots.read(spark, dir).count() === 900)
     assert(Snapshots.versions(spark, dir).contains(v))
   }
+
+  test("maintain: props-driven one-call maintenance — compacts fragments, " +
+    "retention-vacuums to the newest N versions, refreshes the checkpoint; " +
+    "a kept version still referencing old files protects them") {
+    val dir = tmpDir("maint")
+    Snapshots.publish(rows(0, 400), dir, "bucket", Seq("k"),
+      meta = Seq("prop:retainversions=2"))
+    Snapshots.append(rows(400, 500), dir, "bucket", Seq("k"))
+    Snapshots.append(rows(500, 600), dir, "bucket", Seq("k"))
+    assert(Snapshots.files(spark, dir, 3L).size === 24, "8 buckets x 3 loads")
+    val r = Snapshots.maintain(spark, dir, "bucket", Seq("k"), retainMs = 0)
+    assert(r.compactedTo === Some(4L))
+    // retain 2 of [1,2,3,4] -> keepFrom 3; v3 still references every
+    // original fragment, so NOTHING is deleted (reference safety)
+    assert(r.vacuumedFrom === Some(3L))
+    assert(r.manifestsDropped === 2L && r.filesDeleted === 0L)
+    assert(r.checkpointCovers === 2L)
+    assert(Snapshots.versions(spark, dir) === Seq(3L, 4L))
+    assert(Snapshots.read(spark, dir).count() === 600)
+    // a second pass has nothing to do (no fragments, retention holds)
+    val r2 = Snapshots.maintain(spark, dir, "bucket", Seq("k"), retainMs = 0)
+    assert(r2.compactedTo.isEmpty && r2.vacuumedFrom.isEmpty &&
+      r2.manifestsDropped === 0L && r2.filesDeleted === 0L)
+    // tighten retention to 1 (a metadata commit, v5): the next pass
+    // drops v3+v4 and the fragments finally become unreferenced
+    Snapshots.setProp(spark, dir, "retainversions", Some("1"))
+    val r3 = Snapshots.maintain(spark, dir, "bucket", Seq("k"), retainMs = 0)
+    assert(r3.vacuumedFrom === Some(5L))
+    assert(r3.manifestsDropped === 2L && r3.filesDeleted === 24L)
+    assert(Snapshots.versions(spark, dir) === Seq(5L))
+    assert(Snapshots.read(spark, dir).count() === 600)
+    assert(r3.checkpointCovers === 1L)
+    // no retention prop -> never deletes (compact+checkpoint only)
+    val bare = tmpDir("maint_bare")
+    Snapshots.publish(rows(0, 100), bare, "bucket", Seq("k"))
+    Snapshots.append(rows(100, 200), bare, "bucket", Seq("k"))
+    val rb = Snapshots.maintain(spark, bare, "bucket", Seq("k"), retainMs = 0)
+    assert(rb.compactedTo === Some(3L) && rb.vacuumedFrom.isEmpty &&
+      rb.filesDeleted === 0L)
+    assert(Snapshots.versions(spark, bare) === Seq(1L, 2L, 3L))
+  }
 }

@@ -261,6 +261,68 @@ class ZOrderTableSpec extends SparkSuite {
     assert(pruned === full)
   }
 
+  test("mergeBatch: the exactly-once ledger over the clustered layout — " +
+    "bootstrap is stamped, replays of ANY applied id are no-ops, applied " +
+    "batches land in their cells") {
+    val dir = tmpDir("ledger")
+    val layout = ZOrderTable.ZLayout("z", 26, Seq("x", "y"))
+    val sink = ZOrderTable.foreachBatchMerge(dir, Seq("id", "x", "y"), layout)
+    def batch(lo: Long, hi: Long) =
+      grid().filter(col("id") >= lo && col("id") < hi)
+    sink(batch(0, 5000), 0L) // bootstrap
+    val v1 = Snapshots.latest(spark, dir).get
+    assert(Snapshots.lastAppliedBatch(spark, dir) === Some(0L))
+    assert(ZOrderTable.currentLayout(spark, dir) === layout)
+    sink(batch(5000, 9000), 1L)
+    val v2 = Snapshots.latest(spark, dir).get
+    assert(ZOrderTable.read(spark, dir).count() === 9000)
+    // replay of batch 1 AND of the bootstrap: absorbed, no new version
+    sink(batch(5000, 9000), 1L)
+    sink(batch(0, 5000), 0L)
+    assert(Snapshots.latest(spark, dir).get === v2)
+    assert(ZOrderTable.read(spark, dir).count() === 9000)
+    // batch 2 REPLACES an overlapping key range (upsert, not append)
+    sink(batch(8000, 9000)
+      .withColumn("v", col("v") + 1000000L), 2L)
+    assert(ZOrderTable.read(spark, dir).count() === 9000)
+    assert(ZOrderTable.read(spark, dir)
+      .filter(col("id") === 8500).select("v").as[Long].head() ===
+      8500L * 3 + 1000000L)
+    // time travel across the ledger still works
+    assert(ZOrderTable.readAt(spark, dir, v1).count() === 5000)
+    // a non-cell-determining key refuses up front
+    intercept[IllegalArgumentException] {
+      ZOrderTable.mergeBatch(3L, batch(0, 1), dir, Seq("id"), layout)
+    }
+  }
+
+  test("retryingWrite: the claim-conflict loser re-plans and lands; " +
+    "exhausted attempts rethrow") {
+    val dir = tmpDir("retry")
+    ZOrderTable.publish(grid().filter(col("id") < 1000), dir,
+      Seq("x", "y"), shift = 26)
+    // attempt 1 claims above a STALE base (a racer committed since) —
+    // the real ConcurrentModificationException from the real path;
+    // the retry re-executes the closure, which re-plans from head
+    var attempts = 0
+    val v = Snapshots.retryingWrite() {
+      attempts += 1
+      if (attempts == 1) Snapshots.claimAbove(spark, dir, 0L) // stale base
+      ZOrderTable.append(grid()
+        .filter(col("id") >= 1000 && col("id") < 1100), dir)
+    }
+    assert(attempts === 2 && v === 2L)
+    assert(ZOrderTable.read(spark, dir).count() === 1100)
+    // bounded: a persistent conflict rethrows after maxAttempts
+    val boom = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.retryingWrite(maxAttempts = 3) {
+        attempts += 1
+        Snapshots.claimAbove(spark, dir, 0L)
+      }
+    }
+    assert(boom != null && attempts === 5)
+  }
+
   test("refusals: non-Long dims, wrong arity, bad shift, reserved names") {
     val dir = tmpDir("refuse")
     val df = grid()
