@@ -77,6 +77,7 @@ object Relational {
     "q184_table_props" -> q184,
     "q185_join_planner" -> q185,
     "q186_maintain" -> q186,
+    "q187_z_cdc" -> q187,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -1956,6 +1957,90 @@ object Relational {
       .orderBy(col("section"), col("label"))
   }
 
+  /** THE CLUSTERED CDC LOOP under the gate — q176's full replication
+    * loop re-run with BOTH r10.5 streaming pieces composed: the
+    * change feed paced by BYTES ([[graft.streaming.ChangeFeed]]'s
+    * `maxBytesPerBatch=1` — every step's churn exceeds one byte, so
+    * the soft cap degrades to one committed version per microbatch,
+    * costed from the manifests' `#fsize` sums alone) drains a source
+    * table's three commits (publish, a two-sided applyChanges, an
+    * append of shifted keys) through net() into an EXACTLY-ONCE
+    * Z-ORDER replica ([[graft.operators.ZOrderTable.mergeBatch]] —
+    * the ledger over the clustered layout, bootstrap stamped). The
+    * replica's fold equals the source head's equals the oracle's
+    * recomputation from raw orders; a replay of the LAST batch is
+    * absorbed (no new version); ledger/version arithmetic pinned. */
+  def q187(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Snapshots, ZOrderTable => Z}
+    import graft.streaming.ChangeFeed
+    import spark.implicits._
+    val base = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_zcdc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Snapshots.dropPath(spark, base)
+    val srcT = s"$base/src"
+    val repT = s"$base/rep"
+    val src = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      (col("o_orderkey") * 7919 % 65536).as("x"),
+      (col("o_custkey") * 104729 % 65536).as("y"))
+      .withColumn("bucket", expr("o_orderkey div 2048"))
+    Snapshots.publish(src, srcT, "bucket", Seq("o_orderkey"))
+    Snapshots.applyChanges(
+      src.filter(col("o_orderkey") % 500 === 7)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0)),
+      src.filter(col("o_orderkey") % 10 === 3)
+        .select("o_orderkey", "bucket"),
+      srcT, "bucket", Seq("o_orderkey"), Seq("o_orderkey"))
+    Snapshots.append(Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 10 === 1).select(
+        (col("o_orderkey") + lit(2147483648L)).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"),
+        ((col("o_orderkey") + lit(2147483648L)) * 7919 % 65536).as("x"),
+        (col("o_custkey") * 104729 % 65536).as("y"))
+      .withColumn("bucket", expr("o_orderkey div 2048")),
+      srcT, "bucket", Seq("o_orderkey"))
+    val layout = Z.ZLayout("z", 26, Seq("x", "y"))
+    val keyCols = Seq("o_orderkey", "x", "y")
+    val apply: (DataFrame, Long) => Unit = (batch, id) => {
+      if (!batch.isEmpty) { // a no-data trigger has nothing to ledger
+        val net = ChangeFeed.net(batch).drop("bucket", "_version")
+        val ins = net.filter(col("_change") === "insert").drop("_change")
+        val del = net.filter(col("_change") === "delete").drop("_change")
+          .select((keyCols ++ Seq("o_custkey", "o_totalprice")).map(col): _*)
+        Z.mergeBatch(id, ins, repT, keyCols, layout, deletes = Some(del))
+      }
+      ()
+    }
+    val q = ChangeFeed.readStream(spark, srcT, maxBytesPerBatch = 1L)
+      .writeStream.foreachBatch(apply).start()
+    try q.processAllAvailable() finally q.stop()
+    val vRep = Snapshots.latest(spark, repT).get
+    // a replay of the LAST batch is absorbed: no new replica version
+    Z.mergeBatch(2L, Z.readAt(spark, repT, vRep).limit(1), repT, keyCols,
+      layout)
+    val replayNoop = if (Snapshots.latest(spark, repT).get == vRep) 1L else 0L
+    def fold(df: DataFrame): (Long, Long, Long) = {
+      val canon = concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("x"), col("y"), (dec2(col("o_totalprice")) * 100).cast("long"))
+      val r = df
+        .withColumn("h", conv(substring(md5(canon), 1, 15), 16, 10).cast("long"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+          coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (r1, r2, r3) = fold(Z.readAt(spark, repT, vRep))
+    val (s1, s2, s3) = fold(Snapshots.read(spark, srcT)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "x", "y"))
+    Seq(
+      ("read", "replica", r1, r2, r3),
+      ("read", "source", s1, s2, s3),
+      ("state", "ledger",
+        Snapshots.lastAppliedBatch(spark, repT).getOrElse(-1L),
+        Snapshots.versions(spark, repT).size.toLong, replayNoop))
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
   /** PROPS-DRIVEN MAINTENANCE under the gate
     * ([[graft.operators.Snapshots.maintain]] — the one entry point a
     * scheduler calls blindly per table; the table's own carried
@@ -3240,6 +3325,44 @@ object Relational {
          |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM ha
          |  UNION ALL SELECT 'est', 'orders_lineitem', 1,
          |    (SELECT count(*) FROM sh), 1)
+         |SELECT * FROM agg ORDER BY section, label""".stripMargin
+    },
+    // q187: replica == source == the plain recomputation (the loop
+    // moves every change exactly once); ledger row is protocol
+    // arithmetic — batches {0,1,2} applied, 3 replica versions, the
+    // replayed last batch absorbed
+    "q187_z_cdc" -> {
+      val canon = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+        "CAST(x AS VARCHAR) || '|' || CAST(y AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      s"""WITH src AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice,
+         |    (o_orderkey * 7919) % 65536 AS x,
+         |    (o_custkey * 104729) % 65536 AS y
+         |  FROM orders),
+         |v2 AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CASE WHEN o_orderkey % 500 = 7 THEN o_totalprice + 1.0
+         |         ELSE o_totalprice END AS o_totalprice, x, y
+         |  FROM src WHERE o_orderkey % 10 <> 3),
+         |a3 AS (
+         |  SELECT o_orderkey + 2147483648 AS o_orderkey, o_custkey,
+         |    o_totalprice,
+         |    ((o_orderkey + 2147483648) * 7919) % 65536 AS x,
+         |    (o_custkey * 104729) % 65536 AS y
+         |  FROM orders WHERE o_orderkey % 10 = 1),
+         |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM a3),
+         |h AS (
+         |  SELECT list_reduce(list_transform(generate_series(1, 15),
+         |      i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+         |      (a, x2) -> a * 16 + x2) AS h FROM v3),
+         |agg AS (
+         |  SELECT 'read' AS section, 'replica' AS label, count(*) AS m1,
+         |    CAST(bit_xor(h) AS BIGINT) AS m2,
+         |    CAST(sum(h % 1000000000000) AS BIGINT) AS m3 FROM h
+         |  UNION ALL SELECT 'read', 'source', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h
+         |  UNION ALL SELECT 'state', 'ledger', 2, 3, 1)
          |SELECT * FROM agg ORDER BY section, label""".stripMargin
     },
     // q186: the read restates as the plain table (maintenance moves

@@ -66,14 +66,23 @@ object ChangeFeed {
     * `maxVersionsPerBatch` > 0 is ADMISSION CONTROL: a restart
     * facing a long version backlog paces it across that many
     * committed versions per microbatch instead of one giant
-    * catch-up batch (0 = unbounded, the default). */
+    * catch-up batch (0 = unbounded, the default).
+    * `maxBytesPerBatch` > 0 paces by DATA VOLUME instead (Delta's
+    * maxBytesPerTrigger): versions admit until the next one would
+    * push the batch's file bytes — the manifests' recorded `#fsize`
+    * for each step's symmetric difference, zero data opens — past
+    * the cap; at least one version always admits (a soft cap, so a
+    * single oversized commit still progresses). Both caps may be
+    * set; the stricter one wins. */
   def readStream(spark: SparkSession, dir: String,
                  startVersion: Long = 0L,
-                 maxVersionsPerBatch: Long = 0L): DataFrame =
+                 maxVersionsPerBatch: Long = 0L,
+                 maxBytesPerBatch: Long = 0L): DataFrame =
     spark.readStream.format(classOf[ChangeFeedProvider].getName)
       .option("path", dir)
       .option("startVersion", startVersion.toString)
       .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
+      .option("maxBytesPerBatch", maxBytesPerBatch.toString)
       .load()
 
   /** Collapse the file-level changelog into NET row-level changes
@@ -124,12 +133,14 @@ class ChangeFeedProvider extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     val start = Option(opts.get("startVersion")).map(_.toLong).getOrElse(0L)
     val maxV = Option(opts.get("maxVersionsPerBatch")).map(_.toLong).getOrElse(0L)
-    new ChangeFeedTable(dirOf(opts), start, maxV, schema)
+    val maxB = Option(opts.get("maxBytesPerBatch")).map(_.toLong).getOrElse(0L)
+    new ChangeFeedTable(dirOf(opts), start, maxV, maxB, schema)
   }
 }
 
 private[streaming] class ChangeFeedTable(dir: String, startVersion: Long,
                                          maxVersionsPerBatch: Long,
+                                         maxBytesPerBatch: Long,
                                          fullSchema: StructType)
     extends Table with SupportsRead {
   override def name(): String = s"graft_changefeed($dir)"
@@ -142,7 +153,8 @@ private[streaming] class ChangeFeedTable(dir: String, startVersion: Long,
         override def readSchema(): StructType = fullSchema
         override def description(): String = name()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ChangeFeedStream(dir, startVersion, maxVersionsPerBatch, fullSchema)
+          new ChangeFeedStream(dir, startVersion, maxVersionsPerBatch,
+            maxBytesPerBatch, fullSchema)
       }
     }
 }
@@ -159,6 +171,7 @@ private[streaming] case class ChangeFilePartition(
 
 private[streaming] class ChangeFeedStream(dir: String, startVersion: Long,
                                           maxVersionsPerBatch: Long,
+                                          maxBytesPerBatch: Long,
                                           fullSchema: StructType)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
@@ -175,19 +188,57 @@ private[streaming] class ChangeFeedStream(dir: String, startVersion: Long,
     * many versions per microbatch — bounded catch-up batches instead
     * of one giant one (the Delta `maxFilesPerTrigger` discipline,
     * in version units because versions are this source's offsets). */
+  /** Manifest-only byte cost of the step INTO committed version `v`
+    * (the symmetric difference's recorded `#fsize` sum — insert-side
+    * sizes from v's manifest, delete-side from its predecessor's;
+    * files without a recorded size count 0, so legacy tables degrade
+    * toward version pacing rather than stalling). */
+  private def stepBytes(v: Long, prevCommitted: Option[Long]): Long = {
+    val mNew = Snapshots.manifest(spark, dir, v)
+    val fNew = mNew.files.toSet
+    val (fOld, oldSizes) = prevCommitted match {
+      case Some(p) =>
+        val mp = Snapshots.manifest(spark, dir, p)
+        (mp.files.toSet, mp.fileSizes)
+      case None => (Set.empty[String], Map.empty[String, Long])
+    }
+    val newSizes = mNew.fileSizes
+    (fNew -- fOld).iterator.map(newSizes.getOrElse(_, 0L)).sum +
+      (fOld -- fNew).iterator.map(oldSizes.getOrElse(_, 0L)).sum
+  }
+
   override def latestOffset(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val a = start.asInstanceOf[ChangeFeedOffset].v
     val end = Snapshots.latest(spark, dir).getOrElse(startVersion)
-    if (maxVersionsPerBatch <= 0) ChangeFeedOffset(end)
+    if (maxVersionsPerBatch <= 0 && maxBytesPerBatch <= 0)
+      ChangeFeedOffset(end)
     else {
       // pace in COMMITTED versions (tombstones carry no data and
-      // should not consume batch budget)
-      val admitted = Snapshots.versions(spark, dir)
-        .filter(v => v > a && v <= end)
-        .take(math.min(maxVersionsPerBatch, Int.MaxValue.toLong).toInt)
-      ChangeFeedOffset(if (admitted.isEmpty) a else admitted.max)
+      // should not consume batch budget); the version cap and the
+      // byte cap compose — the stricter one stops admission
+      val committed = Snapshots.versions(spark, dir)
+      val window = committed.filter(v => v > a && v <= end)
+      var prev = committed.filter(_ <= a).lastOption
+      var admitted = 0L
+      var bytes = 0L
+      var last = a
+      var open = true
+      window.foreach { v =>
+        if (open) {
+          val cost = if (maxBytesPerBatch > 0) stepBytes(v, prev) else 0L
+          val countOk = maxVersionsPerBatch <= 0 ||
+            admitted < maxVersionsPerBatch
+          // soft byte cap: the FIRST version always admits
+          val bytesOk = maxBytesPerBatch <= 0 || admitted == 0 ||
+            bytes + cost <= maxBytesPerBatch
+          if (countOk && bytesOk) {
+            admitted += 1; bytes += cost; last = v; prev = Some(v)
+          } else open = false
+        }
+      }
+      ChangeFeedOffset(last)
     }
   }
 

@@ -170,6 +170,36 @@ class ChangeFeedSpec extends SparkSuite {
     assert(nonEmpty.flatten.toSet === Set(1L, 2L, 3L, 4L))
   }
 
+  test("ADMISSION CONTROL by BYTES: maxBytesPerBatch paces the backlog by " +
+    "each step's manifest-recorded file sizes — a tiny cap degrades to one " +
+    "version per batch (soft: the first always admits), a huge cap drains " +
+    "in one; same total content either way") {
+    val dir = tmpDir("bytes")
+    buildTable(dir) // 4 committed versions, each step >> 1 byte of churn
+    def paced(cap: Long, name: String): Seq[Set[Long]] = {
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val q = ChangeFeed.readStream(spark, dir, maxBytesPerBatch = cap)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val vs = batch.select("_version").distinct()
+            .collect().map(_.getLong(0)).toSet
+          batches.synchronized { batches += vs }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      batches.filter(_.nonEmpty).toSeq
+    }
+    // every step's churn exceeds 1 byte -> soft cap admits exactly one
+    val tiny = paced(1L, "tiny")
+    assert(tiny.size === 4 && tiny.forall(_.size == 1),
+      s"1-byte cap = one version per batch: $tiny")
+    assert(tiny.flatten.toSet === Set(1L, 2L, 3L, 4L))
+    // a cap above the whole history's churn drains in ONE batch
+    val big = paced(1L << 40, "big")
+    assert(big.size === 1 && big.head === Set(1L, 2L, 3L, 4L),
+      s"huge cap = one batch: $big")
+  }
+
   test("TYPE-WIDENED history streams: a table widened int->long and " +
     "float->double replays its FULL history (old narrow files under the " +
     "wide feed schema) and net(drained) == diff per step") {
