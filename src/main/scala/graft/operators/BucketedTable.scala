@@ -261,6 +261,15 @@ object BucketedTable {
     v
   }
 
+  /** Props-driven maintenance for width-bucketed tables
+    * ([[Snapshots.maintain]]'s core with THIS layout's compactor —
+    * the landing-bucket-aware migrator). */
+  def maintain(spark: SparkSession, dir: String,
+               retainMs: Long = Snapshots.DefaultRetainMs,
+               blockSize: Long = 128L * 1024 * 1024): Snapshots.Maintenance =
+    Snapshots.maintainImpl(spark, dir, retainMs,
+      () => compact(spark, dir, blockSize))
+
   /** Read version `v` (time travel), derived bucket dropped. */
   def readAt(spark: SparkSession, dir: String, v: Long): DataFrame =
     Snapshots.readAt(spark, dir, v).drop(BCol)

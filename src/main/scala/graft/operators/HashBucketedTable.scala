@@ -295,6 +295,14 @@ object HashBucketedTable {
   def readAt(spark: SparkSession, dir: String, v: Long): DataFrame =
     Snapshots.readAt(spark, dir, v).drop(BCol)
 
+  /** Props-driven maintenance for hash tables ([[Snapshots.maintain]]'s
+    * core with THIS layout's compactor — the epoch migrator). */
+  def maintain(spark: SparkSession, dir: String,
+               retainMs: Long = Snapshots.DefaultRetainMs,
+               blockSize: Long = 128L * 1024 * 1024): Snapshots.Maintenance =
+    Snapshots.maintainImpl(spark, dir, retainMs,
+      () => compact(spark, dir, blockSize))
+
   /** Read the latest version, derived bucket dropped. */
   def read(spark: SparkSession, dir: String): DataFrame =
     Snapshots.read(spark, dir).drop(BCol)

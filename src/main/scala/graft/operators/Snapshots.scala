@@ -1082,11 +1082,22 @@ object Snapshots {
     * in-commit policy cannot be. */
   def maintain(spark: SparkSession, dir: String, bucketCol: String,
                sortCols: Seq[String], retainMs: Long = DefaultRetainMs,
-               blockSize: Long = 128L * 1024 * 1024): Maintenance = {
+               blockSize: Long = 128L * 1024 * 1024): Maintenance =
+    maintainImpl(spark, dir, retainMs,
+      () => compact(spark, dir, bucketCol, sortCols, blockSize))
+
+  /** The maintenance core behind [[maintain]] and the layout tables'
+    * variants ([[ZOrderTable.maintain]], [[HashBucketedTable
+    * .maintain]]) — each layout supplies its OWN compactor (the step
+    * that knows about cells/epochs); retention + checkpoint are
+    * layout-independent. */
+  private[operators] def maintainImpl(spark: SparkSession, dir: String,
+                                      retainMs: Long,
+                                      compactor: () => Long): Maintenance = {
     val before = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir has no snapshots"))
     val props = propsAt(spark, dir, before)
-    val afterCompact = compact(spark, dir, bucketCol, sortCols, blockSize)
+    val afterCompact = compactor()
     val compacted = if (afterCompact != before) Some(afterCompact) else None
     val retainN = props.get("retainversions")
       .flatMap(s => scala.util.Try(s.toLong).toOption).filter(_ >= 1)

@@ -431,6 +431,16 @@ object ZOrderTable {
     v
   }
 
+  /** Props-driven maintenance for z-tables ([[Snapshots.maintain]]'s
+    * core with THIS layout's compactor — the epoch migrator): compact
+    * stale/fragmented cells, `retainversions` retention vacuum,
+    * checkpoint refresh. */
+  def maintain(spark: SparkSession, dir: String,
+               retainMs: Long = Snapshots.DefaultRetainMs,
+               blockSize: Long = 128L * 1024 * 1024): Snapshots.Maintenance =
+    Snapshots.maintainImpl(spark, dir, retainMs,
+      () => compact(spark, dir, blockSize))
+
   /** The table surface (derived layout columns dropped). */
   def read(spark: SparkSession, dir: String): DataFrame =
     Snapshots.read(spark, dir).drop(ZCol, BCol)

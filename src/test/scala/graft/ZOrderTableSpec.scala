@@ -323,6 +323,23 @@ class ZOrderTableSpec extends SparkSuite {
     assert(boom != null && attempts === 5)
   }
 
+  test("maintain on a z-table: the epoch migrator, retention vacuum and " +
+    "checkpoint in one props-driven call") {
+    val dir = tmpDir("zmaint")
+    ZOrderTable.publish(grid(), dir, Seq("x", "y"), shift = 26,
+      meta = Seq("prop:retainversions=1"))
+    val preFiles = Snapshots.files(spark, dir, 1L).size.toLong
+    ZOrderTable.evolveShift(spark, dir, 28) // v2: every file now stale-epoch
+    val r = ZOrderTable.maintain(spark, dir, retainMs = 0)
+    assert(r.compactedTo === Some(3L), "the migrator ran as v3")
+    assert(r.vacuumedFrom === Some(3L) && r.manifestsDropped === 2L)
+    assert(r.filesDeleted === preFiles,
+      "the stale-epoch originals became unreferenced and swept")
+    assert(r.checkpointCovers === 1L)
+    assert(ZOrderTable.fileShifts(spark, dir, 3L).values.toSet === Set(28))
+    assert(ZOrderTable.read(spark, dir).count() === 20000)
+  }
+
   test("refusals: non-Long dims, wrong arity, bad shift, reserved names") {
     val dir = tmpDir("refuse")
     val df = grid()
