@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * byte sizes (`#fsize`), row counts (`#stat`/`#stat2`) and KMV NDV
   * sketches (`#ndv`); this turns them into the three decisions a
   * 100 TB join actually needs, with ZERO data opens (reference scope:
-  * pycart main.py's merge step, planned instead of defaulted):
+  * pycart main.py:118/216 — `places_df.merge(sub_pop, on=code_type)` /
+  * `val.merge(geo, on='ISO')`, pandas joins that single-node never has
+  * to plan; at cluster scale the same step needs a STRATEGY, decided
+  * here from table statistics instead of defaulted):
   *
   *  - BROADCAST when a side's manifest byte size fits the threshold
   *    (Spark's own autoBroadcastJoinThreshold discipline, but decided

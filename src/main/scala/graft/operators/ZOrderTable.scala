@@ -6,10 +6,12 @@ import org.apache.spark.sql.types.LongType
 
 /** MULTI-DIMENSIONAL (Z-order / Hilbert) clustering for the snapshot
   * table's WRITE PATH — the layout lever the single sort chain cannot
-  * give (reference scope: pycart's spatial locality concern,
-  * main.py's merge-key clustering, generalized to the lakehouse
-  * Z-ORDER discipline of Delta's OPTIMIZE ZORDER BY / public Morton
-  * order): rows are bucketed by the PREFIX of their space-filling
+  * give (reference scope: pycart works in 2-D coordinate space
+  * throughout — cartogram.py:172/245 scale geometries around their
+  * (x, y) centroids, border_util.py:5 probes spatial neighborhoods —
+  * and a Spark-scale sibling stores such data CLUSTERED so spatial
+  * predicates prune; generalized to the lakehouse Z-ORDER discipline
+  * of Delta's OPTIMIZE ZORDER BY / public Morton order): rows are bucketed by the PREFIX of their space-filling
   * curve key and sorted by the full key inside each bucket, so every
   * data file covers one curve CELL whose per-dimension min/max box is
   * tight — a predicate on ANY clustered dimension prunes files from
