@@ -1302,6 +1302,9 @@ object Snapshots {
         _.split(":", 3)(2).split(",").contains(oldName)),
       s"rename: $oldName is a z-order table's layout dimension — " +
         "unsupported (the zlayout property binds it by name)")
+    require(!pm.metaValues("bucketh").exists(_.split(":", 2)(0) == oldName),
+      s"rename: $oldName is a hash-bucketed table's key column — " +
+        "unsupported (the #bucketh metadata binds it by name)")
     val phys = pm.toPhysical.getOrElse(oldName, oldName)
     val newMap = (pm.colMap - phys) ++
       (if (phys == newName) Map.empty[String, String]
@@ -1312,6 +1315,8 @@ object Snapshots {
       m.startsWith("#stat2:") || m.startsWith("#statcols:") ||
       m.startsWith("#ndv:") || m.startsWith("#ndvcols:") ||
       m.startsWith("#bucketw:") || m.startsWith("#filew:") ||
+      m.startsWith("#bucketh:") || m.startsWith("#fileh:") ||
+      m.startsWith("#filez:") ||
       m.startsWith("#prop:") || m.startsWith("#fsize:"))
       .map(_.stripPrefix("#"))
     val v = claimAbove(spark, dir, prev)

@@ -24,6 +24,27 @@ class HashBucketedTableSpec extends SparkSuite {
   private def keysOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.select("key").as[String].collect().sorted.toSeq
 
+  test("rename interplay: the KEY column refuses (the #bucketh metadata " +
+    "binds it by name); a payload rename carries the bucket metadata and " +
+    "epoch lines — the table stays a hash table") {
+    val dir = tmpDir("ren")
+    H.publish(fixture, dir, "key", 4L)
+    intercept[IllegalArgumentException] {
+      Snapshots.rename(spark, dir, "key", "id")
+    }
+    Snapshots.rename(spark, dir, "payload", "pl")
+    assert(H.currentBuckets(spark, dir) === (("key", 4L)),
+      "bucketh survives the rename")
+    assert(H.fileBuckets(spark, dir,
+      Snapshots.latest(spark, dir).get).values.toSet === Set(4L),
+      "fileh epoch lines survive the rename")
+    assert(H.read(spark, dir).columns.sorted.toSeq === Seq("key", "pl"))
+    // the per-epoch machinery still works post-rename
+    val v = H.merge(Seq(("k0001", 9L)).toDF("key", "pl"), dir, Seq("key"))
+    assert(H.readAt(spark, dir, v).filter(col("key") === "k0001")
+      .select("pl").as[Long].head() === 9L)
+  }
+
   test("publish/append/evolveBuckets: evolution is METADATA-ONLY (exact " +
     "file identity), epochs coexist, every version reads its own rows") {
     val dir = tmpDir("evo")

@@ -235,6 +235,12 @@ class ZOrderTableSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Snapshots.rename(spark, dir, "x", "x2")
     }
+    // renaming a NON-dimension column carries the epoch lines — the
+    // per-epoch merge arithmetic survives the rename
+    Snapshots.rename(spark, dir, "v", "val")
+    assert(ZOrderTable.fileShifts(spark, dir,
+      Snapshots.latest(spark, dir).get).values.toSet === Set(28))
+    assert(ZOrderTable.read(spark, dir).columns.contains("val"))
   }
 
   test("3-dimensional layout: shift 42 on the 48-bit key = 4x4x4 cells; " +
