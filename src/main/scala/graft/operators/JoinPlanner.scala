@@ -122,6 +122,21 @@ object JoinPlanner {
       Snapshots.readAt(spark, rightDir, d.right.version), key, d)
   }
 
+  /** Pre-size a shuffle or staged write off manifest numbers — the
+    * piece AQE supplies only at RUNTIME (after a wasted
+    * mis-partitioned exchange): tasks = ceil(rows / rowsPerTask),
+    * clamped to [1, maxTasks]. Feed it [[Snapshots.rowCountAt]] for a
+    * table rewrite, or [[estimateJoinRows]] for a join's output side
+    * (e.g. the `numTasks` of a downstream
+    * [[Snapshots.publish]]/[[Snapshots.merge]]). */
+  def suggestTasks(rows: Long, rowsPerTask: Long = 4000000L,
+                   maxTasks: Int = 2048): Int = {
+    require(rowsPerTask > 0 && maxTasks >= 1,
+      s"need positive sizing (rowsPerTask=$rowsPerTask, maxTasks=$maxTasks)")
+    val t = (rows + rowsPerTask - 1) / rowsPerTask
+    math.max(1L, math.min(t, maxTasks.toLong)).toInt
+  }
+
   /** Expected inner equi-join output rows, manifest-only: overlapping
     * distinct keys (KMV intersection of the two sides' sketches) ×
     * each side's average key multiplicity. Uniform-multiplicity

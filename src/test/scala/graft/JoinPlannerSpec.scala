@@ -108,6 +108,12 @@ class JoinPlannerSpec extends SparkSuite {
     val est = JoinPlanner.estimateJoinRows(spark, l, r, "k").get
     assert(math.abs(est / 4000.0 - 1.0) < 0.35,
       s"estimate $est outside the band around 4000")
+    // pre-sizing off the estimate: ceil-divide, clamped both ends
+    assert(JoinPlanner.suggestTasks(0L) === 1)
+    assert(JoinPlanner.suggestTasks(4000001L) === 2)
+    assert(JoinPlanner.suggestTasks(Long.MaxValue / 2) === 2048)
+    assert(JoinPlanner.suggestTasks(est.toLong, rowsPerTask = 1000L) ===
+      ((est.toLong + 999) / 1000).toInt)
     // a table without declared ndv stats cannot estimate
     val bare = tmpDir("bare")
     Snapshots.publish(
