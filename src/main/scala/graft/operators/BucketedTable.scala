@@ -119,7 +119,8 @@ object BucketedTable {
     }
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, pm.files ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ Seq(s"bucketw:$keyCol:$w") ++
+      Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
+        pm.propLines ++ Seq(s"bucketw:$keyCol:$w") ++
         carriedFilew(pm, pm.files.toSet) ++ filewLines(st.rels, w) ++
         pm.statLines ++ st.statLines ++ pm.fsizeLines ++ st.sizeLines)
     v
@@ -141,7 +142,8 @@ object BucketedTable {
       throw new IllegalArgumentException(s"$dir has no recorded schema"))
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, pm.files,
-      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ Seq(s"bucketw:$keyCol:$newWidth") ++
+      Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
+        pm.propLines ++ Seq(s"bucketw:$keyCol:$newWidth") ++
         carriedFilew(pm, pm.files.toSet) ++ pm.statLines ++ pm.fsizeLines)
     v
   }
@@ -201,7 +203,8 @@ object BucketedTable {
     }
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ Seq(s"bucketw:$keyCol:$w") ++
+      Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
+        pm.propLines ++ Seq(s"bucketw:$keyCol:$w") ++
         carriedFilew(pm, keptSet) ++ filewLines(st.rels, w) ++
         carriedStats(pm, keptSet) ++ st.statLines ++
         pm.fsizeLines.filter(l => keptSet.contains(l.split(":", 3).last)) ++
@@ -244,7 +247,8 @@ object BucketedTable {
       .filter(_._2.size >= 2).values.flatten.toSeq
     val rewrite = (stale ++ conflict ++ frag).distinct.sorted
     if (rewrite.isEmpty) return prev
-    val df = Snapshots.readFiles(spark, dir, rewrite, pm.schemaOpt)
+    val df = Snapshots.readFiles(spark, dir, rewrite, pm.schemaOpt,
+      sizes = pm.fileSizes)
       .withColumn(BCol, expr(s"$keyCol div $w"))
     val st = Snapshots.stage(withBucket(df.drop(BCol), keyCol, w),
       dir, BCol, Seq(keyCol), blockSize, 32)
@@ -253,7 +257,8 @@ object BucketedTable {
     val schema = pm.schemaOpt.map(Snapshots.nullable(_).json).getOrElse(st.schemaJson)
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ Seq(s"bucketw:$keyCol:$w") ++
+      Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
+        pm.propLines ++ Seq(s"bucketw:$keyCol:$w") ++
         carriedFilew(pm, keptSet) ++ filewLines(st.rels, w) ++
         carriedStats(pm, keptSet) ++ st.statLines ++
         pm.fsizeLines.filter(l => keptSet.contains(l.split(":", 3).last)) ++

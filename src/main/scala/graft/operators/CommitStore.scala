@@ -22,9 +22,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 trait CommitStore {
   /** Atomically create `path` holding exactly `bytes` iff it does not
-    * already exist. MUST throw [[java.io.IOException]] when the path
-    * exists (the racing loser's signal) and MUST NOT leave a partial
-    * or replaced file behind in either outcome. */
+    * already exist. MUST throw
+    * [[org.apache.hadoop.fs.FileAlreadyExistsException]] — that exact
+    * type, not just any IOException — when the path exists (the
+    * racing loser's signal: [[Snapshots.retryingWrite]] retries ONLY
+    * this type plus the claim conflict, and the txn arbitration's
+    * "lost the record race" detection keys on it too, so a
+    * conditional-put implementation signalling its loser with a plain
+    * IOException would PROPAGATE as a real failure instead of
+    * re-planning). Wrap your store's exists-signal:
+    * `throw new FileAlreadyExistsException(path.toString)`. MUST NOT
+    * leave a partial or replaced file behind in either outcome; any
+    * OTHER IOException is a real failure and propagates. */
   def createExclusive(fs: FileSystem, path: Path, bytes: Array[Byte]): Unit
 }
 

@@ -28,17 +28,44 @@ import org.apache.spark.sql.functions._
   *    fragmented buckets join the rewrite — maintenance ∝ old-epoch
   *    + fragmented data, never table size.
   *
-  * Keys are strings (cast your key to string upstream); the modulus
-  * must be positive. The derived bucket column ([[BCol]]) is
-  * materialized in the files and dropped by [[read]].
+  * Keys are strings — ENFORCED at every hashing path (cast your key
+  * to string upstream; see `requireStringKey` for why a widenable
+  * key type would silently corrupt rewrite sets); the modulus must
+  * be positive. The derived bucket column ([[BCol]]) is materialized
+  * in the files and dropped by [[read]].
   */
 object HashBucketedTable {
 
   /** The derived hash-bucket column materialized in the data files. */
   val BCol = "__ghbucket"
 
-  private def withBucket(df: DataFrame, keyCol: String, n: Long): DataFrame =
+  /** ENFORCE the string-key contract, not just state it: Spark's
+    * `xxhash64` is TYPE-dispatched (IntegerType hashes 4 bytes,
+    * LongType 8 — same value, different hash), so a non-string key
+    * composed with the format's own type WIDENING (int→long is a
+    * legal merge) would hash a batch's widened keys differently from
+    * the genesis files' — the per-epoch rewrite arithmetic would then
+    * read the WRONG buckets, the anti-join would miss matching rows,
+    * and the table would keep BOTH versions of a key alive: a silent
+    * lost update. StringType cannot widen (no widening involves
+    * strings, [[Snapshots.widens]]), which is what makes the hash
+    * stable across the table's whole life. Checked at every path
+    * that hashes (publish, append, merge/delete), like
+    * [[ZOrderTable]]'s LongType grid requirement. */
+  private def requireStringKey(df: DataFrame, keyCol: String): Unit = {
+    require(df.columns.contains(keyCol), s"missing key column $keyCol")
+    require(df.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"hash-bucketed key $keyCol must be StringType (got " +
+        s"${df.schema(keyCol).dataType.simpleString}) — xxhash64 is " +
+        "type-dispatched, so a widenable key type would silently " +
+        "corrupt the per-epoch rewrite arithmetic; cast upstream")
+  }
+
+  private def withBucket(df: DataFrame, keyCol: String, n: Long): DataFrame = {
+    requireStringKey(df, keyCol)
     df.withColumn(BCol, pmod(xxhash64(col(keyCol)), lit(n)))
+  }
 
   /** (keyCol, modulus) currently in force, from the latest manifest. */
   def currentBuckets(spark: SparkSession, dir: String): (String, Long) = {
@@ -107,7 +134,8 @@ object HashBucketedTable {
     }
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, pm.files ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ Seq(s"bucketh:$keyCol:$n") ++
+      Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
+        pm.propLines ++ Seq(s"bucketh:$keyCol:$n") ++
         carriedFileh(pm, pm.files.toSet) ++ filehLines(st.rels, n) ++
         pm.statLines ++ st.statLines ++ pm.fsizeLines ++ st.sizeLines)
     v
@@ -126,7 +154,8 @@ object HashBucketedTable {
       throw new IllegalArgumentException(s"$dir has no recorded schema"))
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, pm.files,
-      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ Seq(s"bucketh:$keyCol:$newN") ++
+      Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
+        pm.propLines ++ Seq(s"bucketh:$keyCol:$newN") ++
         carriedFileh(pm, pm.files.toSet) ++ pm.statLines ++ pm.fsizeLines)
     v
   }
@@ -137,6 +166,7 @@ object HashBucketedTable {
   private def touchedFiles(spark: SparkSession, pm: Snapshots.Manifest,
                            epochs: Map[String, Long], keyCol: String,
                            keysDf: DataFrame): Seq[String] = {
+    requireStringKey(keysDf, keyCol) // probe keys hash too
     val byEpoch = pm.files.groupBy(f => epochs.getOrElse(f, -1L))
     byEpoch.toSeq.flatMap { case (n, files) =>
       if (n <= 0) files // unknown epoch: conservative, rewrite/read it
@@ -187,7 +217,7 @@ object HashBucketedTable {
       if (touched.isEmpty) withBucket(updatesOpt.get, keyCol, n)
       else {
         val existing = Snapshots.readFiles(spark, dir, touched.sorted,
-          pm.schemaOpt)
+          pm.schemaOpt, sizes = pm.fileSizes)
         updatesOpt match {
           case Some(updates) =>
             val (ex0, up) = Snapshots.mergeAlign(existing,
@@ -220,7 +250,8 @@ object HashBucketedTable {
     }
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ Seq(s"bucketh:$keyCol:$n") ++
+      Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
+        pm.propLines ++ Seq(s"bucketh:$keyCol:$n") ++
         carriedFileh(pm, keptSet) ++ filehLines(st.rels, n) ++
         pm.statLines.filter(l => keptSet.contains(l.split(":", 6).last)) ++
         st.statLines ++
@@ -246,7 +277,8 @@ object HashBucketedTable {
     val current = pm.files.filterNot(stale.contains)
     val landing: Set[Long] =
       if (stale.isEmpty) Set.empty
-      else Snapshots.readFiles(spark, dir, stale, pm.schemaOpt)
+      else Snapshots.readFiles(spark, dir, stale, pm.schemaOpt,
+        sizes = pm.fileSizes)
         .select(pmod(xxhash64(col(keyCol)), lit(n)).as("b"))
         .distinct().collect().map(_.getLong(0)).toSet
     val conflict = current.filter(f =>
@@ -255,7 +287,8 @@ object HashBucketedTable {
       .filter(_._2.size >= 2).values.flatten.toSeq
     val rewrite = (stale ++ conflict ++ frag).distinct.sorted
     if (rewrite.isEmpty) return prev
-    val df = Snapshots.readFiles(spark, dir, rewrite, pm.schemaOpt)
+    val df = Snapshots.readFiles(spark, dir, rewrite, pm.schemaOpt,
+      sizes = pm.fileSizes)
     val st = Snapshots.stage(withBucket(df.drop(BCol), keyCol, n), dir, BCol,
       Seq(keyCol), blockSize, 32)
     val kept = pm.files.filterNot(rewrite.contains)
@@ -263,7 +296,8 @@ object HashBucketedTable {
     val schema = pm.schemaOpt.map(Snapshots.nullable(_).json).getOrElse(st.schemaJson)
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ Seq(s"bucketh:$keyCol:$n") ++
+      Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
+        pm.propLines ++ Seq(s"bucketh:$keyCol:$n") ++
         carriedFileh(pm, keptSet) ++ filehLines(st.rels, n) ++
         pm.statLines.filter(l => keptSet.contains(l.split(":", 6).last)) ++
         st.statLines ++
@@ -286,8 +320,10 @@ object HashBucketedTable {
     val files = touchedFiles(spark, pm, epochs, keyCol, keysDf)
     val base =
       if (files.isEmpty)
-        Snapshots.readFiles(spark, dir, pm.files, pm.schemaOpt).limit(0)
-      else Snapshots.readFiles(spark, dir, files.sorted, pm.schemaOpt)
+        Snapshots.readFiles(spark, dir, pm.files, pm.schemaOpt,
+          sizes = pm.fileSizes).limit(0)
+      else Snapshots.readFiles(spark, dir, files.sorted, pm.schemaOpt,
+        sizes = pm.fileSizes)
     base.join(broadcast(keysDf), Seq(keyCol), "left_semi").drop(BCol)
   }
 

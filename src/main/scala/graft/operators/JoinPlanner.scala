@@ -49,6 +49,25 @@ object JoinPlanner {
                             saltFactor: Int, left: SideStats,
                             right: SideStats)
 
+  /** The version's merged KMV sketch for a physical column, from the
+    * MANIFEST alone — and only when EVERY listed file has a recorded
+    * sketch. A partial sketch set (files written before `ndvCols` was
+    * declared, legacy manifests) would UNDERESTIMATE NDV and inflate
+    * the rows/NDV multiplicity — flipping decisions to SALTED on skew
+    * the planner cannot actually see — so partial degrades to None
+    * (→ shuffle), honoring both the "never guesses skew" stance and
+    * the zero-data-opens contract (no on-the-fly sketching here). */
+  private def recordedSketch(m: Snapshots.Manifest,
+                             phys: String): Option[Array[Long]] = {
+    if (!m.ndvCols.contains(phys)) None
+    else {
+      val sketches = m.ndvSketches(phys) // parse the lines ONCE
+      if (m.files.forall(sketches.contains))
+        Some(Ndv.merge(m.files.map(sketches)))
+      else None // partial stats: no estimate beats a skewed one
+    }
+  }
+
   /** Collect one side's stats from its latest (or given) manifest. */
   def sideStats(spark: SparkSession, dir: String, key: String,
                 version: Option[Long] = None): SideStats = {
@@ -58,30 +77,51 @@ object JoinPlanner {
     val rows = Snapshots.rowCountAt(spark, dir, v)
     val m = Snapshots.committedManifest(spark, dir, v)
     val phys = m.toPhysical.getOrElse(key, key)
-    // only DECLARED ndv columns count here: sketching on the fly would
-    // break the zero-data-opens planning contract
-    val ndv =
-      if (!m.ndvCols.contains(phys)) None
-      else {
-        val sketches = m.ndvSketches(phys) // parse the lines ONCE
-        Some(Ndv.estimate(Ndv.merge(m.files.flatMap(sketches.get)))._1)
-      }
+    val ndv = recordedSketch(m, phys).map(sk => Ndv.estimate(sk)._1)
     val mult = for (r <- rows; n <- ndv) yield Ndv.skewRisk(r, n)
     SideStats(dir, v, bytes, rows, ndv, mult)
   }
 
+  /** Salt DOSE derived from the measured skew instead of a constant:
+    * spreading a key of multiplicity `mult` over F reducers leaves
+    * `mult / F` rows per reducer per key, so F = the next power of
+    * two ≥ `mult / targetMult` brings every hot key back under the
+    * per-reducer target the skew threshold itself defines. `floor`
+    * keeps the historical ×16 minimum; 256 caps the explode side's
+    * blow-up (the other side replicates ×F). A constant dose would
+    * re-create the hot-reducer failure one order of magnitude later
+    * — a 3,000-multiplicity key over a fixed ×16 is still ~190×
+    * average load on its reducer. */
+  private[graft] def saltDose(mult: Double, targetMult: Double,
+                              floor: Int): Int = {
+    val need = math.ceil(mult / math.max(targetMult, 1.0))
+    val pow2 = java.lang.Long.highestOneBit(
+      math.max(1L, math.min(need.toLong, 256L)) * 2 - 1).toInt
+    math.min(256, math.max(floor, pow2))
+  }
+
   /** Choose the strategy for an equi-join of two snapshot tables on
     * `key`. `broadcastBytes` mirrors Spark's threshold default
-    * (10 MiB); `skewMult` is the average-multiplicity bound above
-    * which a shuffle join is presumed hot-keyed. */
+    * (10 MiB) — but manifest byte sizes are AT-REST (snappy parquet
+    * commonly inflates 3–10× decompressed in executor memory, the
+    * same reason Spark has `spark.sql.sources.fileCompressionFactor`),
+    * so the comparison applies `compressionFactor` (default 4×,
+    * documented mid-band) to the manifest size first: a "10 MiB"
+    * parquet side is NOT a 10 MiB broadcast build. `skewMult` is the
+    * average-multiplicity bound above which a shuffle join is
+    * presumed hot-keyed; `saltFactor` is the salt FLOOR — the actual
+    * dose scales with the measured multiplicity ([[saltDose]]). */
   def plan(spark: SparkSession, leftDir: String, rightDir: String,
            key: String, broadcastBytes: Long = 10L * 1024 * 1024,
            skewMult: Double = 64.0, saltFactor: Int = 16,
            leftVersion: Option[Long] = None,
-           rightVersion: Option[Long] = None): Decision = {
+           rightVersion: Option[Long] = None,
+           compressionFactor: Double = 4.0): Decision = {
+    require(compressionFactor >= 1.0,
+      s"compressionFactor inflates at-rest bytes (got $compressionFactor)")
     val l = sideStats(spark, leftDir, key, leftVersion)
     val r = sideStats(spark, rightDir, key, rightVersion)
-    if (math.min(l.bytes, r.bytes) <= broadcastBytes)
+    if (math.min(l.bytes, r.bytes) * compressionFactor <= broadcastBytes)
       Decision("broadcast", if (r.bytes <= l.bytes) "right" else "left",
         1, l, r)
     else {
@@ -90,7 +130,7 @@ object JoinPlanner {
       if (math.max(lm, rm) >= skewMult)
         // the skewed (hot-multiplicity) side salts; the other explodes
         Decision("salted", if (lm >= rm) "left" else "right",
-          saltFactor, l, r)
+          saltDose(math.max(lm, rm), skewMult, saltFactor), l, r)
       else Decision("shuffle", "none", 1, l, r)
     }
   }
@@ -137,11 +177,50 @@ object JoinPlanner {
     math.max(1L, math.min(t, maxTasks.toLong)).toInt
   }
 
+  /** BYTE-based task pre-sizing — preferred over [[suggestTasks]]
+    * whenever the manifest records `#fsize` sums ([[Snapshots
+    * .sizeAt]]): rows are a terrible proxy for bytes (a documents
+    * table at 10 KB/row vs a keys table at 16 B/row differ ~600× in
+    * bytes per task at equal row count), and the thing a task
+    * actually has to fit is BYTES in executor memory. Default target
+    * 256 MB at-rest per task (the 128 MB-block × compression
+    * convention); same [1, maxTasks] clamp. */
+  def suggestTasksBytes(bytes: Long, bytesPerTask: Long = 256L * 1024 * 1024,
+                        maxTasks: Int = 2048): Int = {
+    require(bytesPerTask > 0 && maxTasks >= 1,
+      s"need positive sizing (bytesPerTask=$bytesPerTask, maxTasks=$maxTasks)")
+    val t = (bytes + bytesPerTask - 1) / bytesPerTask
+    math.max(1L, math.min(t, maxTasks.toLong)).toInt
+  }
+
+  /** [[suggestTasksBytes]] off a version's manifest size when `#fsize`
+    * lines exist, [[suggestTasks]] off its row count otherwise — the
+    * "prefer bytes when sizes are recorded" dispatch in one call. */
+  def suggestTasksFor(spark: SparkSession, dir: String, version: Long,
+                      bytesPerTask: Long = 256L * 1024 * 1024,
+                      rowsPerTask: Long = 4000000L,
+                      maxTasks: Int = 2048): Int = {
+    val m = Snapshots.committedManifest(spark, dir, version)
+    if (m.files.forall(m.fileSizes.contains))
+      suggestTasksBytes(Snapshots.sizeAt(spark, dir, version), bytesPerTask,
+        maxTasks)
+    else Snapshots.rowCountAt(spark, dir, version) match {
+      case Some(rows) => suggestTasks(rows, rowsPerTask, maxTasks)
+      case None => math.min(maxTasks, 32) // stats-less: the write default
+    }
+  }
+
   /** Expected inner equi-join output rows, manifest-only: overlapping
-    * distinct keys (KMV intersection of the two sides' sketches) ×
-    * each side's average key multiplicity. Uniform-multiplicity
-    * assumption stated in the object doc. None when either side lacks
-    * declared row counts or NDV sketches for `key`. */
+    * distinct keys (KMV intersection of the two sides' RECORDED
+    * sketches — the same recorded-only sketches [[sideStats]] prices
+    * multiplicity from, so the two numbers can never disagree about
+    * what the manifest knows) × each side's average key multiplicity.
+    * Uniform-multiplicity assumption stated in the object doc. None
+    * when either side lacks declared row counts or a COMPLETE
+    * recorded sketch set for `key` (partial sketches never estimate;
+    * on-the-fly sketching would open data, against the zero-data-opens
+    * planning contract — [[Snapshots.ndvSketchAt]] remains the
+    * verification path, not the planner's). */
   def estimateJoinRows(spark: SparkSession, leftDir: String,
                        rightDir: String, key: String,
                        leftVersion: Option[Long] = None,
@@ -150,11 +229,12 @@ object JoinPlanner {
     val rv = rightVersion.getOrElse(Snapshots.latest(spark, rightDir).get)
     val l = sideStats(spark, leftDir, key, Some(lv))
     val r = sideStats(spark, rightDir, key, Some(rv))
-    for (lm <- l.mult; rm <- r.mult) yield {
-      val overlap = Ndv.intersectEstimate(
-        Snapshots.ndvSketchAt(spark, leftDir, lv, key),
-        Snapshots.ndvSketchAt(spark, rightDir, rv, key))
-      overlap * lm * rm
-    }
+    val lm0 = Snapshots.committedManifest(spark, leftDir, lv)
+    val rm0 = Snapshots.committedManifest(spark, rightDir, rv)
+    for {
+      lm <- l.mult; rm <- r.mult
+      ls <- recordedSketch(lm0, lm0.toPhysical.getOrElse(key, key))
+      rs <- recordedSketch(rm0, rm0.toPhysical.getOrElse(key, key))
+    } yield Ndv.intersectEstimate(ls, rs) * lm * rm
   }
 }

@@ -458,6 +458,22 @@ object Snapshots {
     /** Raw fsize lines (carry-forward). */
     def fsizeLines: Seq[String] = meta.filter(_.startsWith("#fsize:"))
       .map(_.stripPrefix("#"))
+    /** Per-file DELETION VECTORS (format 2.2 `#dv:<b64>:<rel>` lines —
+      * merge-on-read deletes): rel → sorted dead row POSITIONS
+      * ([[Dv]] codec). A version's logical content is its files'
+      * rows MINUS these positions; every read path applies them,
+      * rewrites materialize them (the rewrite reads DV-filtered) and
+      * drop the line, and [[compact]] is the reclaimer. DVs only
+      * GROW on a given file — shrinking would resurrect rows. */
+    def dv: Map[String, Array[Long]] = metaValues("dv").flatMap { s =>
+      s.split(":", 2) match {
+        case Array(b64, rel) => Some(rel -> Dv.decode(b64))
+        case _ => None
+      }
+    }.toMap
+    /** Raw dv lines (carry-forward for KEPT files). */
+    def dvLines: Seq[String] = meta.filter(_.startsWith("#dv:"))
+      .map(_.stripPrefix("#"))
     /** Generic CARRIED table properties (`#prop:key=value` — the
       * Delta table-properties shape): set once at publish (via the
       * `meta` arg) or later with [[setProp]], and copied forward
@@ -513,6 +529,37 @@ object Snapshots {
       .filter(isCommitted(spark, _))
       .map(_.metaValues("batch").headOption.map(_.toLong))
       .collectFirst { case Some(id) => id }
+
+  /** The newest COMMITTED version carrying a `#batch:` header — the
+    * version a retention vacuum must never drop: erasing every
+    * batch-bearing manifest would make [[lastAppliedBatch]] return
+    * None, and a streaming restart's re-delivered batch would then
+    * RE-APPLY instead of being absorbed (the exactly-once claim
+    * broken). [[maintainImpl]] clamps its vacuum floor to this. */
+  private[operators] def newestBatchVersion(spark: SparkSession,
+                                            dir: String): Option[Long] =
+    rawVersions(spark, dir).reverseIterator.find { v =>
+      val m = manifest(spark, dir, v)
+      m.metaValues("batch").nonEmpty && isCommitted(spark, m)
+    }
+
+  /** The batch-LEDGER carry for a commit on top of `pm`: the previous
+    * manifest's newest `#batch:` header, copied forward verbatim —
+    * unless the new commit stamps its own batch id (`newMeta` already
+    * carries one). Every non-batch commit path (compaction,
+    * metadata-only commits, plain loads) carries this, the same way
+    * `#prop` lines carry, so the exactly-once ledger SURVIVES
+    * maintenance: without the carry, a `retainversions` vacuum on a
+    * streaming-sink table could drop every batch-bearing manifest
+    * while batch-less compact/setProp commits sit on top, and the
+    * next restart's re-delivered batch would re-apply. O(1) — reads
+    * only the prev manifest already in hand, and the carry chain
+    * keeps the newest manifest batch-bearing forever after the first
+    * batch. */
+  private[operators] def carriedBatch(pm: Manifest,
+                                      newMeta: Seq[String] = Nil): Seq[String] =
+    if (newMeta.exists(_.startsWith("batch:"))) Nil
+    else pm.metaValues("batch").headOption.map(id => s"batch:$id").toSeq
 
   /** Atomically commit `relFiles` as version `v`. Create-exclusive:
     * if `v` already exists (a racing writer won it), this throws and
@@ -575,9 +622,11 @@ object Snapshots {
     val prev = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir has no snapshots"))
     val pm = manifest(spark, dir, prev)
+    // #batch deliberately carries (the exactly-once ledger must
+    // survive metadata-only commits — see carriedBatch); #txn must not
+    // (this commit is not that transaction's member)
     val kept = pm.meta.filterNot(m => m.startsWith("#format:") ||
-        m.startsWith(s"#prop:$key=") || m.startsWith("#batch:") ||
-        m.startsWith("#txn:"))
+        m.startsWith(s"#prop:$key=") || m.startsWith("#txn:"))
       .map(_.stripPrefix("#"))
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, pm.files,
@@ -819,7 +868,10 @@ object Snapshots {
     }
 
   /** Try to win a transaction record create-exclusively; returns
-    * whether THIS call decided it. */
+    * whether THIS call decided it. Only the contract's loser signal
+    * ([[org.apache.hadoop.fs.FileAlreadyExistsException]] — see
+    * [[CommitStore]]) means "someone else decided"; any other
+    * IOException is a real store failure and propagates. */
   private def writeTxnRecord(spark: SparkSession, rec: String,
                              commit: Boolean): Boolean = {
     val p = new org.apache.hadoop.fs.Path(rec)
@@ -830,7 +882,9 @@ object Snapshots {
         (if (commit) "commit\n" else "abort\n").getBytes("UTF-8"))
       txnCache.put(rec, java.lang.Boolean.valueOf(commit))
       true
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    }
   }
 
   /** Publish the FIRST version of a snapshot table. `meta` lines ride
@@ -912,39 +966,120 @@ object Snapshots {
     }
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, pm.files ++ st.rels,
-      extraMeta ++ Seq("format:2", s"schema:$schema") ++ pm.propLines ++
+      extraMeta ++ Seq("format:2", s"schema:$schema") ++
+        carriedBatch(pm, extraMeta) ++ pm.propLines ++
         pm.colmapLines ++
         pm.statColsLines ++ pm.ndvColsLines ++ pm.statLines ++ st.statLines ++
         pm.stat2Lines ++ st.stat2Lines ++ pm.ndvLines ++ st.ndvLines ++
-        pm.fsizeLines ++ st.sizeLines)
+        pm.fsizeLines ++ st.sizeLines ++ pm.dvLines)
     v
   }
 
   /** Read a set of manifest-relative files. With a recorded schema
-    * (format 2) this is ONE `spark.read.schema(s).parquet(files:_*)`
-    * relation — plan size flat in commit count, no partition
-    * discovery (the bucket is a data column), files that predate a
-    * column null-fill it natively. `colMap` (physical → logical,
-    * format 2.1) handles RENAMED columns: the parquet relation reads
-    * under the files' PHYSICAL names and ONE projection restores the
+    * (format 2) this is ONE relation over a MANIFEST-BACKED
+    * [[org.apache.spark.sql.graftext.ManifestFileIndex]] (the public
+    * Delta-Lake shape: the log's file list + recorded `#fsize` byte
+    * lengths become the FileIndex inside a HadoopFsRelation):
+    *  - plan size flat in commit count, no partition discovery (the
+    *    bucket is a data column), files that predate a column
+    *    null-fill natively (additive evolution);
+    *  - ZERO filesystem calls at planning — the stock path's
+    *    InMemoryFileIndex `getFileStatus`es every file per query, a
+    *    million metadata ops at a million files (`sizes` misses fall
+    *    back to one stat each — legacy manifests only);
+    *  - the relation reports the manifest byte sum as `sizeInBytes`,
+    *    so Spark's OWN optimizer sees real table statistics: a plain
+    *    `read(fact).join(smallDim)` broadcasts under the session's
+    *    `autoBroadcastJoinThreshold` (× its documented
+    *    `fileCompressionFactor`) with no JoinPlanner call;
+    *  - `pruner` (when a manifest's typed stats back it) drops whole
+    *    files at PLANNING time from pushed-down range predicates —
+    *    data skipping on every plain `.filter`, not just the explicit
+    *    prunedScan APIs.
+    * Everything downstream is the stock V1 parquet path (vectorized
+    * reader, pushdown, codegen). `colMap` (physical → logical,
+    * format 2.1) handles RENAMED columns: the relation reads under
+    * the files' PHYSICAL names and ONE projection restores the
     * logical surface — still a single scan. Without a recorded schema
     * (legacy manifests written via raw [[commit]]), falls back to the
     * per-token basePath union that recovers directory-partition
     * columns. */
+  /** A file-pruning hook for [[readFiles]]: pushed-down data filters
+    * in, `Some(surviving manifest-relative files)` out (None = no
+    * claim, read everything). [[statsPruner]] builds one from a
+    * manifest's typed stats. */
+  private[operators] type FilePruner =
+    Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      Option[Set[String]]
+  private[operators] val NoPrune: FilePruner = _ => None
+
+  /** The manifest-relative path of the file a row came from, derived
+    * from `_metadata.file_path` by splitting at the staging root —
+    * scheme/qualification-proof (the metadata value is a qualified
+    * URI; the rel path is what manifests and DV lines speak). */
+  private def relPathCol: org.apache.spark.sql.Column =
+    concat(lit("data/"),
+      element_at(split(col("_metadata.file_path"), "/data/"), -1))
+
+  /** Internal row-position columns ([[readFiles]] `withPos`):
+    * manifest-relative source file and within-file row index — what a
+    * deletion vector addresses. */
+  private[operators] val FileCol = "__gfile"
+  private[operators] val PosCol = "__gpos"
+
   private[operators] def readFiles(spark: SparkSession, dir: String,
                         rels: Seq[String],
                         schema: Option[StructType],
-                        colMap: Map[String, String] = Map.empty): DataFrame =
+                        colMap: Map[String, String] = Map.empty,
+                        sizes: Map[String, Long] = Map.empty,
+                        pruner: FilePruner = NoPrune,
+                        dv: Map[String, Array[Long]] = Map.empty,
+                        withPos: Boolean = false): DataFrame =
     schema match {
-    case Some(s) if colMap.isEmpty =>
-      spark.read.schema(s).parquet(rels.map(r => s"$dir/$r"): _*)
     case Some(s) =>
+      val f = fs(spark, dir)
+      val qual = rels.map(r =>
+        r -> f.makeQualified(new org.apache.hadoop.fs.Path(s"$dir/$r")))
+      val files = qual.map { case (r, p) =>
+        p -> sizes.getOrElse(r, f.getFileStatus(p).getLen)
+      }
       val toPhys = colMap.map(_.swap)
-      val physSchema = StructType(s.fields.map(f =>
-        f.copy(name = toPhys.getOrElse(f.name, f.name))))
-      spark.read.schema(physSchema).parquet(rels.map(r => s"$dir/$r"): _*)
-        .select(s.fields.map(f =>
-          col(toPhys.getOrElse(f.name, f.name)).as(f.name)): _*)
+      val physSchema =
+        if (colMap.isEmpty) s
+        else StructType(s.fields.map(fd =>
+          fd.copy(name = toPhys.getOrElse(fd.name, fd.name))))
+      val qualOf = qual.toMap
+      val base = org.apache.spark.sql.graftext.ManifestFileIndex.relation(
+        spark, f.makeQualified(new org.apache.hadoop.fs.Path(dir)), files,
+        physSchema,
+        filters => pruner(filters).map(_.map(r => qualOf(r).toString)))
+      // DELETION VECTORS: a file with recorded dead positions reads
+      // through one broadcast anti-join on (file, position) — rewrites
+      // of those files therefore materialize the DV for free, and a
+      // DV-less read pays nothing (the common case: no extra columns,
+      // no join, same single codegen'd scan)
+      val relsSet = rels.toSet
+      val liveDv = dv.filter { case (r, ps) =>
+        ps.nonEmpty && relsSet.contains(r)
+      }
+      val posed =
+        if (liveDv.isEmpty && !withPos) base
+        else base.withColumn(FileCol, relPathCol)
+          .withColumn(PosCol, col("_metadata.row_index"))
+      val filtered =
+        if (liveDv.isEmpty) posed
+        else {
+          import spark.implicits._
+          val dead = broadcast(liveDv.toSeq
+            .flatMap { case (r, ps) => ps.map(p => (r, p)) }
+            .toDF(FileCol, PosCol))
+          posed.join(dead, Seq(FileCol, PosCol), "left_anti")
+        }
+      val surface = s.fields.map(fd =>
+        col(toPhys.getOrElse(fd.name, fd.name)).as(fd.name)) ++
+        (if (withPos) Seq(col(FileCol), col(PosCol)) else Nil)
+      if (colMap.isEmpty && liveDv.isEmpty && !withPos) base
+      else filtered.select(surface: _*)
     case None =>
       val byToken = rels.groupBy(_.split("/")(1))
       byToken.toSeq.sortBy(_._1).map { case (token, fls) =>
@@ -968,12 +1103,124 @@ object Snapshots {
       scala.util.Try(seg.substring(seg.indexOf('=') + 1).toLong).toOption
     }
 
+  /** Build a [[FilePruner]] from a manifest's recorded per-file stats
+    * (`#stat2` typed lines for the declared stats columns, plus the
+    * layout key's own `#stat` lines): pushed-down comparison
+    * predicates on those columns drop whole files at PLANNING time —
+    * Delta-style data skipping for every plain `.filter` on a
+    * snapshot read, not just the explicit prunedScan APIs. Strictly
+    * CONSERVATIVE: only bare `attr <op> literal` conjuncts prune
+    * (casts, expressions, unknown shapes make no claim), a file
+    * without a recorded stat for the column survives, and null rows
+    * cannot match a comparison anyway so min/max exclusion is sound.
+    * The residual filter still runs — pruning never changes answers,
+    * only I/O. Attribute names here are PHYSICAL (the relation reads
+    * under physical names; stats are stored physical-keyed —
+    * rename-proof on both sides). */
+  private def statsPruner(m: Manifest): FilePruner = {
+    val statKeyCols = m.metaValues("stat").flatMap(_.split(":", 2).headOption)
+      .distinct
+    val availCols = (m.statCols ++ statKeyCols).toSet
+    if (availCols.isEmpty) NoPrune
+    else filters => {
+      import org.apache.spark.sql.catalyst.expressions._
+      // survives(kind, minEnc, maxEnc)
+      type Test = (String, String, String) => Boolean
+      def longTest(mode: Char, v: Long): Test = (kind, mn, mx) =>
+        kind != "i" || (mode match {
+          case '=' => mn.toLong <= v && v <= mx.toLong
+          case '>' => mx.toLong > v
+          case 'g' => mx.toLong >= v
+          case '<' => mn.toLong < v
+          case _ => mn.toLong <= v // 'l'
+        })
+      def dblTest(mode: Char, v: Double): Test = (kind, mn, mx) =>
+        kind != "d" || (mode match {
+          case '=' => mn.toDouble <= v && v <= mx.toDouble
+          case '>' => mx.toDouble > v
+          case 'g' => mx.toDouble >= v
+          case '<' => mn.toDouble < v
+          case _ => mn.toDouble <= v
+        })
+      def strTest(mode: Char, v: Array[Byte]): Test = (kind, mn, mx) =>
+        kind != "s" || {
+          val dec = java.util.Base64.getDecoder
+          lazy val lo = dec.decode(mn)
+          lazy val hi = dec.decode(mx)
+          mode match {
+            case '=' => !Layout.bytesLt(v, lo) && !Layout.bytesLt(hi, v)
+            case '>' => Layout.bytesLt(v, hi) // max > v
+            case 'g' => !Layout.bytesLt(hi, v) // max >= v
+            case '<' => Layout.bytesLt(lo, v) // min < v
+            case _ => !Layout.bytesLt(v, lo) // min <= v
+          }
+        }
+      def litTest(mode: Char, l: Literal): Option[Test] = l.value match {
+        case null => None
+        case i: java.lang.Integer => Some(longTest(mode, i.longValue))
+        case j: java.lang.Long => Some(longTest(mode, j.longValue))
+        case sh: java.lang.Short => Some(longTest(mode, sh.longValue))
+        case b: java.lang.Byte => Some(longTest(mode, b.longValue))
+        case d: java.lang.Double => Some(dblTest(mode, d.doubleValue))
+        case fl: java.lang.Float => Some(dblTest(mode, fl.doubleValue))
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          Some(strTest(mode, u.getBytes))
+        case _ => None
+      }
+      def attrOf(e: Expression): Option[String] = e match {
+        case a: AttributeReference if availCols.contains(a.name) => Some(a.name)
+        case _ => None
+      }
+      def mk(a: Expression, mode: Char, l: Literal): Option[(String, Test)] =
+        for (c <- attrOf(a); t <- litTest(mode, l)) yield (c, t)
+      def test(e: Expression): Option[(String, Test)] = e match {
+        case EqualTo(a, l: Literal) => mk(a, '=', l)
+        case EqualTo(l: Literal, a) => mk(a, '=', l)
+        case GreaterThan(a, l: Literal) => mk(a, '>', l)
+        case GreaterThan(l: Literal, a) => mk(a, '<', l)
+        case GreaterThanOrEqual(a, l: Literal) => mk(a, 'g', l)
+        case GreaterThanOrEqual(l: Literal, a) => mk(a, 'l', l)
+        case LessThan(a, l: Literal) => mk(a, '<', l)
+        case LessThan(l: Literal, a) => mk(a, '>', l)
+        case LessThanOrEqual(a, l: Literal) => mk(a, 'l', l)
+        case LessThanOrEqual(l: Literal, a) => mk(a, 'g', l)
+        case _ => None
+      }
+      val tests = filters.flatMap(test)
+      if (tests.isEmpty) None
+      else {
+        // per-column per-file stats: typed #stat2 first, the layout
+        // key's #stat lines (kind "i" by construction) as fallback
+        val byCol = tests.map(_._1).distinct.map { c =>
+          val typed = m.stats2(c).map { case (rel, (_, kind, mn, mx)) =>
+            rel -> ((kind, mn, mx))
+          }
+          val keyed = m.stats(c).map { case (rel, (_, mn, mx)) =>
+            rel -> (("i", mn.toString, mx.toString))
+          }
+          c -> (keyed ++ typed)
+        }.toMap
+        Some(m.files.filter { rel =>
+          tests.forall { case (c, t) =>
+            byCol(c).get(rel) match {
+              case Some((kind, mn, mx)) => t(kind, mn, mx)
+              case None => true // no stats claim: must read the file
+            }
+          }
+        }.toSet)
+      }
+    }
+  }
+
   /** Read the table at version `v` (time travel) — under that
     * VERSION's logical schema and column names (pre-rename versions
-    * read under the old names). */
+    * read under the old names), with the manifest's byte sizes as the
+    * relation's reported statistics and its per-file stats as the
+    * planning-time file pruner (see [[readFiles]]). */
   def readAt(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val m = committedManifest(spark, dir, v)
-    readFiles(spark, dir, m.files, m.schemaOpt, m.colMap)
+    readFiles(spark, dir, m.files, m.schemaOpt, m.colMap, m.fileSizes,
+      statsPruner(m), m.dv)
   }
 
   /** Read the latest version. */
@@ -996,15 +1243,23 @@ object Snapshots {
     val pm = manifest(spark, dir, prev)
     val bOf = bucketOf(bucketCol) _
     val frag = pm.files.groupBy(bOf).filter(_._2.size >= 2)
-    if (frag.isEmpty) return prev
-    val fragFiles = frag.values.flatten.toSeq
-    val fragDf = readFiles(spark, dir, fragFiles, pm.schemaOpt, pm.colMap)
+    // DELETION-VECTOR reclaim: a DV-bearing file rewrites here even if
+    // its bucket is not fragmented — the read below is DV-filtered, so
+    // the rewrite MATERIALIZES the deletes and the dv line drops
+    // (vacuum then reclaims the pre-delete bytes)
+    val dvBuckets = pm.files.filter(pm.dv.contains).map(bOf).toSet
+    val rewriteBuckets = frag.keySet ++ dvBuckets
+    if (rewriteBuckets.isEmpty) return prev
+    val fragFiles = pm.files.filter(f => rewriteBuckets.contains(bOf(f)))
+    val fragDf = readFiles(spark, dir, fragFiles, pm.schemaOpt, pm.colMap,
+      pm.fileSizes, dv = pm.dv)
     val tp = pm.toPhysical
     val st = stage(toPhysicalDf(fragDf, tp), dir,
       tp.getOrElse(bucketCol, bucketCol),
       sortCols.map(c => tp.getOrElse(c, c)), blockSize,
-      math.max(frag.size, 1), stat2Cols = pm.statCols, ndvCols = pm.ndvCols)
-    val kept = pm.files.filterNot(f => frag.contains(bOf(f)))
+      math.max(rewriteBuckets.size, 1), stat2Cols = pm.statCols,
+      ndvCols = pm.ndvCols)
+    val kept = pm.files.filterNot(f => rewriteBuckets.contains(bOf(f)))
     val keptSet = kept.toSet
     // stat:<key>:<rows>:<min>:<max>:<relpath> — path is the 6th field
     val keptStats = pm.statLines.filter(l =>
@@ -1017,13 +1272,15 @@ object Snapshots {
       keptSet.contains(l.split(":", 4).last))
     val keptSizes = pm.fsizeLines.filter(l =>
       keptSet.contains(l.split(":", 3).last))
+    val keptDv = pm.dvLines.filter(l => keptSet.contains(l.split(":", 3).last))
     val schema = pm.schemaOpt.map(nullable(_).json).getOrElse(st.schemaJson)
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++ pm.propLines ++ pm.colmapLines ++
+      Seq("format:2", s"schema:$schema") ++ carriedBatch(pm) ++
+        pm.propLines ++ pm.colmapLines ++
         pm.statColsLines ++ pm.ndvColsLines ++ keptStats ++ st.statLines ++
         keptStats2 ++ st.stat2Lines ++ keptNdv ++ st.ndvLines ++
-        keptSizes ++ st.sizeLines)
+        keptSizes ++ st.sizeLines ++ keptDv)
     v
   }
 
@@ -1104,7 +1361,16 @@ object Snapshots {
     val (vFrom, dropped, deleted) = retainN match {
       case Some(n) =>
         val vs = versions(spark, dir)
-        val keepFrom = vs.takeRight(math.min(n, vs.size.toLong).toInt).head
+        val byRetention = vs.takeRight(math.min(n, vs.size.toLong).toInt).head
+        // never vacuum past the newest batch-bearing version: dropping
+        // the whole exactly-once ledger would let a restart's
+        // re-delivered batch RE-APPLY (defense in depth — carriedBatch
+        // keeps the newest manifest batch-bearing, so this clamp only
+        // binds when a foreign writer broke the carry chain)
+        val keepFrom = newestBatchVersion(spark, dir) match {
+          case Some(bv) => math.min(byRetention, bv)
+          case None => byRetention
+        }
         if (keepFrom > vs.head) {
           val (d, del, _) = vacuum(spark, dir, keepFrom, retainMs)
           (Some(keepFrom), d, del)
@@ -1160,6 +1426,79 @@ object Snapshots {
     mergeImpl(None, Some(keys), dir, bucketCol, keyCols, sortCols,
       blockSize, numTasks, meta)
 
+  /** MERGE-ON-READ delete (deletion vectors — the public Delta DV /
+    * Iceberg position-delete shape): commit a new version where every
+    * row matching a `keys` row is gone, while writing ZERO data files
+    * — the commit is METADATA-ONLY, recording the matched rows'
+    * within-file positions as `#dv` lines. This is what a GDPR
+    * erasure of scattered keys needs at 100 TB: [[delete]]
+    * (copy-on-write) rewrites every bucket holding a matched key —
+    * potentially a large fraction of the table for a few thousand
+    * rows — where this pays ONE read of the candidate buckets
+    * (positions located, nothing staged) and a small manifest line.
+    * Reads apply the vectors via one broadcast anti-join on
+    * (file, position); time travel still reads the pre-delete state;
+    * the change feed emits the newly-dead rows as deletes; any later
+    * rewrite of a vectored file (merge, [[compact]] — which targets
+    * DV-bearing files explicitly) MATERIALIZES the vector and drops
+    * the line, and [[vacuum]] then reclaims the bytes. Same key
+    * contract as [[delete]]: `keys` carries `keyCols` plus a non-null
+    * `bucketCol` locating the buckets without a table scan.
+    * Vectors past [[Dv.MaxInlinePositions]] per file refuse — use
+    * the copy-on-write delete (rewriting is cheaper at that churn).
+    * Returns the previous version when nothing matches (no empty
+    * commits). */
+  def deleteVectored(keys: DataFrame, dir: String, bucketCol: String,
+                     keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "delete needs key columns")
+    val spark = keys.sparkSession
+    resolveForWrite(spark, dir)
+    val prev = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots"))
+    val pm = manifest(spark, dir, prev)
+    val schema = pm.schemaOpt.map(nullable(_).json).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir predates manifest format 2 — deleteVectored needs a schema"))
+    val bOf = bucketOf(bucketCol) _
+    val bRows = keys.select(col(bucketCol).cast("long")).distinct().collect()
+    require(bRows.forall(!_.isNullAt(0)),
+      s"delete keys carry NULL $bucketCol values — every row must have " +
+        "a non-null bucket (derive it from the key upstream)")
+    val touched = bRows.map(_.getLong(0)).toSet
+    val candidates = pm.files.filter(f => touched.contains(bOf(f)))
+    if (candidates.isEmpty) return prev
+    // ONE read of the candidate buckets (already-dead rows excluded so
+    // a vector never double-records), broadcast-semi-joined to the
+    // keys: the matched rows' (file, position) pairs ARE the delete
+    val hits = readFiles(spark, dir, candidates, pm.schemaOpt, pm.colMap,
+        pm.fileSizes, dv = pm.dv, withPos = true)
+      .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_semi")
+      .select(FileCol, PosCol).collect()
+    if (hits.isEmpty) return prev
+    val grown = hits.groupBy(_.getString(0)).map { case (rel, rs) =>
+      rel -> Dv.merge(pm.dv.getOrElse(rel, Array.empty[Long]),
+        rs.map(_.getLong(1)))
+    }
+    val dvAll = (pm.dv ++ grown).toSeq.sortBy(_._1)
+      .map { case (rel, ps) => s"dv:${Dv.encode(ps)}:$rel" }
+    // everything else carries verbatim — same files, same stats (now
+    // per-FILE upper bounds; rowCountAt subtracts the dead positions)
+    val carried = pm.meta.filter(m => m.startsWith("#stat:") ||
+      m.startsWith("#stat2:") || m.startsWith("#statcols:") ||
+      m.startsWith("#ndv:") || m.startsWith("#ndvcols:") ||
+      m.startsWith("#bucketw:") || m.startsWith("#filew:") ||
+      m.startsWith("#bucketh:") || m.startsWith("#fileh:") ||
+      m.startsWith("#filez:") || m.startsWith("#colmap:") ||
+      m.startsWith("#prop:") || m.startsWith("#fsize:"))
+      .map(_.stripPrefix("#"))
+    val v = claimAbove(spark, dir, prev)
+    commit(spark, dir, v, pm.files,
+      Seq("format:2", s"schema:$schema") ++ carriedBatch(pm) ++
+        carried ++ dvAll)
+    v
+  }
+
   /** Upserts and deletes in ONE commit — the full CDC apply step a
     * net change batch needs (replaced keys arrive as upserts, gone
     * keys as deletes; both land atomically in one version). Keep the
@@ -1214,7 +1553,7 @@ object Snapshots {
       if (existingFiles.isEmpty) updatesOpt.get
       else {
         val existing = readFiles(spark, dir, existingFiles, pm.schemaOpt,
-          pm.colMap)
+          pm.colMap, pm.fileSizes, dv = pm.dv)
         // additive/WIDENING evolution: updates may ADD columns (old
         // rows null-fill on read) and shared columns may WIDEN in
         // either direction — both sides align to the per-column
@@ -1252,6 +1591,10 @@ object Snapshots {
       keptSet.contains(l.split(":", 4).last))
     val keptSizes = pm.fsizeLines.filter(l =>
       keptSet.contains(l.split(":", 3).last))
+    // dv:<b64>:<rel> — kept files keep their deletion vectors; the
+    // rewritten (touched) files just MATERIALIZED theirs (the read
+    // above was DV-filtered), so their lines drop with the files
+    val keptDv = pm.dvLines.filter(l => keptSet.contains(l.split(":", 3).last))
     val schema = pm.schemaOpt match {
       case Some(ps) if updatesOpt.isEmpty => nullable(ps).json // deletes never evolve
       case Some(ps) => mergeSchemas(ps, nullable(mergedRows.schema)).json
@@ -1259,11 +1602,12 @@ object Snapshots {
     }
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++ meta ++ pm.propLines ++
+      Seq("format:2", s"schema:$schema") ++ meta ++ carriedBatch(pm, meta) ++
+        pm.propLines ++
         pm.colmapLines ++
         pm.statColsLines ++ pm.ndvColsLines ++ keptStats ++ st.statLines ++
         keptStats2 ++ st.stat2Lines ++ keptNdv ++ st.ndvLines ++
-        keptSizes ++ st.sizeLines)
+        keptSizes ++ st.sizeLines ++ keptDv)
     v
   }
 
@@ -1316,12 +1660,13 @@ object Snapshots {
       m.startsWith("#ndv:") || m.startsWith("#ndvcols:") ||
       m.startsWith("#bucketw:") || m.startsWith("#filew:") ||
       m.startsWith("#bucketh:") || m.startsWith("#fileh:") ||
-      m.startsWith("#filez:") ||
+      m.startsWith("#filez:") || m.startsWith("#dv:") ||
       m.startsWith("#prop:") || m.startsWith("#fsize:"))
       .map(_.stripPrefix("#"))
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, pm.files,
       Seq("format:2", s"schema:${nullable(schema).json}") ++
+        carriedBatch(pm) ++
         newMap.toSeq.sorted.map { case (p, l) => s"colmap:$p:$l" } ++ carried)
     v
   }
@@ -1394,22 +1739,49 @@ object Snapshots {
     * files — the q166 gate pins it). Cost ∝ churn between the
     * versions, never table size. */
   def diff(spark: SparkSession, dir: String, vOld: Long, vNew: Long): DataFrame = {
+    val mOld = committedManifest(spark, dir, vOld)
     val mNew = committedManifest(spark, dir, vNew)
-    val fo = files(spark, dir, vOld).toSet
+    val fo = mOld.files.toSet
     val fn = mNew.files.toSet
     val onlyOld = (fo -- fn).toSeq.sorted
     val onlyNew = (fn -- fo).toSeq.sorted
+    // DELETION VECTORS: each side reads under ITS OWN version's
+    // vectors (a row dead at vOld must not re-delete; a row dead at
+    // vNew must not re-insert), and a SHARED file whose vector GREW
+    // contributes its newly-dead rows — deletes the file sets alone
+    // cannot see, because a DV commit changes no files at all
+    val grown: Map[String, Array[Long]] = (fo & fn).toSeq.flatMap { rel =>
+      val od = mOld.dv.getOrElse(rel, Array.empty[Long]).toSet
+      val nd = mNew.dv.getOrElse(rel, Array.empty[Long]).filterNot(od)
+      if (nd.isEmpty) None else Some(rel -> nd)
+    }.toMap
+    val sizes = mOld.fileSizes ++ mNew.fileSizes
     // both sides read under vNew's schema AND column names: columns
     // the old files predate null-fill natively (additive evolution);
     // renamed columns resolve by PHYSICAL name on both sides
     lazy val empty = readFiles(spark, dir, mNew.files, mNew.schemaOpt,
-      mNew.colMap).limit(0)
+      mNew.colMap, sizes).limit(0)
     val newSide =
       if (onlyNew.isEmpty) empty
-      else readFiles(spark, dir, onlyNew, mNew.schemaOpt, mNew.colMap)
+      else readFiles(spark, dir, onlyNew, mNew.schemaOpt, mNew.colMap,
+        sizes, dv = mNew.dv)
+    val grownRows =
+      if (grown.isEmpty) empty
+      else {
+        import spark.implicits._
+        val sel = broadcast(grown.toSeq
+          .flatMap { case (r, ps) => ps.map(p => (r, p)) }
+          .toDF(FileCol, PosCol))
+        readFiles(spark, dir, grown.keys.toSeq.sorted, mNew.schemaOpt,
+            mNew.colMap, sizes, withPos = true)
+          .join(sel, Seq(FileCol, PosCol), "left_semi")
+          .drop(FileCol, PosCol)
+      }
     val oldSide =
-      if (onlyOld.isEmpty) empty
-      else readFiles(spark, dir, onlyOld, mNew.schemaOpt, mNew.colMap)
+      (if (onlyOld.isEmpty) empty
+       else readFiles(spark, dir, onlyOld, mNew.schemaOpt, mNew.colMap,
+         sizes, dv = mOld.dv))
+        .unionByName(grownRows)
     // align column order/types (a no-op under a recorded schema;
     // legacy manifests' partition discovery may disagree per token)
     val oldAligned = oldSide.select(newSide.columns.map(c =>
@@ -1462,9 +1834,11 @@ object Snapshots {
       .map(_.path.stripPrefix(s"$dir/")).distinct
     val residual = col(keyCol) >= lo && col(keyCol) < hi
     if (surviving.isEmpty)
-      readFiles(spark, dir, m.files, m.schemaOpt, m.colMap)
+      readFiles(spark, dir, m.files, m.schemaOpt, m.colMap, m.fileSizes,
+        dv = m.dv)
         .filter(residual).limit(0)
-    else readFiles(spark, dir, surviving, m.schemaOpt, m.colMap)
+    else readFiles(spark, dir, surviving, m.schemaOpt, m.colMap, m.fileSizes,
+      dv = m.dv)
       .filter(residual)
   }
 
@@ -1590,9 +1964,11 @@ object Snapshots {
       c >= lit(lo) && c < lit(hi)
     }.reduce(_ && _)
     if (surviving.isEmpty)
-      readFiles(spark, dir, m.files, m.schemaOpt, m.colMap)
+      readFiles(spark, dir, m.files, m.schemaOpt, m.colMap, m.fileSizes,
+        dv = m.dv)
         .filter(residual).limit(0)
-    else readFiles(spark, dir, surviving, m.schemaOpt, m.colMap)
+    else readFiles(spark, dir, surviving, m.schemaOpt, m.colMap, m.fileSizes,
+      dv = m.dv)
       .filter(residual)
   }
 
@@ -1630,7 +2006,11 @@ object Snapshots {
         }
       }).toMap
     val per = m.files.map(rows.get)
-    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    // merge-on-read deletes: per-file row counts are PRE-DV (the stat
+    // lines describe the physical file); the version's logical count
+    // subtracts the recorded dead positions
+    val dead = m.dv.valuesIterator.map(_.length.toLong).sum
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum - dead)
   }
 
   /** Approximate DISTINCT COUNT of `column` at version `v`, planned
@@ -1667,6 +2047,14 @@ object Snapshots {
         .values.toSeq
     Ndv.merge(have.map(recorded) ++ extra)
   }
+
+  /** The deletion vectors of version `v` — manifest-relative file →
+    * sorted dead row positions. Inspection surface for gates/ops
+    * (how much merge-on-read debt a table carries; [[compact]] is
+    * the reclaimer). */
+  def deletionVectorsAt(spark: SparkSession, dir: String,
+                        v: Long): Map[String, Array[Long]] =
+    committedManifest(spark, dir, v).dv
 
   /** Drop every version below `keepFrom` and delete the data files
     * no kept version references. Returns (manifests dropped, data

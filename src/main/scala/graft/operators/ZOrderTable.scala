@@ -191,7 +191,7 @@ object ZOrderTable {
     }
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, pm.files ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++
+      Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
         carriedMeta(pm, pm.files.toSet) ++ filezLines(st.rels, l.shift) ++
         st.statLines ++ st.stat2Lines ++ st.ndvLines ++ st.sizeLines)
     v
@@ -218,7 +218,7 @@ object ZOrderTable {
       .filterNot(_.startsWith(s"prop:$PropKey="))
     Snapshots.commit(spark, dir, v, pm.files,
       Seq("format:2", s"schema:$schema", s"prop:$PropKey=${l.propValue}") ++
-        carried)
+        Snapshots.carriedBatch(pm) ++ carried)
     v
   }
 
@@ -320,7 +320,7 @@ object ZOrderTable {
       if (touched.isEmpty) updatesOpt.get
       else {
         val existing = Snapshots.readFiles(spark, dir, touched.sorted,
-          pm.schemaOpt, pm.colMap).drop(ZCol, BCol)
+          pm.schemaOpt, pm.colMap, pm.fileSizes).drop(ZCol, BCol)
         updatesOpt match {
           case Some(updates) =>
             val (ex, up) = Snapshots.mergeAlign(existing, updates)
@@ -347,6 +347,7 @@ object ZOrderTable {
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, kept ++ st.rels,
       meta ++ Seq("format:2", s"schema:$schema") ++
+        Snapshots.carriedBatch(pm, meta) ++
         carriedMeta(pm, kept.toSet) ++ filezLines(st.rels, l.shift) ++
         st.statLines ++ st.stat2Lines ++ st.ndvLines ++ st.sizeLines)
     v
@@ -376,7 +377,27 @@ object ZOrderTable {
         publish(updates, dir, bootstrap.dims, bootstrap.shift,
           bootstrap.curve, blockSize, numTasks,
           meta = Seq(s"batch:$batchId"))
-      case Some(_) =>
+      case Some(v) =>
+        // re-validate against the table's ACTUAL layout, not the
+        // caller-supplied bootstrap: a sink mis-wired to an existing
+        // table whose real dims are NOT all key columns would
+        // otherwise take the pruned path silently, and an update that
+        // moves a row's cell would leave the old copy alive in its
+        // untouched cell — exactly the duplication merge refuses up
+        // front. The curve/dims identity check catches the mis-wiring
+        // itself (same failure, one step earlier); shift may differ —
+        // it evolves.
+        val actual = layoutAt(spark, dir, v)
+        require(actual.curve == bootstrap.curve &&
+          actual.dims == bootstrap.dims,
+          s"mergeBatch bootstrap layout (${bootstrap.curve}:" +
+            s"${bootstrap.dims.mkString(",")}) does not match the " +
+            s"table's (${actual.curve}:${actual.dims.mkString(",")}) — " +
+            "this sink is wired to the wrong table")
+        require(actual.dims.forall(keyCols.contains),
+          s"mergeBatch by $keyCols cannot prune safely: the table's " +
+            s"layout dims ${actual.dims} are not all key columns — an " +
+            "update could move a row's cell and orphan the old copy")
         applyImpl(Some(updates), deletes, dir, keyCols, blockSize,
           numTasks, meta = Seq(s"batch:$batchId"))
     }
@@ -408,7 +429,8 @@ object ZOrderTable {
     val current = pm.files.filterNot(stale.contains)
     val landing: Set[Long] =
       if (stale.isEmpty) Set.empty
-      else Snapshots.readFiles(spark, dir, stale, pm.schemaOpt, pm.colMap)
+      else Snapshots.readFiles(spark, dir, stale, pm.schemaOpt, pm.colMap,
+        pm.fileSizes)
         .select(shiftrightunsigned(col(ZCol), l.shift).as("c"))
         .distinct().collect().map(_.getLong(0)).toSet
     val conflict = current.filter(f =>
@@ -417,7 +439,8 @@ object ZOrderTable {
       .filter(_._2.size >= 2).values.flatten.toSeq
     val rewrite = (stale ++ conflict ++ frag).distinct.sorted
     if (rewrite.isEmpty) return prev
-    val df = Snapshots.readFiles(spark, dir, rewrite, pm.schemaOpt, pm.colMap)
+    val df = Snapshots.readFiles(spark, dir, rewrite, pm.schemaOpt,
+        pm.colMap, pm.fileSizes)
       .drop(ZCol, BCol)
     val st = Snapshots.stage(withLayout(df, l), dir, BCol, Seq(ZCol),
       blockSize, math.max(rewrite.size, 1), stat2Cols = pm.statCols,
@@ -427,7 +450,7 @@ object ZOrderTable {
       .getOrElse(st.schemaJson)
     val v = Snapshots.claimAbove(spark, dir, prev)
     Snapshots.commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++
+      Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
         carriedMeta(pm, kept.toSet) ++ filezLines(st.rels, l.shift) ++
         st.statLines ++ st.stat2Lines ++ st.ndvLines ++ st.sizeLines)
     v

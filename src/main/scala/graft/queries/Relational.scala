@@ -78,6 +78,7 @@ object Relational {
     "q185_join_planner" -> q185,
     "q186_maintain" -> q186,
     "q187_z_cdc" -> q187,
+    "q188_dv_delete" -> q188,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -1944,10 +1945,44 @@ object Relational {
     val est = JP.estimateJoinRows(spark, ordK, line, "k").get
     val exact = s1.toDouble
     def lbl(d: JP.Decision) = s"${d.strategy}_${d.buildSide}_x${d.saltFactor}"
+    // r11: Spark's OWN optimizer now sees the manifest statistics — a
+    // plain user join (NO JoinPlanner call) broadcasts under the
+    // default session threshold because the snapshot relation reports
+    // the manifest's #fsize sum as its size, the read goes through the
+    // manifest FileIndex (zero per-query listing), and a plain range
+    // filter DATA-SKIPS at planning time off the recorded stats
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanOf(df: DataFrame): FileSourceScanExec = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case sc: FileSourceScanExec => sc
+      }.get
+    }
+    val plainJoin = Snapshots.read(spark, ordC).drop("bucket")
+      .join(Snapshots.read(spark, cust).drop("bucket", "c_acctbal"), "k")
+    val bhj = plainJoin.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    val factScan = scanOf(Snapshots.read(spark, ordC))
+    val viaManifest = factScan.relation.location
+      .isInstanceOf[org.apache.spark.sql.graftext.ManifestFileIndex]
+    val sizeOk = factScan.relation.location.sizeInBytes ==
+      Snapshots.sizeAt(spark, ordC, Snapshots.latest(spark, ordC).get)
+    val statsFlag = if (bhj && viaManifest && sizeOk) 1L else 0L
+    val skipDf = Snapshots.read(spark, ordK).filter(col("k") < 8192L)
+    val skipScan = scanOf(skipDf)
+    val survived = skipScan.metrics("numFiles").value
+    val totalFiles = Snapshots.files(spark, ordK,
+      Snapshots.latest(spark, ordK).get).size.toLong
+    val (k1, k2, k3) = fold(skipDf.drop("bucket"),
+      concat_ws("|", col("k"), (dec2(col("o_totalprice")) * 100).cast("long")))
     Seq(
       ("plan", "bc_" + lbl(dBc), 1L, 1L, 1L),
       ("plan", "sh_" + lbl(dSh), 1L, 1L, 1L),
       ("plan", "sa_" + lbl(dSa), 1L, 1L, 1L),
+      ("plan", "stats_bhj", statsFlag, 1L, 1L),
+      ("skip", "files", survived, totalFiles,
+        if (survived < totalFiles) 1L else 0L),
+      ("skip", "fold", k1, k2, k3),
       ("join", "bc", b1, b2, b3),
       ("join", "sh", s1, s2, s3),
       ("join", "sa", a1, a2, a3),
@@ -2037,6 +2072,107 @@ object Relational {
       ("state", "ledger",
         Snapshots.lastAppliedBatch(spark, repT).getOrElse(-1L),
         Snapshots.versions(spark, repT).size.toLong, replayNoop))
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
+  /** MERGE-ON-READ DELETE under the gate (deletion vectors — the
+    * r10 verdict's missing #2, done as the public Delta-DV / Iceberg
+    * position-delete shape: `#dv:<b64>:<rel>` manifest lines carry
+    * each file's dead ROW POSITIONS, [[graft.operators.Dv]] codec):
+    * orders publish (v1, 8 key-ranged buckets), then TWO scattered
+    * GDPR-style erasures — the mod-97 keys (v2) and the mod-101
+    * survivors (v3) — each a METADATA-ONLY commit: the gate pins
+    * `files(v3) == files(v2) == files(v1)` (ZERO data files written
+    * where copy-on-write [[graft.operators.Snapshots.delete]] would
+    * have rewritten every bucket), while every read equals the plain
+    * filter, time travel still reads pre-delete state, and
+    * `rowCountAt` subtracts the recorded dead positions with no scan.
+    * [[graft.operators.Snapshots.diff]] and the LIVE change feed emit
+    * the newly-dead rows of each step as deletes — changes the file
+    * sets alone cannot see (a DV commit shares every file), already-
+    * dead rows never re-emit. [[graft.operators.Snapshots.compact]]
+    * then targets the DV-bearing files (fragmented or not),
+    * MATERIALIZES the vectors (zero `#dv` lines after), and vacuum
+    * reclaims the pre-delete bytes while the head folds identically.
+    * Sections: per-version reads, the step-2 diff deletes, per-step
+    * feed net deletes, manifest count arithmetic, the dv/files state
+    * row, and the vacuum row. */
+  def q188(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import graft.streaming.ChangeFeed
+    import spark.implicits._
+    val W = 2048L
+    val base = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_dvgate_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Snapshots.dropPath(spark, base)
+    val srcT = s"$base/src"
+    val src = Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"o_orderkey div $W"))
+    val v1 = Snapshots.publish(src, srcT, "bucket", Seq("o_orderkey"))
+    val f1 = Snapshots.files(spark, srcT, v1)
+    val v2 = Snapshots.deleteVectored(
+      src.filter(col("o_orderkey") % 97 === 0).select("o_orderkey", "bucket"),
+      srcT, "bucket", Seq("o_orderkey"))
+    val v3 = Snapshots.deleteVectored(
+      src.filter(col("o_orderkey") % 101 === 0 &&
+        col("o_orderkey") % 97 =!= 0).select("o_orderkey", "bucket"),
+      srcT, "bucket", Seq("o_orderkey"))
+    val filesSame =
+      if (Snapshots.files(spark, srcT, v2) == f1 &&
+        Snapshots.files(spark, srcT, v3) == f1) 1L else 0L
+    val dvFiles3 = Snapshots.deletionVectorsAt(spark, srcT, v3).size.toLong
+    def fold(df: DataFrame): (Long, Long, Long) = {
+      val r = df.withColumn("h", ordersRowHash)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+          coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val reads = (1L to 3L).map { v =>
+      val (c, x, s) = fold(Snapshots.readAt(spark, srcT, v))
+      ("read", f"v$v%04d", c, x, s)
+    }
+    // diff across the second DV step: exactly its newly-dead rows
+    val (d1, d2, d3) = fold(Snapshots.diff(spark, srcT, v2, v3)
+      .filter(col("_change") === "delete").drop("_change"))
+    // LIVE feed, one version per microbatch: per-step net deletes
+    val feedFolds = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    val q = ChangeFeed.readStream(spark, srcT, maxVersionsPerBatch = 1L)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col(ChangeFeed.VersionCol)).distinct()
+          .collect().map(_.getLong(0)).foreach { v =>
+            val dels = ChangeFeed.net(
+              batch.filter(col(ChangeFeed.VersionCol) === v)
+                .drop(ChangeFeed.VersionCol))
+              .filter(col(ChangeFeed.ChangeCol) === "delete")
+              .drop(ChangeFeed.ChangeCol)
+            feedFolds(v) = fold(dels)
+          }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val (manifestCount3, head3) =
+      (Snapshots.rowCountAt(spark, srcT, v3).getOrElse(-1L),
+        fold(Snapshots.read(spark, srcT)))
+    // compact MATERIALIZES every vector; vacuum reclaims; head holds
+    val v4 = Snapshots.compact(spark, srcT, "bucket", Seq("o_orderkey"))
+    val dvAfter = Snapshots.deletionVectorsAt(spark, srcT, v4).size.toLong
+    val (dropped, deleted, _) = Snapshots.vacuum(spark, srcT, v4, retainMs = 0L)
+    val headAfter = fold(Snapshots.read(spark, srcT))
+    val (f2c, f2x, f2s) = feedFolds.getOrElse(v2, (-1L, -1L, -1L))
+    val (f3c, f3x, f3s) = feedFolds.getOrElse(v3, (-1L, -1L, -1L))
+    (reads ++ Seq(
+      ("deleted", "step2", d1, d2, d3),
+      ("feed", "v0002", f2c, f2x, f2s),
+      ("feed", "v0003", f3c, f3x, f3s),
+      ("count", "manifest", manifestCount3,
+        Snapshots.rowCountAt(spark, srcT, v4).getOrElse(-1L),
+        if (manifestCount3 == head3._1) 1L else 0L),
+      ("state", "dv", filesSame, dvFiles3, dvAfter),
+      ("vacuum", "reclaim", dropped,
+        if (deleted > 0) 1L else 0L,
+        if (headAfter == head3) 1L else 0L)))
       .toDF("section", "label", "m1", "m2", "m3")
       .orderBy(col("section"), col("label"))
   }
@@ -3299,6 +3435,8 @@ object Relational {
         "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
       val cSa = "CAST(k AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR) || '|' || " +
         "CAST(c_custkey AS VARCHAR)"
+      val cSk = "CAST(k AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
       s"""WITH bc AS (
          |  SELECT o.o_custkey AS k, o.o_orderkey, o.o_totalprice, c.c_acctbal
          |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
@@ -3309,14 +3447,25 @@ object Relational {
          |  SELECT (o.o_custkey % 50) AS k, o.o_orderkey, c.c_custkey
          |  FROM orders o JOIN customer c ON (o.o_custkey % 50) = (c.c_custkey % 50)
          |  WHERE c.c_custkey <= 50),
+         |sk AS (
+         |  SELECT o_orderkey AS k, o_totalprice FROM orders
+         |  WHERE o_orderkey < 8192),
          |hb AS (${h60(cBc, "bc")}),
          |hs AS (${h60(cSh, "sh")}),
          |ha AS (${h60(cSa, "sa")}),
+         |hk AS (${h60(cSk, "sk")}),
          |agg AS (
          |  SELECT 'plan' AS section, 'bc_broadcast_right_x1' AS label,
          |    CAST(1 AS BIGINT) AS m1, CAST(1 AS BIGINT) AS m2, CAST(1 AS BIGINT) AS m3
          |  UNION ALL SELECT 'plan', 'sh_shuffle_none_x1', 1, 1, 1
          |  UNION ALL SELECT 'plan', 'sa_salted_left_x16', 1, 1, 1
+         |  UNION ALL SELECT 'plan', 'stats_bhj', 1, 1, 1
+         |  UNION ALL SELECT 'skip', 'files',
+         |    (SELECT count(DISTINCT o_orderkey // 8192) FROM orders
+         |     WHERE o_orderkey < 8192),
+         |    (SELECT count(DISTINCT o_orderkey // 8192) FROM orders), 1
+         |  UNION ALL SELECT 'skip', 'fold', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hk
          |  UNION ALL SELECT 'join', 'bc', count(*),
          |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hb
          |  UNION ALL SELECT 'join', 'sh', count(*),
@@ -3325,6 +3474,53 @@ object Relational {
          |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM ha
          |  UNION ALL SELECT 'est', 'orders_lineitem', 1,
          |    (SELECT count(*) FROM sh), 1)
+         |SELECT * FROM agg ORDER BY section, label""".stripMargin
+    },
+    // q188: every section restates as plain residue filters over raw
+    // orders (deletes never moved data, so the row surfaces are exact
+    // set algebra); the state/vacuum rows are protocol arithmetic —
+    // files identical across both DV commits, dv-file count = the
+    // buckets the doomed keys fall in, zero vectors after compact,
+    // three manifests vacuumed.
+    "q188_dv_delete" -> {
+      val canon = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+        "o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      def h60(src: String) =
+        s"""SELECT list_reduce(list_transform(generate_series(1, 15),
+           |      i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+           |      (a, x) -> a * 16 + x) AS h FROM $src""".stripMargin
+      s"""WITH alive2 AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
+         |alive3 AS (SELECT * FROM orders
+         |  WHERE o_orderkey % 97 <> 0 AND o_orderkey % 101 <> 0),
+         |dead2 AS (SELECT * FROM orders WHERE o_orderkey % 97 = 0),
+         |dead3 AS (SELECT * FROM orders
+         |  WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0),
+         |h1 AS (${h60("orders")}),
+         |h2 AS (${h60("alive2")}),
+         |h3 AS (${h60("alive3")}),
+         |hd2 AS (${h60("dead2")}),
+         |hd3 AS (${h60("dead3")}),
+         |agg AS (
+         |  SELECT 'count' AS section, 'manifest' AS label,
+         |    (SELECT count(*) FROM alive3) AS m1,
+         |    (SELECT count(*) FROM alive3) AS m2, CAST(1 AS BIGINT) AS m3
+         |  UNION ALL SELECT 'deleted', 'step2', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hd3
+         |  UNION ALL SELECT 'feed', 'v0002', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hd2
+         |  UNION ALL SELECT 'feed', 'v0003', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hd3
+         |  UNION ALL SELECT 'read', 'v0001', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h1
+         |  UNION ALL SELECT 'read', 'v0002', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h2
+         |  UNION ALL SELECT 'read', 'v0003', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h3
+         |  UNION ALL SELECT 'state', 'dv', 1,
+         |    (SELECT count(DISTINCT o_orderkey // 2048) FROM orders
+         |     WHERE o_orderkey % 97 = 0 OR o_orderkey % 101 = 0), 0
+         |  UNION ALL SELECT 'vacuum', 'reclaim', 3, 1, 1)
          |SELECT * FROM agg ORDER BY section, label""".stripMargin
     },
     // q187: replica == source == the plain recomputation (the loop

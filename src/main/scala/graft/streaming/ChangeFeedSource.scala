@@ -165,9 +165,19 @@ private[streaming] case class ChangeFeedOffset(v: Long) extends Offset {
 }
 
 /** One input partition: a whole data file, tagged with the change
-  * kind and the version whose commit added/removed it. */
+  * kind and the version whose commit added/removed it. DELETION
+  * VECTORS ride as row-position filters: `skipPos` rows are excluded
+  * (they were already dead on this side's version — an insert-side
+  * file's own vector, or a delete-side file's PRE-existing vector);
+  * a non-empty `onlyPos` inverts the mode and emits EXACTLY those
+  * rows — the newly-dead rows of a shared file whose vector grew (a
+  * DV commit changes no files, so the file diff alone cannot see
+  * those deletes). Positions are within-file row indices, the same
+  * order this reader's sequential scan walks. */
 private[streaming] case class ChangeFilePartition(
-    absPath: String, change: String, version: Long) extends InputPartition
+    absPath: String, change: String, version: Long,
+    skipPos: Array[Long] = Array.empty,
+    onlyPos: Array[Long] = Array.empty) extends InputPartition
 
 private[streaming] class ChangeFeedStream(dir: String, startVersion: Long,
                                           maxVersionsPerBatch: Long,
@@ -203,8 +213,17 @@ private[streaming] class ChangeFeedStream(dir: String, startVersion: Long,
       case None => (Set.empty[String], Map.empty[String, Long])
     }
     val newSizes = mNew.fileSizes
+    // a shared file whose deletion vector grew is read too (to emit
+    // the newly-dead rows) — admission control prices it like churn
+    val dvOld = prevCommitted.map(p =>
+      Snapshots.manifest(spark, dir, p).dv).getOrElse(Map.empty)
+    val grown = (fNew & fOld).iterator.filter { r =>
+      val od = dvOld.getOrElse(r, Array.empty[Long])
+      mNew.dv.getOrElse(r, Array.empty[Long]).length > od.length
+    }
     (fNew -- fOld).iterator.map(newSizes.getOrElse(_, 0L)).sum +
-      (fOld -- fNew).iterator.map(oldSizes.getOrElse(_, 0L)).sum
+      (fOld -- fNew).iterator.map(oldSizes.getOrElse(_, 0L)).sum +
+      grown.map(newSizes.getOrElse(_, 0L)).sum
   }
 
   override def latestOffset(
@@ -263,11 +282,15 @@ private[streaming] class ChangeFeedStream(dir: String, startVersion: Long,
           "cannot replay a gap; start the stream at or above the vacuum horizon"))
     val committed = Snapshots.versions(spark, dir)
     committed.filter(v => v > a && v <= b).flatMap { v =>
-      val fNew = Snapshots.files(spark, dir, v).toSet
+      val mNew = Snapshots.manifest(spark, dir, v)
+      val fNew = mNew.files.toSet
+      val dvNew = mNew.dv
       // aborted-transaction tombstones carry no state: a step's
       // predecessor is the last COMMITTED version below it
-      val fOld = committed.filter(_ < v).lastOption match {
-        case Some(p) => Snapshots.files(spark, dir, p).toSet
+      val (fOld, dvOld) = committed.filter(_ < v).lastOption match {
+        case Some(p) =>
+          val mp = Snapshots.manifest(spark, dir, p)
+          (mp.files.toSet, mp.dv)
         case None =>
           // genesis (all inserts) is only valid when history is
           // complete back to version 1 — otherwise older committed
@@ -276,12 +299,28 @@ private[streaming] class ChangeFeedStream(dir: String, startVersion: Long,
             s"changefeed: no committed predecessor of version $v and the " +
               s"manifest history of $dir no longer starts at v1 (vacuumed) " +
               "— cannot establish a change baseline")
-          Set.empty[String]
+          (Set.empty[String], Map.empty[String, Array[Long]])
+      }
+      // DELETION VECTORS: a shared file whose vector GREW this step
+      // contributes its newly-dead rows as deletes (the file sets
+      // cannot see a metadata-only DV commit); each side's own files
+      // read under that side's vector so already-dead rows never
+      // re-emit
+      val grownDeletes = (fNew & fOld).toSeq.sorted.flatMap { r =>
+        val od = dvOld.getOrElse(r, Array.empty[Long])
+        val odSet = od.toSet
+        val nd = dvNew.getOrElse(r, Array.empty[Long]).filterNot(odSet)
+        if (nd.isEmpty) None
+        else Some(ChangeFilePartition(s"$dir/$r", "delete", v,
+          onlyPos = nd.sorted))
       }
       (fNew -- fOld).toSeq.sorted.map(r =>
-        ChangeFilePartition(s"$dir/$r", "insert", v)) ++
+        ChangeFilePartition(s"$dir/$r", "insert", v,
+          skipPos = dvNew.getOrElse(r, Array.empty[Long]))) ++
         (fOld -- fNew).toSeq.sorted.map(r =>
-          ChangeFilePartition(s"$dir/$r", "delete", v))
+          ChangeFilePartition(s"$dir/$r", "delete", v,
+            skipPos = dvOld.getOrElse(r, Array.empty[Long]))) ++
+        grownDeletes
     }.toArray
   }
 
@@ -335,6 +374,13 @@ private[streaming] class ChangeFileReader(
     .build()
   private val changeTag = UTF8String.fromString(part.change)
   private var row: InternalRow = _
+  // deletion-vector position filters: sequential scan + sorted-array
+  // pointers, O(1) per row (positions are within-file row indices in
+  // exactly this reader's walk order)
+  private val onlyMode = part.onlyPos.nonEmpty
+  private var onlyIdx = 0
+  private var skipIdx = 0
+  private var pos = -1L
   // resolved lazily off the first Group: data-field name -> file index,
   // and each present field's PHYSICAL parquet primitive type — the feed
   // schema is the table's LATEST (widest) schema, but files written
@@ -345,9 +391,24 @@ private[streaming] class ChangeFileReader(
   private var fieldPrim: Array[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] = _
 
   override def next(): Boolean = {
-    val g = reader.read()
-    if (g == null) { row = null; false }
-    else { row = convert(g); true }
+    while (true) {
+      if (onlyMode && onlyIdx >= part.onlyPos.length) {
+        row = null; return false // emitted every selected row: done
+      }
+      val g = reader.read()
+      if (g == null) { row = null; return false }
+      pos += 1
+      if (onlyMode) {
+        if (pos == part.onlyPos(onlyIdx)) {
+          onlyIdx += 1; row = convert(g); return true
+        } // else: not a newly-dead row of this step — skip
+      } else if (skipIdx < part.skipPos.length && pos == part.skipPos(skipIdx)) {
+        skipIdx += 1 // dead on this side's version: never emits
+      } else {
+        row = convert(g); return true
+      }
+    }
+    false
   }
 
   override def get(): InternalRow = row

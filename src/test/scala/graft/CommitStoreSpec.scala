@@ -53,7 +53,10 @@ class CommitStoreSpec extends SparkSuite {
                                  bytes: Array[Byte]): Unit = {
       if (!claimed.add(path.toString) || fs.exists(path)) {
         losses.incrementAndGet()
-        throw new java.io.IOException(s"conditional put lost: $path exists")
+        // the CONTRACT's loser signal — the exact type, not a plain
+        // IOException: retryingWrite and the txn arbitration key on it
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          s"conditional put lost: $path exists")
       }
       val out = fs.create(path, true)
       try out.write(bytes) finally out.close()
@@ -112,6 +115,45 @@ class CommitStoreSpec extends SparkSuite {
         .withColumn("payload", lit(9L)), dir, "bucket", Seq("key"))
       intercept[IllegalStateException](txn.commit())
       assert(Snapshots.read(spark, dir).filter(col("payload") === 9L).count() === 1L)
+    } finally Snapshots.commitStore = AtomicCreateStore
+  }
+
+  test("the loser-signal TYPE matters: a FileAlreadyExists loser retries " +
+    "through retryingWrite and lands; a store failing with a plain " +
+    "IOException propagates as a real failure, never spins") {
+    // a store that loses the race exactly once, with the contract type
+    class LoseOnceStore(signal: () => java.io.IOException) extends CommitStore {
+      var remaining = 1
+      override def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                                   path: org.apache.hadoop.fs.Path,
+                                   bytes: Array[Byte]): Unit = {
+        if (remaining > 0 && path.getName.startsWith("v")) {
+          remaining -= 1
+          throw signal()
+        }
+        AtomicCreateStore.createExclusive(fs, path, bytes)
+      }
+    }
+    val dir = tmpDir("signal")
+    Snapshots.publish(fixture, dir, "bucket", Seq("key"))
+    // contract-correct loser: retryingWrite re-plans and the write lands
+    Snapshots.commitStore = new LoseOnceStore(() =>
+      new org.apache.hadoop.fs.FileAlreadyExistsException("lost race"))
+    try {
+      val v = Snapshots.retryingWrite() {
+        Snapshots.append(fixture.limit(3), dir, "bucket", Seq("key"))
+      }
+      assert(v === 2L, "the retried append claimed the next version")
+    } finally Snapshots.commitStore = AtomicCreateStore
+    // plain IOException = a real store failure: propagates, no retry
+    val failing = new LoseOnceStore(() =>
+      new java.io.IOException("store down"))
+    Snapshots.commitStore = failing
+    try {
+      intercept[java.io.IOException](Snapshots.retryingWrite() {
+        Snapshots.append(fixture.limit(3), dir, "bucket", Seq("key"))
+      })
+      assert(failing.remaining === 0, "failed exactly once — never retried")
     } finally Snapshots.commitStore = AtomicCreateStore
   }
 }

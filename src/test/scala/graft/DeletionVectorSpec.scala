@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dv, Snapshots}
+
+/** Merge-on-read deletes (deletion vectors): a scattered-key delete
+  * writes ZERO data files, every read path applies the vectors, time
+  * travel still sees the pre-delete state, rewrites materialize,
+  * compact reclaims, and the change feed / diff emit the newly-dead
+  * rows the file sets alone cannot see. */
+class DeletionVectorSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_dv_$name")
+    d.toFile.deleteOnExit()
+    d.toString + "/tbl"
+  }
+
+  private def rows(lo: Long, hi: Long) =
+    spark.range(lo, hi, 1, 4).select(col("id").as("k"),
+      (col("id") * 31L).as("v"), expr("id div 1000").as("bucket"))
+
+  test("codec: delta-varint roundtrip on scattered, dense and singleton " +
+    "sets; merge is a sorted union; the inline budget refuses loudly") {
+    val scattered = Array(0L, 97L, 5000L, 5001L, 999999L)
+    assert(Dv.decode(Dv.encode(scattered)).toSeq === scattered.toSeq)
+    val dense = (100L to 400L).toArray
+    assert(Dv.decode(Dv.encode(dense)).toSeq === dense.toSeq)
+    assert(Dv.decode(Dv.encode(Array(7L))).toSeq === Seq(7L))
+    assert(Dv.decode(Dv.encode(Array.empty[Long])).toSeq === Seq.empty)
+    assert(Dv.merge(Array(5L, 1L), Array(3L, 5L)).toSeq === Seq(1L, 3L, 5L))
+    intercept[IllegalArgumentException] {
+      Dv.encode(Array.tabulate(Dv.MaxInlinePositions + 1)(_.toLong))
+    }
+  }
+
+  test("a scattered-key delete writes ZERO data files: same file list, " +
+    "reads equal the filter, rowCountAt subtracts, time travel reads the " +
+    "pre-delete state, re-deleting the same keys is a no-op, and the " +
+    "pruned scan stays consistent") {
+    val dir = tmpDir("scatter")
+    val v1 = Snapshots.publish(rows(0, 8000), dir, "bucket", Seq("k"))
+    val filesBefore = Snapshots.files(spark, dir, v1)
+    // every 97th key — scattered across ALL 8 buckets (the GDPR shape
+    // copy-on-write would rewrite the whole table for)
+    val doomed = rows(0, 8000).filter(col("k") % 97 === 0)
+      .select("k", "bucket")
+    val v2 = Snapshots.deleteVectored(doomed, dir, "bucket", Seq("k"))
+    assert(v2 === v1 + 1)
+    assert(Snapshots.files(spark, dir, v2) === filesBefore,
+      "metadata-only: the exact same data files")
+    val nDoomed = 8000 / 97 + 1 // 83 keys: 0, 97, ..., 7954
+    assert(Snapshots.read(spark, dir).count() === 8000L - nDoomed)
+    assert(Snapshots.read(spark, dir).filter(col("k") % 97 === 0).count() === 0)
+    assert(Snapshots.read(spark, dir).agg(sum("v")).as[Long].head() ===
+      rows(0, 8000).filter(col("k") % 97 =!= 0).agg(sum("v")).as[Long].head())
+    assert(Snapshots.rowCountAt(spark, dir, v2) === Some(8000L - nDoomed),
+      "manifest row count subtracts the recorded dead positions")
+    assert(Snapshots.readAt(spark, dir, v1).count() === 8000L, "time travel")
+    // the vectors cover all 8 buckets
+    assert(Snapshots.deletionVectorsAt(spark, dir, v2).size === 8)
+    // re-deleting already-dead keys matches nothing: no new version
+    assert(Snapshots.deleteVectored(doomed, dir, "bucket", Seq("k")) === v2)
+    // a second DV delete GROWS the vectors in one more metadata commit
+    val v3 = Snapshots.deleteVectored(
+      Seq((500L, 0L)).toDF("k", "bucket"), dir, "bucket", Seq("k"))
+    assert(Snapshots.files(spark, dir, v3) === filesBefore)
+    assert(Snapshots.read(spark, dir).count() === 8000L - nDoomed - 1)
+    // pruned scans apply the vectors too (same answer as the filter)
+    val pruned = Snapshots.prunedScanAt(spark, dir, v3, "k", 400L, 600L)
+    assert(pruned.count() ===
+      (400L until 600L).count(k => k % 97 != 0 && k != 500L))
+  }
+
+  test("rewrites MATERIALIZE the vector: a merge touching a vectored " +
+    "bucket drops its dv line and keeps the deletes; compact targets " +
+    "DV-bearing files even without fragmentation and vacuum reclaims") {
+    val dir = tmpDir("mat")
+    Snapshots.publish(rows(0, 4000), dir, "bucket", Seq("k"))
+    val v2 = Snapshots.deleteVectored(
+      Seq((100L, 0L), (1100L, 1L)).toDF("k", "bucket"), dir, "bucket", Seq("k"))
+    assert(Snapshots.deletionVectorsAt(spark, dir, v2).size === 2)
+    // merge rewrites bucket 0: its vector materializes (line drops),
+    // bucket 1's carries
+    val v3 = Snapshots.merge(Seq((5L, -1L, 0L)).toDF("k", "v", "bucket"),
+      dir, "bucket", Seq("k"), Seq("k"))
+    val dv3 = Snapshots.deletionVectorsAt(spark, dir, v3)
+    assert(dv3.size === 1, s"bucket 0's vector materialized: ${dv3.keys}")
+    assert(Snapshots.read(spark, dir).filter(col("k").isin(100L, 1100L))
+      .count() === 0, "both deletes still hold after the rewrite")
+    assert(Snapshots.read(spark, dir).filter(col("k") === 5L)
+      .select("v").as[Long].head() === -1L)
+    // compact: bucket 1 is NOT fragmented but carries a vector — it
+    // rewrites anyway (the DV reclaim), leaving zero dv lines
+    val v4 = Snapshots.compact(spark, dir, "bucket", Seq("k"))
+    assert(v4 > v3)
+    assert(Snapshots.deletionVectorsAt(spark, dir, v4).isEmpty,
+      "compact materialized every remaining vector")
+    assert(Snapshots.read(spark, dir).count() === 4000L - 2 + 0)
+    assert(Snapshots.rowCountAt(spark, dir, v4) === Some(3998L))
+    // nothing left to do: idempotent
+    assert(Snapshots.compact(spark, dir, "bucket", Seq("k")) === v4)
+    // vacuum reclaims the pre-materialization files
+    val (dropped, deleted, _) = Snapshots.vacuum(spark, dir, v4, retainMs = 0)
+    assert(dropped === 3L && deleted > 0L)
+    assert(Snapshots.read(spark, dir).count() === 3998L)
+  }
+
+  test("diff and the change feed SEE deletion-vector deletes: a DV " +
+    "commit changes no files, yet its newly-dead rows emit as deletes — " +
+    "per-version net(feed) == diff, and already-dead rows never re-emit") {
+    import graft.streaming.ChangeFeed
+    val dir = tmpDir("feed")
+    val v1 = Snapshots.publish(rows(0, 3000), dir, "bucket", Seq("k"))
+    val v2 = Snapshots.deleteVectored(
+      rows(0, 3000).filter(col("k") % 500 === 0).select("k", "bucket"),
+      dir, "bucket", Seq("k"))
+    // a second DV step deletes one LIVE key plus one ALREADY-DEAD key:
+    // only the newly-dead position emits
+    val v3 = Snapshots.deleteVectored(
+      Seq((999L, 0L), (0L, 0L)).toDF("k", "bucket"), dir, "bucket", Seq("k"))
+    // diff sees exactly the newly-dead rows per step
+    val d12 = Snapshots.diff(spark, dir, v1, v2)
+    assert(d12.filter(col("_change") === "insert").count() === 0)
+    assert(d12.filter(col("_change") === "delete")
+      .select("k").as[Long].collect().sorted.toSeq ===
+      Seq(0L, 500L, 1000L, 1500L, 2000L, 2500L))
+    val d23 = Snapshots.diff(spark, dir, v2, v3)
+    assert(d23.select("k", "_change").as[(Long, String)].collect().toSet ===
+      Set((999L, "delete")), "0 was already dead at v2 — never re-emits")
+    // end-to-end diff across both steps
+    assert(Snapshots.diff(spark, dir, v1, v3)
+      .filter(col("_change") === "delete").count() === 7)
+    // the LIVE feed: drain all versions, net per version == diff
+    val feed = ChangeFeed.readStream(spark, dir)
+    val q = feed.writeStream.format("memory").queryName("dvfeed")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val drained = spark.table("dvfeed")
+    val step2 = ChangeFeed.net(
+      drained.filter(col("_version") === v2).drop("_version"))
+    assert(step2.filter(col("_change") === "delete")
+      .select("k").as[Long].collect().sorted.toSeq ===
+      Seq(0L, 500L, 1000L, 1500L, 2000L, 2500L))
+    assert(step2.filter(col("_change") === "insert").count() === 0)
+    val step3 = ChangeFeed.net(
+      drained.filter(col("_version") === v3).drop("_version"))
+    assert(step3.select("k", "_change").as[(Long, String)].collect().toSet ===
+      Set((999L, "delete")))
+    // genesis step sanity: the feed's v1 inserts are the full table
+    assert(drained.filter(col("_version") === v1).count() === 3000L)
+  }
+}

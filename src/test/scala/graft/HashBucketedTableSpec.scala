@@ -112,4 +112,35 @@ class HashBucketedTableSpec extends SparkSuite {
     assert(H.compact(spark, dir) === v4, "idempotent re-compact")
     assert(keysOf(H.readAt(spark, dir, v4)) === before, "migration moves no rows")
   }
+
+  test("the string-key contract is ENFORCED, not just stated: a non-string " +
+    "key refuses at publish, merge and lookup-probe time — xxhash64 is " +
+    "type-dispatched, so an int-keyed table widened to long would hash the " +
+    "same value into DIFFERENT buckets and silently lose updates") {
+    val dir = tmpDir("strkey")
+    val intKeyed = spark.range(0, 100, 1, 2).select(
+      col("id").as("key"), (col("id") * 2L).as("payload"))
+    // publish with a LongType key: the one-line door the silent
+    // corruption walked through — now shut loudly
+    val e = intercept[IllegalArgumentException] {
+      H.publish(intKeyed, dir, "key", 4L)
+    }
+    assert(e.getMessage.contains("StringType"), e.getMessage)
+    assert(Snapshots.latest(spark, dir).isEmpty, "nothing was published")
+    // a correctly-published table refuses non-string UPDATE keys too
+    // (the merge path hashes the batch's keys per epoch)
+    H.publish(fixture, dir, "key", 4L)
+    intercept[IllegalArgumentException] {
+      H.merge(Seq((1L, 9L)).toDF("key", "payload"), dir, Seq("key"))
+    }
+    intercept[IllegalArgumentException] {
+      H.delete(Seq(1L).toDF("key"), dir, Seq("key"))
+    }
+    // and the table is untouched by the refused writes
+    assert(H.read(spark, dir).count() === 600)
+    // string keys keep working (the contract's happy path)
+    val v = H.merge(Seq(("k0001", 9L)).toDF("key", "payload"), dir, Seq("key"))
+    assert(H.readAt(spark, dir, v).filter(col("key") === "k0001")
+      .select("payload").as[Long].head() === 9L)
+  }
 }

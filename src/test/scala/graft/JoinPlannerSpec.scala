@@ -122,4 +122,95 @@ class JoinPlannerSpec extends SparkSuite {
       bare, "bucket", Seq("k"))
     assert(JoinPlanner.estimateJoinRows(spark, l, bare, "k").isEmpty)
   }
+
+  test("PARTIAL sketches never estimate: a file without a recorded #ndv " +
+    "line degrades the side to ndv=None (-> shuffle, never inferred " +
+    "skew) and estimateJoinRows to None — the planner opens zero data " +
+    "files to compensate") {
+    val dir = tmpDir("partial")
+    val dim = tmpDir("pdim")
+    publishKeyed(dir, 0, 50000, c => c % 500) // mult 100: hot when complete
+    publishKeyed(dim, 0, 500, identity)
+    assert(JoinPlanner.plan(spark, dir, dim, "k",
+      broadcastBytes = 0).strategy === "salted", "complete sketches: salted")
+    // simulate the partial-stats table (files written before ndvcols
+    // was declared / a foreign writer): re-commit the same files minus
+    // ONE file's #ndv line
+    val v1 = Snapshots.latest(spark, dir).get
+    val mf = new java.io.File(f"$dir/_manifests/v$v1%020d")
+    val lines = scala.io.Source.fromFile(mf, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    val (meta, files) = lines.partition(_.startsWith("#"))
+    val firstNdv = meta.find(_.startsWith("#ndv:")).get
+    Snapshots.commit(spark, dir, v1 + 1, files,
+      meta.filterNot(_ == firstNdv).map(_.stripPrefix("#")))
+    // the now-partial side: no multiplicity claim -> SHUFFLE, and no
+    // join-cardinality estimate — a wrong number is worse than none
+    val d = JoinPlanner.plan(spark, dir, dim, "k", broadcastBytes = 0)
+    assert(d.strategy === "shuffle" && d.left.ndv.isEmpty &&
+      d.left.mult.isEmpty, s"partial sketches degraded cleanly: $d")
+    assert(d.left.rows.isDefined, "row counts still read (they are complete)")
+    assert(JoinPlanner.estimateJoinRows(spark, dir, dim, "k").isEmpty)
+  }
+
+  test("the salt DOSE scales with the measured multiplicity: the floor " +
+    "holds moderate skew, a 5000-multiplicity key gets x128 (next pow2 " +
+    "of mult/target), capped at 256") {
+    // pure arithmetic first (floor, scaling, cap, pow2-ness)
+    assert(JoinPlanner.saltDose(100.0, 64.0, 16) === 16, "floor")
+    assert(JoinPlanner.saltDose(3000.0, 64.0, 16) === 64)
+    assert(JoinPlanner.saltDose(5000.0, 64.0, 16) === 128)
+    assert(JoinPlanner.saltDose(1e9, 64.0, 16) === 256, "cap")
+    // and through the planner on real manifests
+    val hot = tmpDir("hot5k")
+    val dim = tmpDir("hdim")
+    publishKeyed(hot, 0, 50000, c => c % 10) // mult 5000
+    publishKeyed(dim, 0, 10, identity)
+    val d = JoinPlanner.plan(spark, hot, dim, "k", broadcastBytes = 0)
+    assert(d.strategy === "salted" && d.saltFactor === 128,
+      s"measured mult ~5000 -> dose 128: $d")
+    // the dosed execution still returns exactly the plain join
+    val a = JoinPlanner.execute(
+      Snapshots.readAt(spark, hot, d.left.version).drop("bucket"),
+      Snapshots.readAt(spark, dim, d.right.version).drop("bucket")
+        .withColumnRenamed("payload", "p2"), "k", d)
+    val b = Snapshots.read(spark, hot).drop("bucket").join(
+      Snapshots.read(spark, dim).drop("bucket")
+        .withColumnRenamed("payload", "p2"), "k")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("broadcast thresholds compare INFLATED bytes (at-rest parquet is " +
+    "not in-memory size): a side below the threshold at rest but above " +
+    "it x4 chooses shuffle; byte-based task sizing prefers #fsize sums") {
+    val big = tmpDir("ibig")
+    val dim = tmpDir("idim")
+    publishKeyed(big, 0, 50000, c => c % 10000)
+    publishKeyed(dim, 0, 2000, identity)
+    val dimBytes = Snapshots.sizeAt(spark, dim,
+      Snapshots.latest(spark, dim).get)
+    // threshold 2x the at-rest size: WITHOUT the inflation factor this
+    // would broadcast a build side ~2x over budget in memory
+    val d = JoinPlanner.plan(spark, big, dim, "k",
+      broadcastBytes = dimBytes * 2)
+    assert(d.strategy === "shuffle", s"inflated ${dimBytes}x4 > ${dimBytes * 2}: $d")
+    // at 8x the at-rest size the inflated build fits: broadcast
+    val d2 = JoinPlanner.plan(spark, big, dim, "k",
+      broadcastBytes = dimBytes * 8)
+    assert(d2.strategy === "broadcast" && d2.buildSide === "right")
+    // byte-based sizing: arithmetic + the manifest-dispatch preference
+    assert(JoinPlanner.suggestTasksBytes(0L) === 1)
+    assert(JoinPlanner.suggestTasksBytes(256L * 1024 * 1024 + 1) === 2)
+    assert(JoinPlanner.suggestTasksBytes(Long.MaxValue / 2) === 2048)
+    assert(JoinPlanner.suggestTasksBytes(10L * 1024 * 1024 * 1024,
+      bytesPerTask = 1024L * 1024 * 1024) === 10)
+    // a table WITH #fsize lines sizes by bytes (small table -> 1 task);
+    // rows would have said 1 here too, so pin the dispatch via a target
+    // small enough that BYTES dominate (>1 task at 4KB/task)
+    assert(JoinPlanner.suggestTasksFor(spark, dim,
+      Snapshots.latest(spark, dim).get) === 1)
+    assert(JoinPlanner.suggestTasksFor(spark, dim,
+      Snapshots.latest(spark, dim).get, bytesPerTask = 4096) ===
+      JoinPlanner.suggestTasksBytes(dimBytes, bytesPerTask = 4096))
+  }
 }

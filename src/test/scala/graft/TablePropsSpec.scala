@@ -134,4 +134,44 @@ class TablePropsSpec extends SparkSuite {
       rb.filesDeleted === 0L)
     assert(Snapshots.versions(spark, bare) === Seq(1L, 2L, 3L))
   }
+
+  test("the exactly-once batch ledger SURVIVES maintenance: compact and " +
+    "metadata-only commits carry the newest #batch header, so a retention " +
+    "vacuum cannot erase it and a restart's re-delivered batch is still " +
+    "absorbed; a foreign batch-less commit on top is clamped around") {
+    val dir = tmpDir("ledger")
+    def sink(lo: Long, hi: Long, id: Long): Unit = {
+      Snapshots.mergeBatch(id, rows(lo, hi), dir, "bucket", Seq("k"), Seq("k"))
+      ()
+    }
+    sink(0, 200, 0L) // bootstrap, batch:0
+    sink(0, 50, 1L) // batch:1
+    // metadata-only commit (v3) — the #batch header must ride along
+    Snapshots.setProp(spark, dir, "retainversions", Some("1"))
+    val r = Snapshots.maintain(spark, dir, "bucket", Seq("k"), retainMs = 0)
+    assert(Snapshots.versions(spark, dir).size === 1,
+      s"retention kept exactly the newest version: $r")
+    assert(Snapshots.lastAppliedBatch(spark, dir) === Some(1L),
+      "the ledger's high-water mark survived the vacuum")
+    // a restart re-delivers batch 1 with DIFFERENT (stale replay) rows:
+    // absorbed — no new version, no data change
+    val head = Snapshots.latest(spark, dir).get
+    val before = Snapshots.read(spark, dir).agg(sum("v")).as[Long].head()
+    Snapshots.mergeBatch(1L, rows(0, 50).withColumn("v", lit(-1L)),
+      dir, "bucket", Seq("k"), Seq("k"))
+    assert(Snapshots.latest(spark, dir).get === head, "replay absorbed")
+    assert(Snapshots.read(spark, dir).agg(sum("v")).as[Long].head() === before)
+    // FOREIGN writer: a batch-less commit that does NOT carry (simulated
+    // by re-committing the head's manifest minus its #batch line) — the
+    // maintain clamp refuses to vacuum past the batch-bearing version
+    val mf = new java.io.File(f"$dir/_manifests/v$head%020d")
+    val lines = scala.io.Source.fromFile(mf, "UTF-8").getLines().toList
+    val (meta, files) = lines.filter(_.nonEmpty).partition(_.startsWith("#"))
+    Snapshots.commit(spark, dir, head + 1, files,
+      meta.filterNot(_.startsWith("#batch:")).map(_.stripPrefix("#")))
+    val r2 = Snapshots.maintain(spark, dir, "bucket", Seq("k"), retainMs = 0)
+    assert(Snapshots.versions(spark, dir).contains(head),
+      s"clamp kept the newest batch-bearing version: $r2")
+    assert(Snapshots.lastAppliedBatch(spark, dir) === Some(1L))
+  }
 }

@@ -302,6 +302,38 @@ class ZOrderTableSpec extends SparkSuite {
     }
   }
 
+  test("mergeBatch re-validates against the table's ACTUAL layout: a sink " +
+    "whose bootstrap descriptor passes the static check but is wired to a " +
+    "table clustered on DIFFERENT dims refuses instead of silently taking " +
+    "the pruned path (which would orphan moved rows); an evolved SHIFT " +
+    "still matches") {
+    val dir = tmpDir("miswire")
+    // the real table clusters on (x, v) — v is NOT in the sink's keys
+    ZOrderTable.publish(grid(), dir, Seq("x", "v"), 26)
+    // the mis-wired sink THINKS the table is (x, y)-clustered; its own
+    // static check (bootstrap dims ⊆ keys) passes — the table's real
+    // layout is what must refuse
+    val wrong = ZOrderTable.ZLayout("z", 26, Seq("x", "y"))
+    val e = intercept[IllegalArgumentException] {
+      ZOrderTable.mergeBatch(7L, grid().limit(10), dir,
+        Seq("id", "x", "y"), wrong)
+    }
+    assert(e.getMessage.contains("wired to the wrong table"), e.getMessage)
+    assert(Snapshots.lastAppliedBatch(spark, dir).isEmpty,
+      "nothing was applied")
+    // the CORRECT descriptor works — and keeps working after the table's
+    // shift evolves (shift is the one mutable layout axis)
+    val right = ZOrderTable.ZLayout("z", 26, Seq("x", "v"))
+    ZOrderTable.mergeBatch(7L, grid().limit(10), dir,
+      Seq("id", "x", "v"), right)
+    assert(Snapshots.lastAppliedBatch(spark, dir) === Some(7L))
+    ZOrderTable.evolveShift(spark, dir, 28)
+    ZOrderTable.mergeBatch(8L, grid().limit(5), dir,
+      Seq("id", "x", "v"), right) // bootstrap shift 26 vs table 28: fine
+    assert(Snapshots.lastAppliedBatch(spark, dir) === Some(8L))
+    assert(ZOrderTable.read(spark, dir).count() === 20000)
+  }
+
   test("retryingWrite: the claim-conflict loser re-plans and lands; " +
     "exhausted attempts rethrow") {
     val dir = tmpDir("retry")
