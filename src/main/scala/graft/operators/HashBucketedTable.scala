@@ -289,8 +289,14 @@ object HashBucketedTable {
     if (rewrite.isEmpty) return prev
     val df = Snapshots.readFiles(spark, dir, rewrite, pm.schemaOpt,
       sizes = pm.fileSizes)
+    // size the rewrite by the manifest's recorded BYTES, not a
+    // constant: a migration of N gigabytes wants N/bytesPerTask
+    // writers, however many files it came from
+    val numTasks = JoinPlanner.suggestTasksBytes(
+      rewrite.map(r => pm.fileSizes.getOrElse(r, 0L)).sum
+        .max(rewrite.size.toLong))
     val st = Snapshots.stage(withBucket(df.drop(BCol), keyCol, n), dir, BCol,
-      Seq(keyCol), blockSize, 32)
+      Seq(keyCol), blockSize, numTasks)
     val kept = pm.files.filterNot(rewrite.contains)
     val keptSet = kept.toSet
     val schema = pm.schemaOpt.map(Snapshots.nullable(_).json).getOrElse(st.schemaJson)

@@ -1649,6 +1649,9 @@ object Snapshots {
     require(!pm.metaValues("bucketh").exists(_.split(":", 2)(0) == oldName),
       s"rename: $oldName is a hash-bucketed table's key column — " +
         "unsupported (the #bucketh metadata binds it by name)")
+    require(!pm.props.contains(s"zmap.$oldName"),
+      s"rename: $oldName is a quantile-mapped z-order dimension — " +
+        "unsupported (the zmap property binds it by name)")
     val phys = pm.toPhysical.getOrElse(oldName, oldName)
     val newMap = (pm.colMap - phys) ++
       (if (phys == newName) Map.empty[String, String]

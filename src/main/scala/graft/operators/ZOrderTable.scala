@@ -466,13 +466,180 @@ object ZOrderTable {
     Snapshots.maintainImpl(spark, dir, retainMs,
       () => compact(spark, dir, blockSize))
 
-  /** The table surface (derived layout columns dropped). */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    Snapshots.read(spark, dir).drop(ZCol, BCol)
+  // -----------------------------------------------------------------
+  // Quantile-MAPPED layouts — clustering on ARBITRARY column types
+  // (the Delta OPTIMIZE ZORDER BY ergonomics: real tables cluster on
+  // timestamp/double/string-adjacent columns, not pre-scaled 16-bit
+  // grids). Each raw dimension gets K quantile cut points derived
+  // ONCE at publish (the Profile.exactQuantiles histogram discipline
+  // — shuffle carries distinct values, never rows) and carried as a
+  // `zmap.<dim>` table property, so every later write RE-DERIVES THE
+  // SAME mapping from the manifest — no drift between writers. The
+  // grid code = (count of cuts ≤ value) × (65536/K): monotone, so
+  // per-file raw-value min/max stay tight per curve cell and BOX
+  // PRUNING works directly on RAW predicates via the auto-declared
+  // typed stats. Out-of-range values CLAMP to the edge codes and
+  // nulls land in cell 0 — clustering degrades, answers never change
+  // (pruning decisions come from recorded raw min/max, residuals are
+  // exact — the established out-of-grid stance).
+  // -----------------------------------------------------------------
 
-  /** Time travel (derived layout columns dropped). */
+  /** Derived grid-code column prefix for mapped dimensions (dropped
+    * by [[read]]/[[readAt]]/[[box]] like the key columns). */
+  val MapPrefix = "__gzm_"
+
+  private def mapPropKey(dim: String) = s"zmap.$dim"
+
+  /** One mapped dimension's stored quantile mapping. */
+  private final case class ZMap(kind: String, buckets: Int,
+                                cuts: Array[String])
+
+  /** Normalize a raw column to its orderable comparison space:
+    * integer family / date / timestamp → long ("i", micros for
+    * timestamps — matching the typed-stats encoding), float/double →
+    * double ("d"). */
+  private def normExpr(c: Column,
+                       dt: org.apache.spark.sql.types.DataType): (Column, String) = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType | TimestampNTZType =>
+        (unix_micros(c.cast("timestamp")), "i")
+      case DateType => (unix_date(c).cast("long"), "i")
+      case ByteType | ShortType | IntegerType | LongType =>
+        (c.cast("long"), "i")
+      case FloatType | DoubleType => (c.cast("double"), "d")
+      case other => throw new IllegalArgumentException(
+        s"zmap dimensions must be integer/date/timestamp/float/double " +
+          s"columns (got ${other.simpleString}) — strings have no " +
+          "meaningful quantile grid here; hash-bucket them instead")
+    }
+  }
+
+  /** The 16-bit grid code of a raw value under a stored mapping:
+    * count of cut points ≤ value, scaled to the grid; nulls → 0. */
+  private def codeExpr(raw: Column,
+                       dt: org.apache.spark.sql.types.DataType,
+                       zm: ZMap): Column = {
+    val (v, kind) = normExpr(raw, dt)
+    require(kind == zm.kind,
+      s"stored zmap kind ${zm.kind} does not match the column's $kind — " +
+        "the dimension's type changed incompatibly since publish")
+    val cutsArr: Column =
+      if (zm.kind == "i") typedlit(zm.cuts.map(_.toLong).toSeq)
+      else typedlit(zm.cuts.map(_.toDouble).toSeq)
+    val idx = size(filter(cutsArr, b => b <= v)).cast("long")
+    coalesce(idx * lit((65536 / zm.buckets).toLong), lit(0L))
+  }
+
+  /** Exact K-quantile cut points of a raw dimension — ONE
+    * value-histogram aggregate (distinct values through the shuffle,
+    * never rows) + a histogram-sized prefix window; the same integer
+    * cut rule as [[Profile.exactQuantiles]] (cum·K ≥ d·N), over the
+    * normalized comparison space. */
+  private def deriveCuts(df: DataFrame, dim: String, buckets: Int): ZMap = {
+    val (v, kind) = normExpr(col(dim), df.schema(dim).dataType)
+    val hist = df.select(v.as("v")).filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+    val ds = df.sparkSession.range(1, buckets).select(col("id").as("d"))
+    val cuts = cum.join(broadcast(ds),
+        col("cum") * buckets >= col("d") * col("n"))
+      .groupBy(col("d")).agg(min(col("v")).as("cut"))
+      .orderBy(col("d")).select("cut").collect()
+      .map(_.get(0).toString)
+    ZMap(kind, buckets, cuts)
+  }
+
+  private def parseZMap(s: String): ZMap = {
+    val Array(kind, k, cuts) = s.split(":", 3)
+    ZMap(kind, k.toInt,
+      if (cuts.isEmpty) Array.empty else cuts.split(",", -1))
+  }
+
+  /** Publish the first version clustered on RAW dimensions of
+    * arbitrary orderable types (timestamp, date, double, integers):
+    * derives each dimension's K quantile cuts, materializes the
+    * mapped grid codes ([[MapPrefix]] columns), stores the mapping as
+    * carried `zmap.<dim>` properties (every later write re-derives
+    * identical codes from the manifest), and auto-declares typed
+    * stats on the RAW dimensions so [[box]]-style pruning works on
+    * raw predicates ([[Snapshots.prunedScanAtBox]]). `buckets` must
+    * divide 65536 (codes scale onto the 16-bit grid). */
+  def publishMapped(df: DataFrame, dir: String, rawDims: Seq[String],
+                    shift: Int, curve: String = "z", buckets: Int = 256,
+                    blockSize: Long = 128L * 1024 * 1024, numTasks: Int = 32,
+                    extraStatsCols: Seq[String] = Nil,
+                    ndvCols: Seq[String] = Nil): Long = {
+    require(buckets >= 2 && buckets <= 65536 && 65536 % buckets == 0,
+      s"buckets must divide the 16-bit grid (got $buckets)")
+    rawDims.foreach(d => require(df.columns.contains(d),
+      s"missing mapped dimension column $d"))
+    val maps = rawDims.map(d => d -> deriveCuts(df, d, buckets)).toMap
+    val withCodes = rawDims.foldLeft(df)((acc, d) =>
+      acc.withColumn(MapPrefix + d,
+        codeExpr(col(d), df.schema(d).dataType, maps(d))))
+    publish(withCodes, dir, rawDims.map(MapPrefix + _), shift, curve,
+      blockSize, numTasks,
+      extraStatsCols = (rawDims ++ extraStatsCols).distinct,
+      ndvCols = ndvCols,
+      meta = rawDims.map { d =>
+        val m = maps(d)
+        s"prop:${mapPropKey(d)}=${m.kind}:${m.buckets}:${m.cuts.mkString(",")}"
+      })
+  }
+
+  /** Incremental load into a MAPPED table: the grid codes re-derive
+    * from the STORED `zmap.<dim>` properties — same cuts, same codes,
+    * whoever writes. Out-of-range new values clamp to the edge cells
+    * (re-derive the mapping via a fresh [[publishMapped]] +
+    * [[compact]] migration when drift warrants re-clustering). */
+  def appendMapped(df: DataFrame, dir: String,
+                   blockSize: Long = 128L * 1024 * 1024,
+                   numTasks: Int = 32): Long = {
+    val spark = df.sparkSession
+    val prev = Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots — use publishMapped"))
+    val l = layoutAt(spark, dir, prev)
+    require(l.dims.forall(_.startsWith(MapPrefix)),
+      s"$dir is not a quantile-mapped z-table (dims ${l.dims})")
+    val props = Snapshots.propsAt(spark, dir, prev)
+    val withCodes = l.dims.map(_.stripPrefix(MapPrefix)).foldLeft(df) {
+      (acc, d) =>
+        val zm = parseZMap(props.getOrElse(mapPropKey(d),
+          throw new IllegalArgumentException(
+            s"$dir carries no zmap.$d property — not a mapped dimension")))
+        acc.withColumn(MapPrefix + d,
+          codeExpr(col(d), df.schema(d).dataType, zm))
+    }
+    append(withCodes, dir, blockSize, numTasks)
+  }
+
+  /** Manifest-pruned box scan on RAW mapped-dimension predicates,
+    * `[lo, hi)` each — bounds typed per the stats encoding (micros
+    * Longs for timestamps, Doubles for float/double, Longs for the
+    * integer family; see [[Snapshots.prunedScanAtBy]]). Equals the
+    * full-scan filter always; reads ~the intersecting curve cells
+    * (the quantile mapping is monotone, so per-file raw min/max are
+    * tight per cell). */
+  def boxBy(spark: SparkSession, dir: String, v: Long,
+            preds: Seq[(String, Any, Any)]): DataFrame =
+    dropDerived(Snapshots.prunedScanAtBox(spark, dir, v, preds))
+
+  private def dropDerived(df: DataFrame): DataFrame = {
+    val d = df.drop(ZCol, BCol)
+    d.drop(d.columns.filter(_.startsWith(MapPrefix)): _*)
+  }
+
+  /** The table surface (derived layout + mapped grid columns dropped). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    dropDerived(Snapshots.read(spark, dir))
+
+  /** Time travel (derived layout + mapped grid columns dropped). */
   def readAt(spark: SparkSession, dir: String, v: Long): DataFrame =
-    Snapshots.readAt(spark, dir, v).drop(ZCol, BCol)
+    dropDerived(Snapshots.readAt(spark, dir, v))
 
   /** Manifest-pruned BOX scan: `[lo, hi)` per dimension, reading only
     * the files whose curve cell intersects the box (+ exact residual).
@@ -480,9 +647,8 @@ object ZOrderTable {
     * per-dimension min/max stats are epoch-independent). */
   def box(spark: SparkSession, dir: String, v: Long,
           preds: Seq[(String, Long, Long)]): DataFrame =
-    Snapshots.prunedScanAtBox(spark, dir, v,
-      preds.map { case (c, lo, hi) => (c, lo: Any, hi: Any) })
-      .drop(ZCol, BCol)
+    dropDerived(Snapshots.prunedScanAtBox(spark, dir, v,
+      preds.map { case (c, lo, hi) => (c, lo: Any, hi: Any) }))
 
   /** The box pruning DECISION (files to read) — for gates/benchmarks. */
   def boxFiles(spark: SparkSession, dir: String, v: Long,

@@ -79,6 +79,7 @@ object Relational {
     "q186_maintain" -> q186,
     "q187_z_cdc" -> q187,
     "q188_dv_delete" -> q188,
+    "q189_zmap" -> q189,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -2177,6 +2178,78 @@ object Relational {
       .orderBy(col("section"), col("label"))
   }
 
+  /** QUANTILE-MAPPED Z-ORDER under the gate (the r10 verdict's
+    * missing #3 — real tables cluster on timestamp/double columns,
+    * not pre-scaled 16-bit grids; Delta's OPTIMIZE ZORDER BY
+    * ergonomics): orders cluster DIRECTLY on the raw
+    * `o_orderdate` (TIMESTAMP) × `o_totalprice` (DOUBLE) via
+    * [[graft.operators.ZOrderTable.publishMapped]] — per-dimension
+    * quantile cuts derived once (the exactQuantiles histogram
+    * discipline), carried as `zmap.<dim>` table properties so the
+    * APPEND re-derives identical codes from the manifest, grid codes
+    * materialized, typed stats auto-declared on the RAW dims. The
+    * box query runs on RAW predicates (a 2-year × mid-price window)
+    * and the gate pins: box == the plain filter before AND after the
+    * append, the append's out-of-range dates (+3653 days) CLAMP to
+    * the edge cell without leaking into the box, pruning reads
+    * strictly fewer files than the table holds, and the full reads
+    * fold to the oracle's recomputation. */
+  def q189(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Snapshots, ZOrderTable => Z}
+    import spark.implicits._
+    val base = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_zmap_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Snapshots.dropPath(spark, base)
+    val srcT = s"$base/src"
+    val src = Tables.orders(spark, dir)
+    Z.publishMapped(src, srcT, Seq("o_orderdate", "o_totalprice"),
+      shift = 26, buckets = 256)
+    val v1 = Snapshots.latest(spark, srcT).get
+    // the box: [1998-01-01, 2000-01-01) × [50000, 150000) — raw preds
+    // (this generator's order dates span 1995..2001)
+    val tsLo = 883612800000000L
+    val tsHi = 946684800000000L
+    val preds = Seq(("o_orderdate", tsLo: Any, tsHi: Any),
+      ("o_totalprice", 50000.0: Any, 150000.0: Any))
+    def fold(df: DataFrame): (Long, Long, Long) = {
+      val r = df.withColumn("h", ordersRowHash)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+          coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (b1c, b1x, b1s) = fold(Z.boxBy(spark, srcT, v1, preds))
+    val survived = Snapshots.prunedFilesBox(spark, srcT, v1, preds).size.toLong
+    val total = Snapshots.files(spark, srcT, v1).size.toLong
+    // append shifted keys with +3653-day dates — OUT of every stored
+    // cut: they clamp to the edge cell and never enter the box
+    Z.appendMapped(src.filter(col("o_orderkey") % 10 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + 2147483648L)
+      .withColumn("o_orderdate",
+        col("o_orderdate") + expr("INTERVAL 3653 DAYS")), srcT)
+    val v2 = Snapshots.latest(spark, srcT).get
+    val (b2c, b2x, b2s) = fold(Z.boxBy(spark, srcT, v2, preds))
+    val (r1c, r1x, r1s) = fold(Z.readAt(spark, srcT, v1))
+    val (r2c, r2x, r2s) = fold(Z.readAt(spark, srcT, v2))
+    // clamp check: every appended row's date code is the edge cell
+    val clampCodes = Snapshots.read(spark, srcT)
+      .filter(col("o_orderkey") > 2147483648L)
+      .select("__gzm_o_orderdate").distinct().as[Long].collect().toSeq
+    val props = Snapshots.propsAt(spark, srcT, v2)
+    Seq(
+      ("box", "v0001", b1c, b1x, b1s),
+      ("box", "v0002", b2c, b2x, b2s),
+      ("read", "v0001", r1c, r1x, r1s),
+      ("read", "v0002", r2c, r2x, r2s),
+      ("prune", "flags",
+        if (survived < total) 1L else 0L,
+        if (survived >= 1) 1L else 0L, 1L),
+      ("state", "zmap",
+        props.keys.count(_.startsWith("zmap.")).toLong,
+        if (clampCodes == Seq(65280L)) 1L else 0L, 1L))
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
   /** PROPS-DRIVEN MAINTENANCE under the gate
     * ([[graft.operators.Snapshots.maintain]] — the one entry point a
     * scheduler calls blindly per table; the table's own carried
@@ -3474,6 +3547,55 @@ object Relational {
          |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM ha
          |  UNION ALL SELECT 'est', 'orders_lineitem', 1,
          |    (SELECT count(*) FROM sh), 1)
+         |SELECT * FROM agg ORDER BY section, label""".stripMargin
+    },
+    // q189: box/read sections restate as plain timestamp/double
+    // filters over raw orders (+ the shifted-date union for v2); the
+    // prune/state rows are flags and protocol constants (file counts
+    // depend on the derived quantile cells — the gate pins the
+    // INVARIANTS: strictly-fewer-files pruning, 2 mapping props,
+    // edge-cell clamping).
+    "q189_zmap" -> {
+      val canon = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+        "o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+      def h60(src: String) =
+        s"""SELECT list_reduce(list_transform(generate_series(1, 15),
+           |      i -> CAST(strpos('0123456789abcdef', substr(md5($canon), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+           |      (a, x) -> a * 16 + x) AS h FROM $src""".stripMargin
+      s"""WITH app AS (
+         |  SELECT o_orderkey + 2147483648 AS o_orderkey, o_custkey,
+         |    o_orderstatus, o_orderdate + INTERVAL 3653 DAY AS o_orderdate,
+         |    o_totalprice
+         |  FROM orders WHERE o_orderkey % 10 = 1),
+         |u AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+         |    o_totalprice FROM orders
+         |  UNION ALL SELECT * FROM app),
+         |b1 AS (SELECT * FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+         |    AND o_orderdate < TIMESTAMP '2000-01-01'
+         |    AND o_totalprice >= 50000 AND o_totalprice < 150000),
+         |b2 AS (SELECT * FROM u
+         |  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+         |    AND o_orderdate < TIMESTAMP '2000-01-01'
+         |    AND o_totalprice >= 50000 AND o_totalprice < 150000),
+         |h1 AS (${h60("orders")}),
+         |h2 AS (${h60("u")}),
+         |hb1 AS (${h60("b1")}),
+         |hb2 AS (${h60("b2")}),
+         |agg AS (
+         |  SELECT 'box' AS section, 'v0001' AS label, count(*) AS m1,
+         |    CAST(bit_xor(h) AS BIGINT) AS m2,
+         |    CAST(sum(h % 1000000000000) AS BIGINT) AS m3 FROM hb1
+         |  UNION ALL SELECT 'box', 'v0002', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hb2
+         |  UNION ALL SELECT 'read', 'v0001', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h1
+         |  UNION ALL SELECT 'read', 'v0002', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h2
+         |  UNION ALL SELECT 'prune', 'flags', 1, 1, 1
+         |  UNION ALL SELECT 'state', 'zmap', 2, 1, 1)
          |SELECT * FROM agg ORDER BY section, label""".stripMargin
     },
     // q188: every section restates as plain residue filters over raw

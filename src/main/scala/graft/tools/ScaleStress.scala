@@ -1104,6 +1104,95 @@ object ScaleStress {
       Snapshots.vacuum(spark, dir, 5L, retainMs = 0L))
     }
 
+    if (sections("dv")) {
+    // r11's merge-on-read claim, measured: a scattered GDPR erasure
+    // under DELETION VECTORS writes ZERO data files where the
+    // copy-on-write delete rewrites EVERY touched bucket — here a
+    // 2,560-key delete scattered 10-per-bucket across all 256 buckets
+    // of a 10M-row table (the erasure's own headline shape). The DV
+    // path pays one read of the candidate buckets (positions located)
+    // and a manifest write; copy-on-write pays a full-table rewrite.
+    // compact then materializes the vectors once, on maintenance's
+    // schedule instead of the delete's latency path.
+    import graft.operators.Snapshots
+    val n = 10000000L
+    val nBuckets = 256L
+    val per = n / nBuckets
+    val rows = spark.range(0, n, 1, 32).select(
+        col("id").as("key"),
+        pmod(conv(substring(md5(concat(lit("p:"), col("id"))), 1, 15), 16, 10)
+          .cast("long"), lit(1000000L)).as("payload"))
+      .withColumn("bucket", expr(s"key div $per"))
+    val doomed = rows.filter(col("key") % per < 10).select("key", "bucket")
+    def mk(suffix: String): String = {
+      val d = s"/tmp/graft_scale_dv_$suffix"
+      Snapshots.dropPath(spark, d)
+      Snapshots.publish(rows, d, "bucket", Seq("key"))
+      d
+    }
+    val cow = mk("cow")
+    timed(s"copy-on-write delete of 2560 scattered keys (rewrites " +
+      s"$nBuckets/$nBuckets buckets)") {
+      val v = Snapshots.delete(doomed, cow, "bucket", Seq("key"), Seq("key"))
+      s"v$v, ${Snapshots.files(spark, cow, v).size} files live (all rewritten)"
+    }
+    val dvd = mk("dv")
+    timed("deleteVectored of the same 2560 keys (ZERO data files written)") {
+      val v1 = Snapshots.latest(spark, dvd).get
+      val v = Snapshots.deleteVectored(doomed, dvd, "bucket", Seq("key"))
+      val same = Snapshots.files(spark, dvd, v) == Snapshots.files(spark, dvd, v1)
+      s"v$v, files identical=$same, " +
+        s"${Snapshots.deletionVectorsAt(spark, dvd, v).size} vectors"
+    }
+    timed("head count under vectors (the broadcast anti-join read)")(
+      Snapshots.read(spark, dvd).count())
+    timed("head count after copy-on-write (the plain read)")(
+      Snapshots.read(spark, cow).count())
+    timed("compact materializes all 256 vectors (maintenance-time cost)") {
+      val v = Snapshots.compact(spark, dvd, "bucket", Seq("key"))
+      s"v$v, ${Snapshots.deletionVectorsAt(spark, dvd, v).size} vectors left"
+    }
+    }
+
+    if (sections("relation")) {
+    // r11's stats-relation claim, measured: query PLANNING over the
+    // manifest FileIndex stays flat as files grow (statuses fabricate
+    // from #fsize lines — zero filesystem calls), while the stock
+    // spark.read.parquet path builds an InMemoryFileIndex that stats
+    // every file at relation-creation time. Same 1M rows as 128 vs
+    // ~896 files; both paths planned to the executed physical plan.
+    import graft.operators.Snapshots
+    val nRows = 1000000L
+    val nBuckets = 128L
+    val per = nRows / nBuckets
+    def mk(dirSuffix: String, appends: Int): String = {
+      val dir = s"/tmp/graft_scale_relation_$dirSuffix"
+      Snapshots.dropPath(spark, dir)
+      val rows = spark.range(0, nRows, 1, 32).select(
+          col("id").as("key"), (col("id") * 31L).as("payload"))
+        .withColumn("bucket", expr(s"key div $per"))
+      Snapshots.publish(rows, dir, "bucket", Seq("key"))
+      (1 to appends).foreach(_ =>
+        Snapshots.append(rows, dir, "bucket", Seq("key")))
+      dir
+    }
+    for ((lbl, appends) <- Seq(("128files", 0), ("896files", 6))) {
+      val dir = mk(lbl, appends)
+      val v = Snapshots.latest(spark, dir).get
+      val abs = Snapshots.files(spark, dir, v).map(r => s"$dir/$r")
+      val sch = Snapshots.read(spark, dir).schema
+      timed(s"relation $lbl(${abs.size}): plan via manifest FileIndex")(
+        Snapshots.read(spark, dir).queryExecution.executedPlan.getClass
+          .getSimpleName)
+      timed(s"relation $lbl(${abs.size}): plan via spark.read.parquet " +
+        "(InMemoryFileIndex stats every file)")(
+        spark.read.schema(sch).parquet(abs: _*)
+          .queryExecution.executedPlan.getClass.getSimpleName)
+      timed(s"relation $lbl(${abs.size}): manifest-planned count")(
+        Snapshots.read(spark, dir).count())
+    }
+    }
+
     if (sections("statsplan")) {
     // r9's stats-in-manifest claim, measured: scan PLANNING reads the
     // manifest only, so planning time stays flat as the file count

@@ -334,6 +334,73 @@ class ZOrderTableSpec extends SparkSuite {
     assert(ZOrderTable.read(spark, dir).count() === 20000)
   }
 
+  test("quantile-MAPPED layout: a TIMESTAMP x DOUBLE table clusters via " +
+    "stored cuts, appends re-derive the SAME mapping from the manifest, " +
+    "raw-predicate box pruning reads fewer files and equals the filter, " +
+    "out-of-range values clamp to edge cells, string dims refuse") {
+    val dir = tmpDir("zmap")
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi, 1, 8).select(
+      col("id"),
+      timestamp_micros(lit(694224000000000L) + col("id") * 10000000000L)
+        .as("ts"), // 1992-01-01 + id * 10^10 micros (~2.8h steps)
+      ((col("id") * 37 % 977) * 1.5).as("price"))
+    ZOrderTable.publishMapped(mk(0, 20000), dir, Seq("ts", "price"),
+      shift = 26, buckets = 256)
+    val v1 = Snapshots.latest(spark, dir).get
+    // the mapping rides as carried properties; the surface is clean
+    val props = Snapshots.propsAt(spark, dir, v1)
+    assert(props.contains("zmap.ts") && props.contains("zmap.price"))
+    assert(ZOrderTable.currentLayout(spark, dir).dims ===
+      Seq("__gzm_ts", "__gzm_price"))
+    assert(ZOrderTable.read(spark, dir).columns.sorted.toSeq ===
+      Seq("id", "price", "ts"), "grid-code columns are dropped")
+    // raw-predicate box: prunes files AND equals the full filter
+    val tsLo = 694224000000000L + 3000L * 10000000000L
+    val tsHi = 694224000000000L + 8000L * 10000000000L
+    val boxed = ZOrderTable.boxBy(spark, dir, v1,
+      Seq(("ts", tsLo, tsHi), ("price", 100.0, 700.0)))
+    val expect = ZOrderTable.read(spark, dir).filter(
+      unix_micros(col("ts")) >= tsLo && unix_micros(col("ts")) < tsHi &&
+        col("price") >= 100.0 && col("price") < 700.0)
+    assert(boxed.exceptAll(expect).isEmpty && expect.exceptAll(boxed).isEmpty)
+    val survived = Snapshots.prunedFilesBox(spark, dir, v1,
+      Seq(("ts", tsLo, tsHi), ("price", 100.0, 700.0))).size
+    val total = Snapshots.files(spark, dir, v1).size
+    assert(survived < total && survived >= 1,
+      s"raw box pruned $survived of $total files")
+    // append: SAME stored mapping (no re-derivation drift), and
+    // out-of-range timestamps clamp to the top edge cell
+    ZOrderTable.appendMapped(mk(30000, 30500), dir) // ts past every cut
+    val v2 = Snapshots.latest(spark, dir).get
+    assert(ZOrderTable.read(spark, dir).count() === 20500)
+    val appended = Snapshots.read(spark, dir)
+      .filter(col("id") >= 30000).select("__gzm_ts").distinct()
+      .as[Long].collect().toSeq
+    assert(appended === Seq(65280L), // (256-1) * 256: the edge cell
+      s"out-of-range values clamp to the edge code: $appended")
+    // the box over the same raw predicates still equals the filter
+    val boxed2 = ZOrderTable.boxBy(spark, dir, v2,
+      Seq(("ts", tsLo, tsHi), ("price", 100.0, 700.0)))
+    assert(boxed2.exceptAll(expect).isEmpty && expect.exceptAll(boxed2).isEmpty,
+      "appended out-of-box rows never leak into the box")
+    // refusals: a string dim has no quantile grid; a plain z-table
+    // refuses appendMapped
+    intercept[IllegalArgumentException] {
+      ZOrderTable.publishMapped(
+        mk(0, 10).withColumn("s", lit("x")), tmpDir("zmaps"),
+        Seq("s", "price"), 26)
+    }
+    val plain = tmpDir("zmplain")
+    ZOrderTable.publish(grid(), plain, Seq("x", "y"), 26)
+    intercept[IllegalArgumentException] {
+      ZOrderTable.appendMapped(grid().limit(5), plain)
+    }
+    // rename of a mapped dimension refuses (the property binds it)
+    intercept[IllegalArgumentException] {
+      Snapshots.rename(spark, dir, "ts", "event_time")
+    }
+  }
+
   test("retryingWrite: the claim-conflict loser re-plans and lands; " +
     "exhausted attempts rethrow") {
     val dir = tmpDir("retry")
