@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{GeoFunctions, TextFunctions}
+import graft.functions.{GeoFunctions, TableFunctions, TextFunctions}
 
 /** Spark session extension entry point: makes every graft SQL
   * function (st_* geometry suite) available cluster-wide without any
@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GeoFunctions.injectInto(ext)
     TextFunctions.injectInto(ext)
+    // the table layer's SQL surface: graft_table / graft_changes /
+    // graft_history table-valued functions (builders return the SAME
+    // logical plans the Scala API builds — still no custom plan node)
+    TableFunctions.injectInto(ext)
     // expression-level optimizer rule (no new plan nodes — the §3
     // stance holds): naive levenshtein bounds get the banded
     // early-exit threshold form automatically

@@ -2051,6 +2051,13 @@ object Snapshots {
     Ndv.merge(have.map(recorded) ++ extra)
   }
 
+  /** The batch-ledger header riding on version `v`, if any — carried
+    * headers included (a compact/metadata commit reports the id it
+    * carried forward). Inspection surface for `graft_history`. */
+  def batchAt(spark: SparkSession, dir: String, v: Long): Option[Long] =
+    committedManifest(spark, dir, v).metaValues("batch").headOption
+      .map(_.toLong)
+
   /** The deletion vectors of version `v` — manifest-relative file →
     * sorted dead row positions. Inspection surface for gates/ops
     * (how much merge-on-read debt a table carries; [[compact]] is

@@ -25,8 +25,33 @@ object ExtCheck {
     assert(row.getAs[Long]("zk") == java.lang.Long.parseLong("100111", 2))
     assert(row.getAs[Double]("l2") == 8.0)
     assert(row.getAs[String]("nf").length == 5) // NFD decomposes é
+    // the TABLE layer's SQL surface, through the same deployment conf:
+    // graft_table (latest + time travel), graft_history, graft_changes
+    import org.apache.spark.sql.functions._
+    val dir = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_extcheck_tbl"
+    graft.operators.Snapshots.dropPath(spark, dir)
+    graft.operators.Snapshots.publish(
+      spark.range(0, 100, 1, 2).select(col("id").as("k"),
+        (col("id") * 3).as("v"), (col("id") % 4).as("bucket")),
+      dir, "bucket", Seq("k"))
+    graft.operators.Snapshots.merge(
+      spark.range(0, 5).select(col("id").as("k"), lit(-1L).as("v"),
+        (col("id") % 4).as("bucket")),
+      dir, "bucket", Seq("k"), Seq("k"))
+    val n1 = spark.sql(s"SELECT count(*) AS n FROM graft_table('$dir', 1)")
+      .collect()(0).getLong(0)
+    val neg = spark.sql(
+      s"SELECT count(*) AS n FROM graft_table('$dir') WHERE v = -1")
+      .collect()(0).getLong(0)
+    val hist = spark.sql(
+      s"SELECT count(*) FROM graft_history('$dir')").collect()(0).getLong(0)
+    val chg = spark.sql(s"SELECT count(*) FROM graft_changes('$dir', 1, 2) " +
+      "WHERE _change = 'insert'").collect()(0).getLong(0)
+    assert(n1 == 100 && neg == 5 && hist == 2 && chg == 5,
+      s"table SQL surface: n1=$n1 neg=$neg hist=$hist chg=$chg")
     println(s"[extcheck] OK: st_area=${row.getAs[Double]("a")} intersect=${row.getAs[Int]("c")}" +
-      s" zorder=${row.getAs[Long]("zk")} l2=${row.getAs[Double]("l2")}")
+      s" zorder=${row.getAs[Long]("zk")} l2=${row.getAs[Double]("l2")}" +
+      s" graft_table=$n1/$neg history=$hist changes=$chg")
     spark.stop()
   }
 }
