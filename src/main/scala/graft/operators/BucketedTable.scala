@@ -122,7 +122,8 @@ object BucketedTable {
       Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
         pm.propLines ++ Seq(s"bucketw:$keyCol:$w") ++
         carriedFilew(pm, pm.files.toSet) ++ filewLines(st.rels, w) ++
-        pm.statLines ++ st.statLines ++ pm.fsizeLines ++ st.sizeLines)
+        pm.statLines ++ st.statLines ++ pm.fsizeLines ++ st.sizeLines ++
+        pm.dvLines)
     v
   }
 
@@ -144,7 +145,8 @@ object BucketedTable {
     Snapshots.commit(spark, dir, v, pm.files,
       Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
         pm.propLines ++ Seq(s"bucketw:$keyCol:$newWidth") ++
-        carriedFilew(pm, pm.files.toSet) ++ pm.statLines ++ pm.fsizeLines)
+        carriedFilew(pm, pm.files.toSet) ++ pm.statLines ++ pm.fsizeLines ++
+        pm.dvLines)
     v
   }
 
@@ -182,7 +184,8 @@ object BucketedTable {
       if (touched.isEmpty) upd
       else {
         val existing = Snapshots.readFiles(spark, dir,
-          touched.toSeq.sorted, pm.schemaOpt)
+          touched.toSeq.sorted, pm.schemaOpt, sizes = pm.fileSizes,
+          dv = Snapshots.resolveDv(spark, dir, pm))
         // additive/widening alignment, then restaged rows RE-derive
         // their bucket at the current width (the epoch migration
         // side effect overrides whatever stale epoch values the old
@@ -208,7 +211,8 @@ object BucketedTable {
         carriedFilew(pm, keptSet) ++ filewLines(st.rels, w) ++
         carriedStats(pm, keptSet) ++ st.statLines ++
         pm.fsizeLines.filter(l => keptSet.contains(l.split(":", 3).last)) ++
-        st.sizeLines)
+        st.sizeLines ++
+        pm.dvLines.filter(l => keptSet.contains(Snapshots.dvRelOf(l))))
     v
   }
 
@@ -245,10 +249,14 @@ object BucketedTable {
     val frag = current.groupBy(f =>
         Snapshots.fileBucket(f).getOrElse(-1L))
       .filter(_._2.size >= 2).values.flatten.toSeq
-    val rewrite = (stale ++ conflict ++ frag).distinct.sorted
+    // DV-bearing files rewrite too: the DV-filtered read below
+    // MATERIALIZES the deletes and their lines drop with the files
+    val dvFiles = pm.files.filter(
+      Snapshots.resolveDv(spark, dir, pm).contains)
+    val rewrite = (stale ++ conflict ++ frag ++ dvFiles).distinct.sorted
     if (rewrite.isEmpty) return prev
     val df = Snapshots.readFiles(spark, dir, rewrite, pm.schemaOpt,
-      sizes = pm.fileSizes)
+      sizes = pm.fileSizes, dv = Snapshots.resolveDv(spark, dir, pm))
       .withColumn(BCol, expr(s"$keyCol div $w"))
     val st = Snapshots.stage(withBucket(df.drop(BCol), keyCol, w),
       dir, BCol, Seq(keyCol), blockSize, 32)
@@ -262,7 +270,8 @@ object BucketedTable {
         carriedFilew(pm, keptSet) ++ filewLines(st.rels, w) ++
         carriedStats(pm, keptSet) ++ st.statLines ++
         pm.fsizeLines.filter(l => keptSet.contains(l.split(":", 3).last)) ++
-        st.sizeLines)
+        st.sizeLines ++
+        pm.dvLines.filter(l => keptSet.contains(Snapshots.dvRelOf(l))))
     v
   }
 

@@ -20,21 +20,26 @@ package graft.operators
   */
 object Dv {
 
-  /** Inline manifest-line budget: vectors past this refuse (use the
-    * copy-on-write delete — rewriting is cheaper than carrying a
-    * megabyte meta line on every future manifest). ~1.5 MB worst-case
-    * encoded at 10 bytes/position. */
+  /** Inline manifest-line budget: [[encode]] (the `#dv` line form)
+    * refuses past this — a megabyte meta line carried on every future
+    * manifest is the wrong shape. Larger vectors go to a SIDECAR file
+    * (`#dvf` lines — [[Snapshots.deleteVectored]] switches at
+    * [[InlineMax]]); the bytes form ([[encodeBytes]]) is unbounded. */
   val MaxInlinePositions: Int = 1000000
 
-  /** Encode sorted-deduped non-negative positions as base64 delta
-    * varints. Idempotent under re-encode(decode(_)). */
-  def encode(positions: Array[Long]): String = {
+  /** The write path's inline-vs-sidecar switch: vectors of at most
+    * this many positions ride inline in the manifest (≤ ~8 KB
+    * encoded); larger ones land in one immutable sidecar file and the
+    * manifest carries only `count:path` (the Delta inline-vs-file DV
+    * split). */
+  val InlineMax: Int = 4096
+
+  /** Delta-varint bytes of sorted-deduped non-negative positions —
+    * the sidecar file format, and the payload behind [[encode]]. */
+  def encodeBytes(positions: Array[Long]): Array[Byte] = {
     val sorted = positions.distinct.sorted
     require(sorted.isEmpty || sorted.head >= 0,
       s"row positions are non-negative (got ${sorted.headOption})")
-    require(sorted.length <= MaxInlinePositions,
-      s"deletion vector of ${sorted.length} positions exceeds the inline " +
-        s"budget ($MaxInlinePositions) — use the copy-on-write delete")
     val out = new java.io.ByteArrayOutputStream(sorted.length * 2)
     var prev = -1L
     var i = 0
@@ -48,12 +53,11 @@ object Dv {
       out.write(d.toInt)
       i += 1
     }
-    java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+    out.toByteArray
   }
 
-  /** Decode to the sorted position array. */
-  def decode(s: String): Array[Long] = {
-    val bytes = java.util.Base64.getDecoder.decode(s)
+  /** Decode delta-varint bytes to the sorted position array. */
+  def decodeBytes(bytes: Array[Byte]): Array[Long] = {
     val buf = new scala.collection.mutable.ArrayBuffer[Long](bytes.length)
     var i = 0
     var prev = -1L
@@ -72,6 +76,20 @@ object Dv {
     }
     buf.toArray
   }
+
+  /** Encode sorted-deduped non-negative positions as base64 delta
+    * varints (the inline `#dv` line form). Idempotent under
+    * re-encode(decode(_)). */
+  def encode(positions: Array[Long]): String = {
+    require(positions.distinct.length <= MaxInlinePositions,
+      s"deletion vector of ${positions.distinct.length} positions exceeds " +
+        s"the inline budget ($MaxInlinePositions) — use a sidecar")
+    java.util.Base64.getEncoder.encodeToString(encodeBytes(positions))
+  }
+
+  /** Decode the inline form to the sorted position array. */
+  def decode(s: String): Array[Long] =
+    decodeBytes(java.util.Base64.getDecoder.decode(s))
 
   /** Merge two position sets (the grow-only DV union). */
   def merge(a: Array[Long], b: Array[Long]): Array[Long] =

@@ -137,7 +137,8 @@ object HashBucketedTable {
       Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
         pm.propLines ++ Seq(s"bucketh:$keyCol:$n") ++
         carriedFileh(pm, pm.files.toSet) ++ filehLines(st.rels, n) ++
-        pm.statLines ++ st.statLines ++ pm.fsizeLines ++ st.sizeLines)
+        pm.statLines ++ st.statLines ++ pm.fsizeLines ++ st.sizeLines ++
+        pm.dvLines)
     v
   }
 
@@ -156,7 +157,8 @@ object HashBucketedTable {
     Snapshots.commit(spark, dir, v, pm.files,
       Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
         pm.propLines ++ Seq(s"bucketh:$keyCol:$newN") ++
-        carriedFileh(pm, pm.files.toSet) ++ pm.statLines ++ pm.fsizeLines)
+        carriedFileh(pm, pm.files.toSet) ++ pm.statLines ++ pm.fsizeLines ++
+        pm.dvLines)
     v
   }
 
@@ -217,7 +219,8 @@ object HashBucketedTable {
       if (touched.isEmpty) withBucket(updatesOpt.get, keyCol, n)
       else {
         val existing = Snapshots.readFiles(spark, dir, touched.sorted,
-          pm.schemaOpt, sizes = pm.fileSizes)
+          pm.schemaOpt, sizes = pm.fileSizes,
+          dv = Snapshots.resolveDv(spark, dir, pm))
         updatesOpt match {
           case Some(updates) =>
             val (ex0, up) = Snapshots.mergeAlign(existing,
@@ -256,7 +259,8 @@ object HashBucketedTable {
         pm.statLines.filter(l => keptSet.contains(l.split(":", 6).last)) ++
         st.statLines ++
         pm.fsizeLines.filter(l => keptSet.contains(l.split(":", 3).last)) ++
-        st.sizeLines)
+        st.sizeLines ++
+        pm.dvLines.filter(l => keptSet.contains(Snapshots.dvRelOf(l))))
     v
   }
 
@@ -278,17 +282,20 @@ object HashBucketedTable {
     val landing: Set[Long] =
       if (stale.isEmpty) Set.empty
       else Snapshots.readFiles(spark, dir, stale, pm.schemaOpt,
-        sizes = pm.fileSizes)
+        sizes = pm.fileSizes, dv = Snapshots.resolveDv(spark, dir, pm))
         .select(pmod(xxhash64(col(keyCol)), lit(n)).as("b"))
         .distinct().collect().map(_.getLong(0)).toSet
     val conflict = current.filter(f =>
       Snapshots.fileBucket(f).exists(landing.contains))
     val frag = current.groupBy(f => Snapshots.fileBucket(f).getOrElse(-1L))
       .filter(_._2.size >= 2).values.flatten.toSeq
-    val rewrite = (stale ++ conflict ++ frag).distinct.sorted
+    // DV-bearing files rewrite too (materialize + drop the line)
+    val dvFiles = pm.files.filter(
+      Snapshots.resolveDv(spark, dir, pm).contains)
+    val rewrite = (stale ++ conflict ++ frag ++ dvFiles).distinct.sorted
     if (rewrite.isEmpty) return prev
     val df = Snapshots.readFiles(spark, dir, rewrite, pm.schemaOpt,
-      sizes = pm.fileSizes)
+      sizes = pm.fileSizes, dv = Snapshots.resolveDv(spark, dir, pm))
     // size the rewrite by the manifest's recorded BYTES, not a
     // constant: a migration of N gigabytes wants N/bytesPerTask
     // writers, however many files it came from
@@ -308,7 +315,8 @@ object HashBucketedTable {
         pm.statLines.filter(l => keptSet.contains(l.split(":", 6).last)) ++
         st.statLines ++
         pm.fsizeLines.filter(l => keptSet.contains(l.split(":", 3).last)) ++
-        st.sizeLines)
+        st.sizeLines ++
+        pm.dvLines.filter(l => keptSet.contains(Snapshots.dvRelOf(l))))
     v
   }
 

@@ -175,6 +175,7 @@ object Snapshots {
     txnCache.clear()
     dirListCache.clear()
     checkpointLoaded.clear()
+    dvSidecarCache.clear()
   }
 
   /** Cache key for (dir, version) — a plain string concat, NOT a
@@ -196,6 +197,7 @@ object Snapshots {
     txnCache.keySet().removeIf(hit)
     dirListCache.keySet().removeIf(hit)
     checkpointLoaded.removeIf(hit)
+    dvSidecarCache.keySet().removeIf(hit)
   }
 
   /** Delete `path` recursively AND purge the metadata caches under it
@@ -471,8 +473,22 @@ object Snapshots {
         case _ => None
       }
     }.toMap
-    /** Raw dv lines (carry-forward for KEPT files). */
-    def dvLines: Seq[String] = meta.filter(_.startsWith("#dv:"))
+    /** SIDECAR deletion-vector references (format 2.2
+      * `#dvf:<count>:<sidecar-rel>:<rel>` — vectors past
+      * [[Dv.InlineMax]] live in one immutable varint file under
+      * `dir/dv/`; the count rides in the line so [[rowCountAt]]
+      * stays manifest-only): rel → (dead count, sidecar rel). */
+    def dvRefs: Map[String, (Long, String)] = metaValues("dvf").flatMap { s =>
+      s.split(":", 3) match {
+        case Array(cnt, sc, rel) => Some(rel -> ((cnt.toLong, sc)))
+        case _ => None
+      }
+    }.toMap
+    /** Raw dv AND dvf lines (ONE carry surface — every kept-file carry
+      * site filters these by [[Snapshots.dvRelOf]], so adding a line
+      * family cannot silently skip a site). */
+    def dvLines: Seq[String] = meta.filter(m =>
+      m.startsWith("#dv:") || m.startsWith("#dvf:"))
       .map(_.stripPrefix("#"))
     /** Generic CARRIED table properties (`#prop:key=value` — the
       * Delta table-properties shape): set once at publish (via the
@@ -1070,9 +1086,15 @@ object Snapshots {
         if (liveDv.isEmpty) posed
         else {
           import spark.implicits._
-          val dead = broadcast(liveDv.toSeq
+          val pairs = liveDv.toSeq
             .flatMap { case (r, ps) => ps.map(p => (r, p)) }
-            .toDF(FileCol, PosCol))
+            .toDF(FileCol, PosCol)
+          // broadcast while the dead set is broadcast-SIZED; a table
+          // carrying tens of millions of dead positions (deep
+          // merge-on-read debt compact hasn't reclaimed) anti-joins
+          // through the shuffle instead of OOMing every executor
+          val total = liveDv.valuesIterator.map(_.length.toLong).sum
+          val dead = if (total <= 10000000L) broadcast(pairs) else pairs
           posed.join(dead, Seq(FileCol, PosCol), "left_anti")
         }
       val surface = s.fields.map(fd =>
@@ -1173,9 +1195,30 @@ object Snapshots {
       }
       def mk(a: Expression, mode: Char, l: Literal): Option[(String, Test)] =
         for (c <- attrOf(a); t <- litTest(mode, l)) yield (c, t)
+      // a file survives an IN list iff ANY member's point-test survives
+      def anyOf(tests: Seq[Test]): Test = (kind, mn, mx) =>
+        tests.exists(_(kind, mn, mx))
+      // strings starting with prefix p live in [p, succ(p)): succ
+      // increments the last non-0xFF byte (all-0xFF → unbounded above)
+      def startsWithTest(p: Array[Byte]): Test = {
+        val succ: Option[Array[Byte]] = {
+          val b = p.clone()
+          var i = b.length - 1
+          while (i >= 0 && b(i) == -1) { b(i) = 0; i -= 1 }
+          if (i < 0) None else { b(i) = (b(i) + 1).toByte; Some(b.take(i + 1)) }
+        }
+        (kind, mn, mx) =>
+          kind != "s" || {
+            val dec = java.util.Base64.getDecoder
+            !Layout.bytesLt(dec.decode(mx), p) && // max >= p
+              succ.forall(u => Layout.bytesLt(dec.decode(mn), u)) // min < succ
+          }
+      }
       def test(e: Expression): Option[(String, Test)] = e match {
         case EqualTo(a, l: Literal) => mk(a, '=', l)
         case EqualTo(l: Literal, a) => mk(a, '=', l)
+        case EqualNullSafe(a, l: Literal) if l.value != null => mk(a, '=', l)
+        case EqualNullSafe(l: Literal, a) if l.value != null => mk(a, '=', l)
         case GreaterThan(a, l: Literal) => mk(a, '>', l)
         case GreaterThan(l: Literal, a) => mk(a, '<', l)
         case GreaterThanOrEqual(a, l: Literal) => mk(a, 'g', l)
@@ -1184,6 +1227,39 @@ object Snapshots {
         case LessThan(l: Literal, a) => mk(a, '>', l)
         case LessThanOrEqual(a, l: Literal) => mk(a, 'l', l)
         case LessThanOrEqual(l: Literal, a) => mk(a, 'g', l)
+        case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+          for {
+            c <- attrOf(a)
+            ts <- {
+              val each = vs.map(v => litTest('=', v.asInstanceOf[Literal]))
+              if (each.forall(_.isDefined)) Some(each.flatten) else None
+            }
+          } yield (c, anyOf(ts))
+        case InSet(a, hset) if hset.nonEmpty =>
+          for {
+            c <- attrOf(a)
+            ts <- {
+              val each = hset.toSeq.map {
+                case null => None
+                case u: org.apache.spark.unsafe.types.UTF8String =>
+                  Some(strTest('=', u.getBytes))
+                case i: java.lang.Integer => Some(longTest('=', i.longValue))
+                case j: java.lang.Long => Some(longTest('=', j.longValue))
+                case sh: java.lang.Short => Some(longTest('=', sh.longValue))
+                case b: java.lang.Byte => Some(longTest('=', b.longValue))
+                case d: java.lang.Double => Some(dblTest('=', d.doubleValue))
+                case fl: java.lang.Float => Some(dblTest('=', fl.doubleValue))
+                case _ => None
+              }
+              if (each.forall(_.isDefined)) Some(each.flatten) else None
+            }
+          } yield (c, anyOf(ts))
+        case StartsWith(a, l: Literal) =>
+          attrOf(a).flatMap(c => l.value match {
+            case u: org.apache.spark.unsafe.types.UTF8String =>
+              Some(c -> startsWithTest(u.getBytes))
+            case _ => None
+          })
         case _ => None
       }
       val tests = filters.flatMap(test)
@@ -1220,7 +1296,7 @@ object Snapshots {
   def readAt(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val m = committedManifest(spark, dir, v)
     readFiles(spark, dir, m.files, m.schemaOpt, m.colMap, m.fileSizes,
-      statsPruner(m), m.dv)
+      statsPruner(m), resolveDv(spark, dir, m))
   }
 
   /** Read the latest version. */
@@ -1247,12 +1323,13 @@ object Snapshots {
     // its bucket is not fragmented — the read below is DV-filtered, so
     // the rewrite MATERIALIZES the deletes and the dv line drops
     // (vacuum then reclaims the pre-delete bytes)
-    val dvBuckets = pm.files.filter(pm.dv.contains).map(bOf).toSet
+    val fullDv = resolveDv(spark, dir, pm)
+    val dvBuckets = pm.files.filter(fullDv.contains).map(bOf).toSet
     val rewriteBuckets = frag.keySet ++ dvBuckets
     if (rewriteBuckets.isEmpty) return prev
     val fragFiles = pm.files.filter(f => rewriteBuckets.contains(bOf(f)))
     val fragDf = readFiles(spark, dir, fragFiles, pm.schemaOpt, pm.colMap,
-      pm.fileSizes, dv = pm.dv)
+      pm.fileSizes, dv = fullDv)
     val tp = pm.toPhysical
     val st = stage(toPhysicalDf(fragDf, tp), dir,
       tp.getOrElse(bucketCol, bucketCol),
@@ -1272,7 +1349,7 @@ object Snapshots {
       keptSet.contains(l.split(":", 4).last))
     val keptSizes = pm.fsizeLines.filter(l =>
       keptSet.contains(l.split(":", 3).last))
-    val keptDv = pm.dvLines.filter(l => keptSet.contains(l.split(":", 3).last))
+    val keptDv = pm.dvLines.filter(l => keptSet.contains(dvRelOf(l)))
     val schema = pm.schemaOpt.map(nullable(_).json).getOrElse(st.schemaJson)
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, kept ++ st.rels,
@@ -1470,18 +1547,26 @@ object Snapshots {
     // ONE read of the candidate buckets (already-dead rows excluded so
     // a vector never double-records), broadcast-semi-joined to the
     // keys: the matched rows' (file, position) pairs ARE the delete
+    val oldDv = resolveDv(spark, dir, pm)
     val hits = readFiles(spark, dir, candidates, pm.schemaOpt, pm.colMap,
-        pm.fileSizes, dv = pm.dv, withPos = true)
+        pm.fileSizes, dv = oldDv, withPos = true)
       .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
         keyCols, "left_semi")
       .select(FileCol, PosCol).collect()
     if (hits.isEmpty) return prev
     val grown = hits.groupBy(_.getString(0)).map { case (rel, rs) =>
-      rel -> Dv.merge(pm.dv.getOrElse(rel, Array.empty[Long]),
+      rel -> Dv.merge(oldDv.getOrElse(rel, Array.empty[Long]),
         rs.map(_.getLong(1)))
     }
-    val dvAll = (pm.dv ++ grown).toSeq.sortBy(_._1)
-      .map { case (rel, ps) => s"dv:${Dv.encode(ps)}:$rel" }
+    // untouched files keep their existing lines VERBATIM (inline or
+    // sidecar ref); grown files re-encode — inline up to Dv.InlineMax,
+    // one immutable sidecar past it (the old sidecar becomes an
+    // orphan; vacuum reclaims it once no kept manifest references it)
+    val untouched = pm.dvLines.filterNot(l => grown.contains(dvRelOf(l)))
+    val dvAll = untouched ++ grown.toSeq.sortBy(_._1).map { case (rel, ps) =>
+      if (ps.length <= Dv.InlineMax) s"dv:${Dv.encode(ps)}:$rel"
+      else s"dvf:${ps.length}:${writeDvSidecar(spark, dir, ps)}:$rel"
+    }
     // everything else carries verbatim — same files, same stats (now
     // per-FILE upper bounds; rowCountAt subtracts the dead positions)
     val carried = pm.meta.filter(m => m.startsWith("#stat:") ||
@@ -1553,7 +1638,7 @@ object Snapshots {
       if (existingFiles.isEmpty) updatesOpt.get
       else {
         val existing = readFiles(spark, dir, existingFiles, pm.schemaOpt,
-          pm.colMap, pm.fileSizes, dv = pm.dv)
+          pm.colMap, pm.fileSizes, dv = resolveDv(spark, dir, pm))
         // additive/WIDENING evolution: updates may ADD columns (old
         // rows null-fill on read) and shared columns may WIDEN in
         // either direction — both sides align to the per-column
@@ -1594,7 +1679,7 @@ object Snapshots {
     // dv:<b64>:<rel> — kept files keep their deletion vectors; the
     // rewritten (touched) files just MATERIALIZED theirs (the read
     // above was DV-filtered), so their lines drop with the files
-    val keptDv = pm.dvLines.filter(l => keptSet.contains(l.split(":", 3).last))
+    val keptDv = pm.dvLines.filter(l => keptSet.contains(dvRelOf(l)))
     val schema = pm.schemaOpt match {
       case Some(ps) if updatesOpt.isEmpty => nullable(ps).json // deletes never evolve
       case Some(ps) => mergeSchemas(ps, nullable(mergedRows.schema)).json
@@ -1753,9 +1838,11 @@ object Snapshots {
     // vNew must not re-insert), and a SHARED file whose vector GREW
     // contributes its newly-dead rows — deletes the file sets alone
     // cannot see, because a DV commit changes no files at all
+    val dvOldM = resolveDv(spark, dir, mOld)
+    val dvNewM = resolveDv(spark, dir, mNew)
     val grown: Map[String, Array[Long]] = (fo & fn).toSeq.flatMap { rel =>
-      val od = mOld.dv.getOrElse(rel, Array.empty[Long]).toSet
-      val nd = mNew.dv.getOrElse(rel, Array.empty[Long]).filterNot(od)
+      val od = dvOldM.getOrElse(rel, Array.empty[Long]).toSet
+      val nd = dvNewM.getOrElse(rel, Array.empty[Long]).filterNot(od)
       if (nd.isEmpty) None else Some(rel -> nd)
     }.toMap
     val sizes = mOld.fileSizes ++ mNew.fileSizes
@@ -1767,7 +1854,7 @@ object Snapshots {
     val newSide =
       if (onlyNew.isEmpty) empty
       else readFiles(spark, dir, onlyNew, mNew.schemaOpt, mNew.colMap,
-        sizes, dv = mNew.dv)
+        sizes, dv = dvNewM)
     val grownRows =
       if (grown.isEmpty) empty
       else {
@@ -1783,7 +1870,7 @@ object Snapshots {
     val oldSide =
       (if (onlyOld.isEmpty) empty
        else readFiles(spark, dir, onlyOld, mNew.schemaOpt, mNew.colMap,
-         sizes, dv = mOld.dv))
+         sizes, dv = dvOldM))
         .unionByName(grownRows)
     // align column order/types (a no-op under a recorded schema;
     // legacy manifests' partition discovery may disagree per token)
@@ -1838,10 +1925,10 @@ object Snapshots {
     val residual = col(keyCol) >= lo && col(keyCol) < hi
     if (surviving.isEmpty)
       readFiles(spark, dir, m.files, m.schemaOpt, m.colMap, m.fileSizes,
-        dv = m.dv)
+        dv = resolveDv(spark, dir, m))
         .filter(residual).limit(0)
     else readFiles(spark, dir, surviving, m.schemaOpt, m.colMap, m.fileSizes,
-      dv = m.dv)
+      dv = resolveDv(spark, dir, m))
       .filter(residual)
   }
 
@@ -1968,10 +2055,10 @@ object Snapshots {
     }.reduce(_ && _)
     if (surviving.isEmpty)
       readFiles(spark, dir, m.files, m.schemaOpt, m.colMap, m.fileSizes,
-        dv = m.dv)
+        dv = resolveDv(spark, dir, m))
         .filter(residual).limit(0)
     else readFiles(spark, dir, surviving, m.schemaOpt, m.colMap, m.fileSizes,
-      dv = m.dv)
+      dv = resolveDv(spark, dir, m))
       .filter(residual)
   }
 
@@ -2012,7 +2099,8 @@ object Snapshots {
     // merge-on-read deletes: per-file row counts are PRE-DV (the stat
     // lines describe the physical file); the version's logical count
     // subtracts the recorded dead positions
-    val dead = m.dv.valuesIterator.map(_.length.toLong).sum
+    val dead = m.dv.valuesIterator.map(_.length.toLong).sum +
+      m.dvRefs.valuesIterator.map(_._1).sum // sidecar counts ride inline
     if (per.exists(_.isEmpty)) None else Some(per.flatten.sum - dead)
   }
 
@@ -2051,6 +2139,56 @@ object Snapshots {
     Ndv.merge(have.map(recorded) ++ extra)
   }
 
+  /** The data-file rel path of one dv/dvf carry line (the LAST field
+    * either way) — what kept-file carry filters match on. */
+  private[operators] def dvRelOf(line: String): String =
+    if (line.startsWith("dvf:")) line.split(":", 4).last
+    else line.split(":", 3).last
+
+  /** Immutable sidecar payloads cache (a sidecar is written once and
+    * never modified; rewrites drop the reference and vacuum reclaims
+    * the file). */
+  private val dvSidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  /** Resolve a manifest's FULL deletion vectors: inline `#dv` lines
+    * plus `#dvf` sidecar files (read once per sidecar per process —
+    * they are immutable). The planning-only surfaces ([[rowCountAt]])
+    * use the line-carried counts instead and never open a sidecar. */
+  private[graft] def resolveDv(spark: SparkSession, dir: String,
+                               m: Manifest): Map[String, Array[Long]] = {
+    val refs = m.dvRefs
+    if (refs.isEmpty) m.dv
+    else m.dv ++ refs.map { case (rel, (_, sc)) =>
+      rel -> dvSidecarCache.computeIfAbsent(s"$dir/$sc", { abs =>
+        val p = new org.apache.hadoop.fs.Path(abs)
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = f.open(p)
+        try {
+          val len = f.getFileStatus(p).getLen.toInt
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          Dv.decodeBytes(bytes)
+        } finally in.close()
+      })
+    }
+  }
+
+  /** Stage one sidecar deletion-vector file under `dir/dv/` (written
+    * BEFORE the manifest commit like data files — a crash leaves an
+    * orphan the vacuum sweeps) and return its manifest-relative path. */
+  private def writeDvSidecar(spark: SparkSession, dir: String,
+                             positions: Array[Long]): String = {
+    val rel = s"dv/${java.util.UUID.randomUUID().toString.take(8)}.dvs"
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+    val f = fs(spark, dir)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, false)
+    try out.write(Dv.encodeBytes(positions)) finally out.close()
+    dvSidecarCache.put(s"$dir/$rel", positions.distinct.sorted)
+    rel
+  }
+
   /** The batch-ledger header riding on version `v`, if any — carried
     * headers included (a compact/metadata commit reports the id it
     * carried forward). Inspection surface for `graft_history`. */
@@ -2064,7 +2202,7 @@ object Snapshots {
     * the reclaimer). */
   def deletionVectorsAt(spark: SparkSession, dir: String,
                         v: Long): Map[String, Array[Long]] =
-    committedManifest(spark, dir, v).dv
+    resolveDv(spark, dir, committedManifest(spark, dir, v))
 
   /** Drop every version below `keepFrom` and delete the data files
     * no kept version references. Returns (manifests dropped, data
@@ -2112,6 +2250,25 @@ object Snapshots {
     orphans.foreach { case (rel, _) =>
       f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false)
     }
+    // DELETION-VECTOR sidecars reclaim the same way: a sidecar is
+    // referenced while any kept manifest carries its #dvf line; a
+    // rewrite/re-grow drops the reference and the file becomes an
+    // orphan (same retainMs guard — an in-flight writer's
+    // just-written sidecar is protected)
+    val dvRoot = new org.apache.hadoop.fs.Path(dir, "dv")
+    val referencedDv = keep.flatMap(v =>
+      manifest(spark, dir, v).dvRefs.valuesIterator.map(_._2)).toSet
+    val dvOrphans =
+      if (!f.exists(dvRoot)) Seq.empty
+      else f.listStatus(dvRoot).toSeq.filter(!_.isDirectory).flatMap { st =>
+        val rel = "dv/" + st.getPath.getName
+        if (!referencedDv(rel) && st.getModificationTime <= cutoff) Some(rel)
+        else None
+      }
+    dvOrphans.foreach { rel =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false)
+      dvSidecarCache.remove(s"$dir/$rel")
+    }
     drop.foreach { v =>
       f.delete(manifestPath(dir, v), false)
       // a dropped version's manifest must not survive in the caches —
@@ -2123,7 +2280,8 @@ object Snapshots {
     // a checkpoint may still list dropped versions as committed —
     // refresh it in place (cheap here: this process's caches are warm)
     if (f.exists(checkpointPath(dir))) checkpoint(spark, dir)
-    (drop.size.toLong, orphans.size.toLong, (all.size - orphans.size).toLong)
+    (drop.size.toLong, (orphans.size + dvOrphans.size).toLong,
+      (all.size - orphans.size).toLong)
   }
 
   // -----------------------------------------------------------------

@@ -114,8 +114,9 @@ object ZOrderTable {
     val sizes = pm.fsizeLines.filter(l => kept.contains(l.split(":", 3).last))
     val filez = pm.meta.filter(_.startsWith("#filez:")).map(_.stripPrefix("#"))
       .filter(l => kept.contains(l.split(":", 3).last))
+    val dv = pm.dvLines.filter(l => kept.contains(Snapshots.dvRelOf(l)))
     pm.propLines ++ pm.statColsLines ++ pm.ndvColsLines ++
-      filez ++ stats ++ stats2 ++ ndv ++ sizes
+      filez ++ stats ++ stats2 ++ ndv ++ sizes ++ dv
   }
 
   private def keyExpr(l: ZLayout): Column = {
@@ -320,7 +321,8 @@ object ZOrderTable {
       if (touched.isEmpty) updatesOpt.get
       else {
         val existing = Snapshots.readFiles(spark, dir, touched.sorted,
-          pm.schemaOpt, pm.colMap, pm.fileSizes).drop(ZCol, BCol)
+          pm.schemaOpt, pm.colMap, pm.fileSizes,
+          dv = Snapshots.resolveDv(spark, dir, pm)).drop(ZCol, BCol)
         updatesOpt match {
           case Some(updates) =>
             val (ex, up) = Snapshots.mergeAlign(existing, updates)
@@ -430,17 +432,20 @@ object ZOrderTable {
     val landing: Set[Long] =
       if (stale.isEmpty) Set.empty
       else Snapshots.readFiles(spark, dir, stale, pm.schemaOpt, pm.colMap,
-        pm.fileSizes)
+        pm.fileSizes, dv = Snapshots.resolveDv(spark, dir, pm))
         .select(shiftrightunsigned(col(ZCol), l.shift).as("c"))
         .distinct().collect().map(_.getLong(0)).toSet
     val conflict = current.filter(f =>
       Snapshots.fileBucket(f).exists(landing.contains))
     val frag = current.groupBy(f => Snapshots.fileBucket(f).getOrElse(-1L))
       .filter(_._2.size >= 2).values.flatten.toSeq
-    val rewrite = (stale ++ conflict ++ frag).distinct.sorted
+    // DV-bearing files rewrite too (materialize + drop the line)
+    val dvFiles = pm.files.filter(
+      Snapshots.resolveDv(spark, dir, pm).contains)
+    val rewrite = (stale ++ conflict ++ frag ++ dvFiles).distinct.sorted
     if (rewrite.isEmpty) return prev
     val df = Snapshots.readFiles(spark, dir, rewrite, pm.schemaOpt,
-        pm.colMap, pm.fileSizes)
+        pm.colMap, pm.fileSizes, dv = Snapshots.resolveDv(spark, dir, pm))
       .drop(ZCol, BCol)
     val st = Snapshots.stage(withLayout(df, l), dir, BCol, Seq(ZCol),
       blockSize, math.max(rewrite.size, 1), stat2Cols = pm.statCols,
@@ -615,6 +620,57 @@ object ZOrderTable {
           codeExpr(col(d), df.schema(d).dataType, zm))
     }
     append(withCodes, dir, blockSize, numTasks)
+  }
+
+  /** RE-DERIVE a mapped table's quantile cuts from its CURRENT
+    * content and re-cluster in one commit — the drift-repair path:
+    * appends whose values fall outside the published cuts CLAMP to
+    * the edge cells (answers stay exact, clustering degrades); once
+    * enough drift accumulates, remap rewrites every row under cuts
+    * derived from today's distribution and REPLACES the `zmap.<dim>`
+    * properties. One full rewrite by construction (the codes are
+    * data columns — every row's cell can move); earlier versions
+    * keep reading under THEIR OWN carried mapping, so time travel
+    * stays consistent, and [[Snapshots.vacuum]] reclaims the old
+    * files once retention passes them. WHEN to remap is the caller's
+    * judgment (e.g. when the edge cells' file share grows) — this
+    * always rewrites when called. */
+  def remapMapped(spark: SparkSession, dir: String, buckets: Int = 256,
+                  blockSize: Long = 128L * 1024 * 1024,
+                  numTasks: Int = 32): Long = {
+    require(buckets >= 2 && buckets <= 65536 && 65536 % buckets == 0,
+      s"buckets must divide the 16-bit grid (got $buckets)")
+    Snapshots.resolveForWrite(spark, dir)
+    val prev = Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots"))
+    val pm = Snapshots.committedManifest(spark, dir, prev)
+    val l = layoutAt(spark, dir, prev)
+    require(l.dims.forall(_.startsWith(MapPrefix)),
+      s"$dir is not a quantile-mapped z-table (dims ${l.dims})")
+    val rawDims = l.dims.map(_.stripPrefix(MapPrefix))
+    val raw = read(spark, dir) // current content, mapped columns dropped
+    val maps = rawDims.map(d => d -> deriveCuts(raw, d, buckets)).toMap
+    val withCodes = rawDims.foldLeft(raw)((acc, d) =>
+      acc.withColumn(MapPrefix + d,
+        codeExpr(col(d), raw.schema(d).dataType, maps(d))))
+    val st = Snapshots.stage(withLayout(withCodes, l), dir, BCol, Seq(ZCol),
+      blockSize, numTasks, stat2Cols = pm.statCols, ndvCols = pm.ndvCols)
+    val keptProps = pm.propLines.filterNot(p =>
+      rawDims.exists(d => p.startsWith(s"prop:${mapPropKey(d)}=")))
+    val schema = pm.schemaOpt.map(Snapshots.nullable(_).json)
+      .getOrElse(st.schemaJson)
+    val v = Snapshots.claimAbove(spark, dir, prev)
+    Snapshots.commit(spark, dir, v, st.rels,
+      Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
+        keptProps ++
+        rawDims.map { d =>
+          val m = maps(d)
+          s"prop:${mapPropKey(d)}=${m.kind}:${m.buckets}:${m.cuts.mkString(",")}"
+        } ++
+        pm.statColsLines ++ pm.ndvColsLines ++
+        filezLines(st.rels, l.shift) ++
+        st.statLines ++ st.stat2Lines ++ st.ndvLines ++ st.sizeLines)
+    v
   }
 
   /** Manifest-pruned box scan on RAW mapped-dimension predicates,

@@ -2098,7 +2098,10 @@ object Relational {
     * reclaims the pre-delete bytes while the head folds identically.
     * Sections: per-version reads, the step-2 diff deletes, per-step
     * feed net deletes, manifest count arithmetic, the dv/files state
-    * row, and the vacuum row. */
+    * row, the vacuum row, and the SIDECAR section — a single-file
+    * table whose every-third-key erasure exceeds the inline budget,
+    * landing in one immutable `#dvf` varint file with the data file
+    * list untouched and the row count still manifest-only. */
   def q188(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Snapshots
     import graft.streaming.ChangeFeed
@@ -2163,7 +2166,31 @@ object Relational {
     val headAfter = fold(Snapshots.read(spark, srcT))
     val (f2c, f2x, f2s) = feedFolds.getOrElse(v2, (-1L, -1L, -1L))
     val (f3c, f3x, f3s) = feedFolds.getOrElse(v3, (-1L, -1L, -1L))
+    // SIDECAR path under the gate: a single-file table whose erasure
+    // (every third key) exceeds the inline budget — the vector lands
+    // in one immutable varint file (#dvf), the data file list is
+    // still untouched, and the manifest row count stays read-free
+    val scT = s"$base/sc"
+    val sv1 = Snapshots.publish(src.withColumn("bucket", lit(0L)), scT,
+      "bucket", Seq("o_orderkey"))
+    val sv2 = Snapshots.deleteVectored(
+      src.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit(0L).as("bucket")),
+      scT, "bucket", Seq("o_orderkey"))
+    val scFilesSame =
+      if (Snapshots.files(spark, scT, sv2) == Snapshots.files(spark, scT, sv1))
+        1L else 0L
+    val sidecarsOnDisk = Option(new java.io.File(s"$scT/dv").listFiles())
+      .map(_.count(_.getName.endsWith(".dvs")).toLong).getOrElse(0L)
+    val (sc1, sc2, sc3) = fold(Snapshots.read(spark, scT))
+    val deadCount = Snapshots.deletionVectorsAt(spark, scT, sv2)
+      .valuesIterator.map(_.length.toLong).sum
+    val scCountOk =
+      if (Snapshots.rowCountAt(spark, scT, sv2).contains(sc1)) 1L else 0L
     (reads ++ Seq(
+      ("sidecar", "fold", sc1, sc2, sc3),
+      ("sidecar", "state", scFilesSame, deadCount,
+        if (sidecarsOnDisk >= 1 && scCountOk == 1L) 1L else 0L),
       ("deleted", "step2", d1, d2, d3),
       ("feed", "v0002", f2c, f2x, f2s),
       ("feed", "v0003", f3c, f3x, f3s),
@@ -3623,6 +3650,8 @@ object Relational {
          |h3 AS (${h60("alive3")}),
          |hd2 AS (${h60("dead2")}),
          |hd3 AS (${h60("dead3")}),
+         |sc AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+         |hsc AS (${h60("sc")}),
          |agg AS (
          |  SELECT 'count' AS section, 'manifest' AS label,
          |    (SELECT count(*) FROM alive3) AS m1,
@@ -3639,6 +3668,10 @@ object Relational {
          |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h2
          |  UNION ALL SELECT 'read', 'v0003', count(*),
          |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM h3
+         |  UNION ALL SELECT 'sidecar', 'fold', count(*),
+         |    CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000000000) AS BIGINT) FROM hsc
+         |  UNION ALL SELECT 'sidecar', 'state', 1,
+         |    (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0), 1
          |  UNION ALL SELECT 'state', 'dv', 1,
          |    (SELECT count(DISTINCT o_orderkey // 2048) FROM orders
          |     WHERE o_orderkey % 97 = 0 OR o_orderkey % 101 = 0), 0

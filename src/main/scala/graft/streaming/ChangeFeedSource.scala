@@ -215,11 +215,14 @@ private[streaming] class ChangeFeedStream(dir: String, startVersion: Long,
     val newSizes = mNew.fileSizes
     // a shared file whose deletion vector grew is read too (to emit
     // the newly-dead rows) — admission control prices it like churn
-    val dvOld = prevCommitted.map(p =>
-      Snapshots.manifest(spark, dir, p).dv).getOrElse(Map.empty)
+    def deadCounts(m: graft.operators.Snapshots.Manifest): Map[String, Long] =
+      m.dv.map { case (r, ps) => r -> ps.length.toLong } ++
+        m.dvRefs.map { case (r, (c, _)) => r -> c }
+    val dvOldC = prevCommitted.map(p =>
+      deadCounts(Snapshots.manifest(spark, dir, p))).getOrElse(Map.empty)
+    val dvNewC = deadCounts(mNew)
     val grown = (fNew & fOld).iterator.filter { r =>
-      val od = dvOld.getOrElse(r, Array.empty[Long])
-      mNew.dv.getOrElse(r, Array.empty[Long]).length > od.length
+      dvNewC.getOrElse(r, 0L) > dvOldC.getOrElse(r, 0L)
     }
     (fNew -- fOld).iterator.map(newSizes.getOrElse(_, 0L)).sum +
       (fOld -- fNew).iterator.map(oldSizes.getOrElse(_, 0L)).sum +
@@ -284,13 +287,13 @@ private[streaming] class ChangeFeedStream(dir: String, startVersion: Long,
     committed.filter(v => v > a && v <= b).flatMap { v =>
       val mNew = Snapshots.manifest(spark, dir, v)
       val fNew = mNew.files.toSet
-      val dvNew = mNew.dv
+      val dvNew = Snapshots.resolveDv(spark, dir, mNew)
       // aborted-transaction tombstones carry no state: a step's
       // predecessor is the last COMMITTED version below it
       val (fOld, dvOld) = committed.filter(_ < v).lastOption match {
         case Some(p) =>
           val mp = Snapshots.manifest(spark, dir, p)
-          (mp.files.toSet, mp.dv)
+          (mp.files.toSet, Snapshots.resolveDv(spark, dir, mp))
         case None =>
           // genesis (all inserts) is only valid when history is
           // complete back to version 1 — otherwise older committed

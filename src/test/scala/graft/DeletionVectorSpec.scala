@@ -109,6 +109,84 @@ class DeletionVectorSpec extends SparkSuite {
     assert(Snapshots.read(spark, dir).count() === 3998L)
   }
 
+  test("SIDECAR vectors: a delete past the inline budget lands in ONE " +
+    "immutable varint file per data file (#dvf — count rides in the " +
+    "line so manifest row counts stay read-free), a re-grow writes new " +
+    "sidecars, vacuum reclaims the orphans, compact materializes") {
+    val dir = tmpDir("sidecar")
+    // count .dvs payloads only (the local FS also writes .crc siblings)
+    def dvFilesOnDisk = Option(new java.io.File(s"$dir/dv").listFiles())
+      .map(_.count(_.getName.endsWith(".dvs"))).getOrElse(0)
+    val big = spark.range(0, 20000, 1, 4).select(col("id").as("k"),
+      (col("id") * 7L).as("v"), expr("id div 10000").as("bucket"))
+    val v1 = Snapshots.publish(big, dir, "bucket", Seq("k"))
+    // 10,000 dead positions over 2 files — far past Dv.InlineMax
+    val v2 = Snapshots.deleteVectored(
+      big.filter(col("k") % 2 === 0).select("k", "bucket"),
+      dir, "bucket", Seq("k"))
+    assert(Snapshots.files(spark, dir, v2) === Snapshots.files(spark, dir, v1))
+    val mf = new java.io.File(f"$dir/_manifests/v$v2%020d")
+    val lines = scala.io.Source.fromFile(mf, "UTF-8").getLines().toList
+    assert(lines.count(_.startsWith("#dvf:")) === 2 &&
+      lines.count(_.startsWith("#dv:")) === 0,
+      "both vectors went to sidecars, nothing inline")
+    assert(dvFilesOnDisk === 2)
+    assert(Snapshots.deletionVectorsAt(spark, dir, v2)
+      .values.map(_.length).toSeq.sorted === Seq(5000, 5000))
+    assert(Snapshots.rowCountAt(spark, dir, v2) === Some(10000L),
+      "the line-carried counts keep rowCountAt manifest-only")
+    assert(Snapshots.read(spark, dir).count() === 10000L)
+    assert(Snapshots.read(spark, dir).filter(col("k") % 2 === 0).count() === 0)
+    // grow: 20 more scattered keys — merged sets re-encode into NEW
+    // sidecars (immutable files), the old two become orphans
+    val v3 = Snapshots.deleteVectored(
+      big.filter(col("k") % 1000 === 1).select("k", "bucket"),
+      dir, "bucket", Seq("k"))
+    assert(Snapshots.read(spark, dir).count() === 10000L - 20L)
+    assert(dvFilesOnDisk === 4)
+    val (_, deleted1, _) = Snapshots.vacuum(spark, dir, v3, retainMs = 0)
+    assert(deleted1 === 2L, "exactly the two orphaned sidecars reclaimed")
+    assert(dvFilesOnDisk === 2)
+    assert(Snapshots.read(spark, dir).count() === 9980L, "still exact")
+    // compact materializes both vectors; the final vacuum reclaims the
+    // pre-delete data files AND the now-unreferenced sidecars
+    val v4 = Snapshots.compact(spark, dir, "bucket", Seq("k"))
+    assert(Snapshots.deletionVectorsAt(spark, dir, v4).isEmpty)
+    Snapshots.vacuum(spark, dir, v4, retainMs = 0)
+    assert(dvFilesOnDisk === 0)
+    assert(Snapshots.read(spark, dir).count() === 9980L)
+    assert(Snapshots.rowCountAt(spark, dir, v4) === Some(9980L))
+  }
+
+  test("deletion vectors COMPOSE with the layout tables: a width-bucketed " +
+    "table DV-deletes through the generic path, the layout's own merge " +
+    "CARRIES the untouched vector and materializes the touched one, and " +
+    "its compact reclaims the rest") {
+    import graft.operators.{BucketedTable => B}
+    val dir = tmpDir("layout")
+    B.publish(spark.range(0, 800, 1, 4).select(col("id").as("k"),
+      (col("id") * 3L).as("v")), dir, "k", 100L)
+    // generic DV delete: keys carry the PATH bucket (k div width)
+    val v2 = Snapshots.deleteVectored(
+      Seq((5L, 0L), (205L, 2L)).toDF("k", B.BCol), dir, B.BCol, Seq("k"))
+    assert(Snapshots.files(spark, dir, v2) ===
+      Snapshots.files(spark, dir, v2 - 1))
+    assert(B.read(spark, dir).filter(col("k").isin(5L, 205L)).count() === 0)
+    // the layout's own merge touches bucket 0: its vector MATERIALIZES
+    // (k=5 stays gone), bucket 2's line carries untouched
+    B.merge(Seq((7L, -7L)).toDF("k", "v"), dir, Seq("k"))
+    assert(Snapshots.deletionVectorsAt(spark, dir,
+      Snapshots.latest(spark, dir).get).size === 1)
+    assert(B.read(spark, dir).filter(col("k").isin(5L, 205L)).count() === 0)
+    assert(B.read(spark, dir).filter(col("k") === 7L)
+      .select("v").as[Long].head() === -7L)
+    // the layout compact targets the remaining DV file
+    B.compact(spark, dir)
+    assert(Snapshots.deletionVectorsAt(spark, dir,
+      Snapshots.latest(spark, dir).get).isEmpty)
+    assert(B.read(spark, dir).count() === 798L)
+  }
+
   test("diff and the change feed SEE deletion-vector deletes: a DV " +
     "commit changes no files, yet its newly-dead rows emit as deletes — " +
     "per-version net(feed) == diff, and already-dead rows never re-emit") {

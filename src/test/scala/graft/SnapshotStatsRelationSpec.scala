@@ -96,6 +96,17 @@ class SnapshotStatsRelationSpec extends SparkSuite {
     assert(scanOf(wide).metrics("numFiles").value === 8)
     assert(wide.count() ===
       spark.range(0, 8000).filter(col("id") * 7 % 100 === 3L).count())
+    // IN lists prune to the union of the members' files
+    val inq = Snapshots.read(spark, dir)
+      .filter(col("k").isin(500L, 6500L, 6600L))
+    assert(scanOf(inq).metrics("numFiles").value === 2,
+      "IN over two buckets reads exactly those 2 files")
+    assert(inq.count() === 3L)
+    // startsWith prunes by the byte-range [prefix, succ(prefix))
+    val pre = Snapshots.read(spark, dir).filter(col("s").startsWith("s06"))
+    assert(scanOf(pre).metrics("numFiles").value === 1,
+      "prefix s06 lives entirely in the 6000-bucket file")
+    assert(pre.count() === 1000L)
     // unknown filter shapes make no claim: everything is read, the
     // residual is exact
     val odd = Snapshots.read(spark, dir).filter(col("k") % 2 === 1L)

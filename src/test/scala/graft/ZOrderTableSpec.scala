@@ -383,6 +383,27 @@ class ZOrderTableSpec extends SparkSuite {
       Seq(("ts", tsLo, tsHi), ("price", 100.0, 700.0)))
     assert(boxed2.exceptAll(expect).isEmpty && expect.exceptAll(boxed2).isEmpty,
       "appended out-of-box rows never leak into the box")
+    // REMAP: re-derive cuts from today's distribution — the clamped
+    // out-of-range rows redistribute off the edge cell, the box stays
+    // exact, and time travel still reads the OLD mapping (props are
+    // per-version)
+    val vPre = Snapshots.latest(spark, dir).get
+    val cutsPre = Snapshots.propsAt(spark, dir, vPre)("zmap.ts")
+    ZOrderTable.remapMapped(spark, dir)
+    val vPost = Snapshots.latest(spark, dir).get
+    assert(Snapshots.propsAt(spark, dir, vPost)("zmap.ts") !== cutsPre,
+      "the ts cuts re-derived over the drifted distribution")
+    assert(Snapshots.propsAt(spark, dir, vPre)("zmap.ts") === cutsPre,
+      "the old version keeps its own mapping — time travel consistent")
+    val postCodes = Snapshots.read(spark, dir)
+      .filter(col("id") >= 30000).select("__gzm_ts").distinct().count()
+    assert(postCodes > 1,
+      s"the formerly-clamped rows spread over real cells: $postCodes")
+    assert(ZOrderTable.read(spark, dir).count() === 20500)
+    val boxed3 = ZOrderTable.boxBy(spark, dir, vPost,
+      Seq(("ts", tsLo, tsHi), ("price", 100.0, 700.0)))
+    assert(boxed3.exceptAll(expect).isEmpty && expect.exceptAll(boxed3).isEmpty,
+      "the remapped box still equals the filter")
     // refusals: a string dim has no quantile grid; a plain z-table
     // refuses appendMapped
     intercept[IllegalArgumentException] {
