@@ -158,6 +158,35 @@ class DeletionVectorSpec extends SparkSuite {
     assert(Snapshots.rowCountAt(spark, dir, v4) === Some(9980L))
   }
 
+  test("positions are FILE-absolute across ROW-GROUP boundaries: a " +
+    "multi-row-group file under a pushed-down range filter (which skips " +
+    "early groups in the scan) still deletes exactly the recorded rows") {
+    val dir = tmpDir("rg")
+    // tiny parquet blocks force many row groups into one data file
+    val one = spark.range(0, 50000, 1, 1).select(col("id").as("k"),
+      (col("id") * 13L).as("v"), lit(0L).as("bucket"))
+    val v1 = Snapshots.publish(one, dir, "bucket", Seq("k"),
+      blockSize = 64L * 1024, numTasks = 1)
+    val files = Snapshots.files(spark, dir, v1)
+    assert(files.size === 1)
+    val groups = graft.operators.Layout.rowGroupStatsFiles(spark,
+      files.map(r => s"$dir/$r"), "k").size
+    assert(groups > 1, s"the fixture must span row groups (got $groups)")
+    val v2 = Snapshots.deleteVectored(
+      one.filter(col("k") % 1000 === 0).select("k", "bucket"),
+      dir, "bucket", Seq("k"))
+    assert(Snapshots.files(spark, dir, v2) === files)
+    assert(Snapshots.read(spark, dir).count() === 50000L - 50L)
+    // the pushed-down range lands in LATE row groups; if row_index
+    // were group-relative the anti-join would delete the wrong rows
+    val late = Snapshots.read(spark, dir).filter(col("k") >= 40000L)
+    assert(late.count() === 10000L - 10L)
+    assert(late.filter(col("k") % 1000 === 0).count() === 0L,
+      "exactly the recorded keys are dead in the late groups")
+    assert(late.agg(sum("v")).as[Long].head() ===
+      (40000L until 50000L).filter(_ % 1000 != 0).map(_ * 13L).sum)
+  }
+
   test("deletion vectors COMPOSE with the layout tables: a width-bucketed " +
     "table DV-deletes through the generic path, the layout's own merge " +
     "CARRIES the untouched vector and materializes the touched one, and " +
