@@ -63,12 +63,11 @@ object TableFunctions {
   private[graft] def history(spark: SparkSession, dir: String): DataFrame = {
     val data = Snapshots.versions(spark, dir).map { v =>
       val files = Snapshots.files(spark, dir, v)
-      val dv = Snapshots.deletionVectorsAt(spark, dir, v)
       (v, files.size.toLong,
         Snapshots.rowCountAt(spark, dir, v)
           .map(java.lang.Long.valueOf).orNull,
         Snapshots.sizeAt(spark, dir, v),
-        dv.valuesIterator.map(_.length.toLong).sum,
+        Snapshots.deadRowsAt(spark, dir, v), // line-carried: no sidecar opens
         Snapshots.batchAt(spark, dir, v)
           .map(java.lang.Long.valueOf).orNull)
     }

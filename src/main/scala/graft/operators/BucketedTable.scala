@@ -251,12 +251,12 @@ object BucketedTable {
       .filter(_._2.size >= 2).values.flatten.toSeq
     // DV-bearing files rewrite too: the DV-filtered read below
     // MATERIALIZES the deletes and their lines drop with the files
-    val dvFiles = pm.files.filter(
-      Snapshots.resolveDv(spark, dir, pm).contains)
+    val fullDv = Snapshots.resolveDv(spark, dir, pm)
+    val dvFiles = pm.files.filter(fullDv.contains)
     val rewrite = (stale ++ conflict ++ frag ++ dvFiles).distinct.sorted
     if (rewrite.isEmpty) return prev
     val df = Snapshots.readFiles(spark, dir, rewrite, pm.schemaOpt,
-      sizes = pm.fileSizes, dv = Snapshots.resolveDv(spark, dir, pm))
+      sizes = pm.fileSizes, dv = fullDv)
       .withColumn(BCol, expr(s"$keyCol div $w"))
     val st = Snapshots.stage(withBucket(df.drop(BCol), keyCol, w),
       dir, BCol, Seq(keyCol), blockSize, 32)

@@ -277,12 +277,13 @@ object HashBucketedTable {
     val pm = Snapshots.committedManifest(spark, dir, prev)
     val (keyCol, n) = bucketsAt(spark, dir, prev)
     val epochs = fileBuckets(spark, dir, prev)
+    val fullDv = Snapshots.resolveDv(spark, dir, pm)
     val stale = pm.files.filter(f => !epochs.get(f).contains(n))
     val current = pm.files.filterNot(stale.contains)
     val landing: Set[Long] =
       if (stale.isEmpty) Set.empty
       else Snapshots.readFiles(spark, dir, stale, pm.schemaOpt,
-        sizes = pm.fileSizes, dv = Snapshots.resolveDv(spark, dir, pm))
+        sizes = pm.fileSizes, dv = fullDv)
         .select(pmod(xxhash64(col(keyCol)), lit(n)).as("b"))
         .distinct().collect().map(_.getLong(0)).toSet
     val conflict = current.filter(f =>
@@ -290,12 +291,11 @@ object HashBucketedTable {
     val frag = current.groupBy(f => Snapshots.fileBucket(f).getOrElse(-1L))
       .filter(_._2.size >= 2).values.flatten.toSeq
     // DV-bearing files rewrite too (materialize + drop the line)
-    val dvFiles = pm.files.filter(
-      Snapshots.resolveDv(spark, dir, pm).contains)
+    val dvFiles = pm.files.filter(fullDv.contains)
     val rewrite = (stale ++ conflict ++ frag ++ dvFiles).distinct.sorted
     if (rewrite.isEmpty) return prev
     val df = Snapshots.readFiles(spark, dir, rewrite, pm.schemaOpt,
-      sizes = pm.fileSizes, dv = Snapshots.resolveDv(spark, dir, pm))
+      sizes = pm.fileSizes, dv = fullDv)
     // size the rewrite by the manifest's recorded BYTES, not a
     // constant: a migration of N gigabytes wants N/bytesPerTask
     // writers, however many files it came from
@@ -332,12 +332,13 @@ object HashBucketedTable {
     val epochs = fileBuckets(spark, dir, v)
     val keysDf = keys.toDF(keyCol)
     val files = touchedFiles(spark, pm, epochs, keyCol, keysDf)
+    val dv = Snapshots.resolveDv(spark, dir, pm)
     val base =
       if (files.isEmpty)
         Snapshots.readFiles(spark, dir, pm.files, pm.schemaOpt,
-          sizes = pm.fileSizes).limit(0)
+          sizes = pm.fileSizes, dv = dv).limit(0)
       else Snapshots.readFiles(spark, dir, files.sorted, pm.schemaOpt,
-        sizes = pm.fileSizes)
+        sizes = pm.fileSizes, dv = dv)
     base.join(broadcast(keysDf), Seq(keyCol), "left_semi").drop(BCol)
   }
 

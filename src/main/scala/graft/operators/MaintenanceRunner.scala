@@ -92,7 +92,10 @@ object MaintenanceRunner {
     f.listStatus(p).toSeq.filter(_.isDirectory)
       .map(_.getPath)
       .filter(d => f.exists(new org.apache.hadoop.fs.Path(d, "_manifests")))
-      .map(_.toUri.getPath).sorted
+      // keep the QUALIFIED path: stripping scheme/authority would
+      // re-resolve an s3a://bucket/... table against the DEFAULT
+      // filesystem and silently maintain nothing on object stores
+      .map(_.toString).sorted
       .map(d => maintainOne(spark, d, retainMs, blockSize))
   }
 

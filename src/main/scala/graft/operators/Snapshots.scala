@@ -1089,12 +1089,13 @@ object Snapshots {
           val pairs = liveDv.toSeq
             .flatMap { case (r, ps) => ps.map(p => (r, p)) }
             .toDF(FileCol, PosCol)
-          // broadcast while the dead set is broadcast-SIZED; a table
-          // carrying tens of millions of dead positions (deep
-          // merge-on-read debt compact hasn't reclaimed) anti-joins
-          // through the shuffle instead of OOMing every executor
+          // broadcast while the dead set is broadcast-SIZED (~1M
+          // (path, pos) pairs ≈ tens of MB built); a table carrying
+          // more dead positions (deep merge-on-read debt compact has
+          // not reclaimed) anti-joins through the shuffle instead of
+          // pinning a giant hash relation on every executor
           val total = liveDv.valuesIterator.map(_.length.toLong).sum
-          val dead = if (total <= 10000000L) broadcast(pairs) else pairs
+          val dead = if (total <= 1000000L) broadcast(pairs) else pairs
           posed.join(dead, Seq(FileCol, PosCol), "left_anti")
         }
       val surface = s.fields.map(fd =>
@@ -1548,11 +1549,25 @@ object Snapshots {
     // a vector never double-records), broadcast-semi-joined to the
     // keys: the matched rows' (file, position) pairs ARE the delete
     val oldDv = resolveDv(spark, dir, pm)
-    val hits = readFiles(spark, dir, candidates, pm.schemaOpt, pm.colMap,
+    val hitsDf = readFiles(spark, dir, candidates, pm.schemaOpt, pm.colMap,
         pm.fileSizes, dv = oldDv, withPos = true)
       .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
         keyCols, "left_semi")
-      .select(FileCol, PosCol).collect()
+      .select(FileCol, PosCol)
+    // ENFORCE the documented refusal before anything lands on the
+    // driver: a vector past Dv.MaxInlinePositions per file means the
+    // erasure is rewrite-scale — the copy-on-write delete is the
+    // right tool (and an unbounded collect would OOM the driver, not
+    // refuse). One small aggregate over the candidate scan.
+    val perFile = hitsDf.groupBy(FileCol).count().collect()
+    perFile.foreach { r =>
+      val already = oldDv.get(r.getString(0)).map(_.length).getOrElse(0)
+      require(r.getLong(1) + already <= Dv.MaxInlinePositions,
+        s"deleteVectored would grow ${r.getString(0)}'s vector to " +
+          s"${r.getLong(1) + already} positions (> ${Dv.MaxInlinePositions})" +
+          " — use the copy-on-write delete; rewriting is cheaper at that churn")
+    }
+    val hits = hitsDf.collect()
     if (hits.isEmpty) return prev
     val grown = hits.groupBy(_.getString(0)).map { case (rel, rs) =>
       rel -> Dv.merge(oldDv.getOrElse(rel, Array.empty[Long]),
@@ -1577,6 +1592,8 @@ object Snapshots {
       m.startsWith("#filez:") || m.startsWith("#colmap:") ||
       m.startsWith("#prop:") || m.startsWith("#fsize:"))
       .map(_.stripPrefix("#"))
+    // NOTE: dv/dvf lines are NOT in this list — untouched ones are
+    // carried via `untouched` below, grown ones re-encode
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, pm.files,
       Seq("format:2", s"schema:$schema") ++ carriedBatch(pm) ++
@@ -1749,6 +1766,7 @@ object Snapshots {
       m.startsWith("#bucketw:") || m.startsWith("#filew:") ||
       m.startsWith("#bucketh:") || m.startsWith("#fileh:") ||
       m.startsWith("#filez:") || m.startsWith("#dv:") ||
+      m.startsWith("#dvf:") ||
       m.startsWith("#prop:") || m.startsWith("#fsize:"))
       .map(_.stripPrefix("#"))
     val v = claimAbove(spark, dir, prev)
@@ -2187,6 +2205,15 @@ object Snapshots {
     try out.write(Dv.encodeBytes(positions)) finally out.close()
     dvSidecarCache.put(s"$dir/$rel", positions.distinct.sorted)
     rel
+  }
+
+  /** The version's DEAD-row count, manifest-only: inline vector
+    * lengths plus the sidecar lines' carried counts — never opens a
+    * sidecar (the `graft_history` / planning surface). */
+  def deadRowsAt(spark: SparkSession, dir: String, v: Long): Long = {
+    val m = committedManifest(spark, dir, v)
+    m.dv.valuesIterator.map(_.length.toLong).sum +
+      m.dvRefs.valuesIterator.map(_._1).sum
   }
 
   /** The batch-ledger header riding on version `v`, if any — carried

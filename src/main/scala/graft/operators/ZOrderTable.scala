@@ -427,12 +427,13 @@ object ZOrderTable {
     val pm = Snapshots.committedManifest(spark, dir, prev)
     val l = layoutAt(spark, dir, prev)
     val epochs = fileShifts(spark, dir, prev)
+    val fullDv = Snapshots.resolveDv(spark, dir, pm)
     val stale = pm.files.filter(f => !epochs.get(f).contains(l.shift))
     val current = pm.files.filterNot(stale.contains)
     val landing: Set[Long] =
       if (stale.isEmpty) Set.empty
       else Snapshots.readFiles(spark, dir, stale, pm.schemaOpt, pm.colMap,
-        pm.fileSizes, dv = Snapshots.resolveDv(spark, dir, pm))
+        pm.fileSizes, dv = fullDv)
         .select(shiftrightunsigned(col(ZCol), l.shift).as("c"))
         .distinct().collect().map(_.getLong(0)).toSet
     val conflict = current.filter(f =>
@@ -440,12 +441,11 @@ object ZOrderTable {
     val frag = current.groupBy(f => Snapshots.fileBucket(f).getOrElse(-1L))
       .filter(_._2.size >= 2).values.flatten.toSeq
     // DV-bearing files rewrite too (materialize + drop the line)
-    val dvFiles = pm.files.filter(
-      Snapshots.resolveDv(spark, dir, pm).contains)
+    val dvFiles = pm.files.filter(fullDv.contains)
     val rewrite = (stale ++ conflict ++ frag ++ dvFiles).distinct.sorted
     if (rewrite.isEmpty) return prev
     val df = Snapshots.readFiles(spark, dir, rewrite, pm.schemaOpt,
-        pm.colMap, pm.fileSizes, dv = Snapshots.resolveDv(spark, dir, pm))
+        pm.colMap, pm.fileSizes, dv = fullDv)
       .drop(ZCol, BCol)
     val st = Snapshots.stage(withLayout(df, l), dir, BCol, Seq(ZCol),
       blockSize, math.max(rewrite.size, 1), stat2Cols = pm.statCols,

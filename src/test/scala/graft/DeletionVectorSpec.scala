@@ -148,6 +148,28 @@ class DeletionVectorSpec extends SparkSuite {
     assert(deleted1 === 2L, "exactly the two orphaned sidecars reclaimed")
     assert(dvFilesOnDisk === 2)
     assert(Snapshots.read(spark, dir).count() === 9980L, "still exact")
+    // RENAME carries #dvf lines (the carry-list bug class): the
+    // sidecar references survive a metadata-only rename and the
+    // erased rows stay erased under the new name
+    Snapshots.rename(spark, dir, "v", "val")
+    assert(Snapshots.read(spark, dir).count() === 9980L,
+      "sidecar vectors survived the rename — no resurrection")
+    assert(Snapshots.deletionVectorsAt(spark, dir,
+      Snapshots.latest(spark, dir).get).size === 2)
+    // the documented refusal ENFORCES before anything reaches the
+    // driver: growing one file's vector past Dv.MaxInlinePositions
+    // refuses loudly (use the copy-on-write delete at that churn)
+    val hugeDir = tmpDir("huge")
+    val huge = spark.range(0, 1100000, 1, 4).select(col("id").as("k"),
+      lit(0L).as("bucket"))
+    Snapshots.publish(huge, hugeDir, "bucket", Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.deleteVectored(huge.filter(col("k") % 21 =!= 0),
+        hugeDir, "bucket", Seq("k"))
+    }
+    assert(e.getMessage.contains("copy-on-write"), e.getMessage)
+    assert(Snapshots.versions(spark, hugeDir) === Seq(1L),
+      "the refused erasure committed nothing")
     // compact materializes both vectors; the final vacuum reclaims the
     // pre-delete data files AND the now-unreferenced sidecars
     val v4 = Snapshots.compact(spark, dir, "bucket", Seq("k"))
@@ -214,6 +236,22 @@ class DeletionVectorSpec extends SparkSuite {
     assert(Snapshots.deletionVectorsAt(spark, dir,
       Snapshots.latest(spark, dir).get).isEmpty)
     assert(B.read(spark, dir).count() === 798L)
+    // hash tables: the POINT LOOKUP applies vectors too (a lookup of
+    // an erased key must not leak the dead row while full reads hide it)
+    import graft.operators.{HashBucketedTable => H}
+    val hDir = tmpDir("hash")
+    H.publish(spark.range(0, 300, 1, 2).select(
+      format_string("k%04d", col("id")).as("key"),
+      (col("id") * 3L).as("v")), hDir, "key", 4L)
+    val hv = Snapshots.deleteVectored(
+      Seq("k0007").toDF("key")
+        .withColumn(H.BCol, pmod(xxhash64(col("key")), lit(4L))),
+      hDir, H.BCol, Seq("key"))
+    assert(Snapshots.deletionVectorsAt(spark, hDir, hv).size === 1)
+    assert(H.read(spark, hDir).filter(col("key") === "k0007").count() === 0)
+    assert(H.lookupAt(spark, hDir, hv, Seq("k0007")).count() === 0,
+      "lookupAt applies the vector — no dead-row leak")
+    assert(H.lookupAt(spark, hDir, hv, Seq("k0008")).count() === 1)
   }
 
   test("diff and the change feed SEE deletion-vector deletes: a DV " +
