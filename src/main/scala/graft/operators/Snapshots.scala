@@ -760,7 +760,17 @@ object Snapshots {
     require(sortCols.nonEmpty, "snapshot writes need the layout sort columns")
     val token = java.util.UUID.randomUUID().toString.take(8)
     val stageDir = s"$dir/data/$token"
-    df.withColumn(DirCol, col(bucketCol))
+    // TimestampType columns must land as INT64 TIMESTAMP(MICROS), not
+    // Spark's legacy INT96 default: INT96 is deprecated and parquet
+    // writes NO column statistics for it, which would make every
+    // with-zone timestamp invisible to the manifest's typed stats —
+    // no #stat2 lines, no data skipping, no box pruning (NTZ columns
+    // already land as INT64). Session-conf only (parquet exposes no
+    // per-write option), so set/restore around the one staging write.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val tsPrev = df.sparkSession.conf.getOption(tsKey)
+    df.sparkSession.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.withColumn(DirCol, col(bucketCol))
       .repartition(numTasks, col(bucketCol))
       // DirCol leads the local sort: FileFormatWriter requires its
       // partition column ordered and cannot see that DirCol aliases
@@ -773,6 +783,10 @@ object Snapshots {
       .option("parquet.block.size", blockSize)
       .partitionBy(DirCol)
       .parquet(stageDir)
+    finally tsPrev match {
+      case Some(v) => df.sparkSession.conf.set(tsKey, v)
+      case None => df.sparkSession.conf.unset(tsKey)
+    }
     val f = fs(df.sparkSession, dir)
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       f.listStatus(p).toSeq.flatMap { st =>

@@ -114,6 +114,33 @@ class SnapshotStatsRelationSpec extends SparkSuite {
     assert(odd.count() === 4000L)
   }
 
+  test("TIMESTAMP predicates data-skip: the typed stats record micros " +
+    "and a pushed-down range on a timestamp column drops whole files; " +
+    "a STRING-vs-timestamp comparison (cast on the attribute) makes no " +
+    "claim and reads everything — conservative either way") {
+    val dir = tmpDir("ts")
+    Snapshots.publish(
+      spark.range(0, 8000, 1, 4).select(col("id").as("k"),
+        timestamp_micros(lit(800000000000000L) + col("id") * 1000000000L)
+          .as("ts"),
+        expr("id div 1000").as("bucket")),
+      dir, "bucket", Seq("k"), statsCols = Seq("ts"))
+    // [k=2000, k=4000) in micros: exactly 2 of 8 key-ranged files
+    val lo = 800000000000000L + 2000L * 1000000000L
+    val hi = 800000000000000L + 4000L * 1000000000L
+    val narrow = Snapshots.read(spark, dir).filter(
+      col("ts") >= lit(new java.sql.Timestamp(lo / 1000)) &&
+        col("ts") < lit(new java.sql.Timestamp(hi / 1000)))
+    assert(scanOf(narrow).metrics("numFiles").value === 2,
+      "timestamp range pruned to 2 of 8 files")
+    assert(narrow.count() === 2000L)
+    // a string comparison casts the ATTRIBUTE: no claim, full read,
+    // same answer
+    val viaString = Snapshots.read(spark, dir)
+      .filter(col("ts").cast("string") >= "2000")
+    assert(scanOf(viaString).metrics("numFiles").value === 8)
+  }
+
   test("skipping composes with RENAME (stats are physical-keyed, the " +
     "filter on the new name pushes through the projection) and with " +
     "time travel; merge-carried stats keep pruning") {
