@@ -264,6 +264,19 @@ object HashBucketedTable {
     v
   }
 
+  /** Size the migrator's rewrite by the manifest's recorded BYTES, not
+    * a constant — a migration of N gigabytes wants N/bytesPerTask
+    * writers, however many files it came from — but ONLY when the
+    * manifest's `#fsize` lines actually COVER the rewrite set (the
+    * [[JoinPlanner.suggestTasksFor]] dispatch): a legacy manifest
+    * without them would sum to ~0 and collapse a whole-table epoch
+    * migration to ONE writer task; fall back to the write default. */
+  private[graft] def compactTasks(pm: Snapshots.Manifest,
+                                  rewrite: Seq[String]): Int =
+    if (rewrite.forall(pm.fileSizes.contains))
+      JoinPlanner.suggestTasksBytes(rewrite.map(pm.fileSizes).sum)
+    else 32
+
   /** Compaction = the epoch MIGRATOR: rewrite every stale-epoch file,
     * every current-epoch file in a bucket the migrating rows land in
     * (landing buckets computed by ONE scan of the STALE files only —
@@ -296,12 +309,7 @@ object HashBucketedTable {
     if (rewrite.isEmpty) return prev
     val df = Snapshots.readFiles(spark, dir, rewrite, pm.schemaOpt,
       sizes = pm.fileSizes, dv = fullDv)
-    // size the rewrite by the manifest's recorded BYTES, not a
-    // constant: a migration of N gigabytes wants N/bytesPerTask
-    // writers, however many files it came from
-    val numTasks = JoinPlanner.suggestTasksBytes(
-      rewrite.map(r => pm.fileSizes.getOrElse(r, 0L)).sum
-        .max(rewrite.size.toLong))
+    val numTasks = compactTasks(pm, rewrite)
     val st = Snapshots.stage(withBucket(df.drop(BCol), keyCol, n), dir, BCol,
       Seq(keyCol), blockSize, numTasks)
     val kept = pm.files.filterNot(rewrite.contains)

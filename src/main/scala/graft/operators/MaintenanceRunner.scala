@@ -17,9 +17,12 @@ import org.apache.spark.sql.SparkSession
   *     StreamingQueryListener that runs [[maintainOne]] on the sink
   *     tables every N microbatch progress events, so a long-lived
   *     streaming writer's table self-maintains without a second
-  *     deployment. Maintenance runs on the listener bus thread —
-  *     off the microbatch latency path, exactly where the
-  *     "deliberately NOT in-commit" stance wants it.
+  *     deployment. The bus callback only COUNTS and hands the pass to
+  *     a dedicated daemon thread — off the microbatch latency path
+  *     AND off the shared listener bus (a long compaction on the bus
+  *     thread would stall event delivery for every query in the
+  *     session), exactly where the "deliberately NOT in-commit"
+  *     stance wants it.
   *
   * WHAT runs is still each table's own policy: compaction always
   * offered, retention vacuum only under a carried `retainversions`
@@ -101,10 +104,19 @@ object MaintenanceRunner {
 
   /** The streaming-writer hook: run [[maintainOne]] over `tables`
     * every `everyNBatches` microbatch PROGRESS events (across the
-    * session's queries). Runs on the listener bus thread — off the
-    * batch latency path. Register with
-    * `spark.streams.addListener(new MaintenanceListener(...))`;
-    * reports accumulate for inspection (bounded: newest 256). */
+    * session's queries). The pass itself runs on a DEDICATED
+    * single daemon thread, never on the listener bus: a maintenance
+    * pass launches real Spark jobs (compaction rewrites, vacuum
+    * sweeps) and the listener bus is one shared thread with a bounded
+    * queue — blocking it for a long pass would stall and eventually
+    * DROP queued events for every query in the session. The bus
+    * callback only enqueues; if a pass is still running when the next
+    * trigger arrives, that trigger is SKIPPED (maintenance is
+    * idempotent-ish and periodic — a second concurrent pass over the
+    * same tables would only fight the first for commits). Register
+    * with `spark.streams.addListener(new MaintenanceListener(...))`;
+    * reports accumulate for inspection (bounded: newest 256) —
+    * asynchronously, so tests/polls should wait on [[reports]] size. */
   final class MaintenanceListener(spark: SparkSession,
                                   tables: Seq[String],
                                   everyNBatches: Long = 20L,
@@ -112,8 +124,15 @@ object MaintenanceRunner {
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     require(everyNBatches >= 1, "everyNBatches must be >= 1")
     private val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    private val running = new java.util.concurrent.atomic.AtomicBoolean(false)
     private val log =
       new java.util.concurrent.ConcurrentLinkedDeque[Report]()
+    private val exec = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-maintenance-listener")
+        t.setDaemon(true)
+        t
+      })
 
     /** Reports from every pass so far, oldest first (bounded). */
     def reports: Seq[Report] = {
@@ -127,11 +146,16 @@ object MaintenanceRunner {
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
-      if (seen.incrementAndGet() % everyNBatches == 0)
-        tables.foreach { t =>
-          log.addLast(maintainOne(spark, t, retainMs))
-          while (log.size() > 256) log.pollFirst()
-        }
+      // bus thread: count, hand off, return immediately
+      if (seen.incrementAndGet() % everyNBatches == 0 &&
+          running.compareAndSet(false, true))
+        exec.submit(new Runnable {
+          override def run(): Unit =
+            try tables.foreach { t =>
+              log.addLast(maintainOne(spark, t, retainMs))
+              while (log.size() > 256) log.pollFirst()
+            } finally running.set(false)
+        })
     }
   }
 }

@@ -751,6 +751,11 @@ object Snapshots {
     * wrote (cost ∝ this commit's churn, incremental by
     * construction); non-INT64 sort keys simply record no stats and
     * [[versionStats]] falls back to the verification walk. */
+  /** Serializes the [[stage]] `outputTimestampType` set/restore window
+    * (see there) — staging writes to DIFFERENT tables still overlap
+    * in every phase except the parquet write itself. */
+  private val stageTsLock = new Object
+
   private[operators] def stage(df: DataFrame, dir: String, bucketCol: String,
                     sortCols: Seq[String], blockSize: Long,
                     numTasks: Int, stat2Cols: Seq[String] = Nil,
@@ -766,11 +771,29 @@ object Snapshots {
     // with-zone timestamp invisible to the manifest's typed stats —
     // no #stat2 lines, no data skipping, no box pruning (NTZ columns
     // already land as INT64). Session-conf only (parquet exposes no
-    // per-write option), so set/restore around the one staging write.
+    // per-write option), so set/restore around the one staging write —
+    // SERIALIZED on a JVM-global lock: two concurrent stage() calls
+    // would otherwise race the restore (one writer reinstating INT96
+    // before the other's write executes — silently statistics-free
+    // timestamps for that commit). Only frames that actually carry a
+    // with-zone TimestampType take the lock — for everything else the
+    // conf is irrelevant (NTZ lands INT64 regardless) and concurrent
+    // staging writes proceed unserialized. A concurrent NON-graft parquet
+    // write during the window inherits TIMESTAMP_MICROS, which is the
+    // value everything downstream wants anyway (and what Spark's own
+    // migration guide recommends); a user's own concurrent set of
+    // this key can still be clobbered by the restore — documented
+    // limitation of a session-global conf.
     val tsKey = "spark.sql.parquet.outputTimestampType"
-    val tsPrev = df.sparkSession.conf.getOption(tsKey)
-    df.sparkSession.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.withColumn(DirCol, col(bucketCol))
+    def hasTz(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.TimestampType => true
+      case s: StructType => s.fields.exists(f => hasTz(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasTz(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasTz(m.keyType) || hasTz(m.valueType)
+      case _ => false
+    }
+    def writeStaged(): Unit = df.withColumn(DirCol, col(bucketCol))
       .repartition(numTasks, col(bucketCol))
       // DirCol leads the local sort: FileFormatWriter requires its
       // partition column ordered and cannot see that DirCol aliases
@@ -783,9 +806,15 @@ object Snapshots {
       .option("parquet.block.size", blockSize)
       .partitionBy(DirCol)
       .parquet(stageDir)
-    finally tsPrev match {
-      case Some(v) => df.sparkSession.conf.set(tsKey, v)
-      case None => df.sparkSession.conf.unset(tsKey)
+    if (!df.schema.fields.exists(f => hasTz(f.dataType))) writeStaged()
+    else stageTsLock.synchronized {
+      val tsPrev = df.sparkSession.conf.getOption(tsKey)
+      df.sparkSession.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try writeStaged()
+      finally tsPrev match {
+        case Some(v) => df.sparkSession.conf.set(tsKey, v)
+        case None => df.sparkSession.conf.unset(tsKey)
+      }
     }
     val f = fs(df.sparkSession, dir)
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
@@ -1044,18 +1073,40 @@ object Snapshots {
   private[operators] val NoPrune: FilePruner = _ => None
 
   /** The manifest-relative path of the file a row came from, derived
-    * from `_metadata.file_path` by splitting at the staging root —
-    * scheme/qualification-proof (the metadata value is a qualified
-    * URI; the rel path is what manifests and DV lines speak). */
-  private def relPathCol: org.apache.spark.sql.Column =
-    concat(lit("data/"),
-      element_at(split(col("_metadata.file_path"), "/data/"), -1))
+    * from `_metadata.file_path` by stripping the table's QUALIFIED
+    * directory prefix — the metadata value is the same qualified URI
+    * the [[graftext.ManifestFileIndex]] statuses were built from
+    * (`makeQualified(dir + "/" + rel)`), so dropping `qualDir + "/"`
+    * is exact. NOT derived by splitting on the "/data/" substring:
+    * a table directory whose own last segment is named "data"
+    * (e.g. /warehouse/tbl/data) would split to "data/data/<token>/…"
+    * — rel paths no manifest carries, so DV lines would record
+    * against ghost files and readFiles' rel filter would silently
+    * drop them (erased rows resurrecting on every read). */
+  private def relPathCol(qualDir: String): org.apache.spark.sql.Column =
+    col("_metadata.file_path").substr(lit(qualDir.length + 2), lit(Int.MaxValue))
 
   /** Internal row-position columns ([[readFiles]] `withPos`):
     * manifest-relative source file and within-file row index — what a
     * deletion vector addresses. */
   private[operators] val FileCol = "__gfile"
   private[operators] val PosCol = "__gpos"
+
+  /** Conf key bounding how many TOTAL dead positions a read will
+    * materialize on the driver as the anti-join's pairs side: past it,
+    * `#dvf` SIDECAR vectors are read DISTRIBUTED (one task per
+    * immutable sidecar file via the binaryFile source) instead of
+    * decoded into a driver LocalRelation — a table carrying deep
+    * uncompacted merge-on-read debt across many files would otherwise
+    * put gigabytes of (file, position) pairs on the driver and
+    * re-serialize them into EVERY query's plan. Inline `#dv` vectors
+    * (≤ [[Dv.InlineMax]] positions each) always stay driver-side —
+    * the manifest parse already holds them. */
+  val DvDistributeThresholdKey = "spark.graft.dv.distributeThreshold"
+
+  private def dvDistributeThreshold(spark: SparkSession): Long =
+    spark.conf.getOption(DvDistributeThresholdKey).map(_.toLong)
+      .getOrElse(1000000L)
 
   private[operators] def readFiles(spark: SparkSession, dir: String,
                         rels: Seq[String],
@@ -1064,7 +1115,9 @@ object Snapshots {
                         sizes: Map[String, Long] = Map.empty,
                         pruner: FilePruner = NoPrune,
                         dv: Map[String, Array[Long]] = Map.empty,
-                        withPos: Boolean = false): DataFrame =
+                        withPos: Boolean = false,
+                        dvRefs: Map[String, (Long, String)] = Map.empty)
+      : DataFrame =
     schema match {
     case Some(s) =>
       val f = fs(spark, dir)
@@ -1079,43 +1132,74 @@ object Snapshots {
         else StructType(s.fields.map(fd =>
           fd.copy(name = toPhys.getOrElse(fd.name, fd.name))))
       val qualOf = qual.toMap
+      val qualDir = f.makeQualified(new org.apache.hadoop.fs.Path(dir))
       val base = org.apache.spark.sql.graftext.ManifestFileIndex.relation(
-        spark, f.makeQualified(new org.apache.hadoop.fs.Path(dir)), files,
+        spark, qualDir, files,
         physSchema,
         filters => pruner(filters).map(_.map(r => qualOf(r).toString)))
       // DELETION VECTORS: a file with recorded dead positions reads
-      // through one broadcast anti-join on (file, position) — rewrites
-      // of those files therefore materialize the DV for free, and a
-      // DV-less read pays nothing (the common case: no extra columns,
-      // no join, same single codegen'd scan)
+      // through one anti-join on (file, position) — rewrites of those
+      // files therefore materialize the DV for free, and a DV-less
+      // read pays nothing (the common case: no extra columns, no
+      // join, same single codegen'd scan)
       val relsSet = rels.toSet
       val liveDv = dv.filter { case (r, ps) =>
         ps.nonEmpty && relsSet.contains(r)
       }
+      val liveRefs = dvRefs.filter { case (r, (c, _)) =>
+        c > 0 && relsSet.contains(r) && !liveDv.contains(r)
+      }
+      val anyDv = liveDv.nonEmpty || liveRefs.nonEmpty
       val posed =
-        if (liveDv.isEmpty && !withPos) base
-        else base.withColumn(FileCol, relPathCol)
+        if (!anyDv && !withPos) base
+        else base.withColumn(FileCol, relPathCol(qualDir.toString))
           .withColumn(PosCol, col("_metadata.row_index"))
       val filtered =
-        if (liveDv.isEmpty) posed
+        if (!anyDv) posed
         else {
           import spark.implicits._
-          val pairs = liveDv.toSeq
-            .flatMap { case (r, ps) => ps.map(p => (r, p)) }
-            .toDF(FileCol, PosCol)
+          val total = liveDv.valuesIterator.map(_.length.toLong).sum +
+            liveRefs.valuesIterator.map(_._1).sum
+          def localPairs(m: Map[String, Array[Long]]): DataFrame =
+            m.toSeq.flatMap { case (r, ps) => ps.map(p => (r, p)) }
+              .toDF(FileCol, PosCol)
           // broadcast while the dead set is broadcast-SIZED (~1M
-          // (path, pos) pairs ≈ tens of MB built); a table carrying
-          // more dead positions (deep merge-on-read debt compact has
-          // not reclaimed) anti-joins through the shuffle instead of
-          // pinning a giant hash relation on every executor
-          val total = liveDv.valuesIterator.map(_.length.toLong).sum
-          val dead = if (total <= 1000000L) broadcast(pairs) else pairs
+          // (path, pos) pairs ≈ tens of MB built, sidecars decoded
+          // once through the immutable cache); a table carrying more
+          // dead positions (deep merge-on-read debt compact has not
+          // reclaimed) reads its SIDECAR vectors DISTRIBUTED — one
+          // task per immutable sidecar file, never a driver
+          // LocalRelation — and anti-joins through the shuffle
+          // instead of pinning a giant hash relation on every
+          // executor (see [[DvDistributeThresholdKey]])
+          val dead =
+            if (total <= dvDistributeThreshold(spark))
+              broadcast(localPairs(liveDv ++ liveRefs.map {
+                case (r, (_, sc)) => r -> readSidecar(spark, dir, sc)
+              }))
+            else if (liveRefs.isEmpty) localPairs(liveDv)
+            else {
+              val byPath = liveRefs.map { case (r, (_, sc)) =>
+                f.makeQualified(
+                  new org.apache.hadoop.fs.Path(s"$dir/$sc")).toString -> r
+              }
+              val relOfPath = udf((p: String) => byPath.getOrElse(p,
+                throw new IllegalStateException(
+                  s"dv sidecar scan returned an unexpected path: $p")))
+              val decodePositions = udf((b: Array[Byte]) => Dv.decodeBytes(b))
+              val sidecarPairs = spark.read.format("binaryFile")
+                .load(byPath.keys.toSeq.sorted: _*)
+                .select(relOfPath(col("path")).as(FileCol),
+                  explode(decodePositions(col("content"))).as(PosCol))
+              if (liveDv.isEmpty) sidecarPairs
+              else sidecarPairs.unionByName(localPairs(liveDv))
+            }
           posed.join(dead, Seq(FileCol, PosCol), "left_anti")
         }
       val surface = s.fields.map(fd =>
         col(toPhys.getOrElse(fd.name, fd.name)).as(fd.name)) ++
         (if (withPos) Seq(col(FileCol), col(PosCol)) else Nil)
-      if (colMap.isEmpty && liveDv.isEmpty && !withPos) base
+      if (colMap.isEmpty && !anyDv && !withPos) base
       else filtered.select(surface: _*)
     case None =>
       val byToken = rels.groupBy(_.split("/")(1))
@@ -1311,7 +1395,7 @@ object Snapshots {
   def readAt(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val m = committedManifest(spark, dir, v)
     readFiles(spark, dir, m.files, m.schemaOpt, m.colMap, m.fileSizes,
-      statsPruner(m), resolveDv(spark, dir, m))
+      statsPruner(m), m.dv, dvRefs = m.dvRefs)
   }
 
   /** Read the latest version. */
@@ -1572,16 +1656,21 @@ object Snapshots {
     // driver: a vector past Dv.MaxInlinePositions per file means the
     // erasure is rewrite-scale — the copy-on-write delete is the
     // right tool (and an unbounded collect would OOM the driver, not
-    // refuse). One small aggregate over the candidate scan.
-    val perFile = hitsDf.groupBy(FileCol).count().collect()
-    perFile.foreach { r =>
-      val already = oldDv.get(r.getString(0)).map(_.length).getOrElse(0)
-      require(r.getLong(1) + already <= Dv.MaxInlinePositions,
-        s"deleteVectored would grow ${r.getString(0)}'s vector to " +
-          s"${r.getLong(1) + already} positions (> ${Dv.MaxInlinePositions})" +
-          " — use the copy-on-write delete; rewriting is cheaper at that churn")
-    }
-    val hits = hitsDf.collect()
+    // refuse). The candidate-bucket scan + semi-join is PERSISTED
+    // across the guard aggregate and the collect so a wide erasure
+    // pays ONE read of the candidate buckets, not two.
+    hitsDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = try {
+      val perFile = hitsDf.groupBy(FileCol).count().collect()
+      perFile.foreach { r =>
+        val already = oldDv.get(r.getString(0)).map(_.length).getOrElse(0)
+        require(r.getLong(1) + already <= Dv.MaxInlinePositions,
+          s"deleteVectored would grow ${r.getString(0)}'s vector to " +
+            s"${r.getLong(1) + already} positions (> ${Dv.MaxInlinePositions})" +
+            " — use the copy-on-write delete; rewriting is cheaper at that churn")
+      }
+      hitsDf.collect()
+    } finally hitsDf.unpersist()
     if (hits.isEmpty) return prev
     val grown = hits.groupBy(_.getString(0)).map { case (rel, rs) =>
       rel -> Dv.merge(oldDv.getOrElse(rel, Array.empty[Long]),
@@ -1957,10 +2046,10 @@ object Snapshots {
     val residual = col(keyCol) >= lo && col(keyCol) < hi
     if (surviving.isEmpty)
       readFiles(spark, dir, m.files, m.schemaOpt, m.colMap, m.fileSizes,
-        dv = resolveDv(spark, dir, m))
+        dv = m.dv, dvRefs = m.dvRefs)
         .filter(residual).limit(0)
     else readFiles(spark, dir, surviving, m.schemaOpt, m.colMap, m.fileSizes,
-      dv = resolveDv(spark, dir, m))
+      dv = m.dv, dvRefs = m.dvRefs)
       .filter(residual)
   }
 
@@ -2087,10 +2176,10 @@ object Snapshots {
     }.reduce(_ && _)
     if (surviving.isEmpty)
       readFiles(spark, dir, m.files, m.schemaOpt, m.colMap, m.fileSizes,
-        dv = resolveDv(spark, dir, m))
+        dv = m.dv, dvRefs = m.dvRefs)
         .filter(residual).limit(0)
     else readFiles(spark, dir, surviving, m.schemaOpt, m.colMap, m.fileSizes,
-      dv = resolveDv(spark, dir, m))
+      dv = m.dv, dvRefs = m.dvRefs)
       .filter(residual)
   }
 
@@ -2183,26 +2272,35 @@ object Snapshots {
   private val dvSidecarCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
+  /** Read ONE sidecar vector (driver-side, through the immutable
+    * cache) — [[resolveDv]]'s per-file body, also the small-debt
+    * materialization path in [[readFiles]]. */
+  private def readSidecar(spark: SparkSession, dir: String,
+                          sidecarRel: String): Array[Long] =
+    dvSidecarCache.computeIfAbsent(s"$dir/$sidecarRel", { abs =>
+      val p = new org.apache.hadoop.fs.Path(abs)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = f.open(p)
+      try {
+        val len = f.getFileStatus(p).getLen.toInt
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        Dv.decodeBytes(bytes)
+      } finally in.close()
+    })
+
   /** Resolve a manifest's FULL deletion vectors: inline `#dv` lines
     * plus `#dvf` sidecar files (read once per sidecar per process —
     * they are immutable). The planning-only surfaces ([[rowCountAt]])
-    * use the line-carried counts instead and never open a sidecar. */
+    * use the line-carried counts instead and never open a sidecar;
+    * the READ path ([[readAt]]) passes the refs through to
+    * [[readFiles]] so deep debt can stay OFF the driver entirely. */
   private[graft] def resolveDv(spark: SparkSession, dir: String,
                                m: Manifest): Map[String, Array[Long]] = {
     val refs = m.dvRefs
     if (refs.isEmpty) m.dv
     else m.dv ++ refs.map { case (rel, (_, sc)) =>
-      rel -> dvSidecarCache.computeIfAbsent(s"$dir/$sc", { abs =>
-        val p = new org.apache.hadoop.fs.Path(abs)
-        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val in = f.open(p)
-        try {
-          val len = f.getFileStatus(p).getLen.toInt
-          val bytes = new Array[Byte](len)
-          in.readFully(bytes)
-          Dv.decodeBytes(bytes)
-        } finally in.close()
-      })
+      rel -> readSidecar(spark, dir, sc)
     }
   }
 

@@ -536,24 +536,84 @@ object ZOrderTable {
     coalesce(idx * lit((65536 / zm.buckets).toLong), lit(0L))
   }
 
-  /** Exact K-quantile cut points of a raw dimension — ONE
-    * value-histogram aggregate (distinct values through the shuffle,
-    * never rows) + a histogram-sized prefix window; the same integer
-    * cut rule as [[Profile.exactQuantiles]] (cum·K ≥ d·N), over the
-    * normalized comparison space. */
-  private def deriveCuts(df: DataFrame, dim: String, buckets: Int): ZMap = {
+  /** Floor on the banded cut derivation's parallelism (see
+    * [[cutsFrame]]); the effective band count also scales with the
+    * session's shuffle-partition setting. */
+  private val CutBandsFloor = 64
+
+  /** The exact-K-quantile cut computation as a FRAME (collect-free —
+    * the spec's plan-assertion seam): same integer cut rule as
+    * `Profile.exactQuantiles` (cum·K ≥ d·N) over the normalized
+    * comparison space, computed as a BANDED two-phase prefix sum:
+    *
+    *  1. ONE value-histogram aggregate (distinct values through the
+    *     shuffle, never rows — the q113 discipline);
+    *  2. approximate value-space percentiles split the histogram into
+    *     order-preserving BANDS — approximation affects LOAD BALANCE
+    *     only, never the result;
+    *  3. per-band totals (≤ bands rows to the driver) become exact
+    *     exclusive offsets, and the running count is `offset +
+    *     in-band prefix sum` under a Window PARTITIONED by band —
+    *     never a global unpartitioned window: on a continuous
+    *     double/timestamp dimension the histogram is row-count-sized,
+    *     and a global `Window.orderBy` would sort all of it on ONE
+    *     reducer (the r11 `weak`);
+    *  4. each histogram row KNOWS which cut indices it owns — the
+    *     integer-exact interval ((cum−c)·K, cum·K] partitions
+    *     (0, N·K], so `d ∈ [(cum−c)·K div N + 1, cum·K div N]` —
+    *     emitted by one `sequence`+`explode`, no join, no groupBy,
+    *     exactly K−1 output rows.
+    *
+    * Cuts are bit-identical to the former global-window derivation
+    * (exact arithmetic end to end); only the execution shape changed. */
+  private[graft] def cutsFrame(df: DataFrame, dim: String,
+                               buckets: Int): (DataFrame, String) = {
     val (v, kind) = normExpr(col(dim), df.schema(dim).dataType)
     val hist = df.select(v.as("v")).filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    val bands = math.max(CutBandsFloor, scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(CutBandsFloor))
+    val bounds = scala.util.Try(hist.stat.approxQuantile("v",
+        (1 until bands).map(_.toDouble / bands).toArray, 0.01))
+      .getOrElse(Array.empty[Double]).distinct.sorted
+    val bArr = typedlit(bounds.toSeq)
+    val banded = hist.withColumn("band",
+      size(filter(bArr, b => b <= col("v").cast("double"))))
+    val totalMap = banded.groupBy(col("band")).agg(sum(col("c")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](bounds.length + 1)
+    var acc = 0L
+    var i = 0
+    while (i < offsets.length) {
+      offsets(i) = acc
+      acc += totalMap.getOrElse(i, 0L)
+      i += 1
+    }
+    val n = acc
+    val offArr = typedlit(offsets.toSeq)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band")).orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = hist.withColumn("cum", sum(col("c")).over(w))
-      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
-    val ds = df.sparkSession.range(1, buckets).select(col("id").as("d"))
-    val cuts = cum.join(broadcast(ds),
-        col("cum") * buckets >= col("d") * col("n"))
-      .groupBy(col("d")).agg(min(col("v")).as("cut"))
-      .orderBy(col("d")).select("cut").collect()
+    val frame = banded
+      .withColumn("cum",
+        sum(col("c")).over(w) + element_at(offArr, col("band") + 1))
+      .withColumn("dmin",
+        expr(s"(cum - c) * ${buckets}L div ${math.max(n, 1L)}L + 1L"))
+      .withColumn("dmax", expr(s"cum * ${buckets}L div ${math.max(n, 1L)}L"))
+      .withColumn("d", explode(when(col("dmax") >= col("dmin"),
+        sequence(col("dmin"), col("dmax")))
+        .otherwise(typedlit(Seq.empty[Long]))))
+      .filter(col("d") >= 1 && col("d") <= lit((buckets - 1).toLong))
+      .select(col("d"), col("v").as("cut"))
+    (frame, kind)
+  }
+
+  /** Exact K-quantile cut points of a raw dimension — [[cutsFrame]]
+    * collected (≤ K−1 rows), in cut-index order. */
+  private def deriveCuts(df: DataFrame, dim: String, buckets: Int): ZMap = {
+    val (frame, kind) = cutsFrame(df, dim, buckets)
+    val cuts = frame.orderBy(col("d")).select("cut").collect()
       .map(_.get(0).toString)
     ZMap(kind, buckets, cuts)
   }

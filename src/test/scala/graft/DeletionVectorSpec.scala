@@ -298,4 +298,109 @@ class DeletionVectorSpec extends SparkSuite {
     // genesis step sanity: the feed's v1 inserts are the full table
     assert(drained.filter(col("_version") === v1).count() === 3000L)
   }
+
+  test("a table DIRECTORY whose last segment is itself named 'data' " +
+    "still derives correct rel paths: DV deletes apply on read (the " +
+    "'/data/' substring-split regression — rel paths came out " +
+    "data/data/... and erased rows silently resurrected)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dv_dataroot")
+    root.toFile.deleteOnExit()
+    val dir = root.toString + "/data" // the trap: <...>/data/data/<token>/
+    val df = rows(0, 4000)
+    val v1 = Snapshots.publish(df, dir, "bucket", Seq("k"))
+    val doomed = df.filter(col("k") % 53 === 0).select("k", "bucket")
+    val nDoomed = (0 until 4000).count(_ % 53 == 0)
+    val v2 = Snapshots.deleteVectored(doomed, dir, "bucket", Seq("k"))
+    assert(v2 === v1 + 1, "the delete matched and committed")
+    assert(Snapshots.read(spark, dir).count() === 4000L - nDoomed,
+      "the erased rows stay erased — rel paths matched the manifest's")
+    assert(Snapshots.read(spark, dir).filter(col("k") % 53 === 0).count() === 0)
+    assert(Snapshots.readAt(spark, dir, v1).count() === 4000L, "time travel")
+    // withPos plumbing under the same root: a second delete still
+    // dedupes against the first (already-dead rows never double-record)
+    assert(Snapshots.deleteVectored(doomed, dir, "bucket", Seq("k")) === v2,
+      "re-deleting the same keys is a no-op under the /data root too")
+  }
+
+  test("DEEP sidecar debt reads DISTRIBUTED: past the distribute " +
+    "threshold the anti-join's dead side comes from the #dvf sidecar " +
+    "FILES (one task each), not a driver LocalRelation — plan-pinned; " +
+    "answers identical to the broadcast path") {
+    val key = Snapshots.DvDistributeThresholdKey
+    val dir = tmpDir("deepdebt")
+    val big = spark.range(0, 30000, 1, 4).select(col("id").as("k"),
+      (col("id") * 7L).as("v"), expr("id div 10000").as("bucket"))
+    Snapshots.publish(big, dir, "bucket", Seq("k"))
+    // 15,000 dead over 3 files — all past Dv.InlineMax: sidecars only
+    Snapshots.deleteVectored(
+      big.filter(col("k") % 2 === 0).select("k", "bucket"),
+      dir, "bucket", Seq("k"))
+    val expect = 15000L
+    // default threshold (1M): small debt — LocalRelation + broadcast
+    val viaLocal = Snapshots.read(spark, dir)
+    assert(viaLocal.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty, "under the threshold the pairs side is driver-local")
+    assert(viaLocal.count() === expect)
+    spark.conf.set(key, "100")
+    try {
+      val viaSidecars = Snapshots.read(spark, dir)
+      assert(viaSidecars.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.isEmpty, "past the threshold NO driver LocalRelation in the plan")
+      assert(viaSidecars.count() === expect, "identical answer")
+      assert(viaSidecars.filter(col("k") % 2 === 0).count() === 0)
+      assert(viaSidecars.agg(sum("v")).head().getLong(0) ===
+        big.filter(col("k") % 2 =!= 0).agg(sum("v")).head().getLong(0))
+      // the pruned-scan surface takes the same path
+      assert(Snapshots.prunedScanAt(spark, dir,
+        Snapshots.latest(spark, dir).get, "k", 100L, 300L).count() === 100L)
+    } finally spark.conf.unset(key)
+  }
+
+  test("deleteVectored scans the candidate buckets ONCE: the hits frame " +
+    "is persisted across the refusal guard and the collect — both " +
+    "driver actions plan against the cache, neither re-scans parquet " +
+    "naked (recordsRead is useless here: _metadata columns double-count " +
+    "it, so the pin is on the executed plans)") {
+    val dir = tmpDir("onescan")
+    val n = 40000L
+    val df = spark.range(0, n, 1, 4).select(col("id").as("k"),
+      (col("id") * 3L).as("v"), expr("id div 10000").as("bucket"))
+    Snapshots.publish(df, dir, "bucket", Seq("k"))
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      Snapshots.deleteVectored(
+        df.filter(col("k") % 997 === 0).select("k", "bucket"),
+        dir, "bucket", Seq("k"))
+      // listener events are async: the call runs 3 driver actions
+      // (bucket distinct, the refusal-guard aggregate, the hits
+      // collect) — wait for all of them to report
+      val deadline = System.currentTimeMillis() + 30000
+      while (plans.size < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      import scala.jdk.CollectionConverters._
+      val ps = plans.iterator().asScala.toList
+      assert(ps.size >= 3, s"expected >=3 reported actions, got ${ps.size}")
+      val naked = ps.count(p =>
+        p.contains("FileScan parquet") && !p.contains("InMemoryTableScan"))
+      assert(naked === 0,
+        s"an action re-scanned the candidate buckets outside the cache " +
+          s"($naked naked parquet scans — the guard and the collect must " +
+          "share ONE persisted read)")
+      assert(ps.count(_.contains("InMemoryTableScan")) >= 2,
+        "both the guard aggregate and the collect planned against the " +
+          "persisted hits frame")
+    } finally spark.listenerManager.unregister(ql)
+    assert(Snapshots.read(spark, dir).count() === n - (n + 996) / 997)
+  }
 }

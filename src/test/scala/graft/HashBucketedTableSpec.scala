@@ -143,4 +143,26 @@ class HashBucketedTableSpec extends SparkSuite {
     assert(H.readAt(spark, dir, v).filter(col("key") === "k0001")
       .select("payload").as[Long].head() === 9L)
   }
+
+  test("compact sizes its rewrite off #fsize ONLY when the lines cover " +
+    "the rewrite set: a legacy manifest (no byte sizes) falls back to " +
+    "the write default instead of collapsing the migration to 1 task") {
+    import graft.operators.Snapshots
+    val gb = 1024L * 1024 * 1024
+    val covered = Snapshots.Manifest(
+      files = Seq("data/t/a.parquet", "data/t/b.parquet"),
+      meta = Seq(s"#fsize:${2 * gb}:data/t/a.parquet",
+        s"#fsize:${3 * gb}:data/t/b.parquet"))
+    // 5 GB / 256 MB per task = 20 writers
+    assert(H.compactTasks(covered, covered.files) === 20)
+    val legacy = Snapshots.Manifest(
+      files = Seq("data/t/a.parquet", "data/t/b.parquet"), meta = Seq.empty)
+    assert(H.compactTasks(legacy, legacy.files) === 32,
+      "no coverage: the write default, never a 1-task epoch migration")
+    val partial = Snapshots.Manifest(
+      files = covered.files,
+      meta = Seq(s"#fsize:${2 * gb}:data/t/a.parquet"))
+    assert(H.compactTasks(partial, partial.files) === 32,
+      "PARTIAL coverage degrades too — a half-known sum under-sizes")
+  }
 }

@@ -726,4 +726,34 @@ class SnapshotsSpec extends SparkSuite {
     assert(Snapshots.read(spark, dir).count() === 918L,
       "head intact: 900 + 10 + 5 + 3 appended duplicates")
   }
+  test("concurrent TIMESTAMP staging writes cannot clobber the " +
+    "TIMESTAMP_MICROS pin: parallel publishes of with-zone timestamp " +
+    "tables ALL record typed stats (the set/restore race — one writer's " +
+    "restore reinstating INT96 before another's write executed)") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val dirs = (0 until 3).map(i => tmpDir(s"tsrace$i"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val published = dirs.map { d =>
+        Future {
+          val df = spark.range(0, 2000, 1, 2).select(col("id").as("k"),
+            expr("timestamp_micros(id * 1000000)").as("ts"),
+            expr("id div 1000").as("bucket"))
+          d -> Snapshots.publish(df, d, "bucket", Seq("k"),
+            statsCols = Seq("ts"))
+        }
+      }
+      val got = Await.result(Future.sequence(published),
+        scala.concurrent.duration.Duration(300, "s"))
+      got.foreach { case (d, v) =>
+        val mf = new java.io.File(f"$d/_manifests/v$v%020d")
+        val lines = scala.io.Source.fromFile(mf, "UTF-8").getLines().toList
+        val tsStats = lines.filter(_.startsWith("#stat2:ts:i:"))
+        assert(tsStats.size === 2,
+          s"$d lost its timestamp stats (INT96 leaked into the staging " +
+            s"write): ${lines.filter(_.startsWith("#"))}")
+      }
+    } finally pool.shutdown()
+  }
 }

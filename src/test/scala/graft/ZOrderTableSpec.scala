@@ -483,4 +483,44 @@ class ZOrderTableSpec extends SparkSuite {
       ZOrderTable.publish(df, dir, Seq("x", "y"), shift = 26, curve = "q")
     }
   }
+  test("cut derivation is EXACT and BANDED: cuts equal the brute-force " +
+    "integer quantile rule (cum*K >= d*N) on a tied + continuous " +
+    "fixture, and the plan carries NO unpartitioned Window — the " +
+    "prefix sum partitions by band (the single-reducer shape a " +
+    "continuous dim's row-count-sized histogram would otherwise hit)") {
+    val vals = Seq.fill(500)(1.5) ++ Seq.fill(300)(2.25) ++
+      (1 to 700).map(i => 10.0 + i * 0.001)
+    val df = vals.map(Tuple1(_)).toDF("price")
+    val k = 16
+    val (frame, kind) = ZOrderTable.cutsFrame(df, "price", k)
+    assert(kind === "d")
+    val windows = frame.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "the prefix sum runs through a Window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "NEVER a global unpartitioned Window over the value histogram")
+    val cuts = frame.orderBy(col("d")).select("cut").collect()
+      .map(_.getDouble(0))
+    val sorted = vals.sorted
+    val n = sorted.length
+    val expect = (1 until k).map { d =>
+      sorted.find(v =>
+        sorted.count(_ <= v).toLong * k >= d.toLong * n).get
+    }
+    assert(cuts.toSeq === expect, "bit-identical to the exact rule")
+    assert(cuts.length === k - 1, "exactly K-1 cut rows, each emitted once")
+    // integer kind goes through the same banded shape
+    val (iframe, ikind) = ZOrderTable.cutsFrame(
+      spark.range(0, 5000).select(col("id").as("t")), "t", 8)
+    assert(ikind === "i")
+    assert(iframe.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }.isEmpty)
+    val icuts = iframe.orderBy(col("d")).select("cut").collect()
+      .map(_.getLong(0))
+    // exact: min t with (t+1)*8 >= d*5000  =>  t = ceil(d*5000/8) - 1
+    assert(icuts.toSeq === (1 until 8).map(d => (d * 5000L + 7) / 8 - 1))
+  }
 }
