@@ -39,5 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // early-exit threshold form automatically
     ext.injectOptimizerRule(_ =>
       org.apache.spark.sql.graftext.LevenshteinThresholdRule)
+    // the NAMED-table surface (format("graft") / GraftCatalog —
+    // Delta's deployment shape): resolved V2 relations over
+    // GraftTable swap to the SAME manifest-statistics V1 plans the
+    // Scala API builds (skipping, DV filtering, rename mapping and
+    // broadcast-off-manifest-stats included)
+    ext.injectPostHocResolutionRule(session =>
+      graft.sources.GraftRelationRule(session))
   }
 }

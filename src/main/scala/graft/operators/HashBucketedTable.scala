@@ -189,10 +189,39 @@ object HashBucketedTable {
     applyImpl(Some(updates), None, dir, keyCols, blockSize, numTasks)
 
   /** DELETE rows by key (see [[Snapshots.delete]] for semantics);
-    * rewrite set by per-epoch hash arithmetic like [[merge]]. */
+    * rewrite set by per-epoch hash arithmetic like [[merge]].
+    * COPY-ON-WRITE — for a scattered erasure use [[deleteVectored]]
+    * (metadata-only, zero rewrites). */
   def delete(keys: DataFrame, dir: String, keyCols: Seq[String],
              blockSize: Long = 128L * 1024 * 1024, numTasks: Int = 32): Long =
     applyImpl(None, Some(keys), dir, keyCols, blockSize, numTasks)
+
+  /** MERGE-ON-READ delete on a hash table
+    * ([[Snapshots.deleteVectored]] through THIS layout's per-epoch
+    * hash arithmetic — the same candidate selection [[merge]] and
+    * [[lookupAt]] plan with): matched rows' positions commit as `#dv`
+    * lines, ZERO buckets rewritten. A hash layout SCATTERS keys by
+    * construction, so a multi-key erasure touches ~every bucket —
+    * exactly the shape where copy-on-write [[delete]] degenerates to
+    * a full-table rewrite and this stays a manifest line. */
+  def deleteVectored(keys: DataFrame, dir: String,
+                     keyCols: Seq[String]): Long = {
+    val spark = keys.sparkSession
+    val prev = Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots"))
+    val (keyCol, _) = bucketsAt(spark, dir, prev)
+    require(keyCols.contains(keyCol),
+      s"delete keys must include the layout key $keyCol")
+    Snapshots.deleteVectoredBy(keys, dir, keyCols, { pm =>
+      val epochs = pm.metaValues("fileh").flatMap { s =>
+        s.split(":", 2) match {
+          case Array(n, rel) => Some(rel -> n.toLong)
+          case _ => None
+        }
+      }.toMap
+      touchedFiles(spark, pm, epochs, keyCol, keys)
+    })
+  }
 
   private def applyImpl(updatesOpt: Option[DataFrame],
                         deletesOpt: Option[DataFrame], dir: String,

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** The LAYOUT-DISPATCHED surface behind NAMED tables (the DSv2
+  * `format("graft")` provider and the `GraftCatalog` — see
+  * [[graft.sources.GraftDataSource]]): one place that answers "what
+  * does a user-facing read/insert of THIS directory mean", by the
+  * table's OWN metadata — never by guessing (the
+  * [[MaintenanceRunner.maintainOne]] discipline applied to the query
+  * surface):
+  *
+  *  - a z-order table reads through [[ZOrderTable.readAt]] (derived
+  *    curve/bucket/mapped-grid columns dropped) and inserts through
+  *    [[ZOrderTable.append]] / [[ZOrderTable.appendMapped]] (codes
+  *    re-derived from the carried layout — same cells whoever
+  *    writes);
+  *  - a hash-bucketed table reads through
+  *    [[HashBucketedTable.readAt]] and appends at the CURRENT
+  *    modulus;
+  *  - a width-bucketed table reads through [[BucketedTable.readAt]]
+  *    and appends at the current width;
+  *  - a FLAT table reads [[Snapshots.readAt]] directly and inserts
+  *    via [[Snapshots.append]] under its carried `maintain.bucket` /
+  *    `maintain.sort` properties (the same properties the
+  *    maintenance sweep dispatches on — declare the layout once,
+  *    every surface agrees);
+  *  - a table with neither layout metadata nor those properties
+  *    READS fine but REFUSES inserts with the fix spelled out.
+  *
+  * Reads inherit everything the Scala API has — the
+  * manifest-statistics relation, data skipping, DV filtering, rename
+  * mapping — because these ARE the Scala API's plans.
+  */
+object NamedTables {
+
+  /** The table's layout at version `v`, from its own metadata:
+    * "z" / "hash" / "width" / "flat". */
+  def layoutAt(spark: SparkSession, dir: String, v: Long): String = {
+    val m = Snapshots.committedManifest(spark, dir, v)
+    if (m.props.contains("zlayout")) "z"
+    else if (m.metaValues("bucketh").nonEmpty) "hash"
+    else if (m.metaValues("bucketw").nonEmpty) "width"
+    else "flat"
+  }
+
+  private def resolve(spark: SparkSession, dir: String,
+                      version: Option[Long]): Long =
+    version.getOrElse(Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no committed snapshots — not a graft table")))
+
+  /** The named-table READ: time travel via `version`, layout-derived
+    * columns dropped — what `SELECT * FROM t` should show. */
+  def readNamed(spark: SparkSession, dir: String,
+                version: Option[Long] = None): DataFrame = {
+    val v = resolve(spark, dir, version)
+    layoutAt(spark, dir, v) match {
+      case "z" => ZOrderTable.readAt(spark, dir, v)
+      case "hash" => HashBucketedTable.readAt(spark, dir, v)
+      case "width" => BucketedTable.readAt(spark, dir, v)
+      case _ => Snapshots.readAt(spark, dir, v)
+    }
+  }
+
+  /** The named-table read SCHEMA (plan-only — zero jobs; the
+    * manifest-backed relation fabricates statuses, no data opens). */
+  def schemaNamed(spark: SparkSession, dir: String,
+                  version: Option[Long] = None): StructType =
+    readNamed(spark, dir, version).schema
+
+  /** The carried table properties of the latest version (the DSv2
+    * `Table.properties()` surface); empty for a bare table. */
+  def propsNamed(spark: SparkSession, dir: String): Map[String, String] =
+    Snapshots.latest(spark, dir)
+      .map(v => Snapshots.propsAt(spark, dir, v)).getOrElse(Map.empty)
+
+  /** The named-table INSERT (SQL `INSERT INTO` lands here through the
+    * provider's V1 write): an APPEND through the table's own layout —
+    * staged, stat-walked, committed exactly like the Scala API's,
+    * with carried props/stats/ledger intact (it IS the Scala API's
+    * append). Returns the committed version. */
+  def insertInto(spark: SparkSession, dir: String, data: DataFrame): Long = {
+    val v = resolve(spark, dir, None)
+    layoutAt(spark, dir, v) match {
+      case "z" =>
+        val mapped = ZOrderTable.layoutAt(spark, dir, v).dims
+          .forall(_.startsWith(ZOrderTable.MapPrefix))
+        if (mapped) ZOrderTable.appendMapped(data, dir)
+        else ZOrderTable.append(data, dir)
+      case "hash" => HashBucketedTable.append(data, dir)
+      case "width" => BucketedTable.append(data, dir)
+      case _ =>
+        val props = Snapshots.propsAt(spark, dir, v)
+        (props.get("maintain.bucket"), props.get("maintain.sort")) match {
+          case (Some(b), Some(s)) =>
+            Snapshots.append(data, dir, b,
+              s.split(",").toSeq.filter(_.nonEmpty))
+          case _ => throw new IllegalArgumentException(
+            s"INSERT INTO a flat graft table needs its write layout " +
+              "declared as table properties: set maintain.bucket and " +
+              "maintain.sort (TBLPROPERTIES at CREATE, or " +
+              "Snapshots.setProp) — a write surface never guesses " +
+              s"a table's layout ($dir)")
+        }
+    }
+  }
+
+  /** CREATE TABLE's backing commit: an EMPTY version 1 carrying the
+    * declared schema and the TBLPROPERTIES as `#prop:` lines — zero
+    * data files (reads are empty, the first INSERT appends under the
+    * declared `maintain.*` layout). Refuses if the directory already
+    * holds snapshots. */
+  def createEmpty(spark: SparkSession, dir: String, schema: StructType,
+                  props: Map[String, String]): Unit = {
+    require(Snapshots.latest(spark, dir).isEmpty,
+      s"$dir already holds a graft table")
+    props.keys.foreach(k => require(!k.contains("=") && k.nonEmpty,
+      s"malformed table property key: $k"))
+    Snapshots.commit(spark, dir, 1L, Nil,
+      Seq("format:2", s"schema:${Snapshots.nullable(schema).json}") ++
+        props.toSeq.sortBy(_._1).map { case (k, vv) => s"prop:$k=$vv" })
+  }
+}

@@ -1625,7 +1625,29 @@ object Snapshots {
     * Returns the previous version when nothing matches (no empty
     * commits). */
   def deleteVectored(keys: DataFrame, dir: String, bucketCol: String,
-                     keyCols: Seq[String]): Long = {
+                     keyCols: Seq[String]): Long =
+    deleteVectoredBy(keys, dir, keyCols, { pm =>
+      val bOf = bucketOf(bucketCol) _
+      val bRows = keys.select(col(bucketCol).cast("long")).distinct().collect()
+      require(bRows.forall(!_.isNullAt(0)),
+        s"delete keys carry NULL $bucketCol values — every row must have " +
+          "a non-null bucket (derive it from the key upstream)")
+      val touched = bRows.map(_.getLong(0)).toSet
+      pm.files.filter(f => touched.contains(bOf(f)))
+    })
+
+  /** [[deleteVectored]]'s engine with the CANDIDATE-FILE selection
+    * abstracted out — the layout tables route their own epoch
+    * arithmetic through here (z: cells at each epoch's shift; hash:
+    * key hashes at each epoch's modulus) so a scattered erasure on a
+    * layout table is metadata-only too, instead of the full bucket
+    * rewrites the layouts' copy-on-write delete pays. `candidatesOf`
+    * sees the LATEST manifest (the one the commit will be planned
+    * against) and returns the files that could hold matching rows —
+    * over-selection costs a wasted read, under-selection loses
+    * deletes, so be conservative. */
+  private[operators] def deleteVectoredBy(keys: DataFrame, dir: String,
+      keyCols: Seq[String], candidatesOf: Manifest => Seq[String]): Long = {
     require(keyCols.nonEmpty, "delete needs key columns")
     val spark = keys.sparkSession
     resolveForWrite(spark, dir)
@@ -1635,13 +1657,7 @@ object Snapshots {
     val schema = pm.schemaOpt.map(nullable(_).json).getOrElse(
       throw new IllegalArgumentException(
         s"$dir predates manifest format 2 — deleteVectored needs a schema"))
-    val bOf = bucketOf(bucketCol) _
-    val bRows = keys.select(col(bucketCol).cast("long")).distinct().collect()
-    require(bRows.forall(!_.isNullAt(0)),
-      s"delete keys carry NULL $bucketCol values — every row must have " +
-        "a non-null bucket (derive it from the key upstream)")
-    val touched = bRows.map(_.getLong(0)).toSet
-    val candidates = pm.files.filter(f => touched.contains(bOf(f)))
+    val candidates = candidatesOf(pm)
     if (candidates.isEmpty) return prev
     // ONE read of the candidate buckets (already-dead rows excluded so
     // a vector never double-records), broadcast-semi-joined to the

@@ -266,11 +266,57 @@ object ZOrderTable {
 
   /** Delete by key — `keys` must carry `keyCols` AND the dimension
     * columns with the rows' CURRENT values (cells are located without
-    * scanning the table). */
+    * scanning the table). COPY-ON-WRITE: every touched cell rewrites
+    * — for a SCATTERED erasure (a few keys per cell across many
+    * cells, the GDPR shape) use [[deleteVectored]] instead, which
+    * commits metadata-only. */
   def delete(keys: DataFrame, dir: String, keyCols: Seq[String],
              blockSize: Long = 128L * 1024 * 1024,
              numTasks: Int = 32): Long =
     applyImpl(None, Some(keys), dir, keyCols, blockSize, numTasks)
+
+  /** MERGE-ON-READ delete on a z-table ([[Snapshots.deleteVectored]]
+    * through THIS layout's cell arithmetic): matched rows' positions
+    * commit as `#dv` lines — ZERO files rewritten, however many cells
+    * the keys scatter over (the shape [[delete]]'s copy-on-write
+    * rewrites the table for). Candidate files are located per EPOCH
+    * (the keys' cells at each epoch's shift — exactly [[merge]]'s
+    * pruning), so any shift-evolution mix is correct. `keys` carries
+    * `keyCols` plus the dimension columns with the rows' CURRENT
+    * values — RAW values on a quantile-mapped table (codes re-derive
+    * from the stored `zmap.*` cuts). Reads apply the vectors, the
+    * feed emits the deletes, [[compact]]/rewrites materialize. */
+  def deleteVectored(keys: DataFrame, dir: String,
+                     keyCols: Seq[String]): Long = {
+    val spark = keys.sparkSession
+    val prev = Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots"))
+    val l = layoutAt(spark, dir, prev)
+    val rawOf = l.dims.map(d => d -> d.stripPrefix(MapPrefix)).toMap
+    rawOf.values.foreach(d => require(keys.columns.contains(d),
+      s"delete keys must carry the layout dimension $d with the rows' " +
+        "current values (cells are located without scanning the table)"))
+    // mapped dims: derive the grid codes from the STORED cuts — same
+    // cells as the data's, whoever writes
+    val props = Snapshots.propsAt(spark, dir, prev)
+    val keyed = l.dims.filter(_.startsWith(MapPrefix)).foldLeft(keys) {
+      (acc, d) =>
+        val raw = rawOf(d)
+        val zm = parseZMap(props.getOrElse(mapPropKey(raw),
+          throw new IllegalArgumentException(
+            s"$dir carries no zmap.$raw property — not a mapped dimension")))
+        acc.withColumn(d, codeExpr(col(raw), keys.schema(raw).dataType, zm))
+    }
+    Snapshots.deleteVectoredBy(keys, dir, keyCols, { pm =>
+      val epochs = pm.metaValues("filez").flatMap { s =>
+        s.split(":", 2) match {
+          case Array(n, rel) => Some(rel -> n.toInt)
+          case _ => None
+        }
+      }.toMap
+      touchedFiles(spark, pm, epochs, l, keyed.select(l.dims.map(col): _*))
+    })
+  }
 
   /** Upsert by `keyCols` when the dims are ATTRIBUTES (an update may
     * move a row across cells): the keys' CURRENT rows are located

@@ -1,0 +1,170 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.{NamedTables, Snapshots}
+
+/** The DSv2 entry point that gives graft tables NAMES — the public
+  * Delta shape (DeltaDataSource: a TableProvider + DataSourceRegister
+  * so `spark.read.format("graft").load(dir)` resolves by short name,
+  * plus the V1 streaming-sink hook so `writeStream.format("graft")`
+  * lands on the exactly-once batch ledger):
+  *
+  *  - BATCH READ: `spark.read.format("graft").load(dir)`, with an
+  *    optional `versionAsOf` TIME-TRAVEL option. The relation the
+  *    planner ultimately sees is the SAME manifest-statistics
+  *    HadoopFsRelation every Scala read builds (statistics, data
+  *    skipping, DV filtering, rename mapping included) — the
+  *    [[GraftRelationRule]] resolution rule swaps the V2 relation
+  *    for it, so deploy with
+  *    `spark.sql.extensions=graft.GraftExtensions` (exactly Delta's
+  *    deployment contract).
+  *  - BATCH WRITE: `INSERT INTO` / `df.writeTo(...).append()` via the
+  *    V1 write fallback ([[org.apache.spark.sql.connector.write.V1Write]]
+  *    — the public Delta pattern): the insert IS
+  *    [[NamedTables.insertInto]], a layout-dispatched append through
+  *    the staging path with carried props/stats/ledger.
+  *  - STREAMING SINK: `writeStream.format("graft")` creates a V1
+  *    [[Sink]] wrapping [[Snapshots.mergeBatch]] — the batch id rides
+  *    in the committed manifest, so a restarted query REPLAYS nothing
+  *    (the q167 discipline, now the default instead of a
+  *    foreachBatch convention). Options: `keys` (comma-separated
+  *    merge keys, required), `bucket` (the bucket column, required),
+  *    `sort` (defaults to `keys`).
+  *
+  * Named SQL reads (`SELECT ... FROM cat.db.t`) come from
+  * [[GraftCatalog]], which loads the same [[GraftTable]].
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with StreamSinkProvider {
+
+  override def shortName(): String = "graft"
+
+  // schema comes from the table's own manifest, never from the user
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def dirOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "format(\"graft\") needs a table directory: " +
+        "spark.read.format(\"graft\").load(dir)"))
+
+  private def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map(_.toLong)
+
+  /** Empty for a directory with no committed snapshots rather than
+    * throwing: the STREAMING-SINK path probes the provider's table
+    * before falling back to [[createSink]] (the target usually does
+    * not exist yet), and a READ of a missing table still fails loudly
+    * — at analysis, where [[GraftRelationRule]] resolves the read. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val dir = dirOf(options)
+    if (graft.operators.Snapshots.latest(spark, dir).isEmpty)
+      new StructType()
+    else NamedTables.schemaNamed(spark, dir, versionOf(options))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    GraftTable(dirOf(opts), versionOf(opts))
+  }
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    def req(k: String): String = parameters.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"writeStream.format(\"graft\") needs the '$k' option " +
+          "(plus 'path'; 'sort' defaults to 'keys')"))
+    val dir = req("path")
+    val keys = req("keys").split(",").toSeq.filter(_.nonEmpty)
+    val bucket = req("bucket")
+    val sorts = parameters.get("sort")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(keys)
+    require(keys.nonEmpty, "the 'keys' option must name at least one column")
+    new GraftSink(dir, bucket, keys, sorts)
+  }
+}
+
+/** One named graft table (a directory + optional time-travel pin).
+  * The Delta shape: reads are swapped to the V1 manifest relation by
+  * [[GraftRelationRule]]; writes go through the V1 fallback so the
+  * insert is the Scala API's layout-dispatched append. */
+final case class GraftTable(dir: String, versionAsOf: Option[Long])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String =
+    versionAsOf.fold(s"graft.`$dir`")(v => s"graft.`$dir`@v$v")
+
+  override lazy val schema: StructType =
+    NamedTables.schemaNamed(SparkSession.active, dir, versionAsOf)
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    NamedTables.propsNamed(SparkSession.active, dir)
+      .foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
+
+  /** Never reached in a correctly-deployed session: the
+    * [[GraftRelationRule]] resolution rule replaces this relation with
+    * the manifest-statistics V1 plan long before scan planning. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new IllegalStateException(
+      "graft named-table reads plan through the GraftExtensions " +
+        "resolution rule — start the session with " +
+        "spark.sql.extensions=graft.GraftExtensions (the same " +
+        "deployment contract as Delta's extension)")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite,
+                "INSERT OVERWRITE is not supported on graft tables — " +
+                  "use Snapshots.merge/delete (CDC apply) instead")
+              require(versionAsOf.isEmpty,
+                "cannot INSERT into a time-travel (versionAsOf) read")
+              NamedTables.insertInto(data.sparkSession, dir, data)
+            }
+          }
+      }
+    }
+}
+
+/** The V1 streaming sink: every microbatch is one
+  * [[Snapshots.mergeBatch]] — an atomic manifest commit carrying the
+  * batch id, so the ledger absorbs replays after a restart (the
+  * exactly-once contract, spec-pinned with a REAL writeStream restart).
+  * The incoming frame is re-wrapped batch-style
+  * ([[org.apache.spark.sql.graftext.StreamBatch.rebatch]] — the
+  * foreachBatch discipline) because the merge runs joins and
+  * aggregates the streaming-tagged plan would refuse. */
+final class GraftSink(dir: String, bucket: String, keys: Seq[String],
+                      sorts: Seq[String]) extends Sink {
+  override def name(): String = s"graft.`$dir`"
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graftext.StreamBatch.rebatch(data)
+    Snapshots.mergeBatch(batchId, batch, dir, bucket, keys, sorts)
+  }
+  override def toString: String = s"GraftSink[$dir]"
+}

@@ -49,9 +49,44 @@ object ExtCheck {
       "WHERE _change = 'insert'").collect()(0).getLong(0)
     assert(n1 == 100 && neg == 5 && hist == 2 && chg == 5,
       s"table SQL surface: n1=$n1 neg=$neg hist=$hist chg=$chg")
+    // the NAMED-table surface through the same fresh-JVM conf path:
+    // format("graft") by SHORT NAME (DataSourceRegister service file),
+    // versionAsOf, the filesystem catalog (conf-configured), CREATE +
+    // INSERT + SELECT + VERSION AS OF, and the ledger-backed sink
+    val fmtN = spark.read.format("graft").load(dir).count()
+    val fmtV1 = spark.read.format("graft").option("versionAsOf", "1")
+      .load(dir).filter(col("v") >= 0).count()
+    assert(fmtN == 100 && fmtV1 == 100,
+      s"format(graft): head=$fmtN v1=$fmtV1")
+    val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_extcheck_wh"
+    val whF = new java.io.File(wh)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(whF)
+    spark.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gx.db")
+    spark.sql("""CREATE TABLE gx.db.t (k BIGINT, v BIGINT, bucket BIGINT)
+      USING graft TBLPROPERTIES(
+        'maintain.bucket'='bucket', 'maintain.sort'='k')""")
+    spark.sql("INSERT INTO gx.db.t SELECT id, id * 2, id % 4 FROM range(0, 50)")
+    spark.sql("INSERT INTO gx.db.t VALUES (900, 7, 0)")
+    val catN = spark.sql("SELECT count(*) FROM gx.db.t").collect()(0).getLong(0)
+    val catS = spark.sql("SELECT sum(v) FROM gx.db.t WHERE k < 900")
+      .collect()(0).getLong(0)
+    val catV2 = spark.sql("SELECT count(*) FROM gx.db.t VERSION AS OF 2")
+      .collect()(0).getLong(0)
+    // INSERT carried the TBLPROPERTIES (the staging path ran)
+    val carried = graft.operators.Snapshots.propsAt(spark, s"$wh/db/t",
+      graft.operators.Snapshots.latest(spark, s"$wh/db/t").get)
+    assert(catN == 51 && catS == (0 until 50).map(_ * 2L).sum && catV2 == 50 &&
+      carried.get("maintain.bucket").contains("bucket"),
+      s"catalog: n=$catN sum=$catS v2=$catV2 props=$carried")
     println(s"[extcheck] OK: st_area=${row.getAs[Double]("a")} intersect=${row.getAs[Int]("c")}" +
       s" zorder=${row.getAs[Long]("zk")} l2=${row.getAs[Double]("l2")}" +
-      s" graft_table=$n1/$neg history=$hist changes=$chg")
+      s" graft_table=$n1/$neg history=$hist changes=$chg" +
+      s" format=$fmtN/$fmtV1 catalog=$catN/$catS/$catV2")
     spark.stop()
   }
 }

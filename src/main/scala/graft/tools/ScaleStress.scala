@@ -1291,6 +1291,59 @@ object ScaleStress {
       Snapshots.prunedScanAtBox(spark, linDir, lv, yWin).count())
     }
 
+    if (sections("zcuts")) {
+    // r11's weak, measured fixed: exact quantile-cut derivation over a
+    // CONTINUOUS double dimension — distinct ≈ rows, so the value
+    // histogram is row-count-sized and the old global Window.orderBy
+    // would sort all of it on ONE reducer. The banded prefix sum
+    // spreads it over ~max(64, shuffle.partitions) bands; the plan is
+    // checked to carry NO unpartitioned window.
+    import graft.operators.ZOrderTable
+    val n = 10000000L
+    val cont = spark.range(0, n, 1, 32).select(
+      col("id"),
+      (sin(col("id").cast("double")) * 1e6 +
+        col("id").cast("double") / 7.0).as("price"))
+    val (frame, kind) = ZOrderTable.cutsFrame(cont, "price", 256)
+    val windows = frame.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    println(s"[stress] zcuts: windows=${windows.size}, unpartitioned=" +
+      s"${windows.count(_.partitionSpec.isEmpty)} (must be 0)")
+    timed(s"zcuts: exact 256-quantile cuts over $n CONTINUOUS doubles " +
+      s"(kind=$kind, banded prefix sum)")(
+      frame.orderBy(col("d")).select("cut").collect().length)
+    }
+
+    if (sections("dvdist")) {
+    // r12's distributed-DV claim, measured: a table carrying DEEP
+    // merge-on-read debt (2.5M dead positions over 32 sidecars) reads
+    // with the dead side built DISTRIBUTED (one task per sidecar) vs
+    // the driver-LocalRelation path (threshold raised) — identical
+    // answers, no gigabytes of pairs serialized into the plan.
+    import graft.operators.Snapshots
+    val n = 10000000L
+    val dir = "/tmp/graft_scale_dvdist"
+    Snapshots.dropPath(spark, dir)
+    val rows = spark.range(0, n, 1, 32).select(col("id").as("k"),
+      (col("id") * 31).as("payload"), expr("id div 312500").as("bucket"))
+    Snapshots.publish(rows, dir, "bucket", Seq("k"))
+    timed("dvdist: vectored erasure of 2.5M scattered keys (zero files)")(
+      Snapshots.deleteVectored(
+        rows.filter(col("k") % 4 === 1).select("k", "bucket"),
+        dir, "bucket", Seq("k")))
+    val key = Snapshots.DvDistributeThresholdKey
+    spark.conf.set(key, "10000000000")
+    timed("dvdist: read via driver-local pairs (threshold raised)")(
+      Snapshots.read(spark, dir).count())
+    spark.conf.unset(key) // default 1M < 2.5M -> distributed sidecars
+    timed("dvdist: read via DISTRIBUTED sidecar pairs (default)")(
+      Snapshots.read(spark, dir).count())
+    timed("dvdist: filtered fold over the erased table (distributed)")(
+      Snapshots.read(spark, dir).filter(col("k") % 1000 === 0)
+        .agg(sum("payload")).collect()(0).getLong(0))
+    }
+
     if (sections("feedplan")) {
     // r10's per-trigger planning claim, measured: versions()/latest()
     // are manifest-read-free after warm (parsed manifests and decided

@@ -358,6 +358,108 @@ class DeletionVectorSpec extends SparkSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("the LAYOUT tables' OWN deleteVectored (z-order, across a shift " +
+    "evolution): a scattered erasure commits metadata-only through the " +
+    "layout's per-epoch cell arithmetic — zero files written, reads and " +
+    "diff see the deletes, compact materializes") {
+    import graft.operators.ZOrderTable
+    val dir = tmpDir("zdv")
+    val grid = spark.range(0, 20000, 1, 8).select(
+      col("id"),
+      (col("id") * 7919 % 65536).as("x"),
+      (col("id") * 104729 % 65536).as("y"),
+      (col("id") * 3).as("v"))
+    ZOrderTable.publish(grid, dir, Seq("x", "y"), shift = 26)
+    // EPOCH MIX: evolve the shift, append a second load — candidate
+    // cells must be computed at EACH epoch's shift
+    ZOrderTable.evolveShift(spark, dir, 24)
+    ZOrderTable.append(spark.range(20000, 30000, 1, 4).select(
+      col("id"),
+      (col("id") * 7919 % 65536).as("x"),
+      (col("id") * 104729 % 65536).as("y"),
+      (col("id") * 3).as("v")), dir)
+    val vPre = Snapshots.latest(spark, dir).get
+    val filesPre = Snapshots.files(spark, dir, vPre)
+    // scattered keys from BOTH epochs' loads, dims carried
+    val doomed = ZOrderTable.read(spark, dir)
+      .filter(col("id") % 501 === 0).select("id", "x", "y")
+    val nDoomed = (0 until 30000).count(_ % 501 == 0)
+    val vDel = ZOrderTable.deleteVectored(doomed, dir, Seq("id"))
+    assert(vDel === vPre + 1)
+    assert(Snapshots.files(spark, dir, vDel) === filesPre,
+      "metadata-only: the exact same data files across both epochs")
+    assert(ZOrderTable.read(spark, dir).count() === 30000L - nDoomed)
+    assert(ZOrderTable.read(spark, dir)
+      .filter(col("id") % 501 === 0).count() === 0)
+    // diff (the feed's source of truth) emits exactly the dead keys
+    val d = Snapshots.diff(spark, dir, vPre, vDel)
+    assert(d.filter(col("_change") === "insert").count() === 0)
+    assert(d.filter(col("_change") === "delete")
+      .select("id").as[Long].collect().toSet ===
+      (0 until 30000).filter(_ % 501 == 0).map(_.toLong).toSet)
+    // re-delete: no-op; compact materializes and drops the vectors
+    assert(ZOrderTable.deleteVectored(doomed, dir, Seq("id")) === vDel)
+    val vC = ZOrderTable.compact(spark, dir)
+    assert(Snapshots.deletionVectorsAt(spark, dir, vC).isEmpty)
+    assert(ZOrderTable.read(spark, dir).count() === 30000L - nDoomed)
+  }
+
+  test("the LAYOUT tables' OWN deleteVectored (quantile-MAPPED z + " +
+    "hash-bucketed): mapped dims re-derive their grid codes from the " +
+    "stored cuts, hash keys locate per-epoch — both erasures zero-file") {
+    import graft.operators.{HashBucketedTable, ZOrderTable}
+    // mapped z: RAW timestamp x double dims
+    val zdir = tmpDir("zmdv")
+    val mk = spark.range(0, 6000, 1, 4).select(
+      col("id"),
+      expr("timestamp_micros(1000000000 + id * 1000000)").as("ts"),
+      (col("id") % 977 * 1.5).as("price"),
+      (col("id") * 7).as("v"))
+    ZOrderTable.publishMapped(mk, zdir, Seq("ts", "price"), shift = 26,
+      buckets = 64)
+    val filesZ = Snapshots.files(spark, zdir,
+      Snapshots.latest(spark, zdir).get)
+    val doomedZ = ZOrderTable.read(spark, zdir)
+      .filter(col("id") % 193 === 0).select("id", "ts", "price")
+    val nZ = (0 until 6000).count(_ % 193 == 0)
+    val vZ = ZOrderTable.deleteVectored(doomedZ, zdir, Seq("id"))
+    assert(Snapshots.files(spark, zdir, vZ) === filesZ, "zero files (mapped)")
+    assert(ZOrderTable.read(spark, zdir).count() === 6000L - nZ)
+    assert(ZOrderTable.read(spark, zdir)
+      .filter(col("id") % 193 === 0).count() === 0)
+    // hash: string keys, epoch mix via evolveBuckets + append
+    val hdir = tmpDir("hdv")
+    def hrows(lo: Long, hi: Long) = spark.range(lo, hi, 1, 4).select(
+      concat(lit("k"), lpad(col("id").cast("string"), 6, "0")).as("key"),
+      (col("id") * 11).as("payload"))
+    HashBucketedTable.publish(hrows(0, 8000), hdir, "key", 8)
+    HashBucketedTable.evolveBuckets(spark, hdir, 16)
+    HashBucketedTable.append(hrows(8000, 12000), hdir)
+    val vPreH = Snapshots.latest(spark, hdir).get
+    val filesH = Snapshots.files(spark, hdir, vPreH)
+    val doomedH = hrows(0, 12000).filter(
+      expr("cast(substring(key, 2) as long) % 709 = 0")).select("key")
+    val nH = (0 until 12000).count(_ % 709 == 0)
+    val vH = HashBucketedTable.deleteVectored(doomedH, hdir, Seq("key"))
+    assert(Snapshots.files(spark, hdir, vH) === filesH,
+      "zero files across both hash epochs")
+    assert(HashBucketedTable.read(spark, hdir).count() === 12000L - nH)
+    assert(HashBucketedTable.lookupAt(spark, hdir, vH, Seq("k000000"))
+      .count() === 0, "the point lookup sees the vector too")
+    assert(HashBucketedTable.lookupAt(spark, hdir, vH, Seq("k000001"))
+      .count() === 1)
+    // non-string probe keys still refuse (the string-key contract)
+    intercept[IllegalArgumentException] {
+      import spark.implicits._
+      HashBucketedTable.deleteVectored(
+        Seq(1L).toDF("key"), hdir, Seq("key"))
+    }
+    // hash compact materializes the vectors
+    val vHC = HashBucketedTable.compact(spark, hdir)
+    assert(Snapshots.deletionVectorsAt(spark, hdir, vHC).isEmpty)
+    assert(HashBucketedTable.read(spark, hdir).count() === 12000L - nH)
+  }
+
   test("deleteVectored scans the candidate buckets ONCE: the hits frame " +
     "is persisted across the refusal guard and the collect — both " +
     "driver actions plan against the cache, neither re-scans parquet " +

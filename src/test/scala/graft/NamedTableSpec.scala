@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{HashBucketedTable, NamedTables, Snapshots, ZOrderTable}
+
+/** The DSv2 NAMED-table surface: `format("graft")` loads, versionAsOf
+  * time travel, the filesystem TableCatalog (CREATE / INSERT / SELECT
+  * / VERSION AS OF), the layout-dispatched read+insert, the
+  * manifest-statistics broadcast through a NAMED SQL join, and the
+  * streaming sink's exactly-once ledger. These run on a session built
+  * WITH GraftExtensions over the shared SparkContext (the production
+  * deployment shape — the resolution-rule half cannot late-bind);
+  * the fresh-JVM conf wiring itself is tools.ExtCheck territory. */
+class NamedTableSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_named_$name")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private val warehouse = tmpDir("wh")
+
+  /** A session over the SAME SparkContext but built with
+    * GraftExtensions + the graft catalog (extensions apply only at
+    * builder time; the default/active session is restored after). */
+  private lazy val ext: SparkSession = {
+    val base = spark // force the shared session (and its context) first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      // withExtensions, not conf: spark.sql.extensions is a STATIC
+      // conf read off the SparkContext — a builder .config cannot set
+      // it once the shared context exists (ExtCheck covers the
+      // conf-based fresh-JVM deployment)
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      .config("spark.sql.catalog.gcat.warehouse", warehouse)
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    s
+  }
+
+  test("format(\"graft\").load == the layout read bit-for-bit, with " +
+    "versionAsOf time travel — derived layout columns never leak, and " +
+    "a DV-erased table reads erased through the named surface too") {
+    val dir = tmpDir("fmt") + "/tbl"
+    val grid = ext.range(0, 5000, 1, 4).select(
+      col("id"),
+      (col("id") * 7919 % 65536).as("x"),
+      (col("id") * 104729 % 65536).as("y"),
+      (col("id") * 3).as("v"))
+    ZOrderTable.publish(grid, dir, Seq("x", "y"), shift = 26)
+    ZOrderTable.deleteVectored(
+      grid.filter(col("id") % 701 === 0).select("id", "x", "y"),
+      dir, Seq("id"))
+    val named = ext.read.format("graft").load(dir)
+    assert(named.columns.toSeq === Seq("id", "x", "y", "v"),
+      "derived curve/bucket columns are not part of the named surface")
+    val scala2 = ZOrderTable.read(ext, dir)
+    assert(named.collect().toSet === scala2.collect().toSet)
+    assert(named.filter(col("id") % 701 === 0).count() === 0,
+      "the deletion vectors apply through the named read")
+    // time travel via option — version 1 predates the erasure
+    val v1 = ext.read.format("graft").option("versionAsOf", "1").load(dir)
+    assert(v1.count() === 5000L)
+    // the planner sees the manifest relation, not a V2 scan
+    assert(named.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.nonEmpty, "the rule swapped the V2 relation for the manifest one")
+  }
+
+  test("catalog: CREATE NAMESPACE + CREATE TABLE ... USING graft " +
+    "TBLPROPERTIES(maintain.*) + INSERT INTO + SELECT + VERSION AS OF; " +
+    "an undeclared flat table REFUSES inserts; DROP removes it") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    ext.sql("""CREATE TABLE gcat.db.t (k BIGINT, v BIGINT, bucket BIGINT)
+      USING graft TBLPROPERTIES(
+        'maintain.bucket'='bucket', 'maintain.sort'='k')""")
+    assert(ext.sql("SELECT * FROM gcat.db.t").count() === 0,
+      "a freshly created table reads empty")
+    ext.sql("INSERT INTO gcat.db.t SELECT id, id * 3, id % 4 " +
+      "FROM range(0, 1000)")
+    ext.sql("INSERT INTO gcat.db.t VALUES (5000, 1, 0), (5001, 2, 1)")
+    assert(ext.sql("SELECT count(*) FROM gcat.db.t").head().getLong(0)
+      === 1002L)
+    assert(ext.sql("SELECT sum(v) FROM gcat.db.t WHERE k < 10")
+      .head().getLong(0) === (0 until 10).map(_ * 3).sum.toLong)
+    // versions: 1 = empty create, 2 = first insert, 3 = second
+    assert(ext.sql("SELECT count(*) FROM gcat.db.t VERSION AS OF 2")
+      .head().getLong(0) === 1000L)
+    assert(ext.sql("SELECT count(*) FROM gcat.db.t VERSION AS OF 1")
+      .head().getLong(0) === 0L)
+    // the insert went through the staging path: props carried forward
+    val dir = s"$warehouse/db/t"
+    val props = Snapshots.propsAt(ext, dir, Snapshots.latest(ext, dir).get)
+    assert(props.get("maintain.bucket") === Some("bucket") &&
+      props.get("maintain.sort") === Some("k"),
+      s"TBLPROPERTIES carried through the inserts: $props")
+    // SHOW TABLES sees it; DROP removes it
+    assert(ext.sql("SHOW TABLES IN gcat.db").collect()
+      .map(_.getString(1)).contains("t"))
+    // a layout-less, prop-less table refuses INSERT with the fix named
+    ext.sql("CREATE TABLE gcat.db.bare (k BIGINT) USING graft")
+    val e = intercept[Exception] {
+      ext.sql("INSERT INTO gcat.db.bare VALUES (1)")
+    }
+    assert(e.getMessage.contains("maintain.bucket"), e.getMessage)
+    ext.sql("DROP TABLE gcat.db.bare")
+    intercept[Exception] { ext.sql("SELECT * FROM gcat.db.bare").collect() }
+  }
+
+  test("layout dispatch through the catalog: INSERT INTO a z-order and " +
+    "a hash-bucketed table appends through the LAYOUT's own path (cells " +
+    "and buckets derived, epochs stamped), and the named read drops the " +
+    "derived columns") {
+    val zdir = s"$warehouse/db/zt"
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    ZOrderTable.publish(
+      ext.range(0, 2000, 1, 4).select(col("id"),
+        (col("id") * 7919 % 65536).as("x"),
+        (col("id") * 104729 % 65536).as("y")),
+      zdir, Seq("x", "y"), shift = 26)
+    ext.sql("INSERT INTO gcat.db.zt SELECT id, (id * 7919) % 65536, " +
+      "(id * 104729) % 65536 FROM range(2000, 3000)")
+    assert(ext.sql("SELECT count(*) FROM gcat.db.zt").head().getLong(0)
+      === 3000L)
+    // the appended files carry the z epoch lines (the layout path ran)
+    val vz = Snapshots.latest(ext, zdir).get
+    val newFiles = Snapshots.files(ext, zdir, vz).toSet --
+      Snapshots.files(ext, zdir, vz - 1).toSet
+    val shifts = ZOrderTable.fileShifts(ext, zdir, vz)
+    assert(newFiles.nonEmpty && newFiles.forall(shifts.contains),
+      "the SQL insert staged through ZOrderTable.append (epoch lines)")
+    assert(ext.sql("SELECT * FROM gcat.db.zt").columns.toSeq ===
+      Seq("id", "x", "y"))
+    // a hash table directly under the warehouse root (empty namespace)
+    HashBucketedTable.publish(
+      ext.range(0, 500, 1, 2).select(
+        concat(lit("u"), col("id").cast("string")).as("key"),
+        (col("id") * 2).as("n")),
+      s"$warehouse/ht", "key", 8)
+    ext.sql("INSERT INTO gcat.ht VALUES ('u9000', 77)")
+    assert(ext.sql("SELECT n FROM gcat.ht WHERE key = 'u9000'")
+      .head().getLong(0) === 77L)
+    assert(ext.sql("SELECT count(*) FROM gcat.ht").head().getLong(0) === 501L)
+  }
+
+  test("manifest statistics drive a NAMED SQL join: fact JOIN dim " +
+    "broadcasts under the default threshold, and stops broadcasting " +
+    "when the threshold drops below the dim's manifest byte sum — the " +
+    "planner is reading the MANIFEST's sizes") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    val fdir = s"$warehouse/db/fact"
+    val ddir = s"$warehouse/db/dim"
+    Snapshots.publish(
+      ext.range(0, 50000, 1, 4).select(col("id").as("k"),
+        (col("id") * 31).as("payload"), (col("id") % 16).as("bucket")),
+      fdir, "bucket", Seq("k"))
+    Snapshots.publish(
+      ext.range(0, 200, 1, 2).select(col("id").as("k"),
+        format_string("d%04d", col("id")).as("name"),
+        (col("id") % 4).as("bucket")),
+      ddir, "bucket", Seq("k"))
+    val dimBytes = Snapshots.sizeAt(ext, ddir, Snapshots.latest(ext, ddir).get)
+    assert(dimBytes > 1024, s"fixture sanity: dim manifest sum $dimBytes")
+    val q = "SELECT sum(f.payload) FROM gcat.db.fact f " +
+      "JOIN gcat.db.dim d ON f.k = d.k"
+    val bhj = ext.sql(q)
+    assert(bhj.head().getLong(0) ===
+      (0 until 200).map(_ * 31L).sum)
+    assert(bhj.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "default threshold: the dim's manifest size is under 10MB -> broadcast")
+    ext.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try {
+      val smj = ext.sql(q)
+      smj.collect()
+      assert(!smj.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "threshold below the manifest byte sum -> no broadcast: the " +
+          "decision is reading the manifest statistics")
+    } finally ext.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("streaming sink writeStream.format(\"graft\"): microbatches land " +
+    "through the exactly-once ledger, a RESTART from the checkpoint " +
+    "applies only new batches, and a poisoned replay of an applied id " +
+    "is absorbed (the q167 discipline as the DEFAULT sink)") {
+    val dir = tmpDir("sink") + "/tbl"
+    val srcDir = tmpDir("sinksrc")
+    val ckpt = tmpDir("sinkck")
+    def srcBatch(lo: Long, hi: Long, tag: Long): Unit =
+      ext.range(lo, hi, 1, 2).select(col("id").as("k"),
+        lit(tag).as("v"), (col("id") % 4).as("bucket"))
+        .write.mode("append").parquet(srcDir)
+    def schema = ext.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val q = ext.readStream.schema(schema).parquet(srcDir)
+        .writeStream.format("graft")
+        .option("path", dir)
+        .option("keys", "k").option("bucket", "bucket")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    srcBatch(0, 100, 1L)
+    run()
+    assert(Snapshots.appliedBatches(ext, dir) === Set(0L))
+    assert(Snapshots.read(ext, dir).count() === 100L)
+    // RESTART with new source data: only the new batch applies
+    srcBatch(100, 150, 2L)
+    run()
+    assert(Snapshots.appliedBatches(ext, dir) === Set(0L, 1L))
+    assert(Snapshots.read(ext, dir).count() === 150L)
+    assert(Snapshots.read(ext, dir).filter(col("v") === 2L).count() === 50L)
+    // a replayed id with POISONED content is absorbed by the ledger
+    val vBefore = Snapshots.latest(ext, dir).get
+    Snapshots.mergeBatch(1L,
+      ext.range(0, 10).select(col("id").as("k"), lit(-999L).as("v"),
+        (col("id") % 4).as("bucket")),
+      dir, "bucket", Seq("k"), Seq("k"))
+    assert(Snapshots.latest(ext, dir).get === vBefore,
+      "the replay committed nothing")
+    assert(Snapshots.read(ext, dir).filter(col("v") === -999L).count() === 0)
+    // upsert semantics across batches: re-keying through a THIRD batch
+    srcBatch(0, 10, 9L)
+    run()
+    assert(Snapshots.read(ext, dir).count() === 150L,
+      "re-keyed rows merged, not duplicated")
+    assert(Snapshots.read(ext, dir)
+      .filter(col("k") < 10 && col("v") === 9L).count() === 10L)
+  }
+
+  test("NamedTables guards: reading a non-table refuses; insertInto a " +
+    "versioned read is impossible through the API; the layout detector " +
+    "answers for all four families") {
+    val dir = tmpDir("guards") + "/nope"
+    intercept[IllegalArgumentException] {
+      NamedTables.readNamed(ext, dir)
+    }
+    val flat = tmpDir("guards") + "/flat"
+    Snapshots.publish(
+      ext.range(0, 10).select(col("id").as("k"), (col("id") % 2).as("bucket")),
+      flat, "bucket", Seq("k"))
+    assert(NamedTables.layoutAt(ext, flat, 1L) === "flat")
+    intercept[IllegalArgumentException] {
+      NamedTables.insertInto(ext, flat,
+        ext.range(0, 5).select(col("id").as("k"), lit(0L).as("bucket")))
+    }
+  }
+}
