@@ -85,7 +85,13 @@ object HashBucketedTable {
 
   /** Per-file write-epoch moduli of version `v` (manifest-only). */
   def fileBuckets(spark: SparkSession, dir: String, v: Long): Map[String, Long] =
-    Snapshots.committedManifest(spark, dir, v).metaValues("fileh").map { s =>
+    fileBuckets(Snapshots.committedManifest(spark, dir, v))
+
+  /** The same epoch census off an in-hand manifest — the ONE parse of
+    * the `#fileh` line grammar (deleteVectored's candidate lambda
+    * reads the manifest it is handed, race-consistently). */
+  private[operators] def fileBuckets(m: Snapshots.Manifest): Map[String, Long] =
+    m.metaValues("fileh").map { s =>
       val Array(n, rel) = s.split(":", 2)
       rel -> n.toLong
     }.toMap
@@ -212,15 +218,8 @@ object HashBucketedTable {
     val (keyCol, _) = bucketsAt(spark, dir, prev)
     require(keyCols.contains(keyCol),
       s"delete keys must include the layout key $keyCol")
-    Snapshots.deleteVectoredBy(keys, dir, keyCols, { pm =>
-      val epochs = pm.metaValues("fileh").flatMap { s =>
-        s.split(":", 2) match {
-          case Array(n, rel) => Some(rel -> n.toLong)
-          case _ => None
-        }
-      }.toMap
-      touchedFiles(spark, pm, epochs, keyCol, keys)
-    })
+    Snapshots.deleteVectoredBy(keys, dir, keyCols, pm =>
+      touchedFiles(spark, pm, fileBuckets(pm), keyCol, keys))
   }
 
   private def applyImpl(updatesOpt: Option[DataFrame],

@@ -52,30 +52,36 @@ object MaintenanceRunner {
       if (Snapshots.latest(spark, dir).isEmpty)
         Report(dir, "skipped", None, Some("no committed snapshots"))
       else {
-        val props = Snapshots.propsAt(spark, dir,
-          Snapshots.latest(spark, dir).get)
-        if (props.contains("zlayout"))
-          Report(dir, "z",
-            Some(ZOrderTable.maintain(spark, dir, retainMs, blockSize)), None)
-        else if (scala.util.Try(
-            HashBucketedTable.currentBuckets(spark, dir)).isSuccess)
-          Report(dir, "hash",
-            Some(HashBucketedTable.maintain(spark, dir, retainMs, blockSize)),
-            None)
-        else if (scala.util.Try(
-            BucketedTable.currentWidth(spark, dir)).isSuccess)
-          Report(dir, "width",
-            Some(BucketedTable.maintain(spark, dir, retainMs, blockSize)), None)
-        else (props.get("maintain.bucket"), props.get("maintain.sort")) match {
-          case (Some(b), Some(sorts)) =>
-            Report(dir, "flat",
-              Some(Snapshots.maintain(spark, dir, b,
-                sorts.split(",").toSeq.filter(_.nonEmpty), retainMs,
+        val v = Snapshots.latest(spark, dir).get
+        // the ONE layout detector every surface shares (NamedTables —
+        // the insert path dispatches off the same answer, so the two
+        // surfaces can never classify one table differently)
+        NamedTables.layoutAt(spark, dir, v) match {
+          case "z" =>
+            Report(dir, "z",
+              Some(ZOrderTable.maintain(spark, dir, retainMs, blockSize)),
+              None)
+          case "hash" =>
+            Report(dir, "hash",
+              Some(HashBucketedTable.maintain(spark, dir, retainMs,
                 blockSize)), None)
+          case "width" =>
+            Report(dir, "width",
+              Some(BucketedTable.maintain(spark, dir, retainMs, blockSize)),
+              None)
           case _ =>
-            Report(dir, "skipped", None, Some(
-              "no layout metadata and no maintain.bucket/maintain.sort " +
-                "properties — a sweep never guesses a table's layout"))
+            val props = Snapshots.propsAt(spark, dir, v)
+            (props.get("maintain.bucket"), props.get("maintain.sort")) match {
+              case (Some(b), Some(sorts)) =>
+                Report(dir, "flat",
+                  Some(Snapshots.maintain(spark, dir, b,
+                    sorts.split(",").toSeq.filter(_.nonEmpty), retainMs,
+                    blockSize)), None)
+              case _ =>
+                Report(dir, "skipped", None, Some(
+                  "no layout metadata and no maintain.bucket/maintain.sort " +
+                    "properties — a sweep never guesses a table's layout"))
+            }
         }
       }
     } catch {
@@ -127,12 +133,21 @@ object MaintenanceRunner {
     private val running = new java.util.concurrent.atomic.AtomicBoolean(false)
     private val log =
       new java.util.concurrent.ConcurrentLinkedDeque[Report]()
-    private val exec = java.util.concurrent.Executors.newSingleThreadExecutor(
-      (r: Runnable) => {
-        val t = new Thread(r, "graft-maintenance-listener")
-        t.setDaemon(true)
-        t
-      })
+    // LAZY: a registered-but-never-triggered listener owns no thread
+    private lazy val exec =
+      java.util.concurrent.Executors.newSingleThreadExecutor(
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-maintenance-listener")
+          t.setDaemon(true)
+          t
+        })
+
+    /** Release the worker thread — call after
+      * `spark.streams.removeListener(this)` when the listener is done
+      * for good (a daemon thread never blocks JVM exit, but a
+      * long-lived driver cycling listeners should not accumulate
+      * them). An in-flight pass finishes first. */
+    def close(): Unit = exec.shutdown()
 
     /** Reports from every pass so far, oldest first (bounded). */
     def reports: Seq[Report] = {

@@ -36,12 +36,23 @@ import org.apache.spark.sql.types.StructType
 object NamedTables {
 
   /** The table's layout at version `v`, from its own metadata:
-    * "z" / "hash" / "width" / "flat". */
+    * "z" / "hash" / "width" / "flat". The ONE detector every surface
+    * shares ([[MaintenanceRunner.maintainOne]] dispatches off it too
+    * — two detectors could classify the same table differently). A
+    * layout line that does not PARSE does not classify: a malformed
+    * `#bucketh` must not send an insert into hash arithmetic that
+    * will crash deeper in. */
   def layoutAt(spark: SparkSession, dir: String, v: Long): String = {
     val m = Snapshots.committedManifest(spark, dir, v)
+    def wellFormed(key: String): Boolean =
+      m.metaValues(key).headOption.exists(s => s.split(":", 2) match {
+        case Array(k, n) =>
+          k.nonEmpty && scala.util.Try(n.toLong).toOption.exists(_ > 0)
+        case _ => false
+      })
     if (m.props.contains("zlayout")) "z"
-    else if (m.metaValues("bucketh").nonEmpty) "hash"
-    else if (m.metaValues("bucketw").nonEmpty) "width"
+    else if (wellFormed("bucketh")) "hash"
+    else if (wellFormed("bucketw")) "width"
     else "flat"
   }
 
@@ -116,8 +127,15 @@ object NamedTables {
                   props: Map[String, String]): Unit = {
     require(Snapshots.latest(spark, dir).isEmpty,
       s"$dir already holds a graft table")
-    props.keys.foreach(k => require(!k.contains("=") && k.nonEmpty,
-      s"malformed table property key: $k"))
+    // the SAME validation rule as Snapshots.setProp — a key this
+    // commit accepts but setProp refuses would be a property no API
+    // can ever update or remove
+    props.foreach { case (k, vv) =>
+      require(k.nonEmpty && !k.contains("=") && !k.contains("\n") &&
+        !k.contains(":"), s"invalid table property key '$k'")
+      require(!vv.contains("\n"),
+        s"invalid table property value for '$k' (must be single-line)")
+    }
     Snapshots.commit(spark, dir, 1L, Nil,
       Seq("format:2", s"schema:${Snapshots.nullable(schema).json}") ++
         props.toSeq.sortBy(_._1).map { case (k, vv) => s"prop:$k=$vv" })

@@ -95,7 +95,13 @@ object ZOrderTable {
 
   /** Per-file write-epoch SHIFTS of version `v` (manifest-only). */
   def fileShifts(spark: SparkSession, dir: String, v: Long): Map[String, Int] =
-    Snapshots.committedManifest(spark, dir, v).metaValues("filez").flatMap {
+    fileShifts(Snapshots.committedManifest(spark, dir, v))
+
+  /** The same epoch census off an in-hand manifest — the ONE parse of
+    * the `#filez` line grammar (deleteVectored's candidate lambda
+    * reads the manifest it is handed, race-consistently). */
+  private[operators] def fileShifts(m: Snapshots.Manifest): Map[String, Int] =
+    m.metaValues("filez").flatMap {
       s => s.split(":", 2) match {
         case Array(n, rel) => Some(rel -> n.toInt)
         case _ => None
@@ -307,15 +313,9 @@ object ZOrderTable {
             s"$dir carries no zmap.$raw property — not a mapped dimension")))
         acc.withColumn(d, codeExpr(col(raw), keys.schema(raw).dataType, zm))
     }
-    Snapshots.deleteVectoredBy(keys, dir, keyCols, { pm =>
-      val epochs = pm.metaValues("filez").flatMap { s =>
-        s.split(":", 2) match {
-          case Array(n, rel) => Some(rel -> n.toInt)
-          case _ => None
-        }
-      }.toMap
-      touchedFiles(spark, pm, epochs, l, keyed.select(l.dims.map(col): _*))
-    })
+    Snapshots.deleteVectoredBy(keys, dir, keyCols, pm =>
+      touchedFiles(spark, pm, fileShifts(pm), l,
+        keyed.select(l.dims.map(col): _*)))
   }
 
   /** Upsert by `keyCols` when the dims are ATTRIBUTES (an update may
@@ -614,9 +614,19 @@ object ZOrderTable {
     * (exact arithmetic end to end); only the execution shape changed. */
   private[graft] def cutsFrame(df: DataFrame, dim: String,
                                buckets: Int): (DataFrame, String) = {
+    val (frame, kind, _) = cutsFrameHist(df, dim, buckets)
+    (frame, kind)
+  }
+
+  private def cutsFrameHist(df: DataFrame, dim: String,
+      buckets: Int): (DataFrame, String, DataFrame) = {
     val (v, kind) = normExpr(col(dim), df.schema(dim).dataType)
+    // the histogram feeds THREE actions (band bounds, band totals,
+    // the cuts collect) — persist it so the source scans once, not
+    // three times per dimension; [[deriveCuts]] releases it
     val hist = df.select(v.as("v")).filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = math.max(CutBandsFloor, scala.util.Try(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
       .getOrElse(CutBandsFloor))
@@ -652,15 +662,18 @@ object ZOrderTable {
         .otherwise(typedlit(Seq.empty[Long]))))
       .filter(col("d") >= 1 && col("d") <= lit((buckets - 1).toLong))
       .select(col("d"), col("v").as("cut"))
-    (frame, kind)
+    (frame, kind, hist)
   }
 
   /** Exact K-quantile cut points of a raw dimension — [[cutsFrame]]
-    * collected (≤ K−1 rows), in cut-index order. */
+    * collected (≤ K−1 rows), in cut-index order; the persisted
+    * histogram released after. */
   private def deriveCuts(df: DataFrame, dim: String, buckets: Int): ZMap = {
-    val (frame, kind) = cutsFrame(df, dim, buckets)
-    val cuts = frame.orderBy(col("d")).select("cut").collect()
-      .map(_.get(0).toString)
+    val (frame, kind, hist) = cutsFrameHist(df, dim, buckets)
+    val cuts =
+      try frame.orderBy(col("d")).select("cut").collect()
+        .map(_.get(0).toString)
+      finally hist.unpersist()
     ZMap(kind, buckets, cuts)
   }
 

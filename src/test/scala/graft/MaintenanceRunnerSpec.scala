@@ -135,6 +135,9 @@ class MaintenanceRunnerSpec extends SparkSuite {
       // the ledger survives maintenance (the carried #batch header)
       assert(Snapshots.lastAppliedBatch(spark, dir) === Some(3L))
       assert(Snapshots.read(spark, dir).count() === 200)
-    } finally spark.streams.removeListener(listener)
+    } finally {
+      spark.streams.removeListener(listener)
+      listener.close()
+    }
   }
 }

@@ -236,6 +236,32 @@ class NamedTableSpec extends SparkSuite {
       .filter(col("k") < 10 && col("v") === 9L).count() === 10L)
   }
 
+  test("catalog identifier segments are PATH-validated: '..', '/' and " +
+    "other escape shapes refuse — a backticked identifier can never " +
+    "resolve (or DROP) outside the warehouse root") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    val escapes = Seq("SELECT * FROM gcat.`..`.t",
+      "DROP NAMESPACE gcat.`..` CASCADE",
+      "DROP TABLE gcat.db.`../../etc`",
+      "CREATE NAMESPACE gcat.`a/b`")
+    escapes.foreach { q =>
+      val e = intercept[Exception] { ext.sql(q).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("identifier segment")),
+        s"'$q' must refuse with the segment validation, got: $e")
+    }
+    // DROP TABLE returns the contract's boolean: true iff deleted
+    ext.sql("CREATE TABLE gcat.db.droppable (k BIGINT) USING graft")
+    val cat = ext.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("db"), "droppable")
+    assert(cat.dropTable(ident) === true, "a real table deletes -> true")
+    assert(cat.dropTable(ident) === false, "already gone -> false")
+  }
+
   test("NamedTables guards: reading a non-table refuses; insertInto a " +
     "versioned read is impossible through the API; the layout detector " +
     "answers for all four families") {
