@@ -118,6 +118,34 @@ object NamedTables {
     }
   }
 
+  /** The named-table INSERT OVERWRITE: replace the head's content
+    * through [[Snapshots.overwrite]] — supported for FLAT tables
+    * under their declared `maintain.*` layout; the clustered layouts
+    * refuse (an overwrite of a z/hash/width table is a re-publish
+    * decision — their own publish/compact APIs own cell/bucket
+    * assignment, and guessing here would silently de-cluster). */
+  def overwriteInto(spark: SparkSession, dir: String,
+                    data: DataFrame): Long = {
+    val v = resolve(spark, dir, None)
+    layoutAt(spark, dir, v) match {
+      case "flat" =>
+        val props = Snapshots.propsAt(spark, dir, v)
+        (props.get("maintain.bucket"), props.get("maintain.sort")) match {
+          case (Some(b), Some(s)) =>
+            Snapshots.overwrite(data, dir, b,
+              s.split(",").toSeq.filter(_.nonEmpty))
+          case _ => throw new IllegalArgumentException(
+            s"INSERT OVERWRITE needs the flat table's write layout " +
+              "declared as maintain.bucket/maintain.sort table " +
+              s"properties ($dir)")
+        }
+      case other => throw new IllegalArgumentException(
+        s"INSERT OVERWRITE is not supported on a $other-layout table " +
+          s"($dir) — overwriting a clustered table is a re-publish " +
+          "decision; use the layout's own publish APIs")
+    }
+  }
+
   /** CREATE TABLE's backing commit: an EMPTY version 1 carrying the
     * declared schema and the TBLPROPERTIES as `#prop:` lines — zero
     * data files (reads are empty, the first INSERT appends under the

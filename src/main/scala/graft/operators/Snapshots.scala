@@ -1034,6 +1034,45 @@ object Snapshots {
     v
   }
 
+  /** REPLACE the table head's content in one commit (SQL `INSERT
+    * OVERWRITE` / `df.writeTo(...).overwrite(lit(true))` land here
+    * through the catalog): the new version references ONLY the newly
+    * staged files — previous versions keep reading their own state
+    * (time travel across an overwrite works) and [[vacuum]] reclaims
+    * the dropped files once retention passes them. Carried metadata
+    * follows the drop: props, colmap, stats/ndv DECLARATIONS and the
+    * batch-ledger header carry; per-file stats/sizes/vectors do NOT
+    * (they describe files this version no longer references). Schema
+    * stays additive like [[append]] — an overwrite may add/widen
+    * columns, never drop them (the read surface of a table must not
+    * shrink behind a reader's back; rebuild under a new dir for a
+    * breaking change). */
+  def overwrite(df: DataFrame, dir: String, bucketCol: String,
+                sortCols: Seq[String], blockSize: Long = 128L * 1024 * 1024,
+                numTasks: Int = 32): Long = {
+    val spark = df.sparkSession
+    resolveForWrite(spark, dir)
+    val prev = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots — use publish"))
+    val pm = manifest(spark, dir, prev)
+    val tp = pm.toPhysical
+    val st = stage(toPhysicalDf(df, tp), dir,
+      tp.getOrElse(bucketCol, bucketCol),
+      sortCols.map(c => tp.getOrElse(c, c)), blockSize, numTasks,
+      stat2Cols = pm.statCols, ndvCols = pm.ndvCols)
+    val schema = pm.schemaOpt match {
+      case Some(ps) => mergeSchemas(ps, nullable(df.schema)).json
+      case None => st.schemaJson
+    }
+    val v = claimAbove(spark, dir, prev)
+    commit(spark, dir, v, st.rels,
+      Seq("format:2", s"schema:$schema") ++ carriedBatch(pm) ++
+        pm.propLines ++ pm.colmapLines ++
+        pm.statColsLines ++ pm.ndvColsLines ++
+        st.statLines ++ st.stat2Lines ++ st.ndvLines ++ st.sizeLines)
+    v
+  }
+
   /** Read a set of manifest-relative files. With a recorded schema
     * (format 2) this is ONE relation over a MANIFEST-BACKED
     * [[org.apache.spark.sql.graftext.ManifestFileIndex]] (the public

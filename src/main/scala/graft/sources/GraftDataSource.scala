@@ -120,8 +120,11 @@ final case class GraftTable(dir: String, versionAsOf: Option[Long])
   }
 
   override def capabilities(): util.Set[TableCapability] =
+    // TRUNCATE = "can replace all content" — what lets INSERT
+    // OVERWRITE (OverwriteByExpression with a true filter) reach the
+    // V1 fallback's insert(data, overwrite = true)
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** Never reached in a correctly-deployed session: the
     * [[GraftRelationRule]] resolution rule replaces this relation with
@@ -134,21 +137,35 @@ final case class GraftTable(dir: String, versionAsOf: Option[Long])
         "deployment contract as Delta's extension)")
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              require(!overwrite,
-                "INSERT OVERWRITE is not supported on graft tables — " +
-                  "use Snapshots.merge/delete (CDC apply) instead")
-              require(versionAsOf.isEmpty,
-                "cannot INSERT into a time-travel (versionAsOf) read")
-              NamedTables.insertInto(data.sparkSession, dir, data)
-            }
-          }
+    new GraftWriteBuilder(dir, versionAsOf, overwriting = false)
+}
+
+/** The V1-fallback write: INSERT INTO appends, and the planner's
+  * `truncate()` call (INSERT OVERWRITE with an always-true filter —
+  * Spark requires the builder to IMPLEMENT SupportsTruncate, the
+  * TRUNCATE capability alone is not consulted here) switches the
+  * insert to [[NamedTables.overwriteInto]]. */
+private[sources] final class GraftWriteBuilder(
+    dir: String, versionAsOf: Option[Long], overwriting: Boolean)
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  override def truncate(): WriteBuilder =
+    new GraftWriteBuilder(dir, versionAsOf, overwriting = true)
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          require(versionAsOf.isEmpty,
+            "cannot INSERT into a time-travel (versionAsOf) read")
+          if (overwriting || overwrite)
+            NamedTables.overwriteInto(data.sparkSession, dir, data)
+          else NamedTables.insertInto(data.sparkSession, dir, data)
+          ()
+        }
       }
-    }
+  }
 }
 
 /** The V1 streaming sink: every microbatch is one

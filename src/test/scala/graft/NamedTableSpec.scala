@@ -236,6 +236,52 @@ class NamedTableSpec extends SparkSuite {
       .filter(col("k") < 10 && col("v") === 9L).count() === 10L)
   }
 
+  test("SQL writes round out: INSERT OVERWRITE replaces a flat table's " +
+    "head (time travel intact, props carried) and REFUSES on clustered " +
+    "layouts; ALTER TABLE SET/UNSET TBLPROPERTIES and RENAME COLUMN " +
+    "pass through to the format's metadata-only commits") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    ext.sql("""CREATE TABLE gcat.db.ow (k BIGINT, v BIGINT, bucket BIGINT)
+      USING graft TBLPROPERTIES(
+        'maintain.bucket'='bucket', 'maintain.sort'='k')""")
+    ext.sql("INSERT INTO gcat.db.ow SELECT id, id, id % 4 FROM range(0, 100)")
+    ext.sql("INSERT OVERWRITE gcat.db.ow " +
+      "SELECT id, id * 10, id % 2 FROM range(0, 30)")
+    assert(ext.sql("SELECT count(*), sum(v) FROM gcat.db.ow").head()
+      .toSeq === Seq(30L, (0 until 30).map(_ * 10L).sum))
+    assert(ext.sql("SELECT count(*) FROM gcat.db.ow VERSION AS OF 2")
+      .head().getLong(0) === 100L,
+      "time travel reads the pre-overwrite state")
+    val owDir = s"$warehouse/db/ow"
+    assert(Snapshots.propsAt(ext, owDir, Snapshots.latest(ext, owDir).get)
+      .get("maintain.bucket") === Some("bucket"), "props survive overwrite")
+    // a clustered layout refuses the overwrite with the story
+    HashBucketedTable.publish(
+      ext.range(0, 50).select(col("id").cast("string").as("key"),
+        col("id").as("n")),
+      s"$warehouse/db/owh", "key", 4)
+    val e = intercept[Exception] {
+      ext.sql("INSERT OVERWRITE gcat.db.owh SELECT 'x', 1")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("re-publish")), e.toString)
+    // ALTER TABLE passthrough: properties + column rename
+    ext.sql("ALTER TABLE gcat.db.ow SET TBLPROPERTIES(" +
+      "'retainversions'='2')")
+    assert(Snapshots.propsAt(ext, owDir, Snapshots.latest(ext, owDir).get)
+      .get("retainversions") === Some("2"))
+    ext.sql("ALTER TABLE gcat.db.ow UNSET TBLPROPERTIES('retainversions')")
+    assert(!Snapshots.propsAt(ext, owDir, Snapshots.latest(ext, owDir).get)
+      .contains("retainversions"))
+    ext.sql("ALTER TABLE gcat.db.ow RENAME COLUMN v TO val")
+    assert(ext.sql("SELECT sum(val) FROM gcat.db.ow").head().getLong(0) ===
+      (0 until 30).map(_ * 10L).sum)
+    assert(ext.sql("SELECT * FROM gcat.db.ow VERSION AS OF 3").columns
+      .toSeq === Seq("k", "v", "bucket"),
+      "pre-rename versions read under their own names")
+  }
+
   test("catalog identifier segments are PATH-validated: '..', '/' and " +
     "other escape shapes refuse — a backticked identifier can never " +
     "resolve (or DROP) outside the warehouse root") {
