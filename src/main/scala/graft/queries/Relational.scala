@@ -2298,6 +2298,31 @@ object Relational {
     * drops below the dim's recorded size — the planner is reading
     * the manifest's statistics, not guessing. All folds restated
     * closed-form from raw orders by the oracle. */
+  /** One extensions-bearing session per warehouse for [[q190]] —
+    * built over the ambient SparkContext with the default/active
+    * session swapped out and restored (`spark.sql.extensions` is a
+    * static conf the gate session predates; `withExtensions` is the
+    * over-a-live-context path). */
+  private val namedExtSessions =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  private def namedExtSession(wh: String): SparkSession =
+    namedExtSessions.computeIfAbsent(wh, { _ =>
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      try SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions)
+        .config("spark.sql.catalog.gq190", "graft.sources.GraftCatalog")
+        .config("spark.sql.catalog.gq190.warehouse", wh)
+        .getOrCreate()
+      finally {
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
+    })
+
   def q190(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Snapshots
     import spark.implicits._
@@ -2314,21 +2339,10 @@ object Relational {
         format_string("d%04d", col("id")).as("name"),
         (col("id") % 4).as("b")),
       s"$wh/db/dim", "b", Seq("k"))
-    // the extensions-bearing session over the shared context
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val ext =
-      try SparkSession.builder()
-        .withExtensions(new graft.GraftExtensions)
-        .config("spark.sql.catalog.gq190", "graft.sources.GraftCatalog")
-        .config("spark.sql.catalog.gq190.warehouse", wh)
-        .getOrCreate()
-      finally {
-        prevDefault.foreach(SparkSession.setDefaultSession)
-        prevActive.foreach(SparkSession.setActiveSession)
-      }
+    // the extensions-bearing session over the shared context —
+    // CACHED per warehouse: a bench rerun must not accumulate
+    // sessions (heap pressure lands on unrelated queries)
+    val ext = namedExtSession(wh)
     def fold3(sql: String): (Long, Long, Long) = {
       val r = ext.sql(sql).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))

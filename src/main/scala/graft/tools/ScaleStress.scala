@@ -1176,8 +1176,24 @@ object ScaleStress {
         Snapshots.append(rows, dir, "bucket", Seq("key")))
       dir
     }
-    for ((lbl, appends) <- Seq(("128files", 0), ("896files", 6))) {
-      val dir = mk(lbl, appends)
+    // the ×10 HEADROOM case (r11 verdict #8): ~9000 files from ONE
+    // publish (9000 buckets, one file each) — the file-count regime
+    // where per-file filesystem calls at planning become the
+    // bottleneck; the manifest path must stay flat
+    def mk10x(): String = {
+      val dir = "/tmp/graft_scale_relation_10x"
+      Snapshots.dropPath(spark, dir)
+      val rows = spark.range(0, nRows, 1, 32).select(
+          col("id").as("key"), (col("id") * 31L).as("payload"))
+        .withColumn("bucket", expr("key div 110"))
+      Snapshots.publish(rows, dir, "bucket", Seq("key"))
+      dir
+    }
+    for ((lbl, mkDir) <- Seq(
+        ("128files", () => mk("128files", 0)),
+        ("896files", () => mk("896files", 6)),
+        ("10x", () => mk10x()))) {
+      val dir = mkDir()
       val v = Snapshots.latest(spark, dir).get
       val abs = Snapshots.files(spark, dir, v).map(r => s"$dir/$r")
       val sch = Snapshots.read(spark, dir).schema
