@@ -629,11 +629,26 @@ object Snapshots {
     * values must be single-line and colon-free on the key side
     * (the manifest line grammar). */
   def setProp(spark: SparkSession, dir: String, key: String,
-              value: Option[String]): Long = {
-    require(key.nonEmpty && !key.contains("=") && !key.contains("\n") &&
-      !key.contains(":"), s"invalid property key '$key'")
-    value.foreach(vv => require(!vv.contains("\n"),
-      s"invalid property value for '$key' (must be single-line)"))
+              value: Option[String]): Long =
+    setProps(spark, dir, Seq(key -> value))
+
+  /** Set/remove SEVERAL carried properties in ONE metadata-only
+    * commit — the atomicity `ALTER TABLE ... SET TBLPROPERTIES('a'=…,
+    * 'b'=…)` needs (per-key commits would half-apply a refused
+    * statement and burn one version per key). EVERY change validates
+    * BEFORE anything commits; `None` removes; the last occurrence of
+    * a repeated key wins. */
+  def setProps(spark: SparkSession, dir: String,
+               changes: Seq[(String, Option[String])]): Long = {
+    require(changes.nonEmpty, "setProps needs at least one change")
+    changes.foreach { case (key, value) =>
+      require(key.nonEmpty && !key.contains("=") && !key.contains("\n") &&
+        !key.contains(":"), s"invalid property key '$key'")
+      value.foreach(vv => require(!vv.contains("\n"),
+        s"invalid property value for '$key' (must be single-line)"))
+    }
+    val effective = scala.collection.mutable.LinkedHashMap[String, Option[String]]()
+    changes.foreach { case (k, vv) => effective.remove(k); effective.put(k, vv) }
     resolveForWrite(spark, dir)
     val prev = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir has no snapshots"))
@@ -641,12 +656,15 @@ object Snapshots {
     // #batch deliberately carries (the exactly-once ledger must
     // survive metadata-only commits — see carriedBatch); #txn must not
     // (this commit is not that transaction's member)
+    val keys = effective.keySet
     val kept = pm.meta.filterNot(m => m.startsWith("#format:") ||
-        m.startsWith(s"#prop:$key=") || m.startsWith("#txn:"))
+        keys.exists(k => m.startsWith(s"#prop:$k=")) || m.startsWith("#txn:"))
       .map(_.stripPrefix("#"))
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, pm.files,
-      Seq("format:2") ++ kept ++ value.map(vv => s"prop:$key=$vv").toSeq)
+      Seq("format:2") ++ kept ++ effective.toSeq.collect {
+        case (k, Some(vv)) => s"prop:$k=$vv"
+      })
     v
   }
 
@@ -1006,9 +1024,14 @@ object Snapshots {
     if (toPhys.isEmpty) df
     else df.select(df.columns.map(c => col(c).as(toPhys.getOrElse(c, c))): _*)
 
-  private def appendImpl(df: DataFrame, dir: String, bucketCol: String,
-                         sortCols: Seq[String], blockSize: Long,
-                         numTasks: Int, extraMeta: Seq[String]): Long = {
+  /** The SHARED incremental-write prologue ([[append]] and
+    * [[overwrite]] differ only in the committed file list and the
+    * carried per-file lines): resolve, stage under physical names
+    * with the table's declared stats/ndv columns, merge the schema
+    * additively, claim the next version. */
+  private def stagedIncremental(df: DataFrame, dir: String,
+      bucketCol: String, sortCols: Seq[String], blockSize: Long,
+      numTasks: Int): (Manifest, Staged, String, Long) = {
     val spark = df.sparkSession
     resolveForWrite(spark, dir)
     val prev = latest(spark, dir).getOrElse(
@@ -1023,7 +1046,15 @@ object Snapshots {
       case Some(ps) => mergeSchemas(ps, nullable(df.schema)).json
       case None => st.schemaJson
     }
-    val v = claimAbove(spark, dir, prev)
+    (pm, st, schema, claimAbove(spark, dir, prev))
+  }
+
+  private def appendImpl(df: DataFrame, dir: String, bucketCol: String,
+                         sortCols: Seq[String], blockSize: Long,
+                         numTasks: Int, extraMeta: Seq[String]): Long = {
+    val spark = df.sparkSession
+    val (pm, st, schema, v) =
+      stagedIncremental(df, dir, bucketCol, sortCols, blockSize, numTasks)
     commit(spark, dir, v, pm.files ++ st.rels,
       extraMeta ++ Seq("format:2", s"schema:$schema") ++
         carriedBatch(pm, extraMeta) ++ pm.propLines ++
@@ -1051,20 +1082,8 @@ object Snapshots {
                 sortCols: Seq[String], blockSize: Long = 128L * 1024 * 1024,
                 numTasks: Int = 32): Long = {
     val spark = df.sparkSession
-    resolveForWrite(spark, dir)
-    val prev = latest(spark, dir).getOrElse(
-      throw new IllegalArgumentException(s"$dir has no snapshots — use publish"))
-    val pm = manifest(spark, dir, prev)
-    val tp = pm.toPhysical
-    val st = stage(toPhysicalDf(df, tp), dir,
-      tp.getOrElse(bucketCol, bucketCol),
-      sortCols.map(c => tp.getOrElse(c, c)), blockSize, numTasks,
-      stat2Cols = pm.statCols, ndvCols = pm.ndvCols)
-    val schema = pm.schemaOpt match {
-      case Some(ps) => mergeSchemas(ps, nullable(df.schema)).json
-      case None => st.schemaJson
-    }
-    val v = claimAbove(spark, dir, prev)
+    val (pm, st, schema, v) =
+      stagedIncremental(df, dir, bucketCol, sortCols, blockSize, numTasks)
     commit(spark, dir, v, st.rels,
       Seq("format:2", s"schema:$schema") ++ carriedBatch(pm) ++
         pm.propLines ++ pm.colmapLines ++

@@ -2278,6 +2278,40 @@ object Relational {
       .orderBy(col("section"), col("label"))
   }
 
+  /** One extensions-bearing session per warehouse for [[q190]] —
+    * built over the ambient SparkContext with the default/active
+    * session swapped out and restored (`spark.sql.extensions` is a
+    * static conf the gate session predates; `withExtensions` is the
+    * over-a-live-context path). A cached session bound to a STOPPED
+    * context rebuilds — the cache must not outlive a context restart
+    * the way `builder().getOrCreate()` never would. */
+  private val namedExtSessions =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  private def namedExtSession(wh: String): SparkSession =
+    namedExtSessions.synchronized {
+      val cached = namedExtSessions.get(wh)
+      if (cached != null && !cached.sparkContext.isStopped) cached
+      else {
+        val prevDefault = SparkSession.getDefaultSession
+        val prevActive = SparkSession.getActiveSession
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        val built =
+          try SparkSession.builder()
+            .withExtensions(new graft.GraftExtensions)
+            .config("spark.sql.catalog.gq190", "graft.sources.GraftCatalog")
+            .config("spark.sql.catalog.gq190.warehouse", wh)
+            .getOrCreate()
+          finally {
+            prevDefault.foreach(SparkSession.setDefaultSession)
+            prevActive.foreach(SparkSession.setActiveSession)
+          }
+        namedExtSessions.put(wh, built)
+        built
+      }
+    }
+
   /** The NAMED-TABLE (DSv2) surface under the gate — the r11 verdict's
     * #1 ask: tables get NAMES. A catalog-backed warehouse
     * ([[graft.sources.GraftCatalog]] over a tmp root) is exercised
@@ -2298,31 +2332,6 @@ object Relational {
     * drops below the dim's recorded size — the planner is reading
     * the manifest's statistics, not guessing. All folds restated
     * closed-form from raw orders by the oracle. */
-  /** One extensions-bearing session per warehouse for [[q190]] —
-    * built over the ambient SparkContext with the default/active
-    * session swapped out and restored (`spark.sql.extensions` is a
-    * static conf the gate session predates; `withExtensions` is the
-    * over-a-live-context path). */
-  private val namedExtSessions =
-    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
-
-  private def namedExtSession(wh: String): SparkSession =
-    namedExtSessions.computeIfAbsent(wh, { _ =>
-      val prevDefault = SparkSession.getDefaultSession
-      val prevActive = SparkSession.getActiveSession
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      try SparkSession.builder()
-        .withExtensions(new graft.GraftExtensions)
-        .config("spark.sql.catalog.gq190", "graft.sources.GraftCatalog")
-        .config("spark.sql.catalog.gq190.warehouse", wh)
-        .getOrCreate()
-      finally {
-        prevDefault.foreach(SparkSession.setDefaultSession)
-        prevActive.foreach(SparkSession.setActiveSession)
-      }
-    })
-
   def q190(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Snapshots
     import spark.implicits._

@@ -274,6 +274,21 @@ class NamedTableSpec extends SparkSuite {
     ext.sql("ALTER TABLE gcat.db.ow UNSET TBLPROPERTIES('retainversions')")
     assert(!Snapshots.propsAt(ext, owDir, Snapshots.latest(ext, owDir).get)
       .contains("retainversions"))
+    // ATOMIC: a statement with one valid and one invalid key commits
+    // NOTHING (validation runs before any commit; all props land in
+    // one commit)
+    val vPreAtomic = Snapshots.latest(ext, owDir).get
+    intercept[Exception] {
+      ext.sql("ALTER TABLE gcat.db.ow SET TBLPROPERTIES(" +
+        "'good'='1', 'bad:key'='2')")
+    }
+    assert(Snapshots.latest(ext, owDir).get === vPreAtomic,
+      "the refused statement committed nothing")
+    assert(!Snapshots.propsAt(ext, owDir, vPreAtomic).contains("good"),
+      "not even the valid key of a refused statement applies")
+    ext.sql("ALTER TABLE gcat.db.ow SET TBLPROPERTIES('p1'='a','p2'='b')")
+    assert(Snapshots.latest(ext, owDir).get === vPreAtomic + 1,
+      "a multi-key SET is ONE commit, not one per key")
     ext.sql("ALTER TABLE gcat.db.ow RENAME COLUMN v TO val")
     assert(ext.sql("SELECT sum(val) FROM gcat.db.ow").head().getLong(0) ===
       (0 until 30).map(_ * 10L).sum)
