@@ -1708,6 +1708,49 @@ object Snapshots {
       keyCols: Seq[String], candidatesOf: Manifest => Seq[String]): Long = {
     require(keyCols.nonEmpty, "delete needs key columns")
     val spark = keys.sparkSession
+    deleteVectoredHits(spark, dir) { (pm, oldDv) =>
+      val candidates = candidatesOf(pm)
+      if (candidates.isEmpty) None
+      // ONE read of the candidate buckets (already-dead rows excluded
+      // so a vector never double-records), broadcast-semi-joined to
+      // the keys: the matched rows' (file, position) pairs ARE the
+      // delete
+      else Some(readFiles(spark, dir, candidates, pm.schemaOpt, pm.colMap,
+          pm.fileSizes, dv = oldDv, withPos = true)
+        .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
+          keyCols, "left_semi")
+        .select(FileCol, PosCol))
+    }
+  }
+
+  /** MERGE-ON-READ delete by PREDICATE — the SQL `DELETE FROM ...
+    * WHERE` engine ([[graft.sources.GraftTable]]'s SupportsDelete
+    * lands here): rows matching `condition` at the table HEAD commit
+    * as deletion-vector positions, ZERO files written — the shape a
+    * GDPR `DELETE FROM t WHERE id IN (...)` wants on ANY layout
+    * (positions are layout-agnostic; no key/bucket contract needed).
+    * File pruning comes free: pushed-down conjuncts of `condition`
+    * drop whole files at planning via the manifest's typed stats.
+    * The per-file [[Dv.MaxInlinePositions]] refusal applies — a
+    * rewrite-scale delete (e.g. an unfiltered TRUNCATE) refuses
+    * toward the copy-on-write paths. */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  condition: org.apache.spark.sql.Column): Long =
+    deleteVectoredHits(spark, dir) { (pm, oldDv) =>
+      Some(readFiles(spark, dir, pm.files, pm.schemaOpt, pm.colMap,
+          pm.fileSizes, statsPruner(pm), dv = oldDv, withPos = true)
+        .filter(condition)
+        .select(FileCol, PosCol))
+    }
+
+  /** The vectored-delete ENGINE: `hitsOf` turns the latest manifest
+    * (+ its resolved vectors, for already-dead exclusion) into the
+    * (file, position) frame to kill — None/empty means nothing
+    * matched and nothing commits. Guards the per-file inline budget,
+    * grows vectors, re-encodes inline-vs-sidecar, carries everything
+    * else verbatim, one metadata-only commit. */
+  private def deleteVectoredHits(spark: SparkSession, dir: String)(
+      hitsOf: (Manifest, Map[String, Array[Long]]) => Option[DataFrame]): Long = {
     resolveForWrite(spark, dir)
     val prev = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir has no snapshots"))
@@ -1715,17 +1758,11 @@ object Snapshots {
     val schema = pm.schemaOpt.map(nullable(_).json).getOrElse(
       throw new IllegalArgumentException(
         s"$dir predates manifest format 2 — deleteVectored needs a schema"))
-    val candidates = candidatesOf(pm)
-    if (candidates.isEmpty) return prev
-    // ONE read of the candidate buckets (already-dead rows excluded so
-    // a vector never double-records), broadcast-semi-joined to the
-    // keys: the matched rows' (file, position) pairs ARE the delete
     val oldDv = resolveDv(spark, dir, pm)
-    val hitsDf = readFiles(spark, dir, candidates, pm.schemaOpt, pm.colMap,
-        pm.fileSizes, dv = oldDv, withPos = true)
-      .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
-        keyCols, "left_semi")
-      .select(FileCol, PosCol)
+    val hitsDf = hitsOf(pm, oldDv) match {
+      case None => return prev
+      case Some(h) => h
+    }
     // ENFORCE the documented refusal before anything lands on the
     // driver: a vector past Dv.MaxInlinePositions per file means the
     // erasure is rewrite-scale — the copy-on-write delete is the

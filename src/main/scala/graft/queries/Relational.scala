@@ -2394,8 +2394,18 @@ object Relational {
       Snapshots.latest(ext, s"$wh/db/t").get)
       .get("maintain.bucket").contains("b")
     val versions = Snapshots.versions(ext, s"$wh/db/t").size.toLong
+    // SQL DELETE FROM: a merge-on-read erasure — zero files written
+    // (same file list), folds subtract exactly the killed keys
+    val filesPreDel = Snapshots.files(ext, s"$wh/db/t",
+      Snapshots.latest(ext, s"$wh/db/t").get)
+    ext.sql("DELETE FROM gq190.db.t WHERE k IN (14, 70, 700)")
+    val filesPostDel = Snapshots.files(ext, s"$wh/db/t",
+      Snapshots.latest(ext, s"$wh/db/t").get)
+    val (dc, dk, dcc) = folds("gq190.db.t")
     Seq(
       ("create", "t", emptyRows, if (versions == 3L) 1L else 0L, 1L),
+      ("delete", "where", dc, dk,
+        if (filesPostDel == filesPreDel) dcc else -1L),
       ("format", "load",
         if (fmtHead == tc) 1L else 0L,
         if (fmtV2 == v2c) 1L else 0L, 1L),
@@ -3825,9 +3835,15 @@ object Relational {
          |a AS (SELECT count(*) AS n,
          |  CAST(sum(k % 1000000000000) AS BIGINT) AS sk,
          |  CAST(sum(c % 1000000000000) AS BIGINT) AS sc FROM t1),
+         |d AS (SELECT count(*) AS n,
+         |  CAST(sum(k % 1000000000000) AS BIGINT) AS sk,
+         |  CAST(sum(c % 1000000000000) AS BIGINT) AS sc FROM t1
+         |  WHERE k NOT IN (14, 70, 700)),
          |agg AS (
          |  SELECT 'create' AS section, 't' AS label, CAST(0 AS BIGINT) AS m1,
          |    CAST(1 AS BIGINT) AS m2, CAST(1 AS BIGINT) AS m3
+         |  UNION ALL SELECT 'delete', 'where', (SELECT n + 1 FROM d),
+         |    (SELECT sk + 2147483648 FROM d), (SELECT sc - 1 FROM d)
          |  UNION ALL SELECT 'format', 'load', 1, 1, 1
          |  UNION ALL SELECT 'insert', 'head', (SELECT n + 1 FROM a),
          |    (SELECT sk + 2147483648 FROM a), (SELECT sc - 1 FROM a)

@@ -104,7 +104,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   * [[GraftRelationRule]]; writes go through the V1 fallback so the
   * insert is the Scala API's layout-dispatched append. */
 final case class GraftTable(dir: String, versionAsOf: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String =
     versionAsOf.fold(s"graft.`$dir`")(v => s"graft.`$dir`@v$v")
@@ -126,18 +127,91 @@ final case class GraftTable(dir: String, versionAsOf: Option[Long])
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  /** Never reached in a correctly-deployed session: the
-    * [[GraftRelationRule]] resolution rule replaces this relation with
-    * the manifest-statistics V1 plan long before scan planning. */
+  /** Never EXECUTED in a correctly-deployed session: the
+    * [[GraftRelationRule]] resolution rule replaces read relations
+    * with the manifest-statistics V1 plan long before scan planning.
+    * The builder itself must still CONSTRUCT, though — `DELETE FROM`
+    * keeps its V2 relation and Spark's V2ScanRelationPushDown calls
+    * newScanBuilder on it during optimization even though the
+    * metadata-only delete never runs the scan — so only `toBatch`
+    * (actual execution) refuses, with the deployment story. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    throw new IllegalStateException(
-      "graft named-table reads plan through the GraftExtensions " +
-        "resolution rule — start the session with " +
-        "spark.sql.extensions=graft.GraftExtensions (the same " +
-        "deployment contract as Delta's extension)")
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = schema
+          override def description(): String = name()
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            throw new IllegalStateException(
+              "graft named-table reads plan through the GraftExtensions " +
+                "resolution rule — start the session with " +
+                "spark.sql.extensions=graft.GraftExtensions (the same " +
+                "deployment contract as Delta's extension)")
+        }
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(dir, versionAsOf, overwriting = false)
+
+  /** SQL `DELETE FROM ... WHERE` — a MERGE-ON-READ delete on any
+    * layout ([[Snapshots.deleteWhere]]: matched positions commit as
+    * deletion vectors, zero files written; the per-file inline budget
+    * refuses rewrite-scale deletes toward the copy-on-write paths).
+    * Spark hands us the condition as source Filters only when it is
+    * fully translatable — which covers the GDPR headline
+    * (`WHERE id IN (...)`, equality, ranges); richer predicates go
+    * through the Scala `deleteWhere(Column)` directly. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => GraftTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(versionAsOf.isEmpty,
+      "cannot DELETE from a time-travel (versionAsOf) read")
+    val cond = filters.map(f => GraftTable.filterToColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"cannot translate delete filter $f — use " +
+            "Snapshots.deleteWhere(Column) for richer predicates")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Snapshots.deleteWhere(SparkSession.active, dir, cond)
+    ()
+  }
+}
+
+object GraftTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.sources
+
+  /** Translate one pushed-down source Filter back to a Column — the
+    * exact evaluation [[Snapshots.deleteWhere]] runs (null semantics
+    * match the filters' own contracts: comparisons null out, In
+    * matches non-null members only). */
+  private[sources] def filterToColumn(f: sources.Filter): Option[Column] =
+    f match {
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case sources.Not(c) => filterToColumn(c).map(!_)
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
 }
 
 /** The V1-fallback write: INSERT INTO appends, and the planner's

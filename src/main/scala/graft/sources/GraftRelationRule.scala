@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, Project, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -36,6 +36,10 @@ case class GraftRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case w: V2WriteCommand =>
       val nq = apply(w.query)
       if (nq eq w.query) w else w.withNewQuery(nq)
+    // DELETE FROM keeps its V2 relation too (not a V2WriteCommand —
+    // it is its own UnaryCommand): the SupportsDelete planning needs
+    // the table node intact
+    case d: DeleteFromTable => d
     case _ => plan.resolveOperators {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
         val t = r.table.asInstanceOf[GraftTable]

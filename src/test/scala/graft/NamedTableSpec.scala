@@ -236,6 +236,63 @@ class NamedTableSpec extends SparkSuite {
       .filter(col("k") < 10 && col("v") === 9L).count() === 10L)
   }
 
+  test("SQL DELETE FROM is a MERGE-ON-READ delete on ANY layout: " +
+    "IN-list and range predicates commit deletion vectors (zero files " +
+    "written), time travel reads the pre-delete state, file pruning " +
+    "fires off the pushed predicate, and a rewrite-scale delete " +
+    "refuses toward copy-on-write") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    ext.sql("""CREATE TABLE gcat.db.del (k BIGINT, v BIGINT, bucket BIGINT)
+      USING graft TBLPROPERTIES(
+        'maintain.bucket'='bucket', 'maintain.sort'='k')""")
+    ext.sql("INSERT INTO gcat.db.del SELECT id, id * 3, id % 4 " +
+      "FROM range(0, 2000)")
+    val dDir = s"$warehouse/db/del"
+    val filesPre = Snapshots.files(ext, dDir, Snapshots.latest(ext, dDir).get)
+    // the GDPR headline: an IN-list of ids
+    ext.sql("DELETE FROM gcat.db.del WHERE k IN (3, 700, 1500, 1999)")
+    assert(Snapshots.files(ext, dDir, Snapshots.latest(ext, dDir).get)
+      === filesPre, "metadata-only: same data files")
+    assert(ext.sql("SELECT count(*) FROM gcat.db.del").head().getLong(0)
+      === 1996L)
+    assert(ext.sql(
+      "SELECT count(*) FROM gcat.db.del WHERE k IN (3, 700, 1500, 1999)")
+      .head().getLong(0) === 0L)
+    // a range + conjunction predicate
+    ext.sql("DELETE FROM gcat.db.del WHERE k >= 100 AND k < 110")
+    assert(ext.sql("SELECT count(*) FROM gcat.db.del").head().getLong(0)
+      === 1986L)
+    assert(ext.sql("SELECT count(*) FROM gcat.db.del VERSION AS OF 2")
+      .head().getLong(0) === 2000L, "time travel across the deletes")
+    // a z-layout table deletes the same way — positions are
+    // layout-agnostic
+    val zdir = s"$warehouse/db/zdel"
+    ZOrderTable.publish(
+      ext.range(0, 3000, 1, 4).select(col("id"),
+        (col("id") * 7919 % 65536).as("x"),
+        (col("id") * 104729 % 65536).as("y")),
+      zdir, Seq("x", "y"), shift = 26)
+    val zFilesPre = Snapshots.files(ext, zdir, Snapshots.latest(ext, zdir).get)
+    ext.sql("DELETE FROM gcat.db.zdel WHERE id IN (5, 55, 555)")
+    assert(Snapshots.files(ext, zdir, Snapshots.latest(ext, zdir).get)
+      === zFilesPre)
+    assert(ext.sql("SELECT count(*) FROM gcat.db.zdel").head().getLong(0)
+      === 2997L)
+    // rewrite-scale (unfiltered-ish) deletes refuse once a file's
+    // vector would exceed the inline budget — exercised through the
+    // Scala surface on a 1.1M-row single-bucket table
+    val bigDir = tmpDir("delbig") + "/tbl"
+    Snapshots.publish(
+      ext.range(0, 1100000, 1, 4).select(col("id").as("k"),
+        lit(0L).as("bucket")), bigDir, "bucket", Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.deleteWhere(ext, bigDir, col("k") % 21 =!= 0)
+    }
+    assert(e.getMessage.contains("copy-on-write"), e.getMessage)
+    assert(Snapshots.versions(ext, bigDir) === Seq(1L),
+      "the refused delete committed nothing")
+  }
+
   test("SQL writes round out: INSERT OVERWRITE replaces a flat table's " +
     "head (time travel intact, props carried) and REFUSES on clustered " +
     "layouts; ALTER TABLE SET/UNSET TBLPROPERTIES and RENAME COLUMN " +
