@@ -1077,11 +1077,25 @@ object Snapshots {
     * stays additive like [[append]] — an overwrite may add/widen
     * columns, never drop them (the read surface of a table must not
     * shrink behind a reader's back; rebuild under a new dir for a
-    * breaking change). */
+    * breaking change).
+    *
+    * FLAT tables only — same refusal as the SQL path
+    * ([[NamedTables.overwriteInto]]): an overwrite of a z/hash/width
+    * table writes files with NO layout epoch lines, silently
+    * de-clustering it (z keeps its `zlayout` prop but every new file
+    * lands on the conservative unknown-epoch path). Re-publishing
+    * through the layout's own APIs is the supported move. */
   def overwrite(df: DataFrame, dir: String, bucketCol: String,
                 sortCols: Seq[String], blockSize: Long = 128L * 1024 * 1024,
                 numTasks: Int = 32): Long = {
     val spark = df.sparkSession
+    latest(spark, dir).foreach { cur =>
+      val layout = NamedTables.layoutAt(spark, dir, cur)
+      require(layout == "flat",
+        s"overwrite is not supported on a $layout-layout table ($dir) " +
+          "— overwriting a clustered table is a re-publish decision; " +
+          "use the layout's own publish APIs")
+    }
     val (pm, st, schema, v) =
       stagedIncremental(df, dir, bucketCol, sortCols, blockSize, numTasks)
     commit(spark, dir, v, st.rels,
@@ -1989,6 +2003,49 @@ object Snapshots {
         carriedBatch(pm) ++
         newMap.toSeq.sorted.map { case (p, l) => s"colmap:$p:$l" } ++ carried)
     v
+  }
+
+  /** Validate a SEQUENCE of renames against the table's current state
+    * WITHOUT committing anything — the all-or-nothing half of ALTER
+    * TABLE: the catalog runs this before its property commit so a
+    * rename that would be refused (missing column, taken name,
+    * layout-bound key) refuses the WHOLE statement up front instead
+    * of landing the property changes and then failing. Simulates the
+    * sequence over the evolving field set; the layout bindings are
+    * invariant across it (a bound name can never be renamed, so it
+    * can never be freed or shadowed mid-sequence). */
+  def renamePrecheck(spark: SparkSession, dir: String,
+                     renames: Seq[(String, String)]): Unit = {
+    if (renames.isEmpty) return
+    val prev = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots"))
+    val pm = manifest(spark, dir, prev)
+    val ps = pm.schemaOpt.getOrElse(throw new IllegalArgumentException(
+      s"$dir predates manifest format 2 — rename needs a recorded schema"))
+    var names = ps.fieldNames.toSet
+    renames.foreach { case (oldName, newName) =>
+      require(names.contains(oldName),
+        s"rename: no column $oldName in $dir")
+      require(!names.contains(newName),
+        s"rename: column $newName already exists in $dir")
+      require(newName.nonEmpty && !newName.contains(":") &&
+        !newName.contains("\n") && newName != DirCol,
+        s"rename: invalid column name '$newName'")
+      require(!pm.metaValues("bucketw").exists(_.split(":", 2)(0) == oldName),
+        s"rename: $oldName is a width-bucketed table's layout key — " +
+          "unsupported (the #bucketw metadata binds it by name)")
+      require(!pm.props.get("zlayout").exists(
+          _.split(":", 3)(2).split(",").contains(oldName)),
+        s"rename: $oldName is a z-order table's layout dimension — " +
+          "unsupported (the zlayout property binds it by name)")
+      require(!pm.metaValues("bucketh").exists(_.split(":", 2)(0) == oldName),
+        s"rename: $oldName is a hash-bucketed table's key column — " +
+          "unsupported (the #bucketh metadata binds it by name)")
+      require(!pm.props.contains(s"zmap.$oldName"),
+        s"rename: $oldName is a quantile-mapped z-order dimension — " +
+          "unsupported (the zmap property binds it by name)")
+      names = names - oldName + newName
+    }
   }
 
   /** Idempotent batch upsert — the foreachBatch EXACTLY-ONCE sink

@@ -611,12 +611,15 @@ object ZOrderTable {
     *     exactly K−1 output rows.
     *
     * Cuts are bit-identical to the former global-window derivation
-    * (exact arithmetic end to end); only the execution shape changed. */
+    * (exact arithmetic end to end); only the execution shape changed.
+    *
+    * The third element is the PERSISTED value histogram the frame
+    * reads from — the caller MUST `unpersist()` it after its action
+    * (mirror [[deriveCuts]]'s try/finally), or a row-count-sized
+    * cached frame leaks per call on continuous dimensions. */
   private[graft] def cutsFrame(df: DataFrame, dim: String,
-                               buckets: Int): (DataFrame, String) = {
-    val (frame, kind, _) = cutsFrameHist(df, dim, buckets)
-    (frame, kind)
-  }
+      buckets: Int): (DataFrame, String, DataFrame) =
+    cutsFrameHist(df, dim, buckets)
 
   private def cutsFrameHist(df: DataFrame, dim: String,
       buckets: Int): (DataFrame, String, DataFrame) = {

@@ -1320,15 +1320,16 @@ object ScaleStress {
       col("id"),
       (sin(col("id").cast("double")) * 1e6 +
         col("id").cast("double") / 7.0).as("price"))
-    val (frame, kind) = ZOrderTable.cutsFrame(cont, "price", 256)
+    val (frame, kind, hist) = ZOrderTable.cutsFrame(cont, "price", 256)
     val windows = frame.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
     println(s"[stress] zcuts: windows=${windows.size}, unpartitioned=" +
       s"${windows.count(_.partitionSpec.isEmpty)} (must be 0)")
-    timed(s"zcuts: exact 256-quantile cuts over $n CONTINUOUS doubles " +
-      s"(kind=$kind, banded prefix sum)")(
+    try timed(s"zcuts: exact 256-quantile cuts over $n CONTINUOUS " +
+      s"doubles (kind=$kind, banded prefix sum)")(
       frame.orderBy(col("d")).select("cut").collect().length)
+    finally hist.unpersist()
     }
 
     if (sections("dvdist")) {

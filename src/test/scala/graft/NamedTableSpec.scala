@@ -352,6 +352,39 @@ class NamedTableSpec extends SparkSuite {
     assert(ext.sql("SELECT * FROM gcat.db.ow VERSION AS OF 3").columns
       .toSeq === Seq("k", "v", "bucket"),
       "pre-rename versions read under their own names")
+    // ATOMIC across change KINDS: a statement mixing a valid SET with
+    // a refusable RENAME (missing source column) commits NOTHING —
+    // renames run after the property commit, so they pre-validate
+    // against the current schema before anything lands. (Spark's SQL
+    // parser carries SET and RENAME as separate statements; the mixed
+    // shape arrives through the TableCatalog API.)
+    val cat0 = ext.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val owIdent = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("db"), "ow")
+    val vPre2 = Snapshots.latest(ext, owDir).get
+    val e2 = intercept[Exception] {
+      cat0.alterTable(owIdent,
+        org.apache.spark.sql.connector.catalog.TableChange
+          .setProperty("should.not.land", "1"),
+        org.apache.spark.sql.connector.catalog.TableChange
+          .renameColumn(Array("no_such_col"), "whatever"))
+    }
+    assert(e2.getMessage.contains("no column no_such_col"), e2.getMessage)
+    assert(Snapshots.latest(ext, owDir).get === vPre2,
+      "a refusable rename refuses the WHOLE statement — no commit")
+    assert(!Snapshots.propsAt(ext, owDir, vPre2).contains("should.not.land"),
+      "the valid property half of the refused statement never lands")
+    // ... and the Scala API's overwrite carries the same layout
+    // refusal as the SQL path (the guard lives in Snapshots.overwrite)
+    val e3 = intercept[IllegalArgumentException] {
+      Snapshots.overwrite(
+        ext.range(0, 5).select(col("id").cast("string").as("key"),
+          col("id").as("n")),
+        s"$warehouse/db/owh", "n", Seq("key"))
+    }
+    assert(e3.getMessage.contains("hash-layout"), e3.getMessage)
+    assert(e3.getMessage.contains("re-publish"), e3.getMessage)
   }
 
   test("catalog identifier segments are PATH-validated: '..', '/' and " +
@@ -370,6 +403,15 @@ class NamedTableSpec extends SparkSuite {
       assert(msgs(e).exists(_.contains("identifier segment")),
         s"'$q' must refuse with the segment validation, got: $e")
     }
+    // a NUL-carrying segment refuses too (the validation literal is
+    // written escaped — the source file must stay diffable text)
+    val nulE = intercept[Exception] {
+      ext.sessionState.catalogManager.catalog("gcat")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("db"), "a\u0000b"))
+    }
+    assert(nulE.getMessage.contains("identifier segment"), nulE.getMessage)
     // DROP TABLE returns the contract's boolean: true iff deleted
     ext.sql("CREATE TABLE gcat.db.droppable (k BIGINT) USING graft")
     val cat = ext.sessionState.catalogManager.catalog("gcat")

@@ -492,7 +492,7 @@ class ZOrderTableSpec extends SparkSuite {
       (1 to 700).map(i => 10.0 + i * 0.001)
     val df = vals.map(Tuple1(_)).toDF("price")
     val k = 16
-    val (frame, kind) = ZOrderTable.cutsFrame(df, "price", k)
+    val (frame, kind, hist) = ZOrderTable.cutsFrame(df, "price", k)
     assert(kind === "d")
     val windows = frame.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
@@ -500,8 +500,13 @@ class ZOrderTableSpec extends SparkSuite {
     assert(windows.nonEmpty, "the prefix sum runs through a Window")
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "NEVER a global unpartitioned Window over the value histogram")
-    val cuts = frame.orderBy(col("d")).select("cut").collect()
-      .map(_.getDouble(0))
+    val cuts =
+      try frame.orderBy(col("d")).select("cut").collect()
+        .map(_.getDouble(0))
+      finally hist.unpersist()
+    assert(hist.storageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE,
+      "cutsFrame callers can release the histogram they were handed")
     val sorted = vals.sorted
     val n = sorted.length
     val expect = (1 until k).map { d =>
@@ -511,15 +516,17 @@ class ZOrderTableSpec extends SparkSuite {
     assert(cuts.toSeq === expect, "bit-identical to the exact rule")
     assert(cuts.length === k - 1, "exactly K-1 cut rows, each emitted once")
     // integer kind goes through the same banded shape
-    val (iframe, ikind) = ZOrderTable.cutsFrame(
+    val (iframe, ikind, ihist) = ZOrderTable.cutsFrame(
       spark.range(0, 5000).select(col("id").as("t")), "t", 8)
     assert(ikind === "i")
     assert(iframe.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window
         if w.partitionSpec.isEmpty => w
     }.isEmpty)
-    val icuts = iframe.orderBy(col("d")).select("cut").collect()
-      .map(_.getLong(0))
+    val icuts =
+      try iframe.orderBy(col("d")).select("cut").collect()
+        .map(_.getLong(0))
+      finally ihist.unpersist()
     // exact: min t with (t+1)*8 >= d*5000  =>  t = ceil(d*5000/8) - 1
     assert(icuts.toSeq === (1 until 8).map(d => (d * 5000L + 7) / 8 - 1))
   }
