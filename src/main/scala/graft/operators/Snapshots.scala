@@ -1020,7 +1020,7 @@ object Snapshots {
   /** Swap a frame's columns logical → PHYSICAL for staging (renamed
     * columns write under their birth names so every file in the
     * table agrees — see [[rename]]). */
-  private def toPhysicalDf(df: DataFrame, toPhys: Map[String, String]): DataFrame =
+  private[operators] def toPhysicalDf(df: DataFrame, toPhys: Map[String, String]): DataFrame =
     if (toPhys.isEmpty) df
     else df.select(df.columns.map(c => col(c).as(toPhys.getOrElse(c, c))): _*)
 
@@ -1178,6 +1178,36 @@ object Snapshots {
 
   private def dvDistributeThreshold(spark: SparkSession): Long =
     spark.conf.getOption(DvDistributeThresholdKey).map(_.toLong)
+      .getOrElse(1000000L)
+
+  /** Conf key: candidate-scan byte sum (off the manifest's `#fsize`
+    * lines — free at planning) above which a vectored delete PERSISTS
+    * its hits frame across the refusal guard and the collect. The
+    * persist buys the single-scan property — one read of the
+    * candidate files however wide the erasure — which matters when
+    * the candidates are tens of GB; below the threshold a re-scan is
+    * cheaper than materializing the cache (measured: ~+2 s per delete
+    * at gate scale, pure overhead). */
+  val DvPersistHitsBytesKey = "spark.graft.dv.persistHitsBytes"
+
+  private def dvPersistHitsBytes(spark: SparkSession): Long =
+    spark.conf.getOption(DvPersistHitsBytesKey).map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
+
+  /** Conf key: TOTAL matched positions above which a vectored-delete
+    * COMMIT encodes vectors (and writes sidecars) FROM TASKS instead
+    * of collecting every (file, position) pair onto the driver. The
+    * per-file budget ([[Dv.MaxInlinePositions]]) bounds each file's
+    * vector but not their SUM — a scattered 100M-key erasure over a
+    * 100 TB table passes every per-file check and would otherwise
+    * materialize 100M pairs driver-side before encoding. Past this
+    * threshold the driver receives one (rel, count, payload) row per
+    * touched file — exactly what the manifest will carry anyway. The
+    * write-side mirror of [[DvDistributeThresholdKey]]. */
+  val DvWriteDistributeThresholdKey = "spark.graft.dv.writeDistributeThreshold"
+
+  private def dvWriteDistributeThreshold(spark: SparkSession): Long =
+    spark.conf.getOption(DvWriteDistributeThresholdKey).map(_.toLong)
       .getOrElse(1000000L)
 
   private[operators] def readFiles(spark: SparkSession, dir: String,
@@ -1722,18 +1752,20 @@ object Snapshots {
       keyCols: Seq[String], candidatesOf: Manifest => Seq[String]): Long = {
     require(keyCols.nonEmpty, "delete needs key columns")
     val spark = keys.sparkSession
-    deleteVectoredHits(spark, dir) { (pm, oldDv) =>
+    deleteVectoredHits(spark, dir) { pm =>
       val candidates = candidatesOf(pm)
       if (candidates.isEmpty) None
       // ONE read of the candidate buckets (already-dead rows excluded
-      // so a vector never double-records), broadcast-semi-joined to
+      // so a vector never double-records — sidecar debt stays off the
+      // driver via the dvRefs passthrough), broadcast-semi-joined to
       // the keys: the matched rows' (file, position) pairs ARE the
       // delete
-      else Some(readFiles(spark, dir, candidates, pm.schemaOpt, pm.colMap,
-          pm.fileSizes, dv = oldDv, withPos = true)
+      else Some((readFiles(spark, dir, candidates, pm.schemaOpt, pm.colMap,
+          pm.fileSizes, dv = pm.dv, dvRefs = pm.dvRefs, withPos = true)
         .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
           keyCols, "left_semi")
-        .select(FileCol, PosCol))
+        .select(FileCol, PosCol),
+        candidates.iterator.flatMap(pm.fileSizes.get).sum))
     }
   }
 
@@ -1750,21 +1782,39 @@ object Snapshots {
     * toward the copy-on-write paths. */
   def deleteWhere(spark: SparkSession, dir: String,
                   condition: org.apache.spark.sql.Column): Long =
-    deleteVectoredHits(spark, dir) { (pm, oldDv) =>
-      Some(readFiles(spark, dir, pm.files, pm.schemaOpt, pm.colMap,
-          pm.fileSizes, statsPruner(pm), dv = oldDv, withPos = true)
+    deleteVectoredHits(spark, dir) { pm =>
+      Some((readFiles(spark, dir, pm.files, pm.schemaOpt, pm.colMap,
+          pm.fileSizes, statsPruner(pm), dv = pm.dv, dvRefs = pm.dvRefs,
+          withPos = true)
         .filter(condition)
-        .select(FileCol, PosCol))
+        .select(FileCol, PosCol),
+        pm.fileSizes.values.sum))
     }
 
   /** The vectored-delete ENGINE: `hitsOf` turns the latest manifest
-    * (+ its resolved vectors, for already-dead exclusion) into the
-    * (file, position) frame to kill — None/empty means nothing
-    * matched and nothing commits. Guards the per-file inline budget,
-    * grows vectors, re-encodes inline-vs-sidecar, carries everything
-    * else verbatim, one metadata-only commit. */
+    * into the (file, position) frame to kill plus a candidate-scan
+    * byte estimate (off the manifest's `#fsize` lines) — None/empty
+    * means nothing matched and nothing commits. Guards the per-file
+    * inline budget, grows vectors, re-encodes inline-vs-sidecar,
+    * carries everything else verbatim, one metadata-only commit.
+    *
+    * Old-vector exclusion rides `hitsOf`'s own read (inline `#dv`
+    * plus `#dvf` refs passthrough — deep sidecar debt never
+    * materializes on the driver here), and the budget guard reads the
+    * LINE-carried counts, so no sidecar opens before the encode pass.
+    *
+    * Two scale knobs:
+    *  - the hits frame PERSISTS across the refusal guard and the
+    *    encode pass only when the candidate scan is worth caching
+    *    ([[DvPersistHitsBytesKey]] — below it a re-scan beats the
+    *    materialization, measured ~2 s per delete at gate scale);
+    *  - past [[DvWriteDistributeThresholdKey]] TOTAL matched
+    *    positions, vectors encode (and sidecars write) FROM TASKS —
+    *    the driver collects one (rel, count, payload) row per touched
+    *    file, never the pairs themselves, so the commit path is
+    *    bounded by file count like every other metadata operation. */
   private def deleteVectoredHits(spark: SparkSession, dir: String)(
-      hitsOf: (Manifest, Map[String, Array[Long]]) => Option[DataFrame]): Long = {
+      hitsOf: Manifest => Option[(DataFrame, Long)]): Long = {
     resolveForWrite(spark, dir)
     val prev = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir has no snapshots"))
@@ -1772,43 +1822,64 @@ object Snapshots {
     val schema = pm.schemaOpt.map(nullable(_).json).getOrElse(
       throw new IllegalArgumentException(
         s"$dir predates manifest format 2 — deleteVectored needs a schema"))
-    val oldDv = resolveDv(spark, dir, pm)
-    val hitsDf = hitsOf(pm, oldDv) match {
+    val (hitsDf, candBytes) = hitsOf(pm) match {
       case None => return prev
       case Some(h) => h
     }
-    // ENFORCE the documented refusal before anything lands on the
-    // driver: a vector past Dv.MaxInlinePositions per file means the
-    // erasure is rewrite-scale — the copy-on-write delete is the
-    // right tool (and an unbounded collect would OOM the driver, not
-    // refuse). The candidate-bucket scan + semi-join is PERSISTED
-    // across the guard aggregate and the collect so a wide erasure
-    // pays ONE read of the candidate buckets, not two.
-    hitsDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hits = try {
+    // existing debt per file from the manifest LINES alone (sidecar
+    // lines carry their counts) — the guard never opens a sidecar
+    def oldLen(rel: String): Long =
+      pm.dvRefs.get(rel).map(_._1)
+        .orElse(pm.dv.get(rel).map(_.length.toLong)).getOrElse(0L)
+    val doPersist = candBytes >= dvPersistHitsBytes(spark)
+    if (doPersist)
+      hitsDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one (rel, grown count, payload) per touched file;
+    // payload "i:<b64>" = inline line body, "f:<rel>" = sidecar path
+    val encoded: Array[(String, Long, String)] = try {
+      // ENFORCE the documented refusal before anything lands on the
+      // driver: a vector past Dv.MaxInlinePositions per file means the
+      // erasure is rewrite-scale — the copy-on-write delete is the
+      // right tool (an unbounded collect would OOM the driver, not
+      // refuse)
       val perFile = hitsDf.groupBy(FileCol).count().collect()
       perFile.foreach { r =>
-        val already = oldDv.get(r.getString(0)).map(_.length).getOrElse(0)
-        require(r.getLong(1) + already <= Dv.MaxInlinePositions,
+        val total = r.getLong(1) + oldLen(r.getString(0))
+        require(total <= Dv.MaxInlinePositions,
           s"deleteVectored would grow ${r.getString(0)}'s vector to " +
-            s"${r.getLong(1) + already} positions (> ${Dv.MaxInlinePositions})" +
+            s"$total positions (> ${Dv.MaxInlinePositions})" +
             " — use the copy-on-write delete; rewriting is cheaper at that churn")
       }
-      hitsDf.collect()
-    } finally hitsDf.unpersist()
-    if (hits.isEmpty) return prev
-    val grown = hits.groupBy(_.getString(0)).map { case (rel, rs) =>
-      rel -> Dv.merge(oldDv.getOrElse(rel, Array.empty[Long]),
-        rs.map(_.getLong(1)))
-    }
+      if (perFile.isEmpty) Array.empty[(String, Long, String)]
+      else if (perFile.iterator.map(_.getLong(1)).sum <=
+          dvWriteDistributeThreshold(spark)) {
+        // bounded erasure: collect the pairs, merge + encode on the
+        // driver; old SIDECARS are read for touched files only
+        hitsDf.collect().groupBy(_.getString(0)).toArray.map {
+          case (rel, rs) =>
+            val old = pm.dvRefs.get(rel) match {
+              case Some((_, sc)) => readSidecar(spark, dir, sc)
+              case None => pm.dv.getOrElse(rel, Array.empty[Long])
+            }
+            val grown = Dv.merge(old, rs.map(_.getLong(1)))
+            if (grown.length <= Dv.InlineMax)
+              (rel, grown.length.toLong, s"i:${Dv.encode(grown)}")
+            else
+              (rel, grown.length.toLong,
+                s"f:${writeDvSidecar(spark, dir, grown)}")
+        }
+      } else distributedDvEncode(spark, dir, pm, hitsDf)
+    } finally if (doPersist) hitsDf.unpersist()
+    if (encoded.isEmpty) return prev
     // untouched files keep their existing lines VERBATIM (inline or
     // sidecar ref); grown files re-encode — inline up to Dv.InlineMax,
     // one immutable sidecar past it (the old sidecar becomes an
     // orphan; vacuum reclaims it once no kept manifest references it)
-    val untouched = pm.dvLines.filterNot(l => grown.contains(dvRelOf(l)))
-    val dvAll = untouched ++ grown.toSeq.sortBy(_._1).map { case (rel, ps) =>
-      if (ps.length <= Dv.InlineMax) s"dv:${Dv.encode(ps)}:$rel"
-      else s"dvf:${ps.length}:${writeDvSidecar(spark, dir, ps)}:$rel"
+    val grownRels = encoded.iterator.map(_._1).toSet
+    val untouched = pm.dvLines.filterNot(l => grownRels.contains(dvRelOf(l)))
+    val dvAll = untouched ++ encoded.sortBy(_._1).map {
+      case (rel, _, p) if p.startsWith("i:") => s"dv:${p.drop(2)}:$rel"
+      case (rel, cnt, p) => s"dvf:$cnt:${p.drop(2)}:$rel"
     }
     // everything else carries verbatim — same files, same stats (now
     // per-FILE upper bounds; rowCountAt subtracts the dead positions)
@@ -1827,6 +1898,81 @@ object Snapshots {
       Seq("format:2", s"schema:$schema") ++ carriedBatch(pm) ++
         carried ++ dvAll)
     v
+  }
+
+  /** The wide-erasure encode: grow + encode every touched file's
+    * vector IN TASKS and write sidecars from the task that owns the
+    * file — the driver receives one (rel, count, payload) row per
+    * touched file (bounded by file count; the manifest carries the
+    * same rows), never the (file, position) pairs. Shape: shuffle the
+    * pairs partitioned by FILE and sorted by (file, position), then
+    * stream each partition's consecutive runs — one primitive-array
+    * build per file, no boxed groupBy. Old vectors resolve task-side:
+    * inline `#dv` arrays ride a broadcast (the driver already holds
+    * them — they ARE manifest lines); `#dvf` sidecars are read by the
+    * one task that owns the file. A retried/speculated task can leave
+    * an orphan sidecar under `dv/` (fresh UUID per attempt, only one
+    * attempt's rows are consumed) — the same crash-orphan story as
+    * every staged write here; vacuum sweeps it. */
+  private def distributedDvEncode(spark: SparkSession, dir: String,
+      pm: Manifest, hitsDf: DataFrame): Array[(String, Long, String)] = {
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val inlineBc = spark.sparkContext.broadcast(pm.dv)
+    val refsBc = spark.sparkContext.broadcast(pm.dvRefs)
+    val dirStr = dir
+    val inlineMax = Dv.InlineMax
+    val nParts = math.max(32, spark.sparkContext.defaultParallelism)
+    val byFile = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nParts
+      override def getPartition(key: Any): Int = key match {
+        case (f: String, _) => (f.hashCode & Int.MaxValue) % nParts
+        case _ => 0
+      }
+    }
+    hitsDf.rdd.map(r => ((r.getString(0), r.getLong(1)), ()))
+      .repartitionAndSortWithinPartitions(byFile)
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(String, Long, String)] {
+          override def hasNext: Boolean = buf.hasNext
+          override def next(): (String, Long, String) = {
+            val rel = buf.head._1._1
+            val ps = new scala.collection.mutable.ArrayBuilder.ofLong
+            while (buf.hasNext && buf.head._1._1 == rel) {
+              ps += buf.next()._1._2
+            }
+            val conf = confBc.value.value
+            val old: Array[Long] = refsBc.value.get(rel) match {
+              case Some((_, sc)) =>
+                val p = new org.apache.hadoop.fs.Path(s"$dirStr/$sc")
+                val f = p.getFileSystem(conf)
+                val in = f.open(p)
+                try {
+                  val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+                  in.readFully(bytes)
+                  Dv.decodeBytes(bytes)
+                } finally in.close()
+              case None =>
+                inlineBc.value.getOrElse(rel, Array.empty[Long])
+            }
+            val grown = Dv.merge(old, ps.result())
+            if (grown.length <= inlineMax)
+              (rel, grown.length.toLong, s"i:${Dv.encode(grown)}")
+            else {
+              val scRel =
+                s"dv/${java.util.UUID.randomUUID().toString.take(8)}.dvs"
+              val p = new org.apache.hadoop.fs.Path(s"$dirStr/$scRel")
+              val f = p.getFileSystem(conf)
+              f.mkdirs(p.getParent)
+              val out = f.create(p, false)
+              try out.write(Dv.encodeBytes(grown)) finally out.close()
+              (rel, grown.length.toLong, s"f:$scRel")
+            }
+          }
+        }
+      }.collect()
   }
 
   /** Upserts and deletes in ONE commit — the full CDC apply step a
@@ -1910,6 +2056,23 @@ object Snapshots {
         sortCols.map(c => tp.getOrElse(c, c)), blockSize, numTasks,
         stat2Cols = pm.statCols, ndvCols = pm.ndvCols)
     val kept = pm.files.filterNot(f => touched.contains(bOf(f)))
+    val schema = pm.schemaOpt match {
+      case Some(ps) if updatesOpt.isEmpty => nullable(ps).json // deletes never evolve
+      case Some(ps) => mergeSchemas(ps, nullable(mergedRows.schema)).json
+      case None => st.schemaJson
+    }
+    commitReplacing(spark, dir, pm, prev, kept, st, schema, meta)
+  }
+
+  /** The REPLACE-FILES commit every rewrite path shares (bucket-merge,
+    * SQL MERGE's copy-on-write): kept files carry their per-file lines
+    * verbatim, staged files bring theirs, declarations and the ledger
+    * header carry, ONE manifest lands. The rewritten files' deletion
+    * vectors drop with the files — the rewrite read was DV-filtered,
+    * so the deletes just MATERIALIZED. */
+  private[operators] def commitReplacing(spark: SparkSession, dir: String,
+      pm: Manifest, prev: Long, kept: Seq[String], st: Staged,
+      schemaJson: String, meta: Seq[String] = Nil): Long = {
     val keptSet = kept.toSet
     val keptStats = pm.statLines.filter(l =>
       keptSet.contains(l.split(":", 6).last))
@@ -1921,18 +2084,10 @@ object Snapshots {
       keptSet.contains(l.split(":", 4).last))
     val keptSizes = pm.fsizeLines.filter(l =>
       keptSet.contains(l.split(":", 3).last))
-    // dv:<b64>:<rel> — kept files keep their deletion vectors; the
-    // rewritten (touched) files just MATERIALIZED theirs (the read
-    // above was DV-filtered), so their lines drop with the files
     val keptDv = pm.dvLines.filter(l => keptSet.contains(dvRelOf(l)))
-    val schema = pm.schemaOpt match {
-      case Some(ps) if updatesOpt.isEmpty => nullable(ps).json // deletes never evolve
-      case Some(ps) => mergeSchemas(ps, nullable(mergedRows.schema)).json
-      case None => st.schemaJson
-    }
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++ meta ++ carriedBatch(pm, meta) ++
+      Seq("format:2", s"schema:$schemaJson") ++ meta ++ carriedBatch(pm, meta) ++
         pm.propLines ++
         pm.colmapLines ++
         pm.statColsLines ++ pm.ndvColsLines ++ keptStats ++ st.statLines ++

@@ -1361,6 +1361,43 @@ object ScaleStress {
         .agg(sum("payload")).collect()(0).getLong(0))
     }
 
+    if (sections("dvwrite")) {
+    // r13's distributed-COMMIT claim, measured: a vectored erasure of
+    // 10M matched positions (every 4th key of a 40M-row table across
+    // 128 files) encodes + writes its sidecars FROM TASKS — the driver
+    // collects one (rel, count, path) row per file — vs the
+    // driver-side path (threshold raised: 10M (file, pos) pairs
+    // collected, merged and encoded on one thread). Identical erased
+    // answers either way.
+    import graft.operators.Snapshots
+    val n = 40000000L
+    def build(tag: String): String = {
+      val dir = s"/tmp/graft_scale_dvwrite_$tag"
+      Snapshots.dropPath(spark, dir)
+      val rows = spark.range(0, n, 1, 64).select(col("id").as("k"),
+        (col("id") * 31).as("payload"), expr("id div 312500").as("bucket"))
+      Snapshots.publish(rows, dir, "bucket", Seq("k"))
+      dir
+    }
+    val key = Snapshots.DvWriteDistributeThresholdKey
+    val dirD = build("driver")
+    val doomed = spark.range(0, n).filter(col("id") % 4 === 1)
+      .select(col("id").as("k"), expr("k div 312500").as("bucket"))
+    spark.conf.set(key, s"${100L * n}")
+    timed("dvwrite: 10M-position erasure, DRIVER-side encode " +
+      "(threshold raised — 10M pairs collected)")(
+      Snapshots.deleteVectored(doomed, dirD, "bucket", Seq("k")))
+    spark.conf.unset(key) // default 1M << 10M -> task-side encode
+    val dirT = build("task")
+    timed("dvwrite: 10M-position erasure, TASK-side encode + sidecar " +
+      "writes (default — driver sees one row per file)")(
+      Snapshots.deleteVectored(doomed, dirT, "bucket", Seq("k")))
+    timed("dvwrite: erased fold, task-encoded table")(
+      Snapshots.read(spark, dirT).count())
+    timed("dvwrite: erased fold, driver-encoded table (must match)")(
+      Snapshots.read(spark, dirD).count())
+    }
+
     if (sections("feedplan")) {
     // r10's per-trigger planning claim, measured: versions()/latest()
     // are manifest-read-free after warm (parsed manifests and decided

@@ -460,11 +460,11 @@ class DeletionVectorSpec extends SparkSuite {
     assert(HashBucketedTable.read(spark, hdir).count() === 12000L - nH)
   }
 
-  test("deleteVectored scans the candidate buckets ONCE: the hits frame " +
-    "is persisted across the refusal guard and the collect — both " +
-    "driver actions plan against the cache, neither re-scans parquet " +
-    "naked (recordsRead is useless here: _metadata columns double-count " +
-    "it, so the pin is on the executed plans)") {
+  test("deleteVectored scans the candidate buckets ONCE past the persist " +
+    "threshold: the hits frame is persisted across the refusal guard and " +
+    "the collect — both driver actions plan against the cache, neither " +
+    "re-scans parquet naked (recordsRead is useless here: _metadata " +
+    "columns double-count it, so the pin is on the executed plans)") {
     val dir = tmpDir("onescan")
     val n = 40000L
     val df = spark.range(0, n, 1, 4).select(col("id").as("k"),
@@ -480,6 +480,10 @@ class DeletionVectorSpec extends SparkSuite {
           exception: Exception): Unit = ()
     }
     spark.listenerManager.register(ql)
+    // the gate fixture is tiny — force the persist path (threshold 0)
+    // to pin the wide-erasure shape; the default-threshold small case
+    // is pinned in the next test
+    spark.conf.set(Snapshots.DvPersistHitsBytesKey, "0")
     try {
       Snapshots.deleteVectored(
         df.filter(col("k") % 997 === 0).select("k", "bucket"),
@@ -502,7 +506,128 @@ class DeletionVectorSpec extends SparkSuite {
       assert(ps.count(_.contains("InMemoryTableScan")) >= 2,
         "both the guard aggregate and the collect planned against the " +
           "persisted hits frame")
+    } finally {
+      spark.listenerManager.unregister(ql)
+      spark.conf.unset(Snapshots.DvPersistHitsBytesKey)
+    }
+    assert(Snapshots.read(spark, dir).count() === n - (n + 996) / 997)
+  }
+
+  test("below the persist threshold (the default at gate scale) a " +
+    "vectored delete does NOT materialize a cache — the guard and the " +
+    "collect re-plan the scan, the cache tax disappears, answers " +
+    "identical") {
+    val dir = tmpDir("nopersist")
+    val n = 40000L
+    val df = spark.range(0, n, 1, 4).select(col("id").as("k"),
+      (col("id") * 3L).as("v"), expr("id div 10000").as("bucket"))
+    Snapshots.publish(df, dir, "bucket", Seq("k"))
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      Snapshots.deleteVectored(
+        df.filter(col("k") % 997 === 0).select("k", "bucket"),
+        dir, "bucket", Seq("k"))
+      val deadline = System.currentTimeMillis() + 30000
+      while (plans.size < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      import scala.jdk.CollectionConverters._
+      val ps = plans.iterator().asScala.toList
+      assert(ps.size >= 3, s"expected >=3 reported actions, got ${ps.size}")
+      assert(ps.count(_.contains("InMemoryTableScan")) === 0,
+        "a 40k-row candidate scan is far below the default " +
+          s"${Snapshots.DvPersistHitsBytesKey} — persisting it is pure " +
+          "overhead, the actions must plan naked scans")
     } finally spark.listenerManager.unregister(ql)
     assert(Snapshots.read(spark, dir).count() === n - (n + 996) / 997)
+  }
+
+  test("past the write-distribute threshold the COMMIT path encodes " +
+    "vectors from TASKS: no Dataset-level collect of the (file, " +
+    "position) pairs ever runs (only the refusal-guard aggregate " +
+    "collects), sidecars land correct, and the result is bit-identical " +
+    "to the driver-side encode of the same delete") {
+    def build(tag: String): String = {
+      val d = tmpDir(s"dvdist_$tag")
+      val df = spark.range(0, 60000L, 1, 4).select(col("id").as("k"),
+        (col("id") * 3L).as("v"), expr("id div 15000").as("bucket"))
+      Snapshots.publish(df, d, "bucket", Seq("k"))
+      d
+    }
+    val dirTask = build("task")
+    val dirDriver = build("driver")
+    // id % 3: 5000 positions per 15000-row file — past Dv.InlineMax,
+    // so the task-side path writes real SIDECARS, not inline lines
+    val keys = spark.range(0, 60000L).filter(col("id") % 3 === 0)
+      .select(col("id").as("k"), expr("id div 15000").as("bucket"))
+    val collects = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "collect") collects.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    // task-side: threshold 0 forces the distributed encode; the only
+    // Dataset collect left is the per-file guard AGGREGATE (the pair
+    // shuffle is an RDD job — no Dataset collect event fires for it)
+    spark.conf.set(Snapshots.DvWriteDistributeThresholdKey, "0")
+    spark.listenerManager.register(ql)
+    try {
+      Snapshots.deleteVectored(keys, dirTask, "bucket", Seq("k"))
+      val deadline = System.currentTimeMillis() + 30000
+      while (collects.size < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      Thread.sleep(500) // drain any late events
+      import scala.jdk.CollectionConverters._
+      val cs = collects.iterator().asScala.toList
+      assert(cs.nonEmpty, "the refusal guard still collects its aggregate")
+      assert(cs.forall(_.contains("HashAggregate")),
+        s"every Dataset collect on the distributed path is the per-file " +
+          s"guard aggregate — a non-aggregated collect means the pairs " +
+          s"landed on the driver:\n${cs.mkString("\n----\n")}")
+    } finally {
+      spark.listenerManager.unregister(ql)
+      spark.conf.unset(Snapshots.DvWriteDistributeThresholdKey)
+    }
+    // driver-side reference on the identical twin (default threshold)
+    Snapshots.deleteVectored(keys, dirDriver, "bucket", Seq("k"))
+    val vT = Snapshots.latest(spark, dirTask).get
+    val vD = Snapshots.latest(spark, dirDriver).get
+    // rel paths carry per-publish staging UUIDs — key the twins by
+    // the stable (bucket dir, part index) pair instead
+    def stableKey(rel: String): String = {
+      val m = "__bdir=(\\d+)/part-(\\d+)".r.findFirstMatchIn(rel)
+      m.map(x => s"${x.group(1)}:${x.group(2)}").getOrElse(rel)
+    }
+    val dvT = Snapshots.deletionVectorsAt(spark, dirTask, vT)
+      .map { case (r, ps) => stableKey(r) -> ps }
+    val dvD = Snapshots.deletionVectorsAt(spark, dirDriver, vD)
+      .map { case (r, ps) => stableKey(r) -> ps }
+    assert(dvT.keySet === dvD.keySet, "same touched files")
+    dvT.keys.foreach(rel =>
+      assert(dvT(rel).toSeq === dvD(rel).toSeq,
+        s"positions differ for $rel — the task-side encode must be " +
+          "bit-identical to the driver-side one"))
+    assert(Snapshots.read(spark, dirTask).collect().toSet ===
+      Snapshots.read(spark, dirDriver).collect().toSet)
+    assert(Snapshots.read(spark, dirTask).count() === 40000L)
+    // and those vectors really are sidecar-backed (task-written files)
+    val mf = new java.io.File(f"$dirTask/_manifests/v$vT%020d")
+    val mLines = scala.io.Source.fromFile(mf, "UTF-8").getLines().toList
+    assert(mLines.count(_.startsWith("#dvf:")) === 4 &&
+      mLines.count(_.startsWith("#dv:")) === 0,
+      "5000 positions/file > InlineMax — all four lines must be #dvf " +
+        "sidecars written from tasks")
   }
 }
