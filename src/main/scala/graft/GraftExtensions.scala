@@ -39,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // early-exit threshold form automatically
     ext.injectOptimizerRule(_ =>
       org.apache.spark.sql.graftext.LevenshteinThresholdRule)
+    // SQL MERGE INTO: the resolved MergeIntoTable over a GraftTable
+    // becomes a runnable command over the engine (the Delta
+    // PreprocessTableMerge shape). MUST run BEFORE GraftRelationRule —
+    // the relation swap would erase the GraftTable marker from the
+    // merge target (post-hoc rules run in injection order)
+    ext.injectPostHocResolutionRule(session =>
+      graft.sources.GraftMergeRule(session))
     // the NAMED-table surface (format("graft") / GraftCatalog —
     // Delta's deployment shape): resolved V2 relations over
     // GraftTable swap to the SAME manifest-statistics V1 plans the

@@ -81,6 +81,7 @@ object Relational {
     "q188_dv_delete" -> q188,
     "q189_zmap" -> q189,
     "q190_named_catalog" -> q190,
+    "q191_sql_merge" -> q191,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -2420,6 +2421,115 @@ object Relational {
       .orderBy(col("section"), col("label"))
   }
 
+  /** SQL `MERGE INTO` under the gate ([[graft.sources.GraftMergeRule]]
+    * → [[graft.operators.MergeInto]] — the r12 verdict's #1 ask: the
+    * CDC apply step for SQL users). Exercised on the shared
+    * extensions session in both execution shapes:
+    *
+    *  - the GENERAL copy-on-write shape on a flat table — conditional
+    *    matched DELETE, matched UPDATE, NOT MATCHED INSERT and a
+    *    NOT-MATCHED-BY-SOURCE DELETE in ONE statement, each firing by
+    *    first-match CASE semantics; the oracle restates the merged
+    *    state closed-form from raw orders (orderkeys are unique, so
+    *    the cardinality rule is inert here and tested by refusal
+    *    below);
+    *  - the UPSERT fast path on a HASH-BUCKETED table — equality `ON`
+    *    + unconditional `UPDATE SET *` + `INSERT *` dispatches to
+    *    [[graft.operators.HashBucketedTable.merge]] (the pruned
+    *    layout rewrite), folds restated from distinct custkeys;
+    *  - time travel across the merge (the pre-merge version still
+    *    reads), the SQL cardinality refusal (two source rows matching
+    *    one target row), and the clustered general-shape refusal
+    *    (rewritten files would lose their epochs) — all as flags. */
+  def q191(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{HashBucketedTable, NamedTables, Snapshots}
+    import spark.implicits._
+    val wh = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_merge_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Seq("db/msrc", "db/m", "db/h").foreach(t =>
+      Snapshots.dropPath(spark, s"$wh/$t"))
+    val orders = Tables.orders(spark, dir)
+    Snapshots.publish(
+      orders.select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        (col("o_orderkey") % 8).as("b")),
+      s"$wh/db/msrc", "b", Seq("k"))
+    val ext = namedExtSession(wh)
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gq190.db")
+    ext.sql("CREATE TABLE IF NOT EXISTS gq190.db.m " +
+      "(k BIGINT, c BIGINT, b BIGINT) USING graft TBLPROPERTIES(" +
+      "'maintain.bucket'='b', 'maintain.sort'='k')")
+    ext.sql("INSERT INTO gq190.db.m " +
+      "SELECT k, c, b FROM gq190.db.msrc WHERE k % 2 = 0")
+    val vPre = Snapshots.latest(ext, s"$wh/db/m").get
+    // the GENERAL copy-on-write shape: all four action families fire
+    // in ONE statement (conditional delete wins over the update by
+    // first-match order; inserts are the odd multiples of 3; the
+    // NOT-MATCHED-BY-SOURCE delete prunes unmatched target rows)
+    ext.sql("""MERGE INTO gq190.db.m AS t
+      USING (SELECT k, c + 77 AS c, b FROM gq190.db.msrc
+             WHERE k % 3 = 0) AS s
+      ON t.k = s.k
+      WHEN MATCHED AND t.k % 5 = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.k % 7 = 0 THEN DELETE""")
+    def fold3(sql: String): (Long, Long, Long) = {
+      val r = ext.sql(sql).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (mc, mk, mcc) = fold3("SELECT count(*), " +
+      "coalesce(sum(k % 1000000000000), 0), " +
+      "coalesce(sum(c % 1000000000000), 0) FROM gq190.db.m")
+    val (pc, pk, _) = fold3("SELECT count(*), " +
+      "coalesce(sum(k % 1000000000000), 0), 1L " +
+      s"FROM gq190.db.m VERSION AS OF $vPre")
+    // the UPSERT fast path on a HASH table: equality ON + SET * +
+    // INSERT * dispatches to the layout's pruned merge — epochs stay
+    HashBucketedTable.publish(
+      orders.select(col("o_custkey")).distinct().select(
+        concat(lit("u"), col("o_custkey").cast("string")).as("key"),
+        col("o_custkey").as("n")),
+      s"$wh/db/h", "key", 8)
+    ext.sql("""MERGE INTO gq190.db.h AS t
+      USING (SELECT DISTINCT concat('u', CAST(c AS STRING)) AS key,
+               c + 5 AS n FROM gq190.db.msrc WHERE c % 10 = 0
+             UNION ALL
+             SELECT DISTINCT concat('w', CAST(c AS STRING)),
+               c + 1000000 FROM gq190.db.msrc WHERE c % 100 = 0) AS s
+      ON t.key = s.key
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val (hc, hn, _) = fold3("SELECT count(*), " +
+      "coalesce(sum(n % 1000000000000), 0), 1L FROM gq190.db.h")
+    val hv = Snapshots.latest(ext, s"$wh/db/h").get
+    val layoutHeld =
+      NamedTables.layoutAt(ext, s"$wh/db/h", hv) == "hash" && hv == 2L
+    // refusals: SQL cardinality (two source rows match one target
+    // row) and the general shape on a clustered layout
+    val cardRefused = scala.util.Try(ext.sql(
+      """MERGE INTO gq190.db.m AS t
+      USING (SELECT 6L AS k, 0L AS c, 6L AS b
+             UNION ALL SELECT 6L, 1L, 6L) AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")).isFailure
+    val clusterRefused = scala.util.Try(ext.sql(
+      """MERGE INTO gq190.db.h AS t
+      USING (SELECT 'u1' AS key, 0L AS n) AS s
+      ON t.key = s.key
+      WHEN MATCHED AND s.n > t.n THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")).isFailure
+    Seq(
+      ("merge", "general", mc, mk, mcc),
+      ("merge", "upsert", hc, hn, if (layoutHeld) 1L else 0L),
+      ("plan", "refuse",
+        if (cardRefused) 1L else 0L,
+        if (clusterRefused) 1L else 0L, 1L),
+      ("travel", "pre", pc, pk, 1L))
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
   /** PROPS-DRIVEN MAINTENANCE under the gate
     * ([[graft.operators.Snapshots.maintain]] — the one entry point a
     * scheduler calls blindly per table; the table's own carried
@@ -3852,6 +3962,39 @@ object Relational {
          |    (SELECT sk FROM s), (SELECT sc FROM s)
          |  UNION ALL SELECT 'travel', 'v0002', (SELECT n FROM a),
          |    (SELECT sk FROM a), 1)
+         |SELECT * FROM agg ORDER BY section, label""".stripMargin,
+    // q191: the merged states restated closed-form from raw orders —
+    // general shape (orderkeys unique, so matched = k%6=0 on the even
+    // target vs the k%3=0 source; first-match order puts the k%30=0
+    // delete ahead of the update; NMBS deletes even non-matches with
+    // k%7=0; odd multiples of 3 insert) and the hash upsert over
+    // distinct custkeys ('u' keys update when c%10=0, 'w' keys insert
+    // when c%100=0)
+    "q191_sql_merge" ->
+      s"""WITH t0 AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders
+         |  WHERE o_orderkey % 2 = 0),
+         |m AS (
+         |  SELECT k, CASE WHEN k % 6 = 0 THEN c + 77 ELSE c END AS c
+         |  FROM t0
+         |  WHERE NOT (k % 6 = 0 AND k % 5 = 0)
+         |    AND NOT (k % 6 <> 0 AND k % 7 = 0)
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey + 77 FROM orders
+         |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0),
+         |cust AS (SELECT DISTINCT o_custkey AS c FROM orders),
+         |h AS (
+         |  SELECT CASE WHEN c % 10 = 0 THEN c + 5 ELSE c END AS n FROM cust
+         |  UNION ALL
+         |  SELECT c + 1000000 FROM cust WHERE c % 100 = 0),
+         |agg AS (
+         |  SELECT 'merge' AS section, 'general' AS label,
+         |    count(*) AS m1, CAST(sum(k % 1000000000000) AS BIGINT) AS m2,
+         |    CAST(sum(c % 1000000000000) AS BIGINT) AS m3 FROM m
+         |  UNION ALL SELECT 'merge', 'upsert', count(*),
+         |    CAST(sum(n % 1000000000000) AS BIGINT), 1 FROM h
+         |  UNION ALL SELECT 'plan', 'refuse', 1, 1, 1
+         |  UNION ALL SELECT 'travel', 'pre', (SELECT count(*) FROM t0),
+         |    (SELECT CAST(sum(k % 1000000000000) AS BIGINT) FROM t0), 1)
          |SELECT * FROM agg ORDER BY section, label""".stripMargin,
     // q187: replica == source == the plain recomputation (the loop
     // moves every change exactly once); ledger row is protocol

@@ -439,4 +439,126 @@ class NamedTableSpec extends SparkSuite {
         ext.range(0, 5).select(col("id").as("k"), lit(0L).as("bucket")))
     }
   }
+
+  test("SQL MERGE INTO, the general copy-on-write shape on a flat " +
+    "table: conditional matched DELETE + matched UPDATE + NOT MATCHED " +
+    "INSERT + NOT-MATCHED-BY-SOURCE DELETE fire by first-match order in " +
+    "ONE commit; time travel reads the pre-merge state; partial UPDATE " +
+    "SET keeps unassigned columns; cardinality violations refuse") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    ext.sql("""CREATE TABLE gcat.db.mg (k BIGINT, v BIGINT, bucket BIGINT)
+      USING graft TBLPROPERTIES(
+        'maintain.bucket'='bucket', 'maintain.sort'='k')""")
+    ext.sql("INSERT INTO gcat.db.mg SELECT id, id * 2, id % 4 " +
+      "FROM range(0, 100)")
+    val dir = s"$warehouse/db/mg"
+    val vPre = Snapshots.latest(ext, dir).get
+    ext.sql("""MERGE INTO gcat.db.mg AS t
+      USING (SELECT id AS k, id * 10 AS v, id % 4 AS bucket
+             FROM range(50, 150)) AS s
+      ON t.k = s.k
+      WHEN MATCHED AND s.k < 60 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.k < 5 THEN DELETE""")
+    val got = ext.sql("SELECT k, v FROM gcat.db.mg ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (5L to 49L).map(k => (k, k * 2)) ++
+      (60L to 149L).map(k => (k, k * 10))
+    assert(got === want,
+      "first-match order: the k<60 delete wins over the update; NMBS " +
+        "prunes k<5; inserts extend to 149")
+    assert(Snapshots.latest(ext, dir).get === vPre + 1,
+      "the whole statement is ONE commit")
+    assert(ext.sql(s"SELECT count(*) FROM gcat.db.mg VERSION AS OF $vPre")
+      .head().getLong(0) === 100L, "time travel across the merge")
+    // partial UPDATE SET: only the assigned column changes
+    ext.sql("""MERGE INTO gcat.db.mg AS t
+      USING (SELECT 7L AS k) AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = -1""")
+    assert(ext.sql("SELECT v, bucket FROM gcat.db.mg WHERE k = 7")
+      .head().toSeq === Seq(-1L, 3L),
+      "unassigned columns survive a partial UPDATE SET")
+    // cardinality: two source rows matching one target row refuse on
+    // the GENERAL path too (an action condition forces the shape)
+    val e = intercept[Exception] {
+      ext.sql("""MERGE INTO gcat.db.mg AS t
+        USING (SELECT 8L AS k, 0L AS v UNION ALL SELECT 8L, 1L) AS s
+        ON t.k = s.k
+        WHEN MATCHED AND s.v >= 0 THEN UPDATE SET v = s.v""")
+    }
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+    // ... and the statement committed NOTHING
+    assert(ext.sql("SELECT v FROM gcat.db.mg WHERE k = 8").head()
+      .getLong(0) === 16L)
+    // WITH SCHEMA EVOLUTION refuses with the story
+    val se = intercept[Exception] {
+      ext.sql("""MERGE WITH SCHEMA EVOLUTION INTO gcat.db.mg AS t
+        USING (SELECT 9L AS k, 0L AS v, 1L AS bucket, 'x' AS extra) AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(se).exists(_.contains("SCHEMA EVOLUTION")), se.toString)
+  }
+
+  test("SQL MERGE INTO, the upsert fast path: equality ON + " +
+    "unconditional UPDATE SET * + INSERT * dispatches to the LAYOUT's " +
+    "own merge — a z-order table keeps its epochs and cells, an " +
+    "insert-only merge appends through the layout on any layout, and " +
+    "the general shape refuses on clustered layouts with the story") {
+    val zdir = s"$warehouse/db/mz"
+    ZOrderTable.publish(
+      ext.range(0, 4000, 1, 4).select(col("id"),
+        (col("id") * 7919 % 65536).as("x"),
+        (col("id") * 104729 % 65536).as("y"),
+        (col("id") * 3).as("v")),
+      zdir, Seq("x", "y"), shift = 26)
+    // upsert: dims must ride in the ON keys for the z merge contract
+    ext.sql("""MERGE INTO gcat.db.mz AS t
+      USING (SELECT id, (id * 7919) % 65536 AS x,
+               (id * 104729) % 65536 AS y, -1L AS v
+             FROM range(3900, 4100)) AS s
+      ON t.id = s.id AND t.x = s.x AND t.y = s.y
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(ext.sql("SELECT count(*) FROM gcat.db.mz").head().getLong(0)
+      === 4100L)
+    assert(ext.sql("SELECT sum(v) FROM gcat.db.mz WHERE id >= 3900")
+      .head().getLong(0) === -200L, "matched updated, unmatched inserted")
+    // the merge went through the LAYOUT: every live file carries a
+    // z epoch (the generic copy-on-write would have dropped them)
+    val vz = Snapshots.latest(ext, zdir).get
+    val shifts = ZOrderTable.fileShifts(ext, zdir, vz)
+    assert(Snapshots.files(ext, zdir, vz).forall(shifts.contains),
+      "the SQL upsert dispatched to ZOrderTable.merge (epoch lines)")
+    // box pruning still exact after the SQL merge
+    assert(ext.sql(
+      "SELECT count(*) FROM gcat.db.mz WHERE x < 16384 AND y < 16384")
+      .head().getLong(0) ===
+      (0L until 4100L).count(i =>
+        i * 7919 % 65536 < 16384 && i * 104729 % 65536 < 16384))
+    // insert-only merge on the clustered layout: a layout append
+    ext.sql("""MERGE INTO gcat.db.mz AS t
+      USING (SELECT id, (id * 7919) % 65536 AS x,
+               (id * 104729) % 65536 AS y, 7L AS v
+             FROM range(4050, 4200)) AS s
+      ON t.id = s.id
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(ext.sql("SELECT count(*) FROM gcat.db.mz").head().getLong(0)
+      === 4200L)
+    // the general shape on clustered refuses toward the upsert story
+    val e = intercept[Exception] {
+      ext.sql("""MERGE INTO gcat.db.mz AS t
+        USING (SELECT 1L AS id, 1L AS x, 1L AS y, 1L AS v) AS s
+        ON t.id = s.id
+        WHEN MATCHED AND s.v > t.v THEN UPDATE SET *""")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("general-shape") &&
+      m.contains("upsert")), e.toString)
+  }
 }
