@@ -590,10 +590,18 @@ object Snapshots {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val p = manifestPath(dir, v)
+    // every commit stamps its WALL TIME (`#ts:<epochMicros>` — the
+    // Delta/Iceberg commit-timestamp line behind TIMESTAMP AS OF);
+    // per-version, never carried, so no commit site can forget it.
+    // Writer-clock skew is handled at RESOLUTION (running max), not
+    // here — rewriting history's timestamps would lie to the reader.
+    val stamped =
+      if (meta.exists(_.startsWith("ts:"))) meta
+      else s"ts:${clockMicros(spark)}" +: meta
     // the atomic claim (pluggable — see CommitStore): throws if v is
     // taken, never leaves a partial or replaced manifest
     commitStore.createExclusive(f, p,
-      ((meta.map("#" + _) ++ relFiles).mkString("\n") + "\n").getBytes("UTF-8"))
+      ((stamped.map("#" + _) ++ relFiles).mkString("\n") + "\n").getBytes("UTF-8"))
     // keep the listing cache current: dense extension when this commit
     // is the next version, otherwise invalidate (re-list on next read)
     dirListCache.computeIfPresent(dir, (_, old) =>
@@ -617,6 +625,62 @@ object Snapshots {
             try checkpoint(spark, dir)
             catch { case scala.util.control.NonFatal(_) => () }
         }
+  }
+
+  /** Test seam for the commit clock (`spark.graft.testClockMicros` —
+    * specs pin commit wall-times deterministically); production reads
+    * the system clock. */
+  val TestClockKey = "spark.graft.testClockMicros"
+
+  private def clockMicros(spark: SparkSession): Long =
+    spark.conf.getOption(TestClockKey).map(_.toLong)
+      .getOrElse(System.currentTimeMillis() * 1000L)
+
+  /** The RECORDED commit wall-time of version `v` (epoch micros), if
+    * the manifest carries one — manifests written before the `#ts`
+    * line predate it. Raw, unadjusted: see [[versionAtTimestamp]] for
+    * the skew-safe resolution surface. */
+  def commitTsAt(spark: SparkSession, dir: String, v: Long): Option[Long] =
+    committedManifest(spark, dir, v).metaValues("ts").headOption.map(_.toLong)
+
+  /** Resolve `TIMESTAMP AS OF`: the NEWEST committed version whose
+    * commit time is ≤ `micros` — the Delta/Iceberg rule, including
+    * the MONOTONICITY adjustment for writer-clock skew: a commit
+    * stamped earlier than its predecessor resolves as predecessor+1µs
+    * (recorded timestamps are never rewritten; only resolution
+    * adjusts, so the answer is stable and history never reorders).
+    * A version predating the `#ts` line inherits its predecessor's
+    * adjusted time (it can never win over a later stamped version).
+    * Before the first stamped commit refuses with the valid range;
+    * after the latest resolves to the latest (the audit-read
+    * convention: "as of yesterday 09:00" on a quiet table is the
+    * current version). */
+  def versionAtTimestamp(spark: SparkSession, dir: String,
+                         micros: Long): Long = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir has no snapshots")
+    var running = Long.MinValue
+    val adjusted = vs.map { v =>
+      val raw = commitTsAt(spark, dir, v)
+      running = raw match {
+        case Some(t) if running == Long.MinValue => t
+        case Some(t) => math.max(t, running + 1)
+        case None if running == Long.MinValue => Long.MinValue
+        case None => running + 1
+      }
+      v -> running
+    }
+    val stamped = adjusted.filter(_._2 != Long.MinValue)
+    require(stamped.nonEmpty,
+      s"$dir predates commit timestamps (no #ts lines) — " +
+        "TIMESTAMP AS OF needs at least one stamped commit; " +
+        "use VERSION AS OF")
+    val hit = stamped.filter(_._2 <= micros)
+    require(hit.nonEmpty,
+      s"no version of $dir existed at timestamp $micros µs — the " +
+        s"earliest stamped commit is version ${stamped.head._1} at " +
+        s"${stamped.head._2} µs")
+    hit.last._1
   }
 
   /** Table properties of version `v` (the carried `#prop` lines). */

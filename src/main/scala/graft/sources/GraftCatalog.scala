@@ -118,6 +118,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTable(dir, Some(v))
   }
 
+  /** SQL `TIMESTAMP AS OF t` time travel — the V2 contract hands the
+    * evaluated timestamp in EPOCH MICROS; resolution (newest stamped
+    * commit ≤ t, writer-skew adjusted) is
+    * [[Snapshots.versionAtTimestamp]]. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirFor(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    GraftTable(dir, Some(Snapshots.versionAtTimestamp(spark, dir, timestamp)))
+  }
+
   /** Keys Spark itself attaches to CREATE TABLE that are not CARRIED
     * table properties. */
   private val ReservedProps =

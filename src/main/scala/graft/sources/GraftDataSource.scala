@@ -59,26 +59,52 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       "format(\"graft\") needs a table directory: " +
         "spark.read.format(\"graft\").load(dir)"))
 
+  /** Time-travel options: `versionAsOf` (a snapshot version) or
+    * `timestampAsOf` (epoch MICROS, or a `yyyy-MM-dd HH:mm:ss[.f…]`
+    * local timestamp — the Delta option shape), resolved through
+    * [[graft.operators.Snapshots.versionAtTimestamp]]. */
   private def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
-    Option(options.get("versionAsOf")).map(_.toLong)
+    Option(options.get("versionAsOf")).map(_.toLong).orElse(
+      Option(options.get("timestampAsOf")).map { s =>
+        val micros = scala.util.Try(s.toLong).getOrElse {
+          val t = java.sql.Timestamp.valueOf(s)
+          t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+        }
+        graft.operators.Snapshots.versionAtTimestamp(
+          SparkSession.active, dirOf(options), micros)
+      })
 
   /** Empty for a directory with no committed snapshots rather than
     * throwing: the STREAMING-SINK path probes the provider's table
     * before falling back to [[createSink]] (the target usually does
     * not exist yet), and a READ of a missing table still fails loudly
     * — at analysis, where [[GraftRelationRule]] resolves the read. */
+  private def feedMode(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("changeFeed")).exists(_.toBoolean)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val dir = dirOf(options)
     if (graft.operators.Snapshots.latest(spark, dir).isEmpty)
       new StructType()
+    else if (feedMode(options))
+      graft.streaming.ChangeFeed.feedSchema(spark, dir)
     else NamedTables.schemaNamed(spark, dir, versionOf(options))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    GraftTable(dirOf(opts), versionOf(opts))
+    if (feedMode(opts)) {
+      // readStream.format("graft").option("changeFeed", true): the CDC
+      // feed (schema gains _change/_version) — exactly
+      // ChangeFeed.readStream, reachable by short name
+      def num(k: String): Long = Option(opts.get(k)).map(_.toLong).getOrElse(0L)
+      graft.streaming.ChangeFeed.feedTable(dirOf(opts),
+        num("startVersion"), num("maxVersionsPerBatch"),
+        num("maxBytesPerBatch"),
+        graft.streaming.ChangeFeed.feedSchema(SparkSession.active, dirOf(opts)))
+    } else GraftTable(dirOf(opts), versionOf(opts))
   }
 
   override def createSink(sqlContext: SQLContext,
@@ -123,18 +149,29 @@ final case class GraftTable(dir: String, versionAsOf: Option[Long])
   override def capabilities(): util.Set[TableCapability] =
     // TRUNCATE = "can replace all content" — what lets INSERT
     // OVERWRITE (OverwriteByExpression with a true filter) reach the
-    // V1 fallback's insert(data, overwrite = true)
+    // V1 fallback's insert(data, overwrite = true).
+    // MICRO_BATCH_READ = the APPEND-ONLY TAIL stream: a catalog ident
+    // (readStream.table("cat.db.t")) or a bare format load streams
+    // the new versions' inserted rows under the TABLE's own schema —
+    // a catalog-resolved relation cannot grow the _change/_version
+    // columns, so non-append changes REFUSE (the Delta source
+    // contract) and CDC goes through option("changeFeed", true)
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
-  /** Never EXECUTED in a correctly-deployed session: the
+  /** Batch half never EXECUTES in a correctly-deployed session: the
     * [[GraftRelationRule]] resolution rule replaces read relations
     * with the manifest-statistics V1 plan long before scan planning.
     * The builder itself must still CONSTRUCT, though — `DELETE FROM`
     * keeps its V2 relation and Spark's V2ScanRelationPushDown calls
     * newScanBuilder on it during optimization even though the
     * metadata-only delete never runs the scan — so only `toBatch`
-    * (actual execution) refuses, with the deployment story. */
+    * (actual execution) refuses, with the deployment story. The
+    * STREAMING half is real: `toMicroBatchStream` is the append-only
+    * tail (reader options — startVersion, maxVersionsPerBatch,
+    * maxBytesPerBatch — arrive here on both the `.table(ident)` and
+    * the format paths). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): org.apache.spark.sql.connector.read.Scan =
@@ -147,6 +184,21 @@ final case class GraftTable(dir: String, versionAsOf: Option[Long])
                 "resolution rule — start the session with " +
                 "spark.sql.extensions=graft.GraftExtensions (the same " +
                 "deployment contract as Delta's extension)")
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+            require(versionAsOf.isEmpty,
+              "cannot STREAM a time-travel (versionAsOf) read")
+            require(!Option(options.get("changeFeed")).exists(_.toBoolean),
+              "the _change/_version columns cannot ride a catalog-resolved " +
+                "relation's fixed schema — read the CDC feed via " +
+                "spark.readStream.format(\"graft\")" +
+                ".option(\"changeFeed\", true).load(dir)")
+            def num(k: String): Long =
+              Option(options.get(k)).map(_.toLong).getOrElse(0L)
+            graft.streaming.ChangeFeed.appendTailStream(dir,
+              num("startVersion"), num("maxVersionsPerBatch"),
+              num("maxBytesPerBatch"), schema)
+          }
         }
     }
 

@@ -103,9 +103,33 @@ object ChangeFeed {
       .drop("_net", "_dup")
   }
 
+  /** The named-table streaming surfaces ([[graft.sources.GraftTable]]
+    * — `readStream.format("graft")` / `readStream.table("cat.db.t")`):
+    *
+    *  - `feedTable` is the CDC feed as a DSv2 Table (the
+    *    `changeFeed=true` option on the graft provider — the schema
+    *    gains `_change`/`_version`, exactly [[readStream]]);
+    *  - `appendTailStream` is the APPEND-ONLY tail with the TABLE's
+    *    own schema (what `readStream.table(ident)` must have — a
+    *    catalog-resolved relation cannot grow columns): each
+    *    microbatch is the new versions' INSERTED rows, and any
+    *    non-append change (a delete-side file, a grown deletion
+    *    vector) REFUSES loudly instead of silently dropping deletes —
+    *    the public Delta streaming-source contract. */
+  def feedTable(dir: String, startVersion: Long, maxVersionsPerBatch: Long,
+                maxBytesPerBatch: Long, schema: StructType): Table =
+    new ChangeFeedTable(dir, startVersion, maxVersionsPerBatch,
+      maxBytesPerBatch, schema)
+
+  def appendTailStream(dir: String, startVersion: Long,
+                       maxVersionsPerBatch: Long, maxBytesPerBatch: Long,
+                       schema: StructType): MicroBatchStream =
+    new ChangeFeedStream(dir, startVersion, maxVersionsPerBatch,
+      maxBytesPerBatch, schema, appendOnly = true)
+
   /** The feed's schema: the table's logical schema + change tag +
     * version stamp. */
-  private[streaming] def feedSchema(spark: SparkSession, dir: String): StructType = {
+  def feedSchema(spark: SparkSession, dir: String): StructType = {
     val v = Snapshots.latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"$dir has no committed snapshot versions to stream from"))
@@ -182,7 +206,8 @@ private[streaming] case class ChangeFilePartition(
 private[streaming] class ChangeFeedStream(dir: String, startVersion: Long,
                                           maxVersionsPerBatch: Long,
                                           maxBytesPerBatch: Long,
-                                          fullSchema: StructType)
+                                          fullSchema: StructType,
+                                          appendOnly: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
@@ -317,13 +342,28 @@ private[streaming] class ChangeFeedStream(dir: String, startVersion: Long,
         else Some(ChangeFilePartition(s"$dir/$r", "delete", v,
           onlyPos = nd.sorted))
       }
-      (fNew -- fOld).toSeq.sorted.map(r =>
+      val inserts = (fNew -- fOld).toSeq.sorted.map(r =>
         ChangeFilePartition(s"$dir/$r", "insert", v,
-          skipPos = dvNew.getOrElse(r, Array.empty[Long]))) ++
-        (fOld -- fNew).toSeq.sorted.map(r =>
-          ChangeFilePartition(s"$dir/$r", "delete", v,
-            skipPos = dvOld.getOrElse(r, Array.empty[Long]))) ++
-        grownDeletes
+          skipPos = dvNew.getOrElse(r, Array.empty[Long])))
+      if (appendOnly) {
+        // the append-only tail contract: a version that REMOVED data
+        // (a rewrite, a delete, a grown deletion vector) refuses
+        // loudly — silently dropping the deletes would desynchronize
+        // every downstream consumer (the public Delta streaming rule:
+        // fail on non-append changes; stream the change feed for CDC)
+        require((fOld -- fNew).isEmpty && grownDeletes.isEmpty,
+          s"streaming $dir as an append-only source hit a NON-APPEND " +
+            s"change at version $v (files rewritten/removed or deletion " +
+            "vectors grown) — stream the CHANGE FEED instead " +
+            "(readStream.format(\"graft\").option(\"changeFeed\", true) " +
+            "or ChangeFeed.readStream), or restart above that version")
+        inserts
+      } else
+        inserts ++
+          (fOld -- fNew).toSeq.sorted.map(r =>
+            ChangeFilePartition(s"$dir/$r", "delete", v,
+              skipPos = dvOld.getOrElse(r, Array.empty[Long]))) ++
+          grownDeletes
     }.toArray
   }
 
@@ -336,10 +376,12 @@ private[streaming] class ChangeFeedStream(dir: String, startVersion: Long,
     val toPhys = Snapshots.latest(spark, dir)
       .map(v => Snapshots.manifest(spark, dir, v).toPhysical)
       .getOrElse(Map.empty[String, String])
-    val physNames = fullSchema.fields.dropRight(2)
-      .map(f => toPhys.getOrElse(f.name, f.name))
+    val dataFields =
+      if (appendOnly) fullSchema.fields else fullSchema.fields.dropRight(2)
+    val physNames = dataFields.map(f => toPhys.getOrElse(f.name, f.name))
     new ChangeFeedReaderFactory(fullSchema.json, physNames,
-      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      emitMeta = !appendOnly)
   }
 
   override def commit(end: Offset): Unit = ()
@@ -348,13 +390,13 @@ private[streaming] class ChangeFeedStream(dir: String, startVersion: Long,
 
 private[streaming] class ChangeFeedReaderFactory(
     schemaJson: String, physNames: Array[String],
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration, emitMeta: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[ChangeFilePartition]
     new ChangeFileReader(cp,
       DataType.fromJson(schemaJson).asInstanceOf[StructType], physNames,
-      conf.value)
+      conf.value, emitMeta)
   }
 }
 
@@ -366,10 +408,14 @@ private[streaming] class ChangeFeedReaderFactory(
 private[streaming] class ChangeFileReader(
     part: ChangeFilePartition, fullSchema: StructType,
     physNames: Array[String],
-    conf: org.apache.hadoop.conf.Configuration)
+    conf: org.apache.hadoop.conf.Configuration,
+    emitMeta: Boolean = true)
     extends PartitionReader[InternalRow] {
 
-  private val dataFields = fullSchema.fields.dropRight(2) // _change, _version last
+  // CDC mode carries _change/_version as the LAST two fields; the
+  // append-only tail emits the table schema verbatim
+  private val dataFields =
+    if (emitMeta) fullSchema.fields.dropRight(2) else fullSchema.fields
   private val reader = org.apache.parquet.hadoop.ParquetReader
     .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
       new org.apache.hadoop.fs.Path(part.absPath))
@@ -428,7 +474,7 @@ private[streaming] class ChangeFileReader(
         if (fi < 0) null
         else t.getType(fi).asPrimitiveType().getPrimitiveTypeName)
     }
-    val out = new Array[Any](dataFields.length + 2)
+    val out = new Array[Any](dataFields.length + (if (emitMeta) 2 else 0))
     var i = 0
     while (i < dataFields.length) {
       val fi = fieldIdx(i)
@@ -437,8 +483,10 @@ private[streaming] class ChangeFileReader(
         else readValue(g, fi, fieldPrim(i), dataFields(i).dataType)
       i += 1
     }
-    out(dataFields.length) = changeTag
-    out(dataFields.length + 1) = part.version
+    if (emitMeta) {
+      out(dataFields.length) = changeTag
+      out(dataFields.length + 1) = part.version
+    }
     new GenericInternalRow(out)
   }
 

@@ -440,6 +440,147 @@ class NamedTableSpec extends SparkSuite {
     }
   }
 
+  test("TIMESTAMP AS OF: every commit stamps its wall time (#ts, " +
+    "injected clock here), resolution picks the newest stamped commit " +
+    "<= t with the MONOTONIC adjustment for writer-clock skew, " +
+    "before-first refuses with the range, after-latest reads the head — " +
+    "through the catalog SQL, the format option, and the Scala API") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    val dir = s"$warehouse/db/tt"
+    val rows = ext.range(0, 300, 1, 2).select(col("id").as("k"),
+      (col("id") % 4).as("bucket"))
+    ext.conf.set(Snapshots.TestClockKey, "1000000")
+    try {
+      Snapshots.publish(rows.filter(col("k") < 100), dir, "bucket", Seq("k"))
+      ext.conf.set(Snapshots.TestClockKey, "2000000")
+      Snapshots.append(rows.filter(col("k") >= 100 && col("k") < 200),
+        dir, "bucket", Seq("k"))
+      // a writer whose clock runs BEHIND stamps an earlier time — the
+      // recorded line keeps the lie, resolution adjusts to pred + 1µs
+      ext.conf.set(Snapshots.TestClockKey, "1500000")
+      Snapshots.append(rows.filter(col("k") >= 200), dir, "bucket", Seq("k"))
+    } finally ext.conf.unset(Snapshots.TestClockKey)
+    assert(Snapshots.commitTsAt(ext, dir, 3L) === Some(1500000L),
+      "the recorded timestamp is never rewritten")
+    // resolution: exact, between, skew-adjusted, after-latest
+    assert(Snapshots.versionAtTimestamp(ext, dir, 1000000L) === 1L)
+    assert(Snapshots.versionAtTimestamp(ext, dir, 1999999L) === 1L)
+    assert(Snapshots.versionAtTimestamp(ext, dir, 2000000L) === 2L)
+    assert(Snapshots.versionAtTimestamp(ext, dir, 2000001L) === 3L,
+      "the skewed commit resolves as predecessor + 1µs")
+    assert(Snapshots.versionAtTimestamp(ext, dir, Long.MaxValue) === 3L)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.versionAtTimestamp(ext, dir, 999999L)
+    }
+    assert(e.getMessage.contains("earliest stamped commit"), e.getMessage)
+    // catalog SQL TIMESTAMP AS OF (micros arrive through the V2
+    // loadTable(ident, timestamp) hook; timestamp_micros is tz-free)
+    assert(ext.sql("SELECT count(*) FROM gcat.db.tt " +
+      "TIMESTAMP AS OF timestamp_micros(2000000)").head().getLong(0) === 200L)
+    assert(ext.sql("SELECT count(*) FROM gcat.db.tt " +
+      "TIMESTAMP AS OF timestamp_micros(1000000)").head().getLong(0) === 100L)
+    intercept[Exception] {
+      ext.sql("SELECT count(*) FROM gcat.db.tt " +
+        "TIMESTAMP AS OF timestamp_micros(5)").collect()
+    }
+    // the format option: micros and the Delta-style local string
+    assert(ext.read.format("graft").option("timestampAsOf", "2000000")
+      .load(dir).count() === 200L)
+    val future = new java.sql.Timestamp(
+      System.currentTimeMillis() + 3600000L).toString
+    assert(ext.read.format("graft").option("timestampAsOf", future)
+      .load(dir).count() === 300L,
+      "a local-string timestamp after the last commit reads the head")
+  }
+
+  test("streaming READ by name: format(\"graft\").option(changeFeed) is " +
+    "the CDC feed bit-for-bit (== ChangeFeed.readStream, pacing options " +
+    "included); a catalog ident streams as the APPEND-ONLY tail under " +
+    "the table's own schema, a checkpoint restart replays nothing, and " +
+    "a non-append change refuses instead of silently dropping deletes") {
+    import graft.streaming.ChangeFeed
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    val dir = s"$warehouse/db/st"
+    val rows = ext.range(0, 600, 1, 2).select(col("id").as("k"),
+      (col("id") * 31L).as("payload"), (col("id") % 3).as("bucket"))
+    Snapshots.publish(rows.filter(col("k") < 200), dir, "bucket", Seq("k"))
+    Snapshots.append(rows.filter(col("k") >= 200 && col("k") < 400),
+      dir, "bucket", Seq("k"))
+    Snapshots.deleteVectored(
+      rows.filter(col("k") % 97 === 0).select("k", "bucket"),
+      dir, "bucket", Seq("k"))
+    def drain(df: org.apache.spark.sql.DataFrame, name: String,
+              ckpt: Option[String] = None): Seq[Seq[Any]] = {
+      val w = df.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+      val q = ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+      try q.processAllAvailable() finally q.stop()
+      ext.table(name).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    }
+    // CDC by short name == the class-name path, pacing option included
+    val byName = drain(ext.readStream.format("graft")
+      .option("changeFeed", "true").option("maxVersionsPerBatch", "1")
+      .load(dir), "st_byname")
+    val byClass = drain(
+      ChangeFeed.readStream(ext, dir, maxVersionsPerBatch = 1), "st_byclass")
+    assert(byName === byClass, "the named CDC stream is the change feed")
+    assert(byName.nonEmpty && byName.head.size === 5,
+      "_change/_version ride the named feed")
+    // APPEND-ONLY tail by CATALOG IDENT: the pre-delete versions
+    // stream the inserted rows under the TABLE schema...
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_st_ck").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def runTail(): Unit = {
+      val q = ext.readStream.option("maxVersionsPerBatch", "1")
+        .table("gcat.db.st")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("k").collect().foreach(r => seen.add(r.getLong(0)))
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // v3 is the DV commit (a non-append change): start the tail at a
+    // fresh twin WITHOUT the delete to prove the happy path first
+    val dir2 = s"$warehouse/db/st2"
+    Snapshots.publish(rows.filter(col("k") < 200), dir2, "bucket", Seq("k"))
+    Snapshots.append(rows.filter(col("k") >= 200 && col("k") < 400),
+      dir2, "bucket", Seq("k"))
+    ext.sql("SELECT 1").collect() // catalog warm (no-op, readability)
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("graft_st_ck2").toString
+    def runTail2(): Unit = {
+      val q = ext.readStream.table("gcat.db.st2")
+        .writeStream.option("checkpointLocation", ckpt2)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("k").collect().foreach(r => seen.add(r.getLong(0)))
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runTail2()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted === (0L until 400L),
+      "the tail replays every inserted row exactly once")
+    seen.clear()
+    // ...a restart replays NOTHING, and a new append streams only
+    // its own rows
+    runTail2()
+    assert(seen.asScala.isEmpty, "checkpoint restart replays nothing")
+    Snapshots.append(rows.filter(col("k") >= 400), dir2, "bucket", Seq("k"))
+    runTail2()
+    assert(seen.asScala.toSeq.sorted === (400L until 600L),
+      "only the new version's rows arrive after the restart")
+    // the DV-bearing table refuses the append-only tail at the
+    // non-append version, naming the fix
+    val e = intercept[Exception] { runTail() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("NON-APPEND") &&
+      m.contains("changeFeed")), e.toString)
+  }
+
   test("SQL MERGE INTO, the general copy-on-write shape on a flat " +
     "table: conditional matched DELETE + matched UPDATE + NOT MATCHED " +
     "INSERT + NOT-MATCHED-BY-SOURCE DELETE fire by first-match order in " +
