@@ -38,10 +38,27 @@ object Bench {
     // first timed query is not charged for JIT startup.
     SparkEntry.entry(spark).count()
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // the GC probe behind the r12 q105 adjudication: per query, the
+    // JVM-wide GC wall accumulated DURING it (sum over collectors) —
+    // a context-effect regression (allocation-heavy neighbor, heap
+    // pressure) shows up as gc-time growth on an identical-code entry,
+    // so the argument is MEASURED instead of inferred from wall clocks
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val gcPer = new scala.collection.mutable.HashMap[String, Long]()
     // a failed query must be visible, not report a plausible time
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      val g0 = gcMillis
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // per-query MAX across rounds: the pressure signature, not
+        // the typical cost (mirrors how the wall headline takes min)
+        gcPer(name) = math.max(gcPer.getOrElse(name, 0L), gcMillis - g0)
+        dt
+      }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
@@ -63,9 +80,12 @@ object Bench {
     // a failed query must invalidate the headline, not silently
     // shrink it by its -1.0 sentinel (the per-round total convention)
     val total = if (minPer.values.exists(_ < 0)) -1.0 else minPer.values.sum
+    val gcJson = names.map(n =>
+      s"\"" + n + "\":" + gcPer.getOrElse(n, 0L)).mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(minPer)},""" +
-        s""""runs":$runsJson,"n_runs":$nRuns,"load_avg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
+        s""""runs":$runsJson,"gc_ms_max":$gcJson,"n_runs":$nRuns,""" +
+        s""""load_avg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))

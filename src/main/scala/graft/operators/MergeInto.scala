@@ -102,6 +102,70 @@ object MergeInto {
     }
   }
 
+  /** SQL `UPDATE t SET ... [WHERE cond]` — the file-granular
+    * copy-on-write sibling of the MERGE general path (no join, no
+    * cardinality concerns): one stats-pruned pass finds the files
+    * holding matches (conjuncts of `cond` push into the manifest
+    * scan's file pruning for free), ONLY those files rewrite through
+    * a per-column `CASE WHEN cond THEN value ELSE old END`, one
+    * commit replaces them. Flat tables only — a rewritten z/hash file
+    * would lose its layout epochs; update clustered tables through
+    * the MERGE upsert shape or the layout APIs. */
+  def update(spark: SparkSession, dir: String, targetOutput: Seq[Attribute],
+             condition: Option[Expression],
+             assigns: Map[String, Expression]): Long = {
+    require(assigns.nonEmpty, "UPDATE needs at least one assignment")
+    val prev = Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no committed snapshots — not a graft table"))
+    val layout = NamedTables.layoutAt(spark, dir, prev)
+    require(layout == "flat",
+      s"UPDATE is not supported on a $layout-layout table ($dir) — " +
+        "rewritten files would lose their layout epochs; use the MERGE " +
+        "upsert shape or the layout's own merge APIs")
+    val pm = Snapshots.manifest(spark, dir, prev)
+    val ps = pm.schemaOpt.getOrElse(throw new IllegalArgumentException(
+      s"$dir predates manifest format 2 — UPDATE needs a recorded schema"))
+    val (bucketCol, sortCols) =
+      (pm.props.get("maintain.bucket"), pm.props.get("maintain.sort")) match {
+        case (Some(b), Some(s)) => (b, s.split(",").toSeq.filter(_.nonEmpty))
+        case _ => throw new IllegalArgumentException(
+          "UPDATE needs the flat table's write layout declared as " +
+            s"maintain.bucket/maintain.sort table properties ($dir)")
+      }
+    val cond = condition.map(FunctionInjection.columnOf).getOrElse(lit(true))
+    def tPos(rels: Seq[String]): DataFrame = aliasOnto(spark,
+      Snapshots.readFiles(spark, dir, rels, pm.schemaOpt, pm.colMap,
+        pm.fileSizes, Snapshots.statsPruner(pm), dv = pm.dv,
+        dvRefs = pm.dvRefs, withPos = true),
+      targetOutput, keep = Seq(Snapshots.FileCol, Snapshots.PosCol))
+    // job 1 — the files holding matches (pushed conjuncts of the
+    // condition file-prune via the manifest's typed stats; the
+    // distinct is bounded by file count)
+    val touched = tPos(pm.files).filter(cond)
+      .select(Snapshots.FileCol).distinct().collect().map(_.getString(0))
+    if (touched.isEmpty) return prev
+    val touchedSet = touched.toSet
+    // job 2 — rewrite ONLY those files
+    val rewritten = tPos(pm.files.filter(touchedSet)).select(
+      targetOutput.map { o =>
+        val orig = FunctionInjection.columnOf(o)
+        assigns.get(o.name) match {
+          case Some(e) => when(cond,
+            FunctionInjection.columnOf(e).cast(o.dataType))
+            .otherwise(orig).as(o.name)
+          case None => orig.as(o.name)
+        }
+      }: _*)
+    val tp = pm.toPhysical
+    val st = Snapshots.stage(Snapshots.toPhysicalDf(rewritten, tp), dir,
+      tp.getOrElse(bucketCol, bucketCol),
+      sortCols.map(c => tp.getOrElse(c, c)), 128L * 1024 * 1024, 32,
+      stat2Cols = pm.statCols, ndvCols = pm.ndvCols)
+    Snapshots.commitReplacing(spark, dir, pm, prev,
+      pm.files.filterNot(touchedSet), st, Snapshots.nullable(ps).json)
+  }
+
   // ---- the upsert fast path ----
 
   /** Detect the canonical upsert: `ON` an equality conjunction

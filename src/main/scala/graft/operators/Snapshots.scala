@@ -407,9 +407,28 @@ object Snapshots {
           case _ => None
         }
       }.toMap
-    /** Raw stat2 lines (carry-forward). */
-    def stat2Lines: Seq[String] = meta.filter(_.startsWith("#stat2:"))
+    /** Raw stat2 AND stat3 lines (ONE carry surface, the [[dvLines]]
+      * discipline — every kept-file carry site filters these by
+      * [[Snapshots.statRelOf]], so the row-group family cannot be
+      * silently dropped by a site that predates it). */
+    def stat2Lines: Seq[String] = meta.filter(m =>
+      m.startsWith("#stat2:") || m.startsWith("#stat3:"))
       .map(_.stripPrefix("#"))
+    /** Per-ROW-GROUP typed stats for a PHYSICAL column (format 2.3
+      * `#stat3:<col>:<kind>:<start>:<len>:<rows>:<min>:<max>:<rel>`
+      * lines — recorded at staging only for files with ≥ 2 row
+      * groups): rel → row groups in byte order. */
+    def stats3(colPhys: String): Map[String, Seq[Layout.TypedRgStat]] =
+      metaValues("stat3").flatMap { s =>
+        s.split(":", 8) match {
+          case Array(c, kind, start, len, rows, mn, mx, rel) if c == colPhys =>
+            Some(Layout.TypedRgStat(rel, c, start.toLong, len.toLong,
+              rows.toLong, kind, mn, mx))
+          case _ => None
+        }
+      }.groupBy(_.path).map { case (rel, gs) =>
+        rel -> gs.sortBy(_.start).toSeq
+      }
     /** The declared typed-stats column list (PHYSICAL names). */
     def statCols: Seq[String] = metaValues("statcols").headOption
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
@@ -944,6 +963,22 @@ object Snapshots {
           .map(ts => s"stat2:${ts.column}:${ts.kind}:${ts.rows}:" +
             s"${ts.min}:${ts.max}:${ts.path.stripPrefix(s"$dir/")}")
       }.getOrElse(Seq.empty)
+    // ... and the PER-ROW-GROUP detail (format 2.3 #stat3 — byte
+    // range + rows + min/max per block) for MULTI-row-group files
+    // only: a single-group file's block stat IS its file stat, so the
+    // common small-file case adds zero lines, while a large file
+    // gains sub-file skipping ([[prunedScanAtBox]] reads surviving
+    // byte ranges, never whole files, without opening footers to plan)
+    val stat3: Seq[String] =
+      if (stat2Cols.isEmpty) Seq.empty
+      else scala.util.Try {
+        Layout.typedRgStatsFiles(df.sparkSession,
+            staged.map(r => s"$dir/$r"),
+            stat2Cols.filter(c => !c.contains(":")))
+          .map(rg => s"stat3:${rg.column}:${rg.kind}:${rg.start}:" +
+            s"${rg.len}:${rg.rows}:${rg.min}:${rg.max}:" +
+            rg.path.stripPrefix(s"$dir/"))
+      }.getOrElse(Seq.empty)
     // KMV NDV sketches for the DECLARED ndv columns: one distinct +
     // windowed-top-k pass over ONLY this commit's new files
     val ndvL: Seq[String] =
@@ -960,7 +995,8 @@ object Snapshots {
             }
           }
       }
-    Staged(staged, nullable(df.schema).json, statLines, stat2, ndvL, sizeLines)
+    Staged(staged, nullable(df.schema).json, statLines, stat2 ++ stat3,
+      ndvL, sizeLines)
   }
 
   /** Claim the next version number for a write PLANNED against
@@ -1404,7 +1440,7 @@ object Snapshots {
     * only I/O. Attribute names here are PHYSICAL (the relation reads
     * under physical names; stats are stored physical-keyed —
     * rename-proof on both sides). */
-  private def statsPruner(m: Manifest): FilePruner = {
+  private[operators] def statsPruner(m: Manifest): FilePruner = {
     val statKeyCols = m.metaValues("stat").flatMap(_.split(":", 2).headOption)
       .distinct
     val availCols = (m.statCols ++ statKeyCols).toSet
@@ -1609,7 +1645,7 @@ object Snapshots {
     // stat2 lines carry SEVEN fields (stat2:col:kind:rows:min:max:rel)
     // and ndv lines FOUR (ndv:col:b64:rel) — the path is always last
     val keptStats2 = pm.stat2Lines.filter(l =>
-      keptSet.contains(l.split(":", 7).last))
+      keptSet.contains(statRelOf(l)))
     val keptNdv = pm.ndvLines.filter(l =>
       keptSet.contains(l.split(":", 4).last))
     val keptSizes = pm.fsizeLines.filter(l =>
@@ -1948,7 +1984,8 @@ object Snapshots {
     // everything else carries verbatim — same files, same stats (now
     // per-FILE upper bounds; rowCountAt subtracts the dead positions)
     val carried = pm.meta.filter(m => m.startsWith("#stat:") ||
-      m.startsWith("#stat2:") || m.startsWith("#statcols:") ||
+      m.startsWith("#stat2:") || m.startsWith("#stat3:") ||
+      m.startsWith("#statcols:") ||
       m.startsWith("#ndv:") || m.startsWith("#ndvcols:") ||
       m.startsWith("#bucketw:") || m.startsWith("#filew:") ||
       m.startsWith("#bucketh:") || m.startsWith("#fileh:") ||
@@ -2143,7 +2180,7 @@ object Snapshots {
     // stat2 lines carry SEVEN fields (stat2:col:kind:rows:min:max:rel)
     // and ndv lines FOUR (ndv:col:b64:rel) — the path is always last
     val keptStats2 = pm.stat2Lines.filter(l =>
-      keptSet.contains(l.split(":", 7).last))
+      keptSet.contains(statRelOf(l)))
     val keptNdv = pm.ndvLines.filter(l =>
       keptSet.contains(l.split(":", 4).last))
     val keptSizes = pm.fsizeLines.filter(l =>
@@ -2208,7 +2245,8 @@ object Snapshots {
     val schema = StructType(ps.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     val carried = pm.meta.filter(m => m.startsWith("#stat:") ||
-      m.startsWith("#stat2:") || m.startsWith("#statcols:") ||
+      m.startsWith("#stat2:") || m.startsWith("#stat3:") ||
+      m.startsWith("#statcols:") ||
       m.startsWith("#ndv:") || m.startsWith("#ndvcols:") ||
       m.startsWith("#bucketw:") || m.startsWith("#filew:") ||
       m.startsWith("#bucketh:") || m.startsWith("#fileh:") ||
@@ -2536,18 +2574,111 @@ object Snapshots {
     }
   }
 
+  /** The ROW-GROUP refinement of [[prunedFilesBox]] (format 2.3
+    * `#stat3` consumption): split the file-level survivors into files
+    * read WHOLE and files read as surviving BYTE RANGES only —
+    * decided entirely from the manifest, zero footer opens. Per
+    * box-surviving file: no `#stat3` claim (single-row-group files
+    * never record one), a deletion vector (positions are whole-file
+    * row indices), or inconsistent block sets across predicate
+    * columns → WHOLE (conservative); every block surviving → WHOLE
+    * (the vectorized path is cheaper than the range reader when
+    * nothing skips); otherwise the CONTIGUOUS runs of surviving
+    * blocks become ranges (a file whose every block fails drops
+    * entirely — finer than the file-level decision). */
+  def prunedRangesBox(spark: SparkSession, dir: String, v: Long,
+                      preds: Seq[(String, Any, Any)])
+      : (Seq[String], Seq[(String, Seq[(Long, Long)])]) = {
+    val m = committedManifest(spark, dir, v)
+    val surviving = prunedFilesBox(spark, dir, v, preds)
+    val dvRels = m.dv.keySet ++ m.dvRefs.keySet
+    val byCol = preds.map { case (c, _, _) =>
+      c -> m.stats3(m.toPhysical.getOrElse(c, c))
+    }.toMap
+    val whole = Seq.newBuilder[String]
+    val partial = Seq.newBuilder[(String, Seq[(Long, Long)])]
+    surviving.foreach { rel =>
+      val claims = preds.flatMap { case (c, lo, hi) =>
+        byCol(c).get(rel).map(gs => (lo, hi, gs))
+      }
+      val blockSets = claims.map(_._3.map(g => (g.start, g.len))).distinct
+      if (claims.isEmpty || dvRels.contains(rel) || blockSets.size != 1)
+        whole += rel
+      else {
+        val blocks = blockSets.head
+        val surviveIdx = blocks.indices.filter { i =>
+          claims.forall { case (lo, hi, gs) =>
+            stat2Survives(gs(i).kind, gs(i).min, gs(i).max, lo, hi)
+          }
+        }
+        if (surviveIdx.size == blocks.size) whole += rel
+        else if (surviveIdx.nonEmpty) {
+          // merge CONSECUTIVE surviving blocks into one byte range
+          // (never bridging a skipped block — midpoint selection
+          // would resurrect it)
+          val runs = Seq.newBuilder[(Long, Long)]
+          var runStart = -1L
+          var runEnd = -1L
+          var prevI = -2
+          surviveIdx.foreach { i =>
+            val (st, ln) = blocks(i)
+            if (i == prevI + 1 && runStart >= 0) runEnd = st + ln
+            else {
+              if (runStart >= 0) runs += ((runStart, runEnd - runStart))
+              runStart = st; runEnd = st + ln
+            }
+            prevI = i
+          }
+          runs += ((runStart, runEnd - runStart))
+          partial += rel -> runs.result()
+        } // else: every block fails — the file drops entirely
+      }
+    }
+    (whole.result(), partial.result())
+  }
+
   /** Stats-pruned scan of a version under a CONJUNCTION of range
     * predicates, `[lo, hi)` each — [[prunedScanAtBy]] generalized to
     * the multi-dimensional box query: planned entirely from the
     * manifest, surviving files = the per-dimension survivals'
-    * INTERSECTION, residual = the exact AND. Always equals the
-    * full-scan filter. */
+    * INTERSECTION refined to surviving ROW GROUPS where `#stat3`
+    * lines exist ([[prunedRangesBox]] — partially-surviving files
+    * read as byte ranges through [[RgRead]], skipping whole row
+    * groups without a footer open at planning), residual = the exact
+    * AND. Always equals the full-scan filter. */
+  /** Conf key: execute partially-surviving files as BYTE-RANGE reads
+    * ([[RgRead]]) instead of whole-file vectorized reads. DEFAULT OFF
+    * — measured honestly (ScaleStress `rgscan`, BENCH.md): on a local
+    * filesystem with statistics-bearing footers, Spark's OWN task-side
+    * row-group pruning reads the same surviving bytes VECTORIZED
+    * (~20× the record-materializing range reader's throughput), so the
+    * range path only wins where the PLANNING properties dominate —
+    * high-latency object stores (footer round-trips priced per file)
+    * or schedulers that must size tasks by true surviving bytes. The
+    * DECISION surface ([[prunedRangesBox]]) is always available and
+    * always manifest-only. */
+  val RgScanKey = "spark.graft.scan.rowGroupRanges"
+
   def prunedScanAtBox(spark: SparkSession, dir: String, v: Long,
                       preds: Seq[(String, Any, Any)],
                       stats: Option[Map[String, Seq[Layout.TypedFileStat]]] = None)
       : DataFrame = {
     val m = committedManifest(spark, dir, v)
-    val surviving = prunedFilesBox(spark, dir, v, preds, stats)
+    val surviving0 = prunedFilesBox(spark, dir, v, preds, stats)
+    // the row-group refinement only engages on the manifest's own
+    // stats (an explicit `stats` override is the verification path —
+    // footer-walked per FILE, so it stays file-granular) and when the
+    // range-read execution is asked for; the DECISION still tightens
+    // the file set either way (a file whose every row group fails
+    // drops entirely — finer than the file-level stats)
+    val rgExec = spark.conf.getOption(RgScanKey).exists(_.toBoolean)
+    val (whole, partial) =
+      if (stats.isDefined) (surviving0, Seq.empty)
+      else {
+        val (w, p) = prunedRangesBox(spark, dir, v, preds)
+        if (rgExec) (w, p) else (w ++ p.map(_._1), Seq.empty)
+      }
+    val surviving = whole
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val residual = preds.map { case (column, lo, hi) =>
       val isTs = m.schemaOpt.exists { s =>
@@ -2561,13 +2692,27 @@ object Snapshots {
               else col(column)
       c >= lit(lo) && c < lit(hi)
     }.reduce(_ && _)
-    if (surviving.isEmpty)
-      readFiles(spark, dir, m.files, m.schemaOpt, m.colMap, m.fileSizes,
-        dv = m.dv, dvRefs = m.dvRefs)
-        .filter(residual).limit(0)
-    else readFiles(spark, dir, surviving, m.schemaOpt, m.colMap, m.fileSizes,
-      dv = m.dv, dvRefs = m.dvRefs)
-      .filter(residual)
+    val wholePart =
+      if (surviving.isEmpty)
+        readFiles(spark, dir, m.files, m.schemaOpt, m.colMap, m.fileSizes,
+          dv = m.dv, dvRefs = m.dvRefs)
+          .filter(residual).limit(0)
+      else readFiles(spark, dir, surviving, m.schemaOpt, m.colMap,
+        m.fileSizes, dv = m.dv, dvRefs = m.dvRefs)
+        .filter(residual)
+    if (partial.isEmpty) wholePart
+    else {
+      // the partially-surviving files read as BYTE RANGES (whole row
+      // groups skip without their pages ever leaving disk); DV-bearing
+      // files never land here (prunedRangesBox degrades them), so no
+      // position filtering is owed on this side
+      val ranges = partial.flatMap { case (rel, rs) =>
+        rs.map { case (start, len) => RgRead.Range(s"$dir/$rel", start, len) }
+      }
+      val rgPart = RgRead.read(spark, m.schemaOpt.get, m.toPhysical, ranges)
+        .filter(residual)
+      wholePart.unionByName(rgPart)
+    }
   }
 
   /** TOTAL byte size of version `v`, planned from the manifest's
@@ -2652,6 +2797,13 @@ object Snapshots {
   private[operators] def dvRelOf(line: String): String =
     if (line.startsWith("dvf:")) line.split(":", 4).last
     else line.split(":", 3).last
+
+  /** The manifest-relative path of a stat2 OR stat3 line — the path
+    * is always the LAST field and never contains ':' (the line
+    * grammar), so one extractor covers both families the shared
+    * [[Manifest.stat2Lines]] carry surface mixes. */
+  private[operators] def statRelOf(line: String): String =
+    line.substring(line.lastIndexOf(':') + 1)
 
   /** Immutable sidecar payloads cache (a sidecar is written once and
     * never modified; rewrites drop the reference and vacuum reclaims

@@ -115,7 +115,8 @@ object ZOrderTable {
     // stat:<key>:<rows>:<min>:<max>:<rel> / stat2: 7 fields / ndv: 4 /
     // fsize + filez: 3 — the path is always the last field
     val stats = pm.statLines.filter(l => kept.contains(l.split(":", 6).last))
-    val stats2 = pm.stat2Lines.filter(l => kept.contains(l.split(":", 7).last))
+    val stats2 = pm.stat2Lines.filter(l =>
+      kept.contains(Snapshots.statRelOf(l)))
     val ndv = pm.ndvLines.filter(l => kept.contains(l.split(":", 4).last))
     val sizes = pm.fsizeLines.filter(l => kept.contains(l.split(":", 3).last))
     val filez = pm.meta.filter(_.startsWith("#filez:")).map(_.stripPrefix("#"))

@@ -183,7 +183,11 @@ final case class GraftTable(dir: String, versionAsOf: Option[Long])
               "graft named-table reads plan through the GraftExtensions " +
                 "resolution rule — start the session with " +
                 "spark.sql.extensions=graft.GraftExtensions (the same " +
-                "deployment contract as Delta's extension)")
+                "deployment contract as Delta's extension). A DELETE " +
+                "whose condition Spark cannot push down as filters — " +
+                "e.g. a subquery — also lands here: use " +
+                "Snapshots.deleteWhere(Column) with the materialized " +
+                "key set instead")
           override def toMicroBatchStream(checkpointLocation: String)
               : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
             require(versionAsOf.isEmpty,

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.plans.QueryPlan
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -34,6 +34,31 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some(t) => convert(m, t)
         case None => plan
       }
+    // SQL UPDATE — same interception window, same engine family: a
+    // file-granular copy-on-write through MergeInto.update
+    case u: UpdateTable if u.resolved =>
+      unwrapGraft(u.table) match {
+        case Some(t) =>
+          require(t.versionAsOf.isEmpty,
+            "cannot UPDATE a time-travel (versionAsOf) read")
+          u.condition.foreach(c => require(
+            c.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]).isEmpty,
+            "UPDATE with a subquery condition is not supported — " +
+              "materialize the subquery and use the MERGE upsert shape, " +
+              "or the Scala APIs"))
+          val targetCols = u.table.output.map(_.name).toSet
+          val assigns = u.assignments.map { a =>
+            a.key match {
+              case k: AttributeReference if targetCols(k.name) =>
+                k.name -> a.value
+              case other => throw new UnsupportedOperationException(
+                s"UPDATE assignment to $other is not supported — " +
+                  "top-level columns only")
+            }
+          }.toMap
+          GraftUpdateCommand(t.dir, u.table.output, u.condition, assigns)
+        case None => plan
+      }
     case _ => plan
   }
 
@@ -51,6 +76,10 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       "MERGE ... WITH SCHEMA EVOLUTION is not supported — graft schemas " +
         "evolve through the staging path's additive/widening merge " +
         "(append/merge with wider frames)")
+    require(m.mergeCondition.find(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]).isEmpty,
+      "MERGE with a subquery in the ON condition is not supported — " +
+        "materialize it into the USING source instead")
     val targetCols = m.targetTable.output.map(_.name).toSet
     def assignMap(as: Seq[Assignment]): Map[String, Expression] =
       as.map { a =>
@@ -98,6 +127,19 @@ case class GraftMergeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     MergeInto.run(spark, dir, targetOutput, source, condition,
       matched, notMatched, notMatchedBySource)
+    Nil
+  }
+}
+
+/** The runnable UPDATE (see [[GraftMergeRule]]'s UpdateTable case). */
+case class GraftUpdateCommand(
+    dir: String,
+    targetOutput: Seq[Attribute],
+    condition: Option[Expression],
+    assigns: Map[String, Expression]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    MergeInto.update(spark, dir, targetOutput, condition, assigns)
     Nil
   }
 }

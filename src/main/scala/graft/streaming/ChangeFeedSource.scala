@@ -491,18 +491,46 @@ private[streaming] class ChangeFileReader(
   }
 
   /** Read one value: dispatch on the FILE's physical primitive and
-    * WIDEN to the feed's Catalyst type where they differ (int32→long,
-    * float→double, int32→double — exactly the lossless promotions
-    * [[graft.operators.Snapshots]] permits, and the same promotions
-    * Spark's own parquet reader performs on the batch path). Any
-    * other physical/logical pairing fails loudly. */
+    * WIDEN to the feed's Catalyst type where they differ — shared
+    * with the batch row-group-range reader ([[GroupDecode]]). */
   private def readValue(g: org.apache.parquet.example.data.Group, fi: Int,
                         prim: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
-                        dt: DataType): Any = {
+                        dt: DataType): Any =
+    GroupDecode.readValue(g, fi, prim, dt, part.absPath)
+}
+
+/** Parquet-mr Group → Catalyst INTERNAL values, shared by the change
+  * feed's executor reader and the batch row-group-range reader
+  * ([[graft.operators.RgRead]]): dispatch on the FILE's physical
+  * primitive and WIDEN to the requested Catalyst type where they
+  * differ (int32→long, float→double, int32→double — exactly the
+  * lossless promotions [[graft.operators.Snapshots]] permits, and the
+  * same promotions Spark's own parquet reader performs on the batch
+  * path). Any other physical/logical pairing fails loudly. Flat
+  * scalar schemas only (the snapshot-table write shape). */
+private[graft] object GroupDecode {
+
+  /** Resolve each requested PHYSICAL field name to its index and
+    * stored primitive in this file's schema (-1 = the file predates
+    * the column: null-fill). */
+  def resolve(t: org.apache.parquet.schema.GroupType,
+              physNames: Array[String])
+      : (Array[Int], Array[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName]) = {
+    val idx = physNames.map(n =>
+      if (t.containsField(n)) t.getFieldIndex(n) else -1)
+    val prim = idx.map(fi =>
+      if (fi < 0) null
+      else t.getType(fi).asPrimitiveType().getPrimitiveTypeName)
+    (idx, prim)
+  }
+
+  def readValue(g: org.apache.parquet.example.data.Group, fi: Int,
+                prim: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+                dt: DataType, where: String): Any = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     def refuse(): Nothing = throw new UnsupportedOperationException(
-      s"changefeed: feed column type ${dt.simpleString} cannot be read " +
-        s"from a $prim-typed file column in ${part.absPath}")
+      s"column type ${dt.simpleString} cannot be read " +
+        s"from a $prim-typed file column in $where")
     dt match {
       case LongType | TimestampType | TimestampNTZType => prim match {
         case INT64 => g.getLong(fi, 0)
@@ -538,11 +566,11 @@ private[streaming] class ChangeFileReader(
                 new java.math.BigInteger(g.getBinary(fi, 0).getBytes), d.scale)),
               d.precision, d.scale)
           case other => throw new UnsupportedOperationException(
-            s"changefeed: decimal stored as $other is outside the contract")
+            s"decimal stored as $other is outside the contract ($where)")
         }
       case other => throw new UnsupportedOperationException(
-        s"changefeed reads flat scalar columns; ${other.simpleString} " +
-          s"in ${part.absPath} is outside the contract")
+        s"flat scalar columns only; ${other.simpleString} " +
+          s"in $where is outside the contract")
     }
   }
 }

@@ -645,6 +645,60 @@ class NamedTableSpec extends SparkSuite {
     assert(msgs(se).exists(_.contains("SCHEMA EVOLUTION")), se.toString)
   }
 
+  test("SQL UPDATE: a conditional SET rewrites ONLY the files holding " +
+    "matches (stats-pruned candidate pass), unmatched rows in touched " +
+    "files survive verbatim, time travel reads the pre-update state, a " +
+    "no-match UPDATE commits nothing, and clustered layouts / subquery " +
+    "conditions refuse with the story") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    ext.sql("""CREATE TABLE gcat.db.up (k BIGINT, v BIGINT, bucket BIGINT)
+      USING graft TBLPROPERTIES(
+        'maintain.bucket'='bucket', 'maintain.sort'='k')""")
+    ext.sql("INSERT INTO gcat.db.up SELECT id, id * 2, id % 4 " +
+      "FROM range(0, 100)")
+    val dir = s"$warehouse/db/up"
+    val vPre = Snapshots.latest(ext, dir).get
+    val filesPre = Snapshots.files(ext, dir, vPre)
+    ext.sql("UPDATE gcat.db.up SET v = -k WHERE k % 10 = 3 AND bucket = 3")
+    val v2 = Snapshots.latest(ext, dir).get
+    assert(v2 === vPre + 1, "one statement, one commit")
+    // only bucket 3's file(s) rewrote: every other file carries over
+    val filesPost = Snapshots.files(ext, dir, v2)
+    assert(filesPre.filterNot(_.contains("__bdir=3"))
+      .forall(filesPost.contains),
+      "untouched buckets share their files byte-for-byte")
+    val got = ext.sql("SELECT k, v FROM gcat.db.up ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (0L until 100L).map(k =>
+      (k, if (k % 10 == 3 && k % 4 == 3) -k else k * 2))
+    assert(got === want, "matched rows updated, everything else verbatim")
+    assert(ext.sql(s"SELECT sum(v) FROM gcat.db.up VERSION AS OF $vPre")
+      .head().getLong(0) === (0L until 100L).map(_ * 2).sum,
+      "time travel across the update")
+    // no matches: no commit
+    ext.sql("UPDATE gcat.db.up SET v = 0 WHERE k = 123456")
+    assert(Snapshots.latest(ext, dir).get === v2,
+      "a no-match UPDATE must not burn a version")
+    // clustered refusal (self-contained fixture — no cross-test table)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    HashBucketedTable.publish(
+      ext.range(0, 40).select(col("id").cast("string").as("key"),
+        col("id").as("n")),
+      s"$warehouse/db/uph", "key", 4)
+    val e = intercept[Exception] {
+      ext.sql("UPDATE gcat.db.uph SET n = 0 WHERE key = 'x'")
+    }
+    assert(msgs(e).exists(m => m.contains("hash-layout") &&
+      m.contains("upsert")), e.toString)
+    // subquery conditions refuse with the materialize hint
+    val e2 = intercept[Exception] {
+      ext.sql("UPDATE gcat.db.up SET v = 0 WHERE k IN " +
+        "(SELECT k FROM gcat.db.up WHERE v < 0)")
+    }
+    assert(msgs(e2).exists(_.contains("materialize")), e2.toString)
+  }
+
   test("SQL MERGE INTO, the upsert fast path: equality ON + " +
     "unconditional UPDATE SET * + INSERT * dispatches to the LAYOUT's " +
     "own merge — a z-order table keeps its epochs and cells, an " +
