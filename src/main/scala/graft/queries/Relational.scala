@@ -82,6 +82,7 @@ object Relational {
     "q189_zmap" -> q189,
     "q190_named_catalog" -> q190,
     "q191_sql_merge" -> q191,
+    "q192_sql_update" -> q192,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -2530,6 +2531,71 @@ object Relational {
       .orderBy(col("section"), col("label"))
   }
 
+  /** SQL UPDATE + TIMESTAMP AS OF under the gate (the r13 DML-matrix
+    * close-out beside q191's MERGE): commits land with an INJECTED
+    * clock (1s create, 2s insert, 3s update — the
+    * `spark.graft.testClockMicros` seam), then
+    *
+    *  - `UPDATE ... SET c = c + 1000 WHERE k % 9 = 4` rewrites
+    *    through the joinless file-granular copy-on-write
+    *    ([[graft.operators.MergeInto.update]]) — head folds restated
+    *    closed-form from raw orders;
+    *  - `TIMESTAMP AS OF timestamp_micros(2500000)` (between the
+    *    insert and the update) resolves the PRE-update version
+    *    through the catalog's loadTable(ident, micros) hook;
+    *  - flags: exactly 3 versions after the update, a NO-MATCH update
+    *    burns no version, and a before-first timestamp refuses. */
+  def q192(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import spark.implicits._
+    val wh = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_update_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Seq("db/usrc", "db/u").foreach(t => Snapshots.dropPath(spark, s"$wh/$t"))
+    val orders = Tables.orders(spark, dir)
+    Snapshots.publish(
+      orders.select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        (col("o_orderkey") % 8).as("b")),
+      s"$wh/db/usrc", "b", Seq("k"))
+    val ext = namedExtSession(wh)
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gq190.db")
+    try {
+      ext.conf.set(Snapshots.TestClockKey, "1000000")
+      ext.sql("CREATE TABLE IF NOT EXISTS gq190.db.u " +
+        "(k BIGINT, c BIGINT, b BIGINT) USING graft TBLPROPERTIES(" +
+        "'maintain.bucket'='b', 'maintain.sort'='k')")
+      ext.conf.set(Snapshots.TestClockKey, "2000000")
+      ext.sql("INSERT INTO gq190.db.u SELECT k, c, b FROM gq190.db.usrc")
+      ext.conf.set(Snapshots.TestClockKey, "3000000")
+      ext.sql("UPDATE gq190.db.u SET c = c + 1000 WHERE k % 9 = 4")
+    } finally ext.conf.unset(Snapshots.TestClockKey)
+    def fold3(sql: String): (Long, Long, Long) = {
+      val r = ext.sql(sql).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (uc, uk, ucc) = fold3("SELECT count(*), " +
+      "coalesce(sum(k % 1000000000000), 0), " +
+      "coalesce(sum(c % 1000000000000), 0) FROM gq190.db.u")
+    val (pc, pk, pcc) = fold3("SELECT count(*), " +
+      "coalesce(sum(k % 1000000000000), 0), " +
+      "coalesce(sum(c % 1000000000000), 0) FROM gq190.db.u " +
+      "TIMESTAMP AS OF timestamp_micros(2500000)")
+    val vNow = Snapshots.latest(ext, s"$wh/db/u").get
+    ext.sql("UPDATE gq190.db.u SET c = 0 WHERE k < 0")
+    val noBurn = Snapshots.latest(ext, s"$wh/db/u").get == vNow
+    val beforeRefused = scala.util.Try(ext.sql(
+      "SELECT count(*) FROM gq190.db.u " +
+        "TIMESTAMP AS OF timestamp_micros(5)").collect()).isFailure
+    Seq(
+      ("plan", "flags",
+        if (vNow == 3L) 1L else 0L,
+        if (noBurn) 1L else 0L,
+        if (beforeRefused) 1L else 0L),
+      ("travel", "pre", pc, pk, pcc),
+      ("update", "head", uc, uk, ucc))
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
   /** PROPS-DRIVEN MAINTENANCE under the gate
     * ([[graft.operators.Snapshots.maintain]] — the one entry point a
     * scheduler calls blindly per table; the table's own carried
@@ -3995,6 +4061,23 @@ object Relational {
          |  UNION ALL SELECT 'plan', 'refuse', 1, 1, 1
          |  UNION ALL SELECT 'travel', 'pre', (SELECT count(*) FROM t0),
          |    (SELECT CAST(sum(k % 1000000000000) AS BIGINT) FROM t0), 1)
+         |SELECT * FROM agg ORDER BY section, label""".stripMargin,
+    // q192: the updated head restated closed-form from raw orders; the
+    // timestamp travel lands between the stamped insert and update so
+    // it reads the PRE-update state; flags are protocol arithmetic
+    "q192_sql_update" ->
+      s"""WITH t0 AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+         |agg AS (
+         |  SELECT 'plan' AS section, 'flags' AS label,
+         |    CAST(1 AS BIGINT) AS m1, CAST(1 AS BIGINT) AS m2,
+         |    CAST(1 AS BIGINT) AS m3
+         |  UNION ALL SELECT 'travel', 'pre', (SELECT count(*) FROM t0),
+         |    (SELECT CAST(sum(k % 1000000000000) AS BIGINT) FROM t0),
+         |    (SELECT CAST(sum(c % 1000000000000) AS BIGINT) FROM t0)
+         |  UNION ALL SELECT 'update', 'head', (SELECT count(*) FROM t0),
+         |    (SELECT CAST(sum(k % 1000000000000) AS BIGINT) FROM t0),
+         |    (SELECT CAST(sum((CASE WHEN k % 9 = 4 THEN c + 1000
+         |      ELSE c END) % 1000000000000) AS BIGINT) FROM t0))
          |SELECT * FROM agg ORDER BY section, label""".stripMargin,
     // q187: replica == source == the plain recomputation (the loop
     // moves every change exactly once); ledger row is protocol
