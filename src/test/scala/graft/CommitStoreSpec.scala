@@ -156,4 +156,82 @@ class CommitStoreSpec extends SparkSuite {
       assert(failing.remaining === 0, "failed exactly once — never retried")
     } finally Snapshots.commitStore = AtomicCreateStore
   }
+
+  test("the SHIPPED contrib stores hold the contract through their " +
+    "doubles: ConditionalPutStore turns a conditional-write primitive's " +
+    "false into the EXACT loser type (N racers, one winner), and " +
+    "ExternalArbiterStore makes even a BLIND-PUT filesystem lose-commit-" +
+    "free — the hazard interleave that silently replaced a manifest now " +
+    "loses cleanly at the claim") {
+    import graft.operators.{ConditionalPutStore => CondTemplate, ExternalArbiterStore}
+    // 1. the conditional-write shape over a fake If-None-Match
+    val cond = new CondTemplate {
+      private val seen =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+          path: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Boolean =
+        if (!seen.add(path.toString)) false
+        else {
+          val out = fs.create(path, true)
+          try out.write(bytes) finally out.close()
+          true
+        }
+    }
+    val dir = tmpDir("contrib")
+    val fs = fsOf(dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/claim")
+    fs.mkdirs(p.getParent)
+    val wins = new java.util.concurrent.atomic.AtomicLong(0)
+    val losses = new java.util.concurrent.atomic.AtomicLong(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      (1 to 8).map(i => pool.submit(new Runnable {
+        override def run(): Unit =
+          try { cond.createExclusive(fs, p, s"W$i\n".getBytes("UTF-8"))
+            wins.incrementAndGet(); () }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              losses.incrementAndGet(); ()
+          }
+      })).foreach(_.get())
+    } finally pool.shutdown()
+    assert(wins.get() === 1L && losses.get() === 7L,
+      "exactly one racer wins; every loser gets the contract's type")
+    // 2. the external-arbiter shape over a BLIND-PUT fs: replay the
+    // hazard test's interleave — the racer that used to be silently
+    // replaced now either wins the claim or loses CLEANLY
+    val arbiter =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val arb = new ExternalArbiterStore {
+      override def claim(path: org.apache.hadoop.fs.Path): Boolean =
+        arbiter.add(path.toString)
+    }
+    val p2 = new org.apache.hadoop.fs.Path(s"$dir/claim2")
+    var racerWon = false
+    // writer A "passes its HEAD" (claims) first here — so the racer
+    // MUST lose, and must lose with the exact type
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      arb.createExclusive(fs, p2, "A\n".getBytes("UTF-8"))
+      try {
+        arb.createExclusive(fs, p2, "RACER\n".getBytes("UTF-8"))
+        racerWon = true
+      } catch { case e: Throwable => throw e }
+    }
+    assert(!racerWon)
+    val in = fs.open(p2)
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(content === "A\n", "the winner's manifest is intact — no " +
+      "blind PUT ever ran without owning the claim")
+    // 3. end-to-end through the seam: Snapshots runs on the arbiter
+    // store (its file writes are blind PUTs — safe, claim-guarded)
+    Snapshots.commitStore = arb
+    try {
+      val tdir = tmpDir("contrib_e2e")
+      Snapshots.publish(fixture, tdir, "bucket", Seq("key"))
+      Snapshots.append(fixture.limit(5), tdir, "bucket", Seq("key"))
+      assert(Snapshots.versions(spark, tdir) === Seq(1L, 2L))
+      assert(Snapshots.read(spark, tdir).count() === 305L)
+    } finally Snapshots.commitStore = AtomicCreateStore
+  }
 }
