@@ -362,70 +362,8 @@ object Layout {
                            kind: String, min: String, max: String)
 
   def typedStatsFiles(spark: SparkSession, paths: Seq[String],
-                      cols: Seq[String]): Seq[TypedFileStat] = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val b64 = java.util.Base64.getEncoder
-    def one(p0: String): Seq[TypedFileStat] = {
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p0), hconf))
-      try {
-        val blocks = rd.getFooter.getBlocks.asScala.toSeq
-        val rows = blocks.map(_.getRowCount).sum
-        cols.flatMap { c =>
-          import org.apache.parquet.column.statistics._
-          val sts = blocks.map(_.getColumns.asScala
-            .find(_.getPath.toDotString == c).map(_.getStatistics))
-          if (sts.exists(s => s.isEmpty || s.get == null ||
-              s.get.isEmpty || !s.get.hasNonNullValue)) None
-          else sts.map(_.get) match {
-            case ss if ss.forall(_.isInstanceOf[LongStatistics]) =>
-              val ls = ss.map(_.asInstanceOf[LongStatistics])
-              Some(TypedFileStat(p0, c, rows, "i",
-                ls.map(_.getMin).min.toString, ls.map(_.getMax).max.toString))
-            case ss if ss.forall(_.isInstanceOf[IntStatistics]) =>
-              val is = ss.map(_.asInstanceOf[IntStatistics])
-              Some(TypedFileStat(p0, c, rows, "i",
-                is.map(_.getMin).min.toString, is.map(_.getMax).max.toString))
-            case ss if ss.forall(s => s.isInstanceOf[DoubleStatistics] ||
-                s.isInstanceOf[FloatStatistics]) =>
-              val mins = ss.map {
-                case d: DoubleStatistics => d.getMin
-                case f: FloatStatistics => f.getMin.toDouble
-              }
-              val maxs = ss.map {
-                case d: DoubleStatistics => d.getMax
-                case f: FloatStatistics => f.getMax.toDouble
-              }
-              if (mins.exists(_.isNaN) || maxs.exists(_.isNaN)) None
-              else Some(TypedFileStat(p0, c, rows, "d",
-                mins.min.toString, maxs.max.toString))
-            case ss if ss.forall(_.isInstanceOf[BinaryStatistics]) =>
-              val bs = ss.map(_.asInstanceOf[BinaryStatistics])
-              val mn = bs.map(_.genericGetMin.getBytes)
-                .reduce((a, b) => if (bytesLt(a, b)) a else b)
-              val mx = bs.map(_.genericGetMax.getBytes)
-                .reduce((a, b) => if (bytesLt(a, b)) b else a)
-              Some(TypedFileStat(p0, c, rows, "s",
-                b64.encodeToString(mn), b64.encodeToString(mx)))
-            case _ => None // mixed/unsupported physical types: no claim
-          }
-        }
-      } finally rd.close()
-    }
-    if (paths.size <= 1) paths.flatMap(one)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, paths.size))
-      try {
-        val futs = paths.map(p0 => pool.submit(
-          new java.util.concurrent.Callable[Seq[TypedFileStat]] {
-            override def call(): Seq[TypedFileStat] = one(p0)
-          }))
-        futs.flatMap(_.get())
-      } finally pool.shutdown()
-    }
-  }
+                      cols: Seq[String]): Seq[TypedFileStat] =
+    typedStatsWithBlocks(spark, paths, cols)._1
 
   /** Typed PER-ROW-GROUP min/max — the footer detail behind format
     * 2.3's `#stat3` manifest lines (Iceberg's split-offsets +
@@ -467,42 +405,88 @@ object Layout {
   /** The per-row-group typed footer walk ([[typedStatsFiles]]' block
     * granularity): ONLY files with ≥ 2 row groups yield entries — a
     * single-group file's row-group stat IS its file stat, so
-    * recording it would double the manifest for nothing. Bounded
-    * thread pool like every footer walk here. */
+    * recording it would double the manifest for nothing. */
   def typedRgStatsFiles(spark: SparkSession, paths: Seq[String],
-                        cols: Seq[String]): Seq[TypedRgStat] = {
+                        cols: Seq[String]): Seq[TypedRgStat] =
+    typedStatsWithBlocks(spark, paths, cols)._2
+
+  /** ONE footer walk emitting BOTH stat granularities — the per-FILE
+    * `#stat2` fold and the per-ROW-GROUP `#stat3` detail
+    * ([[typedStatsFiles]] / [[typedRgStatsFiles]] delegate here;
+    * staging calls it once): two separate walks would double the
+    * metadata round trips per staged file exactly where footer I/O
+    * is priced per open (object stores). Per (file, column) the
+    * claim is ALL-OR-NOTHING: every block must carry usable
+    * statistics of ONE kind, else NEITHER family claims — the file
+    * stat is the fold of its block stats (same canonical encodings),
+    * and consumers of the block detail may treat a recorded set as
+    * the file's COMPLETE block list (a file whose every recorded
+    * block fails DROPS — [[Snapshots.prunedRangesBox]]), which only
+    * the all-or-nothing rule makes safe. Block detail is recorded
+    * only for multi-row-group files. Bounded thread pool like every
+    * footer walk here. */
+  def typedStatsWithBlocks(spark: SparkSession, paths: Seq[String],
+                           cols: Seq[String])
+      : (Seq[TypedFileStat], Seq[TypedRgStat]) = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    def one(p0: String): Seq[TypedRgStat] = {
+    def one(p0: String): (Seq[TypedFileStat], Seq[TypedRgStat]) = {
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(p0), hconf))
       try {
         val blocks = rd.getFooter.getBlocks.asScala.toSeq
-        if (blocks.size < 2) Seq.empty
-        else cols.flatMap { c =>
-          blocks.flatMap { b =>
+        val rows = blocks.map(_.getRowCount).sum
+        val fileB = Seq.newBuilder[TypedFileStat]
+        val rgB = Seq.newBuilder[TypedRgStat]
+        cols.foreach { c =>
+          val per = blocks.map(b =>
             b.getColumns.asScala.find(_.getPath.toDotString == c)
-              .flatMap(cc => blockStat(cc.getStatistics))
-              .map { case (kind, mn, mx) =>
-                TypedRgStat(p0, c, b.getStartingPos, b.getCompressedSize,
-                  b.getRowCount, kind, mn, mx)
+              .flatMap(cc => blockStat(cc.getStatistics)))
+          if (per.forall(_.isDefined) &&
+              per.flatten.map(_._1).distinct.size == 1) {
+            val claims = per.map(_.get)
+            val kind = claims.head._1
+            val (mn, mx) = kind match {
+              case "i" =>
+                (claims.map(_._2.toLong).min.toString,
+                 claims.map(_._3.toLong).max.toString)
+              case "d" =>
+                (claims.map(_._2.toDouble).min.toString,
+                 claims.map(_._3.toDouble).max.toString)
+              case _ =>
+                val dec = java.util.Base64.getDecoder
+                val enc = java.util.Base64.getEncoder
+                (enc.encodeToString(claims.map(s => dec.decode(s._2))
+                   .reduce((a, b) => if (bytesLt(a, b)) a else b)),
+                 enc.encodeToString(claims.map(s => dec.decode(s._3))
+                   .reduce((a, b) => if (bytesLt(a, b)) b else a)))
+            }
+            fileB += TypedFileStat(p0, c, rows, kind, mn, mx)
+            if (blocks.size >= 2)
+              claims.zip(blocks).foreach { case ((k, bmn, bmx), b) =>
+                rgB += TypedRgStat(p0, c, b.getStartingPos,
+                  b.getCompressedSize, b.getRowCount, k, bmn, bmx)
               }
           }
         }
+        (fileB.result(), rgB.result())
       } finally rd.close()
     }
-    if (paths.size <= 1) paths.flatMap(one)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, paths.size))
-      try {
-        val futs = paths.map(p0 => pool.submit(
-          new java.util.concurrent.Callable[Seq[TypedRgStat]] {
-            override def call(): Seq[TypedRgStat] = one(p0)
-          }))
-        futs.flatMap(_.get())
-      } finally pool.shutdown()
-    }
+    val res =
+      if (paths.size <= 1) paths.map(one)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, paths.size))
+        try {
+          val futs = paths.map(p0 => pool.submit(
+            new java.util.concurrent.Callable[(Seq[TypedFileStat], Seq[TypedRgStat])] {
+              override def call(): (Seq[TypedFileStat], Seq[TypedRgStat]) =
+                one(p0)
+            }))
+          futs.map(_.get())
+        } finally pool.shutdown()
+      }
+    (res.flatMap(_._1), res.flatMap(_._2))
   }
 
   /** Unsigned byte-lexicographic a < b (parquet binary stat order). */

@@ -387,8 +387,23 @@ object MergeInto {
       if (touched.isEmpty) None
       else {
         val tF = tPos(touched)
-        val sM = sourceDf.withColumn(SMark, lit(1))
-        val joined = tF.join(sM, cond, "left_outer")
+        // With matched actions, job 1's cardinality aggregate already
+        // guarantees ≤ 1 source match per target row, so the outer
+        // join cannot fan out. WITHOUT matched actions that guard
+        // never ran — and SQL says a multi-matched target row is
+        // simply KEPT (once) — so the marker must come from a
+        // DEDUPLICATED matched-position set, not the raw join, or an
+        // NMBS-touched file would duplicate its matched rows.
+        val joined =
+          if (matched.nonEmpty) tF.join(
+            sourceDf.withColumn(SMark, lit(1)), cond, "left_outer")
+          else {
+            val mPos = tF.join(sourceDf, cond, "left_semi")
+              .select(col(Snapshots.FileCol), col(Snapshots.PosCol))
+              .distinct().withColumn(SMark, lit(1))
+            tF.join(mPos, Seq(Snapshots.FileCol, Snapshots.PosCol),
+              "left_outer")
+          }
         val isM = col(SMark).isNotNull
         val keep = when(isM, chainKeep(matched)).otherwise(chainKeep(nmbs))
         Some(joined.filter(keep).select(targetOutput.map { o =>
@@ -407,15 +422,19 @@ object MergeInto {
       case (Some(r), Some(i)) => Some(r.unionByName(i))
       case (r, i) => r.orElse(i)
     }
-    val changed = touched.nonEmpty ||
-      newData.exists(d => !d.isEmpty) // insert-only probe: one limit-1
+    // ONE insert-only probe (a limit-1 job), shared by the changed
+    // check and the staging guard; touched.nonEmpty short-circuits it
+    lazy val newNonEmpty = newData.exists(d => !d.isEmpty)
+    val changed = touched.nonEmpty || newNonEmpty
     if (!changed) return prev
     val tp = pm.toPhysical
     val st = newData match {
-      case Some(d) if touched.nonEmpty || !d.isEmpty =>
+      case Some(d) if touched.nonEmpty || newNonEmpty =>
         val phys = Snapshots.toPhysicalDf(d, tp)
-        // an all-delete rewrite can empty the touched set entirely
-        if (phys.isEmpty)
+        // an all-delete rewrite can empty the touched set entirely;
+        // untouched insert-only merges skip the probe (newNonEmpty
+        // already proved rows exist, and toPhysicalDf only renames)
+        if (touched.nonEmpty && phys.isEmpty)
           Snapshots.Staged(Nil, schemaJson, Nil)
         else Snapshots.stage(phys, dir, tp.getOrElse(bucketCol, bucketCol),
           sortCols.map(c => tp.getOrElse(c, c)), 128L * 1024 * 1024, 32,

@@ -57,12 +57,20 @@ private[operators] object RgRead {
               .withConf(conf)
               .withFileRange(r.start, r.start + r.len)
               .build()
+            private var closed = false
+            private def closeOnce(): Unit =
+              if (!closed) { closed = true; reader.close() }
+            // limit()/take()/task failure stop consuming mid-range
+            // and never drive hasNext to exhaustion — the task
+            // listener is what keeps the file handle from leaking
+            Option(org.apache.spark.TaskContext.get()).foreach(
+              _.addTaskCompletionListener[Unit](_ => closeOnce()))
             private var g: org.apache.parquet.example.data.Group = reader.read()
             private var fieldIdx: Array[Int] = _
             private var fieldPrim: Array[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] = _
             override def hasNext: Boolean = {
               val h = g != null
-              if (!h) reader.close()
+              if (!h) closeOnce()
               h
             }
             override def next(): InternalRow = {

@@ -740,8 +740,13 @@ object Snapshots {
     // survive metadata-only commits — see carriedBatch); #txn must not
     // (this commit is not that transaction's member)
     val keys = effective.keySet
+    // #ts must not carry either: commit() stamps fresh only when no
+    // ts line exists, so a carried predecessor stamp would give this
+    // ALTER its predecessor's wall time (TIMESTAMP AS OF would then
+    // resolve a version that did not exist at that time)
     val kept = pm.meta.filterNot(m => m.startsWith("#format:") ||
-        keys.exists(k => m.startsWith(s"#prop:$k=")) || m.startsWith("#txn:"))
+        keys.exists(k => m.startsWith(s"#prop:$k=")) || m.startsWith("#txn:") ||
+        m.startsWith("#ts:"))
       .map(_.stripPrefix("#"))
     val v = claimAbove(spark, dir, prev)
     commit(spark, dir, v, pm.files,
@@ -952,33 +957,27 @@ object Snapshots {
               s"${gs.map(_.min).min}:${gs.map(_.max).max}:$rel"
           }
       }.getOrElse(Seq.empty)
-    // typed stats for the table's DECLARED stats columns (format 2.1)
-    // — same one footer walk over only this commit's new files
-    val stat2: Seq[String] =
-      if (stat2Cols.isEmpty) Seq.empty
+    // typed stats for the table's DECLARED stats columns (format 2.1
+    // #stat2 per file) AND the per-row-group detail (format 2.3
+    // #stat3 — byte range + rows + min/max per block, multi-row-group
+    // files only: a single-group file's block stat IS its file stat,
+    // so the common small-file case adds zero lines while a large
+    // file gains sub-file skipping — [[prunedScanAtBox]] plans
+    // surviving byte ranges without opening footers). ONE footer walk
+    // emits both families — a second walk would double the metadata
+    // round trips per staged file.
+    val (stat2, stat3): (Seq[String], Seq[String]) =
+      if (stat2Cols.isEmpty) (Seq.empty, Seq.empty)
       else scala.util.Try {
-        Layout.typedStatsFiles(df.sparkSession,
-            staged.map(r => s"$dir/$r"),
-            stat2Cols.filter(c => !c.contains(":")))
-          .map(ts => s"stat2:${ts.column}:${ts.kind}:${ts.rows}:" +
-            s"${ts.min}:${ts.max}:${ts.path.stripPrefix(s"$dir/")}")
-      }.getOrElse(Seq.empty)
-    // ... and the PER-ROW-GROUP detail (format 2.3 #stat3 — byte
-    // range + rows + min/max per block) for MULTI-row-group files
-    // only: a single-group file's block stat IS its file stat, so the
-    // common small-file case adds zero lines, while a large file
-    // gains sub-file skipping ([[prunedScanAtBox]] reads surviving
-    // byte ranges, never whole files, without opening footers to plan)
-    val stat3: Seq[String] =
-      if (stat2Cols.isEmpty) Seq.empty
-      else scala.util.Try {
-        Layout.typedRgStatsFiles(df.sparkSession,
-            staged.map(r => s"$dir/$r"),
-            stat2Cols.filter(c => !c.contains(":")))
-          .map(rg => s"stat3:${rg.column}:${rg.kind}:${rg.start}:" +
-            s"${rg.len}:${rg.rows}:${rg.min}:${rg.max}:" +
-            rg.path.stripPrefix(s"$dir/"))
-      }.getOrElse(Seq.empty)
+        val (fileStats, rgStats) = Layout.typedStatsWithBlocks(
+          df.sparkSession, staged.map(r => s"$dir/$r"),
+          stat2Cols.filter(c => !c.contains(":")))
+        (fileStats.map(ts => s"stat2:${ts.column}:${ts.kind}:${ts.rows}:" +
+           s"${ts.min}:${ts.max}:${ts.path.stripPrefix(s"$dir/")}"),
+         rgStats.map(rg => s"stat3:${rg.column}:${rg.kind}:${rg.start}:" +
+           s"${rg.len}:${rg.rows}:${rg.min}:${rg.max}:" +
+           rg.path.stripPrefix(s"$dir/")))
+      }.getOrElse((Seq.empty, Seq.empty))
     // KMV NDV sketches for the DECLARED ndv columns: one distinct +
     // windowed-top-k pass over ONLY this commit's new files
     val ndvL: Seq[String] =
@@ -2587,10 +2586,14 @@ object Snapshots {
     * blocks become ranges (a file whose every block fails drops
     * entirely — finer than the file-level decision). */
   def prunedRangesBox(spark: SparkSession, dir: String, v: Long,
-                      preds: Seq[(String, Any, Any)])
+                      preds: Seq[(String, Any, Any)],
+                      fileSurvivors: Option[Seq[String]] = None)
       : (Seq[String], Seq[(String, Seq[(Long, Long)])]) = {
     val m = committedManifest(spark, dir, v)
-    val surviving = prunedFilesBox(spark, dir, v, preds)
+    // callers that already ran the file-level pass (prunedScanAtBox)
+    // hand its survivors in rather than paying the pruning twice
+    val surviving = fileSurvivors.getOrElse(
+      prunedFilesBox(spark, dir, v, preds))
     val dvRels = m.dv.keySet ++ m.dvRefs.keySet
     val byCol = preds.map { case (c, _, _) =>
       c -> m.stats3(m.toPhysical.getOrElse(c, c))
@@ -2675,7 +2678,7 @@ object Snapshots {
     val (whole, partial) =
       if (stats.isDefined) (surviving0, Seq.empty)
       else {
-        val (w, p) = prunedRangesBox(spark, dir, v, preds)
+        val (w, p) = prunedRangesBox(spark, dir, v, preds, Some(surviving0))
         if (rgExec) (w, p) else (w ++ p.map(_._1), Seq.empty)
       }
     val surviving = whole

@@ -62,7 +62,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   /** Time-travel options: `versionAsOf` (a snapshot version) or
     * `timestampAsOf` (epoch MICROS, or a `yyyy-MM-dd HH:mm:ss[.f…]`
     * local timestamp — the Delta option shape), resolved through
-    * [[graft.operators.Snapshots.versionAtTimestamp]]. */
+    * [[graft.operators.Snapshots.versionAtTimestamp]]. The timestamp
+    * resolution is memoized per (dir, micros) on this provider
+    * instance: `inferSchema` and `getTable` both resolve, and a
+    * commit landing between the two walks could otherwise hand the
+    * relation a schema from a DIFFERENT version than its data. */
+  @volatile private var tsResolved: (String, Long, Long) = null
+
   private def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("versionAsOf")).map(_.toLong).orElse(
       Option(options.get("timestampAsOf")).map { s =>
@@ -70,8 +76,16 @@ class GraftDataSource extends TableProvider with DataSourceRegister
           val t = java.sql.Timestamp.valueOf(s)
           t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
         }
-        graft.operators.Snapshots.versionAtTimestamp(
-          SparkSession.active, dirOf(options), micros)
+        val dir = dirOf(options)
+        val cached = tsResolved
+        if (cached != null && cached._1 == dir && cached._2 == micros)
+          cached._3
+        else {
+          val v = graft.operators.Snapshots.versionAtTimestamp(
+            SparkSession.active, dir, micros)
+          tsResolved = (dir, micros, v)
+          v
+        }
       })
 
   /** Empty for a directory with no committed snapshots rather than

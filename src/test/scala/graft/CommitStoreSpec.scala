@@ -207,17 +207,14 @@ class CommitStoreSpec extends SparkSuite {
         arbiter.add(path.toString)
     }
     val p2 = new org.apache.hadoop.fs.Path(s"$dir/claim2")
-    var racerWon = false
-    // writer A "passes its HEAD" (claims) first here — so the racer
-    // MUST lose, and must lose with the exact type
+    // writer A "passes its HEAD" (claims) first — OUTSIDE the
+    // intercept, so A's own claim throwing would fail the test
+    // instead of satisfying it — then the racer MUST lose, and must
+    // lose with the exact type
+    arb.createExclusive(fs, p2, "A\n".getBytes("UTF-8"))
     intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
-      arb.createExclusive(fs, p2, "A\n".getBytes("UTF-8"))
-      try {
-        arb.createExclusive(fs, p2, "RACER\n".getBytes("UTF-8"))
-        racerWon = true
-      } catch { case e: Throwable => throw e }
+      arb.createExclusive(fs, p2, "RACER\n".getBytes("UTF-8"))
     }
-    assert(!racerWon)
     val in = fs.open(p2)
     val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()

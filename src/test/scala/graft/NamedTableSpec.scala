@@ -491,6 +491,18 @@ class NamedTableSpec extends SparkSuite {
     assert(ext.read.format("graft").option("timestampAsOf", future)
       .load(dir).count() === 300L,
       "a local-string timestamp after the last commit reads the head")
+    // a METADATA-ONLY commit (ALTER ... SET TBLPROPERTIES → setProps)
+    // stamps ITS OWN wall time: its carry is a BLACKLIST over the
+    // predecessor's meta and #ts must be on it, or the props commit
+    // inherits the predecessor's stamp and TIMESTAMP AS OF resolves
+    // a version that did not exist at that time
+    ext.conf.set(Snapshots.TestClockKey, "4000000")
+    try Snapshots.setProp(ext, dir, "note", Some("r13"))
+    finally ext.conf.unset(Snapshots.TestClockKey)
+    assert(Snapshots.commitTsAt(ext, dir, 4L) === Some(4000000L),
+      "props-only commits stamp fresh, never carry the predecessor's ts")
+    assert(Snapshots.versionAtTimestamp(ext, dir, 3999999L) === 3L,
+      "just before the ALTER still reads the pre-ALTER version")
   }
 
   test("streaming READ by name: format(\"graft\").option(changeFeed) is " +
@@ -643,6 +655,30 @@ class NamedTableSpec extends SparkSuite {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(se).exists(_.contains("SCHEMA EVOLUTION")), se.toString)
+  }
+
+  test("MERGE with ONLY not-matched-by-source clauses keeps a " +
+    "multi-matched target row exactly ONCE: without matched actions " +
+    "the cardinality guard never runs, so the rewrite must mark " +
+    "match-existence from a deduplicated position set, not a fan-out " +
+    "join") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    ext.sql("""CREATE TABLE gcat.db.mgnmbs (k BIGINT, v BIGINT,
+      bucket BIGINT) USING graft TBLPROPERTIES(
+        'maintain.bucket'='bucket', 'maintain.sort'='k')""")
+    ext.sql("INSERT INTO gcat.db.mgnmbs SELECT id, id * 2, id % 2 " +
+      "FROM range(0, 10)")
+    // source matches k∈[0,5) — k=0 and k=1 TWICE (legal SQL:
+    // duplicate source matches without UPDATE/DELETE matched actions)
+    // — the NMBS delete touches every file while k=0/k=1 survive ONCE
+    ext.sql("""MERGE INTO gcat.db.mgnmbs AS t
+      USING (SELECT id % 5 AS k FROM range(0, 7)) AS s
+      ON t.k = s.k
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val got = ext.sql("SELECT k, v FROM gcat.db.mgnmbs ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === (0L to 4L).map(k => (k, k * 2)),
+      "matched rows keep exactly once (no fan-out); NMBS deletes 5..9")
   }
 
   test("SQL UPDATE: a conditional SET rewrites ONLY the files holding " +

@@ -161,4 +161,42 @@ class RowGroupStatsSpec extends SparkSuite {
     val v4 = Snapshots.rename(spark, dir, "payload", "pay2")
     assert(rgLines(v4).toSet === after.toSet)
   }
+
+  test("a block with UNUSABLE stats suppresses the whole (file, column) " +
+    "#stat3 claim — all-or-nothing: the consumer treats recorded blocks " +
+    "as the file's COMPLETE set (all-blocks-fail DROPS the file), so a " +
+    "partial recording could silently lose the statless block's rows") {
+    val dir = tmpDir("nanblock")
+    // ONE sorted file, several 64KB row groups; dval carries a NaN at
+    // key 15000 — parquet-mr's double min/max fold poisons that
+    // block's stats (blockStat then refuses the NaN claim) while
+    // every other block stays clean
+    val df = spark.range(0, 20000, 1, 1).select(
+      col("id").as("key"),
+      when(col("id") === 15000L, lit(Double.NaN))
+        .otherwise(col("id").cast("double")).as("dval"),
+      lit(0L).as("bucket"))
+    Snapshots.publish(df, dir, "bucket", Seq("key"),
+      blockSize = 64L * 1024, numTasks = 1,
+      statsCols = Seq("key", "dval"))
+    val mf = new java.io.File(f"$dir/_manifests/v${1L}%020d")
+    val lines = scala.io.Source.fromFile(mf, "UTF-8").getLines().toList
+    assert(lines.count(_.startsWith("#stat3:key:")) >= 4,
+      "the clean column still records its row-group detail")
+    assert(!lines.exists(_.startsWith("#stat3:dval:")),
+      "ONE unusable block kills the whole column's #stat3 claim " +
+        "(per column — key's lines above prove the guard's granularity)")
+    assert(!lines.exists(_.startsWith("#stat2:dval:")),
+      "the file-level fold refuses the same way (shared walk)")
+    // the regression: a predicate matching ONLY rows in the poisoned
+    // block — with partial #stat3 recorded, every RECORDED block fails
+    // and the file would DROP, silently losing these rows
+    for (exec <- Seq(true, false)) {
+      spark.conf.set(Snapshots.RgScanKey, exec.toString)
+      try assert(Snapshots.prunedScanAtBox(spark, dir, 1L,
+          Seq(("dval", 15001.0, 15010.0))).count() === 9L,
+        s"rows beside the NaN must survive the box scan (exec=$exec)")
+      finally spark.conf.unset(Snapshots.RgScanKey)
+    }
+  }
 }
