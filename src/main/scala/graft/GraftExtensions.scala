@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // merge target (post-hoc rules run in injection order)
     ext.injectPostHocResolutionRule(session =>
       graft.sources.GraftMergeRule(session))
+    // the maintenance SQL statements (OPTIMIZE / VACUUM / DESCRIBE
+    // HISTORY — the Delta DeltaSqlParser shape): one regex probe per
+    // statement, everything else delegates to Spark's own grammar
+    ext.injectParser((_, delegate) =>
+      new graft.sources.GraftSqlParser(delegate))
     // the NAMED-table surface (format("graft") / GraftCatalog —
     // Delta's deployment shape): resolved V2 relations over
     // GraftTable swap to the SAME manifest-statistics V1 plans the

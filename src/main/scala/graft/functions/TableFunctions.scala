@@ -23,8 +23,11 @@ import graft.operators.Snapshots
   *    multiset, `_change` ∈ insert/delete, deletion-vector deltas
   *    included);
   *  - `graft_history('/dir')` — one row per committed version with
-  *    manifest-only metrics (files, rows, bytes, dead_rows, batch) —
-  *    the DESCRIBE HISTORY shape, zero data opens.
+  *    manifest-only metrics (ts — the commit wall time behind
+  *    TIMESTAMP AS OF — files, rows, bytes, dead_rows, batch) — the
+  *    DESCRIBE HISTORY shape, zero data opens (also reachable as the
+  *    `DESCRIBE HISTORY` statement on named tables —
+  *    [[graft.sources.GraftSqlParser]]).
   *
   * Arguments must be literals (they select the TABLE — there is no
   * row context yet when a FROM-clause relation resolves). Deployment
@@ -63,7 +66,10 @@ object TableFunctions {
   private[graft] def history(spark: SparkSession, dir: String): DataFrame = {
     val data = Snapshots.versions(spark, dir).map { v =>
       val files = Snapshots.files(spark, dir, v)
-      (v, files.size.toLong,
+      (v,
+        Snapshots.commitTsAt(spark, dir, v) // the #ts line (r13; null
+          .map(java.lang.Long.valueOf).orNull, // for pre-stamp history)
+        files.size.toLong,
         Snapshots.rowCountAt(spark, dir, v)
           .map(java.lang.Long.valueOf).orNull,
         Snapshots.sizeAt(spark, dir, v),
@@ -72,7 +78,7 @@ object TableFunctions {
           .map(java.lang.Long.valueOf).orNull)
     }
     import spark.implicits._
-    data.toDF("version", "files", "rows", "bytes", "dead_rows", "batch")
+    data.toDF("version", "ts", "files", "rows", "bytes", "dead_rows", "batch")
   }
 
   private def fn(name: String, usage: String,

@@ -89,6 +89,39 @@ object MaintenanceRunner {
         Report(dir, "error", None, Some(e.toString))
     }
 
+  /** COMPACTION only, layout-dispatched — the engine behind the SQL
+    * `OPTIMIZE` statement (Delta's OPTIMIZE = compaction; retention
+    * vacuum is `VACUUM`'s job and checkpointing rides on writes).
+    * Unlike the sweep this THROWS on a table it cannot place — an
+    * explicit OPTIMIZE deserves a loud answer, not a skipped report.
+    * Returns (layout, version before, version after — equal when
+    * nothing was fragmented). */
+  def compactOne(spark: SparkSession, dir: String,
+                 blockSize: Long = 128L * 1024 * 1024)
+      : (String, Long, Long) = {
+    val before = Snapshots.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots"))
+    NamedTables.layoutAt(spark, dir, before) match {
+      case "z" => ("z", before, ZOrderTable.compact(spark, dir, blockSize))
+      case "hash" =>
+        ("hash", before, HashBucketedTable.compact(spark, dir, blockSize))
+      case "width" =>
+        ("width", before, BucketedTable.compact(spark, dir, blockSize))
+      case _ =>
+        val props = Snapshots.propsAt(spark, dir, before)
+        (props.get("maintain.bucket"), props.get("maintain.sort")) match {
+          case (Some(b), Some(sorts)) =>
+            ("flat", before, Snapshots.compact(spark, dir, b,
+              sorts.split(",").toSeq.filter(_.nonEmpty), blockSize))
+          case _ => throw new IllegalArgumentException(
+            s"OPTIMIZE $dir: no layout metadata and no maintain.bucket/" +
+              "maintain.sort table properties — a compactor never guesses " +
+              "a table's write layout (declare them via ALTER TABLE ... " +
+              "SET TBLPROPERTIES)")
+        }
+    }
+  }
+
   /** Sweep every snapshot table under `root` (a direct child holding
     * a `_manifests` directory), deterministically ordered. Failures
     * report, never propagate. */

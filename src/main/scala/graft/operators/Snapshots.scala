@@ -1736,26 +1736,38 @@ object Snapshots {
     val retainN = props.get("retainversions")
       .flatMap(s => scala.util.Try(s.toLong).toOption).filter(_ >= 1)
     val (vFrom, dropped, deleted) = retainN match {
-      case Some(n) =>
-        val vs = versions(spark, dir)
-        val byRetention = vs.takeRight(math.min(n, vs.size.toLong).toInt).head
-        // never vacuum past the newest batch-bearing version: dropping
-        // the whole exactly-once ledger would let a restart's
-        // re-delivered batch RE-APPLY (defense in depth — carriedBatch
-        // keeps the newest manifest batch-bearing, so this clamp only
-        // binds when a foreign writer broke the carry chain)
-        val keepFrom = newestBatchVersion(spark, dir) match {
-          case Some(bv) => math.min(byRetention, bv)
-          case None => byRetention
-        }
-        if (keepFrom > vs.head) {
-          val (d, del, _) = vacuum(spark, dir, keepFrom, retainMs)
-          (Some(keepFrom), d, del)
-        } else (None, 0L, 0L)
+      case Some(n) => retentionVacuum(spark, dir, n, retainMs)
       case None => (None, 0L, 0L)
     }
     val covers = checkpoint(spark, dir)
     Maintenance(compacted, vFrom, dropped, deleted, covers)
+  }
+
+  /** VERSION-retention vacuum: keep the newest `n` committed versions
+    * and [[vacuum]] everything older — the arithmetic behind
+    * `prop:retainversions` maintenance and the SQL `VACUUM ... RETAIN
+    * n VERSIONS` statement (ONE implementation, so the two surfaces
+    * cannot disagree on the clamp). Returns (keepFrom if anything
+    * dropped, versions dropped, files deleted). */
+  private[graft] def retentionVacuum(spark: SparkSession, dir: String,
+                                     n: Long, retainMs: Long)
+      : (Option[Long], Long, Long) = {
+    require(n >= 1, s"retention must keep at least one version (got $n)")
+    val vs = versions(spark, dir)
+    val byRetention = vs.takeRight(math.min(n, vs.size.toLong).toInt).head
+    // never vacuum past the newest batch-bearing version: dropping
+    // the whole exactly-once ledger would let a restart's
+    // re-delivered batch RE-APPLY (defense in depth — carriedBatch
+    // keeps the newest manifest batch-bearing, so this clamp only
+    // binds when a foreign writer broke the carry chain)
+    val keepFrom = newestBatchVersion(spark, dir) match {
+      case Some(bv) => math.min(byRetention, bv)
+      case None => byRetention
+    }
+    if (keepFrom > vs.head) {
+      val (d, del, _) = vacuum(spark, dir, keepFrom, retainMs)
+      (Some(keepFrom), d, del)
+    } else (None, 0L, 0L)
   }
 
   /** MERGE (upsert) — the CDC apply step: commit a new version where

@@ -83,6 +83,7 @@ object Relational {
     "q190_named_catalog" -> q190,
     "q191_sql_merge" -> q191,
     "q192_sql_update" -> q192,
+    "q193_sql_maintain" -> q193,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -2596,6 +2597,85 @@ object Relational {
       .orderBy(col("section"), col("label"))
   }
 
+  /** MAINTENANCE SQL under the gate (OPTIMIZE / VACUUM / DESCRIBE
+    * HISTORY — [[graft.sources.GraftSqlParser]], the injected-parser
+    * surface over the same engines q186 gates programmatically, in
+    * the public Delta DeltaSqlParser shape): three SQL inserts
+    * fragment every bucket (8 buckets × 3 files) under the injected
+    * clock, `OPTIMIZE` folds them through the layout dispatch (flags
+    * pin 'flat', ONE commit, 8 files after, and the commit-free
+    * second run), `VACUUM` with NO retention REFUSES (the format's
+    * one destructive op never guesses), `VACUUM ... RETAIN 2
+    * VERSIONS` drops the three pre-compaction manifests, and
+    * `DESCRIBE HISTORY` folds the surviving (version, ts) pairs
+    * closed-form off the stamped clock. The read fold proves the
+    * statements moved NOTHING (the oracle recomputes it from raw
+    * orders). */
+  def q193(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import graft.sources.GraftSqlParser
+    import spark.implicits._
+    val wh = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_maintsql_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Seq("db/xsrc", "db/x").foreach(t => Snapshots.dropPath(spark, s"$wh/$t"))
+    val orders = Tables.orders(spark, dir)
+    Snapshots.publish(
+      orders.select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        (col("o_orderkey") % 8).as("b")),
+      s"$wh/db/xsrc", "b", Seq("k"))
+    val ext = namedExtSession(wh)
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gq190.db")
+    val (opt, opt2) =
+      try {
+        ext.conf.set(Snapshots.TestClockKey, "1000000")
+        ext.sql("CREATE TABLE IF NOT EXISTS gq190.db.x " +
+          "(k BIGINT, c BIGINT, b BIGINT) USING graft TBLPROPERTIES(" +
+          "'maintain.bucket'='b', 'maintain.sort'='k')")
+        for (i <- 0 until 3) {
+          ext.conf.set(Snapshots.TestClockKey, s"${(i + 2) * 1000000}")
+          ext.sql("INSERT INTO gq190.db.x SELECT k, c, b " +
+            s"FROM gq190.db.xsrc WHERE k % 3 = $i")
+        }
+        ext.conf.set(Snapshots.TestClockKey, "5000000")
+        (ext.sql("OPTIMIZE gq190.db.x").collect()(0),
+          ext.sql("OPTIMIZE gq190.db.x").collect()(0))
+      } finally ext.conf.unset(Snapshots.TestClockKey)
+    val xdir = s"$wh/db/x"
+    val filesBefore = Snapshots.files(ext, xdir, 4L).size.toLong
+    val filesAfter =
+      Snapshots.files(ext, xdir, Snapshots.latest(ext, xdir).get).size.toLong
+    val optFlag =
+      if (opt.getString(0) == "flat" && opt.getBoolean(3) &&
+        Snapshots.latest(ext, xdir).contains(5L)) 1L else 0L
+    val noopFlag =
+      if (!opt2.getBoolean(3) && Snapshots.latest(ext, xdir).contains(5L))
+        1L else 0L
+    val refuseFlag = if (scala.util.Try(
+        ext.sql("VACUUM gq190.db.x").collect()).isFailure) 1L else 0L
+    ext.conf.set(GraftSqlParser.VacuumRetainMsKey, "0")
+    val vac =
+      try ext.sql("VACUUM gq190.db.x RETAIN 2 VERSIONS").collect()(0)
+      finally ext.conf.unset(GraftSqlParser.VacuumRetainMsKey)
+    val hist = ext.sql("DESCRIBE HISTORY gq190.db.x").collect()
+    def fold3(sql: String): (Long, Long, Long) = {
+      val r = ext.sql(sql).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (xc, xk, xcc) = fold3("SELECT count(*), " +
+      "coalesce(sum(k % 1000000000000), 0), " +
+      "coalesce(sum(c % 1000000000000), 0) FROM gq190.db.x")
+    Seq(
+      ("history", "fold", hist.length.toLong,
+        hist.map(_.getLong(0)).sum, hist.map(_.getLong(1)).sum / 1000000L),
+      ("plan", "flags", optFlag, noopFlag, refuseFlag),
+      ("read", "head", xc, xk, xcc),
+      ("state", "files", filesBefore, filesAfter,
+        Snapshots.versions(ext, xdir).size.toLong),
+      ("state", "vacuum", vac.getLong(0), vac.getLong(1), vac.getLong(2)))
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
   /** PROPS-DRIVEN MAINTENANCE under the gate
     * ([[graft.operators.Snapshots.maintain]] — the one entry point a
     * scheduler calls blindly per table; the table's own carried
@@ -4078,6 +4158,25 @@ object Relational {
          |    (SELECT CAST(sum(k % 1000000000000) AS BIGINT) FROM t0),
          |    (SELECT CAST(sum((CASE WHEN k % 9 = 4 THEN c + 1000
          |      ELSE c END) % 1000000000000) AS BIGINT) FROM t0))
+         |SELECT * FROM agg ORDER BY section, label""".stripMargin,
+    // q193: the read restates from raw orders (maintenance SQL moves
+    // nothing); every other row is protocol arithmetic — versions 4+5
+    // survive the RETAIN 2 vacuum with injected stamps 4s+5s, 3 loads
+    // × 8 buckets = 24 files fold to 8, the dropped manifests' files
+    // stay referenced by v4 (0 deleted), and the three flags pin the
+    // flat dispatch, the commit-free re-run and the no-default refusal
+    "q193_sql_maintain" ->
+      s"""WITH t0 AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+         |agg AS (
+         |  SELECT 'history' AS section, 'fold' AS label,
+         |    CAST(2 AS BIGINT) AS m1, CAST(9 AS BIGINT) AS m2,
+         |    CAST(9 AS BIGINT) AS m3
+         |  UNION ALL SELECT 'plan', 'flags', 1, 1, 1
+         |  UNION ALL SELECT 'read', 'head', (SELECT count(*) FROM t0),
+         |    (SELECT CAST(sum(k % 1000000000000) AS BIGINT) FROM t0),
+         |    (SELECT CAST(sum(c % 1000000000000) AS BIGINT) FROM t0)
+         |  UNION ALL SELECT 'state', 'files', 24, 8, 2
+         |  UNION ALL SELECT 'state', 'vacuum', 4, 3, 0)
          |SELECT * FROM agg ORDER BY section, label""".stripMargin,
     // q187: replica == source == the plain recomputation (the loop
     // moves every change exactly once); ledger row is protocol

@@ -83,10 +83,19 @@ object ExtCheck {
     assert(catN == 51 && catS == (0 until 50).map(_ * 2L).sum && catV2 == 50 &&
       carried.get("maintain.bucket").contains("bucket"),
       s"catalog: n=$catN sum=$catS v2=$catV2 props=$carried")
+    // the maintenance SQL statements through the same conf path (the
+    // injected parser): OPTIMIZE folds the two inserts' fragments,
+    // DESCRIBE HISTORY reads the manifest frame with stamped times
+    val opt = spark.sql("OPTIMIZE gx.db.t").collect()(0)
+    val histRows = spark.sql("DESCRIBE HISTORY gx.db.t").collect()
+    assert(opt.getString(0) == "flat" && opt.getBoolean(3) &&
+      histRows.length == 4 && histRows.forall(_.getLong(1) > 0L),
+      s"maintenance SQL: optimize=$opt history=${histRows.length}")
     println(s"[extcheck] OK: st_area=${row.getAs[Double]("a")} intersect=${row.getAs[Int]("c")}" +
       s" zorder=${row.getAs[Long]("zk")} l2=${row.getAs[Double]("l2")}" +
       s" graft_table=$n1/$neg history=$hist changes=$chg" +
-      s" format=$fmtN/$fmtV1 catalog=$catN/$catS/$catV2")
+      s" format=$fmtN/$fmtV1 catalog=$catN/$catS/$catV2" +
+      s" maintsql=${opt.getString(0)}/${histRows.length}")
     spark.stop()
   }
 }

@@ -657,6 +657,66 @@ class NamedTableSpec extends SparkSuite {
     assert(msgs(se).exists(_.contains("SCHEMA EVOLUTION")), se.toString)
   }
 
+  test("maintenance SQL: OPTIMIZE compacts by LAYOUT dispatch (flat " +
+    "and z, ident- and path-addressed), VACUUM drops history by version " +
+    "retention (refusing without a declared retention — destructive ops " +
+    "never guess), and DESCRIBE HISTORY reads the manifest-only frame " +
+    "with commit timestamps") {
+    import graft.sources.GraftSqlParser
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    ext.sql("""CREATE TABLE gcat.db.mx (k BIGINT, v BIGINT, bucket BIGINT)
+      USING graft TBLPROPERTIES(
+        'maintain.bucket'='bucket', 'maintain.sort'='k')""")
+    for (i <- 0 until 3)
+      ext.sql(s"INSERT INTO gcat.db.mx SELECT id, id, id % 2 " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})")
+    val dir = s"$warehouse/db/mx"
+    // DESCRIBE HISTORY: create + 3 inserts, stamped and ordered
+    val h = ext.sql("DESCRIBE HISTORY gcat.db.mx").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    val ts = h.map(_.getLong(1))
+    assert(ts.forall(_ > 0L) && ts.sorted.toSeq === ts.toSeq,
+      "every version carries its commit wall time, non-decreasing")
+    // OPTIMIZE: three fragments per bucket fold to one file per bucket
+    val o = ext.sql("OPTIMIZE gcat.db.mx").collect().head
+    assert(o.getString(0) === "flat" && o.getBoolean(3), o.toString)
+    assert(Snapshots.latest(ext, dir).get === 5L &&
+      Snapshots.files(ext, dir, 5L).size === 2,
+      "one compaction commit, one file per bucket")
+    val o2 = ext.sql("OPTIMIZE gcat.db.mx").collect().head
+    assert(!o2.getBoolean(3) && Snapshots.latest(ext, dir).get === 5L,
+      "nothing fragmented — OPTIMIZE is a commit-free no-op")
+    // VACUUM with no RETAIN and no retainversions property refuses
+    val e = intercept[Exception] { ext.sql("VACUUM gcat.db.mx").collect() }
+    assert(e.getMessage.contains("RETAIN"), e.getMessage)
+    assert(Snapshots.versions(ext, dir).size === 5)
+    // explicit retention (mtime guard off: exclusive access here)
+    ext.conf.set(GraftSqlParser.VacuumRetainMsKey, "0")
+    try {
+      val v = ext.sql("VACUUM gcat.db.mx RETAIN 2 VERSIONS").collect().head
+      assert(v.getLong(0) === 4L && v.getLong(1) === 3L,
+        s"keep the newest two versions, drop three: $v")
+    } finally ext.conf.unset(GraftSqlParser.VacuumRetainMsKey)
+    assert(Snapshots.versions(ext, dir) === Seq(4L, 5L))
+    assert(ext.sql("SELECT count(*) AS n, sum(v) AS s FROM gcat.db.mx")
+      .head().toSeq === Seq(300L, (0L until 300L).sum),
+      "vacuum dropped HISTORY, never the live content")
+    // layout dispatch + path addressing: a fragmented z table
+    // compacts through ZOrderTable.compact, addressed by PATH
+    val zdir = s"$warehouse/db/mzc"
+    def zRows(a: Long, b: Long) =
+      ext.range(a, b, 1, 2).select(col("id"),
+        (col("id") * 7919 % 65536).as("x"),
+        (col("id") * 104729 % 65536).as("y"))
+    ZOrderTable.publish(zRows(0, 2000), zdir, Seq("x", "y"), shift = 26)
+    ext.sql("INSERT INTO gcat.db.mzc SELECT id, (id * 7919) % 65536, " +
+      "(id * 104729) % 65536 FROM range(2000, 4000)")
+    val oz = ext.sql(s"OPTIMIZE '$zdir'").collect().head
+    assert(oz.getString(0) === "z", oz.toString)
+    assert(ext.sql("SELECT count(*) FROM gcat.db.mzc").head().getLong(0)
+      === 4000L)
+  }
+
   test("MERGE with ONLY not-matched-by-source clauses keeps a " +
     "multi-matched target row exactly ONCE: without matched actions " +
     "the cardinality guard never runs, so the rewrite must mark " +
