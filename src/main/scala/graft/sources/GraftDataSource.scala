@@ -157,6 +157,10 @@ final case class GraftTable(dir: String, versionAsOf: Option[Long])
     val m = new util.HashMap[String, String]()
     NamedTables.propsNamed(SparkSession.active, dir)
       .foreach { case (k, v) => m.put(k, v) }
+    // the provider key drives SHOW CREATE TABLE's `USING graft` — the
+    // emitted DDL must be re-runnable against this catalog
+    m.put(org.apache.spark.sql.connector.catalog.TableCatalog.PROP_PROVIDER,
+      "graft")
     m
   }
 

@@ -717,6 +717,57 @@ class NamedTableSpec extends SparkSuite {
       === 4000L)
   }
 
+  test("CTAS, REPLACE TABLE and the SHOW surfaces ride the existing " +
+    "catalog + V1-write machinery: CREATE TABLE ... AS SELECT commits " +
+    "the schema-bearing create then the data in one statement, REPLACE " +
+    "TABLE is the V2 fallback's drop+recreate (FRESH history — pinned " +
+    "as the honest semantics), SHOW TBLPROPERTIES / SHOW CREATE TABLE " +
+    "read the carried props, and writeStream.toTable refuses loudly " +
+    "(the path-addressed graft sink is the streaming-write shape)") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    ext.sql("""CREATE TABLE gcat.db.cts USING graft TBLPROPERTIES(
+      'maintain.bucket'='b', 'maintain.sort'='k')
+      AS SELECT id AS k, id * 2 AS v, id % 4 AS b FROM range(0, 100)""")
+    assert(ext.sql("SELECT count(*), sum(v) FROM gcat.db.cts")
+      .head().toSeq === Seq(100L, 2L * (0L until 100L).sum))
+    val dir = s"$warehouse/db/cts"
+    assert(Snapshots.versions(ext, dir) === Seq(1L, 2L),
+      "CTAS = the empty schema-bearing create + ONE append")
+    assert(ext.sql("SHOW TBLPROPERTIES gcat.db.cts").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+      .get("maintain.bucket") === Some("b"),
+      "the CTAS TBLPROPERTIES carried into the manifest")
+    assert(ext.sql("SHOW CREATE TABLE gcat.db.cts").head().getString(0)
+      .contains("USING graft"))
+    // REPLACE TABLE: Spark's non-atomic V2 fallback (drop + recreate)
+    // on a catalog without staged creation — a NEW table with FRESH
+    // history (Delta's REPLACE keeps history; the filesystem catalog's
+    // is a recreate, and this case pins that so the difference is a
+    // documented semantic, not a surprise)
+    ext.sql("""REPLACE TABLE gcat.db.cts USING graft TBLPROPERTIES(
+      'maintain.bucket'='b', 'maintain.sort'='k')
+      AS SELECT id AS k, id * 3 AS v, id % 4 AS b FROM range(0, 40)""")
+    assert(ext.sql("SELECT count(*), sum(v) FROM gcat.db.cts")
+      .head().toSeq === Seq(40L, 3L * (0L until 40L).sum))
+    assert(Snapshots.versions(ext, dir) === Seq(1L, 2L),
+      "REPLACE recreates: fresh history, not a new version")
+    // streaming by IDENT refuses — the named table is not a streaming
+    // sink; writeStream.format("graft").option("path", dir) is
+    val ck = tmpDir("cts_ck")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = ext.sqlContext
+    val ms = MemoryStream[Long]
+    ms.addData(1L, 2L)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      ms.toDF().select(col("value").as("k"), (col("value") * 2).as("v"),
+          (col("value") % 4).as("b"))
+        .writeStream.option("checkpointLocation", ck)
+        .option("keys", "k").option("bucket", "b")
+        .toTable("gcat.db.cts")
+    }
+    assert(e.getMessage.contains("streaming write"), e.getMessage)
+  }
+
   test("MERGE with ONLY not-matched-by-source clauses keeps a " +
     "multi-matched target row exactly ONCE: without matched actions " +
     "the cardinality guard never runs, so the rewrite must mark " +
