@@ -20,6 +20,11 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc session confs for A/B probes: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) spark.conf.set(kv.take(i), kv.drop(i + 1))
+    })
     graft.SparkEntry.entry(spark).count() // JVM warmup
     args.foreach { name =>
       (1 to nRuns).foreach { i =>
