@@ -155,17 +155,88 @@ object NamedTables {
                   props: Map[String, String]): Unit = {
     require(Snapshots.latest(spark, dir).isEmpty,
       s"$dir already holds a graft table")
-    // the SAME validation rule as Snapshots.setProp — a key this
-    // commit accepts but setProp refuses would be a property no API
-    // can ever update or remove
+    Snapshots.commit(spark, dir, 1L, Nil,
+      Seq("format:2", s"schema:${Snapshots.nullable(schema).json}") ++
+        propLinesOf(props))
+  }
+
+  /** Validated `prop:` lines for a definition's TBLPROPERTIES — the
+    * SAME validation rule as Snapshots.setProp (a key a create/replace
+    * accepts but setProp refuses would be a property no API can ever
+    * update or remove). */
+  private def propLinesOf(props: Map[String, String]): Seq[String] = {
     props.foreach { case (k, vv) =>
       require(k.nonEmpty && !k.contains("=") && !k.contains("\n") &&
         !k.contains(":"), s"invalid table property key '$k'")
       require(!vv.contains("\n"),
         s"invalid table property value for '$k' (must be single-line)")
     }
-    Snapshots.commit(spark, dir, 1L, Nil,
-      Seq("format:2", s"schema:${Snapshots.nullable(schema).json}") ++
-        props.toSeq.sortBy(_._1).map { case (k, vv) => s"prop:$k=$vv" })
+    props.toSeq.sortBy(_._1).map { case (k, vv) => s"prop:$k=$vv" }
   }
+
+  // ---- the StagingTableCatalog halves (ATOMIC CTAS, history-
+  // ---- preserving REPLACE — [[graft.sources.GraftCatalog]])
+
+  /** Stage CTAS/RTAS data under `dir` WITHOUT committing: files land
+    * in `dir/data` but stay invisible (no manifest references them)
+    * until the staged commit lands — abort just deletes them. The
+    * definition must declare the flat write layout (`maintain.*` in
+    * its TBLPROPERTIES), the same never-guess contract as INSERT. */
+  def stageData(data: DataFrame, dir: String,
+                props: Map[String, String]): Snapshots.Staged =
+    (props.get("maintain.bucket"), props.get("maintain.sort")) match {
+      case (Some(b), Some(s)) =>
+        Snapshots.stage(data, dir, b, s.split(",").toSeq.filter(_.nonEmpty),
+          128L * 1024 * 1024, 32)
+      case _ => throw new IllegalArgumentException(
+        "CREATE/REPLACE TABLE ... AS SELECT needs the flat write layout " +
+          "declared in the definition: TBLPROPERTIES(" +
+          s"'maintain.bucket'=..., 'maintain.sort'=...) ($dir)")
+    }
+
+  /** The atomic-CTAS commit: ONE version carrying the declared
+    * schema, the TBLPROPERTIES and the staged files together — the
+    * table either exists complete or not at all (contrast the
+    * non-staged fallback's empty-create + append pair). */
+  def commitStagedCreate(spark: SparkSession, dir: String,
+                         schema: StructType, props: Map[String, String],
+                         st: Option[Snapshots.Staged]): Unit = {
+    require(Snapshots.latest(spark, dir).isEmpty,
+      s"$dir already holds a graft table")
+    Snapshots.commit(spark, dir, 1L, st.map(_.rels).getOrElse(Nil),
+      Seq("format:2", s"schema:${Snapshots.nullable(schema).json}") ++
+        propLinesOf(props) ++
+        st.toSeq.flatMap(s0 =>
+          s0.statLines ++ s0.stat2Lines ++ s0.ndvLines ++ s0.sizeLines))
+  }
+
+  /** The HISTORY-PRESERVING REPLACE commit (Delta's REPLACE
+    * semantics, vs the drop+recreate fallback): one head-replacing
+    * version holding ONLY the new definition — new schema, new
+    * props, only the staged files — while every earlier version
+    * stays time-travelable. The old definition's colmap/statcols do
+    * NOT carry (the files that justified them are not referenced
+    * here); the exactly-once batch ledger DOES (a restart's
+    * re-delivered batch must still absorb — the carriedBatch
+    * discipline every non-batch commit follows). */
+  def commitStagedReplace(spark: SparkSession, dir: String,
+                          schema: StructType, props: Map[String, String],
+                          st: Option[Snapshots.Staged],
+                          orCreate: Boolean): Long =
+    Snapshots.latest(spark, dir) match {
+      case None =>
+        require(orCreate, s"$dir has no table to REPLACE " +
+          "(use CREATE OR REPLACE)")
+        commitStagedCreate(spark, dir, schema, props, st)
+        1L
+      case Some(prev) =>
+        val pm = Snapshots.manifest(spark, dir, prev)
+        val v = Snapshots.claimAbove(spark, dir, prev)
+        Snapshots.commit(spark, dir, v, st.map(_.rels).getOrElse(Nil),
+          Seq("format:2", s"schema:${Snapshots.nullable(schema).json}") ++
+            Snapshots.carriedBatch(pm) ++ propLinesOf(props) ++
+            st.toSeq.flatMap(s0 =>
+              s0.statLines ++ s0.stat2Lines ++ s0.ndvLines ++ s0.sizeLines))
+        v
+    }
 }

@@ -758,7 +758,7 @@ object Snapshots {
 
   /** A staged write's outcome: the new files plus the meta lines
     * (schema + per-file stats + byte sizes) the commit should carry. */
-  private[operators] case class Staged(rels: Seq[String], schemaJson: String,
+  private[graft] case class Staged(rels: Seq[String], schemaJson: String,
                             statLines: Seq[String],
                             stat2Lines: Seq[String] = Nil,
                             ndvLines: Seq[String] = Nil,

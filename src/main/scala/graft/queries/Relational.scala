@@ -84,6 +84,7 @@ object Relational {
     "q191_sql_merge" -> q191,
     "q192_sql_update" -> q192,
     "q193_sql_maintain" -> q193,
+    "q194_sql_ctas" -> q194,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -2676,6 +2677,68 @@ object Relational {
       .orderBy(col("section"), col("label"))
   }
 
+  /** ATOMIC CTAS + HISTORY-PRESERVING REPLACE under the gate
+    * ([[graft.sources.GraftCatalog]] as a StagingTableCatalog — the
+    * public Delta staged shape; Spark prefers the atomic exec over
+    * the create-then-write fallback whenever the catalog implements
+    * it): `CREATE TABLE ... AS SELECT` lands schema + TBLPROPERTIES +
+    * data in ONE commit (flags pin exactly one version), `REPLACE
+    * TABLE ... AS SELECT` lands ONE head-replacing version whose
+    * predecessor stays `VERSION AS OF`-travelable (the fold reads the
+    * PRE-replace content through the post-replace table), and a
+    * failing RTAS aborts with versions AND content untouched. Head
+    * and travel folds restated closed-form from raw orders. */
+  def q194(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import spark.implicits._
+    val wh = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_ctas_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Seq("db/csrc", "db/ct").foreach(t => Snapshots.dropPath(spark, s"$wh/$t"))
+    val orders = Tables.orders(spark, dir)
+    Snapshots.publish(
+      orders.select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        (col("o_orderkey") % 8).as("b")),
+      s"$wh/db/csrc", "b", Seq("k"))
+    val ext = namedExtSession(wh)
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gq190.db")
+    ext.sql("""CREATE TABLE gq190.db.ct USING graft TBLPROPERTIES(
+      'maintain.bucket'='b', 'maintain.sort'='k')
+      AS SELECT k, c, b FROM gq190.db.csrc""")
+    val cdir = s"$wh/db/ct"
+    val ctasOneVersion = Snapshots.versions(ext, cdir) == Seq(1L)
+    ext.sql("""REPLACE TABLE gq190.db.ct USING graft TBLPROPERTIES(
+      'maintain.bucket'='b', 'maintain.sort'='k')
+      AS SELECT k, c + 1000000 AS c, b FROM gq190.db.csrc
+      WHERE k % 2 = 0""")
+    val replaceOneVersion = Snapshots.versions(ext, cdir) == Seq(1L, 2L)
+    val abortFailed = scala.util.Try(ext.sql(
+      """REPLACE TABLE gq190.db.ct USING graft TBLPROPERTIES(
+      'maintain.bucket'='b', 'maintain.sort'='k')
+      AS SELECT raise_error('boom') AS k, c, b FROM gq190.db.csrc""")
+    ).isFailure
+    val abortClean = Snapshots.versions(ext, cdir) == Seq(1L, 2L)
+    def fold3(sql: String): (Long, Long, Long) = {
+      val r = ext.sql(sql).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (hc, hk, hcc) = fold3("SELECT count(*), " +
+      "coalesce(sum(k % 1000000000000), 0), " +
+      "coalesce(sum(c % 1000000000000), 0) FROM gq190.db.ct")
+    val (pc, pk, pcc) = fold3("SELECT count(*), " +
+      "coalesce(sum(k % 1000000000000), 0), " +
+      "coalesce(sum(c % 1000000000000), 0) FROM gq190.db.ct " +
+      "VERSION AS OF 1")
+    Seq(
+      ("plan", "flags",
+        if (ctasOneVersion) 1L else 0L,
+        if (replaceOneVersion) 1L else 0L,
+        if (abortFailed && abortClean) 1L else 0L),
+      ("read", "head", hc, hk, hcc),
+      ("travel", "pre", pc, pk, pcc))
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
   /** PROPS-DRIVEN MAINTENANCE under the gate
     * ([[graft.operators.Snapshots.maintain]] — the one entry point a
     * scheduler calls blindly per table; the table's own carried
@@ -4177,6 +4240,26 @@ object Relational {
          |    (SELECT CAST(sum(c % 1000000000000) AS BIGINT) FROM t0)
          |  UNION ALL SELECT 'state', 'files', 24, 8, 2
          |  UNION ALL SELECT 'state', 'vacuum', 4, 3, 0)
+         |SELECT * FROM agg ORDER BY section, label""".stripMargin,
+    // q194: the post-replace head = even-key orders with c+1e6; the
+    // VERSION AS OF 1 travel = the full CTAS content; flags are
+    // protocol arithmetic (one CTAS version, one replace version,
+    // abort refused + clean)
+    "q194_sql_ctas" ->
+      s"""WITH t0 AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+         |agg AS (
+         |  SELECT 'plan' AS section, 'flags' AS label,
+         |    CAST(1 AS BIGINT) AS m1, CAST(1 AS BIGINT) AS m2,
+         |    CAST(1 AS BIGINT) AS m3
+         |  UNION ALL SELECT 'read', 'head',
+         |    (SELECT count(*) FROM t0 WHERE k % 2 = 0),
+         |    (SELECT CAST(sum(k % 1000000000000) AS BIGINT) FROM t0
+         |       WHERE k % 2 = 0),
+         |    (SELECT CAST(sum((c + 1000000) % 1000000000000) AS BIGINT)
+         |       FROM t0 WHERE k % 2 = 0)
+         |  UNION ALL SELECT 'travel', 'pre', (SELECT count(*) FROM t0),
+         |    (SELECT CAST(sum(k % 1000000000000) AS BIGINT) FROM t0),
+         |    (SELECT CAST(sum(c % 1000000000000) AS BIGINT) FROM t0))
          |SELECT * FROM agg ORDER BY section, label""".stripMargin,
     // q187: replica == source == the plain recomputation (the loop
     // moves every change exactly once); ledger row is protocol

@@ -5,7 +5,7 @@ import java.util
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,7 +42,8 @@ import graft.operators.{NamedTables, Snapshots}
   * changes and RENAME TABLE are refused — schema evolves through the
   * format's own merge paths.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -198,6 +199,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTable(dir, None)
   }
 
+  // ---- StagingTableCatalog: atomic CTAS + HISTORY-PRESERVING
+  // ---- REPLACE (the Delta StagedDeltaTableV2 shape). Spark prefers
+  // ---- these over the non-atomic create-then-write / drop-then-
+  // ---- create fallbacks whenever the catalog implements the
+  // ---- interface; the staged data lands under dir/data INVISIBLY
+  // ---- (no manifest references it) and one commitStagedChanges
+  // ---- makes the whole definition appear — or, for REPLACE, lands
+  // ---- ONE head-replacing version while every earlier version
+  // ---- stays time-travelable (`VERSION AS OF` across a REPLACE).
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    val dir = dirFor(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    newStaged(ident, dir, schema, partitions, properties, replace = false,
+      orCreate = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable = {
+    val dir = dirFor(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    newStaged(ident, dir, schema, partitions, properties, replace = true,
+      orCreate = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+      : StagedTable = {
+    val dir = dirFor(ident)
+    newStaged(ident, dir, schema, partitions, properties, replace = true,
+      orCreate = true)
+  }
+
+  private def newStaged(ident: Identifier, dir: String, schema: StructType,
+                        partitions: Array[Transform],
+                        properties: util.Map[String, String],
+                        replace: Boolean, orCreate: Boolean): StagedTable = {
+    require(partitions.isEmpty,
+      "graft tables declare their layout as table properties " +
+        "(maintain.bucket/maintain.sort) — PARTITIONED BY is not the model")
+    import scala.jdk.CollectionConverters._
+    val props = properties.asScala.toMap
+      .filterNot { case (k, _) => ReservedProps.contains(k.toLowerCase) }
+    new StagedGraftTable(ident, dir, schema, props, replace, orCreate)
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirFor(ident)
     if (!isTable(dir)) false
@@ -264,5 +315,77 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"namespace ${namespace.mkString(".")} is not empty")
       f.delete(p, true)
     }
+  }
+}
+
+/** The staged half of [[GraftCatalog]]'s atomic CTAS / REPLACE: a V1
+  * write ([[org.apache.spark.sql.connector.write.V1Write]], the same
+  * fallback every graft write uses) STAGES parquet under `dir/data`
+  * with the definition's declared `maintain.*` layout — invisible
+  * until [[commitStagedChanges]] lands the single manifest commit
+  * ([[graft.operators.NamedTables.commitStagedCreate]] /
+  * [[graft.operators.NamedTables.commitStagedReplace]]). Abort
+  * deletes exactly what was staged (create-mode: the whole directory,
+  * which held nothing else). */
+private[sources] final class StagedGraftTable(
+    ident: Identifier, dir: String, declaredSchema: StructType,
+    props: Map[String, String], replace: Boolean, orCreate: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+  import org.apache.spark.sql.sources.InsertableRelation
+
+  @volatile private var staged: Option[graft.operators.Snapshots.Staged] = None
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = declaredSchema
+  override def capabilities(): util.Set[TableCapability] =
+    // TRUNCATE: the REPLACE ... AS SELECT write plans as a
+    // truncate-mode write on the STAGED table — which stages only the
+    // new definition's data anyway, so truncate() is the same write
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = {
+                staged = Some(
+                  graft.operators.NamedTables.stageData(data, dir, props))
+                ()
+              }
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val spark = SparkSession.active
+    if (replace)
+      graft.operators.NamedTables.commitStagedReplace(
+        spark, dir, declaredSchema, props, staged, orCreate)
+    else
+      graft.operators.NamedTables.commitStagedCreate(
+        spark, dir, declaredSchema, props, staged)
+    ()
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val spark = SparkSession.active
+    val f = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!replace && Snapshots.latest(spark, dir).isEmpty) {
+      // create-mode: nothing committed ever lived here — drop the dir
+      Snapshots.dropPath(spark, dir)
+    } else staged.foreach(_.rels.foreach { rel =>
+      f.delete(new Path(s"$dir/$rel"), false); ()
+    })
   }
 }

@@ -717,13 +717,13 @@ class NamedTableSpec extends SparkSuite {
       === 4000L)
   }
 
-  test("CTAS, REPLACE TABLE and the SHOW surfaces ride the existing " +
-    "catalog + V1-write machinery: CREATE TABLE ... AS SELECT commits " +
-    "the schema-bearing create then the data in one statement, REPLACE " +
-    "TABLE is the V2 fallback's drop+recreate (FRESH history — pinned " +
-    "as the honest semantics), SHOW TBLPROPERTIES / SHOW CREATE TABLE " +
-    "read the carried props, and writeStream.toTable refuses loudly " +
-    "(the path-addressed graft sink is the streaming-write shape)") {
+  test("ATOMIC CTAS and HISTORY-PRESERVING REPLACE (StagingTableCatalog, " +
+    "the Delta staged shape): CREATE TABLE ... AS SELECT is ONE commit " +
+    "(the table exists complete or not at all), REPLACE TABLE lands one " +
+    "head-replacing version with every earlier version still " +
+    "time-travelable, a failing RTAS aborts leaving the table untouched, " +
+    "SHOW TBLPROPERTIES / SHOW CREATE TABLE read the carried props, and " +
+    "writeStream.toTable refuses loudly") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     ext.sql("""CREATE TABLE gcat.db.cts USING graft TBLPROPERTIES(
       'maintain.bucket'='b', 'maintain.sort'='k')
@@ -731,26 +731,51 @@ class NamedTableSpec extends SparkSuite {
     assert(ext.sql("SELECT count(*), sum(v) FROM gcat.db.cts")
       .head().toSeq === Seq(100L, 2L * (0L until 100L).sum))
     val dir = s"$warehouse/db/cts"
-    assert(Snapshots.versions(ext, dir) === Seq(1L, 2L),
-      "CTAS = the empty schema-bearing create + ONE append")
+    assert(Snapshots.versions(ext, dir) === Seq(1L),
+      "atomic CTAS: schema + props + data in ONE version")
     assert(ext.sql("SHOW TBLPROPERTIES gcat.db.cts").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
       .get("maintain.bucket") === Some("b"),
       "the CTAS TBLPROPERTIES carried into the manifest")
     assert(ext.sql("SHOW CREATE TABLE gcat.db.cts").head().getString(0)
       .contains("USING graft"))
-    // REPLACE TABLE: Spark's non-atomic V2 fallback (drop + recreate)
-    // on a catalog without staged creation — a NEW table with FRESH
-    // history (Delta's REPLACE keeps history; the filesystem catalog's
-    // is a recreate, and this case pins that so the difference is a
-    // documented semantic, not a surprise)
+    // REPLACE TABLE: one head-replacing commit (Delta's semantics) —
+    // the new definition's schema/props/data, the OLD versions intact
     ext.sql("""REPLACE TABLE gcat.db.cts USING graft TBLPROPERTIES(
       'maintain.bucket'='b', 'maintain.sort'='k')
       AS SELECT id AS k, id * 3 AS v, id % 4 AS b FROM range(0, 40)""")
     assert(ext.sql("SELECT count(*), sum(v) FROM gcat.db.cts")
       .head().toSeq === Seq(40L, 3L * (0L until 40L).sum))
     assert(Snapshots.versions(ext, dir) === Seq(1L, 2L),
-      "REPLACE recreates: fresh history, not a new version")
+      "REPLACE is a VERSION, not a recreate")
+    assert(ext.sql("SELECT count(*), sum(v) FROM gcat.db.cts " +
+      "VERSION AS OF 1").head().toSeq ===
+      Seq(100L, 2L * (0L until 100L).sum),
+      "time travel reads ACROSS the replace")
+    // a failing RTAS ABORTS: table state and data-file set untouched
+    val dataFiles: Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f.getPath)
+      walk(new java.io.File(s"$dir/data")).toSet
+    }
+    intercept[Exception] {
+      ext.sql("""REPLACE TABLE gcat.db.cts USING graft TBLPROPERTIES(
+        'maintain.bucket'='b', 'maintain.sort'='k')
+        AS SELECT raise_error('boom') AS k, id AS v, id AS b
+        FROM range(0, 10)""")
+    }
+    assert(Snapshots.versions(ext, dir) === Seq(1L, 2L) &&
+      ext.sql("SELECT count(*) FROM gcat.db.cts").head().getLong(0) === 40L,
+      "the failed replace committed nothing")
+    val after: Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f.getPath)
+      walk(new java.io.File(s"$dir/data")).toSet
+    }
+    assert(after === dataFiles,
+      "abort cleaned the staged files — no invisible garbage")
     // streaming by IDENT refuses — the named table is not a streaming
     // sink; writeStream.format("graft").option("path", dir) is
     val ck = tmpDir("cts_ck")
