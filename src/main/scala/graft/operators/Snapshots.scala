@@ -756,6 +756,59 @@ object Snapshots {
     v
   }
 
+  /** ADDITIVE/WIDENING schema evolution as ONE METADATA-ONLY commit
+    * (the catalog's ALTER TABLE ADD COLUMNS / type-widen hook, and
+    * what the analyzer's MERGE ... WITH SCHEMA EVOLUTION calls
+    * through it): `adds` append nullable top-level columns — files
+    * never rewrite, readers null-fill (the same additive contract
+    * [[mergeSchemas]] gives appends) — and `widenTo` moves existing
+    * columns up the lossless [[widens]] lattice (old files widen
+    * natively under the explicit read schema, the q175 machinery).
+    * Everything else about the version carries VERBATIM (same files,
+    * stats, vectors, epochs, props, ledger — the setProps blacklist
+    * discipline), with a fresh #ts. An added name may not collide
+    * with any LOGICAL name or any colmap PHYSICAL name (a file's
+    * stored column would leak into the "new" column instead of
+    * null-filling). */
+  def evolveSchema(spark: SparkSession, dir: String,
+                   adds: Seq[org.apache.spark.sql.types.StructField],
+                   widenTo: Seq[(String, org.apache.spark.sql.types.DataType)]
+                     = Nil): Long = {
+    require(adds.nonEmpty || widenTo.nonEmpty,
+      "evolveSchema needs at least one change")
+    resolveForWrite(spark, dir)
+    val prev = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no snapshots"))
+    val pm = manifest(spark, dir, prev)
+    val base = pm.schemaOpt.getOrElse(throw new IllegalArgumentException(
+      s"$dir predates manifest format 2 — schema evolution needs a " +
+        "recorded schema"))
+    val taken = base.fieldNames.toSet ++ pm.colMap.keySet
+    adds.foreach(f => require(!taken.contains(f.name),
+      s"cannot add column ${f.name}: the name is already a logical or " +
+        "physical column of the table"))
+    val widenMap = widenTo.toMap
+    widenTo.foreach { case (c, t) =>
+      require(base.fieldNames.contains(c),
+        s"cannot widen unknown column $c")
+      val from = base(c).dataType
+      require(from == t || widens(from, t),
+        s"schema evolution is ADDITIVE/WIDENING only: column $c cannot " +
+          s"change type ${from.simpleString} -> ${t.simpleString}")
+    }
+    val ns = StructType(base.fields.map(f =>
+      widenMap.get(f.name).fold(f)(t => f.copy(dataType = t))) ++
+      adds.map(_.copy(nullable = true)))
+    val kept = pm.meta.filterNot(m => m.startsWith("#format:") ||
+        m.startsWith("#schema:") || m.startsWith("#txn:") ||
+        m.startsWith("#ts:"))
+      .map(_.stripPrefix("#"))
+    val v = claimAbove(spark, dir, prev)
+    commit(spark, dir, v, pm.files,
+      Seq("format:2", s"schema:${nullable(ns).json}") ++ kept)
+    v
+  }
+
   /** A staged write's outcome: the new files plus the meta lines
     * (schema + per-file stats + byte sizes) the commit should carry. */
   private[graft] case class Staged(rels: Seq[String], schemaJson: String,

@@ -85,6 +85,7 @@ object Relational {
     "q192_sql_update" -> q192,
     "q193_sql_maintain" -> q193,
     "q194_sql_ctas" -> q194,
+    "q195_sql_evolution" -> q195,
     "q126_set_ops" -> q126,
     "q131_profile_approx" -> q131
   )
@@ -2739,6 +2740,66 @@ object Relational {
       .orderBy(col("section"), col("label"))
   }
 
+  /** MERGE ... WITH SCHEMA EVOLUTION under the gate (the analyzer's
+    * ResolveMergeIntoSchemaEvolution against the catalog's
+    * AUTOMATIC_SCHEMA_EVOLUTION capability →
+    * [[graft.operators.Snapshots.evolveSchema]], ONE metadata-only
+    * commit before the merge's write): the source carries a column
+    * the table lacks; after the merge the table schema has it,
+    * matched rows carry its values, pre-evolution rows NULL-fill,
+    * the evolution commit references the SAME files as its
+    * predecessor, and `VERSION AS OF` the pre-merge version still
+    * reads the THREE-column schema. Folds restated closed-form from
+    * raw orders (nulls fold as zero through coalesce). */
+  def q195(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    import spark.implicits._
+    val wh = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_sevo_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Seq("db/esrc", "db/ev").foreach(t => Snapshots.dropPath(spark, s"$wh/$t"))
+    val orders = Tables.orders(spark, dir)
+    Snapshots.publish(
+      orders.select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        (col("o_orderkey") % 8).as("b")),
+      s"$wh/db/esrc", "b", Seq("k"))
+    val ext = namedExtSession(wh)
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gq190.db")
+    ext.sql("""CREATE TABLE gq190.db.ev (k BIGINT, c BIGINT, b BIGINT)
+      USING graft TBLPROPERTIES(
+        'maintain.bucket'='b', 'maintain.sort'='k')""")
+    ext.sql("INSERT INTO gq190.db.ev SELECT k, c, b FROM gq190.db.esrc " +
+      "WHERE k % 2 = 0")
+    val edir = s"$wh/db/ev"
+    val vPre = Snapshots.latest(ext, edir).get
+    val preFiles = Snapshots.files(ext, edir, vPre)
+    ext.sql("""MERGE WITH SCHEMA EVOLUTION INTO gq190.db.ev AS t
+      USING (SELECT k, c, b, k * 7 AS w FROM gq190.db.esrc
+             WHERE k % 3 = 0) AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val schemaEvolved =
+      ext.table("gq190.db.ev").columns.toSeq == Seq("k", "c", "b", "w")
+    val metadataOnly = Snapshots.files(ext, edir, vPre + 1) == preFiles
+    val travelPre = ext.sql(
+      s"SELECT * FROM gq190.db.ev VERSION AS OF $vPre").columns.length == 3
+    def fold3(sql: String): (Long, Long, Long) = {
+      val r = ext.sql(sql).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (hc, hk, hw) = fold3("SELECT count(*), " +
+      "coalesce(sum(k % 1000000000000), 0), " +
+      "coalesce(sum(coalesce(w, 0) % 1000000000000), 0) FROM gq190.db.ev")
+    Seq(
+      ("plan", "flags",
+        if (schemaEvolved) 1L else 0L,
+        if (metadataOnly) 1L else 0L,
+        if (travelPre) 1L else 0L),
+      ("read", "head", hc, hk, hw))
+      .toDF("section", "label", "m1", "m2", "m3")
+      .orderBy(col("section"), col("label"))
+  }
+
   /** PROPS-DRIVEN MAINTENANCE under the gate
     * ([[graft.operators.Snapshots.maintain]] — the one entry point a
     * scheduler calls blindly per table; the table's own carried
@@ -4260,6 +4321,22 @@ object Relational {
          |  UNION ALL SELECT 'travel', 'pre', (SELECT count(*) FROM t0),
          |    (SELECT CAST(sum(k % 1000000000000) AS BIGINT) FROM t0),
          |    (SELECT CAST(sum(c % 1000000000000) AS BIGINT) FROM t0))
+         |SELECT * FROM agg ORDER BY section, label""".stripMargin,
+    // q195: head = (even keys) ∪ (keys %3=0), w = k*7 on the %3=0
+    // keys and NULL (folded as 0) elsewhere; flags are protocol
+    // arithmetic (schema evolved, metadata-only commit, travel reads
+    // the 3-column schema)
+    "q195_sql_evolution" ->
+      s"""WITH t0 AS (SELECT o_orderkey AS k FROM orders),
+         |live AS (SELECT k FROM t0 WHERE k % 2 = 0 OR k % 3 = 0),
+         |agg AS (
+         |  SELECT 'plan' AS section, 'flags' AS label,
+         |    CAST(1 AS BIGINT) AS m1, CAST(1 AS BIGINT) AS m2,
+         |    CAST(1 AS BIGINT) AS m3
+         |  UNION ALL SELECT 'read', 'head', (SELECT count(*) FROM live),
+         |    (SELECT CAST(sum(k % 1000000000000) AS BIGINT) FROM live),
+         |    (SELECT CAST(sum(CASE WHEN k % 3 = 0 THEN (k * 7) % 1000000000000
+         |       ELSE 0 END) AS BIGINT) FROM live))
          |SELECT * FROM agg ORDER BY section, label""".stripMargin,
     // q187: replica == source == the plain recomputation (the loop
     // moves every change exactly once); ledger row is protocol

@@ -171,16 +171,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case r: TableChange.RemoveProperty => r.property() -> None
     }
     val renames = changes.collect { case rc: TableChange.RenameColumn => rc }
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val widenings = changes.collect {
+      case u: TableChange.UpdateColumnType => u
+    }
     changes.foreach {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case rc: TableChange.RenameColumn =>
         require(rc.fieldNames().length == 1,
           "RENAME COLUMN supports top-level columns only " +
             s"(got ${rc.fieldNames().mkString(".")})")
+      case a: TableChange.AddColumn =>
+        // ADD COLUMNS = the format's additive evolution (metadata
+        // only, readers null-fill) — also what the analyzer's
+        // MERGE ... WITH SCHEMA EVOLUTION routes here
+        require(a.fieldNames().length == 1,
+          "ADD COLUMNS supports top-level columns only " +
+            s"(got ${a.fieldNames().mkString(".")})")
+        require(a.position() == null,
+          "ADD COLUMNS appends at the end — FIRST/AFTER positions " +
+            "would reorder a columnar schema for nothing")
+        require(a.defaultValue() == null,
+          "ADD COLUMNS with a DEFAULT is not supported — added " +
+            "columns null-fill (backfill with UPDATE)")
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          "ALTER COLUMN TYPE supports top-level columns only " +
+            s"(got ${u.fieldNames().mkString(".")})")
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
-          "supported — graft schemas evolve through the format's own " +
-          "additive/widening merge paths (Snapshots.merge)")
+          "supported — graft schemas evolve additively (ADD COLUMNS, " +
+          "lossless type widening, RENAME COLUMN); drops/narrows are " +
+          "a rewrite decision")
     }
     propChanges.foreach { case (k, vv) =>
       require(k.nonEmpty && !k.contains("=") && !k.contains("\n") &&
@@ -196,6 +218,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (propChanges.nonEmpty) Snapshots.setProps(spark, dir, propChanges)
     renames.foreach(rc =>
       Snapshots.rename(spark, dir, rc.fieldNames()(0), rc.newName()))
+    if (adds.nonEmpty || widenings.nonEmpty)
+      Snapshots.evolveSchema(spark, dir,
+        adds.map(a => org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)),
+        widenings.map(u => u.fieldNames()(0) -> u.newDataType()))
     GraftTable(dir, None)
   }
 

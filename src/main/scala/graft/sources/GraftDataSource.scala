@@ -174,9 +174,15 @@ final case class GraftTable(dir: String, versionAsOf: Option[Long])
     // a catalog-resolved relation cannot grow the _change/_version
     // columns, so non-append changes REFUSE (the Delta source
     // contract) and CDC goes through option("changeFeed", true)
+    // AUTOMATIC_SCHEMA_EVOLUTION = the analyzer may widen this table
+    // for MERGE ... WITH SCHEMA EVOLUTION (ResolveMergeIntoSchema-
+    // Evolution computes the TableChanges and routes them through the
+    // catalog's alterTable -> Snapshots.evolveSchema: additive
+    // nullable adds + lossless widening, ONE metadata commit)
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Batch half never EXECUTES in a correctly-deployed session: the
     * [[GraftRelationRule]] resolution rule replaces read relations

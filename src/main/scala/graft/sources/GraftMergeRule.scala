@@ -72,10 +72,13 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def convert(m: MergeIntoTable, t: GraftTable): LogicalPlan = {
     require(t.versionAsOf.isEmpty,
       "cannot MERGE INTO a time-travel (versionAsOf) read")
-    require(!m.withSchemaEvolution,
-      "MERGE ... WITH SCHEMA EVOLUTION is not supported — graft schemas " +
-        "evolve through the staging path's additive/widening merge " +
-        "(append/merge with wider frames)")
+    // WITH SCHEMA EVOLUTION: by the time this post-hoc rule sees the
+    // statement, ResolveMergeIntoSchemaEvolution has already widened
+    // the TABLE through the catalog (AUTOMATIC_SCHEMA_EVOLUTION ->
+    // alterTable AddColumn/UpdateColumnType -> Snapshots.evolveSchema)
+    // and re-resolved the target relation against the new schema —
+    // nothing left to do here; assignments to columns that STILL
+    // don't exist (no catalog ident to evolve through) fail below.
     require(m.mergeCondition.find(
         _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]).isEmpty,
       "MERGE with a subquery in the ON condition is not supported — " +

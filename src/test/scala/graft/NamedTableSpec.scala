@@ -645,16 +645,21 @@ class NamedTableSpec extends SparkSuite {
     // ... and the statement committed NOTHING
     assert(ext.sql("SELECT v FROM gcat.db.mg WHERE k = 8").head()
       .getLong(0) === 16L)
-    // WITH SCHEMA EVOLUTION refuses with the story
-    val se = intercept[Exception] {
-      ext.sql("""MERGE WITH SCHEMA EVOLUTION INTO gcat.db.mg AS t
-        USING (SELECT 9L AS k, 0L AS v, 1L AS bucket, 'x' AS extra) AS s
-        ON t.k = s.k
-        WHEN MATCHED THEN UPDATE SET v = s.v""")
-    }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(se).exists(_.contains("SCHEMA EVOLUTION")), se.toString)
+    // WITH SCHEMA EVOLUTION EVOLVES (r13 — it refused through r12):
+    // the analyzer widens the table through the catalog and the merge
+    // lands the new column; the dedicated evolution test covers the
+    // mechanics, this pins that the general-shape table takes it too
+    ext.sql("""MERGE WITH SCHEMA EVOLUTION INTO gcat.db.mg AS t
+      USING (SELECT 9L AS k, -5L AS v, 1L AS bucket, 'x' AS extra) AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *""")
+    assert(ext.sql("SELECT v, extra FROM gcat.db.mg WHERE k = 9")
+      .head().toSeq === Seq(-5L, "x"))
+    assert(ext.sql(
+      "SELECT count(*) FROM gcat.db.mg WHERE extra IS NULL")
+      .head().getLong(0) ===
+      ext.sql("SELECT count(*) FROM gcat.db.mg").head().getLong(0) - 1,
+      "every pre-evolution row null-fills the evolved column")
   }
 
   test("maintenance SQL: OPTIMIZE compacts by LAYOUT dispatch (flat " +
@@ -791,6 +796,70 @@ class NamedTableSpec extends SparkSuite {
         .toTable("gcat.db.cts")
     }
     assert(e.getMessage.contains("streaming write"), e.getMessage)
+  }
+
+  test("MERGE ... WITH SCHEMA EVOLUTION widens the TABLE through the " +
+    "catalog (AUTOMATIC_SCHEMA_EVOLUTION → ResolveMergeIntoSchemaEvolution " +
+    "→ alterTable → ONE metadata-only evolveSchema commit): a new source " +
+    "column lands nullable with history null-filling, files never " +
+    "rewrite, time travel reads the PRE-evolution schema, and ALTER " +
+    "TABLE ADD COLUMNS / ALTER COLUMN TYPE widen standalone") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    ext.sql("""CREATE TABLE gcat.db.mse (k BIGINT, v INT, bucket BIGINT)
+      USING graft TBLPROPERTIES(
+        'maintain.bucket'='bucket', 'maintain.sort'='k')""")
+    ext.sql("INSERT INTO gcat.db.mse SELECT id, CAST(id * 2 AS INT), " +
+      "id % 2 FROM range(0, 10)")
+    val dir = s"$warehouse/db/mse"
+    val vPre = Snapshots.latest(ext, dir).get
+    val preFiles = Snapshots.files(ext, dir, vPre)
+    ext.sql("""MERGE WITH SCHEMA EVOLUTION INTO gcat.db.mse AS t
+      USING (SELECT id AS k, CAST(id * 2 AS INT) AS v, id % 2 AS bucket,
+               concat('x', CAST(id AS STRING)) AS extra
+             FROM range(5, 15)) AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(ext.table("gcat.db.mse").columns.toSeq ===
+      Seq("k", "v", "bucket", "extra"),
+      "the source's new column evolved INTO the table schema")
+    val got = ext.sql(
+      "SELECT k, extra FROM gcat.db.mse ORDER BY k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got === (0L to 4L).map(k => (k, None)) ++
+      (5L to 14L).map(k => (k, Some(s"x$k"))),
+      "untouched history null-fills; merged rows carry the new column")
+    // the evolution itself was ONE metadata-only commit before the
+    // merge's write: same files as vPre, new schema
+    assert(Snapshots.files(ext, dir, vPre + 1) === preFiles,
+      "evolveSchema rewrote NOTHING")
+    assert(Snapshots.latest(ext, dir).get === vPre + 2,
+      "evolution commit + merge commit")
+    assert(ext.sql(s"SELECT * FROM gcat.db.mse VERSION AS OF $vPre")
+      .columns.toSeq === Seq("k", "v", "bucket"),
+      "time travel reads the PRE-evolution schema")
+    // standalone DDL: ADD COLUMNS and lossless ALTER COLUMN TYPE
+    ext.sql("ALTER TABLE gcat.db.mse ADD COLUMNS (note STRING)")
+    ext.sql("ALTER TABLE gcat.db.mse ALTER COLUMN v TYPE BIGINT")
+    val sch = ext.table("gcat.db.mse").schema
+    assert(sch.fieldNames.toSeq === Seq("k", "v", "bucket", "extra", "note"))
+    assert(sch("v").dataType === org.apache.spark.sql.types.LongType,
+      "INT widened losslessly to BIGINT — old int32 files read natively")
+    assert(ext.sql("SELECT sum(v) FROM gcat.db.mse").head().getLong(0) ===
+      (0L to 4L).map(_ * 2).sum + (5L to 14L).map(_ * 2).sum)
+    // narrowing refuses — Spark's own V2 ALTER COLUMN check kills it
+    // before the catalog; the engine's ADDITIVE/WIDENING guard
+    // (Snapshots.evolveSchema) is the defense in depth behind it
+    val e = intercept[Exception] {
+      ext.sql("ALTER TABLE gcat.db.mse ALTER COLUMN v TYPE INT")
+    }
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("ADDITIVE/WIDENING"), e.getMessage)
+    val e2 = intercept[Exception] {
+      graft.operators.Snapshots.evolveSchema(ext, dir, Nil,
+        Seq("v" -> org.apache.spark.sql.types.IntegerType))
+    }
+    assert(e2.getMessage.contains("ADDITIVE/WIDENING"), e2.getMessage)
   }
 
   test("MERGE with ONLY not-matched-by-source clauses keeps a " +
