@@ -236,60 +236,78 @@ object HashBucketedTable {
     require(keyCols.contains(keyCol),
       s"merge keys must include the layout key $keyCol")
     val epochs = fileBuckets(spark, dir, prev)
-    val allKeys = (updatesOpt.toSeq ++ deletesOpt.toSeq)
-      .map(_.select(keyCols.map(col): _*)).reduce(_.unionByName(_))
-    require(allKeys.filter(col(keyCol).isNull).isEmpty,
-      s"update/delete rows carry NULL $keyCol values")
-    val touched = touchedFiles(spark, pm, epochs, keyCol, allKeys)
-    if (touched.isEmpty && updatesOpt.isEmpty) return prev
-    val dropKeys = allKeys
-    val mergedRows =
-      if (touched.isEmpty) withBucket(updatesOpt.get, keyCol, n)
-      else {
-        val existing = Snapshots.readFiles(spark, dir, touched.sorted,
-          pm.schemaOpt, sizes = pm.fileSizes,
-          dv = Snapshots.resolveDv(spark, dir, pm))
-        updatesOpt match {
-          case Some(updates) =>
-            val (ex0, up) = Snapshots.mergeAlign(existing,
-              withBucket(updates, keyCol, n))
-            // restaged rows RE-derive their bucket at the current
-            // modulus (epoch migration side effect)
-            ex0.withColumn(BCol, pmod(xxhash64(col(keyCol)), lit(n)))
-              .join(up.select(keyCols.map(col): _*), keyCols, "left_anti")
-              .unionByName(up)
-          case None =>
-            existing.withColumn(BCol, pmod(xxhash64(col(keyCol)), lit(n)))
-              .join(dropKeys, keyCols, "left_anti")
+    // MATERIALIZE each side once (guide §5 — the [[Snapshots.mergeImpl]]
+    // discipline): the sides feed the NULL-key guard, the per-epoch
+    // bucket folds, the emptiness probe and the staging write as
+    // independent actions; without a persist each action recomputes the
+    // side's upstream DAG. Caller-persisted frames are left alone.
+    import org.apache.spark.storage.StorageLevel
+    def materialize(df: DataFrame): (DataFrame, Boolean) =
+      if (df.storageLevel != StorageLevel.NONE) (df, false)
+      else (df.persist(StorageLevel.MEMORY_AND_DISK), true)
+    val (updatesP, updOwned) = updatesOpt.map(materialize)
+      .map(t => (Some(t._1), t._2)).getOrElse((None, false))
+    val (deletesP, delOwned) = deletesOpt.map(materialize)
+      .map(t => (Some(t._1), t._2)).getOrElse((None, false))
+    try {
+      val allKeys = (updatesP.toSeq ++ deletesP.toSeq)
+        .map(_.select(keyCols.map(col): _*)).reduce(_.unionByName(_))
+      require(allKeys.filter(col(keyCol).isNull).isEmpty,
+        s"update/delete rows carry NULL $keyCol values")
+      val touched = touchedFiles(spark, pm, epochs, keyCol, allKeys)
+      if (touched.isEmpty && updatesP.isEmpty) return prev
+      val dropKeys = allKeys
+      val mergedRows =
+        if (touched.isEmpty) withBucket(updatesP.get, keyCol, n)
+        else {
+          val existing = Snapshots.readFiles(spark, dir, touched.sorted,
+            pm.schemaOpt, sizes = pm.fileSizes,
+            dv = Snapshots.resolveDv(spark, dir, pm))
+          updatesP match {
+            case Some(updates) =>
+              val (ex0, up) = Snapshots.mergeAlign(existing,
+                withBucket(updates, keyCol, n))
+              // restaged rows RE-derive their bucket at the current
+              // modulus (epoch migration side effect)
+              ex0.withColumn(BCol, pmod(xxhash64(col(keyCol)), lit(n)))
+                .join(up.select(keyCols.map(col): _*), keyCols, "left_anti")
+                .unionByName(up)
+            case None =>
+              existing.withColumn(BCol, pmod(xxhash64(col(keyCol)), lit(n)))
+                .join(dropKeys, keyCols, "left_anti")
+          }
         }
+      val st =
+        if (updatesP.isEmpty && mergedRows.isEmpty)
+          Snapshots.Staged(Nil,
+            pm.schemaOpt.map(Snapshots.nullable(_).json).get, Nil)
+        else Snapshots.stage(
+          withBucket(mergedRows.drop(BCol), keyCol, n), dir, BCol,
+          Seq(keyCol), blockSize, numTasks)
+      val touchedSet = touched.toSet
+      val kept = pm.files.filterNot(touchedSet)
+      val keptSet = kept.toSet
+      val schema = pm.schemaOpt match {
+        case Some(ps) if updatesP.isEmpty => Snapshots.nullable(ps).json
+        case Some(ps) =>
+          Snapshots.mergeSchemas(ps, Snapshots.nullable(mergedRows.schema)).json
+        case None => st.schemaJson
       }
-    val st =
-      if (updatesOpt.isEmpty && mergedRows.isEmpty)
-        Snapshots.Staged(Nil,
-          pm.schemaOpt.map(Snapshots.nullable(_).json).get, Nil)
-      else Snapshots.stage(
-        withBucket(mergedRows.drop(BCol), keyCol, n), dir, BCol,
-        Seq(keyCol), blockSize, numTasks)
-    val touchedSet = touched.toSet
-    val kept = pm.files.filterNot(touchedSet)
-    val keptSet = kept.toSet
-    val schema = pm.schemaOpt match {
-      case Some(ps) if updatesOpt.isEmpty => Snapshots.nullable(ps).json
-      case Some(ps) =>
-        Snapshots.mergeSchemas(ps, Snapshots.nullable(mergedRows.schema)).json
-      case None => st.schemaJson
+      val v = Snapshots.claimAbove(spark, dir, prev)
+      Snapshots.commit(spark, dir, v, kept ++ st.rels,
+        Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
+          pm.propLines ++ Seq(s"bucketh:$keyCol:$n") ++
+          carriedFileh(pm, keptSet) ++ filehLines(st.rels, n) ++
+          pm.statLines.filter(l => keptSet.contains(l.split(":", 6).last)) ++
+          st.statLines ++
+          pm.fsizeLines.filter(l => keptSet.contains(l.split(":", 3).last)) ++
+          st.sizeLines ++
+          pm.dvLines.filter(l => keptSet.contains(Snapshots.dvRelOf(l))))
+      v
+    } finally {
+      if (updOwned) updatesP.foreach(_.unpersist(false))
+      if (delOwned) deletesP.foreach(_.unpersist(false))
     }
-    val v = Snapshots.claimAbove(spark, dir, prev)
-    Snapshots.commit(spark, dir, v, kept ++ st.rels,
-      Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
-        pm.propLines ++ Seq(s"bucketh:$keyCol:$n") ++
-        carriedFileh(pm, keptSet) ++ filehLines(st.rels, n) ++
-        pm.statLines.filter(l => keptSet.contains(l.split(":", 6).last)) ++
-        st.statLines ++
-        pm.fsizeLines.filter(l => keptSet.contains(l.split(":", 3).last)) ++
-        st.sizeLines ++
-        pm.dvLines.filter(l => keptSet.contains(Snapshots.dvRelOf(l))))
-    v
   }
 
   /** Size the migrator's rewrite by the manifest's recorded BYTES, not

@@ -39,19 +39,33 @@ object Ndv {
     * ONE distinct pass + ONE windowed top-k (both ∝ the listed data,
     * never the table): path → ascending k smallest distinct
     * xxhash64 values. Null values are ignored (NDV counts values). */
-  def fileSketches(df: DataFrame, column: String, k: Int = K): Map[String, Array[Long]] = {
-    val hashed = df
-      .select(input_file_name().as("__f"), col(column).as("__v"))
-      .filter(col("__v").isNotNull)
-      .select(col("__f"), xxhash64(col("__v")).as("__h"))
+  def fileSketches(df: DataFrame, column: String, k: Int = K): Map[String, Array[Long]] =
+    fileSketchesMulti(df, Seq(column), k).map { case ((_, f), s) => f -> s }
+
+  /** [[fileSketches]] for SEVERAL columns in ONE pass over the data
+    * (guide §1.2: don't re-read what one pass can carry) — a staging
+    * commit with N declared ndv columns would otherwise scan its new
+    * files N times. Hashes per (file, column) are bit-identical to
+    * the per-column path: each column's values hash through the same
+    * `xxhash64`, nulls dropped per column, distinct + windowed top-k
+    * now keyed by (file, column). Returns (column, path) → sketch. */
+  def fileSketchesMulti(df: DataFrame, columns: Seq[String],
+                        k: Int = K): Map[(String, String), Array[Long]] = {
+    require(columns.nonEmpty, "fileSketchesMulti: no columns")
+    val stacked = df
+      .select(input_file_name().as("__f"), explode(array(columns.map(c =>
+        struct(lit(c).as("__c"), col(c).isNotNull.as("__n"),
+          xxhash64(col(c)).as("__h"))): _*)).as("__e"))
+      .filter(col("__e.__n"))
+      .select(col("__f"), col("__e.__c").as("__c"), col("__e.__h").as("__h"))
       .distinct()
-    val w = Window.partitionBy("__f").orderBy("__h")
-    hashed.withColumn("__rn", row_number().over(w))
+    val w = Window.partitionBy("__f", "__c").orderBy("__h")
+    stacked.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .groupBy("__f")
+      .groupBy("__f", "__c")
       .agg(sort_array(collect_list(col("__h"))).as("__kmv"))
       .collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+      .map(r => (r.getString(1), r.getString(0)) -> r.getSeq[Long](2).toArray)
       .toMap
   }
 

@@ -965,14 +965,16 @@ object Snapshots {
       .option("parquet.block.size", blockSize)
       .partitionBy(DirCol)
       .parquet(stageDir)
-    if (!df.schema.fields.exists(f => hasTz(f.dataType))) writeStaged()
-    else stageTsLock.synchronized {
-      val tsPrev = df.sparkSession.conf.getOption(tsKey)
-      df.sparkSession.conf.set(tsKey, "TIMESTAMP_MICROS")
-      try writeStaged()
-      finally tsPrev match {
-        case Some(v) => df.sparkSession.conf.set(tsKey, v)
-        case None => df.sparkSession.conf.unset(tsKey)
+    graft.Prof(s"stage.write $dir") {
+      if (!df.schema.fields.exists(f => hasTz(f.dataType))) writeStaged()
+      else stageTsLock.synchronized {
+        val tsPrev = df.sparkSession.conf.getOption(tsKey)
+        df.sparkSession.conf.set(tsKey, "TIMESTAMP_MICROS")
+        try writeStaged()
+        finally tsPrev match {
+          case Some(v) => df.sparkSession.conf.set(tsKey, v)
+          case None => df.sparkSession.conf.unset(tsKey)
+        }
       }
     }
     val f = fs(df.sparkSession, dir)
@@ -998,7 +1000,7 @@ object Snapshots {
       s"stage produced no data files under $stageDir — refusing to " +
         "commit an unreadable version (empty input?)")
     val keyCol = sortCols.head
-    val statLines: Seq[String] =
+    val statLines: Seq[String] = graft.Prof(s"stage.stat $dir") {
       if (!df.schema.fieldNames.contains(keyCol) ||
           df.schema(keyCol).dataType != LongType) Seq.empty
       else scala.util.Try {
@@ -1010,6 +1012,7 @@ object Snapshots {
               s"${gs.map(_.min).min}:${gs.map(_.max).max}:$rel"
           }
       }.getOrElse(Seq.empty)
+    }
     // typed stats for the table's DECLARED stats columns (format 2.1
     // #stat2 per file) AND the per-row-group detail (format 2.3
     // #stat3 — byte range + rows + min/max per block, multi-row-group
@@ -1019,7 +1022,7 @@ object Snapshots {
     // surviving byte ranges without opening footers). ONE footer walk
     // emits both families — a second walk would double the metadata
     // round trips per staged file.
-    val (stat2, stat3): (Seq[String], Seq[String]) =
+    val (stat2, stat3): (Seq[String], Seq[String]) = graft.Prof(s"stage.stat23 $dir") {
       if (stat2Cols.isEmpty) (Seq.empty, Seq.empty)
       else scala.util.Try {
         val (fileStats, rgStats) = Layout.typedStatsWithBlocks(
@@ -1031,22 +1034,32 @@ object Snapshots {
            s"${rg.len}:${rg.rows}:${rg.min}:${rg.max}:" +
            rg.path.stripPrefix(s"$dir/")))
       }.getOrElse((Seq.empty, Seq.empty))
+    }
     // KMV NDV sketches for the DECLARED ndv columns: one distinct +
     // windowed-top-k pass over ONLY this commit's new files
-    val ndvL: Seq[String] =
+    val ndvL: Seq[String] = graft.Prof(s"stage.ndv $dir") {
       if (ndvCols.isEmpty) Seq.empty
       else {
         val back = df.sparkSession.read.parquet(staged.map(r => s"$dir/$r"): _*)
-        ndvCols.filter(c => back.columns.contains(c) && !c.contains(":"))
-          .flatMap { c =>
-            Ndv.fileSketches(back, c).toSeq.map { case (fname, sk) =>
+        val cols = ndvCols.filter(c =>
+          back.columns.contains(c) && !c.contains(":"))
+        if (cols.isEmpty) Seq.empty
+        else {
+          // ONE pass sketches every declared column (guide §1.2) —
+          // hashes per (file, column) bit-identical to the per-column
+          // walk this replaced
+          val sk = Ndv.fileSketchesMulti(back, cols)
+          cols.flatMap { c =>
+            sk.toSeq.collect { case ((cc, fname), s) if cc == c =>
               val rel = staged.find(r => fname.endsWith(r)).getOrElse(
                 throw new IllegalStateException(
                   s"ndv sketch for unknown staged file $fname"))
-              s"ndv:$c:${Ndv.encode(sk)}:$rel"
+              s"ndv:$c:${Ndv.encode(s)}:$rel"
             }
           }
+        }
       }
+    }
     Staged(staged, nullable(df.schema).json, statLines, stat2 ++ stat3,
       ndvL, sizeLines)
   }
@@ -2171,62 +2184,97 @@ object Snapshots {
       throw new IllegalArgumentException(s"$dir has no snapshots — use publish"))
     val pm = manifest(spark, dir, prev)
     val bOf = bucketOf(bucketCol) _
-    def bucketsOf(df: DataFrame, what: String): Set[Long] = {
-      val rows = df.select(col(bucketCol).cast("long")).distinct().collect()
-      // fail fast with the contract, not an NPE deep in the plan — a
-      // NULL bucket would otherwise stage into an unparseable directory
-      require(rows.forall(!_.isNullAt(0)),
-        s"$what rows carry NULL $bucketCol values — every row must have " +
-          "a non-null bucket (derive it from the key upstream)")
-      rows.map(_.getLong(0)).toSet
-    }
-    val touched = updatesOpt.map(bucketsOf(_, "merge: update")).getOrElse(Set.empty) ++
-      deletesOpt.map(bucketsOf(_, "delete: key")).getOrElse(Set.empty)
-    if (touched.isEmpty) return prev // empty batch: nothing to commit
-    val existingFiles = pm.files.filter(f => touched.contains(bOf(f)))
-    // the keys whose existing rows must NOT survive: replaced + deleted
-    val dropKeys = (updatesOpt.toSeq ++ deletesOpt.toSeq)
-      .map(_.select(keyCols.map(col): _*))
-      .reduce(_.unionByName(_))
-    if (existingFiles.isEmpty && updatesOpt.isEmpty)
-      return prev // pure delete of keys in non-existent buckets: no-op
-    val mergedRows =
-      if (existingFiles.isEmpty) updatesOpt.get
-      else {
-        val existing = readFiles(spark, dir, existingFiles, pm.schemaOpt,
-          pm.colMap, pm.fileSizes, dv = resolveDv(spark, dir, pm))
-        // additive/WIDENING evolution: updates may ADD columns (old
-        // rows null-fill on read) and shared columns may WIDEN in
-        // either direction — both sides align to the per-column
-        // widest type, then matched/deleted keys drop
-        updatesOpt match {
-          case Some(updates) =>
-            val (ex, up) = mergeAlign(existing, updates)
-            ex.join(dropKeys, keyCols, "left_anti").unionByName(up)
-          case None =>
-            existing.join(dropKeys, keyCols, "left_anti")
+    // MATERIALIZE each incoming side once (guide §5 — a merge consumes
+    // its sides through SEVERAL independent actions: the bucket-location
+    // fold, the emptiness probe, and the staging write, the last two via
+    // the dropKeys anti-join). Without a persist every action recomputes
+    // the side's full upstream DAG — for a streaming CDC microbatch that
+    // is the whole changed-file read + net() shuffle, measured 0.7–1.8 s
+    // PER ACTION on q178's replica at sf0.1. Batches are churn-sized
+    // (never table-sized), so MEMORY_AND_DISK is safe at any scale; the
+    // same materialize-the-source discipline Delta's MERGE applies.
+    // Frames the caller already persisted are left alone (and not
+    // unpersisted behind the caller's back).
+    import org.apache.spark.storage.StorageLevel
+    def materialize(df: DataFrame): (DataFrame, Boolean) =
+      if (df.storageLevel != StorageLevel.NONE) (df, false)
+      else (df.persist(StorageLevel.MEMORY_AND_DISK), true)
+    val (updatesP, updOwned) = updatesOpt.map(materialize)
+      .map(t => (Some(t._1), t._2)).getOrElse((None, false))
+    val (deletesP, delOwned) = deletesOpt.map(materialize)
+      .map(t => (Some(t._1), t._2)).getOrElse((None, false))
+    try {
+      // ONE pass per side yields the touched buckets AND the row count
+      // (the count lets the common case skip the emptiness probe below)
+      def bucketsOf(df: DataFrame, what: String): (Set[Long], Long) =
+        graft.Prof(s"merge.buckets($what) $dir") {
+          val rows = df.groupBy(col(bucketCol).cast("long").as("__b"))
+            .count().collect()
+          // fail fast with the contract, not an NPE deep in the plan — a
+          // NULL bucket would otherwise stage into an unparseable directory
+          require(rows.forall(!_.isNullAt(0)),
+            s"$what rows carry NULL $bucketCol values — every row must have " +
+              "a non-null bucket (derive it from the key upstream)")
+          (rows.map(_.getLong(0)).toSet, rows.map(_.getLong(1)).sum)
         }
+      val (updBuckets, updRows) = updatesP.map(bucketsOf(_, "merge: update"))
+        .getOrElse((Set.empty[Long], 0L))
+      val (delBuckets, _) = deletesP.map(bucketsOf(_, "delete: key"))
+        .getOrElse((Set.empty[Long], 0L))
+      val touched = updBuckets ++ delBuckets
+      if (touched.isEmpty) return prev // empty batch: nothing to commit
+      val existingFiles = pm.files.filter(f => touched.contains(bOf(f)))
+      // the keys whose existing rows must NOT survive: replaced + deleted
+      val dropKeys = (updatesP.toSeq ++ deletesP.toSeq)
+        .map(_.select(keyCols.map(col): _*))
+        .reduce(_.unionByName(_))
+      if (existingFiles.isEmpty && updatesP.isEmpty)
+        return prev // pure delete of keys in non-existent buckets: no-op
+      val mergedRows =
+        if (existingFiles.isEmpty) updatesP.get
+        else {
+          val existing = readFiles(spark, dir, existingFiles, pm.schemaOpt,
+            pm.colMap, pm.fileSizes, dv = resolveDv(spark, dir, pm))
+          // additive/WIDENING evolution: updates may ADD columns (old
+          // rows null-fill on read) and shared columns may WIDEN in
+          // either direction — both sides align to the per-column
+          // widest type, then matched/deleted keys drop
+          updatesP match {
+            case Some(updates) =>
+              val (ex, up) = mergeAlign(existing, updates)
+              ex.join(dropKeys, keyCols, "left_anti").unionByName(up)
+            case None =>
+              existing.join(dropKeys, keyCols, "left_anti")
+          }
+        }
+      // a delete can empty its buckets entirely: commit kept files only
+      // (the bucket disappears) — stage refuses zero-file writes. The
+      // emptiness probe runs only when it can actually fire: deletes
+      // present AND no surviving update row (a merged frame that unions
+      // a non-empty update side can never be empty — the bucket fold
+      // above already counted it, so the probe's extra scan is skipped
+      // on every ordinary CDC batch).
+      val tp = pm.toPhysical
+      val st =
+        if (deletesOpt.isDefined && updRows == 0L &&
+            graft.Prof(s"merge.emptyProbe $dir")(mergedRows.isEmpty))
+          Staged(Nil, pm.schemaOpt.map(nullable(_).json).getOrElse(
+            nullable(mergedRows.schema).json), Nil)
+        else stage(toPhysicalDf(mergedRows, tp), dir,
+          tp.getOrElse(bucketCol, bucketCol),
+          sortCols.map(c => tp.getOrElse(c, c)), blockSize, numTasks,
+          stat2Cols = pm.statCols, ndvCols = pm.ndvCols)
+      val kept = pm.files.filterNot(f => touched.contains(bOf(f)))
+      val schema = pm.schemaOpt match {
+        case Some(ps) if updatesP.isEmpty => nullable(ps).json // deletes never evolve
+        case Some(ps) => mergeSchemas(ps, nullable(mergedRows.schema)).json
+        case None => st.schemaJson
       }
-    // a delete can empty its buckets entirely: commit kept files only
-    // (the bucket disappears) — stage refuses zero-file writes. The
-    // emptiness probe (one limit-1 scan of the touched buckets) runs
-    // only when deletes are present; a plain merge cannot be empty.
-    val tp = pm.toPhysical
-    val st =
-      if (deletesOpt.isDefined && mergedRows.isEmpty)
-        Staged(Nil, pm.schemaOpt.map(nullable(_).json).getOrElse(
-          nullable(mergedRows.schema).json), Nil)
-      else stage(toPhysicalDf(mergedRows, tp), dir,
-        tp.getOrElse(bucketCol, bucketCol),
-        sortCols.map(c => tp.getOrElse(c, c)), blockSize, numTasks,
-        stat2Cols = pm.statCols, ndvCols = pm.ndvCols)
-    val kept = pm.files.filterNot(f => touched.contains(bOf(f)))
-    val schema = pm.schemaOpt match {
-      case Some(ps) if updatesOpt.isEmpty => nullable(ps).json // deletes never evolve
-      case Some(ps) => mergeSchemas(ps, nullable(mergedRows.schema)).json
-      case None => st.schemaJson
+      commitReplacing(spark, dir, pm, prev, kept, st, schema, meta)
+    } finally {
+      if (updOwned) updatesP.foreach(_.unpersist(false))
+      if (delOwned) deletesP.foreach(_.unpersist(false))
     }
-    commitReplacing(spark, dir, pm, prev, kept, st, schema, meta)
   }
 
   /** The REPLACE-FILES commit every rewrite path shares (bucket-merge,

@@ -356,50 +356,73 @@ object ZOrderTable {
       l.dims.foreach(d => require(f.columns.contains(d),
         s"update/delete rows must carry the layout dimension $d"))
     }
-    // cells are located from BOTH sides' dims (an update's target cell
-    // and a delete's current cell), per epoch
-    val allDims = (updatesOpt.toSeq ++ deletesOpt.toSeq)
-      .map(_.select(l.dims.map(col): _*)).reduce(_.unionByName(_))
-    val dropKeys = (updatesOpt.toSeq ++ deletesOpt.toSeq)
-      .map(_.select(keyCols.map(col): _*)).reduce(_.unionByName(_))
-    val touched = touchedFiles(spark, pm, epochs, l, allDims)
-    if (touched.isEmpty && updatesOpt.isEmpty) return prev
-    val mergedRows =
-      if (touched.isEmpty) updatesOpt.get
-      else {
-        val existing = Snapshots.readFiles(spark, dir, touched.sorted,
-          pm.schemaOpt, pm.colMap, pm.fileSizes,
-          dv = Snapshots.resolveDv(spark, dir, pm)).drop(ZCol, BCol)
-        updatesOpt match {
-          case Some(updates) =>
-            val (ex, up) = Snapshots.mergeAlign(existing, updates)
-            ex.join(dropKeys, keyCols, "left_anti").unionByName(up)
-          case None =>
-            existing.join(dropKeys, keyCols, "left_anti")
+    // MATERIALIZE each side once (guide §5 — the same discipline as
+    // [[Snapshots.mergeImpl]]): the sides feed the per-epoch cell
+    // folds, the emptiness probe and the staging write as INDEPENDENT
+    // actions; a streaming microbatch's DAG (changed-file read +
+    // net() shuffle) would otherwise recompute per action. Batches
+    // are churn-sized; caller-persisted frames are left alone.
+    import org.apache.spark.storage.StorageLevel
+    def materialize(df: DataFrame): (DataFrame, Boolean) =
+      if (df.storageLevel != StorageLevel.NONE) (df, false)
+      else (df.persist(StorageLevel.MEMORY_AND_DISK), true)
+    val (updatesP, updOwned) = updatesOpt.map(materialize)
+      .map(t => (Some(t._1), t._2)).getOrElse((None, false))
+    val (deletesP, delOwned) = deletesOpt.map(materialize)
+      .map(t => (Some(t._1), t._2)).getOrElse((None, false))
+    try {
+      // cells are located from BOTH sides' dims (an update's target cell
+      // and a delete's current cell), per epoch
+      val allDims = (updatesP.toSeq ++ deletesP.toSeq)
+        .map(_.select(l.dims.map(col): _*)).reduce(_.unionByName(_))
+      val dropKeys = (updatesP.toSeq ++ deletesP.toSeq)
+        .map(_.select(keyCols.map(col): _*)).reduce(_.unionByName(_))
+      val touched = touchedFiles(spark, pm, epochs, l, allDims)
+      if (touched.isEmpty && updatesP.isEmpty) return prev
+      val mergedRows =
+        if (touched.isEmpty) updatesP.get
+        else {
+          val existing = Snapshots.readFiles(spark, dir, touched.sorted,
+            pm.schemaOpt, pm.colMap, pm.fileSizes,
+            dv = Snapshots.resolveDv(spark, dir, pm)).drop(ZCol, BCol)
+          updatesP match {
+            case Some(updates) =>
+              val (ex, up) = Snapshots.mergeAlign(existing, updates)
+              ex.join(dropKeys, keyCols, "left_anti").unionByName(up)
+            case None =>
+              existing.join(dropKeys, keyCols, "left_anti")
+          }
         }
+      // a delete can empty its cells entirely: commit kept files only.
+      // The probe only fires when it CAN be empty — a non-empty update
+      // side unions in and survives (one cheap take(1) on the
+      // materialized side decides, instead of a full merged-plan scan).
+      val st =
+        if (deletesOpt.isDefined && !updatesP.exists(!_.isEmpty) &&
+            mergedRows.isEmpty)
+          Snapshots.Staged(Nil, pm.schemaOpt.map(Snapshots.nullable(_).json)
+            .getOrElse(Snapshots.nullable(mergedRows.schema).json), Nil)
+        else Snapshots.stage(withLayout(mergedRows, l), dir, BCol, Seq(ZCol),
+          blockSize, numTasks, stat2Cols = pm.statCols, ndvCols = pm.ndvCols)
+      val touchedSet = touched.toSet
+      val kept = pm.files.filterNot(touchedSet)
+      val schema = pm.schemaOpt match {
+        case Some(ps) if updatesP.isEmpty => Snapshots.nullable(ps).json
+        case Some(ps) => Snapshots.mergeSchemas(ps,
+          Snapshots.nullable(withLayout(mergedRows, l).schema)).json
+        case None => st.schemaJson
       }
-    // a delete can empty its cells entirely: commit kept files only
-    val st =
-      if (deletesOpt.isDefined && mergedRows.isEmpty)
-        Snapshots.Staged(Nil, pm.schemaOpt.map(Snapshots.nullable(_).json)
-          .getOrElse(Snapshots.nullable(mergedRows.schema).json), Nil)
-      else Snapshots.stage(withLayout(mergedRows, l), dir, BCol, Seq(ZCol),
-        blockSize, numTasks, stat2Cols = pm.statCols, ndvCols = pm.ndvCols)
-    val touchedSet = touched.toSet
-    val kept = pm.files.filterNot(touchedSet)
-    val schema = pm.schemaOpt match {
-      case Some(ps) if updatesOpt.isEmpty => Snapshots.nullable(ps).json
-      case Some(ps) => Snapshots.mergeSchemas(ps,
-        Snapshots.nullable(withLayout(mergedRows, l).schema)).json
-      case None => st.schemaJson
+      val v = Snapshots.claimAbove(spark, dir, prev)
+      Snapshots.commit(spark, dir, v, kept ++ st.rels,
+        meta ++ Seq("format:2", s"schema:$schema") ++
+          Snapshots.carriedBatch(pm, meta) ++
+          carriedMeta(pm, kept.toSet) ++ filezLines(st.rels, l.shift) ++
+          st.statLines ++ st.stat2Lines ++ st.ndvLines ++ st.sizeLines)
+      v
+    } finally {
+      if (updOwned) updatesP.foreach(_.unpersist(false))
+      if (delOwned) deletesP.foreach(_.unpersist(false))
     }
-    val v = Snapshots.claimAbove(spark, dir, prev)
-    Snapshots.commit(spark, dir, v, kept ++ st.rels,
-      meta ++ Seq("format:2", s"schema:$schema") ++
-        Snapshots.carriedBatch(pm, meta) ++
-        carriedMeta(pm, kept.toSet) ++ filezLines(st.rels, l.shift) ++
-        st.statLines ++ st.stat2Lines ++ st.ndvLines ++ st.sizeLines)
-    v
   }
 
   /** Idempotent batch upsert into a z-table — the EXACTLY-ONCE

@@ -1140,13 +1140,21 @@ object Relational {
     val net = ChangeFeed.net(spark.table(qn)).cache()
     val rows =
       try {
+        // ONE grouped fold instead of 8 filter+agg jobs (guide §1.2):
+        // per (version, kind) the grouped count/xor/sum are exactly
+        // the per-filter folds; absent groups restate the empty
+        // fold's (0, 0, 0)
+        val grouped = net.withColumn("h", ordersRowHash)
+          .groupBy(col("_version"), col("_change"))
+          .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+            coalesce(sum(col("h") % 1000000000000L), lit(0L)))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1)) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
         (1L to 4L).flatMap { v =>
           Seq("insert", "delete").map { kind =>
-            val r = net.filter(col("_version") === v && col("_change") === kind)
-              .withColumn("h", ordersRowHash)
-              .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
-                coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
-            (f"v$v%04d", kind, r.getLong(0), r.getLong(1), r.getLong(2))
+            val (c, x, s) = grouped.getOrElse((v, kind), (0L, 0L, 0L))
+            (f"v$v%04d", kind, c, x, s)
           }
         }
       } finally {
@@ -1206,16 +1214,23 @@ object Relational {
     val q = ChangeFeed.readStream(spark, srcT, maxVersionsPerBatch = 1L)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // one materialization of the batch's net per microbatch: the
+        // sink consumes inserts and deletes through several actions,
+        // each of which would otherwise replay the changed-file read
+        // + the net() shuffle (guide §5)
         val net = ChangeFeed.net(batch)
-        val inserts = net.filter(col(ChangeFeed.ChangeCol) === "insert")
-          .drop(ChangeFeed.ChangeCol, ChangeFeed.VersionCol)
-        // TRUE deletes: net delete keys with no same-key insert in the
-        // batch (a replaced key is an upsert, never a delete+insert)
-        val deletes = net.filter(col(ChangeFeed.ChangeCol) === "delete")
-          .drop(ChangeFeed.ChangeCol, ChangeFeed.VersionCol)
-          .join(inserts.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
-        Snapshots.mergeBatch(batchId, inserts, repT, "bucket",
-          Seq("o_orderkey"), Seq("o_orderkey"), deletes = Some(deletes))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val inserts = net.filter(col(ChangeFeed.ChangeCol) === "insert")
+            .drop(ChangeFeed.ChangeCol, ChangeFeed.VersionCol)
+          // TRUE deletes: net delete keys with no same-key insert in the
+          // batch (a replaced key is an upsert, never a delete+insert)
+          val deletes = net.filter(col(ChangeFeed.ChangeCol) === "delete")
+            .drop(ChangeFeed.ChangeCol, ChangeFeed.VersionCol)
+            .join(inserts.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          Snapshots.mergeBatch(batchId, inserts, repT, "bucket",
+            Seq("o_orderkey"), Seq("o_orderkey"), deletes = Some(deletes))
+        } finally net.unpersist(false)
         ()
       }.start()
     try q.processAllAvailable() finally q.stop()
@@ -1295,13 +1310,19 @@ object Relational {
       16, 10).cast("long")
     val rows =
       try {
+        // ONE grouped fold instead of 6 filter+agg jobs (the q172
+        // discipline) — absent groups restate the empty fold's zeros
+        val grouped = net.withColumn("h", h)
+          .groupBy(col("_version"), col("_change"))
+          .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+            coalesce(sum(col("h") % 1000000000000L), lit(0L)))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1)) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
         val folds = (1L to 3L).flatMap { v =>
           Seq("insert", "delete").map { kind =>
-            val r = net.filter(col("_version") === v && col("_change") === kind)
-              .withColumn("h", h)
-              .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
-                coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
-            (f"v$v%04d", kind, r.getLong(0), r.getLong(1), r.getLong(2))
+            val (c, x, s) = grouped.getOrElse((v, kind), (0L, 0L, 0L))
+            (f"v$v%04d", kind, c, x, s)
           }
         }
         val wideGenesis = net.filter(col("_version") === 1L &&
@@ -1364,14 +1385,21 @@ object Relational {
     val q = ChangeFeed.readStream(spark, srcT, maxVersionsPerBatch = 1L)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // one materialization of the batch's net per microbatch (the
+        // q176 discipline, guide §5): the sink's several actions read
+        // the cached net instead of replaying the changed-file read +
+        // net() shuffle each
         val net = ChangeFeed.net(batch)
-        val inserts = net.filter(col(ChangeFeed.ChangeCol) === "insert")
-          .drop(ChangeFeed.ChangeCol, ChangeFeed.VersionCol)
-        val deletes = net.filter(col(ChangeFeed.ChangeCol) === "delete")
-          .drop(ChangeFeed.ChangeCol, ChangeFeed.VersionCol)
-          .join(inserts.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
-        Snapshots.mergeBatch(batchId, inserts, repT, "bucket",
-          Seq("o_orderkey"), Seq("o_orderkey"), deletes = Some(deletes))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val inserts = net.filter(col(ChangeFeed.ChangeCol) === "insert")
+            .drop(ChangeFeed.ChangeCol, ChangeFeed.VersionCol)
+          val deletes = net.filter(col(ChangeFeed.ChangeCol) === "delete")
+            .drop(ChangeFeed.ChangeCol, ChangeFeed.VersionCol)
+            .join(inserts.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          Snapshots.mergeBatch(batchId, inserts, repT, "bucket",
+            Seq("o_orderkey"), Seq("o_orderkey"), deletes = Some(deletes))
+        } finally net.unpersist(false)
         ()
       }.start()
     try q.processAllAvailable() finally q.stop()
@@ -1470,13 +1498,19 @@ object Relational {
     val net = ChangeFeed.net(spark.table(qn)).cache()
     val rows =
       try {
+        // ONE grouped fold instead of 8 filter+agg jobs (the q172
+        // discipline) — absent groups restate the empty fold's zeros
+        val grouped = net.withColumn("h", hWith(col("status")))
+          .groupBy(col("_version"), col("_change"))
+          .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+            coalesce(sum(col("h") % 1000000000000L), lit(0L)))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1)) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
         (1L to 4L).flatMap { v =>
           Seq("insert", "delete").map { kind =>
-            val r = net.filter(col("_version") === v && col("_change") === kind)
-              .withColumn("h", hWith(col("status")))
-              .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
-                coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
-            (f"feed_v$v%04d", kind, r.getLong(0), r.getLong(1), r.getLong(2))
+            val (c, x, s) = grouped.getOrElse((v, kind), (0L, 0L, 0L))
+            (f"feed_v$v%04d", kind, c, x, s)
           }
         }
       } finally {
@@ -2044,13 +2078,22 @@ object Relational {
     val layout = Z.ZLayout("z", 26, Seq("x", "y"))
     val keyCols = Seq("o_orderkey", "x", "y")
     val apply: (DataFrame, Long) => Unit = (batch, id) => {
-      if (!batch.isEmpty) { // a no-data trigger has nothing to ledger
-        val net = ChangeFeed.net(batch).drop("bucket", "_version")
-        val ins = net.filter(col("_change") === "insert").drop("_change")
-        val del = net.filter(col("_change") === "delete").drop("_change")
-          .select((keyCols ++ Seq("o_custkey", "o_totalprice")).map(col): _*)
-        Z.mergeBatch(id, ins, repT, keyCols, layout, deletes = Some(del))
-      }
+      // one materialization of the batch per microbatch: the empty
+      // probe, the net() and the sink's own actions all read the
+      // cache instead of replaying the changed-file read (guide §5)
+      val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (!b.isEmpty) { // a no-data trigger has nothing to ledger
+          val net = ChangeFeed.net(b).drop("bucket", "_version")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val ins = net.filter(col("_change") === "insert").drop("_change")
+            val del = net.filter(col("_change") === "delete").drop("_change")
+              .select((keyCols ++ Seq("o_custkey", "o_totalprice")).map(col): _*)
+            Z.mergeBatch(id, ins, repT, keyCols, layout, deletes = Some(del))
+          } finally net.unpersist(false)
+        }
+      } finally b.unpersist(false)
       ()
     }
     val q = ChangeFeed.readStream(spark, srcT, maxBytesPerBatch = 1L)
@@ -2150,15 +2193,21 @@ object Relational {
     val q = ChangeFeed.readStream(spark, srcT, maxVersionsPerBatch = 1L)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select(col(ChangeFeed.VersionCol)).distinct()
-          .collect().map(_.getLong(0)).foreach { v =>
-            val dels = ChangeFeed.net(
-              batch.filter(col(ChangeFeed.VersionCol) === v)
-                .drop(ChangeFeed.VersionCol))
-              .filter(col(ChangeFeed.ChangeCol) === "delete")
-              .drop(ChangeFeed.ChangeCol)
-            feedFolds(v) = fold(dels)
-          }
+        // one materialization of the batch: the version fold and each
+        // per-version net fold read the cache instead of replaying
+        // the changed-file read per action (guide §5)
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          b.select(col(ChangeFeed.VersionCol)).distinct()
+            .collect().map(_.getLong(0)).foreach { v =>
+              val dels = ChangeFeed.net(
+                b.filter(col(ChangeFeed.VersionCol) === v)
+                  .drop(ChangeFeed.VersionCol))
+                .filter(col(ChangeFeed.ChangeCol) === "delete")
+                .drop(ChangeFeed.ChangeCol)
+              feedFolds(v) = fold(dels)
+            }
+        } finally b.unpersist(false)
         ()
       }.start()
     try q.processAllAvailable() finally q.stop()
