@@ -168,65 +168,58 @@ object BucketedTable {
     val (keyCol, w) = widthAt(spark, dir, prev)
     require(keyCols.contains(keyCol),
       s"merge keys must include the layout key $keyCol")
-    // MATERIALIZE the update batch once (guide §5 — the
-    // [[Snapshots.mergeImpl]] discipline): it feeds the NULL-key
-    // guard, the range-touch fold and the staging write as
-    // independent actions. Caller-persisted frames are left alone.
-    import org.apache.spark.storage.StorageLevel
-    val updOwned = updates.storageLevel == StorageLevel.NONE
-    val updatesP =
-      if (updOwned) updates.persist(StorageLevel.MEMORY_AND_DISK)
-      else updates
-    try {
-      require(updatesP.filter(col(keyCol).isNull).isEmpty,
-        s"merge: update rows carry NULL $keyCol values")
-      // rewrite set from the manifest stats — zero data-file opens
-      val stats = Snapshots.versionStats(spark, dir, prev, keyCol)
-      import spark.implicits._
-      val ranges = stats.map(s =>
-          (s.path.stripPrefix(s"$dir/"), s.min, s.max))
-        .toDF("__file", "__mn", "__mx")
-      val touched = updatesP.join(broadcast(ranges),
-          col(keyCol) >= col("__mn") && col(keyCol) <= col("__mx"))
-        .select("__file").distinct().as[String].collect().toSet
-      val upd = withBucket(updatesP, keyCol, w)
-      val mergedRows =
-        if (touched.isEmpty) upd
-        else {
-          val existing = Snapshots.readFiles(spark, dir,
-            touched.toSeq.sorted, pm.schemaOpt, sizes = pm.fileSizes,
-            dv = Snapshots.resolveDv(spark, dir, pm))
-          // additive/widening alignment, then restaged rows RE-derive
-          // their bucket at the current width (the epoch migration
-          // side effect overrides whatever stale epoch values the old
-          // files' materialized bucket column carries)
-          val (ex0, up) = Snapshots.mergeAlign(existing, upd)
-          ex0.withColumn(BCol, expr(s"$keyCol div $w"))
-            .join(up.select(keyCols.map(col): _*), keyCols, "left_anti")
-            .unionByName(up)
-        }
-      val st = Snapshots.stage(withBucket(mergedRows.drop(BCol), keyCol, w),
-        dir, BCol, Seq(keyCol), blockSize, numTasks)
-      val kept = pm.files.filterNot(touched)
-      val keptSet = kept.toSet
-      val schema = pm.schemaOpt match {
-        case Some(ps) =>
-          Snapshots.mergeSchemas(ps, Snapshots.nullable(mergedRows.schema)).json
-        case None => st.schemaJson
+    // NO persist of the update batch here: this path is updates-only
+    // (guard + range-touch fold + staging write over a typically
+    // trivial upstream DAG) — the [[Snapshots.mergeImpl]] measurement
+    // showed the materialization tax exceeding the saved recompute on
+    // exactly this shape (+0.36 s on q174 in the mid-round window).
+    // A caller with an expensive batch DAG persists it itself.
+    require(updates.filter(col(keyCol).isNull).isEmpty,
+      s"merge: update rows carry NULL $keyCol values")
+    // rewrite set from the manifest stats — zero data-file opens
+    val stats = Snapshots.versionStats(spark, dir, prev, keyCol)
+    import spark.implicits._
+    val ranges = stats.map(s =>
+        (s.path.stripPrefix(s"$dir/"), s.min, s.max))
+      .toDF("__file", "__mn", "__mx")
+    val touched = updates.join(broadcast(ranges),
+        col(keyCol) >= col("__mn") && col(keyCol) <= col("__mx"))
+      .select("__file").distinct().as[String].collect().toSet
+    val upd = withBucket(updates, keyCol, w)
+    val mergedRows =
+      if (touched.isEmpty) upd
+      else {
+        val existing = Snapshots.readFiles(spark, dir,
+          touched.toSeq.sorted, pm.schemaOpt, sizes = pm.fileSizes,
+          dv = Snapshots.resolveDv(spark, dir, pm))
+        // additive/widening alignment, then restaged rows RE-derive
+        // their bucket at the current width (the epoch migration
+        // side effect overrides whatever stale epoch values the old
+        // files' materialized bucket column carries)
+        val (ex0, up) = Snapshots.mergeAlign(existing, upd)
+        ex0.withColumn(BCol, expr(s"$keyCol div $w"))
+          .join(up.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(up)
       }
-      val v = Snapshots.claimAbove(spark, dir, prev)
-      Snapshots.commit(spark, dir, v, kept ++ st.rels,
-        Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
-          pm.propLines ++ Seq(s"bucketw:$keyCol:$w") ++
-          carriedFilew(pm, keptSet) ++ filewLines(st.rels, w) ++
-          carriedStats(pm, keptSet) ++ st.statLines ++
-          pm.fsizeLines.filter(l => keptSet.contains(l.split(":", 3).last)) ++
-          st.sizeLines ++
-          pm.dvLines.filter(l => keptSet.contains(Snapshots.dvRelOf(l))))
-      v
-    } finally {
-      if (updOwned) updatesP.unpersist(false)
+    val st = Snapshots.stage(withBucket(mergedRows.drop(BCol), keyCol, w),
+      dir, BCol, Seq(keyCol), blockSize, numTasks)
+    val kept = pm.files.filterNot(touched)
+    val keptSet = kept.toSet
+    val schema = pm.schemaOpt match {
+      case Some(ps) =>
+        Snapshots.mergeSchemas(ps, Snapshots.nullable(mergedRows.schema)).json
+      case None => st.schemaJson
     }
+    val v = Snapshots.claimAbove(spark, dir, prev)
+    Snapshots.commit(spark, dir, v, kept ++ st.rels,
+      Seq("format:2", s"schema:$schema") ++ Snapshots.carriedBatch(pm) ++
+        pm.propLines ++ Seq(s"bucketw:$keyCol:$w") ++
+        carriedFilew(pm, keptSet) ++ filewLines(st.rels, w) ++
+        carriedStats(pm, keptSet) ++ st.statLines ++
+        pm.fsizeLines.filter(l => keptSet.contains(l.split(":", 3).last)) ++
+        st.sizeLines ++
+        pm.dvLines.filter(l => keptSet.contains(Snapshots.dvRelOf(l))))
+    v
   }
 
   /** Compaction = the epoch MIGRATOR: rewrite, into one file per

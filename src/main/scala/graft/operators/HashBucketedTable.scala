@@ -236,14 +236,17 @@ object HashBucketedTable {
     require(keyCols.contains(keyCol),
       s"merge keys must include the layout key $keyCol")
     val epochs = fileBuckets(spark, dir, prev)
-    // MATERIALIZE each side once (guide §5 — the [[Snapshots.mergeImpl]]
-    // discipline): the sides feed the NULL-key guard, the per-epoch
-    // bucket folds, the emptiness probe and the staging write as
-    // independent actions; without a persist each action recomputes the
-    // side's upstream DAG. Caller-persisted frames are left alone.
+    // MATERIALIZE each side once on the TWO-SIDED (CDC) shape (guide
+    // §5 — the [[Snapshots.mergeImpl]] discipline and gate): with
+    // deletes present the sides feed the NULL-key guard, the
+    // per-epoch bucket folds, the emptiness probe and the staging
+    // write as independent actions. Updates-only merges skip the
+    // persist (the materialization tax measured larger than the
+    // recompute). Caller-persisted frames are left alone.
     import org.apache.spark.storage.StorageLevel
+    val wantPersist = deletesOpt.isDefined
     def materialize(df: DataFrame): (DataFrame, Boolean) =
-      if (df.storageLevel != StorageLevel.NONE) (df, false)
+      if (!wantPersist || df.storageLevel != StorageLevel.NONE) (df, false)
       else (df.persist(StorageLevel.MEMORY_AND_DISK), true)
     val (updatesP, updOwned) = updatesOpt.map(materialize)
       .map(t => (Some(t._1), t._2)).getOrElse((None, false))

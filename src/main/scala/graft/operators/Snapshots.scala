@@ -2184,20 +2184,27 @@ object Snapshots {
       throw new IllegalArgumentException(s"$dir has no snapshots — use publish"))
     val pm = manifest(spark, dir, prev)
     val bOf = bucketOf(bucketCol) _
-    // MATERIALIZE each incoming side once (guide §5 — a merge consumes
-    // its sides through SEVERAL independent actions: the bucket-location
-    // fold, the emptiness probe, and the staging write, the last two via
-    // the dropKeys anti-join). Without a persist every action recomputes
-    // the side's full upstream DAG — for a streaming CDC microbatch that
-    // is the whole changed-file read + net() shuffle, measured 0.7–1.8 s
-    // PER ACTION on q178's replica at sf0.1. Batches are churn-sized
-    // (never table-sized), so MEMORY_AND_DISK is safe at any scale; the
-    // same materialize-the-source discipline Delta's MERGE applies.
-    // Frames the caller already persisted are left alone (and not
-    // unpersisted behind the caller's back).
+    // MATERIALIZE each incoming side once on the TWO-SIDED (CDC) shape
+    // (guide §5 — with deletes present a merge consumes its sides
+    // through 3-4 independent actions: two bucket-location folds, the
+    // emptiness probe, and the staging write, the last two via the
+    // dropKeys anti-join). Without a persist every action recomputes
+    // the side's full upstream DAG — for a streaming CDC microbatch
+    // that is the whole changed-file read + net() shuffle, measured
+    // 0.7–1.8 s PER ACTION on q178's replica at sf0.1. Batches are
+    // churn-sized (never table-sized), so MEMORY_AND_DISK is safe at
+    // any scale; the same materialize-the-source discipline Delta's
+    // MERGE applies. An updates-ONLY merge deliberately does NOT
+    // persist: its side feeds one fold plus one write, and the
+    // materialization tax measured LARGER than the saved recompute on
+    // ordinary parquet-backed batches (+0.2-0.4 s per merge across
+    // q161/q164/q170/q174/q192 in the mid-round window). Frames the
+    // caller already persisted are left alone (and not unpersisted
+    // behind the caller's back).
     import org.apache.spark.storage.StorageLevel
+    val wantPersist = deletesOpt.isDefined
     def materialize(df: DataFrame): (DataFrame, Boolean) =
-      if (df.storageLevel != StorageLevel.NONE) (df, false)
+      if (!wantPersist || df.storageLevel != StorageLevel.NONE) (df, false)
       else (df.persist(StorageLevel.MEMORY_AND_DISK), true)
     val (updatesP, updOwned) = updatesOpt.map(materialize)
       .map(t => (Some(t._1), t._2)).getOrElse((None, false))
@@ -2262,7 +2269,12 @@ object Snapshots {
             nullable(mergedRows.schema).json), Nil)
         else stage(toPhysicalDf(mergedRows, tp), dir,
           tp.getOrElse(bucketCol, bucketCol),
-          sortCols.map(c => tp.getOrElse(c, c)), blockSize, numTasks,
+          sortCols.map(c => tp.getOrElse(c, c)), blockSize,
+          // staged rows live in exactly the touched buckets, so more
+          // write tasks than buckets is pure scheduling overhead
+          // (guide §2: derive partitioning from the data, not a
+          // constant) — file count is partitionBy(bucket), unchanged
+          math.min(numTasks, math.max(1, touched.size)),
           stat2Cols = pm.statCols, ndvCols = pm.ndvCols)
       val kept = pm.files.filterNot(f => touched.contains(bOf(f)))
       val schema = pm.schemaOpt match {

@@ -356,15 +356,19 @@ object ZOrderTable {
       l.dims.foreach(d => require(f.columns.contains(d),
         s"update/delete rows must carry the layout dimension $d"))
     }
-    // MATERIALIZE each side once (guide §5 — the same discipline as
-    // [[Snapshots.mergeImpl]]): the sides feed the per-epoch cell
-    // folds, the emptiness probe and the staging write as INDEPENDENT
-    // actions; a streaming microbatch's DAG (changed-file read +
-    // net() shuffle) would otherwise recompute per action. Batches
-    // are churn-sized; caller-persisted frames are left alone.
+    // MATERIALIZE each side once on the TWO-SIDED (CDC) shape (guide
+    // §5 — the [[Snapshots.mergeImpl]] discipline and gate): with
+    // deletes present the sides feed the per-epoch cell folds, the
+    // emptiness probe and the staging write as INDEPENDENT actions; a
+    // streaming microbatch's DAG (changed-file read + net() shuffle)
+    // would otherwise recompute per action. Updates-only merges skip
+    // the persist (one fold + one write; the materialization tax
+    // measured larger than the recompute). Batches are churn-sized;
+    // caller-persisted frames are left alone.
     import org.apache.spark.storage.StorageLevel
+    val wantPersist = deletesOpt.isDefined
     def materialize(df: DataFrame): (DataFrame, Boolean) =
-      if (df.storageLevel != StorageLevel.NONE) (df, false)
+      if (!wantPersist || df.storageLevel != StorageLevel.NONE) (df, false)
       else (df.persist(StorageLevel.MEMORY_AND_DISK), true)
     val (updatesP, updOwned) = updatesOpt.map(materialize)
       .map(t => (Some(t._1), t._2)).getOrElse((None, false))

@@ -1709,22 +1709,25 @@ object Relational {
     val v2 = Snapshots.delete(
       src.filter(col("o_orderkey") % 3 === 0).select("o_orderkey", "bucket"),
       out, "bucket", Seq("o_orderkey"), Seq("o_orderkey"))
-    def row(v: Long, lbl: String, c: String): (String, String, Long, Long, Long) = {
-      val exact = Snapshots.readAt(spark, out, v)
-        .agg(countDistinct(col(c))).as[Long].head()
-      val (est, isExact) = Snapshots.approxDistinctAt(spark, out, v, c)
-      (f"v$v%04d", lbl,
-        exact,
-        if (math.abs(est / exact.toDouble - 1.0) <= 0.27) 1L else 0L,
-        if (isExact) 1L else 0L)
+    // ONE aggregate per version carries all three exact distinct
+    // counts (guide §1.2: 2 jobs, not 6); values identical to the
+    // per-column folds this replaced
+    def rows(v: Long): Seq[(String, String, Long, Long, Long)] = {
+      val cols = Seq(("custkey", "o_custkey"), ("orderkey", "o_orderkey"),
+        ("status", "o_orderstatus"))
+      val r = Snapshots.readAt(spark, out, v)
+        .agg(countDistinct(col(cols.head._2)),
+          cols.tail.map(c => countDistinct(col(c._2))): _*).collect()(0)
+      cols.zipWithIndex.map { case ((lbl, c), i) =>
+        val exact = r.getLong(i)
+        val (est, isExact) = Snapshots.approxDistinctAt(spark, out, v, c)
+        (f"v$v%04d", lbl,
+          exact,
+          if (math.abs(est / exact.toDouble - 1.0) <= 0.27) 1L else 0L,
+          if (isExact) 1L else 0L)
+      }
     }
-    Seq(
-      row(v1, "custkey", "o_custkey"),
-      row(v1, "orderkey", "o_orderkey"),
-      row(v1, "status", "o_orderstatus"),
-      row(v2, "custkey", "o_custkey"),
-      row(v2, "orderkey", "o_orderkey"),
-      row(v2, "status", "o_orderstatus"))
+    (rows(v1) ++ rows(v2))
       .toDF("version", "colname", "m1", "m2", "m3")
       .orderBy(col("version"), col("colname"))
   }
@@ -1994,7 +1997,10 @@ object Relational {
     // filter DATA-SKIPS at planning time off the recorded stats
     import org.apache.spark.sql.execution.FileSourceScanExec
     def scanOf(df: DataFrame): FileSourceScanExec = {
-      df.collect()
+      // execute the plan for its metrics WITHOUT collecting the rows
+      // to the driver (guide §5: the driver does no data work — an
+      // RDD count populates numFiles exactly like the collect did)
+      df.queryExecution.executedPlan.execute().count()
       df.queryExecution.executedPlan.collectLeaves().collectFirst {
         case sc: FileSourceScanExec => sc
       }.get

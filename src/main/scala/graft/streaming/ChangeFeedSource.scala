@@ -402,9 +402,14 @@ private[streaming] class ChangeFeedReaderFactory(
 
 /** Executor-side whole-file parquet reader producing the feed's rows
   * (data columns by NAME, then `_change`, `_version`). Built on the
-  * public parquet-mr Group API — no SparkSession exists on the
-  * executor. Flat scalar schemas only (the snapshot-table write
-  * shape); columns the file predates null-fill. */
+  * public parquet-mr record API — no SparkSession exists on the
+  * executor. Values materialize STRAIGHT into Catalyst slots through
+  * [[RowArrayReadSupport]] (guide §4: the CDC scan's per-row decode
+  * previously built one example-API SimpleGroup plus per-field boxes
+  * per row — pure allocation the drain's GC then paid for; q179's
+  * whole-history replay measured ~1 s of GC per bench round on it).
+  * Flat scalar schemas only (the snapshot-table write shape);
+  * columns the file predates null-fill. */
 private[streaming] class ChangeFileReader(
     part: ChangeFilePartition, fullSchema: StructType,
     physNames: Array[String],
@@ -417,7 +422,9 @@ private[streaming] class ChangeFileReader(
   private val dataFields =
     if (emitMeta) fullSchema.fields.dropRight(2) else fullSchema.fields
   private val reader = org.apache.parquet.hadoop.ParquetReader
-    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+    .builder(new RowArrayReadSupport(physNames,
+        dataFields.map(_.dataType),
+        dataFields.length + (if (emitMeta) 2 else 0), part.absPath),
       new org.apache.hadoop.fs.Path(part.absPath))
     .withConf(conf)
     .build()
@@ -430,31 +437,23 @@ private[streaming] class ChangeFileReader(
   private var onlyIdx = 0
   private var skipIdx = 0
   private var pos = -1L
-  // resolved lazily off the first Group: data-field name -> file index,
-  // and each present field's PHYSICAL parquet primitive type — the feed
-  // schema is the table's LATEST (widest) schema, but files written
-  // before a type widening still store the narrow primitive (that
-  // no-rewrite sharing is the widening feature), so value reads must
-  // dispatch on what the FILE stores and widen to what the FEED wants
-  private var fieldIdx: Array[Int] = _
-  private var fieldPrim: Array[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] = _
 
   override def next(): Boolean = {
     while (true) {
       if (onlyMode && onlyIdx >= part.onlyPos.length) {
         row = null; return false // emitted every selected row: done
       }
-      val g = reader.read()
-      if (g == null) { row = null; return false }
+      val vals = reader.read()
+      if (vals == null) { row = null; return false }
       pos += 1
       if (onlyMode) {
         if (pos == part.onlyPos(onlyIdx)) {
-          onlyIdx += 1; row = convert(g); return true
+          onlyIdx += 1; row = toRow(vals); return true
         } // else: not a newly-dead row of this step — skip
       } else if (skipIdx < part.skipPos.length && pos == part.skipPos(skipIdx)) {
         skipIdx += 1 // dead on this side's version: never emits
       } else {
-        row = convert(g); return true
+        row = toRow(vals); return true
       }
     }
     false
@@ -463,40 +462,150 @@ private[streaming] class ChangeFileReader(
   override def get(): InternalRow = row
   override def close(): Unit = reader.close()
 
-  private def convert(g: org.apache.parquet.example.data.Group): InternalRow = {
-    if (fieldIdx == null) {
-      val t = g.getType
-      // files are addressed by PHYSICAL name (renames never rewrite
-      // files); a field the file predates resolves to -1 (null-fill)
-      fieldIdx = physNames.map(n =>
-        if (t.containsField(n)) t.getFieldIndex(n) else -1)
-      fieldPrim = fieldIdx.map(fi =>
-        if (fi < 0) null
-        else t.getType(fi).asPrimitiveType().getPrimitiveTypeName)
-    }
-    val out = new Array[Any](dataFields.length + (if (emitMeta) 2 else 0))
-    var i = 0
-    while (i < dataFields.length) {
-      val fi = fieldIdx(i)
-      out(i) =
-        if (fi < 0 || g.getFieldRepetitionCount(fi) == 0) null
-        else readValue(g, fi, fieldPrim(i), dataFields(i).dataType)
-      i += 1
-    }
+  /** The materialized slot array is already output-shaped (one fresh
+    * array per record); CDC mode stamps the trailing meta slots. */
+  private def toRow(vals: Array[Any]): InternalRow = {
     if (emitMeta) {
-      out(dataFields.length) = changeTag
-      out(dataFields.length + 1) = part.version
+      vals(dataFields.length) = changeTag
+      vals(dataFields.length + 1) = part.version
     }
-    new GenericInternalRow(out)
+    new GenericInternalRow(vals)
+  }
+}
+
+/** parquet-mr → Catalyst WITHOUT the example Group API: a
+  * [[org.apache.parquet.hadoop.api.ReadSupport]] whose converters
+  * write each primitive straight into a slot array (one fresh
+  * output-shaped array per record, no intermediate Group, no
+  * per-field box churn). The projection keeps only the requested
+  * PHYSICAL fields the file actually has — fields the file predates
+  * stay null (additive evolution), and each present field widens
+  * from the FILE's stored primitive to the requested Catalyst type
+  * (int32→long, float/int32→double — exactly [[GroupDecode]]'s
+  * contract; any other pairing refuses loudly). Flat scalar schemas
+  * only. */
+private[graft] class RowArrayReadSupport(
+    physNames: Array[String], dataTypes: Array[DataType],
+    rowWidth: Int, where: String)
+    extends org.apache.parquet.hadoop.api.ReadSupport[Array[Any]] {
+  import org.apache.parquet.hadoop.api.{InitContext, ReadSupport}
+  import org.apache.parquet.io.api.{Binary, Converter, GroupConverter, PrimitiveConverter, RecordMaterializer}
+  import org.apache.parquet.schema.MessageType
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  override def init(ctx: InitContext): ReadSupport.ReadContext = {
+    val file = ctx.getFileSchema
+    val kept = physNames.filter(file.containsField)
+    new ReadSupport.ReadContext(new MessageType(file.getName,
+      kept.map(n => file.getType(file.getFieldIndex(n))): _*))
   }
 
-  /** Read one value: dispatch on the FILE's physical primitive and
-    * WIDEN to the feed's Catalyst type where they differ — shared
-    * with the batch row-group-range reader ([[GroupDecode]]). */
-  private def readValue(g: org.apache.parquet.example.data.Group, fi: Int,
-                        prim: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
-                        dt: DataType): Any =
-    GroupDecode.readValue(g, fi, prim, dt, part.absPath)
+  private def slotConverter(prim: PrimitiveTypeName, dt: DataType,
+                            slots: Array[Any], out: Int): PrimitiveConverter = {
+    def refuse(): Nothing = throw new UnsupportedOperationException(
+      s"column type ${dt.simpleString} cannot be read " +
+        s"from a $prim-typed file column in $where")
+    dt match {
+      case LongType | TimestampType | TimestampNTZType => prim match {
+        case INT64 => new PrimitiveConverter {
+          override def addLong(v: Long): Unit = slots(out) = v
+        }
+        case INT32 => new PrimitiveConverter { // pre-widening file
+          override def addInt(v: Int): Unit = slots(out) = v.toLong
+        }
+        case _ => refuse()
+      }
+      case IntegerType | DateType => prim match {
+        case INT32 => new PrimitiveConverter {
+          override def addInt(v: Int): Unit = slots(out) = v
+        }
+        case _ => refuse()
+      }
+      case DoubleType => prim match {
+        case DOUBLE => new PrimitiveConverter {
+          override def addDouble(v: Double): Unit = slots(out) = v
+        }
+        case FLOAT => new PrimitiveConverter { // pre-widening file
+          override def addFloat(v: Float): Unit = slots(out) = v.toDouble
+        }
+        case INT32 => new PrimitiveConverter { // int→double widening
+          override def addInt(v: Int): Unit = slots(out) = v.toDouble
+        }
+        case _ => refuse()
+      }
+      case FloatType => prim match {
+        case FLOAT => new PrimitiveConverter {
+          override def addFloat(v: Float): Unit = slots(out) = v
+        }
+        case _ => refuse()
+      }
+      case BooleanType => new PrimitiveConverter {
+        override def addBoolean(v: Boolean): Unit = slots(out) = v
+      }
+      case StringType => new PrimitiveConverter {
+        override def addBinary(v: Binary): Unit =
+          slots(out) = UTF8String.fromBytes(v.getBytes)
+      }
+      case BinaryType => new PrimitiveConverter {
+        override def addBinary(v: Binary): Unit = slots(out) = v.getBytes
+      }
+      case d: DecimalType => prim match {
+        case INT32 => new PrimitiveConverter {
+          override def addInt(v: Int): Unit = slots(out) =
+            org.apache.spark.sql.types.Decimal(v.toLong, d.precision, d.scale)
+        }
+        case INT64 => new PrimitiveConverter {
+          override def addLong(v: Long): Unit = slots(out) =
+            org.apache.spark.sql.types.Decimal(v, d.precision, d.scale)
+        }
+        case BINARY | FIXED_LEN_BYTE_ARRAY => new PrimitiveConverter {
+          override def addBinary(v: Binary): Unit = slots(out) =
+            org.apache.spark.sql.types.Decimal(
+              scala.math.BigDecimal(new java.math.BigDecimal(
+                new java.math.BigInteger(v.getBytes), d.scale)),
+              d.precision, d.scale)
+        }
+        case other => throw new UnsupportedOperationException(
+          s"decimal stored as $other is outside the contract ($where)")
+      }
+      case other => throw new UnsupportedOperationException(
+        s"flat scalar columns only; ${other.simpleString} " +
+          s"in $where is outside the contract")
+    }
+  }
+
+  override def prepareForRead(
+      conf: org.apache.hadoop.conf.Configuration,
+      keyValueMetaData: java.util.Map[String, String],
+      fileSchema: MessageType,
+      readContext: ReadSupport.ReadContext): RecordMaterializer[Array[Any]] = {
+    val requested = readContext.getRequestedSchema
+    val outIdx = physNames.zipWithIndex.toMap
+    val slots = new Array[Any](rowWidth)
+    val converters: Array[Converter] =
+      (0 until requested.getFieldCount).map { i =>
+        val f = requested.getType(i)
+        val out = outIdx(f.getName)
+        slotConverter(f.asPrimitiveType().getPrimitiveTypeName,
+          dataTypes(out), slots, out)
+      }.toArray
+    new RecordMaterializer[Array[Any]] {
+      private val root = new GroupConverter {
+        override def getConverter(fieldIndex: Int): Converter =
+          converters(fieldIndex)
+        override def start(): Unit = {
+          var i = 0
+          while (i < slots.length) { slots(i) = null; i += 1 }
+        }
+        override def end(): Unit = ()
+      }
+      override def getCurrentRecord: Array[Any] =
+        java.util.Arrays.copyOf(
+          slots.asInstanceOf[Array[AnyRef]], rowWidth).asInstanceOf[Array[Any]]
+      override def getRootConverter: GroupConverter = root
+    }
+  }
 }
 
 /** Parquet-mr Group → Catalyst INTERNAL values, shared by the change
