@@ -86,22 +86,29 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(minPer)},""" +
         s""""runs":$runsJson,"gc_ms_max":$gcJson,"n_runs":$nRuns,""" +
         s""""load_avg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
-    println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
-    // The full line above exceeds any sane stdout tail window (150+
-    // queries x 3 rounds), so a consumer keeping only the LAST ~2000
-    // chars sees a mid-line fragment and parses nothing. Emit a
-    // compact self-contained summary as the FINAL line: same
-    // metric/value contract, per-query detail delegated to the
-    // artifact file and the slowest-5 inline.
-    val slowest = names.filter(minPer(_) >= 0).sortBy(-minPer(_)).take(5)
-      .map(n => s"\"" + n + "\":" + minPer(n)).mkString("{", ",", "}")
+    // ONE stdout JSON line, sized to survive a consumer's stdout tail
+    // window: the r12/r13 layout printed the full-detail line (190
+    // queries x 3 rounds of per-query times, ~40 KB) to stdout, any
+    // tail-window consumer saw a mid-line fragment, and the trailing
+    // compact summary carried no per-query map — so per-query results
+    // were invisible two rounds running. Now the full-detail JSON
+    // (runs, gc_ms_max, full precision) goes ONLY to the artifact
+    // file, and stdout's final line is the driver contract —
+    // metric/value/queries/sf — with the min-per-query map at
+    // millisecond precision (~5 KB for 190 entries). Timed region and
+    // min-across-rounds methodology unchanged.
+    def ms(v: Double): String =
+      if (v < 0) "-1.0" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qCompact = names.map(n => s"\"" + n + "\":" + ms(minPer(n)))
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},""" +
-        s""""n_runs":$nRuns,"load_avg":[$loadStart,$loadEnd],"sf":"$sfDir",""" +
-        s""""slowest":$slowest,"per_query_in":"$outPath"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qCompact,""" +
+        s""""n_queries":${names.size},"n_runs":$nRuns,""" +
+        s""""load_avg":[$loadStart,$loadEnd],"sf":"$sfDir",""" +
+        s""""per_query_in":"$outPath"}""")
     spark.stop()
   }
 }
