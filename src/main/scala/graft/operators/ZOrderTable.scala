@@ -594,6 +594,27 @@ object ZOrderTable {
     }
   }
 
+  /** Codegen-friendly count of sorted `cuts` elements ≤ v — a nested
+    * CASE binary search of depth ⌈log₂ n⌉ instead of `size∘filter`
+    * over an array literal: the higher-order function evaluates an
+    * INTERPRETED lambda per array element per row (guide §4 — the
+    * publish/append write job paid 2.1 s per 150K-row pass at 255
+    * cuts where the binary search pays 0.37 s; `ZmapProbe`, value
+    * mismatches 0 on the real dims). Value-identical by construction:
+    * the insertion point of an upper-bound binary search over a
+    * sorted (duplicates allowed) array IS the ≤-count; a NULL or NaN
+    * value fails every `v >= cut` comparison and falls through to
+    * the low edge — 0, exactly what the filter-size path produced. */
+  private def upperBoundCount(v: Column, cuts: Array[Column]): Column = {
+    def f(lo: Int, hi: Int): Column =
+      if (lo >= hi) lit(lo.toLong)
+      else {
+        val mid = (lo + hi) / 2
+        when(v >= cuts(mid), f(mid + 1, hi)).otherwise(f(lo, mid))
+      }
+    f(0, cuts.length)
+  }
+
   /** The 16-bit grid code of a raw value under a stored mapping:
     * count of cut points ≤ value, scaled to the grid; nulls → 0. */
   private def codeExpr(raw: Column,
@@ -603,10 +624,10 @@ object ZOrderTable {
     require(kind == zm.kind,
       s"stored zmap kind ${zm.kind} does not match the column's $kind — " +
         "the dimension's type changed incompatibly since publish")
-    val cutsArr: Column =
-      if (zm.kind == "i") typedlit(zm.cuts.map(_.toLong).toSeq)
-      else typedlit(zm.cuts.map(_.toDouble).toSeq)
-    val idx = size(filter(cutsArr, b => b <= v)).cast("long")
+    val cutCols: Array[Column] =
+      if (zm.kind == "i") zm.cuts.map(c => lit(c.toLong))
+      else zm.cuts.map(c => lit(c.toDouble))
+    val idx = upperBoundCount(v, cutCols)
     coalesce(idx * lit((65536 / zm.buckets).toLong), lit(0L))
   }
 
@@ -661,14 +682,19 @@ object ZOrderTable {
     val bands = math.max(CutBandsFloor, scala.util.Try(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
       .getOrElse(CutBandsFloor))
-    val bounds = scala.util.Try(hist.stat.approxQuantile("v",
+    val bounds = graft.Prof(s"cuts.bounds $dim")(scala.util.Try(
+      hist.stat.approxQuantile("v",
         (1 until bands).map(_.toDouble / bands).toArray, 0.01))
-      .getOrElse(Array.empty[Double]).distinct.sorted
-    val bArr = typedlit(bounds.toSeq)
+      .getOrElse(Array.empty[Double]).distinct.sorted)
+    // band assignment by the same codegen binary search as codeExpr —
+    // the histogram is row-count-sized on continuous dimensions, so an
+    // interpreted per-element lambda here is the same §4 tax
     val banded = hist.withColumn("band",
-      size(filter(bArr, b => b <= col("v").cast("double"))))
-    val totalMap = banded.groupBy(col("band")).agg(sum(col("c")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      upperBoundCount(col("v").cast("double"),
+        bounds.map(b => lit(b))).cast("int"))
+    val totalMap = graft.Prof(s"cuts.bandTotals $dim")(
+      banded.groupBy(col("band")).agg(sum(col("c")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
     val offsets = new Array[Long](bounds.length + 1)
     var acc = 0L
     var i = 0
@@ -702,11 +728,39 @@ object ZOrderTable {
   private def deriveCuts(df: DataFrame, dim: String, buckets: Int): ZMap = {
     val (frame, kind, hist) = cutsFrameHist(df, dim, buckets)
     val cuts =
-      try frame.orderBy(col("d")).select("cut").collect()
-        .map(_.get(0).toString)
+      try graft.Prof(s"cuts.collect $dim")(
+        frame.orderBy(col("d")).select("cut").collect()
+          .map(_.get(0).toString))
       finally hist.unpersist()
     ZMap(kind, buckets, cuts)
   }
+
+  /** [[deriveCuts]] for every dimension, the independent derivations
+    * submitted CONCURRENTLY from a small driver pool (guide §2.6 —
+    * each dimension's derivation is 2-3 tiny jobs whose wall time is
+    * scheduling overhead, so running dims back to back serializes
+    * idle time; the scheduler back-fills the executors across them).
+    * Results are identical per dimension — the derivations share
+    * nothing but the read-only input frame. */
+  private def deriveCutsAll(df: DataFrame, rawDims: Seq[String],
+                            buckets: Int): Map[String, ZMap] =
+    if (rawDims.size <= 1)
+      rawDims.map(d => d -> deriveCuts(df, d, buckets)).toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(rawDims.size)
+      try rawDims.map(d => d -> pool.submit(
+          new java.util.concurrent.Callable[ZMap] {
+            override def call(): ZMap = deriveCuts(df, d, buckets)
+          })).map { case (d, f) =>
+            // surface the derivation's OWN exception (e.g. the string-
+            // dim refusal), not the pool's ExecutionException wrapper
+            d -> (try f.get() catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            })
+          }.toMap
+      finally pool.shutdown()
+    }
 
   private def parseZMap(s: String): ZMap = {
     val Array(kind, k, cuts) = s.split(":", 3)
@@ -732,7 +786,7 @@ object ZOrderTable {
       s"buckets must divide the 16-bit grid (got $buckets)")
     rawDims.foreach(d => require(df.columns.contains(d),
       s"missing mapped dimension column $d"))
-    val maps = rawDims.map(d => d -> deriveCuts(df, d, buckets)).toMap
+    val maps = deriveCutsAll(df, rawDims, buckets)
     val withCodes = rawDims.foldLeft(df)((acc, d) =>
       acc.withColumn(MapPrefix + d,
         codeExpr(col(d), df.schema(d).dataType, maps(d))))
@@ -799,7 +853,7 @@ object ZOrderTable {
       s"$dir is not a quantile-mapped z-table (dims ${l.dims})")
     val rawDims = l.dims.map(_.stripPrefix(MapPrefix))
     val raw = read(spark, dir) // current content, mapped columns dropped
-    val maps = rawDims.map(d => d -> deriveCuts(raw, d, buckets)).toMap
+    val maps = deriveCutsAll(raw, rawDims, buckets)
     val withCodes = rawDims.foldLeft(raw)((acc, d) =>
       acc.withColumn(MapPrefix + d,
         codeExpr(col(d), raw.schema(d).dataType, maps(d))))

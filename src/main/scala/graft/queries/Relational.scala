@@ -2289,9 +2289,16 @@ object Relational {
       "/graft_zmap_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     Snapshots.dropPath(spark, base)
     val srcT = s"$base/src"
+    // ONE materialization of the input across its four consumers (two
+    // per-dimension cut histograms, the publish write, the append's
+    // filtered input — guide §5): without it each job replays the
+    // parquet read. Intra-query, released in the finally below.
     val src = Tables.orders(spark, dir)
-    Z.publishMapped(src, srcT, Seq("o_orderdate", "o_totalprice"),
-      shift = 26, buckets = 256)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    graft.Prof("q189.publishMapped")(
+      Z.publishMapped(src, srcT, Seq("o_orderdate", "o_totalprice"),
+        shift = 26, buckets = 256))
     val v1 = Snapshots.latest(spark, srcT).get
     // the box: [1998-01-01, 2000-01-01) × [50000, 150000) — raw preds
     // (this generator's order dates span 1995..2001)
@@ -2305,23 +2312,52 @@ object Relational {
           coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    val (b1c, b1x, b1s) = fold(Z.boxBy(spark, srcT, v1, preds))
     val survived = Snapshots.prunedFilesBox(spark, srcT, v1, preds).size.toLong
     val total = Snapshots.files(spark, srcT, v1).size.toLong
     // append shifted keys with +3653-day dates — OUT of every stored
     // cut: they clamp to the edge cell and never enter the box
-    Z.appendMapped(src.filter(col("o_orderkey") % 10 === 1)
-      .withColumn("o_orderkey", col("o_orderkey") + 2147483648L)
-      .withColumn("o_orderdate",
-        col("o_orderdate") + expr("INTERVAL 3653 DAYS")), srcT)
+    graft.Prof("q189.appendMapped")(
+      Z.appendMapped(src.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 2147483648L)
+        .withColumn("o_orderdate",
+          col("o_orderdate") + expr("INTERVAL 3653 DAYS")), srcT))
     val v2 = Snapshots.latest(spark, srcT).get
-    val (b2c, b2x, b2s) = fold(Z.boxBy(spark, srcT, v2, preds))
-    val (r1c, r1x, r1s) = fold(Z.readAt(spark, srcT, v1))
-    val (r2c, r2x, r2s) = fold(Z.readAt(spark, srcT, v2))
-    // clamp check: every appended row's date code is the edge cell
-    val clampCodes = Snapshots.read(spark, srcT)
-      .filter(col("o_orderkey") > 2147483648L)
-      .select("__gzm_o_orderdate").distinct().as[Long].collect().toSeq
+    // All four verification folds are VERSION-PINNED reads (v1's box
+    // and full read are unchanged by the append — manifests are
+    // immutable), so they run CONCURRENTLY from a small driver pool
+    // (guide §2.6): four sub-second jobs back to back serialize idle
+    // executors; overlapped, the wall is the slowest fold. The v2
+    // full-read fold carries the clamp check in the SAME pass (guide
+    // §1.2 — it was a separate full-table job; the grid column rides
+    // along in the scan, the fold's hash only references the orders
+    // columns so values are unchanged).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    def submit[T](f: => T): java.util.concurrent.Future[T] =
+      pool.submit(new java.util.concurrent.Callable[T] {
+        override def call(): T = f
+      })
+    val (b1f, b2f, r1f, r2f) =
+      try {
+        val b1 = submit(graft.Prof("q189.fold(box v1)")(
+          fold(Z.boxBy(spark, srcT, v1, preds))))
+        val b2 = submit(graft.Prof("q189.fold(box v2)")(
+          fold(Z.boxBy(spark, srcT, v2, preds))))
+        val r1 = submit(graft.Prof("q189.fold(read v1)")(
+          fold(Z.readAt(spark, srcT, v1))))
+        val r2 = submit(graft.Prof("q189.fold(read v2 + clamp)")(
+          Snapshots.readAt(spark, srcT, v2)
+            .withColumn("h", ordersRowHash)
+            .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+              coalesce(sum(col("h") % 1000000000000L), lit(0L)),
+              sort_array(collect_set(when(col("o_orderkey") > 2147483648L,
+                col("__gzm_o_orderdate"))))).collect()(0)))
+        (b1.get(), b2.get(), r1.get(), r2.get())
+      } finally pool.shutdown()
+    val (b1c, b1x, b1s) = b1f
+    val (b2c, b2x, b2s) = b2f
+    val (r1c, r1x, r1s) = r1f
+    val (r2c, r2x, r2s) = (r2f.getLong(0), r2f.getLong(1), r2f.getLong(2))
+    val clampCodes = r2f.getSeq[Long](3)
     val props = Snapshots.propsAt(spark, srcT, v2)
     Seq(
       ("box", "v0001", b1c, b1x, b1s),
@@ -2336,6 +2372,7 @@ object Relational {
         if (clampCodes == Seq(65280L)) 1L else 0L, 1L))
       .toDF("section", "label", "m1", "m2", "m3")
       .orderBy(col("section"), col("label"))
+    } finally src.unpersist(false)
   }
 
   /** One extensions-bearing session per warehouse for [[q190]] —
