@@ -324,6 +324,26 @@ object MergeInto {
   }
 
   private def general(spark: SparkSession, dir: String, prev: Long,
+      targetOutput: Seq[Attribute], sourceDf0: DataFrame, cond: Column,
+      matched: Seq[Act], notMatched: Seq[Act], nmbs: Seq[Act]): Long = {
+    // MATERIALIZE the source once (guide §5 — the mergeImpl
+    // discipline): the general path consumes it through up to four
+    // independent actions (the per-file fire/dup aggregate, the
+    // not-matched-by-source file scan, the touched-file rewrite, the
+    // insert anti-join), each otherwise replaying its full upstream
+    // plan. MERGE sources are churn-sized; caller-persisted frames
+    // are left alone and the persist releases in the finally.
+    import org.apache.spark.storage.StorageLevel
+    val srcOwned = sourceDf0.storageLevel == StorageLevel.NONE
+    val sourceDf =
+      if (srcOwned) sourceDf0.persist(StorageLevel.MEMORY_AND_DISK)
+      else sourceDf0
+    try generalBody(spark, dir, prev, targetOutput, sourceDf, cond,
+      matched, notMatched, nmbs)
+    finally { if (srcOwned) sourceDf.unpersist(false) }
+  }
+
+  private def generalBody(spark: SparkSession, dir: String, prev: Long,
       targetOutput: Seq[Attribute], sourceDf: DataFrame, cond: Column,
       matched: Seq[Act], notMatched: Seq[Act], nmbs: Seq[Act]): Long = {
     val pm = Snapshots.manifest(spark, dir, prev)
@@ -346,23 +366,57 @@ object MergeInto {
 
     // job 1 — the matched pairs, reduced to ONE row per file on the
     // driver: duplicate-match counts (the SQL cardinality rule) and
-    // whether any matched action fires in that file
+    // whether any matched action fires in that file. With
+    // NOT-MATCHED-BY-SOURCE clauses present the SAME pass also finds
+    // their touched files (guide §1.2/§2.4 — this was a second full
+    // target scan through a left_anti join): the join turns
+    // left_outer, a null source marker IS the no-match bit, and
+    // unmatched rows group under a NULL position per file so the
+    // map-side partial aggregation collapses them before the
+    // exchange (the shuffle carries matched pairs + ~one row per
+    // (file, partition), never the full table).
     val fireMatched = matched.map(a =>
         a.cond.map(FunctionInjection.columnOf).getOrElse(lit(true)))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val perFile =
-      if (matched.isEmpty) Array.empty[(String, Long, Boolean)]
-      else t.join(sourceDf, cond, "inner")
-        .select(col(Snapshots.FileCol), col(Snapshots.PosCol),
-          coalesce(fireMatched, lit(false)).as("__gmerge_fire"))
-        .groupBy(Snapshots.FileCol, Snapshots.PosCol)
-        .agg(count(lit(1)).as("__gmerge_n"),
-          max(col("__gmerge_fire").cast("int")).as("__gmerge_f"))
-        .groupBy(Snapshots.FileCol)
-        .agg(sum((col("__gmerge_n") > 1).cast("int")).as("__gmerge_dups"),
-          max(col("__gmerge_f")).as("__gmerge_fire"))
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getInt(2) == 1))
+    val fireNmbs = nmbs.map(a =>
+        a.cond.map(FunctionInjection.columnOf).getOrElse(lit(true)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val (perFile, fNmbsJoint) =
+      if (matched.isEmpty) (Array.empty[(String, Long, Boolean)], None)
+      else if (nmbs.isEmpty)
+        (t.join(sourceDf, cond, "inner")
+          .select(col(Snapshots.FileCol), col(Snapshots.PosCol),
+            coalesce(fireMatched, lit(false)).as("__gmerge_fire"))
+          .groupBy(Snapshots.FileCol, Snapshots.PosCol)
+          .agg(count(lit(1)).as("__gmerge_n"),
+            max(col("__gmerge_fire").cast("int")).as("__gmerge_f"))
+          .groupBy(Snapshots.FileCol)
+          .agg(sum((col("__gmerge_n") > 1).cast("int")).as("__gmerge_dups"),
+            max(col("__gmerge_f")).as("__gmerge_fire"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2) == 1)), None)
+      else {
+        val isM = col(SMark).isNotNull
+        val rows = t.join(sourceDf.withColumn(SMark, lit(1)), cond,
+            "left_outer")
+          .select(col(Snapshots.FileCol),
+            when(isM, col(Snapshots.PosCol)).as("__gmerge_pos"),
+            (isM && coalesce(fireMatched, lit(false)))
+              .cast("int").as("__gmerge_fire"),
+            (!isM && coalesce(fireNmbs, lit(false)))
+              .cast("int").as("__gmerge_fn"))
+          .groupBy(col(Snapshots.FileCol), col("__gmerge_pos"))
+          .agg(count(col("__gmerge_pos")).as("__gmerge_n"),
+            max(col("__gmerge_fire")).as("__gmerge_f"),
+            max(col("__gmerge_fn")).as("__gmerge_fnx"))
+          .groupBy(Snapshots.FileCol)
+          .agg(sum((col("__gmerge_n") > 1).cast("int")).as("__gmerge_dups"),
+            max(col("__gmerge_f")).as("__gmerge_fire"),
+            max(col("__gmerge_fnx")).as("__gmerge_fn"))
+          .collect()
+        (rows.map(r => (r.getString(0), r.getLong(1), r.getInt(2) == 1)),
+          Some(rows.filter(_.getInt(3) == 1).map(_.getString(0))))
+      }
     val dupRows = perFile.map(_._2).sum
     if (dupRows > 0)
       throw new IllegalArgumentException(
@@ -372,11 +426,8 @@ object MergeInto {
     val fMatched = perFile.filter(_._3).map(_._1)
     val fNmbs =
       if (nmbs.isEmpty) Array.empty[String]
-      else {
-        val fireN = nmbs.map(a =>
-            a.cond.map(FunctionInjection.columnOf).getOrElse(lit(true)))
-          .reduce(_ || _)
-        t.join(sourceDf, cond, "left_anti").filter(fireN)
+      else fNmbsJoint.getOrElse {
+        t.join(sourceDf, cond, "left_anti").filter(fireNmbs)
           .select(Snapshots.FileCol).distinct().collect().map(_.getString(0))
       }
     val touchedSet = (fMatched ++ fNmbs).toSet

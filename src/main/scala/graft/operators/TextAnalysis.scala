@@ -946,29 +946,106 @@ object TextAnalysis {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(gramLen >= 1, s"gramLen must be >= 1, got $gramLen")
-    val fx = df.select(col(idCol).as("id"), col(labelCol).as("lang"),
+    val fx = graft.Prof("langid.checkpoint")(
+      df.select(col(idCol).as("id"), col(labelCol).as("lang"),
         ArrayOps.bincount(
           ArrayOps.charGramBuckets(lower(col(textCol)), gramLen, buckets.toLong),
           buckets, bias = true).as("x"))
-      .localCheckpoint()
-    val classes = fx.select(col("lang")).filter(col("lang").isNotNull)
-      .distinct().collect().map(_.getString(0)).sorted
+      .localCheckpoint())
+    // Below a feature-matrix size threshold the training replay runs
+    // ON THE DRIVER over one collect of the checkpointed features
+    // (guide §1.2/§5 — the Dorling.run small-n discipline): each
+    // distributed round is ONE tiny aggregate job whose wall is
+    // scheduling overhead (~0.8 s/round measured at 2.5K docs × 65
+    // buckets while the arithmetic itself is microseconds), so an
+    // iters-round loop pays iters job round-trips for nothing. The
+    // integer update rule is replayed bit-identically (long sums
+    // commute exactly); the margin matrix and argmax still compute
+    // distributed from the same checkpoint. Above the threshold —
+    // feature matrices that no longer comfortably fit one driver —
+    // the one-aggregate-per-round distributed loop below is the path.
+    val driverCells = 4L << 20
+    val nRows = fx.count()
+    val (classes, ws) =
+      if (nRows * (buckets + 1) <= driverCells)
+        driverTrain(fx, buckets, iters)
+      else distributedTrain(fx, buckets, iters)
+    val margins = fx.select(col("id") +:
+      classes.map(c => ArrayOps.vecDotLong(col("x"), ws(c)).as(s"m_$c")): _*)
+    val stacked = margins.select(col("id"), explode(array(classes.map(c =>
+      struct(lit(c).as("cls"), col(s"m_$c").as("margin"))): _*)).as("e"))
+      .select(col("id"), col("e.cls").as("cls"), col("e.margin").as("margin"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("margin").desc, col("cls"))
+    stacked.withColumn("is_pred", (row_number().over(w) === 1).cast("int"))
+  }
+
+  /** The small-n training replay ON THE DRIVER (guide §1.2/§5 — the
+    * Dorling.run discipline): one collect of the checkpointed
+    * features, then the exact integer update rule per round — long
+    * sums commute, so weights are bit-identical to the distributed
+    * aggregate's. Rounds cost microseconds where each distributed
+    * round is a full job round-trip (~0.8 s measured at 2.5K docs ×
+    * 65 buckets). */
+  private def driverTrain(fx: DataFrame, buckets: Int, iters: Int)
+      : (Seq[String], collection.Map[String, Array[Long]]) = {
+    val data = graft.Prof("langid.collect")(
+      fx.select(col("lang"), col("x")).collect().map(r =>
+        (if (r.isNullAt(0)) null else r.getString(0),
+          r.getSeq[Long](1).toArray)))
+    val cls = data.map(_._1).filter(_ != null).distinct.sorted.toSeq
+    require(cls.nonEmpty, "langIdPerceptron: no non-null labels")
+    val ws = scala.collection.mutable.Map(
+      cls.map(c => c -> Array.fill(buckets + 1)(0L)): _*)
+    graft.Prof("langid.driverTrain")(for (_ <- 1 to iters) {
+      val upd = cls.map(c => c -> new Array[Long](buckets + 1)).toMap
+      data.foreach { case (lang, x) =>
+        cls.foreach { c =>
+          // y = when(lang === c, 1).otherwise(-1): a NULL label is -1
+          val y = if (lang != null && lang == c) 1L else -1L
+          val wc = ws(c)
+          var dot = 0L
+          var i = 0
+          val n = math.min(x.length, wc.length)
+          while (i < n) { dot += x(i) * wc(i); i += 1 }
+          if (y * dot <= 0L) {
+            val u = upd(c)
+            var j = 0
+            val m = math.min(x.length, u.length)
+            while (j < m) { u(j) += y * x(j); j += 1 }
+          }
+        }
+      }
+      cls.foreach { c =>
+        val wc = ws(c)
+        val u = upd(c)
+        var i = 0
+        while (i < wc.length) { wc(i) += u(i); i += 1 }
+      }
+    })
+    (cls, ws)
+  }
+
+  /** The distributed training loop — one aggregate job per round:
+    * every class's flagged update sums ride the same map-side
+    * partials (C·(buckets+1) columns, one pass). The per-class
+    * margin dot is HOISTED into a projection first — each class's
+    * (buckets+1)-term dot is evaluated ONCE per row, and the
+    * C·(buckets+1) sums reference a boolean flag column instead of
+    * each carrying its own copy of the dot (pre-hoist the expression
+    * tree held C·(buckets+1) dots and q158 ran ~7× slower than its
+    * C=1 twin q87). */
+  private def distributedTrain(fx: DataFrame, buckets: Int, iters: Int)
+      : (Seq[String], collection.Map[String, Array[Long]]) = {
+    val classes = graft.Prof("langid.classes")(
+      fx.select(col("lang")).filter(col("lang").isNotNull)
+        .distinct().collect().map(_.getString(0)).sorted.toSeq)
     require(classes.nonEmpty, "langIdPerceptron: no non-null labels")
     val ws = scala.collection.mutable.Map(
       classes.map(c => c -> Array.fill(buckets + 1)(0L)): _*)
     def yOf(c: String): Column =
       when(col("lang") === c, 1L).otherwise(-1L)
     for (_ <- 1 to iters) {
-      // one aggregate: every class's flagged update sums ride the
-      // same map-side partials (C·(buckets+1) columns, one pass).
-      // The per-class margin dot is HOISTED into a projection first
-      // — each class's (buckets+1)-term dot is evaluated ONCE per
-      // row, and the C·(buckets+1) sums reference a boolean flag
-      // column instead of each carrying its own copy of the dot
-      // (pre-hoist the expression tree held C·(buckets+1) dots and
-      // q158 ran ~7× slower than its C=1 twin q87; whether codegen's
-      // subexpression elimination recovered it was never proven —
-      // now the cost shape is explicit and the codegen unit small)
       val flaggedRows = fx.select(col("x") +: classes.flatMap { c =>
         Seq(yOf(c).as(s"y_$c"),
           (yOf(c) * ArrayOps.vecDotLong(col("x"), ws(c)) <= 0).as(s"f_$c"))
@@ -978,21 +1055,15 @@ object TextAnalysis {
           sum(when(col(s"f_$c"), col(s"y_$c") * element_at(col("x"), i + 1))
             .otherwise(0L)).as(s"u_${c}_$i"))
       }
-      val upd = flaggedRows.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+      val upd = graft.Prof("langid.iter")(
+        flaggedRows.agg(aggCols.head, aggCols.tail: _*).collect()(0))
       classes.zipWithIndex.foreach { case (c, ci) =>
         val base = ci * (buckets + 1)
         ws(c) = Array.tabulate(buckets + 1)(i =>
           ws(c)(i) + (if (upd.isNullAt(base + i)) 0L else upd.getLong(base + i)))
       }
     }
-    val margins = fx.select(col("id") +:
-      classes.map(c => ArrayOps.vecDotLong(col("x"), ws(c)).as(s"m_$c")): _*)
-    val stacked = margins.select(col("id"), explode(array(classes.map(c =>
-      struct(lit(c).as("cls"), col(s"m_$c").as("margin"))): _*)).as("e"))
-      .select(col("id"), col("e.cls").as("cls"), col("e.margin").as("margin"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("margin").desc, col("cls"))
-    stacked.withColumn("is_pred", (row_number().over(w) === 1).cast("int"))
+    (classes, ws)
   }
 
   /** AUC of an integer classifier score via the Mann–Whitney rank

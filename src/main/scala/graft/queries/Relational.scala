@@ -849,13 +849,23 @@ object Relational {
     val v4 = Snapshots.merge(updates, out, "bucket",
       Seq("o_orderkey"), Seq("o_orderkey"))
     val pairs = Seq((v1, v2, "p12"), (v2, v3, "p23"), (v3, v4, "p34"))
+    // ONE grouped fold per pair instead of two filter+agg jobs (the
+    // q172 discipline, guide §1.2): each diff frame — two exceptAll
+    // shuffles over the non-shared files — now computes ONCE per
+    // pair; absent kinds restate the empty fold's zeros. Values
+    // identical (same hash, same partitions of the same rows).
     val rows = pairs.flatMap { case (a, b, lbl) =>
-      val d = Snapshots.diff(spark, out, a, b).withColumn("h", ordersRowHash)
+      val grouped = Snapshots.diff(spark, out, a, b)
+        .withColumn("h", ordersRowHash)
+        .groupBy(col("_change"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+          coalesce(sum(col("h") % 1000000000000L), lit(0L)))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       Seq("insert", "delete").map { kind =>
-        val r = d.filter(col("_change") === kind)
-          .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
-            coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
-        (lbl, kind, r.getLong(0), r.getLong(1), r.getLong(2))
+        val (c, x, s) = grouped.getOrElse(kind, (0L, 0L, 0L))
+        (lbl, kind, c, x, s)
       }
     }
     rows.toDF("pair", "kind", "m1", "m2", "m3")
@@ -1240,8 +1250,21 @@ object Relational {
           coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    val (s1, s2, s3) = fold(Snapshots.read(spark, srcT))
-    val (r1, r2, r3) = fold(Snapshots.read(spark, repT))
+    // the two final folds are independent reads of different tables —
+    // overlap them (guide §2.6, the q189 shape)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def submit[T](f: => T): java.util.concurrent.Future[T] =
+      pool.submit(new java.util.concurrent.Callable[T] {
+        override def call(): T = f
+      })
+    val (sF, rF) =
+      try {
+        val a = submit(fold(Snapshots.read(spark, srcT)))
+        val b = submit(fold(Snapshots.read(spark, repT)))
+        (a.get(), b.get())
+      } finally pool.shutdown()
+    val (s1, s2, s3) = sF
+    val (r1, r2, r3) = rF
     val ledger = Snapshots.appliedBatches(spark, repT)
     Seq(
       ("source", "final", s1, s2, s3),
@@ -1409,14 +1432,31 @@ object Relational {
           coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
+    // the four verification folds are independent version-pinned
+    // reads — run them CONCURRENTLY (guide §2.6, the q189 shape);
+    // the 'source final' and 'travel v1' rows RESTATE the v3/v1 folds
+    // (read == readAt(latest); the fold is deterministic) instead of
+    // recomputing them as two more full-table jobs (guide §1.2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    def submit[T](f: => T): java.util.concurrent.Future[T] =
+      pool.submit(new java.util.concurrent.Callable[T] {
+        override def call(): T = f
+      })
+    val (readFolds, repFold) =
+      try {
+        val fs = (1L to 3L).map(v =>
+          submit(fold(Snapshots.readAt(spark, srcT, v))))
+        val rep = submit(fold(Snapshots.read(spark, repT)))
+        (fs.map(_.get()), rep.get())
+      } finally pool.shutdown()
     val reads = (1L to 3L).map { v =>
-      val (c, x, s) = fold(Snapshots.readAt(spark, srcT, v))
+      val (c, x, s) = readFolds((v - 1).toInt)
       ("read", f"v$v%04d", c, x, s)
     }
-    val (s1, s2, s3) = fold(Snapshots.read(spark, srcT))
-    val (r1, r2, r3) = fold(Snapshots.read(spark, repT))
+    val (s1, s2, s3) = readFolds(2) // head == v3: same fold, restated
+    val (r1, r2, r3) = repFold
     // time travel: v1 still reads every later-deleted row
-    val (t1, t2, t3) = fold(Snapshots.readAt(spark, srcT, 1L))
+    val (t1, t2, t3) = readFolds(0)
     val ledger = Snapshots.appliedBatches(spark, repT)
     // vacuum past both deletes: the rewritten buckets' old files go;
     // the head must fold identically afterwards
@@ -1935,28 +1975,40 @@ object Relational {
         statsCols = Seq("k"), ndvCols = Seq("k"))
       out
     }
-    val ordC = pub("ord_c", Tables.orders(spark, dir).select(
+    // the six fixture publishes write DIFFERENT tables from different
+    // projections — independent jobs, submitted CONCURRENTLY from a
+    // driver pool (guide §2.6) so each write's tail back-fills the
+    // executors instead of serializing six small commits
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    def submit[T](f: => T): java.util.concurrent.Future[T] =
+      pool.submit(new java.util.concurrent.Callable[T] {
+        override def call(): T = f
+      })
+    val ordCF = submit(pub("ord_c", Tables.orders(spark, dir).select(
       col("o_custkey").as("k"), col("o_orderkey"), col("o_totalprice"),
-      (col("o_custkey") % 16).as("bucket")))
-    val cust = pub("cust", Tables.customer(spark, dir).select(
+      (col("o_custkey") % 16).as("bucket"))))
+    val custF = submit(pub("cust", Tables.customer(spark, dir).select(
       col("c_custkey").as("k"), col("c_acctbal"),
-      (col("c_custkey") % 16).as("bucket")))
-    val ordK = pub("ord_k", Tables.orders(spark, dir).select(
+      (col("c_custkey") % 16).as("bucket"))))
+    val ordKF = submit(pub("ord_k", Tables.orders(spark, dir).select(
       col("o_orderkey").as("k"), col("o_totalprice"),
-      expr("o_orderkey div 8192").as("bucket")))
-    val line = pub("line", Tables.lineitem(spark, dir).select(
+      expr("o_orderkey div 8192").as("bucket"))))
+    val lineF = submit(pub("line", Tables.lineitem(spark, dir).select(
       col("l_orderkey").as("k"), col("l_linenumber"),
-      expr("l_orderkey div 8192").as("bucket")))
-    val hotO = pub("hot_o", Tables.orders(spark, dir).select(
+      expr("l_orderkey div 8192").as("bucket"))))
+    val hotOF = submit(pub("hot_o", Tables.orders(spark, dir).select(
       (col("o_custkey") % 50).as("k"), col("o_orderkey"),
-      (col("o_custkey") % 8).as("bucket")))
+      (col("o_custkey") % 8).as("bucket"))))
     // one dim row per hot key: the join output stays linear in the
     // fact (the salted REGIME needs the fact side's multiplicity, not
     // a quadratic blowup — bench runs this at sf0.1)
-    val hotC = pub("hot_c", Tables.customer(spark, dir)
+    val hotCF = submit(pub("hot_c", Tables.customer(spark, dir)
       .filter(col("c_custkey") <= 50).select(
         (col("c_custkey") % 50).as("k"), col("c_custkey"),
-        (col("c_custkey") % 8).as("bucket")))
+        (col("c_custkey") % 8).as("bucket"))))
+    val (ordC, cust, ordK, line, hotO, hotC) =
+      (ordCF.get(), custF.get(), ordKF.get(), lineF.get(), hotOF.get(),
+        hotCF.get())
     val dBc = JP.plan(spark, ordC, cust, "k")
     val dSh = JP.plan(spark, ordK, line, "k", broadcastBytes = 0)
     val dSa = JP.plan(spark, hotO, hotC, "k", broadcastBytes = 0)
@@ -1969,21 +2021,25 @@ object Relational {
           coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    val (b1, b2, b3) = fold(
+    // the three executed joins are independent — overlap them (§2.6)
+    val bJ = submit(fold(
       JP.execute(side(ordC, dBc.left.version), side(cust, dBc.right.version),
         "k", dBc),
       concat_ws("|", col("k"), col("o_orderkey"),
         (dec2(col("o_totalprice")) * 100).cast("long"),
-        (dec2(col("c_acctbal")) * 100).cast("long")))
-    val (s1, s2, s3) = fold(
+        (dec2(col("c_acctbal")) * 100).cast("long"))))
+    val sJ = submit(fold(
       JP.execute(side(ordK, dSh.left.version), side(line, dSh.right.version),
         "k", dSh),
       concat_ws("|", col("k"), col("l_linenumber"),
-        (dec2(col("o_totalprice")) * 100).cast("long")))
-    val (a1, a2, a3) = fold(
+        (dec2(col("o_totalprice")) * 100).cast("long"))))
+    val aJ = submit(fold(
       JP.execute(side(hotO, dSa.left.version), side(hotC, dSa.right.version),
         "k", dSa),
-      concat_ws("|", col("k"), col("o_orderkey"), col("c_custkey")))
+      concat_ws("|", col("k"), col("o_orderkey"), col("c_custkey"))))
+    val ((b1, b2, b3), (s1, s2, s3), (a1, a2, a3)) =
+      try (bJ.get(), sJ.get(), aJ.get())
+      finally pool.shutdown()
     // the KMV cardinality estimate vs the exact join count, as a band
     // flag (deterministic: fixed hashes, fixed manifests)
     val est = JP.estimateJoinRows(spark, ordK, line, "k").get
@@ -2187,13 +2243,27 @@ object Relational {
           coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
+    // four independent version-pinned folds, run CONCURRENTLY (guide
+    // §2.6, the q189 shape): the three per-version reads and the
+    // step-2 diff's newly-dead rows
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    def submit[T](f: => T): java.util.concurrent.Future[T] =
+      pool.submit(new java.util.concurrent.Callable[T] {
+        override def call(): T = f
+      })
+    val (readFolds, diffFold) =
+      try {
+        val fs = (1L to 3L).map(v =>
+          submit(fold(Snapshots.readAt(spark, srcT, v))))
+        val d = submit(fold(Snapshots.diff(spark, srcT, v2, v3)
+          .filter(col("_change") === "delete").drop("_change")))
+        (fs.map(_.get()), d.get())
+      } finally pool.shutdown()
     val reads = (1L to 3L).map { v =>
-      val (c, x, s) = fold(Snapshots.readAt(spark, srcT, v))
+      val (c, x, s) = readFolds((v - 1).toInt)
       ("read", f"v$v%04d", c, x, s)
     }
-    // diff across the second DV step: exactly its newly-dead rows
-    val (d1, d2, d3) = fold(Snapshots.diff(spark, srcT, v2, v3)
-      .filter(col("_change") === "delete").drop("_change"))
+    val (d1, d2, d3) = diffFold
     // LIVE feed, one version per microbatch: per-step net deletes
     val feedFolds = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
     val q = ChangeFeed.readStream(spark, srcT, maxVersionsPerBatch = 1L)
@@ -2217,9 +2287,10 @@ object Relational {
         ()
       }.start()
     try q.processAllAvailable() finally q.stop()
+    // head == v3 (the feed commits nothing to the source): restate
+    // the v3 fold instead of a fourth full-table job (guide §1.2)
     val (manifestCount3, head3) =
-      (Snapshots.rowCountAt(spark, srcT, v3).getOrElse(-1L),
-        fold(Snapshots.read(spark, srcT)))
+      (Snapshots.rowCountAt(spark, srcT, v3).getOrElse(-1L), readFolds(2))
     // compact MATERIALIZES every vector; vacuum reclaims; head holds
     val v4 = Snapshots.compact(spark, srcT, "bucket", Seq("o_orderkey"))
     val dvAfter = Snapshots.deletionVectorsAt(spark, srcT, v4).size.toLong
