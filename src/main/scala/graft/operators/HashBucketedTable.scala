@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** HASH-bucketed snapshot tables — [[BucketedTable]]'s sibling for
@@ -173,18 +173,47 @@ object HashBucketedTable {
     * the key batch, zero data-file opens. */
   private def touchedFiles(spark: SparkSession, pm: Snapshots.Manifest,
                            epochs: Map[String, Long], keyCol: String,
-                           keysDf: DataFrame): Seq[String] = {
+                           keysDf: DataFrame): Seq[String] =
+    touchedFilesCounted(spark, pm, epochs, keyCol, keysDf, lit(0L))._1
+
+  /** Every epoch's bucket arithmetic from ONE grouped fold (guide
+    * §1.2 — this ran one distinct+collect job PER EPOCH): the key
+    * batch groups by the TUPLE of its per-modulus buckets (bounded
+    * by the batch's distinct keys and by the moduli product), each
+    * epoch's bucket set is a projection of the tuples, and the same
+    * fold carries a NULL-key count plus a caller-supplied row-marker
+    * sum — applyImpl's null guard and update-side count were two
+    * more independent actions. Unknown epochs stay conservative.
+    * The two counts are -1 when no positive epoch exists (no fold
+    * ran — callers fall back to their own actions). */
+  private def touchedFilesCounted(spark: SparkSession,
+      pm: Snapshots.Manifest, epochs: Map[String, Long], keyCol: String,
+      keysDf: DataFrame, marker: Column): (Seq[String], Long, Long) = {
     requireStringKey(keysDf, keyCol) // probe keys hash too
     val byEpoch = pm.files.groupBy(f => epochs.getOrElse(f, -1L))
-    byEpoch.toSeq.flatMap { case (n, files) =>
+    val moduli = byEpoch.keys.filter(_ > 0).toSeq.sorted
+    if (moduli.isEmpty)
+      return (pm.files, -1L, -1L) // all epochs unknown: conservative
+    val bCols = moduli.map(n =>
+      pmod(xxhash64(col(keyCol)), lit(n)).as(s"__gh_b$n"))
+    val rows = keysDf.select(bCols ++ Seq(
+        col(keyCol).isNull.cast("long").as("__gh_nul"),
+        marker.as("__gh_u")): _*)
+      .groupBy(moduli.map(n => col(s"__gh_b$n")): _*)
+      .agg(sum(col("__gh_nul")).as("__gh_nuls"),
+        sum(col("__gh_u")).as("__gh_us"))
+      .collect()
+    val nulls = rows.map(_.getLong(moduli.size)).sum
+    val markerSum = rows.map(_.getLong(moduli.size + 1)).sum
+    val files = byEpoch.toSeq.flatMap { case (n, files) =>
       if (n <= 0) files // unknown epoch: conservative, rewrite/read it
       else {
-        val touched = keysDf
-          .select(pmod(xxhash64(col(keyCol)), lit(n)).as("b"))
-          .distinct().collect().map(_.getLong(0)).toSet
+        val i = moduli.indexOf(n)
+        val touched = rows.map(_.getLong(i)).toSet
         files.filter(f => Snapshots.fileBucket(f).exists(touched.contains))
       }
     }
+    (files, nulls, markerSum)
   }
 
   /** MERGE (upsert) across epochs: the rewrite set is the union over
@@ -255,9 +284,19 @@ object HashBucketedTable {
     try {
       val allKeys = (updatesP.toSeq ++ deletesP.toSeq)
         .map(_.select(keyCols.map(col): _*)).reduce(_.unionByName(_))
-      require(allKeys.filter(col(keyCol).isNull).isEmpty,
+      // ONE grouped fold yields every epoch's buckets AND the
+      // null-key count (the guard below was its own Spark action)
+      val allKeysM = (updatesP.toSeq.map(_.select(keyCols.map(col): _*)
+          .withColumn("__gh_upd", lit(1L))) ++
+        deletesP.toSeq.map(_.select(keyCols.map(col): _*)
+          .withColumn("__gh_upd", lit(0L)))).reduce(_.unionByName(_))
+      val (touched, nullKeys, _) = graft.Prof(s"hmerge.buckets $dir")(
+        touchedFilesCounted(spark, pm, epochs, keyCol, allKeysM,
+          col("__gh_upd")))
+      require(
+        if (nullKeys >= 0L) nullKeys == 0L
+        else allKeys.filter(col(keyCol).isNull).isEmpty,
         s"update/delete rows carry NULL $keyCol values")
-      val touched = touchedFiles(spark, pm, epochs, keyCol, allKeys)
       if (touched.isEmpty && updatesP.isEmpty) return prev
       val dropKeys = allKeys
       val mergedRows =

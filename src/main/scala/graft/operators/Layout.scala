@@ -425,6 +425,112 @@ object Layout {
     * the all-or-nothing rule makes safe. Block detail is recorded
     * only for multi-row-group files. Bounded thread pool like every
     * footer walk here. */
+  /** ONE footer walk emitting the LAYOUT KEY's per-row-group stats
+    * AND both typed granularities — the staging path's single
+    * metadata pass (guide §6: footer I/O is priced per open; the
+    * key walk and the typed walk each opened every staged file).
+    * The key half keeps [[rowGroupStatsFiles]]' ALL-OR-NOTHING
+    * contract — any file whose key column is missing or non-long
+    * yields Failure and the caller records NO key stat lines (a
+    * partial set would make unlisted files invisible to pruning);
+    * the typed half is per-(file, column) conservative exactly as
+    * [[typedStatsWithBlocks]]. */
+  def statsWithKey(spark: SparkSession, paths: Seq[String],
+                   keyCol: Option[String], cols: Seq[String])
+      : (scala.util.Try[Seq[RowGroupStat]], Seq[TypedFileStat],
+         Seq[TypedRgStat]) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def one(p0: String): (scala.util.Try[Seq[RowGroupStat]],
+        Seq[TypedFileStat], Seq[TypedRgStat]) = {
+      val p = new org.apache.hadoop.fs.Path(p0)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        val keyStats = keyCol match {
+          case None => scala.util.Success(Seq.empty[RowGroupStat])
+          case Some(k) => scala.util.Try {
+            val bucket = p.getParent.getName match {
+              case s if s.contains("=") =>
+                scala.util.Try(s.substring(s.indexOf('=') + 1).toLong).toOption
+              case _ => None
+            }
+            blocks.map { b =>
+              val st = b.getColumns.asScala
+                .find(_.getPath.toDotString == k)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"rowGroupStats: no column '$k' in $p0"))
+                .getStatistics
+                .asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+              RowGroupStat(p0, bucket, b.getRowCount, st.getMin, st.getMax)
+            }
+          }
+        }
+        val (fileB, rgB) = typedOfBlocks(p0, blocks, cols)
+        (keyStats, fileB, rgB)
+      } finally rd.close()
+    }
+    val res =
+      if (paths.size <= 1) paths.map(one)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, paths.size))
+        try {
+          val futs = paths.map(p0 => pool.submit(
+            new java.util.concurrent.Callable[(scala.util.Try[Seq[RowGroupStat]],
+                Seq[TypedFileStat], Seq[TypedRgStat])] {
+              override def call() = one(p0)
+            }))
+          futs.map(_.get())
+        } finally pool.shutdown()
+      }
+    val keyAll = scala.util.Try(res.flatMap(_._1.get))
+    (keyAll, res.flatMap(_._2), res.flatMap(_._3))
+  }
+
+  /** The typed per-(file, column) claim fold over an already-open
+    * footer's blocks — shared by [[typedStatsWithBlocks]] and
+    * [[statsWithKey]]. */
+  private def typedOfBlocks(p0: String,
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      cols: Seq[String]): (Seq[TypedFileStat], Seq[TypedRgStat]) = {
+    val rows = blocks.map(_.getRowCount).sum
+    val fileB = Seq.newBuilder[TypedFileStat]
+    val rgB = Seq.newBuilder[TypedRgStat]
+    cols.foreach { c =>
+      val per = blocks.map(b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == c)
+          .flatMap(cc => blockStat(cc.getStatistics)))
+      if (per.forall(_.isDefined) &&
+          per.flatten.map(_._1).distinct.size == 1) {
+        val claims = per.map(_.get)
+        val kind = claims.head._1
+        val (mn, mx) = kind match {
+          case "i" =>
+            (claims.map(_._2.toLong).min.toString,
+             claims.map(_._3.toLong).max.toString)
+          case "d" =>
+            (claims.map(_._2.toDouble).min.toString,
+             claims.map(_._3.toDouble).max.toString)
+          case _ =>
+            val dec = java.util.Base64.getDecoder
+            val enc = java.util.Base64.getEncoder
+            (enc.encodeToString(claims.map(s => dec.decode(s._2))
+               .reduce((a, b) => if (bytesLt(a, b)) a else b)),
+             enc.encodeToString(claims.map(s => dec.decode(s._3))
+               .reduce((a, b) => if (bytesLt(a, b)) b else a)))
+        }
+        fileB += TypedFileStat(p0, c, rows, kind, mn, mx)
+        if (blocks.size >= 2)
+          claims.zip(blocks).foreach { case ((k, bmn, bmx), b) =>
+            rgB += TypedRgStat(p0, c, b.getStartingPos,
+              b.getCompressedSize, b.getRowCount, k, bmn, bmx)
+          }
+      }
+    }
+    (fileB.result(), rgB.result())
+  }
+
   def typedStatsWithBlocks(spark: SparkSession, paths: Seq[String],
                            cols: Seq[String])
       : (Seq[TypedFileStat], Seq[TypedRgStat]) = {
@@ -433,44 +539,8 @@ object Layout {
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(p0), hconf))
-      try {
-        val blocks = rd.getFooter.getBlocks.asScala.toSeq
-        val rows = blocks.map(_.getRowCount).sum
-        val fileB = Seq.newBuilder[TypedFileStat]
-        val rgB = Seq.newBuilder[TypedRgStat]
-        cols.foreach { c =>
-          val per = blocks.map(b =>
-            b.getColumns.asScala.find(_.getPath.toDotString == c)
-              .flatMap(cc => blockStat(cc.getStatistics)))
-          if (per.forall(_.isDefined) &&
-              per.flatten.map(_._1).distinct.size == 1) {
-            val claims = per.map(_.get)
-            val kind = claims.head._1
-            val (mn, mx) = kind match {
-              case "i" =>
-                (claims.map(_._2.toLong).min.toString,
-                 claims.map(_._3.toLong).max.toString)
-              case "d" =>
-                (claims.map(_._2.toDouble).min.toString,
-                 claims.map(_._3.toDouble).max.toString)
-              case _ =>
-                val dec = java.util.Base64.getDecoder
-                val enc = java.util.Base64.getEncoder
-                (enc.encodeToString(claims.map(s => dec.decode(s._2))
-                   .reduce((a, b) => if (bytesLt(a, b)) a else b)),
-                 enc.encodeToString(claims.map(s => dec.decode(s._3))
-                   .reduce((a, b) => if (bytesLt(a, b)) b else a)))
-            }
-            fileB += TypedFileStat(p0, c, rows, kind, mn, mx)
-            if (blocks.size >= 2)
-              claims.zip(blocks).foreach { case ((k, bmn, bmx), b) =>
-                rgB += TypedRgStat(p0, c, b.getStartingPos,
-                  b.getCompressedSize, b.getRowCount, k, bmn, bmx)
-              }
-          }
-        }
-        (fileB.result(), rgB.result())
-      } finally rd.close()
+      try typedOfBlocks(p0, rd.getFooter.getBlocks.asScala.toSeq, cols)
+      finally rd.close()
     }
     val res =
       if (paths.size <= 1) paths.map(one)

@@ -1000,41 +1000,37 @@ object Snapshots {
       s"stage produced no data files under $stageDir — refusing to " +
         "commit an unreadable version (empty input?)")
     val keyCol = sortCols.head
-    val statLines: Seq[String] = graft.Prof(s"stage.stat $dir") {
-      if (!df.schema.fieldNames.contains(keyCol) ||
-          df.schema(keyCol).dataType != LongType) Seq.empty
-      else scala.util.Try {
-        Layout.rowGroupStatsFiles(df.sparkSession,
-            staged.map(r => s"$dir/$r"), keyCol)
-          .groupBy(_.path).toSeq.map { case (p, gs) =>
-            val rel = p.stripPrefix(s"$dir/")
-            s"stat:$keyCol:${gs.map(_.rowCount).sum}:" +
-              s"${gs.map(_.min).min}:${gs.map(_.max).max}:$rel"
-          }
-      }.getOrElse(Seq.empty)
-    }
-    // typed stats for the table's DECLARED stats columns (format 2.1
-    // #stat2 per file) AND the per-row-group detail (format 2.3
-    // #stat3 — byte range + rows + min/max per block, multi-row-group
-    // files only: a single-group file's block stat IS its file stat,
-    // so the common small-file case adds zero lines while a large
-    // file gains sub-file skipping — [[prunedScanAtBox]] plans
-    // surviving byte ranges without opening footers). ONE footer walk
-    // emits both families — a second walk would double the metadata
-    // round trips per staged file.
-    val (stat2, stat3): (Seq[String], Seq[String]) = graft.Prof(s"stage.stat23 $dir") {
-      if (stat2Cols.isEmpty) (Seq.empty, Seq.empty)
-      else scala.util.Try {
-        val (fileStats, rgStats) = Layout.typedStatsWithBlocks(
-          df.sparkSession, staged.map(r => s"$dir/$r"),
-          stat2Cols.filter(c => !c.contains(":")))
-        (fileStats.map(ts => s"stat2:${ts.column}:${ts.kind}:${ts.rows}:" +
-           s"${ts.min}:${ts.max}:${ts.path.stripPrefix(s"$dir/")}"),
-         rgStats.map(rg => s"stat3:${rg.column}:${rg.kind}:${rg.start}:" +
-           s"${rg.len}:${rg.rows}:${rg.min}:${rg.max}:" +
-           rg.path.stripPrefix(s"$dir/")))
-      }.getOrElse((Seq.empty, Seq.empty))
-    }
+    // ALL manifest statistics from ONE footer walk (guide §6: footer
+    // I/O is priced per open — the key-stat walk and the typed-stat
+    // walk each opened every staged file, doubling the metadata round
+    // trips per commit; now one open per file emits the `stat:` key
+    // lines, the per-file `stat2:` typed lines AND the per-row-group
+    // `stat3:` detail). Contracts unchanged: key stats stay
+    // ALL-OR-NOTHING across the staged set (a partial set would hide
+    // unlisted files from pruning), typed stats stay per-(file,
+    // column) conservative, any walk failure records nothing.
+    val keyOk = df.schema.fieldNames.contains(keyCol) &&
+      df.schema(keyCol).dataType == LongType
+    val typedCols = stat2Cols.filter(c => !c.contains(":"))
+    val (statLines, stat2, stat3): (Seq[String], Seq[String], Seq[String]) =
+      graft.Prof(s"stage.stats $dir") {
+        if (!keyOk && typedCols.isEmpty) (Seq.empty, Seq.empty, Seq.empty)
+        else scala.util.Try {
+          val (keyTry, fileStats, rgStats) = Layout.statsWithKey(
+            df.sparkSession, staged.map(r => s"$dir/$r"),
+            if (keyOk) Some(keyCol) else None, typedCols)
+          (keyTry.map(_.groupBy(_.path).toSeq.map { case (p, gs) =>
+              val rel = p.stripPrefix(s"$dir/")
+              s"stat:$keyCol:${gs.map(_.rowCount).sum}:" +
+                s"${gs.map(_.min).min}:${gs.map(_.max).max}:$rel"
+            }).getOrElse(Seq.empty),
+           fileStats.map(ts => s"stat2:${ts.column}:${ts.kind}:${ts.rows}:" +
+             s"${ts.min}:${ts.max}:${ts.path.stripPrefix(s"$dir/")}"),
+           rgStats.map(rg => s"stat3:${rg.column}:${rg.kind}:${rg.start}:" +
+             s"${rg.len}:${rg.rows}:${rg.min}:${rg.max}:" +
+             rg.path.stripPrefix(s"$dir/")))
+        }.getOrElse((Seq.empty, Seq.empty, Seq.empty))
+      }
     // KMV NDV sketches for the DECLARED ndv columns: one distinct +
     // windowed-top-k pass over ONLY this commit's new files
     val ndvL: Seq[String] = graft.Prof(s"stage.ndv $dir") {

@@ -236,18 +236,42 @@ object ZOrderTable {
     * files' path buckets. Zero data-file opens. */
   private def touchedFiles(spark: SparkSession, pm: Snapshots.Manifest,
                            epochs: Map[String, Int], l: ZLayout,
-                           rowsWithDims: DataFrame): Seq[String] = {
+                           rowsWithDims: DataFrame): Seq[String] =
+    touchedFilesCounted(spark, pm, epochs, l, rowsWithDims, lit(0L))._1
+
+  /** The per-epoch touched-file decision from ONE grouped fold
+    * (guide §1.2 — this ran one distinct+collect job PER EPOCH): the
+    * batch's cells fold once at the FINEST positive shift, and every
+    * coarser epoch's cell set derives by a further right shift on
+    * the driver (exact: `zkey >>> sh == (zkey >>> minShift) >>>
+    * (sh − minShift)` for sh ≥ minShift). The same fold carries a
+    * caller-supplied row marker sum (the [[Snapshots.mergeImpl]]
+    * trick) — applyImpl passes the update-side flag so a non-empty
+    * update side skips the merged-frame emptiness probe without an
+    * extra take(1) action. */
+  private def touchedFilesCounted(spark: SparkSession,
+      pm: Snapshots.Manifest, epochs: Map[String, Int], l: ZLayout,
+      rowsWithDims: DataFrame, marker: Column): (Seq[String], Long) = {
     val byEpoch = pm.files.groupBy(f => epochs.getOrElse(f, -1))
     val zkey = keyExpr(l)
-    byEpoch.toSeq.flatMap { case (sh, files) =>
+    val shifts = byEpoch.keys.filter(_ > 0)
+    if (shifts.isEmpty)
+      return (pm.files, -1L) // all epochs unknown: conservative, no fold ran
+    val minShift = shifts.min
+    val folded = rowsWithDims
+      .select(shiftrightunsigned(zkey, minShift).as("c"), marker.as("u"))
+      .groupBy(col("c")).agg(sum(col("u")).as("u"))
+      .collect()
+    val fine = folded.map(_.getLong(0))
+    val markerSum = folded.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum
+    val files = byEpoch.toSeq.flatMap { case (sh, files) =>
       if (sh <= 0) files // unknown epoch: conservative, rewrite/read it
       else {
-        val cells = rowsWithDims
-          .select(shiftrightunsigned(zkey, sh).as("c"))
-          .distinct().collect().map(_.getLong(0)).toSet
+        val cells = fine.map(_ >>> (sh - minShift)).toSet
         files.filter(f => Snapshots.fileBucket(f).exists(cells.contains))
       }
     }
+    (files, markerSum)
   }
 
   /** Upsert by `keyCols` — the PRUNED path (cost ∝ touched cells),
@@ -376,12 +400,18 @@ object ZOrderTable {
       .map(t => (Some(t._1), t._2)).getOrElse((None, false))
     try {
       // cells are located from BOTH sides' dims (an update's target cell
-      // and a delete's current cell), per epoch
-      val allDims = (updatesP.toSeq ++ deletesP.toSeq)
-        .map(_.select(l.dims.map(col): _*)).reduce(_.unionByName(_))
+      // and a delete's current cell), per epoch — ONE grouped fold for
+      // every epoch, carrying an update-side row marker so the
+      // emptiness probe below can be skipped without its own action
+      val allDims = (updatesP.toSeq.map(_.select(l.dims.map(col): _*)
+          .withColumn("__gz_upd", lit(1L))) ++
+        deletesP.toSeq.map(_.select(l.dims.map(col): _*)
+          .withColumn("__gz_upd", lit(0L)))).reduce(_.unionByName(_))
       val dropKeys = (updatesP.toSeq ++ deletesP.toSeq)
         .map(_.select(keyCols.map(col): _*)).reduce(_.unionByName(_))
-      val touched = touchedFiles(spark, pm, epochs, l, allDims)
+      val (touched, updRows) = graft.Prof(s"zmerge.cells $dir")(
+        touchedFilesCounted(spark, pm, epochs, l, allDims,
+          col("__gz_upd")))
       if (touched.isEmpty && updatesP.isEmpty) return prev
       val mergedRows =
         if (touched.isEmpty) updatesP.get
@@ -399,11 +429,14 @@ object ZOrderTable {
         }
       // a delete can empty its cells entirely: commit kept files only.
       // The probe only fires when it CAN be empty — a non-empty update
-      // side unions in and survives (one cheap take(1) on the
-      // materialized side decides, instead of a full merged-plan scan).
+      // side unions in and survives. The cell fold above already
+      // counted the update rows, so no extra action decides; only the
+      // all-unknown-epoch path (updRows == -1, no fold ran) falls back
+      // to a take(1) on the materialized side.
+      val updNonEmpty = updRows > 0L ||
+        (updRows == -1L && updatesP.exists(!_.isEmpty))
       val st =
-        if (deletesOpt.isDefined && !updatesP.exists(!_.isEmpty) &&
-            mergedRows.isEmpty)
+        if (deletesOpt.isDefined && !updNonEmpty && mergedRows.isEmpty)
           Snapshots.Staged(Nil, pm.schemaOpt.map(Snapshots.nullable(_).json)
             .getOrElse(Snapshots.nullable(mergedRows.schema).json), Nil)
         else Snapshots.stage(withLayout(mergedRows, l), dir, BCol, Seq(ZCol),

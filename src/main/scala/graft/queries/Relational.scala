@@ -1692,13 +1692,28 @@ object Relational {
           coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    val reads = Seq(v1 -> "v0001", v3 -> "v0003", v4 -> "v0004",
-      v5 -> "v0005", v6 -> "v0006", v7 -> "v0007").map { case (v, lbl) =>
-      val (c, x, s) = fold(H.readAt(spark, out, v))
+    // seven independent version-pinned folds (six reads + the
+    // lookup), run CONCURRENTLY (guide §2.6, the q189 shape)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
+    def submit[T](f: => T): java.util.concurrent.Future[T] =
+      pool.submit(new java.util.concurrent.Callable[T] {
+        override def call(): T = f
+      })
+    val versions = Seq(v1 -> "v0001", v3 -> "v0003", v4 -> "v0004",
+      v5 -> "v0005", v6 -> "v0006", v7 -> "v0007")
+    val (readFolds, lookupFold) =
+      try {
+        val fs = versions.map { case (v, _) =>
+          submit(fold(H.readAt(spark, out, v)))
+        }
+        val lk = submit(fold(H.lookupAt(spark, out, v7, Seq(
+          "k0000000077", "k0000007007", "k0000014011", "nope"))))
+        (fs.map(_.get()), lk.get())
+      } finally pool.shutdown()
+    val reads = versions.zip(readFolds).map { case ((_, lbl), (c, x, s)) =>
       ("read", lbl, c, x, s)
     }
-    val (l1, l2, l3) = fold(H.lookupAt(spark, out, v7, Seq(
-      "k0000000077", "k0000007007", "k0000014011", "nope")))
+    val (l1, l2, l3) = lookupFold
     val e4 = H.fileBuckets(spark, out, v4).values.toSet
     val e7 = H.fileBuckets(spark, out, v7)
     val epochRows = Seq(
@@ -1839,13 +1854,28 @@ object Relational {
       Z.boxFiles(spark, out, v, boxPred).size.toLong,
       Z.boxFiles(spark, out, v, Seq(("x", 0L, 16384L))).size.toLong,
       Snapshots.files(spark, out, v).size.toLong)
-    val (b11, b12, b13) = fold(Z.box(spark, out, v1, boxPred))
-    val (b31, b32, b33) = fold(Z.box(spark, out, v3, boxPred))
-    val (x1, x2, x3) = fold(Z.box(spark, out, v3, Seq(("x", 0L, 16384L))))
-    val (y1, y2, y3) = fold(Z.box(spark, out, v3, Seq(("y", 0L, 16384L))))
-    val (f1, f2, f3) = fold(Z.readAt(spark, out, v3))
-    val (g51, g52, g53) = fold(Z.readAt(spark, out, v5))
-    val (g61, g62, g63) = fold(Z.readAt(spark, out, v6))
+    // seven independent version-pinned verification folds, run
+    // CONCURRENTLY (guide §2.6, the q189 shape): sequential they
+    // serialize seven sub-second jobs' scheduling overhead
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
+    def submit[T](f: => T): java.util.concurrent.Future[T] =
+      pool.submit(new java.util.concurrent.Callable[T] {
+        override def call(): T = f
+      })
+    val folds =
+      try {
+        val fs = Seq(
+          submit(fold(Z.box(spark, out, v1, boxPred))),
+          submit(fold(Z.box(spark, out, v3, boxPred))),
+          submit(fold(Z.box(spark, out, v3, Seq(("x", 0L, 16384L))))),
+          submit(fold(Z.box(spark, out, v3, Seq(("y", 0L, 16384L))))),
+          submit(fold(Z.readAt(spark, out, v3))),
+          submit(fold(Z.readAt(spark, out, v5))),
+          submit(fold(Z.readAt(spark, out, v6))))
+        fs.map(_.get())
+      } finally pool.shutdown()
+    val Seq((b11, b12, b13), (b31, b32, b33), (x1, x2, x3),
+      (y1, y2, y3), (f1, f2, f3), (g51, g52, g53), (g61, g62, g63)) = folds
     val (s11, s12, s13) = stateRow(v1)
     val (s31, s32, s33) = stateRow(v3)
     val (s61, s62, s63) = stateRow(v6)
