@@ -1334,24 +1334,29 @@ object Relational {
     val rows =
       try {
         // ONE grouped fold instead of 6 filter+agg jobs (the q172
-        // discipline) — absent groups restate the empty fold's zeros
+        // discipline) — absent groups restate the empty fold's zeros.
+        // The two wide-value counts ride the SAME pass as one more
+        // aggregate column (guide §1.2 — they were two further jobs
+        // over the cached net): wideGenesis sums the v1 groups,
+        // wideV2 is the (2, insert) group's count.
         val grouped = net.withColumn("h", h)
           .groupBy(col("_version"), col("_change"))
           .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
-            coalesce(sum(col("h") % 1000000000000L), lit(0L)))
+            coalesce(sum(col("h") % 1000000000000L), lit(0L)),
+            sum(when(col("cust_i") >= 2147483648L, 1L).otherwise(0L)))
           .collect()
           .map(r => (r.getLong(0), r.getString(1)) ->
-            (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
         val folds = (1L to 3L).flatMap { v =>
           Seq("insert", "delete").map { kind =>
-            val (c, x, s) = grouped.getOrElse((v, kind), (0L, 0L, 0L))
+            val (c, x, s, _) = grouped.getOrElse((v, kind), (0L, 0L, 0L, 0L))
             (f"v$v%04d", kind, c, x, s)
           }
         }
-        val wideGenesis = net.filter(col("_version") === 1L &&
-          col("cust_i") >= 2147483648L).count()
-        val wideV2 = net.filter(col("_version") === 2L &&
-          col("_change") === "insert" && col("cust_i") >= 2147483648L).count()
+        val wideGenesis = grouped.collect {
+          case ((1L, _), (_, _, _, w)) => w
+        }.sum
+        val wideV2 = grouped.getOrElse((2L, "insert"), (0L, 0L, 0L, 0L))._4
         folds :+ (("schema", "feed",
           if (custIsLong) 1L else 0L, wideGenesis, wideV2))
       } finally {
@@ -1527,9 +1532,24 @@ object Relational {
           coalesce(sum(col("h") % 1000000000000L), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    val (a1, a2, a3) = fold(Snapshots.readAt(spark, out, v1), col("o_orderstatus"))
-    val (b1, b2, b3) = fold(Snapshots.readAt(spark, out, v2), col("status"))
-    val (c1, c2, c3) = fold(Snapshots.readAt(spark, out, v4), col("status"))
+    // four independent version-pinned folds (v1/v2/v4 reads + the
+    // pruned mid-range scan), run CONCURRENTLY (guide §2.6)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    def submit[T](f: => T): java.util.concurrent.Future[T] =
+      pool.submit(new java.util.concurrent.Callable[T] {
+        override def call(): T = f
+      })
+    val ((a1, a2, a3), (b1, b2, b3), (c1, c2, c3), (p1, p2, p3)) =
+      try {
+        val a = submit(fold(Snapshots.readAt(spark, out, v1),
+          col("o_orderstatus")))
+        val b = submit(fold(Snapshots.readAt(spark, out, v2), col("status")))
+        val c = submit(fold(Snapshots.readAt(spark, out, v4), col("status")))
+        val p = submit(fold(
+          Snapshots.prunedScanAt(spark, out, v4, "o_orderkey", 4096L, 12288L),
+          col("status")))
+        (a.get(), b.get(), c.get(), p.get())
+      } finally pool.shutdown()
     val qn = "graft_ren_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = ChangeFeed.readStream(spark, out)
       .writeStream.outputMode("append").format("memory").queryName(qn)
@@ -1557,9 +1577,6 @@ object Relational {
         net.unpersist()
         spark.catalog.dropTempView(qn)
       }
-    val (p1, p2, p3) = fold(
-      Snapshots.prunedScanAt(spark, out, v4, "o_orderkey", 4096L, 12288L),
-      col("status"))
     val state = (
       if (Snapshots.files(spark, out, v2) == Snapshots.files(spark, out, v1))
         1L else 0L,
@@ -1782,7 +1799,20 @@ object Relational {
           if (isExact) 1L else 0L)
       }
     }
-    (rows(v1) ++ rows(v2))
+    // the two per-version NDV folds are independent — overlap them
+    // (guide §2.6, the q189 shape)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def submit[T](f: => T): java.util.concurrent.Future[T] =
+      pool.submit(new java.util.concurrent.Callable[T] {
+        override def call(): T = f
+      })
+    val (r1, r2) =
+      try {
+        val a = submit(rows(v1))
+        val b = submit(rows(v2))
+        (a.get(), b.get())
+      } finally pool.shutdown()
+    (r1 ++ r2)
       .toDF("version", "colname", "m1", "m2", "m3")
       .orderBy(col("version"), col("colname"))
   }
@@ -3075,8 +3105,16 @@ object Relational {
       .withColumn("bucket", expr(s"o_orderkey div $W"))
     val dim = Tables.customer(spark, dir)
       .withColumn("bucket", expr("c_custkey div 4096"))
-    Snapshots.publish(fact, factT, "bucket", Seq("o_orderkey"))
-    Snapshots.publish(dim, dimT, "bucket", Seq("c_custkey"))
+    // the two fixture publishes and each section's fact/dim folds are
+    // independent — overlap them (guide §2.6, the q189 shape)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    def submit[T](f: => T): java.util.concurrent.Future[T] =
+      pool.submit(new java.util.concurrent.Callable[T] {
+        override def call(): T = f
+      })
+    val pubF = submit(Snapshots.publish(fact, factT, "bucket", Seq("o_orderkey")))
+    val pubD = submit(Snapshots.publish(dim, dimT, "bucket", Seq("c_custkey")))
+    pubF.get(); pubD.get()
     // the crashed transaction: stages BOTH tables, record never written
     val dead = Snapshots.beginTxn(spark, s"$base/_txns/dead")
     dead.merge(fact.filter(col("o_orderkey") % 11 === 5)
@@ -3096,8 +3134,9 @@ object Relational {
         col("c_mktsegment"))
       conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
     }
-    val (cf1, cf2, cf3) = fold(Snapshots.read(spark, factT), ordersRowHash)
-    val (cd1, cd2, cd3) = fold(Snapshots.read(spark, dimT), dimRowHash)
+    val cfF = submit(fold(Snapshots.read(spark, factT), ordersRowHash))
+    val cdF = submit(fold(Snapshots.read(spark, dimT), dimRowHash))
+    val ((cf1, cf2, cf3), (cd1, cd2, cd3)) = (cfF.get(), cdF.get())
     val crashed = Seq(
       ("crashed", "fact", cf1, cf2, cf3),
       ("crashed", "dim", cd1, cd2, cd3))
@@ -3112,8 +3151,9 @@ object Relational {
         .withColumn("c_mktsegment", lit("TX")),
       dimT, "bucket", Seq("c_custkey"), Seq("c_custkey"))
     txn.commit()
-    val (ff1, ff2, ff3) = fold(Snapshots.read(spark, factT), ordersRowHash)
-    val (fd1, fd2, fd3) = fold(Snapshots.read(spark, dimT), dimRowHash)
+    val ffF = submit(fold(Snapshots.read(spark, factT), ordersRowHash))
+    val fdF = submit(fold(Snapshots.read(spark, dimT), dimRowHash))
+    val ((ff1, ff2, ff3), (fd1, fd2, fd3)) = (ffF.get(), fdF.get())
     val fin = Seq(
       ("final", "fact", ff1, ff2, ff3),
       ("final", "dim", fd1, fd2, fd3))
@@ -3125,7 +3165,9 @@ object Relational {
     }
     val joined = Snapshots.read(spark, factT)
       .join(Snapshots.read(spark, dimT), col("o_custkey") === col("c_custkey"))
-    val (j1, j2, j3) = fold(joined, joinHash)
+    val (j1, j2, j3) =
+      try fold(joined, joinHash)
+      finally pool.shutdown()
     val state = Seq(factT, dimT).zip(Seq("fact", "dim")).map { case (t, lbl) =>
       ("state", lbl, Snapshots.versions(spark, t).size.toLong,
         Snapshots.latest(spark, t).get,
