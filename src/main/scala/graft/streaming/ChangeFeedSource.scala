@@ -497,8 +497,16 @@ private[graft] class RowArrayReadSupport(
   override def init(ctx: InitContext): ReadSupport.ReadContext = {
     val file = ctx.getFileSchema
     val kept = physNames.filter(file.containsField)
-    new ReadSupport.ReadContext(new MessageType(file.getName,
-      kept.map(n => file.getType(file.getFieldIndex(n))): _*))
+    // a file containing NONE of the requested physical names (every
+    // requested field predates it) must still drive one null-filled
+    // output row per stored row — keep ONE file column as the row
+    // pacemaker rather than relying on parquet-mr's empty-projection
+    // path (some versions reject it, and its EmptyRecordReader never
+    // calls the root converter's start()); its values discard
+    val fields =
+      if (kept.nonEmpty) kept.map(n => file.getType(file.getFieldIndex(n)))
+      else Array(file.getType(0))
+    new ReadSupport.ReadContext(new MessageType(file.getName, fields: _*))
   }
 
   private def slotConverter(prim: PrimitiveTypeName, dt: DataType,
@@ -540,15 +548,28 @@ private[graft] class RowArrayReadSupport(
         }
         case _ => refuse()
       }
-      case BooleanType => new PrimitiveConverter {
-        override def addBoolean(v: Boolean): Unit = slots(out) = v
+      // boolean/string/binary dispatch on the FILE's primitive like
+      // every numeric case: a contract-violating file refuses with
+      // the path-bearing diagnostic instead of parquet-mr's bare
+      // UnsupportedOperationException from the default add* methods
+      case BooleanType => prim match {
+        case BOOLEAN => new PrimitiveConverter {
+          override def addBoolean(v: Boolean): Unit = slots(out) = v
+        }
+        case _ => refuse()
       }
-      case StringType => new PrimitiveConverter {
-        override def addBinary(v: Binary): Unit =
-          slots(out) = UTF8String.fromBytes(v.getBytes)
+      case StringType => prim match {
+        case BINARY | FIXED_LEN_BYTE_ARRAY => new PrimitiveConverter {
+          override def addBinary(v: Binary): Unit =
+            slots(out) = UTF8String.fromBytes(v.getBytes)
+        }
+        case _ => refuse()
       }
-      case BinaryType => new PrimitiveConverter {
-        override def addBinary(v: Binary): Unit = slots(out) = v.getBytes
+      case BinaryType => prim match {
+        case BINARY | FIXED_LEN_BYTE_ARRAY => new PrimitiveConverter {
+          override def addBinary(v: Binary): Unit = slots(out) = v.getBytes
+        }
+        case _ => refuse()
       }
       case d: DecimalType => prim match {
         case INT32 => new PrimitiveConverter {
@@ -586,9 +607,21 @@ private[graft] class RowArrayReadSupport(
     val converters: Array[Converter] =
       (0 until requested.getFieldCount).map { i =>
         val f = requested.getType(i)
-        val out = outIdx(f.getName)
-        slotConverter(f.asPrimitiveType().getPrimitiveTypeName,
-          dataTypes(out), slots, out)
+        outIdx.get(f.getName) match {
+          case Some(out) =>
+            slotConverter(f.asPrimitiveType().getPrimitiveTypeName,
+              dataTypes(out), slots, out)
+          case None => // the row-pacemaker column of an all-predating
+            // file (init's empty-projection short circuit): discard
+            new PrimitiveConverter {
+              override def addBoolean(v: Boolean): Unit = ()
+              override def addInt(v: Int): Unit = ()
+              override def addLong(v: Long): Unit = ()
+              override def addFloat(v: Float): Unit = ()
+              override def addDouble(v: Double): Unit = ()
+              override def addBinary(v: Binary): Unit = ()
+            }
+        }
       }.toArray
     new RecordMaterializer[Array[Any]] {
       private val root = new GroupConverter {
